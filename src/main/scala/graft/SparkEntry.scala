@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.exec.{HardExec, OracleSql}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * kg_2p: two-hop path query (customers in region 0) through the derived
+    * KG edges view. */
+  def entry(spark: SparkSession): DataFrame = {
+    val (_, lstr, b) = KGQueries.all.find(_._1 == "kg_2p").get
+    HardExec.run(spark, "/root/testdata/sf0.001", lstr, b)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val kg = KGQueries.all.map { case (name, lstr, b) =>
+      name -> ((s: SparkSession, dir: String) => HardExec.run(s, dir, lstr, b))
+    }.toMap
+    kg
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    KGQueries.all.map { case (name, lstr, b) =>
+      name -> OracleSql.formulaSql(lstr, b)
+    }.toMap
 }

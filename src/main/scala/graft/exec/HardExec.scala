@@ -1,0 +1,137 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lang._
+import graft.lang.Binding.Binding
+import graft.model.KG
+
+/** Hard-logic (0/1-score) EFO-1 evaluator.
+  *
+  * With hard scores the reference's soft semantics reduce to relational
+  * algebra (SURVEY §2.3): atom = indexed scan (R1), conjunction on a shared
+  * variable = equi-join (R2), disjunction = union (R3), negated atom =
+  * anti-join (R4), existential elimination = project+distinct (R5).
+  * This evaluator compiles a DNF'd formula into exactly that DataFrame plan,
+  * and [[OracleSql]] emits the equivalent ANSI SQL from the same structure so
+  * the two can never drift.
+  *
+  * Scale design: every atom is a filter on `rel` (+ constant endpoint) over
+  * the edges table — Catalyst pushes both into the parquet/cached scan.
+  * Joins are equi-joins on entity-id columns; the accumulated binding
+  * relation stays narrow (one BIGINT column per variable). Join order is
+  * chosen greedily most-constants-first so the most selective atoms anchor
+  * the plan, and AQE re-plans broadcast/skew at runtime.
+  */
+object HardExec {
+
+  /** DataFrame of an atom's variable bindings: one column per distinct
+    * variable in the atom (R1: atom lookup). */
+  private def atomFrame(edges: DataFrame, a: Atomic, b: Binding): DataFrame = {
+    val relId = b.getOrElse(a.rel,
+      throw new IllegalArgumentException(s"unbound relation ${a.rel}"))
+    var df = edges.filter(col("rel") === relId)
+    (a.head.isConst, a.tail.isConst) match {
+      case (true, true) =>
+        df.filter(col("src") === b(a.head.name) && col("dst") === b(a.tail.name))
+          .select(lit(1L).as("_const_hit")).limit(1)
+      case (true, false) =>
+        df.filter(col("src") === b(a.head.name))
+          .select(col("dst").as(a.tail.name)).distinct()
+      case (false, true) =>
+        df.filter(col("dst") === b(a.tail.name))
+          .select(col("src").as(a.head.name)).distinct()
+      case (false, false) =>
+        if (a.head.name == a.tail.name)
+          df.filter(col("src") === col("dst"))
+            .select(col("src").as(a.head.name)).distinct()
+        else
+          df.select(col("src").as(a.head.name), col("dst").as(a.tail.name))
+            .distinct()
+    }
+  }
+
+  /** Evaluate one conjunct: returns the relation of satisfying assignments,
+    * one BIGINT column per variable of the conjunct. */
+  def evalCQ(edges: DataFrame, cq: CQ, b: Binding): DataFrame = {
+    require(cq.pos.nonEmpty, "conjunct needs at least one positive atom")
+    // Greedy order: most bound-constant endpoints first, then connectivity.
+    val remaining = scala.collection.mutable.ListBuffer(
+      cq.pos.sortBy(a => -Seq(a.head, a.tail).count(_.isConst)): _*)
+    var acc = atomFrame(edges, remaining.remove(0), b)
+    while (remaining.nonEmpty) {
+      val accCols = acc.columns.toSet
+      val idx = remaining.indexWhere(a =>
+        Seq(a.head, a.tail).exists(t => t.isVar && accCols.contains(t.name)))
+      val next = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
+      val frame = atomFrame(edges, next, b)
+      val shared = frame.columns.filter(accCols.contains).toSeq
+      acc =
+        if (shared.nonEmpty) acc.join(frame, shared)
+        else acc.crossJoin(frame)
+    }
+    // Negated atoms: anti-join on the atom's (bound) variables (R4).
+    cq.neg.foreach { a =>
+      val frame = atomFrame(edges, a, b)
+      val accCols = acc.columns.toSet
+      val cols = frame.columns.toSeq
+      require(cols.forall(accCols.contains),
+        s"negated atom ${a.lstr} has variables unbound by positive atoms")
+      acc = acc.join(frame, cols, "left_anti")
+    }
+    acc.drop("_const_hit")
+  }
+
+  /** Evaluate a full formula: DNF -> per-conjunct eval -> union -> distinct
+    * projection onto the free variable, output column `f`. */
+  def evalFormula(edges: DataFrame, f: Formula, b: Binding): DataFrame = {
+    val cqs = Normalize.toDnf(f)
+    val free = cqs.head.freeVar.name
+    cqs.map(cq => evalCQ(edges, cq, b).select(col(free).cast("long").as("f")))
+       .reduce(_ unionAll _)
+       .distinct()
+  }
+
+  /** End-to-end: derive the KG edges from `dir` and answer the lstr query. */
+  def run(spark: SparkSession, dir: String, lstr: String, b: Binding): DataFrame =
+    evalFormula(KG.edges(spark, dir), Parser.parse(lstr), b)
+}
+
+/** ANSI-SQL generator mirroring [[HardExec]] for the DuckDB oracle. */
+object OracleSql {
+
+  /** SQL for one conjunct: positive atoms as a self-join of `edges`, negated
+    * atoms as correlated NOT EXISTS. */
+  def cqSql(cq: CQ, b: Binding): String = {
+    val varCol = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val conds = scala.collection.mutable.ListBuffer.empty[String]
+    cq.pos.zipWithIndex.foreach { case (a, i) =>
+      val al = s"a$i"
+      conds += s"$al.rel = ${b(a.rel)}"
+      def endpoint(t: Term, c: String): Unit =
+        if (t.isConst) conds += s"$al.$c = ${b(t.name)}"
+        else varCol.get(t.name) match {
+          case Some(prev) => conds += s"$al.$c = $prev"
+          case None       => varCol(t.name) = s"$al.$c"
+        }
+      endpoint(a.head, "src")
+      endpoint(a.tail, "dst")
+    }
+    cq.neg.foreach { a =>
+      def ep(t: Term, c: String): String =
+        if (t.isConst) s"n.$c = ${b(t.name)}" else s"n.$c = ${varCol(t.name)}"
+      conds += s"NOT EXISTS (SELECT 1 FROM edges n WHERE n.rel = ${b(a.rel)} " +
+        s"AND ${ep(a.head, "src")} AND ${ep(a.tail, "dst")})"
+    }
+    val free = cq.freeVar.name
+    val from = cq.pos.indices.map(i => s"edges a$i").mkString(", ")
+    s"SELECT DISTINCT CAST(${varCol(free)} AS BIGINT) AS f FROM $from WHERE ${conds.mkString(" AND ")}"
+  }
+
+  /** Full-formula SQL (UNION dedups across conjuncts), with the KG CTE. */
+  def formulaSql(lstr: String, b: Binding): String = {
+    val cqs = Normalize.toDnf(Parser.parse(lstr))
+    KG.edgesCte + cqs.map(cqSql(_, b)).mkString(" UNION ")
+  }
+}
