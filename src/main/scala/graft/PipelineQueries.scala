@@ -1,0 +1,349 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.exec.CQDBeam
+import graft.metric.Ranking
+import graft.model.KG
+import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.score.{Embeddings, TransE}
+
+/** Non-KG-logic operator demos over the driver testdata: aggregations
+  * (SURVEY §2.4), sorts/top-k/ranking (§2.5), scored executors (§2.3 soft,
+  * §2.7), and the LLM-data-pipeline operators (§7.2 step 7).
+  * Each entry: (name, query fn, optional DuckDB oracle SQL). */
+object PipelineQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    KG.table(s, dir, name)
+
+  // ---- scored-executor fixtures --------------------------------------
+  private val DIM = 8
+  private val ENT_SEED = 0.3
+  private val REL_SEED = 1.7
+
+  private def supplierEnts(s: SparkSession, dir: String): DataFrame =
+    Embeddings.deterministic(
+      t(s, dir, "supplier").select(
+        (lit(KG.TAG_SUPPLIER * KG.TAG_BASE) + col("s_suppkey")).cast("long").as("id")),
+      "id", DIM, ENT_SEED)
+
+  private def relEmb(s: SparkSession): DataFrame =
+    Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM, REL_SEED)
+
+  private def top10Rounded(scores: DataFrame): DataFrame = {
+    val r = scores.withColumn("score", round(col("score"), 5))
+    val w = Window.orderBy(col("score").desc, col("entity").asc)
+    r.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("entity"), col("score"))
+  }
+
+  /** TransE score in DuckDB SQL over the deterministic embedding space. */
+  private def transeSql(h: String, r: String, tl: String): String =
+    "-SQRT(" + (0 until DIM).map { i =>
+      s"POWER(${Embeddings.sqlVecElem(h, i, ENT_SEED)} + " +
+        s"${Embeddings.sqlVecElem(r, i, REL_SEED)} - " +
+        s"${Embeddings.sqlVecElem(tl, i, ENT_SEED)}, 2)"
+    }.mkString(" + ") + ")"
+
+  private val supplierEntsSql =
+    "SELECT CAST(400000000 + s_suppkey AS BIGINT) AS id FROM supplier"
+
+  private def top10Sql(scoresCte: String): String =
+    s"""SELECT entity, score FROM (
+       |  SELECT entity, ROUND(score, 5) AS score,
+       |         ROW_NUMBER() OVER (ORDER BY ROUND(score, 5) DESC, entity) AS rn
+       |  FROM ($scoresCte) sc) t
+       |WHERE rn <= 10""".stripMargin
+
+  private val S0 = KG.ent(KG.TAG_SUPPLIER, 0)
+
+  // ---- the registry ---------------------------------------------------
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // R6+F1: CQD 1-hop full-entity ranking, TransE, exact (beam > |E|).
+    ("cqd_1p_transe",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
+        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
+        TransE(2), beam = Int.MaxValue)),
+      Some(s"""WITH ents AS ($supplierEntsSql)
+              |${top10Sql(s"SELECT id AS entity, ${transeSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
+
+    // R5+R7: 2-hop with existential max over the intermediate variable.
+    ("cqd_2p_transe",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+        relEmb(s), TransE(2), beam = Int.MaxValue)),
+      Some(s"""WITH ents AS ($supplierEntsSql),
+              |s1 AS (SELECT id AS e1, ${transeSql("400000000", "9", "id")} AS sc FROM ents)
+              |${top10Sql(
+                s"SELECT f.id AS entity, MAX(s1.sc + ${transeSql("s1.e1", "8", "f.id")}) AS score " +
+                "FROM s1, ents f GROUP BY f.id")}""".stripMargin)),
+
+    // Beam-pruned cyclic query (approximate — rows-only check).
+    ("cqd_3c_beam",
+      (s, dir) => top10Rounded(CQDBeam.answer(
+        "((((r1(s1,e1))&(r2(e1,f)))&(r3(s2,e2)))&(r4(e2,f)))&(r5(e1,e2))",
+        Map("r1" -> 9L, "r2" -> 8L, "r3" -> 9L, "r4" -> 8L, "r5" -> 16L,
+            "s1" -> S0, "s2" -> KG.ent(KG.TAG_SUPPLIER, 1)),
+        supplierEnts(s, dir), relEmb(s), TransE(2), beam = 8)),
+      None),
+
+    // G4-G6: LMPNN message passing (rows-only; plumbing spec-verified).
+    ("lmpnn_2p",
+      (s, dir) => {
+        val cq = graft.lang.Normalize.toDnf(
+          graft.lang.Parser.parse("r1(s1,e1)&r2(e1,f)")).head
+        val (qn, qe) = graft.lang.QueryGraph.compile(s, Seq(
+          (cq, Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0)),
+          (cq, Map("r1" -> 8L, "r2" -> 9L, "s1" -> KG.ent(KG.TAG_SUPPLIER, 1)))))
+        graft.exec.LMPNN.answer(qn, qe, supplierEnts(s, dir), relEmb(s),
+          TransE(2), rounds = 2)
+          .select(col("qid"), col("entity"), round(col("score"), 5).as("score"))
+      },
+      None),
+
+    // O3+O4+O5+A6: full metric pipeline with the filtered setting.
+    ("metric_mrr",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val scores = c.select(col("c_nationkey").cast("long").as("qid"),
+                              col("c_custkey").as("entity"),
+                              col("c_acctbal").as("score"))
+        val answers = c.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_nationkey").cast("long").as("qid"),
+                  col("c_custkey").as("entity"),
+                  (col("c_mktsegment") === "BUILDING").as("is_hard"))
+        Ranking.mrrHits(Ranking.filteredRanks(Ranking.rankAll(scores), answers))
+          .select(col("qid"), round(col("mrr"), 6).as("mrr"),
+                  round(col("hits1"), 6).as("hits1"),
+                  round(col("hits3"), 6).as("hits3"),
+                  round(col("hits10"), 6).as("hits10"))
+      },
+      Some("""WITH ranks AS (
+             |  SELECT c_nationkey AS qid, c_custkey AS entity, c_mktsegment AS seg,
+             |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |                            ORDER BY c_acctbal DESC, c_custkey) - 1 AS rnk
+             |  FROM customer),
+             |hard AS (SELECT qid, entity, rnk FROM ranks WHERE seg = 'BUILDING'),
+             |easy AS (SELECT qid, entity, rnk FROM ranks WHERE seg = 'MACHINERY'),
+             |he AS (SELECT h.qid, h.entity, h.rnk,
+             |         (SELECT COUNT(*) FROM easy e WHERE e.qid = h.qid AND e.rnk < h.rnk) AS ne
+             |       FROM hard h),
+             |fr AS (SELECT qid, entity,
+             |         rnk - ne - (ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rnk) - 1) AS f
+             |       FROM he)
+             |SELECT CAST(qid AS BIGINT) AS qid,
+             |       ROUND(AVG(1.0 / (1 + f)), 6) AS mrr,
+             |       ROUND(AVG(CASE WHEN f < 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+             |       ROUND(AVG(CASE WHEN f < 3 THEN 1.0 ELSE 0.0 END), 6) AS hits3,
+             |       ROUND(AVG(CASE WHEN f < 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10
+             |FROM fr GROUP BY qid""".stripMargin)),
+
+    // A1: grouped scatter-reduce (sum/count) — plain hash aggregate.
+    ("q_a1_scatter_sum",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(round(sum("value"), 4).as("sum_value"), count(lit(1)).as("n")),
+      Some("SELECT user_id, event_type, ROUND(SUM(value), 4) AS sum_value, " +
+           "COUNT(*) AS n FROM events GROUP BY 1, 2")),
+
+    // R13: dedup (distinct) on a composite key.
+    ("q_r13_dedup",
+      (s, dir) => t(s, dir, "events").select("user_id", "event_type").distinct(),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    // R14: duplicate extraction (groups with >1 member).
+    ("q_r14_dups",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1),
+      Some("SELECT user_id, event_type, COUNT(*) AS n FROM events " +
+           "GROUP BY 1, 2 HAVING COUNT(*) > 1")),
+
+    // R17: key compaction / composite refine_index via dense_rank.
+    ("q_r17_compaction",
+      (s, dir) => t(s, dir, "events").select("user_id", "event_type").distinct()
+        .withColumn("key_id",
+          (dense_rank().over(Window.orderBy("user_id", "event_type")) - 1).cast("long")),
+      Some("SELECT user_id, event_type, " +
+           "CAST(DENSE_RANK() OVER (ORDER BY user_id, event_type) - 1 AS BIGINT) AS key_id " +
+           "FROM (SELECT DISTINCT user_id, event_type FROM events)")),
+
+    // R18: range-explode (interleave_arange).
+    ("q_r18_range_explode",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"),
+                explode(sequence(lit(1L), col("o_orderkey") % 4)).as("i")),
+      Some("SELECT o_orderkey, UNNEST(GENERATE_SERIES(1, o_orderkey % 4)) AS i " +
+           "FROM orders WHERE o_orderkey % 4 <> 0")),
+
+    // R19: first-per-group.
+    ("q_r19_first_per_group",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(min("event_id").as("first_id")),
+      Some("SELECT user_id, event_type, MIN(event_id) AS first_id " +
+           "FROM events GROUP BY 1, 2")),
+
+    // O2: grouped top-k (WindowGroupLimit path in Spark >= 3.5).
+    ("q_o2_group_topk",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn")
+      },
+      Some("SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (" +
+           "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (" +
+           "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+           "FROM orders) WHERE rn <= 3")),
+
+    // O3: full per-group ranking.
+    ("q_o3_rank",
+      (s, dir) => t(s, dir, "customer").select(
+        col("c_nationkey"), col("c_custkey"),
+        (row_number().over(Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)) - 1)
+          .cast("long").as("rnk")),
+      Some("SELECT c_nationkey, c_custkey, CAST(ROW_NUMBER() OVER (" +
+           "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) - 1 " +
+           "AS BIGINT) AS rnk FROM customer")),
+
+    // TPC-H Q1-style pricing summary (bench headline).
+    ("q_agg_pricing",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+             round(sum("l_extendedprice"), 2).as("sum_base"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("sum_disc"),
+             round(avg("l_quantity"), 6).as("avg_qty"),
+             count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+           "ROUND(SUM(l_extendedprice), 2) AS sum_base, " +
+           "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, " +
+           "ROUND(AVG(l_quantity), 6) AS avg_qty, COUNT(*) AS n " +
+           "FROM lineitem GROUP BY 1, 2")),
+
+    // Grouping sets: CUBE (SURVEY §2.4 'missing vs classic engines').
+    ("q_cube_pricing",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("sum_qty"), col("n")),
+      Some("SELECT COALESCE(l_returnflag, 'ALL') AS rf, " +
+           "COALESCE(l_linestatus, 'ALL') AS ls, " +
+           "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n " +
+           "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)")),
+
+    // Distinct aggregation.
+    ("q_distinct_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(countDistinct("l_suppkey").as("n_supp")),
+      Some("SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp " +
+           "FROM lineitem GROUP BY 1")),
+
+    // Exact dedup groups over documents.
+    ("dedup_exact_groups",
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"),
+      Some("SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, " +
+           "COUNT(*) AS n_copies FROM documents GROUP BY 1")),
+
+    // Exact 3-gram Jaccard near-dup pairs.
+    ("dedup_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+                                     n = 3, threshold = 0.5),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+             |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(t) - 2)) AS i) g),
+             |d AS (SELECT DISTINCT doc_id, s FROM sh),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
+             |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+             |          FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT p.i, p.j, ROUND(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+             |FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+             |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5""".stripMargin)),
+
+    // MinHash+LSH near-dup (approximate; spec-verified against exact Jaccard).
+    ("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"),
+      None),
+
+    // SimHash near-dup (approximate; spec-verified).
+    ("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+                                     maxHamming = 8),
+      None),
+
+    // Embedding-cosine near-dup via hyperplane LSH.
+    ("dedup_embedding",
+      (s, dir) => Dedup.embeddingPairs(
+        Embeddings.fromParquet(s, s"$dir/embeddings.parquet"), "id", "vec",
+        threshold = 0.4, planes = 6),
+      None),
+
+    // Text statistics (token counting, char stats, stopwords).
+    ("text_stats",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.charCount(col("text")).cast("long").as("n_chars_text"),
+        round(TextOps.avgTokenLen(col("text")), 6).as("avg_token_len"),
+        TextOps.stopwordCount(col("text"), TextOps.defaultStops)
+          .cast("long").as("n_stop")),
+      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+           "CAST(LENGTH(text) AS BIGINT) AS n_chars_text, " +
+           "ROUND(CAST(list_sum(list_transform(string_split(text, ' '), t -> LENGTH(t))) AS DOUBLE) " +
+           "/ len(string_split(text, ' ')), 6) AS avg_token_len, " +
+           "CAST(len(list_filter(string_split(text, ' '), " +
+           "t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop " +
+           "FROM documents")),
+
+    // Unigram-minhash fingerprint (rolling-hash family; md5 = both engines).
+    ("text_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, list_min(list_transform(string_split(text, ' '), " +
+           "t -> md5(t))) AS fp FROM documents")),
+
+    // Language ID + quality score (heuristics; deterministic, rows-only).
+    ("text_quality",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality")),
+      None),
+
+    // Brute-force cosine top-5 ANN (exact baseline).
+    ("ann_brute_topk",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        Similarity.bruteTopK(emb, emb.filter(col("id") < 20), k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT q.id AS qid, n.id AS nid, list_cosine_similarity(q.v, n.v) AS cs
+             |      FROM e q, e n WHERE q.id < 20 AND n.id <> q.id)
+             |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(cs, 6) AS cos FROM (
+             |  SELECT qid, nid, cs, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM c) t
+             |WHERE rank <= 5""".stripMargin)),
+
+    // LSH-bucketed approximate ANN (recall spec-verified vs brute force).
+    ("ann_lsh_topk",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        Similarity.lshTopK(emb, emb.filter(col("id") < 20), k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None)
+  )
+}

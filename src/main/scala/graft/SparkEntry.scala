@@ -20,13 +20,21 @@ object SparkEntry {
     val kg = KGQueries.all.map { case (name, lstr, b) =>
       name -> ((s: SparkSession, dir: String) => HardExec.run(s, dir, lstr, b))
     }.toMap
-    kg
+    val pipe = PipelineQueries.entries.map { case (name, fn, _) =>
+      name -> fn
+    }.toMap
+    kg ++ pipe
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    KGQueries.all.map { case (name, lstr, b) =>
+  def oracleSql: Map[String, String] = {
+    val kg = KGQueries.all.map { case (name, lstr, b) =>
       name -> OracleSql.formulaSql(lstr, b)
     }.toMap
+    val pipe = PipelineQueries.entries.collect {
+      case (name, _, Some(sql)) => name -> sql
+    }.toMap
+    kg ++ pipe
+  }
 }

@@ -1,0 +1,116 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.lang._
+import graft.lang.Binding.Binding
+import graft.score._
+
+/** CQD symbolic beam search (SURVEY §3.2; knovex/reasoner/cqd.py:111-431),
+  * re-expressed as forward variable elimination over DataFrames.
+  *
+  * Per variable, in the BFS schedule from constants toward the free variable
+  * (QueryGraph.varOrder):
+  *   - each incoming atom scores the candidate entity set against the solved
+  *     source frontier: `score(head, rel, tail)` from the pluggable KGE model
+  *     (R1 scored; abstract_kge.py:100-164 tail=None mode),
+  *     negation flips the score (R4/F13, abstract_kge.py:160-163);
+  *   - ∃-projection = max over source assignments per candidate
+  *     (R5/A2, cqd.py:327-338);
+  *   - conjunction = sum of per-edge scores (log-space product t-norm,
+  *     R2/A3, cqd.py:344-355; tnorm.py:31-33);
+  *   - beam top-k prune unless the variable is free
+  *     (R7/O2, cqd.py:374-409).
+  *
+  * Scale design: the frontier is ≤ beam rows → always broadcast; the
+  * entity table is the big side and is scanned once per edge; the per-edge
+  * aggregation shuffles at most |E| rows keyed by candidate id. Leaf-∃
+  * variables (R8, cqd.py:148-164) expand to all entities with score 0
+  * (log-space 1) — full-crossing cost is inherent to the reference
+  * semantics; keep entity universes scoped per query.
+  */
+object CQDBeam {
+
+  /** Answer one conjunct: returns `(entity, score)` for every entity as a
+    * candidate binding of the free variable (R6 free-variable ranking). */
+  def answerCQ(cq: CQ, b: Binding, ents: DataFrame, rels: DataFrame,
+               model: KGEModel, beam: Int): DataFrame = {
+    val order = QueryGraph.varOrder(cq)
+    val varRank = order.zipWithIndex.toMap
+    val atoms = cq.pos.map(a => (a, false)) ++ cq.neg.map(a => (a, true))
+
+    // Atom is processed when its later-scheduled variable endpoint is solved
+    // (cycle back-edges thereby become ordinary incoming edges; cqd.py:134-145).
+    def procVar(a: Atomic): String = {
+      val vs = Seq(a.head, a.tail).filter(_.isVar).map(_.name)
+      require(vs.nonEmpty, s"atom ${a.lstr} has no variable")
+      vs.maxBy(varRank)
+    }
+
+    val cand = ents.select(col("id").as("_cand"), col("vec").as("_cvec"))
+    val frontiers = scala.collection.mutable.Map.empty[String, DataFrame]
+
+    def frontierOf(t: Term): DataFrame =
+      if (t.isConst)
+        ents.filter(col("id") === b(t.name))
+          .select(col("id").as("_src"), lit(0.0).as("_sscore"),
+                  col("vec").as("_svec"))
+      else
+        frontiers(t.name).as("fr")
+          .join(ents, col("fr._ent") === ents("id"))
+          .select(col("fr._ent").as("_src"), col("fr._score").as("_sscore"),
+                  col("vec").as("_svec"))
+
+    order.foreach { v =>
+      val incoming = atoms.filter { case (a, _) => procVar(a) == v }
+      if (incoming.isEmpty) {
+        // Leaf existential: all entities, score 1 (log 0) — R8.
+        frontiers(v) = ents.select(col("id").as("_ent"), lit(0.0).as("_score"))
+      } else {
+        val edgeFrames = incoming.map { case (a, neg) =>
+          val (srcTerm, srcIsHead) =
+            if (a.tail.isVar && a.tail.name == v)
+              (a.head, true) // head -> candidate tail
+            else (a.tail, false) // candidate head -> tail
+          val src = frontierOf(srcTerm)
+          val rvec = rels.filter(col("id") === b(a.rel))
+            .select(col("vec").as("_rvec"))
+          val srcR = broadcast(src.crossJoin(broadcast(rvec)))
+          val scored = cand.crossJoin(srcR)
+          val edgeScore =
+            if (srcIsHead) model.score(col("_svec"), col("_rvec"), col("_cvec"))
+            else model.score(col("_cvec"), col("_rvec"), col("_svec"))
+          val flipped = KGE.negFlip(edgeScore, lit(neg))
+          scored
+            .withColumn("_total", col("_sscore") + flipped)
+            .groupBy(col("_cand")).agg(max(col("_total")).as("_escore"))
+        }
+        val combined = edgeFrames.reduce { (l, r) =>
+          l.join(r.withColumnRenamed("_escore", "_escore2"), "_cand")
+            .withColumn("_escore", col("_escore") + col("_escore2"))
+            .drop("_escore2")
+        }.select(col("_cand").as("_ent"), col("_escore").as("_score"))
+        frontiers(v) =
+          if (v == cq.freeVar.name) combined
+          else
+            // Global top-k: planned as TakeOrderedAndProject (no full sort,
+            // no single-partition window). Deterministic tie-break on id.
+            combined.orderBy(col("_score").desc, col("_ent").asc).limit(beam)
+      }
+    }
+    frontiers(cq.freeVar.name)
+      .select(col("_ent").as("entity"), col("_score").as("score"))
+  }
+
+  /** Full formula: DNF, one beam search per conjunct, disjunction combined
+    * with max (Gödel t-conorm on log-space scores; R3, tnorm.py:22-28). */
+  def answer(lstr: String, b: Binding, ents: DataFrame, rels: DataFrame,
+             model: KGEModel, beam: Int): DataFrame = {
+    val cqs = Normalize.toDnf(Parser.parse(lstr))
+    cqs.map(answerCQ(_, b, ents, rels, model, beam))
+      .reduce(_ unionAll _)
+      .groupBy("entity").agg(max("score").as("score"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.score._
+
+/** LMPNN — logical message passing over batched query graphs
+  * (SURVEY §3.3; knovex/reasoner/lmpnn.py:21-216), inference only.
+  *
+  * State is one long-form DataFrame `(qid, node, vec)` — the whole batch of
+  * query instances advances in each superstep (the qid column is the Spark
+  * replacement for PyG batching, SURVEY §1.1). Per round:
+  *
+  *   - G4 message: per (augmented) query edge, the relation-transformed
+  *     source state with negation coefficient `1 − 2·neg`
+  *     (lmpnn.py:44-53,77-86);
+  *   - A4/G5 aggregate: element-wise vector sum of incoming messages per
+  *     node, plus residual `0.1 · x` (lmpnn.py:25,55-61,88-94) — a pluggable
+  *     update net can be applied on top;
+  *   - G6 fixpoint: `T = max(num_vars)` rounds; each query reads its free
+  *     variable's state at layer `num_vars − 1` (lmpnn.py:144-189).
+  *
+  * Scale design: each superstep is one join (edges × states, both keyed by
+  * (qid, node)) plus one vector-sum aggregate; lineage is truncated by
+  * localCheckpoint every few rounds (SURVEY §7.5 iterative-loop note).
+  */
+object LMPNN {
+
+  /** Initial node states: constants get their entity embedding; existential
+    * and free variables share one learned vector (the reference points both
+    * at the same tensor, lmpnn.py:117-118,148-152). */
+  def initStates(qnodes: DataFrame, ents: DataFrame, dim: Int,
+                 varSeed: Double = 0.5): DataFrame = {
+    val varVec = Embeddings.deterministicVec(lit(-1L), dim, varSeed)
+    qnodes.join(ents, qnodes("entity") === ents("id"), "left")
+      .select(col("qid"), col("node"),
+              when(col("kind") === 0, col("vec")).otherwise(varVec).as("vec"))
+  }
+
+  /** One message-passing superstep. `qedges` must already contain inverse
+    * edges (QueryGraph.addInverseEdges) so information flows both ways. */
+  def superstep(states: DataFrame, qedges: DataFrame, rels: DataFrame,
+                model: KGEModel, residual: Double = 0.1): DataFrame = {
+    val msgs = qedges.as("e")
+      .join(states.as("x"),
+            col("e.qid") === col("x.qid") && col("e.src") === col("x.node"))
+      .join(broadcast(rels.select(col("id").as("_rid"), col("vec").as("_rvec"))),
+            col("e.rel") === col("_rid"))
+      .select(col("e.qid").as("qid"), col("e.dst").as("node"),
+              VectorOps.scaleVec(
+                model.estimateTail(col("x.vec"), col("_rvec")),
+                when(col("e.neg"), lit(-1.0)).otherwise(lit(1.0))).as("mvec"))
+    val aggr = VectorOps.vecSumByKey(msgs, Seq("qid", "node"), "mvec", "avec")
+    states.as("x")
+      .join(aggr.as("m"), Seq("qid", "node"), "left")
+      .select(col("qid"), col("node"),
+              when(col("m.avec").isNull,
+                   VectorOps.scaleVec(col("x.vec"), lit(residual)))
+                .otherwise(VectorOps.addVec(
+                   VectorOps.scaleVec(col("x.vec"), lit(residual)),
+                   col("m.avec"))).as("vec"))
+  }
+
+  /** Run T supersteps and score every entity against each query's free-node
+    * state by cosine similarity (lmpnn.py:191-216).
+    * Returns `(qid, entity, score)`. */
+  def answer(qnodes: DataFrame, qedges: DataFrame, ents: DataFrame,
+             rels: DataFrame, model: KGEModel, rounds: Int): DataFrame = {
+    val dim = 8 // states carry their own width; dim only seeds var vectors
+    var x = initStates(qnodes, ents, dim)
+    val edgesAug = graft.lang.QueryGraph.addInverseEdges(qedges)
+    (1 to rounds).foreach { i =>
+      x = superstep(x, edgesAug, rels, model)
+      if (i % 3 == 0) x = x.localCheckpoint(true) // truncate lineage (G6)
+    }
+    val freeStates = x.as("x")
+      .join(qnodes.filter(col("kind") === 2).as("q"),
+            col("x.qid") === col("q.qid") && col("x.node") === col("q.node"))
+      .select(col("x.qid").as("qid"), col("x.vec").as("fvec"))
+    freeStates.crossJoin(ents.select(col("id").as("entity"), col("vec")))
+      .select(col("qid"), col("entity"),
+              VectorOps.cosine(col("fvec"), col("vec")).as("score"))
+  }
+}

@@ -61,8 +61,12 @@ object KG {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects unless the
+    // legacy read path maps it to LONG.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Directed base edges (even relations only). */
   def baseEdges(spark: SparkSession, dir: String): DataFrame = {

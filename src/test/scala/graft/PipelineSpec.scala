@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.score.Embeddings
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup of 1
+    (4L, "completely different content about spark engines here today"),
+    (5L, "a b c")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 4)
+    val dup = g.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min
+    val drops = Dedup.exactDropIds(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L))
+  }
+
+  test("jaccardPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs recovers the same high-similarity pairs") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are verified with exact jaccard -> subset relation,
+    // and identical docs always collide in every band.
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L)))
+  }
+
+  test("simhash: identical texts hash identically; near dups are close") {
+    val sh = docs.select(col("doc_id"), Dedup.simhashExpr("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("langId classifies marker-bearing text; und without markers") {
+    val df = Seq(
+      "the cat and the dog is in that house",
+      "der hund und die katze ist nicht ein tier zu",
+      "le chat et la maison est une que les des",
+      "el gato y los perros es una por con para",
+      "xyzzy qwerty").toDF("text")
+    val got = df.select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("token stats and shingles") {
+    val df = Seq("a bb ccc dddd").toDF("text")
+    val r = df.select(
+      TextOps.tokenCount(col("text")),
+      TextOps.avgTokenLen(col("text")),
+      TextOps.shingles(col("text"), 2)).collect()(0)
+    assert(r.getInt(0) == 4)
+    assert(r.getDouble(1) == 2.5)
+    assert(r.getSeq[String](2) == Seq("a bb", "bb ccc", "ccc dddd"))
+  }
+
+  test("qualityScore penalizes shouty punctuation-heavy text") {
+    val df = Seq(
+      ("good", "the engine is a fine piece of work and the tests pass in the end"),
+      ("bad", "!!! ??? *** !!! ??? *** !!! ??? *** !!!")).toDF("k", "text")
+    val q = df.select(col("k"), TextOps.qualityScore(col("text")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q("good") > q("bad"))
+    assert(q("bad") == 0.0)
+  }
+
+  test("bruteTopK: hand-checked nearest neighbours") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(-1.0, 0.0))).toDF("id", "vec")
+    val top = Similarity.bruteTopK(emb, emb.filter($"id" === 0L), k = 2)
+      .collect().sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+    assert(top == Seq(1L, 2L)) // cos: 1 -> .994, 2 -> 0, 3 -> -1
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val ids = spark.range(200).toDF("id")
+    val emb = Embeddings.deterministic(ids, "id", 16, 0.9)
+    val queries = emb.filter($"id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(emb, queries, 5))
+    val approx = pairs(Similarity.lshTopK(emb, queries, 5, planes = 4, probes = 3))
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("embeddingPairs finds planted duplicate vectors") {
+    val emb = Seq(
+      (0L, Seq(1.0, 2.0, 3.0)), (1L, Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(-3.0, 1.0, -2.0))).toDF("id", "vec")
+    val pairs = Dedup.embeddingPairs(emb, "id", "vec", threshold = 0.99,
+      planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.metric.Ranking
+
+/** O3-O5 vs the worked example of the reference filtered setting
+  * (metric.py:97-121). */
+class RankingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // qid 0: entities 0..4 scored 0.9 .. 0.5 -> ranks 0..4.
+  val scores = Seq(
+    (0L, 0L, 0.9), (0L, 1L, 0.8), (0L, 2L, 0.7), (0L, 3L, 0.6), (0L, 4L, 0.5)
+  ).toDF("qid", "entity", "score")
+  // easy: {0}; hard: {2, 4}
+  val answers = Seq((0L, 0L, false), (0L, 2L, true), (0L, 4L, true))
+    .toDF("qid", "entity", "is_hard")
+
+  test("rankAll assigns 0-based descending-score ranks") {
+    val r = Ranking.rankAll(scores).collect()
+      .map(x => x.getLong(1) -> x.getInt(3)).toMap
+    assert(r == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+  }
+
+  test("filteredRanks subtracts better easy and better hard answers") {
+    val fr = Ranking.filteredRanks(Ranking.rankAll(scores), answers)
+      .collect().map(x => x.getLong(1) -> x.getAs[Number](3).intValue).toMap
+    // e2: rank 2 - 1 easy better - 0 hard better = 1
+    // e4: rank 4 - 1 easy better - 1 hard better = 2
+    assert(fr == Map(2L -> 1, 4L -> 2))
+  }
+
+  test("mrrHits computes MRR and Hits@k") {
+    val m = Ranking.mrrHits(
+      Ranking.filteredRanks(Ranking.rankAll(scores), answers))
+      .collect()(0)
+    assert(math.abs(m.getDouble(1) - (1.0 / 2 + 1.0 / 3) / 2) < 1e-12) // MRR
+    assert(m.getDouble(2) == 0.0) // hits1: none < 1
+    assert(m.getDouble(3) == 1.0) // hits3: both < 3
+    assert(m.getDouble(4) == 1.0) // hits10
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.score._
+
+/** F1-F16 scoring kernels vs hand calculations (SURVEY §5.5). */
+class ScoreSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def one(cols: (String, Seq[Double])*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val row = cols.map(_._2)
+    Seq(Tuple1(1)).toDF("dummy").select(
+      cols.zipWithIndex.map { case ((n, v), _) =>
+        array(v.map(lit): _*).as(n)
+      }: _*)
+  }
+
+  private def eval(df: org.apache.spark.sql.DataFrame,
+                   c: org.apache.spark.sql.Column): Double =
+    df.select(c.cast("double").as("v")).collect()(0).getDouble(0)
+
+  test("F1 TransE score -||h+r-t||_2") {
+    val df = one("h" -> Seq(1.0, 2.0), "r" -> Seq(0.5, 0.5), "t" -> Seq(1.0, 1.0))
+    val s = eval(df, TransE(2).score(col("h"), col("r"), col("t")))
+    assert(math.abs(s - (-math.sqrt(2.5))) < 1e-12)
+  }
+
+  test("F2 TransE estimate tail h+r") {
+    val df = one("h" -> Seq(1.0, 2.0), "r" -> Seq(0.5, 0.5))
+    val out = df.select(TransE(2).estimateTail(col("h"), col("r")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    assert(out == Seq(1.5, 2.5))
+  }
+
+  test("F3 DistMult score -sum(h*r*t)") {
+    val df = one("h" -> Seq(1.0, 2.0), "r" -> Seq(3.0, 4.0), "t" -> Seq(5.0, 6.0))
+    assert(eval(df, DistMult.score(col("h"), col("r"), col("t"))) == -63.0)
+  }
+
+  test("F4/F5 ComplEx estimate + pair score (re||im halves)") {
+    val df = one("h" -> Seq(1.0, 2.0), "r" -> Seq(3.0, 4.0), "t" -> Seq(5.0, 6.0))
+    val est = df.select(ComplEx.estimateTail(col("h"), col("r")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    assert(est == Seq(1.0 * 3 - 2 * 4, 1.0 * 4 + 2 * 3)) // [-5, 10]
+    assert(eval(df, ComplEx.score(col("h"), col("r"), col("t"))) == -5.0 * 5 + 10 * 6)
+  }
+
+  test("F7/F8 RotatE rotation and positive-norm pair score") {
+    val df = one("h" -> Seq(1.0, 2.0), "r" -> Seq(math.Pi / 2), "t" -> Seq(0.0, 0.0))
+    val s = eval(df, RotatE.score(col("h"), col("r"), col("t")))
+    assert(math.abs(s - math.sqrt(5.0)) < 1e-12) // positive distance, rotate.py:104-106
+  }
+
+  test("F10 RESCAL bilinear h^T W t (intended semantics)") {
+    val df = one("h" -> Seq(1.0, 2.0), "w" -> Seq(1.0, 2.0, 3.0, 4.0),
+                 "t" -> Seq(1.0, 1.0))
+    assert(eval(df, Rescal.score(col("h"), col("w"), col("t"))) == 17.0)
+  }
+
+  test("F11 SWTransE sliced-Wasserstein score") {
+    // d=2, m=2: h=[[3,1],[0,2]], r=[1,-1], t=[[1,2],[3,4]]
+    val df = one("h" -> Seq(3.0, 1.0, 0.0, 2.0), "r" -> Seq(1.0, -1.0),
+                 "t" -> Seq(1.0, 2.0, 3.0, 4.0))
+    val s = eval(df, SWTransE(particles = 2).score(col("h"), col("r"), col("t")))
+    assert(math.abs(s - -(math.sqrt(5.0) + 5.0)) < 1e-12)
+  }
+
+  test("F13 negation flip / F14 inverse relation id") {
+    import spark.implicits._
+    val df = Seq((1.5, true, 6L), (1.5, false, 7L)).toDF("s", "neg", "rel")
+    val out = df.select(KGE.negFlip(col("s"), col("neg")).as("f"),
+                        KGE.inverseRel(col("rel")).as("ir"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq == Seq((-1.5, 7L), (1.5, 6L)))
+  }
+
+  test("F15 cosine similarity") {
+    val df = one("a" -> Seq(1.0, 0.0), "b" -> Seq(1.0, 1.0))
+    val s = eval(df, VectorOps.cosine(col("a"), col("b")))
+    assert(math.abs(s - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("F16 t-norms: product and Godel + De Morgan disjunction") {
+    import spark.implicits._
+    val df = Seq((0.3, 0.6)).toDF("a", "b")
+    def ev(c: org.apache.spark.sql.Column) =
+      df.select(c.as("v")).collect()(0).getDouble(0)
+    assert(math.abs(ev(ProductTNorm.conj(col("a"), col("b"))) - 0.18) < 1e-12)
+    assert(math.abs(ev(ProductTNorm.disj(col("a"), col("b"))) - 0.72) < 1e-12)
+    assert(ev(GodelTNorm.conj(col("a"), col("b"))) == 0.3)
+    assert(ev(GodelTNorm.disj(col("a"), col("b"))) == 0.6)
+  }
+
+  test("F17 ComplEx N3 regularization") {
+    val df = one("e" -> Seq(3.0, 4.0)) // re=3, im=4 -> norm 5 -> 125
+    assert(eval(df, ComplEx.regularization(col("e"))) == 125.0)
+  }
+
+  test("vecSumByKey element-wise vector sum") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (2L, Seq(5.0, 5.0)))
+      .toDF("k", "v")
+    val out = VectorOps.vecSumByKey(df, Seq("k"), "v", "s")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(out(1L) == Seq(4.0, 6.0) && out(2L) == Seq(5.0, 5.0))
+  }
+}
