@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.GraphOps
+import graft.metric.Losses
+import graft.model.{KG, KGIndex, Variadic}
+import graft.pipeline.Multimodal
+import graft.streaming.EventStreams
+
+/** Coverage queries for the ingestion/dictionary layer (S2-S8), graph
+  * traversal (G1-G2), VariadicMatrix ops (R11-R20), losses (T1-T3) and the
+  * streaming batch twin. Complements PipelineQueries. */
+object SystemQueries {
+  import PipelineQueries.QFn
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    KG.table(s, dir, name)
+
+  /** Static relation dictionary of the derived KG (names for the 11 base
+    * relations; odd ids are the `_inv` partners). */
+  def relationDict(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val base = Seq(
+      0L -> "cust_in_nation", 2L -> "supp_in_nation", 4L -> "nation_in_region",
+      6L -> "order_by_cust", 8L -> "part_supplied_by", 10L -> "cust_in_segment",
+      12L -> "order_from_nation", 14L -> "cust_bought_part",
+      16L -> "cust_bought_from", 18L -> "cust_bulk_bought_part",
+      20L -> "part_bulk_supplied_by")
+    (base ++ base.map { case (id, n) => (id + 1) -> s"${n}_inv" })
+      .toDF("id", "name")
+  }
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // S2/S3-adjacent: the derived entity dictionary (id, name).
+    ("q_s2_dictionary",
+      (s, dir) => KGIndex.derivedEntityDict(s, dir),
+      Some("""SELECT CAST(100000000 + c_custkey AS BIGINT) AS id, 'customer:' || c_custkey AS name FROM customer
+             |UNION ALL SELECT CAST(200000000 + n_nationkey AS BIGINT), 'nation:' || n_nationkey FROM nation
+             |UNION ALL SELECT CAST(300000000 + r_regionkey AS BIGINT), 'region:' || r_regionkey FROM region
+             |UNION ALL SELECT CAST(400000000 + s_suppkey AS BIGINT), 'supplier:' || s_suppkey FROM supplier
+             |UNION ALL SELECT CAST(500000000 + p_partkey AS BIGINT), 'part:' || p_partkey FROM part
+             |UNION ALL SELECT CAST(600000000 + o_orderkey AS BIGINT), 'order:' || o_orderkey FROM orders""".stripMargin)),
+
+    // S4: dictionary export with inverse-pair halving.
+    ("q_s4_rel_export",
+      (s, dir) => KGIndex.exportRelations(relationDict(s)),
+      Some(("SELECT CAST(pair_id AS BIGINT) AS pair_id, name FROM (VALUES " +
+        Seq(0 -> "cust_in_nation", 1 -> "supp_in_nation", 2 -> "nation_in_region",
+            3 -> "order_by_cust", 4 -> "part_supplied_by", 5 -> "cust_in_segment",
+            6 -> "order_from_nation", 7 -> "cust_bought_part",
+            8 -> "cust_bought_from", 9 -> "cust_bulk_bought_part",
+            10 -> "part_bulk_supplied_by")
+          .map { case (i, n) => s"($i, '$n')" }.mkString(", ") +
+        ") AS v(pair_id, name)"))),
+
+    // S6: adjacency index cardinalities (hr2t degrees).
+    ("q_s6_adjacency",
+      (s, dir) => KGIndex.adjacency(KG.edges(s, dir), "hr2t")
+        .select(col("src"), col("rel"), size(col("ts")).cast("long").as("degree")),
+      Some(KG.edgesCte +
+        "SELECT src, rel, COUNT(DISTINCT dst) AS degree FROM edges GROUP BY 1, 2")),
+
+    // S8: sparse incidence mask.
+    ("q_s8_incidence",
+      (s, dir) => KGIndex.incidence(KG.edges(s, dir)),
+      Some(KG.edgesCte + "SELECT DISTINCT src, rel FROM edges")),
+
+    // G1+G2: BFS levels from region 0 (3 hops, over edges incl. inverses).
+    ("q_g2_bfs",
+      (s, dir) => {
+        val seeds = s.range(1).select(
+          lit(KG.ent(KG.TAG_REGION, 0)).as("id"))
+        GraphOps.bfsLevels(KG.edges(s, dir), seeds, maxLevels = 3)
+          .select(col("id"), col("level").cast("long").as("level"))
+      },
+      Some(KG.edgesCte.replace("WITH ", "WITH RECURSIVE ") +
+        """, bfs AS (
+          |  SELECT CAST(300000000 AS BIGINT) AS id, 0 AS level
+          |  UNION ALL
+          |  SELECT e.dst, b.level + 1 FROM bfs b JOIN edges e ON e.src = b.id
+          |  WHERE b.level < 3)
+          |SELECT id, CAST(MIN(level) AS BIGINT) AS level FROM bfs GROUP BY id""".stripMargin)),
+
+    // R11: per-group cartesian product (clicks x purchases per user).
+    ("q_r11_cartesian",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def side(kind: String, out: String) =
+          ev.filter(col("event_type") === kind)
+            .select(col("user_id").as("row"), col("event_id").as("value"))
+        Variadic.cartesian(side("click", "a"), side("purchase", "b"))
+          .withColumnRenamed("row", "user_id")
+      },
+      Some("SELECT a.user_id, a.event_id AS a, b.event_id AS b " +
+           "FROM events a JOIN events b ON a.user_id = b.user_id " +
+           "WHERE a.event_type = 'click' AND b.event_type = 'purchase'")),
+
+    // R15: row-subset selection (heavy users).
+    ("q_r15_select_rows",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id").as("row"), col("event_id").as("value"))
+        val heavy = ev.groupBy("row").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 20).select("row")
+        Variadic.selectRows(ev, heavy, reindex = false)
+      },
+      Some("SELECT user_id AS row, event_id AS value FROM events " +
+           "WHERE user_id IN (SELECT user_id FROM events GROUP BY 1 HAVING COUNT(*) > 20)")),
+
+    // R20: ragged -> lists -> ragged round-trip (identity on the multiset).
+    ("q_r20_ragged_roundtrip",
+      (s, dir) => Variadic.fromListColumn(Variadic.toLists(
+        t(s, dir, "events")
+          .select(col("user_id").as("row"), col("event_id").as("value")))),
+      Some("SELECT user_id AS row, event_id AS value FROM events")),
+
+    // T1: softmax cross-entropy per nation over acctbal-derived logits.
+    ("q_t1_softmax_ce",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val scores = c.select(col("c_nationkey").cast("long").as("qid"),
+          col("c_custkey").as("entity"), (col("c_acctbal") / 10000).as("score"))
+        val pos = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey").cast("long").as("qid"),
+                  col("c_custkey").as("entity"))
+        Losses.softmaxCE(scores, pos)
+          .select(col("qid"), round(col("loss"), 6).as("loss"))
+      },
+      Some("""WITH s AS (SELECT c_nationkey AS qid, c_custkey AS entity,
+             |                 c_acctbal / 10000 AS score, c_mktsegment AS seg FROM customer),
+             |m AS (SELECT qid, MAX(score) AS m FROM s GROUP BY qid),
+             |lse AS (SELECT s.qid, LN(SUM(EXP(score - m.m))) + ANY_VALUE(m.m) AS lse
+             |        FROM s JOIN m ON s.qid = m.qid GROUP BY s.qid),
+             |p AS (SELECT qid, AVG(score) AS pos_mean FROM s WHERE seg = 'BUILDING' GROUP BY qid)
+             |SELECT CAST(lse.qid AS BIGINT) AS qid, ROUND(lse - pos_mean, 6) AS loss
+             |FROM lse JOIN p ON lse.qid = p.qid""".stripMargin)),
+
+    // T2: InfoNCE with temperature 0.1.
+    ("q_t2_infonce",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val scores = c.select(col("c_nationkey").cast("long").as("qid"),
+          col("c_custkey").as("entity"), (col("c_acctbal") / 10000).as("score"))
+        val pos = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey").cast("long").as("qid"),
+                  col("c_custkey").as("entity"))
+        Losses.infoNCE(scores, pos, temperature = 0.1)
+          .select(col("qid"), round(col("loss"), 6).as("loss"))
+      },
+      Some("""WITH s AS (SELECT c_nationkey AS qid, c_custkey AS entity,
+             |  EXP(c_acctbal / 10000 / 0.1) AS e, c_mktsegment AS seg FROM customer)
+             |SELECT CAST(qid AS BIGINT) AS qid,
+             |       ROUND(-LN(SUM(CASE WHEN seg = 'BUILDING' THEN e ELSE 0 END) / SUM(e)), 6) AS loss
+             |FROM s GROUP BY qid
+             |HAVING SUM(CASE WHEN seg = 'BUILDING' THEN e ELSE 0 END) > 0""".stripMargin)),
+
+    // T3: binary cross-entropy on sigmoid scores.
+    ("q_t3_binary_ce",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val scores = c.select(col("c_nationkey").cast("long").as("qid"),
+          col("c_custkey").as("entity"),
+          (lit(1.0) / (lit(1.0) + exp(-col("c_acctbal") / 10000))).as("score"))
+        val pos = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey").cast("long").as("qid"),
+                  col("c_custkey").as("entity"))
+        Losses.binaryCE(scores, pos)
+          .select(col("qid"), round(col("loss"), 6).as("loss"))
+      },
+      Some("""WITH s AS (SELECT c_nationkey AS qid,
+             |  1.0 / (1.0 + EXP(-c_acctbal / 10000)) AS sc,
+             |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS y
+             |  FROM customer)
+             |SELECT CAST(qid AS BIGINT) AS qid,
+             |  ROUND(-AVG(y * LN(sc + 1e-12) + (1 - y) * LN(1 - sc + 1e-12)), 6) AS loss
+             |FROM s GROUP BY qid""".stripMargin)),
+
+    // Streaming batch twin: tumbling 1-minute event-time windows.
+    ("q_stream_window",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+        EventStreams.windowedCountsBatch(ev)
+          .select(unix_timestamp(col("win_start")).as("win_epoch"),
+                  col("event_type"), col("n"),
+                  round(col("sum_value"), 4).as("sum_value"))
+      },
+      Some("SELECT CAST(epoch(time_bucket(INTERVAL '1 minute', ts)) AS BIGINT) AS win_epoch, " +
+           "event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value " +
+           "FROM events GROUP BY 1, 2")),
+
+    // Session windows (batch twin; no DuckDB analog -> rows-only).
+    ("q_stream_sessions",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+        EventStreams.sessions(ev)
+          .select(col("user_id"), col("n_events"),
+                  round(col("session_value"), 4).as("session_value"))
+      },
+      None),
+
+    // Multimodal plumbing: stubbed decode features + frame sampling.
+    ("multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.syntheticMedia(s, 64)
+        Multimodal.decodeFeatures(media.as[Multimodal.MediaRow])
+          .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+            round(element_at(col("features"), 1), 6).as("f0"))
+      },
+      None),
+
+    ("multimodal_frames",
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.syntheticMedia(s, 64), "media", frameBytes = 32, stride = 2)
+        .select(col("media_id"), size(col("frames")).cast("long").as("n_frames")),
+      None)
+  )
+}

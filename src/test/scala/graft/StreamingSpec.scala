@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, UserRunning}
+
+/** Structured Streaming: windowed aggregation and keyed state, verified via
+  * MemoryStream micro-batches against the batch twin. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  def ts(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000)
+
+  val batch1 = Seq(
+    Event(1, ts(10), 1, "click", 1.0),
+    Event(2, ts(20), 1, "click", 2.0),
+    Event(3, ts(70), 2, "view", 5.0))
+  val batch2 = Seq(
+    Event(4, ts(80), 1, "click", 3.0),
+    Event(5, ts(130), 2, "view", 7.0))
+
+  test("windowedCounts over a MemoryStream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(mem.toDF(), "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select(unix_timestamp($"win_start").as("w"), $"event_type", $"n", $"sum_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batchTwin = EventStreams.windowedCountsBatch(
+        (batch1 ++ batch2).toDF(), "1 minute")
+        .select(unix_timestamp($"win_start").as("w"), $"event_type", $"n", $"sum_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batchTwin)
+      assert(streamed.contains((0L, "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("runningTotals keeps per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("run_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // last update per user reflects cumulative state
+      val last = spark.table("run_out").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n) }
+      assert(last(1L).n == 3 && math.abs(last(1L).total - 6.0) < 1e-9)
+      assert(last(2L).n == 2 && math.abs(last(2L).total - 12.0) < 1e-9)
+    } finally q.stop()
+  }
+}

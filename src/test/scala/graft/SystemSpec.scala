@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.exec.GraphOps
+import graft.model.{KGIndex, QAA, Variadic}
+import graft.pipeline.Multimodal
+
+class SystemSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // tiny graph: 0->1->2->3, 0->2 ; plus disconnected 9
+  val edges = Seq((0L, 0L, 1L), (1L, 0L, 2L), (2L, 0L, 3L), (0L, 2L, 2L))
+    .toDF("src", "rel", "dst")
+
+  test("G1 propagate: one-hop frontier") {
+    val f = Seq(Tuple1(0L)).toDF("id")
+    val out = GraphOps.propagate(edges, f).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("G2 bfsLevels: shortest-path levels") {
+    val f = Seq(Tuple1(0L)).toDF("id")
+    val lv = GraphOps.bfsLevels(edges, f).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lv == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
+  }
+
+  test("G3 topologicalLevels: Kahn levels of a DAG") {
+    val lv = GraphOps.topologicalLevels(edges).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lv == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+  }
+
+  test("S2 dictionary: dense ids, deterministic order") {
+    val d = KGIndex.buildDictionary(Seq("b", "a", "c", "a").toDF("n"), "n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(0L -> "a", 1L -> "b", 2L -> "c"))
+  }
+
+  test("S3 dictionary JSON round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("dict").toString + "/d"
+    val d = KGIndex.buildDictionary(Seq("x", "y").toDF("n"), "n")
+    KGIndex.saveDictionary(d, dir)
+    val back = KGIndex.loadDictionary(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(0L -> "x", 1L -> "y"))
+  }
+
+  test("S5 validate flags unregistered ids") {
+    val ents = Seq(0L, 1L, 2L).toDF("id")
+    val rels = Seq(0L).toDF("id")
+    val bad = KGIndex.validate(
+      Seq((0L, 0L, 9L)).toDF("src", "rel", "dst"), ents, rels)
+    assert(bad.count() == 1)
+    val good = KGIndex.validate(
+      Seq((0L, 0L, 2L)).toDF("src", "rel", "dst"), ents, rels)
+    assert(good.isEmpty)
+  }
+
+  test("S1 TSV triple scan") {
+    val dir = java.nio.file.Files.createTempDirectory("tsv")
+    val f = dir.resolve("t.tsv")
+    java.nio.file.Files.writeString(f, "0\t4\t17\n0\t5\t23\n12\t4\t3\n")
+    val df = KGIndex.readTsv(spark, f.toString)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((0L, 4L, 17L), (0L, 5L, 23L), (12L, 4L, 3L)))
+  }
+
+  test("Variadic ops: cartesian, expand, dedup, dups, topK") {
+    val a = Variadic.fromLists(spark, Seq(Seq(1L, 2L), Seq(3L)))
+    val b = Variadic.fromLists(spark, Seq(Seq(10L), Seq(20L, 30L)))
+    assert(Variadic.cartesian(a, b).count() == 2 + 2) // row0: 2x1, row1: 1x2
+    val dups = Variadic.duplicates(
+      Variadic.fromLists(spark, Seq(Seq(1L, 1L, 2L)))).collect()
+    assert(dups.length == 1 && dups(0).getLong(1) == 1L)
+    val scored = Seq((0L, 5L, 1.0), (0L, 6L, 3.0), (0L, 7L, 2.0))
+      .toDF("row", "value", "score")
+    val top = Variadic.topK(scored, 2).collect().map(_.getLong(1)).toSet
+    assert(top == Set(6L, 7L))
+  }
+
+  test("QAA: parse -> bind -> hard-eval matches recorded answers") {
+    val json =
+      """{"r1(s1,f)&r2(s2,f)": [
+        |  [{"r1": 4, "r2": 2, "s1": 0, "s2": 1}, {"f": [2, 7]}, {"f": [9]}]
+        |]}""".stripMargin
+    val w = QAA.parseJson(json)
+    assert(w.instances.size == 1 && w.bindingOf(0) ==
+      Map("r1" -> 4L, "r2" -> 2L, "s1" -> 0L, "s2" -> 1L))
+    assert(w.answers.count(_.is_hard) == 1)
+    // KG in which entities 2,7,9 satisfy the query:
+    val kgEdges = Seq(
+      (0L, 4L, 2L), (0L, 4L, 7L), (0L, 4L, 9L), (0L, 4L, 5L),
+      (1L, 2L, 2L), (1L, 2L, 7L), (1L, 2L, 9L)).toDF("src", "rel", "dst")
+    val got = graft.exec.HardExec.evalFormula(kgEdges,
+      graft.lang.Parser.parse(w.instances.head.lstr), w.bindingOf(0))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 7L, 9L)) // easy ∪ hard
+    val (qn, qe) = QAA.toQueryGraphs(spark, w)
+    assert(qn.count() == 3 && qe.count() == 2) // terms s1, s2, f; 2 atoms
+  }
+
+  test("multimodal: stub decode is deterministic; frames chunk correctly") {
+    val media = Multimodal.syntheticMedia(spark, 8, bytesPerRow = 64)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val f1 = Multimodal.decodeFeatures(media.as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f.features).toMap
+    val f2 = Multimodal.decodeFeatures(media.as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> f.features).toMap
+    assert(f1 == f2 && f1.size == 8)
+    assert(f1.values.forall(_.size == 8))
+    val frames = Multimodal.sampleFrames(media, "media", frameBytes = 16, stride = 2)
+      .select(size(col("frames"))).collect().map(_.getInt(0))
+    assert(frames.forall(_ == 2)) // 64/16=4 chunks, every 2nd -> 2
+  }
+}
