@@ -281,7 +281,7 @@ object PipelineQueries {
     // SimHash near-dup (approximate; spec-verified).
     ("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-                                     maxHamming = 8),
+                                     maxHamming = 3),
       None),
 
     // Embedding-cosine near-dup via hyperplane LSH.

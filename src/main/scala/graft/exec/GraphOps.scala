@@ -28,23 +28,28 @@ object GraphOps {
     * Driver loop; frontiers localCheckpoint every iteration (they shrink).
     * maxLevels bounds runaway graphs. */
   def bfsLevels(edges: DataFrame, seeds: DataFrame, maxLevels: Int = 20): DataFrame = {
-    var levels = seeds.select(col("id"), lit(0).as("level")).localCheckpoint(true)
-    var frontier = seeds.select("id").localCheckpoint(true)
+    // Only per-level frontiers are checkpointed; the visited set is a union
+    // *view* over already-materialized frontiers (re-checkpointing the
+    // accumulated union each level would copy O(levels²) data).
+    var frontier = seeds.select("id").distinct().localCheckpoint(true)
+    val levelFrames = scala.collection.mutable.ListBuffer(
+      frontier.select(col("id"), lit(0).as("level")))
+    var visited = frontier
     var lv = 0
     var done = false
     while (!done && lv < maxLevels) {
       lv += 1
       val next = propagate(edges, frontier)
-        .join(levels.select("id"), Seq("id"), "left_anti")
+        .join(visited, Seq("id"), "left_anti")
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        levels = levels.unionAll(next.select(col("id"), lit(lv).as("level")))
-          .localCheckpoint(true)
+        levelFrames += next.select(col("id"), lit(lv).as("level"))
+        visited = visited.unionAll(next)
         frontier = next
       }
     }
-    levels
+    levelFrames.reduce(_ unionAll _)
   }
 
   /** G3: Kahn-style topological levels of a DAG from its sources
@@ -54,10 +59,11 @@ object GraphOps {
     val nodes = edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id"))).distinct()
     var remaining = edges.select("src", "dst").localCheckpoint(true)
-    var assigned = nodes.join(remaining.select(col("dst").as("id")).distinct(),
-        Seq("id"), "left_anti")
-      .select(col("id"), lit(0).as("level")).localCheckpoint(true)
-    var frontier = assigned.select("id")
+    var frontier = nodes.join(remaining.select(col("dst").as("id")).distinct(),
+        Seq("id"), "left_anti").localCheckpoint(true)
+    val levelFrames = scala.collection.mutable.ListBuffer(
+      frontier.select(col("id"), lit(0).as("level")))
+    var visited = frontier
     var lv = 0
     var done = false
     while (!done && lv < maxLevels) {
@@ -66,17 +72,17 @@ object GraphOps {
         .join(frontier.select(col("id").as("src")), Seq("src"), "left_anti")
         .localCheckpoint(true)
       val next = nodes
-        .join(assigned.select("id"), Seq("id"), "left_anti")
+        .join(visited, Seq("id"), "left_anti")
         .join(remaining.select(col("dst").as("id")).distinct(),
               Seq("id"), "left_anti")
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        assigned = assigned.unionAll(next.select(col("id"), lit(lv).as("level")))
-          .localCheckpoint(true)
+        levelFrames += next.select(col("id"), lit(lv).as("level"))
+        visited = visited.unionAll(next)
         frontier = next
       }
     }
-    assigned
+    levelFrames.reduce(_ unionAll _)
   }
 }

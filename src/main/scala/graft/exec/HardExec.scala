@@ -27,28 +27,34 @@ import graft.model.KG
 object HardExec {
 
   /** DataFrame of an atom's variable bindings: one column per distinct
-    * variable in the atom (R1: atom lookup). */
+    * variable in the atom (R1: atom lookup).
+    *
+    * No per-atom `distinct()`: the edges relation is a *set* (KG.edges is
+    * duplicate-free by construction), so each projection here is already
+    * duplicate-free — and even with a duplicated input, the final
+    * free-variable projection dedups, so results are unchanged; only join
+    * multiplicity (perf) would suffer. Dropping it removes one shuffle per
+    * atom. */
   private def atomFrame(edges: DataFrame, a: Atomic, b: Binding): DataFrame = {
     val relId = b.getOrElse(a.rel,
       throw new IllegalArgumentException(s"unbound relation ${a.rel}"))
-    var df = edges.filter(col("rel") === relId)
+    val df = edges.filter(col("rel") === relId)
     (a.head.isConst, a.tail.isConst) match {
       case (true, true) =>
         df.filter(col("src") === b(a.head.name) && col("dst") === b(a.tail.name))
           .select(lit(1L).as("_const_hit")).limit(1)
       case (true, false) =>
         df.filter(col("src") === b(a.head.name))
-          .select(col("dst").as(a.tail.name)).distinct()
+          .select(col("dst").as(a.tail.name))
       case (false, true) =>
         df.filter(col("dst") === b(a.tail.name))
-          .select(col("src").as(a.head.name)).distinct()
+          .select(col("src").as(a.head.name))
       case (false, false) =>
         if (a.head.name == a.tail.name)
           df.filter(col("src") === col("dst"))
-            .select(col("src").as(a.head.name)).distinct()
+            .select(col("src").as(a.head.name))
         else
           df.select(col("src").as(a.head.name), col("dst").as(a.tail.name))
-            .distinct()
     }
   }
 

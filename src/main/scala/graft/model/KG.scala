@@ -92,6 +92,7 @@ object KG {
             col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
               col("l_suppkey").as("sk"), col("l_quantity").as("qty"))
+      .localCheckpoint(true) // 4 branches read this join; compute it once
 
     def edge(src: org.apache.spark.sql.Column, rel: Long,
              dst: org.apache.spark.sql.Column)(df: DataFrame) =
@@ -135,7 +136,14 @@ object KG {
       val inv = base.select(col("dst").as("src"),
                             (col("rel") + 1).as("rel"),
                             col("src").as("dst"))
-      base.unionAll(inv).persist(StorageLevel.MEMORY_AND_DISK)
+      // Cluster the cache by relation: every atom scan filters on `rel`, and
+      // in-memory columnar batch stats then prune non-matching batches
+      // (the cached analog of partition pruning; at cluster scale this is
+      // a parquet table partitioned by rel).
+      base.unionAll(inv)
+        .repartition(col("rel"))
+        .sortWithinPartitions("rel", "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
   /** DuckDB-oracle SQL prefix defining the identical `edges` relation.

@@ -35,10 +35,16 @@ object Dedup {
       .select(col("id"))
 
   /** Distinct (id, shingle) pairs — the exploded set representation. */
+  /** Materialized (localCheckpoint): the set representation feeds both sides
+    * of self-joins — without materialization the shingle-construction
+    * expressions are re-evaluated per join side (no CSE across higher-order
+    * lambdas), which dominated runtime at 5k docs. At cluster scale this
+    * becomes a persist() on a frame bucketed by `sh`. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
               explode(TextOps.shingles(col(textCol), n)).as("sh"))
       .distinct()
+      .localCheckpoint(true)
 
   /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
     * Set-similarity join: shingle equi-join counts intersections; per-doc
@@ -61,7 +67,12 @@ object Dedup {
   }
 
   /** MinHash signature: sig[i] = min over shingles of xxhash64(i, shingle).
-    * Pure expression — no shuffle to build signatures. */
+    * Pure expression — no shuffle to build signatures.
+    *
+    * IMPORTANT: pass a *column reference* to an already-projected shingle
+    * array, not the shingle-construction expression itself — the collection
+    * argument sits inside the outer lambda and is re-evaluated once per hash
+    * function (32x string building, measured 50x slowdown at 5k docs). */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
               i => array_min(transform(shingleArr, s => xxhash64(i, s))))
@@ -73,22 +84,28 @@ object Dedup {
                       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(TextOps.shingles(col(textCol), shingleN), numHashes).as("sig"))
+    // Signature from the exploded (id, shingle) set: one aggregation pass,
+    // sig[i] = min(xxhash64(i, sh)). Shares the materialized shingle sets
+    // with the verification join below, and never re-builds shingle strings
+    // (the expression-only nested-transform formulation re-evaluated the
+    // shingle construction once per hash function — 50x slower at 5k docs).
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sig = sets.groupBy("id")
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
     val banded = sig.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "bh")))
+      .localCheckpoint(true) // signatures computed once, not per join side
     val cands = banded.as("a")
       .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    // Verify candidates with exact Jaccard on the shingle sets.
-    val sets = shingleSets(df, idCol, textCol, shingleN)
+    // Verify candidates with exact Jaccard on the same materialized sets.
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
     cands
       .join(sets.as("sa"), col("i") === col("sa.id"))
@@ -106,8 +123,8 @@ object Dedup {
     * bands (pigeonhole: pairs at distance <= 3 share at least one band). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-                       simhashExpr(textCol).as("sim"))
+    val sh = simhash(df, idCol, textCol)
+      .localCheckpoint(true) // both join sides read the signatures
     val banded = sh.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -122,12 +139,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** 64-bit SimHash over the token multiset: bit i is the sign of the sum
-    * of ±1 contributions of each token's xxhash64 bit i. Expressed via the
-    * SQL parser (shiftleft with a column shift amount is only reachable
-    * there, not through the Scala functions API). Expression-only — no
-    * shuffle; for very long documents an exploded formulation that hashes
-    * each token once is preferable. */
+  /** 64-bit SimHash over the token multiset (relational formulation): each
+    * token hashed once on the exploded frame, per-bit ±1 sums as 64
+    * aggregate columns, then packed into one BIGINT. One shuffle on id;
+    * scales with corpus size regardless of document length. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = df.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
+    val bitSums = th.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    bitSums.select(col("id"),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("sim"))
+  }
+
+  /** 64-bit SimHash as a single pure expression (no shuffle) — the
+    * per-row alternative for short texts; hashes each token 64 times, so
+    * prefer [[simhash]] for bulk corpora. Expressed via the SQL parser
+    * (shiftleft with a column shift amount is only reachable there). */
   def simhashExpr(textColName: String): Column = {
     val toksSql = s"split($textColName, ' ')"
     expr(
@@ -144,12 +176,15 @@ object Dedup {
                      seed: Double = 4.2): DataFrame = {
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
+      graft.score.VectorOps.l2Norm(col(vecCol)).as("norm"),
       Similarity.hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
+      .localCheckpoint(true) // hyperplane dots + norms computed once per vector
     bucketed.as("a")
       .join(bucketed.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-              graft.score.VectorOps.cosine(col("a.vec"), col("b.vec")).as("cos"))
+              (graft.score.VectorOps.dot(col("a.vec"), col("b.vec")) /
+                (col("a.norm") * col("b.norm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
   }
