@@ -65,18 +65,25 @@ object PipelineQueries {
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // R6+F1: CQD 1-hop full-entity ranking, TransE, exact (beam > |E|).
+    // Uses the native fused kernel (identical math to TransE(2)).
     ("cqd_1p_transe",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
-        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
-        TransE(2), beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,f)",
+          Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
+          graft.score.NativeTransE, beam = Int.MaxValue))
+      },
       Some(s"""WITH ents AS ($supplierEntsSql)
               |${top10Sql(s"SELECT id AS entity, ${transeSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
     // R5+R7: 2-hop with existential max over the intermediate variable.
     ("cqd_2p_transe",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
-        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
-        relEmb(s), TransE(2), beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+          Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+          relEmb(s), graft.score.NativeTransE, beam = Int.MaxValue))
+      },
       Some(s"""WITH ents AS ($supplierEntsSql),
               |s1 AS (SELECT id AS e1, ${transeSql("400000000", "9", "id")} AS sc FROM ents)
               |${top10Sql(

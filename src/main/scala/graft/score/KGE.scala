@@ -119,6 +119,17 @@ final case class SWTransE(particles: Int, p: Double = 2.0) extends KGEModel {
              (x, i) => x + element_at(r, (i / m) + 1))
 }
 
+/** F1 via the native fused Catalyst kernel (graft.functions.TranseScore):
+  * identical math to TransE(2) — `-‖h+r−t‖₂` — but one codegen'd pass with
+  * no intermediate arrays. Requires ArrayKernels.register(spark) (or the
+  * GraftExtensions session extension). */
+case object NativeTransE extends KGEModel {
+  def score(h: Column, r: Column, t: Column): Column =
+    graft.functions.ArrayKernels.transeScore(h, r, t)
+  def estimateTail(h: Column, r: Column): Column = addVec(h, r)
+  override def pairScore(est: Column, t: Column): Column = -lpDist(est, t, 2.0)
+}
+
 /** F12: ConvE — 2-D convolutional scorer (conve.py:8-95). Not expressible as
   * a Spark SQL expression and latently broken in the reference (calls a
   * nonexistent `estimte_tail_emb`, conve.py:143 — SURVEY §5); deliberately

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayKernels
+import graft.score.{TransE, VectorOps, NativeTransE}
+
+/** Native Catalyst kernels vs the higher-order-function formulations. */
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  ArrayKernels.register(spark)
+
+  val rnd = new scala.util.Random(11)
+  val rows = Seq.fill(50)((Seq.fill(16)(rnd.nextGaussian()),
+                           Seq.fill(16)(rnd.nextGaussian()),
+                           Seq.fill(16)(rnd.nextGaussian())))
+  lazy val df = rows.toDF("h", "r", "t")
+
+  test("array_dot matches VectorOps.dot") {
+    val out = df.select(
+      ArrayKernels.arrayDot($"h", $"t").as("fast"),
+      VectorOps.dot($"h", $"t").as("slow")).collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("array_cosine matches VectorOps.cosine") {
+    val out = df.select(
+      ArrayKernels.arrayCosine($"h", $"t").as("fast"),
+      VectorOps.cosine($"h", $"t").as("slow")).collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("transe_score matches TransE(2).score and NativeTransE routes to it") {
+    val out = df.select(
+      ArrayKernels.transeScore($"h", $"r", $"t").as("fast"),
+      TransE(2).score($"h", $"r", $"t").as("slow"),
+      NativeTransE.score($"h", $"r", $"t").as("model")).collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(r.getDouble(0) == r.getDouble(2))
+    }
+  }
+
+  test("kernels usable from SQL text") {
+    df.createOrReplaceTempView("vecs")
+    val n = spark.sql(
+      "SELECT array_dot(h, t) d, array_cosine(h, t) c, transe_score(h, r, t) s FROM vecs")
+      .collect()
+    assert(n.length == 50 && n.forall(r => !r.isNullAt(0)))
+  }
+
+  test("null propagation") {
+    val d = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(ArrayKernels.arrayDot($"a", $"b")).collect()
+    assert(d(0).isNullAt(0))
+  }
+}
