@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.KG
+import graft.operators.Joins
+
+/** Custom-join operator demos: as-of, bucketed range join, salted skew
+  * join — each oracle-checked (DuckDB has native ASOF JOIN; range and
+  * salted joins compare against the naive formulations). */
+object OperatorQueries {
+  import PipelineQueries.QFn
+
+  private val MINUTE_NS = 60L * 1000 * 1000 * 1000
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // As-of join: each click matched to the user's latest prior purchase.
+    ("q_asof_join",
+      (s, dir) => {
+        val ev = KG.table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        Joins.asOf(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_id"))
+          .select("user_id", "click_id", "purchase_id")
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS click_id
+             |          FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, epoch_ns(ts) AS ts, MAX(event_id) AS purchase_id
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT c.user_id, c.click_id, p.purchase_id
+             |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)),
+
+    // Range join: errors within 60s before each click, same user.
+    ("q_range_join",
+      (s, dir) => {
+        val ev = KG.table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("error_id"))
+        Joins.rangeBucketed(clicks, errors, Seq("user_id"), "ts", "ts",
+                            lower = MINUTE_NS, upper = 0L, Seq("error_id"))
+          .select("user_id", "click_id", "error_id")
+      },
+      Some("SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id " +
+           "FROM events c JOIN events e ON c.user_id = e.user_id " +
+           "AND c.event_type = 'click' AND e.event_type = 'error' " +
+           s"AND epoch_ns(e.ts) BETWEEN epoch_ns(c.ts) - $MINUTE_NS AND epoch_ns(c.ts)")),
+
+    // End-to-end EFO-1 workload evaluation: train/held-out split, filtered
+    // MRR/Hits per query type (reference lifecycle SURVEY §3; rows-only —
+    // the equivalent SQL would inline 8 KG queries twice).
+    ("eval_efo1_suite",
+      (s, dir) => {
+        val subset = Set("kg_1p", "kg_2p", "kg_2i", "kg_2in", "kg_2u", "kg_up")
+        graft.eval.Workload.evaluate(s, dir,
+          KGQueries.all.filter(t => subset.contains(t._1)))
+      },
+      None),
+
+    // Salted join: result identical to the plain equi-join.
+    ("q_salted_join",
+      (s, dir) => {
+        val li = KG.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("l_suppkey").as("s_suppkey"))
+        val supp = KG.table(s, dir, "supplier").select("s_suppkey", "s_name")
+        Joins.salted(li, supp, Seq("s_suppkey"), "l_orderkey", salts = 8)
+          .select("l_orderkey", "l_linenumber", "s_suppkey", "s_name")
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_suppkey AS s_suppkey, s_name " +
+           "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"))
+  )
+}
