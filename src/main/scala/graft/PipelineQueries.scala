@@ -90,6 +90,38 @@ object PipelineQueries {
                 s"SELECT f.id AS entity, MAX(s1.sc + ${transeSql("s1.e1", "8", "f.id")}) AS score " +
                 "FROM s1, ents f GROUP BY f.id")}""".stripMargin)),
 
+    // Batched CQD: 5 instances of 2p in ONE plan (qid column = PyG batch).
+    ("cqd_batch_2p",
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        val cq = graft.lang.Normalize.toDnf(
+          graft.lang.Parser.parse("r1(s1,e1)&r2(e1,f)")).head
+        val bindings = (0L until 5L).map(q =>
+          q -> Map("r1" -> 9L, "r2" -> 8L,
+                   "s1" -> KG.ent(KG.TAG_SUPPLIER, q)))
+        val out = graft.exec.CQDBeamBatched.answerBatch(s, cq, bindings,
+          supplierEnts(s, dir), relEmb(s), graft.score.NativeTransE,
+          beam = Int.MaxValue)
+          .withColumn("score", round(col("score"), 5))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("entity").asc)
+        out.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("qid"), col("entity"), col("score"))
+      },
+      Some {
+        val perQ = (0 until 5).map { q =>
+          s"""SELECT $q AS qid, entity, score FROM (
+             |  SELECT entity, ROUND(score, 5) AS score,
+             |         ROW_NUMBER() OVER (ORDER BY ROUND(score, 5) DESC, entity) AS rn
+             |  FROM (SELECT f.id AS entity,
+             |               MAX(${transeSql(s"${400000000 + q}", "9", "e.id")} +
+             |                   ${transeSql("e.id", "8", "f.id")}) AS score
+             |        FROM ents e, ents f GROUP BY f.id) sc$q) t$q
+             |WHERE rn <= 3""".stripMargin
+        }
+        s"WITH ents AS ($supplierEntsSql)\n" + perQ.mkString(" UNION ALL ")
+      }),
+
     // Beam-pruned cyclic query (approximate — rows-only check).
     ("cqd_3c_beam",
       (s, dir) => top10Rounded(CQDBeam.answer(

@@ -41,7 +41,8 @@ object LMPNN {
   /** One message-passing superstep. `qedges` must already contain inverse
     * edges (QueryGraph.addInverseEdges) so information flows both ways. */
   def superstep(states: DataFrame, qedges: DataFrame, rels: DataFrame,
-                model: KGEModel, residual: Double = 0.1): DataFrame = {
+                model: KGEModel, residual: Double = 0.1,
+                useMlp: Boolean = false, dim: Int = 8): DataFrame = {
     val msgs = qedges.as("e")
       .join(states.as("x"),
             col("e.qid") === col("x.qid") && col("e.src") === col("x.node"))
@@ -52,7 +53,7 @@ object LMPNN {
                 model.estimateTail(col("x.vec"), col("_rvec")),
                 when(col("e.neg"), lit(-1.0)).otherwise(lit(1.0))).as("mvec"))
     val aggr = VectorOps.vecSumByKey(msgs, Seq("qid", "node"), "mvec", "avec")
-    states.as("x")
+    val combined = states.as("x")
       .join(aggr.as("m"), Seq("qid", "node"), "left")
       .select(col("qid"), col("node"),
               when(col("m.avec").isNull,
@@ -60,7 +61,21 @@ object LMPNN {
                 .otherwise(VectorOps.addVec(
                    VectorOps.scaleVec(col("x.vec"), lit(residual)),
                    col("m.avec"))).as("vec"))
+    if (useMlp)
+      combined.withColumn("vec", mlpUpdate(col("vec"), dim))
+    else combined
   }
+
+  /** Update net (G5): one ReLU layer with a deterministic weight matrix
+    * W[dim, dim] (the reference's learned MLP, layers/mlp.py:3-18, with
+    * fixed seeded weights for inference reproducibility).
+    * out[j] = relu(Σ_i v[i] · w(i,j)). */
+  def mlpUpdate(vec: Column, dim: Int, seed: Double = 2.2): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      greatest(lit(0.0),
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) =>
+          acc + element_at(vec, i + 1) *
+            sin((i * dim + j + 1).cast("double") * 0.013 + seed))))
 
   /** Run T supersteps and score every entity against each query's free-node
     * state by cosine similarity (lmpnn.py:191-216).

@@ -37,4 +37,11 @@ object Embeddings {
     * synthetic vector for SQL expression `idExpr`. */
   def sqlVecElem(idExpr: String, i: Int, seed: Double): String =
     s"SIN((($idExpr) % 9973 + 1) * ${i + 1} * 0.017 + $seed)"
+
+  /** F9: random embedding init N(0, std) (rotate.py:108-115) — seeded and
+    * therefore reproducible per run. */
+  def randomInit(ids: DataFrame, idCol: String, dim: Int, std: Double,
+                 seed: Long = 42L): DataFrame =
+    ids.withColumn("vec",
+      transform(sequence(lit(0), lit(dim - 1)), _ => randn(seed) * std))
 }
