@@ -8,7 +8,7 @@ import graft.exec.CQDBeam
 import graft.metric.Ranking
 import graft.model.KG
 import graft.pipeline.{Dedup, Similarity, TextOps}
-import graft.score.{Embeddings, TransE}
+import graft.score.{DistMult, Embeddings, TransE}
 
 /** Non-KG-logic operator demos over the driver testdata: aggregations
   * (SURVEY §2.4), sorts/top-k/ranking (§2.5), scored executors (§2.3 soft,
@@ -61,6 +61,39 @@ object PipelineQueries {
 
   private val S0 = KG.ent(KG.TAG_SUPPLIER, 0)
 
+  private def ev(idExpr: String, i: Int) = Embeddings.sqlVecElem(idExpr, i, ENT_SEED)
+  private def rv(idExpr: String, i: Int) = Embeddings.sqlVecElem(idExpr, i, REL_SEED)
+
+  /** DistMult 1p score in SQL: -Σ h_i·r_i·t_i (distmult.py:36-41). */
+  private def distmultSql(h: String, r: String, tl: String): String =
+    "-(" + (0 until DIM).map(i => s"${ev(h, i)} * ${rv(r, i)} * ${ev(tl, i)}")
+      .mkString(" + ") + ")"
+
+  /** ComplEx 1p score in SQL: Σ (re·re−im·im)·t_re + (re·im+im·re)·t_im
+    * over the d = DIM/2 split (complex.py:99-122). */
+  private def complexSql(h: String, r: String, tl: String): String = {
+    val d = DIM / 2
+    (0 until d).map { i =>
+      val (hr, hi) = (ev(h, i), ev(h, i + d))
+      val (rr, ri) = (rv(r, i), rv(r, i + d))
+      s"($hr * $rr - $hi * $ri) * ${ev(tl, i)} + " +
+        s"($hr * $ri + $hi * $rr) * ${ev(tl, i + d)}"
+    }.mkString(" + ")
+  }
+
+  /** RotatE 1p score in SQL (positive L2 as written, rotate.py:104-106);
+    * relation embeddings are d = DIM/2 phases. */
+  private def rotateSql(h: String, r: String, tl: String): String = {
+    val d = DIM / 2
+    "SQRT(" + (0 until d).map { i =>
+      val (hr, hi) = (ev(h, i), ev(h, i + d))
+      val ph = rv(r, i)
+      val re = s"($hr * COS($ph) - $hi * SIN($ph) - ${ev(tl, i)})"
+      val im = s"($hr * SIN($ph) + $hi * COS($ph) - ${ev(tl, i + d)})"
+      s"POWER($re, 2) + POWER($im, 2)"
+    }.mkString(" + ") + ")"
+  }
+
   // ---- the registry ---------------------------------------------------
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -89,6 +122,30 @@ object PipelineQueries {
               |${top10Sql(
                 s"SELECT f.id AS entity, MAX(s1.sc + ${transeSql("s1.e1", "8", "f.id")}) AS score " +
                 "FROM s1, ents f GROUP BY f.id")}""".stripMargin)),
+
+    // F3/F4/F7: the other KGE scorers as full-ranking queries, each
+    // oracle-checked against its formula recomputed in SQL.
+    ("cqd_1p_distmult",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
+        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
+        DistMult, beam = Int.MaxValue)),
+      Some(s"""WITH ents AS ($supplierEntsSql)
+              |${top10Sql(s"SELECT id AS entity, ${distmultSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
+
+    ("cqd_1p_complex",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
+        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
+        graft.score.ComplEx, beam = Int.MaxValue)),
+      Some(s"""WITH ents AS ($supplierEntsSql)
+              |${top10Sql(s"SELECT id AS entity, ${complexSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
+
+    ("cqd_1p_rotate",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
+        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir),
+        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2, REL_SEED),
+        graft.score.RotatE, beam = Int.MaxValue)),
+      Some(s"""WITH ents AS ($supplierEntsSql)
+              |${top10Sql(s"SELECT id AS entity, ${rotateSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
     // Batched CQD: 5 instances of 2p in ONE plan (qid column = PyG batch).
     ("cqd_batch_2p",

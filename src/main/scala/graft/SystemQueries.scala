@@ -203,6 +203,55 @@ object SystemQueries {
       },
       None),
 
+    // Window frames: running per-supplier quantity (rowsBetween).
+    ("q_window_frames",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        t(s, dir, "lineitem").select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
+      },
+      Some("SELECT l_suppkey, l_orderkey, l_linenumber, " +
+           "SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey " +
+           "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty " +
+           "FROM lineitem")),
+
+    // Date scalar functions.
+    ("q_date_functions",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"), year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since")),
+      Some("SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, " +
+           "CAST(month(o_orderdate) AS BIGINT) AS m, " +
+           "CAST(day(o_orderdate) AS BIGINT) AS d, " +
+           "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since " +
+           "FROM orders")),
+
+    // String scalar functions.
+    ("q_string_functions",
+      (s, dir) => t(s, dir, "customer").select(
+        col("c_custkey"), upper(col("c_name")).as("uname"),
+        length(col("c_name")).cast("long").as("len"),
+        substring(col("c_name"), 1, 5).as("prefix"),
+        concat(lit("X-"), col("c_name")).as("tagged")),
+      Some("SELECT c_custkey, UPPER(c_name) AS uname, " +
+           "CAST(LENGTH(c_name) AS BIGINT) AS len, " +
+           "SUBSTRING(c_name, 1, 5) AS prefix, 'X-' || c_name AS tagged " +
+           "FROM customer")),
+
+    // JSON extraction from the events props column.
+    ("q_json_extract",
+      (s, dir) => t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events")),
+
     // Multimodal plumbing: stubbed decode features + frame sampling.
     ("multimodal_features",
       (s, dir) => {
