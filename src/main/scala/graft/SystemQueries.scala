@@ -203,6 +203,61 @@ object SystemQueries {
       },
       None),
 
+    // Q3-style: top-10 unshipped-revenue orders (3-table join + agg + topk).
+    ("q_join_revenue_topk",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, revenue FROM (
+             |  SELECT o_orderkey,
+             |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |         ROW_NUMBER() OVER (ORDER BY
+             |           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC,
+             |           o_orderkey) AS rn
+             |  FROM customer JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |  GROUP BY o_orderkey) t WHERE rn <= 10""".stripMargin)),
+
+    // Q5-style: revenue by nation for local (customer-nation = supplier-
+    // nation) trade in one region — 6-table join.
+    ("q_join_local_trade",
+      (s, dir) => {
+        val r = t(s, dir, "region").filter(col("r_regionkey") === 0)
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val sp = t(s, dir, "supplier")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_regionkey = 0
+             |GROUP BY n_name""".stripMargin)),
+
     // Window frames: running per-supplier quantity (rowsBetween).
     ("q_window_frames",
       (s, dir) => {
