@@ -269,10 +269,11 @@ object SystemQueries {
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
       },
+      // outer CAST: DuckDB SUM(BIGINT) yields HUGEINT
       Some("SELECT l_suppkey, l_orderkey, l_linenumber, " +
-           "SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey " +
+           "CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey " +
            "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
-           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty " +
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty " +
            "FROM lineitem")),
 
     // Date scalar functions.
