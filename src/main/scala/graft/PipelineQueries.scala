@@ -380,6 +380,14 @@ object PipelineQueries {
                                      maxHamming = 3),
       None),
 
+    // Near-dup cluster resolution: LSH pairs -> connected components ->
+    // canonical doc per cluster (rows-only: GraphX CC is iterative).
+    ("dedup_groups",
+      (s, dir) => Dedup.dupGroups(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+                              threshold = 0.5)),
+      None),
+
     // Embedding-cosine near-dup via hyperplane LSH.
     ("dedup_embedding",
       (s, dir) => Dedup.embeddingPairs(

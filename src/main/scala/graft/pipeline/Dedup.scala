@@ -169,6 +169,20 @@ object Dedup {
          |     shiftleft(1L, CAST(i AS INT)), 0L))""".stripMargin)
   }
 
+  /** Near-dup *cluster* resolution: pairs are edges of a similarity graph;
+    * transitive closure via GraphX connected components picks one canonical
+    * (minimum-id) doc per cluster. Returns (id, keep_id) for every doc that
+    * belongs to a cluster (keep_id == id for the canonical member).
+    * This is the step that turns pairwise near-dup detection into an
+    * actionable drop-list for a corpus. */
+  def dupGroups(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i").as("src"), lit(0L).as("rel"),
+                             col("j").as("dst"))
+    val cc = graft.exec.GraphXOps.connectedComponents(edges)
+    val canon = cc.groupBy("component").agg(min(col("id")).as("keep_id"))
+    cc.join(canon, "component").select(col("id"), col("keep_id"))
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     * exact cosine verification (see Similarity.hyperplaneBucket). */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,

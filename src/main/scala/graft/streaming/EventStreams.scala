@@ -59,6 +59,13 @@ object EventStreams {
       }
   }
 
+  /** Streaming deduplication: drop repeated event_ids within the watermark
+    * horizon — the streaming face of the pipeline dedup operators (state
+    * bounded by the watermark). */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch-mode twin of [[windowedCounts]] — same expressions on a static
     * frame; used to cross-check streaming output in specs and to serve the
     * operator over the parquet testdata. */

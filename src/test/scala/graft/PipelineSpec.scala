@@ -111,6 +111,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("dupGroups resolves transitive near-dup clusters to canonical ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
+    val groups = graft.pipeline.Dedup.dupGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("embeddingPairs finds planted duplicate vectors") {
     val emb = Seq(
       (0L, Seq(1.0, 2.0, 3.0)), (1L, Seq(1.0, 2.0, 3.0)),

@@ -47,6 +47,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated event ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch1.head) // duplicate event_id 1 within watermark
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L, 4L, 5L)) // no duplicate 1
+    } finally q.stop()
+  }
+
   test("runningTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
