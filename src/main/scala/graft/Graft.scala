@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.{CQDBeam, GraphOps, GraphXOps, HardExec, LMPNN}
+import graft.lang.Binding.Binding
+import graft.lang.{Normalize, Parser, QueryGraph}
+import graft.metric.Ranking
+import graft.model.{KG, KGIndex}
+import graft.score.{Embeddings, KGEModel, TransE}
+
+/** The user-facing library surface: everything a user of the reference
+  * engine does — load a KG, parse and answer EFO-1 queries (exact or
+  * scored), rank, evaluate metrics, run graph analytics — behind one
+  * object. All methods return lazy DataFrames.
+  *
+  * {{{
+  * val kg = Graft.fromTestdata(spark, "/root/testdata/sf0.01")
+  * kg.answer("r1(s1,f)&r2(s2,f)", Map("r1" -> 9L, "r2" -> 9L,
+  *                                    "s1" -> ..., "s2" -> ...)).show()
+  * kg.registerViews()   // then: spark.sql("SELECT * FROM graft_edges ...")
+  * }}}
+  */
+final class GraftKG(val spark: SparkSession, val edges: DataFrame,
+                    val entities: DataFrame) {
+
+  /** Exact (hard-logic) EFO-1 answering: distinct entities for the free
+    * variable. */
+  def answer(lstr: String, binding: Binding): DataFrame =
+    HardExec.evalFormula(edges, Parser.parse(lstr), binding)
+
+  /** Scored answering: rank every entity by the CQD beam-search score under
+    * a pluggable KGE model. Embeddings default to the deterministic
+    * synthetic space; pass real tables for trained models. */
+  def rank(lstr: String, binding: Binding, model: KGEModel = TransE(2),
+           beam: Int = 128, dim: Int = 32,
+           entEmb: Option[DataFrame] = None,
+           relEmb: Option[DataFrame] = None): DataFrame = {
+    val ents = entEmb.getOrElse(
+      Embeddings.deterministic(entities.select("id"), "id", dim, 0.3))
+    val rels = relEmb.getOrElse(Embeddings.deterministic(
+      spark.range(64).toDF("id"), "id", dim, 1.7))
+    CQDBeam.answer(lstr, binding, ents, rels, model, beam)
+  }
+
+  /** Filtered-setting retrieval metrics for scored results
+    * (answers: (qid, entity, is_hard)). */
+  def metrics(scores: DataFrame, answers: DataFrame): DataFrame =
+    Ranking.mrrHits(Ranking.filteredRanks(Ranking.rankAll(scores), answers))
+
+  // Graph analytics.
+  def bfs(seedIds: Seq[Long], maxLevels: Int = 20): DataFrame = {
+    import spark.implicits._
+    GraphOps.bfsLevels(edges, seedIds.toDF("id"), maxLevels)
+  }
+  def pageRank(tol: Double = 0.001): DataFrame = GraphXOps.pageRank(edges, tol)
+  def components(): DataFrame = GraphXOps.connectedComponents(edges)
+
+  /** Register SQL temp views: `<prefix>edges`, `<prefix>entities`. */
+  def registerViews(prefix: String = "graft_"): Unit = {
+    edges.createOrReplaceTempView(s"${prefix}edges")
+    entities.createOrReplaceTempView(s"${prefix}entities")
+  }
+
+  /** Validate edge endpoints against the entity dictionary (S5). */
+  def validate(relations: DataFrame): DataFrame =
+    KGIndex.validate(edges, entities, relations)
+}
+
+object Graft {
+
+  /** KG derived from the driver's TPC-H-ish testdata (FIXTURES.md §7). */
+  def fromTestdata(spark: SparkSession, dir: String): GraftKG =
+    new GraftKG(spark, KG.edges(spark, dir),
+                KGIndex.derivedEntityDict(spark, dir))
+
+  /** KG from an explicit set of directed base triples; inverse edges are
+    * added with `rel ^ 1` per the reference convention (S11). */
+  def fromTriples(spark: SparkSession, baseEdges: DataFrame): GraftKG = {
+    val edges = KGIndex.addInverse(
+      baseEdges.select(col("src").cast("long"), col("rel").cast("long"),
+                       col("dst").cast("long")))
+    val ents = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+      .withColumn("name", concat(lit("e"), col("id")))
+    new GraftKG(spark, edges, ents)
+  }
+
+  /** KG from whitespace-separated triple TSV files (S1). */
+  def fromTsv(spark: SparkSession, paths: String*): GraftKG =
+    fromTriples(spark, KGIndex.readTsv(spark, paths: _*))
+}

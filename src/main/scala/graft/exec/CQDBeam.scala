@@ -34,9 +34,14 @@ import graft.score._
 object CQDBeam {
 
   /** Answer one conjunct: returns `(entity, score)` for every entity as a
-    * candidate binding of the free variable (R6 free-variable ranking). */
+    * candidate binding of the free variable (R6 free-variable ranking).
+    *
+    * @param godel use the Gödel t-norm (conjunction = min over edges) in
+    *              place of the reference's default log-space product
+    *              (sum; tnorm.py:31-33 vs cqd.py:344-355). ∃-projection is
+    *              max either way. */
   def answerCQ(cq: CQ, b: Binding, ents: DataFrame, rels: DataFrame,
-               model: KGEModel, beam: Int): DataFrame = {
+               model: KGEModel, beam: Int, godel: Boolean = false): DataFrame = {
     val order = QueryGraph.varOrder(cq)
     val varRank = order.zipWithIndex.toMap
     val atoms = cq.pos.map(a => (a, false)) ++ cq.neg.map(a => (a, true))
@@ -84,12 +89,16 @@ object CQDBeam {
             else model.score(col("_cvec"), col("_rvec"), col("_svec"))
           val flipped = KGE.negFlip(edgeScore, lit(neg))
           scored
-            .withColumn("_total", col("_sscore") + flipped)
+            .withColumn("_total",
+              if (godel) least(col("_sscore"), flipped)
+              else col("_sscore") + flipped)
             .groupBy(col("_cand")).agg(max(col("_total")).as("_escore"))
         }
         val combined = edgeFrames.reduce { (l, r) =>
           l.join(r.withColumnRenamed("_escore", "_escore2"), "_cand")
-            .withColumn("_escore", col("_escore") + col("_escore2"))
+            .withColumn("_escore",
+              if (godel) least(col("_escore"), col("_escore2"))
+              else col("_escore") + col("_escore2"))
             .drop("_escore2")
         }.select(col("_cand").as("_ent"), col("_escore").as("_score"))
         frontiers(v) =
@@ -107,9 +116,9 @@ object CQDBeam {
   /** Full formula: DNF, one beam search per conjunct, disjunction combined
     * with max (Gödel t-conorm on log-space scores; R3, tnorm.py:22-28). */
   def answer(lstr: String, b: Binding, ents: DataFrame, rels: DataFrame,
-             model: KGEModel, beam: Int): DataFrame = {
+             model: KGEModel, beam: Int, godel: Boolean = false): DataFrame = {
     val cqs = Normalize.toDnf(Parser.parse(lstr))
-    cqs.map(answerCQ(_, b, ents, rels, model, beam))
+    cqs.map(answerCQ(_, b, ents, rels, model, beam, godel))
       .reduce(_ unionAll _)
       .groupBy("entity").agg(max("score").as("score"))
   }

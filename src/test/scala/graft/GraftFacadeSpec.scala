@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.score.{Embeddings, TransE}
+import graft.exec.CQDBeam
+
+class GraftFacadeSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("fromTriples: answer + inverse-edge convention + views + validate") {
+    val base = Seq((0L, 4L, 2L), (1L, 4L, 2L), (0L, 2L, 3L))
+      .toDF("src", "rel", "dst")
+    val kg = Graft.fromTriples(spark, base)
+    // inverse edges present: 2 -(5)-> 0
+    val inv = kg.answer("r1(s1,f)", Map("r1" -> 5L, "s1" -> 2L))
+      .collect().map(_.getLong(0)).toSet
+    assert(inv == Set(0L, 1L))
+    kg.registerViews("t_")
+    assert(spark.sql("SELECT count(*) FROM t_edges").collect()(0).getLong(0) == 6)
+    val rels = Seq(2L, 3L, 4L, 5L).toDF("id")
+    assert(kg.validate(rels).isEmpty)
+  }
+
+  test("fromTestdata answer matches HardExec.run for a declared type") {
+    val dir = "/root/testdata/sf0.001"
+    val (_, lstr, b) = KGQueries.all.find(_._1 == "kg_2i").get
+    val kg = Graft.fromTestdata(spark, dir)
+    val viaFacade = kg.answer(lstr, b).collect().map(_.getLong(0)).toSet
+    val direct = graft.exec.HardExec.run(spark, dir, lstr, b)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaFacade == direct && direct.nonEmpty)
+  }
+
+  test("Godel t-norm: 2i conjunction = min of edge scores") {
+    val dim = 4
+    val ents = Embeddings.deterministic(spark.range(5).toDF("id"), "id", dim, 0.3)
+    val rels = Embeddings.deterministic(spark.range(3).toDF("id"), "id", dim, 1.7)
+    def vec(id: Long, seed: Double) =
+      Array.tabulate(dim)(i => math.sin((id % 9973 + 1) * (i + 1) * 0.017 + seed))
+    def transe(h: Array[Double], r: Array[Double], t: Array[Double]) =
+      -math.sqrt((0 until dim).map(i => math.pow(h(i) + r(i) - t(i), 2)).sum)
+    val got = CQDBeam.answer("r1(s1,f)&r2(s2,f)",
+      Map("r1" -> 0L, "r2" -> 1L, "s1" -> 0L, "s2" -> 1L),
+      ents, rels, TransE(2), beam = 10, godel = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 5L).foreach { f =>
+      val want = math.min(
+        transe(vec(0, 0.3), vec(0, 1.7), vec(f, 0.3)),
+        transe(vec(1, 0.3), vec(1, 1.7), vec(f, 0.3)))
+      assert(math.abs(got(f) - want) < 1e-9)
+    }
+  }
+}
