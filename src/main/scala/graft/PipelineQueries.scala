@@ -441,6 +441,16 @@ object PipelineQueries {
              |    PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM c) t
              |WHERE rank <= 5""".stripMargin)),
 
+    // IVF-style coarse-quantized ANN (single-cell probe).
+    ("ann_ivf_topk",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        Similarity.ivfTopK(emb, emb.filter(col("id") < 20), k = 5,
+                           nCentroids = 8, dim = 64)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
     // LSH-bucketed approximate ANN (recall spec-verified vs brute force).
     ("ann_lsh_topk",
       (s, dir) => {

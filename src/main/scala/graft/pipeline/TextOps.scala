@@ -17,7 +17,8 @@ object TextOps {
   /** BPE-ish sub-word split: words plus digit runs plus punctuation as
     * separate tokens. */
   def regexTokens(text: Column): Column =
-    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+    filter(split(text,
+        "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
            t => t =!= "" && t =!= " ")
 
   def tokenCount(text: Column): Column = size(tokens(text))

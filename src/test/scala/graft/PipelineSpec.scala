@@ -80,6 +80,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getSeq[String](2) == Seq("a bb", "bb ccc", "ccc dddd"))
   }
 
+  test("BPE-ish regex tokenizer splits words, digits and punctuation") {
+    val df = Seq("don't panic42!").toDF("text")
+    val toks = df.select(TextOps.regexTokens(col("text")))
+      .collect()(0).getSeq[String](0)
+    assert(toks == Seq("don", "'", "t", "panic", "42", "!"))
+  }
+
+  test("rolling fingerprint is stable and shingle-sensitive") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "a completely different sentence here")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
   test("qualityScore penalizes shouty punctuation-heavy text") {
     val df = Seq(
       ("good", "the engine is a fine piece of work and the tests pass in the end"),
