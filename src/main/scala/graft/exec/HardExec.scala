@@ -59,18 +59,30 @@ object HardExec {
   }
 
   /** Evaluate one conjunct: returns the relation of satisfying assignments,
-    * one BIGINT column per variable of the conjunct. */
-  def evalCQ(edges: DataFrame, cq: CQ, b: Binding): DataFrame = {
+    * one BIGINT column per variable of the conjunct.
+    *
+    * Join order (the driver-side planner of SURVEY §4 — semantic DAG order
+    * is ours to pick, Catalyst only reorders by stats it can see):
+    * constant-anchored atoms first, then greedily the connected atom with
+    * the smallest relation cardinality (`relStats`, one cached 22-row
+    * aggregate per KG). Result sets are order-independent; only
+    * intermediate sizes change. */
+  def evalCQ(edges: DataFrame, cq: CQ, b: Binding,
+             relStats: Map[Long, Long] = Map.empty): DataFrame = {
     require(cq.pos.nonEmpty, "conjunct needs at least one positive atom")
-    // Greedy order: most bound-constant endpoints first, then connectivity.
+    def card(a: Atomic): Long = relStats.getOrElse(b(a.rel), Long.MaxValue)
     val remaining = scala.collection.mutable.ListBuffer(
-      cq.pos.sortBy(a => -Seq(a.head, a.tail).count(_.isConst)): _*)
+      cq.pos.sortBy(a => (-Seq(a.head, a.tail).count(_.isConst), card(a))): _*)
     var acc = atomFrame(edges, remaining.remove(0), b)
     while (remaining.nonEmpty) {
       val accCols = acc.columns.toSet
-      val idx = remaining.indexWhere(a =>
-        Seq(a.head, a.tail).exists(t => t.isVar && accCols.contains(t.name)))
-      val next = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
+      val connected = remaining.zipWithIndex.filter { case (a, _) =>
+        Seq(a.head, a.tail).exists(t => t.isVar && accCols.contains(t.name))
+      }
+      val idx =
+        if (connected.nonEmpty) connected.minBy { case (a, _) => card(a) }._2
+        else 0
+      val next = remaining.remove(idx)
       val frame = atomFrame(edges, next, b)
       val shared = frame.columns.filter(accCols.contains).toSeq
       acc =
@@ -91,17 +103,21 @@ object HardExec {
 
   /** Evaluate a full formula: DNF -> per-conjunct eval -> union -> distinct
     * projection onto the free variable, output column `f`. */
-  def evalFormula(edges: DataFrame, f: Formula, b: Binding): DataFrame = {
+  def evalFormula(edges: DataFrame, f: Formula, b: Binding,
+                  relStats: Map[Long, Long] = Map.empty): DataFrame = {
     val cqs = Normalize.toDnf(f)
     val free = cqs.head.freeVar.name
-    cqs.map(cq => evalCQ(edges, cq, b).select(col(free).cast("long").as("f")))
+    cqs.map(cq => evalCQ(edges, cq, b, relStats)
+         .select(col(free).cast("long").as("f")))
        .reduce(_ unionAll _)
        .distinct()
   }
 
-  /** End-to-end: derive the KG edges from `dir` and answer the lstr query. */
+  /** End-to-end: derive the KG edges from `dir` and answer the lstr query,
+    * with cached relation-cardinality stats driving the atom order. */
   def run(spark: SparkSession, dir: String, lstr: String, b: Binding): DataFrame =
-    evalFormula(KG.edges(spark, dir), Parser.parse(lstr), b)
+    evalFormula(KG.edges(spark, dir), Parser.parse(lstr), b,
+                KG.relStats(spark, dir))
 }
 
 /** ANSI-SQL generator mirroring [[HardExec]] for the DuckDB oracle. */

@@ -146,6 +146,18 @@ object KG {
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Long, Long]]
+
+  /** Relation cardinalities of the edges view — the (tiny) statistics table
+    * behind the hard-logic planner's join ordering. One 22-row aggregate,
+    * cached per (session, dir). */
+  def relStats(spark: SparkSession, dir: String): Map[Long, Long] =
+    statsCache.getOrElseUpdate(s"${spark.hashCode}|$dir", {
+      edges(spark, dir).groupBy("rel").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    })
+
   /** DuckDB-oracle SQL prefix defining the identical `edges` relation.
     * Must stay semantically in lock-step with [[baseEdges]]. */
   val edgesCte: String = {

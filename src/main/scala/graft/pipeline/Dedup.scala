@@ -175,12 +175,34 @@ object Dedup {
     * belongs to a cluster (keep_id == id for the canonical member).
     * This is the step that turns pairwise near-dup detection into an
     * actionable drop-list for a corpus. */
-  def dupGroups(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("i").as("src"), lit(0L).as("rel"),
-                             col("j").as("dst"))
-    val cc = graft.exec.GraphXOps.connectedComponents(edges)
-    val canon = cc.groupBy("component").agg(min(col("id")).as("keep_id"))
-    cc.join(canon, "component").select(col("id"), col("keep_id"))
+  def dupGroups(pairs: DataFrame, driverLimit: Int = 1000000): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgePairs = pairs.select(col("i").cast("long"), col("j").cast("long"))
+    // Near-dup pair sets are tiny relative to the corpus; below the limit a
+    // driver-side union-find beats a distributed fixpoint by orders of
+    // magnitude (GraphX CC costs ~15 s of fixed RDD overhead on a
+    // 256-edge graph). Above it, fall back to GraphX.
+    val local = edgePairs.limit(driverLimit + 1).collect()
+    if (local.length <= driverLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      local.foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      import spark.implicits._
+      rows.toDF("id", "keep_id")
+    } else {
+      val edges = edgePairs.select(col("i").as("src"), lit(0L).as("rel"),
+                                   col("j").as("dst"))
+      val cc = graft.exec.GraphXOps.connectedComponents(edges)
+      val canon = cc.groupBy("component").agg(min(col("id")).as("keep_id"))
+      cc.join(canon, "component").select(col("id"), col("keep_id"))
+    }
   }
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +

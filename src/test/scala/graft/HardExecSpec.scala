@@ -54,6 +54,21 @@ class HardExecSpec extends AnyFunSuite {
     }.toMap
   }
 
+  test("stats-driven atom ordering does not change results") {
+    val stats = triples.groupBy(_._2).map { case (r, ts) => r -> ts.size.toLong }
+    Seq("r1(s1,e1)&r2(e1,e2)&r3(e2,f)",
+        "((((r1(s1,e1))&(r2(e1,f)))&(r3(s2,e2)))&(r4(e2,f)))&(r5(e1,e2))")
+      .foreach { lstr =>
+        val f = Parser.parse(lstr)
+        val b = randomBinding(f, 77)
+        val plain = HardExec.evalFormula(edgesDf, f, b)
+          .collect().map(_.getLong(0)).toSet
+        val ordered = HardExec.evalFormula(edgesDf, f, b, stats)
+          .collect().map(_.getLong(0)).toSet
+        assert(plain == ordered)
+      }
+  }
+
   KGQueries.all.foreach { case (name, lstr, _) =>
     test(s"$name matches brute force on random KG") {
       val f = Parser.parse(lstr)

@@ -131,9 +131,14 @@ class PipelineSpec extends AnyFunSuite {
 
   test("dupGroups resolves transitive near-dup clusters to canonical ids") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
-    val groups = graft.pipeline.Dedup.dupGroups(pairs)
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    val fast = graft.pipeline.Dedup.dupGroups(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(fast == expect)
+    // force the distributed GraphX path; must agree
+    val dist = graft.pipeline.Dedup.dupGroups(pairs, driverLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
   }
 
   test("embeddingPairs finds planted duplicate vectors") {
