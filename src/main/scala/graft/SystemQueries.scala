@@ -203,6 +203,27 @@ object SystemQueries {
       },
       None),
 
+    // SQL surface via the Graft facade: registered views + spark.sql.
+    ("q_facade_sql",
+      (s, dir) => {
+        Graft.fromTestdata(s, dir).registerViews("graft_")
+        s.sql("SELECT rel, COUNT(*) AS n, COUNT(DISTINCT src) AS n_src " +
+              "FROM graft_edges GROUP BY rel")
+      },
+      Some(KG.edgesCte +
+        "SELECT rel, COUNT(*) AS n, COUNT(DISTINCT src) AS n_src " +
+        "FROM edges GROUP BY rel")),
+
+    // HLL sketch: approx_count_distinct (SURVEY §2.4 'missing vs classic
+    // engines' — exposed from Spark built-ins; approximate -> rows-only,
+    // error bound spec-checked).
+    ("q_approx_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+             countDistinct("l_partkey").as("exact_parts")),
+      None),
+
     // Q3-style: top-10 unshipped-revenue orders (3-table join + agg + topk).
     ("q_join_revenue_topk",
       (s, dir) => {

@@ -39,7 +39,15 @@ object Workload {
   def evaluate(spark: SparkSession, dir: String,
                types: Seq[(String, String, Binding)]): DataFrame = {
     val full = KG.edges(spark, dir)
-    val train = trainEdges(full).localCheckpoint(true)
+    // Only the relations the workload touches need the train split
+    // materialized (both directions of each used pair).
+    val usedRels = types
+      .flatMap { case (_, _, b) =>
+        b.collect { case (name, id) if name.startsWith("r") => id }
+      }
+      .flatMap(r => Seq(r, r ^ 1L)).toSet.toSeq
+    val train = trainEdges(full.filter(col("rel").isin(usedRels: _*)))
+      .localCheckpoint(true)
     val universe = KGIndex.derivedEntityDict(spark, dir)
       .select(col("id").as("entity"))
 

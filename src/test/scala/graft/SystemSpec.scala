@@ -102,6 +102,16 @@ class SystemSpec extends AnyFunSuite {
     assert(qn.count() == 3 && qe.count() == 2) // terms s1, s2, f; 2 atoms
   }
 
+  test("approx_count_distinct stays within the configured error bound") {
+    val rows = SparkEntry.queries("q_approx_distinct")(
+      spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+             s"approx=$approx exact=$exact")
+    }
+  }
+
   test("multimodal: stub decode is deterministic; frames chunk correctly") {
     val media = Multimodal.syntheticMedia(spark, 8, bytesPerRow = 64)
     assert(media.schema("media").dataType.typeName == "binary")
