@@ -107,7 +107,7 @@ object PipelineQueries {
           graft.score.NativeTransE, beam = Int.MaxValue))
       },
       Some(s"""WITH ents AS ($supplierEntsSql)
-              |${top10Sql(s"SELECT id AS entity, ${transeSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
+              |${top10Sql(s"SELECT id AS entity, 1 + ${transeSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
     // R5+R7: 2-hop with existential max over the intermediate variable.
     ("cqd_2p_transe",
@@ -118,7 +118,7 @@ object PipelineQueries {
           relEmb(s), graft.score.NativeTransE, beam = Int.MaxValue))
       },
       Some(s"""WITH ents AS ($supplierEntsSql),
-              |s1 AS (SELECT id AS e1, ${transeSql("400000000", "9", "id")} AS sc FROM ents)
+              |s1 AS (SELECT id AS e1, 1 + ${transeSql("400000000", "9", "id")} AS sc FROM ents)
               |${top10Sql(
                 s"SELECT f.id AS entity, MAX(s1.sc + ${transeSql("s1.e1", "8", "f.id")}) AS score " +
                 "FROM s1, ents f GROUP BY f.id")}""".stripMargin)),
@@ -130,14 +130,14 @@ object PipelineQueries {
         Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
         DistMult, beam = Int.MaxValue)),
       Some(s"""WITH ents AS ($supplierEntsSql)
-              |${top10Sql(s"SELECT id AS entity, ${distmultSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
+              |${top10Sql(s"SELECT id AS entity, 1 + ${distmultSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
     ("cqd_1p_complex",
       (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
         Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
         graft.score.ComplEx, beam = Int.MaxValue)),
       Some(s"""WITH ents AS ($supplierEntsSql)
-              |${top10Sql(s"SELECT id AS entity, ${complexSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
+              |${top10Sql(s"SELECT id AS entity, 1 + ${complexSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
     ("cqd_1p_rotate",
       (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
@@ -145,7 +145,7 @@ object PipelineQueries {
         Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2, REL_SEED),
         graft.score.RotatE, beam = Int.MaxValue)),
       Some(s"""WITH ents AS ($supplierEntsSql)
-              |${top10Sql(s"SELECT id AS entity, ${rotateSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
+              |${top10Sql(s"SELECT id AS entity, 1 + ${rotateSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
     // Batched CQD: 5 instances of 2p in ONE plan (qid column = PyG batch).
     ("cqd_batch_2p",
@@ -171,7 +171,7 @@ object PipelineQueries {
              |  SELECT entity, ROUND(score, 5) AS score,
              |         ROW_NUMBER() OVER (ORDER BY ROUND(score, 5) DESC, entity) AS rn
              |  FROM (SELECT f.id AS entity,
-             |               MAX(${transeSql(s"${400000000 + q}", "9", "e.id")} +
+             |               MAX(1 + ${transeSql(s"${400000000 + q}", "9", "e.id")} +
              |                   ${transeSql("e.id", "8", "f.id")}) AS score
              |        FROM ents e, ents f GROUP BY f.id) sc$q) t$q
              |WHERE rn <= 3""".stripMargin

@@ -27,9 +27,10 @@ import graft.score._
   * Scale design: the frontier is ≤ beam rows → always broadcast; the
   * entity table is the big side and is scanned once per edge; the per-edge
   * aggregation shuffles at most |E| rows keyed by candidate id. Leaf-∃
-  * variables (R8, cqd.py:148-164) expand to all entities with score 0
-  * (log-space 1) — full-crossing cost is inherent to the reference
-  * semantics; keep entity universes scoped per query.
+  * variables (R8, cqd.py:148-164) expand to all entities with score 1,
+  * matching the reference's seed that is summed into downstream edge
+  * scores — full-crossing cost is inherent to the reference semantics;
+  * keep entity universes scoped per query.
   */
 object CQDBeam {
 
@@ -59,8 +60,12 @@ object CQDBeam {
 
     def frontierOf(t: Term): DataFrame =
       if (t.isConst)
+        // Seed score 1.0 — the reference's additive convention
+        // (cqd.py:160-162,184-188 sums the seed into edge scores); matters
+        // for the cross-conjunct max in answer() when conjuncts differ in
+        // their number of constant/leaf sources.
         ents.filter(col("id") === b(t.name))
-          .select(col("id").as("_src"), lit(0.0).as("_sscore"),
+          .select(col("id").as("_src"), lit(1.0).as("_sscore"),
                   col("vec").as("_svec"))
       else
         frontiers(t.name).as("fr")
@@ -71,8 +76,8 @@ object CQDBeam {
     order.foreach { v =>
       val incoming = atoms.filter { case (a, _) => procVar(a) == v }
       if (incoming.isEmpty) {
-        // Leaf existential: all entities, score 1 (log 0) — R8.
-        frontiers(v) = ents.select(col("id").as("_ent"), lit(0.0).as("_score"))
+        // Leaf existential: all entities, score 1 (cqd.py:160-162) — R8.
+        frontiers(v) = ents.select(col("id").as("_ent"), lit(1.0).as("_score"))
       } else {
         val edgeFrames = incoming.map { case (a, neg) =>
           val (srcTerm, srcIsHead) =

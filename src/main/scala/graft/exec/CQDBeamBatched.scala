@@ -54,8 +54,10 @@ object CQDBeamBatched {
     val qids = instances.map(_._1).toDF("qid")
 
     def constFrontier(a: Atomic): DataFrame =
+      // Seed 1.0: reference convention, summed into edge scores
+      // (cqd.py:160-162,184-188); keeps CQDBeam and this executor aligned.
       atomInstances(a).join(ents, col("_const") === ents("id"))
-        .select(col("qid"), col("id").as("_src"), lit(0.0).as("_sscore"),
+        .select(col("qid"), col("id").as("_src"), lit(1.0).as("_sscore"),
                 col("vec").as("_svec"), col("_rel"))
 
     def varFrontier(a: Atomic, name: String): DataFrame =
@@ -70,7 +72,7 @@ object CQDBeamBatched {
       val incoming = atoms.filter { case (a, _) => procVar(a) == v }
       if (incoming.isEmpty) {
         frontiers(v) = qids.crossJoin(
-          ents.select(col("id").as("_ent"), lit(0.0).as("_score")))
+          ents.select(col("id").as("_ent"), lit(1.0).as("_score")))
       } else {
         val edgeFrames = incoming.map { case (a, neg) =>
           val (srcTerm, srcIsHead) =

@@ -79,20 +79,39 @@ object LMPNN {
 
   /** Run T supersteps and score every entity against each query's free-node
     * state by cosine similarity (lmpnn.py:191-216).
+    *
+    * Each query reads its free variable at *its own* layer `num_vars − 1`
+    * (lmpnn.py:175-185): the state after `num_vars` supersteps, where
+    * num_vars counts the query's variable (non-constant) nodes. Batches may
+    * therefore mix query shapes with different variable counts — each qid is
+    * gathered at the right round instead of all sharing the final one.
+    * Queries with num_vars > rounds fall back to the last computed state.
+    *
     * Returns `(qid, entity, score)`. */
   def answer(qnodes: DataFrame, qedges: DataFrame, ents: DataFrame,
              rels: DataFrame, model: KGEModel, rounds: Int): DataFrame = {
     val dim = 8 // states carry their own width; dim only seeds var vectors
     var x = initStates(qnodes, ents, dim)
     val edgesAug = graft.lang.QueryGraph.addInverseEdges(qedges)
+    // (qid, node, _nv): the free node of each query + its variable count.
+    val freeNodes = qnodes.filter(col("kind") === 2)
+      .select(col("qid"), col("node"))
+      .join(qnodes.filter(col("kind") =!= 0).groupBy("qid")
+              .agg(countDistinct("node").cast("int").as("_nv")), "qid")
+      .localCheckpoint(true) // tiny; read once per round
+    val gathered = scala.collection.mutable.ListBuffer.empty[DataFrame]
     (1 to rounds).foreach { i =>
       x = superstep(x, edgesAug, rels, model)
       if (i % 3 == 0) x = x.localCheckpoint(true) // truncate lineage (G6)
+      // After round i the stacked-layer index i-1 is current: gather queries
+      // whose num_vars == i (plus, at the last round, any deeper stragglers).
+      val due =
+        if (i < rounds) freeNodes.filter(col("_nv") === i)
+        else freeNodes.filter(col("_nv") >= i)
+      gathered += x.join(due, Seq("qid", "node"))
+        .select(col("qid"), col("vec").as("fvec"))
     }
-    val freeStates = x.as("x")
-      .join(qnodes.filter(col("kind") === 2).as("q"),
-            col("x.qid") === col("q.qid") && col("x.node") === col("q.node"))
-      .select(col("x.qid").as("qid"), col("x.vec").as("fvec"))
+    val freeStates = gathered.reduce(_ unionAll _)
     freeStates.crossJoin(ents.select(col("id").as("entity"), col("vec")))
       .select(col("qid"), col("entity"),
               VectorOps.cosine(col("fvec"), col("vec")).as("score"))

@@ -61,13 +61,19 @@ object Joins {
                     valueCols: Seq[String]): DataFrame = {
     require(lower + upper > 0, "window must have positive span")
     val width = lower + upper
+    // Exact floor-bucketing in pure long arithmetic: the bucket id is the
+    // bucket's START value `x - pmod(x, width)` (pmod is non-negative, so
+    // this floors for negative x too). No division — double-rounding at
+    // ns-epoch magnitudes (~1.7e18, 256 ns ulp) would mis-bucket
+    // boundary-adjacent rows and silently drop matches.
+    def bucketOf(x: Column): Column = x - pmod(x, lit(width))
     val r = right.select((keyCols.map(col) :+
-        (col(tsR).cast("long") / width).cast("long").as("_bucket")) ++
+        bucketOf(col(tsR).cast("long")).as("_bucket")) ++
         (col(tsR).cast("long").as("_rts") +: valueCols.map(col)): _*)
     val probe = left.withColumn("_bucket",
       explode(array_distinct(array(
-        ((col(tsL).cast("long") - lower) / width).cast("long"),
-        ((col(tsL).cast("long") + upper) / width).cast("long")))))
+        bucketOf(col(tsL).cast("long") - lower),
+        bucketOf(col(tsL).cast("long") + upper)))))
     probe.join(r, keyCols :+ "_bucket")
       .filter(col("_rts") >= col(tsL).cast("long") - lower &&
               col("_rts") <= col(tsL).cast("long") + upper)

@@ -38,10 +38,21 @@ object Embeddings {
   def sqlVecElem(idExpr: String, i: Int, seed: Double): String =
     s"SIN((($idExpr) % 9973 + 1) * ${i + 1} * 0.017 + $seed)"
 
-  /** F9: random embedding init N(0, std) (rotate.py:108-115) — seeded and
-    * therefore reproducible per run. */
+  /** F9: random embedding init N(0, std) (rotate.py:108-115), made
+    * per-element deterministic: Box-Muller on two xxhash64-derived uniforms
+    * of (id, i, seed). Non-deterministic expressions (randn) inside
+    * higher-order-function lambdas either fail analysis or advance
+    * per-element in version-dependent ways; an explicit hash is reproducible
+    * under any partitioning/retry — required at cluster scale. */
   def randomInit(ids: DataFrame, idCol: String, dim: Int, std: Double,
-                 seed: Long = 42L): DataFrame =
+                 seed: Long = 42L): DataFrame = {
+    val m = 1048573L // prime modulus; u in (0,1) exclusive of both ends
+    def unif(i: Column, salt: Long): Column =
+      (pmod(xxhash64(col(idCol), i, lit(seed + salt)), lit(m)).cast("double")
+        + 0.5) / m.toDouble
     ids.withColumn("vec",
-      transform(sequence(lit(0), lit(dim - 1)), _ => randn(seed) * std))
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        sqrt(lit(-2.0) * log(unif(i, 0L))) *
+          cos(lit(2.0 * math.Pi) * unif(i, 1L)) * std))
+  }
 }

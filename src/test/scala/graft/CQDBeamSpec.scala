@@ -31,8 +31,10 @@ class CQDBeamSpec extends AnyFunSuite {
   def spark2map(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
     df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
+  // Constant/leaf frontiers seed score 1.0, summed into edge scores
+  // (cqd.py:160-162,184-188).
   def score1p(r1: Long, s1: Long)(f: Long): Double =
-    transe(vec(s1, entSeed), vec(r1, relSeed), vec(f, entSeed))
+    1.0 + transe(vec(s1, entSeed), vec(r1, relSeed), vec(f, entSeed))
 
   test("1p: scores all entities like the reference formula") {
     val got = spark2map(CQDBeam.answer("r1(s1,f)",
@@ -48,7 +50,7 @@ class CQDBeamSpec extends AnyFunSuite {
       Map("r1" -> 0L, "r2" -> 2L, "s1" -> 4L), ents, rels, TransE(2), beam = 10))
     (0L until nEnt).foreach { f =>
       val want = (0L until nEnt).map { e1 =>
-        transe(vec(4, entSeed), vec(0, relSeed), vec(e1, entSeed)) +
+        1.0 + transe(vec(4, entSeed), vec(0, relSeed), vec(e1, entSeed)) +
         transe(vec(e1, entSeed), vec(2, relSeed), vec(f, entSeed))
       }.max
       assert(math.abs(got(f) - want) < 1e-9, s"f=$f")
@@ -60,8 +62,8 @@ class CQDBeamSpec extends AnyFunSuite {
       Map("r1" -> 0L, "r2" -> 1L, "s1" -> 0L, "s2" -> 1L),
       ents, rels, TransE(2), beam = 10))
     (0L until nEnt).foreach { f =>
-      val want = transe(vec(0, entSeed), vec(0, relSeed), vec(f, entSeed)) +
-                 transe(vec(1, entSeed), vec(1, relSeed), vec(f, entSeed))
+      val want = (1.0 + transe(vec(0, entSeed), vec(0, relSeed), vec(f, entSeed))) +
+                 (1.0 + transe(vec(1, entSeed), vec(1, relSeed), vec(f, entSeed)))
       assert(math.abs(got(f) - want) < 1e-9)
     }
   }
@@ -71,8 +73,8 @@ class CQDBeamSpec extends AnyFunSuite {
       Map("r1" -> 0L, "r2" -> 1L, "s1" -> 0L, "s2" -> 1L),
       ents, rels, TransE(2), beam = 10))
     (0L until nEnt).foreach { f =>
-      val want = transe(vec(0, entSeed), vec(0, relSeed), vec(f, entSeed)) -
-                 transe(vec(1, entSeed), vec(1, relSeed), vec(f, entSeed))
+      val want = (1.0 + transe(vec(0, entSeed), vec(0, relSeed), vec(f, entSeed))) +
+                 (1.0 - transe(vec(1, entSeed), vec(1, relSeed), vec(f, entSeed)))
       assert(math.abs(got(f) - want) < 1e-9)
     }
   }
@@ -82,7 +84,7 @@ class CQDBeamSpec extends AnyFunSuite {
       Map("r1" -> 0L, "r2" -> 1L, "s1" -> 0L, "s2" -> 1L),
       ents, rels, TransE(2), beam = 10))
     (0L until nEnt).foreach { f =>
-      val want = math.max(
+      val want = 1.0 + math.max(
         transe(vec(0, entSeed), vec(0, relSeed), vec(f, entSeed)),
         transe(vec(1, entSeed), vec(1, relSeed), vec(f, entSeed)))
       assert(math.abs(got(f) - want) < 1e-9)
@@ -96,7 +98,7 @@ class CQDBeamSpec extends AnyFunSuite {
     val bestE1 = (0L until nEnt).maxBy(e1 =>
       transe(vec(4, entSeed), vec(0, relSeed), vec(e1, entSeed)))
     (0L until nEnt).foreach { f =>
-      val want = transe(vec(4, entSeed), vec(0, relSeed), vec(bestE1, entSeed)) +
+      val want = 1.0 + transe(vec(4, entSeed), vec(0, relSeed), vec(bestE1, entSeed)) +
                  transe(vec(bestE1, entSeed), vec(2, relSeed), vec(f, entSeed))
       assert(math.abs(got(f) - want) < 1e-9)
     }

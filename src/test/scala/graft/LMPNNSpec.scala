@@ -51,4 +51,29 @@ class LMPNNSpec extends AnyFunSuite {
     // scores are finite cosines in [-1, 1]
     rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
+
+  test("mixed-shape batch: each query gathered at its own layer num_vars-1") {
+    // 2p (num_vars=2) batched with 3p (num_vars=3), run 3 rounds: the 2p
+    // query must read its free state after round 2 — identical to answering
+    // it alone with rounds=2 (lmpnn.py:175-185 per-query layer gather).
+    val cq2p = Normalize.toDnf(Parser.parse("r1(s1,e1)&r2(e1,f)")).head
+    val cq3p = Normalize.toDnf(Parser.parse("r1(s1,e1)&r2(e1,e2)&r3(e2,f)")).head
+    val b2 = Map("r1" -> 0L, "r2" -> 2L, "s1" -> 4L)
+    val b3 = Map("r1" -> 1L, "r2" -> 3L, "r3" -> 0L, "s1" -> 2L)
+    val ents = Embeddings.deterministic(spark.range(6).toDF("id"), "id", dim, 0.3)
+    val rels = Embeddings.deterministic(spark.range(4).toDF("id"), "id", dim, 1.7)
+
+    val (qnM, qeM) = QueryGraph.compile(spark, Seq((cq2p, b2), (cq3p, b3)))
+    val mixed = LMPNN.answer(qnM, qeM, ents, rels, TransE(2), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val (qnS, qeS) = QueryGraph.compile(spark, Seq((cq2p, b2)))
+    val solo = LMPNN.answer(qnS, qeS, ents, rels, TransE(2), rounds = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+
+    assert(mixed.count(_._1._1 == 0L) == 6 && mixed.count(_._1._1 == 1L) == 6)
+    solo.foreach { case (ent, sc) =>
+      assert(math.abs(mixed((0L, ent)) - sc) < 1e-9, s"entity $ent")
+    }
+  }
 }

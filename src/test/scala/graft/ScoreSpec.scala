@@ -106,4 +106,24 @@ class ScoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
     assert(out(1L) == Seq(4.0, 6.0) && out(2L) == Seq(5.0, 5.0))
   }
+
+  test("F9 randomInit: deterministic, right shape, ~N(0, std^2)") {
+    val dim = 16
+    val std = 1e-3
+    val ids = spark.range(500).toDF("id")
+    val rows = Embeddings.randomInit(ids, "id", dim, std)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.size == 500 && rows.values.forall(_.length == dim))
+    val xs = rows.values.flatten.toArray
+    val mean = xs.sum / xs.length
+    val variance = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+    assert(math.abs(mean) < 3 * std / math.sqrt(xs.length.toDouble) * 5,
+      s"mean $mean not ~0")
+    assert(variance > 0.8 * std * std && variance < 1.2 * std * std,
+      s"variance $variance not ~${std * std}")
+    // element-wise reproducible across evaluations
+    val again = Embeddings.randomInit(ids, "id", dim, std)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows == again)
+  }
 }
