@@ -61,6 +61,21 @@ object PipelineQueries {
 
   private val S0 = KG.ent(KG.TAG_SUPPLIER, 0)
 
+  /** DuckDB rendering of Similarity.hyperplaneBucket for a DOUBLE[] expr:
+    * fold j = 0..planes-1 of acc*2 + (dot(v, plane_j) > 0). DuckDB lambda
+    * index `i` is 1-based where Spark's zip index is 0-based, so the plane
+    * element angle (j*131 + i0 + 1) becomes (j*131 + i). */
+  private def bucketSql(v: String, planes: Int, seed: Double): String =
+    s"""list_sum(list_transform(generate_series(0, ${planes - 1}), j ->
+       |  CASE WHEN list_sum(list_transform($v, (x,i) -> x * sin((j*131 + i) * 0.7 + $seed))) > 0
+       |  THEN (1::BIGINT << (${planes - 1} - j)) ELSE 0::BIGINT END))""".stripMargin
+
+  private val embedsSql =
+    "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   private def ev(idExpr: String, i: Int) = Embeddings.sqlVecElem(idExpr, i, ENT_SEED)
   private def rv(idExpr: String, i: Int) = Embeddings.sqlVecElem(idExpr, i, REL_SEED)
 
@@ -388,12 +403,17 @@ object PipelineQueries {
                               threshold = 0.5)),
       None),
 
-    // Embedding-cosine near-dup via hyperplane LSH.
+    // Embedding-cosine near-dup via hyperplane LSH — oracle recomputes the
+    // deterministic sin-plane buckets with DuckDB list lambdas.
     ("dedup_embedding",
       (s, dir) => Dedup.embeddingPairs(
         Embeddings.fromParquet(s, s"$dir/embeddings.parquet"), "id", "vec",
         threshold = 0.4, planes = 6),
-      None),
+      Some(s"""WITH e AS ($embedsSql),
+              |b AS (SELECT id, v, ${bucketSql("v", 6, 4.2)} AS bkt FROM e)
+              |SELECT a.id AS i, b.id AS j, ROUND(${cosSql("a.v", "b.v")}, 6) AS cos
+              |FROM b a JOIN b b ON a.bkt = b.bkt AND a.id < b.id
+              |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin)),
 
     // Text statistics (token counting, char stats, stopwords).
     ("text_stats",
@@ -419,12 +439,36 @@ object PipelineQueries {
       Some("SELECT doc_id, list_min(list_transform(string_split(text, ' '), " +
            "t -> md5(t))) AS fp FROM documents")),
 
-    // Language ID + quality score (heuristics; deterministic, rows-only).
+    // Language ID + quality score. Oracle recomputes both heuristics in
+    // SQL; the langId argmax over (hits, lang) structs is encoded as a
+    // zero-padded sortable string so DuckDB's greatest() matches Spark's
+    // struct comparison (hits first, then lang lexicographically).
     ("text_quality",
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
         TextOps.qualityScore(col("text")).as("quality")),
-      None),
+      Some {
+        def hitsSql(markers: Seq[String]): String =
+          s"len(list_filter(string_split(lower(text), ' '), t -> t IN (" +
+            markers.map(m => s"'$m'").mkString(", ") + ")))"
+        val enc = TextOps.langMarkers.map { case (lang, markers) =>
+          s"lpad(CAST(${hitsSql(markers)} AS VARCHAR), 5, '0') || '$lang'"
+        }.mkString(",\n      ")
+        val stops = TextOps.defaultStops.map(s => s"'$s'").mkString(", ")
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |    len(string_split(text, ' ')) AS nt,
+           |    greatest($enc) AS best,
+           |    len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS nstop,
+           |    (LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / LENGTH(text) AS pr,
+           |    (LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / LENGTH(text) AS ur
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN CAST(substr(best, 1, 5) AS INT) > 0 THEN substr(best, 6) ELSE 'und' END AS lang_pred,
+           |  ROUND((least(nt / 64.0, 1.0) + least(nstop * 5.0 / nt, 1.0)) / 2
+           |        * greatest(0.0, 1.0 - pr * 4.0) * greatest(0.0, 1.0 - ur * 4.0), 6) AS quality
+           |FROM q""".stripMargin
+      }),
 
     // Brute-force cosine top-5 ANN (exact baseline).
     ("ann_brute_topk",
@@ -441,7 +485,9 @@ object PipelineQueries {
              |    PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM c) t
              |WHERE rank <= 5""".stripMargin)),
 
-    // IVF-style coarse-quantized ANN (single-cell probe).
+    // IVF-style coarse-quantized ANN (single-cell probe). Oracle assigns
+    // cells by the same argmin over sin-seeded centroids (row_number
+    // mirrors Spark's array_min struct tie-break: neg-dot, then cell id).
     ("ann_ivf_topk",
       (s, dir) => {
         val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
@@ -449,15 +495,42 @@ object PipelineQueries {
                            nCentroids = 8, dim = 64)
           .withColumn("rank", col("rank").cast("long"))
       },
-      None),
+      Some(s"""WITH e AS ($embedsSql),
+              |cents AS (SELECT c, list_transform(generate_series(1, 64), i -> sin((c % 9973 + 1) * i * 0.017 + 2.7)) AS cv
+              |          FROM generate_series(0, 7) t(c)),
+              |assign AS (SELECT id, v, c AS cell,
+              |             ROW_NUMBER() OVER (PARTITION BY id ORDER BY -list_dot_product(v, cv) ASC, c ASC) AS rn
+              |           FROM e CROSS JOIN cents),
+              |ac AS (SELECT id, v, cell FROM assign WHERE rn = 1),
+              |sc AS (SELECT q.id AS qid, n.id AS nid, ${cosSql("q.v", "n.v")} AS cs
+              |       FROM ac q JOIN ac n ON q.cell = n.cell AND n.id <> q.id
+              |       WHERE q.id < 20)
+              |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(cs, 6) AS cos FROM (
+              |  SELECT qid, nid, cs, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc) t
+              |WHERE rank <= 5""".stripMargin)),
 
-    // LSH-bucketed approximate ANN (recall spec-verified vs brute force).
+    // LSH-bucketed approximate ANN: oracle reproduces both probe tables'
+    // buckets and the UNION-dedup of candidates.
     ("ann_lsh_topk",
       (s, dir) => {
         val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
         Similarity.lshTopK(emb, emb.filter(col("id") < 20), k = 5)
           .withColumn("rank", col("rank").cast("long"))
       },
-      None)
+      Some {
+        val tables = (0 until 2).map { p =>
+          val seed = 4.2 + p * 17.31
+          s"""SELECT a.id AS nid, q.id AS qid, a.v AS nv, q.v AS qv
+             |      FROM (SELECT id, v, ${bucketSql("v", 8, seed)} AS bkt FROM e) a
+             |      JOIN (SELECT id, v, ${bucketSql("v", 8, seed)} AS bkt FROM e WHERE id < 20) q
+             |      ON a.bkt = q.bkt AND a.id <> q.id""".stripMargin
+        }
+        s"""WITH e AS ($embedsSql),
+           |cand AS (${tables.mkString(" UNION ")}),
+           |sc AS (SELECT qid, nid, ${cosSql("qv", "nv")} AS cs FROM cand)
+           |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(cs, 6) AS cos FROM (
+           |  SELECT qid, nid, cs, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc) t
+           |WHERE rank <= 5""".stripMargin
+      })
   )
 }

@@ -192,7 +192,9 @@ object SystemQueries {
            "event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value " +
            "FROM events GROUP BY 1, 2")),
 
-    // Session windows (batch twin; no DuckDB analog -> rows-only).
+    // Session windows (batch twin). Oracle: gaps-and-islands — a new
+    // session starts when the gap to the previous event is >= 5 min,
+    // matching session_window's interval-merge semantics.
     ("q_stream_sessions",
       (s, dir) => {
         val ev = t(s, dir, "events")
@@ -201,7 +203,15 @@ object SystemQueries {
           .select(col("user_id"), col("n_events"),
                   round(col("session_value"), 4).as("session_value"))
       },
-      None),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s, value FROM events),
+             |m AS (SELECT user_id, s, value,
+             |        CASE WHEN s - LAG(s) OVER (PARTITION BY user_id ORDER BY s) >= 300
+             |             OR LAG(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+             |        THEN 1 ELSE 0 END AS new_s FROM e),
+             |g AS (SELECT user_id, value, SUM(new_s) OVER (PARTITION BY user_id ORDER BY s
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+             |SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+             |FROM g GROUP BY user_id, sid""".stripMargin)),
 
     // SQL surface via the Graft facade: registered views + spark.sql.
     ("q_facade_sql",
@@ -329,7 +339,10 @@ object SystemQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k")),
       Some("SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events")),
 
-    // Multimodal plumbing: stubbed decode features + frame sampling.
+    // Multimodal plumbing: stubbed decode features + frame sampling. The
+    // synthetic payload is repeated sha256(id) bytes, so the oracle
+    // recomputes the stub's byte moments from the digest hex in SQL —
+    // the mapPartitions decode seam itself is what's under test.
     ("multimodal_features",
       (s, dir) => {
         import s.implicits._
@@ -338,12 +351,23 @@ object SystemQueries {
           .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
             round(element_at(col("features"), 1), 6).as("f0"))
       },
-      None),
+      Some("""WITH m AS (SELECT r AS media_id, sha256(CAST(r AS VARCHAR)) AS h FROM range(64) t(r))
+             |SELECT media_id,
+             |  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  CAST(256 AS BIGINT) AS n_bytes,
+             |  ROUND(list_sum(list_transform(generate_series(0, 31),
+             |          k -> ('0x' || substr(h, 2 * ((8 * k) % 32) + 1, 2))::BIGINT / 255.0)) / 32.0, 6) AS f0
+             |FROM m""".stripMargin)),
 
     ("multimodal_frames",
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.syntheticMedia(s, 64), "media", frameBytes = 32, stride = 2)
-        .select(col("media_id"), size(col("frames")).cast("long").as("n_frames")),
-      None)
+        .select(col("media_id"), size(col("frames")).cast("long").as("n_frames"),
+                // frame 0 = payload bytes [0,32) = the sha256 digest itself
+                hex(element_at(col("frames"), 1)).as("f0_hex")),
+      Some("""SELECT r AS media_id,
+             |  CAST(len(list_filter(generate_series(0, 256 // 32 - 1), i -> i % 2 = 0)) AS BIGINT) AS n_frames,
+             |  upper(sha256(CAST(r AS VARCHAR))) AS f0_hex
+             |FROM range(64) t(r)""".stripMargin))
   )
 }
