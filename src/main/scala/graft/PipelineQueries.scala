@@ -109,6 +109,33 @@ object PipelineQueries {
     }.mkString(" + ") + ")"
   }
 
+  /** DuckDB CTE chain reproducing Dedup.minhashLshPairs with the
+    * PortableMd5 family: shingle sets -> 32 salted-md5 minhashes ->
+    * 8 banded md5 bucket keys -> candidate pairs -> exact-Jaccard counts.
+    * Ends with CTEs `pairs(i, j, c)` and `sz(doc_id, n)`. */
+  private val minhashPairsSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(t) - 2)) AS i) g),
+      |d AS (SELECT DISTINCT doc_id, s FROM sh),
+      |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS mh
+      |        FROM d CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bh
+      |          FROM sig GROUP BY doc_id, i // 4),
+      |cands AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
+      |pairs AS (SELECT cd.i, cd.j, COUNT(*) AS c
+      |          FROM cands cd JOIN d a ON a.doc_id = cd.i
+      |          JOIN d b ON b.doc_id = cd.j AND a.s = b.s
+      |          GROUP BY cd.i, cd.j)""".stripMargin
+
+  private val minhashPairsSelect =
+    """
+      |SELECT p.i, p.j, ROUND(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+      |FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+      |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5""".stripMargin
+
   // ---- the registry ---------------------------------------------------
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -384,24 +411,50 @@ object PipelineQueries {
              |FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
              |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5""".stripMargin)),
 
-    // MinHash+LSH near-dup (approximate; spec-verified against exact Jaccard).
+    // MinHash+LSH near-dup with the portable md5 hash family, so the whole
+    // shingle -> minhash -> band -> bucket-join -> exact-verify pipeline is
+    // oracle-reproducible (xxhash64 family stays the scale default).
     ("dedup_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"),
-      None),
+      (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+                                        family = Dedup.PortableMd5),
+      Some(minhashPairsSql + minhashPairsSelect)),
 
-    // SimHash near-dup (approximate; spec-verified).
+    // SimHash near-dup, portable 60-bit md5-derived signature.
     ("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-                                     maxHamming = 3),
-      None),
+                                     maxHamming = 3, family = Dedup.PortableMd5)
+        .withColumn("hamming", col("hamming").cast("long")),
+      Some("""WITH tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+             |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tk),
+             |bits AS (SELECT doc_id, i, SUM(((h >> i) & 1) * 2 - 1) AS sb
+             |         FROM th CROSS JOIN range(60) r(i) GROUP BY doc_id, i),
+             |sim AS (SELECT doc_id, CAST(SUM(CASE WHEN sb > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS sim
+             |        FROM bits GROUP BY doc_id),
+             |banded AS (SELECT doc_id, b AS band, (sim >> CAST(b * 15 AS INT)) & 32767 AS bh, sim
+             |           FROM sim CROSS JOIN range(4) r(b))
+             |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+             |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+             |FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin)),
 
     // Near-dup cluster resolution: LSH pairs -> connected components ->
-    // canonical doc per cluster (rows-only: GraphX CC is iterative).
+    // canonical doc per cluster. Oracle: recursive-CTE transitive closure
+    // over the same (portable-family) pair set, keep_id = min reachable id.
     ("dedup_groups",
       (s, dir) => Dedup.dupGroups(
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-                              threshold = 0.5)),
-      None),
+                              threshold = 0.5, family = Dedup.PortableMd5)),
+      Some(minhashPairsSql.replace("WITH ", "WITH RECURSIVE ") +
+        """,
+          |pairsf AS (SELECT p.i, p.j
+          |           FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+          |           WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+          |nodes AS (SELECT i AS id FROM pairsf UNION SELECT j FROM pairsf),
+          |und AS (SELECT i AS a, j AS b FROM pairsf UNION SELECT j AS a, i AS b FROM pairsf),
+          |reach(a, b) AS (SELECT id, id FROM nodes
+          |                UNION
+          |                SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a)
+          |SELECT a AS id, MIN(b) AS keep_id FROM reach GROUP BY a""".stripMargin)),
 
     // Embedding-cosine near-dup via hyperplane LSH — oracle recomputes the
     // deterministic sin-plane buckets with DuckDB list lambdas.

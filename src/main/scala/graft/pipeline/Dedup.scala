@@ -77,26 +77,50 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
               i => array_min(transform(shingleArr, s => xxhash64(i, s))))
 
+  /** Hash families for the LSH signatures.
+    *  - [[XxHash]] (default): xxhash64 — fastest (codegen'd, no string
+    *    building); the choice at 100 TB scale.
+    *  - [[PortableMd5]]: salted md5 hex strings, minhash = lexicographic
+    *    min — slower, but exactly reproducible in any ANSI engine (md5 is
+    *    standard), so results are oracle-verifiable across engines. A salted
+    *    md5 truncation is still a uniform permutation-family, so detection
+    *    quality is equivalent. */
+  sealed trait HashFamily
+  case object XxHash extends HashFamily
+  case object PortableMd5 extends HashFamily
+
   /** MinHash+LSH candidate pairs, verified with exact Jaccard.
     * numHashes = bands * rowsPerBand. Candidates are pairs sharing at least
     * one band hash (shingle→minhash→band→bucket-join). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      family: HashFamily = XxHash): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Signature from the exploded (id, shingle) set: one aggregation pass,
-    // sig[i] = min(xxhash64(i, sh)). Shares the materialized shingle sets
+    // sig[i] = min(hash_i(sh)). Shares the materialized shingle sets
     // with the verification join below, and never re-builds shingle strings
     // (the expression-only nested-transform formulation re-evaluated the
     // shingle construction once per hash function — 50x slower at 5k docs).
     val sets = shingleSets(df, idCol, textCol, shingleN)
-    val sig = sets.groupBy("id")
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
+    val sigAggs = family match {
+      case XxHash =>
+        (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))))
+      case PortableMd5 =>
+        (0 until numHashes).map(i =>
+          min(md5(concat(lit(s"$i:"), col("sh")))))
+    }
+    val sig = sets.groupBy("id").agg(array(sigAggs: _*).as("sig"))
+    def bandHash(j: Int): Column = {
+      val rows = slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)
+      family match {
+        case XxHash      => xxhash64(rows).cast("string")
+        case PortableMd5 => md5(concat_ws("|", rows))
+      }
+    }
     val banded = sig.select(
       col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand)))))
+      posexplode(array((0 until bands).map(bandHash): _*))
         .as(Seq("band", "bh")))
       .localCheckpoint(true) // signatures computed once, not per join side
     val cands = banded.as("a")
@@ -119,15 +143,20 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs within a Hamming radius, blocked on 4×16-bit
-    * bands (pigeonhole: pairs at distance <= 3 share at least one band). */
+  /** SimHash near-dup pairs within a Hamming radius, blocked on 4 bands
+    * (pigeonhole: pairs at distance <= 3 share at least one band).
+    * Bit width is 64 for the xxhash64 family, 60 (4×15) for the portable
+    * md5 family (15 hex chars = 60 bits fit a signed BIGINT in any engine). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+                   maxHamming: Int = 3,
+                   family: HashFamily = XxHash): DataFrame = {
+    val bandBits = family match { case XxHash => 16; case PortableMd5 => 15 }
+    val mask = (1L << bandBits) - 1
+    val sh = simhash(df, idCol, textCol, family)
       .localCheckpoint(true) // both join sides read the signatures
     val banded = sh.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(j =>
-        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("sim"), j * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bh")))
     banded.as("a")
       .join(banded.as("b"),
@@ -139,19 +168,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** 64-bit SimHash over the token multiset (relational formulation): each
-    * token hashed once on the exploded frame, per-bit ±1 sums as 64
-    * aggregate columns, then packed into one BIGINT. One shuffle on id;
-    * scales with corpus size regardless of document length. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash over the token multiset (relational formulation): each
+    * token hashed once on the exploded frame, per-bit ±1 sums as one
+    * aggregate column per bit, then packed into one BIGINT. One shuffle on
+    * id; scales with corpus size regardless of document length.
+    * Token hash: xxhash64 (64-bit), or the first 15 md5 hex chars parsed as
+    * a 60-bit integer for the engine-portable family. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              family: HashFamily = XxHash): DataFrame = {
+    val (hashCol, nBits) = family match {
+      case XxHash      => (xxhash64(col("t")), 64)
+      case PortableMd5 => (conv(substring(md5(col("t")), 1, 15), 16, 10)
+                             .cast("long"), 60)
+    }
     val th = df.select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitAggs = (0 until 64).map(i =>
+      .select(col("id"), hashCol.as("h"))
+    val bitAggs = (0 until nBits).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
     val bitSums = th.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
     bitSums.select(col("id"),
-      (0 until 64).map(i =>
+      (0 until nBits).map(i =>
         when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
         .reduce(_ bitwiseOR _).as("sim"))
   }
