@@ -221,16 +221,47 @@ object PipelineQueries {
         s"WITH ents AS ($supplierEntsSql)\n" + perQ.mkString(" UNION ALL ")
       }),
 
-    // Beam-pruned cyclic query (approximate — rows-only check).
+    // Beam-pruned cyclic query. The oracle replays the exact elimination
+    // schedule (varOrder = e1, e2, f) with window top-8 beams: e1 from the
+    // s1 anchor; e2 joins its s2 anchor with the cycle edge r5 from the e1
+    // beam; f sums the two path edges. Validates the beam *as an algorithm*,
+    // not just the final ranking.
     ("cqd_3c_beam",
       (s, dir) => top10Rounded(CQDBeam.answer(
         "((((r1(s1,e1))&(r2(e1,f)))&(r3(s2,e2)))&(r4(e2,f)))&(r5(e1,e2))",
         Map("r1" -> 9L, "r2" -> 8L, "r3" -> 9L, "r4" -> 8L, "r5" -> 16L,
             "s1" -> S0, "s2" -> KG.ent(KG.TAG_SUPPLIER, 1)),
         supplierEnts(s, dir), relEmb(s), TransE(2), beam = 8)),
-      None),
+      Some {
+        val t1 = transeSql("400000000", "9", "id")
+        val t3 = transeSql("400000001", "9", "id")
+        s"""WITH ents AS ($supplierEntsSql),
+           |e1f AS (SELECT id AS e1, sc FROM (
+           |  SELECT id, 1 + $t1 AS sc,
+           |         ROW_NUMBER() OVER (ORDER BY 1 + $t1 DESC, id) AS rn FROM ents) t
+           |  WHERE rn <= 8),
+           |e2a AS (SELECT id AS e2, 1 + $t3 AS sc1 FROM ents),
+           |e2b AS (SELECT c.id AS e2, MAX(e1f.sc + ${transeSql("e1f.e1", "16", "c.id")}) AS sc2
+           |        FROM e1f, ents c GROUP BY c.id),
+           |e2f AS (SELECT e2, sc FROM (
+           |  SELECT e2a.e2 AS e2, sc1 + sc2 AS sc,
+           |         ROW_NUMBER() OVER (ORDER BY sc1 + sc2 DESC, e2a.e2) AS rn
+           |  FROM e2a JOIN e2b ON e2a.e2 = e2b.e2) t WHERE rn <= 8),
+           |fa AS (SELECT c.id AS entity, MAX(e1f.sc + ${transeSql("e1f.e1", "8", "c.id")}) AS sa
+           |       FROM e1f, ents c GROUP BY c.id),
+           |fb AS (SELECT c.id AS entity, MAX(e2f.sc + ${transeSql("e2f.e2", "8", "c.id")}) AS sb
+           |       FROM e2f, ents c GROUP BY c.id)
+           |${top10Sql("SELECT fa.entity AS entity, sa + sb AS score FROM fa JOIN fb ON fa.entity = fb.entity")}""".stripMargin
+      }),
 
-    // G4-G6: LMPNN message passing (rows-only; plumbing spec-verified).
+    // G4-G6: LMPNN message passing. The oracle is the analytically expanded
+    // closed form of two TransE supersteps on the (inverse-augmented) 2p
+    // graph: with residual 0.1 and var-init vv = sin(0.5)·1 (id −1 hashes to
+    // the zero angle), the free state after round 2 is
+    //   1.21·vv + ev(s1) + 2·rv(r1) + 1.1·rv(r2)
+    // (the r1 message arrives both directly and via the inverse edge
+    // rel^1 = r2^1 = r1). An independent derivation — if the superstep
+    // plumbing mis-aggregates, this mismatches.
     ("lmpnn_2p",
       (s, dir) => {
         val cq = graft.lang.Normalize.toDnf(
@@ -242,7 +273,25 @@ object PipelineQueries {
           TransE(2), rounds = 2)
           .select(col("qid"), col("entity"), round(col("score"), 5).as("score"))
       },
-      None),
+      Some {
+        def freeState(s1: Long, r1: Int, r2: Int): String =
+          s"""list_transform(generate_series(1, $DIM), k ->
+             |    1.21 * SIN(0.5)
+             |    + SIN(($s1 % 9973 + 1) * k * 0.017 + $ENT_SEED)
+             |    + 2 * SIN(($r1 % 9973 + 1) * k * 0.017 + $REL_SEED)
+             |    + 1.1 * SIN(($r2 % 9973 + 1) * k * 0.017 + $REL_SEED))""".stripMargin
+        s"""WITH ents AS ($supplierEntsSql),
+           |fv AS (
+           |  SELECT CAST(0 AS BIGINT) AS qid, ${freeState(400000000L, 9, 8)} AS v
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT), ${freeState(400000001L, 8, 9)}),
+           |ev AS (SELECT id, list_transform(generate_series(1, $DIM),
+           |         k -> SIN((id % 9973 + 1) * k * 0.017 + $ENT_SEED)) AS v FROM ents)
+           |SELECT fv.qid, ev.id AS entity,
+           |  ROUND(list_dot_product(fv.v, ev.v) /
+           |        (SQRT(list_dot_product(fv.v, fv.v)) * SQRT(list_dot_product(ev.v, ev.v))), 5) AS score
+           |FROM fv CROSS JOIN ev""".stripMargin
+      }),
 
     // O3+O4+O5+A6: full metric pipeline with the filtered setting.
     ("metric_mrr",

@@ -24,13 +24,26 @@ object Workload {
 
   /** Deterministic 90% train split, consistent across inverse pairs: the
     * canonical (even-relation) form of each edge decides membership for
-    * both directions. */
+    * both directions. Hash: first 15 md5 hex chars of "src|rel|dst" parsed
+    * as a 60-bit int — engine-portable (any ANSI SQL engine reproduces the
+    * split exactly), so end-to-end workload metrics are oracle-checkable. */
   def trainEdges(edges: DataFrame, keepMod: Int = 10): DataFrame = {
     val canonSrc = when(col("rel") % 2 === 0, col("src")).otherwise(col("dst"))
     val canonDst = when(col("rel") % 2 === 0, col("dst")).otherwise(col("src"))
-    val canonRel = col("rel").bitwiseAND(lit(~1L))
-    edges.filter(pmod(xxhash64(canonSrc, canonRel, canonDst), lit(keepMod)) =!= 0)
+    val canonRel = col("rel") - col("rel") % 2
+    val h = conv(substring(md5(
+      concat_ws("|", canonSrc, canonRel, canonDst)), 1, 15), 16, 10).cast("long")
+    edges.filter(pmod(h, lit(keepMod)) =!= 0)
   }
+
+  /** DuckDB predicate equivalent of [[trainEdges]]'s keep condition over an
+    * `edges(src, rel, dst)` row. */
+  def trainPredicateSql(keepMod: Int = 10): String =
+    "('0x' || substr(md5(" +
+      "CAST(CASE WHEN rel % 2 = 0 THEN src ELSE dst END AS VARCHAR) || '|' || " +
+      "CAST(rel - (rel % 2) AS VARCHAR) || '|' || " +
+      "CAST(CASE WHEN rel % 2 = 0 THEN dst ELSE src END AS VARCHAR)" +
+      s"), 1, 15))::BIGINT % $keepMod <> 0"
 
   /** Filtered-metric evaluation of `types` (name, lstr, binding) over the
     * train/full split. Score model: symbolic train-KG membership (1/0) —
@@ -78,5 +91,41 @@ object Workload {
               round(col("hits1"), 6).as("hits1"),
               round(col("hits3"), 6).as("hits3"),
               round(col("hits10"), 6).as("hits10"), col("n_hard"))
+  }
+
+  /** DuckDB oracle for [[evaluate]]: per type, easy answers come from the
+    * formula over the md5-split train edges, hard = full \ easy, and the
+    * filtered MRR/Hits pipeline (rank by 1/0 membership score over the
+    * entity universe, subtract better-ranked easy + hard) is mirrored with
+    * window functions. `univSql` must select the entity universe as `id`. */
+  def evaluateSql(types: Seq[(String, String, Binding)],
+                  univSql: String): String = {
+    val perType = types.map { case (name, lstr, b) =>
+      val easy = graft.exec.OracleSql.formulaSqlOver(lstr, b, "tedges")
+      val full = graft.exec.OracleSql.formulaSqlOver(lstr, b, "edges")
+      s"""easy_$name AS ($easy),
+         |full_$name AS ($full),
+         |hard_$name AS (SELECT f FROM full_$name EXCEPT SELECT f FROM easy_$name),
+         |rk_$name AS (SELECT u.id AS entity, e.f IS NOT NULL AS is_easy,
+         |    ROW_NUMBER() OVER (ORDER BY (CASE WHEN e.f IS NOT NULL THEN 1.0 ELSE 0.0 END) DESC, u.id) - 1 AS rnk
+         |  FROM univ u LEFT JOIN easy_$name e ON u.id = e.f),
+         |he_$name AS (SELECT rk.entity, rk.rnk,
+         |    (SELECT COUNT(*) FROM rk_$name e WHERE e.is_easy AND e.rnk < rk.rnk) AS ne
+         |  FROM rk_$name rk JOIN hard_$name h ON rk.entity = h.f),
+         |fr_$name AS (SELECT rnk - ne - (ROW_NUMBER() OVER (ORDER BY rnk) - 1) AS fr FROM he_$name),
+         |out_$name AS (SELECT '$name' AS qtype,
+         |    ROUND(AVG(1.0 / (1 + fr)), 6) AS mrr,
+         |    ROUND(AVG(CASE WHEN fr < 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+         |    ROUND(AVG(CASE WHEN fr < 3 THEN 1.0 ELSE 0.0 END), 6) AS hits3,
+         |    ROUND(AVG(CASE WHEN fr < 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hard_$name) AS n_hard
+         |  FROM fr_$name
+         |  HAVING COUNT(*) > 0)""".stripMargin
+    }
+    graft.model.KG.edgesCte.trim + ",\n" +
+      s"tedges AS (SELECT src, rel, dst FROM edges WHERE ${trainPredicateSql()}),\n" +
+      s"univ AS ($univSql),\n" +
+      perType.mkString(",\n") + "\n" +
+      types.map(t => s"SELECT * FROM out_${t._1}").mkString(" UNION ALL ")
   }
 }

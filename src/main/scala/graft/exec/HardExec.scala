@@ -123,9 +123,9 @@ object HardExec {
 /** ANSI-SQL generator mirroring [[HardExec]] for the DuckDB oracle. */
 object OracleSql {
 
-  /** SQL for one conjunct: positive atoms as a self-join of `edges`, negated
-    * atoms as correlated NOT EXISTS. */
-  def cqSql(cq: CQ, b: Binding): String = {
+  /** SQL for one conjunct: positive atoms as a self-join of `relName`,
+    * negated atoms as correlated NOT EXISTS. */
+  def cqSql(cq: CQ, b: Binding, relName: String = "edges"): String = {
     val varCol = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val conds = scala.collection.mutable.ListBuffer.empty[String]
     cq.pos.zipWithIndex.foreach { case (a, i) =>
@@ -143,11 +143,11 @@ object OracleSql {
     cq.neg.foreach { a =>
       def ep(t: Term, c: String): String =
         if (t.isConst) s"n.$c = ${b(t.name)}" else s"n.$c = ${varCol(t.name)}"
-      conds += s"NOT EXISTS (SELECT 1 FROM edges n WHERE n.rel = ${b(a.rel)} " +
+      conds += s"NOT EXISTS (SELECT 1 FROM $relName n WHERE n.rel = ${b(a.rel)} " +
         s"AND ${ep(a.head, "src")} AND ${ep(a.tail, "dst")})"
     }
     val free = cq.freeVar.name
-    val from = cq.pos.indices.map(i => s"edges a$i").mkString(", ")
+    val from = cq.pos.indices.map(i => s"$relName a$i").mkString(", ")
     s"SELECT DISTINCT CAST(${varCol(free)} AS BIGINT) AS f FROM $from WHERE ${conds.mkString(" AND ")}"
   }
 
@@ -156,4 +156,10 @@ object OracleSql {
     val cqs = Normalize.toDnf(Parser.parse(lstr))
     KG.edgesCte + cqs.map(cqSql(_, b)).mkString(" UNION ")
   }
+
+  /** Formula SQL over an arbitrary edges-shaped relation, no CTE prefix —
+    * building block for composed oracles (e.g. train/full workload eval). */
+  def formulaSqlOver(lstr: String, b: Binding, relName: String): String =
+    Normalize.toDnf(Parser.parse(lstr))
+      .map(cqSql(_, b, relName)).mkString(" UNION ")
 }
