@@ -118,9 +118,10 @@ object PipelineQueries {
       |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
       |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(t) - 2)) AS i) g),
       |d AS (SELECT DISTINCT doc_id, s FROM sh),
-      |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS mh
-      |        FROM d CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
-      |bands AS (SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bh
+      |db AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS base FROM d),
+      |sig AS (SELECT doc_id, i, MIN((base * (2 * i + 1) + i * 12582917) % 2147483647) AS mh
+      |        FROM db CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
       |          FROM sig GROUP BY doc_id, i // 4),
       |cands AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       |          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),

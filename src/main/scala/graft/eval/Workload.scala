@@ -64,25 +64,31 @@ object Workload {
     val universe = KGIndex.derivedEntityDict(spark, dir)
       .select(col("id").as("entity"))
 
-    val perType = types.map { case (name, lstr, b) =>
+    // One full-outer join per type derives (entity, is_hard) with each
+    // formula evaluated exactly ONCE: in-full-only ⇒ hard, in-easy ⇒ easy
+    // (note easy ⊄ full under negation — removing train edges can admit new
+    // answers — so this is easy ∪ (full \ easy), not a flag on full).
+    // All 2×|types| formula evaluations then materialize in a single
+    // eager action (one DAG, stages scheduled in parallel) instead of
+    // per-branch re-evaluation or serialized per-type checkpoints.
+    val answers = types.map { case (name, lstr, b) =>
       val f = Parser.parse(lstr)
       val easy = HardExec.evalFormula(train, f, b)
-        .select(col("f").as("entity"))
+        .select(col("f").as("entity")).withColumn("_e", lit(1))
       val fullAns = HardExec.evalFormula(full, f, b)
-        .select(col("f").as("entity"))
-      val hard = fullAns.join(easy, Seq("entity"), "left_anti")
-      val answers = easy.withColumn("is_hard", lit(false))
-        .unionAll(hard.withColumn("is_hard", lit(true)))
-        .withColumn("qid", lit(name))
-      val scores = universe
-        .join(easy.withColumn("_easy", lit(1.0)), Seq("entity"), "left")
+        .select(col("f").as("entity")).withColumn("_f", lit(1))
+      fullAns.join(easy, Seq("entity"), "full_outer")
         .select(lit(name).as("qid"), col("entity"),
-                coalesce(col("_easy"), lit(0.0)).as("score"))
-      (scores, answers.select("qid", "entity", "is_hard"))
-    }
+                col("_e").isNull.as("is_hard"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
 
-    val scores = perType.map(_._1).reduce(_ unionAll _)
-    val answers = perType.map(_._2).reduce(_ unionAll _)
+    import spark.implicits._
+    val scores = types.map(_._1).toDF("qid").crossJoin(universe)
+      .join(answers.filter(!col("is_hard")).withColumn("_easy", lit(1.0))
+              .select("qid", "entity", "_easy"),
+            Seq("qid", "entity"), "left")
+      .select(col("qid"), col("entity"),
+              coalesce(col("_easy"), lit(0.0)).as("score"))
     val filtered = Ranking.filteredRanks(Ranking.rankAll(scores), answers)
     Ranking.mrrHits(filtered)
       .join(answers.filter(col("is_hard")).groupBy("qid")

@@ -63,10 +63,15 @@ object HardExec {
     *
     * Join order (the driver-side planner of SURVEY §4 — semantic DAG order
     * is ours to pick, Catalyst only reorders by stats it can see):
-    * constant-anchored atoms first, then greedily the connected atom with
-    * the smallest relation cardinality (`relStats`, one cached 22-row
-    * aggregate per KG). Result sets are order-independent; only
-    * intermediate sizes change. */
+    * constant-anchored atoms first; then, among atoms connected to the
+    * accumulated binding relation, any atom whose variables are ALL already
+    * bound (a pure filter — it can only shrink the frontier) before atoms
+    * that introduce a new variable (joins that can grow it); ties by
+    * smallest relation cardinality (`relStats`, one cached 22-row aggregate
+    * per KG). Cyclic shapes (3c/3cm/3pcp) benefit most: the cycle-closing
+    * edge lands right after its endpoints bind instead of after another
+    * expansion. Result sets are order-independent; only intermediate sizes
+    * change. */
   def evalCQ(edges: DataFrame, cq: CQ, b: Binding,
              relStats: Map[Long, Long] = Map.empty): DataFrame = {
     require(cq.pos.nonEmpty, "conjunct needs at least one positive atom")
@@ -79,15 +84,23 @@ object HardExec {
       val connected = remaining.zipWithIndex.filter { case (a, _) =>
         Seq(a.head, a.tail).exists(t => t.isVar && accCols.contains(t.name))
       }
+      val fullyBound = connected.filter { case (a, _) =>
+        Seq(a.head, a.tail).forall(t => !t.isVar || accCols.contains(t.name))
+      }
       val idx =
-        if (connected.nonEmpty) connected.minBy { case (a, _) => card(a) }._2
+        if (fullyBound.nonEmpty) fullyBound.minBy { case (a, _) => card(a) }._2
+        else if (connected.nonEmpty) connected.minBy { case (a, _) => card(a) }._2
         else 0
       val next = remaining.remove(idx)
       val frame = atomFrame(edges, next, b)
       val shared = frame.columns.filter(accCols.contains).toSeq
       acc =
         if (shared.nonEmpty) acc.join(frame, shared)
-        else acc.crossJoin(frame)
+        // Disconnected atom (e.g. pni's second anchor): broadcast it rather
+        // than let a CartesianProduct re-scan both sides per partition pair.
+        // Such frames are constant-anchored in every declared query type, so
+        // they are one entity's adjacency list — bounded by max degree.
+        else acc.crossJoin(broadcast(frame))
     }
     // Negated atoms: anti-join on the atom's (bound) variables (R4).
     cq.neg.foreach { a =>

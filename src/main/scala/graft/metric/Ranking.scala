@@ -23,25 +23,25 @@ object Ranking {
 
   /** O4 filtered ranking (metric.py:97-109): for each hard answer, subtract
     * the count of strictly-better-ranked easy answers and strictly-better-
-    * ranked hard answers. `answers(qid, entity, is_hard)`. */
+    * ranked hard answers. `answers(qid, entity, is_hard)`.
+    *
+    * One window pass over the (hard ∪ easy) answer rows sorted by rank:
+    * both "strictly better" counts are running sums over the preceding
+    * frame (ranks are distinct within a qid, so rows-preceding ==
+    * strictly-better). The naive formulation — a per-qid theta join
+    * `easy.rank < hard.rank` — is O(|hard|·|easy|) per query and was the
+    * bottleneck of the end-to-end workload eval; this is O(n log n). */
   def filteredRanks(ranks: DataFrame, answers: DataFrame): DataFrame = {
-    val hard = ranks.join(answers.filter(col("is_hard")), Seq("qid", "entity"))
-      .select(col("qid"), col("entity"), col("rank"))
-    val easy = ranks.join(answers.filter(!col("is_hard")), Seq("qid", "entity"))
-      .select(col("qid"), col("entity").as("e_ent"), col("rank").as("e_rank"))
-
-    val betterEasy = hard.as("h")
-      .join(easy.as("e"), col("h.qid") === col("e.qid") &&
-                          col("e.e_rank") < col("h.rank"), "left")
-      .groupBy(col("h.qid").as("qid"), col("h.entity").as("entity"),
-               col("h.rank").as("rank"))
-      .agg(count(col("e.e_ent")).as("n_easy_better"))
-
-    // Strictly-better hard answers of the same query = row_number among
-    // hard answers − 1 (ranks are distinct within a qid).
-    val wh = Window.partitionBy("qid").orderBy(col("rank").asc)
-    betterEasy
-      .withColumn("n_hard_better", row_number().over(wh) - 1)
+    val marked = ranks.join(answers, Seq("qid", "entity"))
+      .select(col("qid"), col("entity"), col("rank"), col("is_hard"))
+    val prev = Window.partitionBy("qid").orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    marked
+      .withColumn("n_easy_better",
+        coalesce(sum(when(!col("is_hard"), 1L).otherwise(0L)).over(prev), lit(0L)))
+      .withColumn("n_hard_better",
+        coalesce(sum(when(col("is_hard"), 1L).otherwise(0L)).over(prev), lit(0L)))
+      .filter(col("is_hard"))
       .withColumn("filtered_rank",
                   col("rank") - col("n_easy_better") - col("n_hard_better"))
       .select(col("qid"), col("entity"), col("rank"), col("filtered_rank"))

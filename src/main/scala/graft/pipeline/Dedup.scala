@@ -102,13 +102,26 @@ object Dedup {
     // with the verification join below, and never re-builds shingle strings
     // (the expression-only nested-transform formulation re-evaluated the
     // shingle construction once per hash function — 50x slower at 5k docs).
-    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sets0 = shingleSets(df, idCol, textCol, shingleN)
+    // PortableMd5: hash each shingle ONCE (60-bit int from the md5 hex
+    // prefix, projected as a real column — agg expressions get no CSE, so
+    // an inline base would be re-hashed numHashes times per row), then the
+    // numHashes minhash permutations are affine maps mod p = 2^31−1:
+    // h_i(x) = ((2i+1)·x + i·12582917) mod p. Products stay < 2^37, exact
+    // in 64-bit in any engine.
+    val P = 2147483647L
+    val sets = family match {
+      case XxHash => sets0
+      case PortableMd5 => sets0.withColumn("_mh_base",
+        pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"),
+             lit(P)))
+    }
     val sigAggs = family match {
       case XxHash =>
         (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))))
       case PortableMd5 =>
         (0 until numHashes).map(i =>
-          min(md5(concat(lit(s"$i:"), col("sh")))))
+          min(pmod(col("_mh_base") * (2 * i + 1) + lit(i * 12582917L), lit(P))))
     }
     val sig = sets.groupBy("id").agg(array(sigAggs: _*).as("sig"))
     def bandHash(j: Int): Column = {
@@ -129,13 +142,21 @@ object Dedup {
             col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    // Verify candidates with exact Jaccard on the same materialized sets.
-    val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
-    cands
-      .join(sets.as("sa"), col("i") === col("sa.id"))
-      .join(sets.as("sb"),
-            col("j") === col("sb.id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // tiny; read three times below
+    // Verify candidates with exact Jaccard — but FIRST shrink the shingle
+    // sets to candidate docs with a broadcast semi-join: the LSH point is
+    // that candidates are rare, so the expensive shingle-equality shuffle
+    // should see |cand docs| · |shingles/doc| rows, not the whole corpus.
+    val candIds = cands.select(col("i").as("id"))
+      .unionAll(cands.select(col("j").as("id"))).distinct()
+    val candSets = sets.join(broadcast(candIds), "id")
+    val sizes = candSets.groupBy("id").agg(count(lit(1)).as("sz"))
+    candSets.as("sa")
+      .join(candSets.as("sb"),
+            col("sa.sh") === col("sb.sh") && col("sa.id") < col("sb.id"))
+      .groupBy(col("sa.id").as("i"), col("sb.id").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .join(cands, Seq("i", "j")) // only banded candidate pairs qualify
       .join(sizes.select(col("id").as("i"), col("sz").as("szi")), "i")
       .join(sizes.select(col("id").as("j"), col("sz").as("szj")), "j")
       .withColumn("jaccard", col("c") / (col("szi") + col("szj") - col("c")))
@@ -243,21 +264,23 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
-    * exact cosine verification (see Similarity.hyperplaneBucket). */
+    * exact cosine verification (see Similarity.hyperplaneBucket), on the
+    * fused native kernels — bucket signatures and pair cosines are the two
+    * hot loops of this operator. */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, planes: Int = 12,
                      seed: Double = 4.2): DataFrame = {
+    graft.functions.ArrayKernels.register(emb.sparkSession)
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
-      graft.score.VectorOps.l2Norm(col(vecCol)).as("norm"),
       Similarity.hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
-      .localCheckpoint(true) // hyperplane dots + norms computed once per vector
+      .localCheckpoint(true) // hyperplane dots computed once per vector
     bucketed.as("a")
       .join(bucketed.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-              (graft.score.VectorOps.dot(col("a.vec"), col("b.vec")) /
-                (col("a.norm") * col("b.norm"))).as("cos"))
+              graft.functions.ArrayKernels.arrayCosine(
+                col("a.vec"), col("b.vec")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
   }

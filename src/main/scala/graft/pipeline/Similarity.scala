@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.ArrayKernels
 import graft.score.{Embeddings, VectorOps}
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -19,14 +20,18 @@ import graft.score.{Embeddings, VectorOps}
 object Similarity {
 
   /** Exact cosine top-k for each query id. Output: (query_id, neighbor_id,
-    * rank, cos). Self-matches excluded. */
+    * rank, cos). Self-matches excluded. Scoring runs on the fused
+    * [[ArrayKernels.arrayCosine]] codegen kernel — the |Q|×|corpus| scan is
+    * the hot loop, and interpreted higher-order-function lambdas cost ~100×
+    * per element. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    ArrayKernels.register(corpus.sparkSession)
     val scored = corpus.select(col("id").as("nid"), col("vec").as("nvec"))
       .crossJoin(broadcast(
         queries.select(col("id").as("qid"), col("vec").as("qvec"))))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-              VectorOps.cosine(col("qvec"), col("nvec")).as("cos"))
+              ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -35,20 +40,30 @@ object Similarity {
   }
 
   /** Sign-signature bucket from `planes` deterministic random hyperplanes:
-    * bit j = sign(dot(vec, plane_j)). */
-  def hyperplaneBucket(vec: Column, planes: Int, seed: Double): Column =
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, j) => {
-      val d = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-                 (x, i) => x * sin((j * 131 + i + 1) * 0.7 + seed)),
-        lit(0.0), (a, x) => a + x)
-      acc * 2 + when(d > 0, 1L).otherwise(0L)
-    })
+    * bit j = sign(dot(vec, plane_j)).
+    *
+    * Planes are materialized driver-side as array literals (plane_j[i] =
+    * sin((j·131 + i + 1)·0.7 + seed), identical values to the former
+    * in-plan formulation — Spark's `sin` is java.lang.Math.sin) and dotted
+    * with the fused native kernel: whole-stage codegen, no per-element
+    * lambda interpretation, no index-array allocation per row. `dim` must
+    * be >= the vector width (the kernel truncates to the shorter side,
+    * matching the old zip_with semantics). Callers must have
+    * [[ArrayKernels]] registered. */
+  def hyperplaneBucket(vec: Column, planes: Int, seed: Double,
+                       dim: Int = 64): Column =
+    (0 until planes).map { j =>
+      val plane = typedLit(
+        (0 until dim).map(i => math.sin((j * 131 + i + 1) * 0.7 + seed)))
+      when(ArrayKernels.arrayDot(vec, plane) > 0,
+           lit(1L << (planes - 1 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-k with `probes` independent hash tables.
     * Same output shape as [[bruteTopK]]; recall < 1 by construction. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, probes: Int = 2, seed: Double = 4.2): DataFrame = {
+    ArrayKernels.register(corpus.sparkSession)
     val tables = (0 until probes).map { p =>
       val s = seed + p * 17.31
       val c = corpus.select(col("id").as("nid"), col("vec").as("nvec"),
@@ -60,7 +75,7 @@ object Similarity {
     }
     val cands = tables.reduce(_ unionAll _).distinct()
       .select(col("qid"), col("nid"),
-              VectorOps.cosine(col("qvec"), col("nvec")).as("cos"))
+              ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -74,12 +89,18 @@ object Similarity {
     * unions like lshTopK). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, dim: Int, seed: Double = 2.7): DataFrame = {
+    ArrayKernels.register(corpus.sparkSession)
     def cellOf(vec: Column): Column = {
-      val scored = transform(sequence(lit(0), lit(nCentroids - 1)), c => {
-        val cvec = Embeddings.deterministicVec(c.cast("long"), dim, seed)
-        struct((-VectorOps.dot(vec, cvec)).as("negdot"), c.as("cell"))
-      })
-      array_min(scored).getField("cell")
+      // Centroids as driver-side literals (same sin-seeded values as
+      // Embeddings.deterministicVec) + fused native dots; argmin via the
+      // same (neg-dot, cell) struct min as before.
+      val scored = (0 until nCentroids).map { c =>
+        val cvec = typedLit(
+          (1 to dim).map(i => math.sin((c % 9973 + 1) * i * 0.017 + seed)))
+        struct((-ArrayKernels.arrayDot(vec, cvec)).as("negdot"),
+               lit(c).as("cell"))
+      }
+      array_min(array(scored: _*)).getField("cell")
     }
     val c = corpus.select(col("id").as("nid"), col("vec").as("nvec"),
                           cellOf(col("vec")).as("cell"))
@@ -87,7 +108,7 @@ object Similarity {
                            cellOf(col("vec")).as("cell"))
     val cands = c.join(broadcast(q), "cell").filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-              VectorOps.cosine(col("qvec"), col("nvec")).as("cos"))
+              ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
