@@ -34,12 +34,13 @@ object PipelineQueries {
   private def relEmb(s: SparkSession): DataFrame =
     Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM, REL_SEED)
 
-  private def top10Rounded(scores: DataFrame): DataFrame = {
-    val r = scores.withColumn("score", round(col("score"), 5))
-    val w = Window.orderBy(col("score").desc, col("entity").asc)
-    r.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+  /** Top-10 by rounded score: orderBy+limit plans as TakeOrderedAndProject
+    * (per-partition heaps + driver merge) — no single-partition global
+    * window, which would serialize the whole frame through one task. */
+  private def top10Rounded(scores: DataFrame): DataFrame =
+    scores.withColumn("score", round(col("score"), 5))
+      .orderBy(col("score").desc, col("entity").asc).limit(10)
       .select(col("entity"), col("score"))
-  }
 
   /** TransE score in DuckDB SQL over the deterministic embedding space. */
   private def transeSql(h: String, r: String, tl: String): String =

@@ -40,6 +40,32 @@ class JoinsSpec extends AnyFunSuite {
     assert(fast == naive && naive.nonEmpty)
   }
 
+  test("rangeBucketed: exact at negative and ns-epoch-magnitude timestamps") {
+    // Negative ts exercises floor (truncating division mis-bucketed these);
+    // the ~1.7e18 block exercises magnitudes where double division loses
+    // integer precision (2^60 has a 256-unit double ulp).
+    val base = 1700000000000000000L
+    val rnd = new scala.util.Random(7)
+    def rows(idBase: Long) = Seq.tabulate(150) { i =>
+      val block = i % 3 match {
+        case 0 => rnd.nextInt(2000).toLong - 1000L // straddles zero
+        case 1 => base + rnd.nextInt(2000)         // ns-epoch magnitude
+        case _ => rnd.nextInt(500).toLong
+      }
+      (rnd.nextInt(3).toLong, block, idBase + i)
+    }
+    val left = rows(0).toDF("k", "ts", "lid")
+    val right = rows(10000).toDF("k", "ts", "rid")
+    val fast = Joins.rangeBucketed(left, right, Seq("k"), "ts", "ts",
+      lower = 700L, upper = 0L, Seq("rid"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.ts" >= $"l.ts" - 700 && $"r.ts" <= $"l.ts")
+      .select($"l.lid", $"r.rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive && naive.nonEmpty)
+  }
+
   test("salted join equals the plain join") {
     val probe = Seq.tabulate(300)(i => (i % 3L, i.toLong)).toDF("k", "pid")
     val build = Seq((0L, "a"), (1L, "b"), (2L, "c"), (2L, "c2")).toDF("k", "v")

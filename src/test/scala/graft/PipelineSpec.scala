@@ -45,6 +45,21 @@ class PipelineSpec extends AnyFunSuite {
     // and identical docs always collide in every band.
     assert(lsh.subsetOf(exact))
     assert(lsh.contains((1L, 2L)))
+    // The portable md5 family obeys the same contract (different candidate
+    // sets are allowed; the exact-jaccard verification bounds both).
+    val portable = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+      family = Dedup.PortableMd5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(portable.subsetOf(exact))
+    assert(portable.contains((1L, 2L)))
+  }
+
+  test("portable simhash: identical texts collide; radius-0 pair set") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0,
+                                   family = Dedup.PortableMd5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
   }
 
   test("simhash: identical texts hash identically; near dups are close") {
