@@ -295,6 +295,86 @@ object PipelineQueries {
            |FROM fv CROSS JOIN ev""".stripMargin
       }),
 
+    // G5 update net: one superstep through the deterministic ReLU MLP
+    // (layers/mlp.py:3-18). Oracle: closed form of the single round —
+    // x1(f) = 0.1·vv + ev(s1) + rv(r1) — pushed through the same weight
+    // matrix w(i,j) = sin((i·dim+j+1)·0.013 + 2.2) in SQL list lambdas.
+    ("lmpnn_1p_mlp",
+      (s, dir) => {
+        val cq = graft.lang.Normalize.toDnf(
+          graft.lang.Parser.parse("r1(s1,f)")).head
+        val (qn, qe) = graft.lang.QueryGraph.compile(s, Seq(
+          (cq, Map("r1" -> 9L, "s1" -> S0))))
+        graft.exec.LMPNN.answer(qn, qe, supplierEnts(s, dir), relEmb(s),
+          TransE(2), rounds = 1, useMlp = true)
+          .select(col("qid"), col("entity"), round(col("score"), 5).as("score"))
+      },
+      Some(s"""WITH ents AS ($supplierEntsSql),
+              |x1 AS (SELECT list_transform(generate_series(1, $DIM), k ->
+              |    0.1 * SIN(0.5)
+              |    + SIN((400000000 % 9973 + 1) * k * 0.017 + $ENT_SEED)
+              |    + SIN((9 % 9973 + 1) * k * 0.017 + $REL_SEED)) AS v),
+              |m AS (SELECT list_transform(generate_series(0, ${DIM - 1}), j -> greatest(0.0,
+              |    list_sum(list_transform(generate_series(0, ${DIM - 1}), i ->
+              |      v[i + 1] * SIN((i * $DIM + j + 1) * 0.013 + 2.2))))) AS v FROM x1),
+              |ev AS (SELECT id, list_transform(generate_series(1, $DIM),
+              |         k -> SIN((id % 9973 + 1) * k * 0.017 + $ENT_SEED)) AS v FROM ents)
+              |SELECT CAST(0 AS BIGINT) AS qid, ev.id AS entity,
+              |  ROUND(list_dot_product(m.v, ev.v) /
+              |        (SQRT(list_dot_product(m.v, m.v)) * SQRT(list_dot_product(ev.v, ev.v))), 5) AS score
+              |FROM m CROSS JOIN ev""".stripMargin)),
+
+    // Scored executor -> metric pipeline end-to-end: batched CQD rankings
+    // of 5 query instances scored by TransE, evaluated with the filtered
+    // MRR/Hits setting against hash-partitioned easy/hard answer sets.
+    ("eval_cqd_mrr",
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        val cq = graft.lang.Normalize.toDnf(
+          graft.lang.Parser.parse("r1(s1,e1)&r2(e1,f)")).head
+        val bindings = (0L until 5L).map(q =>
+          q -> Map("r1" -> 9L, "r2" -> 8L, "s1" -> KG.ent(KG.TAG_SUPPLIER, q)))
+        val scores = graft.exec.CQDBeamBatched.answerBatch(s, cq, bindings,
+          supplierEnts(s, dir), relEmb(s), graft.score.NativeTransE,
+          beam = Int.MaxValue)
+        val ents = supplierEnts(s, dir)
+        val answers = s.range(5).toDF("qid").crossJoin(ents)
+          .filter(col("id") % 7 === col("qid") % 7)
+          .select(col("qid"), col("id").as("entity"),
+                  (col("id") % 3 === 0).as("is_hard"))
+        Ranking.mrrHits(Ranking.filteredRanks(Ranking.rankAll(scores), answers))
+          .select(col("qid"), round(col("mrr"), 6).as("mrr"),
+                  round(col("hits1"), 6).as("hits1"),
+                  round(col("hits3"), 6).as("hits3"),
+                  round(col("hits10"), 6).as("hits10"))
+      },
+      Some {
+        val sc = s"1 + ${transeSql("400000000 + q.q", "9", "e.id")} + " +
+          s"${transeSql("e.id", "8", "f.id")}"
+        s"""WITH ents AS ($supplierEntsSql),
+           |qs AS (SELECT UNNEST(GENERATE_SERIES(0, 4)) AS q),
+           |sc AS (SELECT q.q AS qid, f.id AS entity, MAX($sc) AS score
+           |       FROM qs q, ents e, ents f GROUP BY q.q, f.id),
+           |rk AS (SELECT qid, entity,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, entity) - 1 AS rnk
+           |       FROM sc),
+           |ans AS (SELECT qid, entity, rnk, (entity % 3 = 0) AS is_hard FROM rk
+           |        WHERE entity % 7 = qid % 7),
+           |marked AS (SELECT qid, entity, rnk, is_hard,
+           |    COALESCE(SUM(CASE WHEN NOT is_hard THEN 1 ELSE 0 END) OVER
+           |      (PARTITION BY qid ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ne,
+           |    COALESCE(SUM(CASE WHEN is_hard THEN 1 ELSE 0 END) OVER
+           |      (PARTITION BY qid ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nh
+           |  FROM ans),
+           |fr AS (SELECT qid, rnk - ne - nh AS f FROM marked WHERE is_hard)
+           |SELECT CAST(qid AS BIGINT) AS qid,
+           |       ROUND(AVG(1.0 / (1 + f)), 6) AS mrr,
+           |       ROUND(AVG(CASE WHEN f < 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+           |       ROUND(AVG(CASE WHEN f < 3 THEN 1.0 ELSE 0.0 END), 6) AS hits3,
+           |       ROUND(AVG(CASE WHEN f < 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10
+           |FROM fr GROUP BY qid""".stripMargin
+      }),
+
     // O3+O4+O5+A6: full metric pipeline with the filtered setting.
     ("metric_mrr",
       (s, dir) => {

@@ -89,7 +89,8 @@ object LMPNN {
     *
     * Returns `(qid, entity, score)`. */
   def answer(qnodes: DataFrame, qedges: DataFrame, ents: DataFrame,
-             rels: DataFrame, model: KGEModel, rounds: Int): DataFrame = {
+             rels: DataFrame, model: KGEModel, rounds: Int,
+             useMlp: Boolean = false): DataFrame = {
     val dim = 8 // states carry their own width; dim only seeds var vectors
     var x = initStates(qnodes, ents, dim)
     val edgesAug = graft.lang.QueryGraph.addInverseEdges(qedges)
@@ -101,7 +102,7 @@ object LMPNN {
       .localCheckpoint(true) // tiny; read once per round
     val gathered = scala.collection.mutable.ListBuffer.empty[DataFrame]
     (1 to rounds).foreach { i =>
-      x = superstep(x, edgesAug, rels, model)
+      x = superstep(x, edgesAug, rels, model, useMlp = useMlp, dim = dim)
       if (i % 3 == 0) x = x.localCheckpoint(true) // truncate lineage (G6)
       // After round i the stacked-layer index i-1 is current: gather queries
       // whose num_vars == i (plus, at the last round, any deeper stragglers).
