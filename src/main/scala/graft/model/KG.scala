@@ -136,14 +136,17 @@ object KG {
       val inv = base.select(col("dst").as("src"),
                             (col("rel") + 1).as("rel"),
                             col("src").as("dst"))
-      // Every atom scan filters on `rel`, and in-memory columnar batch
-      // stats prune non-matching batches (the cached analog of partition
-      // pruning; at cluster scale this is a parquet table partitioned by
-      // rel). No repartition needed for that: each union branch carries ONE
-      // constant relation, so cached batches are already rel-homogeneous —
-      // an explicit repartition(rel) re-shuffled all ~4M rows for nothing
-      // (measured ~5 s of the load at sf0.1).
+      // Cluster the cache by relation: every atom scan filters on `rel`, and
+      // in-memory columnar batch stats then prune non-matching batches
+      // (the cached analog of partition pruning; at cluster scale this is
+      // a parquet table partitioned by rel). The repartition also COALESCES
+      // the union's ~22×32 branch partitions down to one set — without it,
+      // every cached scan schedules ~10× the tasks and the whole KG suite
+      // ran ~2× slower (measured; the ~3 s shuffle at load pays for itself
+      // many times over).
       base.unionAll(inv)
+        .repartition(col("rel"))
+        .sortWithinPartitions("rel", "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
