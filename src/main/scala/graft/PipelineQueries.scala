@@ -191,6 +191,61 @@ object PipelineQueries {
       Some(s"""WITH ents AS ($supplierEntsSql)
               |${top10Sql(s"SELECT id AS entity, 1 + ${rotateSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
+    // F10: RESCAL bilinear h^T W_r t (intended semantics; the reference's
+    // own scorer is latently broken, rescal.py:32-36). Relation embedding =
+    // flattened 8x8 matrix. Oracle: the double contraction in SQL lambdas,
+    // same fold nesting (inner over i, outer over j).
+    ("cqd_1p_rescal",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
+        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir),
+        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM * DIM, REL_SEED),
+        graft.score.Rescal, beam = Int.MaxValue)),
+      Some {
+        val h = "SIN((400000000 % 9973 + 1) * (i + 1) * 0.017 + " + ENT_SEED + ")"
+        val w = s"SIN((9 % 9973 + 1) * (i * $DIM + j + 1) * 0.017 + $REL_SEED)"
+        val t = "SIN((id % 9973 + 1) * (j + 1) * 0.017 + " + ENT_SEED + ")"
+        s"""WITH ents AS ($supplierEntsSql)
+           |${top10Sql(
+             s"SELECT id AS entity, 1 + list_sum(list_transform(generate_series(0, ${DIM - 1}), j -> " +
+             s"list_sum(list_transform(generate_series(0, ${DIM - 1}), i -> $h * $w)) * $t)) AS score FROM ents")}""".stripMargin
+      }),
+
+    // F11: SWTransE sliced-Wasserstein (d=4 dims x m=2 particles in the
+    // 8-wide entity space; relation embeddings are d-dimensional). Oracle
+    // sorts both particle sets per dimension with list_sort and sums the
+    // per-dimension L2 distances.
+    ("cqd_1p_swtranse",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
+        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir),
+        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2, REL_SEED),
+        graft.score.SWTransE(particles = 2), beam = Int.MaxValue)),
+      Some(s"""WITH ents AS ($supplierEntsSql),
+              |ev AS (SELECT id, list_transform(generate_series(1, $DIM),
+              |         k -> SIN((id % 9973 + 1) * k * 0.017 + $ENT_SEED)) AS v FROM ents),
+              |hv AS (SELECT v AS h FROM ev WHERE id = 400000000),
+              |dims AS (SELECT e.id, di.i,
+              |   list_sort(list_transform(hv.h[di.i * 2 + 1 : di.i * 2 + 2],
+              |     x -> x + SIN((9 % 9973 + 1) * (di.i + 1) * 0.017 + $REL_SEED))) AS est,
+              |   list_sort(e.v[di.i * 2 + 1 : di.i * 2 + 2]) AS tl
+              |   FROM ev e CROSS JOIN hv CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) di),
+              |dd AS (SELECT id, POWER(list_sum(list_transform(generate_series(1, 2),
+              |         k -> POWER(ABS(est[k] - tl[k]), 2))), 0.5) AS dist FROM dims),
+              |sc0 AS (SELECT id AS entity, 1 - SUM(dist) AS score FROM dd GROUP BY id)
+              |${top10Sql("SELECT entity, score FROM sc0")}""".stripMargin)),
+
+    // F16 Godel t-norm: conjunction = min over edges instead of the
+    // log-space sum (tnorm.py:31-33 vs cqd.py:344-355).
+    ("cqd_2i_godel",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)&r2(s2,f)",
+        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0,
+            "s2" -> KG.ent(KG.TAG_SUPPLIER, 1)),
+        supplierEnts(s, dir), relEmb(s), TransE(2), beam = Int.MaxValue,
+        godel = true)),
+      Some(s"""WITH ents AS ($supplierEntsSql)
+              |${top10Sql(
+                s"SELECT id AS entity, LEAST(LEAST(1.0, ${transeSql("400000000", "9", "id")}), " +
+                s"LEAST(1.0, ${transeSql("400000001", "8", "id")})) AS score FROM ents")}""".stripMargin)),
+
     // Batched CQD: 5 instances of 2p in ONE plan (qid column = PyG batch).
     ("cqd_batch_2p",
       (s, dir) => {
