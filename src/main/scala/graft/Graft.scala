@@ -44,10 +44,52 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
     CQDBeam.answer(lstr, binding, ents, rels, model, beam)
   }
 
+  /** Batched scored answering: N instances of one conjunctive shape in a
+    * single plan (the qid column is the batch dimension — SURVEY §1.1).
+    * The lstr must normalize to a single conjunct. */
+  def rankBatch(lstr: String, bindings: Seq[Binding],
+                model: KGEModel = TransE(2), beam: Int = 128, dim: Int = 32,
+                entEmb: Option[DataFrame] = None,
+                relEmb: Option[DataFrame] = None): DataFrame = {
+    val cqs = Normalize.toDnf(Parser.parse(lstr))
+    require(cqs.size == 1, "rankBatch requires a single-conjunct formula")
+    val ents = entEmb.getOrElse(
+      Embeddings.deterministic(entities.select("id"), "id", dim, 0.3))
+    val rels = relEmb.getOrElse(Embeddings.deterministic(
+      spark.range(64).toDF("id"), "id", dim, 1.7))
+    graft.exec.CQDBeamBatched.answerBatch(spark, cqs.head,
+      bindings.zipWithIndex.map { case (b, i) => (i.toLong, b) },
+      ents, rels, model, beam)
+  }
+
+  /** Neural answering via LMPNN message passing over the batched query
+    * graphs; one row per (instance, entity) with a cosine score. */
+  def rankLMPNN(instances: Seq[(String, Binding)],
+                model: KGEModel = TransE(2), rounds: Int = 0, dim: Int = 32,
+                entEmb: Option[DataFrame] = None,
+                relEmb: Option[DataFrame] = None): DataFrame = {
+    val compiled = instances.flatMap { case (lstr, b) =>
+      Normalize.toDnf(Parser.parse(lstr)).map(cq => (cq, b))
+    }
+    val (qn, qe) = QueryGraph.compile(spark, compiled)
+    val ents = entEmb.getOrElse(
+      Embeddings.deterministic(entities.select("id"), "id", dim, 0.3))
+    val rels = relEmb.getOrElse(Embeddings.deterministic(
+      spark.range(64).toDF("id"), "id", dim, 1.7))
+    val r = if (rounds > 0) rounds
+            else compiled.map { case (cq, _) => cq.vars.size }.max
+    LMPNN.answer(qn, qe, ents, rels, model, r)
+  }
+
   /** Filtered-setting retrieval metrics for scored results
     * (answers: (qid, entity, is_hard)). */
   def metrics(scores: DataFrame, answers: DataFrame): DataFrame =
     Ranking.mrrHits(Ranking.filteredRanks(Ranking.rankAll(scores), answers))
+
+  /** End-to-end workload evaluation: train/held-out split + filtered
+    * MRR/Hits per query type over this KG's testdata dir. */
+  def evaluate(dir: String, types: Seq[(String, String, Binding)]): DataFrame =
+    graft.eval.Workload.evaluate(spark, dir, types)
 
   // Graph analytics.
   def bfs(seedIds: Seq[Long], maxLevels: Int = 20): DataFrame = {

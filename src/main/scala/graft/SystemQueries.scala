@@ -203,9 +203,11 @@ object SystemQueries {
           .select(col("user_id"), col("n_events"),
                   round(col("session_value"), 4).as("session_value"))
       },
+      // Strictly-greater gap: session_window's interval end is INCLUSIVE on
+      // merge — an event at exactly start+gap fuses (observed at sf0.1).
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s, value FROM events),
              |m AS (SELECT user_id, s, value,
-             |        CASE WHEN s - LAG(s) OVER (PARTITION BY user_id ORDER BY s) >= 300
+             |        CASE WHEN s - LAG(s) OVER (PARTITION BY user_id ORDER BY s) > 300
              |             OR LAG(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
              |        THEN 1 ELSE 0 END AS new_s FROM e),
              |g AS (SELECT user_id, value, SUM(new_s) OVER (PARTITION BY user_id ORDER BY s
@@ -289,12 +291,16 @@ object SystemQueries {
              |WHERE r_regionkey = 0
              |GROUP BY n_name""".stripMargin)),
 
-    // Window frames: running per-supplier quantity (rowsBetween).
+    // Window frames: running per-supplier quantity (rowsBetween). The sort
+    // includes l_quantity: lineitem carries duplicate (orderkey, linenumber)
+    // rows with different quantities (the testdata plants dups), and a ROWS
+    // frame over a non-total order gives engine-dependent running sums.
     ("q_window_frames",
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("l_suppkey")
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+                   col("l_quantity"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         t(s, dir, "lineitem").select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -303,7 +309,7 @@ object SystemQueries {
       // outer CAST: DuckDB SUM(BIGINT) yields HUGEINT
       Some("SELECT l_suppkey, l_orderkey, l_linenumber, " +
            "CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey " +
-           "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+           "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity " +
            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty " +
            "FROM lineitem")),
 

@@ -9,6 +9,8 @@ class GraftFacadeSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
+  private val dir = "/root/testdata/sf0.001"
+
   test("fromTriples: answer + inverse-edge convention + views + validate") {
     val base = Seq((0L, 4L, 2L), (1L, 4L, 2L), (0L, 2L, 3L))
       .toDF("src", "rel", "dst")
@@ -50,6 +52,41 @@ class GraftFacadeSpec extends AnyFunSuite {
         transe(vec(0, 0.3), vec(0, 1.7), vec(f, 0.3)),
         transe(vec(1, 0.3), vec(1, 1.7), vec(f, 0.3)))
       assert(math.abs(got(f) - want) < 1e-9)
+    }
+  }
+
+  test("facade rankBatch: one row set per instance, consistent with rank") {
+    val kg = Graft.fromTestdata(spark, dir)
+    val b0: Map[String, Long] = Map("r1" -> 9L, "s1" -> 400000000L)
+    val b1: Map[String, Long] = Map("r1" -> 9L, "s1" -> 400000001L)
+    val batch = kg.rankBatch("r1(s1,f)", Seq(b0, b1), beam = Int.MaxValue, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val solo = kg.rank("r1(s1,f)", b0, beam = Int.MaxValue, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batch.keys.map(_._1).toSet == Set(0L, 1L))
+    solo.foreach { case (ent, sc) =>
+      assert(math.abs(batch((0L, ent)) - sc) < 1e-9)
+    }
+  }
+
+  test("facade rankLMPNN: scores every entity per instance") {
+    val kg = Graft.fromTestdata(spark, dir)
+    val out = kg.rankLMPNN(Seq(
+      ("r1(s1,e1)&r2(e1,f)", Map("r1" -> 9L, "r2" -> 8L, "s1" -> 400000000L)),
+      ("r1(s1,f)", Map("r1" -> 9L, "s1" -> 400000001L))), dim = 8)
+      .collect()
+    val nEnts = kg.entities.count()
+    assert(out.length == 2 * nEnts)
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("facade evaluate: per-type filtered metrics in [0,1]") {
+    val kg = Graft.fromTestdata(spark, dir)
+    val rows = kg.evaluate(dir, Seq(
+      ("t1p", "r1(s1,f)", Map("r1" -> 1L, "s1" -> 200000001L)))).collect()
+    assert(rows.length <= 1) // 0 if the split left no hard answers
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
     }
   }
 }
