@@ -291,6 +291,39 @@ object SystemQueries {
              |WHERE r_regionkey = 0
              |GROUP BY n_name""".stripMargin)),
 
+    // Q4-style EXISTS subquery: priority counts of orders with at least one
+    // returned lineitem — the semi-join plan shape (no row multiplication).
+    ("q_exists_priority",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT o_orderpriority, COUNT(*) AS n FROM orders " +
+           "WHERE EXISTS (SELECT 1 FROM lineitem " +
+           "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+           "GROUP BY 1")),
+
+    // Q17-style scalar subquery: revenue impact of small-quantity orders —
+    // each lineitem compared against its part's average quantity. Spark
+    // plans the per-part aggregate as a broadcast join; the oracle states it
+    // as a correlated scalar subquery (same semantics, DuckDB decorrelates).
+    ("q_scalar_avg_qty",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val avgQty = l.groupBy(col("l_partkey").as("pk"))
+          .agg(avg("l_quantity").as("aq"))
+        l.join(broadcast(avgQty), col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("aq") * 0.5)
+          .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+      },
+      Some("SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly " +
+           "FROM lineitem l1 WHERE l_quantity < 0.5 * " +
+           "(SELECT AVG(l_quantity) FROM lineitem l2 " +
+           "WHERE l2.l_partkey = l1.l_partkey)")),
+
     // Window frames: running per-supplier quantity (rowsBetween). The sort
     // includes l_quantity: lineitem carries duplicate (orderkey, linenumber)
     // rows with different quantities (the testdata plants dups), and a ROWS

@@ -59,6 +59,42 @@ object EventStreams {
       }
   }
 
+  final case class OpenSession(start: Long, last: Long, n: Long, total: Double)
+  final case class ClosedSession(user_id: Long, start_s: Long, end_s: Long,
+                                 n_events: Long, total_value: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState (the 0..n-output
+    * state API — mapGroupsWithState can't emit a variable number of closed
+    * sessions per batch). Events more than `gapSec` apart close the open
+    * session; closed sessions are EMITTED, the open one stays in state.
+    * State per key is one small case class — bounded regardless of stream
+    * length, the property that matters at production scale. */
+  def sessionize(events: Dataset[Event], gapSec: Long = 300): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[OpenSession]) =>
+          val sorted = batch.map(e => (e.ts.getTime / 1000, e.value))
+            .toSeq.sortBy(_._1)
+          var open = state.getOption
+          val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+          sorted.foreach { case (s, v) =>
+            open match {
+              case Some(o) if s - o.last <= gapSec =>
+                open = Some(OpenSession(o.start, s, o.n + 1, o.total + v))
+              case Some(o) =>
+                closed += ClosedSession(uid, o.start, o.last, o.n, o.total)
+                open = Some(OpenSession(s, s, 1L, v))
+              case None =>
+                open = Some(OpenSession(s, s, 1L, v))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Streaming deduplication: drop repeated event_ids within the watermark
     * horizon — the streaming face of the pipeline dedup operators (state
     * bounded by the watermark). */

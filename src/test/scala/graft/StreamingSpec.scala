@@ -83,4 +83,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(last(2L).n == 2 && math.abs(last(2L).total - 12.0) < 1e-9)
     } finally q.stop()
   }
+
+  test("sessionize (flatMapGroupsWithState) emits closed sessions only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10s and 20s fuse; the 200s event closes them.
+      mem.addData(Event(1, ts(10), 1, "click", 1.0),
+                  Event(2, ts(20), 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // session still open
+      mem.addData(Event(3, ts(200), 1, "click", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out")
+        .as[EventStreams.ClosedSession].collect()
+      assert(closed.length == 1)
+      val s0 = closed.head
+      assert(s0.user_id == 1L && s0.start_s == 10L && s0.end_s == 20L &&
+             s0.n_events == 2L && math.abs(s0.total_value - 3.0) < 1e-9)
+      // state continues: closing the 200s session emits it with one event
+      mem.addData(Event(4, ts(400), 1, "click", 8.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").as[EventStreams.ClosedSession].collect()
+      assert(all.length == 2 && all.exists(s =>
+        s.start_s == 200L && s.n_events == 1L && s.total_value == 4.0))
+    } finally q.stop()
+  }
 }
