@@ -13,6 +13,12 @@ object OperatorQueries {
 
   private val MINUTE_NS = 60L * 1000 * 1000 * 1000
 
+  /** Query types covered by the end-to-end workload eval: the BetaE core
+    * (paths, intersections, negation, union) plus EFO-1 extended shapes
+    * (multi-edge, existential leaf, DNF union-path). */
+  private val EVAL_TYPES = Set("kg_1p", "kg_2p", "kg_3p", "kg_2i", "kg_2in",
+                               "kg_2u", "kg_up", "kg_pi", "kg_2il", "kg_up_dnf")
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // As-of join: each click matched to the user's latest prior purchase.
@@ -56,12 +62,10 @@ object OperatorQueries {
     // over both edge sets, membership-score ranking, filtered metrics.
     ("eval_efo1_suite",
       (s, dir) => {
-        val subset = Set("kg_1p", "kg_2p", "kg_2i", "kg_2in", "kg_2u", "kg_up")
         graft.eval.Workload.evaluate(s, dir,
-          KGQueries.all.filter(t => subset.contains(t._1)))
+          KGQueries.all.filter(t => EVAL_TYPES.contains(t._1)))
       },
       Some {
-        val subset = Set("kg_1p", "kg_2p", "kg_2i", "kg_2in", "kg_2u", "kg_up")
         val univSql = Seq(
           "SELECT CAST(100000000 + c_custkey AS BIGINT) AS id FROM customer",
           "SELECT CAST(200000000 + n_nationkey AS BIGINT) FROM nation",
@@ -71,7 +75,7 @@ object OperatorQueries {
           "SELECT CAST(600000000 + o_orderkey AS BIGINT) FROM orders")
           .mkString(" UNION ALL ")
         graft.eval.Workload.evaluateSql(
-          KGQueries.all.filter(t => subset.contains(t._1)), univSql)
+          KGQueries.all.filter(t => EVAL_TYPES.contains(t._1)), univSql)
       }),
 
     // Salted join: result identical to the plain equi-join.

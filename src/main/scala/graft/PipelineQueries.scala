@@ -681,6 +681,17 @@ object PipelineQueries {
            "t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop " +
            "FROM documents")),
 
+    // BPE-ish sub-word tokenization with the RE2-portable pattern: token
+    // count + an order-sensitive md5 fingerprint of the full token stream.
+    ("text_bpe_tokens",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextOps.portableSubTokens(col("text"))).cast("long").as("n_subtok"),
+        md5(concat_ws("|", TextOps.portableSubTokens(col("text")))).as("tok_fp")),
+      Some(s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextOps.portablePattern}')) AS BIGINT) AS n_subtok, " +
+           s"md5(array_to_string(regexp_extract_all(text, '${TextOps.portablePattern}'), '|')) AS tok_fp " +
+           "FROM documents")),
+
     // Unigram-minhash fingerprint (rolling-hash family; md5 = both engines).
     ("text_fingerprint",
       (s, dir) => t(s, dir, "documents").select(

@@ -21,6 +21,13 @@ object TextOps {
         "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
            t => t =!= "" && t =!= " ")
 
+  /** Same sub-word split via a lookaround-free alternation pattern —
+    * portable to RE2-based engines (DuckDB/Go/Hyperscan), so tokenizer
+    * output is oracle-verifiable across engines. */
+  val portablePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def portableSubTokens(text: Column): Column =
+    regexp_extract_all(text, lit(portablePattern), lit(0))
+
   def tokenCount(text: Column): Column = size(tokens(text))
   def charCount(text: Column): Column = length(text)
 
