@@ -57,4 +57,30 @@ class FunctionsSpec extends AnyFunSuite {
       .select(ArrayKernels.arrayDot($"a", $"b")).collect()
     assert(d(0).isNullAt(0))
   }
+
+  test("FuseVectorKernels rewrites HOF dot/cosine to the native kernels") {
+    // A range-derived frame: literal inputs would be constant-folded into a
+    // LocalRelation before user-provided optimizer rules run.
+    val vecs = spark.range(50).select(
+      graft.score.Embeddings.deterministicVec(col("id"), 16, 0.3).as("h"),
+      graft.score.Embeddings.deterministicVec(col("id") + 7, 16, 1.7).as("t"))
+    def q = vecs.select(VectorOps.dot($"h", $"t").as("d"),
+                        VectorOps.cosine($"h", $"t").as("c"))
+    val before = spark.experimental.extraOptimizations
+    try {
+      // Baseline (no rule): HOF values + plan keeps the aggregate lambdas.
+      val base = q.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      assert(q.queryExecution.optimizedPlan.toString.contains("aggregate("))
+
+      spark.experimental.extraOptimizations =
+        before :+ graft.functions.FuseVectorKernels
+      val fused = q
+      val plan = fused.queryExecution.optimizedPlan.toString
+      assert(plan.contains("arraydot") && plan.contains("arraycosine"),
+        s"kernels not fused:\n$plan")
+      val got = fused.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      // identical fold order -> bit-equal results
+      assert(got.toSeq == base.toSeq)
+    } finally spark.experimental.extraOptimizations = before
+  }
 }
