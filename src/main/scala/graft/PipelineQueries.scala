@@ -595,6 +595,14 @@ object PipelineQueries {
       Some("SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, " +
            "COUNT(*) AS n_copies FROM documents GROUP BY 1")),
 
+    // The actionable face of exact dedup: every id to DROP (keeps the
+    // canonical minimum id per content digest).
+    ("dedup_drop_ids",
+      (s, dir) => Dedup.exactDropIds(t(s, dir, "documents"), "doc_id", "text"),
+      Some("SELECT doc_id AS id FROM documents d " +
+           "JOIN (SELECT md5(text) AS dg, MIN(doc_id) AS keep FROM documents GROUP BY 1) g " +
+           "ON md5(d.text) = g.dg WHERE doc_id <> keep")),
+
     // Exact 3-gram Jaccard near-dup pairs.
     ("dedup_jaccard_pairs",
       (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",

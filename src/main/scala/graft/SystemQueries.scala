@@ -98,6 +98,32 @@ object SystemQueries {
            "FROM events a JOIN events b ON a.user_id = b.user_id " +
            "WHERE a.event_type = 'click' AND b.event_type = 'purchase'")),
 
+    // R12: broadcast-expand — align a per-row singleton (each user's max
+    // event id) with the ragged event relation.
+    ("q_r12_expand",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id").as("row"), col("event_id").as("value"))
+        val single = t(s, dir, "events")
+          .groupBy(col("user_id").as("row")).agg(max("event_id").as("value"))
+        graft.model.Variadic.expandAs(single, ev)
+          .withColumnRenamed("row", "user_id")
+      },
+      Some("SELECT user_id, event_id AS value, " +
+           "(SELECT MAX(event_id) FROM events e2 WHERE e2.user_id = e.user_id) AS expanded " +
+           "FROM events e")),
+
+    // R16: ragged append (union of two event subsets).
+    ("q_r16_append",
+      (s, dir) => {
+        def side(k: String) = t(s, dir, "events")
+          .filter(col("event_type") === k)
+          .select(col("user_id").as("row"), col("event_id").as("value"))
+        graft.model.Variadic.append(side("click"), side("purchase"))
+      },
+      Some("SELECT user_id AS row, event_id AS value FROM events " +
+           "WHERE event_type IN ('click', 'purchase')")),
+
     // R15: row-subset selection (heavy users).
     ("q_r15_select_rows",
       (s, dir) => {

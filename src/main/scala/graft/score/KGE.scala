@@ -152,13 +152,15 @@ object KGE {
   def inverseRel(rel: Column): Column = rel.bitwiseXOR(lit(1L))
 
   def byName(name: String): KGEModel = name.toLowerCase match {
-    case "transe"   => TransE()
-    case "distmult" => DistMult
-    case "complex"  => ComplEx
-    case "rotate"   => RotatE
-    case "rescal"   => Rescal
-    case "swtranse" => SWTransE(particles = 4)
-    case other      => throw new IllegalArgumentException(s"unknown KGE model: $other")
+    case "transe"        => TransE()
+    case "distmult"      => DistMult
+    case "complex"       => ComplEx
+    case "rotate"        => RotatE
+    case "rescal"        => Rescal
+    case "swtranse"      => SWTransE(particles = 4)
+    case "native_transe" => NativeTransE
+    case "conve"         => ConvE // scoring throws: unimplementable faithfully
+    case other => throw new IllegalArgumentException(s"unknown KGE model: $other")
   }
 }
 

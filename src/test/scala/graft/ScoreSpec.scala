@@ -107,6 +107,14 @@ class ScoreSpec extends AnyFunSuite {
     assert(out(1L) == Seq(4.0, 6.0) && out(2L) == Seq(5.0, 5.0))
   }
 
+  test("T4 factory resolves every scorer by name") {
+    Seq("transe", "distmult", "complex", "rotate", "rescal", "swtranse",
+        "native_transe").foreach { n =>
+      assert(graft.score.KGE.byName(n) != null, n)
+    }
+    intercept[IllegalArgumentException](graft.score.KGE.byName("nope"))
+  }
+
   test("F9 randomInit: deterministic, right shape, ~N(0, std^2)") {
     val dim = 16
     val std = 1e-3

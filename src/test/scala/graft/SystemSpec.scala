@@ -48,6 +48,22 @@ class SystemSpec extends AnyFunSuite {
     assert(back == Map(0L -> "x", 1L -> "y"))
   }
 
+  test("S10 query-graph cache: parquet round-trip preserves the batch") {
+    // The Spark analog of the reference's per-lstr .pt cache
+    // (dataloader.py:144-179): compiled qnodes/qedges persisted as parquet.
+    val cq = graft.lang.Normalize.toDnf(
+      graft.lang.Parser.parse("r1(s1,e1)&r2(e1,f)")).head
+    val (qn, qe) = graft.lang.QueryGraph.compile(spark, Seq(
+      (cq, Map("r1" -> 0L, "r2" -> 2L, "s1" -> 4L)),
+      (cq, Map("r1" -> 1L, "r2" -> 3L, "s1" -> 2L))))
+    val dir = java.nio.file.Files.createTempDirectory("qg").toString
+    qn.write.parquet(s"$dir/qnodes"); qe.write.parquet(s"$dir/qedges")
+    val qnBack = spark.read.parquet(s"$dir/qnodes")
+    val qeBack = spark.read.parquet(s"$dir/qedges")
+    assert(qnBack.collect().toSet == qn.collect().toSet)
+    assert(qeBack.collect().toSet == qe.collect().toSet)
+  }
+
   test("S5 validate flags unregistered ids") {
     val ents = Seq(0L, 1L, 2L).toDF("id")
     val rels = Seq(0L).toDF("id")
