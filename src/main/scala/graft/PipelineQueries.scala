@@ -672,6 +672,37 @@ object PipelineQueries {
               |FROM b a JOIN b b ON a.bkt = b.bkt AND a.id < b.id
               |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin)),
 
+    // Deterministic content-hash sampling: reproducible on any engine and
+    // any partitioning (seed-based sample() is neither).
+    ("sample_hash",
+      (s, dir) => graft.pipeline.Sampling
+        .hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE " +
+           s"${graft.pipeline.Sampling.hashBucketSql("doc_id", "sample")} < 250000")),
+
+    // Stratified deterministic sample with per-stratum fractions.
+    ("sample_stratified",
+      (s, dir) => graft.pipeline.Sampling
+        .stratifiedSample(t(s, dir, "events"), "event_id", "event_type",
+          Map("click" -> 0.1, "view" -> 0.5, "purchase" -> 1.0))
+        .select("event_id", "event_type"),
+      Some("SELECT event_id, event_type FROM events WHERE " +
+           s"${graft.pipeline.Sampling.hashBucketSql("event_id", "strat")} < " +
+           "CASE event_type WHEN 'click' THEN 100000 WHEN 'view' THEN 500000 " +
+           "WHEN 'purchase' THEN 1000000 ELSE -1 END")),
+
+    // Deterministic train/valid/test split assignment (80/10/10).
+    ("sample_splits",
+      (s, dir) => graft.pipeline.Sampling
+        .assignSplits(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n")),
+      Some("SELECT CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'valid' " +
+           "ELSE 'test' END AS split, COUNT(*) AS n FROM " +
+           s"(SELECT ${graft.pipeline.Sampling.hashBucketSql("doc_id", "split")} AS b " +
+           "FROM documents) GROUP BY 1")),
+
     // Text statistics (token counting, char stats, stopwords).
     ("text_stats",
       (s, dir) => t(s, dir, "documents").select(

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * Spark's `sample()`/`randomSplit()` are seed-based and partitioning-
+  * dependent — rerunning on a repartitioned 100 TB corpus yields a
+  * different sample, which breaks reproducibility audits and cross-engine
+  * verification. These operators decide membership from a content hash of
+  * a key column instead: the same row lands in the same sample/split on
+  * any engine, any partitioning, any day (same portable md5-prefix hash
+  * family as the dedup/eval-split operators).
+  *
+  * Scale notes: membership is a pure per-row expression (no shuffle, no
+  * state); stratified sampling broadcasts only the per-stratum fraction
+  * table. Skew-free by construction — hash buckets are uniform.
+  */
+object Sampling {
+
+  private val BUCKETS = 1000000L // ppm resolution
+
+  /** Uniform bucket in [0, BUCKETS) from the portable md5-prefix hash of
+    * (salt, key). */
+  def hashBucket(key: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))),
+                        1, 15), 16, 10).cast("long"), lit(BUCKETS))
+
+  /** DuckDB rendering of [[hashBucket]] for oracle SQL. */
+  def hashBucketSql(keyExpr: String, salt: String): String =
+    s"(('0x' || substr(md5('$salt' || '|' || CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT % $BUCKETS)"
+
+  /** Deterministic `fraction` sample: keeps rows whose hash bucket falls
+    * below fraction·BUCKETS. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = "sample"): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt) < (fraction * BUCKETS).toLong)
+
+  /** Stratified deterministic sample: per-stratum fractions (stratum value
+    * -> fraction); strata absent from the map are dropped. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       salt: String = "strat"): DataFrame = {
+    val thresh = fractions.foldLeft(lit(-1L)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit((f * BUCKETS).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt) < thresh)
+  }
+
+  /** Deterministic train/validation/test (or any n-way) split: appends a
+    * `split` column chosen by cumulative weight over the hash bucket.
+    * Weights need not sum to 1 — they are normalized. */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Double)],
+                   salt: String = "split"): DataFrame = {
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+    val b = hashBucket(col(keyCol), salt)
+    val expr = splits.zip(cum.sliding(2).toSeq).foldLeft(lit(null): Column) {
+      case (acc, ((name, _), Seq(_, hi))) =>
+        when(b < (hi * BUCKETS).toLong, coalesce(acc, lit(name))).otherwise(acc)
+    }
+    // coalesce guards the last bucket against float rounding of cum weights
+    df.withColumn("split", coalesce(expr, lit(splits.last._1)))
+  }
+}

@@ -55,6 +55,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(portable.contains((1L, 2L)))
   }
 
+  test("Sampling: deterministic under repartitioning; splits partition") {
+    import graft.pipeline.Sampling
+    val base = spark.range(2000).toDF("id")
+    val s1 = Sampling.hashSample(base, "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(base.repartition(7), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // partitioning-independent membership
+    assert(math.abs(s1.size / 2000.0 - 0.3) < 0.05)
+
+    val splits = Sampling.assignSplits(base, "id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(splits.length == 2000) // exhaustive
+    val byName = splits.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "valid", "test"))
+    assert(math.abs(byName("train") / 2000.0 - 0.8) < 0.05)
+  }
+
   test("portable simhash: identical texts collide; radius-0 pair set") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0,
                                    family = Dedup.PortableMd5)
