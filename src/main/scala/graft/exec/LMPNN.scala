@@ -91,6 +91,7 @@ object LMPNN {
   def answer(qnodes: DataFrame, qedges: DataFrame, ents: DataFrame,
              rels: DataFrame, model: KGEModel, rounds: Int,
              useMlp: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"LMPNN needs at least one superstep, got $rounds")
     val dim = 8 // states carry their own width; dim only seeds var vectors
     var x = initStates(qnodes, ents, dim)
     val edgesAug = graft.lang.QueryGraph.addInverseEdges(qedges)
