@@ -30,6 +30,17 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
   def answer(lstr: String, binding: Binding): DataFrame =
     HardExec.evalFormula(edges, Parser.parse(lstr), binding)
 
+  /** Default embedding tables: the deterministic synthetic space (entity
+    * seed 0.3, relation seed 1.7 over a 64-relation universe) unless real
+    * trained tables are supplied. */
+  private def embeddingsOrDefault(entEmb: Option[DataFrame],
+                                  relEmb: Option[DataFrame],
+                                  dim: Int): (DataFrame, DataFrame) = (
+    entEmb.getOrElse(
+      Embeddings.deterministic(entities.select("id"), "id", dim, 0.3)),
+    relEmb.getOrElse(Embeddings.deterministic(
+      spark.range(64).toDF("id"), "id", dim, 1.7)))
+
   /** Scored answering: rank every entity by the CQD beam-search score under
     * a pluggable KGE model. Embeddings default to the deterministic
     * synthetic space; pass real tables for trained models. */
@@ -37,10 +48,7 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
            beam: Int = 128, dim: Int = 32,
            entEmb: Option[DataFrame] = None,
            relEmb: Option[DataFrame] = None): DataFrame = {
-    val ents = entEmb.getOrElse(
-      Embeddings.deterministic(entities.select("id"), "id", dim, 0.3))
-    val rels = relEmb.getOrElse(Embeddings.deterministic(
-      spark.range(64).toDF("id"), "id", dim, 1.7))
+    val (ents, rels) = embeddingsOrDefault(entEmb, relEmb, dim)
     CQDBeam.answer(lstr, binding, ents, rels, model, beam)
   }
 
@@ -53,10 +61,7 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
                 relEmb: Option[DataFrame] = None): DataFrame = {
     val cqs = Normalize.toDnf(Parser.parse(lstr))
     require(cqs.size == 1, "rankBatch requires a single-conjunct formula")
-    val ents = entEmb.getOrElse(
-      Embeddings.deterministic(entities.select("id"), "id", dim, 0.3))
-    val rels = relEmb.getOrElse(Embeddings.deterministic(
-      spark.range(64).toDF("id"), "id", dim, 1.7))
+    val (ents, rels) = embeddingsOrDefault(entEmb, relEmb, dim)
     graft.exec.CQDBeamBatched.answerBatch(spark, cqs.head,
       bindings.zipWithIndex.map { case (b, i) => (i.toLong, b) },
       ents, rels, model, beam)
@@ -68,14 +73,12 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
                 model: KGEModel = TransE(2), rounds: Int = 0, dim: Int = 32,
                 entEmb: Option[DataFrame] = None,
                 relEmb: Option[DataFrame] = None): DataFrame = {
+    require(instances.nonEmpty, "rankLMPNN needs at least one query instance")
     val compiled = instances.flatMap { case (lstr, b) =>
       Normalize.toDnf(Parser.parse(lstr)).map(cq => (cq, b))
     }
     val (qn, qe) = QueryGraph.compile(spark, compiled)
-    val ents = entEmb.getOrElse(
-      Embeddings.deterministic(entities.select("id"), "id", dim, 0.3))
-    val rels = relEmb.getOrElse(Embeddings.deterministic(
-      spark.range(64).toDF("id"), "id", dim, 1.7))
+    val (ents, rels) = embeddingsOrDefault(entEmb, relEmb, dim)
     val r = if (rounds > 0) rounds
             else compiled.map { case (cq, _) => cq.vars.size }.max
     LMPNN.answer(qn, qe, ents, rels, model, r)

@@ -124,13 +124,15 @@ object PipelineQueries {
   }
 
   /** DuckDB CTE chain reproducing Dedup.minhashLshPairs with the
-    * PortableMd5 family: shingle sets -> 32 salted-md5 minhashes ->
+    * PortableMd5 family (greatest(len-2, 1) mirrors TextOps.shingles'
+    * whole-text fallback for sub-n-token documents): shingle sets ->
+    * base-md5 minhashes ->
     * 8 banded md5 bucket keys -> candidate pairs -> exact-Jaccard counts.
     * Ends with CTEs `pairs(i, j, c)` and `sz(doc_id, n)`. */
   private val minhashPairsSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
-      |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(t) - 2)) AS i) g),
+      |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t) - 2, 1))) AS i) g),
       |d AS (SELECT DISTINCT doc_id, s FROM sh),
       |db AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS base FROM d),
       |sig AS (SELECT doc_id, i, MIN((base * (2 * i + 1) + i * 12582917) % 2147483647) AS mh
@@ -609,7 +611,7 @@ object PipelineQueries {
                                      n = 3, threshold = 0.5),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
-             |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(t) - 2)) AS i) g),
+             |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t) - 2, 1))) AS i) g),
              |d AS (SELECT DISTINCT doc_id, s FROM sh),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
              |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c

@@ -31,19 +31,19 @@ object Workload {
     val canonSrc = when(col("rel") % 2 === 0, col("src")).otherwise(col("dst"))
     val canonDst = when(col("rel") % 2 === 0, col("dst")).otherwise(col("src"))
     val canonRel = col("rel") - col("rel") % 2
-    val h = conv(substring(md5(
-      concat_ws("|", canonSrc, canonRel, canonDst)), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.PortableHash.md5Prefix60(
+      concat_ws("|", canonSrc, canonRel, canonDst))
     edges.filter(pmod(h, lit(keepMod)) =!= 0)
   }
 
   /** DuckDB predicate equivalent of [[trainEdges]]'s keep condition over an
     * `edges(src, rel, dst)` row. */
   def trainPredicateSql(keepMod: Int = 10): String =
-    "('0x' || substr(md5(" +
+    graft.functions.PortableHash.md5Prefix60Sql(
       "CAST(CASE WHEN rel % 2 = 0 THEN src ELSE dst END AS VARCHAR) || '|' || " +
-      "CAST(rel - (rel % 2) AS VARCHAR) || '|' || " +
-      "CAST(CASE WHEN rel % 2 = 0 THEN dst ELSE src END AS VARCHAR)" +
-      s"), 1, 15))::BIGINT % $keepMod <> 0"
+        "CAST(rel - (rel % 2) AS VARCHAR) || '|' || " +
+        "CAST(CASE WHEN rel % 2 = 0 THEN dst ELSE src END AS VARCHAR)") +
+      s" % $keepMod <> 0"
 
   /** Filtered-metric evaluation of `types` (name, lstr, binding) over the
     * train/full split. Score model: symbolic train-KG membership (1/0) —

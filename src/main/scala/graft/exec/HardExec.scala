@@ -96,11 +96,17 @@ object HardExec {
       val shared = frame.columns.filter(accCols.contains).toSeq
       acc =
         if (shared.nonEmpty) acc.join(frame, shared)
-        // Disconnected atom (e.g. pni's second anchor): broadcast it rather
-        // than let a CartesianProduct re-scan both sides per partition pair.
-        // Such frames are constant-anchored in every declared query type, so
-        // they are one entity's adjacency list — bounded by max degree.
-        else acc.crossJoin(broadcast(frame))
+        else {
+          // Disconnected atom: broadcast it rather than let a
+          // CartesianProduct re-scan both sides per partition pair — but
+          // only when it is constant-anchored (one entity's adjacency list,
+          // bounded by max degree; the case in every declared query type).
+          // An unanchored disconnected atom is a full relation: broadcasting
+          // that would blow the driver at scale, so it stays a plain cross
+          // join and AQE picks the physical strategy.
+          val anchored = Seq(next.head, next.tail).exists(_.isConst)
+          acc.crossJoin(if (anchored) broadcast(frame) else frame)
+        }
     }
     // Negated atoms: anti-join on the atom's (bound) variables (R4).
     cq.neg.foreach { a =>

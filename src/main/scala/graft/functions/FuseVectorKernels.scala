@@ -16,9 +16,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * `spark.experimental.extraOptimizations`.
   *
   * Semantics: identical fold order (sequential over ascending index), so
-  * results are bit-equal. The kernels read arrays densely — the rewrite
-  * therefore only fires on ARRAY<DOUBLE> inputs, matching the engine
-  * convention that embedding vectors carry no null elements. */
+  * results are bit-equal FOR WELL-FORMED VECTOR INPUTS (equal-length,
+  * null-free arrays — the engine's embedding convention). The kernels read
+  * arrays densely and truncate to the shorter side, whereas the HOF form
+  * null-propagates on length mismatch / null elements. Because that
+  * difference is not statically checkable (Spark marks most array columns
+  * nullable conservatively), the rule is OPT-IN — enable it where the
+  * vector convention holds via
+  * `spark.experimental.extraOptimizations :+= FuseVectorKernels`;
+  * GraftExtensions deliberately does NOT inject it globally. */
 object FuseVectorKernels extends Rule[LogicalPlan] {
 
   /** Matches `aggregate(zip_with(l, r, (x, y) -> x * y), 0.0,

@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The engine's portable hash family: a 60-bit non-negative integer from
+  * the first 15 md5 hex chars. md5 is identical in every ANSI engine, and
+  * 15 hex digits fit a signed BIGINT, so the value is bit-reproducible in
+  * Spark, DuckDB, or any SQL oracle — the property behind the verifiable
+  * minhash/simhash families, the train/test split, and the deterministic
+  * samplers. ONE definition on each side; Spark and SQL renderings must
+  * stay in lock-step. */
+object PortableHash {
+
+  /** Spark rendering: `conv(substring(md5(c), 1, 15), 16, 10)` as a long. */
+  def md5Prefix60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[md5Prefix60]] for oracle SQL. */
+  def md5Prefix60Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+}

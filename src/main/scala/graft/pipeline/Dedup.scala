@@ -113,8 +113,7 @@ object Dedup {
     val sets = family match {
       case XxHash => sets0
       case PortableMd5 => sets0.withColumn("_mh_base",
-        pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"),
-             lit(P)))
+        pmod(graft.functions.PortableHash.md5Prefix60(col("sh")), lit(P)))
     }
     val sigAggs = family match {
       case XxHash =>
@@ -199,8 +198,7 @@ object Dedup {
               family: HashFamily = XxHash): DataFrame = {
     val (hashCol, nBits) = family match {
       case XxHash      => (xxhash64(col("t")), 64)
-      case PortableMd5 => (conv(substring(md5(col("t")), 1, 15), 16, 10)
-                             .cast("long"), 60)
+      case PortableMd5 => (graft.functions.PortableHash.md5Prefix60(col("t")), 60)
     }
     val th = df.select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("t"))

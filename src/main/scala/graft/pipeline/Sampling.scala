@@ -24,12 +24,13 @@ object Sampling {
   /** Uniform bucket in [0, BUCKETS) from the portable md5-prefix hash of
     * (salt, key). */
   def hashBucket(key: Column, salt: String): Column =
-    pmod(conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))),
-                        1, 15), 16, 10).cast("long"), lit(BUCKETS))
+    pmod(graft.functions.PortableHash.md5Prefix60(
+      concat(lit(salt), lit("|"), key.cast("string"))), lit(BUCKETS))
 
   /** DuckDB rendering of [[hashBucket]] for oracle SQL. */
   def hashBucketSql(keyExpr: String, salt: String): String =
-    s"(('0x' || substr(md5('$salt' || '|' || CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT % $BUCKETS)"
+    s"(${graft.functions.PortableHash.md5Prefix60Sql(
+      s"'$salt' || '|' || CAST($keyExpr AS VARCHAR)")} % $BUCKETS)"
 
   /** Deterministic `fraction` sample: keeps rows whose hash bucket falls
     * below fraction·BUCKETS. */

@@ -47,11 +47,13 @@ object Similarity {
     * in-plan formulation — Spark's `sin` is java.lang.Math.sin) and dotted
     * with the fused native kernel: whole-stage codegen, no per-element
     * lambda interpretation, no index-array allocation per row. `dim` must
-    * be >= the vector width (the kernel truncates to the shorter side,
-    * matching the old zip_with semantics). Callers must have
+    * be >= the vector width — the kernel truncates to the shorter side, so
+    * a narrower plane would silently bucket on a vector prefix. The
+    * default (512) gives headroom over any embedding width in use; pass
+    * the real width explicitly for wider spaces. Callers must have
     * [[ArrayKernels]] registered. */
   def hyperplaneBucket(vec: Column, planes: Int, seed: Double,
-                       dim: Int = 64): Column =
+                       dim: Int = 512): Column =
     (0 until planes).map { j =>
       val plane = typedLit(
         (0 until dim).map(i => math.sin((j * 131 + i + 1) * 0.7 + seed)))

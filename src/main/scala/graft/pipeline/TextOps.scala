@@ -23,7 +23,10 @@ object TextOps {
 
   /** Same sub-word split via a lookaround-free alternation pattern —
     * portable to RE2-based engines (DuckDB/Go/Hyperscan), so tokenizer
-    * output is oracle-verifiable across engines. */
+    * output is oracle-verifiable across engines. Caveat: Java regexes walk
+    * UTF-16 code units while RE2 walks codepoints, so non-BMP characters
+    * (emoji etc.) tokenize differently across engines; the portability
+    * contract covers BMP text. */
   val portablePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
   def portableSubTokens(text: Column): Column =
     regexp_extract_all(text, lit(portablePattern), lit(0))

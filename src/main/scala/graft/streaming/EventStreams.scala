@@ -82,7 +82,13 @@ object EventStreams {
           sorted.foreach { case (s, v) =>
             open match {
               case Some(o) if s - o.last <= gapSec =>
-                open = Some(OpenSession(o.start, s, o.n + 1, o.total + v))
+                // min/max guard: a late event from a later micro-batch may
+                // precede the open session's bounds — it must widen them,
+                // not drag `last` backwards (which would emit end < start
+                // and mis-split subsequent events).
+                open = Some(OpenSession(math.min(o.start, s),
+                                        math.max(o.last, s),
+                                        o.n + 1, o.total + v))
               case Some(o) =>
                 closed += ClosedSession(uid, o.start, o.last, o.n, o.total)
                 open = Some(OpenSession(s, s, 1L, v))

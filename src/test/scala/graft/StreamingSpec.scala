@@ -112,4 +112,31 @@ class StreamingSpec extends AnyFunSuite {
         s.start_s == 200L && s.n_events == 1L && s.total_value == 4.0))
     } finally q.stop()
   }
+
+  test("sessionize: a late cross-batch event widens bounds, never shrinks") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(100), 7, "click", 1.0))
+      q.processAllAvailable()
+      // late event (t=50) from a later micro-batch merges backwards
+      mem.addData(Event(2, ts(50), 7, "click", 2.0))
+      q.processAllAvailable()
+      // next event 70s after the TRUE last (100), within gap -> still open;
+      // with the pre-fix state (last dragged to 50) it would have split.
+      mem.addData(Event(3, ts(150), 7, "click", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(500), 7, "click", 8.0)) // closes it
+      q.processAllAvailable()
+      val closed = spark.table("sess_late")
+        .as[EventStreams.ClosedSession].collect()
+      assert(closed.length == 1)
+      val s0 = closed.head
+      assert(s0.start_s == 50L && s0.end_s == 150L && s0.n_events == 3L &&
+             math.abs(s0.total_value - 7.0) < 1e-9)
+    } finally q.stop()
+  }
 }
