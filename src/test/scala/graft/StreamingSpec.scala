@@ -113,6 +113,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TripleIngest: streamed triples land deduped + inverse-augmented " +
+       "in a rel-partitioned parquet store") {
+    import graft.streaming.TripleIngest
+    import graft.streaming.TripleIngest.TripleEvent
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("kgout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kgckpt").toString
+    val mem = MemoryStream[TripleEvent]
+    val q = TripleIngest.ingest(mem.toDF(), out, ckpt)
+    try {
+      mem.addData(TripleEvent(ts(10), 0L, 4L, 2L),
+                  TripleEvent(ts(11), 1L, 4L, 2L))
+      q.processAllAvailable()
+      // replayed duplicate within the watermark is dropped
+      mem.addData(TripleEvent(ts(12), 0L, 4L, 2L),
+                  TripleEvent(ts(13), 0L, 2L, 3L))
+      q.processAllAvailable()
+      // partition-column inference types rel=<dir> as INT; cast back
+      val edges = spark.read.parquet(out)
+        .select(col("src"), col("rel").cast("long"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(edges == Set(
+        (0L, 4L, 2L), (1L, 4L, 2L), (0L, 2L, 3L),      // base
+        (2L, 5L, 0L), (2L, 5L, 1L), (3L, 3L, 0L)))     // inverses rel^1
+      // physical layout: one directory per relation
+      val relDirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("rel=")).map(_.getName).toSet
+      assert(relDirs == Set("rel=4", "rel=5", "rel=2", "rel=3"))
+    } finally q.stop()
+  }
+
   test("sessionize: a late cross-batch event widens bounds, never shrinks") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
