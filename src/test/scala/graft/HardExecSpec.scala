@@ -69,6 +69,21 @@ class HardExecSpec extends AnyFunSuite {
       }
   }
 
+  test("disconnected components: anchored and unanchored cross joins") {
+    // The unanchored disconnected atom r2(e1,e2) exercises the plain
+    // (non-broadcast) cross-join branch; the anchored variant r2(s2,e1)
+    // exercises the broadcast branch. Both against brute force.
+    Seq("r1(s1,f)&r2(e1,e2)", "r1(s1,f)&r2(s2,e1)").foreach { lstr =>
+      val f = Parser.parse(lstr)
+      (1 to 2).foreach { seed =>
+        val b = randomBinding(f, seed * 17 + lstr.hashCode)
+        val got = HardExec.evalFormula(edgesDf, f, b)
+          .collect().map(_.getLong(0)).toSet
+        assert(got == bruteForce(f, b), s"$lstr binding=$b")
+      }
+    }
+  }
+
   KGQueries.all.foreach { case (name, lstr, _) =>
     test(s"$name matches brute force on random KG") {
       val f = Parser.parse(lstr)
