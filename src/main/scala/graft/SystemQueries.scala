@@ -84,6 +84,30 @@ object SystemQueries {
           |  WHERE b.level < 3)
           |SELECT id, CAST(MIN(level) AS BIGINT) AS level FROM bfs GROUP BY id""".stripMargin)),
 
+    // Fixed-iteration PageRank over the KG — iterative analytics whose
+    // supersteps unroll into SQL CTEs (1.0 - 0.85 is spelled as the
+    // subtraction so both engines compute the identical double constant).
+    ("q_pagerank_fixed",
+      (s, dir) => GraphOps.pageRankFixed(KG.edges(s, dir), iters = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank")),
+      Some {
+        def iter(k: Int): String =
+          s"""r$k AS (
+             |  SELECT n.id, (1.0 - 0.85) + 0.85 * COALESCE(c.inflow, 0.0) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS id, SUM(r.rank / od.outdeg) AS inflow
+             |    FROM edges e JOIN r${k - 1} r ON e.src = r.id
+             |    JOIN od ON e.src = od.id
+             |    GROUP BY e.dst) c ON n.id = c.id)""".stripMargin
+        KG.edgesCte.trim + ",\n" +
+          """nodes AS (SELECT DISTINCT id FROM
+            |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+            |od AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+            |r0 AS (SELECT id, 1.0 AS rank FROM nodes),""".stripMargin + "\n" +
+          (1 to 3).map(iter).mkString(",\n") + "\n" +
+          "SELECT id, ROUND(rank, 6) AS rank FROM r3"
+      }),
+
     // R11: per-group cartesian product (clicks x purchases per user).
     ("q_r11_cartesian",
       (s, dir) => {

@@ -85,4 +85,36 @@ object GraphOps {
     }
     levelFrames.reduce(_ unionAll _)
   }
+
+  /** Fixed-iteration PageRank as a relational superstep loop:
+    * rank' = (1 − d) + d · Σ_{in-edges} rank(src) / outdeg(src), rank₀ = 1.
+    * Dangling nodes keep the (1 − d) floor. The fixed iteration count (vs
+    * GraphX's tol-based dynamic convergence in GraphXOps.pageRank) makes the
+    * result a pure function of the graph — unroll-able as SQL CTEs for the
+    * oracle. Lineage is truncated per iteration (the same checkpointed-loop
+    * pattern as BFS / LMPNN supersteps — SURVEY §7.5). */
+  def pageRankFixed(edges: DataFrame, iters: Int,
+                    damping: Double = 0.85): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+      .distinct()
+    val outDeg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val linked = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true) // read every iteration
+    var rank = nodes.withColumn("rank", lit(1.0))
+    (1 to iters).foreach { _ =>
+      val contrib = linked
+        .join(rank.select(col("id").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("inflow"))
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+                (lit(1.0 - damping) +
+                 lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
 }

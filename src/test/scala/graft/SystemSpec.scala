@@ -33,6 +33,18 @@ class SystemSpec extends AnyFunSuite {
     assert(lv == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
   }
 
+  test("pageRankFixed: exact fixpoint on a star graph") {
+    // 1,2,3 -> 0. Leaves have no in-edges: rank 0.15 after iter 1;
+    // hub stabilizes at 0.15 + 0.85 * 3 * (0.15 / 1) = 0.5325 from iter 2.
+    val edges = Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L))
+      .toDF("src", "rel", "dst")
+    val pr = graft.exec.GraphOps.pageRankFixed(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.15) < 1e-12)
+    assert(math.abs(pr(0L) - (0.15 + 0.85 * 0.45)) < 1e-12)
+    assert(pr(0L) > pr(1L))
+  }
+
   test("S2 dictionary: dense ids, deterministic order") {
     val d = KGIndex.buildDictionary(Seq("b", "a", "c", "a").toDF("n"), "n")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
