@@ -142,20 +142,28 @@ object Dedup {
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
       .localCheckpoint(true) // tiny; read three times below
-    // Verify candidates with exact Jaccard — but FIRST shrink the shingle
-    // sets to candidate docs with a broadcast semi-join: the LSH point is
-    // that candidates are rare, so the expensive shingle-equality shuffle
-    // should see |cand docs| · |shingles/doc| rows, not the whole corpus.
+    // Verify candidates with exact Jaccard. Two constraints compose:
+    //  - shrink the shingle sets to candidate docs first (broadcast
+    //    semi-join) so a sparse candidate set never shuffles the whole
+    //    corpus's shingles;
+    //  - keep the intersection join CONSTRAINED TO BANDED PAIRS (join cands
+    //    before counting) — an unconstrained candSets self-join on shingle
+    //    re-derives all-pairs similarity whenever candidates are dense
+    //    (near-dup-heavy corpora: measured 129 s vs 25 s at 50k docs on the
+    //    scale probe, where every doc is someone's candidate).
     val candIds = cands.select(col("i").as("id"))
       .unionAll(cands.select(col("j").as("id"))).distinct()
+    // No checkpoint here: `sets` is already materialized, and re-running
+    // the broadcast semi-join per consumer is cheaper than writing the
+    // (possibly corpus-sized) candidate set back out.
     val candSets = sets.join(broadcast(candIds), "id")
+      .select(col("id"), col("sh"))
     val sizes = candSets.groupBy("id").agg(count(lit(1)).as("sz"))
-    candSets.as("sa")
+    cands
+      .join(candSets.as("sa"), col("i") === col("sa.id"))
       .join(candSets.as("sb"),
-            col("sa.sh") === col("sb.sh") && col("sa.id") < col("sb.id"))
-      .groupBy(col("sa.id").as("i"), col("sb.id").as("j"))
-      .agg(count(lit(1)).as("c"))
-      .join(cands, Seq("i", "j")) // only banded candidate pairs qualify
+            col("j") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
       .join(sizes.select(col("id").as("i"), col("sz").as("szi")), "i")
       .join(sizes.select(col("id").as("j"), col("sz").as("szj")), "j")
       .withColumn("jaccard", col("c") / (col("szi") + col("szj") - col("c")))
