@@ -98,6 +98,7 @@ object GraphOps {
     val nodes = edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id")))
       .distinct()
+      .localCheckpoint(true) // joined every iteration; distinct once
     val outDeg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
     val linked = edges.join(outDeg, edges("src") === outDeg("id"))
