@@ -810,6 +810,30 @@ object PipelineQueries {
               |  SELECT qid, nid, cs, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc) t
               |WHERE rank <= 5""".stripMargin)),
 
+    // Multi-probe IVF: queries search their 2 nearest cells (recall/cost
+    // knob over the single-cell variant); the oracle ranks cells with the
+    // same (neg-dot, cell) order and takes rn <= probes on the query side.
+    ("ann_ivf_multiprobe",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        Similarity.ivfTopKMultiProbe(emb, emb.filter(col("id") < 20), k = 5,
+                                     nCentroids = 8, dim = 64, probes = 2)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH e AS ($embedsSql),
+              |cents AS (SELECT c, list_transform(generate_series(1, 64), i -> sin((c % 9973 + 1) * i * 0.017 + 2.7)) AS cv
+              |          FROM generate_series(0, 7) t(c)),
+              |assign AS (SELECT id, v, c AS cell,
+              |             ROW_NUMBER() OVER (PARTITION BY id ORDER BY -list_dot_product(v, cv) ASC, c ASC) AS rn
+              |           FROM e CROSS JOIN cents),
+              |corp AS (SELECT id, v, cell FROM assign WHERE rn = 1),
+              |qc AS (SELECT id, v, cell FROM assign WHERE rn <= 2 AND id < 20),
+              |sc AS (SELECT q.id AS qid, n.id AS nid, ${cosSql("q.v", "n.v")} AS cs
+              |       FROM qc q JOIN corp n ON q.cell = n.cell AND n.id <> q.id)
+              |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(cs, 6) AS cos FROM (
+              |  SELECT qid, nid, cs, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc) t
+              |WHERE rank <= 5""".stripMargin)),
+
     // LSH-bucketed approximate ANN: oracle reproduces both probe tables'
     // buckets and the UNION-dedup of candidates.
     ("ann_lsh_topk",

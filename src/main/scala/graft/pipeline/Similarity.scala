@@ -117,4 +117,34 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"),
               round(col("cos"), 6).as("cos"))
   }
+
+  /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
+    * each query probes its `probes` nearest cells — the standard
+    * recall/cost knob (recall grows with probed cells, scan cost stays
+    * |corpus|·probes/nCentroids on average). A neighbor can match at most
+    * once (one corpus cell, distinct probe cells), so no dedup is needed. */
+  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nCentroids: Int = 16, dim: Int, probes: Int = 2,
+                        seed: Double = 2.7): DataFrame = {
+    ArrayKernels.register(corpus.sparkSession)
+    def cellScores(vec: Column): Column = array((0 until nCentroids).map { c =>
+      val cvec = typedLit(
+        (1 to dim).map(i => math.sin((c % 9973 + 1) * i * 0.017 + seed)))
+      struct((-ArrayKernels.arrayDot(vec, cvec)).as("negdot"),
+             lit(c).as("cell"))
+    }: _*)
+    val c = corpus.select(col("id").as("nid"), col("vec").as("nvec"),
+                          array_min(cellScores(col("vec"))).getField("cell").as("cell"))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
+        explode(slice(array_sort(cellScores(col("vec"))), 1, probes)).as("sc"))
+      .select(col("qid"), col("qvec"), col("sc.cell").as("cell"))
+    val cands = c.join(broadcast(q), "cell").filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+              ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"),
+              round(col("cos"), 6).as("cos"))
+  }
 }

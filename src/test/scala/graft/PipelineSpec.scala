@@ -163,6 +163,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("ivf multi-probe recall dominates single-cell recall") {
+    val ids = spark.range(200).toDF("id")
+    val emb = Embeddings.deterministic(ids, "id", 16, 0.9)
+    val queries = emb.filter($"id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(emb, queries, 5))
+    val one = pairs(Similarity.ivfTopK(emb, queries, 5, nCentroids = 8, dim = 16))
+    val multi = pairs(Similarity.ivfTopKMultiProbe(emb, queries, 5,
+      nCentroids = 8, dim = 16, probes = 3))
+    def recall(s: Set[(Long, Long)]) = (brute & s).size.toDouble / brute.size
+    assert(recall(multi) >= recall(one), s"${recall(multi)} < ${recall(one)}")
+    assert(recall(multi) >= 0.3, s"multi-probe recall ${recall(multi)}")
+  }
+
   test("dupGroups resolves transitive near-dup clusters to canonical ids") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
     val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
