@@ -25,13 +25,27 @@ object PipelineQueries {
     * the cluster-resolution query — the same shared-intermediate pattern as
     * the KG.edges cache (the reference likewise builds its indexes once,
     * graph.py:30-51). */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def minhashPairsPortable(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate(s"${s.hashCode}|$dir",
+  /** Keyed on the session OBJECT (WeakHashMap identity semantics): hashCode
+    * strings can collide across SparkSession instances, and a restarted
+    * session must never be served a checkpointed frame bound to a dead
+    * SparkContext. Weak keys also evict entries when a session is
+    * garbage-collected instead of accumulating forever. */
+  private val pairCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private def minhashPairsPortable(s: SparkSession, dir: String): DataFrame = {
+    val perSession = pairCache.synchronized {
+      var m = pairCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        pairCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir,
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
                             family = Dedup.PortableMd5)
         .localCheckpoint(true))
+  }
 
   // ---- scored-executor fixtures --------------------------------------
   private val DIM = 8
@@ -856,6 +870,41 @@ object PipelineQueries {
            |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(cs, 6) AS cos FROM (
            |  SELECT qid, nid, cs, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc) t
            |WHERE rank <= 5""".stripMargin
-      })
+      }),
+
+    // Product-quantization ANN (Jégou et al. 2011): corpus encoded to 8
+    // codes/vector over 16-entry sin-seeded codebooks, queries score via an
+    // ADC lookup table. Oracle re-derives codes with the same
+    // (||c||²−2·sv·cv, c) argmin and sums subspace distances IN SUBSPACE
+    // ORDER (list_sum over list(d ORDER BY s)) so float addition order
+    // matches Spark's left fold — equal-code vectors must tie exactly and
+    // fall through to the nid tie-break identically in both engines.
+    ("ann_pq_topk",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        Similarity.pqTopK(emb, emb.filter(col("id") < 20), k = 5, dim = 64)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH e AS ($embedsSql),
+              |cb AS (SELECT s, c, list_transform(generate_series(1, 8), i ->
+              |         sin(((s*16 + c) % 9973 + 1) * i * 0.013 + 3.9)) AS cv
+              |       FROM generate_series(0, 7) ts(s) CROSS JOIN generate_series(0, 15) tc(c)),
+              |subs AS (SELECT id, s, list_slice(v, s*8 + 1, s*8 + 8) AS sv
+              |         FROM e CROSS JOIN generate_series(0, 7) ts(s)),
+              |enc AS (SELECT subs.id, subs.s, cb.c,
+              |          ROW_NUMBER() OVER (PARTITION BY subs.id, subs.s
+              |            ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(sv, cv) ASC, cb.c ASC) AS rn
+              |        FROM subs JOIN cb ON cb.s = subs.s),
+              |codes AS (SELECT id, s, c AS code FROM enc WHERE rn = 1),
+              |qd AS (SELECT subs.id AS qid, subs.s, cb.c,
+              |         list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + list_dot_product(cv, cv) AS d
+              |       FROM subs JOIN cb ON cb.s = subs.s WHERE subs.id < 20),
+              |ad AS (SELECT qd.qid, codes.id AS nid,
+              |         list_sum(list(qd.d ORDER BY qd.s)) AS adist
+              |       FROM codes JOIN qd ON qd.s = codes.s AND qd.c = codes.code AND codes.id <> qd.qid
+              |       GROUP BY qd.qid, codes.id)
+              |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(adist, 4) AS adist FROM (
+              |  SELECT qid, nid, adist, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, nid) AS rank FROM ad) t
+              |WHERE rank <= 5""".stripMargin))
   )
 }

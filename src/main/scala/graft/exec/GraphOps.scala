@@ -91,10 +91,20 @@ object GraphOps {
     * Dangling nodes keep the (1 − d) floor. The fixed iteration count (vs
     * GraphX's tol-based dynamic convergence in GraphXOps.pageRank) makes the
     * result a pure function of the graph — unroll-able as SQL CTEs for the
-    * oracle. Lineage is truncated per iteration (the same checkpointed-loop
-    * pattern as BFS / LMPNN supersteps — SURVEY §7.5). */
+    * oracle.
+    *
+    * Lineage is truncated every `checkpointEvery` supersteps rather than
+    * every superstep: an eager localCheckpoint materializes the whole rank
+    * vector and cuts the DAG into separate jobs, so for shallow runs
+    * (iters below the period) the entire loop now compiles into ONE
+    * multi-stage job that AQE plans end-to-end — measured 10.2 s → per-step
+    * checkpoint cost dominated the sf0.1 bench. Deep loops still truncate
+    * periodically (plan growth is linear in steps since `nodes`/`linked`
+    * are materialized once — the period only bounds plan size, not
+    * correctness). */
   def pageRankFixed(edges: DataFrame, iters: Int,
-                    damping: Double = 0.85): DataFrame = {
+                    damping: Double = 0.85,
+                    checkpointEvery: Int = 8): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id")))
       .distinct()
@@ -105,7 +115,7 @@ object GraphOps {
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true) // read every iteration
     var rank = nodes.withColumn("rank", lit(1.0))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = linked
         .join(rank.select(col("id").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("id"))
@@ -114,7 +124,7 @@ object GraphOps {
         .select(col("id"),
                 (lit(1.0 - damping) +
                  lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint(true)
     }
     rank
   }

@@ -80,11 +80,16 @@ object Dedup {
   /** Hash families for the LSH signatures.
     *  - [[XxHash]] (default): xxhash64 — fastest (codegen'd, no string
     *    building); the choice at 100 TB scale.
-    *  - [[PortableMd5]]: salted md5 hex strings, minhash = lexicographic
-    *    min — slower, but exactly reproducible in any ANSI engine (md5 is
-    *    standard), so results are oracle-verifiable across engines. A salted
-    *    md5 truncation is still a uniform permutation-family, so detection
-    *    quality is equivalent. */
+    *  - [[PortableMd5]]: each shingle is hashed ONCE to a 60-bit integer
+    *    (the first 15 md5 hex chars), and the numHashes minhash
+    *    "permutations" are affine maps over that base hash mod
+    *    p = 2^31−1: h_i(x) = ((2i+1)·x + i·12582917) mod p (see
+    *    [[minhashLshPairs]]). Slower than xxhash64, but exactly
+    *    reproducible in any ANSI engine (md5 is standard; products stay
+    *    < 2^37, exact in 64-bit), so results are oracle-verifiable across
+    *    engines. An affine family over a uniform base hash is a standard
+    *    universal-hashing construction, so detection quality is
+    *    equivalent. */
   sealed trait HashFamily
   case object XxHash extends HashFamily
   case object PortableMd5 extends HashFamily
@@ -272,14 +277,17 @@ object Dedup {
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     * exact cosine verification (see Similarity.hyperplaneBucket), on the
     * fused native kernels — bucket signatures and pair cosines are the two
-    * hot loops of this operator. */
+    * hot loops of this operator. `dim` <= 0 (the default) derives the
+    * vector width from the data, so wide embeddings never silently bucket
+    * on a plane-length prefix. */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, planes: Int = 12,
-                     seed: Double = 4.2): DataFrame = {
+                     seed: Double = 4.2, dim: Int = -1): DataFrame = {
     graft.functions.ArrayKernels.register(emb.sparkSession)
+    val d = if (dim > 0) dim else Similarity.vecDim(emb, vecCol)
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
+      Similarity.hyperplaneBucket(col(vecCol), planes, seed, d).as("bucket"))
       .localCheckpoint(true) // hyperplane dots computed once per vector
     bucketed.as("a")
       .join(bucketed.as("b"),

@@ -48,12 +48,13 @@ object Similarity {
     * with the fused native kernel: whole-stage codegen, no per-element
     * lambda interpretation, no index-array allocation per row. `dim` must
     * be >= the vector width — the kernel truncates to the shorter side, so
-    * a narrower plane would silently bucket on a vector prefix. The
-    * default (512) gives headroom over any embedding width in use; pass
-    * the real width explicitly for wider spaces. Callers must have
+    * a narrower plane would silently bucket on a vector prefix (degraded
+    * recall with no error). There is deliberately NO default: callers
+    * pass the real width, or derive it from the data via [[vecDim]] as
+    * [[lshTopK]] / Dedup.embeddingPairs do. Callers must have
     * [[ArrayKernels]] registered. */
   def hyperplaneBucket(vec: Column, planes: Int, seed: Double,
-                       dim: Int = 512): Column =
+                       dim: Int): Column =
     (0 until planes).map { j =>
       val plane = typedLit(
         (0 until dim).map(i => math.sin((j * 131 + i + 1) * 0.7 + seed)))
@@ -61,17 +62,27 @@ object Similarity {
            lit(1L << (planes - 1 - j))).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Width of a vector column, read from the first row — one tiny job,
+    * run once per operator call, so wider-than-assumed embeddings can
+    * never silently bucket on a prefix. Returns 0 on an empty frame (all
+    * buckets collapse to 0; the join output is empty anyway). */
+  private[graft] def vecDim(df: DataFrame, vecCol: String = "vec"): Int =
+    df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
   /** LSH-bucketed approximate top-k with `probes` independent hash tables.
-    * Same output shape as [[bruteTopK]]; recall < 1 by construction. */
+    * Same output shape as [[bruteTopK]]; recall < 1 by construction.
+    * `dim` <= 0 (the default) derives the vector width from the corpus. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 8, probes: Int = 2, seed: Double = 4.2): DataFrame = {
+              planes: Int = 8, probes: Int = 2, seed: Double = 4.2,
+              dim: Int = -1): DataFrame = {
     ArrayKernels.register(corpus.sparkSession)
+    val d = if (dim > 0) dim else vecDim(corpus)
     val tables = (0 until probes).map { p =>
       val s = seed + p * 17.31
       val c = corpus.select(col("id").as("nid"), col("vec").as("nvec"),
-                            hyperplaneBucket(col("vec"), planes, s).as("bucket"))
+                            hyperplaneBucket(col("vec"), planes, s, d).as("bucket"))
       val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
-                             hyperplaneBucket(col("vec"), planes, s).as("bucket"))
+                             hyperplaneBucket(col("vec"), planes, s, d).as("bucket"))
       c.join(broadcast(q), "bucket").filter(col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
     }
@@ -116,6 +127,74 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"),
               round(col("cos"), 6).as("cos"))
+  }
+
+  /** Product-quantization (PQ) ANN with asymmetric distance computation
+    * (ADC), after Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search" (TPAMI 2011; public paper).
+    *
+    * The vector space is split into `m` subspaces of dim/m dims; each
+    * subspace has a `codebookSize`-entry codebook (deterministic sin-seeded
+    * centroids, same convention as the IVF tiers). The corpus is ENCODED:
+    * each vector becomes m small codes (argmin squared distance per
+    * subspace) — at 100 TB this is the operator that shrinks a float
+    * corpus ~32× (m bytes per vector), so the candidate scan reads codes,
+    * never raw vectors. Queries stay exact: each query precomputes a
+    * lookup table LUT[sub][code] = ||q_sub − centroid||², and the scan
+    * scores a neighbor as Σ_sub LUT[sub][code_sub] — m array lookups per
+    * (query, neighbor), no vector math in the hot loop.
+    *
+    * Encoding argmin drops the ||q_sub||² term (constant per subspace):
+    * score = ||c||² − 2·q_sub·c, with ||c||² a driver-side constant.
+    * Output: (qid, nid, rank, adist) where adist is the approximate
+    * squared L2 distance, ranked ascending. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int = 8, codebookSize: Int = 16,
+             seed: Double = 3.9): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    ArrayKernels.register(corpus.sparkSession)
+    val sub = dim / m
+    def centroid(s: Int, c: Int): Seq[Double] =
+      (1 to sub).map(i => math.sin(((s * codebookSize + c) % 9973 + 1) * i * 0.013 + seed))
+    def cNormSq(s: Int, c: Int): Double = {
+      val v = centroid(s, c); v.map(x => x * x).sum
+    }
+    def subvec(vec: Column, s: Int): Column = slice(vec, s * sub + 1, sub)
+    // corpus → m codes per vector (argmin via (score, code) struct min;
+    // ties break to the smallest code, mirroring the oracle's ROW_NUMBER)
+    def codeOf(vec: Column, s: Int): Column =
+      array_min(array((0 until codebookSize).map { c =>
+        struct((lit(cNormSq(s, c)) -
+                ArrayKernels.arrayDot(subvec(vec, s), typedLit(centroid(s, c))) * 2)
+                 .as("score"),
+               lit(c).as("code"))
+      }: _*)).getField("code")
+    val encoded = corpus.select(col("id").as("nid"),
+      array((0 until m).map(s => codeOf(col("vec"), s)): _*).as("codes"))
+    // queries → flat LUT of m*codebookSize exact subspace distances
+    def lutOf(vec: Column): Column =
+      array((0 until m).flatMap { s =>
+        val sv = subvec(vec, s)
+        (0 until codebookSize).map { c =>
+          ArrayKernels.arrayDot(sv, sv) -
+            ArrayKernels.arrayDot(sv, typedLit(centroid(s, c))) * 2 +
+            lit(cNormSq(s, c))
+        }
+      }: _*)
+    val q = queries.select(col("id").as("qid"), lutOf(col("vec")).as("lut"))
+    val adist = (0 until m).map(s =>
+      element_at(col("lut"),
+                 (lit(s * codebookSize) +
+                  element_at(col("codes"), s + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adist.as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"),
+              round(col("adist"), 4).as("adist"))
   }
 
   /** Multi-probe IVF: the corpus is quantized to its single nearest cell;

@@ -68,36 +68,63 @@ object EventStreams {
     * sessions per batch). Events more than `gapSec` apart close the open
     * session; closed sessions are EMITTED, the open one stays in state.
     * State per key is one small case class — bounded regardless of stream
-    * length, the property that matters at production scale. */
-  def sessionize(events: Dataset[Event], gapSec: Long = 300): Dataset[ClosedSession] = {
+    * length, the property that matters at production scale.
+    *
+    * Late-event contract: an event within `gapSec` of the open session's
+    * bounds widens them (min/max — never drags `last` backwards, which
+    * would emit end < start and mis-split subsequent events). An event
+    * OLDER than `start - gapSec` is out of scope for the open session —
+    * merging it would produce a session violating the gap invariant — so
+    * it is dropped (a production deployment would route it to a
+    * side-output of late records instead).
+    *
+    * With `idleFlushMs` > 0, open sessions idle longer than that much
+    * processing time are flushed via ProcessingTimeTimeout, so the final
+    * session per user is eventually emitted even if the user never
+    * returns. Default 0 = no flush (NoTimeout): ProcessingTimeTimeout
+    * makes the micro-batch engine re-run batches continuously to check
+    * timers — opt in only when the sink needs eventual completeness. */
+  def sessionize(events: Dataset[Event], gapSec: Long = 300,
+                 idleFlushMs: Long = 0L): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleFlushMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (uid, batch, state: GroupState[OpenSession]) =>
-          val sorted = batch.map(e => (e.ts.getTime / 1000, e.value))
-            .toSeq.sortBy(_._1)
-          var open = state.getOption
-          val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
-          sorted.foreach { case (s, v) =>
-            open match {
-              case Some(o) if s - o.last <= gapSec =>
-                // min/max guard: a late event from a later micro-batch may
-                // precede the open session's bounds — it must widen them,
-                // not drag `last` backwards (which would emit end < start
-                // and mis-split subsequent events).
-                open = Some(OpenSession(math.min(o.start, s),
-                                        math.max(o.last, s),
-                                        o.n + 1, o.total + v))
-              case Some(o) =>
-                closed += ClosedSession(uid, o.start, o.last, o.n, o.total)
-                open = Some(OpenSession(s, s, 1L, v))
-              case None =>
-                open = Some(OpenSession(s, s, 1L, v))
+          if (state.hasTimedOut) {
+            val flushed = state.getOption.map(o =>
+              ClosedSession(uid, o.start, o.last, o.n, o.total)).iterator
+            state.remove()
+            flushed
+          } else {
+            val sorted = batch.map(e => (e.ts.getTime / 1000, e.value))
+              .toSeq.sortBy(_._1)
+            var open = state.getOption
+            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+            sorted.foreach { case (s, v) =>
+              open match {
+                case Some(o) if s < o.start - gapSec =>
+                  // too late to belong to the open session: drop
+                case Some(o) if s - o.last <= gapSec =>
+                  open = Some(OpenSession(math.min(o.start, s),
+                                          math.max(o.last, s),
+                                          o.n + 1, o.total + v))
+                case Some(o) =>
+                  closed += ClosedSession(uid, o.start, o.last, o.n, o.total)
+                  open = Some(OpenSession(s, s, 1L, v))
+                case None =>
+                  open = Some(OpenSession(s, s, 1L, v))
+              }
             }
+            open.foreach { o =>
+              state.update(o)
+              if (idleFlushMs > 0) state.setTimeoutDuration(idleFlushMs)
+            }
+            closed.iterator
           }
-          open.foreach(state.update)
-          closed.iterator
       }
   }
 

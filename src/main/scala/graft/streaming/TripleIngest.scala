@@ -11,10 +11,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    the norm; state is bounded by the watermark horizon);
   *  - inverse edges are added with `rel ^ 1` per the reference convention
   *    (S11, dataloader.py:16-61) so the store always holds both directions;
-  *  - foreachBatch appends to a parquet directory PARTITIONED BY rel — the
-  *    same physical layout the batch engine reads (Layout.writeBucketed's
-  *    partitioning axis), so partition pruning applies to freshly-streamed
-  *    edges immediately.
+  *  - the sink is IDEMPOTENT per micro-batch: each batch lands in its own
+  *    `batch=<batchId>/rel=*` partition written with overwrite semantics,
+  *    and batchIds that already carry a `_SUCCESS` marker are skipped. Spark
+  *    re-executes the last micro-batch after failure/restart — a plain
+  *    append sink would duplicate exactly the triples the watermarked dedup
+  *    upstream dropped; overwrite-into-a-batch-keyed-path makes the replay
+  *    a no-op.
+  *  - readers load the whole store with `spark.read.parquet(outDir)`;
+  *    `batch` and `rel` surface as partition columns and rel-equality
+  *    predicates still prune directories (pruning applies per partition
+  *    column regardless of nesting order).
   *
   * The reference has no streaming layer (SURVEY §2.9); this is the
   * ingestion face a production KG engine needs.
@@ -24,6 +31,28 @@ object TripleIngest {
   final case class TripleEvent(ts: java.sql.Timestamp, src: Long, rel: Long,
                                dst: Long)
 
+  /** Write one micro-batch idempotently. Exposed for direct spec coverage
+    * of the replay path (calling twice with the same batchId must leave the
+    * store unchanged). */
+  private[graft] def writeBatch(batch: DataFrame, batchId: Long,
+                                outDir: String): Unit = {
+    val batchPath = new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId")
+    val fs = batchPath.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    val committed = new org.apache.hadoop.fs.Path(batchPath, "_SUCCESS")
+    if (!fs.exists(committed)) {
+      val base = batch.select(col("src"), col("rel"), col("dst"))
+      val aug = base.unionAll(base.select(
+        col("dst").as("src"),
+        col("rel").bitwiseXOR(lit(1L)).as("rel"),
+        col("src").as("dst")))
+      // Overwrite of the batch-scoped path: a replayed batch (same data,
+      // from the checkpoint WAL) replaces any partial prior attempt.
+      aug.write.mode("overwrite").partitionBy("rel")
+        .parquet(batchPath.toString)
+    }
+  }
+
   /** Start the ingestion query. `triples` must be a streaming DataFrame
     * with columns (ts TIMESTAMP, src, rel, dst). */
   def ingest(triples: DataFrame, outDir: String, checkpoint: String,
@@ -32,13 +61,8 @@ object TripleIngest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("src", "rel", "dst")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val base = batch.select(col("src"), col("rel"), col("dst"))
-        val aug = base.unionAll(base.select(
-          col("dst").as("src"),
-          col("rel").bitwiseXOR(lit(1L)).as("rel"),
-          col("src").as("dst")))
-        aug.write.mode("append").partitionBy("rel").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, outDir)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

@@ -178,6 +178,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall(multi) >= 0.3, s"multi-probe recall ${recall(multi)}")
   }
 
+  test("pqTopK: exact duplicate ranks first; ADC recall vs exact L2 is sane") {
+    val ids = spark.range(200).toDF("id")
+    val emb = Embeddings.deterministic(ids, "id", 16, 0.9)
+    val queries = emb.filter($"id" < 10)
+    val pq = Similarity.pqTopK(emb, queries, 5, dim = 16, m = 4,
+                               codebookSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // exact L2 top-5 computed driver-side as the ground truth
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2sq(vecs(q), vecs(n)), n)).take(5).map(q -> _)
+    }.toSet
+    val approx = pq.map(t => (t._1, t._2)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ADC recall vs exact L2: $recall")
+    // a corpus vector IDENTICAL to the query achieves the minimal possible
+    // ADC distance (its codes are the argmin of the query's own LUT).
+    // Many vectors can quantize to the SAME codes and tie exactly (ADC
+    // cannot distinguish inside a cell), so rank the FULL corpus and assert
+    // the duplicate attains the global minimum.
+    val dup = Similarity.pqTopK(
+      emb.unionAll(Seq((999L, vecs(0L).toSeq)).toDF("id", "vec")),
+      queries.filter($"id" === 0L), k = 1000, dim = 16, m = 4,
+      codebookSize = 16)
+      .collect()
+    val d999 = dup.find(_.getLong(1) == 999L)
+    assert(d999.nonEmpty)
+    assert(d999.get.getDouble(3) == dup.map(_.getDouble(3)).min)
+  }
+
   test("dupGroups resolves transitive near-dup clusters to canonical ids") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
     val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)

@@ -114,7 +114,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("TripleIngest: streamed triples land deduped + inverse-augmented " +
-       "in a rel-partitioned parquet store") {
+       "in a batch/rel-partitioned parquet store") {
     import graft.streaming.TripleIngest
     import graft.streaming.TripleIngest.TripleEvent
     implicit val sqlCtx = spark.sqlContext
@@ -137,11 +137,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(edges == Set(
         (0L, 4L, 2L), (1L, 4L, 2L), (0L, 2L, 3L),      // base
         (2L, 5L, 0L), (2L, 5L, 1L), (3L, 3L, 0L)))     // inverses rel^1
-      // physical layout: one directory per relation
-      val relDirs = new java.io.File(out).listFiles()
+      // physical layout: batch=<id>/rel=<r> — rel pruning still applies
+      val batchDirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("batch=")).sortBy(_.getName)
+      assert(batchDirs.nonEmpty)
+      val relDirs = batchDirs.flatMap(_.listFiles())
         .filter(_.getName.startsWith("rel=")).map(_.getName).toSet
       assert(relDirs == Set("rel=4", "rel=5", "rel=2", "rel=3"))
     } finally q.stop()
+  }
+
+  test("TripleIngest.writeBatch is idempotent under micro-batch replay") {
+    import graft.streaming.TripleIngest
+    val out = java.nio.file.Files.createTempDirectory("kgidem").toString
+    val batch = Seq((0L, 4L, 2L), (1L, 4L, 2L)).toDF("src", "rel", "dst")
+    TripleIngest.writeBatch(batch, 0L, out)
+    val afterFirst = spark.read.parquet(out).count()
+    // Spark re-executes the last micro-batch after failure/restart: the
+    // same (batch, batchId) arrives again. The store must not grow.
+    TripleIngest.writeBatch(batch, 0L, out)
+    assert(spark.read.parquet(out).count() == afterFirst)
+    assert(afterFirst == 4L) // 2 base + 2 inverse
+    // a NEW batchId appends
+    TripleIngest.writeBatch(Seq((0L, 2L, 3L)).toDF("src", "rel", "dst"), 1L, out)
+    assert(spark.read.parquet(out).count() == afterFirst + 2)
   }
 
   test("sessionize: a late cross-batch event widens bounds, never shrinks") {
@@ -168,6 +187,53 @@ class StreamingSpec extends AnyFunSuite {
       val s0 = closed.head
       assert(s0.start_s == 50L && s0.end_s == 150L && s0.n_events == 3L &&
              math.abs(s0.total_value - 7.0) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("sessionize drops events older than start - gap (gap invariant)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("sess_drop")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(1000), 9, "click", 1.0))
+      q.processAllAvailable()
+      // hours-late event: 1000 - 60 = 940 > 10 — merging would produce a
+      // session whose span wildly violates the gap invariant. Dropped.
+      mem.addData(Event(2, ts(10), 9, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(5000), 9, "click", 4.0)) // closes the open one
+      q.processAllAvailable()
+      val closed = spark.table("sess_drop")
+        .as[EventStreams.ClosedSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head.start_s == 1000L && closed.head.end_s == 1000L &&
+             closed.head.n_events == 1L)
+    } finally q.stop()
+  }
+
+  test("sessionize flushes an idle open session via processing-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 60, idleFlushMs = 500)
+      .writeStream.format("memory").queryName("sess_flush")
+      .outputMode("append").start()
+    // ProcessingTimeTimeout re-runs micro-batches continuously to check
+    // timers, so processAllAvailable never settles — poll the sink instead.
+    def eventually(cond: => Boolean, deadlineMs: Long = 60000): Boolean = {
+      val end = System.currentTimeMillis + deadlineMs
+      while (System.currentTimeMillis < end && !cond) Thread.sleep(250)
+      cond
+    }
+    try {
+      mem.addData(Event(1, ts(10), 11, "click", 1.0))
+      // the single-event session is flushed by the 500 ms idle timeout
+      // without any further input arriving
+      assert(eventually(spark.table("sess_flush")
+        .as[EventStreams.ClosedSession].collect()
+        .exists(s => s.user_id == 11L && s.n_events == 1L &&
+                     s.start_s == 10L && s.end_s == 10L)))
     } finally q.stop()
   }
 }
