@@ -167,8 +167,79 @@ object PipelineQueries {
       |FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
       |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5""".stripMargin
 
+  /** DuckDB CTE chain replaying Cluster.kmeansFixed(k=8, dim=64, iters=2,
+    * seed=5.1) over the embeddings table: sin-seeded init centroids, two
+    * assignment passes with the per-dim means ROUNDED to 6 dp in between
+    * (the rounding is what makes the cross-engine float summation order
+    * irrelevant — both engines land on identical centroids). Ends with
+    * CTE `s1(id, v, cl)`. */
+  private val kmeansCte =
+    s"""e AS ($embedsSql),
+       |c0 AS (SELECT j, list_transform(generate_series(1, 64), i ->
+       |         sin((j % 9973 + 1) * i * 0.019 + 5.1)) AS cv
+       |       FROM generate_series(0, 7) t(j)),
+       |a0 AS (SELECT id, v, j AS cl, ROW_NUMBER() OVER (PARTITION BY id
+       |         ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(v, cv) ASC, j ASC) AS rn
+       |       FROM e CROSS JOIN c0),
+       |s0 AS (SELECT id, v, cl FROM a0 WHERE rn = 1),
+       |m1 AS (SELECT cl, i, ROUND(AVG(v[i]), 6) AS mi
+       |       FROM s0 CROSS JOIN generate_series(1, 64) t(i) GROUP BY cl, i),
+       |c1 AS (SELECT c0.j, COALESCE(nv.cv, c0.cv) AS cv
+       |       FROM c0 LEFT JOIN (SELECT cl AS j, list(mi ORDER BY i) AS cv
+       |                          FROM m1 GROUP BY cl) nv ON c0.j = nv.j),
+       |a1 AS (SELECT id, v, j AS cl, ROW_NUMBER() OVER (PARTITION BY id
+       |         ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(v, cv) ASC, j ASC) AS rn
+       |       FROM e CROSS JOIN c1),
+       |s1 AS (SELECT id, v, cl FROM a1 WHERE rn = 1)""".stripMargin
+
   // ---- the registry ---------------------------------------------------
   val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // Fixed-iteration Lloyd k-means over the embedding corpus (the
+    // clustering primitive of SemDeDup-style pipelines).
+    ("cluster_kmeans",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        graft.pipeline.Cluster.kmeansFixed(emb, k = 8, dim = 64, iters = 2)
+          .select(col("id"), col("cluster").cast("long").as("cluster"))
+      },
+      Some(s"""WITH $kmeansCte
+              |SELECT id, CAST(cl AS BIGINT) AS cluster FROM s1""".stripMargin)),
+
+    // SemDeDup: exact-cosine near-dup pairs restricted to k-means clusters.
+    // Threshold 0.4 matches dedup_embedding (the synthetic embedding space
+    // tops out near cos 0.51); 52 of the 59 global pairs at sf0.01 survive
+    // the within-cluster restriction — the SemDeDup recall/cost trade.
+    ("dedup_semantic",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        graft.pipeline.Cluster.semanticPairs(emb, k = 8, dim = 64, iters = 2,
+                                             threshold = 0.4)
+      },
+      Some(s"""WITH $kmeansCte
+              |SELECT a.id AS i, b.id AS j, ROUND(${cosSql("a.v", "b.v")}, 6) AS cos
+              |FROM s1 a JOIN s1 b ON a.cl = b.cl AND a.id < b.id
+              |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin)),
+
+    // Benchmark decontamination: training docs sharing a 4-gram with the
+    // deterministic pseudo-benchmark subset (doc_id % 97 = 0). n = 4 because
+    // the corpus's planted near-dups are token-level edits that break long
+    // n-gram runs (8-gram overlap is empty at sf0.01).
+    ("text_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.pipeline.Cluster.contamination(
+          docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS s
+             |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t) - 3, 1))) AS i) g),
+             |d AS (SELECT DISTINCT doc_id, s FROM sh),
+             |b AS (SELECT doc_id AS bid, s FROM d WHERE doc_id % 97 = 0)
+             |SELECT d.doc_id AS id, COUNT(DISTINCT b.bid) AS n_bench_docs,
+             |       COUNT(DISTINCT d.s) AS n_shared_ngrams
+             |FROM d JOIN b ON d.s = b.s AND d.doc_id <> b.bid
+             |GROUP BY 1""".stripMargin)),
 
     // R6+F1: CQD 1-hop full-entity ranking, TransE, exact (beam > |E|).
     // Uses the native fused kernel (identical math to TransE(2)).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions (with doGenCode) for the hot vector kernels
   * of SURVEY §2.6. The higher-order-function formulations in
@@ -120,11 +120,179 @@ case class TranseScore(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** Product-quantization encoder: vec (m·sub doubles) + flattened codebook
+  * (m·k·sub doubles, laid out [(s·k + c)·sub + i]) → array<int> of m codes,
+  * code_s = argmin_c (‖cv‖² − 2·sv·cv), ties to the smallest c. One fused
+  * loop nest per row — the per-subspace argmin over 16 centroids as a plan
+  * of 128 literal-array dot expressions defeated whole-stage codegen
+  * entirely (measured 6 s on 2k vectors, interpreted). */
+case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def encode(vec: ArrayData, cb: ArrayData): Array[Int] = {
+    val sub = cb.numElements() / (m * k)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.MaxValue; var bestC = 0; var c = 0
+      while (c < k) {
+        val base = (s * k + c) * sub
+        var cc = 0.0; var dot = 0.0; var i = 0
+        while (i < sub) {
+          val cv = cb.getDouble(base + i)
+          cc += cv * cv; dot += vec.getDouble(s * sub + i) * cv; i += 1
+        }
+        val score = cc - dot * 2.0
+        if (score < best) { best = score; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC; s += 1
+    }
+    codes
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cb) => {
+      val sub = ctx.freshName("sub"); val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val base = ctx.freshName("base")
+      val cc = ctx.freshName("cc"); val dot = ctx.freshName("dot")
+      val cv = ctx.freshName("cv"); val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC"); val score = ctx.freshName("score")
+      s"""
+         |int $sub = $cb.numElements() / (${m * k});
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  double $best = Double.MAX_VALUE; int $bestC = 0;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    int $base = ($s * $k + $c) * $sub;
+         |    double $cc = 0.0, $dot = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $cv = $cb.getDouble($base + $i);
+         |      $cc += $cv * $cv; $dot += $vec.getDouble($s * $sub + $i) * $cv;
+         |    }
+         |    double $score = $cc - $dot * 2.0;
+         |    if ($score < $best) { $best = $score; $bestC = $c; }
+         |  }
+         |  $codes[$s] = $bestC;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** PQ query lookup table: array<double> of m·k exact subspace distances,
+  * LUT[s·k + c] = (sv·sv − 2·sv·cv) + ‖cv‖² — the per-query precompute of
+  * asymmetric distance computation. Same fused-loop rationale as
+  * [[PqEncode]]. */
+case class PqLut(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]; val cb = b.asInstanceOf[ArrayData]
+    val sub = cb.numElements() / (m * k)
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var vv = 0.0; var i = 0
+      while (i < sub) {
+        val x = vec.getDouble(s * sub + i); vv += x * x; i += 1
+      }
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * sub
+        var cc = 0.0; var dot = 0.0; i = 0
+        while (i < sub) {
+          val cv = cb.getDouble(base + i)
+          cc += cv * cv; dot += vec.getDouble(s * sub + i) * cv; i += 1
+        }
+        lut(s * k + c) = vv - dot * 2.0 + cc
+        c += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(lut)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cb) => {
+      val sub = ctx.freshName("sub"); val lut = ctx.freshName("lut")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val base = ctx.freshName("base")
+      val cc = ctx.freshName("cc"); val dot = ctx.freshName("dot")
+      val cv = ctx.freshName("cv"); val vv = ctx.freshName("vv")
+      val x = ctx.freshName("x")
+      s"""
+         |int $sub = $cb.numElements() / (${m * k});
+         |double[] $lut = new double[${m * k}];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  double $vv = 0.0;
+         |  for (int $i = 0; $i < $sub; $i++) {
+         |    double $x = $vec.getDouble($s * $sub + $i); $vv += $x * $x;
+         |  }
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    int $base = ($s * $k + $c) * $sub;
+         |    double $cc = 0.0, $dot = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $cv = $cb.getDouble($base + $i);
+         |      $cc += $cv * $cv; $dot += $vec.getDouble($s * $sub + $i) * $cv;
+         |    }
+         |    $lut[$s * $k + $c] = $vv - $dot * 2.0 + $cc;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($lut);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** PQ asymmetric distance: Σ_s LUT[s·k + codes[s]], summed in subspace
+  * order (s ascending — the oracle mirrors this with an ORDER BY s list
+  * sum, so equal-code vectors tie bit-exactly). The 100 TB hot loop: m
+  * array lookups per (query, neighbor), no vector math. */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]; val codes = b.asInstanceOf[ArrayData]
+    var s = 0; var total = 0.0
+    val m = codes.numElements()
+    while (s < m) { total += lut.getDouble(s * k + codes.getInt(s)); s += 1 }
+    total
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val s = ctx.freshName("s"); val m = ctx.freshName("m")
+      val total = ctx.freshName("total")
+      s"""
+         |int $m = $codes.numElements();
+         |double $total = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $total += $lut.getDouble($s * $k + $codes.getInt($s));
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object ArrayKernels {
+  private def intArg(e: Expression): Int =
+    e.eval(null).asInstanceOf[Int] // foldable literal arity args
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (es => ArrayDot(es(0), es(1))),
     "array_cosine" -> (es => ArrayCosine(es(0), es(1))),
-    "transe_score" -> (es => TranseScore(es(0), es(1), es(2))))
+    "transe_score" -> (es => TranseScore(es(0), es(1), es(2))),
+    "pq_encode" -> (es => PqEncode(es(0), es(1), intArg(es(2)), intArg(es(3)))),
+    "pq_lut" -> (es => PqLut(es(0), es(1), intArg(es(2)), intArg(es(3)))),
+    "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2)))))
 
   /** Idempotent session-local registration (the non-extensions path). */
   def register(spark: SparkSession): Unit =
@@ -138,4 +306,15 @@ object ArrayKernels {
   def arrayCosine(a: Column, b: Column): Column = call_function("array_cosine", a, b)
   def transeScore(h: Column, r: Column, t: Column): Column =
     call_function("transe_score", h, r, t)
+  def pqEncode(vec: Column, cb: Column, m: Int, k: Int): Column =
+    call_function("pq_encode", vec, cb,
+                  org.apache.spark.sql.functions.lit(m),
+                  org.apache.spark.sql.functions.lit(k))
+  def pqLut(vec: Column, cb: Column, m: Int, k: Int): Column =
+    call_function("pq_lut", vec, cb,
+                  org.apache.spark.sql.functions.lit(m),
+                  org.apache.spark.sql.functions.lit(k))
+  def pqAdc(lut: Column, codes: Column, k: Int): Column =
+    call_function("pq_adc", lut, codes,
+                  org.apache.spark.sql.functions.lit(k))
 }

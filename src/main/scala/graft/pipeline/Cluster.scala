@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayKernels
+
+/** Embedding clustering for training-data pipelines: fixed-iteration
+  * Lloyd's k-means and SemDeDup-style semantic deduplication (Abbas et al.
+  * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication" — public paper: cluster the embedding space, then drop
+  * near-duplicates WITHIN clusters, so the pairwise scan is |cluster|²
+  * instead of |corpus|²).
+  *
+  * Scale design: centroids are tiny (k·dim doubles) and live driver-side
+  * as broadcast literals — the standard Spark k-means shape. Each Lloyd
+  * iteration is one scan (assignment expression over fused dot kernels)
+  * plus one k×dim aggregation; nothing corpus-sized ever shuffles except
+  * the per-cluster pair join, which the clustering exists to bound.
+  *
+  * Determinism: init centroids are sin-seeded (same convention as the IVF
+  * tiers); per-dim means are ROUNDED to 6 dp each iteration so the
+  * engine-portable oracle (DuckDB AVG, different float summation order)
+  * lands on bit-identical centroids, making the discrete assignment
+  * reproducible across engines.
+  */
+object Cluster {
+
+  private def initCentroids(k: Int, dim: Int, seed: Double): IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(k)(j =>
+      IndexedSeq.tabulate(dim)(i => math.sin((j % 9973 + 1) * (i + 1) * 0.019 + seed)))
+
+  /** Nearest-centroid id: argmin_j ‖v − c_j‖² = argmin_j (‖c_j‖² − 2·v·c_j),
+    * ties to the smallest j (struct-min mirrors the oracle's ROW_NUMBER). */
+  private def assignExpr(vec: Column, cents: IndexedSeq[IndexedSeq[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (cv, j) =>
+      val cc = cv.map(x => x * x).sum
+      struct((lit(cc) - ArrayKernels.arrayDot(vec, typedLit(cv)) * 2).as("score"),
+             lit(j).as("cl"))
+    }: _*)).getField("cl")
+
+  /** Fixed-iteration Lloyd's k-means over an embedding column. `iters`
+    * counts ASSIGNMENT passes: iters = 2 means assign with the seeded
+    * centroids, recompute (rounded) means, assign once more — exactly the
+    * unrolled-CTE chain the oracle replays. Empty clusters keep their
+    * previous centroid. Returns (id, vec, cluster). */
+  def kmeansFixed(emb: DataFrame, k: Int, dim: Int, iters: Int,
+                  seed: Double = 5.1, idCol: String = "id",
+                  vecCol: String = "vec"): DataFrame = {
+    require(iters >= 1, "need at least one assignment pass")
+    ArrayKernels.register(emb.sparkSession)
+    var cents = initCentroids(k, dim, seed)
+    def assigned = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+                              assignExpr(col(vecCol), cents).as("cluster"))
+    (2 to iters).foreach { _ =>
+      val meanCols = (0 until dim).map(i =>
+        round(avg(col("vec").getItem(i)), 6).as(s"m$i"))
+      val rows = assigned.groupBy("cluster")
+        .agg(meanCols.head, meanCols.tail: _*).collect()
+      val next = rows.map(r => r.getInt(0) ->
+        IndexedSeq.tabulate(dim)(i => r.getDouble(i + 1))).toMap
+      cents = IndexedSeq.tabulate(k)(j => next.getOrElse(j, cents(j)))
+    }
+    assigned
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: k-means buckets the corpus,
+    * exact cosine verifies pairs WITHIN each cluster only. Output
+    * (i, j, cos) with i < j and cos >= threshold. */
+  def semanticPairs(emb: DataFrame, k: Int, dim: Int, iters: Int,
+                    threshold: Double, seed: Double = 5.1): DataFrame = {
+    val cl = kmeansFixed(emb, k, dim, iters, seed)
+      .localCheckpoint(true) // both sides of the pair join read assignments
+    cl.as("a")
+      .join(cl.as("b"),
+            col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+              ArrayKernels.arrayCosine(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * one word n-gram with a held-out benchmark set (the GPT-3-style 13-gram
+    * overlap check, here parameterized). Returns one row per contaminated
+    * doc: (id, n_bench_docs, n_shared_ngrams).
+    *
+    * Scale design: distinct (doc, shingle) sets on both sides, then an
+    * equi-join on the shingle string — shuffle keyed by shingle, AQE
+    * coalesced. The benchmark side is the small one by construction;
+    * Catalyst broadcasts it when it fits. (At 100 TB, hash the shingles to
+    * 64-bit first to shrink the shuffle — kept as raw strings here so the
+    * oracle join is bit-exact.) */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    def shingleSet(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+                explode(TextOps.shingles(col(textCol), n)).as("sh"))
+        .distinct()
+    shingleSet(docs, "id")
+      .join(shingleSet(bench, "bid"), "sh")
+      .filter(col("id") =!= col("bid"))
+      .groupBy("id")
+      .agg(countDistinct("bid").as("n_bench_docs"),
+           countDistinct("sh").as("n_shared_ngrams"))
+  }
+}

@@ -154,42 +154,25 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     ArrayKernels.register(corpus.sparkSession)
     val sub = dim / m
-    def centroid(s: Int, c: Int): Seq[Double] =
-      (1 to sub).map(i => math.sin(((s * codebookSize + c) % 9973 + 1) * i * 0.013 + seed))
-    def cNormSq(s: Int, c: Int): Double = {
-      val v = centroid(s, c); v.map(x => x * x).sum
-    }
-    def subvec(vec: Column, s: Int): Column = slice(vec, s * sub + 1, sub)
-    // corpus → m codes per vector (argmin via (score, code) struct min;
-    // ties break to the smallest code, mirroring the oracle's ROW_NUMBER)
-    def codeOf(vec: Column, s: Int): Column =
-      array_min(array((0 until codebookSize).map { c =>
-        struct((lit(cNormSq(s, c)) -
-                ArrayKernels.arrayDot(subvec(vec, s), typedLit(centroid(s, c))) * 2)
-                 .as("score"),
-               lit(c).as("code"))
-      }: _*)).getField("code")
+    // One flattened codebook literal ([(s·k + c)·sub + i] layout) consumed
+    // by the three fused PQ kernels. The first formulation inlined 128
+    // per-centroid literal dot expressions into the plan; the expression
+    // tree defeated whole-stage codegen and ran interpreted (~6 s on 2k
+    // vectors). The kernels run the same arithmetic as tight generated
+    // loops: encode/LUT are one loop nest per row, the ADC scan is m array
+    // lookups per (query, neighbor) pair.
+    val cbFlat = typedLit(
+      (for {
+        s <- 0 until m; c <- 0 until codebookSize; i <- 1 to sub
+      } yield math.sin(((s * codebookSize + c) % 9973 + 1) * i * 0.013 + seed)).toSeq)
     val encoded = corpus.select(col("id").as("nid"),
-      array((0 until m).map(s => codeOf(col("vec"), s)): _*).as("codes"))
-    // queries → flat LUT of m*codebookSize exact subspace distances
-    def lutOf(vec: Column): Column =
-      array((0 until m).flatMap { s =>
-        val sv = subvec(vec, s)
-        (0 until codebookSize).map { c =>
-          ArrayKernels.arrayDot(sv, sv) -
-            ArrayKernels.arrayDot(sv, typedLit(centroid(s, c))) * 2 +
-            lit(cNormSq(s, c))
-        }
-      }: _*)
-    val q = queries.select(col("id").as("qid"), lutOf(col("vec")).as("lut"))
-    val adist = (0 until m).map(s =>
-      element_at(col("lut"),
-                 (lit(s * codebookSize) +
-                  element_at(col("codes"), s + 1) + 1).cast("int")))
-      .reduce(_ + _)
+      ArrayKernels.pqEncode(col("vec"), cbFlat, m, codebookSize).as("codes"))
+    val q = queries.select(col("id").as("qid"),
+      ArrayKernels.pqLut(col("vec"), cbFlat, m, codebookSize).as("lut"))
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), adist.as("adist"))
+      .select(col("qid"), col("nid"),
+              ArrayKernels.pqAdc(col("lut"), col("codes"), codebookSize).as("adist"))
     val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -83,4 +83,43 @@ class FunctionsSpec extends AnyFunSuite {
       assert(got.toSeq == base.toSeq)
     } finally spark.experimental.extraOptimizations = before
   }
+
+  test("pq kernels: encode/lut/adc match a driver-side reference") {
+    val m = 4; val k = 8; val sub = 4; val dim = m * sub
+    val cb = (for { s <- 0 until m; c <- 0 until k; i <- 1 to sub }
+      yield math.sin((s * k + c + 1) * i * 0.31)).toIndexedSeq
+    val vecs = Seq.fill(20)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+    // reference: per-subspace argmin of ||c||^2 - 2 sv.cv, LUT of exact d
+    def refEncode(v: IndexedSeq[Double]): Seq[Int] =
+      (0 until m).map { s =>
+        (0 until k).minBy { c =>
+          val base = (s * k + c) * sub
+          (0 until sub).map(i => cb(base + i) * cb(base + i)).sum -
+            2 * (0 until sub).map(i => v(s * sub + i) * cb(base + i)).sum
+        }
+      }
+    def refLut(v: IndexedSeq[Double]): Seq[Double] =
+      (for { s <- 0 until m; c <- 0 until k } yield {
+        val base = (s * k + c) * sub
+        (0 until sub).map(i => v(s * sub + i) * v(s * sub + i)).sum -
+          2 * (0 until sub).map(i => v(s * sub + i) * cb(base + i)).sum +
+          (0 until sub).map(i => cb(base + i) * cb(base + i)).sum
+      })
+    val cbLit = typedLit(cb)
+    val df = vecs.map(v => Tuple1(v)).toDF("vec")
+    val out = df.select(
+      ArrayKernels.pqEncode($"vec", cbLit, m, k).as("codes"),
+      ArrayKernels.pqLut($"vec", cbLit, m, k).as("lut"))
+      .select($"codes", $"lut",
+        ArrayKernels.pqAdc($"lut", $"codes", k).as("adist")).collect()
+    out.zip(vecs).foreach { case (r, v) =>
+      val codes = r.getSeq[Int](0)
+      val lut = r.getSeq[Double](1)
+      assert(codes == refEncode(v))
+      lut.zip(refLut(v)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+      // adc = ordered sum of the chosen lut cells
+      val want = (0 until m).map(s => lut(s * k + codes(s))).sum
+      assert(r.getDouble(2) == want)
+    }
+  }
 }

@@ -212,6 +212,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(d999.get.getDouble(3) == dup.map(_.getDouble(3)).min)
   }
 
+  test("kmeansFixed: valid cluster ids, identical vectors co-assigned, " +
+       "and a second pass never raises within-cluster scatter") {
+    import graft.pipeline.Cluster
+    val ids = spark.range(100).toDF("id")
+    val emb = Embeddings.deterministic(ids, "id", 16, 2.2)
+      .unionAll(Seq((500L, Seq.fill(16)(0.25)), (501L, Seq.fill(16)(0.25)))
+        .toDF("id", "vec"))
+    val out = Cluster.kmeansFixed(emb, k = 4, dim = 16, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out.values.forall(c => c >= 0 && c < 4))
+    assert(out(500L) == out(501L)) // identical vectors, identical argmin
+    // Lloyd monotonicity: total within-cluster scatter after the 2nd
+    // assignment pass <= after the 1st (means minimize squared distance)
+    def wcss(iters: Int): Double = {
+      val a = Cluster.kmeansFixed(emb, k = 4, dim = 16, iters = iters)
+        .collect().map(r => (r.getSeq[Double](1).toArray, r.getInt(2)))
+      val cents = a.groupBy(_._2).map { case (c, rows) =>
+        c -> (0 until 16).map(i => rows.map(_._1(i)).sum / rows.size).toArray
+      }
+      a.map { case (v, c) =>
+        v.zip(cents(c)).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+    }
+    assert(wcss(2) <= wcss(1) + 1e-9)
+  }
+
+  test("semanticPairs finds a planted duplicate pair within its cluster") {
+    import graft.pipeline.Cluster
+    val ids = spark.range(60).toDF("id")
+    val emb = Embeddings.deterministic(ids, "id", 16, 2.2)
+    val v0 = emb.filter($"id" === 7L).collect().head.getSeq[Double](1)
+    val withDup = emb.unionAll(Seq((999L, v0)).toDF("id", "vec"))
+    val pairs = Cluster.semanticPairs(withDup, k = 4, dim = 16, iters = 2,
+                                      threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 999L)))
+  }
+
+  test("contamination flags docs sharing an n-gram with the benchmark set") {
+    import graft.pipeline.Cluster
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "intro words alpha beta gamma delta epsilon zeta eta theta tail"),
+      (2L, "completely different text with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 0L)
+    val out = Cluster.contamination(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 shares the 8-grams "alpha..theta" window(s); doc 2 clean;
+    // doc 0 never matches itself
+    assert(out.keySet == Set(1L))
+    assert(out(1L)._1 == 1L && out(1L)._2 >= 1L)
+  }
+
   test("dupGroups resolves transitive near-dup clusters to canonical ids") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
     val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
