@@ -241,6 +241,44 @@ object PipelineQueries {
              |FROM d JOIN b ON d.s = b.s AND d.doc_id <> b.bid
              |GROUP BY 1""".stripMargin)),
 
+    // Gopher-style repetition metrics: exact integer ratios, float-safe.
+    ("text_repetition",
+      (s, dir) => graft.pipeline.CorpusStats.repetition(
+        t(s, dir, "documents"), "doc_id", "text", n = 2),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |tok AS (SELECT doc_id, UNNEST(t) AS tk FROM toks),
+             |ts AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tk) AS n_distinct
+             |       FROM tok GROUP BY 1),
+             |gr AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+             |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t) - 1, 1))) AS i) g2),
+             |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY 1, 2),
+             |gs AS (SELECT doc_id, MAX(c) AS max_g, SUM(c) AS n_g FROM gc GROUP BY 1)
+             |SELECT ts.doc_id AS id,
+             |       ROUND(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_token_frac,
+             |       ROUND(max_g * 1.0 / n_g, 6) AS top_ngram_frac
+             |FROM ts JOIN gs ON ts.doc_id = gs.doc_id""".stripMargin)),
+
+    // TF-IDF top-3 keywords per doc; rank over the ROUNDED score so
+    // mathematically-tied scores (different float routes per engine) break
+    // on the token ordering identically in Spark and DuckDB.
+    ("text_tfidf_topk",
+      (s, dir) => graft.pipeline.CorpusStats.tfidfTopK(
+          t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumn("rank", col("rank").cast("long")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |tok AS (SELECT doc_id, UNNEST(t) AS tk FROM toks),
+             |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfx AS (SELECT tk, COUNT(*) AS df
+             |        FROM (SELECT DISTINCT doc_id, tk FROM tok) GROUP BY 1),
+             |nd AS (SELECT COUNT(*) AS n FROM documents),
+             |sc AS (SELECT doc_id, tk AS token,
+             |         ROUND(tf * LN((SELECT n FROM nd) * 1.0 / df), 6) AS score
+             |       FROM tf JOIN dfx USING (tk))
+             |SELECT doc_id AS id, token, CAST(rank AS BIGINT) AS rank, score FROM (
+             |  SELECT doc_id, token, score, ROW_NUMBER() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc) t
+             |WHERE rank <= 3""".stripMargin)),
+
     // R6+F1: CQD 1-hop full-entity ranking, TransE, exact (beam > |E|).
     // Uses the native fused kernel (identical math to TransE(2)).
     ("cqd_1p_transe",

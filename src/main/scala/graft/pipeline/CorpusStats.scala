@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-statistics operators for training-data pipelines: repetition
+  * filters and TF-IDF keyword extraction.
+  *
+  * Scale design: everything is explode → groupBy on (doc, token/ngram) —
+  * shuffles keyed by high-cardinality composites, AQE-coalesced; no
+  * driver-side loops (the one `count()` in TF-IDF is a single aggregate
+  * job). Documents never cross the shuffle whole — only their exploded
+  * token rows do.
+  */
+object CorpusStats {
+
+  /** Per-document repetition metrics, after the Gopher repetition-filter
+    * family (Rae et al. 2021, public paper; adapted to occurrence
+    * fractions):
+    *  - dup_token_frac: 1 − |distinct tokens| / |tokens| — bulk repetition;
+    *  - top_ngram_frac: occurrences of the most frequent word n-gram /
+    *    total n-grams — loop/boilerplate detection.
+    * Both are exact integer ratios, so the oracle comparison is float-safe. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+                           explode(TextOps.tokens(col(textCol))).as("t"))
+    val tokStats = toks.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("t").as("n_distinct"))
+    val gcounts = docs.select(col(idCol).as("id"),
+                              explode(TextOps.shingles(col(textCol), n)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val gstats = gcounts.groupBy("id")
+      .agg(max("c").as("max_g"), sum("c").as("n_g"))
+    tokStats.join(gstats, "id")
+      .select(col("id"),
+              round(lit(1.0) - col("n_distinct") / col("n_tokens"), 6)
+                .as("dup_token_frac"),
+              round(col("max_g") / col("n_g"), 6).as("top_ngram_frac"))
+  }
+
+  /** Top-k TF-IDF keywords per document: score = tf · ln(N / df), ranked
+    * per doc (score desc, token asc). The score is ROUNDED to 6 dp BEFORE
+    * ranking: mathematically-tied scores reached through different
+    * floating-point routes (e.g. 2·ln(10) vs ln(100)) can differ by an ulp
+    * per engine — ranking the rounded value makes the tie-break land on
+    * the token ordering identically everywhere. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+                           explode(TextOps.tokens(col(textCol))).as("t"))
+    val nDocs = docs.count()
+    val tf = toks.groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val dfCounts = toks.select("id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfCounts, "t")
+      .select(col("id"), col("t").as("token"),
+              round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6)
+                .as("score"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("token"), col("rank"), col("score"))
+  }
+}

@@ -266,6 +266,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L)._1 == 1L && out(1L)._2 >= 1L)
   }
 
+  test("repetition: hand-checked duplicate-token and top-ngram fractions") {
+    import graft.pipeline.CorpusStats
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = CorpusStats.repetition(docs, "doc_id", "text", n = 2).collect().head
+    // 4 tokens, 2 distinct -> 0.5; 2-grams (a a, a a, a b) -> 2/3
+    assert(r.getDouble(1) == 0.5)
+    assert(r.getDouble(2) == 0.666667)
+  }
+
+  test("tfidfTopK ranks the doc-distinctive token first") {
+    import graft.pipeline.CorpusStats
+    val docs = Seq(
+      (1L, "the zebra the the"),
+      (2L, "the cat sat here"),
+      (3L, "the dog ran far")).toDF("doc_id", "text")
+    val top = CorpusStats.tfidfTopK(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "the" has df=3 -> idf=0; each doc's unique tokens win despite tf=3
+    assert(top(1L) == "zebra")
+  }
+
   test("dupGroups resolves transitive near-dup clusters to canonical ids") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
     val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
