@@ -167,17 +167,19 @@ object PipelineQueries {
       |FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
       |WHERE c * 1.0 / (x.n + y.n - c) >= 0.5""".stripMargin
 
-  /** DuckDB CTE chain replaying Cluster.kmeansFixed(k=8, dim=64, iters=2,
-    * seed=5.1) over the embeddings table: sin-seeded init centroids, two
-    * assignment passes with the per-dim means ROUNDED to 6 dp in between
-    * (the rounding is what makes the cross-engine float summation order
-    * irrelevant — both engines land on identical centroids). Ends with
-    * CTE `s1(id, v, cl)`. */
+  /** DuckDB CTE chain replaying Cluster.kmeansFixed(k=8, dim=64, iters=2)
+    * over the embeddings table: init = the 8 corpus vectors with the
+    * smallest portable md5 hash of their id (cluster j = j-th smallest —
+    * ROW_NUMBER()−1), then two assignment passes with the per-dim means
+    * ROUNDED to 6 dp in between (the rounding is what makes the
+    * cross-engine float summation order irrelevant — both engines land on
+    * identical centroids). Ends with CTE `s1(id, v, cl)`. */
   private val kmeansCte =
     s"""e AS ($embedsSql),
-       |c0 AS (SELECT j, list_transform(generate_series(1, 64), i ->
-       |         sin((j % 9973 + 1) * i * 0.019 + 5.1)) AS cv
-       |       FROM generate_series(0, 7) t(j)),
+       |c0 AS (SELECT j, cv FROM (
+       |         SELECT ROW_NUMBER() OVER (ORDER BY
+       |             ${graft.functions.PortableHash.md5Prefix60Sql("CAST(id AS VARCHAR)")}, id) - 1 AS j,
+       |           v AS cv FROM e) WHERE j < 8),
        |a0 AS (SELECT id, v, j AS cl, ROW_NUMBER() OVER (PARTITION BY id
        |         ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(v, cv) ASC, j ASC) AS rn
        |       FROM e CROSS JOIN c0),
@@ -208,8 +210,9 @@ object PipelineQueries {
 
     // SemDeDup: exact-cosine near-dup pairs restricted to k-means clusters.
     // Threshold 0.4 matches dedup_embedding (the synthetic embedding space
-    // tops out near cos 0.51); 52 of the 59 global pairs at sf0.01 survive
-    // the within-cluster restriction — the SemDeDup recall/cost trade.
+    // tops out near cos 0.51); 24 of the 59 global pairs at sf0.01 survive
+    // the within-cluster restriction — the SemDeDup recall/cost trade
+    // (recall rises with iters and falls with k; cost is Σ|cluster|²).
     ("dedup_semantic",
       (s, dir) => {
         val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")

@@ -18,17 +18,20 @@ import graft.functions.ArrayKernels
   * plus one k×dim aggregation; nothing corpus-sized ever shuffles except
   * the per-cluster pair join, which the clustering exists to bound.
   *
-  * Determinism: init centroids are sin-seeded (same convention as the IVF
-  * tiers); per-dim means are ROUNDED to 6 dp each iteration so the
-  * engine-portable oracle (DuckDB AVG, different float summation order)
-  * lands on bit-identical centroids, making the discrete assignment
-  * reproducible across engines.
+  * Determinism: init centroids are the k corpus vectors with the smallest
+  * portable md5 hash of their id (engine-reproducible sampling — any ANSI
+  * engine replays it); per-dim means are ROUNDED to 6 dp each iteration so
+  * the engine-portable oracle (DuckDB AVG, different float summation
+  * order) lands on bit-identical centroids, making the discrete
+  * assignment reproducible across engines.
+  *
+  * Data-dependent init matters for cost, not just quality: a fixed
+  * synthetic (sin-seeded) init left ~90% of a replicated probe corpus in
+  * ONE cell regardless of k, keeping the within-cluster pair scan
+  * quadratic; sampled centroids let two Lloyd passes balance the cells so
+  * Σ|cluster|² actually shrinks with k.
   */
 object Cluster {
-
-  private def initCentroids(k: Int, dim: Int, seed: Double): IndexedSeq[IndexedSeq[Double]] =
-    IndexedSeq.tabulate(k)(j =>
-      IndexedSeq.tabulate(dim)(i => math.sin((j % 9973 + 1) * (i + 1) * 0.019 + seed)))
 
   /** Nearest-centroid id: argmin_j ‖v − c_j‖² = argmin_j (‖c_j‖² − 2·v·c_j),
     * ties to the smallest j (struct-min mirrors the oracle's ROW_NUMBER). */
@@ -40,16 +43,26 @@ object Cluster {
     }: _*)).getField("cl")
 
   /** Fixed-iteration Lloyd's k-means over an embedding column. `iters`
-    * counts ASSIGNMENT passes: iters = 2 means assign with the seeded
-    * centroids, recompute (rounded) means, assign once more — exactly the
-    * unrolled-CTE chain the oracle replays. Empty clusters keep their
+    * counts ASSIGNMENT passes: iters = 2 means assign with the sampled
+    * init centroids, recompute (rounded) means, assign once more — exactly
+    * the unrolled-CTE chain the oracle replays. Empty clusters keep their
     * previous centroid. Returns (id, vec, cluster). */
   def kmeansFixed(emb: DataFrame, k: Int, dim: Int, iters: Int,
-                  seed: Double = 5.1, idCol: String = "id",
-                  vecCol: String = "vec"): DataFrame = {
+                  idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     require(iters >= 1, "need at least one assignment pass")
     ArrayKernels.register(emb.sparkSession)
-    var cents = initCentroids(k, dim, seed)
+    // Init: the k rows with the smallest md5Prefix60(id) (ties by id) —
+    // a TakeOrdered over the corpus, one cheap pass. Cluster j = j-th
+    // smallest hash, matching the oracle's ROW_NUMBER() - 1.
+    val initRows = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .orderBy(graft.functions.PortableHash
+                 .md5Prefix60(col("id").cast("string")).asc, col("id").asc)
+      .limit(k).collect()
+    require(initRows.length == k,
+            s"k=$k exceeds corpus size ${initRows.length}")
+    var cents: IndexedSeq[IndexedSeq[Double]] =
+      initRows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     def assigned = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
                               assignExpr(col(vecCol), cents).as("cluster"))
     (2 to iters).foreach { _ =>
@@ -68,8 +81,8 @@ object Cluster {
     * exact cosine verifies pairs WITHIN each cluster only. Output
     * (i, j, cos) with i < j and cos >= threshold. */
   def semanticPairs(emb: DataFrame, k: Int, dim: Int, iters: Int,
-                    threshold: Double, seed: Double = 5.1): DataFrame = {
-    val cl = kmeansFixed(emb, k, dim, iters, seed)
+                    threshold: Double): DataFrame = {
+    val cl = kmeansFixed(emb, k, dim, iters)
       .localCheckpoint(true) // both sides of the pair join read assignments
     cl.as("a")
       .join(cl.as("b"),
@@ -86,17 +99,24 @@ object Cluster {
     * doc: (id, n_bench_docs, n_shared_ngrams).
     *
     * Scale design: distinct (doc, shingle) sets on both sides, then an
-    * equi-join on the shingle string — shuffle keyed by shingle, AQE
+    * equi-join on the shingle key — shuffle keyed by shingle, AQE
     * coalesced. The benchmark side is the small one by construction;
-    * Catalyst broadcasts it when it fits. (At 100 TB, hash the shingles to
-    * 64-bit first to shrink the shuffle — kept as raw strings here so the
-    * oracle join is bit-exact.) */
+    * Catalyst broadcasts it when it fits. With `hashShingles` the join key
+    * is xxhash64(ngram) instead of the raw string — an 8-byte shuffle key
+    * instead of ~50-char strings (the 100 TB default; collision odds
+    * ~|grams|²/2⁶⁴ are negligible for flagging). The oracle-checked query
+    * keeps raw strings so the DuckDB join is bit-exact. */
   def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 8): DataFrame = {
-    def shingleSet(df: DataFrame, as: String) =
-      df.select(col(idCol).as(as),
-                explode(TextOps.shingles(col(textCol), n)).as("sh"))
-        .distinct()
+                    textCol: String, n: Int = 8,
+                    hashShingles: Boolean = false): DataFrame = {
+    def shingleSet(df: DataFrame, as: String) = {
+      val raw = df.select(col(idCol).as(as),
+                          explode(TextOps.shingles(col(textCol), n)).as("sh0"))
+      val keyed =
+        if (hashShingles) raw.select(col(as), xxhash64(col("sh0")).as("sh"))
+        else raw.withColumnRenamed("sh0", "sh")
+      keyed.distinct()
+    }
     shingleSet(docs, "id")
       .join(shingleSet(bench, "bid"), "sh")
       .filter(col("id") =!= col("bid"))

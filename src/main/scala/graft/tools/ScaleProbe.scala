@@ -3,12 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Dedup
+import graft.pipeline.{Cluster, CorpusStats, Dedup, Similarity}
 
-/** Dedup scale probe: replicate the documents corpus k× (salted ids,
-  * mutated first token so replicas are near- not exact dups) and time the
-  * near-dup operators — evidence that the LSH paths scale with corpus size,
-  * not pairs. Usage: runMain graft.tools.ScaleProbe [k] [dir]. */
+/** Pipeline scale probe: replicate the documents corpus k× (salted ids,
+  * mutated first token so replicas are near- not exact dups) and the
+  * embeddings corpus k× (slightly offset vectors), then time the pipeline
+  * operators — evidence that the LSH/PQ/clustering paths scale with corpus
+  * size, not pairs. Usage: runMain graft.tools.ScaleProbe [k] [dir]. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
@@ -41,6 +42,37 @@ object ScaleProbe {
     time("simhash")(
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
     time("exact")(Dedup.exactGroups(docs, "doc_id", "text").count())
+    time("contamination")(Cluster.contamination(
+      docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4).count())
+    time("contamination_hashed")(Cluster.contamination(
+      docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4,
+      hashShingles = true).count())
+    time("repetition")(
+      CorpusStats.repetition(docs, "doc_id", "text").count())
+    time("tfidf_topk")(
+      CorpusStats.tfidfTopK(docs, "doc_id", "text", k = 3).count())
+
+    // Embedding corpus, replicated with per-replica offsets (near- not
+    // exact dups, so clustering and ANN see realistic structure).
+    val emb0 = graft.score.Embeddings.fromParquet(
+      spark, s"$dir/embeddings.parquet")
+    val emb = emb0.crossJoin(spark.range(k).toDF("rep"))
+      .select((col("id") * k + col("rep")).as("id"),
+              transform(col("vec"), x => x + col("rep") * lit(0.001)).as("vec"))
+      .localCheckpoint(true)
+    println(s"[scale] embeddings: ${emb.count()} vectors")
+    time("pq_topk")(Similarity.pqTopK(
+      emb, emb.filter(col("id") < 100), k = 10, dim = 64).count())
+    time("ivf_topk")(Similarity.ivfTopK(
+      emb, emb.filter(col("id") < 100), k = 10, nCentroids = 16, dim = 64).count())
+    time("kmeans")(Cluster.kmeansFixed(emb, k = 16, dim = 64, iters = 3).count())
+    // Within-cluster pair cost is Σ|cluster|² BY DESIGN (SemDeDup scales k
+    // with the corpus so clusters stay ~constant-sized); probe both a
+    // too-coarse and a corpus-proportional clustering to show the knob.
+    time("semantic_pairs_k16")(Cluster.semanticPairs(
+      emb, k = 16, dim = 64, iters = 2, threshold = 0.999).count())
+    time("semantic_pairs_k64")(Cluster.semanticPairs(
+      emb, k = 64, dim = 64, iters = 2, threshold = 0.999).count())
     spark.stop()
   }
 }

@@ -264,6 +264,11 @@ class PipelineSpec extends AnyFunSuite {
     // doc 0 never matches itself
     assert(out.keySet == Set(1L))
     assert(out(1L)._1 == 1L && out(1L)._2 >= 1L)
+    // the 64-bit-hashed join key (the at-scale default) is equivalent
+    val hashed = Cluster.contamination(docs, bench, "doc_id", "text", n = 8,
+                                       hashShingles = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hashed == out)
   }
 
   test("repetition: hand-checked duplicate-token and top-ngram fractions") {
