@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -127,7 +127,10 @@ case class TranseScore(first: Expression, second: Expression, third: Expression)
   * of 128 literal-array dot expressions defeated whole-stage codegen
   * entirely (measured 6 s on 2k vectors, interpreted). */
 case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // SQL literals arrive as decimal arrays; implicit-cast inputs to double.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   private def encode(vec: ArrayData, cb: ArrayData): Array[Int] = {
     val sub = cb.numElements() / (m * k)
@@ -191,7 +194,9 @@ case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
   * asymmetric distance computation. Same fused-loop rationale as
   * [[PqEncode]]. */
 case class PqLut(left: Expression, right: Expression, m: Int, k: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]; val cb = b.asInstanceOf[ArrayData]
@@ -257,7 +262,9 @@ case class PqLut(left: Expression, right: Expression, m: Int, k: Int)
   * sum, so equal-code vectors tie bit-exactly). The 100 TB hot loop: m
   * array lookups per (query, neighbor), no vector math. */
 case class PqAdc(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val lut = a.asInstanceOf[ArrayData]; val codes = b.asInstanceOf[ArrayData]

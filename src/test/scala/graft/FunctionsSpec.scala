@@ -84,6 +84,37 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = before
   }
 
+  test("pq kernels agree with the reference across (m, k, sub) configs " +
+       "and are reachable from SQL") {
+    for (m <- Seq(1, 2, 4); k <- Seq(2, 8); sub <- Seq(1, 5)) {
+      val dim = m * sub
+      val cb = (for { s <- 0 until m; c <- 0 until k; i <- 1 to sub }
+        yield math.sin((s * k + c + 1) * i * 0.29)).toIndexedSeq
+      val vecs = Seq.fill(8)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+      def refEncode(v: IndexedSeq[Double]): Seq[Int] =
+        (0 until m).map { s =>
+          (0 until k).minBy { c =>
+            val base = (s * k + c) * sub
+            (0 until sub).map(i => cb(base + i) * cb(base + i)).sum -
+              2 * (0 until sub).map(i => v(s * sub + i) * cb(base + i)).sum
+          }
+        }
+      val df = vecs.map(v => Tuple1(v)).toDF("vec")
+      df.createOrReplaceTempView("pq_prop_in")
+      // SQL-registry path (same functions GraftExtensions injects)
+      val out = spark.sql(
+        s"""SELECT pq_encode(vec, array(${cb.mkString(",")}), $m, $k) AS codes,
+           |       pq_adc(pq_lut(vec, array(${cb.mkString(",")}), $m, $k),
+           |              pq_encode(vec, array(${cb.mkString(",")}), $m, $k),
+           |              $k) AS adist
+           |FROM pq_prop_in""".stripMargin).collect()
+      out.zip(vecs).foreach { case (r, v) =>
+        assert(r.getSeq[Int](0) == refEncode(v), s"m=$m k=$k sub=$sub")
+        assert(r.getDouble(1) >= 0.0 - 1e-12) // squared distances sum
+      }
+    }
+  }
+
   test("pq kernels: encode/lut/adc match a driver-side reference") {
     val m = 4; val k = 8; val sub = 4; val dim = m * sub
     val cb = (for { s <- 0 until m; c <- 0 until k; i <- 1 to sub }
