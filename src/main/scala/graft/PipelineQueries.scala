@@ -261,6 +261,20 @@ object PipelineQueries {
              |       ROUND(max_g * 1.0 / n_g, 6) AS top_ngram_frac
              |FROM ts JOIN gs ON ts.doc_id = gs.doc_id""".stripMargin)),
 
+    // Unigram LM quality signal: mean token log-probability under the
+    // corpus's own unigram model (the perplexity-filter family).
+    ("text_unigram_logp",
+      (s, dir) => graft.pipeline.CorpusStats.unigramLogProb(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |tok AS (SELECT doc_id, UNNEST(t) AS tk FROM toks),
+             |tot AS (SELECT COUNT(*) AS n FROM tok),
+             |pr AS (SELECT tk, LN(COUNT(*) * 1.0 / (SELECT n FROM tot)) AS logp
+             |       FROM tok GROUP BY 1)
+             |SELECT doc_id AS id, ROUND(SUM(logp) / COUNT(*), 6) AS avg_logp,
+             |       COUNT(*) AS n_tokens
+             |FROM tok JOIN pr USING (tk) GROUP BY 1""".stripMargin)),
+
     // TF-IDF top-3 keywords per doc; rank over the ROUNDED score so
     // mathematically-tied scores (different float routes per engine) break
     // on the token ordering identically in Spark and DuckDB.

@@ -63,15 +63,21 @@ object Cluster {
             s"k=$k exceeds corpus size ${initRows.length}")
     var cents: IndexedSeq[IndexedSeq[Double]] =
       initRows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    // The true vector width comes from the data (init centroids ARE corpus
+    // rows); a mismatched `dim` must fail loudly, not silently truncate
+    // the mean recomputation (the same hazard hyperplaneBucket had).
+    val width = cents.head.length
+    require(dim <= 0 || dim == width,
+            s"dim=$dim but the vector column is $width-wide")
     def assigned = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
                               assignExpr(col(vecCol), cents).as("cluster"))
     (2 to iters).foreach { _ =>
-      val meanCols = (0 until dim).map(i =>
+      val meanCols = (0 until width).map(i =>
         round(avg(col("vec").getItem(i)), 6).as(s"m$i"))
       val rows = assigned.groupBy("cluster")
         .agg(meanCols.head, meanCols.tail: _*).collect()
       val next = rows.map(r => r.getInt(0) ->
-        IndexedSeq.tabulate(dim)(i => r.getDouble(i + 1))).toMap
+        IndexedSeq.tabulate(width)(i => r.getDouble(i + 1))).toMap
       cents = IndexedSeq.tabulate(k)(j => next.getOrElse(j, cents(j)))
     }
     assigned

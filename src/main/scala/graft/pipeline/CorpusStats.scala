@@ -40,6 +40,28 @@ object CorpusStats {
               round(col("max_g") / col("n_g"), 6).as("top_ngram_frac"))
   }
 
+  /** Per-document unigram language-model score — the classic
+    * perplexity-style quality filter (score docs by how typical their
+    * tokens are of the corpus; outliers in either direction are
+    * boilerplate or noise). The corpus itself is the model:
+    * p(t) = count(t) / total_tokens, and a document scores the mean token
+    * log-probability Σ ln p(t_i) / |doc|. One explode + two aggregations +
+    * one broadcast-joinable (|vocab|-sized) probability table — no
+    * driver-side state beyond the scalar total. Output:
+    * (id, avg_logp, n_tokens), avg_logp rounded to 6 dp. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+                           explode(TextOps.tokens(col(textCol))).as("t"))
+    val total = toks.count()
+    val probs = toks.groupBy("t").agg(count(lit(1)).as("ct"))
+      .select(col("t"), log(col("ct") / lit(total.toDouble)).as("logp"))
+    toks.join(probs, "t")
+      .groupBy("id")
+      .agg(round(sum(col("logp")) / count(lit(1)), 6).as("avg_logp"),
+           count(lit(1)).as("n_tokens"))
+  }
+
   /** Top-k TF-IDF keywords per document: score = tf · ln(N / df), ranked
     * per doc (score desc, token asc). The score is ROUNDED to 6 dp BEFORE
     * ranking: mathematically-tied scores reached through different

@@ -280,6 +280,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.666667)
   }
 
+  test("unigramLogProb: uniform corpus scores ln(1/V); rare tokens lower") {
+    import graft.pipeline.CorpusStats
+    // corpus of 4 equally-frequent tokens -> every doc scores ln(1/4)
+    val uniform = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val u = CorpusStats.unigramLogProb(uniform, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = BigDecimal(math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(u(1L) == expect && u(2L) == expect)
+    // a doc of rare tokens scores below a doc of the dominant token
+    val skewed = Seq((1L, "the the the the the the"), (2L, "rare words"))
+      .toDF("doc_id", "text")
+    val s = CorpusStats.unigramLogProb(skewed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(2L) < s(1L))
+  }
+
   test("tfidfTopK ranks the doc-distinctive token first") {
     import graft.pipeline.CorpusStats
     val docs = Seq(
