@@ -25,26 +25,24 @@ object PipelineQueries {
     * the cluster-resolution query — the same shared-intermediate pattern as
     * the KG.edges cache (the reference likewise builds its indexes once,
     * graph.py:30-51). */
-  /** Keyed on the session OBJECT (WeakHashMap identity semantics): hashCode
-    * strings can collide across SparkSession instances, and a restarted
-    * session must never be served a checkpointed frame bound to a dead
-    * SparkContext. Weak keys also evict entries when a session is
-    * garbage-collected instead of accumulating forever. */
-  private val pairCache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  /** The computed-once pair set is cached as a SESSION-SCOPED temp view
+    * over the checkpointed frame: the session's own catalog keys it, so a
+    * different/restarted session can never be served a frame bound to a
+    * dead SparkContext, and the cache's lifetime is exactly the session's.
+    * (A JVM-global map — even weak-keyed — pins sessions forever, because
+    * the cached DataFrames strongly reference their session, which is the
+    * map key.) */
   private def minhashPairsPortable(s: SparkSession, dir: String): DataFrame = {
-    val perSession = pairCache.synchronized {
-      var m = pairCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        pairCache.put(s, m)
+    val view = "graft_minhash_pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.synchronized {
+      if (!s.catalog.tableExists(view)) {
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+                              family = Dedup.PortableMd5)
+          .localCheckpoint(true)
+          .createOrReplaceTempView(view)
       }
-      m
     }
-    perSession.getOrElseUpdate(dir,
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-                            family = Dedup.PortableMd5)
-        .localCheckpoint(true))
+    s.table(view)
   }
 
   // ---- scored-executor fixtures --------------------------------------

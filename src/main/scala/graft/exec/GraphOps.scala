@@ -101,7 +101,7 @@ object GraphOps {
     * checkpoint cost dominated the sf0.1 bench. Deep loops still truncate
     * periodically (plan growth is linear in steps since `nodes`/`linked`
     * are materialized once — the period only bounds plan size, not
-    * correctness). */
+    * correctness). `checkpointEvery` <= 0 means never truncate. */
   def pageRankFixed(edges: DataFrame, iters: Int,
                     damping: Double = 0.85,
                     checkpointEvery: Int = 8): DataFrame = {
@@ -124,7 +124,8 @@ object GraphOps {
         .select(col("id"),
                 (lit(1.0 - damping) +
                  lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint(true)
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        rank = rank.localCheckpoint(true)
     }
     rank
   }

@@ -291,8 +291,21 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
 }
 
 object ArrayKernels {
-  private def intArg(e: Expression): Int =
-    e.eval(null).asInstanceOf[Int] // foldable literal arity args
+  /** PQ arity arguments (m, k) must be integer literals; any integral
+    * type a SQL caller might write (16, CAST(16 AS BIGINT), 16S) is
+    * accepted, anything else fails with a clear message instead of a
+    * ClassCastException or an unbound-attribute internal error. */
+  private def intArg(e: Expression): Int = {
+    require(e.foldable, s"PQ arity arguments must be integer literals, got: $e")
+    e.eval(null) match {
+      case i: Int   => i
+      case l: Long  => math.toIntExact(l)
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"PQ arity arguments must be integers, got: $other")
+    }
+  }
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (es => ArrayDot(es(0), es(1))),
     "array_cosine" -> (es => ArrayCosine(es(0), es(1))),

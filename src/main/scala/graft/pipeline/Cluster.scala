@@ -116,12 +116,10 @@ object Cluster {
                     textCol: String, n: Int = 8,
                     hashShingles: Boolean = false): DataFrame = {
     def shingleSet(df: DataFrame, as: String) = {
-      val raw = df.select(col(idCol).as(as),
-                          explode(TextOps.shingles(col(textCol), n)).as("sh0"))
-      val keyed =
-        if (hashShingles) raw.select(col(as), xxhash64(col("sh0")).as("sh"))
-        else raw.withColumnRenamed("sh0", "sh")
-      keyed.distinct()
+      val raw = Dedup.shingleRows(df, idCol, textCol, n) // shared semantics
+      if (hashShingles)
+        raw.select(col("id").as(as), xxhash64(col("sh")).as("sh"))
+      else raw.select(col("id").as(as), col("sh"))
     }
     shingleSet(docs, "id")
       .join(shingleSet(bench, "bid"), "sh")

@@ -51,8 +51,10 @@ object CorpusStats {
     * (id, avg_logp, n_tokens), avg_logp rounded to 6 dp. */
   def unigramLogProb(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
+    // materialized: consumed three times (total, probability table, join)
     val toks = docs.select(col(idCol).as("id"),
                            explode(TextOps.tokens(col(textCol))).as("t"))
+      .localCheckpoint(true)
     val total = toks.count()
     val probs = toks.groupBy("t").agg(count(lit(1)).as("ct"))
       .select(col("t"), log(col("ct") / lit(total.toDouble)).as("logp"))
@@ -70,8 +72,10 @@ object CorpusStats {
     * the token ordering identically everywhere. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
+    // materialized: consumed twice (term frequencies, document frequencies)
     val toks = docs.select(col(idCol).as("id"),
                            explode(TextOps.tokens(col(textCol))).as("t"))
+      .localCheckpoint(true)
     val nDocs = docs.count()
     val tf = toks.groupBy("id", "t").agg(count(lit(1)).as("tf"))
     val dfCounts = toks.select("id", "t").distinct()

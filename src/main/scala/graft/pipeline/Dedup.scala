@@ -34,17 +34,25 @@ object Dedup {
       .filter(col("id") =!= col("keep_id"))
       .select(col("id"))
 
-  /** Distinct (id, shingle) pairs — the exploded set representation. */
+  /** Distinct (id, shingle) rows, LAZY — the single definition of the
+    * exploded set representation, shared by [[shingleSets]] and
+    * Cluster.contamination so shingle semantics (tokenization, the
+    * short-document whole-text fallback the oracles mirror) can never
+    * drift between operators. */
+  private[pipeline] def shingleRows(df: DataFrame, idCol: String,
+                                    textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+              explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+
   /** Materialized (localCheckpoint): the set representation feeds both sides
     * of self-joins — without materialization the shingle-construction
     * expressions are re-evaluated per join side (no CSE across higher-order
     * lambdas), which dominated runtime at 5k docs. At cluster scale this
-    * becomes a persist() on a frame bucketed by `sh`. */
+    * becomes a persist() on a frame bucketed by `sh`. Single-consumer
+    * callers should use [[shingleRows]] (materializing wastes a write). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-              explode(TextOps.shingles(col(textCol), n)).as("sh"))
-      .distinct()
-      .localCheckpoint(true)
+    shingleRows(df, idCol, textCol, n).localCheckpoint(true)
 
   /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
     * Set-similarity join: shingle equi-join counts intersections; per-doc

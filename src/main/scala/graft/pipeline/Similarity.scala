@@ -62,12 +62,15 @@ object Similarity {
            lit(1L << (planes - 1 - j))).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Width of a vector column, read from the first row — one tiny job,
-    * run once per operator call, so wider-than-assumed embeddings can
-    * never silently bucket on a prefix. Returns 0 on an empty frame (all
-    * buckets collapse to 0; the join output is empty anyway). */
+  /** Width of a vector column, read from the first non-null row — one tiny
+    * job, run once per operator call, so wider-than-assumed embeddings can
+    * never silently bucket on a prefix. Returns 0 on an empty/all-null
+    * frame (all buckets collapse to 0; the join output is empty anyway).
+    * Single-row sample by design: ragged widths are the caller's contract,
+    * not detectable without a full scan. */
   private[graft] def vecDim(df: DataFrame, vecCol: String = "vec"): Int =
-    df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    df.select(size(col(vecCol)).as("sz")).na.drop("any")
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** LSH-bucketed approximate top-k with `probes` independent hash tables.
     * Same output shape as [[bruteTopK]]; recall < 1 by construction.
@@ -153,6 +156,12 @@ object Similarity {
              seed: Double = 3.9): DataFrame = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     ArrayKernels.register(corpus.sparkSession)
+    // A wrong dim must fail loudly: the PQ kernels would otherwise either
+    // rank on a vector prefix (dim too small) or read past the array
+    // (dim too large) — same contract as kmeansFixed/hyperplaneBucket.
+    val width = vecDim(corpus)
+    require(width == 0 || width == dim,
+            s"dim=$dim but corpus vectors are $width-wide")
     val sub = dim / m
     // One flattened codebook literal ([(s·k + c)·sub + i] layout) consumed
     // by the three fused PQ kernels. The first formulation inlined 128
