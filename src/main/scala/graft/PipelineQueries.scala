@@ -909,6 +909,30 @@ object PipelineQueries {
            |FROM q""".stripMargin
       }),
 
+    // Quality-weighted deterministic sampling: each doc kept with
+    // probability = its quality score (quality-proportional resampling).
+    ("sample_weighted",
+      (s, dir) => graft.pipeline.Sampling.weightedSample(
+          t(s, dir, "documents"), "doc_id",
+          TextOps.qualityScore(col("text")))
+        .select("doc_id"),
+      Some {
+        val stops = TextOps.defaultStops.map(s => s"'$s'").mkString(", ")
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |    len(string_split(text, ' ')) AS nt,
+           |    len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS nstop,
+           |    (LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / LENGTH(text) AS pr,
+           |    (LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / LENGTH(text) AS ur
+           |  FROM documents),
+           |qs AS (SELECT doc_id,
+           |    ROUND((least(nt / 64.0, 1.0) + least(nstop * 5.0 / nt, 1.0)) / 2
+           |          * greatest(0.0, 1.0 - pr * 4.0) * greatest(0.0, 1.0 - ur * 4.0), 6) AS quality
+           |  FROM q)
+           |SELECT doc_id FROM qs
+           |WHERE ${graft.pipeline.Sampling.hashBucketSql("doc_id", "wsample")} < quality * 1000000""".stripMargin
+      }),
+
     // Brute-force cosine top-5 ANN (exact baseline).
     ("ann_brute_topk",
       (s, dir) => {

@@ -38,6 +38,17 @@ object Sampling {
                  salt: String = "sample"): DataFrame =
     df.filter(hashBucket(col(keyCol), salt) < (fraction * BUCKETS).toLong)
 
+  /** Deterministic WEIGHTED sample: keeps each row with probability equal
+    * to `weight` (a per-row column in [0, 1]) — quality-proportional
+    * corpus sampling, the pattern behind quality-bucketed pipeline
+    * resampling. Membership = hashBucket(key) < weight·BUCKETS: still a
+    * pure per-row expression (no shuffle), reproducible across engines
+    * and partitionings, and monotone in the weight (raising a row's
+    * weight can only add it to the sample, same salt). */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     salt: String = "wsample"): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt) < weight * BUCKETS)
+
   /** Stratified deterministic sample: per-stratum fractions (stratum value
     * -> fraction); strata absent from the map are dropped. */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,

@@ -280,6 +280,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.666667)
   }
 
+  test("weightedSample: weight 1 keeps all, 0 keeps none, monotone in w") {
+    import graft.pipeline.Sampling
+    val docs = spark.range(500).toDF("doc_id")
+    def kept(w: Double): Set[Long] =
+      Sampling.weightedSample(docs, "doc_id", lit(w))
+        .collect().map(_.getLong(0)).toSet
+    assert(kept(1.0).size == 500)
+    assert(kept(0.0).isEmpty)
+    val half = kept(0.5)
+    // hash buckets are uniform: ~250 of 500 within a loose band
+    assert(half.size > 175 && half.size < 325, s"kept ${half.size}")
+    // monotone: a lower weight's sample is a subset of a higher weight's
+    assert(kept(0.25).subsetOf(half) && half.subsetOf(kept(0.75)))
+  }
+
   test("unigramLogProb: uniform corpus scores ln(1/V); rare tokens lower") {
     import graft.pipeline.CorpusStats
     // corpus of 4 equally-frequent tokens -> every doc scores ln(1/4)
