@@ -192,6 +192,20 @@ object PipelineQueries {
        |       FROM e CROSS JOIN c1),
        |s1 AS (SELECT id, v, cl FROM a1 WHERE rn = 1)""".stripMargin
 
+  /** Transitive-closure CTEs over the threshold-filtered minhash pairs
+    * (follows [[minhashPairsSql]], which ends with `pairs` and `sz`):
+    * `reach(a, b)` holds the connected-component reachability. Shared by
+    * the dedup_groups and dedup_clean_corpus oracles. */
+  private val dupClosureCtes =
+    """pairsf AS (SELECT p.i, p.j
+      |           FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+      |           WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+      |nodes AS (SELECT i AS id FROM pairsf UNION SELECT j FROM pairsf),
+      |und AS (SELECT i AS a, j AS b FROM pairsf UNION SELECT j AS a, i AS b FROM pairsf),
+      |reach(a, b) AS (SELECT id, id FROM nodes
+      |                UNION
+      |                SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a)""".stripMargin
+
   // ---- the registry ---------------------------------------------------
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -788,17 +802,38 @@ object PipelineQueries {
     // over the same (portable-family) pair set, keep_id = min reachable id.
     ("dedup_groups",
       (s, dir) => Dedup.dupGroups(minhashPairsPortable(s, dir)),
-      Some(minhashPairsSql.replace("WITH ", "WITH RECURSIVE ") +
-        """,
-          |pairsf AS (SELECT p.i, p.j
-          |           FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
-          |           WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
-          |nodes AS (SELECT i AS id FROM pairsf UNION SELECT j FROM pairsf),
-          |und AS (SELECT i AS a, j AS b FROM pairsf UNION SELECT j AS a, i AS b FROM pairsf),
-          |reach(a, b) AS (SELECT id, id FROM nodes
-          |                UNION
-          |                SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a)
-          |SELECT a AS id, MIN(b) AS keep_id FROM reach GROUP BY a""".stripMargin)),
+      Some(minhashPairsSql.replace("WITH ", "WITH RECURSIVE ") + ",\n" +
+        dupClosureCtes +
+        "\nSELECT a AS id, MIN(b) AS keep_id FROM reach GROUP BY a")),
+
+    // End-to-end corpus cleaning: the composition every training pipeline
+    // actually ships — drop exact duplicates (non-canonical digest copies)
+    // AND near-dup cluster members (non-canonical ids from the MinHash+LSH
+    // transitive closure), emit the surviving doc ids. Two left-anti joins
+    // against small drop-lists; the corpus itself streams through once.
+    ("dedup_clean_corpus",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val exactDrops = Dedup.exactDropIds(docs, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+        val nearDrops = Dedup.dupGroups(minhashPairsPortable(s, dir))
+          .filter(col("id") =!= col("keep_id"))
+          .select(col("id").as("doc_id"))
+        docs.select(col("doc_id"))
+          .join(exactDrops, Seq("doc_id"), "left_anti")
+          .join(nearDrops, Seq("doc_id"), "left_anti")
+      },
+      Some(minhashPairsSql.replace("WITH ", "WITH RECURSIVE ") + ",\n" +
+        dupClosureCtes + ",\n" +
+        """ndrops AS (SELECT a AS id FROM (SELECT a, MIN(b) AS k FROM reach GROUP BY a) t
+          |           WHERE a <> k),
+          |exdrops AS (SELECT doc_id FROM documents d2
+          |            JOIN (SELECT md5(text) AS dg, MIN(doc_id) AS keep
+          |                  FROM documents GROUP BY 1) g
+          |            ON md5(d2.text) = g.dg WHERE doc_id <> keep)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM ndrops)
+          |  AND doc_id NOT IN (SELECT doc_id FROM exdrops)""".stripMargin)),
 
     // Embedding-cosine near-dup via hyperplane LSH — oracle recomputes the
     // deterministic sin-plane buckets with DuckDB list lambdas.
