@@ -2,18 +2,42 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":"total","value":...,"queries":{...}}.
+/** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract (two sinks, one stdout line):
+  *   - FULL results — every per-query timing at ns precision — are written to
+  *     `BENCH_FULL.json` (override with SPARK_GRAFT_BENCH_OUT). The driver's
+  *     stdout capture keeps only the last 2000 characters, which has truncated
+  *     the head of the full per-query map every round (BENCH_r01–r04 all have
+  *     `parsed: null`); the file is the complete record.
+  *   - stdout gets ONE SHORT JSON line — total/load/failed plus a fixed
+  *     headline subset of per-query timings at 3 dp — sized well under the
+  *     2000-char tail window so the driver can parse it.
   *
   * The derived-KG edges view is materialized once up front (load phase,
   * reported as load_sec) — the analog of the reference's eager adjacency
   * index build at KG load (graph.py:30-51); per-query timings then measure
   * query execution, not shared ETL. */
 object Bench {
+
+  /** Fixed cross-round headline set: the historically slowest queries plus
+    * one representative per operator family. Stable keys so BENCH_r{N} rounds
+    * stay comparable against BASELINE. */
+  val headline: Seq[String] = Seq(
+    "ann_pq_topk", "ann_brute_topk", "cluster_kmeans",
+    "cqd_2p_transe", "cqd_batch_2p", "cqd_3c_beam",
+    "dedup_minhash_lsh", "dedup_groups", "dedup_jaccard_pairs",
+    "eval_efo1_suite", "kg_2i", "kg_3c", "kg_up_dnf",
+    "lmpnn_2p", "metric_mrr", "multimodal_features",
+    "q_g2_bfs", "q_pagerank_fixed", "q_join_revenue_topk",
+    "q_stream_sessions", "sample_weighted",
+    "text_decontaminate", "text_repetition", "text_tfidf_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,12 +59,26 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_sec":$loadSec}""")
+
+    def jsonLine(qs: Seq[(String, Double)], fmt: Double => String): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,""" +
+        s""""failed":$failed,"n_queries":${results.size},"sf":"$sfDir",""" +
+        s""""load_sec":${fmt(loadSec)},"full":"$outPath"}"""
+    }
+
+    val full = jsonLine(results.map(r => (r._1, r._2)), _.toString)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+
+    val head = results.collect {
+      case (k, v, _) if headline.contains(k) => (k, v)
+    }
+    println(jsonLine(head, v => f"$v%.3f"))
     spark.stop()
     // A crashing query must fail the bench run, not just skew a timing.
     if (results.exists(!_._3)) sys.exit(1)

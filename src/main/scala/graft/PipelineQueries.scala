@@ -105,6 +105,39 @@ object PipelineQueries {
   private def ev(idExpr: String, i: Int) = Embeddings.sqlVecElem(idExpr, i, ENT_SEED)
   private def rv(idExpr: String, i: Int) = Embeddings.sqlVecElem(idExpr, i, REL_SEED)
 
+  /** ConvE 1p oracle (dim 9, hgt 2, wid 4, oc 32 → convH×convW = 2×2,
+    * flatN = 128): the full seeded forward pass in DuckDB lambdas. Weight
+    * formulas mirror [[graft.score.ConvE.weights]] segment-for-segment. */
+  private def conveOracleSql: String = {
+    import graft.score.ConvE._
+    def vec9(idExpr: String, seed: Double) =
+      s"list_transform(generate_series(0, 8), i -> SIN((($idExpr) % 9973 + 1) * (i + 1) * 0.017 + $seed))"
+    // flat index fi in 0..127: oc = fi//4, oy = (fi%4)//2, ox = fi%2;
+    // kernel index kk in 0..8: ky = kk//3, kx = kk%3; input row y = oy+ky
+    // reads the h plane when y < 2 else the r plane (1-based list index).
+    val inp = "CASE WHEN ((fi % 4) // 2 + kk // 3) < 2 " +
+      "THEN h[2 + ((fi % 4) // 2 + kk // 3) * 4 + (fi % 2 + kk % 3)] " +
+      "ELSE r[2 + ((fi % 4) // 2 + kk // 3 - 2) * 4 + (fi % 2 + kk % 3)] END"
+    s"""WITH hv AS (SELECT ${vec9("400000000", ENT_SEED)} AS h),
+       |rv AS (SELECT ${vec9("9", REL_SEED)} AS r),
+       |fl AS (SELECT list_transform(generate_series(0, 127), fi ->
+       |    GREATEST(SIN((fi // 4 + 1) * 0.013 + $ConvBSeed) * $ConvBScale +
+       |      list_sum(list_transform(generate_series(0, 8), kk ->
+       |        SIN(((fi // 4) * 9 + kk + 1) * 0.013 + $ConvWSeed) * $ConvWScale * ($inp))),
+       |      0)) AS f
+       |  FROM hv, rv),
+       |es AS (SELECT list_concat([CAST(1 AS DOUBLE)],
+       |    list_transform(generate_series(0, 7), j ->
+       |      GREATEST(SIN((j + 1) * 0.013 + $ProjBSeed) * $ProjBScale +
+       |        list_sum(list_transform(generate_series(0, 127), i ->
+       |          SIN((j * 128 + i + 1) * 0.013 + $ProjWSeed) * $ProjWScale * f[i + 1])),
+       |        0))) AS e
+       |  FROM fl),
+       |ents AS ($supplierEntsSql)
+       |${top10Sql(
+         s"SELECT id AS entity, 1 + list_dot_product(e, ${vec9("id", ENT_SEED)}) AS score FROM ents, es")}""".stripMargin
+  }
+
   /** DistMult 1p score in SQL: -Σ h_i·r_i·t_i (distmult.py:36-41). */
   private def distmultSql(h: String, r: String, tl: String): String =
     "-(" + (0 until DIM).map(i => s"${ev(h, i)} * ${rv(r, i)} * ${ev(tl, i)}")
@@ -240,20 +273,27 @@ object PipelineQueries {
     // deterministic pseudo-benchmark subset (doc_id % 97 = 0). n = 4 because
     // the corpus's planted near-dups are token-level edits that break long
     // n-gram runs (8-gram overlap is empty at sf0.01).
+    // Benched defaults are the 100 TB-safe ones: hashed 8-byte shingle keys
+    // and a document-frequency cap of 256 (stop-shingles out before the
+    // join). The oracle replays the cap relationally on raw strings —
+    // values agree unless an xxhash64 collision actually lands in the data.
     ("text_decontaminate",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         graft.pipeline.Cluster.contamination(
-          docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4)
+          docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+          n = 4, maxDocFreq = 256)
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS s
              |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t) - 3, 1))) AS i) g),
              |d AS (SELECT DISTINCT doc_id, s FROM sh),
+             |keep AS (SELECT s FROM d GROUP BY s HAVING COUNT(*) <= 256),
+             |dc AS (SELECT d.doc_id, d.s FROM d JOIN keep USING (s)),
              |b AS (SELECT doc_id AS bid, s FROM d WHERE doc_id % 97 = 0)
-             |SELECT d.doc_id AS id, COUNT(DISTINCT b.bid) AS n_bench_docs,
-             |       COUNT(DISTINCT d.s) AS n_shared_ngrams
-             |FROM d JOIN b ON d.s = b.s AND d.doc_id <> b.bid
+             |SELECT dc.doc_id AS id, COUNT(DISTINCT b.bid) AS n_bench_docs,
+             |       COUNT(DISTINCT dc.s) AS n_shared_ngrams
+             |FROM dc JOIN b ON dc.s = b.s AND dc.doc_id <> b.bid
              |GROUP BY 1""".stripMargin)),
 
     // Gopher-style repetition metrics: exact integer ratios, float-safe.
@@ -376,6 +416,22 @@ object PipelineQueries {
              s"SELECT id AS entity, 1 + list_sum(list_transform(generate_series(0, ${DIM - 1}), j -> " +
              s"list_sum(list_transform(generate_series(0, ${DIM - 1}), i -> $h * $w)) * $t)) AS score FROM ents")}""".stripMargin
       }),
+
+    // F12: ConvE inference with fixed seeded parameters (dim 9 → 2×4
+    // planes, 32 3×3 filters; score = est·t, conve.py:74-96,140-144 with
+    // the estimte_tail_emb typo repaired). The oracle replays the entire
+    // forward pass — stack, convolve, ReLU, project, ReLU, bias dim — in
+    // SQL lambdas over the same sin-seeded weight formulas.
+    ("cqd_1p_conve",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
+        Map("r1" -> 9L, "s1" -> S0),
+        Embeddings.deterministic(
+          t(s, dir, "supplier").select(
+            (lit(KG.TAG_SUPPLIER * KG.TAG_BASE) + col("s_suppkey"))
+              .cast("long").as("id")), "id", 9, ENT_SEED),
+        Embeddings.deterministic(s.range(22).toDF("id"), "id", 9, REL_SEED),
+        graft.score.ConvE(dim = 9), beam = Int.MaxValue)),
+      Some(conveOracleSql)),
 
     // F11: SWTransE sliced-Wasserstein (d=4 dims x m=2 particles in the
     // 8-wide entity space; relation embeddings are d-dimensional). Oracle

@@ -18,6 +18,11 @@ object SystemQueries {
   private def t(s: SparkSession, dir: String, name: String) =
     KG.table(s, dir, name)
 
+  /** Hex of the 54-byte BMP header the synthetic image rows carry — emitted
+    * from the SAME builder the data uses, so query and oracle cannot drift. */
+  private val bmpHdrHex: String =
+    Multimodal.bmpBytes(64, 64, Array.empty).map("%02x".format(_)).mkString
+
   /** Static relation dictionary of the derived KG (names for the 11 base
     * relations; odd ids are the `_inv` partners). */
   def relationDict(s: SparkSession): DataFrame = {
@@ -428,35 +433,48 @@ object SystemQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k")),
       Some("SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events")),
 
-    // Multimodal plumbing: stubbed decode features + frame sampling. The
-    // synthetic payload is repeated sha256(id) bytes, so the oracle
-    // recomputes the stub's byte moments from the digest hex in SQL —
-    // the mapPartitions decode seam itself is what's under test.
+    // Multimodal: REAL BMP header parse (width/height/channels) + stubbed
+    // pixel moments + frame sampling. Image rows carry an actual 54-byte
+    // BMP container; the oracle rebuilds the identical byte stream from the
+    // header hex literal + repeated sha256(id) digest and replays both the
+    // header fields and the stub's byte moments in SQL.
     ("multimodal_features",
       (s, dir) => {
         import s.implicits._
         val media = Multimodal.syntheticMedia(s, 64)
         Multimodal.decodeFeatures(media.as[Multimodal.MediaRow])
           .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("channels").cast("long").as("channels"),
             round(element_at(col("features"), 1), 6).as("f0"))
       },
-      Some("""WITH m AS (SELECT r AS media_id, sha256(CAST(r AS VARCHAR)) AS h FROM range(64) t(r))
+      Some(s"""WITH m AS (SELECT r AS media_id, sha256(CAST(r AS VARCHAR)) AS h FROM range(64) t(r)),
+             |fx AS (SELECT media_id,
+             |  CASE WHEN media_id % 3 = 0 THEN '$bmpHdrHex' || substr(repeat(h, 7), 1, 404)
+             |       ELSE substr(repeat(h, 8), 1, 512) END AS fh
+             |  FROM m)
              |SELECT media_id,
              |  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              |  CAST(256 AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN media_id % 3 = 0 THEN 64 ELSE -1 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN media_id % 3 = 0 THEN 64 ELSE -1 END AS BIGINT) AS height,
+             |  CAST(CASE WHEN media_id % 3 = 0 THEN 3 ELSE -1 END AS BIGINT) AS channels,
              |  ROUND(list_sum(list_transform(generate_series(0, 31),
-             |          k -> ('0x' || substr(h, 2 * ((8 * k) % 32) + 1, 2))::BIGINT / 255.0)) / 32.0, 6) AS f0
-             |FROM m""".stripMargin)),
+             |          k -> ('0x' || substr(fh, 2 * (8 * k) + 1, 2))::BIGINT / 255.0)) / 32.0, 6) AS f0
+             |FROM fx""".stripMargin)),
 
     ("multimodal_frames",
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.syntheticMedia(s, 64), "media", frameBytes = 32, stride = 2)
         .select(col("media_id"), size(col("frames")).cast("long").as("n_frames"),
-                // frame 0 = payload bytes [0,32) = the sha256 digest itself
+                // frame 0 = bytes [0,32): BMP header prefix for image rows,
+                // the sha256 digest itself for audio/video
                 hex(element_at(col("frames"), 1)).as("f0_hex")),
-      Some("""SELECT r AS media_id,
+      Some(s"""SELECT r AS media_id,
              |  CAST(len(list_filter(generate_series(0, 256 // 32 - 1), i -> i % 2 = 0)) AS BIGINT) AS n_frames,
-             |  upper(sha256(CAST(r AS VARCHAR))) AS f0_hex
+             |  CASE WHEN r % 3 = 0 THEN upper(substr('$bmpHdrHex', 1, 64))
+             |       ELSE upper(sha256(CAST(r AS VARCHAR))) END AS f0_hex
              |FROM range(64) t(r)""".stripMargin))
   )
 }

@@ -24,15 +24,29 @@ import graft.score._
   *   - beam top-k prune unless the variable is free
   *     (R7/O2, cqd.py:374-409).
   *
-  * Scale design: the frontier is ≤ beam rows → always broadcast; the
-  * entity table is the big side and is scanned once per edge; the per-edge
-  * aggregation shuffles at most |E| rows keyed by candidate id. Leaf-∃
-  * variables (R8, cqd.py:148-164) expand to all entities with score 1,
-  * matching the reference's seed that is summed into downstream edge
-  * scores — full-crossing cost is inherent to the reference semantics;
-  * keep entity universes scoped per query.
+  * Scale design: the frontier is broadcast ONLY when provably small — a
+  * constant source (1 row) or a beam-pruned frontier with
+  * beam ≤ [[broadcastFrontierMaxRows]]. An unbounded frontier (leaf-∃
+  * expansion, or beam = Int.MaxValue as the unpruned `cqd_1p_*`/`cqd_2p_*`
+  * calls pass) is corpus-sized at cluster scale: an unconditional
+  * `broadcast()` hint there ships the whole entity universe to every
+  * executor — driver/executor OOM. Without the hint Catalyst still
+  * broadcasts when its size ESTIMATE is under
+  * `spark.sql.autoBroadcastJoinThreshold`, and falls back to a
+  * shuffled/cartesian join otherwise. The entity table is the big side and
+  * is scanned once per edge; the per-edge aggregation shuffles at most |E|
+  * rows keyed by candidate id. Leaf-∃ variables (R8, cqd.py:148-164)
+  * expand to all entities with score 1, matching the reference's seed that
+  * is summed into downstream edge scores — full-crossing cost is inherent
+  * to the reference semantics; keep entity universes scoped per query.
   */
 object CQDBeam {
+
+  /** Frontiers provably at or under this many rows get an explicit
+    * `broadcast()` hint; anything larger (or unbounded) is left to
+    * Catalyst's size-estimate-driven strategy choice. 32k rows ×
+    * (id + score + ≤256-float vec) ≈ 35 MB — comfortably broadcastable. */
+  val broadcastFrontierMaxRows: Int = 32 * 1024
 
   /** Answer one conjunct: returns `(entity, score)` for every entity as a
     * candidate binding of the free variable (R6 free-variable ranking).
@@ -57,38 +71,45 @@ object CQDBeam {
 
     val cand = ents.select(col("id").as("_cand"), col("vec").as("_cvec"))
     val frontiers = scala.collection.mutable.Map.empty[String, DataFrame]
+    // Whether a frontier is PROVABLY ≤ broadcastFrontierMaxRows rows
+    // (beam-pruned with a small finite beam). Leaf-∃ frontiers are
+    // universe-sized and never small.
+    val smallFrontier = scala.collection.mutable.Map.empty[String, Boolean]
 
-    def frontierOf(t: Term): DataFrame =
+    def frontierOf(t: Term): (DataFrame, Boolean) =
       if (t.isConst)
         // Seed score 1.0 — the reference's additive convention
         // (cqd.py:160-162,184-188 sums the seed into edge scores); matters
         // for the cross-conjunct max in answer() when conjuncts differ in
         // their number of constant/leaf sources.
-        ents.filter(col("id") === b(t.name))
+        (ents.filter(col("id") === b(t.name))
           .select(col("id").as("_src"), lit(1.0).as("_sscore"),
-                  col("vec").as("_svec"))
+                  col("vec").as("_svec")),
+         true)
       else
-        frontiers(t.name).as("fr")
+        (frontiers(t.name).as("fr")
           .join(ents, col("fr._ent") === ents("id"))
           .select(col("fr._ent").as("_src"), col("fr._score").as("_sscore"),
-                  col("vec").as("_svec"))
+                  col("vec").as("_svec")),
+         smallFrontier(t.name))
 
     order.foreach { v =>
       val incoming = atoms.filter { case (a, _) => procVar(a) == v }
       if (incoming.isEmpty) {
         // Leaf existential: all entities, score 1 (cqd.py:160-162) — R8.
         frontiers(v) = ents.select(col("id").as("_ent"), lit(1.0).as("_score"))
+        smallFrontier(v) = false
       } else {
         val edgeFrames = incoming.map { case (a, neg) =>
           val (srcTerm, srcIsHead) =
             if (a.tail.isVar && a.tail.name == v)
               (a.head, true) // head -> candidate tail
             else (a.tail, false) // candidate head -> tail
-          val src = frontierOf(srcTerm)
+          val (src, srcSmall) = frontierOf(srcTerm)
           val rvec = rels.filter(col("id") === b(a.rel))
             .select(col("vec").as("_rvec"))
-          val srcR = broadcast(src.crossJoin(broadcast(rvec)))
-          val scored = cand.crossJoin(srcR)
+          val srcR = src.crossJoin(broadcast(rvec))
+          val scored = cand.crossJoin(if (srcSmall) broadcast(srcR) else srcR)
           val edgeScore =
             if (srcIsHead) model.score(col("_svec"), col("_rvec"), col("_cvec"))
             else model.score(col("_cvec"), col("_rvec"), col("_svec"))
@@ -112,6 +133,8 @@ object CQDBeam {
             // Global top-k: planned as TakeOrderedAndProject (no full sort,
             // no single-partition window). Deterministic tie-break on id.
             combined.orderBy(col("_score").desc, col("_ent").asc).limit(beam)
+        smallFrontier(v) =
+          v != cq.freeVar.name && beam <= broadcastFrontierMaxRows
       }
     }
     frontiers(cq.freeVar.name)

@@ -51,6 +51,16 @@ object CQDBeamBatched {
       }.toDF("qid", "_rel", "_const")
 
     val frontiers = scala.collection.mutable.Map.empty[String, DataFrame]
+    // Frontier provably ≤ CQDBeam.broadcastFrontierMaxRows rows across ALL
+    // instances (constant sources: |instances| rows; beam-pruned:
+    // |instances| × beam). Leaf-∃ frontiers (qids × universe) never are.
+    // Unproven-small frontiers get no broadcast() hint — Catalyst's size
+    // estimate then decides, avoiding a corpus-sized broadcast at scale
+    // (see CQDBeam scale notes).
+    val smallFrontier = scala.collection.mutable.Map.empty[String, Boolean]
+    val nInst = math.max(1, instances.size)
+    val prunedSmall =
+      beam <= CQDBeam.broadcastFrontierMaxRows / nInst
     val qids = instances.map(_._1).toDF("qid")
 
     def constFrontier(a: Atomic): DataFrame =
@@ -73,20 +83,23 @@ object CQDBeamBatched {
       if (incoming.isEmpty) {
         frontiers(v) = qids.crossJoin(
           ents.select(col("id").as("_ent"), lit(1.0).as("_score")))
+        smallFrontier(v) = false
       } else {
         val edgeFrames = incoming.map { case (a, neg) =>
           val (srcTerm, srcIsHead) =
             if (a.tail.isVar && a.tail.name == v) (a.head, true)
             else (a.tail, false)
-          val src =
-            if (srcTerm.isConst) constFrontier(a) else varFrontier(a, srcTerm.name)
+          val (src, srcSmall) =
+            if (srcTerm.isConst)
+              (constFrontier(a), nInst <= CQDBeam.broadcastFrontierMaxRows)
+            else (varFrontier(a, srcTerm.name), smallFrontier(srcTerm.name))
           val srcR = src
             .join(broadcast(rels.select(col("id").as("_rid"),
                                         col("vec").as("_rvec"))),
                   col("_rel") === col("_rid"))
             .select(col("qid"), col("_src"), col("_sscore"), col("_svec"),
                     col("_rvec"))
-          val scored = candWithVec.crossJoin(broadcast(srcR))
+          val scored = candWithVec.crossJoin(if (srcSmall) broadcast(srcR) else srcR)
           val edgeScore =
             if (srcIsHead) model.score(col("_svec"), col("_rvec"), col("_cvec"))
             else model.score(col("_cvec"), col("_rvec"), col("_svec"))
@@ -110,6 +123,7 @@ object CQDBeamBatched {
             combined.withColumn("_rn", row_number().over(w))
               .filter(col("_rn") <= beam).drop("_rn")
           }
+        smallFrontier(v) = v != cq.freeVar.name && prunedSmall
       }
     }
     frontiers(cq.freeVar.name)

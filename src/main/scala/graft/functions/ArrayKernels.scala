@@ -312,7 +312,8 @@ object ArrayKernels {
     "transe_score" -> (es => TranseScore(es(0), es(1), es(2))),
     "pq_encode" -> (es => PqEncode(es(0), es(1), intArg(es(2)), intArg(es(3)))),
     "pq_lut" -> (es => PqLut(es(0), es(1), intArg(es(2)), intArg(es(3)))),
-    "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2)))))
+    "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2)))),
+    "md5_prefix60" -> (es => Md5Prefix60(es(0))))
 
   /** Idempotent session-local registration (the non-extensions path). */
   def register(spark: SparkSession): Unit =

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * stay in lock-step. */
 object PortableHash {
 
-  /** Spark rendering: `conv(substring(md5(c), 1, 15), 16, 10)` as a long. */
+  /** Spark rendering: the fused [[Md5Prefix60]] codegen kernel —
+    * bit-identical to `conv(substring(md5(c), 1, 15), 16, 10)` (spec-checked
+    * property) without the per-row hex-string round trip. */
   def md5Prefix60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumn.of(
+      Md5Prefix60(org.apache.spark.sql.GraftColumn.expr(c)))
 
   /** DuckDB rendering of [[md5Prefix60]] for oracle SQL. */
   def md5Prefix60Sql(expr: String): String =

@@ -47,6 +47,50 @@ object Ranking {
       .select(col("qid"), col("entity"), col("rank"), col("filtered_rank"))
   }
 
+  /** Global 0-based index of each id in ascending order — the shared
+    * "position in the sorted entity universe" every qid's binary ranking
+    * reads. Built with a range-partitioned sort + RDD zipWithIndex (NOT a
+    * no-partition window, which would funnel the whole universe through one
+    * partition at scale). One sort of the entity dictionary, reused across
+    * all query types. */
+  def globalIndex(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).orderBy(col(idCol).asc)
+      .rdd.map(_.getLong(0)).zipWithIndex()
+      .toDF(idCol, "uidx")
+  }
+
+  /** [[filteredRanks]] specialized to BINARY membership scores (easy = 1,
+    * everything else = 0) — the hard-logic workload case. With binary
+    * scores the full ranking is closed-form: every easy answer outranks
+    * every non-easy entity, and among non-easy entities rank order is id
+    * order. For a hard answer h,
+    *   filtered_rank(h) = idx_univ(h) − n_easy_lt(h) − n_hard_lt(h)
+    * (counts over answers of the same qid with smaller id). So the
+    * qid × universe cross join and the per-qid universe-wide sort of the
+    * generic path collapse to ONE shared universe index
+    * ([[globalIndex]]) plus a window over the (small) answers frame.
+    * Output matches [[filteredRanks]] ∘ [[rankAll]] row-for-row on
+    * membership scores (spec-checked; the DuckDB oracle keeps the generic
+    * formulation). */
+  def filteredRanksBinary(univIdx: DataFrame, answers: DataFrame): DataFrame = {
+    // Inner join ⇒ answers outside the universe are excluded, exactly as the
+    // generic path's `ranks ⋈ answers` does.
+    val marked = answers.join(univIdx, Seq("entity"))
+    val prev = Window.partitionBy("qid").orderBy(col("entity").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    marked
+      .withColumn("n_easy_lt",
+        coalesce(sum(when(!col("is_hard"), 1L).otherwise(0L)).over(prev), lit(0L)))
+      .withColumn("n_hard_lt",
+        coalesce(sum(when(col("is_hard"), 1L).otherwise(0L)).over(prev), lit(0L)))
+      .filter(col("is_hard"))
+      .withColumn("filtered_rank",
+        col("uidx") - col("n_easy_lt") - col("n_hard_lt"))
+      .select(col("qid"), col("entity"), col("filtered_rank"))
+  }
+
   /** O5 MRR / Hits@k on filtered ranks: MRR = mean 1/(1+rank);
     * Hits@k = rate of rank < k (metric.py:113-121). */
   def mrrHits(filtered: DataFrame, groupCol: String = "qid"): DataFrame =

@@ -84,15 +84,21 @@ object KG {
       case (acc, (name, id)) => acc.when(col("c_mktsegment") === name, lit(id))
     }.otherwise(lit(5))
 
-    // orders x lineitem: (custkey, partkey, suppkey, qty) — shared by the
-    // four purchase-derived relations. Join keyed on l_orderkey; at scale
-    // both sides would be bucketed by orderkey to avoid the shuffle.
+    // orders x lineitem, pre-aggregated to distinct (custkey, partkey,
+    // suppkey) triples with a bulk flag — ONE shuffle feeds all five
+    // purchase-derived relations (CUST_PART / CUST_SUPP / PART_SUPP and the
+    // two bulk variants), whose per-pair distincts then run over this
+    // already-deduplicated narrow frame instead of the raw join output.
+    // `bulk` = some line of the triple had qty > 25, so `distinct pair where
+    // bulk` ≡ `distinct pair over filter(qty > 25)`. Join keyed on
+    // l_orderkey; at scale both sides would be bucketed by orderkey.
     val ol = lineitem
       .join(orders.select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
-              col("l_suppkey").as("sk"), col("l_quantity").as("qty"))
-      .localCheckpoint(true) // 4 branches read this join; compute it once
+      .groupBy(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+               col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_quantity") > 25, 1).otherwise(0)).as("bulk"))
+      .localCheckpoint(true) // 5 branches read this; compute it once
 
     def edge(src: org.apache.spark.sql.Column, rel: Long,
              dst: org.apache.spark.sql.Column)(df: DataFrame) =
@@ -107,8 +113,11 @@ object KG {
            e(TAG_REGION, col("n_regionkey")))(nation),
       edge(e(TAG_ORDER, col("o_orderkey")), REL_ORDER_CUST,
            e(TAG_CUSTOMER, col("o_custkey")))(orders),
-      edge(e(TAG_PART, col("l_partkey")), REL_PART_SUPP,
-           e(TAG_SUPPLIER, col("l_suppkey")))(lineitem).distinct(),
+      // (pk, sk) over the triples ≡ distinct over lineitem: TPC-H referential
+      // integrity guarantees every l_orderkey exists in orders, so the ol
+      // join drops no lineitem row. Saves a second full lineitem scan.
+      edge(e(TAG_PART, col("pk")), REL_PART_SUPP,
+           e(TAG_SUPPLIER, col("sk")))(ol).distinct(),
       edge(e(TAG_CUSTOMER, col("c_custkey")), REL_CUST_SEGMENT,
            e(TAG_SEGMENT, segCase))(customer),
       edge(e(TAG_ORDER, col("o_orderkey")), REL_ORDER_NATION,
@@ -120,9 +129,9 @@ object KG {
       edge(e(TAG_CUSTOMER, col("ck")), REL_CUST_SUPP,
            e(TAG_SUPPLIER, col("sk")))(ol).distinct(),
       edge(e(TAG_CUSTOMER, col("ck")), REL_CUST_PART_BULK,
-           e(TAG_PART, col("pk")))(ol.filter(col("qty") > 25)).distinct(),
+           e(TAG_PART, col("pk")))(ol.filter(col("bulk") === 1)).distinct(),
       edge(e(TAG_PART, col("pk")), REL_PART_SUPP_BULK,
-           e(TAG_SUPPLIER, col("sk")))(ol.filter(col("qty") > 25)).distinct()
+           e(TAG_SUPPLIER, col("sk")))(ol.filter(col("bulk") === 1)).distinct()
     )
     branches.reduce(_ unionAll _)
   }

@@ -107,21 +107,44 @@ object Cluster {
     * Scale design: distinct (doc, shingle) sets on both sides, then an
     * equi-join on the shingle key — shuffle keyed by shingle, AQE
     * coalesced. The benchmark side is the small one by construction;
-    * Catalyst broadcasts it when it fits. With `hashShingles` the join key
-    * is xxhash64(ngram) instead of the raw string — an 8-byte shuffle key
-    * instead of ~50-char strings (the 100 TB default; collision odds
-    * ~|grams|²/2⁶⁴ are negligible for flagging). The oracle-checked query
-    * keeps raw strings so the DuckDB join is bit-exact. */
+    * Catalyst broadcasts it when it fits.
+    *
+    * `maxDocFreq` is the scale guard: a shingle occurring in more than τ
+    * training docs ("the end of the") multiplies |docs-containing| ×
+    * |bench-containing| join rows — quadratic in the hot key as the corpus
+    * grows, the classic skewed-equi-join killer. Shingles that common carry
+    * no contamination signal, so they are dropped BEFORE the join via one
+    * document-frequency aggregate (a stop-shingle cap; df > τ ⇒ out). The
+    * cap is plain relational logic, so the DuckDB oracle replays it
+    * exactly. After the cap the join fan-out per shingle is ≤ τ × |bench
+    * docs sharing it|, which also bounds the double-distinct aggregate's
+    * Expand. 0 disables the cap.
+    *
+    * With `hashShingles` (the default) every shingle key — df aggregate and
+    * join alike — is xxhash64(ngram): an 8-byte shuffle key instead of
+    * ~50-char strings. Collision odds ~|grams|²/2⁶⁴ are negligible for
+    * flagging, and the oracle keeps raw strings (counts agree unless a
+    * collision actually lands in the data). */
   def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 8,
-                    hashShingles: Boolean = false): DataFrame = {
+                    hashShingles: Boolean = true,
+                    maxDocFreq: Long = 0): DataFrame = {
     def shingleSet(df: DataFrame, as: String) = {
       val raw = Dedup.shingleRows(df, idCol, textCol, n) // shared semantics
       if (hashShingles)
         raw.select(col("id").as(as), xxhash64(col("sh")).as("sh"))
       else raw.select(col("id").as(as), col("sh"))
     }
-    shingleSet(docs, "id")
+    val d = shingleSet(docs, "id")
+    val capped =
+      if (maxDocFreq <= 0) d
+      else {
+        // shingleRows is distinct per (id, sh), so count == document freq.
+        val hot = d.groupBy("sh").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("sh")
+        d.join(hot, Seq("sh"), "left_anti")
+      }
+    capped
       .join(shingleSet(bench, "bid"), "sh")
       .filter(col("id") =!= col("bid"))
       .groupBy("id")

@@ -39,7 +39,7 @@ object Dedup {
     * Cluster.contamination so shingle semantics (tokenization, the
     * short-document whole-text fallback the oracles mirror) can never
     * drift between operators. */
-  private[pipeline] def shingleRows(df: DataFrame, idCol: String,
+  private[graft] def shingleRows(df: DataFrame, idCol: String,
                                     textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
               explode(TextOps.shingles(col(textCol), n)).as("sh"))

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extraction / resize /
   * frame-sampling operators.
   *
-  * The decode step is a clearly-marked STUB (this container ships no
-  * image/audio codecs): [[decodeFeatures]] derives deterministic fake
-  * features from the bytes. The Spark-side plumbing — schema, batch shape,
-  * partition-parallel mapPartitions, expression-level chunking — is real and
-  * tested; swapping the stub for a JNI/codec call changes one function.
+  * Image decode is REAL for PNG and BMP containers: [[imageMeta]] parses
+  * width/height/channels straight from the header bytes (pure JVM, no codec
+  * dependency). Pixel decode and audio/video remain a clearly-marked STUB
+  * (this container ships no codecs): [[decodeFeatures]] derives
+  * deterministic byte-moment features from the payload. The Spark-side
+  * plumbing — schema, batch shape, partition-parallel mapPartitions,
+  * expression-level chunking — is real and tested; swapping the stub for a
+  * JNI/codec call changes one function.
   *
   * Scale notes: media blobs stay opaque through shuffles (never parsed by
   * Catalyst); feature extraction is mapPartitions (one codec init per
@@ -22,23 +25,102 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
                             width: Int, height: Int, sample_rate: Int)
+  /** width/height/channels are parsed from the payload for PNG/BMP images,
+    * −1 when the container is unrecognized (or the kind has no 2-D shape). */
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 width: Int, height: Int, channels: Int,
                                  features: Seq[Double])
 
-  /** Deterministic synthetic media table (id, kind, media BINARY, meta). */
-  def syntheticMedia(spark: SparkSession, n: Int, bytesPerRow: Int = 256): DataFrame =
-    spark.range(n).toDF("media_id").select(
-      col("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-                 (col("media_id") % 3 + 1).cast("int")).as("kind"),
-      // opaque payload: repeated sha2 of the id, truncated to bytesPerRow
-      substring(to_binary(repeat(sha2(col("media_id").cast("string"), 256),
-                                 bytesPerRow / 16), lit("hex")),
-                1, bytesPerRow).as("media"),
-      lit(64).as("width"), lit(64).as("height"), lit(16000).as("sample_rate"))
+  final case class ImageMeta(width: Int, height: Int, channels: Int,
+                             format: String)
 
-  /** STUB decode + feature extraction over partition-local batches.
-    * Real implementation would decode `media` with a codec; the stub emits
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Header-only image metadata for PNG (signature + IHDR, spec: RFC 2083
+    * §3.1/§4.1.1) and BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 40-byte DIB).
+    * Returns None for anything else — the honest "unknown container" path. */
+  def imageMeta(bytes: Array[Byte]): Option[ImageMeta] = {
+    val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    if (bytes.length >= 29 && bytes.startsWith(PngSig) &&
+        new String(bytes.slice(12, 16), "US-ASCII") == "IHDR") {
+      val w = be32(bytes, 16); val h = be32(bytes, 20)
+      val channels = bytes(25) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => -1
+      }
+      if (w > 0 && h > 0 && channels > 0) Some(ImageMeta(w, h, channels, "png"))
+      else None
+    } else if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M' &&
+               le32(bytes, 14) == 40) { // BITMAPINFOHEADER only
+      val w = le32(bytes, 18)
+      val h = math.abs(le32(bytes, 22)) // negative = top-down rows
+      val channels = le16(bytes, 28) / 8 // 8→1, 24→3, 32→4
+      if (w > 0 && h > 0 && channels > 0) Some(ImageMeta(w, h, channels, "bmp"))
+      else None
+    } else None
+  }
+
+  /** A minimal well-formed BMP (54-byte header + raw payload as pixel data)
+    * — lets synthetic corpora carry REAL parseable image containers. The
+    * payload is not padded to BMP row alignment; [[imageMeta]] only reads
+    * the header, and the stub moments hash whatever bytes follow. */
+  def bmpBytes(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](54 + payload.length)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length) // file size
+    putLe32(10, 54)        // pixel-data offset
+    putLe32(14, 40)        // BITMAPINFOHEADER size
+    putLe32(18, width)
+    putLe32(22, height)
+    out(26) = 1            // planes
+    out(28) = 24           // bits per pixel (3 channels)
+    putLe32(34, payload.length)
+    System.arraycopy(payload, 0, out, 54, payload.length)
+    out
+  }
+
+  /** Deterministic synthetic media table (id, kind, media BINARY, meta).
+    * Image rows carry a REAL parseable BMP container (64×64×3 header +
+    * digest-derived pixel payload); audio/video stay opaque digest bytes.
+    * Every kind is exactly `bytesPerRow` long. */
+  def syntheticMedia(spark: SparkSession, n: Int, bytesPerRow: Int = 256): DataFrame = {
+    val hdr = bmpBytes(64, 64, Array.empty)
+    val payload = substring(
+      to_binary(repeat(sha2(col("media_id").cast("string"), 256),
+                       bytesPerRow / 16), lit("hex")),
+      1, bytesPerRow)
+    spark.range(n).toDF("media_id")
+      .withColumn("kind",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+                   (col("media_id") % 3 + 1).cast("int")))
+      .select(
+        col("media_id"), col("kind"),
+        when(col("kind") === "image",
+             concat(lit(hdr), substring(payload, 1, bytesPerRow - hdr.length)))
+          .otherwise(payload).as("media"),
+        lit(64).as("width"), lit(64).as("height"), lit(16000).as("sample_rate"))
+  }
+
+  /** Decode + feature extraction over partition-local batches. Container
+    * metadata (width/height/channels) is REAL for PNG/BMP payloads via
+    * [[imageMeta]]; −1 for unrecognized containers. The pixel/audio decode
+    * itself remains a STUB (no codecs in this container): features are
     * `dim` deterministic byte-derived moments so downstream operators
     * (dedup, ANN) are exercised end-to-end. */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
@@ -47,6 +129,7 @@ object Multimodal {
       // one 'codec init' per partition happens here
       rows.map { r =>
         val bytes = r.media
+        val meta = imageMeta(bytes)
         val feats = Array.tabulate(dim) { i =>
           if (bytes.isEmpty) 0.0
           else {
@@ -56,7 +139,11 @@ object Multimodal {
             acc / math.max(1, (bytes.length + dim - 1 - i) / dim)
           }
         }
-        MediaFeatures(r.media_id, r.kind, bytes.length.toLong, feats.toSeq)
+        MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
+                      meta.map(_.width).getOrElse(-1),
+                      meta.map(_.height).getOrElse(-1),
+                      meta.map(_.channels).getOrElse(-1),
+                      feats.toSeq)
       }
     }
   }

@@ -130,15 +130,60 @@ case object NativeTransE extends KGEModel {
   override def pairScore(est: Column, t: Column): Column = -lpDist(est, t, 2.0)
 }
 
-/** F12: ConvE — 2-D convolutional scorer (conve.py:8-95). Not expressible as
-  * a Spark SQL expression and latently broken in the reference (calls a
-  * nonexistent `estimte_tail_emb`, conve.py:143 — SURVEY §5); deliberately
-  * unimplemented. */
-case object ConvE extends KGEModel {
+/** F12: ConvE — 2-D convolutional scorer (conve.py:8-95), INFERENCE-ONLY
+  * with fixed seeded parameters.
+  *
+  * The reference's own ranking path cannot run (embedding_score calls a
+  * nonexistent `estimte_tail_emb`, conve.py:143 — SURVEY §5); this
+  * implements the evident intent: est = ConvEScorer(h, r) (conve.py:74-96),
+  * score = Σ est·t (conve.py:140-144). Since no trained checkpoint can
+  * exist for a scorer that cannot train, the filters/projection are a FIXED
+  * deterministic sin-seeded parameterization ([[ConvE.weights]]) — the same
+  * convention as the deterministic embeddings — and the affine-free
+  * BatchNorms run with unit statistics (identity), dropout off. The per-row
+  * forward pass is the fused codegen kernel
+  * [[graft.functions.ConvEEst]].
+  *
+  * `dim` must satisfy (dim − 1) = aspectRatio · hgt² for integer hgt
+  * (conve.py:27-41's aspect-ratio check); the default 9 → 2×4 planes. */
+final case class ConvE(dim: Int = 9, aspectRatio: Int = 2,
+                       outChannels: Int = 32) extends KGEModel {
+  private val d1 = dim - 1
+  val hgt: Int = math.round(math.sqrt(d1.toDouble / aspectRatio)).toInt
+  val wid: Int = hgt * aspectRatio
+  require(hgt * wid == d1 && wid >= 3 && 2 * hgt >= 3,
+    s"dim=$dim incompatible with aspect ratio $aspectRatio (need (dim-1)=ar·h², planes ≥ 3 wide)")
+  private val wLit = typedLit(ConvE.weights(hgt, wid, outChannels).toSeq)
+  def estimateTail(h: Column, r: Column): Column = {
+    import org.apache.spark.sql.GraftColumn
+    GraftColumn.of(graft.functions.ConvEEst(
+      GraftColumn.expr(h), GraftColumn.expr(r), GraftColumn.expr(wLit),
+      hgt, wid, outChannels))
+  }
   def score(h: Column, r: Column, t: Column): Column =
-    throw new UnsupportedOperationException(
-      "ConvE requires a learned CNN; out of engine scope (reference impl is broken: conve.py:143)")
-  def estimateTail(h: Column, r: Column): Column = score(h, r, h)
+    dot(estimateTail(h, r), t)
+  override def pairScore(est: Column, t: Column): Column = dot(est, t)
+}
+
+object ConvE {
+  // Seeded-parameter formulas; the DuckDB oracle replays these verbatim
+  // with SQL SIN over the same segment-local indices.
+  val ConvWSeed = 2.4; val ConvWScale = 0.1
+  val ConvBSeed = 2.5; val ConvBScale = 0.1
+  val ProjWSeed = 2.6; val ProjWScale = 0.05
+  val ProjBSeed = 2.7; val ProjBScale = 0.05
+  private def seeded(n: Int, seed: Double, scale: Double): Array[Double] =
+    Array.tabulate(n)(j => math.sin((j + 1) * 0.013 + seed) * scale)
+
+  /** Flattened parameters in [[graft.functions.ConvEEst]] layout. */
+  def weights(hgt: Int, wid: Int, oc: Int): Array[Double] = {
+    val flatN = oc * (2 * hgt - 2) * (wid - 2)
+    val d1 = hgt * wid
+    seeded(oc * 9, ConvWSeed, ConvWScale) ++
+      seeded(oc, ConvBSeed, ConvBScale) ++
+      seeded(d1 * flatN, ProjWSeed, ProjWScale) ++
+      seeded(d1, ProjBSeed, ProjBScale)
+  }
 }
 
 object KGE {
@@ -159,7 +204,7 @@ object KGE {
     case "rescal"        => Rescal
     case "swtranse"      => SWTransE(particles = 4)
     case "native_transe" => NativeTransE
-    case "conve"         => ConvE // scoring throws: unimplementable faithfully
+    case "conve"         => ConvE() // inference-only, fixed seeded parameters
     case other => throw new IllegalArgumentException(s"unknown KGE model: $other")
   }
 }

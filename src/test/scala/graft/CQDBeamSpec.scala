@@ -104,6 +104,35 @@ class CQDBeamSpec extends AnyFunSuite {
     }
   }
 
+  test("unbounded beam does not hint-broadcast the frontier (no OOM-shaped plan)") {
+    // With autoBroadcast disabled, a broadcast() HINT is the only way a join
+    // can plan as BroadcastNestedLoopJoin. beam = Int.MaxValue leaves the
+    // e1 frontier unbounded, so its cross join with the candidates must NOT
+    // carry the hint (it planfalls to CartesianProduct here); a small finite
+    // beam proves the frontier ≤ beam rows and keeps the hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(beam: Int): String = {
+        val df = CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+          Map("r1" -> 0L, "r2" -> 2L, "s1" -> 4L), ents, rels, TransE(2), beam)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+      assert(planOf(Int.MaxValue).contains("CartesianProduct"),
+        "unbounded frontier should lose the broadcast hint")
+      assert(!planOf(10).contains("CartesianProduct"),
+        "beam-bounded frontier should keep the broadcast hint")
+      // Semantics unchanged by the hint decision: beam >= |E| prunes nothing.
+      val a = spark2map(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+        Map("r1" -> 0L, "r2" -> 2L, "s1" -> 4L), ents, rels, TransE(2),
+        Int.MaxValue))
+      val bb = spark2map(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+        Map("r1" -> 0L, "r2" -> 2L, "s1" -> 4L), ents, rels, TransE(2), 10))
+      a.foreach { case (k, v) => assert(math.abs(v - bb(k)) < 1e-9) }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("varOrder schedules constants-adjacent first, free last, leaf-exists first") {
     val cq3c = Normalize.toDnf(Parser.parse(
       "((((r1(s1,e1))&(r2(e1,f)))&(r3(s2,e2)))&(r4(e2,f)))&(r5(e1,e2))")).head

@@ -258,17 +258,39 @@ class PipelineSpec extends AnyFunSuite {
       (2L, "completely different text with no overlap at all here now"))
       .toDF("doc_id", "text")
     val bench = docs.filter($"doc_id" === 0L)
-    val out = Cluster.contamination(docs, bench, "doc_id", "text", n = 8)
+    val out = Cluster.contamination(docs, bench, "doc_id", "text", n = 8,
+                                    hashShingles = false)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // doc 1 shares the 8-grams "alpha..theta" window(s); doc 2 clean;
     // doc 0 never matches itself
     assert(out.keySet == Set(1L))
     assert(out(1L)._1 == 1L && out(1L)._2 >= 1L)
     // the 64-bit-hashed join key (the at-scale default) is equivalent
-    val hashed = Cluster.contamination(docs, bench, "doc_id", "text", n = 8,
-                                       hashShingles = true)
+    val hashed = Cluster.contamination(docs, bench, "doc_id", "text", n = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(hashed == out)
+  }
+
+  test("contamination df-cap drops stop-shingles before the join") {
+    import graft.pipeline.Cluster
+    // "common phrase here now" appears in EVERY doc (a stop-shingle at
+    // n=4); only doc 1 shares a rare shingle with the benchmark doc 0.
+    val docs = Seq(
+      (0L, "rare alpha beta gamma delta common phrase here now"),
+      (1L, "rare alpha beta gamma delta tail common phrase here now"),
+      (2L, "unrelated words entirely common phrase here now"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 0L)
+    // Uncapped: docs 1 AND 2 are flagged (doc 2 only via the stop-shingle).
+    val uncapped = Cluster.contamination(docs, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(uncapped == Set(1L, 2L))
+    // df cap 2: the every-doc shingle is dropped, doc 2 is no longer
+    // flagged; doc 1 still is, via the rare 4-grams.
+    val capped = Cluster.contamination(docs, bench, "doc_id", "text", n = 4,
+                                       maxDocFreq = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(1L))
   }
 
   test("repetition: hand-checked duplicate-token and top-ngram fractions") {

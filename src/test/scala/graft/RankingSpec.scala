@@ -32,6 +32,41 @@ class RankingSpec extends AnyFunSuite {
     assert(fr == Map(2L -> 1, 4L -> 2))
   }
 
+  test("filteredRanksBinary matches the generic path on membership scores") {
+    // Random-ish binary world: universe 0..49, several qids with disjoint
+    // easy/hard sets including edge shapes (no easy; interleaved ids).
+    val universe = spark.range(50).toDF("entity")
+    val ans = Seq(
+      (0L, 3L, false), (0L, 10L, true), (0L, 11L, false), (0L, 40L, true),
+      (1L, 0L, true), (1L, 49L, true),               // no easy answers
+      (2L, 7L, false), (2L, 8L, false), (2L, 9L, true) // easy cluster before hard
+    ).toDF("qid", "entity", "is_hard")
+    val qids = Seq(0L, 1L, 2L).toDF("qid")
+    val membership = qids.crossJoin(universe)
+      .join(ans.filter(!col("is_hard")).withColumn("_e", lit(1.0))
+              .select("qid", "entity", "_e"),
+            Seq("qid", "entity"), "left")
+      .select(col("qid"), col("entity"),
+              coalesce(col("_e"), lit(0.0)).as("score"))
+    val generic = Ranking.filteredRanks(Ranking.rankAll(membership), ans)
+      .select("qid", "entity", "filtered_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue)
+      .toMap
+    val binary = Ranking.filteredRanksBinary(
+        Ranking.globalIndex(universe, "entity"), ans)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue)
+      .toMap
+    assert(binary == generic)
+  }
+
+  test("globalIndex assigns contiguous ascending positions") {
+    val idx = Ranking.globalIndex(
+      Seq(30L, 5L, 17L, 2L).toDF("entity"), "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx == Map(2L -> 0L, 5L -> 1L, 17L -> 2L, 30L -> 3L))
+  }
+
   test("mrrHits computes MRR and Hits@k") {
     val m = Ranking.mrrHits(
       Ranking.filteredRanks(Ranking.rankAll(scores), answers))

@@ -134,4 +134,40 @@ class ScoreSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(rows == again)
   }
+
+  test("F12 ConvE: fused kernel matches a plain-Scala forward pass") {
+    // Independent reimplementation of conve.py:74-96 (inference, identity
+    // BN/dropout) over the seeded parameters.
+    val model = ConvE(dim = 9)
+    val (hgt, wid, oc) = (2, 4, 32)
+    val w = ConvE.weights(hgt, wid, oc)
+    def refEst(h: Array[Double], r: Array[Double]): Array[Double] = {
+      val convH = 2 * hgt - 2; val convW = wid - 2
+      val flatN = oc * convH * convW; val d1 = hgt * wid
+      def inp(y: Int, x: Int) =
+        if (y < hgt) h(1 + y * wid + x) else r(1 + (y - hgt) * wid + x)
+      val flat = for (c <- 0 until oc; oy <- 0 until convH; ox <- 0 until convW)
+        yield math.max(w(oc * 9 + c) + (for (ky <- 0 until 3; kx <- 0 until 3)
+          yield w(c * 9 + ky * 3 + kx) * inp(oy + ky, ox + kx)).sum, 0.0)
+      1.0 +: Array.tabulate(d1) { j =>
+        math.max(w(oc * 9 + oc + d1 * flatN + j) +
+          (0 until flatN).map(i => w(oc * 9 + oc + j * flatN + i) * flat(i)).sum,
+          0.0)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val hs = Array.fill(9)(rnd.nextGaussian())
+    val rs = Array.fill(9)(rnd.nextGaussian())
+    val ts = Array.fill(9)(rnd.nextGaussian())
+    val df = one("h" -> hs.toSeq, "r" -> rs.toSeq, "t" -> ts.toSeq)
+    val est = df.select(model.estimateTail(col("h"), col("r")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    val want = refEst(hs, rs)
+    assert(est.length == 9)
+    est.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // score = est · t, and pairScore agrees
+    val s = eval(df, model.score(col("h"), col("r"), col("t")))
+    val wantS = want.zip(ts).map { case (a, b) => a * b }.sum
+    assert(math.abs(s - wantS) < 1e-12)
+  }
 }

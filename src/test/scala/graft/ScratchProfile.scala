@@ -24,19 +24,23 @@ object ScratchProfile {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.count() // warm the scan
 
-    // 1. shingle build alone (docs side)
+    // 1. shingle build alone (docs side) — shingleRows, the exact frame
+    // contamination() consumes (shingleSets would eagerly localCheckpoint,
+    // polluting both this timing and the ones after it).
     time("shingleRows(docs) n=4") {
-      graft.pipeline.Dedup.shingleSets(docs, "doc_id", "text", 4).count()
+      graft.pipeline.Dedup.shingleRows(docs, "doc_id", "text", 4).count()
     }
-    // 2. full contamination, current form
-    time("contamination raw") {
+    // 2. full contamination, benched form (hashed keys + df cap)
+    time("contamination benched") {
       graft.pipeline.Cluster.contamination(
-        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4).count()
+        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4,
+        maxDocFreq = 256).count()
     }
     // 3. contamination again (warm)
-    time("contamination raw warm") {
+    time("contamination benched warm") {
       graft.pipeline.Cluster.contamination(
-        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4).count()
+        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 4,
+        maxDocFreq = 256).count()
     }
     spark.stop()
   }

@@ -153,4 +153,36 @@ class SystemSpec extends AnyFunSuite {
       .select(size(col("frames"))).collect().map(_.getInt(0))
     assert(frames.forall(_ == 2)) // 64/16=4 chunks, every 2nd -> 2
   }
+
+  test("imageMeta parses PNG and BMP headers; rejects garbage") {
+    // Hand-built PNG: signature + IHDR (width 640, height 480, bit depth 8,
+    // color type 6 = RGBA). CRC bytes are zeros — header-only parse.
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+                             (v >> 8).toByte, v.toByte)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    assert(Multimodal.imageMeta(png) ==
+      Some(Multimodal.ImageMeta(640, 480, 4, "png")))
+    // Greyscale PNG (color type 0) -> 1 channel.
+    val grey = png.clone(); grey(25) = 0
+    assert(Multimodal.imageMeta(grey).map(_.channels) == Some(1))
+    // BMP from the builder round-trips its own dimensions.
+    val bmp = Multimodal.bmpBytes(64, 32, Array.fill(16)(7.toByte))
+    assert(Multimodal.imageMeta(bmp) ==
+      Some(Multimodal.ImageMeta(64, 32, 3, "bmp")))
+    // Garbage / truncated / non-image payloads -> None.
+    assert(Multimodal.imageMeta(Array[Byte]()) == None)
+    assert(Multimodal.imageMeta("not an image at all".getBytes) == None)
+    assert(Multimodal.imageMeta(png.take(20)) == None)
+    // Synthetic media: image rows parse, audio/video don't.
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val metas = Multimodal.decodeFeatures(media.as[Multimodal.MediaRow])
+      .collect().map(f => f.media_id -> (f.kind, f.width, f.height, f.channels))
+      .toMap
+    metas.foreach { case (_, (kind, w, h, c)) =>
+      if (kind == "image") assert((w, h, c) == ((64, 64, 3)))
+      else assert((w, h, c) == ((-1, -1, -1)))
+    }
+  }
 }
