@@ -16,7 +16,7 @@ object OperatorQueries {
   /** Query types covered by the end-to-end workload eval: the BetaE core
     * (paths, intersections, negation, union) plus EFO-1 extended shapes
     * (multi-edge, existential leaf, DNF union-path). */
-  private val EVAL_TYPES = Set("kg_1p", "kg_2p", "kg_3p", "kg_2i", "kg_2in",
+  private[graft] val EVAL_TYPES = Set("kg_1p", "kg_2p", "kg_3p", "kg_2i", "kg_2in",
                                "kg_2u", "kg_up", "kg_pi", "kg_2il", "kg_up_dnf")
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(

@@ -327,6 +327,71 @@ object PipelineQueries {
              |       COUNT(*) AS n_tokens
              |FROM tok JOIN pr USING (tk) GROUP BY 1""".stripMargin)),
 
+    // CCNet-style head/middle/tail quality tiers by unigram-LM score;
+    // thresholds are exact interpolated terciles of the rounded score, so
+    // DuckDB quantile_cont reproduces the cut points bit-compatibly.
+    ("text_ppl_buckets",
+      (s, dir) => graft.pipeline.CorpusStats.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |tok AS (SELECT doc_id, UNNEST(t) AS tk FROM toks),
+             |tot AS (SELECT COUNT(*) AS n FROM tok),
+             |pr AS (SELECT tk, LN(COUNT(*) * 1.0 / (SELECT n FROM tot)) AS logp
+             |       FROM tok GROUP BY 1),
+             |lp AS (SELECT doc_id AS id, ROUND(SUM(logp) / COUNT(*), 6) AS avg_logp
+             |       FROM tok JOIN pr USING (tk) GROUP BY 1),
+             |q AS (SELECT quantile_cont(avg_logp, [1.0/3.0, 2.0/3.0]) AS t FROM lp)
+             |SELECT id, avg_logp,
+             |       CASE WHEN avg_logp <= t[1] THEN 'tail'
+             |            WHEN avg_logp <= t[2] THEN 'middle'
+             |            ELSE 'head' END AS bucket
+             |FROM lp, q""".stripMargin)),
+
+    // Fixed-token-window chunking with overlap (window 32, stride 24) —
+    // pure per-row expressions, one corpus scan, no shuffle.
+    ("text_chunk",
+      (s, dir) => graft.pipeline.TextOps.chunk(
+        t(s, dir, "documents"), "doc_id", "text", window = 32, overlap = 8),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |n AS (SELECT doc_id, t, CAST(ceil(greatest(len(t) - 8, 1) / 24.0) AS INT) AS nc FROM toks)
+             |SELECT doc_id AS id, CAST(i AS BIGINT) AS chunk_idx,
+             |       array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text,
+             |       CAST(len(t[i*24+1 : i*24+32]) AS BIGINT) AS chunk_tokens
+             |FROM n, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, nc - 1)) AS i) g""".stripMargin)),
+
+    // Inverted index (token -> df + sorted postings); postings emitted as a
+    // CSV string so both engines hash the identical canonical form.
+    ("text_inverted_index",
+      (s, dir) => graft.pipeline.Retrieval.invertedIndex(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select(col("token"), col("df"),
+                array_join(col("postings"), ",").as("postings_csv")),
+      Some("""WITH toks AS (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tk FROM documents)
+             |SELECT tk AS token, CAST(COUNT(*) AS BIGINT) AS df,
+             |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_csv
+             |FROM toks GROUP BY 1""".stripMargin)),
+
+    // BM25 top-10 for a fixed query; score rounded before ranking with a
+    // doc-id tie-break (cross-engine float-route safety).
+    ("text_bm25_topk",
+      (s, dir) => graft.pipeline.Retrieval.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        query = "spark join data", k = 10),
+      Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tk FROM documents),
+             |lens AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+             |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lens),
+             |q AS (SELECT doc_id, tk FROM tok WHERE tk IN ('spark', 'join', 'data')),
+             |dfs AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+             |tfs AS (SELECT doc_id, tk, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+             |sc AS (SELECT doc_id AS id, ROUND(SUM(
+             |         LN((corpus.n - df + 0.5) / (df + 0.5) + 1) * (tf * (1.2 + 1)) /
+             |         (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / corpus.avgdl))), 6) AS score
+             |       FROM tfs JOIN dfs USING (tk) JOIN lens USING (doc_id), corpus
+             |       GROUP BY 1)
+             |SELECT id, score, CAST(rank AS BIGINT) AS rank FROM (
+             |  SELECT id, score, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank FROM sc) t
+             |WHERE rank <= 10""".stripMargin)),
+
     // TF-IDF top-3 keywords per doc; rank over the ROUNDED score so
     // mathematically-tied scores (different float routes per engine) break
     // on the token ordering identically in Spark and DuckDB.

@@ -27,14 +27,18 @@ object Workload {
     * both directions. Hash: first 15 md5 hex chars of "src|rel|dst" parsed
     * as a 60-bit int — engine-portable (any ANSI SQL engine reproduces the
     * split exactly), so end-to-end workload metrics are oracle-checkable. */
-  def trainEdges(edges: DataFrame, keepMod: Int = 10): DataFrame = {
+  /** The keep predicate of the split, as a column over an edges row. */
+  def trainKeep(keepMod: Int = 10): org.apache.spark.sql.Column = {
     val canonSrc = when(col("rel") % 2 === 0, col("src")).otherwise(col("dst"))
     val canonDst = when(col("rel") % 2 === 0, col("dst")).otherwise(col("src"))
     val canonRel = col("rel") - col("rel") % 2
     val h = graft.functions.PortableHash.md5Prefix60(
       concat_ws("|", canonSrc, canonRel, canonDst))
-    edges.filter(pmod(h, lit(keepMod)) =!= 0)
+    pmod(h, lit(keepMod)) =!= 0
   }
+
+  def trainEdges(edges: DataFrame, keepMod: Int = 10): DataFrame =
+    edges.filter(trainKeep(keepMod))
 
   /** DuckDB predicate equivalent of [[trainEdges]]'s keep condition over an
     * `edges(src, rel, dst)` row. */
@@ -59,27 +63,24 @@ object Workload {
         b.collect { case (name, id) if name.startsWith("r") => id }
       }
       .flatMap(r => Seq(r, r ^ 1L)).toSet.toSeq
-    val train = trainEdges(full.filter(col("rel").isin(usedRels: _*)))
+    // TAGGED split evaluation: the workload's relations are materialized
+    // once with a per-edge train flag, and each formula runs through ONE
+    // tagged join pipeline (HardExec.evalFormulaTagged) that reports both
+    // memberships — half the plans of the old easy-KG/full-KG double
+    // evaluation, no per-type full-outer join. in-full-only ⇒ hard,
+    // in-easy ⇒ easy (easy ⊄ full under negation — removing train edges
+    // can admit new answers — so answers = easy ∪ full, flagged). All
+    // |types| evaluations materialize in a single eager action.
+    val edgesT = full.filter(col("rel").isin(usedRels: _*))
+      .withColumn("_tr", trainKeep().cast("int"))
       .localCheckpoint(true)
     val universe = KGIndex.derivedEntityDict(spark, dir)
       .select(col("id").as("entity"))
 
-    // One full-outer join per type derives (entity, is_hard) with each
-    // formula evaluated exactly ONCE: in-full-only ⇒ hard, in-easy ⇒ easy
-    // (note easy ⊄ full under negation — removing train edges can admit new
-    // answers — so this is easy ∪ (full \ easy), not a flag on full).
-    // All 2×|types| formula evaluations then materialize in a single
-    // eager action (one DAG, stages scheduled in parallel) instead of
-    // per-branch re-evaluation or serialized per-type checkpoints.
     val answers = types.map { case (name, lstr, b) =>
-      val f = Parser.parse(lstr)
-      val easy = HardExec.evalFormula(train, f, b)
-        .select(col("f").as("entity")).withColumn("_e", lit(1))
-      val fullAns = HardExec.evalFormula(full, f, b)
-        .select(col("f").as("entity")).withColumn("_f", lit(1))
-      fullAns.join(easy, Seq("entity"), "full_outer")
-        .select(lit(name).as("qid"), col("entity"),
-                col("_e").isNull.as("is_hard"))
+      HardExec.evalFormulaTagged(edgesT, Parser.parse(lstr), b)
+        .select(lit(name).as("qid"), col("f").as("entity"),
+                (col("in_full") === 1 && col("in_easy") === 0).as("is_hard"))
     }.reduce(_ unionAll _).localCheckpoint(true)
 
     // Binary-score ranking in closed form: one shared universe index + a

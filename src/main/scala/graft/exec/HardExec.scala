@@ -137,6 +137,130 @@ object HardExec {
   def run(spark: SparkSession, dir: String, lstr: String, b: Binding): DataFrame =
     evalFormula(KG.edges(spark, dir), Parser.parse(lstr), b,
                 KG.relStats(spark, dir))
+
+  // ---- tagged train/full split evaluation (one pass for two KGs) -------
+
+  /** [[atomFrame]] over a tagged edge relation `(src, rel, dst, _tr)`,
+    * keeping the train flag as column `trAs`. Per-atom frames remain
+    * duplicate-free on their variable columns (edges is a set), so `_tr`
+    * is well-defined per assignment. */
+  private def atomFrameT(edges: DataFrame, a: Atomic, b: Binding,
+                         trAs: String): DataFrame = {
+    val relId = b.getOrElse(a.rel,
+      throw new IllegalArgumentException(s"unbound relation ${a.rel}"))
+    val df = edges.filter(col("rel") === relId)
+    (a.head.isConst, a.tail.isConst) match {
+      case (true, true) =>
+        // Zero-or-one row: groupBy over the matches (empty input ⇒ empty
+        // frame ⇒ the conjunct fails, like the untagged limit(1)).
+        df.filter(col("src") === b(a.head.name) && col("dst") === b(a.tail.name))
+          .groupBy(lit(1L).as("_const_hit"))
+          .agg(max(col("_tr")).as(trAs))
+      case (true, false) =>
+        df.filter(col("src") === b(a.head.name))
+          .select(col("dst").as(a.tail.name), col("_tr").as(trAs))
+      case (false, true) =>
+        df.filter(col("dst") === b(a.tail.name))
+          .select(col("src").as(a.head.name), col("_tr").as(trAs))
+      case (false, false) =>
+        if (a.head.name == a.tail.name)
+          df.filter(col("src") === col("dst"))
+            .select(col("src").as(a.head.name), col("_tr").as(trAs))
+        else
+          df.select(col("src").as(a.head.name), col("dst").as(a.tail.name),
+                    col("_tr").as(trAs))
+    }
+  }
+
+  /** Evaluate one conjunct over tagged edges and report, per free-variable
+    * answer `f`, membership in the FULL-KG answer set and in the TRAIN-KG
+    * answer set — ONE join pipeline instead of two evaluations. An
+    * assignment is train-derivable iff every positive atom's edge is a
+    * train edge AND no negated atom matches a train edge; it is a full
+    * answer iff no negated atom matches any edge. (Note train answers are
+    * NOT a subset of full answers under negation: removing train edges can
+    * admit new answers — both memberships are computed independently.)
+    * Join ordering is identical to [[evalCQ]]. Returns
+    * `(f, _in_full ∈ {0,1}, _in_easy ∈ {0,1})` with one row per
+    * satisfying assignment (callers aggregate by `f`). */
+  def evalCQTagged(edgesT: DataFrame, cq: CQ, b: Binding,
+                   relStats: Map[Long, Long] = Map.empty): DataFrame = {
+    require(cq.pos.nonEmpty, "conjunct needs at least one positive atom")
+    def card(a: Atomic): Long = relStats.getOrElse(b(a.rel), Long.MaxValue)
+    var trIdx = 0
+    def freshTr(): String = { trIdx += 1; s"_tr$trIdx" }
+    val trCols = scala.collection.mutable.ListBuffer.empty[String]
+
+    val remaining = scala.collection.mutable.ListBuffer(
+      cq.pos.sortBy(a => (-Seq(a.head, a.tail).count(_.isConst), card(a))): _*)
+    var acc = {
+      val c = freshTr(); trCols += c
+      atomFrameT(edgesT, remaining.remove(0), b, c)
+    }
+    while (remaining.nonEmpty) {
+      val accCols = acc.columns.toSet
+      val connected = remaining.zipWithIndex.filter { case (a, _) =>
+        Seq(a.head, a.tail).exists(t => t.isVar && accCols.contains(t.name))
+      }
+      val fullyBound = connected.filter { case (a, _) =>
+        Seq(a.head, a.tail).forall(t => !t.isVar || accCols.contains(t.name))
+      }
+      val idx =
+        if (fullyBound.nonEmpty) fullyBound.minBy { case (a, _) => card(a) }._2
+        else if (connected.nonEmpty) connected.minBy { case (a, _) => card(a) }._2
+        else 0
+      val next = remaining.remove(idx)
+      val c = freshTr(); trCols += c
+      val frame = atomFrameT(edgesT, next, b, c)
+      val shared = frame.columns.filter(x => x != c && accCols.contains(x)).toSeq
+      acc =
+        if (shared.nonEmpty) acc.join(frame, shared)
+        else {
+          val anchored = Seq(next.head, next.tail).exists(_.isConst)
+          acc.crossJoin(if (anchored) broadcast(frame) else frame)
+        }
+    }
+    // Negated atoms: left join against the per-key (exists, any-train)
+    // aggregate — the tagged twin of the anti-join.
+    val negChecks = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    cq.neg.foreach { a =>
+      val trc = freshTr()
+      val exc = trc + "_ex"
+      val frame0 = atomFrameT(edgesT, a, b, trc)
+      val keys = frame0.columns.filterNot(_ == trc).toSeq
+      val accCols = acc.columns.toSet
+      require(keys.forall(accCols.contains),
+        s"negated atom ${a.lstr} has variables unbound by positive atoms")
+      val frame = frame0.groupBy(keys.map(col): _*)
+        .agg(max(col(trc)).as(trc)).withColumn(exc, lit(1))
+      acc = acc.join(frame, keys, "left")
+      negChecks += ((exc, trc))
+    }
+    val inFull = negChecks
+      .map { case (exc, _) => col(exc).isNull }
+      .foldLeft(lit(true))(_ && _)
+    val inEasy = negChecks
+      .map { case (_, trc) => coalesce(col(trc), lit(0)) === 0 }
+      .foldLeft(trCols.map(c => col(c) === 1).reduce(_ && _))(_ && _)
+    acc.select(col(cq.freeVar.name).cast("long").as("f"),
+               inFull.cast("int").as("_in_full"),
+               inEasy.cast("int").as("_in_easy"))
+  }
+
+  /** Full-formula tagged evaluation: DNF → per-conjunct tagged eval →
+    * union → per-answer max of both memberships. Returns
+    * `(f, in_full ∈ {0,1}, in_easy ∈ {0,1})`, one row per entity that is
+    * an answer in EITHER KG. */
+  def evalFormulaTagged(edgesT: DataFrame, f: Formula, b: Binding,
+                        relStats: Map[Long, Long] = Map.empty): DataFrame = {
+    val cqs = Normalize.toDnf(f)
+    cqs.map(evalCQTagged(edgesT, _, b, relStats))
+      .reduce(_ unionAll _)
+      .groupBy("f")
+      .agg(max(col("_in_full")).as("in_full"),
+           max(col("_in_easy")).as("in_easy"))
+      .filter(col("in_full") === 1 || col("in_easy") === 1)
+  }
 }
 
 /** ANSI-SQL generator mirroring [[HardExec]] for the DuckDB oracle. */

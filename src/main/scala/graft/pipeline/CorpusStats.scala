@@ -64,6 +64,32 @@ object CorpusStats {
            count(lit(1)).as("n_tokens"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public paper):
+    * split the corpus into head/middle/tail thirds by language-model score
+    * — the standard quality-tier assignment before sampling. Thresholds are
+    * the ⅓ and ⅔ quantiles of the per-doc [[unigramLogProb]] score
+    * (rounded 6 dp), computed with EXACT interpolated percentiles so the
+    * DuckDB oracle (quantile_cont) lands on identical cut points; docs
+    * compare `<= t` against them (head = highest scores). Scale note: the
+    * exact percentile is one sort-based aggregate of |corpus| scalars; at
+    * 100 TB swap in percentile_approx (mergeable sketch, same API shape) —
+    * bucket boundaries are statistical anyway. Output:
+    * (id, avg_logp, bucket). */
+  def perplexityBuckets(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val lp = unigramLogProb(docs, idCol, textCol)
+      .select(col("id"), col("avg_logp"))
+      .localCheckpoint(true) // consumed twice: thresholds + assignment
+    val ts = lp.agg(expr(
+      "percentile(avg_logp, array(1.0D/3.0D, 2.0D/3.0D))").as("t"))
+      .collect()(0).getSeq[Double](0)
+    val (t1, t2) = (ts(0), ts(1))
+    lp.select(col("id"), col("avg_logp"),
+      when(col("avg_logp") <= t1, lit("tail"))
+        .when(col("avg_logp") <= t2, lit("middle"))
+        .otherwise(lit("head")).as("bucket"))
+  }
+
   /** Top-k TF-IDF keywords per document: score = tf · ln(N / df), ranked
     * per doc (score desc, token asc). The score is ROUNDED to 6 dp BEFORE
     * ranking: mathematically-tied scores reached through different

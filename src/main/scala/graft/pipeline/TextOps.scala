@@ -105,4 +105,28 @@ object TextOps {
   /** 64-bit rolling-hash fingerprint over shingles (xxhash64-based). */
   def rollingFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** Fixed-token-window document chunking with overlap — the training-prep
+    * splitter (context-window packing, RAG indexing). Windows of `window`
+    * tokens advance by `window − overlap`; the final partial window is kept
+    * iff non-empty. Pure per-row expressions + posexplode: no shuffle, no
+    * UDF — a 100 TB corpus chunks in one scan. Output: one row per chunk
+    * `(… idCol, chunk_idx, chunk_text, chunk_tokens)`. */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String, window: Int, overlap: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+            s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val step = window - overlap
+    val toks = tokens(col(textCol))
+    // number of chunks = ceil(max(size - overlap, 1) / step)
+    val nChunks = ceil(greatest(size(toks) - overlap, lit(1)) / lit(step))
+      .cast("int")
+    docs.select(col(idCol).cast("long").as("id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(toks, i * step + 1, lit(window)))))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+              concat_ws(" ", col("col")).as("chunk_text"),
+              size(col("col")).cast("long").as("chunk_tokens"))
+  }
 }

@@ -293,6 +293,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set(1L))
   }
 
+  test("chunk: fixed windows with overlap, partial tail kept") {
+    import graft.pipeline.TextOps
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than window
+      (3L, (1 to 4).map(i => s"x$i").mkString(" ")))  // exactly one window
+      .toDF("doc_id", "text")
+    val out = TextOps.chunk(docs, "doc_id", "text", window = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // doc 1: ceil((10-1)/3) = 3 chunks, stride 3: [1..4], [4..7], [7..10]
+    assert(out((1L, 0L)) == (("w1 w2 w3 w4", 4L)))
+    assert(out((1L, 1L)) == (("w4 w5 w6 w7", 4L)))
+    assert(out((1L, 2L)) == (("w7 w8 w9 w10", 4L)))
+    assert(out((2L, 0L)) == (("a b", 2L)))
+    assert(out((3L, 0L)) == (("x1 x2 x3 x4", 4L)))
+    assert(out.size == 5)
+    // overlap invariant: consecutive chunks share `overlap` tokens
+    assert(out((1L, 0L))._1.split(" ").last == out((1L, 1L))._1.split(" ").head)
+  }
+
+  test("invertedIndex: sorted postings and document frequencies") {
+    import graft.pipeline.Retrieval
+    val docs = Seq((3L, "b a b"), (1L, "a c"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.invertedIndex(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(out("a") == ((3L, Seq(1L, 2L, 3L)))) // sorted, duplicate-free
+    assert(out("b") == ((1L, Seq(3L))))         // per-doc dup counted once
+    assert(out("c") == ((1L, Seq(1L))))
+  }
+
+  test("bm25TopK: hand-checked single-term scoring and ranking") {
+    import graft.pipeline.Retrieval
+    // 3 docs, query term "q" in docs 1 (tf 2, len 4) and 2 (tf 1, len 2).
+    val docs = Seq((1L, "q q x y"), (2L, "q z"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", "q", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1)
+    val avgdl = 10.0 / 3
+    def bm25(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(out.keySet == Set(1L, 2L)) // doc 3 has no query term
+    assert(math.abs(out(1L)._1 - BigDecimal(bm25(2, 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(2L)._1 - BigDecimal(bm25(1, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // higher tf in a similar-length doc ranks first
+    assert(out(1L)._2 == 1L && out(2L)._2 == 2L)
+  }
+
+  test("perplexityBuckets: terciles ordered tail <= middle <= head") {
+    import graft.pipeline.CorpusStats
+    // 9 docs with distinct token distributions -> distinct avg_logp.
+    val docs = (1L to 9L).map(i =>
+      (i, (1L to i).map(j => s"t$j").mkString(" ") + " common common"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2)))
+      .toMap
+    assert(out.size == 9)
+    val byBucket = out.values.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSeq).toMap
+    assert(byBucket.keySet == Set("tail", "middle", "head"))
+    assert(byBucket("tail").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("head").min)
+  }
+
   test("repetition: hand-checked duplicate-token and top-ngram fractions") {
     import graft.pipeline.CorpusStats
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
