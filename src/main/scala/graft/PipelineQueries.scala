@@ -359,6 +359,47 @@ object PipelineQueries {
              |       CAST(len(t[i*24+1 : i*24+32]) AS BIGINT) AS chunk_tokens
              |FROM n, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, nc - 1)) AS i) g""".stripMargin)),
 
+    // Sequence packing: chunk the corpus (window 64, no overlap), then
+    // assign chunks to 256-token training sequences per source in
+    // deterministic (doc, chunk) order — one window, no driver state.
+    ("text_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val chunks = graft.pipeline.TextOps.chunk(
+            docs, "doc_id", "text", window = 64, overlap = 0)
+          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        graft.pipeline.TextOps.pack(
+            chunks, "source", "id", "chunk_idx", "chunk_tokens", budget = 256)
+          .select(col("id"), col("chunk_idx"), col("source"),
+                  col("seq_id"), col("seq_offset"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+             |n AS (SELECT doc_id, source, t, CAST(ceil(greatest(len(t), 1) / 64.0) AS INT) AS nc FROM toks),
+             |ch AS (SELECT doc_id AS id, source, CAST(i AS BIGINT) AS chunk_idx,
+             |              CAST(len(t[i*64+1 : i*64+64]) AS BIGINT) AS ct
+             |       FROM n, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, nc - 1)) AS i) g),
+             |st AS (SELECT id, chunk_idx, source,
+             |              SUM(ct) OVER (PARTITION BY source ORDER BY id, chunk_idx
+             |                            ROWS UNBOUNDED PRECEDING) - ct AS strt
+             |       FROM ch)
+             |SELECT id, chunk_idx, source,
+             |       CAST(floor(strt / 256.0) AS BIGINT) AS seq_id,
+             |       CAST(strt % 256 AS BIGINT) AS seq_offset
+             |FROM st""".stripMargin)),
+
+    // Uniform-mixture balancing: every source downsampled to the smallest
+    // source's size via the per-group hash threshold (engine- and
+    // partitioning-reproducible membership).
+    ("sample_mixture",
+      (s, dir) => graft.pipeline.Sampling.balancedSample(
+          t(s, dir, "documents"), "doc_id", "source")
+        .select(col("doc_id"), col("source")),
+      Some(s"""WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+              |tgt AS (SELECT MIN(n) AS t FROM counts)
+              |SELECT doc_id, d.source
+              |FROM documents d JOIN counts c ON d.source = c.source, tgt
+              |WHERE ${graft.pipeline.Sampling.hashBucketSql("doc_id", "mix")} < (tgt.t * 1000000) / c.n""".stripMargin)),
+
     // Inverted index (token -> df + sorted postings); postings emitted as a
     // CSV string so both engines hash the identical canonical form.
     ("text_inverted_index",

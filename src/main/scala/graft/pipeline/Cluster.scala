@@ -136,16 +136,23 @@ object Cluster {
       else raw.select(col("id").as(as), col("sh"))
     }
     val d = shingleSet(docs, "id")
+    val benchSh = shingleSet(bench, "bid")
     val capped =
       if (maxDocFreq <= 0) d
       else {
+        // The cap only matters for shingles that can reach the join, so the
+        // document-frequency aggregate runs over the semi-joined candidates
+        // (≤ |d| rows, no multiplication), not the whole corpus' shingles —
+        // a shingle absent from the benchmark never joins regardless of df.
         // shingleRows is distinct per (id, sh), so count == document freq.
-        val hot = d.groupBy("sh").agg(count(lit(1)).as("_df"))
+        val cand = d.join(benchSh.select("sh").distinct(), Seq("sh"),
+                          "left_semi")
+        val hot = cand.groupBy("sh").agg(count(lit(1)).as("_df"))
           .filter(col("_df") > maxDocFreq).select("sh")
-        d.join(hot, Seq("sh"), "left_anti")
+        cand.join(hot, Seq("sh"), "left_anti")
       }
     capped
-      .join(shingleSet(bench, "bid"), "sh")
+      .join(benchSh, "sh")
       .filter(col("id") =!= col("bid"))
       .groupBy("id")
       .agg(countDistinct("bid").as("n_bench_docs"),

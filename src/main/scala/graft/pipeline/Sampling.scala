@@ -60,6 +60,26 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < thresh)
   }
 
+  /** Deterministic source-mixture balancing: downsample every group (e.g.
+    * source/domain/language) to the size of the SMALLEST group — the
+    * uniform-mixture special case of training-data mixture re-weighting.
+    * Per-group keep fraction = min(count)/count(group), computed in-plan
+    * (one tiny groupBy, broadcast back); membership is the same pure
+    * hash-threshold expression as every sampler here, so the result is
+    * engine- and partitioning-reproducible. The realized group sizes are
+    * binomial around the target (hash sampling, not exact-k); exact-k
+    * would need a per-group rank — a window the balance use-case doesn't
+    * require. */
+  def balancedSample(df: DataFrame, keyCol: String, groupCol: String,
+                     salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val target = counts.agg(min("_n")).collect()(0).getLong(0)
+    df.join(broadcast(counts), groupCol)
+      .filter(hashBucket(col(keyCol), salt) <
+                (lit(target) * BUCKETS) / col("_n"))
+      .drop("_n")
+  }
+
   /** Deterministic train/validation/test (or any n-way) split: appends a
     * `split` column chosen by cumulative weight over the hash bucket.
     * Weights need not sum to 1 — they are normalized. */

@@ -129,4 +129,29 @@ object TextOps {
               concat_ws(" ", col("col")).as("chunk_text"),
               size(col("col")).cast("long").as("chunk_tokens"))
   }
+
+  /** Sequence packing: assign chunks to fixed token-budget training
+    * sequences, deterministically, per pack group. Chunks are laid out in
+    * (id, chunk_idx) order within each `groupCol` value and a chunk's
+    * sequence is the budget-bucket its START offset falls in —
+    * `seq_id = floor((cumsum − tokens) / budget)` — the streaming
+    * offset-bucketing packer (a chunk may straddle a boundary; trainers
+    * that need hard boundaries re-split at `seq_offset`). One window over
+    * the chunk frame, no driver state.
+    *
+    * Scale note: determinism is per group, so the window partitions by
+    * `groupCol`. In production the pack group is a bounded shard (source ×
+    * file-shard), keeping each window partition executor-sized; packing is
+    * embarrassingly parallel across groups by construction. */
+  def pack(chunks: org.apache.spark.sql.DataFrame, groupCol: String,
+           idCol: String, idxCol: String, tokCol: String, budget: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol), col(idxCol))
+    chunks.withColumn("_start", sum(col(tokCol)).over(w) - col(tokCol))
+      .withColumn("seq_id", floor(col("_start") / lit(budget)).cast("long"))
+      .withColumn("seq_offset", (col("_start") % budget).cast("long"))
+      .drop("_start")
+  }
 }

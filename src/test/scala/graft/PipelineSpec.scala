@@ -363,6 +363,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(byBucket("middle").max <= byBucket("head").min)
   }
 
+  test("pack: offset-bucketed sequence assignment per group") {
+    import graft.pipeline.TextOps
+    val chunks = Seq(
+      // group g1: chunk sizes 3, 3, 2 with budget 4:
+      // starts 0, 3, 6 -> seqs 0, 0, 1; offsets 0, 3, 2
+      (1L, 0L, "g1", 3L), (1L, 1L, "g1", 3L), (2L, 0L, "g1", 2L),
+      // group g2 packs independently from offset 0
+      (3L, 0L, "g2", 4L), (3L, 1L, "g2", 1L))
+      .toDF("id", "chunk_idx", "source", "chunk_tokens")
+    val out = TextOps.pack(chunks, "source", "id", "chunk_idx",
+                           "chunk_tokens", budget = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))).toMap
+    assert(out((1L, 0L)) == ((0L, 0L)))
+    assert(out((1L, 1L)) == ((0L, 3L))) // straddles the boundary, starts in seq 0
+    assert(out((2L, 0L)) == ((1L, 2L)))
+    assert(out((3L, 0L)) == ((0L, 0L)))
+    assert(out((3L, 1L)) == ((1L, 0L)))
+  }
+
+  test("balancedSample: groups downsample toward the smallest group") {
+    import graft.pipeline.Sampling
+    // 400 docs in "big", 100 in "small" -> keep fraction 0.25 vs 1.0.
+    val docs = (1L to 500L).map(i =>
+      (i, if (i <= 400) "big" else "small")).toDF("doc_id", "source")
+    val out = Sampling.balancedSample(docs, "doc_id", "source")
+      .collect().map(_.getAs[String]("source")).groupBy(identity).view
+      .mapValues(_.size).toMap
+    // small keeps everything (threshold = BUCKETS); big is binomial(400, .25)
+    assert(out("small") == 100)
+    assert(out("big") > 60 && out("big") < 140, s"big kept ${out("big")}")
+    // deterministic: same membership on re-evaluation
+    val again = Sampling.balancedSample(docs, "doc_id", "source")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val first = Sampling.balancedSample(docs, "doc_id", "source")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == first)
+  }
+
   test("repetition: hand-checked duplicate-token and top-ngram fractions") {
     import graft.pipeline.CorpusStats
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
