@@ -359,6 +359,32 @@ object PipelineQueries {
              |       CAST(len(t[i*24+1 : i*24+32]) AS BIGINT) AS chunk_tokens
              |FROM n, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, nc - 1)) AS i) g""".stripMargin)),
 
+    // Gopher-rule filter cascade: keep/drop + fixed-order violation
+    // reasons, all pure per-row expressions (zero shuffles).
+    ("text_filter_cascade",
+      (s, dir) => graft.pipeline.TextOps.filterCascade(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH f AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+             |m AS (SELECT doc_id, len(t) AS nt,
+             |  1.0 - len(list_distinct(t)) * 1.0 / len(t) AS dupf,
+             |  len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is'))) * 1.0 / len(t) AS stopr,
+             |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) AS punctr
+             |  FROM f)
+             |SELECT doc_id AS id, CAST(nt AS BIGINT) AS n_tokens,
+             |  (concat_ws(',',
+             |    CASE WHEN nt < 16 THEN 'too_short' END,
+             |    CASE WHEN nt > 4096 THEN 'too_long' END,
+             |    CASE WHEN dupf > 0.4 THEN 'repetitive' END,
+             |    CASE WHEN stopr < 0.02 THEN 'low_stopword' END,
+             |    CASE WHEN punctr > 0.2 THEN 'high_punct' END) = '') AS keep,
+             |  concat_ws(',',
+             |    CASE WHEN nt < 16 THEN 'too_short' END,
+             |    CASE WHEN nt > 4096 THEN 'too_long' END,
+             |    CASE WHEN dupf > 0.4 THEN 'repetitive' END,
+             |    CASE WHEN stopr < 0.02 THEN 'low_stopword' END,
+             |    CASE WHEN punctr > 0.2 THEN 'high_punct' END) AS reasons
+             |FROM m""".stripMargin)),
+
     // Sequence packing: chunk the corpus (window 64, no overlap), then
     // assign chunks to 256-token training sequences per source in
     // deterministic (doc, chunk) order — one window, no driver state.

@@ -129,12 +129,9 @@ object Cluster {
                     textCol: String, n: Int = 8,
                     hashShingles: Boolean = true,
                     maxDocFreq: Long = 0): DataFrame = {
-    def shingleSet(df: DataFrame, as: String) = {
-      val raw = Dedup.shingleRows(df, idCol, textCol, n) // shared semantics
-      if (hashShingles)
-        raw.select(col("id").as(as), xxhash64(col("sh")).as("sh"))
-      else raw.select(col("id").as(as), col("sh"))
-    }
+    def shingleSet(df: DataFrame, as: String) =
+      Dedup.shingleRows(df, idCol, textCol, n, hashed = hashShingles)
+        .select(col("id").as(as), col("sh")) // shared semantics
     val d = shingleSet(docs, "id")
     val benchSh = shingleSet(bench, "bid")
     val capped =

@@ -38,12 +38,20 @@ object Dedup {
     * exploded set representation, shared by [[shingleSets]] and
     * Cluster.contamination so shingle semantics (tokenization, the
     * short-document whole-text fallback the oracles mirror) can never
-    * drift between operators. */
+    * drift between operators.
+    *
+    * With `hashed` the shingle is xxhash64'd BEFORE the distinct, so the
+    * dedup shuffle carries 8-byte keys instead of ~n·word-length strings —
+    * the at-scale shape (distinct-of-hashed ≡ hashed-of-distinct modulo
+    * 2⁻⁶⁴ collisions). */
   private[graft] def shingleRows(df: DataFrame, idCol: String,
-                                    textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-              explode(TextOps.shingles(col(textCol), n)).as("sh"))
-      .distinct()
+                                 textCol: String, n: Int,
+                                 hashed: Boolean = false): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), n)).as("sh"))
+    (if (hashed) exploded.select(col("id"), xxhash64(col("sh")).as("sh"))
+     else exploded).distinct()
+  }
 
   /** Materialized (localCheckpoint): the set representation feeds both sides
     * of self-joins — without materialization the shingle-construction

@@ -130,6 +130,39 @@ object TextOps {
               size(col("col")).cast("long").as("chunk_tokens"))
   }
 
+  /** Gopher-style quality-filter cascade (Rae et al. 2021 §A1.1, public
+    * paper): every document is scored against the standard rule family —
+    * length bounds, bulk repetition, stopword floor, punctuation ceiling —
+    * and kept iff NO rule fires. Violated rules are reported in fixed
+    * order as a CSV reason string, the shape pipeline audits consume
+    * ("why was this dropped"). Pure per-row expressions (the repetition
+    * test uses `array_distinct`, not a groupBy), so the cascade runs at
+    * scan speed with zero shuffles and prunes to (id, text) at the reader.
+    * Returns (id, n_tokens, keep, reasons). */
+  def filterCascade(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    minTokens: Int = 16, maxTokens: Int = 4096,
+                    maxDupTokenFrac: Double = 0.4,
+                    minStopRatio: Double = 0.02,
+                    maxPunctRatio: Double = 0.2)
+      : org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val nTok = tokenCount(text)
+    val dupFrac = lit(1.0) - size(array_distinct(tokens(text))).cast("double") / nTok
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (nTok < minTokens),
+      "too_long" -> (nTok > maxTokens),
+      "repetitive" -> (dupFrac > maxDupTokenFrac),
+      "low_stopword" -> (stopwordRatio(text) < minStopRatio),
+      "high_punct" -> (punctRatio(text) > maxPunctRatio))
+    val reasons = concat_ws(",",
+      rules.map { case (name, cond) => when(cond, lit(name)) }: _*)
+    docs.select(col(idCol).cast("long").as("id"),
+                nTok.cast("long").as("n_tokens"),
+                (reasons === "").as("keep"),
+                reasons.as("reasons"))
+  }
+
   /** Sequence packing: assign chunks to fixed token-budget training
     * sequences, deterministically, per pack group. Chunks are laid out in
     * (id, chunk_idx) order within each `groupCol` value and a chunk's

@@ -363,6 +363,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(byBucket("middle").max <= byBucket("head").min)
   }
 
+  test("filterCascade: rule firing, reason order, keep iff clean") {
+    import graft.pipeline.TextOps
+    val clean = (1 to 20).map(i => s"w$i").mkString(" ") + " the of"
+    val docs = Seq(
+      (1L, clean),                                  // passes every rule
+      (2L, "short the of"),                         // too_short
+      (3L, ("dup " * 30 + "the of and is in a to").trim), // repetitive
+      (4L, (1 to 20).map(i => s"u$i").mkString(" ")), // low_stopword only
+      (5L, ("a! b? c. d, e; " * 4 + "the of and is in a to").trim)) // high_punct
+      .toDF("doc_id", "text")
+    val out = TextOps.filterCascade(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3)))
+      .toMap
+    assert(out(1L) == ((true, "")))
+    assert(out(2L)._2.contains("too_short") && !out(2L)._1)
+    assert(out(3L)._2.contains("repetitive") && !out(3L)._1)
+    assert(out(4L) == ((false, "low_stopword")))
+    assert(out(5L)._2.contains("high_punct") && !out(5L)._1)
+    // fixed reason order: short doc with no stopwords lists both in order
+    val multi = TextOps.filterCascade(
+      Seq((9L, "zz yy xx")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0).getString(3)
+    assert(multi == "too_short,low_stopword")
+  }
+
   test("pack: offset-bucketed sequence assignment per group") {
     import graft.pipeline.TextOps
     val chunks = Seq(
