@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Cluster, CorpusStats, Dedup, Retrieval, Sampling,
+  Similarity, TextOps}
+
+/** Single-entry ergonomic surface over the training-data pipeline operators
+  * (`graft.pipeline.*`), mirroring [[GraftKG]]'s role for the KG surface:
+  * wrap a corpus (or an embedding table) once, then chain the pipeline
+  * stages without re-threading column names. All methods return lazy
+  * DataFrames; nothing materializes until an action.
+  *
+  * {{{
+  * val c = Graft.corpus(spark.read.parquet(".../documents.parquet"))
+  * c.cleanIds().show()                       // exact + near-dup survivors
+  * c.qualityTiers().show()                   // CCNet head/middle/tail
+  * val v = Graft.vectors(spark.read.parquet(".../embeddings.parquet")
+  *   .select($"vec_id" as "id", $"embedding" as "vec", $"label"))
+  * v.topK(v.frame.filter($"id" < 20), 5).show()
+  * }}}
+  */
+final class GraftCorpus(val frame: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text") {
+
+  // --- quality / filtering ---
+  def stats(): DataFrame = frame.select(col(idCol).as("id"),
+    TextOps.tokenCount(col(textCol)).as("n_tokens"),
+    TextOps.charCount(col(textCol)).as("n_chars"),
+    TextOps.langId(col(textCol)).as("lang_pred"))
+  def quality(): DataFrame = frame.select(col(idCol).as("id"),
+    TextOps.qualityScore(col(textCol)).as("quality"))
+  def filterCascade(): DataFrame =
+    TextOps.filterCascade(frame, idCol, textCol)
+  def repetition(n: Int = 2): DataFrame =
+    CorpusStats.repetition(frame, idCol, textCol, n)
+  def qualityTiers(): DataFrame =
+    CorpusStats.perplexityBuckets(frame, idCol, textCol)
+
+  // --- dedup ---
+  def exactDropIds(): DataFrame = Dedup.exactDropIds(frame, idCol, textCol)
+  def nearDupPairs(threshold: Double = 0.5): DataFrame =
+    Dedup.minhashLshPairs(frame, idCol, textCol,
+      shingleN = 4, bands = 8, rowsPerBand = 4, threshold = threshold)
+  def dupGroups(threshold: Double = 0.5): DataFrame =
+    Dedup.dupGroups(nearDupPairs(threshold))
+  /** Surviving doc ids after exact + near-dup drops (the end-to-end clean). */
+  def cleanIds(threshold: Double = 0.5): DataFrame =
+    frame.select(col(idCol))
+      .join(exactDropIds().withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .join(dupGroups(threshold).filter(col("id") =!= col("keep_id"))
+              .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  def decontaminate(bench: DataFrame): DataFrame =
+    Cluster.contamination(frame, bench, idCol, textCol)
+
+  // --- fingerprints / keywords / retrieval ---
+  def winnow(k: Int = 4, w: Int = 4): DataFrame =
+    TextOps.winnow(frame, idCol, textCol, k, w)
+  def tfidfKeywords(k: Int = 3): DataFrame =
+    CorpusStats.tfidfTopK(frame, idCol, textCol, k)
+  def collocations(k: Int = 25, minCount: Long = 10): DataFrame =
+    CorpusStats.pmiTopK(frame, idCol, textCol, k, minCount)
+  def search(query: String, k: Int = 10): DataFrame =
+    Retrieval.bm25TopK(frame, idCol, textCol, query, k)
+
+  // --- shaping for training ---
+  def chunk(window: Int, overlap: Int = 0): DataFrame =
+    TextOps.chunk(frame, idCol, textCol, window, overlap)
+  def sample(fraction: Double): DataFrame =
+    Sampling.hashSample(frame, idCol, fraction)
+  def splits(weights: Seq[(String, Double)] =
+               Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)): DataFrame =
+    Sampling.assignSplits(frame, idCol, weights)
+}
+
+final class GraftVectors(val frame: DataFrame) {
+  def topK(queries: DataFrame, k: Int): DataFrame =
+    Similarity.bruteTopK(frame, queries, k)
+  def topKApprox(queries: DataFrame, k: Int): DataFrame =
+    Similarity.lshTopK(frame, queries, k)
+  def hardNegatives(queries: DataFrame, k: Int): DataFrame =
+    Similarity.hardNegatives(frame, queries, k)
+  def classify(queries: DataFrame, k: Int = 10): DataFrame =
+    Similarity.knnClassify(frame, queries, k)
+  def labelCentroids(): DataFrame = Similarity.labelCentroids(frame)
+  def kmeans(k: Int, dim: Int, iters: Int = 2): DataFrame =
+    Cluster.kmeansFixed(frame, k, dim, iters)
+  def nearDupPairs(threshold: Double = 0.9, planes: Int = 6): DataFrame =
+    Dedup.embeddingPairs(frame, "id", "vec", threshold, planes)
+}
+
+/** Pipeline facade entry points, companion to [[Graft]]'s KG entries. */
+object GraftPipeline {
+  /** Wrap a document corpus `(idCol BIGINT, textCol STRING, …)`. */
+  def corpus(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): GraftCorpus =
+    new GraftCorpus(docs, idCol, textCol)
+
+  /** Wrap an embedding table `(id, vec ARRAY<DOUBLE>[, label])`. */
+  def vectors(emb: DataFrame): GraftVectors = new GraftVectors(emb)
+
+  /** The driver-testdata corpus + vectors for a scale-factor dir. */
+  def fromTestdata(spark: SparkSession, dir: String)
+      : (GraftCorpus, GraftVectors) = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("vec"),
+              col("label"))
+    (corpus(docs), vectors(emb))
+  }
+}

@@ -99,6 +99,17 @@ object PipelineQueries {
   private val embedsSql =
     "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
+  private val embedsLabelSql =
+    "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings"
+
+  /** Embeddings WITH the label column (hard negatives, kNN classify,
+    * prototypes) — [[Embeddings.fromParquet]] plus `label`. */
+  private def embWithLabel(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"),
+              transform(col("embedding"), x => x.cast("double")).as("vec"),
+              col("label"))
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -1276,6 +1287,103 @@ object PipelineQueries {
               |       GROUP BY qd.qid, codes.id)
               |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(adist, 4) AS adist FROM (
               |  SELECT qid, nid, adist, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, nid) AS rank FROM ad) t
-              |WHERE rank <= 5""".stripMargin))
+              |WHERE rank <= 5""".stripMargin)),
+
+    // Hard-negative mining for contrastive training: top-5 most-similar
+    // vectors with a DIFFERENT label per query — the highest-loss
+    // negatives InfoNCE-style objectives want (in-batch sampling misses
+    // exactly these).
+    ("ann_hard_negatives",
+      (s, dir) => {
+        val emb = embWithLabel(s, dir)
+        Similarity.hardNegatives(emb, emb.filter(col("id") < 20), k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH e AS ($embedsLabelSql),
+              |c AS (SELECT q.id AS qid, q.label AS qlabel, n.id AS nid, n.label AS nlabel,
+              |             ${cosSql("q.v", "n.v")} AS cs
+              |      FROM e q, e n WHERE q.id < 20 AND n.label <> q.label)
+              |SELECT qid, qlabel, nid, nlabel, CAST(rank AS BIGINT) AS rank, ROUND(cs, 6) AS cos FROM (
+              |  SELECT qid, qlabel, nid, nlabel, cs, ROW_NUMBER() OVER (
+              |    PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM c) t
+              |WHERE rank <= 5""".stripMargin)),
+
+    // k-NN majority-vote classification (k=10, cosine); vote ties break on
+    // the smallest label in both engines.
+    ("emb_knn_classify",
+      (s, dir) => {
+        val emb = embWithLabel(s, dir)
+        Similarity.knnClassify(emb, emb.filter(col("id") < 50), k = 10)
+      },
+      Some(s"""WITH e AS ($embedsLabelSql),
+              |c AS (SELECT q.id AS qid, q.label AS qlabel, n.id AS nid, n.label AS nlabel,
+              |             ${cosSql("q.v", "n.v")} AS cs
+              |      FROM e q, e n WHERE q.id < 50 AND n.id <> q.id),
+              |nn AS (SELECT qid, qlabel, nlabel FROM (
+              |         SELECT qid, qlabel, nlabel, ROW_NUMBER() OVER (
+              |           PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM c) t
+              |       WHERE rank <= 10),
+              |votes AS (SELECT qid, qlabel, nlabel, COUNT(*) AS v
+              |          FROM nn GROUP BY 1, 2, 3)
+              |SELECT qid AS id, qlabel AS label, nlabel AS predicted FROM (
+              |  SELECT qid, qlabel, nlabel, ROW_NUMBER() OVER (
+              |    PARTITION BY qid ORDER BY v DESC, nlabel ASC) AS vr FROM votes) t
+              |WHERE vr = 1""".stripMargin)),
+
+    // Per-label centroid (class prototype) vectors, long form — one
+    // (label, dimension) row per mean; the scatter-gather vector-mean
+    // shape (posexplode -> scalar hash aggregate, map-side partials).
+    ("emb_label_centroids",
+      (s, dir) => Similarity.labelCentroids(embWithLabel(s, dir)),
+      Some(s"""WITH e AS ($embedsLabelSql)
+              |SELECT label, CAST(i - 1 AS BIGINT) AS pos, ROUND(AVG(v[i]), 6) AS mean,
+              |       COUNT(*) AS n
+              |FROM e CROSS JOIN generate_series(1, 64) t(i)
+              |GROUP BY label, i""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer et al. 2003, MOSS): min 40-bit-md5
+    // k-gram hash per window of 4, leftmost-min ties via the packed
+    // (hash << 20 | pos) key; both engines take the same frame-min.
+    ("text_winnow",
+      (s, dir) => graft.pipeline.TextOps.winnow(
+        t(s, dir, "documents"), "doc_id", "text", k = 4, w = 4),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS g
+             |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t) - 3, 1))) AS i) gg),
+             |keyd AS (SELECT doc_id, pos,
+             |           ('0x' || substr(md5(g), 1, 10))::BIGINT * 1048576 + pos AS key FROM sh),
+             |sel AS (SELECT doc_id, pos,
+             |          MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+             |          MAX(pos) OVER (PARTITION BY doc_id) AS mx
+             |        FROM keyd)
+             |SELECT DISTINCT doc_id AS id, s >> 20 AS fp_hash, s & 1048575 AS fp_pos
+             |FROM sel WHERE pos <= greatest(mx - 3, 0)""".stripMargin)),
+
+    // Corpus-level bigram collocations by PMI (Church & Hanks 1990);
+    // score rounded before ranking, ties on the bigram text.
+    ("text_pmi_topk",
+      (s, dir) => graft.pipeline.CorpusStats.pmiTopK(
+          t(s, dir, "documents"), "doc_id", "text", k = 25, minCount = 10)
+        .withColumn("rank", col("rank").cast("long")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |tok AS (SELECT UNNEST(t) AS tk FROM toks),
+             |uni AS (SELECT tk, COUNT(*) AS cu FROM tok GROUP BY 1),
+             |ntok AS (SELECT SUM(cu) AS n FROM uni),
+             |big AS (SELECT array_to_string(t[i:i+1], ' ') AS g
+             |        FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t) - 1, 1))) AS i) gg
+             |        WHERE len(t) >= 2),
+             |bc AS (SELECT g, COUNT(*) AS cb FROM big GROUP BY 1),
+             |nbig AS (SELECT SUM(cb) AS n FROM bc),
+             |sc AS (SELECT g AS bigram, cb AS c_bigram,
+             |         ROUND(LN((cb / (SELECT n * 1.0 FROM nbig)) /
+             |           ((x.cu / (SELECT n * 1.0 FROM ntok)) * (y.cu / (SELECT n * 1.0 FROM ntok)))), 6) AS pmi
+             |       FROM bc JOIN uni x ON string_split(g, ' ')[1] = x.tk
+             |               JOIN uni y ON string_split(g, ' ')[2] = y.tk
+             |       WHERE cb >= 10)
+             |SELECT bigram, c_bigram, pmi, CAST(rank AS BIGINT) AS rank FROM (
+             |  SELECT bigram, c_bigram, pmi, ROW_NUMBER() OVER (
+             |    ORDER BY pmi DESC, bigram) AS rank FROM sc) t
+             |WHERE rank <= 25""".stripMargin))
   )
 }

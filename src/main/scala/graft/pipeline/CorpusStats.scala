@@ -90,6 +90,53 @@ object CorpusStats {
         .otherwise(lit("head")).as("bucket"))
   }
 
+  /** Corpus-level top-k bigram collocations by pointwise mutual
+    * information — the classic phrase-mining signal (Church & Hanks 1990):
+    * PMI(x,y) = ln( p(xy) / (p(x)·p(y)) ) with p(x) from the unigram
+    * distribution (count / total tokens) and p(xy) from the bigram
+    * distribution (count / total bigrams). Bigrams rarer than `minCount`
+    * are dropped first (PMI's low-frequency pathology). The score is
+    * rounded to 6 dp BEFORE ranking so float-route ties break on the
+    * bigram text identically across engines.
+    *
+    * Scale shape: two explode → groupBy passes (unigrams, bigrams) — both
+    * keyed by high-cardinality token strings, AQE-coalesced — then the
+    * bigram frame joins the (|vocab|-sized, broadcastable) unigram counts
+    * twice and one global top-k (TakeOrdered, no full sort) ends the plan.
+    * Output: (bigram, c_bigram, pmi, rank), rank 1..k. */
+  def pmiTopK(docs: DataFrame, idCol: String, textCol: String,
+              k: Int = 25, minCount: Long = 10): DataFrame = {
+    // materialized: consumed twice (unigram totals, bigram build input)
+    val toks = docs.select(col(idCol).as("id"),
+                           TextOps.tokens(col(textCol)).as("ts"))
+      .localCheckpoint(true)
+    val uni = toks.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true) // consumed twice (total + two join probes)
+    val nTok = uni.agg(sum("cu")).collect()(0).getLong(0)
+    val bigAll = toks
+      .select(explode(TextOps.shingles(concat_ws(" ", col("ts")), 2)).as("g"))
+      .filter(size(split(col("g"), " ")) === 2) // single-token docs emit no bigram
+      .groupBy("g").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true) // consumed twice (total + scored)
+    val nBig = bigAll.agg(sum("cb")).collect()(0).getLong(0)
+    val scored = bigAll
+      .filter(col("cb") >= minCount)
+      .withColumn("x", split(col("g"), " ")(0))
+      .withColumn("y", split(col("g"), " ")(1))
+      .join(uni.select(col("t").as("x"), col("cu").as("cx")), "x")
+      .join(uni.select(col("t").as("y"), col("cu").as("cy")), "y")
+      .select(col("g").as("bigram"), col("cb").as("c_bigram"),
+        round(log((col("cb") / lit(nBig.toDouble)) /
+          ((col("cx") / lit(nTok.toDouble)) * (col("cy") / lit(nTok.toDouble)))), 6)
+          .as("pmi"))
+    // Global top-k as TakeOrdered (orderBy + limit), THEN rank the k
+    // survivors — the corpus-wide frame never single-partitions.
+    val w = Window.orderBy(col("pmi").desc, col("bigram").asc)
+    scored.orderBy(col("pmi").desc, col("bigram").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Top-k TF-IDF keywords per document: score = tf · ln(N / df), ranked
     * per doc (score desc, token asc). The score is ROUNDED to 6 dp BEFORE
     * ranking: mathematically-tied scores reached through different

@@ -189,6 +189,77 @@ object Similarity {
               round(col("adist"), 4).as("adist"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most-similar corpus vectors with a DIFFERENT label — the
+    * highest-loss negatives an InfoNCE-style objective can be fed
+    * (in-batch negatives miss exactly these). Same plan shape as
+    * [[bruteTopK]] (query side broadcast, fused cosine kernel,
+    * WindowGroupLimit top-k); at billion-vector scale the candidate
+    * generation swaps to the LSH/IVF tiers and this stays the re-rank.
+    * Output: (qid, qlabel, nid, nlabel, rank, cos). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    ArrayKernels.register(corpus.sparkSession)
+    val scored = corpus
+      .select(col("id").as("nid"), col("vec").as("nvec"),
+              col("label").as("nlabel"))
+      .crossJoin(broadcast(queries.select(col("id").as("qid"),
+        col("vec").as("qvec"), col("label").as("qlabel"))))
+      .filter(col("nlabel") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+              ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+              col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** k-NN majority-vote classification: predict each query's label from
+    * its `k` nearest corpus vectors by cosine (self-matches excluded).
+    * Vote ties break on the SMALLEST label — deterministic and
+    * oracle-replayable. Two windows over the (already k-bounded) neighbor
+    * frame after the same broadcast-scan as [[bruteTopK]]; the vote
+    * aggregation touches |Q|·k rows only. Output: (id, label, predicted). */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    ArrayKernels.register(corpus.sparkSession)
+    val scored = corpus
+      .select(col("id").as("nid"), col("vec").as("nvec"),
+              col("label").as("nlabel"))
+      .crossJoin(broadcast(queries.select(col("id").as("qid"),
+        col("vec").as("qvec"), col("label").as("qlabel"))))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+              ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy("qid", "qlabel", "nlabel").agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("qid").as("id"), col("qlabel").as("label"),
+              col("nlabel").as("predicted"))
+  }
+
+  /** Per-label centroid (class prototype) vectors in long form — one row
+    * per (label, dimension) with the 6-dp-rounded mean. The scatter-gather
+    * shape that generalizes to any per-group vector mean: posexplode to
+    * (label, pos, x) rows, ONE hash aggregate keyed (label, pos) — never a
+    * whole-vector groupBy, so a 100 TB corpus aggregates as scalars with
+    * map-side partials. Long form by choice: downstream consumers
+    * (nearest-prototype scoring, drift monitors) join on (label, pos), and
+    * cross-engine comparison needs no array-ordering contract. */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label",
+                     vecCol: String = "vec"): DataFrame =
+    emb.select(col(labelCol).as("label"),
+               posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(avg("x"), 6).as("mean"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+              col("mean"), col("n"))
+
   /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
     * each query probes its `probes` nearest cells — the standard
     * recall/cost knob (recall grows with probed cells, scan cost stays

@@ -163,6 +163,56 @@ object TextOps {
                 reasons.as("reasons"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    * k-gram, then keep the minimum hash of each window of `w` consecutive
+    * k-grams (leftmost minimum on ties, via a (hash, position)-composite
+    * key). Guarantees a shared fingerprint for any match of length
+    * >= w + k − 1 while storing ~2/(w+1) of the hashes — the standard
+    * plagiarism/near-dup primitive that, unlike MinHash, localizes WHERE
+    * the overlap is.
+    *
+    * Relational form: posexplode the k-gram hashes (long-form, one row per
+    * position) and take the frame-min over a `ROWS BETWEEN CURRENT ROW AND
+    * w−1 FOLLOWING` window, keeping only full-window starts. The window
+    * partitions by document — per-doc token counts are pipeline-bounded
+    * (docs over ~1M tokens are chunked upstream), so no partition outgrows
+    * an executor at 100 TB.
+    *
+    * The hash is the 40-bit md5 prefix (portable: any engine with md5 can
+    * replay it), packed as `hash · 2^20 + pos` so one BIGINT MIN gives
+    * min-hash-then-min-position; pack and decode stay in integer
+    * arithmetic throughout (the 60-bit key exceeds double precision).
+    * `pos` must fit 20 bits — a doc beyond 2^20 k-grams would collide
+    * keys, not error, hence the documented chunk-upstream contract.
+    *
+    * Output: one row per selected fingerprint, (id, fp_hash, fp_pos),
+    * distinct. */
+  def winnow(docs: org.apache.spark.sql.DataFrame, idCol: String,
+             textCol: String, k: Int = 4, w: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0 && w > 0, s"need k > 0 and w > 0, got k=$k w=$w")
+    val grams = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(shingles(col(textCol), k)).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"),
+        (conv(substring(md5(col("g")), 1, 10), 16, 10).cast("long") *
+          lit(1048576L) + col("pos")).as("key"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val m = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    grams
+      .withColumn("sel", min("key").over(frame))
+      .withColumn("last_start", greatest(max("pos").over(m) - (w - 1), lit(0)))
+      .filter(col("pos") <= col("last_start"))
+      // Decode in INTEGER arithmetic (shift/mask): the packed key reaches
+      // 2^60, past double's 53-bit mantissa — a `/` here would corrupt
+      // high hash bits.
+      .select(col("id"), shiftright(col("sel"), 20).as("fp_hash"),
+              col("sel").bitwiseAND(lit(1048575L)).as("fp_pos"))
+      .distinct()
+  }
+
   /** Sequence packing: assign chunks to fixed token-budget training
     * sequences, deterministically, per pack group. Chunks are laid out in
     * (id, chunk_idx) order within each `groupCol` value and a chunk's
