@@ -1352,13 +1352,12 @@ object PipelineQueries {
              |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t) - 3, 1))) AS i) gg),
              |keyd AS (SELECT doc_id, pos,
              |           ('0x' || substr(md5(g), 1, 10))::BIGINT * 1048576 + pos AS key FROM sh),
-             |sel AS (SELECT doc_id, pos,
-             |          MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-             |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
-             |          MAX(pos) OVER (PARTITION BY doc_id) AS mx
-             |        FROM keyd)
+             |sel AS (SELECT doc_id, pos, MIN(key) OVER w AS s, COUNT(*) OVER w AS wn
+             |        FROM keyd
+             |        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+             |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
              |SELECT DISTINCT doc_id AS id, s >> 20 AS fp_hash, s & 1048575 AS fp_pos
-             |FROM sel WHERE pos <= greatest(mx - 3, 0)""".stripMargin)),
+             |FROM sel WHERE wn = 4 OR pos = 0""".stripMargin)),
 
     // Corpus-level bigram collocations by PMI (Church & Hanks 1990);
     // score rounded before ranking, ties on the bigram text.

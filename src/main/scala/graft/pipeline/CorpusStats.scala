@@ -24,12 +24,14 @@ object CorpusStats {
     * Both are exact integer ratios, so the oracle comparison is float-safe. */
   def repetition(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 2): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-                           explode(TextOps.tokens(col(textCol))).as("t"))
+    // Tokens projected before any HOF lambda (shinglesOf perf contract).
+    val base = docs.select(col(idCol).as("id"),
+                           TextOps.tokens(col(textCol)).as("ts"))
+    val toks = base.select(col("id"), explode(col("ts")).as("t"))
     val tokStats = toks.groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), countDistinct("t").as("n_distinct"))
-    val gcounts = docs.select(col(idCol).as("id"),
-                              explode(TextOps.shingles(col(textCol), n)).as("g"))
+    val gcounts = base
+      .select(col("id"), explode(TextOps.shinglesOf(col("ts"), n)).as("g"))
       .groupBy("id", "g").agg(count(lit(1)).as("c"))
     val gstats = gcounts.groupBy("id")
       .agg(max("c").as("max_g"), sum("c").as("n_g"))
@@ -115,7 +117,7 @@ object CorpusStats {
       .localCheckpoint(true) // consumed twice (total + two join probes)
     val nTok = uni.agg(sum("cu")).collect()(0).getLong(0)
     val bigAll = toks
-      .select(explode(TextOps.shingles(concat_ws(" ", col("ts")), 2)).as("g"))
+      .select(explode(TextOps.shinglesOf(col("ts"), 2)).as("g"))
       .filter(size(split(col("g"), " ")) === 2) // single-token docs emit no bigram
       .groupBy("g").agg(count(lit(1)).as("cb"))
       .localCheckpoint(true) // consumed twice (total + scored)

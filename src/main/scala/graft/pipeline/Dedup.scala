@@ -47,8 +47,11 @@ object Dedup {
   private[graft] def shingleRows(df: DataFrame, idCol: String,
                                  textCol: String, n: Int,
                                  hashed: Boolean = false): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(TextOps.shingles(col(textCol), n)).as("sh"))
+    // Tokens projected before the shingle lambda (TextOps.shinglesOf perf
+    // contract: a captured split() re-tokenizes once per shingle).
+    val exploded = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
+      .select(col("id"), explode(TextOps.shinglesOf(col("ts"), n)).as("sh"))
     (if (hashed) exploded.select(col("id"), xxhash64(col("sh")).as("sh"))
      else exploded).distinct()
   }

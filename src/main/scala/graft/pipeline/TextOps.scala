@@ -87,14 +87,34 @@ object TextOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** Word n-gram shingles as an array column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles over an ALREADY-PROJECTED token-array column.
+    *
+    * PERF CONTRACT: pass an attribute (a column of a prior projection),
+    * not a construction expression — higher-order-function lambdas
+    * re-evaluate their captured expression trees PER ELEMENT, so
+    * `shinglesOf(split(text), n)` re-tokenizes the document once per
+    * shingle (O(tokens²); measured 7× on the winnow explode at sf0.1).
+    * Catalyst will not re-inline the projection: CollapseProject leaves
+    * non-cheap aliases referenced more than once in place. */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
                 i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
-  }
+
+  /** Word n-gram shingles as an array column. Convenience form for
+    * row-local use on SHORT texts; bulk corpus paths must project tokens
+    * first and use [[shinglesOf]] (see its perf contract). */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** The corpus shingle frame `(id, pos, g)` — tokens projected as an
+    * attribute BEFORE the shingle lambda, per the [[shinglesOf]] perf
+    * contract. The shared bulk path for winnowing and n-gram statistics. */
+  def shingleFrame(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+                tokens(col(textCol)).as("ts"))
+      .select(col("id"), posexplode(shinglesOf(col("ts"), n)).as(Seq("pos", "g")))
 
   /** Document fingerprint: minimum md5 over the token set — a 1-hash
     * MinHash usable as a cheap near-dup blocking key, and exactly
@@ -118,13 +138,17 @@ object TextOps {
     require(window > 0 && overlap >= 0 && overlap < window,
             s"need 0 <= overlap < window, got window=$window overlap=$overlap")
     val step = window - overlap
-    val toks = tokens(col(textCol))
+    // Tokens projected as an attribute BEFORE the chunk lambda (the
+    // shinglesOf perf contract: a captured split() re-tokenizes per chunk).
+    val ts = col("ts")
     // number of chunks = ceil(max(size - overlap, 1) / step)
-    val nChunks = ceil(greatest(size(toks) - overlap, lit(1)) / lit(step))
+    val nChunks = ceil(greatest(size(ts) - overlap, lit(1)) / lit(step))
       .cast("int")
     docs.select(col(idCol).cast("long").as("id"),
+                tokens(col(textCol)).as("ts"))
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => slice(toks, i * step + 1, lit(window)))))
+          i => slice(ts, i * step + 1, lit(window)))))
       .select(col("id"), col("pos").cast("long").as("chunk_idx"),
               concat_ws(" ", col("col")).as("chunk_text"),
               size(col("col")).cast("long").as("chunk_tokens"))
@@ -192,19 +216,20 @@ object TextOps {
              textCol: String, k: Int = 4, w: Int = 4)
       : org.apache.spark.sql.DataFrame = {
     require(k > 0 && w > 0, s"need k > 0 and w > 0, got k=$k w=$w")
-    val grams = docs.select(col(idCol).cast("long").as("id"),
-        posexplode(shingles(col(textCol), k)).as(Seq("pos", "g")))
+    val grams = shingleFrame(docs, idCol, textCol, k)
       .select(col("id"), col("pos"),
         (conv(substring(md5(col("g")), 1, 10), 16, 10).cast("long") *
           lit(1048576L) + col("pos")).as("key"))
     val frame = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
-    val m = org.apache.spark.sql.expressions.Window.partitionBy("id")
     grams
+      // min + count share ONE window spec -> one Window node, one sort.
+      // Full windows have exactly w rows; the pos=0 escape keeps the
+      // single whole-doc window of a shorter-than-w document.
       .withColumn("sel", min("key").over(frame))
-      .withColumn("last_start", greatest(max("pos").over(m) - (w - 1), lit(0)))
-      .filter(col("pos") <= col("last_start"))
+      .withColumn("wn", count(lit(1)).over(frame))
+      .filter(col("wn") === w || col("pos") === 0)
       // Decode in INTEGER arithmetic (shift/mask): the packed key reaches
       // 2^60, past double's 53-bit mantissa — a `/` here would corrupt
       // high hash bits.

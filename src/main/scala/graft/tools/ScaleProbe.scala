@@ -51,6 +51,10 @@ object ScaleProbe {
       CorpusStats.repetition(docs, "doc_id", "text").count())
     time("tfidf_topk")(
       CorpusStats.tfidfTopK(docs, "doc_id", "text", k = 3).count())
+    time("winnow")(
+      graft.pipeline.TextOps.winnow(docs, "doc_id", "text").count())
+    time("pmi_topk")(
+      CorpusStats.pmiTopK(docs, "doc_id", "text").count())
 
     // Embedding corpus, replicated with per-replica offsets (near- not
     // exact dups, so clustering and ANN see realistic structure).
@@ -66,6 +70,12 @@ object ScaleProbe {
     time("ivf_topk")(Similarity.ivfTopK(
       emb, emb.filter(col("id") < 100), k = 10, nCentroids = 16, dim = 64).count())
     time("kmeans")(Cluster.kmeansFixed(emb, k = 16, dim = 64, iters = 3).count())
+    val lemb = emb.withColumn("label", (col("id") % 7).cast("int"))
+    time("hard_negatives")(Similarity.hardNegatives(
+      lemb, lemb.filter(col("id") < 100), k = 10).count())
+    time("knn_classify")(Similarity.knnClassify(
+      lemb, lemb.filter(col("id") < 100), k = 10).count())
+    time("label_centroids")(Similarity.labelCentroids(lemb).count())
     // Within-cluster pair cost is Σ|cluster|² BY DESIGN (SemDeDup scales k
     // with the corpus so clusters stay ~constant-sized); probe both a
     // too-coarse and a corpus-proportional clustering to show the knob.
