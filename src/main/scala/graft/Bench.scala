@@ -31,7 +31,9 @@ object Bench {
     "lmpnn_2p", "metric_mrr", "multimodal_features",
     "q_g2_bfs", "q_pagerank_fixed", "q_join_revenue_topk",
     "q_stream_sessions", "sample_weighted",
-    "text_decontaminate", "text_repetition", "text_tfidf_topk")
+    "text_decontaminate", "text_repetition", "text_tfidf_topk",
+    // round-5 additions
+    "text_winnow", "text_pmi_topk", "ann_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

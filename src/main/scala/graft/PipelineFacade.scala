@@ -45,6 +45,9 @@ final class GraftCorpus(val frame: DataFrame,
       shingleN = 4, bands = 8, rowsPerBand = 4, threshold = threshold)
   def dupGroups(threshold: Double = 0.5): DataFrame =
     Dedup.dupGroups(nearDupPairs(threshold))
+  def winnowPairs(minShared: Int = 3, maxDocFreq: Long = 0): DataFrame =
+    Dedup.winnowPairs(frame, idCol, textCol, minShared = minShared,
+                      maxDocFreq = maxDocFreq)
   /** Surviving doc ids after exact + near-dup drops (the end-to-end clean). */
   def cleanIds(threshold: Double = 0.5): DataFrame =
     frame.select(col(idCol))

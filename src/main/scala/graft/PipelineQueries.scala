@@ -1359,6 +1359,32 @@ object PipelineQueries {
              |SELECT DISTINCT doc_id AS id, s >> 20 AS fp_hash, s & 1048575 AS fp_pos
              |FROM sel WHERE wn = 4 OR pos = 0""".stripMargin)),
 
+    // Winnowing-fingerprint near-dup pairs: docs sharing >= 3 distinct
+    // selected hashes, after a df <= 64 stop-fingerprint cap (winnowed
+    // minima skew toward globally-small hashes -> hot keys; the cap keeps
+    // the self-join bounded by df² per hash). Composes text_winnow into
+    // the dedup family.
+    ("dedup_winnow_pairs",
+      (s, dir) => Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+                                    k = 4, w = 4, minShared = 3,
+                                    maxDocFreq = 64),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS g
+             |       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t) - 3, 1))) AS i) gg),
+             |keyd AS (SELECT doc_id, pos,
+             |           ('0x' || substr(md5(g), 1, 10))::BIGINT * 1048576 + pos AS key FROM sh),
+             |sel AS (SELECT doc_id, pos, MIN(key) OVER w AS s, COUNT(*) OVER w AS wn
+             |        FROM keyd
+             |        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+             |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+             |fp AS (SELECT DISTINCT doc_id AS id, s >> 20 AS fp_hash
+             |       FROM sel WHERE wn = 4 OR pos = 0),
+             |keep AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 64),
+             |fc AS (SELECT fp.id, fp.fp_hash FROM fp JOIN keep USING (fp_hash))
+             |SELECT a.id AS i, b.id AS j, COUNT(*) AS shared_fps
+             |FROM fc a JOIN fc b ON a.fp_hash = b.fp_hash AND a.id < b.id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin)),
+
     // Corpus-level bigram collocations by PMI (Church & Hanks 1990);
     // score rounded before ranking, ties on the bigram text.
     ("text_pmi_topk",

@@ -257,6 +257,40 @@ object Dedup {
          |     shiftleft(1L, CAST(i AS INT)), 0L))""".stripMargin)
   }
 
+  /** Near-dup candidate pairs from shared winnowing fingerprints — the use
+    * winnowing exists for (Schleimer et al. 2003 §1: MOSS finds overlap by
+    * fingerprint collision, then localizes it with the positions). Two docs
+    * pair when they share >= `minShared` distinct selected hashes; any
+    * common run of w + k − 1 tokens contributes at least one, so the
+    * count is a lower bound on overlapping regions.
+    *
+    * Winnowed minima are biased toward globally-SMALL hash values, so a
+    * boilerplate k-gram's fingerprint lands in many documents — the same
+    * hot-key hazard as raw shingle joins. `maxDocFreq > 0` drops
+    * fingerprints found in more than that many docs before the join (the
+    * stop-shingle cap; such fingerprints rank docs by boilerplate, not
+    * content). With the cap the join is bounded by df² per surviving hash.
+    * Returns (i, j, shared_fps), i < j. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 4, minShared: Int = 3,
+                  maxDocFreq: Long = 0): DataFrame = {
+    val fp = TextOps.winnow(docs, idCol, textCol, k, w)
+      .select(col("id"), col("fp_hash")).distinct()
+      .localCheckpoint(true) // both sides of the self-join (+ df cap)
+    val capped =
+      if (maxDocFreq <= 0) fp
+      else fp.join(fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+                     .filter(col("df") <= maxDocFreq)
+                     .select("fp_hash"),
+                   "fp_hash")
+    capped.as("a")
+      .join(capped.as("b"),
+            col("a.fp_hash") === col("b.fp_hash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Near-dup *cluster* resolution: pairs are edges of a similarity graph;
     * transitive closure via GraphX connected components picks one canonical
     * (minimum-id) doc per cluster. Returns (id, keep_id) for every doc that

@@ -45,6 +45,23 @@ class Round5Spec extends AnyFunSuite {
     assert(fp.length == 1 && fp(0).getLong(2) == 0L)
   }
 
+  test("winnowPairs: near-dups pair, unrelated docs do not; cap drops hot fps") {
+    import graft.pipeline.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (3L, "completely different words entirely unrelated to anything else here"),
+      (4L, "another disjoint document with its own private vocabulary set")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // A df cap of 1 drops every shared fingerprint -> no pairs survive.
+    val capped = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 1,
+                                   maxDocFreq = 1)
+    assert(capped.count() == 0)
+  }
+
   // --- PMI ---------------------------------------------------------------
 
   test("pmiTopK: perfectly-associated pair outranks independent pair") {
