@@ -45,6 +45,36 @@ class Round5Spec extends AnyFunSuite {
     assert(fp.length == 1 && fp(0).getLong(2) == 0L)
   }
 
+  test("winnow matches a plain-Scala reference implementation on random docs") {
+    def ref(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val toks = text.split(" ")
+      val grams =
+        if (toks.length >= k) toks.sliding(k).map(_.mkString(" ")).toVector
+        else Vector(toks.mkString(" "))
+      val hashes = grams.map { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        java.lang.Long.parseLong(md.take(5).map("%02x".format(_)).mkString, 16)
+      }
+      val m = hashes.length
+      (0 to math.max(m - w, 0)).map { i =>
+        hashes.zipWithIndex.slice(i, math.min(i + w, m))
+          .minBy { case (h, p) => (h, p) } // leftmost minimum
+      }.map { case (h, p) => (h, p.toLong) }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0 until 25).map(i => (i.toLong,
+      Vector.fill(rnd.nextInt(30) + 1)(words(rnd.nextInt(words.size)))
+        .mkString(" ")))
+    val got = TextOps.winnow(docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = docs.flatMap { case (id, t) =>
+      ref(t, 3, 4).map { case (h, p) => (id, h, p) } }.toSet
+    assert(got == want)
+  }
+
   test("winnowPairs: near-dups pair, unrelated docs do not; cap drops hot fps") {
     import graft.pipeline.Dedup
     val docs = Seq(
