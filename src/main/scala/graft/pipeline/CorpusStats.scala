@@ -115,13 +115,16 @@ object CorpusStats {
     val uni = toks.select(explode(col("ts")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cu"))
       .localCheckpoint(true) // consumed twice (total + two join probes)
-    val nTok = uni.agg(sum("cu")).collect()(0).getLong(0)
+    // sum() of an empty frame is NULL; 1L keeps the (empty) plan NaN-free.
+    val nTok = Option(uni.agg(sum("cu")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
     val bigAll = toks
       .select(explode(TextOps.shinglesOf(col("ts"), 2)).as("g"))
       .filter(size(split(col("g"), " ")) === 2) // single-token docs emit no bigram
       .groupBy("g").agg(count(lit(1)).as("cb"))
       .localCheckpoint(true) // consumed twice (total + scored)
-    val nBig = bigAll.agg(sum("cb")).collect()(0).getLong(0)
+    val nBig = Option(bigAll.agg(sum("cb")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
     val scored = bigAll
       .filter(col("cb") >= minCount)
       .withColumn("x", split(col("g"), " ")(0))

@@ -108,6 +108,13 @@ class Round5Spec extends AnyFunSuite {
     assert(top.map(_.getInt(3)).toSeq == (1 to top.length))
   }
 
+  test("pmiTopK: empty and single-token corpora yield empty results") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusStats.pmiTopK(empty, "doc_id", "text").count() == 0)
+    val singles = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    assert(CorpusStats.pmiTopK(singles, "doc_id", "text").count() == 0)
+  }
+
   test("pmiTopK: bigrams below minCount are dropped") {
     val docs = Seq((1L, "rare pair common common common common"),
                    (2L, "common common common common common common"))
