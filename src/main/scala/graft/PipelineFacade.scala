@@ -56,6 +56,22 @@ final class GraftCorpus(val frame: DataFrame,
               .select(col("id").as(idCol)), Seq(idCol), "left_anti")
   def decontaminate(bench: DataFrame): DataFrame =
     Cluster.contamination(frame, bench, idCol, textCol)
+  /** Maximal duplicated token spans (Lee et al. substring dedup). */
+  def duplicatedSpans(n: Int = 8): DataFrame =
+    Dedup.duplicatedSpans(frame, idCol, textCol, n)
+  /** Bloom blocklist probe over a content digest of each doc. */
+  def bloomProbe(members: DataFrame, memberKeyCol: String): DataFrame =
+    Dedup.bloomProbe(frame.withColumn("_digest", md5(col(textCol))),
+                     "_digest", members, memberKeyCol)
+
+  // --- PII / selection / mixture QA ---
+  def scrub(rules: Seq[(String, String)] = TextOps.defaultPiiRules): DataFrame =
+    TextOps.scrub(frame, idCol, textCol, rules)
+  def dsirWeights(targetPred: org.apache.spark.sql.Column,
+                  buckets: Int = 1024): DataFrame =
+    Sampling.dsirLogWeights(frame, idCol, textCol, targetPred, buckets)
+  def sourceDivergence(groupCol: String = "source"): DataFrame =
+    CorpusStats.sourceDivergence(frame, groupCol, textCol)
 
   // --- fingerprints / keywords / retrieval ---
   def winnow(k: Int = 4, w: Int = 4): DataFrame =

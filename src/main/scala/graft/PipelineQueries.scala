@@ -1409,6 +1409,112 @@ object PipelineQueries {
              |SELECT bigram, c_bigram, pmi, CAST(rank AS BIGINT) AS rank FROM (
              |  SELECT bigram, c_bigram, pmi, ROW_NUMBER() OVER (
              |    ORDER BY pmi DESC, bigram) AS rank FROM sc) t
-             |WHERE rank <= 25""".stripMargin))
+             |WHERE rank <= 25""".stripMargin)),
+
+    // Maximal duplicated token spans (Lee et al. 2021 substring dedup,
+    // relationally: dup 8-grams -> gaps-and-islands span merge). Linear in
+    // dup-gram occurrences — no pair join.
+    ("dedup_substring_spans",
+      (s, dir) => graft.pipeline.Dedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 8),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id AS id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
+             |      FROM toks, LATERAL (SELECT UNNEST(generate_series(0, len(t) - 8)) AS i) s
+             |      WHERE len(t) >= 8),
+             |d AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 1),
+             |p AS (SELECT id, pos FROM g JOIN d USING (g)),
+             |r AS (SELECT id, pos,
+             |        pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS grp
+             |      FROM p)
+             |SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             |       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+             |FROM r GROUP BY id, grp""".stripMargin)),
+
+    // Bloom-filter blocklist probe: the pseudo-benchmark's text digests
+    // become an auto-sized portable Bloom filter (m from n at 1% target FP)
+    // broadcast as a literal; every doc probes at scan speed, no join. The
+    // exact is_member column exposes the false-positive set.
+    ("dedup_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val members = docs.filter(col("doc_id") % 97 === 0)
+          .select(md5(col("text")).as("mk"))
+        graft.pipeline.Dedup.bloomProbe(
+            docs.select(col("doc_id"), md5(col("text")).as("digest")),
+            "digest", members, "mk")
+          .select(col("doc_id"), col("maybe_member"), col("is_member"))
+      },
+      Some(s"""WITH mem AS (SELECT DISTINCT md5(text) AS mk FROM documents WHERE doc_id % 97 = 0),
+              |mm AS (SELECT GREATEST(64, ((CAST(CEIL(COUNT(*) * $BLOOM_BITS_PER_KEY) AS BIGINT) + 63) // 64) * 64) AS m FROM mem),
+              |pos AS (SELECT DISTINCT p FROM mem, mm, LATERAL (SELECT UNNEST([
+              |          ${bloomPosSql("mk", 0)}, ${bloomPosSql("mk", 1)}, ${bloomPosSql("mk", 2)}]) AS p) u),
+              |probe AS (SELECT doc_id, md5(text) AS dg FROM documents),
+              |pj AS (SELECT doc_id, p FROM probe, mm, LATERAL (SELECT UNNEST([
+              |         ${bloomPosSql("dg", 0)}, ${bloomPosSql("dg", 1)}, ${bloomPosSql("dg", 2)}]) AS p) u),
+              |hit AS (SELECT doc_id, BOOL_AND(pos.p IS NOT NULL) AS maybe_member
+              |        FROM pj LEFT JOIN pos ON pj.p = pos.p GROUP BY 1)
+              |SELECT d.doc_id, h.maybe_member,
+              |       (md5(d.text) IN (SELECT mk FROM mem)) AS is_member
+              |FROM documents d JOIN hit h ON d.doc_id = h.doc_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram target-vs-
+    // raw log-likelihood ratio per doc; target domain = sources src0-src3.
+    ("sample_dsir",
+      (s, dir) => graft.pipeline.Sampling.dsirLogWeights(
+        t(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("source").isin("src0", "src1", "src2", "src3"),
+        buckets = 256),
+      Some(s"""WITH tok AS (SELECT doc_id AS id,
+              |              source IN ('src0','src1','src2','src3') AS is_t,
+              |              ${graft.pipeline.Sampling.dsirBucketSql("tk", 256, "dsir")} AS b
+              |       FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tk
+              |             FROM documents)),
+              |db AS (SELECT id, is_t, b, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+              |raw AS (SELECT b, SUM(c) AS cr FROM db GROUP BY 1),
+              |tg AS (SELECT b, SUM(c) AS ct FROM db WHERE is_t GROUP BY 1),
+              |tots AS (SELECT SUM(c) AS nr,
+              |                SUM(CASE WHEN is_t THEN c ELSE 0 END) AS nt FROM db)
+              |SELECT id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              |       ROUND(SUM(c * (LN((COALESCE(ct, 0) + 1.0) / (nt + 256)) -
+              |                      LN((COALESCE(cr, 0) + 1.0) / (nr + 256)))), 6) AS logw
+              |FROM db LEFT JOIN raw USING (b) LEFT JOIN tg USING (b), tots
+              |GROUP BY id""".stripMargin)),
+
+    // Pattern scrubbing / PII redaction (digit-run rule over the events
+    // payload): pure per-row regexp expressions, one scan, no shuffle.
+    ("text_scrub",
+      (s, dir) => graft.pipeline.TextOps.scrub(
+        t(s, dir, "events"), "event_id", "props",
+        rules = Seq("[0-9]+" -> "<NUM>")),
+      Some("""SELECT event_id AS id,
+             |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+             |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
+             |FROM events""".stripMargin)),
+
+    // Per-source KL divergence from the corpus unigram distribution —
+    // mixture QA; exact over the group's own support, no smoothing.
+    ("text_source_kl",
+      (s, dir) => graft.pipeline.CorpusStats.sourceDivergence(
+        t(s, dir, "documents"), "source", "text"),
+      Some("""WITH tok AS (SELECT source AS grp, UNNEST(string_split(text, ' ')) AS t FROM documents),
+             |n AS (SELECT COUNT(*) AS ntok FROM tok),
+             |c AS (SELECT t, COUNT(*) AS cc FROM tok GROUP BY 1),
+             |g AS (SELECT grp, t, COUNT(*) AS cg FROM tok GROUP BY 1, 2),
+             |gt AS (SELECT grp, SUM(cg) AS ng FROM g GROUP BY 1)
+             |SELECT grp AS source, CAST(ng AS BIGINT) AS n_tokens,
+             |       ROUND(SUM((cg * 1.0 / ng) * LN((cg * 1.0 / ng) / (cc * 1.0 / ntok))), 6) AS kl
+             |FROM g JOIN c USING (t) JOIN gt USING (grp), n
+             |GROUP BY 1, 2""".stripMargin))
   )
+
+  /** Bits-per-key for the auto-sized Bloom filter at 1% target FP:
+    * −ln(0.01)/ln²2. ONE double constant shared verbatim by the Scala
+    * sizing (Dedup.bloomProbe) and the oracle SQL so both engines land on
+    * the same m. */
+  private def BLOOM_BITS_PER_KEY: Double =
+    -math.log(0.01) / (math.log(2) * math.log(2))
+
+  /** DuckDB rendering of Dedup.bloomProbe's bit position j for key expr. */
+  private def bloomPosSql(keyExpr: String, j: Int): String =
+    s"(${graft.functions.PortableHash.md5Prefix60Sql(s"'bloom$j|' || $keyExpr")} % m)"
 }

@@ -270,6 +270,20 @@ object SystemQueries {
              |SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
              |FROM g GROUP BY user_id, sid""".stripMargin)),
 
+    // Streaming dedup (batch twin): the event stream doubled, then
+    // exactly-once'd back on event_id — per-type counts prove every
+    // duplicate died. The streaming face (dropDuplicatesWithinWatermark,
+    // watermark-bounded state) is spec-covered in StreamingSpec.
+    ("q_stream_dedup",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        EventStreams.dedupBatch(ev.unionAll(ev))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      },
+      Some("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value " +
+           "FROM events GROUP BY 1")),
+
     // SQL surface via the Graft facade: registered views + spark.sql.
     ("q_facade_sql",
       (s, dir) => {

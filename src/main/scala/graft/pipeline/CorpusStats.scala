@@ -142,6 +142,37 @@ object CorpusStats {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** Per-group KL divergence from the corpus unigram distribution —
+    * corpus-QA for mixture design: a source/domain/language whose token
+    * distribution diverges hard from the pool is boilerplate, spam, or a
+    * mislabeled language. KL(group ‖ corpus) = Σ_{t ∈ group}
+    * p_g(t) · ln(p_g(t) / p_c(t)) needs NO smoothing: the sum runs over
+    * the group's own support, where p_g > 0 by construction and p_c > 0
+    * because every group token is a corpus token — exact, and no
+    * group × vocab cross frame.
+    *
+    * Plan shape: one explode → (group, token) counts, one token-keyed
+    * join against the (|vocab|-sized, broadcastable) corpus counts, one
+    * group aggregate. Shuffles keyed by token then group. Output:
+    * (group, n_tokens, kl) with kl rounded 6 dp. */
+  def sourceDivergence(docs: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    // Materialized: consumed three times (corpus hist, totals, group hist).
+    val toks = docs.select(col(groupCol).as("grp"),
+                           explode(TextOps.tokens(col(textCol))).as("t"))
+      .localCheckpoint(true)
+    val nTok = toks.count().toDouble
+    val corpus = toks.groupBy("t").agg(count(lit(1)).as("cc"))
+    val grp = toks.groupBy("grp", "t").agg(count(lit(1)).as("cg"))
+    val grpTotals = grp.groupBy("grp").agg(sum("cg").as("ng"))
+    grp.join(corpus, "t")
+      .join(broadcast(grpTotals), "grp")
+      .groupBy(col("grp").as(groupCol))
+      .agg(first(col("ng")).as("n_tokens"),
+           round(sum((col("cg") / col("ng")) *
+             log((col("cg") / col("ng")) / (col("cc") / nTok))), 6).as("kl"))
+  }
+
   /** Top-k TF-IDF keywords per document: score = tf · ln(N / df), ranked
     * per doc (score desc, token asc). The score is ROUNDED to 6 dp BEFORE
     * ranking: mathematically-tied scores reached through different

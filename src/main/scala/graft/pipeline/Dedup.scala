@@ -327,6 +327,123 @@ object Dedup {
     }
   }
 
+  /** Maximal duplicated token spans — the suffix-array substring dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", kenlm/deduplicate-text-datasets) re-expressed relationally:
+    * an n-token gram that occurs more than once ANYWHERE in the corpus
+    * (another document or the same one) marks its start position as
+    * duplicated, and runs of consecutive duplicated starts merge into
+    * maximal spans (gaps-and-islands), so a repeated region of L >= n
+    * tokens comes back as one (id, start, L) row — the actionable form
+    * for span-level redaction, vs whole-doc dropping.
+    *
+    * Plan shape: shingle explode → groupBy(gram) HAVING count > 1 →
+    * join positions back → per-doc gaps-and-islands window. Cost is
+    * LINEAR in occurrences of duplicated grams — no pair join, so a gram
+    * in k docs contributes k rows (not k², the hot-key hazard of pairwise
+    * shingle joins). Shuffles: gram key (aggregate + join-back), then doc
+    * id (the window). With `hashed` the gram key is xxhash64'd first —
+    * 8-byte shuffle keys at 100 TB; raw strings keep the oracle bit-exact.
+    *
+    * Docs shorter than n tokens have no n-gram and never appear (full-doc
+    * duplication at that length is [[exactGroups]]' job). Returns
+    * (id, span_start, span_len): token offsets, span_len >= n. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, hashed: Boolean = false): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    // Tokens projected before the shingle lambda (shinglesOf perf contract).
+    val grams0 = docs
+      .select(col(idCol).cast("long").as("id"),
+              TextOps.tokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) >= n)
+      .select(col("id"),
+              posexplode(TextOps.shinglesOf(col("ts"), n)).as(Seq("pos", "g")))
+    val grams = if (hashed) grams0.select(col("id"), col("pos"),
+                                          xxhash64(col("g")).as("g"))
+                else grams0
+    // Materialized: feeds both the dup-gram aggregate and the position
+    // join-back (no CSE across the two consumers otherwise).
+    val keyed = grams.localCheckpoint(true)
+    val dupG = keyed.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("g")
+    val dupPos = keyed.join(dupG, "g").select("id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("id", "grp")
+      .agg(min("pos").cast("long").as("span_start"),
+           (max("pos") - min("pos") + n).cast("long").as("span_len"))
+      .select("id", "span_start", "span_len")
+  }
+
+  /** Portable Bloom-filter membership probe — the 100 TB shape for "is
+    * this digest/URL in the blocklist": build an m-bit Bloom filter over
+    * the member keys, ship it to every task as a broadcast-sized LITERAL
+    * (m/64 longs), and probe each corpus row with a pure expression. The
+    * corpus never shuffles and never joins — membership is scan-speed,
+    * which is why blocklist checks at scale are Bloom probes rather than
+    * anti-joins (Bloom 1970; the standard false-positive rate
+    * (1 − e^{−kn/m})^k applies — false negatives are impossible).
+    *
+    * Bit position j of key x = md5Prefix60("bloom<j>|" ⧺ x) mod m: any
+    * engine with md5 rebuilds the identical filter, so probes are
+    * oracle-verifiable. `mBits <= 0` sizes the filter from the member
+    * count for `fpTarget` via the textbook m = ⌈−n·ln p / ln²2⌉ (rounded
+    * up to whole 64-bit words, floor 64).
+    *
+    * The member set is collected to the driver — it is the SMALL side by
+    * contract (blocklists, benchmark digests); corpus-sized member sets
+    * want a shuffle anti-join instead. Returns df's rows plus
+    * `maybe_member` (the Bloom answer) and `is_member` (exact, via an
+    * isin literal over the same collected keys) so callers can observe
+    * the false-positive set directly. */
+  def bloomProbe(df: DataFrame, keyCol: String, members: DataFrame,
+                 memberKeyCol: String, mBits: Int = -1, k: Int = 3,
+                 fpTarget: Double = 0.01): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keys = members.select(col(memberKeyCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val m: Long =
+      if (mBits > 0) mBits.toLong
+      else {
+        // log(2)*log(2), NOT pow(log(2), 2): the oracle SQL interpolates
+        // the same double constant, and pow is only 1-ulp-accurate.
+        val raw = math.ceil(
+          keys.length * (-math.log(fpTarget) / (math.log(2) * math.log(2)))).toLong
+        math.max(64L, ((raw + 63L) / 64L) * 64L)
+      }
+    // Build the filter driver-side with the SAME hash the probe uses, via
+    // a one-row-per-member Spark job (keeps the md5Prefix60 definition
+    // single-sourced in the kernel rather than re-implemented in Scala).
+    // The filter ships as the sorted array of SET bit positions — a Bloom
+    // filter is exactly its set-bit set, and position arrays keep the
+    // probe in portable column expressions (a packed-long bitset needs a
+    // variable-amount bit shift, which the Scala DSL doesn't expose). The
+    // probe is a linear array_contains per hash — fine for blocklist-
+    // sized filters; a saturated multi-MB filter wants a native bitset
+    // Expression instead.
+    def positions(keyC: Column, j: Int): Column =
+      pmod(graft.functions.PortableHash.md5Prefix60(
+        concat(lit(s"bloom$j|"), keyC)), lit(m))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val setBits: Array[Long] =
+      if (keys.isEmpty) Array.empty
+      else keys.toSeq.toDF("mk")
+        .select(explode(array((0 until k).map(j => positions(col("mk"), j)): _*))
+                  .as("p"))
+        .distinct().collect().map(_.getLong(0)).sorted
+    val bitsLit = typedlit(setBits.toSeq)
+    val key = col(keyCol).cast("string")
+    val maybe = (0 until k)
+      .map(j => array_contains(bitsLit, positions(key, j)))
+      .reduce(_ && _)
+    df.withColumn("maybe_member", maybe)
+      .withColumn("is_member",
+        if (keys.isEmpty) lit(false) else key.isin(keys.toSeq: _*))
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     * exact cosine verification (see Similarity.hyperplaneBucket), on the
     * fused native kernels — bucket signatures and pair cosines are the two

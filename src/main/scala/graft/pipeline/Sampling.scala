@@ -80,6 +80,63 @@ object Sampling {
       .drop("_n")
   }
 
+  /** DSIR-style hashed-feature importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling", public
+    * paper): score every document by how target-domain-like it is,
+    *
+    *   log w(doc) = Σ_buckets count_doc(b) · ln( p_target(b) / p_raw(b) )
+    *
+    * where tokens hash into `buckets` features (the portable md5 family,
+    * so the oracle replays the bucketing) and both distributions are
+    * add-one-smoothed bucket unigram models — target over the rows
+    * matching `targetPred`, raw over the whole corpus. High-weight docs
+    * are the ones importance resampling keeps (pair with
+    * [[weightedSample]] after squashing logw to [0,1]).
+    *
+    * Plan shape: ONE exploded (id, bucket) count frame feeds both
+    * histograms and the scoring join; the histograms are at most
+    * `buckets` rows — broadcast, never shuffled — and the per-doc sum is
+    * one hash aggregate. At 100 TB: corpus scans once, shuffles once on
+    * (id, bucket), once on id; the constant-size histograms are the only
+    * driver state. Returns (id, n_tokens, logw), logw rounded 6 dp. */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     targetPred: Column, buckets: Int = 1024,
+                     salt: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = pmod(graft.functions.PortableHash.md5Prefix60(
+      concat(lit(salt), lit("|"), col("t"))), lit(buckets.toLong))
+    // Materialized: consumed three times (raw hist, target hist, scoring).
+    val docBucket = docs
+      .select(col(idCol).as("id"), targetPred.as("tgt"),
+              explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("id"), col("tgt"), b.as("b"))
+      .groupBy("id", "tgt", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val rawHist = docBucket.groupBy("b").agg(sum("c").as("cr"))
+    val tgtHist = docBucket.filter(col("tgt")).groupBy("b")
+      .agg(sum("c").as("ct"))
+    val totals = docBucket.agg(
+      sum("c").as("nr"), sum(when(col("tgt"), col("c")).otherwise(0L)).as("nt"))
+      .collect()(0)
+    val (nr, nt) = (totals.getLong(0), totals.getLong(1))
+    // ln p_tgt(b) − ln p_raw(b), add-one smoothed; buckets absent from a
+    // histogram still get their +1 mass via the coalesce.
+    val logRatio =
+      log((coalesce(col("ct"), lit(0L)) + 1.0) / (nt + buckets).toDouble) -
+      log((coalesce(col("cr"), lit(0L)) + 1.0) / (nr + buckets).toDouble)
+    docBucket
+      .join(broadcast(rawHist), Seq("b"), "left")
+      .join(broadcast(tgtHist), Seq("b"), "left")
+      .groupBy("id")
+      .agg(sum("c").as("n_tokens"),
+           round(sum(col("c") * logRatio), 6).as("logw"))
+  }
+
+  /** DuckDB rendering of the [[dsirLogWeights]] bucket for oracle SQL. */
+  def dsirBucketSql(tokExpr: String, buckets: Int, salt: String): String =
+    s"(${graft.functions.PortableHash.md5Prefix60Sql(
+      s"'$salt' || '|' || $tokExpr")} % $buckets)"
+
   /** Deterministic train/validation/test (or any n-way) split: appends a
     * `split` column chosen by cumulative weight over the hash bucket.
     * Weights need not sum to 1 — they are normalized. */

@@ -187,6 +187,38 @@ object TextOps {
                 reasons.as("reasons"))
   }
 
+  /** Default PII redaction rules (pattern → replacement token), applied in
+    * order: emails, IPv4 addresses, long digit runs (phone/account/SSN
+    * shapes). All patterns are in the lookaround-free portable regex
+    * subset (see [[portablePattern]]'s caveat), so scrubbed output is
+    * oracle-verifiable across RE2-based engines. */
+  val defaultPiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "[0-9][0-9 ()+.-]{6,}[0-9]" -> "<PHONE>")
+
+  /** Pattern scrubbing / PII redaction: apply `rules` (regex →
+    * replacement) in order and count total redactions — the
+    * pre-training-time PII pass (emails, IPs, phone shapes scrubbed
+    * before anything ships to a trainer). Pure per-row regexp
+    * expressions: the corpus scrubs in one scan, no shuffle, no UDF.
+    * Returns (id, scrubbed, n_redactions). Rule ORDER is semantic — an
+    * IPv4 is also a digit-run, so the more specific pattern runs first
+    * and later counts run on the already-scrubbed text. */
+  def scrub(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String,
+            rules: Seq[(String, String)] = defaultPiiRules)
+      : org.apache.spark.sql.DataFrame = {
+    require(rules.nonEmpty, "need at least one (pattern, replacement) rule")
+    val (scrubbed, nRed) = rules.foldLeft((col(textCol), lit(0L))) {
+      case ((text, n), (pat, rep)) =>
+        (regexp_replace(text, pat, rep),
+         n + size(regexp_extract_all(text, lit(pat), lit(0))))
+    }
+    docs.select(col(idCol).as("id"), scrubbed.as("scrubbed"),
+                nRed.cast("long").as("n_redactions"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
     * k-gram, then keep the minimum hash of each window of `w` consecutive

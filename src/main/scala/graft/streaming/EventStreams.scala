@@ -135,6 +135,12 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Batch twin of [[dedupStream]]: plain key dedup on a static frame —
+    * what the watermark-bounded streaming state converges to when every
+    * duplicate arrives inside the horizon. */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   /** Batch-mode twin of [[windowedCounts]] — same expressions on a static
     * frame; used to cross-check streaming output in specs and to serve the
     * operator over the parquet testdata. */

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{CorpusStats, Dedup, Sampling, TextOps}
+
+/** Round-5 second batch: substring-span dedup, Bloom blocklist probe,
+  * DSIR importance weights, PII scrubbing, source-divergence QA. */
+class Round5bSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // --- duplicated spans --------------------------------------------------
+
+  // Docs 1 and 2 share the 6-token run "c1 c2 c3 c4 c5 c6" embedded in
+  // otherwise-unique text; doc 3 is all-unique.
+  val spanDocs = Seq(
+    (1L, "a1 a2 a3 c1 c2 c3 c4 c5 c6 a4 a5 a6"),
+    (2L, "b1 b2 c1 c2 c3 c4 c5 c6 b3 b4 b5 b6"),
+    (3L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12")
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpans: shared region comes back as ONE maximal span per doc") {
+    val spans = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // The shared 6-token run has three duplicated 4-gram starts in each
+    // doc; gaps-and-islands merges them into one span of exactly 6 tokens.
+    assert(spans == Set((1L, 3L, 6L), (2L, 2L, 6L)))
+  }
+
+  test("duplicatedSpans: within-doc repeats count as duplication") {
+    val df = Seq((7L, "x1 x2 x3 x4 z1 z2 x1 x2 x3 x4")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((0L, 4L), (6L, 4L)))
+  }
+
+  test("duplicatedSpans: hashed keys produce identical spans") {
+    val raw = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 4)
+      .collect().toSet
+    val hashed = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 4,
+                                       hashed = true).collect().toSet
+    assert(raw == hashed)
+  }
+
+  test("duplicatedSpans: docs shorter than n never appear") {
+    val df = Seq((1L, "s1 s2"), (2L, "s1 s2")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(df, "doc_id", "text", n = 4).count() == 0)
+  }
+
+  // --- Bloom probe -------------------------------------------------------
+
+  val bloomCorpus = (0L until 200L).map(i => (i, s"content-$i")).toDF("id", "key")
+
+  test("bloomProbe: no false negatives, FP rate near target") {
+    val members = bloomCorpus.filter(col("id") % 10 === 0).select(col("key"))
+    val probed = Dedup.bloomProbe(bloomCorpus, "key", members, "key")
+      .select(col("id"), col("maybe_member"), col("is_member"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    // Every true member must be caught (Bloom guarantees no false negs).
+    assert(probed.filter(_._3).forall(_._2))
+    // FPs exist in principle but must be rare (1% target; allow 5x slack).
+    val nonMembers = probed.filterNot(_._3)
+    val fps = nonMembers.count(_._2)
+    assert(fps <= math.max(2, (nonMembers.length * 0.05).toInt),
+           s"$fps false positives out of ${nonMembers.length}")
+  }
+
+  test("bloomProbe: empty member set matches nothing") {
+    val members = bloomCorpus.filter(lit(false)).select(col("key"))
+    val probed = Dedup.bloomProbe(bloomCorpus, "key", members, "key")
+    assert(probed.filter(col("maybe_member") || col("is_member")).count() == 0)
+  }
+
+  test("bloomProbe: explicit mBits is honored and still has no false negatives") {
+    val members = bloomCorpus.filter(col("id") < 3).select(col("key"))
+    val probed = Dedup.bloomProbe(bloomCorpus, "key", members, "key",
+                                  mBits = 64, k = 2)
+    assert(probed.filter(col("is_member") && !col("maybe_member")).count() == 0)
+  }
+
+  // --- DSIR weights ------------------------------------------------------
+
+  test("dsirLogWeights: target-like docs outrank raw-like docs") {
+    // Target docs speak "alpha"; raw docs speak "beta"; one probe doc of
+    // each dialect outside the target set.
+    val docs = ((0 until 20).map(i => (i.toLong, "alpha" * 1 + s" alpha a$i", i < 10)) ++
+      Seq((100L, "alpha alpha alpha", false), (101L, "beta beta beta", false)))
+      .toDF("doc_id", "text", "is_tgt")
+    val w = Sampling.dsirLogWeights(docs, "doc_id", "text", col("is_tgt"),
+                                    buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(100L) > w(101L),
+           s"alpha-dialect doc should outweigh beta-dialect: $w")
+  }
+
+  test("dsirLogWeights: weight sums are deterministic across partitionings") {
+    val docs = (0 until 50).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 3} tok${i % 11} filler$i", i % 5 == 0))
+      .toDF("doc_id", "text", "is_tgt")
+    val a = Sampling.dsirLogWeights(docs, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = Sampling.dsirLogWeights(docs.repartition(7), "doc_id", "text",
+                                    col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+
+  // --- PII scrubbing -----------------------------------------------------
+
+  test("scrub: default PII rules redact emails, IPs, phone shapes in order") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or 10.0.0.1 or +1 (415) 555-0199 now"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "contact <EMAIL> or <IP> or +<PHONE> now")
+    assert(out(1L)._2 == 3L)
+    assert(out(2L) == ("no pii here at all", 0L))
+  }
+
+  test("scrub: rule order is semantic (IP before digit-run)") {
+    val docs = Seq((1L, "ip 10.0.0.1 acct 12345678")).toDF("doc_id", "text")
+    val out = TextOps.scrub(docs, "doc_id", "text",
+      rules = Seq("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+                  "[0-9]{5,}" -> "<NUM>")).collect()(0)
+    assert(out.getString(1) == "ip <IP> acct <NUM>")
+    assert(out.getLong(2) == 2L)
+  }
+
+  // --- source divergence -------------------------------------------------
+
+  test("sourceDivergence: corpus-identical group scores ~0, skewed group is positive") {
+    val docs = (Seq.fill(10)("w1 w2 w3 w4").zipWithIndex.map { case (t, i) =>
+      (s"balanced", t + s"")
+    } ++ Seq.fill(10)(("skewed", "w1 w1 w1 w1"))).toDF("source", "text")
+    val kl = CorpusStats.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl("skewed") > kl("balanced"))
+    assert(kl("skewed") > 0.1)
+    assert(kl("balanced") >= 0.0) // KL is non-negative
+  }
+
+  // --- streaming dedup batch twin -----------------------------------------
+
+  test("dedupBatch: doubled input collapses to distinct event ids") {
+    val ev = Seq((1L, "click", 1.0), (2L, "view", 2.0), (3L, "click", 3.0))
+      .toDF("event_id", "event_type", "value")
+    val out = graft.streaming.EventStreams.dedupBatch(ev.unionAll(ev))
+    assert(out.count() == 3)
+    assert(out.agg(sum("value")).collect()(0).getDouble(0) == 6.0)
+  }
+}
