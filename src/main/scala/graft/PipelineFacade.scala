@@ -59,6 +59,12 @@ final class GraftCorpus(val frame: DataFrame,
   /** Maximal duplicated token spans (Lee et al. substring dedup). */
   def duplicatedSpans(n: Int = 8): DataFrame =
     Dedup.duplicatedSpans(frame, idCol, textCol, n)
+  /** Corpus with duplicated spans redacted (span-level dedup surgery). */
+  def redactSpans(n: Int = 8): DataFrame =
+    Dedup.redactSpans(frame, idCol, textCol, n)
+  /** Zipf rank-frequency slope over the top-N vocabulary (corpus QA). */
+  def zipf(topN: Int = 100): DataFrame =
+    CorpusStats.zipfSlope(frame, textCol, topN)
   /** Bloom blocklist probe over a content digest of each doc. */
   def bloomProbe(members: DataFrame, memberKeyCol: String): DataFrame =
     Dedup.bloomProbe(frame.withColumn("_digest", md5(col(textCol))),
@@ -103,6 +109,9 @@ final class GraftVectors(val frame: DataFrame) {
   def classify(queries: DataFrame, k: Int = 10): DataFrame =
     Similarity.knnClassify(frame, queries, k)
   def labelCentroids(): DataFrame = Similarity.labelCentroids(frame)
+  def outliers(k: Int = 3): DataFrame = Similarity.labelOutliers(frame, k)
+  def recallOf(approx: DataFrame, truth: DataFrame): DataFrame =
+    Similarity.annRecall(truth, approx)
   def kmeans(k: Int, dim: Int, iters: Int = 2): DataFrame =
     Cluster.kmeansFixed(frame, k, dim, iters)
   def nearDupPairs(threshold: Double = 0.9, planes: Int = 6): DataFrame =

@@ -1417,18 +1417,26 @@ object PipelineQueries {
     ("dedup_substring_spans",
       (s, dir) => graft.pipeline.Dedup.duplicatedSpans(
         t(s, dir, "documents"), "doc_id", "text", n = 8),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |g AS (SELECT doc_id AS id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
-             |      FROM toks, LATERAL (SELECT UNNEST(generate_series(0, len(t) - 8)) AS i) s
-             |      WHERE len(t) >= 8),
-             |d AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 1),
-             |p AS (SELECT id, pos FROM g JOIN d USING (g)),
-             |r AS (SELECT id, pos,
-             |        pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS grp
-             |      FROM p)
-             |SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
-             |       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
-             |FROM r GROUP BY id, grp""".stripMargin)),
+      Some(s"WITH $spanCtes SELECT id, span_start, span_len FROM spans")),
+
+    // Span redaction: the actionable composition over the spans — every
+    // token inside a duplicated span dropped, text reassembled in token
+    // order (Lee et al. drop the repeated bytes, not the documents).
+    ("dedup_span_redact",
+      (s, dir) => graft.pipeline.Dedup.redactSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 8),
+      Some(s"""WITH $spanCtes,
+              |tk AS (SELECT doc_id AS id, i AS pos, t[i+1] AS tok
+              |       FROM toks, LATERAL (SELECT UNNEST(generate_series(0, len(t) - 1)) AS i) u),
+              |kept AS (SELECT k.id, k.pos, k.tok FROM tk k
+              |         WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.id = k.id
+              |           AND k.pos >= s.span_start AND k.pos < s.span_start + s.span_len)),
+              |agg AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS redacted,
+              |               COUNT(*) AS kept_n
+              |        FROM kept GROUP BY 1)
+              |SELECT doc_id AS id, COALESCE(a.redacted, '') AS redacted,
+              |       CAST(len(t) - COALESCE(a.kept_n, 0) AS BIGINT) AS n_dropped
+              |FROM toks LEFT JOIN agg a ON toks.doc_id = a.id""".stripMargin)),
 
     // Bloom-filter blocklist probe: the pseudo-benchmark's text digests
     // become an auto-sized portable Bloom filter (m from n at 1% target FP)
@@ -1504,8 +1512,94 @@ object PipelineQueries {
              |SELECT grp AS source, CAST(ng AS BIGINT) AS n_tokens,
              |       ROUND(SUM((cg * 1.0 / ng) * LN((cg * 1.0 / ng) / (cc * 1.0 / ntok))), 6) AS kl
              |FROM g JOIN c USING (t) JOIN gt USING (grp), n
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ANN recall report: LSH top-5 measured against brute-force truth per
+    // query — the evaluation op every approximate tier ships with.
+    ("ann_recall",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        val q = emb.filter(col("id") < 20)
+        Similarity.annRecall(Similarity.bruteTopK(emb, q, k = 5),
+                             Similarity.lshTopK(emb, q, k = 5))
+      },
+      Some {
+        val tables = (0 until 2).map { p =>
+          val seed = 4.2 + p * 17.31
+          s"""SELECT a.id AS nid, q.id AS qid, a.v AS nv, q.v AS qv
+             |      FROM (SELECT id, v, ${bucketSql("v", 8, seed)} AS bkt FROM e) a
+             |      JOIN (SELECT id, v, ${bucketSql("v", 8, seed)} AS bkt FROM e WHERE id < 20) q
+             |      ON a.bkt = q.bkt AND a.id <> q.id""".stripMargin
+        }
+        s"""WITH e AS ($embedsSql),
+           |bt AS (SELECT qid, nid FROM (
+           |  SELECT q.id AS qid, n.id AS nid, ROW_NUMBER() OVER (PARTITION BY q.id
+           |    ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.id) AS rank
+           |  FROM e q, e n WHERE q.id < 20 AND n.id <> q.id) t WHERE rank <= 5),
+           |cand AS (${tables.mkString(" UNION ")}),
+           |sc AS (SELECT qid, nid, ${cosSql("qv", "nv")} AS cs FROM cand),
+           |lt AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY cs DESC, nid) AS rank FROM sc) t WHERE rank <= 5),
+           |tr AS (SELECT qid, COUNT(*) AS n_true FROM bt GROUP BY 1),
+           |hit AS (SELECT qid, COUNT(*) AS n_hit FROM bt JOIN lt USING (qid, nid) GROUP BY 1)
+           |SELECT tr.qid, tr.n_true, COALESCE(hit.n_hit, 0) AS n_hit,
+           |       ROUND(COALESCE(hit.n_hit, 0) * 1.0 / tr.n_true, 6) AS recall
+           |FROM tr LEFT JOIN hit USING (qid)""".stripMargin
+      }),
+
+    // Per-label embedding outliers: lowest-3 cosine to the own-label
+    // centroid (6-dp-rounded prototypes; score rounded before ranking).
+    ("emb_outliers",
+      (s, dir) => Similarity.labelOutliers(embWithLabel(s, dir), k = 3)
+        .withColumn("rank", col("rank").cast("long")),
+      Some(s"""WITH e AS ($embedsLabelSql),
+              |cent AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS mean
+              |         FROM e CROSS JOIN generate_series(1, 64) t(i) GROUP BY 1, 2),
+              |sc AS (SELECT e.id, e.label,
+              |         ROUND(SUM(v[i] * mean) / (SQRT(SUM(v[i] * v[i])) * SQRT(SUM(mean * mean))), 6) AS cos
+              |       FROM e JOIN cent ON e.label = cent.label
+              |       GROUP BY 1, 2)
+              |SELECT id, label, cos, CAST(rank AS BIGINT) AS rank FROM (
+              |  SELECT id, label, cos, ROW_NUMBER() OVER (PARTITION BY label
+              |    ORDER BY cos ASC, id) AS rank FROM sc) t
+              |WHERE rank <= 3""".stripMargin)),
+
+    // Zipf rank-frequency slope over the top-100 vocabulary (closed-form
+    // OLS on the log-log curve) — corpus-health QA.
+    ("text_zipf",
+      (s, dir) => graft.pipeline.CorpusStats.zipfSlope(
+        t(s, dir, "documents"), "text", topN = 100),
+      Some("""WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents),
+             |c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+             |top AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+             |        FROM c ORDER BY c DESC, t LIMIT 100),
+             |xy AS (SELECT LN(r) AS x, LN(c) AS y FROM top),
+             |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |             SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM xy)
+             |SELECT CAST(n AS BIGINT) AS n_top,
+             |       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+             |       ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
+             |FROM s""".stripMargin))
   )
+
+  /** Shared CTE chain for the duplicated-span oracles (Lee et al.
+    * substring dedup): dup 8-grams → gaps-and-islands → `spans`
+    * (id, span_start, span_len). ONE definition so the spans query and
+    * the redaction query can never disagree on span semantics. */
+  private def spanCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id AS id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
+      |      FROM toks, LATERAL (SELECT UNNEST(generate_series(0, len(t) - 8)) AS i) s
+      |      WHERE len(t) >= 8),
+      |d AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 1),
+      |p AS (SELECT id, pos FROM g JOIN d USING (g)),
+      |r AS (SELECT id, pos,
+      |        pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS grp
+      |      FROM p),
+      |spans AS (SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |                 CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+      |          FROM r GROUP BY id, grp)""".stripMargin
 
   /** Bits-per-key for the auto-sized Bloom filter at 1% target FP:
     * −ln(0.01)/ln²2. ONE double constant shared verbatim by the Scala

@@ -284,6 +284,29 @@ object SystemQueries {
       Some("SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value " +
            "FROM events GROUP BY 1")),
 
+    // Stream-stream interval join (batch twin): each click enriched with
+    // the same user's views from the preceding 5 minutes — the
+    // attribution join whose time bound is what bounds streaming state.
+    ("q_stream_join",
+      (s, dir) => {
+        // Integer `div`, not `/`: the ns epochs exceed double's 53-bit
+        // mantissa, and the join compares timestamps EXACTLY, so the
+        // floor-to-second must be bit-identical to the oracle's `//`.
+        val ev = t(s, dir, "events")
+          .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+        EventStreams.intervalJoinBatch(ev)
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS s
+             |           FROM events WHERE event_type = 'click'),
+             |v AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s, value
+             |      FROM events WHERE event_type = 'view')
+             |SELECT c.event_id AS click_id, c.user_id,
+             |       CAST(COUNT(v.s) AS BIGINT) AS n_views,
+             |       ROUND(COALESCE(SUM(v.value), 0), 4) AS views_value
+             |FROM c LEFT JOIN v ON c.user_id = v.user_id
+             |                   AND v.s <= c.s AND v.s >= c.s - 300
+             |GROUP BY 1, 2""".stripMargin)),
+
     // SQL surface via the Graft facade: registered views + spark.sql.
     ("q_facade_sql",
       (s, dir) => {

@@ -173,6 +173,35 @@ object CorpusStats {
              log((col("cg") / col("ng")) / (col("cc") / nTok))), 6).as("kl"))
   }
 
+  /** Zipf rank-frequency slope over the top-N vocabulary — the corpus
+    * health check (natural language sits near slope −1; templated or
+    * machine-generated corpora bend hard away from it; Zipf 1949). Closed-
+    * form OLS of ln(count) on ln(rank): slope = (NΣxy − ΣxΣy)/(NΣx² −
+    * (Σx)²) — no iteration, no driver math beyond the final row. The
+    * corpus-wide vocabulary count is one explode → groupBy; the top-N cut
+    * is orderBy+limit (TakeOrdered — never a partitionless window over
+    * the vocab), and the regression aggregates N scalars. Output: one row
+    * (n_top, zipf_slope, intercept), 6 dp. */
+  def zipfSlope(docs: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN > 1, s"need topN > 1 for a slope, got $topN")
+    val counts = docs.select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("t").asc).limit(topN)
+    val w = Window.orderBy(col("c").desc, col("t").asc)
+    val xy = top.withColumn("r", row_number().over(w))
+      .select(log(col("r")).as("x"), log(col("c")).as("y"))
+    xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n").as("n_top"),
+              round(col("slope"), 6).as("zipf_slope"),
+              round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
+                .as("intercept"))
+  }
+
   /** Top-k TF-IDF keywords per document: score = tf · ln(N / df), ranked
     * per doc (score desc, token asc). The score is ROUNDED to 6 dp BEFORE
     * ranking: mathematically-tied scores reached through different

@@ -377,6 +377,45 @@ object Dedup {
       .select("id", "span_start", "span_len")
   }
 
+  /** Redact duplicated spans from the corpus — the actionable composition
+    * over [[duplicatedSpans]] (Lee et al. 2021 drop the repeated bytes,
+    * not the documents; span-level surgery preserves the unique remainder
+    * of mostly-boilerplate docs that whole-doc dedup would throw away).
+    * Every token covered by a duplicated span is dropped in EVERY
+    * occurrence — the aggressive mode; keeping one canonical occurrence
+    * per repeated string needs a global cluster-representative election,
+    * which pipelines typically skip because the span text usually
+    * survives verbatim in some below-threshold (< n-token) context.
+    *
+    * Plan shape: posexplode tokens → anti-join the span ranges (equi on
+    * doc id + range residual — never a cross join) → rebuild text with a
+    * sort_array over (pos, token) structs, so reassembly is deterministic
+    * under any partitioning. Docs with every token redacted come back as
+    * ''. Returns (id, redacted, n_dropped). */
+  def redactSpans(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 8, hashed: Boolean = false): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, n, hashed)
+      .localCheckpoint(true) // small; anti-join probe side
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+                           posexplode(TextOps.tokens(col(textCol)))
+                             .as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+        toks("id") === spans("id") && col("pos") >= col("span_start") &&
+          col("pos") < col("span_start") + col("span_len"),
+        "left_anti")
+      .groupBy("id")
+      .agg(concat_ws(" ",
+             transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                       s => s.getField("tok"))).as("redacted"),
+           count(lit(1)).as("_kept"))
+    docs.select(col(idCol).cast("long").as("id"),
+                TextOps.tokenCount(col(textCol)).cast("long").as("_total"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("redacted"), lit("")).as("redacted"),
+              (col("_total") - coalesce(col("_kept"), lit(0L)))
+                .cast("long").as("n_dropped"))
+  }
+
   /** Portable Bloom-filter membership probe — the 100 TB shape for "is
     * this digest/URL in the blocklist": build an m-bit Bloom filter over
     * the member keys, ship it to every task as a broadcast-sized LITERAL

@@ -260,6 +260,56 @@ object Similarity {
       .select(col("label"), col("pos").cast("long").as("pos"),
               col("mean"), col("n"))
 
+  /** Recall of an approximate ANN result against exact ground truth — the
+    * evaluation operator behind every planes/probes/cells tuning decision
+    * ("measure, don't guess": an ANN tier without a recall report is not
+    * done). Both inputs are any (qid, nid, …) neighbor frames, e.g.
+    * [[bruteTopK]] as truth and [[lshTopK]]/[[ivfTopK]]/[[pqTopK]] as the
+    * candidate. Per-query recall = |approx ∩ truth| / |truth| — exact
+    * small-integer ratios, float-safe across engines. Two tiny joins over
+    * already-k-bounded frames; cost is |Q|·k rows regardless of corpus
+    * size. Output: (qid, n_true, n_hit, recall). */
+  def annRecall(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("qid"), col("nid"))
+    val hits = t.join(approx.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    t.groupBy("qid").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_true"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+              round(coalesce(col("n_hit"), lit(0L)) / col("n_true"), 6)
+                .as("recall"))
+  }
+
+  /** Per-label embedding outliers: each vector's cosine to its OWN label's
+    * centroid, lowest-k per label — the standard mislabeled-example /
+    * noisy-embedding screen before contrastive training. Centroids are the
+    * 6-dp-rounded [[labelCentroids]] means (the quantize-iterative-state
+    * trick: both engines score against bit-identical prototypes). The
+    * scoring join is LONG-FORM — (id, pos, x) rows joined to (label, pos)
+    * centroid rows, one hash aggregate per id — so no vector ever crosses
+    * a shuffle whole and the plan is the scatter-gather shape that holds
+    * at 100 TB. Scores are rounded BEFORE ranking (float-route ties break
+    * on id identically everywhere). Output: (id, label, cos, rank). */
+  def labelOutliers(emb: DataFrame, k: Int = 3, labelCol: String = "label",
+                    vecCol: String = "vec"): DataFrame = {
+    val cents = labelCentroids(emb, labelCol, vecCol)
+      .select(col("label"), col("pos"), col("mean"))
+    val parts = emb.select(col("id"), col(labelCol).as("label"),
+                           posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .join(cents, Seq("label", "pos"))
+      .groupBy("id", "label")
+      .agg(sum(col("x") * col("mean")).as("dot"),
+           sum(col("x") * col("x")).as("vv"),
+           sum(col("mean") * col("mean")).as("cc"))
+    val scored = parts.select(col("id"), col("label"),
+      round(col("dot") / (sqrt(col("vv")) * sqrt(col("cc"))), 6).as("cos"))
+    val w = Window.partitionBy("label").orderBy(col("cos").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("label"), col("cos"), col("rank"))
+  }
+
   /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
     * each query probes its `probes` nearest cells — the standard
     * recall/cost knob (recall grows with probed cells, scan cost stays

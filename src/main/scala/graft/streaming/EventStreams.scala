@@ -135,6 +135,54 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each `leftType` event (e.g. click)
+    * enriched with the same user's `rightType` events (e.g. views) from
+    * the preceding `windowSec` seconds — the attribution/funnel join.
+    * Both sides are unbounded; the time-bound condition is what makes it
+    * runnable as a STREAMING join: with a watermark on both inputs, Spark
+    * derives the state horizon from the bound and evicts right-side rows
+    * older than `watermark + windowSec`, so state stays bounded no matter
+    * how long the streams run. Use [[intervalJoinBatch]]'s expressions via
+    * `events.withWatermark(...)` on both sides for the streaming form
+    * (spec-covered); the batch twin aggregates to one row per left event:
+    * (click_id, user_id, n_views, views_value). */
+  def intervalJoinBatch(events: DataFrame, leftType: String = "click",
+                        rightType: String = "view",
+                        windowSec: Long = 300): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("l_ts"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+              col("value").as("r_value"))
+    l.join(r,
+        col("user_id") === col("r_user") && col("r_ts") <= col("l_ts") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSec SECONDS"),
+        "left")
+      .groupBy("click_id", "user_id")
+      .agg(count(col("r_ts")).as("n_views"),
+           round(coalesce(sum("r_value"), lit(0.0)), 4).as("views_value"))
+  }
+
+  /** Streaming form of [[intervalJoinBatch]] (pre-aggregation): watermarked
+    * left-outer interval join emitting one row per (left event, matched
+    * right event or null). Inner rows emit as matches arrive; unmatched
+    * left rows emit once the watermark passes their join horizon. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         windowSec: Long = 300,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+              col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") && col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSec SECONDS"),
+      "leftOuter")
+  }
+
   /** Batch twin of [[dedupStream]]: plain key dedup on a static frame —
     * what the watermark-bounded streaming state converges to when every
     * duplicate arrives inside the horizon. */

@@ -142,6 +142,69 @@ class Round5bSpec extends AnyFunSuite {
     assert(kl("balanced") >= 0.0) // KL is non-negative
   }
 
+  // --- span redaction ------------------------------------------------------
+
+  test("redactSpans: duplicated region removed everywhere, remainder intact") {
+    val out = Dedup.redactSpans(spanDocs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a1 a2 a3 a4 a5 a6", 6L))
+    assert(out(2L) == ("b1 b2 b3 b4 b5 b6", 6L))
+    assert(out(3L)._2 == 0L) // unique doc untouched
+  }
+
+  test("redactSpans: fully-duplicated doc comes back empty, not missing") {
+    val df = Seq((1L, "p1 p2 p3 p4"), (2L, "p1 p2 p3 p4")).toDF("doc_id", "text")
+    val out = Dedup.redactSpans(df, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ("", 4L), 2L -> ("", 4L)))
+  }
+
+  // --- ANN recall ----------------------------------------------------------
+
+  test("annRecall: identical results give recall 1, disjoint give 0") {
+    val t = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("qid", "nid")
+    val same = graft.pipeline.Similarity.annRecall(t, t)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(same == Map(1L -> 1.0, 2L -> 1.0))
+    val miss = Seq((1L, 99L), (2L, 98L)).toDF("qid", "nid")
+    val zero = graft.pipeline.Similarity.annRecall(t, miss)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(zero == Map(1L -> 0.0, 2L -> 0.0))
+  }
+
+  test("annRecall: lsh recall over testdata is sane and brute self-recall is 1") {
+    val emb = graft.score.Embeddings.fromParquet(
+      spark, "/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("id") < 5)
+    val truth = graft.pipeline.Similarity.bruteTopK(emb, q, 5)
+    val r = graft.pipeline.Similarity.annRecall(truth, truth)
+      .agg(min("recall")).collect()(0).getDouble(0)
+    assert(r == 1.0)
+  }
+
+  // --- label outliers ------------------------------------------------------
+
+  test("labelOutliers: the planted far vector ranks as the label's worst") {
+    val good = (0 until 8).map(i => (i.toLong, 0, Seq(1.0, 0.1 * i, 0.0)))
+    val bad = Seq((99L, 0, Seq(-1.0, 0.0, 0.0))) // anti-aligned outlier
+    val emb = (good ++ bad).toDF("id", "label", "vec")
+    val out = graft.pipeline.Similarity.labelOutliers(emb, k = 1)
+      .collect()(0)
+    assert(out.getLong(0) == 99L && out.getInt(3) == 1)
+  }
+
+  // --- Zipf slope ----------------------------------------------------------
+
+  test("zipfSlope: synthetic 1/r corpus recovers slope ~ -1") {
+    // token t_r appears round(1000/r) times: ln c = ln 1000 - ln r.
+    val rows = (1 to 50).flatMap(r =>
+      Seq.fill(math.max(1000 / r, 1))(s"t$r%02d"))
+    val docs = rows.grouped(100).map(_.mkString(" ")).toSeq.toDF("text")
+    val out = CorpusStats.zipfSlope(docs, "text", topN = 50).collect()(0)
+    val slope = out.getDouble(1)
+    assert(math.abs(slope + 1.0) < 0.05, s"slope $slope should be ~ -1")
+  }
+
   // --- streaming dedup batch twin -----------------------------------------
 
   test("dedupBatch: doubled input collapses to distinct event ids") {

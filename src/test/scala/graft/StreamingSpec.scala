@@ -65,6 +65,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoinStream matches the batch twin's matched pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    // leftOuter interval join: inner matches emit as they arrive.
+    val q = EventStreams.intervalJoinStream(
+        clicks.toDF(), views.toDF(), windowSec = 60, watermark = "2 minutes")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      views.addData(Event(10, ts(5), 1, "view", 5.0),
+                    Event(11, ts(200), 1, "view", 7.0),
+                    Event(12, ts(30), 2, "view", 9.0))
+      clicks.addData(Event(1, ts(50), 1, "click", 1.0),   // matches view@5
+                     Event(2, ts(210), 1, "click", 2.0),  // matches view@200
+                     Event(3, ts(300), 2, "click", 3.0))  // view@30 too old
+      q.processAllAvailable()
+      val matched = spark.table("ij_out").filter($"r_ts".isNotNull)
+        .select($"click_id", $"r_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(matched == Set((1L, 5.0), (2L, 7.0)))
+      // Batch twin agrees on the aggregate view (click 3: zero views).
+      val all = (Seq(Event(1, ts(50), 1, "click", 1.0),
+                     Event(2, ts(210), 1, "click", 2.0),
+                     Event(3, ts(300), 2, "click", 3.0),
+                     Event(10, ts(5), 1, "view", 5.0),
+                     Event(11, ts(200), 1, "view", 7.0),
+                     Event(12, ts(30), 2, "view", 9.0))).toDF()
+      val twin = EventStreams.intervalJoinBatch(all, windowSec = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(twin == Set((1L, 1L, 5.0), (2L, 1L, 7.0), (3L, 0L, 0.0)))
+    } finally q.stop()
+  }
+
   test("runningTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
