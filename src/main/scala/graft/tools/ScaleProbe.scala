@@ -53,6 +53,17 @@ object ScaleProbe {
       CorpusStats.tfidfTopK(docs, "doc_id", "text", k = 3).count())
     time("winnow")(
       graft.pipeline.TextOps.winnow(docs, "doc_id", "text").count())
+    // Substring-span dedup is linear in dup-gram OCCURRENCES (no pair
+    // join), so the k×-replicated corpus — where every gram is duplicated
+    // k× — is its worst case; hashed keys are the at-scale default.
+    time("substring_spans")(
+      Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, hashed = true).count())
+    time("span_redact")(
+      Dedup.redactSpans(docs, "doc_id", "text", n = 8, hashed = true).count())
+    time("dsir")(
+      graft.pipeline.Sampling.dsirLogWeights(
+        docs.withColumn("tgt", col("doc_id") % 5 === 0),
+        "doc_id", "text", col("tgt")).count())
     time("pmi_topk")(
       CorpusStats.pmiTopK(docs, "doc_id", "text").count())
 
