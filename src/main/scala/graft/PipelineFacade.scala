@@ -97,6 +97,8 @@ final class GraftCorpus(val frame: DataFrame,
   def splits(weights: Seq[(String, Double)] =
                Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)): DataFrame =
     Sampling.assignSplits(frame, idCol, weights)
+  def temperatureSample(groupCol: String, alpha: Double = 0.5): DataFrame =
+    Sampling.temperatureSample(frame, idCol, groupCol, alpha)
 }
 
 final class GraftVectors(val frame: DataFrame) {

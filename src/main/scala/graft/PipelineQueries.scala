@@ -1514,6 +1514,21 @@ object PipelineQueries {
              |FROM g JOIN c USING (t) JOIN gt USING (grp), n
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Temperature-flattened language mixture (alpha = 0.5 over the skewed
+    // lang column): tail languages keep everything, the en head
+    // downsamples to its flattened share.
+    ("sample_temperature",
+      (s, dir) => graft.pipeline.Sampling.temperatureSample(
+          t(s, dir, "documents"), "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang")),
+      Some(s"""WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+              |tot AS (SELECT SUM(POWER(n, 0.5)) AS z, SUM(n) AS nn FROM counts),
+              |th AS (SELECT lang, FLOOR(LEAST(1.0, POWER(n, 0.5) / z * nn / n) * 1000000) AS t
+              |       FROM counts, tot)
+              |SELECT doc_id, d.lang
+              |FROM documents d JOIN th ON d.lang = th.lang
+              |WHERE ${graft.pipeline.Sampling.hashBucketSql("doc_id", "temp")} < t""".stripMargin)),
+
     // ANN recall report: LSH top-5 measured against brute-force truth per
     // query — the evaluation op every approximate tier ships with.
     ("ann_recall",

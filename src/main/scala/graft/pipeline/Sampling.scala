@@ -80,6 +80,36 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Temperature-flattened mixture sampling (Conneau & Lample 2019 /
+    * XLM-R, mC4 — the multilingual-corpus standard): per-group sampling
+    * probabilities q_i ∝ p_i^alpha flatten a skewed source/language
+    * mixture (alpha < 1 boosts tail groups; alpha = 1 is proportional,
+    * alpha → 0 approaches uniform). The realized frame keeps each row
+    * with probability min(1, q_i·N/n_i) — groups whose flattened share
+    * exceeds their natural share saturate at keep-all (upsampling beyond
+    * 1× is a trainer-side repeat, not a sampler's job).
+    *
+    * Membership is the same pure hash-threshold expression as every
+    * sampler here (engine/partitioning-reproducible); the per-group
+    * thresholds need two scalars (Σ n^alpha, N) — one tiny groupBy
+    * collected to the driver, the group-count frame broadcast back.
+    * Thresholds are FLOORED to integer ppm on both engines (cast-to-
+    * bigint ROUNDS in some engines — floor is the portable choice). */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+                        alpha: Double = 0.5,
+                        salt: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val row = counts.agg(sum(pow(col("_n"), alpha)).as("z"),
+                         sum("_n").as("nn")).collect()(0)
+    val (z, nn) = (row.getDouble(0), row.getLong(1))
+    val thresh = floor(least(lit(1.0),
+      pow(col("_n"), alpha) / z * nn / col("_n")) * BUCKETS)
+    df.join(broadcast(counts), groupCol)
+      .filter(hashBucket(col(keyCol), salt) < thresh)
+      .drop("_n")
+  }
+
   /** DSIR-style hashed-feature importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling", public
     * paper): score every document by how target-domain-like it is,

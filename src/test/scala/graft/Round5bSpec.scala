@@ -106,6 +106,29 @@ class Round5bSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // --- temperature sampling ------------------------------------------------
+
+  test("temperatureSample: tail groups keep everything, head downsamples") {
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val kept = graft.pipeline.Sampling.temperatureSample(docs, "id", "grp",
+                                                         alpha = 0.5)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q ∝ sqrt(n): small keeps min(1, (10/40)·1000/100) > 1 -> all 100;
+    // big keeps (30/40)·1000/900 = 5/6 of its rows in expectation.
+    assert(kept("small") == 100L)
+    assert(kept("big") < 900L && kept("big") > 600L)
+  }
+
+  test("temperatureSample: alpha = 1 is proportional (keeps everything)") {
+    val docs = ((0 until 90).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b"))).toDF("id", "grp")
+    // q_i·N/n_i = (n_i/N)·N/n_i = 1 for every group.
+    assert(graft.pipeline.Sampling.temperatureSample(docs, "id", "grp",
+             alpha = 1.0).count() == 100)
+  }
+
   // --- PII scrubbing -----------------------------------------------------
 
   test("scrub: default PII rules redact emails, IPs, phone shapes in order") {
