@@ -33,6 +33,10 @@ final class GraftCorpus(val frame: DataFrame,
     TextOps.qualityScore(col(textCol)).as("quality"))
   def filterCascade(): DataFrame =
     TextOps.filterCascade(frame, idCol, textCol)
+  def langIdEval(labelCol: String = "lang"): DataFrame =
+    TextOps.langIdEval(frame, labelCol, textCol)
+  def lengthProfile(groupCol: String = "source"): DataFrame =
+    CorpusStats.lengthProfile(frame, groupCol, textCol)
   def repetition(n: Int = 2): DataFrame =
     CorpusStats.repetition(frame, idCol, textCol, n)
   def qualityTiers(): DataFrame =

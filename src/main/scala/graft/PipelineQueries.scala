@@ -1580,6 +1580,36 @@ object PipelineQueries {
               |    ORDER BY cos ASC, id) AS rank FROM sc) t
               |WHERE rank <= 3""".stripMargin)),
 
+    // Language-ID confusion matrix vs the ground-truth lang column (the
+    // heuristic's accuracy report; same argmax encoding as text_quality).
+    ("text_langid_eval",
+      (s, dir) => graft.pipeline.TextOps.langIdEval(
+        t(s, dir, "documents"), "lang", "text"),
+      Some {
+        def hitsSql(markers: Seq[String]): String =
+          s"len(list_filter(string_split(lower(text), ' '), t -> t IN (" +
+            markers.map(m => s"'$m'").mkString(", ") + ")))"
+        val enc = TextOps.langMarkers.map { case (lang, markers) =>
+          s"lpad(CAST(${hitsSql(markers)} AS VARCHAR), 5, '0') || '$lang'"
+        }.mkString(",\n      ")
+        s"""WITH q AS (SELECT lang, greatest($enc) AS best FROM documents)
+           |SELECT lang,
+           |  CASE WHEN CAST(substr(best, 1, 5) AS INT) > 0 THEN substr(best, 6) ELSE 'und' END AS lang_pred,
+           |  COUNT(*) AS n
+           |FROM q GROUP BY 1, 2""".stripMargin
+      }),
+
+    // Per-source token-length percentiles (exact interpolated — the same
+    // cross-engine quantile contract text_ppl_buckets validated).
+    ("text_length_profile",
+      (s, dir) => graft.pipeline.CorpusStats.lengthProfile(
+        t(s, dir, "documents"), "source", "text"),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
+             |  ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90,
+             |  ROUND(quantile_cont(len(string_split(text, ' ')), 0.99), 6) AS p99
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // Zipf rank-frequency slope over the top-100 vocabulary (closed-form
     // OLS on the log-log curve) — corpus-health QA.
     ("text_zipf",

@@ -173,6 +173,22 @@ object CorpusStats {
              log((col("cg") / col("ng")) / (col("cc") / nTok))), 6).as("kl"))
   }
 
+  /** Per-group document-length profile: count plus exact interpolated
+    * token-count percentiles (p50/p90/p99) — the shard-size / context-
+    * budget planning report. Exact percentile is one sort-based aggregate
+    * per group; at 100 TB swap percentile_approx (mergeable sketch, same
+    * API shape) — profile boundaries are statistical anyway. */
+  def lengthProfile(docs: DataFrame, groupCol: String,
+                    textCol: String): DataFrame =
+    docs.select(col(groupCol), TextOps.tokenCount(col(textCol)).as("nt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+           expr("percentile(nt, array(0.5D, 0.9D, 0.99D))").as("_p"))
+      .select(col(groupCol), col("n_docs"),
+              round(element_at(col("_p"), 1), 6).as("p50"),
+              round(element_at(col("_p"), 2), 6).as("p90"),
+              round(element_at(col("_p"), 3), 6).as("p99"))
+
   /** Zipf rank-frequency slope over the top-N vocabulary — the corpus
     * health check (natural language sits near slope −1; templated or
     * machine-generated corpora bend hard away from it; Zipf 1949). Closed-

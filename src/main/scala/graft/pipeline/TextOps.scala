@@ -87,6 +87,14 @@ object TextOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Language-ID confusion matrix against a ground-truth label column —
+    * the accuracy report a heuristic classifier ships with (per-cell
+    * counts; diagonal = agreement). One scan + one small groupBy. */
+  def langIdEval(docs: org.apache.spark.sql.DataFrame, labelCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(labelCol).as("lang"), langId(col(textCol)).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+
   /** Word n-gram shingles over an ALREADY-PROJECTED token-array column.
     *
     * PERF CONTRACT: pass an attribute (a column of a prior projection),

@@ -216,6 +216,33 @@ class Round5bSpec extends AnyFunSuite {
     assert(out.getLong(0) == 99L && out.getInt(3) == 1)
   }
 
+  // --- langid eval / length profile ---------------------------------------
+
+  test("langIdEval: confusion diagonal dominates on marker-bearing text") {
+    val docs = Seq(
+      ("en", "the cat and the dog of the house"),
+      ("en", "a list of things to do in the morning"),
+      ("de", "der hund und die katze ist nicht da"),
+      ("fr", "le chat et la maison est une idee"),
+      ("xx", "q9 z7 k3")) // no markers anywhere -> und
+      .toDF("lang", "text")
+    val m = graft.pipeline.TextOps.langIdEval(docs, "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("en", "en")) == 2L)
+    assert(m(("de", "de")) == 1L)
+    assert(m(("fr", "fr")) == 1L)
+    assert(m(("xx", "und")) == 1L)
+  }
+
+  test("lengthProfile: percentiles bracket the group's lengths") {
+    val docs = (1 to 100).map(i =>
+      ("g", Seq.fill(i)("w").mkString(" "))).toDF("source", "text")
+    val r = CorpusStats.lengthProfile(docs, "source", "text").collect()(0)
+    assert(r.getLong(1) == 100L)
+    val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(p50 == 50.5 && p90 == 90.1 && p99 == 99.01)
+  }
+
   // --- Zipf slope ----------------------------------------------------------
 
   test("zipfSlope: synthetic 1/r corpus recovers slope ~ -1") {
