@@ -41,6 +41,9 @@ final class GraftCorpus(val frame: DataFrame,
     CorpusStats.repetition(frame, idCol, textCol, n)
   def qualityTiers(): DataFrame =
     CorpusStats.perplexityBuckets(frame, idCol, textCol)
+  /** Stupid-Backoff bigram LM score against a model corpus (Brants 2007). */
+  def bigramScore(modelDocs: DataFrame, backoff: Double = 0.4): DataFrame =
+    CorpusStats.bigramLogProb(frame, modelDocs, idCol, textCol, backoff)
 
   // --- dedup ---
   def exactDropIds(): DataFrame = Dedup.exactDropIds(frame, idCol, textCol)

@@ -1580,6 +1580,38 @@ object PipelineQueries {
               |    ORDER BY cos ASC, id) AS rank FROM sc) t
               |WHERE rank <= 3""".stripMargin)),
 
+    // Stupid-Backoff bigram LM scoring (Brants 2007): model counts from a
+    // deterministic 75% split (0.75 is binary-exact — 0.7·10⁶ truncates to
+    // 699999 as a double), every doc scored against it, so held-out docs
+    // genuinely exercise the backoff branch.
+    ("text_bigram_logp",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.pipeline.Sampling.hashSample(docs, "doc_id", 0.75)
+        graft.pipeline.CorpusStats.bigramLogProb(docs, model, "doc_id", "text")
+      },
+      Some(s"""WITH model AS (SELECT * FROM documents
+              |               WHERE ${graft.pipeline.Sampling.hashBucketSql("doc_id", "sample")} < 750000),
+              |mt AS (SELECT UNNEST(string_split(text, ' ')) AS t FROM model),
+              |uni AS (SELECT t, COUNT(*) AS cu FROM mt GROUP BY 1),
+              |n AS (SELECT SUM(cu) AS ntok FROM uni),
+              |mtr AS (SELECT array_to_string(t2[i:i+1], ' ') AS g
+              |        FROM (SELECT string_split(text, ' ') AS t2 FROM model) m,
+              |        LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t2) - 1, 1))) AS i) gg
+              |        WHERE len(t2) >= 2),
+              |big AS (SELECT g, COUNT(*) AS cb FROM mtr GROUP BY 1),
+              |dtr AS (SELECT doc_id AS id, array_to_string(t2[i:i+1], ' ') AS g
+              |        FROM (SELECT doc_id, string_split(text, ' ') AS t2 FROM documents) d,
+              |        LATERAL (SELECT UNNEST(GENERATE_SERIES(1, greatest(len(t2) - 1, 1))) AS i) gg
+              |        WHERE len(t2) >= 2),
+              |sc AS (SELECT id, CASE WHEN cb IS NOT NULL THEN LN(cb * 1.0 / cx)
+              |              ELSE LN(0.4 * COALESCE(cy, 0.5) / ntok) END AS ls
+              |       FROM dtr LEFT JOIN big USING (g)
+              |            LEFT JOIN (SELECT t AS xt, cu AS cx FROM uni) ux ON string_split(g, ' ')[1] = ux.xt
+              |            LEFT JOIN (SELECT t AS yt, cu AS cy FROM uni) uy ON string_split(g, ' ')[2] = uy.yt, n)
+              |SELECT id, COUNT(*) AS n_big, ROUND(AVG(ls), 6) AS avg_logs
+              |FROM sc GROUP BY 1""".stripMargin)),
+
     // Language-ID confusion matrix vs the ground-truth lang column (the
     // heuristic's accuracy report; same argmax encoding as text_quality).
     ("text_langid_eval",

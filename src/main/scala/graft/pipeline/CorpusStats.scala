@@ -142,6 +142,59 @@ object CorpusStats {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** Per-document bigram language-model score with Stupid Backoff
+    * (Brants et al. 2007, "Large Language Models in Machine Translation"
+    * — THE distributed n-gram LM: no normalization, no discounting, just
+    * counts and a fixed backoff, chosen precisely because it runs as
+    * map-reduce over corpus-scale count tables):
+    *
+    *   S(w_i | w_{i−1}) = c(w_{i−1} w_i) / c(w_{i−1})      if bigram seen
+    *                    = 0.4 · c(w_i) / N                  otherwise
+    *
+    * scored as the mean ln S over the document's bigram transitions —
+    * the sharper cousin of [[unigramLogProb]] for perplexity-style
+    * filtering (catches scrambled word salad that unigram stats miss).
+    *
+    * The model counts come from `modelDocs` — typically a held-out train
+    * split, never the scored corpus itself (self-scoring would make every
+    * bigram "seen" and the backoff dead). Unigrams absent from the model
+    * get a half-count floor (the minimal OOV convention; Stupid Backoff
+    * itself leaves OOV undefined).
+    *
+    * Plan shape: one unigram and one bigram count table from the model
+    * (explode → groupBy each), then the per-doc transition frame joins
+    * both and aggregates per id. All equi-joins on token keys; the count
+    * tables shuffle once and would bucket/broadcast by size tier at
+    * 100 TB. Docs with fewer than 2 tokens have no transition and are
+    * absent. Output: (id, n_big, avg_logs), 6 dp. */
+  def bigramLogProb(docs: DataFrame, modelDocs: DataFrame, idCol: String,
+                    textCol: String, backoff: Double = 0.4): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol).as("id"),
+                                        TextOps.tokens(col(textCol)).as("ts"))
+    def trans(df: DataFrame) = toks(df)
+      .select(col("id"), explode(TextOps.shinglesOf(col("ts"), 2)).as("g"))
+      .filter(size(split(col("g"), " ")) === 2)
+    val uni = toks(modelDocs).select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true) // total + two probe joins
+    val nTok = Option(uni.agg(sum("cu")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
+    val big = trans(modelDocs).groupBy("g").agg(count(lit(1)).as("cb"))
+    // cb non-null ⇒ the bigram is in the model ⇒ cx non-null; only the
+    // backoff branch can see an OOV y, floored at half a count.
+    val logS = when(col("cb").isNotNull, log(col("cb") / col("cx")))
+      .otherwise(log(lit(backoff) * coalesce(col("cy"), lit(0.5))
+                       / lit(nTok.toDouble)))
+    trans(docs)
+      .withColumn("x", split(col("g"), " ")(0))
+      .withColumn("y", split(col("g"), " ")(1))
+      .join(big, Seq("g"), "left")
+      .join(uni.select(col("t").as("x"), col("cu").as("cx")), Seq("x"), "left")
+      .join(uni.select(col("t").as("y"), col("cu").as("cy")), Seq("y"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_big"), round(avg(logS), 6).as("avg_logs"))
+  }
+
   /** Per-group KL divergence from the corpus unigram distribution —
     * corpus-QA for mixture design: a source/domain/language whose token
     * distribution diverges hard from the pool is boilerplate, spam, or a

@@ -216,6 +216,38 @@ class Round5bSpec extends AnyFunSuite {
     assert(out.getLong(0) == 99L && out.getInt(3) == 1)
   }
 
+  // --- Stupid Backoff bigram LM ---------------------------------------------
+
+  test("bigramLogProb: seen bigrams score c(xy)/c(x); unseen back off") {
+    val model = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // model: uni a=3,b=2,c=1 (N=6); bigrams: "a b"=2, "b a"=1, "a c"=1
+    val probe = Seq((10L, "a b"),   // seen: ln(2/3)
+                    (11L, "b c"),   // unseen bigram, seen y: ln(0.4·1/6)
+                    (12L, "a z")    // unseen bigram, OOV y: ln(0.4·0.5/6)
+      ).toDF("doc_id", "text")
+    val out = graft.pipeline.CorpusStats.bigramLogProb(
+        probe, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(10L) == r6(math.log(2.0 / 3.0)))
+    assert(out(11L) == r6(math.log(0.4 * 1.0 / 6.0)))
+    assert(out(12L) == r6(math.log(0.4 * 0.5 / 6.0)))
+  }
+
+  test("bigramLogProb: held-out docs score below in-model docs on average") {
+    val docs = graft.model.KG.table(spark, "/root/testdata/sf0.001", "documents")
+    val model = graft.pipeline.Sampling.hashSample(docs, "doc_id", 0.75)
+    val scored = graft.pipeline.CorpusStats.bigramLogProb(
+        docs, model, "doc_id", "text")
+      .join(model.select(col("doc_id").as("id"), lit(true).as("in_model")),
+            Seq("id"), "left")
+    val avg = scored.groupBy(coalesce(col("in_model"), lit(false)).as("m"))
+      .agg(org.apache.spark.sql.functions.avg("avg_logs").as("a"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avg(true) > avg(false),
+           s"in-model docs should score higher: $avg")
+  }
+
   // --- langid eval / length profile ---------------------------------------
 
   test("langIdEval: confusion diagonal dominates on marker-bearing text") {
