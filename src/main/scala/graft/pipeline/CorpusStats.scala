@@ -262,6 +262,7 @@ object CorpusStats {
     xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
            sum(col("x") * col("y")).as("sxy"),
            sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2) // a slope needs two points; empty corpus -> empty
       .withColumn("slope",
         (col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx")))

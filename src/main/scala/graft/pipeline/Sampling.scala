@@ -102,6 +102,7 @@ object Sampling {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
     val row = counts.agg(sum(pow(col("_n"), alpha)).as("z"),
                          sum("_n").as("nn")).collect()(0)
+    if (row.isNullAt(0)) return df.limit(0) // empty corpus: nothing to keep
     val (z, nn) = (row.getDouble(0), row.getLong(1))
     val thresh = floor(least(lit(1.0),
       pow(col("_n"), alpha) / z * nn / col("_n")) * BUCKETS)
@@ -148,6 +149,9 @@ object Sampling {
     val totals = docBucket.agg(
       sum("c").as("nr"), sum(when(col("tgt"), col("c")).otherwise(0L)).as("nt"))
       .collect()(0)
+    if (totals.isNullAt(0)) // empty/all-empty corpus: no tokens, no rows
+      return docBucket.select(col("id"), lit(0L).as("n_tokens"),
+                              lit(0.0).as("logw")).limit(0)
     val (nr, nt) = (totals.getLong(0), totals.getLong(1))
     // ln p_tgt(b) − ln p_raw(b), add-one smoothed; buckets absent from a
     // histogram still get their +1 mass via the coalesce.

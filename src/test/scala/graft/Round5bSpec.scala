@@ -121,6 +121,15 @@ class Round5bSpec extends AnyFunSuite {
     assert(kept("big") < 900L && kept("big") > 600L)
   }
 
+  test("empty-corpus guards: temperature/dsir/zipf return empty, not NPE") {
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "text", "grp")
+    assert(graft.pipeline.Sampling.temperatureSample(empty, "id", "grp")
+      .count() == 0)
+    assert(graft.pipeline.Sampling.dsirLogWeights(empty, "id", "text",
+      col("grp") === "t").count() == 0)
+    assert(CorpusStats.zipfSlope(empty, "text").count() == 0)
+  }
+
   test("temperatureSample: alpha = 1 is proportional (keeps everything)") {
     val docs = ((0 until 90).map(i => (i.toLong, "a")) ++
       (100 until 110).map(i => (i.toLong, "b"))).toDF("id", "grp")
