@@ -33,7 +33,9 @@ object Bench {
     "q_stream_sessions", "sample_weighted",
     "text_decontaminate", "text_repetition", "text_tfidf_topk",
     // round-5 additions
-    "text_winnow", "text_pmi_topk", "ann_hard_negatives")
+    "text_winnow", "text_pmi_topk", "ann_hard_negatives",
+    "dedup_substring_spans", "dedup_span_redact", "sample_dsir",
+    "text_bigram_logp", "q_stream_join", "ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

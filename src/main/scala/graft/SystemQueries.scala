@@ -307,6 +307,37 @@ object SystemQueries {
              |                   AND v.s <= c.s AND v.s >= c.s - 300
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Triangle count over the KG (undirected projection). Spark runs the
+    // degree-ordered orientation (wedge join bounded by Σ outdeg²,
+    // outdeg = O(√m) — hub-safe at scale); the oracle uses the naive
+    // id-ordered 3-join — any correct algorithm agrees on the count.
+    ("q_triangles",
+      (s, dir) => GraphOps.triangleCount(KG.edges(s, dir)),
+      Some(KG.edgesCte.trim + ",\n" +
+        """und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          |        FROM edges WHERE src <> dst)
+          |SELECT COUNT(*) AS n_triangles
+          |FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+          |     JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin)),
+
+    // Conversion funnel: click -> purchase within 10 minutes, per user.
+    ("q_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+        EventStreams.funnel(ev)
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s
+             |      FROM events WHERE event_type = 'purchase'),
+             |conv AS (SELECT DISTINCT c.user_id FROM c JOIN p
+             |         ON c.user_id = p.user_id AND p.s >= c.s AND p.s <= c.s + 600)
+             |SELECT (SELECT COUNT(DISTINCT user_id) FROM c) AS n_from_users,
+             |       (SELECT COUNT(*) FROM conv) AS n_converted,
+             |       ROUND((SELECT COUNT(*) FROM conv) * 1.0 /
+             |             (SELECT COUNT(DISTINCT user_id) FROM c), 6) AS conv_rate""".stripMargin)),
+
     // SQL surface via the Graft facade: registered views + spark.sql.
     ("q_facade_sql",
       (s, dir) => {

@@ -183,6 +183,30 @@ object EventStreams {
       "leftOuter")
   }
 
+  /** Conversion funnel: of the users with a `fromType` event, how many
+    * reach a `toType` event within `windowSec` seconds AFTER one — the
+    * product-analytics staple. One interval semi-join (equi on user +
+    * time-range residual) and two tiny count aggregates; the event frame
+    * never crosses a shuffle beyond the user-keyed join. Output: one row
+    * (n_from_users, n_converted, conv_rate). */
+  def funnel(events: DataFrame, fromType: String = "click",
+             toType: String = "purchase", windowSec: Long = 600): DataFrame = {
+    val from = events.filter(col("event_type") === fromType)
+      .select(col("user_id"), col("ts").as("f_ts"))
+    val to = events.filter(col("event_type") === toType)
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"))
+    val converted = from.join(to,
+        col("user_id") === col("t_user") && col("t_ts") >= col("f_ts") &&
+          col("t_ts") <= col("f_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        "left_semi")
+      .select("user_id").distinct()
+    from.select("user_id").distinct().agg(count(lit(1)).as("n_from_users"))
+      .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+      .select(col("n_from_users"), col("n_converted"),
+              round(col("n_converted") / col("n_from_users"), 6)
+                .as("conv_rate"))
+  }
+
   /** Batch twin of [[dedupStream]]: plain key dedup on a static frame —
     * what the watermark-bounded streaming state converges to when every
     * duplicate arrives inside the horizon. */

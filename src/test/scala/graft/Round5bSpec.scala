@@ -296,6 +296,36 @@ class Round5bSpec extends AnyFunSuite {
     assert(math.abs(slope + 1.0) < 0.05, s"slope $slope should be ~ -1")
   }
 
+  // --- triangles / funnel ---------------------------------------------------
+
+  test("triangleCount: K4 has 4, square+diagonal has 2, orientation-proof") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    assert(graft.exec.GraphOps.triangleCount(k4).collect()(0).getLong(0) == 4L)
+    // Square 1-2-3-4 plus diagonal 1-3: triangles (1,2,3) and (1,3,4).
+    // Reversed/duplicated edges must not change the count.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+                 (3L, 1L), (2L, 1L)).toDF("src", "dst")
+    assert(graft.exec.GraphOps.triangleCount(sq).collect()(0).getLong(0) == 2L)
+  }
+
+  test("funnel: converts only within the window, counts users once") {
+    def ev(id: Long, t: Long, u: Long, ty: String) =
+      (id, new java.sql.Timestamp(t * 1000), u, ty, 1.0)
+    val events = Seq(
+      ev(1, 100, 1, "click"), ev(2, 400, 1, "purchase"),  // in window
+      ev(3, 100, 2, "click"), ev(4, 800, 2, "purchase"),  // too late
+      ev(5, 100, 3, "click"), ev(6, 50, 3, "purchase"),   // before click
+      ev(7, 100, 4, "click"), ev(8, 150, 4, "purchase"),  // in window
+      ev(9, 120, 4, "purchase"),                          // second conv, same user
+      ev(10, 100, 5, "purchase")                          // never clicked
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.streaming.EventStreams.funnel(events, windowSec = 600)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (4L, 2L))
+    assert(r.getDouble(2) == 0.5)
+  }
+
   // --- streaming dedup batch twin -----------------------------------------
 
   test("dedupBatch: doubled input collapses to distinct event ids") {
