@@ -307,18 +307,26 @@ object SystemQueries {
              |                   AND v.s <= c.s AND v.s >= c.s - 300
              |GROUP BY 1, 2""".stripMargin)),
 
-    // Triangle count over the KG (undirected projection). Spark runs the
+    // Local-trade triangle count: in the customer—supplier—nation
+    // subgraph (bought_from / in_nation / in_nation) every triangle is
+    // the semantic triple "customer bought from a supplier of their own
+    // nation" — the graph face of q_join_local_trade. Spark runs the
     // degree-ordered orientation (wedge join bounded by Σ outdeg²,
-    // outdeg = O(√m) — hub-safe at scale); the oracle uses the naive
-    // id-ordered 3-join — any correct algorithm agrees on the count.
+    // outdeg = O(√m) under the orientation, so the nation hubs — degree
+    // ~|customers| — sit at the HEAD of edges and never fan wedges out);
+    // the oracle uses the naive id-ordered 3-join — any correct
+    // algorithm agrees on the count.
     ("q_triangles",
-      (s, dir) => GraphOps.triangleCount(KG.edges(s, dir)),
+      (s, dir) => GraphOps.triangleCount(
+        KG.edges(s, dir).filter(col("rel").isin(
+          KG.REL_CUST_NATION, KG.REL_SUPP_NATION, KG.REL_CUST_SUPP))),
       Some(KG.edgesCte.trim + ",\n" +
-        """und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-          |        FROM edges WHERE src <> dst)
-          |SELECT COUNT(*) AS n_triangles
-          |FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
-          |     JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin)),
+        s"""und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           |        FROM edges WHERE src <> dst
+           |          AND rel IN (${KG.REL_CUST_NATION}, ${KG.REL_SUPP_NATION}, ${KG.REL_CUST_SUPP}))
+           |SELECT COUNT(*) AS n_triangles
+           |FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+           |     JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin)),
 
     // Conversion funnel: click -> purchase within 10 minutes, per user.
     ("q_funnel",
