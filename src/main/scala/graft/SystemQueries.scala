@@ -23,6 +23,12 @@ object SystemQueries {
   private val bmpHdrHex: String =
     Multimodal.bmpBytes(64, 64, Array.empty).map("%02x".format(_)).mkString
 
+  /** Hex of the 44-byte WAV header (16 kHz mono 16-bit, 212 data bytes)
+    * the synthetic audio rows carry — same single-source contract. */
+  private val wavHdrHex: String =
+    Multimodal.wavBytes(16000, 1, 16, Array.empty, declaredLen = 212)
+      .map("%02x".format(_)).mkString
+
   /** Static relation dictionary of the derived KG (names for the 11 base
     * relations; odd ids are the `_inv` partners). */
   def relationDict(s: SparkSession): DataFrame = {
@@ -523,11 +529,13 @@ object SystemQueries {
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
             col("channels").cast("long").as("channels"),
+            col("sample_rate").cast("long").as("sample_rate"),
             round(element_at(col("features"), 1), 6).as("f0"))
       },
       Some(s"""WITH m AS (SELECT r AS media_id, sha256(CAST(r AS VARCHAR)) AS h FROM range(64) t(r)),
              |fx AS (SELECT media_id,
              |  CASE WHEN media_id % 3 = 0 THEN '$bmpHdrHex' || substr(repeat(h, 7), 1, 404)
+             |       WHEN media_id % 3 = 1 THEN '$wavHdrHex' || substr(repeat(h, 7), 1, 424)
              |       ELSE substr(repeat(h, 8), 1, 512) END AS fh
              |  FROM m)
              |SELECT media_id,
@@ -535,7 +543,8 @@ object SystemQueries {
              |  CAST(256 AS BIGINT) AS n_bytes,
              |  CAST(CASE WHEN media_id % 3 = 0 THEN 64 ELSE -1 END AS BIGINT) AS width,
              |  CAST(CASE WHEN media_id % 3 = 0 THEN 64 ELSE -1 END AS BIGINT) AS height,
-             |  CAST(CASE WHEN media_id % 3 = 0 THEN 3 ELSE -1 END AS BIGINT) AS channels,
+             |  CAST(CASE media_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE -1 END AS BIGINT) AS channels,
+             |  CAST(CASE WHEN media_id % 3 = 1 THEN 16000 ELSE -1 END AS BIGINT) AS sample_rate,
              |  ROUND(list_sum(list_transform(generate_series(0, 31),
              |          k -> ('0x' || substr(fh, 2 * (8 * k) + 1, 2))::BIGINT / 255.0)) / 32.0, 6) AS f0
              |FROM fx""".stripMargin)),
@@ -550,6 +559,7 @@ object SystemQueries {
       Some(s"""SELECT r AS media_id,
              |  CAST(len(list_filter(generate_series(0, 256 // 32 - 1), i -> i % 2 = 0)) AS BIGINT) AS n_frames,
              |  CASE WHEN r % 3 = 0 THEN upper(substr('$bmpHdrHex', 1, 64))
+             |       WHEN r % 3 = 1 THEN upper(substr('$wavHdrHex' || sha256(CAST(r AS VARCHAR)), 1, 64))
              |       ELSE upper(sha256(CAST(r AS VARCHAR))) END AS f0_hex
              |FROM range(64) t(r)""".stripMargin))
   )

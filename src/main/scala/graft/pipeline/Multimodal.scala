@@ -25,14 +25,18 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
                             width: Int, height: Int, sample_rate: Int)
-  /** width/height/channels are parsed from the payload for PNG/BMP images,
-    * −1 when the container is unrecognized (or the kind has no 2-D shape). */
+  /** width/height/channels are parsed from the payload for PNG/BMP images
+    * (channels also for WAV audio), sample_rate for WAV audio; −1 when the
+    * container is unrecognized or the kind has no such dimension. */
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                                  width: Int, height: Int, channels: Int,
-                                 features: Seq[Double])
+                                 sample_rate: Int, features: Seq[Double])
 
   final case class ImageMeta(width: Int, height: Int, channels: Int,
                              format: String)
+
+  final case class AudioMeta(sampleRate: Int, channels: Int,
+                             bitsPerSample: Int, nFrames: Int)
 
   private def be32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -72,6 +76,54 @@ object Multimodal {
     } else None
   }
 
+  /** Header-only audio metadata for canonical WAV (RIFF/WAVE with a 16-byte
+    * PCM fmt chunk at offset 12 and the data chunk right after — the layout
+    * every encoder emits for plain PCM). Frame count = data length /
+    * block align. Returns None for anything else. */
+  def audioMeta(bytes: Array[Byte]): Option[AudioMeta] = {
+    def tag(off: Int, s: String) =
+      bytes.length >= off + 4 &&
+        new String(bytes.slice(off, off + 4), "US-ASCII") == s
+    if (bytes.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+        tag(12, "fmt ") && le32(bytes, 16) == 16 && tag(36, "data")) {
+      val channels = le16(bytes, 22)
+      val sampleRate = le32(bytes, 24)
+      val bps = le16(bytes, 34)
+      val blockAlign = le16(bytes, 32)
+      val dataLen = le32(bytes, 40)
+      if (channels > 0 && sampleRate > 0 && bps > 0 && blockAlign > 0)
+        Some(AudioMeta(sampleRate, channels, bps, dataLen / blockAlign))
+      else None
+    } else None
+  }
+
+  /** A minimal canonical WAV header + payload (PCM, 16-byte fmt chunk).
+    * `declaredLen` overrides the data-chunk length field when the payload
+    * is appended separately (the synthetic-corpus path); −1 = payload
+    * length. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+               payload: Array[Byte], declaredLen: Int = -1): Array[Byte] = {
+    val dataLen = if (declaredLen >= 0) declaredLen else payload.length
+    val out = new Array[Byte](44 + payload.length)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16); putLe16(20, 1) // PCM
+    putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * channels * bitsPerSample / 8)
+    putLe16(32, channels * bitsPerSample / 8); putLe16(34, bitsPerSample)
+    putTag(36, "data"); putLe32(40, dataLen)
+    System.arraycopy(payload, 0, out, 44, payload.length)
+    out
+  }
+
   /** A minimal well-formed BMP (54-byte header + raw payload as pixel data)
     * — lets synthetic corpora carry REAL parseable image containers. The
     * payload is not padded to BMP row alignment; [[imageMeta]] only reads
@@ -97,10 +149,13 @@ object Multimodal {
 
   /** Deterministic synthetic media table (id, kind, media BINARY, meta).
     * Image rows carry a REAL parseable BMP container (64×64×3 header +
-    * digest-derived pixel payload); audio/video stay opaque digest bytes.
-    * Every kind is exactly `bytesPerRow` long. */
+    * digest-derived pixel payload); audio rows a REAL canonical WAV header
+    * (16 kHz mono 16-bit PCM + digest 'samples'); video stays opaque
+    * digest bytes. Every kind is exactly `bytesPerRow` long. */
   def syntheticMedia(spark: SparkSession, n: Int, bytesPerRow: Int = 256): DataFrame = {
-    val hdr = bmpBytes(64, 64, Array.empty)
+    val bmpHdr = bmpBytes(64, 64, Array.empty)
+    val wavHdr = wavBytes(16000, 1, 16, Array.empty,
+                          declaredLen = bytesPerRow - 44)
     val payload = substring(
       to_binary(repeat(sha2(col("media_id").cast("string"), 256),
                        bytesPerRow / 16), lit("hex")),
@@ -112,24 +167,28 @@ object Multimodal {
       .select(
         col("media_id"), col("kind"),
         when(col("kind") === "image",
-             concat(lit(hdr), substring(payload, 1, bytesPerRow - hdr.length)))
+             concat(lit(bmpHdr), substring(payload, 1, bytesPerRow - bmpHdr.length)))
+          .when(col("kind") === "audio",
+             concat(lit(wavHdr), substring(payload, 1, bytesPerRow - wavHdr.length)))
           .otherwise(payload).as("media"),
         lit(64).as("width"), lit(64).as("height"), lit(16000).as("sample_rate"))
   }
 
   /** Decode + feature extraction over partition-local batches. Container
-    * metadata (width/height/channels) is REAL for PNG/BMP payloads via
-    * [[imageMeta]]; −1 for unrecognized containers. The pixel/audio decode
-    * itself remains a STUB (no codecs in this container): features are
-    * `dim` deterministic byte-derived moments so downstream operators
-    * (dedup, ANN) are exercised end-to-end. */
+    * metadata is REAL: width/height/channels for PNG/BMP via [[imageMeta]],
+    * sample_rate/channels for WAV via [[audioMeta]]; −1 for unrecognized
+    * containers. The pixel/sample decode itself remains a STUB (no codecs
+    * in this container): features are `dim` deterministic byte-derived
+    * moments so downstream operators (dedup, ANN) are exercised
+    * end-to-end. */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // one 'codec init' per partition happens here
       rows.map { r =>
         val bytes = r.media
-        val meta = imageMeta(bytes)
+        val imeta = imageMeta(bytes)
+        val ameta = audioMeta(bytes)
         val feats = Array.tabulate(dim) { i =>
           if (bytes.isEmpty) 0.0
           else {
@@ -140,9 +199,11 @@ object Multimodal {
           }
         }
         MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
-                      meta.map(_.width).getOrElse(-1),
-                      meta.map(_.height).getOrElse(-1),
-                      meta.map(_.channels).getOrElse(-1),
+                      imeta.map(_.width).getOrElse(-1),
+                      imeta.map(_.height).getOrElse(-1),
+                      imeta.map(_.channels)
+                        .orElse(ameta.map(_.channels)).getOrElse(-1),
+                      ameta.map(_.sampleRate).getOrElse(-1),
                       feats.toSeq)
       }
     }

@@ -178,11 +178,30 @@ class SystemSpec extends AnyFunSuite {
     // Synthetic media: image rows parse, audio/video don't.
     val media = Multimodal.syntheticMedia(spark, 9)
     val metas = Multimodal.decodeFeatures(media.as[Multimodal.MediaRow])
-      .collect().map(f => f.media_id -> (f.kind, f.width, f.height, f.channels))
+      .collect()
+      .map(f => f.media_id -> (f.kind, f.width, f.height, f.channels, f.sample_rate))
       .toMap
-    metas.foreach { case (_, (kind, w, h, c)) =>
-      if (kind == "image") assert((w, h, c) == ((64, 64, 3)))
-      else assert((w, h, c) == ((-1, -1, -1)))
+    metas.foreach { case (_, (kind, w, h, c, sr)) =>
+      if (kind == "image") assert((w, h, c, sr) == ((64, 64, 3, -1)))
+      else if (kind == "audio") assert((w, h, c, sr) == ((-1, -1, 1, 16000)))
+      else assert((w, h, c, sr) == ((-1, -1, -1, -1)))
     }
+  }
+
+  test("audioMeta parses canonical WAV headers; rejects garbage") {
+    // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
+    val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
+    assert(Multimodal.audioMeta(wav) ==
+      Some(Multimodal.AudioMeta(8000, 2, 16, 8)))
+    // declaredLen overrides the data-chunk length (synthetic-corpus path).
+    val hdr = Multimodal.wavBytes(16000, 1, 16, Array.empty, declaredLen = 212)
+    assert(Multimodal.audioMeta(hdr) ==
+      Some(Multimodal.AudioMeta(16000, 1, 16, 106)))
+    // Garbage / truncated / image payloads -> None.
+    assert(Multimodal.audioMeta(Array[Byte]()) == None)
+    assert(Multimodal.audioMeta("RIFFnot really a wav".getBytes) == None)
+    assert(Multimodal.audioMeta(wav.take(40)) == None)
+    assert(Multimodal.audioMeta(
+      Multimodal.bmpBytes(4, 4, Array.empty)) == None)
   }
 }
