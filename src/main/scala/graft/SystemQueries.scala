@@ -253,6 +253,25 @@ object SystemQueries {
            "event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value " +
            "FROM events GROUP BY 1, 2")),
 
+    // SLIDING windows (batch twin): 2-minute windows sliding by 1 minute —
+    // every event lands in exactly L/slide = 2 windows; the oracle
+    // enumerates both via the k-offset lateral.
+    ("q_stream_sliding",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+        EventStreams.slidingCountsBatch(ev)
+          .select(unix_timestamp(col("win_start")).as("win_epoch"),
+                  col("event_type"), col("n"),
+                  round(col("sum_value"), 4).as("sum_value"))
+      },
+      Some("""WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000000000 AS s FROM events),
+             |w AS (SELECT event_type, value, (s // 60 - k) * 60 AS ws
+             |      FROM e, LATERAL (SELECT UNNEST(generate_series(0, 1)) AS k) u)
+             |SELECT CAST(ws AS BIGINT) AS win_epoch, event_type,
+             |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+             |FROM w GROUP BY 1, 2""".stripMargin)),
+
     // Session windows (batch twin). Oracle: gaps-and-islands — a new
     // session starts when the gap to the previous event is >= 5 min,
     // matching session_window's interval-merge semantics.

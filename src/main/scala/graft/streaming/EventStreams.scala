@@ -26,6 +26,30 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** SLIDING event-time windows (length > slide ⇒ overlapping): each event
+    * contributes to length/slide windows — the moving-average shape
+    * (rate-over-last-10-min updated every minute). Same watermark state
+    * contract as [[windowedCounts]]; state per key is bounded by the
+    * window length + watermark horizon. */
+  def slidingCounts(events: DataFrame, windowLen: String = "2 minutes",
+                    slide: String = "1 minute",
+                    watermark: String = "4 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Batch twin of [[slidingCounts]]. */
+  def slidingCountsBatch(events: DataFrame, windowLen: String = "2 minutes",
+                         slide: String = "1 minute"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
   /** Session windows per user: events separated by less than `gap` fuse. */
   def sessions(events: DataFrame, gap: String = "5 minutes",
                watermark: String = "10 minutes"): DataFrame =

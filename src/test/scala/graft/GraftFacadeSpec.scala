@@ -80,6 +80,36 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
 
+  test("pipeline facade: continuation-session methods are wired end-to-end") {
+    val (c, v) = GraftPipeline.fromTestdata(spark, dir)
+    // Each call must produce a well-formed, non-erroring frame on sf0.001.
+    assert(c.duplicatedSpans(n = 8).columns.toSeq ==
+      Seq("id", "span_start", "span_len"))
+    assert(c.redactSpans(n = 8).count() > 0)
+    assert(c.scrub().count() > 0)
+    assert(c.dsirWeights(org.apache.spark.sql.functions.col("source") === "src0")
+      .columns.contains("logw"))
+    assert(c.sourceDivergence().count() > 0)
+    assert(c.zipf().count() == 1)
+    assert(c.langIdEval().count() > 0)
+    assert(c.lengthProfile().count() > 0)
+    assert(c.temperatureSample("lang").count() > 0)
+    assert(c.bigramScore(c.sample(0.75)).count() > 0)
+    val bench = c.frame.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("mk"))
+    val bp = c.bloomProbe(bench, "mk")
+    assert(bp.filter(org.apache.spark.sql.functions.col("is_member") &&
+      !org.apache.spark.sql.functions.col("maybe_member")).count() == 0)
+    assert(v.outliers(k = 1).count() > 0)
+    val q = v.frame.filter(org.apache.spark.sql.functions.col("id") < 5)
+    val truth = v.topK(q, 3)
+    assert(v.recallOf(truth, truth)
+      .agg(org.apache.spark.sql.functions.min("recall"))
+      .collect()(0).getDouble(0) == 1.0)
+  }
+
   test("facade evaluate: per-type filtered metrics in [0,1]") {
     val kg = Graft.fromTestdata(spark, dir)
     val rows = kg.evaluate(dir, Seq(
