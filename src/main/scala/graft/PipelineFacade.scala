@@ -72,6 +72,9 @@ final class GraftCorpus(val frame: DataFrame,
   /** Zipf rank-frequency slope over the top-N vocabulary (corpus QA). */
   def zipf(topN: Int = 100): DataFrame =
     CorpusStats.zipfSlope(frame, textCol, topN)
+  /** Fresh-batch drop verdicts against this corpus as the deduped base. */
+  def incrementalDropIds(fresh: DataFrame): DataFrame =
+    Dedup.incrementalDropIds(frame, fresh, idCol, textCol)
   /** Bloom blocklist probe over a content digest of each doc. */
   def bloomProbe(members: DataFrame, memberKeyCol: String): DataFrame =
     Dedup.bloomProbe(frame.withColumn("_digest", md5(col(textCol))),

@@ -978,6 +978,33 @@ object PipelineQueries {
       (s, dir) => minhashPairsPortable(s, dir),
       Some(minhashPairsSql + minhashPairsSelect)),
 
+    // Incremental cross-corpus dedup (nightly-crawl shape): docs >= 400
+    // are the fresh batch, the rest the already-deduped base; only fresh
+    // docs get drop verdicts. The near tier reuses the portable minhash
+    // pair CTEs over the union (= the whole table for this split).
+    ("dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.pipeline.Dedup.incrementalDropIds(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", family = Dedup.PortableMd5)
+      },
+      Some(minhashPairsSql + ",\n" +
+        """near AS (SELECT p.j AS id, 'near' AS reason
+          |         FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+          |         WHERE c * 1.0 / (x.n + y.n - c) >= 0.5 AND p.j >= 400),
+          |exact_base AS (SELECT doc_id AS id, 'exact_base' AS reason
+          |               FROM documents WHERE doc_id >= 400 AND md5(text) IN
+          |                 (SELECT md5(text) FROM documents WHERE doc_id < 400)),
+          |exact_new AS (SELECT f.doc_id AS id, 'exact_new' AS reason
+          |              FROM documents f JOIN (SELECT md5(text) AS dg, MIN(doc_id) AS keep
+          |                                     FROM documents WHERE doc_id >= 400 GROUP BY 1) g
+          |                ON md5(f.text) = g.dg AND f.doc_id <> g.keep
+          |              WHERE f.doc_id >= 400)
+          |SELECT DISTINCT id, reason FROM (
+          |  SELECT * FROM exact_base UNION ALL
+          |  SELECT * FROM exact_new UNION ALL SELECT * FROM near)""".stripMargin)),
+
     // SimHash near-dup, portable 60-bit md5-derived signature.
     ("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",

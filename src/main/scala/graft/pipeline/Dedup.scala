@@ -327,6 +327,50 @@ object Dedup {
     }
   }
 
+  /** Incremental cross-corpus dedup — the nightly-crawl shape: the BASE
+    * corpus is already deduplicated, and only the FRESH batch needs
+    * verdicts (fresh-vs-base and fresh-vs-fresh redundancy). Returns the
+    * fresh ids to drop as (id, reason):
+    *   - `exact_base`: digest already present in the base;
+    *   - `exact_new`: non-canonical copy within the fresh batch;
+    *   - `near`: MinHash+LSH near-duplicate of a base doc or of a
+    *     smaller-id fresh doc (the canonical survives).
+    * Ids must be globally unique across base ∪ fresh (the usual crawl-id
+    * contract). Base docs are never dropped — re-deduping the base is
+    * exactly the work incremental dedup exists to avoid; at production
+    * scale the base side contributes pre-computed signatures only. */
+  def incrementalDropIds(base: DataFrame, fresh: DataFrame, idCol: String,
+                         textCol: String, threshold: Double = 0.5,
+                         family: HashFamily = XxHash): DataFrame = {
+    val baseIds = base.select(col(idCol).cast("long").as("id"))
+    val freshIds = fresh.select(col(idCol).cast("long").as("id"))
+    val bDig = base.select(md5(col(textCol)).as("digest")).distinct()
+    val exactBase = fresh
+      .select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("digest"))
+      .join(bDig, "digest")
+      .select(col("id"), lit("exact_base").as("reason"))
+    val exactNew = exactDropIds(fresh, idCol, textCol)
+      .select(col("id").cast("long").as("id"), lit("exact_new").as("reason"))
+    val union = base.select(col(idCol).cast("long").as("id"),
+                            col(textCol).as("text"))
+      .unionAll(fresh.select(col(idCol).cast("long").as("id"),
+                             col(textCol).as("text")))
+    val pairs = minhashLshPairs(union, "id", "text",
+                                threshold = threshold, family = family)
+      .localCheckpoint(true) // probed twice below
+    // A fresh doc drops when its pair partner is base, or is a fresh doc
+    // with a smaller id (i < j always, so a fresh j always drops; a fresh
+    // i drops only against a base j).
+    val nearJ = pairs.join(freshIds.select(col("id").as("j")), "j")
+      .select(col("j").as("id"))
+    val nearI = pairs.join(freshIds.select(col("id").as("i")), "i")
+      .join(baseIds.select(col("id").as("j")), "j")
+      .select(col("i").as("id"))
+    val near = nearJ.unionAll(nearI).distinct()
+      .select(col("id"), lit("near").as("reason"))
+    exactBase.unionAll(exactNew).unionAll(near).distinct()
+  }
+
   /** Maximal duplicated token spans — the suffix-array substring dedup of
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better", kenlm/deduplicate-text-datasets) re-expressed relationally:

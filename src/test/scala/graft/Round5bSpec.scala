@@ -48,6 +48,31 @@ class Round5bSpec extends AnyFunSuite {
     assert(Dedup.duplicatedSpans(df, "doc_id", "text", n = 4).count() == 0)
   }
 
+  // --- incremental dedup ---------------------------------------------------
+
+  test("incrementalDropIds: all three verdicts fire; base is never dropped") {
+    val base = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8"),  // exact copy of base 1
+      (11L, "y1 y2 y3 y4 y5 y6 y7 y8"),  // novel
+      (12L, "y1 y2 y3 y4 y5 y6 y7 y8"),  // exact copy of fresh 11
+      (13L, "x1 x2 x3 x4 x5 x6 x7 zz")   // near-dup of base 2
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.incrementalDropIds(
+        base, fresh, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.contains((10L, "exact_base")))
+    assert(out.contains((12L, "exact_new")))
+    assert(out.contains((13L, "near")))
+    // Novel fresh doc survives every tier; base ids never appear.
+    assert(!out.exists(_._1 == 11L))
+    assert(!out.exists(r => r._1 == 1L || r._1 == 2L))
+    // The canonical copy of the within-fresh pair survives exact_new.
+    assert(!out.contains((11L, "exact_new")))
+  }
+
   // --- Bloom probe -------------------------------------------------------
 
   val bloomCorpus = (0L until 200L).map(i => (i, s"content-$i")).toDF("id", "key")
