@@ -33,6 +33,8 @@ final class GraftCorpus(val frame: DataFrame,
     TextOps.qualityScore(col(textCol)).as("quality"))
   def filterCascade(): DataFrame =
     TextOps.filterCascade(frame, idCol, textCol)
+  def classifierScore(buckets: Int = 256): DataFrame =
+    TextOps.linearQualityScore(frame, idCol, textCol, buckets)
   def langIdEval(labelCol: String = "lang"): DataFrame =
     TextOps.langIdEval(frame, labelCol, textCol)
   def lengthProfile(groupCol: String = "source"): DataFrame =

@@ -1639,6 +1639,22 @@ object PipelineQueries {
               |SELECT id, COUNT(*) AS n_big, ROUND(AVG(ls), 6) AS avg_logs
               |FROM sc GROUP BY 1""".stripMargin)),
 
+    // Linear quality-classifier inference (fastText family): sigmoid of
+    // the mean hashed-feature weight; sin-seeded stand-in weights (the
+    // inference-only contract, as with ConvE).
+    ("text_quality_classifier",
+      (s, dir) => graft.pipeline.TextOps.linearQualityScore(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH tok AS (SELECT doc_id AS id,
+              |    sin((${graft.functions.PortableHash.md5Prefix60Sql(
+                       "'lqc|' || tk")} % 256) * 0.7 + 5.1) AS w
+              |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tk FROM documents)),
+              |m AS (SELECT id, COUNT(*) AS n_tokens, SUM(w) / COUNT(*) AS mw
+              |      FROM tok GROUP BY 1)
+              |SELECT id, n_tokens, ROUND(1.0 / (1.0 + EXP(-mw)), 6) AS score,
+              |       (1.0 / (1.0 + EXP(-mw)) > 0.5) AS keep
+              |FROM m""".stripMargin)),
+
     // Language-ID confusion matrix vs the ground-truth lang column (the
     // heuristic's accuracy report; same argmax encoding as text_quality).
     ("text_langid_eval",

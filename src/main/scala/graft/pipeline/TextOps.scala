@@ -87,6 +87,33 @@ object TextOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** fastText-style linear quality-classifier INFERENCE — the
+    * "does this look like reference text" filter of the GPT-3/CCNet
+    * pipeline family: score = σ( w · φ(doc) / |tokens| ) over hashed
+    * unigram features, keep iff σ > 0.5. Weights are sin-seeded
+    * stand-ins (no trained checkpoint ships in this container — the same
+    * inference-only contract as the ConvE scorer); a trained model swaps
+    * in via the weight expression, nothing else changes. The weight of
+    * bucket b is sin(b·0.7 + seed), computed IN the expression — no
+    * weight table, no join: the corpus scores in one scan plus one
+    * per-doc aggregate. Output: (id, n_tokens, score, keep), 6 dp. */
+  def linearQualityScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, buckets: Int = 256,
+                         seed: Double = 5.1)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = pmod(graft.functions.PortableHash.md5Prefix60(
+      concat(lit("lqc|"), col("t"))), lit(buckets.toLong))
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), sin(b * 0.7 + seed).as("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+           (sum("w") / count(lit(1))).as("_m"))
+      .select(col("id"), col("n_tokens"),
+              round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 6).as("score"),
+              (lit(1.0) / (lit(1.0) + exp(-col("_m"))) > 0.5).as("keep"))
+  }
+
   /** Language-ID confusion matrix against a ground-truth label column —
     * the accuracy report a heuristic classifier ships with (per-cell
     * counts; diagonal = agreement). One scan + one small groupBy. */

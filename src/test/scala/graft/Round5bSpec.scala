@@ -282,6 +282,21 @@ class Round5bSpec extends AnyFunSuite {
            s"in-model docs should score higher: $avg")
   }
 
+  // --- linear quality classifier --------------------------------------------
+
+  test("linearQualityScore: scores in (0,1), keep iff > 0.5, deterministic") {
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.linearQualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    out.values.foreach { case (s, k) =>
+      assert(s > 0.0 && s < 1.0)
+      assert(k == (s > 0.5))
+    }
+    assert(out(1L) == out(3L)) // same text, same score
+  }
+
   // --- langid eval / length profile ---------------------------------------
 
   test("langIdEval: confusion diagonal dominates on marker-bearing text") {
