@@ -77,10 +77,12 @@ final class GraftCorpus(val frame: DataFrame,
   /** Fresh-batch drop verdicts against this corpus as the deduped base. */
   def incrementalDropIds(fresh: DataFrame): DataFrame =
     Dedup.incrementalDropIds(frame, fresh, idCol, textCol)
-  /** Bloom blocklist probe over a content digest of each doc. */
+  /** Bloom blocklist probe over a content digest of each doc: the corpus
+    * columns plus (maybe_member, is_member). */
   def bloomProbe(members: DataFrame, memberKeyCol: String): DataFrame =
     Dedup.bloomProbe(frame.withColumn("_digest", md5(col(textCol))),
                      "_digest", members, memberKeyCol)
+      .drop("_digest")
 
   // --- PII / selection / mixture QA ---
   def scrub(rules: Seq[(String, String)] = TextOps.defaultPiiRules): DataFrame =

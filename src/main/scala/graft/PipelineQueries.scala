@@ -1604,7 +1604,7 @@ object PipelineQueries {
               |       GROUP BY 1, 2)
               |SELECT id, label, cos, CAST(rank AS BIGINT) AS rank FROM (
               |  SELECT id, label, cos, ROW_NUMBER() OVER (PARTITION BY label
-              |    ORDER BY cos ASC, id) AS rank FROM sc) t
+              |    ORDER BY cos ASC, id) AS rank FROM sc WHERE cos IS NOT NULL) t
               |WHERE rank <= 3""".stripMargin)),
 
     // Stupid-Backoff bigram LM scoring (Brants 2007): model counts from a
@@ -1696,7 +1696,8 @@ object PipelineQueries {
              |        FROM c ORDER BY c DESC, t LIMIT 100),
              |xy AS (SELECT LN(r) AS x, LN(c) AS y FROM top),
              |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-             |             SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM xy)
+             |             SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM xy
+             |      HAVING COUNT(*) >= 2)
              |SELECT CAST(n AS BIGINT) AS n_top,
              |       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
              |       ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
@@ -1714,9 +1715,13 @@ object PipelineQueries {
       |      WHERE len(t) >= 8),
       |d AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 1),
       |p AS (SELECT id, pos FROM g JOIN d USING (g)),
+      |r0 AS (SELECT id, pos,
+      |         CASE WHEN pos - LAG(pos) OVER (PARTITION BY id ORDER BY pos) > 8
+      |              THEN 1 ELSE 0 END AS brk
+      |       FROM p),
       |r AS (SELECT id, pos,
-      |        pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS grp
-      |      FROM p),
+      |        SUM(brk) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+      |      FROM r0),
       |spans AS (SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
       |                 CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
       |          FROM r GROUP BY id, grp)""".stripMargin

@@ -40,9 +40,45 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val newPairs = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+      .map { case (k, v) => k -> s"${q(k)}: ${q(v)}" }
+    val outFile = Paths.get(s"$outDir/oracle_sql.json")
+    // Filtered runs MERGE into an existing oracle_sql.json rather than
+    // truncating it: overwriting would leave the other queries' parquet
+    // dumps in place but silently drop them from the verify_local gate.
+    // Parsing is over our own writer's exact flat format (keys are query
+    // names, values fully escaped one-line strings).
+    // Linear scan, not a regex: alternation quantifiers stack-overflow
+    // Java's regex engine on the ~100 KB escaped SQL values.
+    def rawPairs(s: String): Seq[(String, String)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def stringEnd(start: Int): Int = { // start = opening quote; returns index past closing
+        var j = start + 1
+        while (j < s.length && s(j) != '"') j += (if (s(j) == '\\') 2 else 1)
+        j + 1
+      }
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '"') {
+          val kEnd = stringEnd(i)
+          var j = kEnd
+          while (j < s.length && (s(j) == ':' || s(j) == ' ')) j += 1
+          if (j < s.length && s(j) == '"') {
+            val vEnd = stringEnd(j)
+            out += ((s.substring(i + 1, kEnd - 1), s.substring(i, vEnd)))
+            i = vEnd
+          } else i = kEnd
+        } else i += 1
+      }
+      out.toSeq
+    }
+    val pairs: Seq[String] =
+      if (only.isDefined && Files.exists(outFile)) {
+        val kept = rawPairs(Files.readString(outFile))
+          .filterNot(p => newPairs.contains(p._1)).map(_._2)
+        kept ++ newPairs.values.toSeq
+      } else newPairs.values.toSeq
+    Files.writeString(outFile, pairs.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -115,11 +115,18 @@ object Dedup {
 
   /** MinHash+LSH candidate pairs, verified with exact Jaccard.
     * numHashes = bands * rowsPerBand. Candidates are pairs sharing at least
-    * one band hash (shingle→minhash→band→bucket-join). */
+    * one band hash (shingle→minhash→band→bucket-join).
+    *
+    * `probeIds`: restrict to pairs TOUCHING one of these ids — the
+    * asymmetric-probe mode ([[incrementalDropIds]]): the band join runs
+    * probe-side × everything instead of self × self, so a small probe
+    * batch never pays |corpus|² banding collisions or verifies
+    * corpus-corpus pairs whose verdicts would be discarded. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.5,
-                      family: HashFamily = XxHash): DataFrame = {
+                      family: HashFamily = XxHash,
+                      probeIds: Option[DataFrame] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Signature from the exploded (id, shingle) set: one aggregation pass,
     // sig[i] = min(hash_i(sh)). Shares the materialized shingle sets
@@ -159,11 +166,28 @@ object Dedup {
       posexplode(array((0 until bands).map(bandHash): _*))
         .as(Seq("band", "bh")))
       .localCheckpoint(true) // signatures computed once, not per join side
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
+    // Asymmetric probe: one side shrinks to the probe batch, and the
+    // (i, j) normalization happens in the projection — a probe doc can
+    // sit on either side of the id order.
+    val rawCands = probeIds match {
+      case None =>
+        banded.as("a")
+          .join(banded.as("b"),
+                col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.id") < col("b.id"))
+          .select(col("a.id").as("i"), col("b.id").as("j"))
+      case Some(probe) =>
+        val probeBanded = banded.join(
+          broadcast(probe.select(col(probe.columns.head).cast("long").as("id"))
+            .distinct()), "id")
+        probeBanded.as("a")
+          .join(banded.as("b"),
+                col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.id") =!= col("b.id"))
+          .select(least(col("a.id"), col("b.id")).as("i"),
+                  greatest(col("a.id"), col("b.id")).as("j"))
+    }
+    val cands = rawCands
       .distinct()
       .localCheckpoint(true) // tiny; read three times below
     // Verify candidates with exact Jaccard. Two constraints compose:
@@ -336,9 +360,12 @@ object Dedup {
     *   - `near`: MinHash+LSH near-duplicate of a base doc or of a
     *     smaller-id fresh doc (the canonical survives).
     * Ids must be globally unique across base ∪ fresh (the usual crawl-id
-    * contract). Base docs are never dropped — re-deduping the base is
-    * exactly the work incremental dedup exists to avoid; at production
-    * scale the base side contributes pre-computed signatures only. */
+    * contract). Base docs are never dropped, and base-base work is never
+    * done: the near tier runs [[minhashLshPairs]] in asymmetric-probe
+    * mode (probeIds = fresh), so banding joins fresh × all and only
+    * fresh-touching candidates are Jaccard-verified — cost scales with
+    * the fresh batch, not |base|². (Base shingle/signature recompute per
+    * run remains; a production deployment persists those.) */
   def incrementalDropIds(base: DataFrame, fresh: DataFrame, idCol: String,
                          textCol: String, threshold: Double = 0.5,
                          family: HashFamily = XxHash): DataFrame = {
@@ -356,7 +383,8 @@ object Dedup {
       .unionAll(fresh.select(col(idCol).cast("long").as("id"),
                              col(textCol).as("text")))
     val pairs = minhashLshPairs(union, "id", "text",
-                                threshold = threshold, family = family)
+                                threshold = threshold, family = family,
+                                probeIds = Some(freshIds))
       .localCheckpoint(true) // probed twice below
     // A fresh doc drops when its pair partner is base, or is a fresh doc
     // with a smaller id (i < j always, so a fresh j always drops; a fresh
@@ -375,11 +403,13 @@ object Dedup {
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better", kenlm/deduplicate-text-datasets) re-expressed relationally:
     * an n-token gram that occurs more than once ANYWHERE in the corpus
-    * (another document or the same one) marks its start position as
-    * duplicated, and runs of consecutive duplicated starts merge into
-    * maximal spans (gaps-and-islands), so a repeated region of L >= n
-    * tokens comes back as one (id, start, L) row — the actionable form
-    * for span-level redaction, vs whole-doc dropping.
+    * (another document or the same one) covers tokens [start, start+n);
+    * covering intervals that overlap or touch merge (interval-union
+    * gaps-and-islands), so the output spans are DISJOINT maximal
+    * duplicated regions — sum(span_len) is exactly the doc's duplicated
+    * token count, and a repeated region of L >= n tokens comes back as
+    * one (id, start, L) row. The actionable form for span-level
+    * redaction, vs whole-doc dropping.
     *
     * Plan shape: shingle explode → groupBy(gram) HAVING count > 1 →
     * join positions back → per-doc gaps-and-islands window. Cost is
@@ -413,8 +443,15 @@ object Dedup {
     val dupPos = keyed.join(dupG, "g").select("id", "pos")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
+    // Interval union, not consecutive-starts: each start covers
+    // [pos, pos+n), so a new region begins only when the gap to the
+    // previous start exceeds n (strictly — touching intervals form one
+    // contiguous duplicated region). Starts are distinct positions, so
+    // the running max end is always prev_pos + n.
     dupPos
-      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("grp", sum(
+          when(col("pos") - lag("pos", 1).over(w) > n, 1).otherwise(0))
+        .over(w))
       .groupBy("id", "grp")
       .agg(min("pos").cast("long").as("span_start"),
            (max("pos") - min("pos") + n).cast("long").as("span_len"))

@@ -304,6 +304,10 @@ object Similarity {
            sum(col("mean") * col("mean")).as("cc"))
     val scored = parts.select(col("id"), col("label"),
       round(col("dot") / (sqrt(col("vv")) * sqrt(col("cc"))), 6).as("cos"))
+      // A zero-norm vector (or all-zero centroid) has no direction: its
+      // cosine is NULL, which Spark would sort NULLS FIRST — outranking
+      // genuine anti-aligned outliers. Excluded, and the oracle mirrors.
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy("label").orderBy(col("cos").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

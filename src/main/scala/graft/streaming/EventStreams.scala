@@ -215,9 +215,14 @@ object EventStreams {
     * (n_from_users, n_converted, conv_rate). */
   def funnel(events: DataFrame, fromType: String = "click",
              toType: String = "purchase", windowSec: Long = 600): DataFrame = {
-    val from = events.filter(col("event_type") === fromType)
+    // Anonymous (NULL-user) events can't be attributed to a funnel and
+    // would silently deflate the rate (COUNT over a distinct() keeps the
+    // null group; SQL COUNT(DISTINCT ...) would not) — excluded.
+    val from = events.filter(col("event_type") === fromType &&
+                             col("user_id").isNotNull)
       .select(col("user_id"), col("ts").as("f_ts"))
-    val to = events.filter(col("event_type") === toType)
+    val to = events.filter(col("event_type") === toType &&
+                           col("user_id").isNotNull)
       .select(col("user_id").as("t_user"), col("ts").as("t_ts"))
     val converted = from.join(to,
         col("user_id") === col("t_user") && col("t_ts") >= col("f_ts") &&

@@ -35,6 +35,18 @@ class Round5bSpec extends AnyFunSuite {
     assert(spans == Set((0L, 4L), (6L, 4L)))
   }
 
+  test("duplicatedSpans: interleaved grams with a sub-n gap merge into ONE region") {
+    // n=3: doc1 dup starts at 0 ('a b c') and 2 ('c X d') — start 1 is not
+    // duplicated, but the covering intervals [0,3) and [2,5) overlap, so
+    // the output must be one disjoint region of 5 tokens (not two
+    // overlapping rows whose span_len sum overcounts).
+    val df = Seq((1L, "a b c X d e f"), (2L, "a b c z c X d"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans.filter(_._1 == 1L) == Set((1L, 0L, 5L)))
+  }
+
   test("duplicatedSpans: hashed keys produce identical spans") {
     val raw = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 4)
       .collect().toSet

@@ -12,8 +12,8 @@ class SpanPropertySpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
-  /** Brute force: mark every duplicated n-gram start, merge consecutive
-    * runs per doc. */
+  /** Brute force: mark every duplicated n-gram's covered interval
+    * [p, p+n), union overlapping/touching intervals per doc. */
   private def bruteSpans(docs: Seq[(Long, String)], n: Int)
       : Set[(Long, Long, Long)] = {
     val grams = docs.flatMap { case (id, text) =>
@@ -25,9 +25,10 @@ class SpanPropertySpec extends AnyFunSuite {
     val dupPos = grams.filter(g => counts(g._3) > 1)
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     dupPos.flatMap { case (id, ps) =>
-      // merge runs of consecutive start positions
+      // union of [p, p+n) intervals: merge while the gap between starts
+      // is at most n (overlap or touch)
       val runs = ps.foldLeft(List.empty[(Int, Int)]) {
-        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case ((s, e) :: rest, p) if p - e <= n => (s, p) :: rest
         case (acc, p) => (p, p) :: acc
       }
       runs.map { case (s, e) => (id, s.toLong, (e - s + n).toLong) }
