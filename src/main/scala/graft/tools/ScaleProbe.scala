@@ -60,6 +60,14 @@ object ScaleProbe {
       Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, hashed = true).count())
     time("span_redact")(
       Dedup.redactSpans(docs, "doc_id", "text", n = 8, hashed = true).count())
+    // Asymmetric-probe incremental dedup: fresh batch = 2% of the corpus
+    // against the other 98% as base — cost must track the batch, not the
+    // base (compare with the symmetric minhash_lsh full-corpus time).
+    time("incremental_2pct")(
+      graft.pipeline.Dedup.incrementalDropIds(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text").count())
     time("dsir")(
       graft.pipeline.Sampling.dsirLogWeights(
         docs.withColumn("tgt", col("doc_id") % 5 === 0),
