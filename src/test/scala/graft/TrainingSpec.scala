@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.score.{Embeddings, Training}
+
+/** Relational TransE SGD step: hinge activation, gradient flow, and the
+  * exactness contract (every update an integer multiple of lr). */
+class TrainingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  val ents = Seq(10L, 20L, 30L).toDF("id")
+  val edges = Seq((10L, 5L, 20L), (20L, 5L, 30L)).toDF("src", "rel", "dst")
+
+  def step(gamma: Double) =
+    Training.transeSgdStep(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, gamma = gamma)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+
+  def base(kind: String, id: Long, pos: Int, seed: Double): Double = {
+    val v = math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed)
+    math.rint(v * 1e6) / 1e6
+  }
+
+  test("inactive hinge (gamma << 0) leaves every parameter at its init") {
+    val out = step(gamma = -1000.0)
+    assert(out.size == (3 + 1) * 4) // 3 entities + 1 relation, dim 4
+    out.foreach { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      assert(x == base(kind, id, pos.toInt, seed), s"$kind $id $pos moved")
+    }
+  }
+
+  test("active hinge (gamma >> 0) moves parameters by exact multiples of lr") {
+    val out = step(gamma = 1000.0)
+    val moved = out.count { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      x != base(kind, id, pos.toInt, seed)
+    }
+    assert(moved > 0, "no gradient flowed with a forced-active hinge")
+    // Every delta is g * 2^-5 with integer g: 32 * delta is an integer
+    // (up to the 6-dp output rounding).
+    out.foreach { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      val k = (base(kind, id, pos.toInt, seed) - x) * 32.0
+      assert(math.abs(k - math.rint(k)) < 1e-3,
+             s"delta not a multiple of lr at $kind $id $pos: $k")
+    }
+  }
+
+  test("default margin: updated frame is deterministic across partitionings") {
+    val a = step(gamma = 1.0)
+    val b = Training.transeSgdStep(ents.repartition(3),
+        edges.repartition(2), dim = 4, entSeed = 0.3, relSeed = 1.7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(a == b)
+  }
+}
