@@ -35,7 +35,8 @@ object Bench {
     // round-5 additions
     "text_winnow", "text_pmi_topk", "ann_hard_negatives",
     "dedup_substring_spans", "dedup_span_redact", "sample_dsir",
-    "text_bigram_logp", "q_stream_join", "ann_recall")
+    "text_bigram_logp", "q_stream_join", "ann_recall",
+    "train_transe_step", "dedup_incremental", "q_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
