@@ -34,10 +34,25 @@ import org.apache.spark.sql.expressions.Window
   * x rounded 6 dp. */
 object Training {
 
+  /** One step — see [[transeSgd]]. */
   def transeSgdStep(entities: DataFrame, edges: DataFrame, dim: Int,
                     entSeed: Double, relSeed: Double,
-                    gamma: Double = 1.0, lr: Double = 0.03125): DataFrame = {
+                    gamma: Double = 1.0, lr: Double = 0.03125): DataFrame =
+    transeSgd(entities, edges, dim, entSeed, relSeed, steps = 1, gamma, lr)
+
+  /** `steps` SGD steps. The parameter state lives LONG-FORM between steps
+    * — (kind, id, pos, x) scalar rows, the same shape the scatter-add
+    * produces — so each step is four equi-joins onto the edge×dim frame,
+    * one hinge aggregate, and one scatter-add; no vector ever crosses a
+    * shuffle whole. Step outputs are rounded 6 dp before feeding the next
+    * step (the quantize-iterative-state trick, as in k-means), keeping
+    * the cross-engine trajectory identical; per-step localCheckpoint
+    * truncates the loop's lineage. */
+  def transeSgd(entities: DataFrame, edges: DataFrame, dim: Int,
+                entSeed: Double, relSeed: Double, steps: Int,
+                gamma: Double = 1.0, lr: Double = 0.03125): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true) // index + base-embedding consumers
     val n = ents.count()
@@ -45,51 +60,57 @@ object Training {
     val nextMap = idx.as("a")
       .join(idx.as("b"), col("a.i") % n + 1 === col("b.i"))
       .select(col("a.id").as("dst"), col("b.id").as("neg"))
-
-    // Vectors projected as attributes BEFORE any lambda consumes them
-    // (the shinglesOf perf contract applies to these HOFs too).
-    val withVecs = edges
+    val ed = edges
       .select(col("src").cast("long").as("src"),
               col("rel").cast("long").as("rel"),
               col("dst").cast("long").as("dst"))
       .join(broadcast(nextMap), "dst")
-      .withColumn("hv", Embeddings.deterministicVec(col("src"), dim, entSeed))
-      .withColumn("rv", Embeddings.deterministicVec(col("rel"), dim, relSeed))
-      .withColumn("tv", Embeddings.deterministicVec(col("dst"), dim, entSeed))
-      .withColumn("nv", Embeddings.deterministicVec(col("neg"), dim, entSeed))
-    def l1(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(
-        zip_with(col("hv"), zip_with(col("rv"), t, (r, x) => r - x),
-                 (h, d) => h + d),
-        lit(0.0), (acc, v) => acc + abs(v))
-    val viol = withVecs
-      .filter(lit(gamma) + l1(col("tv")) - l1(col("nv")) > 0)
-
-    val dims = viol.select(col("src"), col("rel"), col("dst"), col("neg"),
-        posexplode(arrays_zip(col("hv"), col("rv"), col("tv"), col("nv")))
-          .as(Seq("pos", "z")))
-      .select(col("src"), col("rel"), col("dst"), col("neg"), col("pos"),
-              signum(col("z.hv") + col("z.rv") - col("z.tv")).as("s"),
-              signum(col("z.hv") + col("z.rv") - col("z.nv")).as("sp"))
-    val contrib = dims
-      .select(lit("ent").as("kind"), col("src").as("id"), col("pos"),
-              (col("s") - col("sp")).as("g"))
-      .unionAll(dims.select(lit("ent").as("kind"), col("dst").as("id"),
-                            col("pos"), (-col("s")).as("g")))
-      .unionAll(dims.select(lit("ent").as("kind"), col("neg").as("id"),
-                            col("pos"), col("sp").as("g")))
-      .unionAll(dims.select(lit("rel").as("kind"), col("rel").as("id"),
-                            col("pos"), (col("s") - col("sp")).as("g")))
-    val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
+      .localCheckpoint(true) // re-joined every step
 
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()
     def base(ids: DataFrame, kind: String, seed: Double): DataFrame =
       ids.select(lit(kind).as("kind"), col("id"),
         posexplode(Embeddings.deterministicVec(col("id"), dim, seed))
-          .as(Seq("pos", "x0")))
-    base(ents, "ent", entSeed).unionAll(base(rels, "rel", relSeed))
-      .join(grads, Seq("kind", "id", "pos"), "left")
-      .select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
-              round(col("x0") - coalesce(col("g"), lit(0.0)) * lr, 6).as("x"))
+          .as(Seq("pos", "x")))
+    var e = base(ents, "ent", entSeed).unionAll(base(rels, "rel", relSeed))
+      .localCheckpoint(true)
+
+    for (_ <- 1 to steps) {
+      def side(kind: String, key: String, as: String): DataFrame =
+        e.filter(col("kind") === kind)
+          .select(col("id").as(key), col("pos"), col("x").as(as))
+      // (edge × dim) rows with all four parameter scalars; the h join has
+      // no pos key — it IS the dim expansion.
+      val dm = ed
+        .join(side("ent", "src", "h"), Seq("src"))
+        .join(side("rel", "rel", "r"), Seq("rel", "pos"))
+        .join(side("ent", "dst", "t"), Seq("dst", "pos"))
+        .join(side("ent", "neg", "tn"), Seq("neg", "pos"))
+      val sc = dm.groupBy("src", "rel", "dst", "neg")
+        .agg(sum(abs(col("h") + col("r") - col("t"))).as("dp"),
+             sum(abs(col("h") + col("r") - col("tn"))).as("dn"))
+      val vi = sc.filter(lit(gamma) + col("dp") - col("dn") > 0)
+        .select("src", "rel", "dst", "neg")
+      val vd = dm.join(vi, Seq("src", "rel", "dst", "neg"), "left_semi")
+        .select(col("src"), col("rel"), col("dst"), col("neg"), col("pos"),
+                signum(col("h") + col("r") - col("t")).as("s"),
+                signum(col("h") + col("r") - col("tn")).as("sp"))
+      val contrib = vd
+        .select(lit("ent").as("kind"), col("src").as("id"), col("pos"),
+                (col("s") - col("sp")).as("g"))
+        .unionAll(vd.select(lit("ent").as("kind"), col("dst").as("id"),
+                            col("pos"), (-col("s")).as("g")))
+        .unionAll(vd.select(lit("ent").as("kind"), col("neg").as("id"),
+                            col("pos"), col("sp").as("g")))
+        .unionAll(vd.select(lit("rel").as("kind"), col("rel").as("id"),
+                            col("pos"), (col("s") - col("sp")).as("g")))
+      val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
+      e = e.join(grads, Seq("kind", "id", "pos"), "left")
+        .select(col("kind"), col("id"), col("pos"),
+                round(col("x") - coalesce(col("g"), lit(0.0)) * lr, 6).as("x"))
+        .localCheckpoint(true)
+    }
+    e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
+             col("x"))
   }
 }

@@ -51,6 +51,30 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("two steps progress beyond one and shrink the mean margin loss") {
+    def loss(e: Map[(String, Long, Long), Double]): Double = {
+      // mean hinge over the two edges with cyclic negatives (10->20->30->10)
+      def vec(kind: String, id: Long) = (0 until 4).map(p => e((kind, id, p.toLong)))
+      def d(h: Seq[Double], r: Seq[Double], t: Seq[Double]) =
+        h.indices.map(i => math.abs(h(i) + r(i) - t(i))).sum
+      val r = vec("rel", 5L)
+      Seq((10L, 20L, 30L), (20L, 30L, 10L)).map { case (s, t, n) =>
+        math.max(0.0, 1.0 + d(vec("ent", s), r, vec("ent", t))
+                          - d(vec("ent", s), r, vec("ent", n)))
+      }.sum / 2
+    }
+    val e1 = step(gamma = 1.0)
+    val e2 = Training.transeSgd(ents, edges, dim = 4,
+        entSeed = 0.3, relSeed = 1.7, steps = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val e0 = step(gamma = -1000.0) // = the untouched init
+    assert(e2 != e1, "second step changed nothing")
+    assert(loss(e1) <= loss(e0) && loss(e2) <= loss(e1),
+           s"loss must be non-increasing: ${loss(e0)} -> ${loss(e1)} -> ${loss(e2)}")
+  }
+
   test("default margin: updated frame is deterministic across partitionings") {
     val a = step(gamma = 1.0)
     val b = Training.transeSgdStep(ents.repartition(3),
