@@ -2,7 +2,6 @@ package graft.score
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** One SGD step of TransE training as pure DataFrame algebra — the inner
   * body of the reference's training loop (margin ranking loss over
@@ -26,13 +25,30 @@ import org.apache.spark.sql.expressions.Window
   * Active-hinge gradients: ∂h = ∂r = s − s′, ∂t = −s, ∂t′ = +s′, where
   * s_i = sgn(h_i+r_i−t_i), s′_i = sgn(h_i+r_i−t′_i).
   *
-  * The global entity index (cyclic corruption) is one small sorted window
-  * over the DISTINCT entity ids — at cluster scale the precomputed
-  * dictionary (Ranking.globalIndex / KGIndex) supplies it instead.
+  * The global entity index (cyclic corruption) is built with
+  * [[graft.metric.Ranking.globalIndex]] — a range-partitioned sort +
+  * zipWithIndex, NOT a no-partition window — and the (dst → next-id) map
+  * joins the edge set as a plain shuffled equi-join, so nothing
+  * entity-sized is ever broadcast or funneled through one partition: the
+  * step stays executable at a 1e9-entity KG.
   *
   * Returns long-form updated parameters: (kind 'ent'|'rel', id, pos, x),
   * x rounded 6 dp. */
 object Training {
+
+  /** (dst → cyclic-successor) map over the distinct entity ids, used as the
+    * deterministic corruption: range-partitioned sort + zipWithIndex
+    * ([[graft.metric.Ranking.globalIndex]] — NO no-partition window), then a
+    * self-equi-join on (uidx+1) mod n. Un-hinted: at test scale Spark may
+    * size-broadcast it, at a 1e9-entity KG it shuffles — both correct. */
+  private[graft] def cyclicNextMap(ents: DataFrame): DataFrame = {
+    val n = ents.count()
+    val idx = graft.metric.Ranking.globalIndex(ents, "id")
+      .localCheckpoint(true) // joined twice below
+    idx.as("a")
+      .join(idx.as("b"), (col("a.uidx") + 1) % n === col("b.uidx"))
+      .select(col("a.id").as("dst"), col("b.id").as("neg"))
+  }
 
   /** One step — see [[transeSgd]]. */
   def transeSgdStep(entities: DataFrame, edges: DataFrame, dim: Int,
@@ -55,16 +71,12 @@ object Training {
     require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true) // index + base-embedding consumers
-    val n = ents.count()
-    val idx = ents.withColumn("i", row_number().over(Window.orderBy("id")))
-    val nextMap = idx.as("a")
-      .join(idx.as("b"), col("a.i") % n + 1 === col("b.i"))
-      .select(col("a.id").as("dst"), col("b.id").as("neg"))
+    val nextMap = cyclicNextMap(ents)
     val ed = edges
       .select(col("src").cast("long").as("src"),
               col("rel").cast("long").as("rel"),
               col("dst").cast("long").as("dst"))
-      .join(broadcast(nextMap), "dst")
+      .join(nextMap, "dst") // shuffled equi-join; nextMap is entity-sized
       .localCheckpoint(true) // re-joined every step
 
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()

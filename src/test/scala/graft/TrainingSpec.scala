@@ -75,6 +75,19 @@ class TrainingSpec extends AnyFunSuite {
            s"loss must be non-increasing: ${loss(e0)} -> ${loss(e1)} -> ${loss(e2)}")
   }
 
+  test("cyclic-next map: no no-partition window, no forced broadcast hint") {
+    val nm = Training.cyclicNextMap(ents.select(col("id").cast("long").as("id")))
+    // the scale-safe shape: zipWithIndex (invisible LogicalRDD) + equi-join —
+    // a Window node here would be the old single-partition funnel
+    assert(!nm.queryExecution.optimizedPlan.toString.contains("Window"),
+           "cyclicNextMap must not use a window")
+    assert(!nm.queryExecution.analyzed.toString.toLowerCase.contains("hint"),
+           "cyclicNextMap must not force a broadcast hint")
+    // and it is still the correct cyclic successor 10->20->30->10
+    val m = nm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(10L -> 20L, 20L -> 30L, 30L -> 10L))
+  }
+
   test("default margin: updated frame is deterministic across partitionings") {
     val a = step(gamma = 1.0)
     val b = Training.transeSgdStep(ents.repartition(3),
