@@ -854,11 +854,13 @@ object PipelineQueries {
       Some("SELECT user_id, event_type, COUNT(*) AS n FROM events " +
            "GROUP BY 1, 2 HAVING COUNT(*) > 1")),
 
-    // R17: key compaction / composite refine_index via dense_rank.
+    // R17: key compaction / composite refine_index — Variadic.compactKeys
+    // (scale-safe dense index: sort + zipWithIndex, no global window; the
+    // oracle keeps the equivalent DENSE_RANK formulation).
     ("q_r17_compaction",
-      (s, dir) => t(s, dir, "events").select("user_id", "event_type").distinct()
-        .withColumn("key_id",
-          (dense_rank().over(Window.orderBy("user_id", "event_type")) - 1).cast("long")),
+      (s, dir) => graft.model.Variadic.compactKeys(
+        t(s, dir, "events").select("user_id", "event_type").distinct(),
+        Seq("user_id", "event_type")),
       Some("SELECT user_id, event_type, " +
            "CAST(DENSE_RANK() OVER (ORDER BY user_id, event_type) - 1 AS BIGINT) AS key_id " +
            "FROM (SELECT DISTINCT user_id, event_type FROM events)")),

@@ -171,6 +171,20 @@ object SystemQueries {
       Some("SELECT user_id AS row, event_id AS value FROM events " +
            "WHERE user_id IN (SELECT user_id FROM events GROUP BY 1 HAVING COUNT(*) > 20)")),
 
+    // R15 with dense re-key: the reindex path (scale-safe zipWithIndex
+    // dense index; the oracle keeps the equivalent DENSE_RANK form).
+    ("q_r15_reindex",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id").as("row"), col("event_id").as("value"))
+        val heavy = ev.groupBy("row").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 20).select("row")
+        Variadic.selectRows(ev, heavy, reindex = true)
+      },
+      Some("SELECT CAST(DENSE_RANK() OVER (ORDER BY user_id) - 1 AS BIGINT) AS row, " +
+           "event_id AS value FROM events " +
+           "WHERE user_id IN (SELECT user_id FROM events GROUP BY 1 HAVING COUNT(*) > 20)")),
+
     // R20: ragged -> lists -> ragged round-trip (identity on the multiset).
     ("q_r20_ragged_roundtrip",
       (s, dir) => Variadic.fromListColumn(Variadic.toLists(

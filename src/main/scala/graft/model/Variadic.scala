@@ -1,8 +1,9 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, Column, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
 
 /** The reference's ragged-matrix runtime container re-expressed relationally
   * (SURVEY §1.1, §2.3 R11-R22): a `VariadicMatrix(data, row_index)`
@@ -48,23 +49,44 @@ object Variadic {
   def duplicates(df: DataFrame): DataFrame =
     df.groupBy("row", "value").agg(count(lit(1)).as("n")).filter(col("n") > 1)
 
+  /** 0-based dense index of the DISTINCT (non-null) `keyCols` tuples in
+    * ascending lexicographic order — the output of a global `dense_rank`,
+    * built scale-safely: range-partitioned sort + RDD zipWithIndex (the
+    * [[graft.metric.Ranking.globalIndex]] pattern generalized to composite
+    * keys), then joined back. No no-partition window anywhere. */
+  private def denseKeyIndex(df: DataFrame, keyCols: Seq[String],
+                            outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keys = df.select(keyCols.map(col): _*).distinct()
+      .orderBy(keyCols.map(c => col(c).asc): _*)
+    val schema = keys.schema.add(outCol, LongType, nullable = false)
+    spark.createDataFrame(
+      keys.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
   /** R15: row-subset selection by key list with optional dense re-key
-    * (data.py:339-368) — a semi-join, plus dense_rank re-key. */
+    * (data.py:339-368) — a semi-join, plus a dense re-key via
+    * [[denseKeyIndex]] (equivalent to a global dense_rank without the
+    * single-partition window). */
   def selectRows(df: DataFrame, rows: DataFrame, reindex: Boolean): DataFrame = {
     val kept = df.join(rows.select(col("row")).distinct(), Seq("row"), "left_semi")
     if (!reindex) kept
-    else kept.withColumn("row",
-      dense_rank().over(Window.orderBy("row")).cast("long") - 1)
+    else kept.join(denseKeyIndex(kept, Seq("row"), "__rk"), Seq("row"))
+      .withColumn("row", col("__rk")).drop("__rk")
+      .select(kept.columns.map(col): _*)
   }
 
   /** R16: union/append (data.py:370-375). */
   def append(a: DataFrame, b: DataFrame): DataFrame = a.unionAll(b)
 
-  /** R17: key compaction — re-densify (possibly composite) group keys
-    * (data.py:387-396, refine_index data.py:91-109). */
+  /** R17: key compaction — re-densify (possibly composite, non-null) group
+    * keys (data.py:387-396, refine_index data.py:91-109). Dense ids come
+    * from [[denseKeyIndex]] — same output as a global dense_rank, no
+    * single-partition window. */
   def compactKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
-    df.withColumn("key_id",
-      dense_rank().over(Window.orderBy(keyCols.map(col): _*)).cast("long") - 1)
+    df.join(denseKeyIndex(df, keyCols, "key_id"), keyCols)
+      .select((df.columns.map(col) :+ col("key_id")): _*)
 
   /** R18: interleaved range explode (interleave_arange, data.py:69-88). */
   def rangeExplode(bounds: DataFrame, startCol: String, endCol: String): DataFrame =

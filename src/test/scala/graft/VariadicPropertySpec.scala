@@ -64,6 +64,25 @@ class VariadicPropertySpec extends AnyFunSuite {
       }
       assert(first == firstRef)
 
+      // R15 reindex: dense re-key == rank of the kept row key among kept
+      // distinct keys (the dense_rank semantics, built without a window)
+      val keepRows = la.indices.filter(_ % 2 == 0).map(_.toLong)
+      val keptKeys = keepRows.filter(r => la(r.toInt).nonEmpty).sorted
+      val r15 = Variadic.selectRows(a, keepRows.toDF("row"), reindex = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val r15Ref = keptKeys.flatMap(r =>
+        la(r.toInt).map(v => (keptKeys.indexOf(r).toLong, v))).sorted
+      assert(r15.toSeq == r15Ref)
+
+      // R17 compactKeys: key_id == dense_rank over (row, value) - 1
+      val allKeys = la.indices.flatMap(i => la(i).map((i.toLong, _)))
+        .distinct.sorted
+      val r17 = Variadic.compactKeys(a, Seq("row", "value")).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      allKeys.zipWithIndex.foreach { case (k, i) =>
+        assert(r17(k) == i.toLong, s"compact key $k")
+      }
+
       // A1 scatter-reduce (all four reductions)
       Seq("sum", "max", "min", "mean").foreach { op =>
         val out = Variadic.scatterReduce(a, op).collect()
