@@ -250,6 +250,26 @@ object PipelineQueries {
       |                UNION
       |                SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a)""".stripMargin
 
+  /** Incremental-dedup verdict CTEs + final select (follows
+    * [[minhashPairsSql]]): docs >= 400 are the fresh batch, < 400 the
+    * already-deduped base. Shared by dedup_incremental and its
+    * persisted-index twin — both produce identical verdicts. */
+  private val incrementalVerdictSql =
+    """near AS (SELECT p.j AS id, 'near' AS reason
+      |         FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+      |         WHERE c * 1.0 / (x.n + y.n - c) >= 0.5 AND p.j >= 400),
+      |exact_base AS (SELECT doc_id AS id, 'exact_base' AS reason
+      |               FROM documents WHERE doc_id >= 400 AND md5(text) IN
+      |                 (SELECT md5(text) FROM documents WHERE doc_id < 400)),
+      |exact_new AS (SELECT f.doc_id AS id, 'exact_new' AS reason
+      |              FROM documents f JOIN (SELECT md5(text) AS dg, MIN(doc_id) AS keep
+      |                                     FROM documents WHERE doc_id >= 400 GROUP BY 1) g
+      |                ON md5(f.text) = g.dg AND f.doc_id <> g.keep
+      |              WHERE f.doc_id >= 400)
+      |SELECT DISTINCT id, reason FROM (
+      |  SELECT * FROM exact_base UNION ALL
+      |  SELECT * FROM exact_new UNION ALL SELECT * FROM near)""".stripMargin
+
   // ---- the registry ---------------------------------------------------
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -991,21 +1011,26 @@ object PipelineQueries {
           docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
           "doc_id", "text", family = Dedup.PortableMd5)
       },
-      Some(minhashPairsSql + ",\n" +
-        """near AS (SELECT p.j AS id, 'near' AS reason
-          |         FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
-          |         WHERE c * 1.0 / (x.n + y.n - c) >= 0.5 AND p.j >= 400),
-          |exact_base AS (SELECT doc_id AS id, 'exact_base' AS reason
-          |               FROM documents WHERE doc_id >= 400 AND md5(text) IN
-          |                 (SELECT md5(text) FROM documents WHERE doc_id < 400)),
-          |exact_new AS (SELECT f.doc_id AS id, 'exact_new' AS reason
-          |              FROM documents f JOIN (SELECT md5(text) AS dg, MIN(doc_id) AS keep
-          |                                     FROM documents WHERE doc_id >= 400 GROUP BY 1) g
-          |                ON md5(f.text) = g.dg AND f.doc_id <> g.keep
-          |              WHERE f.doc_id >= 400)
-          |SELECT DISTINCT id, reason FROM (
-          |  SELECT * FROM exact_base UNION ALL
-          |  SELECT * FROM exact_new UNION ALL SELECT * FROM near)""".stripMargin)),
+      Some(minhashPairsSql + ",\n" + incrementalVerdictSql)),
+
+    // Same verdicts, PERSISTED base index: the base generation's banded
+    // signatures + digests are written to parquet once, then the probe
+    // reads them instead of recomputing — nightly cost truly ∝ fresh
+    // batch. Same oracle as dedup_incremental: signatures depend only on
+    // text, so parquet-read vs recompute cannot change any verdict (the
+    // spec also asserts frame equality between the two paths).
+    ("dedup_incremental_persisted",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") < 400)
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_incr_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        Dedup.writeIncrementalIndex(base, "doc_id", "text", idx,
+                                    family = Dedup.PortableMd5)
+        Dedup.incrementalDropIdsIndexed(base, docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", idx, family = Dedup.PortableMd5)
+      },
+      Some(minhashPairsSql + ",\n" + incrementalVerdictSql)),
 
     // SimHash near-dup, portable 60-bit md5-derived signature.
     ("dedup_simhash",
@@ -1666,7 +1691,7 @@ object PipelineQueries {
               |th AS (SELECT lang, FLOOR(LEAST(1.0, POWER(n, 0.5) / z * nn / n) * 1000000) AS t
               |       FROM counts, tot)
               |SELECT doc_id, d.lang
-              |FROM documents d JOIN th ON d.lang = th.lang
+              |FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
               |WHERE ${graft.pipeline.Sampling.hashBucketSql("doc_id", "temp")} < t""".stripMargin)),
 
     // ANN recall report: LSH top-5 measured against brute-force truth per

@@ -122,24 +122,17 @@ object Dedup {
     * probe-side × everything instead of self × self, so a small probe
     * batch never pays |corpus|² banding collisions or verifies
     * corpus-corpus pairs whose verdicts would be discarded. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                      threshold: Double = 0.5,
-                      family: HashFamily = XxHash,
-                      probeIds: Option[DataFrame] = None): DataFrame = {
+  /** Banded LSH keys (id, band, bh) from a distinct (id, sh) shingle frame.
+    *
+    * PortableMd5: each shingle is hashed ONCE (60-bit int from the md5 hex
+    * prefix, projected as a real column — agg expressions get no CSE, so
+    * an inline base would be re-hashed numHashes times per row), then the
+    * numHashes minhash permutations are affine maps mod p = 2^31−1:
+    * h_i(x) = ((2i+1)·x + i·12582917) mod p. Products stay < 2^37, exact
+    * in 64-bit in any engine. */
+  private def bandedFromSets(sets0: DataFrame, bands: Int, rowsPerBand: Int,
+                             family: HashFamily): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Signature from the exploded (id, shingle) set: one aggregation pass,
-    // sig[i] = min(hash_i(sh)). Shares the materialized shingle sets
-    // with the verification join below, and never re-builds shingle strings
-    // (the expression-only nested-transform formulation re-evaluated the
-    // shingle construction once per hash function — 50x slower at 5k docs).
-    val sets0 = shingleSets(df, idCol, textCol, shingleN)
-    // PortableMd5: hash each shingle ONCE (60-bit int from the md5 hex
-    // prefix, projected as a real column — agg expressions get no CSE, so
-    // an inline base would be re-hashed numHashes times per row), then the
-    // numHashes minhash permutations are affine maps mod p = 2^31−1:
-    // h_i(x) = ((2i+1)·x + i·12582917) mod p. Products stay < 2^37, exact
-    // in 64-bit in any engine.
     val P = 2147483647L
     val sets = family match {
       case XxHash => sets0
@@ -161,10 +154,53 @@ object Dedup {
         case PortableMd5 => md5(concat_ws("|", rows))
       }
     }
-    val banded = sig.select(
+    sig.select(
       col("id"),
       posexplode(array((0 until bands).map(bandHash): _*))
         .as(Seq("band", "bh")))
+  }
+
+  /** Banded MinHash keys of a whole corpus — the persistable LSH probe
+    * index (one row per (id, band): the band's hash key). Computing this is
+    * the O(|corpus|) part of MinHash dedup; persist it with
+    * [[writeIncrementalIndex]] so nightly incremental runs skip it. */
+  def bandedMinhash(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                    family: HashFamily = XxHash): DataFrame =
+    bandedFromSets(shingleRows(df, idCol, textCol, shingleN),
+                   bands, rowsPerBand, family)
+
+  /** Exact-Jaccard verification of candidate pairs: intersection counts
+    * CONSTRAINED to the candidate pairs (never an unconstrained shingle
+    * self-join), sizes by inclusion-exclusion. `candSets` must hold the
+    * distinct (id, sh) rows of every id appearing in `cands`. */
+  private def verifyJaccard(cands: DataFrame, candSets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = candSets.groupBy("id").agg(count(lit(1)).as("sz"))
+    cands
+      .join(candSets.as("sa"), col("i") === col("sa.id"))
+      .join(candSets.as("sb"),
+            col("j") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("id").as("i"), col("sz").as("szi")), "i")
+      .join(sizes.select(col("id").as("j"), col("sz").as("szj")), "j")
+      .withColumn("jaccard", col("c") / (col("szi") + col("szj") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5,
+                      family: HashFamily = XxHash,
+                      probeIds: Option[DataFrame] = None): DataFrame = {
+    // Signature from the exploded (id, shingle) set: one aggregation pass,
+    // sig[i] = min(hash_i(sh)). Shares the materialized shingle sets
+    // with the verification join below, and never re-builds shingle strings
+    // (the expression-only nested-transform formulation re-evaluated the
+    // shingle construction once per hash function — 50x slower at 5k docs).
+    val sets0 = shingleSets(df, idCol, textCol, shingleN)
+    val banded = bandedFromSets(sets0, bands, rowsPerBand, family)
       .localCheckpoint(true) // signatures computed once, not per join side
     // Asymmetric probe: one side shrinks to the probe batch, and the
     // (i, j) normalization happens in the projection — a probe doc can
@@ -201,22 +237,12 @@ object Dedup {
     //    scale probe, where every doc is someone's candidate).
     val candIds = cands.select(col("i").as("id"))
       .unionAll(cands.select(col("j").as("id"))).distinct()
-    // No checkpoint here: `sets` is already materialized, and re-running
+    // No checkpoint here: `sets0` is already materialized, and re-running
     // the broadcast semi-join per consumer is cheaper than writing the
     // (possibly corpus-sized) candidate set back out.
-    val candSets = sets.join(broadcast(candIds), "id")
+    val candSets = sets0.join(broadcast(candIds), "id")
       .select(col("id"), col("sh"))
-    val sizes = candSets.groupBy("id").agg(count(lit(1)).as("sz"))
-    cands
-      .join(candSets.as("sa"), col("i") === col("sa.id"))
-      .join(candSets.as("sb"),
-            col("j") === col("sb.id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("id").as("i"), col("sz").as("szi")), "i")
-      .join(sizes.select(col("id").as("j"), col("sz").as("szj")), "j")
-      .withColumn("jaccard", col("c") / (col("szi") + col("szj") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(cands, candSets, threshold)
   }
 
   /** SimHash near-dup pairs within a Hamming radius, blocked on 4 bands
@@ -364,8 +390,10 @@ object Dedup {
     * done: the near tier runs [[minhashLshPairs]] in asymmetric-probe
     * mode (probeIds = fresh), so banding joins fresh × all and only
     * fresh-touching candidates are Jaccard-verified — cost scales with
-    * the fresh batch, not |base|². (Base shingle/signature recompute per
-    * run remains; a production deployment persists those.) */
+    * the fresh batch, not |base|². This variant still recomputes the base
+    * signatures each run; [[incrementalDropIdsIndexed]] reads them from a
+    * persisted index ([[writeIncrementalIndex]]) instead, making the
+    * nightly cost truly ∝ fresh batch. */
   def incrementalDropIds(base: DataFrame, fresh: DataFrame, idCol: String,
                          textCol: String, threshold: Double = 0.5,
                          family: HashFamily = XxHash): DataFrame = {
@@ -389,6 +417,93 @@ object Dedup {
     // A fresh doc drops when its pair partner is base, or is a fresh doc
     // with a smaller id (i < j always, so a fresh j always drops; a fresh
     // i drops only against a base j).
+    val nearJ = pairs.join(freshIds.select(col("id").as("j")), "j")
+      .select(col("j").as("id"))
+    val nearI = pairs.join(freshIds.select(col("id").as("i")), "i")
+      .join(baseIds.select(col("id").as("j")), "j")
+      .select(col("i").as("id"))
+    val near = nearJ.unionAll(nearI).distinct()
+      .select(col("id"), lit("near").as("reason"))
+    exactBase.unionAll(exactNew).unionAll(near).distinct()
+  }
+
+  /** Persist the base-corpus dedup index — the artifact that makes nightly
+    * incremental dedup cost ∝ fresh batch: the O(|base|) shingle + minhash
+    * work is paid ONCE per corpus generation and re-read thereafter.
+    * Layout (plain parquet, partition-friendly):
+    *   `<path>/bands`   (id LONG, band INT, bh STRING) — banded MinHash keys;
+    *   `<path>/digests` (digest STRING, distinct)      — exact-tier digests.
+    * Parameters (shingleN/bands/rowsPerBand/family) are the caller's
+    * contract: probe runs must pass the same values
+    * ([[incrementalDropIdsIndexed]]). Versioning by corpus generation is a
+    * path convention (`.../gen=N`). */
+  def writeIncrementalIndex(base: DataFrame, idCol: String, textCol: String,
+                            path: String, shingleN: Int = 3, bands: Int = 8,
+                            rowsPerBand: Int = 4,
+                            family: HashFamily = XxHash): Unit = {
+    bandedMinhash(base, idCol, textCol, shingleN, bands, rowsPerBand, family)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    base.select(md5(col(textCol)).as("digest")).distinct()
+      .write.mode("overwrite").parquet(s"$path/digests")
+  }
+
+  /** [[incrementalDropIds]] with the base-side signature work read from a
+    * persisted index ([[writeIncrementalIndex]] at `indexPath`) instead of
+    * recomputed. Per nightly run this computes signatures for the FRESH
+    * batch only; base text is touched just twice, both cheaply at scale:
+    * an id projection (column-pruned scan) for the base-membership check,
+    * and a candidate-id semi-join (pushed-down id filter) to re-shingle
+    * only the base docs that some fresh doc actually banded with.
+    * Output ≡ [[incrementalDropIds]] on the same inputs (spec-checked):
+    * signatures depend only on a doc's text, so reading them from parquet
+    * vs recomputing cannot change any verdict. */
+  def incrementalDropIdsIndexed(base: DataFrame, fresh: DataFrame,
+                                idCol: String, textCol: String,
+                                indexPath: String, threshold: Double = 0.5,
+                                shingleN: Int = 3, bands: Int = 8,
+                                rowsPerBand: Int = 4,
+                                family: HashFamily = XxHash): DataFrame = {
+    val spark = fresh.sparkSession
+    val baseBands = spark.read.parquet(s"$indexPath/bands")
+    val baseDigests = spark.read.parquet(s"$indexPath/digests")
+    val baseIds = base.select(col(idCol).cast("long").as("id"))
+    val freshIds = fresh.select(col(idCol).cast("long").as("id"))
+    // Exact tiers: fresh digest vs persisted base digests; fresh-internal.
+    val exactBase = fresh
+      .select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("digest"))
+      .join(baseDigests, "digest")
+      .select(col("id"), lit("exact_base").as("reason"))
+    val exactNew = exactDropIds(fresh, idCol, textCol)
+      .select(col("id").cast("long").as("id"), lit("exact_new").as("reason"))
+    // Near tier, asymmetric probe with persisted base bands: fresh bands
+    // (computed now, small) × (persisted base bands ∪ fresh bands).
+    val freshBands = bandedMinhash(
+        fresh.select(col(idCol).cast("long").as(idCol), col(textCol)),
+        idCol, textCol, shingleN, bands, rowsPerBand, family)
+      .localCheckpoint(true) // probe side and union side both read it
+    val allBands = baseBands.unionByName(freshBands)
+    val cands = freshBands.as("a")
+      .join(allBands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("i"),
+              greatest(col("a.id"), col("b.id")).as("j"))
+      .distinct()
+      .localCheckpoint(true) // tiny; read three times below
+    // Verify with exact Jaccard over candidate docs only: shingle sets are
+    // rebuilt for the candidate-touching subset of base ∪ fresh.
+    val candIds = cands.select(col("i").as("id"))
+      .unionAll(cands.select(col("j").as("id"))).distinct()
+    val unionDocs = base
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .unionAll(fresh.select(col(idCol).cast("long").as("id"),
+                             col(textCol).as("text")))
+      .join(broadcast(candIds), "id")
+    val candSets = shingleSets(unionDocs, "id", "text", shingleN)
+    val pairs = verifyJaccard(cands, candSets, threshold)
+      .localCheckpoint(true) // probed twice below
+    // Same drop rule as incrementalDropIds: i < j, so a fresh j always
+    // drops; a fresh i drops only against a base j.
     val nearJ = pairs.join(freshIds.select(col("id").as("j")), "j")
       .select(col("j").as("id"))
     val nearI = pairs.join(freshIds.select(col("id").as("i")), "i")

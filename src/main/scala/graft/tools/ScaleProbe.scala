@@ -68,6 +68,21 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text").count())
+    // Persisted-index incremental: the base signature cost is paid ONCE
+    // (index_build), then the nightly probe reads the parquet store —
+    // probe time must land well under the recompute path above.
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_scale_idx").toString
+    time("incremental_index_build") {
+      Dedup.writeIncrementalIndex(docs.filter(col("doc_id") % 50 =!= 0),
+                                  "doc_id", "text", idxPath)
+      spark.read.parquet(s"$idxPath/bands").count()
+    }
+    time("incremental_2pct_persisted")(
+      Dedup.incrementalDropIdsIndexed(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", idxPath).count())
     time("dsir")(
       graft.pipeline.Sampling.dsirLogWeights(
         docs.withColumn("tgt", col("doc_id") % 5 === 0),

@@ -85,6 +85,35 @@ class Round5bSpec extends AnyFunSuite {
     assert(!out.contains((11L, "exact_new")))
   }
 
+  test("incrementalDropIdsIndexed: persisted-index probe ≡ recompute path") {
+    // Richer corpus than the 3-verdict test: multiple near-dup directions,
+    // a fresh-fresh near pair, and docs with no partner at all.
+    val base = (1L to 6L).map(i =>
+      (i, s"b$i w1 w2 w3 w4 w5 w6 w7")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "b1 w1 w2 w3 w4 w5 w6 w7"),   // exact copy of base 1
+      (11L, "n1 n2 n3 n4 n5 n6 n7 n8"),   // novel
+      (12L, "n1 n2 n3 n4 n5 n6 n7 n8"),   // exact copy of fresh 11
+      (13L, "b2 w1 w2 w3 w4 w5 w6 zz"),   // near-dup of base 2
+      (14L, "n1 n2 n3 n4 n5 n6 n7 qq"),   // near-dup of fresh 11
+      (15L, "totally unrelated content here about nothing at all")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_incr_idx").toString
+    Seq(Dedup.XxHash, Dedup.PortableMd5).foreach { fam =>
+      Dedup.writeIncrementalIndex(base, "doc_id", "text", idx, family = fam)
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val recompute = norm(Dedup.incrementalDropIds(
+        base, fresh, "doc_id", "text", threshold = 0.5, family = fam))
+      val probed = norm(Dedup.incrementalDropIdsIndexed(
+        base, fresh, "doc_id", "text", idx, threshold = 0.5, family = fam))
+      assert(probed == recompute, s"family $fam diverged")
+      assert(probed.exists(_._2 == "near") && probed.exists(_._2 == "exact_base")
+             && probed.exists(_._2 == "exact_new"), s"family $fam: tier missing")
+    }
+  }
+
   // --- Bloom probe -------------------------------------------------------
 
   val bloomCorpus = (0L until 200L).map(i => (i, s"content-$i")).toDF("id", "key")
@@ -376,6 +405,27 @@ class Round5bSpec extends AnyFunSuite {
       .collect()(0)
     assert((r.getLong(0), r.getLong(1)) == (4L, 2L))
     assert(r.getDouble(2) == 0.5)
+  }
+
+  test("funnel: zero fromType users gives rate 0.0, not NULL") {
+    val events = Seq(
+      (1L, new java.sql.Timestamp(100000L), 1L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.streaming.EventStreams.funnel(events, windowSec = 600)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (0L, 0L))
+    assert(!r.isNullAt(2) && r.getDouble(2) == 0.0)
+  }
+
+  test("temperatureSample: NULL-group rows participate as their own group") {
+    import graft.pipeline.Sampling
+    val df = (1L to 300L).map(i =>
+      (i, if (i <= 280) "big" else null)).toDF("id", "g")
+    val out = Sampling.temperatureSample(df, "id", "g", alpha = 0.5)
+    // The tiny NULL group's flattened share saturates at keep-all: all 20
+    // unlabeled rows survive instead of silently vanishing.
+    assert(out.filter(col("g").isNull).count() == 20)
+    assert(out.count() > 20) // and the big group still contributes rows
   }
 
   // --- streaming dedup batch twin -----------------------------------------
