@@ -382,8 +382,10 @@ object SystemQueries {
              |         ON c.user_id = p.user_id AND p.s >= c.s AND p.s <= c.s + 600)
              |SELECT (SELECT COUNT(DISTINCT user_id) FROM c) AS n_from_users,
              |       (SELECT COUNT(*) FROM conv) AS n_converted,
-             |       ROUND((SELECT COUNT(*) FROM conv) * 1.0 /
-             |             (SELECT COUNT(DISTINCT user_id) FROM c), 6) AS conv_rate""".stripMargin)),
+             |       CASE WHEN (SELECT COUNT(DISTINCT user_id) FROM c) > 0
+             |            THEN ROUND((SELECT COUNT(*) FROM conv) * 1.0 /
+             |                       (SELECT COUNT(DISTINCT user_id) FROM c), 6)
+             |            ELSE 0.0 END AS conv_rate""".stripMargin)),
 
     // SQL surface via the Graft facade: registered views + spark.sql.
     ("q_facade_sql",

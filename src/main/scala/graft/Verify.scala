@@ -74,8 +74,13 @@ object Verify {
     }
     val pairs: Seq[String] =
       if (only.isDefined && Files.exists(outFile)) {
+        // Keep only entries still in the live registry: a query renamed or
+        // deleted since the last full run would otherwise leave a stale key
+        // (and stale parquet dump) that the gate compares forever.
         val kept = rawPairs(Files.readString(outFile))
-          .filterNot(p => newPairs.contains(p._1)).map(_._2)
+          .filterNot(p => newPairs.contains(p._1))
+          .filter(p => SparkEntry.oracleSql.contains(p._1))
+          .map(_._2)
         kept ++ newPairs.values.toSeq
       } else newPairs.values.toSeq
     Files.writeString(outFile, pairs.mkString("{", ",", "}"))

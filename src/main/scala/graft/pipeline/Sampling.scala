@@ -94,21 +94,25 @@ object Sampling {
     * thresholds need two scalars (Σ n^alpha, N) — one tiny groupBy
     * collected to the driver, the group-count frame broadcast back.
     * Thresholds are FLOORED to integer ppm on both engines (cast-to-
-    * bigint ROUNDS in some engines — floor is the portable choice). */
+    * bigint ROUNDS in some engines — floor is the portable choice).
+    * A NULL group is a group like any other (the threshold join is
+    * null-safe): unlabeled docs participate in the mixture instead of
+    * silently vanishing. */
   def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
                         alpha: Double = 0.5,
                         salt: String = "temp"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumnRenamed(groupCol, "_g")
     val row = counts.agg(sum(pow(col("_n"), alpha)).as("z"),
                          sum("_n").as("nn")).collect()(0)
     if (row.isNullAt(0)) return df.limit(0) // empty corpus: nothing to keep
     val (z, nn) = (row.getDouble(0), row.getLong(1))
     val thresh = floor(least(lit(1.0),
       pow(col("_n"), alpha) / z * nn / col("_n")) * BUCKETS)
-    df.join(broadcast(counts), groupCol)
+    df.join(broadcast(counts), df(groupCol) <=> counts("_g"))
       .filter(hashBucket(col(keyCol), salt) < thresh)
-      .drop("_n")
+      .drop("_g", "_n")
   }
 
   /** DSIR-style hashed-feature importance weights (Xie et al. 2023, "Data

@@ -268,10 +268,13 @@ object Similarity {
     * candidate. Per-query recall = |approx ∩ truth| / |truth| — exact
     * small-integer ratios, float-safe across engines. Two tiny joins over
     * already-k-bounded frames; cost is |Q|·k rows regardless of corpus
-    * size. Output: (qid, n_true, n_hit, recall). */
+    * size. Both projections are deduped first, so a multi-probe candidate
+    * list carrying duplicate (qid, nid) rows can't double-count hits (and
+    * recall can never exceed 1). Output: (qid, n_true, n_hit, recall). */
   def annRecall(truth: DataFrame, approx: DataFrame): DataFrame = {
-    val t = truth.select(col("qid"), col("nid"))
-    val hits = t.join(approx.select(col("qid"), col("nid")), Seq("qid", "nid"))
+    val t = truth.select(col("qid"), col("nid")).distinct()
+    val hits = t.join(approx.select(col("qid"), col("nid")).distinct(),
+                      Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
     t.groupBy("qid").agg(count(lit(1)).as("n_true"))
       .join(hits, Seq("qid"), "left")

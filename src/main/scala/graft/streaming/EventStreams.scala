@@ -232,8 +232,11 @@ object EventStreams {
     from.select("user_id").distinct().agg(count(lit(1)).as("n_from_users"))
       .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
       .select(col("n_from_users"), col("n_converted"),
-              round(col("n_converted") / col("n_from_users"), 6)
-                .as("conv_rate"))
+              // Guarded: with zero fromType users the rate is 0.0, not a
+              // NULL/engine-dependent division-by-zero artifact.
+              when(col("n_from_users") > 0,
+                   round(col("n_converted") / col("n_from_users"), 6))
+                .otherwise(lit(0.0)).as("conv_rate"))
   }
 
   /** Batch twin of [[dedupStream]]: plain key dedup on a static frame —
