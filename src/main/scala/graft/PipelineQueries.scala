@@ -1679,6 +1679,122 @@ object PipelineQueries {
              |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos, x FROM e2""".stripMargin
       }),
 
+    // One DistMult SGD step (bilinear-diagonal score, margin loss, cyclic
+    // corruption). Multiplicative gradients can't use TransE's L1 sign
+    // trick; exactness comes from INTEGER MICRO-UNITS: state quantized to
+    // the 1e-6 grid, gradient contributions exact integer products, the
+    // scatter-add an integer sum (order-independent), hinge decisions on
+    // exact HUGEINT/decimal score sums.
+    ("train_distmult_step",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.distmultSgdStep(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+      },
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""te AS (SELECT src, rel, dst FROM edges
+           |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+           |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+           |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+           |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+           |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+           |dm AS (SELECT src, rel, dst, neg, i,
+           |         CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS hi,
+           |         CAST(ROUND(SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED) * 1000000, 0) AS BIGINT) AS ri,
+           |         CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS ti,
+           |         CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS tni
+           |       FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+           |sc AS (SELECT src, rel, dst, neg,
+           |         SUM(CAST(hi * ri AS HUGEINT) * ti) AS sp,
+           |         SUM(CAST(hi * ri AS HUGEINT) * tni) AS sn
+           |       FROM dm GROUP BY 1, 2, 3, 4),
+           |vd AS (SELECT dm.* FROM dm JOIN
+           |         (SELECT src, rel, dst, neg FROM sc
+           |          WHERE 1000000000000000000 - sp + sn > 0) vi
+           |         USING (src, rel, dst, neg)),
+           |contrib AS (SELECT 'ent' AS kind, src AS id, i, ri * (tni - ti) AS g FROM vd
+           |  UNION ALL SELECT 'rel', rel, i, hi * (tni - ti) FROM vd
+           |  UNION ALL SELECT 'ent', dst, i, -hi * ri FROM vd
+           |  UNION ALL SELECT 'ent', neg, i, hi * ri FROM vd),
+           |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+           |base AS (SELECT 'ent' AS kind, id, i,
+           |           SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+           |         FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |         UNION ALL
+           |         SELECT 'rel', rel AS id, i,
+           |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+           |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
+           |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
+           |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+           |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
+
+    // One mini-batched TransE EPOCH: the edge set hash-partitions into two
+    // disjoint mini-batches (portable md5 split), one SGD step per batch —
+    // the reference's actual shuffled-mini-batch schedule with the shuffle
+    // replaced by a deterministic hash partition.
+    ("train_transe_epoch",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.transeSgdEpoch(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED, batches = 2)
+      },
+      Some {
+        val batchHash = graft.functions.PortableHash.md5Prefix60Sql(
+          "CAST(src AS VARCHAR) || '|' || CAST(rel AS VARCHAR) || '|' || " +
+            "CAST(dst AS VARCHAR)")
+        def stepCtes(k: Int): String = {
+          val (p, c) = (s"e${k - 1}", s"e$k")
+          s"""dm$k AS MATERIALIZED (SELECT ed.src, ed.rel, ed.dst, ed.neg, h.i,
+             |           h.x AS h, r.x AS r, t.x AS t, tn.x AS tn
+             |         FROM ed
+             |         JOIN $p h ON h.kind = 'ent' AND h.id = ed.src
+             |         JOIN $p r ON r.kind = 'rel' AND r.id = ed.rel AND r.i = h.i
+             |         JOIN $p t ON t.kind = 'ent' AND t.id = ed.dst AND t.i = h.i
+             |         JOIN $p tn ON tn.kind = 'ent' AND tn.id = ed.neg AND tn.i = h.i
+             |         WHERE ed.mb = ${k - 1}),
+             |sc$k AS (SELECT src, rel, dst, neg,
+             |           SUM(ABS(h + r - t)) AS dp, SUM(ABS(h + r - tn)) AS dn
+             |         FROM dm$k GROUP BY 1, 2, 3, 4),
+             |vd$k AS (SELECT dm$k.*, SIGN(h + r - t) AS s, SIGN(h + r - tn) AS sp
+             |         FROM dm$k JOIN (SELECT src, rel, dst, neg FROM sc$k
+             |                         WHERE 1.0 + dp - dn > 0) vi$k
+             |           USING (src, rel, dst, neg)),
+             |ct$k AS (SELECT 'ent' AS kind, src AS id, i, s - sp AS g FROM vd$k
+             |  UNION ALL SELECT 'ent', dst, i, -s FROM vd$k
+             |  UNION ALL SELECT 'ent', neg, i, sp FROM vd$k
+             |  UNION ALL SELECT 'rel', rel, i, s - sp FROM vd$k),
+             |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3),
+             |$c AS MATERIALIZED (SELECT kind, id, i, ROUND(x - 0.03125 * COALESCE(g, 0), 6) AS x
+             |       FROM $p LEFT JOIN gs$k USING (kind, id, i))""".stripMargin
+        }
+        KG.edgesCte.trim + ",\n" +
+          s"""te AS (SELECT src, rel, dst FROM edges
+             |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+             |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+             |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+             |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+             |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+             |ed AS MATERIALIZED (SELECT src, rel, dst, neg,
+             |         $batchHash % 2 AS mb FROM te JOIN neg USING (dst)),
+             |e0 AS MATERIALIZED (SELECT 'ent' AS kind, id, i,
+             |         SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x
+             |       FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |       UNION ALL
+             |       SELECT 'rel', rel AS id, i,
+             |         SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+             |       FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+             |${stepCtes(1)},
+             |${stepCtes(2)}
+             |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos, x FROM e2""".stripMargin
+      }),
+
     // Temperature-flattened language mixture (alpha = 0.5 over the skewed
     // lang column): tail languages keep everything, the en head
     // downsamples to its flattened share.

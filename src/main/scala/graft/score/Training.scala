@@ -66,17 +66,51 @@ object Training {
     * truncates the loop's lineage. */
   def transeSgd(entities: DataFrame, edges: DataFrame, dim: Int,
                 entSeed: Double, relSeed: Double, steps: Int,
-                gamma: Double = 1.0, lr: Double = 0.03125): DataFrame = {
+                gamma: Double = 1.0, lr: Double = 0.03125): DataFrame =
+    transeLoop(entities, edges, dim, entSeed, relSeed, steps, gamma, lr,
+               batches = 0)
+
+  /** One mini-batched EPOCH: the edge set is hash-partitioned into
+    * `batches` disjoint mini-batches (portable md5 hash of "src|rel|dst" —
+    * the [[graft.eval.Workload.trainKeep]] split discipline, so any ANSI
+    * engine reproduces batch membership exactly), and one SGD step runs
+    * per batch in batch order. This is the reference's actual training
+    * schedule (shuffled mini-batches per epoch) with the shuffle replaced
+    * by a deterministic hash partition — same convergence behavior,
+    * oracle-checkable trajectory. */
+  def transeSgdEpoch(entities: DataFrame, edges: DataFrame, dim: Int,
+                     entSeed: Double, relSeed: Double, batches: Int,
+                     gamma: Double = 1.0, lr: Double = 0.03125): DataFrame = {
+    require(batches > 0, s"batches must be positive, got $batches")
+    transeLoop(entities, edges, dim, entSeed, relSeed, batches, gamma, lr,
+               batches = batches)
+  }
+
+  /** Portable mini-batch id of an edge row: md5-60-bit of "src|rel|dst"
+    * mod `batches` (0-based). */
+  private def batchId(batches: Int): org.apache.spark.sql.Column =
+    pmod(graft.functions.PortableHash.md5Prefix60(
+           concat_ws("|", col("src"), col("rel"), col("dst"))),
+         lit(batches.toLong))
+
+  /** Shared TransE loop: `batches` = 0 runs every step over ALL edges
+    * ([[transeSgd]]); `batches` = steps > 0 runs step k over mini-batch
+    * k−1 ([[transeSgdEpoch]]). */
+  private def transeLoop(entities: DataFrame, edges: DataFrame, dim: Int,
+                         entSeed: Double, relSeed: Double, steps: Int,
+                         gamma: Double, lr: Double, batches: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true) // index + base-embedding consumers
     val nextMap = cyclicNextMap(ents)
-    val ed = edges
+    val ed0 = edges
       .select(col("src").cast("long").as("src"),
               col("rel").cast("long").as("rel"),
               col("dst").cast("long").as("dst"))
       .join(nextMap, "dst") // shuffled equi-join; nextMap is entity-sized
+    val ed = (if (batches > 0) ed0.withColumn("_mb", batchId(batches))
+              else ed0)
       .localCheckpoint(true) // re-joined every step
 
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()
@@ -87,13 +121,14 @@ object Training {
     var e = base(ents, "ent", entSeed).unionAll(base(rels, "rel", relSeed))
       .localCheckpoint(true)
 
-    for (_ <- 1 to steps) {
+    for (k <- 1 to steps) {
+      val edk = if (batches > 0) ed.filter(col("_mb") === k - 1) else ed
       def side(kind: String, key: String, as: String): DataFrame =
         e.filter(col("kind") === kind)
           .select(col("id").as(key), col("pos"), col("x").as(as))
       // (edge × dim) rows with all four parameter scalars; the h join has
       // no pos key — it IS the dim expansion.
-      val dm = ed
+      val dm = edk
         .join(side("ent", "src", "h"), Seq("src"))
         .join(side("rel", "rel", "r"), Seq("rel", "pos"))
         .join(side("ent", "dst", "t"), Seq("dst", "pos"))
@@ -124,5 +159,82 @@ object Training {
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
              col("x"))
+  }
+
+  /** One SGD step of DistMult (bilinear-diagonal: s = Σ_i h_i·r_i·t_i,
+    * distmult.py semantics) under the same margin loss and deterministic
+    * cyclic corruption as [[transeSgd]]:
+    *   L = max(0, γ − s(h,r,t) + s(h,r,t′)).
+    * Active-hinge gradients are MULTIPLICATIVE (∂h_i = r_i(t′_i − t_i),
+    * ∂r_i = h_i(t′_i − t_i), ∂t_i = −h_i r_i, ∂t′_i = +h_i r_i), so the
+    * L1 sign trick that makes TransE's scatter-add exactly associative
+    * does not apply. The exactness discipline here is INTEGER MICRO-UNITS:
+    * embeddings are quantized to the 1e-6 grid (hᵢ = round(x·1e6), a
+    * 6-dp-quantize of the state — the k-means discipline), every gradient
+    * contribution is then an exact product of ≤2e6-magnitude integers
+    * (fits a long), and the scatter-add sums INTEGERS — order-independent,
+    * so any engine reproduces the summed gradient bit-for-bit. The hinge
+    * decision compares exact decimal(38,0) score sums (products of three
+    * micro-ints — beyond long range, inside decimal's), leaving ZERO
+    * float-route exposure in the step's decisions; the final update
+    * x − lr·g/1e12 is one identical IEEE expression per engine, rounded
+    * 6 dp. */
+  def distmultSgdStep(entities: DataFrame, edges: DataFrame, dim: Int,
+                      entSeed: Double, relSeed: Double, gamma: Double = 1.0,
+                      lr: Double = 0.03125): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val ents = entities.select(col("id").cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val nextMap = cyclicNextMap(ents)
+    val ed = edges
+      .select(col("src").cast("long").as("src"),
+              col("rel").cast("long").as("rel"),
+              col("dst").cast("long").as("dst"))
+      .join(nextMap, "dst")
+      .localCheckpoint(true)
+    val rels = edges.select(col("rel").cast("long").as("id")).distinct()
+    def base(ids: DataFrame, kind: String, seed: Double): DataFrame =
+      ids.select(lit(kind).as("kind"), col("id"),
+        posexplode(Embeddings.deterministicVec(col("id"), dim, seed))
+          .as(Seq("pos", "x")))
+    val e = base(ents, "ent", entSeed).unionAll(base(rels, "rel", relSeed))
+      .localCheckpoint(true)
+    // Micro-int view of the state: xi = round(x * 1e6) as long.
+    def side(kind: String, key: String, as: String): DataFrame =
+      e.filter(col("kind") === kind)
+        .select(col("id").as(key), col("pos"),
+                round(col("x") * 1e6, 0).cast("long").as(as))
+    val dm = ed
+      .join(side("ent", "src", "hi"), Seq("src"))
+      .join(side("rel", "rel", "ri"), Seq("rel", "pos"))
+      .join(side("ent", "dst", "ti"), Seq("dst", "pos"))
+      .join(side("ent", "neg", "tni"), Seq("neg", "pos"))
+      .localCheckpoint(true) // feeds score agg + gradient projection
+    // Exact score sums in decimal(38,0): hi·ri fits a long (≤ 4e12), the
+    // triple product does not (≤ 8e18·dim) — decimal carries it exactly.
+    val hr = (col("hi") * col("ri")).cast("decimal(38,0)")
+    val sc = dm.groupBy("src", "rel", "dst", "neg")
+      .agg(sum(hr * col("ti")).as("sp"), sum(hr * col("tni")).as("sn"))
+    // γ in micro³ (1e-18) units, exactly: hinge active iff γ·1e18 − sp + sn > 0.
+    val gammaNum = lit(BigDecimal(gamma) * BigDecimal(10).pow(18))
+      .cast("decimal(38,0)")
+    val vi = sc.filter(gammaNum - col("sp") + col("sn") > 0)
+      .select("src", "rel", "dst", "neg")
+    val vd = dm.join(vi, Seq("src", "rel", "dst", "neg"), "left_semi")
+    // Gradient numerators in micro² (1e-12) units — exact longs.
+    val contrib = vd
+      .select(lit("ent").as("kind"), col("src").as("id"), col("pos"),
+              (col("ri") * (col("tni") - col("ti"))).as("g"))
+      .unionAll(vd.select(lit("rel").as("kind"), col("rel").as("id"),
+                          col("pos"), (col("hi") * (col("tni") - col("ti"))).as("g")))
+      .unionAll(vd.select(lit("ent").as("kind"), col("dst").as("id"),
+                          col("pos"), (-col("hi") * col("ri")).as("g")))
+      .unionAll(vd.select(lit("ent").as("kind"), col("neg").as("id"),
+                          col("pos"), (col("hi") * col("ri")).as("g")))
+    val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
+    e.join(grads, Seq("kind", "id", "pos"), "left")
+      .select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
+              round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
+                    * lr / 1e12, 6).as("x"))
   }
 }

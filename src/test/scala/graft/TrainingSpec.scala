@@ -88,6 +88,68 @@ class TrainingSpec extends AnyFunSuite {
     assert(m == Map(10L -> 20L, 20L -> 30L, 30L -> 10L))
   }
 
+  test("epoch with one batch == one full-set step; two batches walk a different path") {
+    val one = Training.transeSgdEpoch(ents, edges, dim = 4,
+        entSeed = 0.3, relSeed = 1.7, batches = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(one == step(gamma = 1.0), "batches=1 must equal the single full step")
+    val two = Training.transeSgdEpoch(ents, edges, dim = 4,
+        entSeed = 0.3, relSeed = 1.7, batches = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    // Same grid exactness contract per mini-step.
+    two.foreach { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      val k = (base(kind, id, pos.toInt, seed) - x) * 32.0
+      assert(math.abs(k - math.rint(k)) < 1e-3, s"epoch delta off-grid at $kind $id $pos")
+    }
+    // And deterministic across partitionings.
+    val two2 = Training.transeSgdEpoch(ents.repartition(3), edges.repartition(2),
+        dim = 4, entSeed = 0.3, relSeed = 1.7, batches = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(two == two2)
+  }
+
+  test("distmultSgdStep: inactive hinge keeps init; active matches integer-exact reference") {
+    def dstep(gamma: Double) =
+      Training.distmultSgdStep(ents, edges, dim = 4,
+        entSeed = 0.3, relSeed = 1.7, gamma = gamma)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+        .toMap
+    val frozen = dstep(gamma = -1e6)
+    frozen.foreach { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      assert(x == base(kind, id, pos.toInt, seed), s"$kind $id $pos moved")
+    }
+    // Scala reference in the same integer micro-units, edges with cyclic
+    // negatives 10->20->30->10: (10,5,20,n=30), (20,5,30,n=10).
+    def mi(kind: String, id: Long, pos: Int): Long = {
+      val seed = if (kind == "ent") 0.3 else 1.7
+      math.round(math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed) * 1e6)
+    }
+    val g = scala.collection.mutable.Map.empty[(String, Long, Int), Long]
+      .withDefaultValue(0L)
+    Seq((10L, 5L, 20L, 30L), (20L, 5L, 30L, 10L)).foreach { case (s_, r_, t_, n_) =>
+      // gamma = +1e6 forces every hinge active in this tiny graph
+      (0 until 4).foreach { p =>
+        val (hi, ri, ti, tni) = (mi("ent", s_, p), mi("rel", r_, p),
+                                 mi("ent", t_, p), mi("ent", n_, p))
+        g(("ent", s_, p)) += ri * (tni - ti)
+        g(("rel", r_, p)) += hi * (tni - ti)
+        g(("ent", t_, p)) += -hi * ri
+        g(("ent", n_, p)) += hi * ri
+      }
+    }
+    val active = dstep(gamma = 1e6)
+    active.foreach { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      val x0 = math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed)
+      val want = math.rint((x0 - g((kind, id, pos.toInt)) * 0.03125 / 1e12) * 1e6) / 1e6
+      assert(math.abs(x - want) < 2e-6, s"$kind $id $pos: got $x want $want")
+    }
+    assert(active.exists { case (k, x) => x != frozen(k) }, "no gradient flowed")
+  }
+
   test("default margin: updated frame is deterministic across partitionings") {
     val a = step(gamma = 1.0)
     val b = Training.transeSgdStep(ents.repartition(3),
