@@ -550,11 +550,14 @@ object SystemQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k")),
       Some("SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events")),
 
-    // Multimodal: REAL BMP header parse (width/height/channels) + stubbed
-    // pixel moments + frame sampling. Image rows carry an actual 54-byte
-    // BMP container; the oracle rebuilds the identical byte stream from the
-    // header hex literal + repeated sha256(id) digest and replays both the
-    // header fields and the stub's byte moments in SQL.
+    // Multimodal: REAL BMP decode — header parse (width/height/channels)
+    // AND actual pixel statistics for image rows (f0 = blue-channel mean
+    // over every complete pixel in the truncated payload: 4-byte row
+    // stride 192, BGR, 67 decodable pixels of the declared 64×64) — plus
+    // the stubbed byte moments for audio/video and frame sampling. The
+    // oracle rebuilds the identical byte stream from the header hex
+    // literal + repeated sha256(id) digest and replays the pixel decode
+    // arithmetic in SQL.
     ("multimodal_features",
       (s, dir) => {
         import s.implicits._
@@ -572,7 +575,11 @@ object SystemQueries {
              |  CASE WHEN media_id % 3 = 0 THEN '$bmpHdrHex' || substr(repeat(h, 7), 1, 404)
              |       WHEN media_id % 3 = 1 THEN '$wavHdrHex' || substr(repeat(h, 7), 1, 424)
              |       ELSE substr(repeat(h, 8), 1, 512) END AS fh
-             |  FROM m)
+             |  FROM m),
+             |px AS (SELECT media_id, fh,
+             |  list_filter(generate_series(0, 4095),
+             |              p -> 54 + (p // 64) * 192 + (p % 64) * 3 + 3 <= 256) AS ps
+             |  FROM fx)
              |SELECT media_id,
              |  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              |  CAST(256 AS BIGINT) AS n_bytes,
@@ -580,9 +587,15 @@ object SystemQueries {
              |  CAST(CASE WHEN media_id % 3 = 0 THEN 64 ELSE -1 END AS BIGINT) AS height,
              |  CAST(CASE media_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE -1 END AS BIGINT) AS channels,
              |  CAST(CASE WHEN media_id % 3 = 1 THEN 16000 ELSE -1 END AS BIGINT) AS sample_rate,
-             |  ROUND(list_sum(list_transform(generate_series(0, 31),
-             |          k -> ('0x' || substr(fh, 2 * (8 * k) + 1, 2))::BIGINT / 255.0)) / 32.0, 6) AS f0
-             |FROM fx""".stripMargin)),
+             |  CASE WHEN media_id % 3 = 0 THEN
+             |    ROUND(list_sum(list_transform(ps,
+             |            p -> ('0x' || substr(fh, 2 * (54 + (p // 64) * 192 + (p % 64) * 3) + 1, 2))::BIGINT / 255.0))
+             |          / len(ps), 6)
+             |  ELSE
+             |    ROUND(list_sum(list_transform(generate_series(0, 31),
+             |            k -> ('0x' || substr(fh, 2 * (8 * k) + 1, 2))::BIGINT / 255.0)) / 32.0, 6)
+             |  END AS f0
+             |FROM px""".stripMargin)),
 
     ("multimodal_frames",
       (s, dir) => Multimodal.sampleFrames(

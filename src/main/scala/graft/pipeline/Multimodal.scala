@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extraction / resize /
   * frame-sampling operators.
   *
-  * Image decode is REAL for PNG and BMP containers: [[imageMeta]] parses
-  * width/height/channels straight from the header bytes (pure JVM, no codec
-  * dependency). Pixel decode and audio/video remain a clearly-marked STUB
-  * (this container ships no codecs): [[decodeFeatures]] derives
-  * deterministic byte-moment features from the payload. The Spark-side
-  * plumbing — schema, batch shape, partition-parallel mapPartitions,
-  * expression-level chunking — is real and tested; swapping the stub for a
-  * JNI/codec call changes one function.
+  * Image decode is REAL for BMP end-to-end and for PNG headers: BMP pixel
+  * data is uncompressed, so [[bmpChannelStats]] decodes actual per-channel
+  * pixel statistics (row padding, BGR order) with zero codec dependency,
+  * and [[imageMeta]] parses width/height/channels from PNG/BMP header
+  * bytes. Only compressed payloads (PNG zlib, audio sample interpretation)
+  * remain a clearly-marked STUB: [[decodeFeatures]] falls back to
+  * deterministic byte-moment features there. The Spark-side plumbing —
+  * schema, batch shape, partition-parallel mapPartitions, expression-level
+  * chunking — is real and tested; swapping the stub for a JNI/codec call
+  * changes one function.
   *
   * Scale notes: media blobs stay opaque through shuffles (never parsed by
   * Catalyst); feature extraction is mapPartitions (one codec init per
@@ -97,6 +99,48 @@ object Multimodal {
     } else None
   }
 
+  /** REAL BMP pixel decode — per-channel mean and mean-square (bytes
+    * scaled to [0,1]) over every complete pixel present in the payload.
+    * Honors the header's pixel-data offset, 4-byte row alignment, and
+    * channel count (8/24/32 bpp); bottom-up vs top-down row order is
+    * irrelevant to the statistics. A truncated pixel array (synthetic
+    * corpora, partial fetches) decodes the available prefix honestly —
+    * only pixels whose bytes are all present count. Returns
+    * (meta, nPixels, perChannelMean, perChannelMeanSq); None when the
+    * container isn't BMP. */
+  def bmpChannelStats(bytes: Array[Byte])
+      : Option[(ImageMeta, Long, Array[Double], Array[Double])] =
+    imageMeta(bytes) match {
+      case Some(meta) if meta.format == "bmp" =>
+        val off = le32(bytes, 10)
+        val ch = meta.channels
+        val stride = ((meta.width * ch + 3) / 4) * 4
+        val sums = new Array[Double](ch)
+        val sqs = new Array[Double](ch)
+        var n = 0L
+        var r = 0
+        while (r < meta.height) {
+          val rowBase = off.toLong + r.toLong * stride
+          var x = 0
+          while (x < meta.width) {
+            val base = rowBase + x.toLong * ch
+            if (base >= 0 && base + ch <= bytes.length) {
+              var c = 0
+              while (c < ch) {
+                val v = (bytes((base + c).toInt) & 0xff) / 255.0
+                sums(c) += v; sqs(c) += v * v
+                c += 1
+              }
+              n += 1
+            }
+            x += 1
+          }
+          r += 1
+        }
+        Some((meta, n, sums, sqs))
+      case _ => None
+    }
+
   /** A minimal canonical WAV header + payload (PCM, 16-byte fmt chunk).
     * `declaredLen` overrides the data-chunk length field when the payload
     * is appended separately (the synthetic-corpus path); −1 = payload
@@ -177,10 +221,14 @@ object Multimodal {
   /** Decode + feature extraction over partition-local batches. Container
     * metadata is REAL: width/height/channels for PNG/BMP via [[imageMeta]],
     * sample_rate/channels for WAV via [[audioMeta]]; −1 for unrecognized
-    * containers. The pixel/sample decode itself remains a STUB (no codecs
-    * in this container): features are `dim` deterministic byte-derived
-    * moments so downstream operators (dedup, ANN) are exercised
-    * end-to-end. */
+    * containers. Features:
+    *  - BMP rows: REAL pixel statistics via [[bmpChannelStats]] —
+    *    [mean_c per channel, mean-square_c per channel, decoded-pixel
+    *    fraction, 0-padding] truncated/padded to `dim` (24bpp BGR: f0 is
+    *    the blue-channel mean);
+    *  - everything else (PNG zlib, audio samples, unknown): the declared
+    *    STUB — `dim` deterministic byte-derived moments, so downstream
+    *    operators (dedup, ANN) are exercised end-to-end either way. */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -189,14 +237,26 @@ object Multimodal {
         val bytes = r.media
         val imeta = imageMeta(bytes)
         val ameta = audioMeta(bytes)
-        val feats = Array.tabulate(dim) { i =>
-          if (bytes.isEmpty) 0.0
-          else {
-            var acc = 0.0
-            var j = i
-            while (j < bytes.length) { acc += (bytes(j) & 0xFF) / 255.0; j += dim }
-            acc / math.max(1, (bytes.length + dim - 1 - i) / dim)
-          }
+        val feats = bmpChannelStats(bytes) match {
+          case Some((meta, n, sums, sqs)) if n > 0 =>
+            val ch = meta.channels
+            Array.tabulate(dim) { i =>
+              if (i < ch) sums(i) / n
+              else if (i < 2 * ch) sqs(i - ch) / n
+              else if (i == 2 * ch)
+                n.toDouble / (meta.width.toLong * meta.height)
+              else 0.0
+            }
+          case _ =>
+            Array.tabulate(dim) { i =>
+              if (bytes.isEmpty) 0.0
+              else {
+                var acc = 0.0
+                var j = i
+                while (j < bytes.length) { acc += (bytes(j) & 0xFF) / 255.0; j += dim }
+                acc / math.max(1, (bytes.length + dim - 1 - i) / dim)
+              }
+            }
         }
         MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
                       imeta.map(_.width).getOrElse(-1),

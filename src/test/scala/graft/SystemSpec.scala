@@ -188,6 +188,40 @@ class SystemSpec extends AnyFunSuite {
     }
   }
 
+  test("bmpChannelStats decodes real pixels: padding excluded, truncation honest") {
+    // 2×2 24bpp BMP: stride = ((2*3)+3)/4*4 = 8, so each row carries 6
+    // pixel bytes + 2 padding bytes that must NOT enter the statistics.
+    // Pixels (BGR): row0 = (10,20,30), (40,50,60); row1 = (70,80,90),
+    // (100,110,120); padding bytes = 255 (poison).
+    val payload = Array[Int](
+      10, 20, 30, 40, 50, 60, 255, 255,
+      70, 80, 90, 100, 110, 120, 255, 255).map(_.toByte)
+    val bmp = Multimodal.bmpBytes(2, 2, payload)
+    val Some((meta, n, sums, sqs)) = Multimodal.bmpChannelStats(bmp)
+    assert(meta == Multimodal.ImageMeta(2, 2, 3, "bmp") && n == 4)
+    val b = Seq(10, 40, 70, 100).map(_ / 255.0)
+    val g = Seq(20, 50, 80, 110).map(_ / 255.0)
+    val r = Seq(30, 60, 90, 120).map(_ / 255.0)
+    Seq(b, g, r).zipWithIndex.foreach { case (ch, c) =>
+      assert(math.abs(sums(c) - ch.sum) < 1e-12, s"mean ch $c")
+      assert(math.abs(sqs(c) - ch.map(v => v * v).sum) < 1e-12, s"sq ch $c")
+    }
+    // Truncated pixel array: only complete pixels count (row0 + 1 pixel).
+    val cut = Multimodal.bmpBytes(2, 2, payload.take(11))
+    val Some((_, n2, sums2, _)) = Multimodal.bmpChannelStats(cut)
+    assert(n2 == 3 && math.abs(sums2(0) - (10 + 40 + 70) / 255.0) < 1e-12)
+    // Non-BMP containers decline.
+    assert(Multimodal.bmpChannelStats("RIFFnope".getBytes) == None)
+    // decodeFeatures wires the real stats through: f0 = blue mean,
+    // f3 = blue mean-square, f6 = decoded fraction.
+    import spark.implicits._
+    val row = Seq(Multimodal.MediaRow(1L, "image", bmp, 2, 2, -1)).toDS()
+    val f = Multimodal.decodeFeatures(row).collect()(0).features
+    assert(math.abs(f(0) - b.sum / 4) < 1e-12)
+    assert(math.abs(f(3) - b.map(v => v * v).sum / 4) < 1e-12)
+    assert(f(6) == 1.0 && f(7) == 0.0)
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
