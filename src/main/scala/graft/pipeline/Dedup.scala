@@ -46,14 +46,20 @@ object Dedup {
     * 2⁻⁶⁴ collisions). */
   private[graft] def shingleRows(df: DataFrame, idCol: String,
                                  textCol: String, n: Int,
-                                 hashed: Boolean = false): DataFrame = {
+                                 hashed: Boolean = false,
+                                 dedup: Boolean = true): DataFrame = {
     // Tokens projected before the shingle lambda (TextOps.shinglesOf perf
     // contract: a captured split() re-tokenizes once per shingle).
     val exploded = df
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
       .select(col("id"), explode(TextOps.shinglesOf(col("ts"), n)).as("sh"))
-    (if (hashed) exploded.select(col("id"), xxhash64(col("sh")).as("sh"))
-     else exploded).distinct()
+    val keyed =
+      if (hashed) exploded.select(col("id"), xxhash64(col("sh")).as("sh"))
+      else exploded
+    // dedup = false skips the per-id distinct — correct for any consumer
+    // invariant under within-id multiplicity (e.g. minhash: min over
+    // duplicates == min over the set), and drops a corpus-wide shuffle.
+    if (dedup) keyed.distinct() else keyed
   }
 
   /** Materialized (localCheckpoint): the set representation feeds both sides
@@ -194,13 +200,18 @@ object Dedup {
                       threshold: Double = 0.5,
                       family: HashFamily = XxHash,
                       probeIds: Option[DataFrame] = None): DataFrame = {
-    // Signature from the exploded (id, shingle) set: one aggregation pass,
-    // sig[i] = min(hash_i(sh)). Shares the materialized shingle sets
-    // with the verification join below, and never re-builds shingle strings
-    // (the expression-only nested-transform formulation re-evaluated the
-    // shingle construction once per hash function — 50x slower at 5k docs).
-    val sets0 = shingleSets(df, idCol, textCol, shingleN)
-    val banded = bandedFromSets(sets0, bands, rowsPerBand, family)
+    // Signatures from the RAW exploded (id, shingle) rows — no corpus-wide
+    // distinct: sig[i] = min(hash_i(sh)) is invariant under within-id
+    // duplicates, so the banding path never pays the (id, shingle-string)
+    // dedup shuffle. The raw frame is materialized ONCE (a narrow write —
+    // explode, no shuffle) and shared with the verification path, which
+    // dedups only the candidate-touching rows: sparse candidate sets (the
+    // realistic corpus) shuffle a fraction of the corpus, dense ones (the
+    // replicated scale probe) degrade gracefully to the old full-distinct
+    // cost with the explode still shared.
+    val exploded = shingleRows(df, idCol, textCol, shingleN, dedup = false)
+      .localCheckpoint(true) // shared: signature agg + candidate verify
+    val banded = bandedFromSets(exploded, bands, rowsPerBand, family)
       .localCheckpoint(true) // signatures computed once, not per join side
     // Asymmetric probe: one side shrinks to the probe batch, and the
     // (i, j) normalization happens in the projection — a probe doc can
@@ -237,11 +248,13 @@ object Dedup {
     //    scale probe, where every doc is someone's candidate).
     val candIds = cands.select(col("i").as("id"))
       .unionAll(cands.select(col("j").as("id"))).distinct()
-    // No checkpoint here: `sets0` is already materialized, and re-running
-    // the broadcast semi-join per consumer is cheaper than writing the
-    // (possibly corpus-sized) candidate set back out.
-    val candSets = sets0.join(broadcast(candIds), "id")
-      .select(col("id"), col("sh"))
+    // Distinct shingle sets for CANDIDATE rows only, from the shared raw
+    // frame: the dedup shuffle is proportional to the candidate set, not
+    // the corpus. Materialized: feeds both sides of the intersection join
+    // plus the size aggregate.
+    val candSets = exploded.join(broadcast(candIds), "id")
+      .select(col("id"), col("sh")).distinct()
+      .localCheckpoint(true)
     verifyJaccard(cands, candSets, threshold)
   }
 
