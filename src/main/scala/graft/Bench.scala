@@ -38,11 +38,29 @@ object Bench {
     "text_bigram_logp", "q_stream_join", "ann_recall",
     "train_transe_step", "dedup_incremental", "q_triangles")
 
+  /** 1-minute system load average (or -1 when the platform hides it):
+    * the sandbox CPU-throttles under sustained load (NOTES.md — the same
+    * bench has measured 82 s fresh-boot vs 177–783 s after ~30 min of
+    * load), so every emitted number carries the load context needed to
+    * adjudicate a slow round as throttle vs regression. */
+  private def loadAvg: Double = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.rint(l * 100) / 100
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Optional de-noising: run every query REPEAT times and report the
+    // per-query MEDIAN. Default 1 keeps cross-round comparability (the
+    // historical numbers are single cold-ish passes); medians of repeats
+    // are warmer (codegen compiled on pass 1) but throttle-resistant.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+      .max(1)
+    val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,15 +74,22 @@ object Bench {
     val loadSec = (System.nanoTime() - tLoad) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-          false
+      val runs = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      // Median of the timings (lower-middle for even n); failed iff any
+      // run failed — a flaky crash must still fail the bench.
+      val med = runs.map(_._1).sorted.apply((runs.size - 1) / 2)
+      (name, med, runs.forall(_._2))
     }
     val total = results.map(_._2).sum
+    val loadEnd = loadAvg
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
 
@@ -73,7 +98,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,""" +
         s""""failed":$failed,"n_queries":${results.size},"sf":"$sfDir",""" +
-        s""""load_sec":${fmt(loadSec)},"full":"$outPath"}"""
+        s""""load_sec":${fmt(loadSec)},"loadavg":[$loadStart,$loadEnd],""" +
+        s""""repeat":$repeat,"full":"$outPath"}"""
     }
 
     val full = jsonLine(results.map(r => (r._1, r._2)), _.toString)
