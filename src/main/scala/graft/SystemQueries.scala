@@ -550,14 +550,17 @@ object SystemQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k")),
       Some("SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events")),
 
-    // Multimodal: REAL BMP decode — header parse (width/height/channels)
-    // AND actual pixel statistics for image rows (f0 = blue-channel mean
-    // over every complete pixel in the truncated payload: 4-byte row
-    // stride 192, BGR, 67 decodable pixels of the declared 64×64) — plus
-    // the stubbed byte moments for audio/video and frame sampling. The
-    // oracle rebuilds the identical byte stream from the header hex
-    // literal + repeated sha256(id) digest and replays the pixel decode
-    // arithmetic in SQL.
+    // Multimodal: REAL BMP and PCM-WAV decode — header parse (width/
+    // height/channels/sample_rate) AND actual payload statistics: image
+    // rows decode per-channel pixel stats (f0 = blue mean, f1 = green
+    // mean over every complete pixel in the truncated payload: 4-byte
+    // row stride 192, BGR, 67 decodable pixels of the declared 64×64);
+    // audio rows decode signed 16-bit LE PCM samples (f0 = mean, f1 =
+    // mean-square of the 106 complete samples, normalized /32768);
+    // video rows keep the declared stub byte moments. The oracle
+    // rebuilds the identical byte stream from the header hex literal +
+    // repeated sha256(id) digest and replays both decodes' arithmetic
+    // (including the two's-complement sign fold) in SQL.
     ("multimodal_features",
       (s, dir) => {
         import s.implicits._
@@ -568,7 +571,8 @@ object SystemQueries {
             col("height").cast("long").as("height"),
             col("channels").cast("long").as("channels"),
             col("sample_rate").cast("long").as("sample_rate"),
-            round(element_at(col("features"), 1), 6).as("f0"))
+            round(element_at(col("features"), 1), 6).as("f0"),
+            round(element_at(col("features"), 2), 6).as("f1"))
       },
       Some(s"""WITH m AS (SELECT r AS media_id, sha256(CAST(r AS VARCHAR)) AS h FROM range(64) t(r)),
              |fx AS (SELECT media_id,
@@ -578,8 +582,15 @@ object SystemQueries {
              |  FROM m),
              |px AS (SELECT media_id, fh,
              |  list_filter(generate_series(0, 4095),
-             |              p -> 54 + (p // 64) * 192 + (p % 64) * 3 + 3 <= 256) AS ps
-             |  FROM fx)
+             |              p -> 54 + (p // 64) * 192 + (p % 64) * 3 + 3 <= 256) AS ps,
+             |  list_transform(generate_series(0, 105), k ->
+             |    (('0x' || substr(fh, 2 * (44 + 2 * k) + 1, 2))::BIGINT
+             |     + 256 * ('0x' || substr(fh, 2 * (45 + 2 * k) + 1, 2))::BIGINT)) AS raw16
+             |  FROM fx),
+             |sx AS (SELECT media_id, fh, ps,
+             |  list_transform(raw16,
+             |    v -> (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) / 32768.0) AS smp
+             |  FROM px)
              |SELECT media_id,
              |  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              |  CAST(256 AS BIGINT) AS n_bytes,
@@ -587,15 +598,25 @@ object SystemQueries {
              |  CAST(CASE WHEN media_id % 3 = 0 THEN 64 ELSE -1 END AS BIGINT) AS height,
              |  CAST(CASE media_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE -1 END AS BIGINT) AS channels,
              |  CAST(CASE WHEN media_id % 3 = 1 THEN 16000 ELSE -1 END AS BIGINT) AS sample_rate,
-             |  CASE WHEN media_id % 3 = 0 THEN
+             |  CASE media_id % 3 WHEN 0 THEN
              |    ROUND(list_sum(list_transform(ps,
              |            p -> ('0x' || substr(fh, 2 * (54 + (p // 64) * 192 + (p % 64) * 3) + 1, 2))::BIGINT / 255.0))
              |          / len(ps), 6)
+             |  WHEN 1 THEN ROUND(list_sum(smp) / len(smp), 6)
              |  ELSE
              |    ROUND(list_sum(list_transform(generate_series(0, 31),
              |            k -> ('0x' || substr(fh, 2 * (8 * k) + 1, 2))::BIGINT / 255.0)) / 32.0, 6)
-             |  END AS f0
-             |FROM px""".stripMargin)),
+             |  END AS f0,
+             |  CASE media_id % 3 WHEN 0 THEN
+             |    ROUND(list_sum(list_transform(ps,
+             |            p -> ('0x' || substr(fh, 2 * (54 + (p // 64) * 192 + (p % 64) * 3 + 1) + 1, 2))::BIGINT / 255.0))
+             |          / len(ps), 6)
+             |  WHEN 1 THEN ROUND(list_sum(list_transform(smp, v -> v * v)) / len(smp), 6)
+             |  ELSE
+             |    ROUND(list_sum(list_transform(generate_series(0, 31),
+             |            k -> ('0x' || substr(fh, 2 * (8 * k + 1) + 1, 2))::BIGINT / 255.0)) / 32.0, 6)
+             |  END AS f1
+             |FROM sx""".stripMargin)),
 
     ("multimodal_frames",
       (s, dir) => Multimodal.sampleFrames(
@@ -609,6 +630,52 @@ object SystemQueries {
              |  CASE WHEN r % 3 = 0 THEN upper(substr('$bmpHdrHex', 1, 64))
              |       WHEN r % 3 = 1 THEN upper(substr('$wavHdrHex' || sha256(CAST(r AS VARCHAR)), 1, 64))
              |       ELSE upper(sha256(CAST(r AS VARCHAR))) END AS f0_hex
-             |FROM range(64) t(r)""".stripMargin))
+             |FROM range(64) t(r)""".stripMargin)),
+
+    // REAL PNG decode, round-trip-proven: each row carries a genuine PNG
+    // (zlib-deflated scanlines, real chunk CRCs, per-row filter type
+    // (id + row) % 5 — so all five PNG filters appear) whose pixel bytes
+    // follow a closed-form formula of (media_id, byte index). Spark
+    // decodes the actual container (Inflater + unfilter); the oracle
+    // computes the SAME statistics directly from the formula, never
+    // touching the bytes — they can only match if the compress → inflate
+    // → unfilter round trip is lossless. 16×12 RGB, 48 rows.
+    ("multimodal_png_decode",
+      (s, dir) => {
+        import s.implicits._
+        val (w, h, ch) = (16, 12, 3)
+        val media = s.range(48).map { id =>
+          val pixels = Array.tabulate(w * h * ch)(i =>
+            ((id * 31 + i.toLong * 7) % 256).toByte)
+          Multimodal.MediaRow(id, "image",
+            Multimodal.pngBytes(w, h, ch, pixels, r => ((id + r) % 5).toInt),
+            w, h, -1)
+        }
+        Multimodal.decodeFeatures(media).toDF().select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          round(element_at(col("features"), 1), 6).as("mean_r"),
+          round(element_at(col("features"), 2), 6).as("mean_g"),
+          round(element_at(col("features"), 3), 6).as("mean_b"),
+          round(element_at(col("features"), 4), 6).as("msq_r"),
+          round(element_at(col("features"), 7), 6).as("decoded_frac"))
+      },
+      Some("""WITH px AS (SELECT r AS media_id, generate_series(0, 191) AS ps
+            |  FROM range(48) t(r))
+            |SELECT media_id,
+            |  CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+            |  CAST(3 AS BIGINT) AS channels,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> ((media_id * 31 + (3 * p + 0) * 7) % 256) / 255.0)) / 192, 6) AS mean_r,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> ((media_id * 31 + (3 * p + 1) * 7) % 256) / 255.0)) / 192, 6) AS mean_g,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> ((media_id * 31 + (3 * p + 2) * 7) % 256) / 255.0)) / 192, 6) AS mean_b,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> pow(((media_id * 31 + (3 * p + 0) * 7) % 256) / 255.0, 2))) / 192, 6) AS msq_r,
+            |  ROUND(1.0, 6) AS decoded_frac
+            |FROM px""".stripMargin))
   )
 }

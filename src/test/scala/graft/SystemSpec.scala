@@ -222,6 +222,98 @@ class SystemSpec extends AnyFunSuite {
     assert(f(6) == 1.0 && f(7) == 0.0)
   }
 
+  test("pngChannelStats: lossless round trip for every filter type and channel layout") {
+    val rnd = new scala.util.Random(7)
+    // Exact per-channel sums must survive encode(filter+deflate) ->
+    // decode(inflate+unfilter) for grey/RGB/RGBA × all five filters
+    // (including a mixed-filter image).
+    for (ch <- Seq(1, 3, 4); ft <- -1 to 4) {
+      val (w, h) = (9, 7) // odd sizes: exercises stride arithmetic
+      val pixels = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val filterOf: Int => Int = if (ft < 0) r => r % 5 else _ => ft
+      val png = Multimodal.pngBytes(w, h, ch, pixels, filterOf)
+      val Some((meta, n, sums, sqs)) = Multimodal.pngChannelStats(png)
+      assert(meta == Multimodal.ImageMeta(w, h, ch, "png"), s"ch=$ch ft=$ft")
+      assert(n == w.toLong * h)
+      for (c <- 0 until ch) {
+        val vals = pixels.indices.filter(_ % ch == c)
+          .map(i => (pixels(i) & 0xff) / 255.0)
+        assert(math.abs(sums(c) - vals.sum) < 1e-9, s"sum ch=$c ft=$ft")
+        assert(math.abs(sqs(c) - vals.map(v => v * v).sum) < 1e-9,
+               s"sq ch=$c ft=$ft")
+      }
+    }
+    // Header metadata parses through the shared imageMeta path.
+    val png = Multimodal.pngBytes(5, 4, 3, Array.fill(60)(1.toByte))
+    assert(Multimodal.imageMeta(png).map(_.format) == Some("png"))
+    // A truncated IDAT decodes only the complete surviving rows. (Cutting
+    // just the tail chunks leaves the deflate stream whole — decoding all
+    // 64 pixels from that is CORRECT; cut into the stream itself.)
+    val big = Multimodal.pngBytes(8, 8, 3,
+      Array.fill(192)(rnd.nextInt(256).toByte))
+    val Some((_, n3, _, _)) = Multimodal.pngChannelStats(big.take(big.length - 16))
+    assert(n3 == 64) // IEND + CRC gone, stream intact
+    val Some((_, n4, _, _)) = Multimodal.pngChannelStats(big.take(big.length / 2))
+    assert(n4 < 64 && n4 % 8 == 0) // whole rows only
+    // Non-PNG containers decline.
+    assert(Multimodal.pngChannelStats("garbage".getBytes) == None)
+    assert(Multimodal.pngChannelStats(
+      Multimodal.bmpBytes(2, 2, Array.fill(16)(0.toByte))) == None)
+    // decodeFeatures routes PNG rows through the real decode: f0 = red mean.
+    import spark.implicits._
+    val pix = Array.tabulate(60)(i => (i * 4 % 256).toByte)
+    val row = Seq(Multimodal.MediaRow(1L, "image",
+      Multimodal.pngBytes(5, 4, 3, pix, _ => 4), 5, 4, -1)).toDS()
+    val f = Multimodal.decodeFeatures(row).collect()(0)
+    val rMean = pix.indices.filter(_ % 3 == 0)
+      .map(i => (pix(i) & 0xff) / 255.0).sum / 20
+    assert(math.abs(f.features(0) - rMean) < 1e-9)
+    assert((f.width, f.height, f.channels) == ((5, 4, 3)))
+    assert(f.features(6) == 1.0)
+  }
+
+  test("wavSampleStats decodes real PCM: sign fold, truncation, 8-bit path") {
+    // Hand-built 16-bit mono samples, incl. both extremes and zeros.
+    val samples = Seq(1000, -2000, 0, 32767, -32768, 500)
+    val payload = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val wav = Multimodal.wavBytes(16000, 1, 16, payload)
+    val Some((meta, n, mean, meanSq, peak, crossings)) =
+      Multimodal.wavSampleStats(wav)
+    val norm = samples.map(_ / 32768.0)
+    assert(meta.sampleRate == 16000 && n == 6)
+    assert(math.abs(mean - norm.sum / 6) < 1e-12)
+    assert(math.abs(meanSq - norm.map(v => v * v).sum / 6) < 1e-12)
+    assert(math.abs(peak - 1.0) < 1e-12) // |-32768|/32768
+    // sign changes skipping zeros: +1000 -> -2000 -> (0) -> +32767 -> -32768 -> +500
+    assert(crossings == 4)
+    // Truncated payload: the dangling half-sample is ignored.
+    val cutBytes = wav.take(44 + 5)
+    val cut = Multimodal.wavBytes(16000, 1, 16, payload.take(5),
+                                  declaredLen = 5)
+    assert(Multimodal.wavSampleStats(cut).get._2 == 2)
+    assert(cutBytes.length > 0) // (silence unused warning)
+    // The declared data length bounds decode even when more bytes follow.
+    val short = Multimodal.wavBytes(16000, 1, 16, payload, declaredLen = 4)
+    assert(Multimodal.wavSampleStats(short).get._2 == 2)
+    // 8-bit WAV is unsigned with midpoint 128.
+    val wav8 = Multimodal.wavBytes(8000, 1, 8, Array[Int](128, 255, 0)
+      .map(_.toByte))
+    val Some((_, n8, mean8, _, peak8, _)) = Multimodal.wavSampleStats(wav8)
+    assert(n8 == 3 && math.abs(mean8 - (0.0 + 127.0 / 128 - 1.0) / 3) < 1e-12)
+    assert(math.abs(peak8 - 1.0) < 1e-12)
+    // Unsupported bit depths and non-WAV containers decline.
+    assert(Multimodal.wavSampleStats("BM not a wav".getBytes) == None)
+    // decodeFeatures wires the stats through: f0..f4.
+    import spark.implicits._
+    val row = Seq(Multimodal.MediaRow(1L, "audio", wav, -1, -1, 16000)).toDS()
+    val f = Multimodal.decodeFeatures(row).collect()(0).features
+    assert(math.abs(f(0) - norm.sum / 6) < 1e-12)
+    assert(math.abs(f(2) - 1.0) < 1e-12)
+    assert(math.abs(f(3) - 4.0 / 5) < 1e-12)
+    assert(f(4) == 1.0)
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
