@@ -49,6 +49,7 @@ object PipelineQueries {
   private val DIM = 8
   private val ENT_SEED = 0.3
   private val REL_SEED = 1.7
+  private val IM_OFF = graft.score.Training.IM_SEED_OFFSET
 
   private def supplierEnts(s: SparkSession, dir: String): DataFrame =
     Embeddings.deterministic(
@@ -1728,6 +1729,71 @@ object PipelineQueries {
            |         SELECT 'rel', rel AS id, i,
            |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
            |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
+           |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
+           |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+           |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
+
+    // One ComplEx SGD step (complex.py): Re<h, r, conj(t)> margin loss,
+    // same integer micro-unit exactness discipline as DistMult — the
+    // complex cross terms (ac-bd)/(ad+bc) are exact longs, score sums
+    // exact HUGEINT/decimal micro-cubed, gradients exact micro-squared
+    // longs via the product rule on the real-part expansion.
+    ("train_complex_step",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.complexSgdStep(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+      },
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""te AS (SELECT src, rel, dst FROM edges
+           |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+           |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+           |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+           |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+           |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+           |dm AS MATERIALIZED (SELECT src, rel, dst, neg, i,
+           |    CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS a,
+           |    CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS b,
+           |    CAST(ROUND(SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED) * 1000000, 0) AS BIGINT) AS c,
+           |    CAST(ROUND(SIN((rel % 9973 + 1) * i * 0.017 + ${REL_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS d,
+           |    CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS e,
+           |    CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS f,
+           |    CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS ep,
+           |    CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS fp
+           |  FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+           |sc AS (SELECT src, rel, dst, neg,
+           |    SUM(CAST(a * c - b * d AS HUGEINT) * e + CAST(a * d + b * c AS HUGEINT) * f) AS sp,
+           |    SUM(CAST(a * c - b * d AS HUGEINT) * ep + CAST(a * d + b * c AS HUGEINT) * fp) AS sn
+           |  FROM dm GROUP BY 1, 2, 3, 4),
+           |vd AS (SELECT dm.*, ep - e AS de, fp - f AS dfv FROM dm JOIN
+           |    (SELECT src, rel, dst, neg FROM sc
+           |     WHERE 1000000000000000000 - sp + sn > 0) vi
+           |    USING (src, rel, dst, neg)),
+           |contrib AS (SELECT 'ent_re' AS kind, src AS id, i, c * de + d * dfv AS g FROM vd
+           |  UNION ALL SELECT 'ent_im', src, i, -d * de + c * dfv FROM vd
+           |  UNION ALL SELECT 'rel_re', rel, i, a * de + b * dfv FROM vd
+           |  UNION ALL SELECT 'rel_im', rel, i, -b * de + a * dfv FROM vd
+           |  UNION ALL SELECT 'ent_re', dst, i, -(a * c - b * d) FROM vd
+           |  UNION ALL SELECT 'ent_im', dst, i, -(a * d + b * c) FROM vd
+           |  UNION ALL SELECT 'ent_re', neg, i, a * c - b * d FROM vd
+           |  UNION ALL SELECT 'ent_im', neg, i, a * d + b * c FROM vd),
+           |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+           |base AS (SELECT 'ent_re' AS kind, id, i,
+           |      SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+           |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |  UNION ALL SELECT 'ent_im', id, i,
+           |      SIN((id % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF})
+           |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |  UNION ALL SELECT 'rel_re', rel AS id, i,
+           |      SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+           |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)
+           |  UNION ALL SELECT 'rel_im', rel AS id, i,
+           |      SIN((rel % 9973 + 1) * i * 0.017 + ${REL_SEED + IM_OFF})
+           |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
            |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
            |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),

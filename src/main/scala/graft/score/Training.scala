@@ -237,4 +237,104 @@ object Training {
               round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
                     * lr / 1e12, 6).as("x"))
   }
+
+  /** Imaginary-part seed offset for [[complexSgdStep]]: the im vector of id
+    * under seed s is the deterministic vector under s + IM_SEED_OFFSET. */
+  val IM_SEED_OFFSET = 2.0
+
+  /** One SGD step of ComplEx (complex.py semantics: s = Re⟨h, r, conj(t)⟩ =
+    * Σ_i (a_i c_i − b_i d_i) e_i + (a_i d_i + b_i c_i) f_i for h = a+bi,
+    * r = c+di, t = e+fi) under the same margin loss and deterministic cyclic
+    * corruption as [[distmultSgdStep]], and the same INTEGER MICRO-UNIT
+    * exactness discipline: state quantized to the 1e-6 grid, score sums as
+    * exact decimal(38,0) micro³ (the complex cross terms (ac−bd)/(ad+bc)
+    * fit a long, the product with the tail does not), gradients as exact
+    * micro² longs. Active-hinge gradients follow the product rule on the
+    * real-part expansion:
+    *   ∂a = c·Δe + d·Δf, ∂b = −d·Δe + c·Δf,  (Δe = e′−e, Δf = f′−f)
+    *   ∂c = a·Δe + b·Δf, ∂d = −b·Δe + a·Δf,
+    *   ∂e = −(ac−bd), ∂f = −(ad+bc), ∂e′/∂f′ the positives.
+    * Returns long-form (kind ∈ ent_re|ent_im|rel_re|rel_im, id, pos, x). */
+  def complexSgdStep(entities: DataFrame, edges: DataFrame, dim: Int,
+                     entSeed: Double, relSeed: Double, gamma: Double = 1.0,
+                     lr: Double = 0.03125): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val ents = entities.select(col("id").cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val nextMap = cyclicNextMap(ents)
+    val ed = edges
+      .select(col("src").cast("long").as("src"),
+              col("rel").cast("long").as("rel"),
+              col("dst").cast("long").as("dst"))
+      .join(nextMap, "dst")
+      .localCheckpoint(true)
+    val rels = edges.select(col("rel").cast("long").as("id")).distinct()
+    // Complex long-form state: (id, pos, re, im).
+    def cbase(ids: DataFrame, seed: Double): DataFrame =
+      ids.select(col("id"),
+          Embeddings.deterministicVec(col("id"), dim, seed).as("vre"),
+          Embeddings.deterministicVec(col("id"), dim, seed + IM_SEED_OFFSET)
+            .as("vim"))
+        .select(col("id"), posexplode(arrays_zip(col("vre"), col("vim")))
+          .as(Seq("pos", "z")))
+        .select(col("id"), col("pos"),
+                col("z.vre").as("re"), col("z.vim").as("im"))
+    val cents = cbase(ents, entSeed).localCheckpoint(true)
+    val crels = cbase(rels, relSeed).localCheckpoint(true)
+    // Micro-int sides: one join per role carries both parts.
+    def side(df: DataFrame, key: String, reAs: String, imAs: String) =
+      df.select(col("id").as(key), col("pos"),
+                round(col("re") * 1e6, 0).cast("long").as(reAs),
+                round(col("im") * 1e6, 0).cast("long").as(imAs))
+    val dm = ed
+      .join(side(cents, "src", "a", "b"), Seq("src")) // pos expansion
+      .join(side(crels, "rel", "c", "d"), Seq("rel", "pos"))
+      .join(side(cents, "dst", "e", "f"), Seq("dst", "pos"))
+      .join(side(cents, "neg", "ep", "fp"), Seq("neg", "pos"))
+      .localCheckpoint(true) // feeds score agg + gradient projection
+    // Cross terms fit a long (≤ 2e12); the tail product needs decimal.
+    val reHR = (col("a") * col("c") - col("b") * col("d"))
+      .cast("decimal(38,0)")
+    val imHR = (col("a") * col("d") + col("b") * col("c"))
+      .cast("decimal(38,0)")
+    val sc = dm.groupBy("src", "rel", "dst", "neg")
+      .agg(sum(reHR * col("e") + imHR * col("f")).as("sp"),
+           sum(reHR * col("ep") + imHR * col("fp")).as("sn"))
+    val gammaNum = lit(BigDecimal(gamma) * BigDecimal(10).pow(18))
+      .cast("decimal(38,0)")
+    val vi = sc.filter(gammaNum - col("sp") + col("sn") > 0)
+      .select("src", "rel", "dst", "neg")
+    val vd = dm.join(vi, Seq("src", "rel", "dst", "neg"), "left_semi")
+      .withColumn("de", col("ep") - col("e"))
+      .withColumn("df", col("fp") - col("f"))
+    // Micro² gradient contributions — exact longs.
+    val contrib = vd
+      .select(lit("ent_re").as("kind"), col("src").as("id"), col("pos"),
+              (col("c") * col("de") + col("d") * col("df")).as("g"))
+      .unionAll(vd.select(lit("ent_im"), col("src"), col("pos"),
+              -col("d") * col("de") + col("c") * col("df")))
+      .unionAll(vd.select(lit("rel_re"), col("rel"), col("pos"),
+              col("a") * col("de") + col("b") * col("df")))
+      .unionAll(vd.select(lit("rel_im"), col("rel"), col("pos"),
+              -col("b") * col("de") + col("a") * col("df")))
+      .unionAll(vd.select(lit("ent_re"), col("dst"), col("pos"),
+              -(col("a") * col("c") - col("b") * col("d"))))
+      .unionAll(vd.select(lit("ent_im"), col("dst"), col("pos"),
+              -(col("a") * col("d") + col("b") * col("c"))))
+      .unionAll(vd.select(lit("ent_re"), col("neg"), col("pos"),
+              col("a") * col("c") - col("b") * col("d")))
+      .unionAll(vd.select(lit("ent_im"), col("neg"), col("pos"),
+              col("a") * col("d") + col("b") * col("c")))
+    val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
+    val base = cents
+      .select(lit("ent_re").as("kind"), col("id"), col("pos"),
+              col("re").as("x"))
+      .unionAll(cents.select(lit("ent_im"), col("id"), col("pos"), col("im")))
+      .unionAll(crels.select(lit("rel_re"), col("id"), col("pos"), col("re")))
+      .unionAll(crels.select(lit("rel_im"), col("id"), col("pos"), col("im")))
+    base.join(grads, Seq("kind", "id", "pos"), "left")
+      .select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
+              round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
+                    * lr / 1e12, 6).as("x"))
+  }
 }

@@ -150,6 +150,64 @@ class TrainingSpec extends AnyFunSuite {
     assert(active.exists { case (k, x) => x != frozen(k) }, "no gradient flowed")
   }
 
+  test("complexSgdStep: inactive hinge keeps init; active matches product-rule reference") {
+    def cstep(gamma: Double) =
+      Training.complexSgdStep(ents, edges, dim = 4,
+        entSeed = 0.3, relSeed = 1.7, gamma = gamma)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+        .toMap
+    def seedOf(kind: String): Double = kind match {
+      case "ent_re" => 0.3
+      case "ent_im" => 0.3 + Training.IM_SEED_OFFSET
+      case "rel_re" => 1.7
+      case "rel_im" => 1.7 + Training.IM_SEED_OFFSET
+    }
+    val frozen = cstep(gamma = -1e6)
+    assert(frozen.size == 4 * 4 + 2 * 4 * 2) // 3 ents + 1 rel, re+im, dim 4
+    frozen.foreach { case ((kind, id, pos), x) =>
+      assert(x == base(kind, id, pos.toInt, seedOf(kind)), s"$kind $id $pos moved")
+    }
+    // Product-rule reference in integer micro-units over the cyclic
+    // negatives 10->20->30->10.
+    def mi(kind: String, id: Long, pos: Int): Long =
+      math.round(math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seedOf(kind)) * 1e6)
+    val g = scala.collection.mutable.Map.empty[(String, Long, Int), Long]
+      .withDefaultValue(0L)
+    Seq((10L, 5L, 20L, 30L), (20L, 5L, 30L, 10L)).foreach { case (s_, r_, t_, n_) =>
+      (0 until 4).foreach { p =>
+        val (a, b) = (mi("ent_re", s_, p), mi("ent_im", s_, p))
+        val (c, d) = (mi("rel_re", r_, p), mi("rel_im", r_, p))
+        val (e, f) = (mi("ent_re", t_, p), mi("ent_im", t_, p))
+        val (ep, fp) = (mi("ent_re", n_, p), mi("ent_im", n_, p))
+        val (de, df) = (ep - e, fp - f)
+        g(("ent_re", s_, p)) += c * de + d * df
+        g(("ent_im", s_, p)) += -d * de + c * df
+        g(("rel_re", r_, p)) += a * de + b * df
+        g(("rel_im", r_, p)) += -b * de + a * df
+        g(("ent_re", t_, p)) += -(a * c - b * d)
+        g(("ent_im", t_, p)) += -(a * d + b * c)
+        g(("ent_re", n_, p)) += a * c - b * d
+        g(("ent_im", n_, p)) += a * d + b * c
+      }
+    }
+    val active = cstep(gamma = 1e6)
+    active.foreach { case ((kind, id, pos), x) =>
+      val x0 = math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seedOf(kind))
+      val want = math.rint((x0 - g((kind, id, pos.toInt)) * 0.03125 / 1e12) * 1e6) / 1e6
+      assert(math.abs(x - want) < 2e-6, s"$kind $id $pos: got $x want $want")
+    }
+    assert(active.exists { case (k, x) => x != frozen(k) }, "no gradient flowed")
+    // Deterministic across partitionings (scatter-add sums integers).
+    val b2 = Training.complexSgdStep(ents.repartition(3),
+        edges.repartition(2), dim = 4, entSeed = 0.3, relSeed = 1.7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val b1 = cstep(gamma = 1.0)
+    assert(b1 == b2)
+  }
+
   test("default margin: updated frame is deterministic across partitionings") {
     val a = step(gamma = 1.0)
     val b = Training.transeSgdStep(ents.repartition(3),
