@@ -1798,6 +1798,87 @@ object PipelineQueries {
            |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
+    // One RotatE SGD step (rotate.py estimate semantics: complex entities,
+    // phase-vector relation) with component-wise-L1 training distance —
+    // the determinism-compatible member of RotatE's distance family (the
+    // per-dim modulus sqrt has no exact relational gradient). Phase is
+    // 1e-6-quantized and its cos/sin RE-quantized to micro ints, so the
+    // residuals are exact longs: the sign trick returns for entity/tail
+    // gradients, and the phase gradient is the exact rotation derivative
+    // (∂Re/∂θ = −Im_est, ∂Im/∂θ = +Re_est).
+    ("train_rotate_step",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.rotateSgdStep(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+      },
+      Some {
+        val th = s"CAST(ROUND(SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)" +
+          " * 1000000, 0) AS BIGINT)"
+        KG.edgesCte.trim + ",\n" +
+          s"""te AS (SELECT src, rel, dst FROM edges
+             |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+             |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+             |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+             |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+             |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+             |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+             |dm0 AS (SELECT src, rel, dst, neg, i,
+             |    CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS a,
+             |    CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS b,
+             |    CAST(ROUND(COS($th / 1000000.0) * 1000000, 0) AS BIGINT) AS c,
+             |    CAST(ROUND(SIN($th / 1000000.0) * 1000000, 0) AS BIGINT) AS sn,
+             |    CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS e,
+             |    CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS f,
+             |    CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS ep,
+             |    CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS fp
+             |  FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+             |dm AS MATERIALIZED (SELECT *,
+             |    a * c - b * sn - e * 1000000 AS u,
+             |    a * sn + b * c - f * 1000000 AS v,
+             |    a * c - b * sn - ep * 1000000 AS up,
+             |    a * sn + b * c - fp * 1000000 AS vp
+             |  FROM dm0),
+             |sc AS (SELECT src, rel, dst, neg,
+             |    SUM(CAST(ABS(u) + ABS(v) AS HUGEINT)) AS dp,
+             |    SUM(CAST(ABS(up) + ABS(vp) AS HUGEINT)) AS dn
+             |  FROM dm GROUP BY 1, 2, 3, 4),
+             |vd AS (SELECT dm.*,
+             |    CAST(SIGN(u) AS BIGINT) AS su, CAST(SIGN(v) AS BIGINT) AS sv,
+             |    CAST(SIGN(up) AS BIGINT) AS sup, CAST(SIGN(vp) AS BIGINT) AS svp
+             |  FROM dm JOIN
+             |    (SELECT src, rel, dst, neg FROM sc
+             |     WHERE 1000000000000 + dp - dn > 0) vi
+             |    USING (src, rel, dst, neg)),
+             |contrib AS (SELECT 'ent_re' AS kind, src AS id, i,
+             |      ((su - sup) * c + (sv - svp) * sn) * 1000000 AS g FROM vd
+             |  UNION ALL SELECT 'ent_im', src, i,
+             |      (-(su - sup) * sn + (sv - svp) * c) * 1000000 FROM vd
+             |  UNION ALL SELECT 'ent_re', dst, i, -su * 1000000000000 FROM vd
+             |  UNION ALL SELECT 'ent_im', dst, i, -sv * 1000000000000 FROM vd
+             |  UNION ALL SELECT 'ent_re', neg, i, sup * 1000000000000 FROM vd
+             |  UNION ALL SELECT 'ent_im', neg, i, svp * 1000000000000 FROM vd
+             |  UNION ALL SELECT 'rel_ph', rel, i,
+             |      (sv - svp) * (a * c - b * sn)
+             |        - (su - sup) * (a * sn + b * c) FROM vd),
+             |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+             |base AS (SELECT 'ent_re' AS kind, id, i,
+             |      SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+             |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |  UNION ALL SELECT 'ent_im', id, i,
+             |      SIN((id % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF})
+             |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |  UNION ALL SELECT 'rel_ph', rel AS id, i,
+             |      SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+             |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
+             |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
+             |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin
+      }),
+
     // One mini-batched TransE EPOCH: the edge set hash-partitions into two
     // disjoint mini-batches (portable md5 split), one SGD step per batch —
     // the reference's actual shuffled-mini-batch schedule with the shuffle
@@ -1860,6 +1941,89 @@ object PipelineQueries {
              |${stepCtes(2)}
              |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos, x FROM e2""".stripMargin
       }),
+
+    // Train THEN evaluate, both relationally: one TransE SGD step followed
+    // by unfiltered link-prediction ranking of the UPDATED parameters over
+    // the training edges (the reference's evaluate-every-N-steps checkpoint,
+    // lmpnn.py). Distances are exact micro-int sums and MRR uses the
+    // micro-reciprocal trick (SUM(ROUND(1e6/rank))), so every output digit
+    // is engine-exact — no float-route exposure anywhere in train OR eval.
+    ("train_eval_mrr",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        val e1 = graft.score.Training.transeSgdStep(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+        graft.score.Training.transeRanks(e1, edges)
+          .groupBy("rel")
+          .agg(count(lit(1)).as("n"),
+               round(sum(round(lit(1000000.0) / col("rank"), 0)) / 1e6
+                     / count(lit(1)), 6).as("mrr"),
+               round(sum(when(col("rank") <= 1, 1).otherwise(0)) * 1.0
+                     / count(lit(1)), 6).as("hits1"),
+               round(sum(when(col("rank") <= 10, 1).otherwise(0)) * 1.0
+                     / count(lit(1)), 6).as("hits10"))
+      },
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""te AS (SELECT src, rel, dst FROM edges
+           |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+           |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+           |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+           |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+           |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+           |dm AS MATERIALIZED (SELECT src, rel, dst, neg, i,
+           |         SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) AS h,
+           |         SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED) AS r,
+           |         SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) AS t,
+           |         SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) AS tn
+           |       FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+           |sc AS (SELECT src, rel, dst, neg,
+           |         SUM(ABS(h + r - t)) AS dp, SUM(ABS(h + r - tn)) AS dn
+           |       FROM dm GROUP BY 1, 2, 3, 4),
+           |vd AS (SELECT dm.*, SIGN(h + r - t) AS s, SIGN(h + r - tn) AS sp
+           |       FROM dm JOIN (SELECT src, rel, dst, neg FROM sc
+           |                     WHERE 1.0 + dp - dn > 0) vi
+           |         USING (src, rel, dst, neg)),
+           |contrib AS (SELECT 'ent' AS kind, src AS id, i, s - sp AS g FROM vd
+           |  UNION ALL SELECT 'ent', dst, i, -s FROM vd
+           |  UNION ALL SELECT 'ent', neg, i, sp FROM vd
+           |  UNION ALL SELECT 'rel', rel, i, s - sp FROM vd),
+           |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+           |basee AS (SELECT 'ent' AS kind, id, i,
+           |           SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+           |         FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |         UNION ALL
+           |         SELECT 'rel', rel AS id, i,
+           |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+           |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+           |e1 AS MATERIALIZED (SELECT kind, id, i,
+           |         ROUND(x0 - 0.03125 * COALESCE(g, 0), 6) AS x
+           |       FROM basee LEFT JOIN gsum USING (kind, id, i)),
+           |ei AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+           |       FROM e1 WHERE kind = 'ent'),
+           |ri AS (SELECT id AS rel, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS rxi
+           |       FROM e1 WHERE kind = 'rel'),
+           |dd AS MATERIALIZED (SELECT te.src, te.rel, te.dst, c.id AS cand,
+           |         SUM(ABS(h.xi + r.rxi - c.xi)) AS d
+           |       FROM te JOIN ei h ON h.id = te.src
+           |               JOIN ri r ON r.rel = te.rel AND r.i = h.i
+           |               JOIN ei c ON c.i = h.i
+           |       GROUP BY 1, 2, 3, 4),
+           |tr2 AS (SELECT src, rel, dst, d AS dt FROM dd WHERE cand = dst),
+           |rk AS (SELECT s.src, s.rel, s.dst,
+           |         1 + SUM(CASE WHEN s.d < tr2.dt
+           |                       OR (s.d = tr2.dt AND s.cand < s.dst)
+           |                      THEN 1 ELSE 0 END) AS rank
+           |       FROM dd s JOIN tr2 USING (src, rel, dst)
+           |       WHERE s.cand <> s.dst GROUP BY 1, 2, 3)
+           |SELECT rel, COUNT(*) AS n,
+           |       ROUND(SUM(ROUND(1000000.0 / rank, 0)) / 1e6 / COUNT(*), 6) AS mrr,
+           |       ROUND(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits1,
+           |       ROUND(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits10
+           |FROM rk GROUP BY rel""".stripMargin)),
 
     // Temperature-flattened language mixture (alpha = 0.5 over the skewed
     // lang column): tail languages keep everything, the en head

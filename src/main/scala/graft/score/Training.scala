@@ -337,4 +337,165 @@ object Training {
               round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
                     * lr / 1e12, 6).as("x"))
   }
+
+  /** Unfiltered link-prediction tail ranks of each edge under a long-form
+    * TransE parameter frame ((kind,id,pos,x) as produced by the SGD steps)
+    * — the reference's in-training eval checkpoint (lmpnn.py's
+    * evaluate-every-N-steps loop) as one relational pass. Distances are
+    * exact micro-int sums (the state is 6-dp quantized), so every rank is
+    * engine-exact; ties break toward the smaller candidate id. The
+    * candidate universe is every entity in the frame: the standard
+    * exhaustive eval — at a 1e9-entity KG you'd pass a sampled candidate
+    * slice through the same plan, which is the long-form A5 shape this
+    * repo uses everywhere (no dense ranking matrix). */
+  def transeRanks(params: DataFrame, edges: DataFrame): DataFrame = {
+    val ei = params.filter(col("kind") === "ent")
+      .select(col("id"), col("pos"),
+              round(col("x") * 1e6, 0).cast("long").as("xi"))
+      .localCheckpoint(true) // head, candidate, and true-tail consumers
+    val ri = params.filter(col("kind") === "rel")
+      .select(col("id").as("rel"), col("pos"),
+              round(col("x") * 1e6, 0).cast("long").as("ri"))
+    val ed = edges.select(col("src").cast("long").as("src"),
+                          col("rel").cast("long").as("rel"),
+                          col("dst").cast("long").as("dst"))
+    val hr = ed
+      .join(ei.select(col("id").as("src"), col("pos"), col("xi").as("h")),
+            Seq("src"))
+      .join(ri, Seq("rel", "pos"))
+      .select(col("src"), col("rel"), col("dst"), col("pos"),
+              (col("h") + col("ri")).as("hr"))
+    val d = hr
+      .join(ei.select(col("pos"), col("id").as("cand"), col("xi").as("c")),
+            Seq("pos"))
+      .groupBy("src", "rel", "dst", "cand")
+      .agg(sum(abs(col("hr") - col("c"))).as("d"))
+    val tr = d.filter(col("cand") === col("dst"))
+      .select(col("src"), col("rel"), col("dst"), col("d").as("dt"))
+    d.filter(col("cand") =!= col("dst"))
+      .join(tr, Seq("src", "rel", "dst"))
+      .groupBy("src", "rel", "dst")
+      .agg((lit(1) + sum(when(col("d") < col("dt")
+             || (col("d") === col("dt") && col("cand") < col("dst")), 1)
+           .otherwise(0))).as("rank"))
+  }
+
+  /** One SGD step of RotatE (rotate.py:51-79 estimate semantics: entity =
+    * complex re‖im, relation = phase vector θ, rotated head
+    * h∘r = (a·cosθ − b·sinθ) + i(a·sinθ + b·cosθ)) under the same margin
+    * loss and deterministic cyclic corruption as the other steps. The
+    * TRAINING distance is component-wise L1 over the real and imaginary
+    * residuals, D = Σ_i (|Re_i| + |Im_i|) — the determinism-compatible
+    * member of RotatE's distance family (the paper's per-dimension complex
+    * modulus carries a sqrt whose gradient divides by the modulus: no
+    * exact cross-engine oracle exists for it; inference keeps the true
+    * modulus via [[KGE]]'s RotatE scorer).
+    *
+    * Exactness discipline: the phase is quantized to the 1e-6 grid and
+    * cos/sin OF THE QUANTIZED phase are re-quantized to micro ints c̃/s̃,
+    * so the residuals U = a·c̃ − b·s̃ − e·10⁶ and V = a·s̃ + b·c̃ − f·10⁶
+    * are exact longs and the hinge compares exact micro² sums. Component
+    * L1 restores TransE's sign trick (∂|U|/∂x = sgn(U)·∂U/∂x); the phase
+    * gradient uses the rotation derivative ∂Re/∂θ = −Im_est,
+    * ∂Im/∂θ = +Re_est, both exact micro² ints. Every contribution is an
+    * integer; the scatter-add is order-independent. Returns long-form
+    * (kind ∈ ent_re|ent_im|rel_ph, id, pos, x). */
+  def rotateSgdStep(entities: DataFrame, edges: DataFrame, dim: Int,
+                    entSeed: Double, relSeed: Double, gamma: Double = 1.0,
+                    lr: Double = 0.03125): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val ents = entities.select(col("id").cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val nextMap = cyclicNextMap(ents)
+    val ed = edges
+      .select(col("src").cast("long").as("src"),
+              col("rel").cast("long").as("rel"),
+              col("dst").cast("long").as("dst"))
+      .join(nextMap, "dst")
+      .localCheckpoint(true)
+    val rels = edges.select(col("rel").cast("long").as("id")).distinct()
+    val cents = ents.select(col("id"),
+        Embeddings.deterministicVec(col("id"), dim, entSeed).as("vre"),
+        Embeddings.deterministicVec(col("id"), dim, entSeed + IM_SEED_OFFSET)
+          .as("vim"))
+      .select(col("id"), posexplode(arrays_zip(col("vre"), col("vim")))
+        .as(Seq("pos", "z")))
+      .select(col("id"), col("pos"),
+              col("z.vre").as("re"), col("z.vim").as("im"))
+      .localCheckpoint(true)
+    val rphase = rels.select(col("id"),
+        posexplode(Embeddings.deterministicVec(col("id"), dim, relSeed))
+          .as(Seq("pos", "x")))
+      .localCheckpoint(true)
+    def eside(key: String, reAs: String, imAs: String) =
+      cents.select(col("id").as(key), col("pos"),
+                   round(col("re") * 1e6, 0).cast("long").as(reAs),
+                   round(col("im") * 1e6, 0).cast("long").as(imAs))
+    // Quantized-phase trig, itself micro-quantized: both engines evaluate
+    // cos/sin of the SAME exactly-representable double th/1e6 and round to
+    // the 1e-6 grid (phases are sin() values, so |θ| <= 1: well inside the
+    // well-conditioned range of the vecElem determinism contract).
+    val rside = rphase.select(col("id").as("rel"), col("pos"),
+        round(col("x") * 1e6, 0).cast("long").as("th"))
+      .select(col("rel"), col("pos"),
+              round(cos(col("th") / lit(1e6)) * 1e6, 0).cast("long").as("c"),
+              round(sin(col("th") / lit(1e6)) * 1e6, 0).cast("long").as("sn"))
+    val M = lit(1000000L)
+    val dm = ed
+      .join(eside("src", "a", "b"), Seq("src")) // pos expansion
+      .join(rside, Seq("rel", "pos"))
+      .join(eside("dst", "e", "f"), Seq("dst", "pos"))
+      .join(eside("neg", "ep", "fp"), Seq("neg", "pos"))
+      .withColumn("u", col("a") * col("c") - col("b") * col("sn") - col("e") * M)
+      .withColumn("v", col("a") * col("sn") + col("b") * col("c") - col("f") * M)
+      .withColumn("up", col("a") * col("c") - col("b") * col("sn") - col("ep") * M)
+      .withColumn("vp", col("a") * col("sn") + col("b") * col("c") - col("fp") * M)
+      .localCheckpoint(true) // feeds hinge agg + gradient projection
+    val sc = dm.groupBy("src", "rel", "dst", "neg")
+      .agg(sum((abs(col("u")) + abs(col("v"))).cast("decimal(38,0)")).as("dp"),
+           sum((abs(col("up")) + abs(col("vp"))).cast("decimal(38,0)")).as("dn"))
+    // γ in micro² units: hinge active iff γ·1e12 + D_pos − D_neg > 0.
+    val gammaNum = lit(BigDecimal(gamma) * BigDecimal(10).pow(12))
+      .cast("decimal(38,0)")
+    val vi = sc.filter(gammaNum + col("dp") - col("dn") > 0)
+      .select("src", "rel", "dst", "neg")
+    val vd = dm.join(vi, Seq("src", "rel", "dst", "neg"), "left_semi")
+      .withColumn("su", signum(col("u")).cast("long"))
+      .withColumn("sv", signum(col("v")).cast("long"))
+      .withColumn("sup", signum(col("up")).cast("long"))
+      .withColumn("svp", signum(col("vp")).cast("long"))
+    // Micro² gradient contributions — exact longs. Entity-side partials are
+    // micro (sign × c̃/s̃) scaled by 1e6; tail partials pure signs scaled by
+    // 1e12; phase partials sign × Re_est/Im_est, already micro².
+    val contrib = vd
+      .select(lit("ent_re").as("kind"), col("src").as("id"), col("pos"),
+              (((col("su") - col("sup")) * col("c")
+                + (col("sv") - col("svp")) * col("sn")) * M).as("g"))
+      .unionAll(vd.select(lit("ent_im"), col("src"), col("pos"),
+              (-(col("su") - col("sup")) * col("sn")
+                + (col("sv") - col("svp")) * col("c")) * M))
+      .unionAll(vd.select(lit("ent_re"), col("dst"), col("pos"),
+              -col("su") * M * M))
+      .unionAll(vd.select(lit("ent_im"), col("dst"), col("pos"),
+              -col("sv") * M * M))
+      .unionAll(vd.select(lit("ent_re"), col("neg"), col("pos"),
+              col("sup") * M * M))
+      .unionAll(vd.select(lit("ent_im"), col("neg"), col("pos"),
+              col("svp") * M * M))
+      .unionAll(vd.select(lit("rel_ph"), col("rel"), col("pos"),
+              (col("sv") - col("svp"))
+                * (col("a") * col("c") - col("b") * col("sn"))
+                - (col("su") - col("sup"))
+                  * (col("a") * col("sn") + col("b") * col("c"))))
+    val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
+    val base = cents
+      .select(lit("ent_re").as("kind"), col("id"), col("pos"),
+              col("re").as("x"))
+      .unionAll(cents.select(lit("ent_im"), col("id"), col("pos"), col("im")))
+      .unionAll(rphase.select(lit("rel_ph"), col("id"), col("pos"), col("x")))
+    base.join(grads, Seq("kind", "id", "pos"), "left")
+      .select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
+              round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
+                    * lr / 1e12, 6).as("x"))
+  }
 }

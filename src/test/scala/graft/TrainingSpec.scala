@@ -208,6 +208,92 @@ class TrainingSpec extends AnyFunSuite {
     assert(b1 == b2)
   }
 
+  test("rotateSgdStep: inactive hinge keeps init; active matches rotation-derivative reference") {
+    def rstep(gamma: Double) =
+      Training.rotateSgdStep(ents, edges, dim = 4,
+        entSeed = 0.3, relSeed = 1.7, gamma = gamma)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+        .toMap
+    def seedOf(kind: String): Double = kind match {
+      case "ent_re" => 0.3
+      case "ent_im" => 0.3 + Training.IM_SEED_OFFSET
+      case "rel_ph" => 1.7
+    }
+    val frozen = rstep(gamma = -1e6)
+    assert(frozen.size == 3 * 4 * 2 + 1 * 4) // 3 ents re+im, 1 rel phase, dim 4
+    frozen.foreach { case ((kind, id, pos), x) =>
+      assert(x == base(kind, id, pos.toInt, seedOf(kind)), s"$kind $id $pos moved")
+    }
+    // Reference in integer micro-units over the cyclic negatives
+    // 10->20->30->10: quantized phase, re-quantized cos/sin, component-L1
+    // signs, rotation-derivative phase gradient.
+    def mi(kind: String, id: Long, pos: Int): Long =
+      math.round(math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seedOf(kind)) * 1e6)
+    val g = scala.collection.mutable.Map.empty[(String, Long, Int), Long]
+      .withDefaultValue(0L)
+    Seq((10L, 5L, 20L, 30L), (20L, 5L, 30L, 10L)).foreach { case (s_, r_, t_, n_) =>
+      (0 until 4).foreach { p =>
+        val (a, b) = (mi("ent_re", s_, p), mi("ent_im", s_, p))
+        val th = mi("rel_ph", r_, p)
+        val c = math.round(math.cos(th / 1e6) * 1e6)
+        val sn = math.round(math.sin(th / 1e6) * 1e6)
+        val (e, f) = (mi("ent_re", t_, p), mi("ent_im", t_, p))
+        val (ep, fp) = (mi("ent_re", n_, p), mi("ent_im", n_, p))
+        val u = a * c - b * sn - e * 1000000L
+        val v = a * sn + b * c - f * 1000000L
+        val up = a * c - b * sn - ep * 1000000L
+        val vp = a * sn + b * c - fp * 1000000L
+        val (su, sv) = (u.sign, v.sign)
+        val (sup, svp) = (up.sign, vp.sign)
+        g(("ent_re", s_, p)) += ((su - sup) * c + (sv - svp) * sn) * 1000000L
+        g(("ent_im", s_, p)) += (-(su - sup) * sn + (sv - svp) * c) * 1000000L
+        g(("ent_re", t_, p)) += -su * 1000000000000L
+        g(("ent_im", t_, p)) += -sv * 1000000000000L
+        g(("ent_re", n_, p)) += sup * 1000000000000L
+        g(("ent_im", n_, p)) += svp * 1000000000000L
+        g(("rel_ph", r_, p)) += (sv - svp) * (a * c - b * sn) -
+          (su - sup) * (a * sn + b * c)
+      }
+    }
+    val active = rstep(gamma = 1e6)
+    active.foreach { case ((kind, id, pos), x) =>
+      val x0 = math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seedOf(kind))
+      val want = math.rint((x0 - g((kind, id, pos.toInt)) * 0.03125 / 1e12) * 1e6) / 1e6
+      assert(math.abs(x - want) < 2e-6, s"$kind $id $pos: got $x want $want")
+    }
+    assert(active.exists { case (k, x) => x != frozen(k) }, "no gradient flowed")
+    // Deterministic across partitionings (scatter-add sums integers).
+    val b2 = Training.rotateSgdStep(ents.repartition(3),
+        edges.repartition(2), dim = 4, entSeed = 0.3, relSeed = 1.7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(rstep(gamma = 1.0) == b2)
+  }
+
+  test("transeRanks matches a brute-force ranking of the same parameter frame") {
+    // Freeze the step (gamma << 0) so params are the known init state,
+    // then rank each edge's true tail against a Scala brute-force model
+    // in the same micro-int units.
+    val params = Training.transeSgdStep(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, gamma = -1000.0)
+    val got = Training.transeRanks(params, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    def mi(id: Long, pos: Int, seed: Double): Long =
+      math.round(math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed) * 1e6)
+    def dist(h: Long, r: Long, t: Long): Long =
+      (0 until 4).map(p => math.abs(mi(h, p, 0.3) + mi(r, p, 1.7) - mi(t, p, 0.3))).sum
+    val entIds = Seq(10L, 20L, 30L)
+    val want = Seq((10L, 5L, 20L), (20L, 5L, 30L)).map { case (h, r, t) =>
+      val dt = dist(h, r, t)
+      val better = entIds.filter(c => c != t).count(c =>
+        dist(h, r, c) < dt || (dist(h, r, c) == dt && c < t))
+      (h, r, t) -> (1L + better)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("default margin: updated frame is deterministic across partitionings") {
     val a = step(gamma = 1.0)
     val b = Training.transeSgdStep(ents.repartition(3),
