@@ -61,6 +61,23 @@ object Ranking {
       .toDF(idCol, "uidx")
   }
 
+  /** 1-based global rank of each row of a SMALL frame — one already cut to
+    * k rows by orderBy+limit (TakeOrdered) — under (`valCol` DESC, `tieCol`
+    * ASC): a join-count, rank(r) = 1 + #{r′ strictly before r}, instead of
+    * a no-partition window. Quadratic in the input and therefore reserved
+    * for k-bounded frames; with it, main source has ZERO single-partition
+    * WindowExec nodes (the global top-k pattern is TakeOrdered → this).
+    * Rows must be unique in `tieCol` (true for any id/token key). */
+  def rankTopK(df: DataFrame, valCol: String, tieCol: String): DataFrame = {
+    val right = df.select(col(valCol).as("_v2"), col(tieCol).as("_t2"))
+    df.join(right,
+            col("_v2") > col(valCol) ||
+              (col("_v2") === col(valCol) && col("_t2") < col(tieCol)),
+            "left")
+      .groupBy(df.columns.map(col): _*)
+      .agg((count(col("_t2")) + 1).as("rank"))
+  }
+
   /** [[filteredRanks]] specialized to BINARY membership scores (easy = 1,
     * everything else = 0) — the hard-logic workload case. With binary
     * scores the full ranking is closed-form: every easy answer outranks

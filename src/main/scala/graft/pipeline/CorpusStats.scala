@@ -135,11 +135,14 @@ object CorpusStats {
         round(log((col("cb") / lit(nBig.toDouble)) /
           ((col("cx") / lit(nTok.toDouble)) * (col("cy") / lit(nTok.toDouble)))), 6)
           .as("pmi"))
-    // Global top-k as TakeOrdered (orderBy + limit), THEN rank the k
-    // survivors — the corpus-wide frame never single-partitions.
-    val w = Window.orderBy(col("pmi").desc, col("bigram").asc)
-    scored.orderBy(col("pmi").desc, col("bigram").asc).limit(k)
-      .withColumn("rank", row_number().over(w))
+    // Global top-k as TakeOrdered (orderBy + limit), THEN join-count rank
+    // of the k survivors — the corpus-wide frame never single-partitions
+    // and no WindowExec runs unpartitioned.
+    graft.metric.Ranking.rankTopK(
+        scored.orderBy(col("pmi").desc, col("bigram").asc).limit(k),
+        "pmi", "bigram")
+      .withColumn("rank", col("rank").cast("int"))
+      .orderBy("rank")
   }
 
   /** Per-document bigram language-model score with Stupid Backoff
@@ -256,9 +259,8 @@ object CorpusStats {
     val counts = docs.select(explode(TextOps.tokens(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
     val top = counts.orderBy(col("c").desc, col("t").asc).limit(topN)
-    val w = Window.orderBy(col("c").desc, col("t").asc)
-    val xy = top.withColumn("r", row_number().over(w))
-      .select(log(col("r")).as("x"), log(col("c")).as("y"))
+    val xy = graft.metric.Ranking.rankTopK(top, "c", "t")
+      .select(log(col("rank")).as("x"), log(col("c")).as("y"))
     xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
            sum(col("x") * col("y")).as("sxy"),
            sum(col("x") * col("x")).as("sxx"))

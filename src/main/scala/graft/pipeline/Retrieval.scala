@@ -66,12 +66,11 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
           .as("s"))
       .groupBy("id").agg(round(sum(col("s")), 6).as("score"))
-    val w = Window.orderBy(col("score").desc, col("id").asc)
-    // Global top-k: rank-limit over a k-bounded window plans as
-    // WindowGroupLimit (per-partition prune before the single-partition
-    // window sees only surviving rows).
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // Global top-k as TakeOrdered (orderBy+limit), then join-count rank of
+    // the k survivors — no single-partition WindowExec anywhere.
+    val top = scored.orderBy(col("score").desc, col("id").asc).limit(k)
+    graft.metric.Ranking.rankTopK(top, "score", "id")
       .select(col("id"), col("score"), col("rank").cast("long").as("rank"))
+      .orderBy("rank")
   }
 }

@@ -67,6 +67,17 @@ class RankingSpec extends AnyFunSuite {
     assert(idx == Map(2L -> 0L, 5L -> 1L, 17L -> 2L, 30L -> 3L))
   }
 
+  test("rankTopK: join-count rank equals a window rank, with no Window node") {
+    val df = Seq((1L, 0.5), (2L, 0.9), (3L, 0.5), (4L, 0.1))
+      .toDF("id", "score")
+    val ranked = Ranking.rankTopK(df, "score", "id")
+    assert(!ranked.queryExecution.optimizedPlan.toString.contains("Window"),
+           "rankTopK must not plan a window")
+    val got = ranked.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // desc score, asc id tie-break: 2 (0.9), then 1 and 3 tie on 0.5, then 4
+    assert(got == Map(2L -> 1L, 1L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("mrrHits computes MRR and Hits@k") {
     val m = Ranking.mrrHits(
       Ranking.filteredRanks(Ranking.rankAll(scores), answers))
