@@ -1619,6 +1619,66 @@ object PipelineQueries {
            |       ROUND(x0 - 0.03125 * COALESCE(g, 0), 6) AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
+    // TransE SGD step under deterministic-HASH corruption: the reference's
+    // uniform negative sampling made portable — the corrupting tail is the
+    // entity at sorted-index md5_60("src|rel|dst") mod n (next index on a
+    // true-tail collision), so any engine replays the same draw.
+    ("train_transe_hashneg",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.transeSgdStepHashNeg(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+      },
+      Some {
+        val negHash = graft.functions.PortableHash.md5Prefix60Sql(
+          "CAST(src AS VARCHAR) || '|' || CAST(rel AS VARCHAR) || '|' || " +
+            "CAST(dst AS VARCHAR)")
+        KG.edgesCte.trim + ",\n" +
+          s"""te AS (SELECT src, rel, dst FROM edges
+             |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+             |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+             |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+             |cnt AS (SELECT COUNT(*) AS n FROM en),
+             |hx AS (SELECT src, rel, dst, $negHash % n AS h
+             |       FROM te CROSS JOIN cnt),
+             |ed AS (SELECT hx.src, hx.rel, hx.dst,
+             |         CASE WHEN b1.id <> hx.dst THEN b1.id ELSE b2.id END AS neg
+             |       FROM hx CROSS JOIN cnt
+             |       JOIN ix b1 ON b1.i - 1 = hx.h
+             |       JOIN ix b2 ON b2.i - 1 = (hx.h + 1) % cnt.n),
+             |dm AS (SELECT src, rel, dst, neg, i,
+             |         SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) AS h,
+             |         SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED) AS r,
+             |         SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) AS t,
+             |         SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) AS tn
+             |       FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+             |sc AS (SELECT src, rel, dst, neg,
+             |         SUM(ABS(h + r - t)) AS dp, SUM(ABS(h + r - tn)) AS dn
+             |       FROM dm GROUP BY 1, 2, 3, 4),
+             |vd AS (SELECT dm.*, SIGN(h + r - t) AS s, SIGN(h + r - tn) AS sp
+             |       FROM dm JOIN (SELECT src, rel, dst, neg FROM sc
+             |                     WHERE 1.0 + dp - dn > 0) vi
+             |         USING (src, rel, dst, neg)),
+             |contrib AS (SELECT 'ent' AS kind, src AS id, i, s - sp AS g FROM vd
+             |  UNION ALL SELECT 'ent', dst, i, -s FROM vd
+             |  UNION ALL SELECT 'ent', neg, i, sp FROM vd
+             |  UNION ALL SELECT 'rel', rel, i, s - sp FROM vd),
+             |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+             |base AS (SELECT 'ent' AS kind, id, i,
+             |           SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+             |         FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |         UNION ALL
+             |         SELECT 'rel', rel AS id, i,
+             |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+             |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
+             |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
+             |       ROUND(x0 - 0.03125 * COALESCE(g, 0), 6) AS x
+             |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin
+      }),
+
     // TWO SGD steps: the training LOOP (not just its body) — parameter
     // state is 6-dp-quantized between steps so both engines walk the
     // identical trajectory (the k-means unrolled-CTE pattern).

@@ -69,12 +69,17 @@ object Ranking {
     * WindowExec nodes (the global top-k pattern is TakeOrdered → this).
     * Rows must be unique in `tieCol` (true for any id/token key). */
   def rankTopK(df: DataFrame, valCol: String, tieCol: String): DataFrame = {
-    val right = df.select(col(valCol).as("_v2"), col(tieCol).as("_t2"))
-    df.join(right,
+    // Materialize the k survivors ONCE: without this the self-join re-runs
+    // the whole upstream scoring pipeline for BOTH join sides (measured 8×
+    // on BM25 over sf0.1 — the TakeOrdered cut is the expensive part, the
+    // k-row rank join is free).
+    val small = df.localCheckpoint(true)
+    val right = small.select(col(valCol).as("_v2"), col(tieCol).as("_t2"))
+    small.join(right,
             col("_v2") > col(valCol) ||
               (col("_v2") === col(valCol) && col("_t2") < col(tieCol)),
             "left")
-      .groupBy(df.columns.map(col): _*)
+      .groupBy(small.columns.map(col): _*)
       .agg((count(col("_t2")) + 1).as("rank"))
   }
 

@@ -1,6 +1,6 @@
 package graft.score
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One SGD step of TransE training as pure DataFrame algebra — the inner
@@ -50,11 +50,42 @@ object Training {
       .select(col("a.id").as("dst"), col("b.id").as("neg"))
   }
 
+  /** Deterministic-HASH corruption: for each edge the corrupting tail is
+    * the entity at sorted-index md5₆₀("src|rel|dst") mod n — the
+    * reference's uniform negative sampling (transe.py's corrupted-triple
+    * draw) made portable and replayable: any engine (and any retry of any
+    * partition) draws the same negative. Falls to the next index when the
+    * draw hits the true tail. Scale shape matches [[cyclicNextMap]]:
+    * global zipWithIndex + two equi-joins against the index — nothing
+    * entity-sized is broadcast or single-partitioned. */
+  private[graft] def hashNegEdges(ents: DataFrame, edges: DataFrame): DataFrame = {
+    val n = ents.count()
+    val idx = graft.metric.Ranking.globalIndex(ents, "id")
+      .localCheckpoint(true) // joined twice below
+    edges
+      .withColumn("_h", pmod(graft.functions.PortableHash.md5Prefix60(
+        concat_ws("|", col("src"), col("rel"), col("dst"))), lit(n)))
+      .join(idx.select(col("uidx").as("_h"), col("id").as("_n1")), Seq("_h"))
+      .withColumn("_h2", (col("_h") + 1) % n)
+      .join(idx.select(col("uidx").as("_h2"), col("id").as("_n2")), Seq("_h2"))
+      .select(col("src"), col("rel"), col("dst"),
+              when(col("_n1") =!= col("dst"), col("_n1")).otherwise(col("_n2"))
+                .as("neg"))
+  }
+
   /** One step — see [[transeSgd]]. */
   def transeSgdStep(entities: DataFrame, edges: DataFrame, dim: Int,
                     entSeed: Double, relSeed: Double,
                     gamma: Double = 1.0, lr: Double = 0.03125): DataFrame =
     transeSgd(entities, edges, dim, entSeed, relSeed, steps = 1, gamma, lr)
+
+  /** One TransE SGD step under HASH corruption ([[hashNegEdges]]) instead
+    * of the cyclic successor — same margin loss, same L1-sign exactness. */
+  def transeSgdStepHashNeg(entities: DataFrame, edges: DataFrame, dim: Int,
+                           entSeed: Double, relSeed: Double,
+                           gamma: Double = 1.0, lr: Double = 0.03125): DataFrame =
+    transeLoop(entities, edges, dim, entSeed, relSeed, steps = 1, gamma, lr,
+               batches = 0, hashNeg = true)
 
   /** `steps` SGD steps. The parameter state lives LONG-FORM between steps
     * — (kind, id, pos, x) scalar rows, the same shape the scatter-add
@@ -95,20 +126,23 @@ object Training {
 
   /** Shared TransE loop: `batches` = 0 runs every step over ALL edges
     * ([[transeSgd]]); `batches` = steps > 0 runs step k over mini-batch
-    * k−1 ([[transeSgdEpoch]]). */
+    * k−1 ([[transeSgdEpoch]]). `hashNeg` swaps the cyclic corruption for
+    * the portable-hash draw ([[hashNegEdges]]). */
   private def transeLoop(entities: DataFrame, edges: DataFrame, dim: Int,
                          entSeed: Double, relSeed: Double, steps: Int,
-                         gamma: Double, lr: Double, batches: Int): DataFrame = {
+                         gamma: Double, lr: Double, batches: Int,
+                         hashNeg: Boolean = false): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true) // index + base-embedding consumers
-    val nextMap = cyclicNextMap(ents)
-    val ed0 = edges
+    val edc = edges
       .select(col("src").cast("long").as("src"),
               col("rel").cast("long").as("rel"),
               col("dst").cast("long").as("dst"))
-      .join(nextMap, "dst") // shuffled equi-join; nextMap is entity-sized
+    val ed0 =
+      if (hashNeg) hashNegEdges(ents, edc)
+      else edc.join(cyclicNextMap(ents), "dst") // shuffled equi-join; map is entity-sized
     val ed = (if (batches > 0) ed0.withColumn("_mb", batchId(batches))
               else ed0)
       .localCheckpoint(true) // re-joined every step
@@ -349,31 +383,44 @@ object Training {
     * slice through the same plan, which is the long-form A5 shape this
     * repo uses everywhere (no dense ranking matrix). */
   def transeRanks(params: DataFrame, edges: DataFrame): DataFrame = {
-    val ei = params.filter(col("kind") === "ent")
+    // Micro-int VECTORS per id (6-dp state × 1e6 — exact longs), packed
+    // once: the per-candidate distance is then a single codegen'd
+    // zip_with/aggregate over two array attributes instead of a dim-way
+    // join keyed on `pos` (8 distinct keys = 8-partition parallelism and
+    // an (edges×ents×dim)-row shuffle; this form shuffles nothing but the
+    // final ~|edges|-group count).
+    def vecs(kind: String) = params.filter(col("kind") === kind)
       .select(col("id"), col("pos"),
               round(col("x") * 1e6, 0).cast("long").as("xi"))
-      .localCheckpoint(true) // head, candidate, and true-tail consumers
-    val ri = params.filter(col("kind") === "rel")
-      .select(col("id").as("rel"), col("pos"),
-              round(col("x") * 1e6, 0).cast("long").as("ri"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("xi")))),
+                     s => s.getField("xi")).as("v"))
+    val ev = vecs("ent").localCheckpoint(true) // heads, tails, candidates
+    val rv = vecs("rel")
     val ed = edges.select(col("src").cast("long").as("src"),
                           col("rel").cast("long").as("rel"),
                           col("dst").cast("long").as("dst"))
-    val hr = ed
-      .join(ei.select(col("id").as("src"), col("pos"), col("xi").as("h")),
-            Seq("src"))
-      .join(ri, Seq("rel", "pos"))
-      .select(col("src"), col("rel"), col("dst"), col("pos"),
-              (col("h") + col("ri")).as("hr"))
-    val d = hr
-      .join(ei.select(col("pos"), col("id").as("cand"), col("xi").as("c")),
-            Seq("pos"))
-      .groupBy("src", "rel", "dst", "cand")
-      .agg(sum(abs(col("hr") - col("c"))).as("d"))
-    val tr = d.filter(col("cand") === col("dst"))
-      .select(col("src"), col("rel"), col("dst"), col("d").as("dt"))
-    d.filter(col("cand") =!= col("dst"))
-      .join(tr, Seq("src", "rel", "dst"))
+    def l1(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0L),
+                (acc, x) => acc + x)
+    // Per-edge estimate h+r and true-tail distance: three equi-joins on an
+    // eval-batch-sized frame.
+    val est = ed
+      .join(ev.select(col("id").as("src"), col("v").as("hv")), Seq("src"))
+      .join(rv.select(col("id").as("rel"), col("v").as("rv")), Seq("rel"))
+      .join(ev.select(col("id").as("dst"), col("v").as("tv")), Seq("dst"))
+      .withColumn("est", zip_with(col("hv"), col("rv"), (a, b) => a + b))
+      .select(col("src"), col("rel"), col("dst"), col("est"),
+              l1(col("est"), col("tv")).as("dt"))
+      .localCheckpoint(true) // sized below, then joined against candidates
+    // Candidates stream; the eval batch ships to them — broadcast when it
+    // is genuinely small (the bruteTopK discipline), plain nested-loop
+    // otherwise.
+    val estSide = if (est.count() <= 100000L) broadcast(est) else est
+    ev.select(col("id").as("cand"), col("v").as("cv"))
+      .join(estSide, col("cand") =!= col("dst"))
+      .select(col("src"), col("rel"), col("dst"), col("cand"), col("dt"),
+              l1(col("est"), col("cv")).as("d"))
       .groupBy("src", "rel", "dst")
       .agg((lit(1) + sum(when(col("d") < col("dt")
              || (col("d") === col("dt") && col("cand") < col("dst")), 1)

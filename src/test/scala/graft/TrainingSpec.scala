@@ -272,6 +272,40 @@ class TrainingSpec extends AnyFunSuite {
     assert(rstep(gamma = 1.0) == b2)
   }
 
+  test("hashNegEdges draws the md5-indexed entity, dodging the true tail") {
+    def md5p60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val sorted = IndexedSeq(10L, 20L, 30L)
+    val want = Seq((10L, 5L, 20L), (20L, 5L, 30L)).map { case (h, r, t) =>
+      val i = (md5p60(s"$h|$r|$t") % 3).toInt
+      val cand = sorted(i)
+      (h, r, t) -> (if (cand != t) cand else sorted((i + 1) % 3))
+    }.toMap
+    val got = Training.hashNegEdges(
+        ents.select(col("id").cast("long").as("id")),
+        edges.select(col("src").cast("long").as("src"),
+                     col("rel").cast("long").as("rel"),
+                     col("dst").cast("long").as("dst")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.forall { case ((_, _, t), n) => n != t && sorted.contains(n) })
+    // And the hash-neg step keeps the lr-grid exactness contract.
+    val out = Training.transeSgdStepHashNeg(ents, edges, dim = 4,
+        entSeed = 0.3, relSeed = 1.7, gamma = 1000.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    out.foreach { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      val k = (base(kind, id, pos.toInt, seed) - x) * 32.0
+      assert(math.abs(k - math.rint(k)) < 1e-3, s"off-grid at $kind $id $pos")
+    }
+  }
+
   test("transeRanks matches a brute-force ranking of the same parameter frame") {
     // Freeze the step (gamma << 0) so params are the known init state,
     // then rank each edge's true tail against a Scala brute-force model
