@@ -1793,6 +1793,69 @@ object PipelineQueries {
            |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
+    // TWO DistMult SGD steps: the multiplicative-gradient LOOP — state
+    // 6-dp-quantized between steps (so both engines re-derive the same
+    // micro-int view per step), per-step hinge/gradients exact in integer
+    // micro-units, trajectory unrolled as MATERIALIZED CTEs.
+    ("train_distmult_2steps",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.distmultSgd(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED, steps = 2)
+      },
+      Some {
+        def stepCtes(k: Int): String = {
+          val (p, c) = (s"e${k - 1}", s"e$k")
+          s"""dm$k AS MATERIALIZED (SELECT ed.src, ed.rel, ed.dst, ed.neg, h.i,
+             |    CAST(ROUND(h.x * 1000000, 0) AS BIGINT) AS hi,
+             |    CAST(ROUND(r.x * 1000000, 0) AS BIGINT) AS ri,
+             |    CAST(ROUND(t.x * 1000000, 0) AS BIGINT) AS ti,
+             |    CAST(ROUND(tn.x * 1000000, 0) AS BIGINT) AS tni
+             |  FROM ed
+             |  JOIN $p h ON h.kind = 'ent' AND h.id = ed.src
+             |  JOIN $p r ON r.kind = 'rel' AND r.id = ed.rel AND r.i = h.i
+             |  JOIN $p t ON t.kind = 'ent' AND t.id = ed.dst AND t.i = h.i
+             |  JOIN $p tn ON tn.kind = 'ent' AND tn.id = ed.neg AND tn.i = h.i),
+             |sc$k AS (SELECT src, rel, dst, neg,
+             |    SUM(CAST(hi * ri AS HUGEINT) * ti) AS sp,
+             |    SUM(CAST(hi * ri AS HUGEINT) * tni) AS sn
+             |  FROM dm$k GROUP BY 1, 2, 3, 4),
+             |vd$k AS (SELECT dm$k.* FROM dm$k JOIN
+             |    (SELECT src, rel, dst, neg FROM sc$k
+             |     WHERE 1000000000000000000 - sp + sn > 0) vi$k
+             |    USING (src, rel, dst, neg)),
+             |ct$k AS (SELECT 'ent' AS kind, src AS id, i, ri * (tni - ti) AS g FROM vd$k
+             |  UNION ALL SELECT 'rel', rel, i, hi * (tni - ti) FROM vd$k
+             |  UNION ALL SELECT 'ent', dst, i, -hi * ri FROM vd$k
+             |  UNION ALL SELECT 'ent', neg, i, hi * ri FROM vd$k),
+             |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3),
+             |$c AS MATERIALIZED (SELECT kind, id, i,
+             |    ROUND(x - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |  FROM $p LEFT JOIN gs$k USING (kind, id, i))""".stripMargin
+        }
+        KG.edgesCte.trim + ",\n" +
+          s"""te AS (SELECT src, rel, dst FROM edges
+             |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+             |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+             |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+             |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+             |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+             |ed AS MATERIALIZED (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+             |e0 AS MATERIALIZED (SELECT 'ent' AS kind, id, i,
+             |         SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x
+             |       FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |       UNION ALL
+             |       SELECT 'rel', rel AS id, i,
+             |         SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+             |       FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+             |${stepCtes(1)},
+             |${stepCtes(2)}
+             |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos, x FROM e2""".stripMargin
+      }),
+
     // One ComplEx SGD step (complex.py): Re<h, r, conj(t)> margin loss,
     // same integer micro-unit exactness discipline as DistMult — the
     // complex cross terms (ac-bd)/(ad+bc) are exact longs, score sums

@@ -215,8 +215,19 @@ object Training {
     * 6 dp. */
   def distmultSgdStep(entities: DataFrame, edges: DataFrame, dim: Int,
                       entSeed: Double, relSeed: Double, gamma: Double = 1.0,
-                      lr: Double = 0.03125): DataFrame = {
+                      lr: Double = 0.03125): DataFrame =
+    distmultSgd(entities, edges, dim, entSeed, relSeed, steps = 1, gamma, lr)
+
+  /** `steps` DistMult SGD steps: the same state-threaded loop as
+    * [[transeSgd]] — long-form (kind,id,pos,x) parameters, 6-dp-quantized
+    * between steps so the cross-engine trajectory is identical — with
+    * DistMult's integer-micro-unit exactness per step (see
+    * [[distmultSgdStep]]'s scaladoc for the unit discipline). */
+  def distmultSgd(entities: DataFrame, edges: DataFrame, dim: Int,
+                  entSeed: Double, relSeed: Double, steps: Int,
+                  gamma: Double = 1.0, lr: Double = 0.03125): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true)
     val nextMap = cyclicNextMap(ents)
@@ -231,45 +242,50 @@ object Training {
       ids.select(lit(kind).as("kind"), col("id"),
         posexplode(Embeddings.deterministicVec(col("id"), dim, seed))
           .as(Seq("pos", "x")))
-    val e = base(ents, "ent", entSeed).unionAll(base(rels, "rel", relSeed))
+    var e = base(ents, "ent", entSeed).unionAll(base(rels, "rel", relSeed))
       .localCheckpoint(true)
-    // Micro-int view of the state: xi = round(x * 1e6) as long.
-    def side(kind: String, key: String, as: String): DataFrame =
-      e.filter(col("kind") === kind)
-        .select(col("id").as(key), col("pos"),
-                round(col("x") * 1e6, 0).cast("long").as(as))
-    val dm = ed
-      .join(side("ent", "src", "hi"), Seq("src"))
-      .join(side("rel", "rel", "ri"), Seq("rel", "pos"))
-      .join(side("ent", "dst", "ti"), Seq("dst", "pos"))
-      .join(side("ent", "neg", "tni"), Seq("neg", "pos"))
-      .localCheckpoint(true) // feeds score agg + gradient projection
-    // Exact score sums in decimal(38,0): hi·ri fits a long (≤ 4e12), the
-    // triple product does not (≤ 8e18·dim) — decimal carries it exactly.
-    val hr = (col("hi") * col("ri")).cast("decimal(38,0)")
-    val sc = dm.groupBy("src", "rel", "dst", "neg")
-      .agg(sum(hr * col("ti")).as("sp"), sum(hr * col("tni")).as("sn"))
-    // γ in micro³ (1e-18) units, exactly: hinge active iff γ·1e18 − sp + sn > 0.
-    val gammaNum = lit(BigDecimal(gamma) * BigDecimal(10).pow(18))
-      .cast("decimal(38,0)")
-    val vi = sc.filter(gammaNum - col("sp") + col("sn") > 0)
-      .select("src", "rel", "dst", "neg")
-    val vd = dm.join(vi, Seq("src", "rel", "dst", "neg"), "left_semi")
-    // Gradient numerators in micro² (1e-12) units — exact longs.
-    val contrib = vd
-      .select(lit("ent").as("kind"), col("src").as("id"), col("pos"),
-              (col("ri") * (col("tni") - col("ti"))).as("g"))
-      .unionAll(vd.select(lit("rel").as("kind"), col("rel").as("id"),
-                          col("pos"), (col("hi") * (col("tni") - col("ti"))).as("g")))
-      .unionAll(vd.select(lit("ent").as("kind"), col("dst").as("id"),
-                          col("pos"), (-col("hi") * col("ri")).as("g")))
-      .unionAll(vd.select(lit("ent").as("kind"), col("neg").as("id"),
-                          col("pos"), (col("hi") * col("ri")).as("g")))
-    val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
-    e.join(grads, Seq("kind", "id", "pos"), "left")
-      .select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
-              round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
-                    * lr / 1e12, 6).as("x"))
+    for (_ <- 1 to steps) {
+      // Micro-int view of the state: xi = round(x * 1e6) as long.
+      def side(kind: String, key: String, as: String): DataFrame =
+        e.filter(col("kind") === kind)
+          .select(col("id").as(key), col("pos"),
+                  round(col("x") * 1e6, 0).cast("long").as(as))
+      val dm = ed
+        .join(side("ent", "src", "hi"), Seq("src"))
+        .join(side("rel", "rel", "ri"), Seq("rel", "pos"))
+        .join(side("ent", "dst", "ti"), Seq("dst", "pos"))
+        .join(side("ent", "neg", "tni"), Seq("neg", "pos"))
+        .localCheckpoint(true) // feeds score agg + gradient projection
+      // Exact score sums in decimal(38,0): hi·ri fits a long (≤ 4e12), the
+      // triple product does not (≤ 8e18·dim) — decimal carries it exactly.
+      val hr = (col("hi") * col("ri")).cast("decimal(38,0)")
+      val sc = dm.groupBy("src", "rel", "dst", "neg")
+        .agg(sum(hr * col("ti")).as("sp"), sum(hr * col("tni")).as("sn"))
+      // γ in micro³ (1e-18) units, exactly: hinge active iff γ·1e18 − sp + sn > 0.
+      val gammaNum = lit(BigDecimal(gamma) * BigDecimal(10).pow(18))
+        .cast("decimal(38,0)")
+      val vi = sc.filter(gammaNum - col("sp") + col("sn") > 0)
+        .select("src", "rel", "dst", "neg")
+      val vd = dm.join(vi, Seq("src", "rel", "dst", "neg"), "left_semi")
+      // Gradient numerators in micro² (1e-12) units — exact longs.
+      val contrib = vd
+        .select(lit("ent").as("kind"), col("src").as("id"), col("pos"),
+                (col("ri") * (col("tni") - col("ti"))).as("g"))
+        .unionAll(vd.select(lit("rel").as("kind"), col("rel").as("id"),
+                            col("pos"), (col("hi") * (col("tni") - col("ti"))).as("g")))
+        .unionAll(vd.select(lit("ent").as("kind"), col("dst").as("id"),
+                            col("pos"), (-col("hi") * col("ri")).as("g")))
+        .unionAll(vd.select(lit("ent").as("kind"), col("neg").as("id"),
+                            col("pos"), (col("hi") * col("ri")).as("g")))
+      val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
+      e = e.join(grads, Seq("kind", "id", "pos"), "left")
+        .select(col("kind"), col("id"), col("pos"),
+                round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
+                      * lr / 1e12, 6).as("x"))
+        .localCheckpoint(true)
+    }
+    e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
+             col("x"))
   }
 
   /** Imaginary-part seed offset for [[complexSgdStep]]: the im vector of id

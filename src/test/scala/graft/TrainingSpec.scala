@@ -150,6 +150,29 @@ class TrainingSpec extends AnyFunSuite {
     assert(active.exists { case (k, x) => x != frozen(k) }, "no gradient flowed")
   }
 
+  test("distmultSgd: two steps move beyond one, stay on the 6-dp grid, partition-deterministic") {
+    def run(steps: Int, parts: Int = 1) = {
+      val (en, ed) = if (parts == 1) (ents, edges)
+        else (ents.repartition(parts), edges.repartition(parts))
+      Training.distmultSgd(en, ed, dim = 4,
+          entSeed = 0.3, relSeed = 1.7, steps = steps)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+        .toMap
+    }
+    val one = run(1)
+    val two = run(2)
+    assert(one == Training.distmultSgdStep(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap, "steps=1 must equal the single step")
+    assert(two != one, "second step changed nothing")
+    two.foreach { case ((_, _, _), x) =>
+      assert(x == math.rint(x * 1e6) / 1e6, "state off the 6-dp grid")
+    }
+    assert(two == run(2, parts = 3), "trajectory must be partition-independent")
+  }
+
   test("complexSgdStep: inactive hinge keeps init; active matches product-rule reference") {
     def cstep(gamma: Double) =
       Training.complexSgdStep(ents, edges, dim = 4,
