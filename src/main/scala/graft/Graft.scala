@@ -95,6 +95,47 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
     graft.eval.Workload.evaluate(spark, dir, types)
 
   // Graph analytics.
+  /** Relational SGD training entry — the reference trainer's surface
+    * (lmpnn.py:218-288's per-model loop) over this KG's edges. `model` ∈
+    * transe | distmult | complex | rotate; `steps` > 1 iterates the
+    * quantized-state loop (TransE/DistMult); `hashNeg` swaps the cyclic
+    * corruption for the portable md5 draw (TransE). Returns the long-form
+    * updated parameter frame (kind, id, pos, x). */
+  def train(model: String, dim: Int = 8,
+            entSeed: Double = 0.3, relSeed: Double = 1.7,
+            steps: Int = 1, gamma: Double = 1.0, lr: Double = 0.03125,
+            hashNeg: Boolean = false): DataFrame = {
+    import graft.score.Training
+    val ents = entities.select("id")
+    model.toLowerCase match {
+      case "transe" if hashNeg =>
+        require(steps == 1, "hashNeg currently supports a single step")
+        Training.transeSgdStepHashNeg(ents, edges, dim, entSeed, relSeed,
+                                      gamma, lr)
+      case "transe" =>
+        Training.transeSgd(ents, edges, dim, entSeed, relSeed, steps,
+                           gamma, lr)
+      case "distmult" =>
+        Training.distmultSgd(ents, edges, dim, entSeed, relSeed, steps,
+                             gamma, lr)
+      case "complex" =>
+        require(steps == 1, s"complex supports a single step, got $steps")
+        Training.complexSgdStep(ents, edges, dim, entSeed, relSeed, gamma, lr)
+      case "rotate" =>
+        require(steps == 1, s"rotate supports a single step, got $steps")
+        Training.rotateSgdStep(ents, edges, dim, entSeed, relSeed, gamma, lr)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown model '$other' (transe|distmult|complex|rotate)")
+    }
+  }
+
+  /** In-training eval checkpoint: link-prediction MRR/Hits of a long-form
+    * TransE parameter frame (as returned by [[train]]) over this KG's
+    * edges — see [[graft.score.Training.transeRanks]]. */
+  def trainEvalRanks(params: DataFrame): DataFrame =
+    graft.score.Training.transeRanks(params, edges)
+
   def bfs(seedIds: Seq[Long], maxLevels: Int = 20): DataFrame = {
     import spark.implicits._
     GraphOps.bfsLevels(edges, seedIds.toDF("id"), maxLevels)

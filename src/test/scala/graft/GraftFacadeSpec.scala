@@ -110,6 +110,24 @@ class GraftFacadeSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == 1.0)
   }
 
+  test("facade train: every model family returns its parameter frame") {
+    import org.apache.spark.sql.functions.col
+    val kg = Graft.fromTriples(spark,
+      Seq((10L, 0L, 20L), (20L, 2L, 30L)).toDF("src", "rel", "dst"))
+    val te = kg.train("transe", dim = 4)
+    assert(te.select("kind").distinct().collect().map(_.getString(0)).toSet
+      == Set("ent", "rel"))
+    assert(kg.train("distmult", dim = 4, steps = 2).count() == te.count())
+    assert(kg.train("rotate", dim = 4)
+      .select("kind").distinct().collect().map(_.getString(0)).toSet
+      == Set("ent_re", "ent_im", "rel_ph"))
+    assert(kg.train("transe", dim = 4, hashNeg = true).count() == te.count())
+    // trained params flow into the eval checkpoint
+    val ranks = kg.trainEvalRanks(te)
+    assert(ranks.filter(col("rank") < 1).count() == 0)
+    intercept[IllegalArgumentException](kg.train("unknown"))
+  }
+
   test("facade evaluate: per-type filtered metrics in [0,1]") {
     val kg = Graft.fromTestdata(spark, dir)
     val rows = kg.evaluate(dir, Seq(
