@@ -9,11 +9,14 @@ import graft.pipeline.{Cluster, CorpusStats, Dedup, Similarity}
   * mutated first token so replicas are near- not exact dups) and the
   * embeddings corpus k× (slightly offset vectors), then time the pipeline
   * operators — evidence that the LSH/PQ/clustering paths scale with corpus
-  * size, not pairs. Usage: runMain graft.tools.ScaleProbe [k] [dir]. */
+  * size, not pairs. Usage: runMain graft.tools.ScaleProbe [k] [dir]
+  * [only: comma-separated probe names]. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -32,11 +35,12 @@ object ScaleProbe {
       .localCheckpoint(true)
     println(s"[scale] corpus: ${n0 * k} docs (base $n0 x $k)")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scale] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scale] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
     time("minhash_lsh")(
       Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8).count())
     time("simhash")(
@@ -117,6 +121,34 @@ object ScaleProbe {
       emb, k = 16, dim = 64, iters = 2, threshold = 0.999).count())
     time("semantic_pairs_k64")(Cluster.semanticPairs(
       emb, k = 64, dim = 64, iters = 2, threshold = 0.999).count())
+
+    // KG-training probe: replicate the trained subgraph k× as disjoint
+    // copies (salted entity ids), so entity AND edge counts scale k× —
+    // SGD-step cost must track the edge count; the exhaustive rank eval
+    // is quadratic (edges × entities) BY DESIGN and is probed to show
+    // exactly that (a sampled-candidate eval reuses the same plan).
+    val te = graft.model.KG.edges(spark, dir)
+      .filter(col("rel").isin(graft.model.KG.REL_SUPP_NATION,
+                              graft.model.KG.REL_NATION_REGION))
+    val kedges = te.crossJoin(spark.range(k).toDF("rep"))
+      .select((col("src") * k + col("rep")).as("src"), col("rel"),
+              (col("dst") * k + col("rep")).as("dst"))
+      .localCheckpoint(true)
+    val kents = kedges.select(col("src").as("id"))
+      .unionAll(kedges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    println(s"[scale] kg: ${kents.count()} entities, ${kedges.count()} edges")
+    time("transe_step")(graft.score.Training.transeSgdStep(
+      kents, kedges, dim = 8, entSeed = 0.3, relSeed = 1.7).count())
+    time("distmult_step")(graft.score.Training.distmultSgdStep(
+      kents, kedges, dim = 8, entSeed = 0.3, relSeed = 1.7).count())
+    time("rotate_step")(graft.score.Training.rotateSgdStep(
+      kents, kedges, dim = 8, entSeed = 0.3, relSeed = 1.7).count())
+    time("train_eval_ranks") {
+      val p = graft.score.Training.transeSgdStep(kents, kedges, dim = 8,
+        entSeed = 0.3, relSeed = 1.7)
+      graft.score.Training.transeRanks(p, kedges).count()
+    }
     spark.stop()
   }
 }
