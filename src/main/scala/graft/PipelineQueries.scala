@@ -1160,6 +1160,45 @@ object PipelineQueries {
            s"md5(array_to_string(regexp_extract_all(text, '${TextOps.portablePattern}'), '|')) AS tok_fp " +
            "FROM documents")),
 
+    // BPE merge INDUCTION (Sennrich 2016 §3.2): learn the first two merges
+    // from the corpus — per-round corpus-wide pair count, global top-1
+    // (TakeOrdered), greedy leftmost application via per-doc
+    // gaps-and-islands row-number parity, re-tokenize, repeat. The round-2
+    // frequency is counted on the round-1-rebuilt corpus, so a hash match
+    // proves the greedy merge application itself is engine-identical.
+    ("text_bpe_learn",
+      (s, dir) => graft.pipeline.TextOps.bpeLearnMerges(
+        t(s, dir, "documents"), "doc_id", "text", merges = 2),
+      Some("""WITH tk0 AS MATERIALIZED (
+             |  SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS t
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+             |       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(t))) AS i) g),
+             |pr1 AS MATERIALIZED (SELECT id, pos, t,
+             |    LEAD(t) OVER (PARTITION BY id ORDER BY pos) AS tn FROM tk0),
+             |top1 AS MATERIALIZED (SELECT t AS mx, tn AS my, COUNT(*) AS freq
+             |  FROM pr1 WHERE tn IS NOT NULL GROUP BY 1, 2
+             |  ORDER BY freq DESC, t ASC, tn ASC LIMIT 1),
+             |m1 AS (SELECT pr1.id, pr1.pos,
+             |    pr1.pos - ROW_NUMBER() OVER (PARTITION BY pr1.id ORDER BY pr1.pos) AS isl
+             |  FROM pr1, top1 WHERE pr1.t = top1.mx AND pr1.tn = top1.my),
+             |s1 AS (SELECT id, pos FROM (
+             |    SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY id, isl ORDER BY pos) AS k
+             |    FROM m1) q WHERE k % 2 = 1),
+             |c1 AS (SELECT id, pos FROM s1 UNION ALL SELECT id, pos + 1 FROM s1),
+             |tk1 AS MATERIALIZED (SELECT id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) - 1 AS BIGINT) AS pos, t
+             |  FROM (SELECT k.id, k.pos, k.t FROM tk0 k
+             |        WHERE NOT EXISTS (SELECT 1 FROM c1
+             |                          WHERE c1.id = k.id AND c1.pos = k.pos)
+             |        UNION ALL SELECT s1.id, s1.pos, mx || my FROM s1, top1) u),
+             |pr2 AS (SELECT id, pos, t,
+             |    LEAD(t) OVER (PARTITION BY id ORDER BY pos) AS tn FROM tk1),
+             |top2 AS (SELECT t AS mx, tn AS my, COUNT(*) AS freq
+             |  FROM pr2 WHERE tn IS NOT NULL GROUP BY 1, 2
+             |  ORDER BY freq DESC, t ASC, tn ASC LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS merge_rank, mx AS lhs, my AS rhs, freq FROM top1
+             |UNION ALL SELECT 2, mx, my, freq FROM top2""".stripMargin)),
+
     // Unigram-minhash fingerprint (rolling-hash family; md5 = both engines).
     ("text_fingerprint",
       (s, dir) => t(s, dir, "documents").select(

@@ -329,4 +329,65 @@ object TextOps {
       .withColumn("seq_offset", (col("_start") % budget).cast("long"))
       .drop("_start")
   }
+
+  /** Learn the first `merges` BPE merges from the corpus (Sennrich et al.
+    * 2016 §3.2, relationally): each round counts adjacent symbol pairs
+    * corpus-wide, takes the single most frequent pair (ties broken
+    * lexicographically), applies it greedily left-to-right, and
+    * re-tokenizes for the next round. The sequential "greedy leftmost"
+    * semantics is per-document gaps-and-islands: consecutive match
+    * positions (only possible for an x=x pair run) form an island, and
+    * keeping the odd row-numbers inside each island reproduces exactly
+    * what the left-to-right scan merges. Every window is doc-partitioned;
+    * the only global operation per round is the top-1 TakeOrdered and the
+    * one-row broadcast back — the shape that holds at corpus scale (this
+    * IS how distributed BPE trainers count merges). Returns one row per
+    * learned merge: (merge_rank, lhs, rhs, freq), freq counted on the
+    * corpus as re-tokenized by the previous merges. */
+  def bpeLearnMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, merges: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(merges > 0, s"merges must be positive, got $merges")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    var toks = docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .localCheckpoint(true) // iterated state
+    var out: org.apache.spark.sql.DataFrame = null
+    for (m <- 1 to merges) {
+      val pairs = toks
+        .withColumn("tn", lead("t", 1).over(w))
+        .filter(col("tn").isNotNull)
+        .localCheckpoint(true) // pair-count + match-scan consumers
+      val top = pairs.groupBy("t", "tn").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("t").asc, col("tn").asc).limit(1)
+        .select(col("t").as("mx"), col("tn").as("my"), col("freq"))
+        .localCheckpoint(true) // one row
+      val row = top.select(lit(m).cast("long").as("merge_rank"),
+        col("mx").as("lhs"), col("my").as("rhs"), col("freq"))
+      out = if (out == null) row else out.unionAll(row)
+      if (m < merges) {
+        val sel = pairs
+          .join(broadcast(top.select("mx", "my")),
+                col("t") === col("mx") && col("tn") === col("my"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("isl", col("pos") - col("rn"))
+          .withColumn("k", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("id", "isl").orderBy("pos")))
+          .filter(col("k") % 2 === 1)
+          .select("id", "pos")
+        val consumed = sel
+          .unionAll(sel.select(col("id"), (col("pos") + 1).as("pos")))
+        val rebuilt = toks.join(consumed, Seq("id", "pos"), "left_anti")
+          .unionAll(sel.crossJoin(broadcast(top))
+            .select(col("id"), col("pos"), concat(col("mx"), col("my")).as("t")))
+        toks = rebuilt
+          .withColumn("pos", row_number().over(w) - 1)
+          .select("id", "pos", "t")
+          .localCheckpoint(true)
+      }
+    }
+    out
+  }
 }

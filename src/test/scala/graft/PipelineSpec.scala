@@ -502,4 +502,25 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("bpeLearnMerges: greedy leftmost application and re-counted second merge") {
+    import graft.pipeline.TextOps
+    // Round 1: (a,a) wins with freq 3 — "b a a a b" has overlapping matches
+    // at pos 1,2 (one island: greedy keeps pos 1 only) and "a a" one more.
+    // Rebuilt corpus: "b aa a b" and "aa". Round 2 pairs each have freq 1:
+    // (b,aa), (aa,a), (a,b) — lexicographic tie-break picks (a,b).
+    val docs = Seq((1L, "b a a a b"), (2L, "a a")).toDF("doc_id", "text")
+    val out = TextOps.bpeLearnMerges(docs, "doc_id", "text", merges = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("a", "a", 3L)), s"round 1 got ${out(1L)}")
+    assert(out(2L) == (("a", "b", 1L)), s"round 2 got ${out(2L)}")
+    // An aaaa run merges as (aa)(aa): greedy parity, not all-pairs.
+    val runs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val o2 = TextOps.bpeLearnMerges(runs, "doc_id", "text", merges = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(o2(1L) == (("a", "a", 3L)))
+    assert(o2(2L) == (("aa", "aa", 1L)), s"round 2 on run got ${o2(2L)}")
+  }
 }
