@@ -119,11 +119,11 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
         Training.distmultSgd(ents, edges, dim, entSeed, relSeed, steps,
                              gamma, lr)
       case "complex" =>
-        require(steps == 1, s"complex supports a single step, got $steps")
-        Training.complexSgdStep(ents, edges, dim, entSeed, relSeed, gamma, lr)
+        Training.complexSgd(ents, edges, dim, entSeed, relSeed, steps,
+                            gamma, lr)
       case "rotate" =>
-        require(steps == 1, s"rotate supports a single step, got $steps")
-        Training.rotateSgdStep(ents, edges, dim, entSeed, relSeed, gamma, lr)
+        Training.rotateSgd(ents, edges, dim, entSeed, relSeed, steps,
+                           gamma, lr)
       case other =>
         throw new IllegalArgumentException(
           s"unknown model '$other' (transe|distmult|complex|rotate)")
@@ -133,8 +133,8 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
   /** In-training eval checkpoint: link-prediction MRR/Hits of a long-form
     * TransE parameter frame (as returned by [[train]]) over this KG's
     * edges — see [[graft.score.Training.transeRanks]]. */
-  def trainEvalRanks(params: DataFrame): DataFrame =
-    graft.score.Training.transeRanks(params, edges)
+  def trainEvalRanks(params: DataFrame, candMod: Int = 1): DataFrame =
+    graft.score.Training.transeRanksSampled(params, edges, candMod)
 
   def bfs(seedIds: Seq[Long], maxLevels: Int = 20): DataFrame = {
     import spark.implicits._

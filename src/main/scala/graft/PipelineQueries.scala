@@ -1960,6 +1960,86 @@ object PipelineQueries {
            |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
+    // TWO ComplEx SGD steps: the product-rule LOOP over the four-kind
+    // complex state — 6-dp quantize between steps, per-step integer
+    // micro-unit exactness, trajectory unrolled as MATERIALIZED CTEs
+    // (eight state joins per step: re+im for each of the four roles).
+    ("train_complex_2steps",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.complexSgd(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED, steps = 2)
+      },
+      Some {
+        def stepCtes(k: Int): String = {
+          val (p, c) = (s"e${k - 1}", s"e$k")
+          s"""dm$k AS MATERIALIZED (SELECT ed.src, ed.rel, ed.dst, ed.neg, hre.i,
+             |    CAST(ROUND(hre.x * 1000000, 0) AS BIGINT) AS a,
+             |    CAST(ROUND(him.x * 1000000, 0) AS BIGINT) AS b,
+             |    CAST(ROUND(rre.x * 1000000, 0) AS BIGINT) AS c,
+             |    CAST(ROUND(rim.x * 1000000, 0) AS BIGINT) AS d,
+             |    CAST(ROUND(tre.x * 1000000, 0) AS BIGINT) AS e,
+             |    CAST(ROUND(tim.x * 1000000, 0) AS BIGINT) AS f,
+             |    CAST(ROUND(nre.x * 1000000, 0) AS BIGINT) AS ep,
+             |    CAST(ROUND(nim.x * 1000000, 0) AS BIGINT) AS fp
+             |  FROM ed
+             |  JOIN $p hre ON hre.kind = 'ent_re' AND hre.id = ed.src
+             |  JOIN $p him ON him.kind = 'ent_im' AND him.id = ed.src AND him.i = hre.i
+             |  JOIN $p rre ON rre.kind = 'rel_re' AND rre.id = ed.rel AND rre.i = hre.i
+             |  JOIN $p rim ON rim.kind = 'rel_im' AND rim.id = ed.rel AND rim.i = hre.i
+             |  JOIN $p tre ON tre.kind = 'ent_re' AND tre.id = ed.dst AND tre.i = hre.i
+             |  JOIN $p tim ON tim.kind = 'ent_im' AND tim.id = ed.dst AND tim.i = hre.i
+             |  JOIN $p nre ON nre.kind = 'ent_re' AND nre.id = ed.neg AND nre.i = hre.i
+             |  JOIN $p nim ON nim.kind = 'ent_im' AND nim.id = ed.neg AND nim.i = hre.i),
+             |sc$k AS (SELECT src, rel, dst, neg,
+             |    SUM(CAST(a * c - b * d AS HUGEINT) * e + CAST(a * d + b * c AS HUGEINT) * f) AS sp,
+             |    SUM(CAST(a * c - b * d AS HUGEINT) * ep + CAST(a * d + b * c AS HUGEINT) * fp) AS sn
+             |  FROM dm$k GROUP BY 1, 2, 3, 4),
+             |vd$k AS (SELECT dm$k.*, ep - e AS de, fp - f AS dfv FROM dm$k JOIN
+             |    (SELECT src, rel, dst, neg FROM sc$k
+             |     WHERE 1000000000000000000 - sp + sn > 0) vi$k
+             |    USING (src, rel, dst, neg)),
+             |ct$k AS (SELECT 'ent_re' AS kind, src AS id, i, c * de + d * dfv AS g FROM vd$k
+             |  UNION ALL SELECT 'ent_im', src, i, -d * de + c * dfv FROM vd$k
+             |  UNION ALL SELECT 'rel_re', rel, i, a * de + b * dfv FROM vd$k
+             |  UNION ALL SELECT 'rel_im', rel, i, -b * de + a * dfv FROM vd$k
+             |  UNION ALL SELECT 'ent_re', dst, i, -(a * c - b * d) FROM vd$k
+             |  UNION ALL SELECT 'ent_im', dst, i, -(a * d + b * c) FROM vd$k
+             |  UNION ALL SELECT 'ent_re', neg, i, a * c - b * d FROM vd$k
+             |  UNION ALL SELECT 'ent_im', neg, i, a * d + b * c FROM vd$k),
+             |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3),
+             |$c AS MATERIALIZED (SELECT kind, id, i,
+             |    ROUND(x - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |  FROM $p LEFT JOIN gs$k USING (kind, id, i))""".stripMargin
+        }
+        KG.edgesCte.trim + ",\n" +
+          s"""te AS (SELECT src, rel, dst FROM edges
+             |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+             |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+             |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+             |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+             |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+             |ed AS MATERIALIZED (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+             |e0 AS MATERIALIZED (SELECT 'ent_re' AS kind, id, i,
+             |      SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x
+             |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |  UNION ALL SELECT 'ent_im', id, i,
+             |      SIN((id % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF})
+             |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |  UNION ALL SELECT 'rel_re', rel AS id, i,
+             |      SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+             |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)
+             |  UNION ALL SELECT 'rel_im', rel AS id, i,
+             |      SIN((rel % 9973 + 1) * i * 0.017 + ${REL_SEED + IM_OFF})
+             |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+             |${stepCtes(1)},
+             |${stepCtes(2)}
+             |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos, x FROM e2""".stripMargin
+      }),
+
     // One RotatE SGD step (rotate.py estimate semantics: complex entities,
     // phase-vector relation) with component-wise-L1 training distance —
     // the determinism-compatible member of RotatE's distance family (the
@@ -2039,6 +2119,96 @@ object PipelineQueries {
              |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
              |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
              |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin
+      }),
+
+    // TWO RotatE SGD steps: the rotation-derivative LOOP over the
+    // three-kind state (ent_re, ent_im, rel_ph) — 6-dp quantize between
+    // steps; each step re-quantizes the phase to the 1e-6 grid and its
+    // cos/sin to micro ints from the CURRENT state, so every step's
+    // residuals are exact longs and the unrolled MATERIALIZED-CTE
+    // trajectory is engine-identical.
+    ("train_rotate_2steps",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.rotateSgd(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED, steps = 2)
+      },
+      Some {
+        def stepCtes(k: Int): String = {
+          val (p, c) = (s"e${k - 1}", s"e$k")
+          s"""dm$k AS (SELECT ed.src, ed.rel, ed.dst, ed.neg, hre.i,
+             |    CAST(ROUND(hre.x * 1000000, 0) AS BIGINT) AS a,
+             |    CAST(ROUND(him.x * 1000000, 0) AS BIGINT) AS b,
+             |    CAST(ROUND(COS(CAST(ROUND(rph.x * 1000000, 0) AS BIGINT) / 1000000.0) * 1000000, 0) AS BIGINT) AS c,
+             |    CAST(ROUND(SIN(CAST(ROUND(rph.x * 1000000, 0) AS BIGINT) / 1000000.0) * 1000000, 0) AS BIGINT) AS sn,
+             |    CAST(ROUND(tre.x * 1000000, 0) AS BIGINT) AS e,
+             |    CAST(ROUND(tim.x * 1000000, 0) AS BIGINT) AS f,
+             |    CAST(ROUND(nre.x * 1000000, 0) AS BIGINT) AS ep,
+             |    CAST(ROUND(nim.x * 1000000, 0) AS BIGINT) AS fp
+             |  FROM ed
+             |  JOIN $p hre ON hre.kind = 'ent_re' AND hre.id = ed.src
+             |  JOIN $p him ON him.kind = 'ent_im' AND him.id = ed.src AND him.i = hre.i
+             |  JOIN $p rph ON rph.kind = 'rel_ph' AND rph.id = ed.rel AND rph.i = hre.i
+             |  JOIN $p tre ON tre.kind = 'ent_re' AND tre.id = ed.dst AND tre.i = hre.i
+             |  JOIN $p tim ON tim.kind = 'ent_im' AND tim.id = ed.dst AND tim.i = hre.i
+             |  JOIN $p nre ON nre.kind = 'ent_re' AND nre.id = ed.neg AND nre.i = hre.i
+             |  JOIN $p nim ON nim.kind = 'ent_im' AND nim.id = ed.neg AND nim.i = hre.i),
+             |du$k AS MATERIALIZED (SELECT *,
+             |    a * c - b * sn - e * 1000000 AS u,
+             |    a * sn + b * c - f * 1000000 AS v,
+             |    a * c - b * sn - ep * 1000000 AS up,
+             |    a * sn + b * c - fp * 1000000 AS vp
+             |  FROM dm$k),
+             |sc$k AS (SELECT src, rel, dst, neg,
+             |    SUM(CAST(ABS(u) + ABS(v) AS HUGEINT)) AS dp,
+             |    SUM(CAST(ABS(up) + ABS(vp) AS HUGEINT)) AS dn
+             |  FROM du$k GROUP BY 1, 2, 3, 4),
+             |vd$k AS (SELECT du$k.*,
+             |    CAST(SIGN(u) AS BIGINT) AS su, CAST(SIGN(v) AS BIGINT) AS sv,
+             |    CAST(SIGN(up) AS BIGINT) AS sup, CAST(SIGN(vp) AS BIGINT) AS svp
+             |  FROM du$k JOIN
+             |    (SELECT src, rel, dst, neg FROM sc$k
+             |     WHERE 1000000000000 + dp - dn > 0) vi$k
+             |    USING (src, rel, dst, neg)),
+             |ct$k AS (SELECT 'ent_re' AS kind, src AS id, i,
+             |      ((su - sup) * c + (sv - svp) * sn) * 1000000 AS g FROM vd$k
+             |  UNION ALL SELECT 'ent_im', src, i,
+             |      (-(su - sup) * sn + (sv - svp) * c) * 1000000 FROM vd$k
+             |  UNION ALL SELECT 'ent_re', dst, i, -su * 1000000000000 FROM vd$k
+             |  UNION ALL SELECT 'ent_im', dst, i, -sv * 1000000000000 FROM vd$k
+             |  UNION ALL SELECT 'ent_re', neg, i, sup * 1000000000000 FROM vd$k
+             |  UNION ALL SELECT 'ent_im', neg, i, svp * 1000000000000 FROM vd$k
+             |  UNION ALL SELECT 'rel_ph', rel, i,
+             |      (sv - svp) * (a * c - b * sn)
+             |        - (su - sup) * (a * sn + b * c) FROM vd$k),
+             |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3),
+             |$c AS MATERIALIZED (SELECT kind, id, i,
+             |    ROUND(x - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |  FROM $p LEFT JOIN gs$k USING (kind, id, i))""".stripMargin
+        }
+        KG.edgesCte.trim + ",\n" +
+          s"""te AS (SELECT src, rel, dst FROM edges
+             |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+             |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+             |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+             |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+             |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+             |ed AS MATERIALIZED (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+             |e0 AS MATERIALIZED (SELECT 'ent_re' AS kind, id, i,
+             |      SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x
+             |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |  UNION ALL SELECT 'ent_im', id, i,
+             |      SIN((id % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF})
+             |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |  UNION ALL SELECT 'rel_ph', rel AS id, i,
+             |      SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+             |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+             |${stepCtes(1)},
+             |${stepCtes(2)}
+             |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos, x FROM e2""".stripMargin
       }),
 
     // One mini-batched TransE EPOCH: the edge set hash-partitions into two
@@ -2184,6 +2354,94 @@ object PipelineQueries {
            |SELECT rel, COUNT(*) AS n,
            |       ROUND(SUM(ROUND(1000000.0 / rank, 0)) / 1e6 / COUNT(*), 6) AS mrr,
            |       ROUND(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits1,
+           |       ROUND(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits10
+           |FROM rk GROUP BY rel""".stripMargin)),
+
+    // Sampled-candidate eval checkpoint: the same train-then-rank pass but
+    // against the hash-drawn HALF of the entity universe (md5(id) % 2 = 0)
+    // — the protocol a 1e9-entity KG needs, where exhaustive ranking's
+    // (edges × entities) pair count is unaffordable. The true tail's own
+    // distance stays exact regardless of the draw; it ranks against the
+    // sampled pool only. The md5 draw is portable, so DuckDB replays the
+    // identical candidate slice.
+    ("train_eval_mrr_sampled",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        val e1 = graft.score.Training.transeSgdStep(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+        graft.score.Training.transeRanksSampled(e1, edges, candMod = 2)
+          .groupBy("rel")
+          .agg(count(lit(1)).as("n"),
+               round(sum(round(lit(1000000.0) / col("rank"), 0)) / 1e6
+                     / count(lit(1)), 6).as("mrr"),
+               round(sum(when(col("rank") <= 10, 1).otherwise(0)) * 1.0
+                     / count(lit(1)), 6).as("hits10"))
+      },
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""te AS (SELECT src, rel, dst FROM edges
+           |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+           |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+           |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+           |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+           |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+           |dm AS MATERIALIZED (SELECT src, rel, dst, neg, i,
+           |         SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) AS h,
+           |         SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED) AS r,
+           |         SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) AS t,
+           |         SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) AS tn
+           |       FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+           |sc AS (SELECT src, rel, dst, neg,
+           |         SUM(ABS(h + r - t)) AS dp, SUM(ABS(h + r - tn)) AS dn
+           |       FROM dm GROUP BY 1, 2, 3, 4),
+           |vd AS (SELECT dm.*, SIGN(h + r - t) AS s, SIGN(h + r - tn) AS sp
+           |       FROM dm JOIN (SELECT src, rel, dst, neg FROM sc
+           |                     WHERE 1.0 + dp - dn > 0) vi
+           |         USING (src, rel, dst, neg)),
+           |contrib AS (SELECT 'ent' AS kind, src AS id, i, s - sp AS g FROM vd
+           |  UNION ALL SELECT 'ent', dst, i, -s FROM vd
+           |  UNION ALL SELECT 'ent', neg, i, sp FROM vd
+           |  UNION ALL SELECT 'rel', rel, i, s - sp FROM vd),
+           |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+           |basee AS (SELECT 'ent' AS kind, id, i,
+           |           SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+           |         FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |         UNION ALL
+           |         SELECT 'rel', rel AS id, i,
+           |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+           |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+           |e1 AS MATERIALIZED (SELECT kind, id, i,
+           |         ROUND(x0 - 0.03125 * COALESCE(g, 0), 6) AS x
+           |       FROM basee LEFT JOIN gsum USING (kind, id, i)),
+           |ei AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+           |       FROM e1 WHERE kind = 'ent'),
+           |ri AS (SELECT id AS rel, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS rxi
+           |       FROM e1 WHERE kind = 'rel'),
+           |tt AS (SELECT te.src, te.rel, te.dst,
+           |         SUM(ABS(h.xi + r.rxi - t.xi)) AS dt
+           |       FROM te JOIN ei h ON h.id = te.src
+           |               JOIN ri r ON r.rel = te.rel AND r.i = h.i
+           |               JOIN ei t ON t.id = te.dst AND t.i = h.i
+           |       GROUP BY 1, 2, 3),
+           |dd AS MATERIALIZED (SELECT te.src, te.rel, te.dst, c.id AS cand,
+           |         SUM(ABS(h.xi + r.rxi - c.xi)) AS d
+           |       FROM te JOIN ei h ON h.id = te.src
+           |               JOIN ri r ON r.rel = te.rel AND r.i = h.i
+           |               JOIN ei c ON c.i = h.i
+           |       WHERE ${graft.functions.PortableHash.md5Prefix60Sql(
+                       "CAST(c.id AS VARCHAR)")} % 2 = 0
+           |       GROUP BY 1, 2, 3, 4),
+           |rk AS (SELECT s.src, s.rel, s.dst,
+           |         1 + SUM(CASE WHEN s.d < tt.dt
+           |                       OR (s.d = tt.dt AND s.cand < s.dst)
+           |                      THEN 1 ELSE 0 END) AS rank
+           |       FROM dd s JOIN tt USING (src, rel, dst)
+           |       WHERE s.cand <> s.dst GROUP BY 1, 2, 3)
+           |SELECT rel, COUNT(*) AS n,
+           |       ROUND(SUM(ROUND(1000000.0 / rank, 0)) / 1e6 / COUNT(*), 6) AS mrr,
            |       ROUND(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits10
            |FROM rk GROUP BY rel""".stripMargin)),
 

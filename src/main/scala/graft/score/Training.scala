@@ -307,8 +307,19 @@ object Training {
     * Returns long-form (kind ∈ ent_re|ent_im|rel_re|rel_im, id, pos, x). */
   def complexSgdStep(entities: DataFrame, edges: DataFrame, dim: Int,
                      entSeed: Double, relSeed: Double, gamma: Double = 1.0,
-                     lr: Double = 0.03125): DataFrame = {
+                     lr: Double = 0.03125): DataFrame =
+    complexSgd(entities, edges, dim, entSeed, relSeed, steps = 1, gamma, lr)
+
+  /** `steps` ComplEx SGD steps: the [[transeSgd]]/[[distmultSgd]]
+    * state-threaded loop over the four-kind complex state — each step
+    * pivots (ent_re, ent_im)/(rel_re, rel_im) back to complex rows,
+    * re-derives the integer micro-unit view from the 6-dp state, and
+    * applies [[complexSgdStep]]'s product-rule gradients exactly. */
+  def complexSgd(entities: DataFrame, edges: DataFrame, dim: Int,
+                 entSeed: Double, relSeed: Double, steps: Int,
+                 gamma: Double = 1.0, lr: Double = 0.03125): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true)
     val nextMap = cyclicNextMap(ents)
@@ -319,7 +330,7 @@ object Training {
       .join(nextMap, "dst")
       .localCheckpoint(true)
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()
-    // Complex long-form state: (id, pos, re, im).
+    // Complex long-form base: (id, pos, re, im) per table.
     def cbase(ids: DataFrame, seed: Double): DataFrame =
       ids.select(col("id"),
           Embeddings.deterministicVec(col("id"), dim, seed).as("vre"),
@@ -329,8 +340,39 @@ object Training {
           .as(Seq("pos", "z")))
         .select(col("id"), col("pos"),
                 col("z.vre").as("re"), col("z.vim").as("im"))
-    val cents = cbase(ents, entSeed).localCheckpoint(true)
-    val crels = cbase(rels, relSeed).localCheckpoint(true)
+    val b0 = cbase(ents, entSeed)
+    val r0 = cbase(rels, relSeed)
+    var e = b0
+      .select(lit("ent_re").as("kind"), col("id"), col("pos"),
+              col("re").as("x"))
+      .unionAll(b0.select(lit("ent_im"), col("id"), col("pos"), col("im")))
+      .unionAll(r0.select(lit("rel_re"), col("id"), col("pos"), col("re")))
+      .unionAll(r0.select(lit("rel_im"), col("id"), col("pos"), col("im")))
+      .localCheckpoint(true)
+    for (_ <- 1 to steps) {
+      val frame = complexStepFrame(e, ed, gamma)
+      e = e.join(frame, Seq("kind", "id", "pos"), "left")
+        .select(col("kind"), col("id"), col("pos"),
+                round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
+                      * lr / 1e12, 6).as("x"))
+        .localCheckpoint(true)
+    }
+    e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
+             col("x"))
+  }
+
+  /** One ComplEx gradient pass over the flat four-kind state: returns the
+    * summed integer micro² gradients (kind, id, pos, g). */
+  private def complexStepFrame(e: DataFrame, ed: DataFrame,
+                               gamma: Double): DataFrame = {
+    // Pivot the flat state back to complex rows per table.
+    def cview(k1: String, k2: String): DataFrame =
+      e.filter(col("kind").isin(k1, k2))
+        .groupBy("id", "pos")
+        .agg(max(when(col("kind") === k1, col("x"))).as("re"),
+             max(when(col("kind") === k2, col("x"))).as("im"))
+    val cents = cview("ent_re", "ent_im").localCheckpoint(true)
+    val crels = cview("rel_re", "rel_im")
     // Micro-int sides: one join per role carries both parts.
     def side(df: DataFrame, key: String, reAs: String, imAs: String) =
       df.select(col("id").as(key), col("pos"),
@@ -375,17 +417,7 @@ object Training {
               col("a") * col("c") - col("b") * col("d")))
       .unionAll(vd.select(lit("ent_im"), col("neg"), col("pos"),
               col("a") * col("d") + col("b") * col("c")))
-    val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
-    val base = cents
-      .select(lit("ent_re").as("kind"), col("id"), col("pos"),
-              col("re").as("x"))
-      .unionAll(cents.select(lit("ent_im"), col("id"), col("pos"), col("im")))
-      .unionAll(crels.select(lit("rel_re"), col("id"), col("pos"), col("re")))
-      .unionAll(crels.select(lit("rel_im"), col("id"), col("pos"), col("im")))
-    base.join(grads, Seq("kind", "id", "pos"), "left")
-      .select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
-              round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
-                    * lr / 1e12, 6).as("x"))
+    contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
   }
 
   /** Unfiltered link-prediction tail ranks of each edge under a long-form
@@ -398,7 +430,20 @@ object Training {
     * exhaustive eval — at a 1e9-entity KG you'd pass a sampled candidate
     * slice through the same plan, which is the long-form A5 shape this
     * repo uses everywhere (no dense ranking matrix). */
-  def transeRanks(params: DataFrame, edges: DataFrame): DataFrame = {
+  def transeRanks(params: DataFrame, edges: DataFrame): DataFrame =
+    transeRanksSampled(params, edges, candMod = 1)
+
+  /** Negative-sampled variant of [[transeRanks]]: candidates are the
+    * hash-drawn entity slice `md5₆₀(id) % candMod == 0` (true tail's own
+    * distance still exact; it ranks against the sampled pool only) —
+    * the standard sampled eval protocol for KGs where the exhaustive
+    * (edges × entities) pair count is unaffordable, and the scale path
+    * PLANS.md prescribes at a 1e9-entity KG. The draw is the portable md5
+    * hash, so a DuckDB oracle replays the identical slice; `candMod = 1`
+    * IS the exhaustive eval (the filter drops out of the plan). */
+  def transeRanksSampled(params: DataFrame, edges: DataFrame,
+                         candMod: Int): DataFrame = {
+    require(candMod > 0, s"candMod must be positive, got $candMod")
     // Micro-int VECTORS per id (6-dp state × 1e6 — exact longs), packed
     // once: the per-candidate distance is then a single codegen'd
     // zip_with/aggregate over two array attributes instead of a dim-way
@@ -433,7 +478,11 @@ object Training {
     // is genuinely small (the bruteTopK discipline), plain nested-loop
     // otherwise.
     val estSide = if (est.count() <= 100000L) broadcast(est) else est
-    ev.select(col("id").as("cand"), col("v").as("cv"))
+    val cands0 = ev.select(col("id").as("cand"), col("v").as("cv"))
+    val cands = if (candMod == 1) cands0
+      else cands0.filter(pmod(graft.functions.PortableHash.md5Prefix60(
+        col("cand").cast("string")), lit(candMod.toLong)) === 0)
+    cands
       .join(estSide, col("cand") =!= col("dst"))
       .select(col("src"), col("rel"), col("dst"), col("cand"), col("dt"),
               l1(col("est"), col("cv")).as("d"))
@@ -465,8 +514,20 @@ object Training {
     * (kind ∈ ent_re|ent_im|rel_ph, id, pos, x). */
   def rotateSgdStep(entities: DataFrame, edges: DataFrame, dim: Int,
                     entSeed: Double, relSeed: Double, gamma: Double = 1.0,
-                    lr: Double = 0.03125): DataFrame = {
+                    lr: Double = 0.03125): DataFrame =
+    rotateSgd(entities, edges, dim, entSeed, relSeed, steps = 1, gamma, lr)
+
+  /** `steps` RotatE SGD steps: the [[complexSgd]] state-threaded loop over
+    * the three-kind rotate state (ent_re, ent_im, rel_ph) — each step
+    * pivots the flat state back to complex entities + phase relations,
+    * re-derives the quantized-phase trig and integer micro-unit view from
+    * the 6-dp state, and applies [[rotateSgdStep]]'s rotation-derivative
+    * gradients exactly. */
+  def rotateSgd(entities: DataFrame, edges: DataFrame, dim: Int,
+                entSeed: Double, relSeed: Double, steps: Int,
+                gamma: Double = 1.0, lr: Double = 0.03125): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true)
     val nextMap = cyclicNextMap(ents)
@@ -477,7 +538,7 @@ object Training {
       .join(nextMap, "dst")
       .localCheckpoint(true)
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()
-    val cents = ents.select(col("id"),
+    val b0 = ents.select(col("id"),
         Embeddings.deterministicVec(col("id"), dim, entSeed).as("vre"),
         Embeddings.deterministicVec(col("id"), dim, entSeed + IM_SEED_OFFSET)
           .as("vim"))
@@ -485,11 +546,38 @@ object Training {
         .as(Seq("pos", "z")))
       .select(col("id"), col("pos"),
               col("z.vre").as("re"), col("z.vim").as("im"))
-      .localCheckpoint(true)
-    val rphase = rels.select(col("id"),
+    val r0 = rels.select(col("id"),
         posexplode(Embeddings.deterministicVec(col("id"), dim, relSeed))
           .as(Seq("pos", "x")))
+    var e = b0
+      .select(lit("ent_re").as("kind"), col("id"), col("pos"),
+              col("re").as("x"))
+      .unionAll(b0.select(lit("ent_im"), col("id"), col("pos"), col("im")))
+      .unionAll(r0.select(lit("rel_ph"), col("id"), col("pos"), col("x")))
       .localCheckpoint(true)
+    for (_ <- 1 to steps) {
+      val frame = rotateStepFrame(e, ed, gamma)
+      e = e.join(frame, Seq("kind", "id", "pos"), "left")
+        .select(col("kind"), col("id"), col("pos"),
+                round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
+                      * lr / 1e12, 6).as("x"))
+        .localCheckpoint(true)
+    }
+    e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
+             col("x"))
+  }
+
+  /** One RotatE gradient pass over the flat three-kind state: returns the
+    * summed integer micro² gradients (kind, id, pos, g). */
+  private def rotateStepFrame(e: DataFrame, ed: DataFrame,
+                              gamma: Double): DataFrame = {
+    val cents = e.filter(col("kind").isin("ent_re", "ent_im"))
+      .groupBy("id", "pos")
+      .agg(max(when(col("kind") === "ent_re", col("x"))).as("re"),
+           max(when(col("kind") === "ent_im", col("x"))).as("im"))
+      .localCheckpoint(true)
+    val rphase = e.filter(col("kind") === "rel_ph")
+      .select(col("id"), col("pos"), col("x"))
     def eside(key: String, reAs: String, imAs: String) =
       cents.select(col("id").as(key), col("pos"),
                    round(col("re") * 1e6, 0).cast("long").as(reAs),
@@ -550,15 +638,6 @@ object Training {
                 * (col("a") * col("c") - col("b") * col("sn"))
                 - (col("su") - col("sup"))
                   * (col("a") * col("sn") + col("b") * col("c"))))
-    val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
-    val base = cents
-      .select(lit("ent_re").as("kind"), col("id"), col("pos"),
-              col("re").as("x"))
-      .unionAll(cents.select(lit("ent_im"), col("id"), col("pos"), col("im")))
-      .unionAll(rphase.select(lit("rel_ph"), col("id"), col("pos"), col("x")))
-    base.join(grads, Seq("kind", "id", "pos"), "left")
-      .select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
-              round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
-                    * lr / 1e12, 6).as("x"))
+    contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
   }
 }

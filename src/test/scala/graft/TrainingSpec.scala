@@ -295,6 +295,29 @@ class TrainingSpec extends AnyFunSuite {
     assert(rstep(gamma = 1.0) == b2)
   }
 
+  test("complex/rotate multi-step loops progress and stay partition-deterministic") {
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    // forced-active hinge so both steps move parameters
+    val c1 = m(Training.complexSgd(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 1, gamma = 1e6))
+    val c2 = m(Training.complexSgd(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1e6))
+    assert(c2 != c1, "complex second step changed nothing")
+    assert(c2 == m(Training.complexSgd(ents.repartition(3),
+      edges.repartition(2), dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1e6)))
+    val r1 = m(Training.rotateSgd(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 1, gamma = 1e6))
+    val r2 = m(Training.rotateSgd(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1e6))
+    assert(r2 != r1, "rotate second step changed nothing")
+    assert(r2 == m(Training.rotateSgd(ents.repartition(3),
+      edges.repartition(2), dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1e6)))
+  }
+
   test("hashNegEdges draws the md5-indexed entity, dodging the true tail") {
     def md5p60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
@@ -349,6 +372,36 @@ class TrainingSpec extends AnyFunSuite {
       (h, r, t) -> (1L + better)
     }.toMap
     assert(got == want, s"got $got want $want")
+  }
+
+  test("transeRanksSampled: candMod=1 is exhaustive; sampled pool mirrors the md5 draw") {
+    val params = Training.transeSgdStep(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, gamma = -1000.0)
+    def ranks(m: Int) = Training.transeRanksSampled(params, edges, candMod = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(ranks(1) == Training.transeRanks(params, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap)
+    // Brute-force the md5-drawn half-pool in the same micro-int units.
+    def md5p60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def mi(id: Long, pos: Int, seed: Double): Long =
+      math.round(math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed) * 1e6)
+    def dist(h: Long, r: Long, t: Long): Long =
+      (0 until 4).map(p => math.abs(mi(h, p, 0.3) + mi(r, p, 1.7) - mi(t, p, 0.3))).sum
+    val pool = Seq(10L, 20L, 30L).filter(c => md5p60(c.toString) % 2 == 0)
+    val want = Seq((10L, 5L, 20L), (20L, 5L, 30L)).flatMap { case (h, r, t) =>
+      val cs = pool.filter(_ != t)
+      if (cs.isEmpty) None else {
+        val dt = dist(h, r, t)
+        val better = cs.count(c =>
+          dist(h, r, c) < dt || (dist(h, r, c) == dt && c < t))
+        Some((h, r, t) -> (1L + better))
+      }
+    }.toMap
+    assert(ranks(2) == want, s"got ${ranks(2)} want $want")
   }
 
   test("default margin: updated frame is deterministic across partitionings") {
