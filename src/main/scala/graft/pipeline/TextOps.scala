@@ -366,28 +366,71 @@ object TextOps {
       val row = top.select(lit(m).cast("long").as("merge_rank"),
         col("mx").as("lhs"), col("my").as("rhs"), col("freq"))
       out = if (out == null) row else out.unionAll(row)
-      if (m < merges) {
-        val sel = pairs
-          .join(broadcast(top.select("mx", "my")),
-                col("t") === col("mx") && col("tn") === col("my"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("isl", col("pos") - col("rn"))
-          .withColumn("k", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("id", "isl").orderBy("pos")))
-          .filter(col("k") % 2 === 1)
-          .select("id", "pos")
-        val consumed = sel
-          .unionAll(sel.select(col("id"), (col("pos") + 1).as("pos")))
-        val rebuilt = toks.join(consumed, Seq("id", "pos"), "left_anti")
-          .unionAll(sel.crossJoin(broadcast(top))
-            .select(col("id"), col("pos"), concat(col("mx"), col("my")).as("t")))
-        toks = rebuilt
-          .withColumn("pos", row_number().over(w) - 1)
-          .select("id", "pos", "t")
-          .localCheckpoint(true)
-      }
+      if (m < merges)
+        toks = applyTopMerge(toks, pairs, top).localCheckpoint(true)
     }
     out
+  }
+
+  /** Greedy leftmost application of ONE merge (mx, my) to the token frame:
+    * the gaps-and-islands row-number-parity rewrite shared by the learn
+    * loop and [[bpeEncode]]. `pairs` is `toks` with its lead-token column
+    * (passed in so the learner's checkpointed pair frame is reused). */
+  private def applyTopMerge(toks: org.apache.spark.sql.DataFrame,
+                            pairs: org.apache.spark.sql.DataFrame,
+                            top: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val sel = pairs
+      .join(broadcast(top.select("mx", "my")),
+            col("t") === col("mx") && col("tn") === col("my"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("isl", col("pos") - col("rn"))
+      .withColumn("k", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id", "isl").orderBy("pos")))
+      .filter(col("k") % 2 === 1)
+      .select("id", "pos")
+    val consumed = sel
+      .unionAll(sel.select(col("id"), (col("pos") + 1).as("pos")))
+    toks.join(consumed, Seq("id", "pos"), "left_anti")
+      .unionAll(sel.crossJoin(broadcast(top.select("mx", "my")))
+        .select(col("id"), col("pos"), concat(col("mx"), col("my")).as("t")))
+      .withColumn("pos", row_number().over(w) - 1)
+      .select("id", "pos", "t")
+  }
+
+  /** BPE ENCODE: tokenize the corpus under a learned merge table (as
+    * returned by [[bpeLearnMerges]]), applying each merge greedily
+    * leftmost in rank order — the standard apply-merges-in-priority-order
+    * tokenizer semantics. One relational pass over the corpus per merge
+    * rank; every window is doc-partitioned, and each round's only global
+    * exchange is the one-row merge broadcast. Returns (id, pos, t): the
+    * re-tokenized corpus in long form. */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, mergesDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val md = mergesDf.select(col("merge_rank").cast("long").as("merge_rank"),
+        col("lhs"), col("rhs"))
+      .localCheckpoint(true) // vocab-table-sized; read once per rank below
+    // One scalar pull: the rank bound drives the driver-side loop (the
+    // merge table itself stays a DataFrame; each round broadcasts 1 row).
+    val n = md.agg(coalesce(max("merge_rank"), lit(0L)))
+      .collect()(0).getLong(0)
+    var toks = docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .localCheckpoint(true) // iterated state
+    for (m <- 1L to n) {
+      val top = md.filter(col("merge_rank") === m)
+        .select(col("lhs").as("mx"), col("rhs").as("my"))
+      val pairs = toks
+        .withColumn("tn", lead("t", 1).over(w))
+        .filter(col("tn").isNotNull)
+      toks = applyTopMerge(toks, pairs, top).localCheckpoint(true)
+    }
+    toks
   }
 }

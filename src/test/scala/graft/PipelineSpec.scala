@@ -523,4 +523,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(o2(1L) == (("a", "a", 3L)))
     assert(o2(2L) == (("aa", "aa", 1L)), s"round 2 on run got ${o2(2L)}")
   }
+
+  test("bpeEncode: applies the learned table in rank order, greedy leftmost") {
+    import graft.pipeline.TextOps
+    val docs = Seq((1L, "b a a a b"), (2L, "a a")).toDF("doc_id", "text")
+    def seqs(enc: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      enc.collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getString(2)))
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.sortBy(_._2).map(_._3).toSeq }
+    // Learned table: rank 1 = (a,a), rank 2 = (a,b). Applying both:
+    // "b a a a b" -> "b aa a b" -> "b aa ab"; "a a" -> "aa".
+    val merges = TextOps.bpeLearnMerges(docs, "doc_id", "text", merges = 2)
+    val got = seqs(TextOps.bpeEncode(docs, "doc_id", "text", merges))
+    assert(got == Map(1L -> Seq("b", "aa", "ab"), 2L -> Seq("aa")), s"got $got")
+    // Empty merge table: encode is plain whitespace tokenization.
+    val none = merges.filter(col("merge_rank") < 0)
+    assert(seqs(TextOps.bpeEncode(docs, "doc_id", "text", none))
+      == Map(1L -> Seq("b", "a", "a", "a", "b"), 2L -> Seq("a", "a")))
+  }
 }
