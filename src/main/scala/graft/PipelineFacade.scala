@@ -103,6 +103,12 @@ final class GraftCorpus(val frame: DataFrame,
   def search(query: String, k: Int = 10): DataFrame =
     Retrieval.bm25TopK(frame, idCol, textCol, query, k)
 
+  // --- tokenizer induction ---
+  def bpeLearn(merges: Int = 2): DataFrame =
+    TextOps.bpeLearnMerges(frame, idCol, textCol, merges)
+  def bpeEncode(merges: DataFrame): DataFrame =
+    TextOps.bpeEncode(frame, idCol, textCol, merges)
+
   // --- shaping for training ---
   def chunk(window: Int, overlap: Int = 0): DataFrame =
     TextOps.chunk(frame, idCol, textCol, window, overlap)

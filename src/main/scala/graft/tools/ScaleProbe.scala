@@ -93,6 +93,13 @@ object ScaleProbe {
         "doc_id", "text", col("tgt")).count())
     time("pmi_topk")(
       CorpusStats.pmiTopK(docs, "doc_id", "text").count())
+    // BPE rounds are linear passes (pair count + top-1 + islands rewrite);
+    // learn+encode over the k× corpus must track token count.
+    time("bpe_learn_encode") {
+      val m = graft.pipeline.TextOps.bpeLearnMerges(
+        docs, "doc_id", "text", merges = 2)
+      graft.pipeline.TextOps.bpeEncode(docs, "doc_id", "text", m).count()
+    }
 
     // Embedding corpus, replicated with per-replica offsets (near- not
     // exact dups, so clustering and ANN see realistic structure).
@@ -144,10 +151,22 @@ object ScaleProbe {
       kents, kedges, dim = 8, entSeed = 0.3, relSeed = 1.7).count())
     time("rotate_step")(graft.score.Training.rotateSgdStep(
       kents, kedges, dim = 8, entSeed = 0.3, relSeed = 1.7).count())
+    time("complex_2steps")(graft.score.Training.complexSgd(
+      kents, kedges, dim = 8, entSeed = 0.3, relSeed = 1.7, steps = 2).count())
+    time("rotate_2steps")(graft.score.Training.rotateSgd(
+      kents, kedges, dim = 8, entSeed = 0.3, relSeed = 1.7, steps = 2).count())
     time("train_eval_ranks") {
       val p = graft.score.Training.transeSgdStep(kents, kedges, dim = 8,
         entSeed = 0.3, relSeed = 1.7)
       graft.score.Training.transeRanks(p, kedges).count()
+    }
+    // Sampled-candidate eval: the same plan over a 1/16 md5-drawn pool —
+    // the (edges × entities) product drops 16×, which is the whole point
+    // of the sampled protocol at a large entity set.
+    time("train_eval_ranks_sampled16") {
+      val p = graft.score.Training.transeSgdStep(kents, kedges, dim = 8,
+        entSeed = 0.3, relSeed = 1.7)
+      graft.score.Training.transeRanksSampled(p, kedges, candMod = 16).count()
     }
     spark.stop()
   }

@@ -95,6 +95,8 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(c.lengthProfile().count() > 0)
     assert(c.temperatureSample("lang").count() > 0)
     assert(c.bigramScore(c.sample(0.75)).count() > 0)
+    assert(c.bpeEncode(c.bpeLearn(merges = 2)).columns.toSeq
+      == Seq("id", "pos", "t"))
     val bench = c.frame.filter(
       org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
       .select(org.apache.spark.sql.functions.md5(

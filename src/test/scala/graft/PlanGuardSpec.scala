@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+
+/** Plan-shape regression guard over the ENTIRE query registry: builds the
+  * optimized logical plan of every SparkEntry query at sf0.001 (plan-only
+  * — nothing executes except the driver-side loops some operators run to
+  * construct their frames) and asserts the one invariant the round-5/6
+  * audits fought for: no Window node without a partitionSpec. A global
+  * window funnels its whole input through ONE task — the single worst
+  * scale hazard class this repo has repeatedly removed (trainer entity
+  * index, Variadic re-keying, BM25/PMI/Zipf top-k rank). This spec keeps
+  * them gone. */
+class PlanGuardSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def unpartitionedWindows(p: LogicalPlan): Seq[Window] =
+    p.collect { case w: Window if w.partitionSpec.isEmpty => w }
+
+  test("no registered query plans an unpartitioned Window") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        if (unpartitionedWindows(df.queryExecution.optimizedPlan).nonEmpty)
+          bad += name
+      } catch {
+        // A query that cannot even build its frame shows up in the verify
+        // gate; this guard only judges plan shape.
+        case e: Throwable =>
+          info(s"[plan-guard] $name failed to build: ${e.getMessage}")
+      }
+    }
+    assert(bad.isEmpty,
+      s"unpartitioned Window in: ${bad.mkString(", ")} — use " +
+        "Ranking.globalIndex / rankTopK instead of a global window")
+  }
+}
