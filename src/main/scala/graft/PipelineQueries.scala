@@ -1207,9 +1207,8 @@ object PipelineQueries {
     ("text_bpe_encode",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val merges = graft.pipeline.TextOps.bpeLearnMerges(
-          docs, "doc_id", "text", merges = 2)
-        graft.pipeline.TextOps.bpeEncode(docs, "doc_id", "text", merges)
+        graft.pipeline.TextOps.bpeTrainTokenize(
+            docs, "doc_id", "text", merges = 2)._2
           .groupBy(col("id"))
           .agg(count(lit(1)).as("n_tok"),
                md5(concat_ws("|",

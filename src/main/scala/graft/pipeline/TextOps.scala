@@ -346,7 +346,18 @@ object TextOps {
     * corpus as re-tokenized by the previous merges. */
   def bpeLearnMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, merges: Int = 2)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    bpeTrainTokenize(docs, idCol, textCol, merges)._1
+
+  /** Learn `merges` merges AND return the corpus tokenized under the full
+    * learned table — the fused train-then-tokenize pass real tokenizer
+    * training wants (the trainer's last rebuilt corpus is one merge short
+    * of the full table, so this costs ONE extra application round versus
+    * [[bpeLearnMerges]], not a from-scratch [[bpeEncode]] replay of every
+    * rank). Returns (merge table, (id, pos, t) token frame). */
+  def bpeTrainTokenize(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, merges: Int = 2)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(merges > 0, s"merges must be positive, got $merges")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
@@ -366,10 +377,13 @@ object TextOps {
       val row = top.select(lit(m).cast("long").as("merge_rank"),
         col("mx").as("lhs"), col("my").as("rhs"), col("freq"))
       out = if (out == null) row else out.unionAll(row)
-      if (m < merges)
-        toks = applyTopMerge(toks, pairs, top).localCheckpoint(true)
+      // The last learned merge is applied too, so the returned corpus is
+      // tokenized under the COMPLETE table (learn-only callers never
+      // evaluate this frame: laziness keeps the old cost for them).
+      toks = if (m < merges) applyTopMerge(toks, pairs, top).localCheckpoint(true)
+             else applyTopMerge(toks, pairs, top)
     }
-    out
+    (out, toks)
   }
 
   /** Greedy leftmost application of ONE merge (mx, my) to the token frame:

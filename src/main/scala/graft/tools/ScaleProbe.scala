@@ -95,11 +95,8 @@ object ScaleProbe {
       CorpusStats.pmiTopK(docs, "doc_id", "text").count())
     // BPE rounds are linear passes (pair count + top-1 + islands rewrite);
     // learn+encode over the k× corpus must track token count.
-    time("bpe_learn_encode") {
-      val m = graft.pipeline.TextOps.bpeLearnMerges(
-        docs, "doc_id", "text", merges = 2)
-      graft.pipeline.TextOps.bpeEncode(docs, "doc_id", "text", m).count()
-    }
+    time("bpe_learn_encode")(graft.pipeline.TextOps.bpeTrainTokenize(
+      docs, "doc_id", "text", merges = 2)._2.count())
 
     // Embedding corpus, replicated with per-replica offsets (near- not
     // exact dups, so clustering and ANN see realistic structure).

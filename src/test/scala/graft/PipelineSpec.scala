@@ -540,5 +540,9 @@ class PipelineSpec extends AnyFunSuite {
     val none = merges.filter(col("merge_rank") < 0)
     assert(seqs(TextOps.bpeEncode(docs, "doc_id", "text", none))
       == Map(1L -> Seq("b", "a", "a", "a", "b"), 2L -> Seq("a", "a")))
+    // Fused train-then-tokenize ≡ learn then from-scratch encode.
+    val (m2, toks) = TextOps.bpeTrainTokenize(docs, "doc_id", "text", merges = 2)
+    assert(m2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(seqs(toks) == got)
   }
 }
