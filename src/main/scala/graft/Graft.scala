@@ -104,7 +104,7 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
   def train(model: String, dim: Int = 8,
             entSeed: Double = 0.3, relSeed: Double = 1.7,
             steps: Int = 1, gamma: Double = 1.0, lr: Double = 0.03125,
-            hashNeg: Boolean = false): DataFrame = {
+            hashNeg: Boolean = false, momentum: Double = 0.0): DataFrame = {
     import graft.score.Training
     val ents = entities.select("id")
     model.toLowerCase match {
@@ -112,6 +112,9 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
         require(steps == 1, "hashNeg currently supports a single step")
         Training.transeSgdStepHashNeg(ents, edges, dim, entSeed, relSeed,
                                       gamma, lr)
+      case "transe" if momentum > 0 =>
+        Training.transeSgdMomentum(ents, edges, dim, entSeed, relSeed, steps,
+                                   momentum, gamma, lr)
       case "transe" =>
         Training.transeSgd(ents, edges, dim, entSeed, relSeed, steps,
                            gamma, lr)

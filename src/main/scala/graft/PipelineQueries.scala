@@ -2182,6 +2182,74 @@ object PipelineQueries {
              |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin
       }),
 
+    // TWO TransE SGD steps with classical momentum (Polyak heavy ball,
+    // mu = 1/2): v_k = mu*v_{k-1} + g_k, x_k = x_{k-1} - lr*v_k. A
+    // power-of-two mu makes every velocity an exact dyadic rational
+    // (mu*v is an IEEE exponent shift), so the velocity state needs NO
+    // quantization and the unrolled oracle replays the trajectory
+    // bit-for-bit — the momentum analogue of the L1 sign trick.
+    ("train_transe_momentum",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.transeSgdMomentum(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED, steps = 2)
+      },
+      Some {
+        def gradCtes(k: Int): String = {
+          val p = s"e${k - 1}"
+          s"""dm$k AS MATERIALIZED (SELECT ed.src, ed.rel, ed.dst, ed.neg, h.i,
+             |           h.x AS h, r.x AS r, t.x AS t, tn.x AS tn
+             |         FROM ed
+             |         JOIN $p h ON h.kind = 'ent' AND h.id = ed.src
+             |         JOIN $p r ON r.kind = 'rel' AND r.id = ed.rel AND r.i = h.i
+             |         JOIN $p t ON t.kind = 'ent' AND t.id = ed.dst AND t.i = h.i
+             |         JOIN $p tn ON tn.kind = 'ent' AND tn.id = ed.neg AND tn.i = h.i),
+             |sc$k AS (SELECT src, rel, dst, neg,
+             |           SUM(ABS(h + r - t)) AS dp, SUM(ABS(h + r - tn)) AS dn
+             |         FROM dm$k GROUP BY 1, 2, 3, 4),
+             |vd$k AS (SELECT dm$k.*, SIGN(h + r - t) AS s, SIGN(h + r - tn) AS sp
+             |         FROM dm$k JOIN (SELECT src, rel, dst, neg FROM sc$k
+             |                         WHERE 1.0 + dp - dn > 0) vi$k
+             |           USING (src, rel, dst, neg)),
+             |ct$k AS (SELECT 'ent' AS kind, src AS id, i, s - sp AS g FROM vd$k
+             |  UNION ALL SELECT 'ent', dst, i, -s FROM vd$k
+             |  UNION ALL SELECT 'ent', neg, i, sp FROM vd$k
+             |  UNION ALL SELECT 'rel', rel, i, s - sp FROM vd$k),
+             |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3)""".stripMargin
+        }
+        KG.edgesCte.trim + ",\n" +
+          s"""te AS (SELECT src, rel, dst FROM edges
+             |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+             |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+             |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+             |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+             |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+             |ed AS MATERIALIZED (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+             |e0 AS MATERIALIZED (SELECT 'ent' AS kind, id, i,
+             |         SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x
+             |       FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |       UNION ALL
+             |       SELECT 'rel', rel AS id, i,
+             |         SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+             |       FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+             |${gradCtes(1)},
+             |v1 AS MATERIALIZED (SELECT kind, id, i, CAST(g AS DOUBLE) AS v FROM gs1),
+             |e1 AS MATERIALIZED (SELECT kind, id, i,
+             |         ROUND(x - 0.03125 * COALESCE(v, 0), 6) AS x
+             |       FROM e0 LEFT JOIN v1 USING (kind, id, i)),
+             |${gradCtes(2)},
+             |v2 AS MATERIALIZED (SELECT kind, id, i,
+             |         COALESCE(v, 0) * 0.5 + COALESCE(g, 0) AS v
+             |       FROM v1 FULL JOIN gs2 USING (kind, id, i)),
+             |e2 AS (SELECT kind, id, i,
+             |         ROUND(x - 0.03125 * COALESCE(v, 0), 6) AS x
+             |       FROM e1 LEFT JOIN v2 USING (kind, id, i))
+             |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos, x FROM e2""".stripMargin
+      }),
+
     // TWO RotatE SGD steps: the rotation-derivative LOOP over the
     // three-kind state (ent_re, ent_im, rel_ph) — 6-dp quantize between
     // steps; each step re-quantizes the phase to the 1e-6 grid and its

@@ -124,14 +124,33 @@ object Training {
            concat_ws("|", col("src"), col("rel"), col("dst"))),
          lit(batches.toLong))
 
+  /** `steps` SGD steps with classical momentum (Polyak heavy ball):
+    * vₖ = μ·vₖ₋₁ + gₖ, xₖ = xₖ₋₁ − lr·vₖ. With a power-of-two μ (default
+    * 1/2) every velocity is an exact dyadic rational — μ·v is a pure
+    * exponent shift in IEEE arithmetic — so the velocity state needs NO
+    * quantization and any ANSI engine replays the trajectory bit-for-bit
+    * (the momentum analogue of the L1 sign trick). The velocity lives
+    * long-form beside the parameters: one extra equi-join per step, the
+    * same shuffle class as the state join. */
+  def transeSgdMomentum(entities: DataFrame, edges: DataFrame, dim: Int,
+                        entSeed: Double, relSeed: Double, steps: Int,
+                        mu: Double = 0.5, gamma: Double = 1.0,
+                        lr: Double = 0.03125): DataFrame = {
+    require(mu > 0, s"mu must be positive, got $mu")
+    transeLoop(entities, edges, dim, entSeed, relSeed, steps, gamma, lr,
+               batches = 0, momentum = mu)
+  }
+
   /** Shared TransE loop: `batches` = 0 runs every step over ALL edges
     * ([[transeSgd]]); `batches` = steps > 0 runs step k over mini-batch
     * k−1 ([[transeSgdEpoch]]). `hashNeg` swaps the cyclic corruption for
-    * the portable-hash draw ([[hashNegEdges]]). */
+    * the portable-hash draw ([[hashNegEdges]]). `momentum` > 0 threads a
+    * long-form velocity frame through the loop ([[transeSgdMomentum]]). */
   private def transeLoop(entities: DataFrame, edges: DataFrame, dim: Int,
                          entSeed: Double, relSeed: Double, steps: Int,
                          gamma: Double, lr: Double, batches: Int,
-                         hashNeg: Boolean = false): DataFrame = {
+                         hashNeg: Boolean = false,
+                         momentum: Double = 0.0): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
@@ -154,6 +173,7 @@ object Training {
           .as(Seq("pos", "x")))
     var e = base(ents, "ent", entSeed).unionAll(base(rels, "rel", relSeed))
       .localCheckpoint(true)
+    var v: DataFrame = null // momentum velocity (kind, id, pos, v)
 
     for (k <- 1 to steps) {
       val edk = if (batches > 0) ed.filter(col("_mb") === k - 1) else ed
@@ -186,10 +206,27 @@ object Training {
         .unionAll(vd.select(lit("rel").as("kind"), col("rel").as("id"),
                             col("pos"), (col("s") - col("sp")).as("g")))
       val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
-      e = e.join(grads, Seq("kind", "id", "pos"), "left")
-        .select(col("kind"), col("id"), col("pos"),
-                round(col("x") - coalesce(col("g"), lit(0.0)) * lr, 6).as("x"))
-        .localCheckpoint(true)
+      if (momentum == 0.0) {
+        e = e.join(grads, Seq("kind", "id", "pos"), "left")
+          .select(col("kind"), col("id"), col("pos"),
+                  round(col("x") - coalesce(col("g"), lit(0.0)) * lr, 6).as("x"))
+          .localCheckpoint(true)
+      } else {
+        // vₖ = μ·vₖ₋₁ + gₖ over the union of supports (either side may be
+        // absent for a parameter this step); exact dyadic doubles, no
+        // rounding — see transeSgdMomentum.
+        v = (if (v == null) grads.select(col("kind"), col("id"), col("pos"),
+                                         col("g").cast("double").as("v"))
+             else v.join(grads, Seq("kind", "id", "pos"), "full_outer")
+               .select(col("kind"), col("id"), col("pos"),
+                       (coalesce(col("v"), lit(0.0)) * momentum
+                         + coalesce(col("g"), lit(0.0))).as("v")))
+          .localCheckpoint(true)
+        e = e.join(v, Seq("kind", "id", "pos"), "left")
+          .select(col("kind"), col("id"), col("pos"),
+                  round(col("x") - coalesce(col("v"), lit(0.0)) * lr, 6).as("x"))
+          .localCheckpoint(true)
+      }
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
              col("x"))

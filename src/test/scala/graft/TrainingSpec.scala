@@ -318,6 +318,31 @@ class TrainingSpec extends AnyFunSuite {
       entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1e6)))
   }
 
+  test("momentum SGD: step 1 equals plain SGD; velocity threads into step 2 exactly") {
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    // v1 = g1, so one momentum step IS one plain step.
+    assert(m(Training.transeSgdMomentum(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 1)) == step(gamma = 1.0))
+    val p2 = m(Training.transeSgd(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2))
+    val m2 = m(Training.transeSgdMomentum(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2))
+    assert(m2 != p2, "momentum trajectory must diverge from plain SGD")
+    // Every momentum update is an integer multiple of lr/2 (v is a
+    // multiple of 1/2 after two steps: exact dyadic velocities).
+    m2.foreach { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      val k = (base(kind, id, pos.toInt, seed) - x) * 64.0
+      assert(math.abs(k - math.rint(k)) < 1e-3,
+             s"momentum delta off the lr/2 grid at $kind $id $pos: $k")
+    }
+    assert(m2 == m(Training.transeSgdMomentum(ents.repartition(3),
+      edges.repartition(2), dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2)))
+  }
+
   test("hashNegEdges draws the md5-indexed entity, dodging the true tail") {
     def md5p60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
