@@ -2486,6 +2486,88 @@ object PipelineQueries {
            |       ROUND(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits10
            |FROM rk GROUP BY rel""".stripMargin)),
 
+    // FILTERED eval checkpoint (Bordes et al. protocol): candidates that
+    // are themselves true tails for the same (src, rel) are excluded from
+    // the pool. Relationally the filtered rank is the unfiltered rank
+    // minus a correction counted over the (eval ⋈ filter) fanout only —
+    // never a second pass over the full candidate product.
+    ("train_eval_mrr_filtered",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        val e1 = graft.score.Training.transeSgdStep(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+        graft.score.Training.transeRanksFiltered(e1, edges, edges)
+          .groupBy("rel")
+          .agg(count(lit(1)).as("n"),
+               round(sum(round(lit(1000000.0) / col("rank"), 0)) / 1e6
+                     / count(lit(1)), 6).as("mrr"),
+               round(sum(when(col("rank") <= 1, 1).otherwise(0)) * 1.0
+                     / count(lit(1)), 6).as("hits1"))
+      },
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""te AS (SELECT src, rel, dst FROM edges
+           |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+           |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+           |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+           |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+           |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+           |dm AS MATERIALIZED (SELECT src, rel, dst, neg, i,
+           |         SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) AS h,
+           |         SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED) AS r,
+           |         SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) AS t,
+           |         SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) AS tn
+           |       FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+           |sc AS (SELECT src, rel, dst, neg,
+           |         SUM(ABS(h + r - t)) AS dp, SUM(ABS(h + r - tn)) AS dn
+           |       FROM dm GROUP BY 1, 2, 3, 4),
+           |vd AS (SELECT dm.*, SIGN(h + r - t) AS s, SIGN(h + r - tn) AS sp
+           |       FROM dm JOIN (SELECT src, rel, dst, neg FROM sc
+           |                     WHERE 1.0 + dp - dn > 0) vi
+           |         USING (src, rel, dst, neg)),
+           |contrib AS (SELECT 'ent' AS kind, src AS id, i, s - sp AS g FROM vd
+           |  UNION ALL SELECT 'ent', dst, i, -s FROM vd
+           |  UNION ALL SELECT 'ent', neg, i, sp FROM vd
+           |  UNION ALL SELECT 'rel', rel, i, s - sp FROM vd),
+           |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+           |basee AS (SELECT 'ent' AS kind, id, i,
+           |           SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+           |         FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |         UNION ALL
+           |         SELECT 'rel', rel AS id, i,
+           |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+           |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+           |e1 AS MATERIALIZED (SELECT kind, id, i,
+           |         ROUND(x0 - 0.03125 * COALESCE(g, 0), 6) AS x
+           |       FROM basee LEFT JOIN gsum USING (kind, id, i)),
+           |ei AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+           |       FROM e1 WHERE kind = 'ent'),
+           |ri AS (SELECT id AS rel, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS rxi
+           |       FROM e1 WHERE kind = 'rel'),
+           |dd AS MATERIALIZED (SELECT te.src, te.rel, te.dst, c.id AS cand,
+           |         SUM(ABS(h.xi + r.rxi - c.xi)) AS d
+           |       FROM te JOIN ei h ON h.id = te.src
+           |               JOIN ri r ON r.rel = te.rel AND r.i = h.i
+           |               JOIN ei c ON c.i = h.i
+           |       GROUP BY 1, 2, 3, 4),
+           |tr2 AS (SELECT src, rel, dst, d AS dt FROM dd WHERE cand = dst),
+           |rk AS (SELECT s.src, s.rel, s.dst,
+           |         1 + SUM(CASE WHEN (s.d < tr2.dt
+           |                       OR (s.d = tr2.dt AND s.cand < s.dst))
+           |                      AND NOT EXISTS (SELECT 1 FROM te
+           |                        WHERE te.src = s.src AND te.rel = s.rel
+           |                          AND te.dst = s.cand)
+           |                      THEN 1 ELSE 0 END) AS rank
+           |       FROM dd s JOIN tr2 USING (src, rel, dst)
+           |       WHERE s.cand <> s.dst GROUP BY 1, 2, 3)
+           |SELECT rel, COUNT(*) AS n,
+           |       ROUND(SUM(ROUND(1000000.0 / rank, 0)) / 1e6 / COUNT(*), 6) AS mrr,
+           |       ROUND(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits1
+           |FROM rk GROUP BY rel""".stripMargin)),
+
     // Sampled-candidate eval checkpoint: the same train-then-rank pass but
     // against the hash-drawn HALF of the entity universe (md5(id) % 2 = 0)
     // — the protocol a 1e9-entity KG needs, where exhaustive ranking's

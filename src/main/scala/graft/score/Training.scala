@@ -479,7 +479,22 @@ object Training {
     * hash, so a DuckDB oracle replays the identical slice; `candMod = 1`
     * IS the exhaustive eval (the filter drops out of the plan). */
   def transeRanksSampled(params: DataFrame, edges: DataFrame,
-                         candMod: Int): DataFrame = {
+                         candMod: Int): DataFrame =
+    ranksImpl(params, edges, candMod, None)
+
+  /** FILTERED link-prediction tail ranks (Bordes et al. protocol): a
+    * candidate `c ≠ t` is excluded from edge (s,r,t)'s pool when (s,r,c)
+    * is itself a known true triple in `filterEdges`. Computed as the
+    * unfiltered rank MINUS a correction counted over the filter set only —
+    * the correction frame is ∝ |eval edges ⋈ filter on (s,r)| (the
+    * per-(s,r) true-tail fanout), never the (edges × entities) candidate
+    * product, so filtering adds no second full-pool pass at any scale. */
+  def transeRanksFiltered(params: DataFrame, edges: DataFrame,
+                          filterEdges: DataFrame): DataFrame =
+    ranksImpl(params, edges, candMod = 1, Some(filterEdges))
+
+  private def ranksImpl(params: DataFrame, edges: DataFrame,
+                        candMod: Int, filter: Option[DataFrame]): DataFrame = {
     require(candMod > 0, s"candMod must be positive, got $candMod")
     // Micro-int VECTORS per id (6-dp state × 1e6 — exact longs), packed
     // once: the per-candidate distance is then a single codegen'd
@@ -519,14 +534,31 @@ object Training {
     val cands = if (candMod == 1) cands0
       else cands0.filter(pmod(graft.functions.PortableHash.md5Prefix60(
         col("cand").cast("string")), lit(candMod.toLong)) === 0)
-    cands
+    val beats = when(col("d") < col("dt")
+      || (col("d") === col("dt") && col("cand") < col("dst")), 1).otherwise(0)
+    val ranks = cands
       .join(estSide, col("cand") =!= col("dst"))
       .select(col("src"), col("rel"), col("dst"), col("cand"), col("dt"),
               l1(col("est"), col("cv")).as("d"))
       .groupBy("src", "rel", "dst")
-      .agg((lit(1) + sum(when(col("d") < col("dt")
-             || (col("d") === col("dt") && col("cand") < col("dst")), 1)
-           .otherwise(0))).as("rank"))
+      .agg((lit(1) + sum(beats)).as("rank"))
+    filter match {
+      case None => ranks
+      case Some(f) =>
+        val fe = f.select(col("src").cast("long").as("src"),
+                          col("rel").cast("long").as("rel"),
+                          col("dst").cast("long").as("cand")).distinct()
+        val corr = est.join(fe, Seq("src", "rel"))
+          .filter(col("cand") =!= col("dst"))
+          .join(ev.select(col("id").as("cand"), col("v").as("cv")), Seq("cand"))
+          .select(col("src"), col("rel"), col("dst"), col("cand"), col("dt"),
+                  l1(col("est"), col("cv")).as("d"))
+          .groupBy("src", "rel", "dst")
+          .agg(sum(beats).as("corr"))
+        ranks.join(corr, Seq("src", "rel", "dst"), "left")
+          .select(col("src"), col("rel"), col("dst"),
+                  (col("rank") - coalesce(col("corr"), lit(0L))).as("rank"))
+    }
   }
 
   /** One SGD step of RotatE (rotate.py:51-79 estimate semantics: entity =

@@ -429,6 +429,31 @@ class TrainingSpec extends AnyFunSuite {
     assert(ranks(2) == want, s"got ${ranks(2)} want $want")
   }
 
+  test("transeRanksFiltered: known true tails leave the pool, others stay") {
+    val params = Training.transeSgdStep(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, gamma = -1000.0)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // Brute-force in micro-int units.
+    def mi(id: Long, pos: Int, seed: Double): Long =
+      math.round(math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed) * 1e6)
+    def dist(h: Long, r: Long, t: Long): Long =
+      (0 until 4).map(p => math.abs(mi(h, p, 0.3) + mi(r, p, 1.7) - mi(t, p, 0.3))).sum
+    val ents3 = Seq(10L, 20L, 30L)
+    val known = Set((10L, 5L, 20L), (20L, 5L, 30L))
+    val want = known.toSeq.map { case (h, r, t) =>
+      val dt = dist(h, r, t)
+      val pool = ents3.filter(c => c != t && !known((h, r, c)))
+      (h, r, t) -> (1L + pool.count(c =>
+        dist(h, r, c) < dt || (dist(h, r, c) == dt && c < t)))
+    }.toMap
+    assert(m(Training.transeRanksFiltered(params, edges, edges)) == want)
+    // An empty filter set reduces to the unfiltered ranks.
+    assert(m(Training.transeRanksFiltered(params, edges,
+        edges.filter(col("rel") < 0)))
+      == m(Training.transeRanks(params, edges)))
+  }
+
   test("default margin: updated frame is deterministic across partitionings") {
     val a = step(gamma = 1.0)
     val b = Training.transeSgdStep(ents.repartition(3),
