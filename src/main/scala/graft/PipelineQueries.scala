@@ -1893,6 +1893,86 @@ object PipelineQueries {
            |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
+    // DistMult train-then-evaluate: one SGD step, then link-prediction
+    // ranking under the BILINEAR score (descending — the multiplicative
+    // family's eval). Candidate scores are exact HUGEINT/decimal sums of
+    // micro-int triple products, so every rank and MRR digit is
+    // engine-exact.
+    ("train_eval_mrr_distmult",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        val e1 = graft.score.Training.distmultSgdStep(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+        graft.score.Training.distmultRanks(e1, edges)
+          .groupBy("rel")
+          .agg(count(lit(1)).as("n"),
+               round(sum(round(lit(1000000.0) / col("rank"), 0)) / 1e6
+                     / count(lit(1)), 6).as("mrr"),
+               round(sum(when(col("rank") <= 10, 1).otherwise(0)) * 1.0
+                     / count(lit(1)), 6).as("hits10"))
+      },
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""te AS (SELECT src, rel, dst FROM edges
+           |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+           |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+           |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+           |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+           |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+           |dm AS (SELECT src, rel, dst, neg, i,
+           |         CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS hi,
+           |         CAST(ROUND(SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED) * 1000000, 0) AS BIGINT) AS ri,
+           |         CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS ti,
+           |         CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS tni
+           |       FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+           |sc AS (SELECT src, rel, dst, neg,
+           |         SUM(CAST(hi * ri AS HUGEINT) * ti) AS sp,
+           |         SUM(CAST(hi * ri AS HUGEINT) * tni) AS sn
+           |       FROM dm GROUP BY 1, 2, 3, 4),
+           |vd AS (SELECT dm.* FROM dm JOIN
+           |         (SELECT src, rel, dst, neg FROM sc
+           |          WHERE 1000000000000000000 - sp + sn > 0) vi
+           |         USING (src, rel, dst, neg)),
+           |contrib AS (SELECT 'ent' AS kind, src AS id, i, ri * (tni - ti) AS g FROM vd
+           |  UNION ALL SELECT 'rel', rel, i, hi * (tni - ti) FROM vd
+           |  UNION ALL SELECT 'ent', dst, i, -hi * ri FROM vd
+           |  UNION ALL SELECT 'ent', neg, i, hi * ri FROM vd),
+           |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+           |base AS (SELECT 'ent' AS kind, id, i,
+           |           SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+           |         FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |         UNION ALL
+           |         SELECT 'rel', rel AS id, i,
+           |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+           |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+           |e1 AS MATERIALIZED (SELECT kind, id, i,
+           |         ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+           |       FROM base LEFT JOIN gsum USING (kind, id, i)),
+           |ei AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+           |       FROM e1 WHERE kind = 'ent'),
+           |ri2 AS (SELECT id AS rel, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS rxi
+           |       FROM e1 WHERE kind = 'rel'),
+           |dd AS MATERIALIZED (SELECT te.src, te.rel, te.dst, c.id AS cand,
+           |         SUM(CAST(h.xi * r.rxi AS HUGEINT) * c.xi) AS s
+           |       FROM te JOIN ei h ON h.id = te.src
+           |               JOIN ri2 r ON r.rel = te.rel AND r.i = h.i
+           |               JOIN ei c ON c.i = h.i
+           |       GROUP BY 1, 2, 3, 4),
+           |tr2 AS (SELECT src, rel, dst, s AS st FROM dd WHERE cand = dst),
+           |rk AS (SELECT q.src, q.rel, q.dst,
+           |         1 + SUM(CASE WHEN q.s > tr2.st
+           |                       OR (q.s = tr2.st AND q.cand < q.dst)
+           |                      THEN 1 ELSE 0 END) AS rank
+           |       FROM dd q JOIN tr2 USING (src, rel, dst)
+           |       WHERE q.cand <> q.dst GROUP BY 1, 2, 3)
+           |SELECT rel, COUNT(*) AS n,
+           |       ROUND(SUM(ROUND(1000000.0 / rank, 0)) / 1e6 / COUNT(*), 6) AS mrr,
+           |       ROUND(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits10
+           |FROM rk GROUP BY rel""".stripMargin)),
+
     // TWO DistMult SGD steps: the multiplicative-gradient LOOP — state
     // 6-dp-quantized between steps (so both engines re-derive the same
     // micro-int view per step), per-step hinge/gradients exact in integer

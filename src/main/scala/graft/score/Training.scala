@@ -493,6 +493,51 @@ object Training {
                           filterEdges: DataFrame): DataFrame =
     ranksImpl(params, edges, candMod = 1, Some(filterEdges))
 
+  /** Unfiltered link-prediction tail ranks under a long-form DISTMULT
+    * parameter frame — the multiplicative-family member of the eval
+    * checkpoint ([[transeRanks]] scores by L1 distance ascending; DistMult
+    * scores by the bilinear-diagonal product DESCENDING). Per-element
+    * products of three micro ints exceed long range in the worst case, so
+    * the candidate score is summed in decimal(38,0) inside the codegen'd
+    * aggregate — exact, order-independent, engine-identical. Ties break
+    * toward the smaller candidate id. */
+  def distmultRanks(params: DataFrame, edges: DataFrame): DataFrame = {
+    def vecs(kind: String) = params.filter(col("kind") === kind)
+      .select(col("id"), col("pos"),
+              round(col("x") * 1e6, 0).cast("long").as("xi"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("xi")))),
+                     s => s.getField("xi")).as("v"))
+    val ev = vecs("ent").localCheckpoint(true)
+    val rv = vecs("rel")
+    val ed = edges.select(col("src").cast("long").as("src"),
+                          col("rel").cast("long").as("rel"),
+                          col("dst").cast("long").as("dst"))
+    // s(hr, c) = Σ_i hr_i · c_i with hr_i = h_i·r_i (≤ ~1.2e12: long-safe);
+    // the outer product ≤ ~1.3e18 per element — summed as decimal(38,0).
+    def score(hr: Column, cv: Column): Column =
+      aggregate(zip_with(hr, cv,
+                  (p, c) => (p * c).cast("decimal(38,0)")),
+                lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+    val est = ed
+      .join(ev.select(col("id").as("src"), col("v").as("hv")), Seq("src"))
+      .join(rv.select(col("id").as("rel"), col("v").as("rv")), Seq("rel"))
+      .join(ev.select(col("id").as("dst"), col("v").as("tv")), Seq("dst"))
+      .withColumn("hr", zip_with(col("hv"), col("rv"), (a, b) => a * b))
+      .select(col("src"), col("rel"), col("dst"), col("hr"),
+              score(col("hr"), col("tv")).as("st"))
+      .localCheckpoint(true)
+    val estSide = if (est.count() <= 100000L) broadcast(est) else est
+    ev.select(col("id").as("cand"), col("v").as("cv"))
+      .join(estSide, col("cand") =!= col("dst"))
+      .select(col("src"), col("rel"), col("dst"), col("cand"), col("st"),
+              score(col("hr"), col("cv")).as("s"))
+      .groupBy("src", "rel", "dst")
+      .agg((lit(1) + sum(when(col("s") > col("st")
+             || (col("s") === col("st") && col("cand") < col("dst")), 1)
+           .otherwise(0))).as("rank"))
+  }
+
   private def ranksImpl(params: DataFrame, edges: DataFrame,
                         candMod: Int, filter: Option[DataFrame]): DataFrame = {
     require(candMod > 0, s"candMod must be positive, got $candMod")

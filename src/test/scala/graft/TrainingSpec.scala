@@ -454,6 +454,24 @@ class TrainingSpec extends AnyFunSuite {
       == m(Training.transeRanks(params, edges)))
   }
 
+  test("distmultRanks: descending bilinear score against a brute-force model") {
+    val params = Training.distmultSgdStep(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, gamma = -1000.0)
+    val got = Training.distmultRanks(params, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    def mi(id: Long, pos: Int, seed: Double): Long =
+      math.round(math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed) * 1e6)
+    def score(h: Long, r: Long, t: Long): BigInt =
+      (0 until 4).map(p => BigInt(mi(h, p, 0.3)) * mi(r, p, 1.7) * mi(t, p, 0.3)).sum
+    val entIds = Seq(10L, 20L, 30L)
+    val want = Seq((10L, 5L, 20L), (20L, 5L, 30L)).map { case (h, r, t) =>
+      val st = score(h, r, t)
+      (h, r, t) -> (1L + entIds.filter(_ != t).count(c =>
+        score(h, r, c) > st || (score(h, r, c) == st && c < t)))
+    }.toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("default margin: updated frame is deterministic across partitionings") {
     val a = step(gamma = 1.0)
     val b = Training.transeSgdStep(ents.repartition(3),
