@@ -2101,6 +2101,109 @@ object PipelineQueries {
            |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
+    // ComplEx train-then-evaluate: one SGD step, then ranking by the real
+    // trilinear score Re<h,r,conj(c)> DESCENDING. The per-edge complex
+    // product (re, im) is precomputed once in micro^2 longs; candidate
+    // scores are HUGEINT/decimal sums of micro^3 terms — engine-exact.
+    ("train_eval_mrr_complex",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        val e1 = graft.score.Training.complexSgdStep(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+        graft.score.Training.complexRanks(e1, edges)
+          .groupBy("rel")
+          .agg(count(lit(1)).as("n"),
+               round(sum(round(lit(1000000.0) / col("rank"), 0)) / 1e6
+                     / count(lit(1)), 6).as("mrr"),
+               round(sum(when(col("rank") <= 10, 1).otherwise(0)) * 1.0
+                     / count(lit(1)), 6).as("hits10"))
+      },
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""te AS (SELECT src, rel, dst FROM edges
+           |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+           |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+           |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+           |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+           |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+           |dm AS MATERIALIZED (SELECT src, rel, dst, neg, i,
+           |    CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS a,
+           |    CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS b,
+           |    CAST(ROUND(SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED) * 1000000, 0) AS BIGINT) AS c,
+           |    CAST(ROUND(SIN((rel % 9973 + 1) * i * 0.017 + ${REL_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS d,
+           |    CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS e,
+           |    CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS f,
+           |    CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS ep,
+           |    CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS fp
+           |  FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+           |sc AS (SELECT src, rel, dst, neg,
+           |    SUM(CAST(a * c - b * d AS HUGEINT) * e + CAST(a * d + b * c AS HUGEINT) * f) AS sp,
+           |    SUM(CAST(a * c - b * d AS HUGEINT) * ep + CAST(a * d + b * c AS HUGEINT) * fp) AS sn
+           |  FROM dm GROUP BY 1, 2, 3, 4),
+           |vd AS (SELECT dm.*, ep - e AS de, fp - f AS dfv FROM dm JOIN
+           |    (SELECT src, rel, dst, neg FROM sc
+           |     WHERE 1000000000000000000 - sp + sn > 0) vi
+           |    USING (src, rel, dst, neg)),
+           |contrib AS (SELECT 'ent_re' AS kind, src AS id, i, c * de + d * dfv AS g FROM vd
+           |  UNION ALL SELECT 'ent_im', src, i, -d * de + c * dfv FROM vd
+           |  UNION ALL SELECT 'rel_re', rel, i, a * de + b * dfv FROM vd
+           |  UNION ALL SELECT 'rel_im', rel, i, -b * de + a * dfv FROM vd
+           |  UNION ALL SELECT 'ent_re', dst, i, -(a * c - b * d) FROM vd
+           |  UNION ALL SELECT 'ent_im', dst, i, -(a * d + b * c) FROM vd
+           |  UNION ALL SELECT 'ent_re', neg, i, a * c - b * d FROM vd
+           |  UNION ALL SELECT 'ent_im', neg, i, a * d + b * c FROM vd),
+           |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+           |base AS (SELECT 'ent_re' AS kind, id, i,
+           |      SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+           |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |  UNION ALL SELECT 'ent_im', id, i,
+           |      SIN((id % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF})
+           |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |  UNION ALL SELECT 'rel_re', rel AS id, i,
+           |      SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+           |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)
+           |  UNION ALL SELECT 'rel_im', rel AS id, i,
+           |      SIN((rel % 9973 + 1) * i * 0.017 + ${REL_SEED + IM_OFF})
+           |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+           |e1 AS MATERIALIZED (SELECT kind, id, i,
+           |    ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+           |  FROM base LEFT JOIN gsum USING (kind, id, i)),
+           |er AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+           |       FROM e1 WHERE kind = 'ent_re'),
+           |em AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+           |       FROM e1 WHERE kind = 'ent_im'),
+           |rr AS (SELECT id AS rel, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+           |       FROM e1 WHERE kind = 'rel_re'),
+           |rm AS (SELECT id AS rel, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+           |       FROM e1 WHERE kind = 'rel_im'),
+           |hx AS MATERIALIZED (SELECT te.src, te.rel, te.dst, hre.i,
+           |         hre.xi * rr.xi - him.xi * rm.xi AS re,
+           |         hre.xi * rm.xi + him.xi * rr.xi AS im
+           |       FROM te JOIN er hre ON hre.id = te.src
+           |               JOIN em him ON him.id = te.src AND him.i = hre.i
+           |               JOIN rr ON rr.rel = te.rel AND rr.i = hre.i
+           |               JOIN rm ON rm.rel = te.rel AND rm.i = hre.i),
+           |dd AS MATERIALIZED (SELECT hx.src, hx.rel, hx.dst, ce.id AS cand,
+           |         SUM(CAST(hx.re AS HUGEINT) * ce.xi
+           |             + CAST(hx.im AS HUGEINT) * cf.xi) AS s
+           |       FROM hx JOIN er ce ON ce.i = hx.i
+           |               JOIN em cf ON cf.id = ce.id AND cf.i = hx.i
+           |       GROUP BY 1, 2, 3, 4),
+           |tr2 AS (SELECT src, rel, dst, s AS st FROM dd WHERE cand = dst),
+           |rk AS (SELECT q.src, q.rel, q.dst,
+           |         1 + SUM(CASE WHEN q.s > tr2.st
+           |                       OR (q.s = tr2.st AND q.cand < q.dst)
+           |                      THEN 1 ELSE 0 END) AS rank
+           |       FROM dd q JOIN tr2 USING (src, rel, dst)
+           |       WHERE q.cand <> q.dst GROUP BY 1, 2, 3)
+           |SELECT rel, COUNT(*) AS n,
+           |       ROUND(SUM(ROUND(1000000.0 / rank, 0)) / 1e6 / COUNT(*), 6) AS mrr,
+           |       ROUND(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits10
+           |FROM rk GROUP BY rel""".stripMargin)),
+
     // TWO ComplEx SGD steps: the product-rule LOOP over the four-kind
     // complex state — 6-dp quantize between steps, per-step integer
     // micro-unit exactness, trajectory unrolled as MATERIALIZED CTEs
@@ -2328,6 +2431,121 @@ object PipelineQueries {
              |         ROUND(x - 0.03125 * COALESCE(v, 0), 6) AS x
              |       FROM e1 LEFT JOIN v2 USING (kind, id, i))
              |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos, x FROM e2""".stripMargin
+      }),
+
+    // RotatE train-then-evaluate: one SGD step, then ranking by the
+    // component-L1 rotation distance ASCENDING (the same training
+    // distance the step optimizes; phase re-quantized from the updated
+    // state, cos/sin micro ints). All distances exact longs.
+    ("train_eval_mrr_rotate",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        val e1 = graft.score.Training.rotateSgdStep(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED)
+        graft.score.Training.rotateRanks(e1, edges)
+          .groupBy("rel")
+          .agg(count(lit(1)).as("n"),
+               round(sum(round(lit(1000000.0) / col("rank"), 0)) / 1e6
+                     / count(lit(1)), 6).as("mrr"),
+               round(sum(when(col("rank") <= 10, 1).otherwise(0)) * 1.0
+                     / count(lit(1)), 6).as("hits10"))
+      },
+      Some {
+        val th = s"CAST(ROUND(SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)" +
+          " * 1000000, 0) AS BIGINT)"
+        KG.edgesCte.trim + ",\n" +
+          s"""te AS (SELECT src, rel, dst FROM edges
+             |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+             |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+             |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+             |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+             |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+             |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+             |dm0 AS (SELECT src, rel, dst, neg, i,
+             |    CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS a,
+             |    CAST(ROUND(SIN((src % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS b,
+             |    CAST(ROUND(COS($th / 1000000.0) * 1000000, 0) AS BIGINT) AS c,
+             |    CAST(ROUND(SIN($th / 1000000.0) * 1000000, 0) AS BIGINT) AS sn,
+             |    CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS e,
+             |    CAST(ROUND(SIN((dst % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS f,
+             |    CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) * 1000000, 0) AS BIGINT) AS ep,
+             |    CAST(ROUND(SIN((neg % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF}) * 1000000, 0) AS BIGINT) AS fp
+             |  FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+             |dm AS MATERIALIZED (SELECT *,
+             |    a * c - b * sn - e * 1000000 AS u,
+             |    a * sn + b * c - f * 1000000 AS v,
+             |    a * c - b * sn - ep * 1000000 AS up,
+             |    a * sn + b * c - fp * 1000000 AS vp
+             |  FROM dm0),
+             |sc AS (SELECT src, rel, dst, neg,
+             |    SUM(CAST(ABS(u) + ABS(v) AS HUGEINT)) AS dp,
+             |    SUM(CAST(ABS(up) + ABS(vp) AS HUGEINT)) AS dn
+             |  FROM dm GROUP BY 1, 2, 3, 4),
+             |vd AS (SELECT dm.*,
+             |    CAST(SIGN(u) AS BIGINT) AS su, CAST(SIGN(v) AS BIGINT) AS sv,
+             |    CAST(SIGN(up) AS BIGINT) AS sup, CAST(SIGN(vp) AS BIGINT) AS svp
+             |  FROM dm JOIN
+             |    (SELECT src, rel, dst, neg FROM sc
+             |     WHERE 1000000000000 + dp - dn > 0) vi
+             |    USING (src, rel, dst, neg)),
+             |contrib AS (SELECT 'ent_re' AS kind, src AS id, i,
+             |      ((su - sup) * c + (sv - svp) * sn) * 1000000 AS g FROM vd
+             |  UNION ALL SELECT 'ent_im', src, i,
+             |      (-(su - sup) * sn + (sv - svp) * c) * 1000000 FROM vd
+             |  UNION ALL SELECT 'ent_re', dst, i, -su * 1000000000000 FROM vd
+             |  UNION ALL SELECT 'ent_im', dst, i, -sv * 1000000000000 FROM vd
+             |  UNION ALL SELECT 'ent_re', neg, i, sup * 1000000000000 FROM vd
+             |  UNION ALL SELECT 'ent_im', neg, i, svp * 1000000000000 FROM vd
+             |  UNION ALL SELECT 'rel_ph', rel, i,
+             |      (sv - svp) * (a * c - b * sn)
+             |        - (su - sup) * (a * sn + b * c) FROM vd),
+             |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+             |base AS (SELECT 'ent_re' AS kind, id, i,
+             |      SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+             |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |  UNION ALL SELECT 'ent_im', id, i,
+             |      SIN((id % 9973 + 1) * i * 0.017 + ${ENT_SEED + IM_OFF})
+             |    FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |  UNION ALL SELECT 'rel_ph', rel AS id, i,
+             |      SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+             |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+             |e1 AS MATERIALIZED (SELECT kind, id, i,
+             |    ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |  FROM base LEFT JOIN gsum USING (kind, id, i)),
+             |er AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+             |       FROM e1 WHERE kind = 'ent_re'),
+             |em AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
+             |       FROM e1 WHERE kind = 'ent_im'),
+             |rp AS (SELECT id AS rel, i,
+             |         CAST(ROUND(COS(CAST(ROUND(x * 1000000, 0) AS BIGINT) / 1000000.0) * 1000000, 0) AS BIGINT) AS c,
+             |         CAST(ROUND(SIN(CAST(ROUND(x * 1000000, 0) AS BIGINT) / 1000000.0) * 1000000, 0) AS BIGINT) AS sn
+             |       FROM e1 WHERE kind = 'rel_ph'),
+             |hx AS MATERIALIZED (SELECT te.src, te.rel, te.dst, hre.i,
+             |         hre.xi * rp.c - him.xi * rp.sn AS re,
+             |         hre.xi * rp.sn + him.xi * rp.c AS im
+             |       FROM te JOIN er hre ON hre.id = te.src
+             |               JOIN em him ON him.id = te.src AND him.i = hre.i
+             |               JOIN rp ON rp.rel = te.rel AND rp.i = hre.i),
+             |dd AS MATERIALIZED (SELECT hx.src, hx.rel, hx.dst, ce.id AS cand,
+             |         SUM(ABS(hx.re - ce.xi * 1000000)
+             |             + ABS(hx.im - cf.xi * 1000000)) AS d
+             |       FROM hx JOIN er ce ON ce.i = hx.i
+             |               JOIN em cf ON cf.id = ce.id AND cf.i = hx.i
+             |       GROUP BY 1, 2, 3, 4),
+             |tr2 AS (SELECT src, rel, dst, d AS dt FROM dd WHERE cand = dst),
+             |rk AS (SELECT q.src, q.rel, q.dst,
+             |         1 + SUM(CASE WHEN q.d < tr2.dt
+             |                       OR (q.d = tr2.dt AND q.cand < q.dst)
+             |                      THEN 1 ELSE 0 END) AS rank
+             |       FROM dd q JOIN tr2 USING (src, rel, dst)
+             |       WHERE q.cand <> q.dst GROUP BY 1, 2, 3)
+             |SELECT rel, COUNT(*) AS n,
+             |       ROUND(SUM(ROUND(1000000.0 / rank, 0)) / 1e6 / COUNT(*), 6) AS mrr,
+             |       ROUND(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hits10
+             |FROM rk GROUP BY rel""".stripMargin
       }),
 
     // TWO RotatE SGD steps: the rotation-derivative LOOP over the

@@ -538,6 +538,120 @@ object Training {
            .otherwise(0))).as("rank"))
   }
 
+  /** Micro-int vector per id for one state kind: (id, v) with v[pos] =
+    * round(x·1e6) — the packed form every eval checkpoint scores over. */
+  private def kindVecs(params: DataFrame, kind: String): DataFrame =
+    params.filter(col("kind") === kind)
+      .select(col("id"), col("pos"),
+              round(col("x") * 1e6, 0).cast("long").as("xi"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("xi")))),
+                     s => s.getField("xi")).as("v"))
+
+  /** Unfiltered tail ranks under a long-form COMPLEX parameter frame
+    * (kinds ent_re|ent_im|rel_re|rel_im): candidates rank by the real
+    * trilinear score Re⟨h, r, conj(c)⟩ DESCENDING. The per-edge complex
+    * product re = ac−bd, im = ad+bc is precomputed once (micro² longs);
+    * the per-candidate score Σ re·e + im·f is summed in decimal(38,0)
+    * (micro³ exceeds long range across dims) — exact and
+    * order-independent. Ties break toward the smaller candidate id. */
+  def complexRanks(params: DataFrame, edges: DataFrame): DataFrame = {
+    val evRe = kindVecs(params, "ent_re")
+    val evIm = kindVecs(params, "ent_im")
+    val ev = evRe.join(evIm.withColumnRenamed("v", "w"), Seq("id"))
+      .localCheckpoint(true)
+    val rv = kindVecs(params, "rel_re")
+      .join(kindVecs(params, "rel_im").withColumnRenamed("v", "w"), Seq("id"))
+    val ed = edges.select(col("src").cast("long").as("src"),
+                          col("rel").cast("long").as("rel"),
+                          col("dst").cast("long").as("dst"))
+    def mul(x: Column, y: Column): Column = zip_with(x, y, _ * _)
+    def sub(x: Column, y: Column): Column = zip_with(x, y, _ - _)
+    def add(x: Column, y: Column): Column = zip_with(x, y, _ + _)
+    // Σ re_i·e_i + im_i·f_i in decimal — the one non-long-safe sum.
+    def score(re: Column, im: Column, e: Column, f: Column): Column =
+      aggregate(add(mul(re, e), mul(im, f)),
+                lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+    val est = ed
+      .join(ev.select(col("id").as("src"), col("v").as("ha"),
+                      col("w").as("hb")), Seq("src"))
+      .join(rv.select(col("id").as("rel"), col("v").as("rc"),
+                      col("w").as("rd")), Seq("rel"))
+      .join(ev.select(col("id").as("dst"), col("v").as("te"),
+                      col("w").as("tf")), Seq("dst"))
+      .withColumn("re", sub(mul(col("ha"), col("rc")),
+                            mul(col("hb"), col("rd"))))
+      .withColumn("im", add(mul(col("ha"), col("rd")),
+                            mul(col("hb"), col("rc"))))
+      .select(col("src"), col("rel"), col("dst"), col("re"), col("im"),
+              score(col("re"), col("im"), col("te"), col("tf")).as("st"))
+      .localCheckpoint(true)
+    val estSide = if (est.count() <= 100000L) broadcast(est) else est
+    ev.select(col("id").as("cand"), col("v").as("ce"), col("w").as("cf"))
+      .join(estSide, col("cand") =!= col("dst"))
+      .select(col("src"), col("rel"), col("dst"), col("cand"), col("st"),
+              score(col("re"), col("im"), col("ce"), col("cf")).as("s"))
+      .groupBy("src", "rel", "dst")
+      .agg((lit(1) + sum(when(col("s") > col("st")
+             || (col("s") === col("st") && col("cand") < col("dst")), 1)
+           .otherwise(0))).as("rank"))
+  }
+
+  /** Unfiltered tail ranks under a long-form ROTATE parameter frame
+    * (kinds ent_re|ent_im|rel_ph): candidates rank by the component-L1
+    * rotation distance Σ|Re_i − e_i·10⁶| + |Im_i − f_i·10⁶| ASCENDING —
+    * the same training distance [[rotateSgd]] optimizes, with the phase
+    * quantized to the 1e-6 grid and its cos/sin re-quantized to micro
+    * ints, so every distance is an exact long (micro² sums stay far
+    * inside long range) and every rank engine-exact. */
+  def rotateRanks(params: DataFrame, edges: DataFrame): DataFrame = {
+    val ev = kindVecs(params, "ent_re")
+      .join(kindVecs(params, "ent_im").withColumnRenamed("v", "w"), Seq("id"))
+      .localCheckpoint(true)
+    // Quantized-phase trig vectors c̃/s̃ per relation.
+    val rv = kindVecs(params, "rel_ph")
+      .select(col("id"),
+              transform(col("v"),
+                t => round(cos(t / lit(1e6)) * 1e6, 0).cast("long")).as("c"),
+              transform(col("v"),
+                t => round(sin(t / lit(1e6)) * 1e6, 0).cast("long")).as("s"))
+    val ed = edges.select(col("src").cast("long").as("src"),
+                          col("rel").cast("long").as("rel"),
+                          col("dst").cast("long").as("dst"))
+    def mul(x: Column, y: Column): Column = zip_with(x, y, _ * _)
+    def sub(x: Column, y: Column): Column = zip_with(x, y, _ - _)
+    def add(x: Column, y: Column): Column = zip_with(x, y, _ + _)
+    val M = lit(1000000L)
+    // D(re, im; e, f) = Σ |re − e·10⁶| + |im − f·10⁶| — exact longs.
+    def dist(re: Column, im: Column, e: Column, f: Column): Column =
+      aggregate(add(zip_with(re, e, (x, y) => abs(x - y * M)),
+                    zip_with(im, f, (x, y) => abs(x - y * M))),
+                lit(0L), (acc, x) => acc + x)
+    val est = ed
+      .join(ev.select(col("id").as("src"), col("v").as("ha"),
+                      col("w").as("hb")), Seq("src"))
+      .join(rv.select(col("id").as("rel"), col("c").as("rc"),
+                      col("s").as("rs")), Seq("rel"))
+      .join(ev.select(col("id").as("dst"), col("v").as("te"),
+                      col("w").as("tf")), Seq("dst"))
+      .withColumn("re", sub(mul(col("ha"), col("rc")),
+                            mul(col("hb"), col("rs"))))
+      .withColumn("im", add(mul(col("ha"), col("rs")),
+                            mul(col("hb"), col("rc"))))
+      .select(col("src"), col("rel"), col("dst"), col("re"), col("im"),
+              dist(col("re"), col("im"), col("te"), col("tf")).as("dt"))
+      .localCheckpoint(true)
+    val estSide = if (est.count() <= 100000L) broadcast(est) else est
+    ev.select(col("id").as("cand"), col("v").as("ce"), col("w").as("cf"))
+      .join(estSide, col("cand") =!= col("dst"))
+      .select(col("src"), col("rel"), col("dst"), col("cand"), col("dt"),
+              dist(col("re"), col("im"), col("ce"), col("cf")).as("d"))
+      .groupBy("src", "rel", "dst")
+      .agg((lit(1) + sum(when(col("d") < col("dt")
+             || (col("d") === col("dt") && col("cand") < col("dst")), 1)
+           .otherwise(0))).as("rank"))
+  }
+
   private def ranksImpl(params: DataFrame, edges: DataFrame,
                         candMod: Int, filter: Option[DataFrame]): DataFrame = {
     require(candMod > 0, s"candMod must be positive, got $candMod")

@@ -472,6 +472,51 @@ class TrainingSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("complexRanks / rotateRanks: brute-force models agree") {
+    def mi(id: Long, pos: Int, seed: Double): Long =
+      math.round(math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed) * 1e6)
+    val entIds = Seq(10L, 20L, 30L)
+    val testEdges = Seq((10L, 5L, 20L), (20L, 5L, 30L))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // ComplEx: frozen step (init state), Re<h,r,conj(c)> descending.
+    val cp = Training.complexSgdStep(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, gamma = -1e6)
+    val im = Training.IM_SEED_OFFSET
+    def cscore(h: Long, r: Long, t: Long): BigInt =
+      (0 until 4).map { p =>
+        val (a, b) = (BigInt(mi(h, p, 0.3)), BigInt(mi(h, p, 0.3 + im)))
+        val (c, d) = (BigInt(mi(r, p, 1.7)), BigInt(mi(r, p, 1.7 + im)))
+        val (e, f) = (BigInt(mi(t, p, 0.3)), BigInt(mi(t, p, 0.3 + im)))
+        (a * c - b * d) * e + (a * d + b * c) * f
+      }.sum
+    val cwant = testEdges.map { case (h, r, t) =>
+      val st = cscore(h, r, t)
+      (h, r, t) -> (1L + entIds.filter(_ != t).count(c =>
+        cscore(h, r, c) > st || (cscore(h, r, c) == st && c < t)))
+    }.toMap
+    assert(m(Training.complexRanks(cp, edges)) == cwant)
+    // RotatE: frozen step, component-L1 rotation distance ascending.
+    val rp = Training.rotateSgdStep(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, gamma = -1e6)
+    def rdist(h: Long, r: Long, t: Long): Long =
+      (0 until 4).map { p =>
+        val (a, b) = (mi(h, p, 0.3), mi(h, p, 0.3 + im))
+        val th = mi(r, p, 1.7)
+        val c = math.round(math.cos(th / 1e6) * 1e6)
+        val sn = math.round(math.sin(th / 1e6) * 1e6)
+        val (e, f) = (mi(t, p, 0.3), mi(t, p, 0.3 + im))
+        math.abs(a * c - b * sn - e * 1000000L) +
+          math.abs(a * sn + b * c - f * 1000000L)
+      }.sum
+    val rwant = testEdges.map { case (h, r, t) =>
+      val dt = rdist(h, r, t)
+      (h, r, t) -> (1L + entIds.filter(_ != t).count(c =>
+        rdist(h, r, c) < dt || (rdist(h, r, c) == dt && c < t)))
+    }.toMap
+    assert(m(Training.rotateRanks(rp, edges)) == rwant)
+  }
+
   test("default margin: updated frame is deterministic across partitionings") {
     val a = step(gamma = 1.0)
     val b = Training.transeSgdStep(ents.repartition(3),
