@@ -136,8 +136,21 @@ final class GraftKG(val spark: SparkSession, val edges: DataFrame,
   /** In-training eval checkpoint: link-prediction MRR/Hits of a long-form
     * TransE parameter frame (as returned by [[train]]) over this KG's
     * edges — see [[graft.score.Training.transeRanks]]. */
-  def trainEvalRanks(params: DataFrame, candMod: Int = 1): DataFrame =
-    graft.score.Training.transeRanksSampled(params, edges, candMod)
+  def trainEvalRanks(params: DataFrame, candMod: Int = 1,
+                     model: String = "transe"): DataFrame =
+    model.toLowerCase match {
+      case "transe" =>
+        graft.score.Training.transeRanksSampled(params, edges, candMod)
+      case m =>
+        require(candMod == 1, s"sampled eval is transe-only, got $m")
+        m match {
+          case "distmult" => graft.score.Training.distmultRanks(params, edges)
+          case "complex"  => graft.score.Training.complexRanks(params, edges)
+          case "rotate"   => graft.score.Training.rotateRanks(params, edges)
+          case other => throw new IllegalArgumentException(
+            s"unknown model '$other' (transe|distmult|complex|rotate)")
+        }
+    }
 
   def bfs(seedIds: Seq[Long], maxLevels: Int = 20): DataFrame = {
     import spark.implicits._

@@ -124,9 +124,13 @@ class GraftFacadeSpec extends AnyFunSuite {
       .select("kind").distinct().collect().map(_.getString(0)).toSet
       == Set("ent_re", "ent_im", "rel_ph"))
     assert(kg.train("transe", dim = 4, hashNeg = true).count() == te.count())
-    // trained params flow into the eval checkpoint
+    // trained params flow into the eval checkpoint, per family
     val ranks = kg.trainEvalRanks(te)
     assert(ranks.filter(col("rank") < 1).count() == 0)
+    assert(kg.trainEvalRanks(kg.train("distmult", dim = 4), model = "distmult")
+      .filter(col("rank") < 1).count() == 0)
+    assert(kg.trainEvalRanks(kg.train("rotate", dim = 4), model = "rotate")
+      .filter(col("rank") < 1).count() == 0)
     intercept[IllegalArgumentException](kg.train("unknown"))
   }
 
