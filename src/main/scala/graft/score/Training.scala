@@ -484,7 +484,9 @@ object Training {
 
   /** FILTERED link-prediction tail ranks (Bordes et al. protocol): a
     * candidate `c ≠ t` is excluded from edge (s,r,t)'s pool when (s,r,c)
-    * is itself a known true triple in `filterEdges`. Computed as the
+    * is itself a known true triple in `filterEdges` — the reference's own
+    * subtract-better-known-answers correction (`utils/metric.py:97-108`)
+    * computed relationally. Computed as the
     * unfiltered rank MINUS a correction counted over the filter set only —
     * the correction frame is ∝ |eval edges ⋈ filter on (s,r)| (the
     * per-(s,r) true-tail fanout), never the (edges × entities) candidate
