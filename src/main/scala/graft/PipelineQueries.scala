@@ -1890,7 +1890,7 @@ object PipelineQueries {
            |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
            |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
            |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
-           |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+           |       CAST(CAST(SIGN((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) AS BIGINT) * ((ABS((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) + 50000000000) // 100000000000) AS DOUBLE) / 1000000 AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
     // DistMult train-then-evaluate: one SGD step, then link-prediction
@@ -1949,7 +1949,7 @@ object PipelineQueries {
            |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
            |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
            |e1 AS MATERIALIZED (SELECT kind, id, i,
-           |         ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+           |         CAST(CAST(SIGN((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) AS BIGINT) * ((ABS((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) + 50000000000) // 100000000000) AS DOUBLE) / 1000000 AS x
            |       FROM base LEFT JOIN gsum USING (kind, id, i)),
            |ei AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
            |       FROM e1 WHERE kind = 'ent'),
@@ -2013,7 +2013,7 @@ object PipelineQueries {
              |  UNION ALL SELECT 'ent', neg, i, hi * ri FROM vd$k),
              |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3),
              |$c AS MATERIALIZED (SELECT kind, id, i,
-             |    ROUND(x - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |    CAST(CAST(SIGN((CAST(ROUND(x * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) AS BIGINT) * ((ABS((CAST(ROUND(x * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) + 50000000000) // 100000000000) AS DOUBLE) / 1000000 AS x
              |  FROM $p LEFT JOIN gs$k USING (kind, id, i))""".stripMargin
         }
         KG.edgesCte.trim + ",\n" +
@@ -2098,7 +2098,7 @@ object PipelineQueries {
            |      SIN((rel % 9973 + 1) * i * 0.017 + ${REL_SEED + IM_OFF})
            |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
            |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
-           |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+           |       CAST(CAST(SIGN((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) AS BIGINT) * ((ABS((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) + 50000000000) // 100000000000) AS DOUBLE) / 1000000 AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
     // ComplEx train-then-evaluate: one SGD step, then ranking by the real
@@ -2169,7 +2169,7 @@ object PipelineQueries {
            |      SIN((rel % 9973 + 1) * i * 0.017 + ${REL_SEED + IM_OFF})
            |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
            |e1 AS MATERIALIZED (SELECT kind, id, i,
-           |    ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+           |    CAST(CAST(SIGN((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) AS BIGINT) * ((ABS((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) + 50000000000) // 100000000000) AS DOUBLE) / 1000000 AS x
            |  FROM base LEFT JOIN gsum USING (kind, id, i)),
            |er AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
            |       FROM e1 WHERE kind = 'ent_re'),
@@ -2256,7 +2256,7 @@ object PipelineQueries {
              |  UNION ALL SELECT 'ent_im', neg, i, a * d + b * c FROM vd$k),
              |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3),
              |$c AS MATERIALIZED (SELECT kind, id, i,
-             |    ROUND(x - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |    CAST(CAST(SIGN((CAST(ROUND(x * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) AS BIGINT) * ((ABS((CAST(ROUND(x * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) + 50000000000) // 100000000000) AS DOUBLE) / 1000000 AS x
              |  FROM $p LEFT JOIN gs$k USING (kind, id, i))""".stripMargin
         }
         KG.edgesCte.trim + ",\n" +
@@ -2361,7 +2361,7 @@ object PipelineQueries {
              |      SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
              |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
              |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
-             |       ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |       CAST(CAST(SIGN((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) AS BIGINT) * ((ABS((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) + 50000000000) // 100000000000) AS DOUBLE) / 1000000 AS x
              |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin
       }),
 
@@ -2513,7 +2513,7 @@ object PipelineQueries {
              |      SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
              |    FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
              |e1 AS MATERIALIZED (SELECT kind, id, i,
-             |    ROUND(x0 - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |    CAST(CAST(SIGN((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) AS BIGINT) * ((ABS((CAST(ROUND(x0 * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) + 50000000000) // 100000000000) AS DOUBLE) / 1000000 AS x
              |  FROM base LEFT JOIN gsum USING (kind, id, i)),
              |er AS (SELECT id, i, CAST(ROUND(x * 1000000, 0) AS BIGINT) AS xi
              |       FROM e1 WHERE kind = 'ent_re'),
@@ -2613,7 +2613,7 @@ object PipelineQueries {
              |        - (su - sup) * (a * sn + b * c) FROM vd$k),
              |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3),
              |$c AS MATERIALIZED (SELECT kind, id, i,
-             |    ROUND(x - CAST(COALESCE(g, 0) AS DOUBLE) * 0.03125 / 1e12, 6) AS x
+             |    CAST(CAST(SIGN((CAST(ROUND(x * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) AS BIGINT) * ((ABS((CAST(ROUND(x * 1000000, 0) AS BIGINT) * 100000000000 - COALESCE(g, 0) * 3125)) + 50000000000) // 100000000000) AS DOUBLE) / 1000000 AS x
              |  FROM $p LEFT JOIN gs$k USING (kind, id, i))""".stripMargin
         }
         KG.edgesCte.trim + ",\n" +

@@ -124,6 +124,38 @@ object Training {
            concat_ws("|", col("src"), col("rel"), col("dst"))),
          lit(batches.toLong))
 
+  /** Exact 6-dp state update x ← round₆(x − g·lr/10¹²) for the integer-
+    * micro²-gradient families (DistMult/ComplEx/RotatE), computed in
+    * integer 10⁻¹⁷ units: n = micro(x)·10¹¹ − g·(lr·10⁵), then a
+    * half-away-from-zero integer division by 10¹¹. The double route
+    * (round(x − g·lr/1e12, 6)) breaks EXACTLY at .5·10⁻⁶ ties: Spark
+    * rounds the double's shortest decimal repr, DuckDB its binary value,
+    * and gradients that are multiples of 10⁶ (RotatE's entity terms) land
+    * on those ties routinely — caught as a 1-ulp divergence in
+    * train_rotate_2steps at sf0.1. Integers make the tie direction a
+    * fact of arithmetic. The positive-quotient floor runs in decimal
+    * (exact: quotient has ≤ 11 fractional digits); the result is the
+    * quantized micro value over 10⁶, bit-identical in any engine. */
+  private def microUpdate(x: Column, g: Column, lr: Double): Column = {
+    val lrNum = (BigDecimal(lr) * 100000).toBigIntExact
+      .getOrElse(throw new IllegalArgumentException(
+        s"lr must be a multiple of 1e-5, got $lr")).toLong
+    val n = round(x * 1e6, 0).cast("long") * lit(100000000000L) -
+      coalesce(g, lit(0L)) * lit(lrNum)
+    val q = floor((abs(n) + lit(50000000000L)).cast("decimal(20,0)")
+        / lit(100000000000L).cast("decimal(12,0)")).cast("long")
+    (signum(n).cast("long") * q).cast("double") / 1e6
+  }
+
+  /** DuckDB rendering of [[microUpdate]] — must stay in lock-step. */
+  private[graft] def microUpdateSql(x: String, g: String,
+                                    lrNum: Long = 3125L): String = {
+    val n = s"(CAST(ROUND(($x) * 1000000, 0) AS BIGINT) * 100000000000" +
+      s" - COALESCE($g, 0) * $lrNum)"
+    s"CAST(CAST(SIGN($n) AS BIGINT) * ((ABS($n) + 50000000000)" +
+      s" // 100000000000) AS DOUBLE) / 1000000"
+  }
+
   /** `steps` SGD steps with classical momentum (Polyak heavy ball):
     * vₖ = μ·vₖ₋₁ + gₖ, xₖ = xₖ₋₁ − lr·vₖ. With a power-of-two μ (default
     * 1/2) every velocity is an exact dyadic rational — μ·v is a pure
@@ -317,8 +349,7 @@ object Training {
       val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
       e = e.join(grads, Seq("kind", "id", "pos"), "left")
         .select(col("kind"), col("id"), col("pos"),
-                round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
-                      * lr / 1e12, 6).as("x"))
+                microUpdate(col("x"), col("g"), lr).as("x"))
         .localCheckpoint(true)
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
@@ -390,8 +421,7 @@ object Training {
       val frame = complexStepFrame(e, ed, gamma)
       e = e.join(frame, Seq("kind", "id", "pos"), "left")
         .select(col("kind"), col("id"), col("pos"),
-                round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
-                      * lr / 1e12, 6).as("x"))
+                microUpdate(col("x"), col("g"), lr).as("x"))
         .localCheckpoint(true)
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
@@ -515,11 +545,14 @@ object Training {
     val ed = edges.select(col("src").cast("long").as("src"),
                           col("rel").cast("long").as("rel"),
                           col("dst").cast("long").as("dst"))
-    // s(hr, c) = Σ_i hr_i · c_i with hr_i = h_i·r_i (≤ ~1.2e12: long-safe);
-    // the outer product ≤ ~1.3e18 per element — summed as decimal(38,0).
+    // s(hr, c) = Σ_i hr_i · c_i with hr_i = h_i·r_i (≤ m²: long-safe);
+    // the outer micro³ product is multiplied IN DECIMAL — at micro
+    // magnitude m the long lane wraps at m ≈ 2.1e6, and a trained state
+    // can legitimately exceed |x| > 2 after a few steps. Decimal costs a
+    // little codegen speed and removes the cliff entirely.
     def score(hr: Column, cv: Column): Column =
       aggregate(zip_with(hr, cv,
-                  (p, c) => (p * c).cast("decimal(38,0)")),
+                  (p, c) => p.cast("decimal(38,0)") * c),
                 lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
     val est = ed
       .join(ev.select(col("id").as("src"), col("v").as("hv")), Seq("src"))
@@ -570,10 +603,16 @@ object Training {
     def mul(x: Column, y: Column): Column = zip_with(x, y, _ * _)
     def sub(x: Column, y: Column): Column = zip_with(x, y, _ - _)
     def add(x: Column, y: Column): Column = zip_with(x, y, _ + _)
-    // Σ re_i·e_i + im_i·f_i in decimal — the one non-long-safe sum.
+    // Σ re_i·e_i + im_i·f_i with the micro³ products taken IN DECIMAL:
+    // at micro magnitude m the per-element long product wraps at
+    // m ≈ 1.66e6, and a one-step sf0.1 state already measures 1.60e6 —
+    // the long lane is a cliff, not a margin. (re/im themselves are
+    // micro², long-safe to m ≈ 2e9.)
     def score(re: Column, im: Column, e: Column, f: Column): Column =
-      aggregate(add(mul(re, e), mul(im, f)),
-                lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+      aggregate(zip_with(re, e, (p, c) => p.cast("decimal(38,0)") * c),
+                lit(0).cast("decimal(38,0)"), (acc, x) => acc + x) +
+        aggregate(zip_with(im, f, (p, c) => p.cast("decimal(38,0)") * c),
+                  lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
     val est = ed
       .join(ev.select(col("id").as("src"), col("v").as("ha"),
                       col("w").as("hb")), Seq("src"))
@@ -789,8 +828,7 @@ object Training {
       val frame = rotateStepFrame(e, ed, gamma)
       e = e.join(frame, Seq("kind", "id", "pos"), "left")
         .select(col("kind"), col("id"), col("pos"),
-                round(col("x") - coalesce(col("g"), lit(0L)).cast("double")
-                      * lr / 1e12, 6).as("x"))
+                microUpdate(col("x"), col("g"), lr).as("x"))
         .localCheckpoint(true)
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
