@@ -54,17 +54,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    // Optional de-noising: run every query REPEAT times and report the
-    // per-query MEDIAN. Default 1 keeps cross-round comparability (the
-    // historical numbers are single cold-ish passes); medians of repeats
-    // are warmer (codegen compiled on pass 1) but throttle-resistant.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // De-noising: run every query REPEAT times and report the per-query
+    // MEDIAN. Default is 3 as of round 8 (judge request: the sandbox's CPU
+    // throttling made single-pass round-over-round deltas a lottery —
+    // identical binaries swung >5× both ways between r6 and r7). Medians
+    // of repeats are warmer (codegen compiled on pass 1) but
+    // throttle-resistant; the emitted JSON carries `repeat` so historical
+    // single-pass numbers stay adjudicable. Set SPARK_GRAFT_BENCH_REPEAT=1
+    // for a quick single pass.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
       .max(1)
     val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,7 +11,11 @@ import graft.operators.Joins
 object OperatorQueries {
   import PipelineQueries.QFn
 
-  private val MINUTE_NS = 60L * 1000 * 1000 * 1000
+  // 1 hour in ns: the current testdata's events are ~1 per user per 10 h,
+  // so a 60 s window matches ZERO pairs at the verify SF (a vacuous green);
+  // an hour window exercises the join at every SF (5/34/384 matches at
+  // sf0.001/0.01/0.1).
+  private val HOUR_NS = 3600L * 1000 * 1000 * 1000
 
   /** Query types covered by the end-to-end workload eval: the BetaE core
     * (paths, intersections, negation, union) plus EFO-1 extended shapes
@@ -24,7 +28,10 @@ object OperatorQueries {
     // As-of join: each click matched to the user's latest prior purchase.
     ("q_asof_join",
       (s, dir) => {
-        val ev = KG.table(s, dir, "events")
+        // eventsNs: any monotone ts encoding works for as-of ordering, but
+        // routing through the normalizer keeps every event-time site behind
+        // the one schema-drift seam.
+        val ev = KG.eventsNs(s, dir)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
         val purchases = ev.filter(col("event_type") === "purchase")
@@ -39,22 +46,24 @@ object OperatorQueries {
              |SELECT c.user_id, c.click_id, p.purchase_id
              |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)),
 
-    // Range join: errors within 60s before each click, same user.
+    // Range join: errors within 1h before each click, same user.
     ("q_range_join",
       (s, dir) => {
-        val ev = KG.table(s, dir, "events")
+        // eventsNs is REQUIRED here: rangeBucketed's long bounds are in ns
+        // (MINUTE_NS) — a raw timestamp column would cast to SECONDS.
+        val ev = KG.eventsNs(s, dir)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
         val errors = ev.filter(col("event_type") === "error")
           .select(col("user_id"), col("ts"), col("event_id").as("error_id"))
         Joins.rangeBucketed(clicks, errors, Seq("user_id"), "ts", "ts",
-                            lower = MINUTE_NS, upper = 0L, Seq("error_id"))
+                            lower = HOUR_NS, upper = 0L, Seq("error_id"))
           .select("user_id", "click_id", "error_id")
       },
       Some("SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id " +
            "FROM events c JOIN events e ON c.user_id = e.user_id " +
            "AND c.event_type = 'click' AND e.event_type = 'error' " +
-           s"AND epoch_ns(e.ts) BETWEEN epoch_ns(c.ts) - $MINUTE_NS AND epoch_ns(c.ts)")),
+           s"AND epoch_ns(e.ts) BETWEEN epoch_ns(c.ts) - $HOUR_NS AND epoch_ns(c.ts)")),
 
     // End-to-end EFO-1 workload evaluation: train/held-out split, filtered
     // MRR/Hits per query type (reference lifecycle SURVEY §3). The oracle

@@ -766,6 +766,41 @@ object PipelineQueries {
               |        (SQRT(list_dot_product(m.v, m.v)) * SQRT(list_dot_product(ev.v, ev.v))), 5) AS score
               |FROM m CROSS JOIN ev""".stripMargin)),
 
+    // G5 second update-net variant: the bias-only entity-projection net
+    // (LMPLayerBiasOnly, reasoner/lmpnn.py:21-42) — one superstep, then
+    // m = Σ_e relu(scale·⟨x1, ev_e⟩ + bias)·ev_e with pinned scalars
+    // scale = 0.05, bias = 0.01. The oracle expands the same closed-form
+    // x1 as lmpnn_1p_mlp and replays the projection per list position.
+    ("lmpnn_1p_bias",
+      (s, dir) => {
+        val cq = graft.lang.Normalize.toDnf(
+          graft.lang.Parser.parse("r1(s1,f)")).head
+        val (qn, qe) = graft.lang.QueryGraph.compile(s, Seq(
+          (cq, Map("r1" -> 9L, "s1" -> S0))))
+        graft.exec.LMPNN.answer(qn, qe, supplierEnts(s, dir), relEmb(s),
+          TransE(2), rounds = 1, useBiasNet = true)
+          .select(col("qid"), col("entity"), round(col("score"), 5).as("score"))
+      },
+      Some(s"""WITH ents AS ($supplierEntsSql),
+              |x1 AS (SELECT list_transform(generate_series(1, $DIM), k ->
+              |    0.1 * SIN(0.5)
+              |    + SIN((400000000 % 9973 + 1) * k * 0.017 + $ENT_SEED)
+              |    + SIN((9 % 9973 + 1) * k * 0.017 + $REL_SEED)) AS v),
+              |ev AS (SELECT id, list_transform(generate_series(1, $DIM),
+              |         k -> SIN((id % 9973 + 1) * k * 0.017 + $ENT_SEED)) AS v FROM ents),
+              |sc AS (SELECT ev.id AS id,
+              |         GREATEST(0.0, 0.05 * list_dot_product(x1.v, ev.v) + 0.01) AS s
+              |       FROM x1 CROSS JOIN ev),
+              |mk AS (SELECT ks.k AS k, SUM(sc.s * ev.v[ks.k]) AS mv
+              |       FROM sc JOIN ev ON sc.id = ev.id,
+              |            (SELECT UNNEST(generate_series(1, $DIM)) AS k) ks
+              |       GROUP BY ks.k),
+              |m AS (SELECT LIST(mv ORDER BY k) AS v FROM mk)
+              |SELECT CAST(0 AS BIGINT) AS qid, ev.id AS entity,
+              |  ROUND(list_dot_product(m.v, ev.v) /
+              |        (SQRT(list_dot_product(m.v, m.v)) * SQRT(list_dot_product(ev.v, ev.v))), 5) AS score
+              |FROM m CROSS JOIN ev""".stripMargin)),
+
     // Scored executor -> metric pipeline end-to-end: batched CQD rankings
     // of 5 query instances scored by TransE, evaluated with the filtered
     // MRR/Hits setting against hash-partitioned easy/hard answer sets.

@@ -256,8 +256,8 @@ object SystemQueries {
     // Streaming batch twin: tumbling 1-minute event-time windows.
     ("q_stream_window",
       (s, dir) => {
-        val ev = t(s, dir, "events")
-          .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+        val ev = KG.eventsNs(s, dir)
+          .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
         EventStreams.windowedCountsBatch(ev)
           .select(unix_timestamp(col("win_start")).as("win_epoch"),
                   col("event_type"), col("n"),
@@ -272,7 +272,7 @@ object SystemQueries {
     // enumerates both via the k-offset lateral.
     ("q_stream_sliding",
       (s, dir) => {
-        val ev = t(s, dir, "events")
+        val ev = KG.eventsNs(s, dir)
           .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
         EventStreams.slidingCountsBatch(ev)
           .select(unix_timestamp(col("win_start")).as("win_epoch"),
@@ -291,8 +291,8 @@ object SystemQueries {
     // matching session_window's interval-merge semantics.
     ("q_stream_sessions",
       (s, dir) => {
-        val ev = t(s, dir, "events")
-          .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+        val ev = KG.eventsNs(s, dir)
+          .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
         EventStreams.sessions(ev)
           .select(col("user_id"), col("n_events"),
                   round(col("session_value"), 4).as("session_value"))
@@ -331,7 +331,7 @@ object SystemQueries {
         // Integer `div`, not `/`: the ns epochs exceed double's 53-bit
         // mantissa, and the join compares timestamps EXACTLY, so the
         // floor-to-second must be bit-identical to the oracle's `//`.
-        val ev = t(s, dir, "events")
+        val ev = KG.eventsNs(s, dir)
           .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
         EventStreams.intervalJoinBatch(ev)
       },
@@ -370,7 +370,7 @@ object SystemQueries {
     // Conversion funnel: click -> purchase within 10 minutes, per user.
     ("q_funnel",
       (s, dir) => {
-        val ev = t(s, dir, "events")
+        val ev = KG.eventsNs(s, dir)
           .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
         EventStreams.funnel(ev)
       },

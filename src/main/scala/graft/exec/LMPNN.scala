@@ -39,10 +39,15 @@ object LMPNN {
   }
 
   /** One message-passing superstep. `qedges` must already contain inverse
-    * edges (QueryGraph.addInverseEdges) so information flows both ways. */
+    * edges (QueryGraph.addInverseEdges) so information flows both ways.
+    * Update nets (G5): `useMlp` applies the seeded ReLU MLP
+    * (layers/mlp.py:3-18); `biasNet = Some(ents)` applies the bias-only
+    * entity-projection net (reasoner/lmpnn.py:21-42) instead. */
   def superstep(states: DataFrame, qedges: DataFrame, rels: DataFrame,
                 model: KGEModel, residual: Double = 0.1,
-                useMlp: Boolean = false, dim: Int = 8): DataFrame = {
+                useMlp: Boolean = false, dim: Int = 8,
+                biasNet: Option[DataFrame] = None,
+                biasScale: Double = 0.05, biasBias: Double = 0.01): DataFrame = {
     val msgs = qedges.as("e")
       .join(states.as("x"),
             col("e.qid") === col("x.qid") && col("e.src") === col("x.node"))
@@ -63,7 +68,36 @@ object LMPNN {
                    col("m.avec"))).as("vec"))
     if (useMlp)
       combined.withColumn("vec", mlpUpdate(col("vec"), dim))
-    else combined
+    else biasNet match {
+      case Some(ents) => biasOnlyUpdate(combined, ents, biasScale, biasBias)
+      case None => combined
+    }
+  }
+
+  /** Bias-only update net (G5 second variant, `LMPLayerBiasOnly.update_net`,
+    * reasoner/lmpnn.py:21-42): `out = relu((x·Eᵀ)·scale + bias)·E` over the
+    * entity embedding matrix E — the state is projected onto every entity,
+    * affine-transformed and rectified, and read back out as the score-
+    * weighted sum of entity embeddings. `scale`/`bias` are the layer's two
+    * learned scalars — pinned constants here (inference with fixed weights,
+    * the same convention as [[mlpUpdate]]'s seeded matrix).
+    *
+    * Relational form: the x·Eᵀ projection is the SAME crossJoin shape as
+    * the final cosine scoring in [[answer]] (states are a handful of rows
+    * per query batch; Spark broadcasts the small side of the
+    * nested-loop join), and the ·E read-back is one score-weighted
+    * [[VectorOps.vecSumByKey]] — long-form, no whole-matrix shuffle, so
+    * the plan survives an entity table too large to collect. */
+  def biasOnlyUpdate(states: DataFrame, ents: DataFrame,
+                     scale: Double = 0.05, bias: Double = 0.01): DataFrame = {
+    val scored = states.crossJoin(
+        ents.select(col("id").as("_e"), col("vec").as("_evec")))
+      .select(col("qid"), col("node"),
+              VectorOps.scaleVec(col("_evec"),
+                greatest(lit(0.0),
+                  VectorOps.dot(col("vec"), col("_evec")) * scale + bias))
+                .as("_sv"))
+    VectorOps.vecSumByKey(scored, Seq("qid", "node"), "_sv", "vec")
   }
 
   /** Update net (G5): one ReLU layer with a deterministic weight matrix
@@ -90,7 +124,7 @@ object LMPNN {
     * Returns `(qid, entity, score)`. */
   def answer(qnodes: DataFrame, qedges: DataFrame, ents: DataFrame,
              rels: DataFrame, model: KGEModel, rounds: Int,
-             useMlp: Boolean = false): DataFrame = {
+             useMlp: Boolean = false, useBiasNet: Boolean = false): DataFrame = {
     require(rounds >= 1, s"LMPNN needs at least one superstep, got $rounds")
     val dim = 8 // states carry their own width; dim only seeds var vectors
     var x = initStates(qnodes, ents, dim)
@@ -103,7 +137,8 @@ object LMPNN {
       .localCheckpoint(true) // tiny; read once per round
     val gathered = scala.collection.mutable.ListBuffer.empty[DataFrame]
     (1 to rounds).foreach { i =>
-      x = superstep(x, edgesAug, rels, model, useMlp = useMlp, dim = dim)
+      x = superstep(x, edgesAug, rels, model, useMlp = useMlp, dim = dim,
+                    biasNet = if (useBiasNet) Some(ents) else None)
       if (i % 3 == 0) x = x.localCheckpoint(true) // truncate lineage (G6)
       // After round i the stacked-layer index i-1 is current: gather queries
       // whose num_vars == i (plus, at the last round, any deeper stragglers).

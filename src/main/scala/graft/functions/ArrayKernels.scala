@@ -313,7 +313,8 @@ object ArrayKernels {
     "pq_encode" -> (es => PqEncode(es(0), es(1), intArg(es(2)), intArg(es(3)))),
     "pq_lut" -> (es => PqLut(es(0), es(1), intArg(es(2)), intArg(es(3)))),
     "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2)))),
-    "md5_prefix60" -> (es => Md5Prefix60(es(0))))
+    "md5_prefix60" -> (es => Md5Prefix60(es(0))),
+    "bpe_apply" -> (es => BpeApply(es(0), es(1))))
 
   /** Idempotent session-local registration (the non-extensions path). */
   def register(spark: SparkSession): Unit =
@@ -338,4 +339,6 @@ object ArrayKernels {
   def pqAdc(lut: Column, codes: Column, k: Int): Column =
     call_function("pq_adc", lut, codes,
                   org.apache.spark.sql.functions.lit(k))
+  def bpeApply(toks: Column, mergesFlat: Column): Column =
+    call_function("bpe_apply", toks, mergesFlat)
 }

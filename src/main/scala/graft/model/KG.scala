@@ -68,6 +68,28 @@ object KG {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Events table with `ts` normalized to canonical epoch-NANOSECOND longs,
+    * whatever the on-disk encoding. The driver's testdata has shipped `ts`
+    * as parquet TIMESTAMP(NANOS) (read as LONG ns under `nanosAsLong`) and
+    * as timestamp[us] (read as TIMESTAMP_NTZ / TIMESTAMP) in different
+    * regenerations; every event-time call site routes through here so a
+    * schema drift can't silently break six operators again (round-7
+    * post-mortem). Wall-clock (NTZ) values are interpreted as UTC — the
+    * same convention DuckDB's `epoch_ns` applies to naive timestamps — so
+    * all entrypoints set `spark.sql.session.timeZone=UTC`. */
+  def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev
+      case org.apache.spark.sql.types.TimestampType =>
+        ev.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        ev.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case dt => throw new IllegalArgumentException(
+        s"unsupported events.ts encoding: $dt (expected LONG ns or TIMESTAMP)")
+    }
+  }
+
   /** Directed base edges (even relations only). */
   def baseEdges(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = table(spark, dir, n)

@@ -447,4 +447,26 @@ object TextOps {
     }
     toks
   }
+
+  /** BPE ENCODE, fused: semantics identical to [[bpeEncode]] (each merge
+    * rank = one greedy-leftmost pass, ranks in order — hash-identity
+    * spec-checked), but the whole merge table is applied inside ONE
+    * native codegen'd expression ([[graft.functions.BpeApply]]) per
+    * document. [[bpeEncode]]'s per-rank driver loop costs one Spark job
+    * per merge — fine at a 2-merge demo vocabulary, a job-count wall at
+    * a real 30k-merge one (r7 verdict); this path's job count is flat in
+    * n_merges. The merge table is collected to the driver (vocab-sized,
+    * contract-bounded — the blocklist-broadcast class) and shipped as one
+    * literal inside the expression. */
+  def bpeEncodeFused(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, mergesDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.ArrayKernels.register(docs.sparkSession)
+    val flat: Seq[String] = mergesDf
+      .orderBy(col("merge_rank").asc).select("lhs", "rhs")
+      .collect().toSeq.flatMap(r => Seq(r.getString(0), r.getString(1)))
+    docs.select(col(idCol).as("id"),
+      posexplode(graft.functions.ArrayKernels.bpeApply(
+        tokens(col(textCol)), typedLit(flat))).as(Seq("pos", "t")))
+  }
 }

@@ -76,4 +76,33 @@ class LMPNNSpec extends AnyFunSuite {
       assert(math.abs(mixed((0L, ent)) - sc) < 1e-9, s"entity $ent")
     }
   }
+
+  test("biasOnlyUpdate = relu(x·Eᵀ·scale + bias)·E (reasoner/lmpnn.py:21-42)") {
+    // Hand-computable fixture: x = [1, 0], E = {e0: [1, 0], e1: [0, 2],
+    // e2: [-1, 0]}, scale = 1, bias = 0.5.
+    //   scores  = relu([1·1, 0, -1] + 0.5) = [1.5, 0.5, 0]
+    //   out     = 1.5·[1,0] + 0.5·[0,2] + 0·[-1,0] = [1.5, 1.0]
+    val states = Seq((0L, 0, Seq(1.0, 0.0))).toDF("qid", "node", "vec")
+    val ents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 2.0)),
+                   (2L, Seq(-1.0, 0.0))).toDF("id", "vec")
+    val out = LMPNN.biasOnlyUpdate(states, ents, scale = 1.0, bias = 0.5)
+      .collect().map(r => r.getInt(1) -> r.getSeq[Double](2)).toMap
+    assert(out(0) == Seq(1.5, 1.0))
+  }
+
+  test("answer with useBiasNet differs from plain and stays a valid cosine") {
+    val cq = Normalize.toDnf(Parser.parse("r1(s1,f)")).head
+    val b = Map("r1" -> 0L, "s1" -> 4L)
+    val (qn, qe) = QueryGraph.compile(spark, Seq((cq, b)))
+    val ents = Embeddings.deterministic(spark.range(6).toDF("id"), "id", dim, 0.3)
+    val rels = Embeddings.deterministic(spark.range(4).toDF("id"), "id", dim, 1.7)
+    val plain = LMPNN.answer(qn, qe, ents, rels, TransE(2), rounds = 1)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val biased = LMPNN.answer(qn, qe, ents, rels, TransE(2), rounds = 1,
+                              useBiasNet = true)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(biased.keySet == plain.keySet)
+    biased.values.foreach(v => assert(math.abs(v) <= 1.0 + 1e-9))
+    assert(biased != plain) // the projection net must actually transform
+  }
 }

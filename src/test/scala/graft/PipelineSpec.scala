@@ -545,4 +545,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(m2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     assert(seqs(toks) == got)
   }
+
+  test("bpeEncodeFused: hash-identical to the iterative path (both orders)") {
+    import graft.pipeline.TextOps
+    def seqs(enc: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      enc.collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getString(2)))
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.sortBy(_._2).map(_._3).toSeq }
+    // Deterministic pseudo-random corpus over a 3-symbol alphabet: dense
+    // in x=x runs and cascading merges (merged tokens re-matching later
+    // ranks) — the cases where greedy-parity vs all-pairs semantics
+    // diverge.
+    val docs = (1L to 12L).map { id =>
+      val syms = "abc"
+      val txt = (0 until 24).map { j =>
+        syms(((id * 31 + j * 17 + j * j) % 3).toInt).toString
+      }.mkString(" ")
+      (id, txt)
+    }.toDF("doc_id", "text")
+    val merges = TextOps.bpeLearnMerges(docs, "doc_id", "text", merges = 4)
+    val iterative = seqs(TextOps.bpeEncode(docs, "doc_id", "text", merges))
+    val fused = seqs(TextOps.bpeEncodeFused(docs, "doc_id", "text", merges))
+    assert(fused == iterative)
+    // Empty merge table degenerates to whitespace tokenization on both.
+    val none = merges.filter(col("merge_rank") < 0)
+    assert(seqs(TextOps.bpeEncodeFused(docs, "doc_id", "text", none))
+      == seqs(TextOps.bpeEncode(docs, "doc_id", "text", none)))
+  }
 }
