@@ -676,6 +676,44 @@ object SystemQueries {
             |  ROUND(list_sum(list_transform(ps,
             |    p -> pow(((media_id * 31 + (3 * p + 0) * 7) % 256) / 255.0, 2))) / 192, 6) AS msq_r,
             |  ROUND(1.0, 6) AS decoded_frac
-            |FROM px""".stripMargin))
+            |FROM px""".stripMargin)),
+
+    // REAL baseline JPEG decode, round-trip-proven: each row carries a
+    // genuine entropy-coded JPEG (SOI/DQT/SOF0/DHT/SOS markers, standard
+    // Annex K Huffman tables, byte stuffing) whose pixels are constant
+    // per 8×8 block by a closed-form formula — DC-only DCT blocks with
+    // q=1 make the lossy pipeline EXACT, so Spark's full marker-walk +
+    // Huffman + dequant + IDCT decode can only match the formula-derived
+    // oracle if every stage is bit-faithful. 32×24 grey, 12 blocks/row.
+    ("multimodal_jpeg_decode",
+      (s, dir) => {
+        import s.implicits._
+        val (w, h) = (32, 24)
+        val nb = (w / 8) * (h / 8)
+        val media = s.range(48).map { id =>
+          val blocks = Array.tabulate(nb)(b => ((id * 37 + b * 11) % 256).toInt)
+          Multimodal.MediaRow(id, "image", Multimodal.jpegBytes(w, h, blocks),
+            w, h, -1)
+        }
+        Multimodal.decodeFeatures(media).toDF().select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          round(element_at(col("features"), 1), 6).as("mean_y"),
+          round(element_at(col("features"), 2), 6).as("msq_y"),
+          round(element_at(col("features"), 3), 6).as("decoded_frac"))
+      },
+      Some("""WITH b AS (SELECT r AS media_id, generate_series(0, 11) AS bs
+            |  FROM range(48) t(r))
+            |SELECT media_id,
+            |  CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+            |  CAST(1 AS BIGINT) AS channels,
+            |  ROUND(list_sum(list_transform(bs,
+            |    b -> ((media_id * 37 + b * 11) % 256) / 255.0)) / 12, 6) AS mean_y,
+            |  ROUND(list_sum(list_transform(bs,
+            |    b -> pow(((media_id * 37 + b * 11) % 256) / 255.0, 2))) / 12, 6) AS msq_y,
+            |  ROUND(1.0, 6) AS decoded_frac
+            |FROM b""".stripMargin))
   )
 }

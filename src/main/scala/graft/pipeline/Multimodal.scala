@@ -7,19 +7,21 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extraction / resize /
   * frame-sampling operators.
   *
-  * Decode is REAL end-to-end for all three self-contained formats:
+  * Decode is REAL end-to-end for the self-contained formats:
   * BMP pixels ([[bmpChannelStats]] — uncompressed, row padding, BGR),
   * PNG pixels ([[pngChannelStats]] — full zlib inflate via the JDK
-  * Inflater plus scanline unfiltering, all five filter types), and PCM
-  * WAV samples ([[wavSampleStats]] — signed 16-bit LE / unsigned 8-bit),
+  * Inflater plus scanline unfiltering, all five filter types),
+  * baseline JPEG ([[jpegChannelStats]] — marker walk, Huffman entropy
+  * decode, dequantize, IDCT; 1x1-sampled components), and PCM WAV
+  * samples ([[wavSampleStats]] — signed 16-bit LE / unsigned 8-bit),
   * with zero external codec dependency; [[imageMeta]]/[[audioMeta]] parse
   * the container headers. Only formats that genuinely require external
-  * codec libraries (JPEG, MP3/AAC, video bitstreams) remain a
-  * clearly-marked STUB: [[decodeFeatures]] falls back to deterministic
-  * byte-moment features there. The Spark-side plumbing — schema, batch
-  * shape, partition-parallel mapPartitions, expression-level chunking —
-  * is identical for real and stub paths; swapping a stub for a JNI/codec
-  * call changes one function.
+  * codec libraries (progressive/subsampled JPEG, MP3/AAC, video
+  * bitstreams) remain a clearly-marked STUB: [[decodeFeatures]] falls
+  * back to deterministic byte-moment features there. The Spark-side
+  * plumbing — schema, batch shape, partition-parallel mapPartitions,
+  * expression-level chunking — is identical for real and stub paths;
+  * swapping a stub for a JNI/codec call changes one function.
   *
   * Scale notes: media blobs stay opaque through shuffles (never parsed by
   * Catalyst); feature extraction is mapPartitions (one codec init per
@@ -78,6 +80,27 @@ object Multimodal {
       val channels = le16(bytes, 28) / 8 // 8→1, 24→3, 32→4
       if (w > 0 && h > 0 && channels > 0) Some(ImageMeta(w, h, channels, "bmp"))
       else None
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+               (bytes(1) & 0xff) == 0xd8) {
+      // JPEG: walk the marker stream to SOF0 (baseline) for dimensions.
+      var off = 2
+      var res: Option[ImageMeta] = None
+      while (res.isEmpty && off + 4 <= bytes.length &&
+             (bytes(off) & 0xff) == 0xff) {
+        val m = bytes(off + 1) & 0xff
+        if (m == 0xd9 || m == 0xda) off = bytes.length // EOI/SOS: stop
+        else {
+          val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+          if (m == 0xc0 && off + 4 + 6 <= bytes.length) {
+            val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
+            val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
+            val ch = bytes(off + 9) & 0xff
+            if (w > 0 && h > 0 && ch > 0) res = Some(ImageMeta(w, h, ch, "jpeg"))
+          }
+          off += 2 + len
+        }
+      }
+      res
     } else None
   }
 
@@ -283,6 +306,7 @@ object Multimodal {
         val imeta = imageMeta(bytes)
         val ameta = audioMeta(bytes)
         val pixelStats = bmpChannelStats(bytes).orElse(pngChannelStats(bytes))
+          .orElse(jpegChannelStats(bytes))
         val feats = (pixelStats, wavSampleStats(bytes)) match {
           case (Some((meta, n, sums, sqs)), _) if n > 0 =>
             val ch = meta.channels
@@ -487,6 +511,397 @@ object Multimodal {
         Some((meta, rows.toLong * meta.width, sums, sqs))
       case _ => None
     }
+
+  // ---- REAL baseline JPEG codec (dependency-free, ITU T.81) ------------
+
+  /** Standard Annex K luminance Huffman tables (ITU T.81, public spec):
+    * (BITS counts per code length 1..16, HUFFVAL symbol list). */
+  private val JpegDcBits =
+    Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val JpegAcBits =
+    Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman code assignment (T.81 Annex C): symbol → (code, len). */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.toMap
+  }
+
+  /** Build a real baseline-sequential GRAYSCALE JPEG (SOI, DQT, SOF0, DHT,
+    * SOS, EOI; standard Annex K luminance Huffman tables; quantization
+    * table all-1s) whose pixels are CONSTANT per 8×8 block —
+    * `blockVals(by * (width/8) + bx)` in [0, 255]. A constant block has a
+    * DC-only DCT (DC = 8·(v−128), every AC zero), so with q=1 the lossy
+    * pipeline is EXACT for these images: encode → Huffman-decode →
+    * dequantize → IDCT reproduces every pixel bit-for-bit, letting a
+    * closed-form oracle check a genuine entropy-coded JPEG. Width and
+    * height must be multiples of 8. */
+  def jpegBytes(width: Int, height: Int, blockVals: Array[Int]): Array[Byte] =
+    jpegBytesFromCoefs(width, height, blockVals.map { v =>
+      val c = new Array[Int](64); c(0) = 8 * (v - 128); c
+    })
+
+  /** Build a baseline grayscale JPEG from per-block QUANTIZED coefficient
+    * arrays in ZIGZAG order (index 0 = DC, q=1 table) — the general
+    * entropy encoder behind [[jpegBytes]]: DC differences, AC run-length
+    * with ZRL and EOB, Annex K Huffman tables, byte stuffing. Lets specs
+    * exercise the decoder's AC paths with exactly-known coefficients. */
+  def jpegBytesFromCoefs(width: Int, height: Int,
+                         blocks: Array[Array[Int]]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, "dims must be multiples of 8")
+    val (bw, bh) = (width / 8, height / 8)
+    require(blocks.length == bw * bh, "one coef block per 8x8 block")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); u8(0) // DQT: 8-bit table 0
+    (0 until 64).foreach(_ => u8(1))     // all-1 quantization
+    marker(0xc0); u16(2 + 6 + 3); u8(8)  // SOF0: 8-bit precision
+    u16(height); u16(width); u8(1)       // one component
+    u8(1); u8(0x11); u8(0)               // id 1, 1x1 sampling, qtable 0
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(tc)
+      (1 to 16).foreach(l => u8(bits(l))); vals.foreach(u8)
+    }
+    dht(0x00, JpegDcBits, JpegDcVals) // DC table 0
+    dht(0x10, JpegAcBits, JpegAcVals) // AC table 0
+    marker(0xda); u16(2 + 1 + 2 + 3); u8(1) // SOS
+    u8(1); u8(0x00) // component 1 uses DC 0 / AC 0
+    u8(0); u8(63); u8(0) // Ss, Se, Ah/Al
+    // Entropy-coded segment: per block DC diff (category + bits) then EOB.
+    val dcC = huffCodes(JpegDcBits, JpegDcVals)
+    val acC = huffCodes(JpegAcBits, JpegAcVals)
+    var bitBuf = 0L; var nBits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1)); nBits += len
+      while (nBits >= 8) {
+        val b = ((bitBuf >> (nBits - 8)) & 0xff).toInt
+        u8(b); if (b == 0xff) u8(0x00) // byte stuffing
+        nBits -= 8
+      }
+    }
+    // category = bit length of |v|; negative values encode as v − 1 in
+    // the low bits (T.81 F.1.2.1 'extend' convention)
+    def cat(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putCoded(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = codes(sym); putBits(c, l)
+    }
+    def putMag(v: Int, t: Int): Unit =
+      if (t > 0) putBits((if (v < 0) v - 1 else v) & ((1 << t) - 1), t)
+    var prevDc = 0
+    blocks.foreach { coefs =>
+      val diff = coefs(0) - prevDc
+      prevDc = coefs(0)
+      val t = cat(diff)
+      putCoded(dcC, t); putMag(diff, t)
+      // AC run-length coding over zigzag indices 1..63
+      val lastNz = (63 to 1 by -1).find(coefs(_) != 0).getOrElse(0)
+      var run = 0
+      var z = 1
+      while (z <= lastNz) {
+        if (coefs(z) == 0) run += 1
+        else {
+          while (run >= 16) { putCoded(acC, 0xf0); run -= 16 } // ZRL
+          val s = cat(coefs(z))
+          putCoded(acC, (run << 4) | s); putMag(coefs(z), s)
+          run = 0
+        }
+        z += 1
+      }
+      if (lastNz < 63) putCoded(acC, 0x00) // EOB
+    }
+    if (nBits > 0) putBits(0xff, 8 - (nBits % 8) & 7) // pad with 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** REAL baseline JPEG pixel decode — full marker walk (DQT incl. 16-bit
+    * tables, SOF0, DHT, DRI, skip-unknown), Huffman entropy decode with
+    * byte-unstuffing and restart markers, de-zigzag, dequantization,
+    * double-precision IDCT (T.81 A.3.3), level shift + clamp. Handles any
+    * baseline stream with 1x1-sampled components (grayscale or YCbCr
+    * 4:4:4, interleaved MCU); per-component statistics are reported
+    * WITHOUT color conversion (component 0 = Y/grey — what quality
+    * screens threshold on). Progressive, arithmetic-coded and subsampled
+    * streams return None (the honest stub path). Same shape as
+    * [[bmpChannelStats]]: (meta, nPixels, perCompSum, perCompSumSq). */
+  def jpegChannelStats(bytes: Array[Byte])
+      : Option[(ImageMeta, Long, Array[Double], Array[Double])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) return None
+    try jpegDecode(bytes) catch { case _: Exception => None }
+  }
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private def jpegDecode(bytes: Array[Byte])
+      : Option[(ImageMeta, Long, Array[Double], Array[Double])] = {
+    val quant = Array.fill(4)(new Array[Int](64))
+    // Huffman tables: (class 0=DC/1=AC, id) → decode arrays
+    final case class Huff(maxcode: Array[Int], mincode: Array[Int],
+                          valptr: Array[Int], vals: Array[Int])
+    val huffs = scala.collection.mutable.Map.empty[(Int, Int), Huff]
+    def buildHuff(bits: Array[Int], vals: Array[Int]): Huff = {
+      val mincode = new Array[Int](17); val maxcode = new Array[Int](17)
+      val valptr = new Array[Int](17)
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valptr(l) = k; mincode(l) = code
+        code += bits(l); k += bits(l)
+        maxcode(l) = code - 1
+        code <<= 1
+        l += 1
+      }
+      (1 to 16).foreach(l => if (bits(l) == 0) maxcode(l) = -1)
+      Huff(maxcode, mincode, valptr, vals)
+    }
+    var width = 0; var height = 0; var nComp = 0
+    var compQ: Array[Int] = null // per-component quant table id
+    var restartInterval = 0
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xd9) return None // EOI before SOS: no image
+      val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      val seg = off + 4
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var p = seg
+          while (p < seg + len - 2) {
+            val pq = (bytes(p) & 0xf0) >> 4; val tq = bytes(p) & 0x0f
+            p += 1
+            var i = 0
+            while (i < 64) {
+              quant(tq)(i) =
+                if (pq == 0) bytes(p + i) & 0xff
+                else ((bytes(p + 2 * i) & 0xff) << 8) | (bytes(p + 2 * i + 1) & 0xff)
+              i += 1
+            }
+            p += (if (pq == 0) 64 else 128)
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = seg
+          while (p < seg + len - 2) {
+            val tc = (bytes(p) & 0xf0) >> 4; val th = bytes(p) & 0x0f
+            val bits = new Array[Int](17)
+            var total = 0
+            (1 to 16).foreach { l =>
+              bits(l) = bytes(p + l) & 0xff; total += bits(l)
+            }
+            val vals = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xff)
+            huffs((tc, th)) = buildHuff(bits, vals)
+            p += 17 + total
+          }
+        case 0xc0 => // SOF0 baseline
+          height = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+          width = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+          nComp = bytes(seg + 5) & 0xff
+          compQ = new Array[Int](nComp)
+          var i = 0
+          while (i < nComp) {
+            val samp = bytes(seg + 6 + 3 * i + 1) & 0xff
+            if (samp != 0x11) return None // only 1x1 sampling supported
+            compQ(i) = bytes(seg + 6 + 3 * i + 2) & 0xff
+            i += 1
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          return None // non-baseline-sequential frame: honest stub path
+        case 0xdd => // DRI
+          restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+        case 0xda => // SOS — entropy-coded data follows
+          if (width <= 0 || height <= 0 || nComp <= 0) return None
+          val ns = bytes(seg) & 0xff
+          if (ns != nComp) return None
+          val compTables = Array.tabulate(ns) { i =>
+            val t = bytes(seg + 2 + 2 * i) & 0xff
+            ((t & 0xf0) >> 4, t & 0x0f) // (DC id, AC id)
+          }
+          var p = seg + 1 + 2 * ns + 3 // start of entropy data
+          // Bit reader with unstuffing + restart-marker handling.
+          var bitBuf = 0; var nBits = 0
+          def fill(): Boolean = {
+            while (nBits <= 24 && p < bytes.length) {
+              val b = bytes(p) & 0xff
+              if (b == 0xff) {
+                val nx = if (p + 1 < bytes.length) bytes(p + 1) & 0xff else 0xd9
+                if (nx == 0x00) { p += 2 }            // stuffed data byte
+                else if (nx >= 0xd0 && nx <= 0xd7) {  // RSTn: drop + resync
+                  p += 2; bitBuf = 0; nBits = 0
+                  return false // caller resets DC predictors
+                } else return nBits > 0 // EOI or other marker: stop feeding
+              } else p += 1
+              bitBuf = (bitBuf << 8) | b; nBits += 8
+            }
+            nBits > 0
+          }
+          def getBit(): Int = {
+            if (nBits == 0 && !fill()) return -1
+            if (nBits == 0) return -1
+            nBits -= 1
+            (bitBuf >> nBits) & 1
+          }
+          def receive(n: Int): Int = {
+            var v = 0; var i = 0
+            while (i < n) {
+              val b = getBit(); if (b < 0) return v << (n - i)
+              v = (v << 1) | b; i += 1
+            }
+            v
+          }
+          def extend(v: Int, t: Int): Int =
+            if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+          def decodeSym(h: Huff): Int = {
+            var code = getBit()
+            if (code < 0) return -1
+            var l = 1
+            while (l <= 16) {
+              if (h.maxcode(l) >= 0 && code <= h.maxcode(l) &&
+                  code >= h.mincode(l))
+                return h.vals(h.valptr(l) + code - h.mincode(l))
+              val b = getBit(); if (b < 0) return -1
+              code = (code << 1) | b
+              l += 1
+            }
+            -1
+          }
+          val (bw, bh) = ((width + 7) / 8, (height + 7) / 8)
+          val sums = new Array[Double](ns); val sqs = new Array[Double](ns)
+          var nPix = 0L
+          val prevDc = new Array[Int](ns)
+          val coef = new Array[Int](64)
+          val pix = new Array[Double](64)
+          var mcu = 0
+          val nMcu = bw * bh
+          var truncated = false
+          while (mcu < nMcu && !truncated) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+              // resync: fill() drops the RST marker and clears the buffer
+              bitBuf = 0; nBits = 0; fill()
+              java.util.Arrays.fill(prevDc, 0)
+            }
+            var c = 0
+            while (c < ns && !truncated) {
+              java.util.Arrays.fill(coef, 0)
+              val hdc = huffs.getOrElse((0, compTables(c)._1), null)
+              val hac = huffs.getOrElse((1, compTables(c)._2), null)
+              if (hdc == null || hac == null) return None
+              val t = decodeSym(hdc)
+              if (t < 0) truncated = true
+              else {
+                coef(0) = prevDc(c) + extend(receive(t), t)
+                prevDc(c) = coef(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob && !truncated) {
+                  val rs = decodeSym(hac)
+                  if (rs < 0) { truncated = true }
+                  else if (rs == 0x00) eob = true
+                  else if (rs == 0xf0) k += 16 // ZRL
+                  else {
+                    k += (rs >> 4)
+                    if (k < 64)
+                      coef(Zigzag(k)) = extend(receive(rs & 0xf), rs & 0xf)
+                    k += 1
+                  }
+                }
+                if (!truncated) {
+                  // Dequantize + IDCT. coef holds NATURAL-order values
+                  // (de-zigzagged on store); quant tables are stored in
+                  // zigzag order per the spec, so re-walk the zigzag.
+                  val q = quant(compQ(c))
+                  val dq = new Array[Double](64)
+                  var z = 0
+                  while (z < 64) { dq(Zigzag(z)) = coef(Zigzag(z)).toDouble * q(z); z += 1 }
+                  var y = 0
+                  while (y < 8) {
+                    var x = 0
+                    while (x < 8) {
+                      var s = 0.0
+                      var u = 0
+                      while (u < 8) {
+                        var v = 0
+                        while (v < 8) {
+                          val cu = if (u == 0) 0.70710678118654752 else 1.0
+                          val cv = if (v == 0) 0.70710678118654752 else 1.0
+                          s += cu * cv * dq(v * 8 + u) *
+                            math.cos((2 * x + 1) * u * math.Pi / 16) *
+                            math.cos((2 * y + 1) * v * math.Pi / 16)
+                          v += 1
+                        }
+                        u += 1
+                      }
+                      pix(y * 8 + x) = s / 4 + 128
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  // accumulate stats over pixels inside the image bounds
+                  val bx = mcu % bw; val by = mcu / bw
+                  var yy = 0
+                  while (yy < 8) {
+                    var xx = 0
+                    while (xx < 8) {
+                      if (bx * 8 + xx < width && by * 8 + yy < height) {
+                        val vv = math.max(0.0, math.min(255.0,
+                          math.rint(pix(yy * 8 + xx)))) / 255.0
+                        sums(c) += vv; sqs(c) += vv * vv
+                        if (c == 0) nPix += 1
+                      }
+                      xx += 1
+                    }
+                    yy += 1
+                  }
+                }
+              }
+              c += 1
+            }
+            mcu += 1
+          }
+          return Some((ImageMeta(width, height, ns, "jpeg"), nPix, sums, sqs))
+        case _ => () // APPn, COM, unknown: skip
+      }
+      off += 2 + len
+    }
+    None
+  }
 
   /** Frame sampling: split the payload into fixed-size chunks and keep every
     * `stride`-th — pure expression (binary substring), no UDF. */

@@ -272,6 +272,69 @@ class SystemSpec extends AnyFunSuite {
     assert(f.features(6) == 1.0)
   }
 
+  test("jpegChannelStats: exact constant-block round trip, AC paths, honesty") {
+    // 1. Constant-per-block images round-trip EXACTLY (DC-only DCT, q=1).
+    val (w, h) = (16, 16)
+    val blocks = Array(10, 250, 0, 131)
+    val jpg = Multimodal.jpegBytes(w, h, blocks)
+    val Some((meta, n, sums, sqs)) = Multimodal.jpegChannelStats(jpg)
+    assert(meta == Multimodal.ImageMeta(w, h, 1, "jpeg"))
+    assert(n == 256L)
+    val want = blocks.map(v => v / 255.0 * 64).sum
+    assert(math.abs(sums(0) - want) < 1e-9)
+    assert(math.abs(sqs(0) - blocks.map(v => math.pow(v / 255.0, 2) * 64).sum) < 1e-9)
+    // 2. AC decode paths (run-length, ZRL run of 16+, negative 'extend'):
+    // one 8×8 block with known zigzag coefficients, checked against an
+    // independently computed IDCT.
+    val coefs = new Array[Int](64)
+    coefs(0) = 8 * (77 - 128) // DC
+    coefs(1) = 35             // first AC
+    coefs(5) = -12            // negative: exercises extend()
+    coefs(24) = 9             // after a 18-zero run (ZRL + literal run)
+    val jpg2 = Multimodal.jpegBytesFromCoefs(8, 8, Array(coefs))
+    val Some((_, n2, s2, q2)) = Multimodal.jpegChannelStats(jpg2)
+    assert(n2 == 64L)
+    val zz = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val nat = new Array[Double](64)
+    coefs.indices.foreach(z => nat(zz(z)) = coefs(z).toDouble)
+    var wantSum = 0.0; var wantSq = 0.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+        s += cu * cv * nat(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      val p = math.max(0.0, math.min(255.0, math.rint(s / 4 + 128))) / 255.0
+      wantSum += p; wantSq += p * p
+    }
+    assert(math.abs(s2(0) - wantSum) < 1e-9, s"AC path sum ${s2(0)} vs $wantSum")
+    assert(math.abs(q2(0) - wantSq) < 1e-9)
+    // 3. Header metadata parses through the shared imageMeta path.
+    assert(Multimodal.imageMeta(jpg).map(_.format) == Some("jpeg"))
+    // 4. Garbage and truncation honesty: cut entropy data decodes the
+    // complete surviving blocks; non-JPEG containers decline.
+    assert(Multimodal.jpegChannelStats("garbage".getBytes) == None)
+    assert(Multimodal.jpegChannelStats(
+      Multimodal.bmpBytes(2, 2, Array.fill(16)(0.toByte))) == None)
+    val Some((_, nTrunc, _, _)) =
+      Multimodal.jpegChannelStats(jpg.take(jpg.length - 12))
+    assert(nTrunc < 256 && nTrunc % 64 == 0) // whole blocks only
+    // 5. decodeFeatures routes JPEG rows through the real decode.
+    import spark.implicits._
+    val row = Seq(Multimodal.MediaRow(1L, "image", jpg, w, h, -1)).toDS()
+    val f = Multimodal.decodeFeatures(row).collect()(0)
+    assert(math.abs(f.features(0) - want / 256) < 1e-9)
+    assert((f.width, f.height, f.channels) == ((16, 16, 1)))
+    assert(f.features(2) == 1.0) // decoded fraction
+  }
+
   test("wavSampleStats decodes real PCM: sign fold, truncation, 8-bit path") {
     // Hand-built 16-bit mono samples, incl. both extremes and zeros.
     val samples = Seq(1000, -2000, 0, 32767, -32768, 500)
