@@ -1251,49 +1251,27 @@ object PipelineQueries {
                            x => x.getField("t")))).as("tok_fp"))
           .select(col("id").as("doc_id"), col("n_tok"), col("tok_fp"))
       },
-      Some("""WITH tk0 AS MATERIALIZED (
-             |  SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS t
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
-             |       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(t))) AS i) g),
-             |pr1 AS MATERIALIZED (SELECT id, pos, t,
-             |    LEAD(t) OVER (PARTITION BY id ORDER BY pos) AS tn FROM tk0),
-             |top1 AS MATERIALIZED (SELECT t AS mx, tn AS my, COUNT(*) AS freq
-             |  FROM pr1 WHERE tn IS NOT NULL GROUP BY 1, 2
-             |  ORDER BY freq DESC, t ASC, tn ASC LIMIT 1),
-             |m1 AS (SELECT pr1.id, pr1.pos,
-             |    pr1.pos - ROW_NUMBER() OVER (PARTITION BY pr1.id ORDER BY pr1.pos) AS isl
-             |  FROM pr1, top1 WHERE pr1.t = top1.mx AND pr1.tn = top1.my),
-             |s1 AS (SELECT id, pos FROM (
-             |    SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY id, isl ORDER BY pos) AS k
-             |    FROM m1) q WHERE k % 2 = 1),
-             |c1 AS (SELECT id, pos FROM s1 UNION ALL SELECT id, pos + 1 FROM s1),
-             |tk1 AS MATERIALIZED (SELECT id,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) - 1 AS BIGINT) AS pos, t
-             |  FROM (SELECT k.id, k.pos, k.t FROM tk0 k
-             |        WHERE NOT EXISTS (SELECT 1 FROM c1
-             |                          WHERE c1.id = k.id AND c1.pos = k.pos)
-             |        UNION ALL SELECT s1.id, s1.pos, mx || my FROM s1, top1) u),
-             |pr2 AS MATERIALIZED (SELECT id, pos, t,
-             |    LEAD(t) OVER (PARTITION BY id ORDER BY pos) AS tn FROM tk1),
-             |top2 AS MATERIALIZED (SELECT t AS mx, tn AS my, COUNT(*) AS freq
-             |  FROM pr2 WHERE tn IS NOT NULL GROUP BY 1, 2
-             |  ORDER BY freq DESC, t ASC, tn ASC LIMIT 1),
-             |m2 AS (SELECT pr2.id, pr2.pos,
-             |    pr2.pos - ROW_NUMBER() OVER (PARTITION BY pr2.id ORDER BY pr2.pos) AS isl
-             |  FROM pr2, top2 WHERE pr2.t = top2.mx AND pr2.tn = top2.my),
-             |s2 AS (SELECT id, pos FROM (
-             |    SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY id, isl ORDER BY pos) AS k
-             |    FROM m2) q WHERE k % 2 = 1),
-             |c2 AS (SELECT id, pos FROM s2 UNION ALL SELECT id, pos + 1 FROM s2),
-             |tk2 AS (SELECT id,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) - 1 AS BIGINT) AS pos, t
-             |  FROM (SELECT k.id, k.pos, k.t FROM tk1 k
-             |        WHERE NOT EXISTS (SELECT 1 FROM c2
-             |                          WHERE c2.id = k.id AND c2.pos = k.pos)
-             |        UNION ALL SELECT s2.id, s2.pos, mx || my FROM s2, top2) u)
-             |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-             |       md5(string_agg(t, '|' ORDER BY pos)) AS tok_fp
-             |FROM tk2 GROUP BY id""".stripMargin)),
+      Some(bpeEncodeOracleSql)),
+
+    // Same oracle, FUSED encode path: the merge table is learned
+    // relationally, then applied by the native bpe_apply expression in
+    // ONE codegen'd pass per document (TextOps.bpeEncodeFused) — proves
+    // the flat-job-count path engine-identical end-to-end, not just
+    // spec-identical to the iterative path.
+    ("text_bpe_encode_fused",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.pipeline.TextOps.bpeLearnMerges(
+          docs, "doc_id", "text", merges = 2)
+        graft.pipeline.TextOps.bpeEncodeFused(docs, "doc_id", "text", merges)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_tok"),
+               md5(concat_ws("|",
+                 transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+                           x => x.getField("t")))).as("tok_fp"))
+          .select(col("id").as("doc_id"), col("n_tok"), col("tok_fp"))
+      },
+      Some(bpeEncodeOracleSql)),
 
     // Unigram-minhash fingerprint (rolling-hash family; md5 = both engines).
     ("text_fingerprint",
@@ -3184,4 +3162,54 @@ object PipelineQueries {
   /** DuckDB rendering of Dedup.bloomProbe's bit position j for key expr. */
   private def bloomPosSql(keyExpr: String, j: Int): String =
     s"(${graft.functions.PortableHash.md5Prefix60Sql(s"'bloom$j|' || $keyExpr")} % m)"
+
+  /** DuckDB replay of learn-2-merges + rank-order greedy encode —
+    * shared by text_bpe_encode (iterative path) and
+    * text_bpe_encode_fused (native bpe_apply path): one oracle, two
+    * engines-worth of evidence the merge application is identical. */
+  private def bpeEncodeOracleSql: String =
+      """WITH tk0 AS MATERIALIZED (
+             |  SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS t
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+             |       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(t))) AS i) g),
+             |pr1 AS MATERIALIZED (SELECT id, pos, t,
+             |    LEAD(t) OVER (PARTITION BY id ORDER BY pos) AS tn FROM tk0),
+             |top1 AS MATERIALIZED (SELECT t AS mx, tn AS my, COUNT(*) AS freq
+             |  FROM pr1 WHERE tn IS NOT NULL GROUP BY 1, 2
+             |  ORDER BY freq DESC, t ASC, tn ASC LIMIT 1),
+             |m1 AS (SELECT pr1.id, pr1.pos,
+             |    pr1.pos - ROW_NUMBER() OVER (PARTITION BY pr1.id ORDER BY pr1.pos) AS isl
+             |  FROM pr1, top1 WHERE pr1.t = top1.mx AND pr1.tn = top1.my),
+             |s1 AS (SELECT id, pos FROM (
+             |    SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY id, isl ORDER BY pos) AS k
+             |    FROM m1) q WHERE k % 2 = 1),
+             |c1 AS (SELECT id, pos FROM s1 UNION ALL SELECT id, pos + 1 FROM s1),
+             |tk1 AS MATERIALIZED (SELECT id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) - 1 AS BIGINT) AS pos, t
+             |  FROM (SELECT k.id, k.pos, k.t FROM tk0 k
+             |        WHERE NOT EXISTS (SELECT 1 FROM c1
+             |                          WHERE c1.id = k.id AND c1.pos = k.pos)
+             |        UNION ALL SELECT s1.id, s1.pos, mx || my FROM s1, top1) u),
+             |pr2 AS MATERIALIZED (SELECT id, pos, t,
+             |    LEAD(t) OVER (PARTITION BY id ORDER BY pos) AS tn FROM tk1),
+             |top2 AS MATERIALIZED (SELECT t AS mx, tn AS my, COUNT(*) AS freq
+             |  FROM pr2 WHERE tn IS NOT NULL GROUP BY 1, 2
+             |  ORDER BY freq DESC, t ASC, tn ASC LIMIT 1),
+             |m2 AS (SELECT pr2.id, pr2.pos,
+             |    pr2.pos - ROW_NUMBER() OVER (PARTITION BY pr2.id ORDER BY pr2.pos) AS isl
+             |  FROM pr2, top2 WHERE pr2.t = top2.mx AND pr2.tn = top2.my),
+             |s2 AS (SELECT id, pos FROM (
+             |    SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY id, isl ORDER BY pos) AS k
+             |    FROM m2) q WHERE k % 2 = 1),
+             |c2 AS (SELECT id, pos FROM s2 UNION ALL SELECT id, pos + 1 FROM s2),
+             |tk2 AS (SELECT id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) - 1 AS BIGINT) AS pos, t
+             |  FROM (SELECT k.id, k.pos, k.t FROM tk1 k
+             |        WHERE NOT EXISTS (SELECT 1 FROM c2
+             |                          WHERE c2.id = k.id AND c2.pos = k.pos)
+             |        UNION ALL SELECT s2.id, s2.pos, mx || my FROM s2, top2) u)
+             |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             |       md5(string_agg(t, '|' ORDER BY pos)) AS tok_fp
+             |FROM tk2 GROUP BY id""".stripMargin
+
 }
