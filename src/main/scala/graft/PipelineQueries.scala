@@ -3033,6 +3033,26 @@ object PipelineQueries {
               |    ORDER BY cos ASC, id) AS rank FROM sc WHERE cos IS NOT NULL) t
               |WHERE rank <= 3""".stripMargin)),
 
+    // Int8 quantization-error audit over the embeddings table: symmetric
+    // per-vector scale (max|x|/127), reconstruction MSE and max error —
+    // the is-int8-safe report before ANN index shipping. Both engines
+    // run the identical double arithmetic (round is half-away on both).
+    ("emb_int8_error",
+      (s, dir) => Similarity.int8QuantError(
+        Embeddings.fromParquet(s, s"$dir/embeddings.parquet")),
+      Some(s"""WITH e AS ($embedsSql),
+              |sc AS (SELECT id, v, list_max(list_transform(v, x -> ABS(x))) / 127.0 AS s
+              |       FROM e),
+              |er AS (SELECT id, v, s,
+              |         list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+              |                                ELSE x - ROUND(x / s, 0) * s END) AS d
+              |       FROM sc)
+              |SELECT id, CAST(len(v) AS BIGINT) AS n_dims,
+              |       ROUND(s, 8) AS scale,
+              |       ROUND(list_sum(list_transform(d, x -> x * x)) / len(v), 10) AS mse,
+              |       ROUND(list_max(list_transform(d, x -> ABS(x))), 8) AS max_err
+              |FROM er""".stripMargin)),
+
     // Stupid-Backoff bigram LM scoring (Brants 2007): model counts from a
     // deterministic 75% split (0.75 is binary-exact — 0.7·10⁶ truncates to
     // 699999 as a double), every doc scored against it, so held-out docs

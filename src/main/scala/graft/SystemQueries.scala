@@ -714,6 +714,46 @@ object SystemQueries {
             |  ROUND(list_sum(list_transform(bs,
             |    b -> pow(((media_id * 37 + b * 11) % 256) / 255.0, 2))) / 12, 6) AS msq_y,
             |  ROUND(1.0, 6) AS decoded_frac
-            |FROM b""".stripMargin))
+            |FROM b""".stripMargin)),
+
+    // REAL MP3 container metadata: each row carries genuine MPEG-1
+    // Layer III frame headers (44.1 kHz mono 128 kbps), a third of them
+    // behind an ID3v2 tag the parser must skip via its synchsafe length.
+    // Spark walks the actual frame chain (sync match, frame-length hop,
+    // complete-frames-only count); the oracle states the construction's
+    // closed form. Payload decode stays the declared stub — this is the
+    // metadata face (sample rate / channels / duration accounting) a
+    // pipeline filters on before any transcode.
+    ("multimodal_mp3_meta",
+      (s, dir) => {
+        import s.implicits._
+        val rows = s.range(48).map { id =>
+          val nf = (id % 7).toInt + 1
+          val pad = (id % 3).toInt * 50
+          Multimodal.MediaRow(id, "audio", Multimodal.mp3Bytes(nf, pad),
+            -1, -1, -1)
+        }
+        rows.map { r =>
+          val m = Multimodal.mp3Meta(r.media)
+          (r.media_id,
+           m.map(_._1.sampleRate).getOrElse(-1),
+           m.map(_._1.channels).getOrElse(-1),
+           m.map(_._1.nFrames).getOrElse(-1),
+           m.map(_._2).getOrElse(-1),
+           m.map(t => math.rint(t._3 * 1e6) / 1e6).getOrElse(-1.0))
+        }.toDF("media_id", "sample_rate", "channels", "n_frames", "kbps",
+               "duration_sec")
+          .select(col("media_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("kbps").cast("long").as("kbps"), col("duration_sec"))
+      },
+      Some("""SELECT r AS media_id, CAST(44100 AS BIGINT) AS sample_rate,
+            |  CAST(1 AS BIGINT) AS channels,
+            |  CAST(r % 7 + 1 AS BIGINT) AS n_frames,
+            |  CAST(128 AS BIGINT) AS kbps,
+            |  ROUND((r % 7 + 1) * 1152.0 / 44100, 6) AS duration_sec
+            |FROM range(48) t(r)""".stripMargin))
   )
 }

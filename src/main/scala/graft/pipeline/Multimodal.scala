@@ -204,6 +204,107 @@ object Multimodal {
          if (n > 0) sq / n else 0.0, peak, crossings)
     }
 
+  /** REAL MP3 container metadata (ISO/IEC 11172-3 frame headers, public
+    * spec) — no payload decode (that stays the declared stub seam; the
+    * Huffman-coded subband samples genuinely need a full synthesis
+    * filterbank), but sample rate, channel mode, bitrate and frame/
+    * duration accounting are parsed for real: skip an ID3v2 tag
+    * (synchsafe length), find the first valid frame sync, then hop
+    * frame-by-frame (length = 144·bitrate/samplerate + padding for
+    * MPEG-1 Layer III; 72· for MPEG-2/2.5) counting frames. nFrames
+    * counts COMPLETE frames present — truncation honesty like every
+    * decoder here. Returns (meta, bitrateKbps, durationSec); None when
+    * no valid MPEG audio frame is found. */
+  def mp3Meta(bytes: Array[Byte]): Option[(AudioMeta, Int, Double)] = {
+    // MPEG-1 Layer III bitrate table (kbps), index 1..14; V2/V2.5 table.
+    val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320)
+    val brV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                     144, 160)
+    val srV1 = Array(44100, 48000, 32000)
+    var off = 0
+    // ID3v2: "ID3" + ver(2) + flags(1) + synchsafe size(4)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + size
+    }
+    def frameAt(p: Int): Option[(Int, Int, Int, Int)] = {
+      // returns (frameLen, sampleRate, channels, bitrateKbps)
+      if (p + 4 > bytes.length) return None
+      val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
+      val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+      val version = (b2 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layer = (b2 >> 1) & 0x3   // 1=Layer III
+      if (version == 1 || layer != 1) return None
+      val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val sr0 = srV1(srIdx)
+      val (sr, kbps, mult) = version match {
+        case 3 => (sr0, brV1(brIdx), 144)
+        case 2 => (sr0 / 2, brV2(brIdx), 72)
+        case _ => (sr0 / 4, brV2(brIdx), 72)
+      }
+      val padding = (b3 >> 1) & 1
+      val channels = if (((b4 >> 6) & 0x3) == 3) 1 else 2
+      val len = mult * kbps * 1000 / sr + padding
+      if (len < 4) None else Some((len, sr, channels, kbps))
+    }
+    // Find the first sync that also chains to a valid (or absent) next
+    // frame — guards against 0xFFEx bytes inside tag padding.
+    var found = -1
+    while (found < 0 && off + 4 <= bytes.length) {
+      frameAt(off) match {
+        case Some((len, _, _, _))
+            if off + len + 4 > bytes.length || frameAt(off + len).isDefined =>
+          found = off
+        case _ => off += 1
+      }
+    }
+    if (found < 0) return None
+    frameAt(found).map { case (_, sr, ch, kbps) =>
+      var p = found
+      var frames = 0
+      var ok = true
+      while (ok) {
+        frameAt(p) match {
+          case Some((len, _, _, _)) if p + len <= bytes.length =>
+            frames += 1; p += len
+          case _ => ok = false
+        }
+      }
+      val samplesPerFrame = 1152 // Layer III, MPEG-1; (576 for V2 halved
+                                 // sr — duration math uses sr consistently)
+      (AudioMeta(sr, ch, -1, frames), kbps,
+       frames.toDouble * samplesPerFrame / sr)
+    }
+  }
+
+  /** A minimal real MP3 stream: `nFrames` MPEG-1 Layer III frames
+    * (44.1 kHz mono, 128 kbps — frame length 417) with deterministic
+    * filler payload, optionally prefixed by an ID3v2 tag. The frame
+    * HEADERS are genuine; the payload is not a real Huffman bitstream
+    * (metadata-parse fixture, not a listenable file). */
+  def mp3Bytes(nFrames: Int, id3Pad: Int = 0): Array[Byte] = {
+    val frameLen = 417 // 144 * 128000 / 44100, no padding bit
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Pad > 0) {
+      out.write(Array('I', 'D', '3', 3, 0, 0).map(_.toByte))
+      out.write(Array((id3Pad >> 21) & 0x7f, (id3Pad >> 14) & 0x7f,
+        (id3Pad >> 7) & 0x7f, id3Pad & 0x7f).map(_.toByte))
+      (0 until id3Pad).foreach(i => out.write(i & 0x7f))
+    }
+    (0 until nFrames).foreach { f =>
+      out.write(0xff); out.write(0xfb) // sync + MPEG1 + Layer III + no CRC
+      out.write(0x90)                  // bitrate idx 9 (128), sr idx 0 (44100)
+      out.write(0xc0)                  // mono
+      (4 until frameLen).foreach(i => out.write((f * 31 + i) & 0xff))
+    }
+    out.toByteArray
+  }
+
   /** A minimal canonical WAV header + payload (PCM, 16-byte fmt chunk).
     * `declaredLen` overrides the data-chunk length field when the payload
     * is appended separately (the synthetic-corpus path); −1 = payload
@@ -304,7 +405,9 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.media
         val imeta = imageMeta(bytes)
-        val ameta = audioMeta(bytes)
+        // WAV header, else real MP3 frame-header metadata (payload decode
+        // for MP3 stays the stub path below).
+        val ameta = audioMeta(bytes).orElse(mp3Meta(bytes).map(_._1))
         val pixelStats = bmpChannelStats(bytes).orElse(pngChannelStats(bytes))
           .orElse(jpegChannelStats(bytes))
         val feats = (pixelStats, wavSampleStats(bytes)) match {

@@ -317,6 +317,33 @@ object Similarity {
       .select(col("id"), col("label"), col("cos"), col("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization error report — the
+    * storage/serving compression every embedding pipeline applies before
+    * shipping vectors to an ANN index, with the reconstruction-error
+    * audit that decides whether int8 is safe for a given embedding
+    * family. scale = max|x|/127; q_i = round(x_i/scale) ∈ [−127, 127];
+    * x̂ = q·scale. Output: (id, n_dims, scale, mse, max_err). Pure
+    * column expressions (higher-order functions over the array — no
+    * explode, no shuffle): the linear one-pass-per-row shape that scans
+    * at parquet speed on 100 TB. Zero vectors quantize to zero exactly
+    * (scale 0 guard). */
+  def int8QuantError(emb: DataFrame, idCol: String = "id",
+                     vecCol: String = "vec"): DataFrame = {
+    val v = col(vecCol)
+    val scale =
+      aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0)
+    def err(x: Column, s: Column): Column =
+      when(s === 0, lit(0.0)).otherwise(x - round(x / s) * s)
+    emb.withColumn("_s", scale)
+      .select(col(idCol).as("id"),
+        size(v).cast("long").as("n_dims"),
+        round(col("_s"), 8).as("scale"),
+        round(aggregate(v, lit(0.0),
+          (a, x) => a + pow(err(x, col("_s")), 2)) / size(v), 10).as("mse"),
+        round(aggregate(v, lit(0.0),
+          (a, x) => greatest(a, abs(err(x, col("_s"))))), 8).as("max_err"))
+  }
+
   /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
     * each query probes its `probes` nearest cells — the standard
     * recall/cost knob (recall grows with probed cells, scan cost stays

@@ -377,6 +377,32 @@ class SystemSpec extends AnyFunSuite {
     assert(f(4) == 1.0)
   }
 
+  test("mp3Meta parses real frame headers: sync, ID3 skip, frame count") {
+    // 7 genuine MPEG-1 Layer III headers (44.1 kHz mono 128 kbps).
+    val mp3 = Multimodal.mp3Bytes(7)
+    val Some((meta, kbps, dur)) = Multimodal.mp3Meta(mp3)
+    assert(meta == Multimodal.AudioMeta(44100, 1, -1, 7))
+    assert(kbps == 128)
+    assert(math.abs(dur - 7.0 * 1152 / 44100) < 1e-9)
+    // ID3v2 tag skipped via its synchsafe length (tag bytes < 0x80 can't
+    // fake a frame sync).
+    val tagged = Multimodal.mp3Bytes(3, id3Pad = 200)
+    assert(Multimodal.mp3Meta(tagged).map(_._1.nFrames) == Some(3))
+    // Truncation honesty: only complete frames count.
+    val cut = Multimodal.mp3Bytes(7).take(417 * 3 + 100)
+    assert(Multimodal.mp3Meta(cut).map(_._1.nFrames) == Some(3))
+    // Garbage and other containers decline.
+    assert(Multimodal.mp3Meta("garbage".getBytes) == None)
+    assert(Multimodal.mp3Meta(
+      Multimodal.wavBytes(16000, 1, 16, Array.fill(8)(0.toByte))) == None)
+    // decodeFeatures reports the real sample rate/channels for MP3 rows
+    // (features stay the declared stub).
+    import spark.implicits._
+    val row = Seq(Multimodal.MediaRow(1L, "audio", mp3, -1, -1, -1)).toDS()
+    val f = Multimodal.decodeFeatures(row).collect()(0)
+    assert((f.sample_rate, f.channels) == ((44100, 1)))
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
