@@ -108,6 +108,8 @@ final class GraftCorpus(val frame: DataFrame,
     TextOps.bpeLearnMerges(frame, idCol, textCol, merges)
   def bpeEncode(merges: DataFrame): DataFrame =
     TextOps.bpeEncode(frame, idCol, textCol, merges)
+  def bpeEncodeFused(merges: DataFrame): DataFrame =
+    TextOps.bpeEncodeFused(frame, idCol, textCol, merges)
 
   // --- shaping for training ---
   def chunk(window: Int, overlap: Int = 0): DataFrame =
@@ -138,6 +140,7 @@ final class GraftVectors(val frame: DataFrame) {
     Cluster.kmeansFixed(frame, k, dim, iters)
   def nearDupPairs(threshold: Double = 0.9, planes: Int = 6): DataFrame =
     Dedup.embeddingPairs(frame, "id", "vec", threshold, planes)
+  def int8Error(): DataFrame = Similarity.int8QuantError(frame)
 }
 
 /** Pipeline facade entry points, companion to [[Graft]]'s KG entries. */

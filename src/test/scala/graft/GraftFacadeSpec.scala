@@ -97,6 +97,10 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(c.bigramScore(c.sample(0.75)).count() > 0)
     assert(c.bpeEncode(c.bpeLearn(merges = 2)).columns.toSeq
       == Seq("id", "pos", "t"))
+    assert(c.bpeEncodeFused(c.bpeLearn(merges = 2)).columns.toSeq
+      == Seq("id", "pos", "t"))
+    assert(v.int8Error().columns.toSeq
+      == Seq("id", "n_dims", "scale", "mse", "max_err"))
     val bench = c.frame.filter(
       org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
       .select(org.apache.spark.sql.functions.md5(
