@@ -38,4 +38,22 @@ class PlanGuardSpec extends AnyFunSuite {
       s"unpartitioned Window in: ${bad.mkString(", ")} — use " +
         "Ranking.globalIndex / rankTopK instead of a global window")
   }
+
+  test("every query has a DuckDB oracle (or a documented exception)") {
+    // The driver's correctness gate only covers queries with BOTH a
+    // `queries` entry and an `oracleSql` entry — a new query without an
+    // oracle silently downgrades to a rows-only check. Known exceptions
+    // are listed here ON PURPOSE so adding one is a reviewed decision.
+    val documented = Set(
+      "q_approx_distinct") // HLL sketch layouts are engine-specific;
+                           // error bound spec-checked in SystemSpec
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == documented,
+      s"queries without oracles: ${(missing -- documented).toSeq.sorted
+        .mkString(", ")} — add oracleSql or document the exception here")
+    // And no orphan oracles for deleted queries (stale keys would make
+    // Verify dump SQL the driver can never match to a parquet result).
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
+  }
 }
