@@ -36,7 +36,10 @@ object Bench {
     "text_winnow", "text_pmi_topk", "ann_hard_negatives",
     "dedup_substring_spans", "dedup_span_redact", "sample_dsir",
     "text_bigram_logp", "q_stream_join", "ann_recall",
-    "train_transe_step", "dedup_incremental", "q_triangles")
+    "train_transe_step", "dedup_incremental", "q_triangles",
+    // round-8 additions
+    "q_range_join", "q_funnel", "text_bpe_encode_fused",
+    "multimodal_jpeg_decode", "lmpnn_1p_bias", "emb_int8_error")
 
   /** 1-minute system load average (or -1 when the platform hides it):
     * the sandbox CPU-throttles under sustained load (NOTES.md — the same

@@ -673,15 +673,28 @@ object Multimodal {
     })
 
   /** Build a baseline grayscale JPEG from per-block QUANTIZED coefficient
-    * arrays in ZIGZAG order (index 0 = DC, q=1 table) — the general
-    * entropy encoder behind [[jpegBytes]]: DC differences, AC run-length
-    * with ZRL and EOB, Annex K Huffman tables, byte stuffing. Lets specs
-    * exercise the decoder's AC paths with exactly-known coefficients. */
+    * arrays in ZIGZAG order (index 0 = DC, q=1 table): DC differences, AC
+    * run-length with ZRL and EOB, Annex K Huffman tables, byte stuffing.
+    * Lets specs exercise the decoder's AC paths with exactly-known
+    * coefficients. */
   def jpegBytesFromCoefs(width: Int, height: Int,
-                         blocks: Array[Array[Int]]): Array[Byte] = {
+                         blocks: Array[Array[Int]]): Array[Byte] =
+    jpegBytesInterleaved(width, height, blocks.map(Array(_)))
+
+  /** The general entropy encoder behind [[jpegBytes]] /
+    * [[jpegBytesFromCoefs]]: `mcus(m)(c)` is the zigzag-order quantized
+    * coefficient block of component `c` in MCU `m` — one component is a
+    * grayscale stream, three is the interleaved YCbCr 4:4:4 layout (all
+    * components 1x1-sampled, shared quant/Huffman tables, per-component
+    * DC predictors per T.81 E.2.4). */
+  def jpegBytesInterleaved(width: Int, height: Int,
+                           mcus: Array[Array[Array[Int]]],
+                           restartInterval: Int = 0): Array[Byte] = {
     require(width % 8 == 0 && height % 8 == 0, "dims must be multiples of 8")
     val (bw, bh) = (width / 8, height / 8)
-    require(blocks.length == bw * bh, "one coef block per 8x8 block")
+    require(mcus.length == bw * bh, "one MCU per 8x8 block position")
+    val nComp = mcus(0).length
+    require(nComp == 1 || nComp == 3, s"1 or 3 components, got $nComp")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -689,17 +702,20 @@ object Multimodal {
     marker(0xd8) // SOI
     marker(0xdb); u16(2 + 1 + 64); u8(0) // DQT: 8-bit table 0
     (0 until 64).foreach(_ => u8(1))     // all-1 quantization
-    marker(0xc0); u16(2 + 6 + 3); u8(8)  // SOF0: 8-bit precision
-    u16(height); u16(width); u8(1)       // one component
-    u8(1); u8(0x11); u8(0)               // id 1, 1x1 sampling, qtable 0
+    marker(0xc0); u16(2 + 6 + 3 * nComp); u8(8) // SOF0: 8-bit precision
+    u16(height); u16(width); u8(nComp)
+    (1 to nComp).foreach { c =>
+      u8(c); u8(0x11); u8(0) // id c, 1x1 sampling, qtable 0
+    }
     def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(tc)
       (1 to 16).foreach(l => u8(bits(l))); vals.foreach(u8)
     }
     dht(0x00, JpegDcBits, JpegDcVals) // DC table 0
     dht(0x10, JpegAcBits, JpegAcVals) // AC table 0
-    marker(0xda); u16(2 + 1 + 2 + 3); u8(1) // SOS
-    u8(1); u8(0x00) // component 1 uses DC 0 / AC 0
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda); u16(2 + 1 + 2 * nComp + 3); u8(nComp) // SOS
+    (1 to nComp).foreach { c => u8(c); u8(0x00) } // all use DC 0 / AC 0
     u8(0); u8(63); u8(0) // Ss, Se, Ah/Al
     // Entropy-coded segment: per block DC diff (category + bits) then EOB.
     val dcC = huffCodes(JpegDcBits, JpegDcVals)
@@ -722,27 +738,40 @@ object Multimodal {
     }
     def putMag(v: Int, t: Int): Unit =
       if (t > 0) putBits((if (v < 0) v - 1 else v) & ((1 << t) - 1), t)
-    var prevDc = 0
-    blocks.foreach { coefs =>
-      val diff = coefs(0) - prevDc
-      prevDc = coefs(0)
-      val t = cat(diff)
-      putCoded(dcC, t); putMag(diff, t)
-      // AC run-length coding over zigzag indices 1..63
-      val lastNz = (63 to 1 by -1).find(coefs(_) != 0).getOrElse(0)
-      var run = 0
-      var z = 1
-      while (z <= lastNz) {
-        if (coefs(z) == 0) run += 1
-        else {
-          while (run >= 16) { putCoded(acC, 0xf0); run -= 16 } // ZRL
-          val s = cat(coefs(z))
-          putCoded(acC, (run << 4) | s); putMag(coefs(z), s)
-          run = 0
-        }
-        z += 1
+    val prevDc = new Array[Int](nComp)
+    var rstSeq = 0
+    mcus.zipWithIndex.foreach { case (mcu, m) =>
+      if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
+        // Pad to the byte boundary with 1s, emit RSTn, reset predictors.
+        if (nBits > 0) putBits(0xff, (8 - (nBits % 8)) & 7)
+        u8(0xff); u8(0xd0 + rstSeq)
+        rstSeq = (rstSeq + 1) % 8
+        java.util.Arrays.fill(prevDc, 0)
       }
-      if (lastNz < 63) putCoded(acC, 0x00) // EOB
+      var c = 0
+      while (c < nComp) {
+        val coefs = mcu(c)
+        val diff = coefs(0) - prevDc(c)
+        prevDc(c) = coefs(0)
+        val t = cat(diff)
+        putCoded(dcC, t); putMag(diff, t)
+        // AC run-length coding over zigzag indices 1..63
+        val lastNz = (63 to 1 by -1).find(coefs(_) != 0).getOrElse(0)
+        var run = 0
+        var z = 1
+        while (z <= lastNz) {
+          if (coefs(z) == 0) run += 1
+          else {
+            while (run >= 16) { putCoded(acC, 0xf0); run -= 16 } // ZRL
+            val s = cat(coefs(z))
+            putCoded(acC, (run << 4) | s); putMag(coefs(z), s)
+            run = 0
+          }
+          z += 1
+        }
+        if (lastNz < 63) putCoded(acC, 0x00) // EOB
+        c += 1
+      }
     }
     if (nBits > 0) putBits(0xff, 8 - (nBits % 8) & 7) // pad with 1s
     marker(0xd9) // EOI
@@ -858,18 +887,17 @@ object Multimodal {
             ((t & 0xf0) >> 4, t & 0x0f) // (DC id, AC id)
           }
           var p = seg + 1 + 2 * ns + 3 // start of entropy data
-          // Bit reader with unstuffing + restart-marker handling.
+          // Bit reader with unstuffing; stops feeding at ANY marker
+          // (incl. RSTn — consumed only by the explicit restart resync
+          // below, never mid-symbol).
           var bitBuf = 0; var nBits = 0
           def fill(): Boolean = {
             while (nBits <= 24 && p < bytes.length) {
               val b = bytes(p) & 0xff
               if (b == 0xff) {
                 val nx = if (p + 1 < bytes.length) bytes(p + 1) & 0xff else 0xd9
-                if (nx == 0x00) { p += 2 }            // stuffed data byte
-                else if (nx >= 0xd0 && nx <= 0xd7) {  // RSTn: drop + resync
-                  p += 2; bitBuf = 0; nBits = 0
-                  return false // caller resets DC predictors
-                } else return nBits > 0 // EOI or other marker: stop feeding
+                if (nx == 0x00) p += 2 // stuffed data byte
+                else return nBits > 0  // RSTn / EOI / other marker: stop
               } else p += 1
               bitBuf = (bitBuf << 8) | b; nBits += 8
             }
@@ -916,8 +944,24 @@ object Multimodal {
           var truncated = false
           while (mcu < nMcu && !truncated) {
             if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-              // resync: fill() drops the RST marker and clears the buffer
-              bitBuf = 0; nBits = 0; fill()
+              // Restart resync: discard buffered padding bits, scan
+              // forward over any not-yet-read padding (incl. stuffed
+              // 0xFF00) to the RSTn marker, consume it, reset DC
+              // predictors. A non-RST marker is left for the caller
+              // (truncation honesty).
+              bitBuf = 0; nBits = 0
+              var scanning = true
+              while (scanning && p + 1 < bytes.length) {
+                val b = bytes(p) & 0xff
+                if (b == 0xff) {
+                  val nx = bytes(p + 1) & 0xff
+                  if (nx == 0x00) p += 2 // stuffed padding byte
+                  else {
+                    if (nx >= 0xd0 && nx <= 0xd7) p += 2 // RSTn
+                    scanning = false
+                  }
+                } else p += 1
+              }
               java.util.Arrays.fill(prevDc, 0)
             }
             var c = 0

@@ -335,6 +335,40 @@ class SystemSpec extends AnyFunSuite {
     assert(f.features(2) == 1.0) // decoded fraction
   }
 
+  test("jpeg interleaved 4:4:4 and restart-interval streams decode exactly") {
+    // 3-component MCUs with distinct per-component constant values: the
+    // interleaved path must keep the three DC predictor chains separate.
+    def dcBlock(v: Int): Array[Int] = {
+      val c = new Array[Int](64); c(0) = 8 * (v - 128); c
+    }
+    val (w, h) = (24, 16) // 3×2 MCUs
+    val comps = Array.tabulate(6)(m =>
+      Array(dcBlock(20 * m + 10), dcBlock(200 - 13 * m), dcBlock(7 * m)))
+    val jpg = Multimodal.jpegBytesInterleaved(w, h, comps)
+    val Some((meta, n, sums, _)) = Multimodal.jpegChannelStats(jpg)
+    assert(meta == Multimodal.ImageMeta(w, h, 3, "jpeg"))
+    assert(n == w.toLong * h)
+    for (c <- 0 until 3) {
+      val wantC = comps.map(_(c)(0) / 8 + 128).map(_ / 255.0 * 64).sum
+      assert(math.abs(sums(c) - wantC) < 1e-9, s"component $c")
+    }
+    // DRI/RSTn: same image with restart markers every 2 MCUs must decode
+    // to identical statistics (predictor reset + marker resync correct).
+    val jpgR = Multimodal.jpegBytesInterleaved(w, h, comps, restartInterval = 2)
+    assert(jpgR.length > jpg.length) // markers actually present
+    val Some((metaR, nR, sumsR, _)) = Multimodal.jpegChannelStats(jpgR)
+    assert(metaR == meta && nR == n)
+    for (c <- 0 until 3)
+      assert(math.abs(sumsR(c) - sums(c)) < 1e-9, s"RST component $c")
+    // Grayscale + restart interval too (different MCU geometry).
+    val g = Array.tabulate(6)(m => Array(dcBlock(40 * (m % 4) + 15)))
+    val gPlain = Multimodal.jpegBytesInterleaved(w, h, g)
+    val gRst = Multimodal.jpegBytesInterleaved(w, h, g, restartInterval = 1)
+    val Some((_, n1, s1a, _)) = Multimodal.jpegChannelStats(gPlain)
+    val Some((_, n2b, s2b, _)) = Multimodal.jpegChannelStats(gRst)
+    assert(n1 == n2b && math.abs(s1a(0) - s2b(0)) < 1e-9)
+  }
+
   test("wavSampleStats decodes real PCM: sign fold, truncation, 8-bit path") {
     // Hand-built 16-bit mono samples, incl. both extremes and zeros.
     val samples = Seq(1000, -2000, 0, 32767, -32768, 500)
