@@ -408,6 +408,31 @@ object SystemQueries {
              countDistinct("l_partkey").as("exact_parts")),
       None),
 
+    // Quantile sketch: approx_percentile (Greenwald-Khanna / ApproxPDQ) —
+    // the scale path for percentile dashboards (mergeable partial sketches,
+    // no global sort). Accuracy 1e6 >> group sizes at every verify SF, so
+    // the sketch is EXACT there and oracle-checkable against DuckDB's
+    // discrete quantiles — unlike HLL, the sketch's exact-mode output is
+    // engine-portable (both return an actual data element at the same
+    // rank). At 100 TB the same plan runs with the default accuracy and
+    // degrades gracefully to the documented ε-rank guarantee.
+    ("q_approx_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 1000000)")
+               .as("ps"),
+             count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+                element_at(col("ps"), 1).as("p50"),
+                element_at(col("ps"), 2).as("p90"),
+                element_at(col("ps"), 3).as("p99"), col("n")),
+      Some("""SELECT l_returnflag,
+             |  quantile_disc(l_quantity, 0.5) AS p50,
+             |  quantile_disc(l_quantity, 0.9) AS p90,
+             |  quantile_disc(l_quantity, 0.99) AS p99,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // Q3-style: top-10 unshipped-revenue orders (3-table join + agg + topk).
     ("q_join_revenue_topk",
       (s, dir) => {
