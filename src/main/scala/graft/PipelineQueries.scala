@@ -1732,6 +1732,62 @@ object PipelineQueries {
            |       ROUND(x0 - 0.03125 * COALESCE(g, 0), 6) AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
+    // ADAGRAD step (Duchi 2011): per-parameter adaptive rate lr/sqrt(sum g^2).
+    // Exactness: sign gradients are integers, so the accumulator is an
+    // exact long and the update runs in micro-integer arithmetic with a
+    // floor-quantized adaptive rate m = floor(lr*1e6/sqrt(a)) — the only
+    // float ops (sqrt, div, floor) are IEEE-identical cross-engine and no
+    // decimal rounding (and hence no .5-micro tie class) exists at all.
+    ("train_transe_adagrad",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.transeSgdAdagrad(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED, steps = 1)
+      },
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""te AS (SELECT src, rel, dst FROM edges
+           |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+           |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+           |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+           |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+           |ed AS (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+           |dm AS (SELECT src, rel, dst, neg, i,
+           |         SIN((src % 9973 + 1) * i * 0.017 + $ENT_SEED) AS h,
+           |         SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED) AS r,
+           |         SIN((dst % 9973 + 1) * i * 0.017 + $ENT_SEED) AS t,
+           |         SIN((neg % 9973 + 1) * i * 0.017 + $ENT_SEED) AS tn
+           |       FROM ed CROSS JOIN generate_series(1, $DIM) g(i)),
+           |sc AS (SELECT src, rel, dst, neg,
+           |         SUM(ABS(h + r - t)) AS dp, SUM(ABS(h + r - tn)) AS dn
+           |       FROM dm GROUP BY 1, 2, 3, 4),
+           |vd AS (SELECT dm.*, SIGN(h + r - t) AS s, SIGN(h + r - tn) AS sp
+           |       FROM dm JOIN (SELECT src, rel, dst, neg FROM sc
+           |                     WHERE 1.0 + dp - dn > 0) vi
+           |         USING (src, rel, dst, neg)),
+           |contrib AS (SELECT 'ent' AS kind, src AS id, i, s - sp AS g FROM vd
+           |  UNION ALL SELECT 'ent', dst, i, -s FROM vd
+           |  UNION ALL SELECT 'ent', neg, i, sp FROM vd
+           |  UNION ALL SELECT 'rel', rel, i, s - sp AS g FROM vd),
+           |gsum AS (SELECT kind, id, i, SUM(g) AS g FROM contrib GROUP BY 1, 2, 3),
+           |base AS (SELECT 'ent' AS kind, id, i,
+           |           SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x0
+           |         FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+           |         UNION ALL
+           |         SELECT 'rel', rel AS id, i,
+           |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+           |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
+           |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
+           |       CASE WHEN COALESCE(g, 0) = 0 THEN x0
+           |            ELSE CAST(CAST(ROUND(x0 * 1000000, 0) AS BIGINT)
+           |                      - CAST(g AS BIGINT) *
+           |                        CAST(FLOOR(31250.0 / SQRT(g * g)) AS BIGINT)
+           |                   AS DOUBLE) / 1000000 END AS x
+           |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
+
     // TransE SGD step under deterministic-HASH corruption: the reference's
     // uniform negative sampling made portable — the corrupting tail is the
     // entity at sorted-index md5_60("src|rel|dst") mod n (next index on a

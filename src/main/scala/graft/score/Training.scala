@@ -173,16 +173,37 @@ object Training {
                batches = 0, momentum = mu)
   }
 
+  /** `steps` ADAGRAD steps (Duchi et al. 2011): per-parameter adaptive
+    * rate lr/√(Σₖ gₖ²). Exactness contract: the L1-sign gradients are
+    * INTEGERS, so the accumulator aₖ = aₖ₋₁ + gₖ² is an exact long — no
+    * quantization needed — and the per-step update runs entirely in
+    * micro-integer arithmetic: mₖ = floor(lr·10⁶/√aₖ) micro-units,
+    * microX ← microX − g·mₖ. The only floating-point ops (√, ÷, floor)
+    * are IEEE-correctly-rounded on identical inputs in any engine, and
+    * no decimal rounding ever runs — the .5·10⁻⁶ tie class that bit
+    * [[microUpdate]] cannot occur by construction. The floor-quantized
+    * adaptive rate is the documented semantic difference from textbook
+    * AdaGrad (a sub-micro rate truncates to zero once a > (lr·10⁶)²). */
+  def transeSgdAdagrad(entities: DataFrame, edges: DataFrame, dim: Int,
+                       entSeed: Double, relSeed: Double, steps: Int = 1,
+                       gamma: Double = 1.0, lr: Double = 0.03125): DataFrame =
+    transeLoop(entities, edges, dim, entSeed, relSeed, steps, gamma, lr,
+               batches = 0, adagrad = true)
+
   /** Shared TransE loop: `batches` = 0 runs every step over ALL edges
     * ([[transeSgd]]); `batches` = steps > 0 runs step k over mini-batch
     * k−1 ([[transeSgdEpoch]]). `hashNeg` swaps the cyclic corruption for
     * the portable-hash draw ([[hashNegEdges]]). `momentum` > 0 threads a
-    * long-form velocity frame through the loop ([[transeSgdMomentum]]). */
+    * long-form velocity frame through the loop ([[transeSgdMomentum]]);
+    * `adagrad` an exact-integer squared-gradient accumulator
+    * ([[transeSgdAdagrad]]). */
   private def transeLoop(entities: DataFrame, edges: DataFrame, dim: Int,
                          entSeed: Double, relSeed: Double, steps: Int,
                          gamma: Double, lr: Double, batches: Int,
                          hashNeg: Boolean = false,
-                         momentum: Double = 0.0): DataFrame = {
+                         momentum: Double = 0.0,
+                         adagrad: Boolean = false): DataFrame = {
+    require(!(momentum > 0 && adagrad), "momentum and adagrad are exclusive")
     require(dim > 0, s"dim must be positive, got $dim")
     require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
@@ -205,7 +226,8 @@ object Training {
           .as(Seq("pos", "x")))
     var e = base(ents, "ent", entSeed).unionAll(base(rels, "rel", relSeed))
       .localCheckpoint(true)
-    var v: DataFrame = null // momentum velocity (kind, id, pos, v)
+    var v: DataFrame = null   // momentum velocity (kind, id, pos, v)
+    var acc: DataFrame = null // adagrad Σg² accumulator (kind, id, pos, a)
 
     for (k <- 1 to steps) {
       val edk = if (batches > 0) ed.filter(col("_mb") === k - 1) else ed
@@ -238,7 +260,33 @@ object Training {
         .unionAll(vd.select(lit("rel").as("kind"), col("rel").as("id"),
                             col("pos"), (col("s") - col("sp")).as("g")))
       val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
-      if (momentum == 0.0) {
+      if (adagrad) {
+        // aₖ = aₖ₋₁ + gₖ² — exact longs (sign gradients are integers).
+        acc = (if (acc == null)
+                 grads.select(col("kind"), col("id"), col("pos"),
+                              (col("g") * col("g")).cast("long").as("a"))
+               else acc.join(grads, Seq("kind", "id", "pos"), "full_outer")
+                 .select(col("kind"), col("id"), col("pos"),
+                         (coalesce(col("a"), lit(0L)) +
+                           (coalesce(col("g"), lit(0.0)) *
+                             coalesce(col("g"), lit(0.0))).cast("long"))
+                           .as("a")))
+          .localCheckpoint(true)
+        // microX ← microX − g·floor(lr·10⁶/√a): all-long state math; the
+        // float ops (√, ÷, floor) are IEEE-identical cross-engine and no
+        // decimal rounding runs (see transeSgdAdagrad).
+        e = e.join(grads, Seq("kind", "id", "pos"), "left")
+          .join(acc, Seq("kind", "id", "pos"), "left")
+          .select(col("kind"), col("id"), col("pos"),
+            when(coalesce(col("g"), lit(0.0)) === 0, col("x"))
+              .otherwise(
+                (round(col("x") * 1e6, 0).cast("long") -
+                  col("g").cast("long") *
+                    floor(lit(lr * 1e6) / sqrt(col("a"))).cast("long"))
+                  .cast("double") / 1e6)
+              .as("x"))
+          .localCheckpoint(true)
+      } else if (momentum == 0.0) {
         e = e.join(grads, Seq("kind", "id", "pos"), "left")
           .select(col("kind"), col("id"), col("pos"),
                   round(col("x") - coalesce(col("g"), lit(0.0)) * lr, 6).as("x"))

@@ -75,6 +75,50 @@ class TrainingSpec extends AnyFunSuite {
            s"loss must be non-increasing: ${loss(e0)} -> ${loss(e1)} -> ${loss(e2)}")
   }
 
+  test("adagrad: integer accumulator, floor-quantized rate, threads across steps") {
+    // Forced-active hinge: every parameter that moves must move by an
+    // exact integer number of micro-units equal to g * floor(31250/sqrt(a)).
+    val one = Training.transeSgdAdagrad(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 1, gamma = 1000.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    var moved = 0
+    one.foreach { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      val x0 = math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed)
+      if (x != x0) {
+        moved += 1
+        // one step: update = g*floor(31250/|g|) micro; for every integer g,
+        // the micro delta divided by floor(31250/|g|) must be ±g exactly.
+        val micro0 = math.rint(x0 * 1e6).toLong
+        val micro1 = math.rint(x * 1e6).toLong
+        val d = micro0 - micro1
+        val gCands = (1 to 8).filter { g =>
+          math.abs(d) == g.toLong * math.floor(31250.0 / g).toLong
+        }
+        assert(gCands.nonEmpty, s"$kind $id $pos delta $d not adagrad-shaped")
+      }
+    }
+    assert(moved > 0)
+    // Two steps differ from one (the accumulator shrinks step 2's rate, so
+    // a param hit twice moves LESS the second time than a fresh SGD step
+    // would move it) and stay deterministic across partitionings.
+    val two = Training.transeSgdAdagrad(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1000.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(two != one)
+    val twoAgain = Training.transeSgdAdagrad(
+      ents.repartition(3), edges.repartition(2), dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1000.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(twoAgain == two, "adagrad trajectory is partition-dependent")
+  }
+
   test("cyclic-next map: no no-partition window, no forced broadcast hint") {
     val nm = Training.cyclicNextMap(ents.select(col("id").cast("long").as("id")))
     // the scale-safe shape: zipWithIndex (invisible LogicalRDD) + equi-join —
