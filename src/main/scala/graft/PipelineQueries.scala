@@ -1788,6 +1788,86 @@ object PipelineQueries {
            |                   AS DOUBLE) / 1000000 END AS x
            |FROM base LEFT JOIN gsum USING (kind, id, i)""".stripMargin)),
 
+    // TWO ADAM steps (Kingma & Ba 2015, beta1 = beta2 = 1/2): both moment
+    // states are exact dyadic rationals (halving = IEEE exponent shift,
+    // sign-gradients integers), bias corrections 1 - 2^-k exact dyadics,
+    // and the state update is the AdaGrad floor-quantized micro step —
+    // the whole two-step trajectory replays bit-for-bit in any engine.
+    // Two steps, not one: step 1 of Adam is a fixed +-lr move (m-hat = g,
+    // v-hat = g^2), so only a second step proves the adaptive state.
+    ("train_transe_adam",
+      (s, dir) => {
+        val edges = KG.edges(s, dir)
+          .filter(col("rel").isin(KG.REL_SUPP_NATION, KG.REL_NATION_REGION))
+        val ents = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+        graft.score.Training.transeSgdAdam(ents, edges, dim = DIM,
+          entSeed = ENT_SEED, relSeed = REL_SEED, steps = 2)
+      },
+      Some {
+        def stepCtes(k: Int): String = {
+          val (p, c) = (s"e${k - 1}", s"e$k")
+          val bc = if (k == 1) "0.5" else "0.75" // 1 - 2^-k, exact dyadics
+          val mvPrev =
+            if (k == 1)
+              s"""mv$k AS MATERIALIZED (SELECT kind, id, i,
+                 |          0.5 * g AS m, 0.5 * g * g AS w FROM gs$k)"""
+                .stripMargin
+            else
+              s"""mv$k AS MATERIALIZED (SELECT kind, id, i,
+                 |          COALESCE(m, 0) * 0.5 + COALESCE(g, 0) * 0.5 AS m,
+                 |          COALESCE(w, 0) * 0.5 + COALESCE(g, 0) * COALESCE(g, 0) * 0.5 AS w
+                 |        FROM mv${k - 1} FULL JOIN gs$k USING (kind, id, i))"""
+                .stripMargin
+          s"""dm$k AS MATERIALIZED (SELECT ed.src, ed.rel, ed.dst, ed.neg, h.i,
+             |           h.x AS h, r.x AS r, t.x AS t, tn.x AS tn
+             |         FROM ed
+             |         JOIN $p h ON h.kind = 'ent' AND h.id = ed.src
+             |         JOIN $p r ON r.kind = 'rel' AND r.id = ed.rel AND r.i = h.i
+             |         JOIN $p t ON t.kind = 'ent' AND t.id = ed.dst AND t.i = h.i
+             |         JOIN $p tn ON tn.kind = 'ent' AND tn.id = ed.neg AND tn.i = h.i),
+             |sc$k AS (SELECT src, rel, dst, neg,
+             |           SUM(ABS(h + r - t)) AS dp, SUM(ABS(h + r - tn)) AS dn
+             |         FROM dm$k GROUP BY 1, 2, 3, 4),
+             |vd$k AS (SELECT dm$k.*, SIGN(h + r - t) AS s, SIGN(h + r - tn) AS sp
+             |         FROM dm$k JOIN (SELECT src, rel, dst, neg FROM sc$k
+             |                         WHERE 1.0 + dp - dn > 0) vi$k
+             |           USING (src, rel, dst, neg)),
+             |ct$k AS (SELECT 'ent' AS kind, src AS id, i, s - sp AS g FROM vd$k
+             |  UNION ALL SELECT 'ent', dst, i, -s FROM vd$k
+             |  UNION ALL SELECT 'ent', neg, i, sp FROM vd$k
+             |  UNION ALL SELECT 'rel', rel, i, s - sp FROM vd$k),
+             |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3),
+             |$mvPrev,
+             |$c AS MATERIALIZED (SELECT kind, id, i,
+             |         CASE WHEN COALESCE(m, 0) = 0 THEN x
+             |              ELSE CAST(CAST(ROUND(x * 1000000, 0) AS BIGINT)
+             |                        - CAST(SIGN(m) AS BIGINT) *
+             |                          CAST(FLOOR(31250.0 * ABS(m) / $bc /
+             |                                     SQRT(w / $bc)) AS BIGINT)
+             |                     AS DOUBLE) / 1000000 END AS x
+             |       FROM $p LEFT JOIN mv$k USING (kind, id, i))""".stripMargin
+        }
+        KG.edgesCte.trim + ",\n" +
+          s"""te AS (SELECT src, rel, dst FROM edges
+             |       WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+             |en AS (SELECT DISTINCT id FROM (SELECT src AS id FROM te UNION SELECT dst FROM te) u),
+             |ix AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS i FROM en),
+             |neg AS (SELECT a.id AS dst, b.id AS neg FROM ix a JOIN ix b
+             |        ON a.i % (SELECT COUNT(*) FROM en) + 1 = b.i),
+             |ed AS MATERIALIZED (SELECT src, rel, dst, neg FROM te JOIN neg USING (dst)),
+             |e0 AS MATERIALIZED (SELECT 'ent' AS kind, id, i,
+             |         SIN((id % 9973 + 1) * i * 0.017 + $ENT_SEED) AS x
+             |       FROM en CROSS JOIN generate_series(1, $DIM) g(i)
+             |       UNION ALL
+             |       SELECT 'rel', rel AS id, i,
+             |         SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
+             |       FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i)),
+             |${stepCtes(1)},
+             |${stepCtes(2)}
+             |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos, x FROM e2""".stripMargin
+      }),
+
     // TransE SGD step under deterministic-HASH corruption: the reference's
     // uniform negative sampling made portable — the corrupting tail is the
     // entity at sorted-index md5_60("src|rel|dst") mod n (next index on a

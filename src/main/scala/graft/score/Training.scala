@@ -190,20 +190,38 @@ object Training {
     transeLoop(entities, edges, dim, entSeed, relSeed, steps, gamma, lr,
                batches = 0, adagrad = true)
 
+  /** `steps` ADAM steps (Kingma & Ba 2015) with β₁ = β₂ = ½ — the dyadic
+    * choice that makes BOTH moment states exactly replayable:
+    * mₖ = ½mₖ₋₁ + ½gₖ and vₖ = ½vₖ₋₁ + ½gₖ² are exact dyadic rationals
+    * (halving is an IEEE exponent shift; the L1-sign gradients g and g²
+    * are integers), so like the momentum velocity they need NO
+    * quantization. Bias corrections 1 − 2⁻ᵏ are exact dyadics too; the
+    * remaining √/÷ run in IEEE doubles (identical cross-engine) and the
+    * state update is the same floor-quantized micro-integer step as
+    * [[transeSgdAdagrad]] — no decimal rounding, no tie class. */
+  def transeSgdAdam(entities: DataFrame, edges: DataFrame, dim: Int,
+                    entSeed: Double, relSeed: Double, steps: Int = 1,
+                    gamma: Double = 1.0, lr: Double = 0.03125): DataFrame =
+    transeLoop(entities, edges, dim, entSeed, relSeed, steps, gamma, lr,
+               batches = 0, adam = true)
+
   /** Shared TransE loop: `batches` = 0 runs every step over ALL edges
     * ([[transeSgd]]); `batches` = steps > 0 runs step k over mini-batch
     * k−1 ([[transeSgdEpoch]]). `hashNeg` swaps the cyclic corruption for
     * the portable-hash draw ([[hashNegEdges]]). `momentum` > 0 threads a
     * long-form velocity frame through the loop ([[transeSgdMomentum]]);
     * `adagrad` an exact-integer squared-gradient accumulator
-    * ([[transeSgdAdagrad]]). */
+    * ([[transeSgdAdagrad]]); `adam` the dyadic two-moment state
+    * ([[transeSgdAdam]]). */
   private def transeLoop(entities: DataFrame, edges: DataFrame, dim: Int,
                          entSeed: Double, relSeed: Double, steps: Int,
                          gamma: Double, lr: Double, batches: Int,
                          hashNeg: Boolean = false,
                          momentum: Double = 0.0,
-                         adagrad: Boolean = false): DataFrame = {
-    require(!(momentum > 0 && adagrad), "momentum and adagrad are exclusive")
+                         adagrad: Boolean = false,
+                         adam: Boolean = false): DataFrame = {
+    require(Seq(momentum > 0, adagrad, adam).count(identity) <= 1,
+            "momentum / adagrad / adam are exclusive")
     require(dim > 0, s"dim must be positive, got $dim")
     require(steps > 0, s"steps must be positive, got $steps")
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
@@ -228,6 +246,7 @@ object Training {
       .localCheckpoint(true)
     var v: DataFrame = null   // momentum velocity (kind, id, pos, v)
     var acc: DataFrame = null // adagrad Σg² accumulator (kind, id, pos, a)
+    var mv: DataFrame = null  // adam moments (kind, id, pos, m, w)
 
     for (k <- 1 to steps) {
       val edk = if (batches > 0) ed.filter(col("_mb") === k - 1) else ed
@@ -260,7 +279,39 @@ object Training {
         .unionAll(vd.select(lit("rel").as("kind"), col("rel").as("id"),
                             col("pos"), (col("s") - col("sp")).as("g")))
       val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
-      if (adagrad) {
+      if (adam) {
+        // mₖ = ½mₖ₋₁ + ½gₖ, vₖ = ½vₖ₋₁ + ½gₖ² — exact dyadic doubles
+        // (see transeSgdAdam). Decay applies to params without a
+        // gradient this step too (full outer join on the supports).
+        mv = (if (mv == null)
+                grads.select(col("kind"), col("id"), col("pos"),
+                             (col("g") * 0.5).as("m"),
+                             (col("g") * col("g") * 0.5).as("w"))
+              else mv.join(grads, Seq("kind", "id", "pos"), "full_outer")
+                .select(col("kind"), col("id"), col("pos"),
+                  (coalesce(col("m"), lit(0.0)) * 0.5 +
+                    coalesce(col("g"), lit(0.0)) * 0.5).as("m"),
+                  (coalesce(col("w"), lit(0.0)) * 0.5 +
+                    coalesce(col("g"), lit(0.0)) *
+                      coalesce(col("g"), lit(0.0)) * 0.5).as("w")))
+          .localCheckpoint(true)
+        val bc = 1.0 - math.pow(0.5, k) // bias-correction 1 − βᵏ (dyadic)
+        // microX ← microX − sign(m)·floor(lr·10⁶·|m|/bc / √(w/bc)):
+        // the AdaGrad floor-micro step with bias-corrected moments. The
+        // expression order is mirrored VERBATIM by the oracle — float
+        // associativity is part of the contract.
+        e = e.join(mv, Seq("kind", "id", "pos"), "left")
+          .select(col("kind"), col("id"), col("pos"),
+            when(coalesce(col("m"), lit(0.0)) === 0, col("x"))
+              .otherwise(
+                (round(col("x") * 1e6, 0).cast("long") -
+                  signum(col("m")).cast("long") *
+                    floor(lit(lr * 1e6) * abs(col("m")) / lit(bc) /
+                          sqrt(col("w") / lit(bc))).cast("long"))
+                  .cast("double") / 1e6)
+              .as("x"))
+          .localCheckpoint(true)
+      } else if (adagrad) {
         // aₖ = aₖ₋₁ + gₖ² — exact longs (sign gradients are integers).
         acc = (if (acc == null)
                  grads.select(col("kind"), col("id"), col("pos"),

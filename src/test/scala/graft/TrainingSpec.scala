@@ -119,6 +119,47 @@ class TrainingSpec extends AnyFunSuite {
     assert(twoAgain == two, "adagrad trajectory is partition-dependent")
   }
 
+  test("adam: step 1 is a fixed ±lr move; step 2 adapts; partition-deterministic") {
+    // With beta1 = beta2 = 1/2, step 1 has m-hat = g, v-hat = g² →
+    // update = sign(g)·floor(lr·1e6) = ±31250 micro exactly.
+    val one = Training.transeSgdAdam(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 1, gamma = 1000.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    var moved = 0
+    one.foreach { case ((kind, id, pos), x) =>
+      val seed = if (kind == "ent") 0.3 else 1.7
+      val x0 = math.sin((id % 9973 + 1) * (pos + 1) * 0.017 + seed)
+      if (x != x0) {
+        moved += 1
+        val d = math.abs(math.rint(x0 * 1e6).toLong - math.rint(x * 1e6).toLong)
+        assert(d == 31250L, s"$kind $id $pos step-1 delta $d != lr")
+      }
+    }
+    assert(moved > 0)
+    // Step 2 differs from both one-step Adam and plain 2-step SGD (the
+    // moments actually thread), and the trajectory is partition-invariant.
+    val two = Training.transeSgdAdam(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1000.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val sgd2 = Training.transeSgd(ents, edges, dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1000.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(two != one && two != sgd2)
+    val twoAgain = Training.transeSgdAdam(
+      ents.repartition(3), edges.repartition(2), dim = 4,
+      entSeed = 0.3, relSeed = 1.7, steps = 2, gamma = 1000.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(twoAgain == two, "adam trajectory is partition-dependent")
+  }
+
   test("cyclic-next map: no no-partition window, no forced broadcast hint") {
     val nm = Training.cyclicNextMap(ents.select(col("id").cast("long").as("id")))
     // the scale-safe shape: zipWithIndex (invisible LogicalRDD) + equi-join —
