@@ -50,7 +50,7 @@ object OperatorQueries {
     ("q_range_join",
       (s, dir) => {
         // eventsNs is REQUIRED here: rangeBucketed's long bounds are in ns
-        // (MINUTE_NS) — a raw timestamp column would cast to SECONDS.
+        // (HOUR_NS) — a raw timestamp column would cast to SECONDS.
         val ev = KG.eventsNs(s, dir)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("event_id").as("click_id"))

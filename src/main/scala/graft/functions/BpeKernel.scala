@@ -88,8 +88,21 @@ object BpeKernel {
   * expression instance, not per row. */
 case class BpeApply(left: Expression, right: Expression)
     extends BinaryExpression {
-  require(right.foldable, "bpe_apply merge table must be a literal")
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  // Analysis-time validation instead of a constructor `require` — a
+  // non-literal merge table reaching this expression through the SQL
+  // function registry must surface as an AnalysisException, not a raw
+  // IllegalArgumentException mid-construction (r8 ADVICE).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!right.foldable)
+      TypeCheckFailure("bpe_apply merge table must be a foldable literal array")
+    else if (right.eval(null) == null)
+      TypeCheckFailure("bpe_apply merge table must not be null")
+    else TypeCheckSuccess
+  }
 
   @transient private lazy val packed: Array[UTF8String] =
     BpeKernel.pack(right.eval(null).asInstanceOf[ArrayData])

@@ -84,7 +84,12 @@ object KG {
       case org.apache.spark.sql.types.TimestampType =>
         ev.withColumn("ts", expr("unix_micros(ts) * 1000L"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        ev.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+        // Session-timezone-INDEPENDENT epoch: both timestampdiff operands
+        // are NTZ, so the difference is computed in wall-clock space (the
+        // UTC-naive convention above) — `cast(ts as timestamp)` would
+        // silently shift epochs for any non-UTC library caller (r8 ADVICE).
+        ev.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
       case dt => throw new IllegalArgumentException(
         s"unsupported events.ts encoding: $dt (expected LONG ns or TIMESTAMP)")
     }

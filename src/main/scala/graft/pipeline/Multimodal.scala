@@ -87,6 +87,10 @@ object Multimodal {
       var res: Option[ImageMeta] = None
       while (res.isEmpty && off + 4 <= bytes.length &&
              (bytes(off) & 0xff) == 0xff) {
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        // marker code — skip them so the code byte is never read as 0xFF.
+        while (off + 4 <= bytes.length && (bytes(off + 1) & 0xff) == 0xff)
+          off += 1
         val m = bytes(off + 1) & 0xff
         if (m == 0xd9 || m == 0xda) off = bytes.length // EOI/SOS: stop
         else {
@@ -230,8 +234,8 @@ object Multimodal {
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
       off = 10 + size
     }
-    def frameAt(p: Int): Option[(Int, Int, Int, Int)] = {
-      // returns (frameLen, sampleRate, channels, bitrateKbps)
+    def frameAt(p: Int): Option[(Int, Int, Int, Int, Int)] = {
+      // returns (frameLen, sampleRate, channels, bitrateKbps, samplesPerFrame)
       if (p + 4 > bytes.length) return None
       val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
       val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
@@ -242,53 +246,56 @@ object Multimodal {
       val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
       if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
       val sr0 = srV1(srIdx)
-      val (sr, kbps, mult) = version match {
-        case 3 => (sr0, brV1(brIdx), 144)
-        case 2 => (sr0 / 2, brV2(brIdx), 72)
-        case _ => (sr0 / 4, brV2(brIdx), 72)
+      // MPEG-2/2.5 Layer III frames carry 576 samples, not 1152 — the
+      // duration math must use the per-version count (r8 ADVICE fix).
+      val (sr, kbps, mult, spf) = version match {
+        case 3 => (sr0, brV1(brIdx), 144, 1152)
+        case 2 => (sr0 / 2, brV2(brIdx), 72, 576)
+        case _ => (sr0 / 4, brV2(brIdx), 72, 576)
       }
       val padding = (b3 >> 1) & 1
       val channels = if (((b4 >> 6) & 0x3) == 3) 1 else 2
       val len = mult * kbps * 1000 / sr + padding
-      if (len < 4) None else Some((len, sr, channels, kbps))
+      if (len < 4) None else Some((len, sr, channels, kbps, spf))
     }
     // Find the first sync that also chains to a valid (or absent) next
     // frame — guards against 0xFFEx bytes inside tag padding.
     var found = -1
     while (found < 0 && off + 4 <= bytes.length) {
       frameAt(off) match {
-        case Some((len, _, _, _))
+        case Some((len, _, _, _, _))
             if off + len + 4 > bytes.length || frameAt(off + len).isDefined =>
           found = off
         case _ => off += 1
       }
     }
     if (found < 0) return None
-    frameAt(found).map { case (_, sr, ch, kbps) =>
+    frameAt(found).map { case (_, sr, ch, kbps, spf) =>
       var p = found
       var frames = 0
       var ok = true
       while (ok) {
         frameAt(p) match {
-          case Some((len, _, _, _)) if p + len <= bytes.length =>
+          case Some((len, _, _, _, _)) if p + len <= bytes.length =>
             frames += 1; p += len
           case _ => ok = false
         }
       }
-      val samplesPerFrame = 1152 // Layer III, MPEG-1; (576 for V2 halved
-                                 // sr — duration math uses sr consistently)
-      (AudioMeta(sr, ch, -1, frames), kbps,
-       frames.toDouble * samplesPerFrame / sr)
+      (AudioMeta(sr, ch, -1, frames), kbps, frames.toDouble * spf / sr)
     }
   }
 
-  /** A minimal real MP3 stream: `nFrames` MPEG-1 Layer III frames
-    * (44.1 kHz mono, 128 kbps — frame length 417) with deterministic
-    * filler payload, optionally prefixed by an ID3v2 tag. The frame
-    * HEADERS are genuine; the payload is not a real Huffman bitstream
-    * (metadata-parse fixture, not a listenable file). */
-  def mp3Bytes(nFrames: Int, id3Pad: Int = 0): Array[Byte] = {
-    val frameLen = 417 // 144 * 128000 / 44100, no padding bit
+  /** A minimal real MP3 stream: `nFrames` Layer III frames with
+    * deterministic filler payload, optionally prefixed by an ID3v2 tag.
+    * MPEG-1 (default): 44.1 kHz mono 128 kbps, frame length 417.
+    * `mpeg2 = true`: MPEG-2 LSF, 22.05 kHz mono 80 kbps, frame length
+    * 261, 576 samples/frame. The frame HEADERS are genuine; the payload
+    * is not a real Huffman bitstream (metadata-parse fixture, not a
+    * listenable file). */
+  def mp3Bytes(nFrames: Int, id3Pad: Int = 0,
+               mpeg2: Boolean = false): Array[Byte] = {
+    // 144*128000/44100 = 417 (V1) | 72*80000/22050 = 261 (V2), no padding
+    val frameLen = if (mpeg2) 261 else 417
     val out = new java.io.ByteArrayOutputStream()
     if (id3Pad > 0) {
       out.write(Array('I', 'D', '3', 3, 0, 0).map(_.toByte))
@@ -297,9 +304,10 @@ object Multimodal {
       (0 until id3Pad).foreach(i => out.write(i & 0x7f))
     }
     (0 until nFrames).foreach { f =>
-      out.write(0xff); out.write(0xfb) // sync + MPEG1 + Layer III + no CRC
-      out.write(0x90)                  // bitrate idx 9 (128), sr idx 0 (44100)
-      out.write(0xc0)                  // mono
+      // sync + version + Layer III + no CRC: V1 = 0xfb, V2 (LSF) = 0xf3
+      out.write(0xff); out.write(if (mpeg2) 0xf3 else 0xfb)
+      out.write(0x90) // bitrate idx 9 (128 V1 / 80 V2), sr idx 0
+      out.write(0xc0) // mono
       (4 until frameLen).foreach(i => out.write((f * 31 + i) & 0xff))
     }
     out.toByteArray
@@ -829,6 +837,9 @@ object Multimodal {
     var off = 2
     while (off + 4 <= bytes.length) {
       if ((bytes(off) & 0xff) != 0xff) return None
+      // Skip T.81 B.1.1.2 fill bytes (repeated 0xFF) before the marker code.
+      while (off + 4 <= bytes.length && (bytes(off + 1) & 0xff) == 0xff)
+        off += 1
       val m = bytes(off + 1) & 0xff
       if (m == 0xd9) return None // EOI before SOS: no image
       val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)

@@ -62,6 +62,14 @@ class EventsTsSpec extends AnyFunSuite {
     assert(tsSet(dLong) == want)
     assert(tsSet(dTs) == want)
     assert(tsSet(dNtz) == want)
+    // NTZ normalization must NOT depend on spark.sql.session.timeZone:
+    // wall-clock values are UTC-naive by convention, and a library caller
+    // in any session timezone must get the same epochs (r8 ADVICE).
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(tsSet(dNtz) == want)
+    } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
   }
 
   test("every event-time operator is encoding-invariant through eventsNs") {

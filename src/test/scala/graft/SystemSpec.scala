@@ -425,6 +425,13 @@ class SystemSpec extends AnyFunSuite {
     // Truncation honesty: only complete frames count.
     val cut = Multimodal.mp3Bytes(7).take(417 * 3 + 100)
     assert(Multimodal.mp3Meta(cut).map(_._1.nFrames) == Some(3))
+    // MPEG-2 (LSF): 22.05 kHz, 80 kbps, 576 samples/frame — duration
+    // must use the per-version sample count, not 1152 (r8 ADVICE).
+    val v2 = Multimodal.mp3Bytes(5, mpeg2 = true)
+    val Some((m2, k2, d2)) = Multimodal.mp3Meta(v2)
+    assert(m2 == Multimodal.AudioMeta(22050, 1, -1, 5))
+    assert(k2 == 80)
+    assert(math.abs(d2 - 5.0 * 576 / 22050) < 1e-9)
     // Garbage and other containers decline.
     assert(Multimodal.mp3Meta("garbage".getBytes) == None)
     assert(Multimodal.mp3Meta(
