@@ -40,9 +40,13 @@ object KGQueries {
     ("kg_3i", "r1(s1,f)&r2(s2,f)&r3(s3,f)",
       Map("r1" -> invSP, "r2" -> invSP, "r3" -> invSP,
           "s1" -> S0, "s2" -> S1, "s3" -> S2)),
+    // ip/inp/up bindings route the final hop through customer->order
+    // (support-1 edges): the old part->supplier final hop left every
+    // answer multiply-supported, so the train split produced ZERO
+    // held-out (hard) answers and the workload-eval row was vacuous.
     ("kg_ip", "r1(s1,e1)&r2(s2,e1)&r3(e1,f)",
-      Map("r1" -> invSP, "r2" -> invSP, "r3" -> REL_PART_SUPP,
-          "s1" -> S0, "s2" -> S1)),
+      Map("r1" -> invNC, "r2" -> invGC, "r3" -> invCO,
+          "s1" -> N1, "s2" -> G1)),
     ("kg_pi", "r1(s1,e1)&r2(e1,f)&r3(s2,f)",
       Map("r1" -> invRN, "r2" -> invNC, "r3" -> invGC,
           "s1" -> R0, "s2" -> G1)),
@@ -52,8 +56,8 @@ object KGQueries {
       Map("r1" -> invSP, "r2" -> invSP, "r3" -> invSP,
           "s1" -> S0, "s2" -> S1, "s3" -> S2)),
     ("kg_inp", "r1(s1,e1)&!r2(s2,e1)&r3(e1,f)",
-      Map("r1" -> invSP, "r2" -> invSP, "r3" -> REL_PART_SUPP,
-          "s1" -> S0, "s2" -> S1)),
+      Map("r1" -> invNC, "r2" -> invGC, "r3" -> invCO,
+          "s1" -> N1, "s2" -> G1)),
     ("kg_pin", "r1(s1,e1)&r2(e1,f)&!r3(s2,f)",
       Map("r1" -> invRN, "r2" -> invNC, "r3" -> invGC,
           "s1" -> R0, "s2" -> G1)),
@@ -63,11 +67,11 @@ object KGQueries {
     ("kg_2u", "r1(s1,f)|r2(s2,f)",
       Map("r1" -> invSP, "r2" -> invSP, "s1" -> S0, "s2" -> S1)),
     ("kg_up", "(r1(s1,e1)|r2(s2,e1))&r3(e1,f)",
-      Map("r1" -> invSP, "r2" -> invSP, "r3" -> REL_PART_SUPP,
-          "s1" -> S0, "s2" -> S1)),
+      Map("r1" -> invNC, "r2" -> invGC, "r3" -> invCO,
+          "s1" -> N1, "s2" -> G1)),
     ("kg_up_dnf", "(r1(s1,e1)&r3(e1,f))|(r2(s2,e1)&r3(e1,f))",
-      Map("r1" -> invSP, "r2" -> invSP, "r3" -> REL_PART_SUPP,
-          "s1" -> S0, "s2" -> S1)),
+      Map("r1" -> invNC, "r2" -> invGC, "r3" -> invCO,
+          "s1" -> N1, "s2" -> G1)),
     // EFO-1 extended types (metric.py:48-63)
     ("kg_2m", "((r1(s1,e1))&(r2(e1,f)))&(r3(e1,f))",
       Map("r1" -> invNC, "r2" -> REL_CUST_PART, "r3" -> REL_CUST_PART_BULK,
@@ -75,12 +79,16 @@ object KGQueries {
     ("kg_2nm", "((r1(s1,e1))&(r2(e1,f)))&(!(r3(e1,f)))",
       Map("r1" -> invNC, "r2" -> REL_CUST_PART, "r3" -> REL_CUST_PART_BULK,
           "s1" -> N1)),
+    // 3mp/3pm/3pcp: final hop lands on bulk-buyer customers (3mp/3pcp)
+    // or dual-edge cust->part pairs (3pm) — sparse support, so the train
+    // split yields nonempty held-out answers (the old part->supplier
+    // final hop was too redundantly supported to ever lose an answer).
     ("kg_3mp", "(((r1(s1,e1))&(r2(e1,e2)))&(r3(e2,f)))&(r4(e1,e2))",
-      Map("r1" -> invNC, "r2" -> REL_CUST_PART, "r3" -> REL_PART_SUPP,
+      Map("r1" -> invNC, "r2" -> REL_CUST_PART, "r3" -> invPCB,
           "r4" -> REL_CUST_PART_BULK, "s1" -> N1)),
     ("kg_3pm", "(((r1(s1,e1))&(r2(e1,e2)))&(r3(e2,f)))&(r4(e2,f))",
-      Map("r1" -> invNC, "r2" -> REL_CUST_PART, "r3" -> REL_PART_SUPP,
-          "r4" -> REL_PART_SUPP_BULK, "s1" -> N1)),
+      Map("r1" -> invRN, "r2" -> invNC, "r3" -> REL_CUST_PART,
+          "r4" -> REL_CUST_PART_BULK, "s1" -> R0)),
     ("kg_im", "(((r1(s1,e1))&(r2(s2,e1)))&(r3(e1,f)))&(r4(e1,f))",
       Map("r1" -> invSP, "r2" -> invSP, "r3" -> invPC, "r4" -> invPCB,
           "s1" -> S0, "s2" -> S1)),
@@ -98,7 +106,7 @@ object KGQueries {
           "s1" -> N1, "s2" -> N2)),
     ("kg_3pcp", "(((((r1(s1,e1))&(r2(e1,e3)))&(r3(s2,e2)))&(r4(e2,e3)))&(r5(e1,e2)))&(r6(e3,f))",
       Map("r1" -> invNC, "r2" -> REL_CUST_PART, "r3" -> invNS,
-          "r4" -> invSP, "r5" -> REL_CUST_SUPP, "r6" -> REL_PART_SUPP,
+          "r4" -> invSP, "r5" -> REL_CUST_SUPP, "r6" -> invPCB,
           "s1" -> N1, "s2" -> N2))
   )
 }

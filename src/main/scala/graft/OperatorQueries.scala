@@ -17,11 +17,27 @@ object OperatorQueries {
   // sf0.001/0.01/0.1).
   private val HOUR_NS = 3600L * 1000 * 1000 * 1000
 
-  /** Query types covered by the end-to-end workload eval: the BetaE core
-    * (paths, intersections, negation, union) plus EFO-1 extended shapes
-    * (multi-edge, existential leaf, DNF union-path). */
-  private[graft] val EVAL_TYPES = Set("kg_1p", "kg_2p", "kg_3p", "kg_2i", "kg_2in",
-                               "kg_2u", "kg_up", "kg_pi", "kg_2il", "kg_up_dnf")
+  /** Entity universe of the KG as oracle SQL (one branch per key tag). */
+  private val UNIV_SQL = Seq(
+    "SELECT CAST(100000000 + c_custkey AS BIGINT) AS id FROM customer",
+    "SELECT CAST(200000000 + n_nationkey AS BIGINT) FROM nation",
+    "SELECT CAST(300000000 + r_regionkey AS BIGINT) FROM region",
+    "SELECT CAST(400000000 + s_suppkey AS BIGINT) FROM supplier",
+    "SELECT CAST(500000000 + p_partkey AS BIGINT) FROM part",
+    "SELECT CAST(600000000 + o_orderkey AS BIGINT) FROM orders")
+    .mkString(" UNION ALL ")
+
+  /** The end-to-end workload eval covers ALL 25 declared query types
+    * (metric.py:6-66 — the reference's de-facto conformance suite), split
+    * into two suite queries so neither DuckDB oracle statement grows
+    * unwieldy: the 15 BetaE types and the 10 EFO-1 extended types. */
+  private[graft] val EVAL_TYPES_BETAE = Set(
+    "kg_1p", "kg_2p", "kg_3p", "kg_2i", "kg_3i", "kg_ip", "kg_pi",
+    "kg_2in", "kg_3in", "kg_inp", "kg_pin", "kg_pni",
+    "kg_2u", "kg_up", "kg_up_dnf")
+  private[graft] val EVAL_TYPES_EFOX = Set(
+    "kg_2m", "kg_2nm", "kg_3mp", "kg_3pm", "kg_im",
+    "kg_2il", "kg_3il", "kg_3c", "kg_3cm", "kg_3pcp")
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -65,27 +81,28 @@ object OperatorQueries {
            "AND c.event_type = 'click' AND e.event_type = 'error' " +
            s"AND epoch_ns(e.ts) BETWEEN epoch_ns(c.ts) - $HOUR_NS AND epoch_ns(c.ts)")),
 
-    // End-to-end EFO-1 workload evaluation: train/held-out split, filtered
-    // MRR/Hits per query type (reference lifecycle SURVEY §3). The oracle
+    // End-to-end workload evaluation: train/held-out split, filtered
+    // MRR/Hits per query type (reference lifecycle SURVEY §3), covering
+    // ALL 25 declared types across two suite queries. The oracle
     // re-derives the whole pipeline in SQL: md5 train split, each formula
     // over both edge sets, membership-score ranking, filtered metrics.
     ("eval_efo1_suite",
       (s, dir) => {
         graft.eval.Workload.evaluate(s, dir,
-          KGQueries.all.filter(t => EVAL_TYPES.contains(t._1)))
+          KGQueries.all.filter(t => EVAL_TYPES_BETAE.contains(t._1)))
       },
-      Some {
-        val univSql = Seq(
-          "SELECT CAST(100000000 + c_custkey AS BIGINT) AS id FROM customer",
-          "SELECT CAST(200000000 + n_nationkey AS BIGINT) FROM nation",
-          "SELECT CAST(300000000 + r_regionkey AS BIGINT) FROM region",
-          "SELECT CAST(400000000 + s_suppkey AS BIGINT) FROM supplier",
-          "SELECT CAST(500000000 + p_partkey AS BIGINT) FROM part",
-          "SELECT CAST(600000000 + o_orderkey AS BIGINT) FROM orders")
-          .mkString(" UNION ALL ")
-        graft.eval.Workload.evaluateSql(
-          KGQueries.all.filter(t => EVAL_TYPES.contains(t._1)), univSql)
-      }),
+      Some(graft.eval.Workload.evaluateSql(
+        KGQueries.all.filter(t => EVAL_TYPES_BETAE.contains(t._1)),
+        UNIV_SQL))),
+
+    ("eval_efox_suite",
+      (s, dir) => {
+        graft.eval.Workload.evaluate(s, dir,
+          KGQueries.all.filter(t => EVAL_TYPES_EFOX.contains(t._1)))
+      },
+      Some(graft.eval.Workload.evaluateSql(
+        KGQueries.all.filter(t => EVAL_TYPES_EFOX.contains(t._1)),
+        UNIV_SQL))),
 
     // Salted join: result identical to the plain equi-join.
     ("q_salted_join",

@@ -538,6 +538,37 @@ object PipelineQueries {
                 s"SELECT f.id AS entity, MAX(s1.sc + ${transeSql("s1.e1", "8", "f.id")}) AS score " +
                 "FROM s1, ents f GROUP BY f.id")}""".stripMargin)),
 
+    // F4 composed over two hops: ComplEx estimate-tail chaining — the
+    // multi-hop frontier composition oracle-proven beyond TransE (r8
+    // verdict ask: scored-path oracle depth).
+    ("cqd_2p_complex",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+        relEmb(s), graft.score.ComplEx, beam = Int.MaxValue)),
+      Some(s"""WITH ents AS ($supplierEntsSql),
+              |s1 AS (SELECT id AS e1, 1 + ${complexSql("400000000", "9", "id")} AS sc FROM ents)
+              |${top10Sql(
+                s"SELECT f.id AS entity, MAX(s1.sc + ${complexSql("s1.e1", "8", "f.id")}) AS score " +
+                "FROM s1, ents f GROUP BY f.id")}""".stripMargin)),
+
+    // R4/F13 on the SCORED path: `!r2` flips the edge score sign
+    // (abstract_kge.py:160-163) before the conjunction sum — previously
+    // spec-covered only; this row proves it against a closed-form oracle:
+    // score = (1 + transe(s1,r1,f)) + (1 - transe(s2,r2,f)).
+    ("cqd_2in_transe",
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,f)&!r2(s2,f)",
+          Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0,
+              "s2" -> KG.ent(KG.TAG_SUPPLIER, 1)),
+          supplierEnts(s, dir), relEmb(s), graft.score.NativeTransE,
+          beam = Int.MaxValue))
+      },
+      Some(s"""WITH ents AS ($supplierEntsSql)
+              |${top10Sql(
+                s"SELECT id AS entity, 2 + ${transeSql("400000000", "9", "id")} " +
+                s"- (${transeSql("400000001", "8", "id")}) AS score FROM ents")}""".stripMargin)),
+
     // F3/F4/F7: the other KGE scorers as full-ranking queries, each
     // oracle-checked against its formula recomputed in SQL.
     ("cqd_1p_distmult",

@@ -399,14 +399,26 @@ object SystemQueries {
         "FROM edges GROUP BY rel")),
 
     // HLL sketch: approx_count_distinct (SURVEY §2.4 'missing vs classic
-    // engines' — exposed from Spark built-ins; approximate -> rows-only,
-    // error bound spec-checked).
+    // engines' — exposed from Spark built-ins). Fully oracle-checked via
+    // the deterministic-bound contract (the q_approx_percentile pattern):
+    // the result carries the EXACT distinct count plus a `within_tol`
+    // flag asserting the HLL estimate is inside 3x its configured rsd
+    // (0.02 -> 6%); the oracle recomputes the exact count and expects
+    // within_tol = TRUE. HLL is hash-deterministic for given data, so
+    // this is a stable check, and an out-of-bound sketch turns the row
+    // red instead of being invisible to the gate.
     ("q_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
-             countDistinct("l_partkey").as("exact_parts")),
-      None),
+        .agg(approx_count_distinct("l_partkey", 0.02).as("approx"),
+             countDistinct("l_partkey").as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+                (abs(col("approx") - col("exact_parts")) <=
+                  ceil(col("exact_parts") * 0.06)).as("within_tol")),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS within_tol
+             |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // Quantile sketch: approx_percentile (Greenwald-Khanna / ApproxPDQ) —
     // the scale path for percentile dashboards (mergeable partial sketches,

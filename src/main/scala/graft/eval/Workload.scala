@@ -90,13 +90,21 @@ object Workload {
     // oracle-verified equivalent end-to-end.
     val filtered = Ranking.filteredRanksBinary(
       Ranking.globalIndex(universe, "entity"), answers)
-    Ranking.mrrHits(filtered)
+    // Every declared type emits a row — a type whose held-out (hard)
+    // answer set is empty at this SF reports NULL metrics and n_hard = 0
+    // instead of silently vanishing, so the 25-type conformance suite
+    // always has 25 visible rows.
+    import spark.implicits._
+    val typeNames = types.map(_._1).toDF("qid")
+    typeNames
+      .join(Ranking.mrrHits(filtered), Seq("qid"), "left")
       .join(answers.filter(col("is_hard")).groupBy("qid")
-              .agg(count(lit(1)).as("n_hard")), "qid")
+              .agg(count(lit(1)).as("n_hard")), Seq("qid"), "left")
       .select(col("qid").as("qtype"), round(col("mrr"), 6).as("mrr"),
               round(col("hits1"), 6).as("hits1"),
               round(col("hits3"), 6).as("hits3"),
-              round(col("hits10"), 6).as("hits10"), col("n_hard"))
+              round(col("hits10"), 6).as("hits10"),
+              coalesce(col("n_hard"), lit(0L)).as("n_hard"))
   }
 
   /** DuckDB oracle for [[evaluate]]: per type, easy answers come from the
@@ -125,8 +133,7 @@ object Workload {
          |    ROUND(AVG(CASE WHEN fr < 3 THEN 1.0 ELSE 0.0 END), 6) AS hits3,
          |    ROUND(AVG(CASE WHEN fr < 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10,
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hard_$name) AS n_hard
-         |  FROM fr_$name
-         |  HAVING COUNT(*) > 0)""".stripMargin
+         |  FROM fr_$name)""".stripMargin
     }
     graft.model.KG.edgesCte.trim + ",\n" +
       s"tedges AS (SELECT src, rel, dst FROM edges WHERE ${trainPredicateSql()}),\n" +

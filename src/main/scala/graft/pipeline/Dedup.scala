@@ -73,10 +73,28 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
     * Set-similarity join: shingle equi-join counts intersections; per-doc
-    * set sizes provide the union via inclusion-exclusion. */
+    * set sizes provide the union via inclusion-exclusion.
+    *
+    * `maxDocFreq > 0` applies the same stop-shingle cap as
+    * [[winnowPairs]]: shingles present in more than that many docs are
+    * dropped BEFORE the self-join, which bounds the join at df² per
+    * surviving shingle — without it one boilerplate shingle shared by 1M
+    * docs is 10¹² candidate pairs. Doc sizes are recomputed over the
+    * surviving shingles, so the result is the EXACT Jaccard over the
+    * capped shingle universe (the standard stop-word-removed contract —
+    * hot shingles rank docs by boilerplate, not content). Default off:
+    * the oracle-checked query keeps the uncapped exact tier. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDocFreq: Long = 0): DataFrame = {
+    val all = shingleSets(df, idCol, textCol, n)
+    val sets =
+      if (maxDocFreq <= 0) all
+      else all.join(all.groupBy("sh").agg(count(lit(1)).as("df"))
+                      .filter(col("df") <= maxDocFreq)
+                      .select("sh"),
+                    "sh")
+        .localCheckpoint(true) // both sides of the self-join below
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sets.as("a")
       .join(sets.as("b"),

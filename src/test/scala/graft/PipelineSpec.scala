@@ -35,6 +35,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccardPairs maxDocFreq caps hot shingles: boilerplate-only pairs " +
+       "drop, true dups survive with exact jaccard over survivors") {
+    // 10 distinct docs + 1 exact dup of doc 1, all sharing a boilerplate
+    // tail that contributes 4 hot shingles (df = 11).
+    val boiler = "subscribe to our newsletter today please"
+    val corpus = ((1 to 10).map(i =>
+      (i.toLong, s"unique$i words$i content$i $boiler")) :+
+      ((11L, s"unique1 words1 content1 $boiler"))).toDF("doc_id", "text")
+    // Uncapped: every pair shares the 4 boilerplate shingles
+    // (jaccard 4/10 = 0.4) -> all 55 pairs report as near-dups.
+    assert(Dedup.jaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.4).count() == 55)
+    // Capped at df <= 5: boilerplate shingles drop; only the true dup
+    // pair survives, with jaccard exactly 1.0 over surviving shingles.
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.4, maxDocFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSeq == Seq((1L, 11L, 1.0)))
+    // A cap at/above the corpus size is a no-op.
+    assert(Dedup.jaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.4, maxDocFreq = 11).count() == 55)
+  }
+
   test("minhashLshPairs recovers the same high-similarity pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

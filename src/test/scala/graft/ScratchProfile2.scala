@@ -29,7 +29,7 @@ object ScratchProfile2 {
 
     // Workload eval phases
     val types = graft.KGQueries.all
-      .filter(t => graft.OperatorQueries.EVAL_TYPES.contains(t._1))
+      .filter(t => graft.OperatorQueries.EVAL_TYPES_BETAE.contains(t._1))
     time("eval_efo1_suite end-to-end") {
       graft.eval.Workload.evaluate(spark, sfDir, types).count()
     }
