@@ -791,6 +791,83 @@ object SystemQueries {
             |  CAST(r % 7 + 1 AS BIGINT) AS n_frames,
             |  CAST(128 AS BIGINT) AS kbps,
             |  ROUND((r % 7 + 1) * 1152.0 / 44100, 6) AS duration_sec
+            |FROM range(48) t(r)""".stripMargin)),
+
+    // REAL MP4 (ISO BMFF) container metadata: each row carries a genuine
+    // box tree (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsd +
+    // mdat) that Spark walks for real — every third row uses version-1
+    // mvhd/tkhd (64-bit times) and a largesize (size==1) mdat, so both
+    // box-length paths and both fullbox versions are exercised; the
+    // parsed duration/dims/handlers/codec must be identical either way.
+    // The oracle states the construction's closed form. Sample decode
+    // stays the declared stub — this is the metadata face (duration /
+    // resolution / codec) a video pipeline filters on before transcode.
+    ("multimodal_mp4_meta",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).map { id =>
+          val bytes = Multimodal.mp4Bytes(
+            durationUnits = (id % 10 + 1) * 600, timescale = 600,
+            width = 16 * ((id % 5).toInt + 4), height = 16 * ((id % 4).toInt + 3),
+            codec = if (id % 2 == 0) "avc1" else "hvc1",
+            withAudio = id % 2 == 1, v1 = id % 3 == 0)
+          val m = Multimodal.mp4Meta(bytes)
+          (id, m.map(_.brand).getOrElse(""),
+           m.map(v => math.rint(v.durationSec * 1e6) / 1e6).getOrElse(-1.0),
+           m.map(_.nTracks).getOrElse(-1), m.map(_.width).getOrElse(-1),
+           m.map(_.height).getOrElse(-1),
+           m.map(_.handlers.mkString(",")).getOrElse(""),
+           m.map(_.codec).getOrElse(""))
+        }.toDF("media_id", "brand", "duration_sec", "n_tracks", "width",
+               "height", "handlers", "codec")
+          .select(col("media_id"), col("brand"), col("duration_sec"),
+            col("n_tracks").cast("long").as("n_tracks"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("handlers"), col("codec"))
+      },
+      Some("""SELECT r AS media_id, 'isom' AS brand,
+            |  ROUND((r % 10 + 1) * 1.0, 6) AS duration_sec,
+            |  CAST(1 + r % 2 AS BIGINT) AS n_tracks,
+            |  CAST(16 * (r % 5 + 4) AS BIGINT) AS width,
+            |  CAST(16 * (r % 4 + 3) AS BIGINT) AS height,
+            |  CASE WHEN r % 2 = 1 THEN 'soun,vide' ELSE 'vide' END AS handlers,
+            |  CASE WHEN r % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec
+            |FROM range(48) t(r)""".stripMargin)),
+
+    // REAL AVI (RIFF) container metadata: genuine LIST hdrl/avih/strl/strh
+    // chunk trees with WORD-aligned hopping; duration is
+    // totalFrames · microSecPerFrame / 1e6 from the MainAVIHeader.
+    ("multimodal_avi_meta",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).map { id =>
+          val us = Array(40000, 33333, 41667)((id % 3).toInt)
+          val bytes = Multimodal.aviBytes(
+            usPerFrame = us, totalFrames = ((id % 20).toInt + 1) * 10,
+            width = 32 * ((id % 4).toInt + 2), height = 24 * ((id % 3).toInt + 2),
+            withAudio = id % 2 == 1)
+          val m = Multimodal.aviMeta(bytes)
+          (id, m.map(v => math.rint(v.durationSec * 1e6) / 1e6).getOrElse(-1.0),
+           m.map(_.nTracks).getOrElse(-1), m.map(_.width).getOrElse(-1),
+           m.map(_.height).getOrElse(-1),
+           m.map(_.handlers.mkString(",")).getOrElse(""),
+           m.map(_.codec).getOrElse(""))
+        }.toDF("media_id", "duration_sec", "n_streams", "width", "height",
+               "streams", "codec")
+          .select(col("media_id"), col("duration_sec"),
+            col("n_streams").cast("long").as("n_streams"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("streams"), col("codec"))
+      },
+      Some("""SELECT r AS media_id,
+            |  ROUND((r % 20 + 1) * 10 * (CASE r % 3 WHEN 0 THEN 40000 WHEN 1 THEN 33333 ELSE 41667 END) / 1e6, 6) AS duration_sec,
+            |  CAST(1 + r % 2 AS BIGINT) AS n_streams,
+            |  CAST(32 * (r % 4 + 2) AS BIGINT) AS width,
+            |  CAST(24 * (r % 3 + 2) AS BIGINT) AS height,
+            |  CASE WHEN r % 2 = 1 THEN 'auds,vids' ELSE 'vids' END AS streams,
+            |  'mjpg' AS codec
             |FROM range(48) t(r)""".stripMargin))
   )
 }

@@ -363,6 +363,296 @@ object Multimodal {
     out
   }
 
+  /** Parsed video-container metadata ([[mp4Meta]] / [[aviMeta]]): brand =
+    * ftyp major brand (MP4) or "AVI " (RIFF); width/height of the first
+    * video track; handlers = sorted distinct track handler fourccs
+    * ("vide", "soun"); codec = sample-description fourcc of the first
+    * video track ("" when absent). */
+  final case class VideoMeta(brand: String, durationSec: Double,
+                             nTracks: Int, width: Int, height: Int,
+                             handlers: Seq[String], codec: String)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    ((be32(b, off) & 0xffffffffL) << 32) | (be32(b, off + 4) & 0xffffffffL)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** REAL MP4 (ISO BMFF, ISO/IEC 14496-12, public spec) container
+    * metadata: a full box walk — 32-bit and 64-bit (`size == 1`
+    * largesize) box lengths, recursion into moov/trak/mdia/minf/stbl,
+    * version-0 AND version-1 mvhd/tkhd (64-bit times), tkhd 16.16
+    * fixed-point dimensions, hdlr handler fourccs, and the first stsd
+    * sample-entry fourcc of the first video track. Duration is
+    * mvhd duration / timescale. Payload (sample) decode stays the
+    * declared stub seam — this is the metadata face a pipeline filters
+    * on (duration/resolution/codec) before any transcode. Returns None
+    * when the stream has no ftyp/moov shape. */
+  def mp4Meta(bytes: Array[Byte]): Option[VideoMeta] = {
+    var brand = ""
+    var durationSec = -1.0
+    var nTracks = 0
+    var width = -1; var height = -1
+    var codec = ""
+    val handlers = scala.collection.mutable.SortedSet.empty[String]
+    var sawMoov = false
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    // Per-track accumulator shared across the trak subtree's recursion
+    // levels (tkhd sits under trak, hdlr under mdia, stsd under stbl).
+    final class Trak {
+      var w: Int = -1; var h: Int = -1
+      var handler: String = ""; var codec: String = ""
+    }
+
+    // Walks boxes in [from, to); returns false on a malformed length.
+    def walk(from: Long, to: Long, trak: Trak): Boolean = {
+      val inTrak = trak ne null
+      var p = from
+      var ok = true
+      while (ok && p + 8 <= to) {
+        val sz32 = be32(bytes, p.toInt) & 0xffffffffL
+        val typ = fourcc(bytes, p.toInt + 4)
+        val (size, hdr) =
+          if (sz32 == 1 && p + 16 <= to) (be64(bytes, p.toInt + 8), 16)
+          else if (sz32 == 0) (to - p, 8) // box extends to end of parent
+          else (sz32, 8)
+        if (size < hdr || p + size > to) ok = false
+        else {
+          val body = p + hdr
+          typ match {
+            case "ftyp" if size >= hdr + 4 =>
+              brand = fourcc(bytes, body.toInt)
+            case "moov" =>
+              sawMoov = true; ok = walk(body, p + size, null)
+            case "trak" =>
+              nTracks += 1
+              val t = new Trak
+              ok = walk(body, p + size, t)
+              if (ok && t.handler == "vide" && width < 0) {
+                width = t.w; height = t.h; codec = t.codec
+              }
+            case t if containers(t) =>
+              ok = walk(body, p + size, trak)
+            case "mvhd" if size >= hdr + 4 =>
+              val v = bytes(body.toInt) & 0xff
+              // v0: timescale/duration u32 after 2 u32 times;
+              // v1: u32 timescale after 2 u64 times, then u64 duration.
+              if (v == 1 && size >= hdr + 28) {
+                val ts = be32(bytes, body.toInt + 20) & 0xffffffffL
+                val dur = be64(bytes, body.toInt + 24)
+                if (ts > 0) durationSec = dur.toDouble / ts
+              } else if (v == 0 && size >= hdr + 20) {
+                val ts = be32(bytes, body.toInt + 12) & 0xffffffffL
+                val dur = be32(bytes, body.toInt + 16) & 0xffffffffL
+                if (ts > 0) durationSec = dur.toDouble / ts
+              }
+            case "tkhd" if inTrak && size >= hdr + 4 =>
+              val v = bytes(body.toInt) & 0xff
+              // width/height are 16.16 fixed-point at the end of the box;
+              // v1 widens the three time fields by 4 bytes each.
+              val wOff = if (v == 1) 88 else 76
+              if (size >= hdr + wOff + 8) {
+                trak.w = be32(bytes, body.toInt + wOff) >>> 16
+                trak.h = be32(bytes, body.toInt + wOff + 4) >>> 16
+              }
+            case "hdlr" if inTrak && size >= hdr + 12 =>
+              trak.handler = fourcc(bytes, body.toInt + 8)
+              handlers += trak.handler
+            case "stsd" if inTrak && size >= hdr + 16 =>
+              trak.codec = fourcc(bytes, body.toInt + 12)
+            case _ => () // mdat, free, unknown: skip by size
+          }
+          p += size
+        }
+      }
+      ok
+    }
+    if (bytes.length < 16 || fourcc(bytes, 4) != "ftyp") None
+    else if (!walk(0L, bytes.length.toLong, null) || !sawMoov) None
+    else Some(VideoMeta(brand, durationSec, nTracks, width, height,
+                        handlers.toSeq, codec))
+  }
+
+  /** REAL AVI (RIFF, Microsoft public spec) container metadata: RIFF/AVI
+    * chunk walk with LIST recursion — avih MainAVIHeader
+    * (dwMicroSecPerFrame / dwTotalFrames / dwStreams / dwWidth /
+    * dwHeight) and per-stream strh fccType fourccs. Duration is
+    * totalFrames · microSecPerFrame / 1e6. WORD-aligned chunk hopping
+    * (odd sizes pad one byte) like every RIFF reader. */
+  def aviMeta(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+    var durationSec = -1.0
+    var nStreams = 0
+    var width = -1; var height = -1
+    var codec = ""
+    val handlers = scala.collection.mutable.SortedSet.empty[String]
+    var sawAvih = false
+    def walk(from: Int, to: Int): Boolean = {
+      var p = from
+      var ok = true
+      while (ok && p + 8 <= to) {
+        val tag = fourcc(bytes, p)
+        val size = le32(bytes, p + 4)
+        if (size < 0 || p + 8 + size > to) ok = false
+        else {
+          // Descend only into header lists — LIST movi holds frame-data
+          // chunks (and here filler), which a metadata walk must skip.
+          if (tag == "LIST" && size >= 4 &&
+              Set("hdrl", "strl", "odml").contains(fourcc(bytes, p + 8)))
+            ok = walk(p + 12, p + 8 + size)
+          else if (tag == "avih" && size >= 40) {
+            sawAvih = true
+            val usPerFrame = le32(bytes, p + 8) & 0xffffffffL
+            val totalFrames = le32(bytes, p + 24) & 0xffffffffL
+            durationSec = totalFrames * usPerFrame / 1e6
+            width = le32(bytes, p + 40)
+            height = le32(bytes, p + 44)
+          } else if (tag == "strh" && size >= 8) {
+            nStreams += 1
+            val fcc = fourcc(bytes, p + 8)
+            handlers += fcc
+            if (fcc == "vids" && codec.isEmpty)
+              codec = fourcc(bytes, p + 12)
+          }
+          p += 8 + size + (size & 1) // RIFF chunks are WORD-aligned
+        }
+      }
+      ok
+    }
+    if (!walk(12, bytes.length) || !sawAvih) None
+    else Some(VideoMeta("AVI ", durationSec, nStreams, width, height,
+                        handlers.toSeq, codec))
+  }
+
+  /** Video-container metadata dispatch: MP4 then AVI. The "video" face of
+    * [[imageMeta]]/[[audioMeta]]. */
+  def videoMeta(bytes: Array[Byte]): Option[VideoMeta] =
+    mp4Meta(bytes).orElse(aviMeta(bytes))
+
+  /** A minimal real MP4: ftyp + moov(mvhd + one video trak [+ one audio
+    * trak]) + mdat filler. Box sizes, fixed-point dims, and sample-entry
+    * fourccs are genuine ISO BMFF; `v1 = true` writes version-1
+    * mvhd/tkhd (64-bit times) and a largesize (`size == 1`) mdat so both
+    * length paths are exercised. The mdat payload is deterministic
+    * filler (metadata fixture, not playable samples). */
+  def mp4Bytes(durationUnits: Long, timescale: Int, width: Int, height: Int,
+               codec: String, withAudio: Boolean, v1: Boolean,
+               mdatLen: Int = 32): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def u64(v: Long): Unit = { u32(v >>> 32); u32(v & 0xffffffffL) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def box(typ: String)(body: => Unit): Unit = {
+      val mark = out.size()
+      u32(0); tag(typ); body
+      val arr = out.toByteArray // patch the length in place
+      val sz = arr.length - mark
+      arr(mark) = (sz >> 24).toByte; arr(mark + 1) = (sz >> 16).toByte
+      arr(mark + 2) = (sz >> 8).toByte; arr(mark + 3) = sz.toByte
+      out.reset(); out.write(arr, 0, arr.length)
+    }
+    def fullbox(typ: String, version: Int)(body: => Unit): Unit =
+      box(typ) { u8(version); u8(0); u16(0); body }
+    def trak(handler: String, fmt: String, w: Int, h: Int): Unit =
+      box("trak") {
+        fullbox("tkhd", if (v1) 1 else 0) {
+          if (v1) { u64(0); u64(0); u32(1); u32(0); u64(durationUnits) }
+          else { u32(0); u32(0); u32(1); u32(0); u32(durationUnits) }
+          u64(0) // reserved
+          u16(0); u16(0); u16(0); u16(0) // layer/group/volume/reserved
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(m => u32(m.toLong))
+          u32(w.toLong << 16); u32(h.toLong << 16) // 16.16 fixed
+        }
+        box("mdia") {
+          fullbox("mdhd", 0) {
+            u32(0); u32(0); u32(timescale.toLong); u32(durationUnits)
+            u16(0x55c4); u16(0) // language "und"
+          }
+          fullbox("hdlr", 0) {
+            u32(0); tag(handler); u32(0); u32(0); u32(0); u8(0)
+          }
+          box("minf") {
+            box("stbl") {
+              fullbox("stsd", 0) {
+                u32(1) // entry_count
+                box(fmt) { u32(0); u16(0); u16(1) } // reserved + data_ref_idx
+              }
+            }
+          }
+        }
+      }
+    box("ftyp") { tag("isom"); u32(0x200); tag("mp42") }
+    box("moov") {
+      fullbox("mvhd", if (v1) 1 else 0) {
+        if (v1) { u64(0); u64(0); u32(timescale.toLong); u64(durationUnits) }
+        else { u32(0); u32(0); u32(timescale.toLong); u32(durationUnits) }
+        u32(0x10000); u16(0x100); u16(0); u64(0) // rate/volume/reserved
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(m => u32(m.toLong))
+        (0 until 6).foreach(_ => u32(0)) // pre_defined
+        u32(if (withAudio) 3 else 2)     // next_track_ID
+      }
+      trak("vide", codec, width, height)
+      if (withAudio) trak("soun", "mp4a", 0, 0)
+    }
+    if (v1) { // largesize mdat: size==1 + 64-bit length
+      u32(1); tag("mdat"); u64(16L + mdatLen)
+      (0 until mdatLen).foreach(i => u8(i * 7))
+    } else box("mdat") { (0 until mdatLen).foreach(i => u8(i * 7)) }
+    out.toByteArray
+  }
+
+  /** A minimal real AVI: RIFF/AVI with LIST hdrl (avih + one strl per
+    * stream with strh) and LIST movi filler. Chunk sizes and the
+    * MainAVIHeader field layout are genuine; frame data is filler. */
+  def aviBytes(usPerFrame: Int, totalFrames: Int, width: Int, height: Int,
+               withAudio: Boolean, moviLen: Int = 32): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def le32b(v: Int): Unit = { u8(v); u8(v >> 8); u8(v >> 16); u8(v >> 24) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def chunk(t: String)(body: => Unit): Unit = {
+      val mark = out.size()
+      tag(t); le32b(0); body
+      val arr = out.toByteArray
+      val sz = arr.length - mark - 8
+      arr(mark + 4) = sz.toByte; arr(mark + 5) = (sz >> 8).toByte
+      arr(mark + 6) = (sz >> 16).toByte; arr(mark + 7) = (sz >> 24).toByte
+      out.reset(); out.write(arr, 0, arr.length)
+      if ((sz & 1) == 1) u8(0) // WORD alignment pad
+    }
+    def list(kind: String)(body: => Unit): Unit =
+      chunk("LIST") { tag(kind); body }
+    def strl(fccType: String, fccHandler: String, scale: Int, rate: Int): Unit =
+      list("strl") {
+        chunk("strh") {
+          tag(fccType); tag(fccHandler)
+          le32b(0); le32b(0); le32b(0)       // flags/prio+lang/initialframes
+          le32b(scale); le32b(rate)          // dwScale / dwRate
+          le32b(0); le32b(totalFrames)       // start / length
+          le32b(0); le32b(0); le32b(0); le32b(0)
+        }
+      }
+    chunk("RIFF") {
+      tag("AVI ")
+      list("hdrl") {
+        chunk("avih") {
+          le32b(usPerFrame); le32b(0); le32b(0); le32b(0)
+          le32b(totalFrames); le32b(0)
+          le32b(if (withAudio) 2 else 1); le32b(0)
+          le32b(width); le32b(height)
+          le32b(0); le32b(0); le32b(0); le32b(0)
+        }
+        strl("vids", "mjpg", 1, 1000000 / math.max(usPerFrame, 1))
+        if (withAudio) strl("auds", "    ", 1, 16000)
+      }
+      list("movi") { (0 until moviLen).foreach(i => u8(i * 13)) }
+    }
+    out.toByteArray
+  }
+
   /** Deterministic synthetic media table (id, kind, media BINARY, meta).
     * Image rows carry a REAL parseable BMP container (64×64×3 header +
     * digest-derived pixel payload); audio rows a REAL canonical WAV header

@@ -44,9 +44,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // `queries` entry and an `oracleSql` entry — a new query without an
     // oracle silently downgrades to a rows-only check. Known exceptions
     // are listed here ON PURPOSE so adding one is a reviewed decision.
-    val documented = Set(
-      "q_approx_distinct") // HLL sketch layouts are engine-specific;
-                           // error bound spec-checked in SystemSpec
+    // (empty since round 9: q_approx_distinct gained a deterministic-bound
+    // oracle — exact count + within_tol flag — closing the last exception)
+    val documented = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == documented,
       s"queries without oracles: ${(missing -- documented).toSeq.sorted

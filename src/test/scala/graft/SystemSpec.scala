@@ -131,12 +131,15 @@ class SystemSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within the configured error bound") {
+    // Since round 9 the query carries the bound check itself: columns are
+    // (l_returnflag, exact_parts, within_tol) where within_tol asserts
+    // |approx - exact| <= ceil(exact * 3 * rsd) — the oracle expects TRUE.
     val rows = SparkEntry.queries("q_approx_distinct")(
       spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact).toDouble / exact < 0.1,
-             s"approx=$approx exact=$exact")
+      assert(r.getLong(1) > 0)
+      assert(r.getBoolean(2), s"HLL estimate out of bound for ${r.getString(0)}")
     }
   }
 
@@ -442,6 +445,53 @@ class SystemSpec extends AnyFunSuite {
     val row = Seq(Multimodal.MediaRow(1L, "audio", mp3, -1, -1, -1)).toDS()
     val f = Multimodal.decodeFeatures(row).collect()(0)
     assert((f.sample_rate, f.channels) == ((44100, 1)))
+  }
+
+  test("mp4Meta walks a real ISO BMFF box tree (v0 and v1, largesize)") {
+    val b0 = Multimodal.mp4Bytes(durationUnits = 3000, timescale = 600,
+      width = 320, height = 240, codec = "avc1", withAudio = true, v1 = false)
+    val Some(m0) = Multimodal.mp4Meta(b0)
+    assert(m0.brand == "isom")
+    assert(math.abs(m0.durationSec - 5.0) < 1e-9)
+    assert(m0.nTracks == 2)
+    assert((m0.width, m0.height) == ((320, 240)))
+    assert(m0.handlers == Seq("soun", "vide"))
+    assert(m0.codec == "avc1")
+    // Version-1 mvhd/tkhd (64-bit times) + largesize mdat: identical meta.
+    val b1 = Multimodal.mp4Bytes(3000, 600, 320, 240, "avc1",
+      withAudio = true, v1 = true)
+    assert(Multimodal.mp4Meta(b1) == Some(m0))
+    // Video-only file, different codec fourcc.
+    val Some(m2) = Multimodal.mp4Meta(
+      Multimodal.mp4Bytes(1200, 600, 64, 48, "hvc1", withAudio = false, v1 = false))
+    assert((m2.nTracks, m2.handlers, m2.codec) == ((1, Seq("vide"), "hvc1")))
+    // Non-MP4 containers and garbage decline.
+    assert(Multimodal.mp4Meta("garbage-that-is-long-enough".getBytes) == None)
+    assert(Multimodal.mp4Meta(Multimodal.mp3Bytes(2)) == None)
+    // Truncated moov (malformed inner length) declines rather than throws.
+    assert(Multimodal.mp4Meta(b0.take(60)) == None)
+  }
+
+  test("aviMeta walks a real RIFF chunk tree with WORD alignment") {
+    val b = Multimodal.aviBytes(usPerFrame = 40000, totalFrames = 250,
+      width = 640, height = 480, withAudio = true)
+    val Some(m) = Multimodal.aviMeta(b)
+    assert(math.abs(m.durationSec - 10.0) < 1e-9)
+    assert(m.nTracks == 2)
+    assert((m.width, m.height) == ((640, 480)))
+    assert(m.handlers == Seq("auds", "vids"))
+    assert(m.codec == "mjpg")
+    // Odd moviLen exercises the WORD-alignment pad hop.
+    val odd = Multimodal.aviBytes(33333, 30, 320, 240, withAudio = false,
+      moviLen = 33)
+    assert(Multimodal.aviMeta(odd).map(_.nTracks) == Some(1))
+    // videoMeta dispatch: MP4 first, AVI fallback, None otherwise.
+    assert(Multimodal.videoMeta(b).map(_.brand) == Some("AVI "))
+    assert(Multimodal.videoMeta(
+      Multimodal.mp4Bytes(600, 600, 16, 16, "avc1", false, false))
+      .map(_.brand) == Some("isom"))
+    assert(Multimodal.videoMeta("garbage-that-is-long-enough".getBytes) == None)
+    assert(Multimodal.aviMeta(b.take(40)) == None)
   }
 
   test("audioMeta parses canonical WAV headers; rejects garbage") {
