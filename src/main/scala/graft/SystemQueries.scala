@@ -29,6 +29,16 @@ object SystemQueries {
     Multimodal.wavBytes(16000, 1, 16, Array.empty, declaredLen = 212)
       .map("%02x".format(_)).mkString
 
+  /** DuckDB-portable 6-dp rounding for dyadic-tie-prone values: DuckDB's
+    * ROUND(double, 6) rounds the BINARY value half away from zero
+    * (std::round(x·1e6)/1e6, probed), while math.rint is half-even —
+    * they disagree exactly at .5e-6 ties, which Layer I requantized
+    * sums (dyadic × 1/(2^nb − 1)) actually hit (NOTES.md tie class). */
+  private def round6HalfAway(x: Double): Double = {
+    val y = x * 1e6
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 1e6
+  }
+
   /** Static relation dictionary of the derived KG (names for the 11 base
     * relations; odd ids are the `_inv` partners). */
   def relationDict(s: SparkSession): DataFrame = {
@@ -868,6 +878,59 @@ object SystemQueries {
             |  CAST(24 * (r % 3 + 2) AS BIGINT) AS height,
             |  CASE WHEN r % 2 = 1 THEN 'auds,vids' ELSE 'vids' END AS streams,
             |  'mjpg' AS codec
-            |FROM range(48) t(r)""".stripMargin))
+            |FROM range(48) t(r)""".stripMargin)),
+
+    // REAL MPEG-1 Layer I payload decode, round-trip-proven: each row
+    // carries genuinely bit-packed Layer I frames (4-bit allocations,
+    // 6-bit scalefactor indices, 2..8-bit interleaved sample codes) whose
+    // fields follow closed-form formulas of (media_id, frame, group,
+    // subband). Spark bit-unpacks the actual stream and requantizes via
+    // the spec formula (ISO 11172-3 §2.4.3.3); the oracle computes the
+    // SAME per-subband sums directly from the formulas, never touching
+    // the bytes — a match proves the bit reader walks every field
+    // boundary exactly. Scalefactor indices are multiples of 3, so
+    // 2^(1-idx/3) is exactly dyadic and the float contract is
+    // engine-portable (NOTES.md). Synthesis-to-PCM stays the declared
+    // stub (tabulated window); subband samples are the honest scope.
+    ("multimodal_mp1_decode",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val decoded = Multimodal.layer1Decode(Multimodal.layer1Bytes(id, nf))
+          val (_, blocks) = decoded.get
+          blocks.groupBy(_.subband).toSeq.map { case (sb, bs) =>
+            val ordered = bs.sortBy(_.frame) // bitstream order: f asc, g asc
+            var sum = 0.0; var msq = 0.0; var n = 0
+            ordered.foreach(_.samples.foreach { v =>
+              sum += v; msq += v * v; n += 1
+            })
+            (id, sb, ordered.head.alloc, n.toLong,
+             round6HalfAway(sum), round6HalfAway(msq))
+          }
+        }.toDF("media_id", "subband", "alloc", "n_samples", "s_sum", "s_msq")
+          .select(col("media_id"),
+            col("subband").cast("long").as("subband"),
+            col("alloc").cast("long").as("alloc"),
+            col("n_samples"), col("s_sum"), col("s_msq"))
+      },
+      Some("""WITH sbs AS (
+            |  SELECT r AS media_id, sb, (r + sb) % 8 AS alloc, r % 3 + 1 AS nf
+            |  FROM range(48) t(r), range(32) s(sb)
+            |  WHERE (r + sb) % 8 > 0),
+            |tx AS (
+            |  SELECT media_id, sb, alloc, nf,
+            |    list_transform(generate_series(0, nf * 12 - 1), i ->
+            |      POWER(2.0, 1.0 - ((media_id * 5 + (i // 12) * 11 + sb * 7) % 21))
+            |      * ((1 << (alloc + 1)) / ((1 << (alloc + 1)) - 1.0))
+            |      * (((media_id * 131 + (i // 12) * 17 + (i % 12) * 29 + sb * 13) % (1 << (alloc + 1))) * 1.0
+            |         / (1 << alloc) - 1.0 + 2.0 / (1 << (alloc + 1)))) AS ts
+            |  FROM sbs)
+            |SELECT media_id, CAST(sb AS BIGINT) AS subband,
+            |  CAST(alloc AS BIGINT) AS alloc,
+            |  CAST(nf * 12 AS BIGINT) AS n_samples,
+            |  ROUND(list_sum(ts), 6) AS s_sum,
+            |  ROUND(list_sum(list_transform(ts, v -> v * v)), 6) AS s_msq
+            |FROM tx""".stripMargin))
   )
 }

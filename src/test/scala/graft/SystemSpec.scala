@@ -494,6 +494,37 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.aviMeta(b.take(40)) == None)
   }
 
+  test("layer1Decode round-trips genuinely bit-packed MPEG-1 Layer I frames") {
+    val b = Multimodal.layer1Bytes(seed = 5, nFrames = 2)
+    assert(b.length == 384 * 2)
+    val Some((meta, blocks)) = Multimodal.layer1Decode(b)
+    assert(meta == Multimodal.AudioMeta(32000, 1, -1, 2))
+    // alloc (5 + sb) % 8: subband 3 silent, 28 allocated per frame.
+    assert(blocks.count(_.frame == 0) == 28)
+    assert(!blocks.exists(_.subband == 3))
+    // Spot-check one sample against the spec formula computed by hand:
+    // sb=0, f=0, g=0: alloc=5, nb=6, scfIdx=3*((25)%21)=12 -> sf=2^-3,
+    // code=(5*131) % 64 = 15.
+    val blk = blocks.find(b => b.frame == 0 && b.subband == 0).get
+    assert(blk.alloc == 5 && blk.scfIdx == 12)
+    val expect = 0.125 * (64.0 / 63) * (15.0 / 32 - 1.0 + 2.0 / 64)
+    assert(math.abs(blk.samples(0) - expect) < 1e-15)
+    // All requantized values live in sf * 2^nb/(2^nb - 1) * [-1, 1] (the
+    // formula's range: frac in [-1, 1], then the (2^nb - 1) re-scale).
+    blocks.foreach { blk =>
+      val sf = math.pow(2.0, 1.0 - blk.scfIdx / 3.0)
+      val nb = blk.alloc + 1
+      val bound = sf * (1 << nb) / ((1 << nb) - 1.0) + 1e-12
+      blk.samples.foreach(v => assert(math.abs(v) <= bound))
+    }
+    // Truncation honesty: only complete frames decode.
+    val Some((m2, blk2)) = Multimodal.layer1Decode(b.take(384 + 100))
+    assert(m2.nFrames == 1 && blk2.forall(_.frame == 0))
+    // Layer III streams and garbage decline.
+    assert(Multimodal.layer1Decode(Multimodal.mp3Bytes(2)) == None)
+    assert(Multimodal.layer1Decode("garbage".getBytes) == None)
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
