@@ -931,6 +931,141 @@ object SystemQueries {
             |  CAST(nf * 12 AS BIGINT) AS n_samples,
             |  ROUND(list_sum(ts), 6) AS s_sum,
             |  ROUND(list_sum(list_transform(ts, v -> v * v)), 6) AS s_msq
-            |FROM tx""".stripMargin))
+            |FROM tx""".stripMargin)),
+
+    // REAL GIF decode, round-trip-proven: each row carries a genuine
+    // GIF89a (logical screen descriptor, 256-entry grey global color
+    // table, real variable-width LZW entropy coding with width growth;
+    // half the rows add a graphic-control extension the decoder must
+    // skip) whose palette indices follow a closed-form formula. Spark
+    // LZW-decodes the actual bit stream (prefix-chain reconstruction,
+    // KwKwK case) and maps through the palette; the oracle computes the
+    // SAME statistics from the formula, never touching the bytes — a
+    // match proves the encode → LZW-decode → palette-map round trip is
+    // lossless. The encoder itself is pinned to the public format by an
+    // independent javax.imageio decode in SystemSpec. 24×16, 48 rows.
+    ("multimodal_gif_decode",
+      (s, dir) => {
+        import s.implicits._
+        val (w, h) = (24, 16)
+        s.range(48).map { id =>
+          val pixels = Array.tabulate(w * h)(i =>
+            ((id * 29 + i.toLong * 13) % 256).toByte)
+          val bytes = Multimodal.gifBytes(w, h, pixels,
+                                          withGce = id % 2 == 0)
+          val st = Multimodal.gifChannelStats(bytes)
+          val (meta, n, sums, sqs) =
+            st.getOrElse((Multimodal.ImageMeta(-1, -1, -1, ""), -1L,
+                          Array(-1.0, -1, -1), Array(-1.0, -1, -1)))
+          (id, meta.width.toLong, meta.height.toLong, meta.channels.toLong,
+           n, round6HalfAway(sums(0) / n), round6HalfAway(sqs(0) / n))
+        }.toDF("media_id", "width", "height", "channels", "n_pixels",
+               "mean_r", "msq_r")
+      },
+      Some("""WITH px AS (SELECT r AS media_id, generate_series(0, 383) AS ps
+            |  FROM range(48) t(r))
+            |SELECT media_id,
+            |  CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+            |  CAST(3 AS BIGINT) AS channels, CAST(384 AS BIGINT) AS n_pixels,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> ((media_id * 29 + p * 13) % 256) / 255.0)) / 384, 6) AS mean_r,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> pow(((media_id * 29 + p * 13) % 256) / 255.0, 2))) / 384, 6) AS msq_r
+            |FROM px""".stripMargin)),
+
+    // REAL MJPEG video decode = RIFF demux ∘ baseline-JPEG still decode:
+    // each row carries a genuine AVI whose `movi` list holds `00dc`
+    // chunks, each a real entropy-coded JPEG (DC-only constant blocks →
+    // the lossy pipeline is exact). Spark walks the container to extract
+    // every frame payload (aviFrames) and runs the full JPEG decode per
+    // frame (mjpegFrameStats); the oracle states the per-frame closed
+    // form. This closes the "video payload" half of the multimodal stub
+    // seam for the MJPEG codec path. 16×16, 2–4 frames per row.
+    ("multimodal_mjpeg_frames",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).flatMap { id =>
+          val nf = (id % 3).toInt + 2
+          val frames = (0 until nf).map { f =>
+            Multimodal.jpegBytes(16, 16,
+              Array.tabulate(4)(b => ((id * 37 + f * 19 + b * 11) % 256).toInt))
+          }
+          val avi = Multimodal.aviBytes(40000, nf, 16, 16,
+            withAudio = false, frames = frames)
+          Multimodal.mjpegFrameStats(avi).map {
+            case (fi, meta, n, sums, sqs) =>
+              (id, fi.toLong, meta.width.toLong, meta.height.toLong, n,
+               round6HalfAway(sums(0) / n), round6HalfAway(sqs(0) / n))
+          }
+        }.toDF("media_id", "frame", "width", "height", "n_pixels",
+               "mean_y", "msq_y")
+      },
+      Some("""WITH fb AS (SELECT r AS media_id, f, generate_series(0, 3) AS bs
+            |  FROM range(48) t(r), range(4) g(f) WHERE f < r % 3 + 2)
+            |SELECT media_id, CAST(f AS BIGINT) AS frame,
+            |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+            |  CAST(256 AS BIGINT) AS n_pixels,
+            |  ROUND(list_sum(list_transform(bs,
+            |    b -> ((media_id * 37 + f * 19 + b * 11) % 256) / 255.0)) / 4, 6) AS mean_y,
+            |  ROUND(list_sum(list_transform(bs,
+            |    b -> pow(((media_id * 37 + f * 19 + b * 11) % 256) / 255.0, 2))) / 4, 6) AS msq_y
+            |FROM fb""".stripMargin)),
+
+    // REAL chroma-subsampled (4:2:0) baseline JPEG decode: each row is a
+    // genuine interleaved YCbCr stream with 2x2/1x1/1x1 sampling — 4 Y +
+    // 1 Cb + 1 Cr blocks per 16×16 MCU, the MCU grid padded past the
+    // image edge (pad blocks participate in DC prediction, per spec).
+    // 32×24: Y plane 4×3 in-bounds blocks of a 4×4 grid; chroma planes
+    // 16×12 whose bottom block row is half visible — so per-plane
+    // partial-block accounting is exercised. DC-only q=1 blocks keep the
+    // lossy pipeline exact; the oracle computes the same per-plane
+    // visible-pixel-weighted stats from the block formulas.
+    ("multimodal_jpeg420_decode",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).map { id =>
+          def dcBlk(v: Int) = {
+            val c = new Array[Int](64); c(0) = 8 * (v - 128); c
+          }
+          def yv(bx: Int, by: Int) =
+            if (by >= 3) 0 else ((id * 37 + (by * 4 + bx) * 11) % 256).toInt
+          def cbv(bx: Int, by: Int) = ((id * 53 + (by * 2 + bx) * 29) % 256).toInt
+          def crv(bx: Int, by: Int) = ((id * 59 + (by * 2 + bx) * 31) % 256).toInt
+          val mcus = Array.tabulate(4) { m =>
+            val mx = m % 2; val my = m / 2
+            Array(
+              Array.tabulate(4)(k =>
+                dcBlk(yv(mx * 2 + k % 2, my * 2 + k / 2))),
+              Array(dcBlk(cbv(mx, my))), Array(dcBlk(crv(mx, my))))
+          }
+          val bytes = Multimodal.jpegBytesSampled(32, 24,
+            Array((2, 2), (1, 1), (1, 1)), mcus)
+          val st = Multimodal.jpegChannelStats(bytes)
+          val (meta, n, sums, _) =
+            st.getOrElse((Multimodal.ImageMeta(-1, -1, -1, ""), -1L,
+                          Array(-1.0, -1, -1), Array(-1.0, -1, -1)))
+          // chroma planes are 16×12 = 192 visible pixels each
+          (id, meta.width.toLong, meta.height.toLong, meta.channels.toLong,
+           n, round6HalfAway(sums(0) / n), round6HalfAway(sums(1) / 192),
+           round6HalfAway(sums(2) / 192))
+        }.toDF("media_id", "width", "height", "channels", "n_pixels",
+               "mean_y", "mean_cb", "mean_cr")
+      },
+      Some("""WITH yb AS (SELECT r AS media_id, generate_series(0, 11) AS bs
+            |  FROM range(48) t(r))
+            |SELECT media_id,
+            |  CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+            |  CAST(3 AS BIGINT) AS channels, CAST(768 AS BIGINT) AS n_pixels,
+            |  ROUND(list_sum(list_transform(bs,
+            |    b -> ((media_id * 37 + b * 11) % 256) / 255.0)) / 12, 6) AS mean_y,
+            |  -- chroma block (bx, by): full 64 px when by = 0, bottom row
+            |  -- half-clipped (32 px) when by = 1; plane total 192 px
+            |  ROUND(list_sum(list_transform(generate_series(0, 3),
+            |    b -> (CASE WHEN b // 2 = 0 THEN 64 ELSE 32 END)
+            |         * ((media_id * 53 + b * 29) % 256) / 255.0)) / 192, 6) AS mean_cb,
+            |  ROUND(list_sum(list_transform(generate_series(0, 3),
+            |    b -> (CASE WHEN b // 2 = 0 THEN 64 ELSE 32 END)
+            |         * ((media_id * 59 + b * 31) % 256) / 255.0)) / 192, 6) AS mean_cr
+            |FROM yb""".stripMargin))
   )
 }

@@ -105,6 +105,13 @@ object Multimodal {
         }
       }
       res
+    } else if (bytes.length >= 13 &&
+               (new String(bytes.slice(0, 6), "US-ASCII") == "GIF87a" ||
+                new String(bytes.slice(0, 6), "US-ASCII") == "GIF89a")) {
+      // GIF: logical screen descriptor; palette-indexed output is mapped
+      // through an RGB color table, so channels = 3.
+      val w = le16(bytes, 6); val h = le16(bytes, 8)
+      if (w > 0 && h > 0) Some(ImageMeta(w, h, 3, "gif")) else None
     } else None
   }
 
@@ -744,7 +751,8 @@ object Multimodal {
     * stream with strh) and LIST movi filler. Chunk sizes and the
     * MainAVIHeader field layout are genuine; frame data is filler. */
   def aviBytes(usPerFrame: Int, totalFrames: Int, width: Int, height: Int,
-               withAudio: Boolean, moviLen: Int = 32): Array[Byte] = {
+               withAudio: Boolean, moviLen: Int = 32,
+               frames: Seq[Array[Byte]] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def le32b(v: Int): Unit = { u8(v); u8(v >> 8); u8(v >> 16); u8(v >> 24) }
@@ -784,10 +792,64 @@ object Multimodal {
         strl("vids", "mjpg", 1, 1000000 / math.max(usPerFrame, 1))
         if (withAudio) strl("auds", "araw", 1, 16000)
       }
-      list("movi") { (0 until moviLen).foreach(i => u8(i * 13)) }
+      list("movi") {
+        if (frames.nonEmpty)
+          frames.foreach(f => chunk("00dc") { out.write(f, 0, f.length) })
+        else (0 until moviLen).foreach(i => u8(i * 13))
+      }
     }
     out.toByteArray
   }
+
+  /** REAL AVI frame extraction (the `movi` face [[aviMeta]] deliberately
+    * skips): walk the RIFF tree to `LIST movi` and return every video
+    * frame chunk payload (`##dc` compressed / `##db` uncompressed, and
+    * frames nested in `LIST rec ` groups) in stream order, honoring WORD
+    * alignment. This is the demux half of video decode; pair each
+    * returned payload with the matching still-image codec (e.g.
+    * [[jpegChannelStats]] for an MJPG `vids` stream). */
+  def aviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return Nil
+    val frames = Seq.newBuilder[Array[Byte]]
+    def isVideoChunk(tag: String): Boolean =
+      tag.length == 4 && tag(0).isDigit && tag(1).isDigit &&
+        (tag.endsWith("dc") || tag.endsWith("db"))
+    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+      var p = from
+      var ok = true
+      while (ok && p + 8 <= to) {
+        val tag = fourcc(bytes, p)
+        val size = le32(bytes, p + 4)
+        if (size < 0 || p + 8 + size > to) ok = false
+        else {
+          if (tag == "LIST" && size >= 4) {
+            val kind = fourcc(bytes, p + 8)
+            if (kind == "movi") ok = walk(p + 12, p + 8 + size, inMovi = true)
+            else if (inMovi && kind == "rec ")
+              ok = walk(p + 12, p + 8 + size, inMovi = true)
+          } else if (inMovi && isVideoChunk(tag))
+            frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + size)
+          p += 8 + size + (size & 1) // RIFF chunks are WORD-aligned
+        }
+      }
+      ok
+    }
+    if (!walk(12, bytes.length, inMovi = false)) Nil else frames.result()
+  }
+
+  /** MJPEG video decode = [[aviFrames]] demux ∘ [[jpegChannelStats]] still
+    * decode: per extracted frame, the full baseline-JPEG pipeline (marker
+    * walk, Huffman, dequant, IDCT) and its luma statistics. Frames whose
+    * payload is not a decodable baseline JPEG are dropped — the honest
+    * partial-decode contract ([[AudioMeta]]-style). */
+  def mjpegFrameStats(bytes: Array[Byte])
+      : Seq[(Int, ImageMeta, Long, Array[Double], Array[Double])] =
+    aviFrames(bytes).zipWithIndex.flatMap { case (f, i) =>
+      jpegChannelStats(f).map { case (meta, n, sums, sqs) =>
+        (i, meta, n, sums, sqs)
+      }
+    }
 
   /** Deterministic synthetic media table (id, kind, media BINARY, meta).
     * Image rows carry a REAL parseable BMP container (64×64×3 header +
@@ -843,7 +905,7 @@ object Multimodal {
         // for MP3 stays the stub path below).
         val ameta = audioMeta(bytes).orElse(mp3Meta(bytes).map(_._1))
         val pixelStats = bmpChannelStats(bytes).orElse(pngChannelStats(bytes))
-          .orElse(jpegChannelStats(bytes))
+          .orElse(jpegChannelStats(bytes)).orElse(gifChannelStats(bytes))
         val feats = (pixelStats, wavSampleStats(bytes)) match {
           case (Some((meta, n, sums, sqs)), _) if n > 0 =>
             val ch = meta.channels
@@ -1115,20 +1177,44 @@ object Multimodal {
                          blocks: Array[Array[Int]]): Array[Byte] =
     jpegBytesInterleaved(width, height, blocks.map(Array(_)))
 
-  /** The general entropy encoder behind [[jpegBytes]] /
+  /** 1x1-sampled entropy encoder behind [[jpegBytes]] /
     * [[jpegBytesFromCoefs]]: `mcus(m)(c)` is the zigzag-order quantized
     * coefficient block of component `c` in MCU `m` — one component is a
-    * grayscale stream, three is the interleaved YCbCr 4:4:4 layout (all
-    * components 1x1-sampled, shared quant/Huffman tables, per-component
-    * DC predictors per T.81 E.2.4). */
+    * grayscale stream, three is the interleaved YCbCr 4:4:4 layout.
+    * Delegates to [[jpegBytesSampled]] with all-1x1 sampling. */
   def jpegBytesInterleaved(width: Int, height: Int,
                            mcus: Array[Array[Array[Int]]],
                            restartInterval: Int = 0): Array[Byte] = {
     require(width % 8 == 0 && height % 8 == 0, "dims must be multiples of 8")
-    val (bw, bh) = (width / 8, height / 8)
-    require(mcus.length == bw * bh, "one MCU per 8x8 block position")
-    val nComp = mcus(0).length
+    require(mcus.length == (width / 8) * (height / 8),
+            "one MCU per 8x8 block position")
+    jpegBytesSampled(width, height,
+      Array.fill(mcus(0).length)((1, 1)), mcus.map(_.map(Array(_))),
+      restartInterval)
+  }
+
+  /** The fully general baseline entropy encoder: per-component sampling
+    * factors (h, v) per T.81 A.1.1 — `mcus(m)(c)(k)` is the k-th
+    * zigzag-order quantized block of component `c` in MCU `m`, k in
+    * raster order over the component's v×h block grid within the MCU
+    * (so 4:2:0 YCbCr is sampling = [(2,2),(1,1),(1,1)] with 4 Y + 1 Cb +
+    * 1 Cr blocks per 16×16-pixel MCU). The MCU grid covers
+    * ceil(width / 8Hmax) × ceil(height / 8Vmax); callers supply the edge
+    * padding blocks (their values are arbitrary but participate in DC
+    * prediction, exactly as the spec requires). Shared q=1 quant table,
+    * Annex K Huffman, per-component DC predictors, byte stuffing,
+    * restart intervals. */
+  def jpegBytesSampled(width: Int, height: Int,
+                       sampling: Array[(Int, Int)],
+                       mcus: Array[Array[Array[Array[Int]]]],
+                       restartInterval: Int = 0): Array[Byte] = {
+    val nComp = sampling.length
     require(nComp == 1 || nComp == 3, s"1 or 3 components, got $nComp")
+    val hMax = sampling.map(_._1).max; val vMax = sampling.map(_._2).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    require(mcus.length == mcusX * mcusY,
+            s"need ${mcusX * mcusY} MCUs, got ${mcus.length}")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -1139,7 +1225,8 @@ object Multimodal {
     marker(0xc0); u16(2 + 6 + 3 * nComp); u8(8) // SOF0: 8-bit precision
     u16(height); u16(width); u8(nComp)
     (1 to nComp).foreach { c =>
-      u8(c); u8(0x11); u8(0) // id c, 1x1 sampling, qtable 0
+      val (hc, vc) = sampling(c - 1)
+      u8(c); u8((hc << 4) | vc); u8(0) // id c, (h,v) sampling, qtable 0
     }
     def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(tc)
@@ -1184,26 +1271,33 @@ object Multimodal {
       }
       var c = 0
       while (c < nComp) {
-        val coefs = mcu(c)
-        val diff = coefs(0) - prevDc(c)
-        prevDc(c) = coefs(0)
-        val t = cat(diff)
-        putCoded(dcC, t); putMag(diff, t)
-        // AC run-length coding over zigzag indices 1..63
-        val lastNz = (63 to 1 by -1).find(coefs(_) != 0).getOrElse(0)
-        var run = 0
-        var z = 1
-        while (z <= lastNz) {
-          if (coefs(z) == 0) run += 1
-          else {
-            while (run >= 16) { putCoded(acC, 0xf0); run -= 16 } // ZRL
-            val s = cat(coefs(z))
-            putCoded(acC, (run << 4) | s); putMag(coefs(z), s)
-            run = 0
+        val (hc, vc) = sampling(c)
+        require(mcu(c).length == hc * vc,
+                s"component $c needs ${hc * vc} blocks per MCU")
+        var k = 0
+        while (k < hc * vc) {
+          val coefs = mcu(c)(k)
+          val diff = coefs(0) - prevDc(c)
+          prevDc(c) = coefs(0)
+          val t = cat(diff)
+          putCoded(dcC, t); putMag(diff, t)
+          // AC run-length coding over zigzag indices 1..63
+          val lastNz = (63 to 1 by -1).find(coefs(_) != 0).getOrElse(0)
+          var run = 0
+          var z = 1
+          while (z <= lastNz) {
+            if (coefs(z) == 0) run += 1
+            else {
+              while (run >= 16) { putCoded(acC, 0xf0); run -= 16 } // ZRL
+              val s = cat(coefs(z))
+              putCoded(acC, (run << 4) | s); putMag(coefs(z), s)
+              run = 0
+            }
+            z += 1
           }
-          z += 1
+          if (lastNz < 63) putCoded(acC, 0x00) // EOB
+          k += 1
         }
-        if (lastNz < 63) putCoded(acC, 0x00) // EOB
         c += 1
       }
     }
@@ -1216,12 +1310,15 @@ object Multimodal {
     * tables, SOF0, DHT, DRI, skip-unknown), Huffman entropy decode with
     * byte-unstuffing and restart markers, de-zigzag, dequantization,
     * double-precision IDCT (T.81 A.3.3), level shift + clamp. Handles any
-    * baseline stream with 1x1-sampled components (grayscale or YCbCr
-    * 4:4:4, interleaved MCU); per-component statistics are reported
-    * WITHOUT color conversion (component 0 = Y/grey — what quality
-    * screens threshold on). Progressive, arithmetic-coded and subsampled
-    * streams return None (the honest stub path). Same shape as
-    * [[bmpChannelStats]]: (meta, nPixels, perCompSum, perCompSumSq). */
+    * baseline stream with sampling factors 1..4 per component (grayscale,
+    * YCbCr 4:4:4 / 4:2:2 / 4:2:0, interleaved MCU with v×h blocks per
+    * component per A.1.1/A.2.3); per-component statistics are computed
+    * over each component's OWN subsampled plane, WITHOUT color conversion
+    * or chroma upsampling (component 0 = Y/grey — what quality screens
+    * threshold on; nPixels counts the Y plane). Progressive and
+    * arithmetic-coded streams return None (the honest stub path). Same
+    * shape as [[bmpChannelStats]]: (meta, nPixels, perCompSum,
+    * perCompSumSq). */
   def jpegChannelStats(bytes: Array[Byte])
       : Option[(ImageMeta, Long, Array[Double], Array[Double])] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
@@ -1259,6 +1356,7 @@ object Multimodal {
     }
     var width = 0; var height = 0; var nComp = 0
     var compQ: Array[Int] = null // per-component quant table id
+    var compH: Array[Int] = null; var compV: Array[Int] = null // sampling
     var restartInterval = 0
     var off = 2
     while (off + 4 <= bytes.length) {
@@ -1303,13 +1401,20 @@ object Multimodal {
           width = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
           nComp = bytes(seg + 5) & 0xff
           compQ = new Array[Int](nComp)
+          compH = new Array[Int](nComp); compV = new Array[Int](nComp)
           var i = 0
           while (i < nComp) {
             val samp = bytes(seg + 6 + 3 * i + 1) & 0xff
-            if (samp != 0x11) return None // only 1x1 sampling supported
+            compH(i) = (samp >> 4) & 0x0f; compV(i) = samp & 0x0f
+            if (compH(i) < 1 || compH(i) > 4 || compV(i) < 1 || compV(i) > 4)
+              return None // T.81 B.2.2: sampling factors 1..4
             compQ(i) = bytes(seg + 6 + 3 * i + 2) & 0xff
             i += 1
           }
+          // T.81 B.2.3: at most 10 blocks per interleaved MCU
+          if (nComp > 1 &&
+              (0 until nComp).map(i => compH(i) * compV(i)).sum > 10)
+            return None
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
           return None // non-baseline-sequential frame: honest stub path
@@ -1370,14 +1475,26 @@ object Multimodal {
             }
             -1
           }
-          val (bw, bh) = ((width + 7) / 8, (height + 7) / 8)
+          // Effective per-scan sampling: a single-component scan is
+          // non-interleaved (T.81 A.2.2) — one 8×8 block per MCU over the
+          // full-size plane regardless of declared factors; a multi-
+          // component scan interleaves v×h blocks per component, MCU grid
+          // ceil(width / 8Hmax) × ceil(height / 8Vmax), component planes
+          // ceil(width·h/Hmax) × ceil(height·v/Vmax) (A.1.1).
+          val hs = Array.tabulate(ns)(i => if (ns == 1) 1 else compH(i))
+          val vs = Array.tabulate(ns)(i => if (ns == 1) 1 else compV(i))
+          val hMax = hs.max; val vMax = vs.max
+          val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+          val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+          val cw = Array.tabulate(ns)(i => (width * hs(i) + hMax - 1) / hMax)
+          val chh = Array.tabulate(ns)(i => (height * vs(i) + vMax - 1) / vMax)
           val sums = new Array[Double](ns); val sqs = new Array[Double](ns)
           var nPix = 0L
           val prevDc = new Array[Int](ns)
           val coef = new Array[Int](64)
           val pix = new Array[Double](64)
           var mcu = 0
-          val nMcu = bw * bh
+          val nMcu = mcusX * mcusY
           var truncated = false
           while (mcu < nMcu && !truncated) {
             if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
@@ -1403,77 +1520,83 @@ object Multimodal {
             }
             var c = 0
             while (c < ns && !truncated) {
-              java.util.Arrays.fill(coef, 0)
               val hdc = huffs.getOrElse((0, compTables(c)._1), null)
               val hac = huffs.getOrElse((1, compTables(c)._2), null)
               if (hdc == null || hac == null) return None
-              val t = decodeSym(hdc)
-              if (t < 0) truncated = true
-              else {
-                coef(0) = prevDc(c) + extend(receive(t), t)
-                prevDc(c) = coef(0)
-                var k = 1
-                var eob = false
-                while (k < 64 && !eob && !truncated) {
-                  val rs = decodeSym(hac)
-                  if (rs < 0) { truncated = true }
-                  else if (rs == 0x00) eob = true
-                  else if (rs == 0xf0) k += 16 // ZRL
-                  else {
-                    k += (rs >> 4)
-                    if (k < 64)
-                      coef(Zigzag(k)) = extend(receive(rs & 0xf), rs & 0xf)
-                    k += 1
+              var blk = 0
+              while (blk < hs(c) * vs(c) && !truncated) {
+                java.util.Arrays.fill(coef, 0)
+                val t = decodeSym(hdc)
+                if (t < 0) truncated = true
+                else {
+                  coef(0) = prevDc(c) + extend(receive(t), t)
+                  prevDc(c) = coef(0)
+                  var k = 1
+                  var eob = false
+                  while (k < 64 && !eob && !truncated) {
+                    val rs = decodeSym(hac)
+                    if (rs < 0) { truncated = true }
+                    else if (rs == 0x00) eob = true
+                    else if (rs == 0xf0) k += 16 // ZRL
+                    else {
+                      k += (rs >> 4)
+                      if (k < 64)
+                        coef(Zigzag(k)) = extend(receive(rs & 0xf), rs & 0xf)
+                      k += 1
+                    }
                   }
-                }
-                if (!truncated) {
-                  // Dequantize + IDCT. coef holds NATURAL-order values
-                  // (de-zigzagged on store); quant tables are stored in
-                  // zigzag order per the spec, so re-walk the zigzag.
-                  val q = quant(compQ(c))
-                  val dq = new Array[Double](64)
-                  var z = 0
-                  while (z < 64) { dq(Zigzag(z)) = coef(Zigzag(z)).toDouble * q(z); z += 1 }
-                  var y = 0
-                  while (y < 8) {
-                    var x = 0
-                    while (x < 8) {
-                      var s = 0.0
-                      var u = 0
-                      while (u < 8) {
-                        var v = 0
-                        while (v < 8) {
-                          val cu = if (u == 0) 0.70710678118654752 else 1.0
-                          val cv = if (v == 0) 0.70710678118654752 else 1.0
-                          s += cu * cv * dq(v * 8 + u) *
-                            math.cos((2 * x + 1) * u * math.Pi / 16) *
-                            math.cos((2 * y + 1) * v * math.Pi / 16)
-                          v += 1
+                  if (!truncated) {
+                    // Dequantize + IDCT. coef holds NATURAL-order values
+                    // (de-zigzagged on store); quant tables are stored in
+                    // zigzag order per the spec, so re-walk the zigzag.
+                    val q = quant(compQ(c))
+                    val dq = new Array[Double](64)
+                    var z = 0
+                    while (z < 64) { dq(Zigzag(z)) = coef(Zigzag(z)).toDouble * q(z); z += 1 }
+                    var y = 0
+                    while (y < 8) {
+                      var x = 0
+                      while (x < 8) {
+                        var s = 0.0
+                        var u = 0
+                        while (u < 8) {
+                          var v = 0
+                          while (v < 8) {
+                            val cu = if (u == 0) 0.70710678118654752 else 1.0
+                            val cv = if (v == 0) 0.70710678118654752 else 1.0
+                            s += cu * cv * dq(v * 8 + u) *
+                              math.cos((2 * x + 1) * u * math.Pi / 16) *
+                              math.cos((2 * y + 1) * v * math.Pi / 16)
+                            v += 1
+                          }
+                          u += 1
                         }
-                        u += 1
+                        pix(y * 8 + x) = s / 4 + 128
+                        x += 1
                       }
-                      pix(y * 8 + x) = s / 4 + 128
-                      x += 1
+                      y += 1
                     }
-                    y += 1
-                  }
-                  // accumulate stats over pixels inside the image bounds
-                  val bx = mcu % bw; val by = mcu / bw
-                  var yy = 0
-                  while (yy < 8) {
-                    var xx = 0
-                    while (xx < 8) {
-                      if (bx * 8 + xx < width && by * 8 + yy < height) {
-                        val vv = math.max(0.0, math.min(255.0,
-                          math.rint(pix(yy * 8 + xx)))) / 255.0
-                        sums(c) += vv; sqs(c) += vv * vv
-                        if (c == 0) nPix += 1
+                    // accumulate stats over pixels inside the COMPONENT
+                    // plane bounds (= image bounds for 1x1 sampling)
+                    val baseX = ((mcu % mcusX) * hs(c) + blk % hs(c)) * 8
+                    val baseY = ((mcu / mcusX) * vs(c) + blk / hs(c)) * 8
+                    var yy = 0
+                    while (yy < 8) {
+                      var xx = 0
+                      while (xx < 8) {
+                        if (baseX + xx < cw(c) && baseY + yy < chh(c)) {
+                          val vv = math.max(0.0, math.min(255.0,
+                            math.rint(pix(yy * 8 + xx)))) / 255.0
+                          sums(c) += vv; sqs(c) += vv * vv
+                          if (c == 0) nPix += 1
+                        }
+                        xx += 1
                       }
-                      xx += 1
+                      yy += 1
                     }
-                    yy += 1
                   }
                 }
+                blk += 1
               }
               c += 1
             }
@@ -1486,6 +1609,216 @@ object Multimodal {
     }
     None
   }
+
+  // ---- REAL GIF codec (dependency-free LZW, GIF89a spec) -----------------
+
+  /** Build a real, spec-conformant GIF89a (CompuServe GIF89a spec, 1990):
+    * logical screen descriptor, 256-entry greyscale identity global color
+    * table, optionally a graphic-control extension block (which decoders
+    * must skip by sub-block lengths), image descriptor, and a genuine LZW
+    * entropy coder — variable 9..12-bit codes packed LSB-first, code width
+    * growing at each table power of two, clear-and-reset when the table
+    * reaches 4096 — packaged in ≤255-byte data sub-blocks. `pixels` are
+    * 8-bit palette indices (= grey levels under the identity palette),
+    * row-major, not interlaced. */
+  def gifBytes(width: Int, height: Int, pixels: Array[Byte],
+               withGce: Boolean = false): Array[Byte] = {
+    require(pixels.length == width * height,
+            s"pixels must be width*height indices, got ${pixels.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def ole16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    ole16(width); ole16(height)
+    u8(0xf7) // GCT present, 8-bit color resolution, 2^(7+1) = 256 entries
+    u8(0); u8(0) // background color index, pixel aspect ratio
+    (0 until 256).foreach { i => u8(i); u8(i); u8(i) } // grey identity GCT
+    if (withGce) { // 0x21 0xF9, 4-byte block, terminator
+      u8(0x21); u8(0xf9); u8(4); u8(0); ole16(0); u8(0); u8(0)
+    }
+    u8(0x2c) // image descriptor
+    ole16(0); ole16(0); ole16(width); ole16(height)
+    u8(0) // no local color table, not interlaced
+    u8(8) // LZW minimum code size
+    val clear = 256; val eoi = 257
+    var next = 258; var codeWidth = 9
+    val dict = new java.util.HashMap[Integer, Integer]()
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0; var bitCnt = 0
+    def emit(code: Int): Unit = {
+      bitBuf |= code << bitCnt; bitCnt += codeWidth
+      while (bitCnt >= 8) { data.write(bitBuf & 0xff); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    def reset(): Unit = { dict.clear(); next = 258; codeWidth = 9 }
+    emit(clear); reset()
+    var cur = pixels(0) & 0xff
+    var i = 1
+    while (i < pixels.length) {
+      val k = pixels(i) & 0xff
+      val key = Integer.valueOf((cur << 8) | k) // prefix code ≤ 4095, byte 8 bits
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        dict.put(key, Integer.valueOf(next)); next += 1
+        // encoder grows one code EARLY relative to the decoder's counter:
+        // entry 2^w is assigned after emitting the code the decoder reads
+        // at width w+1 (GIF89a appendix F variable-length-code discipline)
+        if (next > (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        cur = k
+        if (next == 4096) { emit(clear); reset() }
+      }
+      i += 1
+    }
+    emit(cur); emit(eoi)
+    if (bitCnt > 0) data.write(bitBuf & 0xff)
+    val arr = data.toByteArray
+    var off = 0
+    while (off < arr.length) {
+      val n = math.min(255, arr.length - off)
+      u8(n); out.write(arr, off, n); off += n
+    }
+    u8(0) // block terminator
+    u8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF decode: signature + logical-screen walk, global/local color
+    * table, extension blocks skipped by their declared sub-block lengths,
+    * and a full LZW decoder — variable-width codes LSB-first, prefix-chain
+    * string reconstruction, the KwKwK (code == next) case, width growth at
+    * table powers of two, clear-code reset, and deferred-clear tolerance
+    * (full table keeps coding statically). Returns the first image's
+    * metadata, its palette indices (row-major), and the active palette as
+    * 0xRRGGBB ints; None on anything malformed. Interlaced images are
+    * declined (None) rather than mis-ordered. */
+  def gifDecode(bytes: Array[Byte])
+      : Option[(ImageMeta, Array[Byte], Array[Int])] = {
+    if (bytes.length < 13) return None
+    val sig = new String(bytes.slice(0, 6), "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    try {
+      var p = 10
+      val packed = bytes(p) & 0xff
+      p = 13
+      def readPalette(n: Int): Array[Int] = {
+        val pal = Array.tabulate(n)(i =>
+          ((bytes(p + 3 * i) & 0xff) << 16) |
+            ((bytes(p + 3 * i + 1) & 0xff) << 8) |
+            (bytes(p + 3 * i + 2) & 0xff))
+        p += 3 * n
+        pal
+      }
+      var gct: Array[Int] = null
+      if ((packed & 0x80) != 0) gct = readPalette(1 << ((packed & 7) + 1))
+      while (p < bytes.length) {
+        (bytes(p) & 0xff) match {
+          case 0x21 => // extension: label byte then length-prefixed sub-blocks
+            p += 2
+            while ((bytes(p) & 0xff) != 0) p += 1 + (bytes(p) & 0xff)
+            p += 1
+          case 0x2c =>
+            val iw = le16(bytes, p + 5); val ih = le16(bytes, p + 7)
+            val ipacked = bytes(p + 9) & 0xff
+            p += 10
+            if ((ipacked & 0x40) != 0) return None // interlaced: declined
+            var pal = gct
+            if ((ipacked & 0x80) != 0)
+              pal = readPalette(1 << ((ipacked & 7) + 1))
+            if (pal == null || iw <= 0 || ih <= 0) return None
+            val minCode = bytes(p) & 0xff; p += 1
+            if (minCode < 2 || minCode > 8) return None
+            val dataB = new java.io.ByteArrayOutputStream()
+            while ((bytes(p) & 0xff) != 0) {
+              val n = bytes(p) & 0xff
+              dataB.write(bytes, p + 1, n); p += 1 + n
+            }
+            val data = dataB.toByteArray
+            val clear = 1 << minCode; val eoi = clear + 1
+            var width = minCode + 1
+            var nextCode = eoi + 1
+            val prefix = new Array[Int](4096)
+            val suffix = new Array[Byte](4096)
+            val outPix = new java.io.ByteArrayOutputStream(iw * ih)
+            var bi = 0; var bitBuf = 0; var bitCnt = 0
+            def read(): Int = {
+              while (bitCnt < width && bi < data.length) {
+                bitBuf |= (data(bi) & 0xff) << bitCnt; bitCnt += 8; bi += 1
+              }
+              if (bitCnt < width) -1
+              else {
+                val v = bitBuf & ((1 << width) - 1)
+                bitBuf >>>= width; bitCnt -= width; v
+              }
+            }
+            val stack = new Array[Byte](4096)
+            // write string(c) to outPix via its prefix chain; returns first byte
+            def outputCode(c: Int): Byte = {
+              var sp = 0; var cc = c
+              while (cc >= eoi + 1) { stack(sp) = suffix(cc); sp += 1; cc = prefix(cc) }
+              outPix.write(cc)
+              while (sp > 0) { sp -= 1; outPix.write(stack(sp)) }
+              cc.toByte
+            }
+            def firstByte(c: Int): Byte = {
+              var cc = c
+              while (cc >= eoi + 1) cc = prefix(cc)
+              cc.toByte
+            }
+            var prev = -1
+            var done = false
+            while (!done) {
+              val c = read()
+              if (c < 0 || c == eoi) done = true
+              else if (c == clear) { nextCode = eoi + 1; width = minCode + 1; prev = -1 }
+              else if (prev < 0) {
+                if (c >= clear) return None // first code after clear must be a literal
+                outputCode(c); prev = c
+              } else if (c < nextCode) {
+                val first = outputCode(c)
+                if (nextCode < 4096) {
+                  prefix(nextCode) = prev; suffix(nextCode) = first; nextCode += 1
+                  if (nextCode == (1 << width) && width < 12) width += 1
+                }
+                prev = c
+              } else if (c == nextCode && nextCode < 4096) {
+                val fb = firstByte(prev) // KwKwK: entry exists only after itself
+                prefix(nextCode) = prev; suffix(nextCode) = fb; nextCode += 1
+                outputCode(c)
+                if (nextCode == (1 << width) && width < 12) width += 1
+                prev = c
+              } else return None
+            }
+            val idx = outPix.toByteArray
+            if (idx.length < iw * ih) return None
+            return Some((ImageMeta(iw, ih, 3, "gif"),
+                         java.util.Arrays.copyOf(idx, iw * ih), pal))
+          case _ => return None // trailer (0x3b) or junk before any image
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** [[bmpChannelStats]]-shaped statistics over a REAL GIF decode: per-RGB
+    * palette-mapped channel sums and sums of squares of v/255 over every
+    * decoded pixel, plus the decoded-pixel count. */
+  def gifChannelStats(bytes: Array[Byte])
+      : Option[(ImageMeta, Long, Array[Double], Array[Double])] =
+    gifDecode(bytes).map { case (meta, idx, pal) =>
+      val sums = new Array[Double](3); val sqs = new Array[Double](3)
+      var i = 0
+      while (i < idx.length) {
+        val rgb = pal(idx(i) & 0xff)
+        var c = 0
+        while (c < 3) {
+          val v = ((rgb >> (16 - 8 * c)) & 0xff) / 255.0
+          sums(c) += v; sqs(c) += v * v; c += 1
+        }
+        i += 1
+      }
+      (meta, idx.length.toLong, sums, sqs)
+    }
 
   /** Frame sampling: split the payload into fixed-size chunks and keep every
     * `stride`-th — pure expression (binary substring), no UDF. */

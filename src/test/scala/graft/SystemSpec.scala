@@ -525,6 +525,110 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.layer1Decode("garbage".getBytes) == None)
   }
 
+  test("gif codec round-trips and matches the JDK's independent decoder") {
+    // Pixels chosen to exercise the LZW hard spots: a long constant run
+    // (KwKwK codes), then noise (rapid table growth past the 512/1024
+    // width boundaries).
+    val (w, h) = (80, 64) // 5120 px: enough new entries to cross 4096
+    val pixels = Array.tabulate(w * h) { i =>
+      if (i < 600) 7.toByte else ((i * 31 + (i / w) * 7) % 256).toByte
+    }
+    val bytes = Multimodal.gifBytes(w, h, pixels, withGce = true)
+    // Our decoder round-trips exactly.
+    val Some((meta, idx, pal)) = Multimodal.gifDecode(bytes)
+    assert(meta == Multimodal.ImageMeta(w, h, 3, "gif"))
+    assert(idx.sameElements(pixels))
+    assert(pal.length == 256 && pal(17) == 0x111111)
+    // The JDK's ImageIO GIF reader (independent implementation) agrees —
+    // proves gifBytes is real GIF, not a private dialect.
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val grey = pixels(y * w + x) & 0xff
+      assert((img.getRGB(x, y) & 0xffffff) == (grey * 0x10101),
+             s"ImageIO mismatch at ($x,$y)")
+    }
+    // imageMeta sees the logical screen descriptor header-only.
+    assert(Multimodal.imageMeta(bytes) ==
+      Some(Multimodal.ImageMeta(w, h, 3, "gif")))
+    // Stats: identity palette means all three channels equal the grey mean.
+    val Some((_, n, sums, sqs)) = Multimodal.gifChannelStats(bytes)
+    assert(n == w * h && math.abs(sums(0) - sums(2)) < 1e-12)
+    // Garbage, truncation, interlace decline.
+    assert(Multimodal.gifDecode("garbage-that-is-long-enough".getBytes) == None)
+    assert(Multimodal.gifDecode(bytes.take(200)) == None)
+    val interlaced = bytes.clone()
+    // image descriptor packed byte: 6 (sig) + 7 (LSD) + 768 (GCT) + 8 (GCE)
+    // + 9 bytes into the descriptor
+    val descAt = 6 + 7 + 768 + 8
+    assert((interlaced(descAt) & 0xff) == 0x2c)
+    interlaced(descAt + 9) = 0x40.toByte
+    assert(Multimodal.gifDecode(interlaced) == None)
+  }
+
+  test("aviFrames demuxes movi chunks; mjpegFrameStats decodes each frame") {
+    val f0 = Multimodal.jpegBytes(16, 16, Array(10, 20, 30, 40))
+    val f1 = Multimodal.jpegBytes(16, 16, Array(50, 60, 70, 80))
+    val odd = Array.tabulate(7)(_.toByte) // odd-length frame: WORD padding
+    val avi = Multimodal.aviBytes(40000, 3, 16, 16, withAudio = false,
+      frames = Seq(f0, odd, f1))
+    val frames = Multimodal.aviFrames(avi)
+    assert(frames.length == 3)
+    assert(frames(0).sameElements(f0) && frames(1).sameElements(odd) &&
+           frames(2).sameElements(f1))
+    // metadata walk still skips movi payloads
+    assert(Multimodal.aviMeta(avi).map(_.codec) == Some("mjpg"))
+    // mjpeg decode: non-JPEG frame dropped, JPEG frames decode exactly
+    // (DC-only constant blocks are lossless; mean = avg block / 255).
+    val stats = Multimodal.mjpegFrameStats(avi)
+    assert(stats.map(_._1) == Seq(0, 2))
+    val (_, m0, n0, s0, _) = stats(0)
+    assert(m0 == Multimodal.ImageMeta(16, 16, 1, "jpeg") && n0 == 256)
+    assert(math.abs(s0(0) / n0 - (10 + 20 + 30 + 40) / 4.0 / 255) < 1e-12)
+    assert(Multimodal.aviFrames("garbage-that-is-long-enough".getBytes).isEmpty)
+  }
+
+  test("jpeg subsampled decode: 4:2:0 and 4:2:2 MCUs, ImageIO-pinned") {
+    // 32×24 4:2:0: MCU grid 2×2 (16×16 px MCUs); Y plane 32×24 = 4×3
+    // in-bounds blocks of the 4×4 padded grid; chroma planes 16×12.
+    def dcBlk(v: Int) = { val c = new Array[Int](64); c(0) = 8 * (v - 128); c }
+    def yVal(bx: Int, by: Int) = if (by >= 3) 77 else 16 + bx * 8 + by * 4
+    val mcus420 = Array.tabulate(4) { m =>
+      val mx = m % 2; val my = m / 2
+      val yB = Array.tabulate(4)(k => dcBlk(yVal(mx * 2 + k % 2, my * 2 + k / 2)))
+      Array(yB, Array(dcBlk(128)), Array(dcBlk(128)))
+    }
+    val b420 = Multimodal.jpegBytesSampled(32, 24,
+      Array((2, 2), (1, 1), (1, 1)), mcus420)
+    val Some((meta, n, sums, sqs)) = Multimodal.jpegChannelStats(b420)
+    assert(meta == Multimodal.ImageMeta(32, 24, 3, "jpeg"))
+    assert(n == 32 * 24) // Y-plane pixels; pad blocks not counted
+    val expMeanY = (for (by <- 0 until 3; bx <- 0 until 4)
+      yield yVal(bx, by)).sum / 12.0 / 255
+    assert(math.abs(sums(0) / n - expMeanY) < 1e-12)
+    // chroma stats are over the component's own 16×12 plane
+    assert(math.abs(sums(1) / (16 * 12) - 128.0 / 255) < 1e-12)
+    // ImageIO (independent decoder) accepts the stream; neutral chroma
+    // means every RGB channel equals the Y constant of its 8×8 block.
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b420))
+    assert(img.getWidth == 32 && img.getHeight == 24)
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert((img.getRGB(x, y) & 0xff) == yVal(x / 8, y / 8),
+             s"ImageIO mismatch at ($x,$y)")
+    // 16×8 4:2:2: MCU 16×8, grid 1×1, 2 Y blocks + 1 Cb + 1 Cr.
+    val b422 = Multimodal.jpegBytesSampled(16, 8,
+      Array((2, 1), (1, 1), (1, 1)),
+      Array(Array(Array(dcBlk(40), dcBlk(200)),
+                  Array(dcBlk(128)), Array(dcBlk(128)))))
+    val Some((m2, n2, s2, _)) = Multimodal.jpegChannelStats(b422)
+    assert(m2.width == 16 && n2 == 128)
+    assert(math.abs(s2(0) / n2 - (40 + 200) / 2.0 / 255) < 1e-12)
+    val i2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b422))
+    assert((i2.getRGB(0, 0) & 0xff) == 40 && (i2.getRGB(8, 0) & 0xff) == 200)
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
