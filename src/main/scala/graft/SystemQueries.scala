@@ -1066,6 +1066,47 @@ object SystemQueries {
             |  ROUND(list_sum(list_transform(generate_series(0, 3),
             |    b -> (CASE WHEN b // 2 = 0 THEN 64 ELSE 32 END)
             |         * ((media_id * 59 + b * 31) % 256) / 255.0)) / 192, 6) AS mean_cr
-            |FROM yb""".stripMargin))
+            |FROM yb""".stripMargin)),
+
+    // REAL progressive JPEG decode (T.81 Annex G): each row is a genuine
+    // SOF2 multi-scan stream — interleaved DC first scan at Al=1,
+    // spectral-selection AC band scans (all end-of-band runs here: DC-only
+    // blocks), and a DC successive-approximation refinement scan whose raw
+    // bits reconstruct the exact DC (two's-complement odd/even both hit).
+    // The decoder accumulates coefficients across scans and finalizes at
+    // EOI; the oracle states the block-constant closed form. The AC-
+    // refinement path is pinned separately by an ImageIO-written stream
+    // in SystemSpec. 32×24 grey, 12 blocks/row.
+    ("multimodal_jpeg_prog_decode",
+      (s, dir) => {
+        import s.implicits._
+        val (w, h) = (32, 24)
+        val nb = (w / 8) * (h / 8)
+        s.range(48).map { id =>
+          val comps = Array(Array.tabulate(nb) { b =>
+            val z = new Array[Int](64)
+            z(0) = 8 * (((id * 37 + b * 11) % 256).toInt - 128)
+            z
+          })
+          val bytes = Multimodal.jpegBytesProgressive(w, h, comps)
+          val st = Multimodal.jpegChannelStats(bytes)
+          val (meta, n, sums, sqs) =
+            st.getOrElse((Multimodal.ImageMeta(-1, -1, -1, ""), -1L,
+                          Array(-1.0), Array(-1.0)))
+          (id, meta.width.toLong, meta.height.toLong, meta.channels.toLong,
+           n, round6HalfAway(sums(0) / n), round6HalfAway(sqs(0) / n))
+        }.toDF("media_id", "width", "height", "channels", "n_pixels",
+               "mean_y", "msq_y")
+      },
+      Some("""WITH b AS (SELECT r AS media_id, generate_series(0, 11) AS bs
+            |  FROM range(48) t(r))
+            |SELECT media_id,
+            |  CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+            |  CAST(1 AS BIGINT) AS channels, CAST(768 AS BIGINT) AS n_pixels,
+            |  ROUND(list_sum(list_transform(bs,
+            |    b -> ((media_id * 37 + b * 11) % 256) / 255.0)) / 12, 6) AS mean_y,
+            |  ROUND(list_sum(list_transform(bs,
+            |    b -> pow(((media_id * 37 + b * 11) % 256) / 255.0, 2))) / 12, 6) AS msq_y
+            |FROM b""".stripMargin))
   )
 }

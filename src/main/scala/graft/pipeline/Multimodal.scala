@@ -82,7 +82,7 @@ object Multimodal {
       else None
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
                (bytes(1) & 0xff) == 0xd8) {
-      // JPEG: walk the marker stream to SOF0 (baseline) for dimensions.
+      // JPEG: walk the marker stream to SOF0/SOF2 for dimensions.
       var off = 2
       var res: Option[ImageMeta] = None
       while (res.isEmpty && off + 4 <= bytes.length &&
@@ -95,7 +95,7 @@ object Multimodal {
         if (m == 0xd9 || m == 0xda) off = bytes.length // EOI/SOS: stop
         else {
           val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-          if (m == 0xc0 && off + 4 + 6 <= bytes.length) {
+          if ((m == 0xc0 || m == 0xc2) && off + 4 + 6 <= bytes.length) {
             val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
             val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
             val ch = bytes(off + 9) & 0xff
@@ -1306,6 +1306,121 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Build a real PROGRESSIVE JPEG (SOF2, T.81 Annex G, Huffman coding):
+    * `comps(c)(blockIdx)(zigzagPos)` are full-resolution quantized blocks
+    * (q=1, 1x1 sampling, raster block order). Scan script: one
+    * interleaved DC first scan at successive-approximation Al=1, per-
+    * component spectral-selection AC scans for bands 1–5 and 6–63 (with
+    * genuine end-of-band run coding — Annex K tables carry only EOB0, so
+    * runs are per-block), and a final interleaved DC refinement scan
+    * (Ah=1→Al=0, one raw bit per block). Together with [[jpegDecode]]'s
+    * progressive path this round-trips bit-exactly against the baseline
+    * encoding of the same coefficients. */
+  def jpegBytesProgressive(width: Int, height: Int,
+                           comps: Array[Array[Array[Int]]]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, "dims must be multiples of 8")
+    val nComp = comps.length
+    require(nComp == 1 || nComp == 3, s"1 or 3 components, got $nComp")
+    val (bw, bh) = (width / 8, height / 8)
+    require(comps.forall(_.length == bw * bh), "one block per position")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); u8(0)
+    (0 until 64).foreach(_ => u8(1)) // q=1 table 0
+    marker(0xc2); u16(2 + 6 + 3 * nComp); u8(8) // SOF2 progressive
+    u16(height); u16(width); u8(nComp)
+    (1 to nComp).foreach { c => u8(c); u8(0x11); u8(0) }
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(tc)
+      (1 to 16).foreach(l => u8(bits(l))); vals.foreach(u8)
+    }
+    dht(0x00, JpegDcBits, JpegDcVals)
+    dht(0x10, JpegAcBits, JpegAcVals)
+    val dcC = huffCodes(JpegDcBits, JpegDcVals)
+    val acC = huffCodes(JpegAcBits, JpegAcVals)
+    var bitBuf = 0L; var nBits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1)); nBits += len
+      while (nBits >= 8) {
+        val b = ((bitBuf >> (nBits - 8)) & 0xff).toInt
+        u8(b); if (b == 0xff) u8(0x00) // byte stuffing
+        nBits -= 8
+      }
+    }
+    def flushBits(): Unit =
+      if (nBits % 8 != 0) putBits(0xff, 8 - (nBits % 8))
+    def cat(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putCoded(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = codes(sym); putBits(c, l)
+    }
+    def putMag(v: Int, t: Int): Unit =
+      if (t > 0) putBits((if (v < 0) v - 1 else v) & ((1 << t) - 1), t)
+    def sosHeader(sel: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); u16(2 + 1 + 2 * sel.length + 3); u8(sel.length)
+      sel.foreach { c => u8(c + 1); u8(0x00) }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    // Scan 1: interleaved DC first, Al=1 — diffs of the point-transformed
+    // DC (arithmetic shift; two's complement makes refinement exact).
+    sosHeader(0 until nComp, 0, 0, 0, 1)
+    locally {
+      val prevDc = new Array[Int](nComp)
+      var b = 0
+      while (b < bw * bh) {
+        var c = 0
+        while (c < nComp) {
+          val dc1 = comps(c)(b)(0) >> 1
+          val diff = dc1 - prevDc(c); prevDc(c) = dc1
+          val t = cat(diff); putCoded(dcC, t); putMag(diff, t)
+          c += 1
+        }
+        b += 1
+      }
+      flushBits()
+    }
+    // Scans 2..: per-component spectral-selection AC bands, Al=0.
+    for (c <- 0 until nComp; band <- Seq((1, 5), (6, 63))) {
+      val (ss, se) = band
+      sosHeader(Seq(c), ss, se, 0, 0)
+      var b = 0
+      while (b < bw * bh) {
+        val coefs = comps(c)(b)
+        val lastNz = (se to ss by -1).find(coefs(_) != 0).getOrElse(ss - 1)
+        var run = 0; var k = ss
+        while (k <= lastNz) {
+          if (coefs(k) == 0) run += 1
+          else {
+            while (run >= 16) { putCoded(acC, 0xf0); run -= 16 } // ZRL
+            val s = cat(coefs(k))
+            putCoded(acC, (run << 4) | s); putMag(coefs(k), s)
+            run = 0
+          }
+          k += 1
+        }
+        if (lastNz < se) putCoded(acC, 0x00) // EOB0: end-of-band run of 1
+        b += 1
+      }
+      flushBits()
+    }
+    // Final scan: interleaved DC refinement Ah=1→Al=0, one raw bit/block.
+    sosHeader(0 until nComp, 0, 0, 1, 0)
+    locally {
+      var b = 0
+      while (b < bw * bh) {
+        var c = 0
+        while (c < nComp) { putBits(comps(c)(b)(0) & 1, 1); c += 1 }
+        b += 1
+      }
+      flushBits()
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** REAL baseline JPEG pixel decode — full marker walk (DQT incl. 16-bit
     * tables, SOF0, DHT, DRI, skip-unknown), Huffman entropy decode with
     * byte-unstuffing and restart markers, de-zigzag, dequantization,
@@ -1315,9 +1430,12 @@ object Multimodal {
     * component per A.1.1/A.2.3); per-component statistics are computed
     * over each component's OWN subsampled plane, WITHOUT color conversion
     * or chroma upsampling (component 0 = Y/grey — what quality screens
-    * threshold on; nPixels counts the Y plane). Progressive and
-    * arithmetic-coded streams return None (the honest stub path). Same
-    * shape as [[bmpChannelStats]]: (meta, nPixels, perCompSum,
+    * threshold on; nPixels counts the Y plane). PROGRESSIVE (SOF2) frames
+    * decode for real too — multi-scan coefficient accumulation with
+    * spectral selection, successive approximation (DC and AC refinement
+    * scans), and end-of-band run coding per T.81 Annex G. Arithmetic-
+    * coded and hierarchical streams return None (the honest stub path).
+    * Same shape as [[bmpChannelStats]]: (meta, nPixels, perCompSum,
     * perCompSumSq). */
   def jpegChannelStats(bytes: Array[Byte])
       : Option[(ImageMeta, Long, Array[Double], Array[Double])] = {
@@ -1332,32 +1450,189 @@ object Multimodal {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
+  /** 8×8 double-precision IDCT (T.81 A.3.3) of dequantized NATURAL-order
+    * coefficients into level-shifted (+128) pixel values. */
+  private def idct8x8(dq: Array[Double], pix: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val cu = if (u == 0) 0.70710678118654752 else 1.0
+            val cv = if (v == 0) 0.70710678118654752 else 1.0
+            s += cu * cv * dq(v * 8 + u) *
+              math.cos((2 * x + 1) * u * math.Pi / 16) *
+              math.cos((2 * y + 1) * v * math.Pi / 16)
+            v += 1
+          }
+          u += 1
+        }
+        pix(y * 8 + x) = s / 4 + 128
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // Huffman tables: (class 0=DC/1=AC, id) → decode arrays (T.81 F.2.2.3)
+  private final case class Huff(maxcode: Array[Int], mincode: Array[Int],
+                                valptr: Array[Int], vals: Array[Int])
+  private def buildHuff(bits: Array[Int], vals: Array[Int]): Huff = {
+    val mincode = new Array[Int](17); val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    var code = 0; var k = 0
+    var l = 1
+    while (l <= 16) {
+      valptr(l) = k; mincode(l) = code
+      code += bits(l); k += bits(l)
+      maxcode(l) = code - 1
+      code <<= 1
+      l += 1
+    }
+    (1 to 16).foreach(l => if (bits(l) == 0) maxcode(l) = -1)
+    Huff(maxcode, mincode, valptr, vals)
+  }
+
+  private def extendCoef(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Entropy-segment bit reader with byte unstuffing; stops feeding at any
+    * true marker. One instance per scan (progressive frames have many). */
+  private final class JpegBits(bytes: Array[Byte], var p: Int) {
+    private var bitBuf = 0; private var nBits = 0
+    private def fill(): Boolean = {
+      while (nBits <= 24 && p < bytes.length) {
+        val b = bytes(p) & 0xff
+        if (b == 0xff) {
+          val nx = if (p + 1 < bytes.length) bytes(p + 1) & 0xff else 0xd9
+          if (nx == 0x00) p += 2 // stuffed data byte
+          else return nBits > 0  // RSTn / EOI / other marker: stop
+        } else p += 1
+        bitBuf = (bitBuf << 8) | b; nBits += 8
+      }
+      nBits > 0
+    }
+    def getBit(): Int = {
+      if (nBits == 0 && !fill()) return -1
+      if (nBits == 0) return -1
+      nBits -= 1
+      (bitBuf >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = getBit(); if (b < 0) return v << (n - i)
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+    def decodeSym(h: Huff): Int = {
+      var code = getBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16) {
+        if (h.maxcode(l) >= 0 && code <= h.maxcode(l) &&
+            code >= h.mincode(l))
+          return h.vals(h.valptr(l) + code - h.mincode(l))
+        val b = getBit(); if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      -1
+    }
+    /** Discard buffered padding, scan to and consume the next RSTn. */
+    def restartResync(): Unit = {
+      bitBuf = 0; nBits = 0
+      var scanning = true
+      while (scanning && p + 1 < bytes.length) {
+        val b = bytes(p) & 0xff
+        if (b == 0xff) {
+          val nx = bytes(p + 1) & 0xff
+          if (nx == 0x00) p += 2
+          else { if (nx >= 0xd0 && nx <= 0xd7) p += 2; scanning = false }
+        } else p += 1
+      }
+    }
+    /** Offset of the next true marker (skipping stuffing and RSTn). */
+    def skipToMarker(): Int = {
+      var q = p
+      var found = -1
+      while (found < 0 && q + 1 < bytes.length) {
+        if ((bytes(q) & 0xff) == 0xff) {
+          val nx = bytes(q + 1) & 0xff
+          if (nx == 0xff) q += 1 // fill byte
+          else if (nx == 0x00 || (nx >= 0xd0 && nx <= 0xd7)) q += 2
+          else found = q
+        } else q += 1
+      }
+      if (found < 0) bytes.length else found
+    }
+  }
+
   private def jpegDecode(bytes: Array[Byte])
       : Option[(ImageMeta, Long, Array[Double], Array[Double])] = {
     val quant = Array.fill(4)(new Array[Int](64))
-    // Huffman tables: (class 0=DC/1=AC, id) → decode arrays
-    final case class Huff(maxcode: Array[Int], mincode: Array[Int],
-                          valptr: Array[Int], vals: Array[Int])
     val huffs = scala.collection.mutable.Map.empty[(Int, Int), Huff]
-    def buildHuff(bits: Array[Int], vals: Array[Int]): Huff = {
-      val mincode = new Array[Int](17); val maxcode = new Array[Int](17)
-      val valptr = new Array[Int](17)
-      var code = 0; var k = 0
-      var l = 1
-      while (l <= 16) {
-        valptr(l) = k; mincode(l) = code
-        code += bits(l); k += bits(l)
-        maxcode(l) = code - 1
-        code <<= 1
-        l += 1
-      }
-      (1 to 16).foreach(l => if (bits(l) == 0) maxcode(l) = -1)
-      Huff(maxcode, mincode, valptr, vals)
-    }
     var width = 0; var height = 0; var nComp = 0
     var compQ: Array[Int] = null // per-component quant table id
     var compH: Array[Int] = null; var compV: Array[Int] = null // sampling
+    var compId: Array[Int] = null // SOF-declared component identifiers
     var restartInterval = 0
+    // Progressive (SOF2) state: zigzag-order coefficients accumulated
+    // across scans on the frame-level padded block grids.
+    var progressive = false
+    var sawScan = false
+    var fHMax = 1; var fVMax = 1; var fMcusX = 0; var fMcusY = 0
+    var fCw: Array[Int] = null; var fCh: Array[Int] = null
+    var fBwFull: Array[Int] = null
+    var coefStore: Array[Array[Array[Int]]] = null
+    var dcPred: Array[Int] = null
+    // Finalize a progressive frame: dequantize + IDCT every in-bounds
+    // block of every component plane from the accumulated coefficients.
+    def finishProgressive()
+        : Option[(ImageMeta, Long, Array[Double], Array[Double])] = {
+      if (!sawScan) return None
+      val sums = new Array[Double](nComp); val sqs = new Array[Double](nComp)
+      var nPix = 0L
+      val dq = new Array[Double](64); val pix = new Array[Double](64)
+      var c = 0
+      while (c < nComp) {
+        val q = quant(compQ(c))
+        val bwV = (fCw(c) + 7) / 8; val bhV = (fCh(c) + 7) / 8
+        var by = 0
+        while (by < bhV) {
+          var bx = 0
+          while (bx < bwV) {
+            val coefZ = coefStore(c)(by * fBwFull(c) + bx)
+            var z = 0
+            while (z < 64) { dq(Zigzag(z)) = coefZ(z).toDouble * q(z); z += 1 }
+            idct8x8(dq, pix)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                if (bx * 8 + xx < fCw(c) && by * 8 + yy < fCh(c)) {
+                  val vv = math.max(0.0, math.min(255.0,
+                    math.rint(pix(yy * 8 + xx)))) / 255.0
+                  sums(c) += vv; sqs(c) += vv * vv
+                  if (c == 0) nPix += 1
+                }
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      Some((ImageMeta(width, height, nComp, "jpeg"), nPix, sums, sqs))
+    }
     var off = 2
     while (off + 4 <= bytes.length) {
       if ((bytes(off) & 0xff) != 0xff) return None
@@ -1365,10 +1640,188 @@ object Multimodal {
       while (off + 4 <= bytes.length && (bytes(off + 1) & 0xff) == 0xff)
         off += 1
       val m = bytes(off + 1) & 0xff
-      if (m == 0xd9) return None // EOI before SOS: no image
+      if (m == 0xd9) // EOI: progressive frames finalize here
+        return if (progressive) finishProgressive() else None
       val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
       val seg = off + 4
+      var nextOff = -1 // progressive SOS sets this past its entropy data
       m match {
+        case 0xda if progressive => // progressive scan (T.81 Annex G)
+          if (width <= 0 || height <= 0 || nComp <= 0 || coefStore == null)
+            return None
+          val ns = bytes(seg) & 0xff
+          val cIdx = new Array[Int](ns)
+          val cDc = new Array[Int](ns); val cAc = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val cid = bytes(seg + 1 + 2 * i) & 0xff
+            val t = bytes(seg + 2 + 2 * i) & 0xff
+            val fi = (0 until nComp).indexWhere(compId(_) == cid)
+            if (fi < 0) return None
+            cIdx(i) = fi; cDc(i) = (t >> 4) & 0xf; cAc(i) = t & 0xf
+            i += 1
+          }
+          val ss = bytes(seg + 1 + 2 * ns) & 0xff
+          val se = bytes(seg + 2 + 2 * ns) & 0xff
+          val ah = (bytes(seg + 3 + 2 * ns) & 0xf0) >> 4
+          val al = bytes(seg + 3 + 2 * ns) & 0x0f
+          if (se > 63 || se < ss) return None
+          if (ss > 0 && ns != 1) return None // AC scans: one component (G.1.1.1.1)
+          if (ss == 0 && se != 0) return None // progressive DC scans have Se=0
+          val br = new JpegBits(bytes, seg + 1 + 2 * ns + 3)
+          var eobrun = 0
+          var truncated = false
+          java.util.Arrays.fill(dcPred, 0)
+          if (ss == 0) {
+            val hdcArr = Array.tabulate(ns)(i2 =>
+              huffs.getOrElse((0, cDc(i2)), null))
+            if (ah == 0 && hdcArr.exists(_ == null)) return None
+            // First scan codes diffs of (DC >> Al) (G.1.2.1); refinement
+            // appends one raw bit per block at position Al (G.1.2.1).
+            def dcUnit(ci: Int, c: Int, idx: Int): Boolean = {
+              val coefZ = coefStore(c)(idx)
+              if (ah == 0) {
+                val t = br.decodeSym(hdcArr(ci))
+                if (t < 0) return false
+                dcPred(c) += extendCoef(br.receive(t), t)
+                coefZ(0) = dcPred(c) << al
+              } else {
+                val b = br.getBit(); if (b < 0) return false
+                if (b == 1) coefZ(0) |= (1 << al)
+              }
+              true
+            }
+            if (ns > 1 && ns != nComp) return None // partial interleave: decline
+            if (ns > 1) { // interleaved DC scan over the frame MCU grid
+              val nMcu = fMcusX * fMcusY
+              var mcu = 0
+              while (mcu < nMcu && !truncated) {
+                if (restartInterval > 0 && mcu > 0 &&
+                    mcu % restartInterval == 0) {
+                  br.restartResync(); java.util.Arrays.fill(dcPred, 0)
+                }
+                var ci = 0
+                while (ci < ns && !truncated) {
+                  val c = cIdx(ci)
+                  var blk = 0
+                  while (blk < compH(c) * compV(c) && !truncated) {
+                    val bx = (mcu % fMcusX) * compH(c) + blk % compH(c)
+                    val by = (mcu / fMcusX) * compV(c) + blk / compH(c)
+                    truncated = !dcUnit(ci, c, by * fBwFull(c) + bx)
+                    blk += 1
+                  }
+                  ci += 1
+                }
+                mcu += 1
+              }
+            } else { // single-component DC scan: non-interleaved plane grid
+              val c = cIdx(0)
+              val bwV = (fCw(c) + 7) / 8; val bhV = (fCh(c) + 7) / 8
+              var u = 0
+              while (u < bwV * bhV && !truncated) {
+                if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+                  br.restartResync(); java.util.Arrays.fill(dcPred, 0)
+                }
+                truncated = !dcUnit(0, c, (u / bwV) * fBwFull(c) + (u % bwV))
+                u += 1
+              }
+            }
+          } else {
+            // AC scan over one component's non-interleaved plane grid.
+            val c = cIdx(0)
+            val hac = huffs.getOrElse((1, cAc(0)), null)
+            if (hac == null) return None
+            // G.1.2.2: first AC scan — band coefficients at magnitude
+            // (value << Al) with end-of-band run coding (EOBn symbols).
+            def acFirst(coefZ: Array[Int]): Boolean = {
+              if (eobrun > 0) { eobrun -= 1; return true }
+              var k = ss
+              while (k <= se) {
+                val rs = br.decodeSym(hac)
+                if (rs < 0) return false
+                val r = rs >> 4; val s2 = rs & 0xf
+                if (s2 == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.receive(r)
+                    return true
+                  }
+                } else {
+                  k += r
+                  if (k > se) return true // corrupt run: tolerate
+                  coefZ(k) = extendCoef(br.receive(s2), s2) << al
+                  k += 1
+                }
+              }
+              true
+            }
+            // G.1.2.3: AC refinement — correction bits for already-nonzero
+            // coefficients, ±(1 << Al) insertions for newly-nonzero ones.
+            def acRefine(coefZ: Array[Int]): Boolean = {
+              val p1 = 1 << al; val m1 = -1 << al
+              var k = ss
+              if (eobrun == 0) {
+                var done = false
+                while (k <= se && !done) {
+                  val rs = br.decodeSym(hac)
+                  if (rs < 0) return false
+                  var r = rs >> 4; val s2 = rs & 0xf
+                  var newval = 0
+                  if (s2 == 0) {
+                    if (r < 15) {
+                      eobrun = 1 << r
+                      if (r > 0) eobrun += br.receive(r)
+                      done = true
+                    } // r == 15: span of 16 zero-history coefficients
+                  } else {
+                    val b = br.getBit(); if (b < 0) return false
+                    newval = if (b == 1) p1 else m1
+                  }
+                  if (!done) {
+                    var placed = false
+                    while (k <= se && !placed) {
+                      if (coefZ(k) != 0) {
+                        val b = br.getBit(); if (b < 0) return false
+                        if (b == 1 && (coefZ(k) & p1) == 0)
+                          coefZ(k) += (if (coefZ(k) >= 0) p1 else m1)
+                      } else {
+                        if (r == 0) {
+                          if (newval != 0) coefZ(k) = newval
+                          placed = true
+                        } else r -= 1
+                      }
+                      k += 1
+                    }
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                while (k <= se) {
+                  if (coefZ(k) != 0) {
+                    val b = br.getBit(); if (b < 0) return false
+                    if (b == 1 && (coefZ(k) & p1) == 0)
+                      coefZ(k) += (if (coefZ(k) >= 0) p1 else m1)
+                  }
+                  k += 1
+                }
+                eobrun -= 1
+              }
+              true
+            }
+            val bwV = (fCw(c) + 7) / 8; val bhV = (fCh(c) + 7) / 8
+            var u = 0
+            while (u < bwV * bhV && !truncated) {
+              if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+                br.restartResync(); eobrun = 0
+              }
+              val coefZ = coefStore(c)((u / bwV) * fBwFull(c) + (u % bwV))
+              truncated = !(if (ah == 0) acFirst(coefZ) else acRefine(coefZ))
+              u += 1
+            }
+          }
+          sawScan = true
+          nextOff = br.skipToMarker()
         case 0xdb => // DQT: one or more tables
           var p = seg
           while (p < seg + len - 2) {
@@ -1396,14 +1849,17 @@ object Multimodal {
             huffs((tc, th)) = buildHuff(bits, vals)
             p += 17 + total
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          progressive = m == 0xc2
           height = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
           width = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
           nComp = bytes(seg + 5) & 0xff
           compQ = new Array[Int](nComp)
           compH = new Array[Int](nComp); compV = new Array[Int](nComp)
+          compId = new Array[Int](nComp)
           var i = 0
           while (i < nComp) {
+            compId(i) = bytes(seg + 6 + 3 * i) & 0xff
             val samp = bytes(seg + 6 + 3 * i + 1) & 0xff
             compH(i) = (samp >> 4) & 0x0f; compV(i) = samp & 0x0f
             if (compH(i) < 1 || compH(i) > 4 || compV(i) < 1 || compV(i) > 4)
@@ -1415,9 +1871,25 @@ object Multimodal {
           if (nComp > 1 &&
               (0 until nComp).map(i => compH(i) * compV(i)).sum > 10)
             return None
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          if (progressive) {
+            // Frame-level geometry: padded per-component block grids the
+            // scans address (A.1.1); coefficients accumulate across scans.
+            fHMax = (0 until nComp).map(compH(_)).max
+            fVMax = (0 until nComp).map(compV(_)).max
+            fMcusX = (width + 8 * fHMax - 1) / (8 * fHMax)
+            fMcusY = (height + 8 * fVMax - 1) / (8 * fVMax)
+            fCw = Array.tabulate(nComp)(i =>
+              (width * compH(i) + fHMax - 1) / fHMax)
+            fCh = Array.tabulate(nComp)(i =>
+              (height * compV(i) + fVMax - 1) / fVMax)
+            fBwFull = Array.tabulate(nComp)(i => fMcusX * compH(i))
+            coefStore = Array.tabulate(nComp)(i =>
+              Array.fill(fBwFull(i) * fMcusY * compV(i))(new Array[Int](64)))
+            dcPred = new Array[Int](nComp)
+          }
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
-          return None // non-baseline-sequential frame: honest stub path
+          return None // non-baseline/progressive-Huffman frame: honest stub
         case 0xdd => // DRI
           restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
         case 0xda => // SOS — entropy-coded data follows
@@ -1553,29 +2025,7 @@ object Multimodal {
                     val dq = new Array[Double](64)
                     var z = 0
                     while (z < 64) { dq(Zigzag(z)) = coef(Zigzag(z)).toDouble * q(z); z += 1 }
-                    var y = 0
-                    while (y < 8) {
-                      var x = 0
-                      while (x < 8) {
-                        var s = 0.0
-                        var u = 0
-                        while (u < 8) {
-                          var v = 0
-                          while (v < 8) {
-                            val cu = if (u == 0) 0.70710678118654752 else 1.0
-                            val cv = if (v == 0) 0.70710678118654752 else 1.0
-                            s += cu * cv * dq(v * 8 + u) *
-                              math.cos((2 * x + 1) * u * math.Pi / 16) *
-                              math.cos((2 * y + 1) * v * math.Pi / 16)
-                            v += 1
-                          }
-                          u += 1
-                        }
-                        pix(y * 8 + x) = s / 4 + 128
-                        x += 1
-                      }
-                      y += 1
-                    }
+                    idct8x8(dq, pix)
                     // accumulate stats over pixels inside the COMPONENT
                     // plane bounds (= image bounds for 1x1 sampling)
                     val baseX = ((mcu % mcusX) * hs(c) + blk % hs(c)) * 8
@@ -1605,9 +2055,11 @@ object Multimodal {
           return Some((ImageMeta(width, height, ns, "jpeg"), nPix, sums, sqs))
         case _ => () // APPn, COM, unknown: skip
       }
-      off += 2 + len
+      off = if (nextOff >= 0) nextOff else off + 2 + len
     }
-    None
+    // Stream ended without EOI: finalize whatever scans a progressive
+    // frame managed to deliver (truncation honesty, as in baseline).
+    if (progressive) finishProgressive() else None
   }
 
   // ---- REAL GIF codec (dependency-free LZW, GIF89a spec) -----------------

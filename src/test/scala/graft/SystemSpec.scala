@@ -629,6 +629,82 @@ class SystemSpec extends AnyFunSuite {
     assert((i2.getRGB(0, 0) & 0xff) == 40 && (i2.getRGB(8, 0) & 0xff) == 200)
   }
 
+  test("progressive jpeg decode matches baseline decode of the same coefficients") {
+    // Deterministic coefficient blocks exercising negatives, ZRL (>16-gap
+    // runs in the 6..63 band), empty bands (EOB), and odd/even DC values
+    // (both DC-refinement bit paths, including two's-complement negatives).
+    val (w, h) = (32, 24); val nb = (w / 8) * (h / 8)
+    def blocks(c: Int): Array[Array[Int]] = Array.tabulate(nb) { b =>
+      val z = new Array[Int](64)
+      z(0) = ((b * 37 + c * 191) % 256) - 128 // DC: odd and even, signed
+      if (b % 3 == 0) z(2) = 7 - (b % 5) * 3  // band 1..5, signed
+      if (b % 4 == 1) { z(6) = 5; z(30) = -9 } // band 6..63 with a 23-gap ZRL
+      if (b % 4 == 3) z(63) = 1               // band tail
+      z
+    }
+    for (nComp <- Seq(1, 3)) {
+      val comps = Array.tabulate(nComp)(blocks)
+      val prog = Multimodal.jpegBytesProgressive(w, h, comps)
+      // it IS a progressive stream (SOF2 marker present, SOF0 absent)
+      assert(prog.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+      val base =
+        if (nComp == 1) Multimodal.jpegBytesFromCoefs(w, h, comps(0))
+        else Multimodal.jpegBytesInterleaved(w, h,
+          Array.tabulate(nb)(b => Array.tabulate(nComp)(c => comps(c)(b))))
+      val Some((mp, np, sp, qp)) = Multimodal.jpegChannelStats(prog)
+      val Some((mb, nbPix, sb, qb)) = Multimodal.jpegChannelStats(base)
+      assert(mp == Multimodal.ImageMeta(w, h, nComp, "jpeg"))
+      assert(np == nbPix)
+      (0 until nComp).foreach { c =>
+        assert(math.abs(sp(c) - sb(c)) < 1e-9, s"comp $c sums differ")
+        assert(math.abs(qp(c) - qb(c)) < 1e-9, s"comp $c sqs differ")
+      }
+      // header-only metadata sees SOF2 dims
+      assert(Multimodal.imageMeta(prog) ==
+        Some(Multimodal.ImageMeta(w, h, nComp, "jpeg")))
+    }
+  }
+
+  test("progressive jpeg decode handles an ImageIO-written stream (AC refinement)") {
+    // The JDK's JPEG writer emits libjpeg's standard progressive scan
+    // script — spectral selection AND AC successive approximation with
+    // EOBn>0 run codes — none of which our own encoder produces, so this
+    // pins the decoder's AC-refinement and EOB-run-batch paths against an
+    // independent implementation.
+    val (w, h) = (48, 32)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 11 + (x * y) % 13) % 256
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios); writer.write(null,
+      new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    assume(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "JDK writer did not emit progressive; nothing to test")
+    val Some((meta, n, sums, _)) = Multimodal.jpegChannelStats(bytes)
+    assert(meta.width == w && meta.height == h && n == w * h)
+    // Compare against ImageIO's own decode of the same bytes. Both
+    // decoders' outputs differ only by IDCT rounding (ours is exact
+    // double-precision; libjpeg's is an integer approximation), so means
+    // agree to well under one grey level.
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var refSum = 0.0
+    for (y <- 0 until h; x <- 0 until w)
+      refSum += (back.getRaster.getSample(x, y, 0)) / 255.0
+    assert(math.abs(sums(0) / n - refSum / (w * h)) < 0.5 / 255,
+           s"mean ${sums(0) / n} vs ImageIO ${refSum / (w * h)}")
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
