@@ -725,6 +725,55 @@ object SystemQueries {
             |  ROUND(1.0, 6) AS decoded_frac
             |FROM px""".stripMargin)),
 
+    // REAL Adam7-interlaced PNG decode, round-trip-proven: each row
+    // carries a genuine interlaced PNG (IHDR interlace=1, the scanline
+    // stream a 7-pass sequence of reduced images, per-pass filtering
+    // cycling through all five types) whose pixel bytes follow the same
+    // closed-form formula as multimodal_png_decode. The pass scatter is a
+    // permutation of the image, so the oracle's position-independent
+    // sums only match if every pass's geometry, filtering, and pixel
+    // count are walked exactly. 17×11 RGB (ragged reduced images), 48
+    // rows. The pass ORDER itself is pinned pixel-for-pixel by the JDK
+    // ImageIO reader in SystemSpec.
+    ("multimodal_png_adam7",
+      (s, dir) => {
+        import s.implicits._
+        val (w, h, ch) = (17, 11, 3)
+        val media = s.range(48).map { id =>
+          val pixels = Array.tabulate(w * h * ch)(i =>
+            ((id * 31 + i.toLong * 7) % 256).toByte)
+          Multimodal.MediaRow(id, "image",
+            Multimodal.pngBytes(w, h, ch, pixels,
+              r => ((id + r) % 5).toInt, interlaced = true),
+            w, h, -1)
+        }
+        Multimodal.decodeFeatures(media).toDF().select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          round(element_at(col("features"), 1), 6).as("mean_r"),
+          round(element_at(col("features"), 2), 6).as("mean_g"),
+          round(element_at(col("features"), 3), 6).as("mean_b"),
+          round(element_at(col("features"), 4), 6).as("msq_r"),
+          round(element_at(col("features"), 7), 6).as("decoded_frac"))
+      },
+      Some("""WITH px AS (SELECT r AS media_id, generate_series(0, 186) AS ps
+            |  FROM range(48) t(r))
+            |SELECT media_id,
+            |  CAST(17 AS BIGINT) AS width, CAST(11 AS BIGINT) AS height,
+            |  CAST(3 AS BIGINT) AS channels,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> ((media_id * 31 + (3 * p + 0) * 7) % 256) / 255.0)) / 187, 6) AS mean_r,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> ((media_id * 31 + (3 * p + 1) * 7) % 256) / 255.0)) / 187, 6) AS mean_g,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> ((media_id * 31 + (3 * p + 2) * 7) % 256) / 255.0)) / 187, 6) AS mean_b,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> pow(((media_id * 31 + (3 * p + 0) * 7) % 256) / 255.0, 2))) / 187, 6) AS msq_r,
+            |  ROUND(1.0, 6) AS decoded_frac
+            |FROM px""".stripMargin)),
+
     // REAL baseline JPEG decode, round-trip-proven: each row carries a
     // genuine entropy-coded JPEG (SOI/DQT/SOF0/DHT/SOS markers, standard
     // Annex K Huffman tables, byte stuffing) whose pixels are constant

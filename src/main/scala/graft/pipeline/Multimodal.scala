@@ -949,15 +949,25 @@ object Multimodal {
 
   // ---- REAL PNG codec (JDK-only: java.util.zip Deflater/Inflater/CRC32) --
 
+  /** Adam7 interlace passes (RFC 2083 §2.6): (x0, y0, dx, dy). The
+    * non-interlaced layout is the single pass (0, 0, 1, 1). */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+  private val NoInterlace: Array[(Int, Int, Int, Int)] = Array((0, 0, 1, 1))
+
   /** Build a real, spec-conformant PNG (RFC 2083): signature, IHDR, one
     * IDAT with zlib-compressed filtered scanlines, IEND — all chunk CRCs
     * genuine. `pixels` is the raw row-major channel-interleaved byte
     * stream (length = width × height × channels); `filterOf` picks the
-    * per-row filter type 0–4 (None/Sub/Up/Average/Paeth), letting tests
-    * and corpora exercise every decode path. Bit depth 8; channels
-    * 1 (grey), 3 (truecolor), or 4 (RGBA). */
+    * per-row filter type 0–4 (None/Sub/Up/Average/Paeth) by a running row
+    * counter, letting tests and corpora exercise every decode path. With
+    * `interlaced`, the scanline stream is the Adam7 pass sequence — each
+    * pass its own reduced image, filtered against pass-local neighbors
+    * (§2.6/§6.2). Bit depth 8; channels 1 (grey), 3 (RGB), 4 (RGBA). */
   def pngBytes(width: Int, height: Int, channels: Int,
-               pixels: Array[Byte], filterOf: Int => Int = _ => 0): Array[Byte] = {
+               pixels: Array[Byte], filterOf: Int => Int = _ => 0,
+               interlaced: Boolean = false): Array[Byte] = {
     require(pixels.length == width * height * channels, "pixel stream size")
     val colorType = channels match {
       case 1 => 0
@@ -966,37 +976,55 @@ object Multimodal {
       case c => throw new IllegalArgumentException(s"channels $c")
     }
     val stride = width * channels
-    // Filtered scanlines: each row = filter byte + transformed bytes.
-    val raw = new Array[Byte](height * (stride + 1))
-    def px(r: Int, i: Int): Int = pixels(r * stride + i) & 0xff
-    var r = 0
-    while (r < height) {
-      val ft = filterOf(r)
-      raw(r * (stride + 1)) = ft.toByte
-      var i = 0
-      while (i < stride) {
-        val x = px(r, i)
-        val a = if (i >= channels) px(r, i - channels) else 0 // left
-        val b = if (r > 0) px(r - 1, i) else 0                // up
-        val c = if (r > 0 && i >= channels) px(r - 1, i - channels) else 0
-        val f = ft match {
-          case 0 => x
-          case 1 => x - a
-          case 2 => x - b
-          case 3 => x - (a + b) / 2
-          case 4 => // Paeth predictor (RFC 2083 §6.6)
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            x - pred
-          case t => throw new IllegalArgumentException(s"filter $t")
+    val passes = if (interlaced) Adam7 else NoInterlace
+    val rawB = new java.io.ByteArrayOutputStream()
+    var rowCounter = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wP = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val hP = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (wP > 0 && hP > 0) {
+        val strideP = wP * channels
+        val cur = new Array[Int](strideP); val up = new Array[Int](strideP)
+        var r = 0
+        while (r < hP) {
+          var j = 0
+          while (j < strideP) {
+            cur(j) = pixels((y0 + r * dy) * stride +
+                            (x0 + (j / channels) * dx) * channels +
+                            j % channels) & 0xff
+            j += 1
+          }
+          val ft = filterOf(rowCounter); rowCounter += 1
+          rawB.write(ft)
+          var i = 0
+          while (i < strideP) {
+            val x = cur(i)
+            val a = if (i >= channels) cur(i - channels) else 0 // left
+            val b = if (r > 0) up(i) else 0                     // up
+            val c = if (r > 0 && i >= channels) up(i - channels) else 0
+            val f = ft match {
+              case 0 => x
+              case 1 => x - a
+              case 2 => x - b
+              case 3 => x - (a + b) / 2
+              case 4 => // Paeth predictor (RFC 2083 §6.6)
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b)
+                val pc = math.abs(p - c)
+                val pred =
+                  if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+                x - pred
+              case t => throw new IllegalArgumentException(s"filter $t")
+            }
+            rawB.write(f & 0xff)
+            i += 1
+          }
+          System.arraycopy(cur, 0, up, 0, strideP)
+          r += 1
         }
-        raw(r * (stride + 1) + 1 + i) = f.toByte
-        i += 1
       }
-      r += 1
     }
+    val raw = rawB.toByteArray
     // zlib-compress the scanline stream.
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
@@ -1020,7 +1048,8 @@ object Multimodal {
     val ihdr = Array((width >> 24).toByte, (width >> 16).toByte,
       (width >> 8).toByte, width.toByte, (height >> 24).toByte,
       (height >> 16).toByte, (height >> 8).toByte, height.toByte,
-      8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+      8.toByte, colorType.toByte, 0.toByte, 0.toByte,
+      (if (interlaced) 1 else 0).toByte)
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.empty[Byte])
@@ -1033,15 +1062,18 @@ object Multimodal {
     * shape as [[bmpChannelStats]]: (meta, nPixels, perChannelSum,
     * perChannelSumSq) with bytes scaled to [0,1]. A truncated or
     * corrupt IDAT decodes the complete rows that survive inflation —
-    * partial-tail honesty like the BMP path. Chunk CRCs are not
-    * re-verified (decode-what's-there policy; the builder writes real
-    * CRCs). None for non-PNG containers or unsupported layouts
-    * (interlace, bit depth ≠ 8, palette). */
+    * partial-tail honesty like the BMP path. Adam7-interlaced streams
+    * decode for real: the inflated stream is walked as the 7-pass
+    * sequence of reduced images, each unfiltered against pass-local
+    * neighbors (RFC 2083 §2.6). Chunk CRCs are not re-verified
+    * (decode-what's-there policy; the builder writes real CRCs). None
+    * for non-PNG containers or unsupported layouts (bit depth ≠ 8,
+    * palette). */
   def pngChannelStats(bytes: Array[Byte])
       : Option[(ImageMeta, Long, Array[Double], Array[Double])] =
     imageMeta(bytes) match {
       case Some(meta) if meta.format == "png" &&
-          bytes(24) == 8 && bytes(25) != 3 && bytes(28) == 0 =>
+          bytes(24) == 8 && bytes(25) != 3 && (bytes(28) & 0xff) <= 1 =>
         // Concatenate IDAT chunk bodies.
         val idat = new java.io.ByteArrayOutputStream()
         var off = 33 // after signature + IHDR chunk
@@ -1059,8 +1091,17 @@ object Multimodal {
           }
         }
         val ch = meta.channels
-        val stride = meta.width * ch
-        val expect = meta.height * (stride + 1)
+        val passes = if (bytes(28) == 1) Adam7 else NoInterlace
+        // Pass geometry; total expected inflated size spans all passes.
+        val passDims = passes.map { case (x0, y0, dx, dy) =>
+          val wP = if (meta.width > x0) (meta.width - x0 + dx - 1) / dx else 0
+          val hP = if (meta.height > y0) (meta.height - y0 + dy - 1) / dy
+                   else 0
+          (wP, hP)
+        }
+        val expect = passDims.map { case (wP, hP) =>
+          if (wP > 0 && hP > 0) hP * (wP * ch + 1) else 0
+        }.sum
         val raw = new Array[Byte](expect)
         val inflater = new java.util.zip.Inflater()
         inflater.setInput(idat.toByteArray)
@@ -1073,41 +1114,55 @@ object Multimodal {
           }
         } catch { case _: java.util.zip.DataFormatException => () }
         finally inflater.end()
-        val rows = got / (stride + 1) // complete rows only
-        // Unfilter in place (row r depends on unfiltered row r-1).
+        // Unfilter pass by pass (each pass is its own reduced image whose
+        // rows reference pass-local neighbors); complete rows only.
         val sums = new Array[Double](ch)
         val sqs = new Array[Double](ch)
-        var r = 0
-        while (r < rows) {
-          val base = r * (stride + 1)
-          val ft = raw(base) & 0xff
-          var i = 0
-          while (i < stride) {
-            val f = raw(base + 1 + i) & 0xff
-            val a = if (i >= ch) raw(base + 1 + i - ch) & 0xff else 0
-            val b = if (r > 0) raw(base - stride + i) & 0xff else 0
-            val c = if (r > 0 && i >= ch) raw(base - stride + i - ch) & 0xff
-                    else 0
-            val x = ft match {
-              case 0 => f
-              case 1 => f + a
-              case 2 => f + b
-              case 3 => f + (a + b) / 2
-              case 4 =>
-                val p = a + b - c
-                val pa = math.abs(p - a); val pb = math.abs(p - b)
-                val pc = math.abs(p - c)
-                f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-              case _ => f // unknown filter: pass through, stay honest below
+        var nPix = 0L
+        var base = 0
+        var trunc = false
+        passDims.foreach { case (wP, hP) =>
+          if (wP > 0 && hP > 0 && !trunc) {
+            val strideP = wP * ch
+            var r = 0
+            while (r < hP && base + strideP + 1 <= got) {
+              val ft = raw(base) & 0xff
+              var i = 0
+              while (i < strideP) {
+                val f = raw(base + 1 + i) & 0xff
+                val a = if (i >= ch) raw(base + 1 + i - ch) & 0xff else 0
+                val b = if (r > 0) raw(base - strideP + i) & 0xff else 0
+                val c = if (r > 0 && i >= ch)
+                          raw(base - strideP + i - ch) & 0xff
+                        else 0
+                val x = ft match {
+                  case 0 => f
+                  case 1 => f + a
+                  case 2 => f + b
+                  case 3 => f + (a + b) / 2
+                  case 4 =>
+                    val p = a + b - c
+                    val pa = math.abs(p - a); val pb = math.abs(p - b)
+                    val pc = math.abs(p - c)
+                    f + (if (pa <= pb && pa <= pc) a
+                         else if (pb <= pc) b else c)
+                  case _ => f // unknown filter: pass through, stay honest
+                }
+                raw(base + 1 + i) = x.toByte
+                val v = (x & 0xff) / 255.0
+                sums(i % ch) += v; sqs(i % ch) += v * v
+                i += 1
+              }
+              nPix += wP
+              base += strideP + 1
+              r += 1
             }
-            raw(base + 1 + i) = x.toByte
-            val v = (x & 0xff) / 255.0
-            sums(i % ch) += v; sqs(i % ch) += v * v
-            i += 1
+            // a truncated pass must stop the walk: later (narrower)
+            // passes would misread the remaining bytes as their own rows
+            if (r < hP) trunc = true
           }
-          r += 1
         }
-        Some((meta, rows.toLong * meta.width, sums, sqs))
+        Some((meta, nPix, sums, sqs))
       case _ => None
     }
 

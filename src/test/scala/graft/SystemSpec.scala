@@ -705,6 +705,63 @@ class SystemSpec extends AnyFunSuite {
            s"mean ${sums(0) / n} vs ImageIO ${refSum / (w * h)}")
   }
 
+  test("png Adam7 interlace round-trips and matches the JDK's decoder") {
+    // 21×13 RGB: dimensions NOT multiples of 8, so several passes have
+    // ragged reduced images and pass 2 (x0=4 < 21) etc. all non-empty.
+    val (w, h, ch) = (21, 13, 3)
+    val pixels = Array.tabulate(w * h * ch)(i => ((i * 31 + 7) % 256).toByte)
+    val bytes = Multimodal.pngBytes(w, h, ch, pixels,
+      filterOf = r => r % 5, interlaced = true)
+    // interlace flag set in IHDR
+    assert(bytes(28) == 1)
+    val Some((meta, n, sums, sqs)) = Multimodal.pngChannelStats(bytes)
+    assert(meta == Multimodal.ImageMeta(w, h, ch, "png"))
+    assert(n == w * h) // every pixel decoded exactly once across 7 passes
+    // stats equal the direct pixel-formula stats (pass scatter is a
+    // permutation of the image, sums are order-independent)
+    val expSum = (0 until w * h).map(p => ((3 * p) * 31 + 7) % 256).sum / 255.0
+    assert(math.abs(sums(0) - expSum) < 1e-9)
+    // The JDK ImageIO PNG reader agrees pixel-for-pixel — proves the
+    // emitted pass order/geometry is real Adam7, not a private layout.
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * ch
+      val exp = ((pixels(base) & 0xff) << 16) |
+        ((pixels(base + 1) & 0xff) << 8) | (pixels(base + 2) & 0xff)
+      assert((img.getRGB(x, y) & 0xffffff) == exp, s"ImageIO at ($x,$y)")
+    }
+    // An ImageIO-WRITTEN interlaced PNG decodes with our decoder too
+    // (independent encoder pins the decoder side).
+    val big = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * ch
+      big.setRGB(x, y, ((pixels(base) & 0xff) << 16) |
+        ((pixels(base + 1) & 0xff) << 8) | (pixels(base + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val params = writer.getDefaultWriteParam
+    try params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    catch { case _: UnsupportedOperationException => () }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(big, null, null), params)
+    ios.close(); writer.dispose()
+    val jdkPng = bos.toByteArray
+    if (jdkPng(28) == 1) { // writer honored interlacing
+      val Some((m2, n2, s2, _)) = Multimodal.pngChannelStats(jdkPng)
+      assert(n2 == w * h && math.abs(s2(0) - expSum) < 1e-9)
+    }
+    // truncated interlaced stream: partial-pass honesty, no misread
+    val cut = bytes.take(bytes.length / 2)
+    Multimodal.pngChannelStats(cut).foreach { case (_, n3, _, _) =>
+      assert(n3 <= w * h)
+    }
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
