@@ -929,6 +929,111 @@ object SystemQueries {
             |  'mjpg' AS codec
             |FROM range(48) t(r)""".stripMargin)),
 
+    // REAL TIFF container metadata: genuine IFD chains (both byte orders,
+    // page chaining, SHORT/LONG inline values, offset-indirected
+    // BitsPerSample arrays) that Spark walks for real; the oracle states
+    // the construction's closed form. Strip decode stays out of scope —
+    // this is the metadata face (dims / depth / pages) a pipeline
+    // filters on. The walk itself is pinned by the independent JDK
+    // ImageIO TIFF reader in SystemSpec.
+    ("multimodal_tiff_meta",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).map { id =>
+          val bytes = Multimodal.tiffBytes(
+            width = 64 * ((id % 5).toInt + 1), height = 48 * ((id % 3).toInt + 1),
+            channels = if (id % 2 == 0) 1 else 3,
+            bitsPerSample = if (id % 4 == 0) 16 else 8,
+            pages = (id % 4).toInt + 1, littleEndian = id % 2 == 0)
+          val m = Multimodal.tiffMeta(bytes)
+          (id, m.map(_._1.width).getOrElse(-1), m.map(_._1.height).getOrElse(-1),
+           m.map(_._1.channels).getOrElse(-1), m.map(_._3).getOrElse(-1),
+           m.map(_._2).getOrElse(-1))
+        }.toDF("media_id", "width", "height", "channels", "bits", "pages")
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("channels").cast("long").as("channels"),
+            col("bits").cast("long").as("bits"),
+            col("pages").cast("long").as("pages"))
+      },
+      Some("""SELECT r AS media_id,
+            |  CAST(64 * (r % 5 + 1) AS BIGINT) AS width,
+            |  CAST(48 * (r % 3 + 1) AS BIGINT) AS height,
+            |  CAST(CASE WHEN r % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+            |  CAST(CASE WHEN r % 4 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+            |  CAST(r % 4 + 1 AS BIGINT) AS pages
+            |FROM range(48) t(r)""".stripMargin)),
+
+    // REAL WebP container metadata: RIFF walk to the first VP8 (lossy
+    // keyframe start code, 14-bit dims) / VP8L (lossless, minus-one
+    // 14-bit dims + alpha bit) / VP8X (extended, 24-bit canvas dims)
+    // chunk; the oracle states the construction's closed form.
+    ("multimodal_webp_meta",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).map { id =>
+          val variant = Vector("VP8 ", "VP8L", "VP8X")((id % 3).toInt)
+          val bytes = Multimodal.webpBytes(
+            width = 16 * ((id % 7).toInt + 1), height = 16 * ((id % 5).toInt + 1),
+            variant, alpha = id % 2 == 1)
+          val m = Multimodal.webpMeta(bytes)
+          (id, m.map(_.width).getOrElse(-1), m.map(_.height).getOrElse(-1),
+           m.map(_.channels).getOrElse(-1))
+        }.toDF("media_id", "width", "height", "channels")
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("channels").cast("long").as("channels"))
+      },
+      Some("""SELECT r AS media_id,
+            |  CAST(16 * (r % 7 + 1) AS BIGINT) AS width,
+            |  CAST(16 * (r % 5 + 1) AS BIGINT) AS height,
+            |  -- alpha is carried by VP8L/VP8X only; lossy VP8 is 3-ch
+            |  CAST(CASE WHEN r % 3 <> 0 AND r % 2 = 1 THEN 4 ELSE 3 END
+            |       AS BIGINT) AS channels
+            |FROM range(48) t(r)""".stripMargin)),
+
+    // REAL FLAC container metadata: metadata-block chain walk (last-flag
+    // + 24-bit BE lengths) and the STREAMINFO bit-unpack — 20-bit sample
+    // rate, 3-bit channels−1, 5-bit bps−1, 36-bit total samples; the
+    // oracle replays the closed form including the derived duration.
+    ("multimodal_flac_meta",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).map { id =>
+          val rate = Array(8000, 16000, 22050, 44100, 48000, 96000)((id % 6).toInt)
+          val total = (id % 10 + 1) * rate / 2 // 0.5 s steps — exact halves
+          val bytes = Multimodal.flacBytes(rate, (id % 2).toInt + 1,
+            if (id % 3 == 0) 24 else 16, total, extraBlocks = (id % 3).toInt)
+          val m = Multimodal.flacMeta(bytes)
+          (id, m.map(_._1.sampleRate).getOrElse(-1),
+           m.map(_._1.channels).getOrElse(-1),
+           m.map(_._1.bitsPerSample).getOrElse(-1),
+           m.map(_._2).getOrElse(-1L),
+           m.map(t => math.rint(t._3 * 1e6) / 1e6).getOrElse(-1.0),
+           m.map(_._4).getOrElse(-1))
+        }.toDF("media_id", "sample_rate", "channels", "bits", "total_samples",
+               "duration_sec", "n_blocks")
+          .select(col("media_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"),
+            col("bits").cast("long").as("bits"),
+            col("total_samples"), col("duration_sec"),
+            col("n_blocks").cast("long").as("n_blocks"))
+      },
+      Some("""WITH p AS (SELECT r AS media_id,
+            |  (CASE r % 6 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+            |              WHEN 3 THEN 44100 WHEN 4 THEN 48000 ELSE 96000 END) AS rate
+            |  FROM range(48) t(r))
+            |SELECT media_id, CAST(rate AS BIGINT) AS sample_rate,
+            |  CAST(media_id % 2 + 1 AS BIGINT) AS channels,
+            |  CAST(CASE WHEN media_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT) AS bits,
+            |  CAST((media_id % 10 + 1) * rate // 2 AS BIGINT) AS total_samples,
+            |  ROUND(((media_id % 10 + 1) * (rate // 2)) * 1.0 / rate, 6) AS duration_sec,
+            |  CAST(media_id % 3 + 1 AS BIGINT) AS n_blocks
+            |FROM p""".stripMargin)),
+
     // REAL MPEG-1 Layer I payload decode, round-trip-proven: each row
     // carries genuinely bit-packed Layer I frames (4-bit allocations,
     // 6-bit scalefactor indices, 2..8-bit interleaved sample codes) whose

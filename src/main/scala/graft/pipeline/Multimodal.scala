@@ -537,6 +537,248 @@ object Multimodal {
   def videoMeta(bytes: Array[Byte]): Option[VideoMeta] =
     mp4Meta(bytes).orElse(aviMeta(bytes))
 
+  // ---- REAL TIFF / WebP / FLAC container metadata ------------------------
+
+  /** Header-only TIFF metadata (TIFF 6.0, public spec): both byte orders
+    * (`II`/`MM`), magic 42, full IFD chain walk (returns the page count),
+    * IFD0's ImageWidth/ImageLength/SamplesPerPixel/BitsPerSample with
+    * inline SHORT/LONG values and the offset indirection for
+    * BitsPerSample arrays (count = SamplesPerPixel). */
+  def tiffMeta(bytes: Array[Byte]): Option[(ImageMeta, Int, Int)] = {
+    if (bytes.length < 8) return None
+    val le = bytes(0) == 'I' && bytes(1) == 'I'
+    val isBe = bytes(0) == 'M' && bytes(1) == 'M'
+    if (!le && !isBe) return None
+    def u16(off: Int): Int =
+      if (le) le16(bytes, off)
+      else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    def u32(off: Int): Int = if (le) le32(bytes, off) else be32(bytes, off)
+    if (u16(2) != 42) return None
+    try {
+      var w = -1; var h = -1; var spp = 1; var bps = 8
+      var pages = 0
+      var ifd = u32(4)
+      var first = true
+      val seen = scala.collection.mutable.Set.empty[Int] // cycle guard
+      while (ifd > 0 && ifd + 2 <= bytes.length && seen.add(ifd)) {
+        val n = u16(ifd)
+        if (ifd + 2 + 12 * n + 4 > bytes.length) return None
+        if (first) {
+          var i = 0
+          while (i < n) {
+            val e = ifd + 2 + 12 * i
+            val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+            def value: Int = typ match {
+              case 3 => u16(e + 8) // SHORT, left-justified inline
+              case 4 => u32(e + 8) // LONG inline
+              case _ => -1
+            }
+            tag match {
+              case 256 => w = value
+              case 257 => h = value
+              case 277 => spp = value
+              case 258 => // count > 1 → the field holds an offset
+                bps =
+                  if (cnt == 1) value
+                  else {
+                    val o = u32(e + 8)
+                    if (o >= 0 && o + 2 <= bytes.length) u16(o) else bps
+                  }
+              case _ => ()
+            }
+            i += 1
+          }
+          first = false
+        }
+        pages += 1
+        ifd = u32(ifd + 2 + 12 * n)
+      }
+      if (w > 0 && h > 0 && pages > 0)
+        Some((ImageMeta(w, h, spp, "tiff"), pages, bps))
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Build a real multi-page baseline TIFF header (no strip data — the
+    * metadata face): either byte order, `pages` chained IFDs each with
+    * ImageWidth/ImageLength/BitsPerSample/SamplesPerPixel/Compression.
+    * With channels > 1 the BitsPerSample entry uses the spec's offset
+    * indirection (count = channels, array appended after the IFD chain). */
+  def tiffBytes(width: Int, height: Int, channels: Int, bitsPerSample: Int,
+                pages: Int, littleEndian: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (littleEndian) { u8(v); u8(v >> 8) } else { u8(v >> 8); u8(v) }
+    def w32(v: Int): Unit =
+      if (littleEndian) { u8(v); u8(v >> 8); u8(v >> 16); u8(v >> 24) }
+      else { u8(v >> 24); u8(v >> 16); u8(v >> 8); u8(v) }
+    out.write((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    w16(42); w32(8)
+    val nE = 5
+    val ifdSize = 2 + nE * 12 + 4
+    val bpsArrayAt = 8 + pages * ifdSize // BitsPerSample array location
+    var off = 8
+    for (p <- 0 until pages) {
+      w16(nE)
+      def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
+        w16(tag); w16(typ); w32(cnt)
+        if (typ == 3 && cnt == 1) { w16(v); w16(0) } else w32(v)
+      }
+      entry(256, 4, 1, width); entry(257, 4, 1, height)
+      if (channels == 1) entry(258, 3, 1, bitsPerSample)
+      else entry(258, 3, channels, bpsArrayAt)
+      entry(277, 3, 1, channels)
+      entry(259, 3, 1, 1) // uncompressed
+      off += ifdSize
+      w32(if (p == pages - 1) 0 else off)
+    }
+    if (channels > 1) (0 until channels).foreach(_ => w16(bitsPerSample))
+    out.toByteArray
+  }
+
+  /** Header-only WebP metadata (RIFF container, public bitstream specs):
+    * lossy `VP8 ` keyframes (start code 9D 01 2A, 14-bit dims), lossless
+    * `VP8L` (signature 0x2F, 14-bit minus-one dims), and extended `VP8X`
+    * (24-bit minus-one canvas dims). */
+  def webpMeta(bytes: Array[Byte]): Option[ImageMeta] = {
+    if (bytes.length < 20 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "WEBP") return None
+    try {
+      var p = 12
+      while (p + 8 <= bytes.length) {
+        val tag = fourcc(bytes, p)
+        val size = le32(bytes, p + 4)
+        if (size < 0 || p + 8 + size > bytes.length) return None
+        val d = p + 8
+        tag match {
+          case "VP8 " if size >= 10 =>
+            // 3-byte frame tag, then keyframe start code, then dims
+            if ((bytes(d + 3) & 0xff) != 0x9d || (bytes(d + 4) & 0xff) != 0x01 ||
+                (bytes(d + 5) & 0xff) != 0x2a) return None
+            val w = le16(bytes, d + 6) & 0x3fff
+            val h = le16(bytes, d + 8) & 0x3fff
+            return Some(ImageMeta(w, h, 3, "webp"))
+          case "VP8L" if size >= 5 =>
+            if ((bytes(d) & 0xff) != 0x2f) return None
+            val b = le32(bytes, d + 1)
+            val w = (b & 0x3fff) + 1
+            val h = ((b >> 14) & 0x3fff) + 1
+            val alpha = (b >> 28) & 1
+            return Some(ImageMeta(w, h, if (alpha == 1) 4 else 3, "webp"))
+          case "VP8X" if size >= 10 =>
+            def u24(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+              ((bytes(o + 2) & 0xff) << 16)
+            val alpha = (bytes(d) & 0x10) != 0
+            return Some(ImageMeta(u24(d + 4) + 1, u24(d + 7) + 1,
+                                  if (alpha) 4 else 3, "webp"))
+          case _ => () // ICCP/EXIF/etc: skip
+        }
+        p += 8 + size + (size & 1) // RIFF WORD alignment
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Build a real WebP header of the given `variant` ("VP8 " lossy /
+    * "VP8L" lossless / "VP8X" extended), payload past the header zeroed
+    * (the metadata face a pipeline filters on). */
+  def webpBytes(width: Int, height: Int, variant: String,
+                alpha: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def w32(v: Int): Unit = { w16(v); w16(v >> 16) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val payload = new java.io.ByteArrayOutputStream()
+    def p8(v: Int): Unit = payload.write(v & 0xff)
+    variant match {
+      case "VP8 " =>
+        p8(0); p8(0); p8(0) // frame tag (keyframe)
+        p8(0x9d); p8(0x01); p8(0x2a)
+        p8(width); p8(width >> 8); p8(height); p8(height >> 8)
+      case "VP8L" =>
+        p8(0x2f)
+        val b = (width - 1) | ((height - 1) << 14) |
+          ((if (alpha) 1 else 0) << 28)
+        p8(b); p8(b >> 8); p8(b >> 16); p8(b >> 24)
+      case "VP8X" =>
+        p8(if (alpha) 0x10 else 0); p8(0); p8(0); p8(0)
+        val (w1, h1) = (width - 1, height - 1)
+        p8(w1); p8(w1 >> 8); p8(w1 >> 16)
+        p8(h1); p8(h1 >> 8); p8(h1 >> 16)
+      case v => throw new IllegalArgumentException(s"variant $v")
+    }
+    val body = payload.toByteArray
+    tag("RIFF"); w32(4 + 8 + body.length + (body.length & 1)); tag("WEBP")
+    tag(variant); w32(body.length); out.write(body, 0, body.length)
+    if ((body.length & 1) == 1) u8(0)
+    out.toByteArray
+  }
+
+  /** Header-only FLAC metadata (public FLAC format spec): `fLaC` magic,
+    * metadata-block chain walk (1-byte last/type header + 24-bit BE
+    * length), STREAMINFO's bit-packed 20-bit sample rate, 3-bit
+    * channels−1, 5-bit bits-per-sample−1, 36-bit total samples. Returns
+    * (meta, totalSamples, durationSec, nBlocks). */
+  def flacMeta(bytes: Array[Byte]): Option[(AudioMeta, Long, Double, Int)] = {
+    if (bytes.length < 42 ||
+        new String(bytes.slice(0, 4), "US-ASCII") != "fLaC") return None
+    try {
+      var p = 4
+      var info: Option[(AudioMeta, Long, Double)] = None
+      var nBlocks = 0
+      var last = false
+      while (!last && p + 4 <= bytes.length) {
+        val hdr = bytes(p) & 0xff
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = ((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+          (bytes(p + 3) & 0xff)
+        if (p + 4 + len > bytes.length) return None
+        if (typ == 0 && len >= 34) {
+          val d = p + 4
+          // 8 bytes at d+10: rate(20) | ch-1(3) | bps-1(5) | samples(36)
+          var acc = 0L
+          (0 until 8).foreach(i => acc = (acc << 8) | (bytes(d + 10 + i) & 0xffL))
+          val rate = (acc >>> 44).toInt
+          val ch = ((acc >>> 41) & 0x7).toInt + 1
+          val bps = ((acc >>> 36) & 0x1f).toInt + 1
+          val total = acc & 0xfffffffffL
+          if (rate <= 0) return None
+          info = Some((AudioMeta(rate, ch, bps, -1), total,
+                       total.toDouble / rate))
+        }
+        nBlocks += 1
+        p += 4 + len
+      }
+      info.map { case (m, t, dur) => (m, t, dur, nBlocks) }
+    } catch { case _: Exception => None }
+  }
+
+  /** Build a real FLAC header: STREAMINFO with bit-exact field packing,
+    * plus `extraBlocks` PADDING blocks (the last carries the last-flag). */
+  def flacBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                totalSamples: Long, extraBlocks: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    out.write("fLaC".getBytes("US-ASCII"))
+    u8(if (extraBlocks == 0) 0x80 else 0x00) // STREAMINFO, maybe last
+    u8(0); u8(0); u8(34)
+    def w16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def w24(v: Int): Unit = { u8(v >> 16); u8(v >> 8); u8(v) }
+    w16(4096); w16(4096); w24(0); w24(0)
+    var acc = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) | (totalSamples & 0xfffffffffL)
+    (0 until 8).foreach(i => u8(((acc >>> (8 * (7 - i))) & 0xff).toInt))
+    (0 until 16).foreach(_ => u8(0)) // MD5 (unset)
+    (0 until extraBlocks).foreach { b =>
+      u8((if (b == extraBlocks - 1) 0x80 else 0) | 0x01) // PADDING
+      u8(0); u8(0); u8(4); (0 until 4).foreach(_ => u8(0))
+    }
+    out.toByteArray
+  }
+
   /** One decoded Layer I subband-sample block: 12 requantized samples of
     * one subband in one frame (the granule Layer I codes per frame). */
   final case class SubbandBlock(frame: Int, subband: Int, alloc: Int,

@@ -762,6 +762,63 @@ class SystemSpec extends AnyFunSuite {
     }
   }
 
+  test("tiffMeta walks IFD chains in both byte orders, ImageIO-pinned") {
+    for (le <- Seq(true, false)) {
+      val b = Multimodal.tiffBytes(640, 480, 3, 8, pages = 3,
+                                   littleEndian = le)
+      val Some((meta, pages, bps)) = Multimodal.tiffMeta(b)
+      assert(meta == Multimodal.ImageMeta(640, 480, 3, "tiff"))
+      assert(pages == 3 && bps == 8)
+      // JDK ImageIO TIFF reader (independent) agrees on dims + page count
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, "JDK TIFF reader missing")
+      val rd = readers.next(); rd.setInput(iis)
+      assert(rd.getWidth(0) == 640 && rd.getHeight(0) == 480)
+      assert(rd.getNumImages(true) == 3)
+      rd.dispose(); iis.close()
+    }
+    // single-channel inline BitsPerSample; 16-bit depth
+    val grey = Multimodal.tiffBytes(32, 16, 1, 16, 1, littleEndian = true)
+    assert(Multimodal.tiffMeta(grey).map(t => (t._1.channels, t._3)) ==
+      Some((1, 16)))
+    assert(Multimodal.tiffMeta("garbage-that-is-long-enough".getBytes) == None)
+    assert(Multimodal.tiffMeta(Multimodal.bmpBytes(4, 4, Array.empty)) == None)
+  }
+
+  test("webpMeta parses VP8 / VP8L / VP8X headers") {
+    val lossy = Multimodal.webpBytes(320, 240, "VP8 ")
+    assert(Multimodal.webpMeta(lossy) ==
+      Some(Multimodal.ImageMeta(320, 240, 3, "webp")))
+    val lossless = Multimodal.webpBytes(16383, 100, "VP8L", alpha = true)
+    assert(Multimodal.webpMeta(lossless) ==
+      Some(Multimodal.ImageMeta(16383, 100, 4, "webp")))
+    val ext = Multimodal.webpBytes(4000, 3000, "VP8X")
+    assert(Multimodal.webpMeta(ext) ==
+      Some(Multimodal.ImageMeta(4000, 3000, 3, "webp")))
+    // corrupted start code declines
+    val bad = lossy.clone(); bad(23) = 0x00
+    assert(Multimodal.webpMeta(bad) == None)
+    assert(Multimodal.webpMeta(Multimodal.aviBytes(40000, 1, 8, 8, false))
+      == None)
+  }
+
+  test("flacMeta unpacks STREAMINFO bit fields and walks the block chain") {
+    val b = Multimodal.flacBytes(44100, 2, 16, totalSamples = 441000,
+                                 extraBlocks = 2)
+    val Some((meta, total, dur, nBlocks)) = Multimodal.flacMeta(b)
+    assert(meta == Multimodal.AudioMeta(44100, 2, 16, -1))
+    assert(total == 441000 && math.abs(dur - 10.0) < 1e-12 && nBlocks == 3)
+    // 20-bit rate and 36-bit total-sample boundaries survive the packing
+    val hi = Multimodal.flacBytes(655350, 8, 32, (1L << 36) - 1)
+    val Some((m2, t2, _, n2)) = Multimodal.flacMeta(hi)
+    assert(m2 == Multimodal.AudioMeta(655350, 8, 32, -1))
+    assert(t2 == (1L << 36) - 1 && n2 == 1)
+    assert(Multimodal.flacMeta(Multimodal.mp3Bytes(2)) == None)
+    assert(Multimodal.flacMeta(b.take(20)) == None)
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
