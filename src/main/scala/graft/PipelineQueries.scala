@@ -445,6 +445,50 @@ object PipelineQueries {
              |       CAST(strt % 256 AS BIGINT) AS seq_offset
              |FROM st""".stripMargin)),
 
+    // REAL compressed-corpus ingestion, round-trip-proven: each row
+    // carries genuine gzip bytes (JDK Deflater members; every third row a
+    // multi-member `cat a.gz b.gz` concatenation — the WET/WARC shard
+    // layout — and one row plain bytes for the not-gzip path). Spark
+    // decompresses the actual stream partition-locally (TextOps.gunzip,
+    // the codec-seam Dataset map); the oracle constructs the SAME text by
+    // formula, never touching the bytes — equality proves the
+    // compress → multi-member-inflate round trip is lossless.
+    ("text_gunzip_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val gz = s.range(48).map { id =>
+          def text(lo: Int, hi: Int): String =
+            (lo until hi).map(k => "w" + ((id * 7 + k * 13) % 97))
+              .mkString(" ")
+          val n = (id % 5 + 1).toInt * 20
+          val payload: Array[Byte] =
+            if (id == 7) s"plain doc $id".getBytes("UTF-8") // not gzip
+            else if (id % 3 == 0)
+              graft.pipeline.TextOps.gzip(
+                (s"doc $id:" + text(0, n / 2) + " ").getBytes("UTF-8")) ++
+                graft.pipeline.TextOps.gzip(text(n / 2, n).getBytes("UTF-8"))
+            else
+              graft.pipeline.TextOps.gzip(
+                (s"doc $id:" + text(0, n)).getBytes("UTF-8"))
+          (id, payload)
+        }.toDF("doc_id", "gz")
+        graft.pipeline.TextOps.gunzipCorpus(gz, "doc_id", "gz")
+          .select(col("id").as("doc_id"), col("text"),
+                  col("n_bytes"), col("n_chars"))
+      },
+      Some("""WITH base AS (SELECT r AS doc_id, (r % 5 + 1) * 20 AS n FROM range(48) t(r)),
+             |tx AS (SELECT doc_id,
+             |  CASE WHEN doc_id = 7 THEN NULL
+             |       ELSE 'doc ' || doc_id || ':' ||
+             |            array_to_string(list_transform(generate_series(0, n - 1),
+             |              k -> 'w' || ((doc_id * 7 + k * 13) % 97)), ' ')
+             |  END AS text
+             |  FROM base)
+             |SELECT doc_id, text,
+             |  COALESCE(CAST(strlen(text) AS BIGINT), -1) AS n_bytes,
+             |  COALESCE(CAST(length(text) AS BIGINT), -1) AS n_chars
+             |FROM tx""".stripMargin)),
+
     // Uniform-mixture balancing: every source downsampled to the smallest
     // source's size via the per-group hash threshold (engine- and
     // partitioning-reproducible membership).

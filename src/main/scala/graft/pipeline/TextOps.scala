@@ -469,4 +469,60 @@ object TextOps {
       posexplode(graft.functions.ArrayKernels.bpeApply(
         tokens(col(textCol)), typedLit(flat))).as(Seq("pos", "t")))
   }
+
+  /** REAL gzip decompress of one payload (RFC 1952 via the JDK's
+    * GZIPInputStream) — multi-member streams (plain `cat a.gz b.gz`
+    * concatenation, the WET/WARC shard layout) decode end-to-end. None
+    * for payloads that are not gzip or are corrupt past recovery; a
+    * truncated final member yields the bytes that survive (partial-tail
+    * honesty, matching the codec layer's contract). */
+  def gunzip(bytes: Array[Byte], maxBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
+        (bytes(1) & 0xff) != 0x8b) return None
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0 && out.size() < maxBytes) {
+        out.write(buf, 0, n); n = in.read(buf)
+      }
+      in.close()
+      Some(out.toByteArray)
+    } catch {
+      case _: java.io.IOException =>
+        if (out.size() > 0) Some(out.toByteArray) else None
+    }
+  }
+
+  /** gzip-compress one payload (single RFC 1952 member, JDK Deflater). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Compressed-corpus ingestion: decompress a gzip BINARY column into
+    * UTF-8 text plus arrival stats — the first stage of a WET-shard-style
+    * pipeline. Partition-local Dataset map (the codec-seam pattern of
+    * [[Multimodal.decodeFeatures]], not a per-row UDF); no shuffle — a
+    * 100 TB corpus decompresses embarrassingly parallel. Returns
+    * (id, n_raw_bytes, text, n_bytes, n_chars) with text null and sizes
+    * −1 when the payload is not gzip. */
+  def gunzipCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   gzCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(gzCol).as("gz"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val t = Option(b).flatMap(gunzip(_)).map(new String(_, "UTF-8"))
+        (id, if (b == null) -1L else b.length.toLong, t.orNull,
+         t.map(_.getBytes("UTF-8").length.toLong).getOrElse(-1L),
+         t.map(_.length.toLong).getOrElse(-1L))
+      })
+      .toDF("id", "n_raw_bytes", "text", "n_bytes", "n_chars")
+  }
 }

@@ -595,4 +595,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(seqs(TextOps.bpeEncodeFused(docs, "doc_id", "text", none))
       == seqs(TextOps.bpeEncode(docs, "doc_id", "text", none)))
   }
+
+  test("gunzip round-trips single and multi-member streams; gunzipCorpus ingests") {
+    import spark.implicits._
+    val text = "the quick brown fox " * 50
+    val single = TextOps.gzip(text.getBytes("UTF-8"))
+    assert(TextOps.gunzip(single).map(new String(_, "UTF-8")) == Some(text))
+    // multi-member concatenation (cat a.gz b.gz) decodes end-to-end
+    val multi = TextOps.gzip("hello ".getBytes) ++ TextOps.gzip("world".getBytes)
+    assert(TextOps.gunzip(multi).map(new String(_, "UTF-8")) == Some("hello world"))
+    // non-gzip declines; truncated final member yields the surviving prefix
+    assert(TextOps.gunzip("not gzip at all".getBytes) == None)
+    val cut = TextOps.gunzip(single.dropRight(6))
+    assert(cut.forall(b => text.startsWith(new String(b, "UTF-8"))))
+    val df = Seq((1L, single), (2L, multi),
+                 (3L, "junk!".getBytes)).toDF("doc_id", "gz")
+    val rows = TextOps.gunzipCorpus(df, "doc_id", "gz")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), r.getLong(3))).toMap
+    assert(rows(1L) == (Some(text), text.length.toLong))
+    assert(rows(2L) == (Some("hello world"), 11L))
+    assert(rows(3L) == (None, -1L))
+  }
 }
