@@ -489,6 +489,75 @@ object PipelineQueries {
              |  COALESCE(CAST(length(text) AS BIGINT), -1) AS n_chars
              |FROM tx""".stripMargin)),
 
+    // REAL WARC-shard ingestion (ISO 28500): each row is a genuine WARC
+    // shard — version line, header block, Content-Length-driven content
+    // walk, two-CRLF separators — half the shards additionally gzipped
+    // (the .warc.gz layout), so the gunzip → record-walk composition runs
+    // end-to-end. The oracle states the construction's closed form.
+    ("text_warc_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val shards = s.range(32).map { id =>
+          val recs = (0 until (id % 3).toInt + 1).map { k =>
+            (if (k % 2 == 0) "response" else "metadata",
+             s"http://ex.org/$id/$k",
+             s"doc $id rec $k " + "x" * ((id + k) % 17).toInt)
+          }
+          val raw = graft.pipeline.TextOps.warcBytes(recs)
+          (id, if (id % 2 == 0) graft.pipeline.TextOps.gzip(raw) else raw)
+        }.toDF("shard_id", "payload")
+        graft.pipeline.TextOps.warcCorpus(shards, "shard_id", "payload")
+      },
+      Some("""WITH recs AS (SELECT s, k FROM range(32) t(s), range(3) g(k)
+             |              WHERE k < s % 3 + 1)
+             |SELECT s AS shard_id, CAST(k AS BIGINT) AS rec_idx,
+             |  CASE WHEN k % 2 = 0 THEN 'response' ELSE 'metadata' END AS warc_type,
+             |  'http://ex.org/' || s || '/' || k AS uri,
+             |  CAST(strlen('doc ' || s || ' rec ' || k || ' '
+             |              || repeat('x', CAST((s + k) % 17 AS INT))) AS BIGINT) AS content_length,
+             |  'doc ' || s || ' rec ' || k || ' '
+             |    || repeat('x', CAST((s + k) % 17 AS INT)) AS content
+             |FROM recs""".stripMargin)),
+
+    // Count-min-sketch heavy hitters over the documents token stream: the
+    // d×w counter table (ONE shuffle, counter-table-sized, mergeable) and
+    // the min-over-rows point estimate, joined against exact counts. The
+    // portable-md5 bucket hash lets DuckDB replay the sketch
+    // bit-identically — est ≥ exact by construction, equal when a token's
+    // buckets are collision-free. At 100 TB the counter table stays 256
+    // rows while the exact side is what you'd avoid computing.
+    ("sketch_heavy_hitters",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val sketch = graft.pipeline.Sketch.cmSketch(toks, "tok", 4, 64)
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        val est = graft.pipeline.Sketch.cmsEstimate(
+          sketch, exact.select("tok"), "tok", 4, 64)
+        exact.join(est, "tok")
+          .orderBy(col("exact_cnt").desc, col("tok").asc)
+          .limit(50)
+          .select(col("tok").as("token"), col("exact_cnt"), col("cms_est"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+              |tf AS (SELECT tok FROM toks WHERE tok <> ''),
+              |rb AS (SELECT tok, j,
+              |         ${graft.functions.PortableHash.md5Prefix60Sql("tok || '#cms' || j")} % 64 AS bucket
+              |       FROM tf, range(4) g(j)),
+              |cms AS (SELECT j, bucket, COUNT(*) AS cnt FROM rb GROUP BY 1, 2),
+              |ex AS (SELECT tok, COUNT(*) AS exact_cnt FROM tf GROUP BY 1),
+              |erb AS (SELECT ex.tok, g.j,
+              |          ${graft.functions.PortableHash.md5Prefix60Sql("ex.tok || '#cms' || g.j")} % 64 AS bucket
+              |        FROM ex, range(4) g(j)),
+              |est AS (SELECT erb.tok, MIN(cms.cnt) AS cms_est
+              |        FROM erb JOIN cms ON cms.j = erb.j AND cms.bucket = erb.bucket
+              |        GROUP BY 1)
+              |SELECT ex.tok AS token, CAST(ex.exact_cnt AS BIGINT) AS exact_cnt,
+              |       CAST(est.cms_est AS BIGINT) AS cms_est
+              |FROM ex JOIN est ON ex.tok = est.tok
+              |ORDER BY exact_cnt DESC, token ASC LIMIT 50""".stripMargin)),
+
     // Uniform-mixture balancing: every source downsampled to the smallest
     // source's size via the per-group hash threshold (engine- and
     // partitioning-reproducible membership).

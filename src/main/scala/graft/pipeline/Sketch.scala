@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Relational count–min sketch (Cormode & Muthukrishnan 2005, public
+  * paper): a d×w counter table over a key stream, built with ONE shuffle
+  * (explode d rows per item → groupBy (row, bucket)). The sketch is
+  * O(d·w) — broadcastable, mergeable across shards by counter addition,
+  * and the point estimate min_j cnt[j][h_j(x)] upper-bounds the true
+  * count with error ≤ εN at depth ⌈ln 1/δ⌉, width ⌈e/ε⌉. Hashing is the
+  * engine's portable md5 family, so a SQL oracle replays the sketch
+  * bit-identically — the heavy-hitter screen is exactly verifiable at
+  * verify SFs while the same plan runs at 100 TB (the counter table
+  * never grows with the data). */
+object Sketch {
+
+  /** Row-`j` bucket of `key` — portable across engines. */
+  def cmsBucket(key: Column, row: Int, width: Int): Column =
+    PortableHash.md5Prefix60(concat(key.cast("string"), lit(s"#cms$row"))) %
+      width
+
+  /** DuckDB rendering of [[cmsBucket]] for oracle SQL. */
+  def cmsBucketSql(expr: String, row: Int, width: Int): String =
+    s"${PortableHash.md5Prefix60Sql(s"$expr || '#cms' || $row")} % $width"
+
+  /** Build the d×w sketch: (row, bucket, cnt). */
+  def cmSketch(items: DataFrame, keyCol: String, depth: Int,
+               width: Int): DataFrame =
+    items.select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("row"),
+               cmsBucket(col(keyCol), j, width).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** CMS point estimates for candidate keys: min over rows of the bucket
+    * counters. The sketch side is counter-table-sized → broadcast; the
+    * candidate side streams (no candidate×candidate blowup). Keys absent
+    * from the stream estimate 0. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val expanded = keys
+      .select(col(keyCol), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("row"),
+               cmsBucket(col(keyCol), j, width).as("bucket"))): _*)).as("rb"))
+      .select(col(keyCol), col("rb.row").as("row"),
+              col("rb.bucket").as("bucket"))
+    expanded.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

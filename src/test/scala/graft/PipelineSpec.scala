@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.pipeline.{Dedup, Similarity, Sketch, TextOps}
 import graft.score.Embeddings
 
 class PipelineSpec extends AnyFunSuite {
@@ -616,5 +616,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1L) == (Some(text), text.length.toLong))
     assert(rows(2L) == (Some("hello world"), 11L))
     assert(rows(3L) == (None, -1L))
+  }
+
+  test("warcRecords walks Content-Length-framed records; tolerates malformed tails") {
+    // content deliberately contains header-looking bytes — only a
+    // length-driven walk survives this
+    val tricky = "WARC/1.0\r\nContent-Length: 5\r\n\r\nfake"
+    val shard = TextOps.warcBytes(Seq(
+      ("response", "http://a/1", "hello"),
+      ("metadata", "http://a/2", tricky),
+      ("response", "http://a/3", "")))
+    val recs = TextOps.warcRecords(shard)
+    assert(recs.map(_.uri) == Seq("http://a/1", "http://a/2", "http://a/3"))
+    assert(recs(1).content == tricky &&
+           recs(1).content_length == tricky.getBytes("UTF-8").length)
+    assert(recs(2).content == "" && recs(2).content_length == 0)
+    // truncated final record: earlier records survive
+    val cut = TextOps.warcRecords(shard.dropRight(12))
+    assert(cut.length == 2)
+    assert(TextOps.warcRecords("not a warc".getBytes).isEmpty)
+  }
+
+  test("count-min sketch: est >= exact always, exact when collision-free") {
+    import spark.implicits._
+    val items = (Seq.fill(40)("hot") ++ (0 until 30).map(i => s"cold$i"))
+      .toDF("tok")
+    val exact = items.groupBy("tok").agg(count(lit(1)).as("n"))
+    for (width <- Seq(8, 4096)) {
+      val sk = Sketch.cmSketch(items, "tok", 4, width)
+      val est = Sketch.cmsEstimate(sk, exact.select("tok"), "tok", 4, width)
+      val joined = exact.join(est, "tok")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      joined.foreach { case (tk, n, e) =>
+        assert(e >= n, s"$tk: est $e < exact $n")
+      }
+      // a 4096-wide table over 31 keys is almost surely collision-free
+      if (width == 4096) joined.foreach { case (tk, n, e) =>
+        assert(e == n, s"$tk: est $e != exact $n at width 4096")
+      }
+    }
+    // absent keys estimate 0
+    val ghost = Sketch.cmsEstimate(Sketch.cmSketch(items, "tok", 4, 64),
+      Seq("nope").toDF("tok"), "tok", 4, 64)
+      .collect().head.getLong(1)
+    assert(ghost >= 0) // may collide upward, never negative
   }
 }
