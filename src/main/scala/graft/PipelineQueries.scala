@@ -1455,6 +1455,24 @@ object PipelineQueries {
            |FROM q""".stripMargin
       }),
 
+    // Fixed-size weighted sampling WITHOUT replacement (Efraimidis–
+    // Spirakis A-ES): rank by the 6-dp-quantized ln(u)/w key with an id
+    // tiebreak, keep the top 100 — plans as TakeOrderedAndProject
+    // (per-partition top-k, no global sort). Oracle replays the key
+    // formula and ordering exactly.
+    ("sample_weighted_k",
+      (s, dir) => graft.pipeline.Sampling.weightedSampleK(
+          t(s, dir, "documents")
+            .withColumn("w", (col("doc_id") % 7 + 1).cast("double")),
+          "doc_id", col("w"), k = 100)
+        .select(col("doc_id"), col("w"), col("aes_key")),
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    CAST(doc_id % 7 + 1 AS DOUBLE) AS w,
+              |    (${graft.pipeline.Sampling.hashBucketSql("doc_id", "aes")} + 1.0) / 1000001.0 AS u
+              |  FROM documents)
+              |SELECT doc_id, w, ROUND(ln(u) / w, 6) AS aes_key FROM d
+              |ORDER BY aes_key DESC, doc_id ASC LIMIT 100""".stripMargin)),
+
     // Quality-weighted deterministic sampling: each doc kept with
     // probability = its quality score (quality-proportional resampling).
     ("sample_weighted",

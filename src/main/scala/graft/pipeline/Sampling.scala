@@ -49,6 +49,23 @@ object Sampling {
                      salt: String = "wsample"): DataFrame =
     df.filter(hashBucket(col(keyCol), salt) < weight * BUCKETS)
 
+  /** Fixed-size weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, the A-ES one-pass scheme — public paper): each row
+    * draws u ∈ (0, 1] from the portable hash and ranks by u^(1/w),
+    * keeping the top k — equivalently by ln(u)/w, the monotone form used
+    * here. The key is 6-dp-quantized BEFORE ranking with an id
+    * tiebreak (the cross-engine round-before-rank discipline), so a SQL
+    * oracle replays the exact membership. Plans as TakeOrderedAndProject:
+    * per-partition top-k then a k-row merge — no global sort, no
+    * full shuffle, the right shape at corpus scale. */
+  def weightedSampleK(df: DataFrame, keyCol: String, weight: Column, k: Int,
+                      salt: String = "aes"): DataFrame = {
+    val u = (hashBucket(col(keyCol), salt) + lit(1.0)) / lit(BUCKETS + 1.0)
+    df.withColumn("aes_key", round(log(u) / weight, 6))
+      .orderBy(col("aes_key").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (stratum value
     * -> fraction); strata absent from the map are dropped. */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,

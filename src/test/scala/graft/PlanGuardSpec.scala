@@ -39,6 +39,17 @@ class PlanGuardSpec extends AnyFunSuite {
         "Ranking.globalIndex / rankTopK instead of a global window")
   }
 
+  test("weightedSampleK plans as TakeOrderedAndProject (no global sort)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.KG.table(spark, dir, "documents")
+      .withColumn("w", (col("doc_id") % 7 + 1).cast("double"))
+    val df = graft.pipeline.Sampling.weightedSampleK(docs, "doc_id",
+      col("w"), k = 100)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"A-ES sampler should be per-partition top-k, got:\n$phys")
+  }
+
   test("every query has a DuckDB oracle (or a documented exception)") {
     // The driver's correctness gate only covers queries with BOTH a
     // `queries` entry and an `oracleSql` entry — a new query without an
