@@ -121,6 +121,20 @@ final class GraftCorpus(val frame: DataFrame,
     Sampling.assignSplits(frame, idCol, weights)
   def temperatureSample(groupCol: String, alpha: Double = 0.5): DataFrame =
     Sampling.temperatureSample(frame, idCol, groupCol, alpha)
+  def sampleK(weight: org.apache.spark.sql.Column, k: Int): DataFrame =
+    Sampling.weightedSampleK(frame, idCol, weight, k)
+
+  // --- sketches ---
+  def heavyHitters(k: Int = 50, depth: Int = 4,
+                   width: Int = 1 << 16): DataFrame = {
+    val toks = frame
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sketch = graft.pipeline.Sketch.cmSketch(toks, "tok", depth, width)
+    graft.pipeline.Sketch.cmsEstimate(
+        sketch, toks.select("tok").distinct(), "tok", depth, width)
+      .orderBy(col("cms_est").desc, col("tok").asc).limit(k)
+  }
 }
 
 final class GraftVectors(val frame: DataFrame) {

@@ -377,6 +377,27 @@ object SystemQueries {
            |FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
            |     JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin)),
 
+    // Connected components over the supplier→nation→region subgraph by
+    // relational min-label propagation (converged labels = min id per
+    // component — schedule-independent, so GraphX CC, the relational
+    // twin, and the recursive-CTE oracle must agree EXACTLY). Expected
+    // shape: one component per region, rooted at the smallest id.
+    ("q_graph_components",
+      (s, dir) => GraphOps.minLabelComponents(
+        KG.edges(s, dir).filter(col("rel").isin(
+          KG.REL_SUPP_NATION, KG.REL_NATION_REGION))),
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""e AS (SELECT src, dst FROM edges
+           |      WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+           |reach AS (
+           |  WITH RECURSIVE walk(id, r) AS (
+           |    SELECT src AS id, src AS r FROM und
+           |    UNION
+           |    SELECT u.src, walk.r FROM und u JOIN walk ON u.dst = walk.id)
+           |  SELECT id, r FROM walk)
+           |SELECT id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin)),
+
     // Conversion funnel: click -> purchase within 10 minutes, per user.
     ("q_funnel",
       (s, dir) => {

@@ -171,4 +171,43 @@ object GraphOps {
     }
     rank
   }
+
+  /** Connected components by relational min-label propagation: every node
+    * starts labeled with its own id; each superstep takes the min over
+    * neighbor labels (undirected closure) until fixpoint. The CONVERGED
+    * state — min id per component — is schedule-independent, so it
+    * cross-checks GraphX's `connectedComponents` (same contract) and a
+    * recursive-CTE oracle exactly. O(diameter) supersteps, one
+    * dst-keyed shuffle each; per-superstep localCheckpoint truncates
+    * lineage (the BFS/pagerank loop discipline). Returns
+    * (id, component). */
+  def minLabelComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // read every superstep
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")),
+              Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("label"),
+                      coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
 }

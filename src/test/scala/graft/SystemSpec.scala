@@ -33,6 +33,19 @@ class SystemSpec extends AnyFunSuite {
     assert(lv == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
   }
 
+  test("minLabelComponents agrees with GraphX connectedComponents") {
+    // three components: {1,2,3,5}, {10,11,12}, {20} (self-loop only)
+    val e = Seq((1L, 0L, 2L), (2L, 0L, 3L), (10L, 0L, 11L), (12L, 0L, 11L),
+                (20L, 0L, 20L), (5L, 0L, 3L)).toDF("src", "rel", "dst")
+    val rel = GraphOps.minLabelComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = graft.exec.GraphXOps.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == gx)
+    assert(rel(3L) == 1L && rel(5L) == 1L && rel(11L) == 10L &&
+           rel(20L) == 20L)
+  }
+
   test("pageRankFixed: exact fixpoint on a star graph") {
     // 1,2,3 -> 0. Leaves have no in-edges: rank 0.15 after iter 1;
     // hub stabilizes at 0.15 + 0.85 * 3 * (0.15 / 1) = 0.5325 from iter 2.
