@@ -65,6 +65,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("warcCorpus and cmSketch run unchanged over streams") {
+    implicit val sqlCtx = spark.sqlContext
+    // WARC ingestion is a stateless per-row flatMap — append mode, and
+    // the streamed records must equal the batch twin's exactly.
+    def shard(id: Long): (Long, Array[Byte]) = {
+      val recs = (0 until 2).map(k =>
+        ("response", s"http://s/$id/$k", s"body $id $k"))
+      val raw = graft.pipeline.TextOps.warcBytes(recs)
+      (id, if (id % 2 == 0) graft.pipeline.TextOps.gzip(raw) else raw)
+    }
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = graft.pipeline.TextOps.warcCorpus(
+        mem.toDF().toDF("shard_id", "payload"), "shard_id", "payload")
+      .writeStream.format("memory").queryName("warc_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(shard(0), shard(1))
+      q.processAllAvailable()
+      mem.addData(shard(2))
+      q.processAllAvailable()
+      val streamed = spark.table("warc_out").collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.TextOps.warcCorpus(
+          Seq(shard(0), shard(1), shard(2)).toDF("shard_id", "payload"),
+          "shard_id", "payload")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.size == 6)
+    } finally q.stop()
+    // The count-min sketch is a pure additive aggregate — the canonical
+    // streaming sketch: complete-mode counters equal the batch build.
+    val toks = MemoryStream[String]
+    val q2 = graft.pipeline.Sketch.cmSketch(
+        toks.toDF().toDF("tok"), "tok", 2, 16)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      toks.addData("a", "b", "a"); q2.processAllAvailable()
+      toks.addData("c", "a"); q2.processAllAvailable()
+      val streamed = spark.table("cms_out").collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.Sketch.cmSketch(
+          Seq("a", "b", "a", "c", "a").toDF("tok"), "tok", 2, 16)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
+
   test("intervalJoinStream matches the batch twin's matched pairs") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
