@@ -67,6 +67,10 @@ object Bench {
     // for a quick single pass.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
       .max(1)
+    // Optional comma-separated query-name filter for local perf
+    // iteration (the Verify subset-arg analog); absent = full suite.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,7 +85,9 @@ object Bench {
     graft.model.KG.edges(spark, sfDir).count()
     val loadSec = (System.nanoTime() - tLoad) / 1e9
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {

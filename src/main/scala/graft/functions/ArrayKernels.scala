@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions (with doGenCode) for the hot vector kernels
   * of SURVEY §2.6. The higher-order-function formulations in
@@ -290,6 +290,102 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** Σ |a[i] − b[i]| over LONG arrays — the exact L1 distance of the
+  * micro-int eval checkpoints ([[graft.score.Training]] ranksImpl),
+  * evaluated |edges| × |entities| times per eval. One fused pass, no
+  * intermediate array (the `aggregate∘zip_with` form materializes the
+  * |a−b| array per candidate row before folding it). Long-exact: micro
+  * magnitudes are ≤ ~4e6, dims ≤ 64 — Σ ≤ 5e8, nowhere near the lane. */
+case class ArrayL1Long(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var s = 0L
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) { s += math.abs(x.getLong(i) - y.getLong(i)); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Math.abs($a.getLong($i) - $b.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Static two's-complement 128-bit → Decimal(38,0) conversion shared by
+  * [[Int128Dot]]'s interpreted and generated code paths. */
+object Int128 {
+  def toDecimal(hi: Long, lo: Long): org.apache.spark.sql.types.Decimal = {
+    val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(bi), 38, 0)
+  }
+}
+
+/** Σ a[i]·b[i] over LONG arrays with EXACT signed 128-bit accumulation —
+  * Math.multiplyHigh for the product's high word, carry-propagated lo/hi
+  * adds — materialized as ONE Decimal(38,0) per row. Replaces the
+  * `aggregate(zip_with(a, b, (x, y) -> decimal(x)·y))` formulation whose
+  * per-ELEMENT Decimal multiply/add dominates the exact eval-checkpoint
+  * rankers: same exact value (both are ℤ arithmetic), one object
+  * allocation per row instead of ~2·dim. Overflow-safe while the true
+  * sum stays within 127 bits (micro³·dim ≈ 1e21 « 1.7e38). */
+case class Int128Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var hi = 0L; var lo = 0L
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      val xa = x.getLong(i); val yb = y.getLong(i)
+      val p = xa * yb
+      val ph = Math.multiplyHigh(xa, yb)
+      val nl = lo + p
+      val carry = ((lo & p) | ((lo | p) & ~nl)) >>> 63
+      hi += ph + carry
+      lo = nl
+      i += 1
+    }
+    Int128.toDecimal(hi, lo)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val hi = ctx.freshName("hi"); val lo = ctx.freshName("lo")
+      val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
+      val p = ctx.freshName("p"); val nl = ctx.freshName("nl")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $hi = 0L, $lo = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xa = $a.getLong($i); long $yb = $b.getLong($i);
+         |  long $p = $xa * $yb;
+         |  long $nl = $lo + $p;
+         |  $hi += java.lang.Math.multiplyHigh($xa, $yb)
+         |       + ((($lo & $p) | (($lo | $p) & ~$nl)) >>> 63);
+         |  $lo = $nl;
+         |}
+         |${ev.value} = graft.functions.Int128.toDecimal($hi, $lo);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object ArrayKernels {
   /** PQ arity arguments (m, k) must be integer literals; any integral
     * type a SQL caller might write (16, CAST(16 AS BIGINT), 16S) is
@@ -314,6 +410,8 @@ object ArrayKernels {
     "pq_lut" -> (es => PqLut(es(0), es(1), intArg(es(2)), intArg(es(3)))),
     "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2)))),
     "md5_prefix60" -> (es => Md5Prefix60(es(0))),
+    "int128_dot" -> (es => Int128Dot(es(0), es(1))),
+    "array_l1_long" -> (es => ArrayL1Long(es(0), es(1))),
     "bpe_apply" -> (es => BpeApply(es(0), es(1))))
 
   /** Idempotent session-local registration (the non-extensions path). */
@@ -341,4 +439,8 @@ object ArrayKernels {
                   org.apache.spark.sql.functions.lit(k))
   def bpeApply(toks: Column, mergesFlat: Column): Column =
     call_function("bpe_apply", toks, mergesFlat)
+  def int128Dot(a: Column, b: Column): Column =
+    call_function("int128_dot", a, b)
+  def arrayL1Long(a: Column, b: Column): Column =
+    call_function("array_l1_long", a, b)
 }

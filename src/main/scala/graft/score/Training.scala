@@ -645,14 +645,15 @@ object Training {
                           col("rel").cast("long").as("rel"),
                           col("dst").cast("long").as("dst"))
     // s(hr, c) = Σ_i hr_i · c_i with hr_i = h_i·r_i (≤ m²: long-safe);
-    // the outer micro³ product is multiplied IN DECIMAL — at micro
-    // magnitude m the long lane wraps at m ≈ 2.1e6, and a trained state
-    // can legitimately exceed |x| > 2 after a few steps. Decimal costs a
-    // little codegen speed and removes the cliff entirely.
+    // the outer micro³ product exceeds the long lane at micro magnitude
+    // m ≈ 2.1e6 (a trained state legitimately exceeds |x| > 2), so the
+    // sum runs in the fused Int128Dot kernel — exact signed-128-bit
+    // accumulation (multiplyHigh + carry), one Decimal per row instead
+    // of the per-element decimal multiply/adds of the old
+    // aggregate∘zip_with formulation (same exact ℤ value).
+    graft.functions.ArrayKernels.register(edges.sparkSession)
     def score(hr: Column, cv: Column): Column =
-      aggregate(zip_with(hr, cv,
-                  (p, c) => p.cast("decimal(38,0)") * c),
-                lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+      graft.functions.ArrayKernels.int128Dot(hr, cv)
     val est = ed
       .join(ev.select(col("id").as("src"), col("v").as("hv")), Seq("src"))
       .join(rv.select(col("id").as("rel"), col("v").as("rv")), Seq("rel"))
@@ -702,16 +703,17 @@ object Training {
     def mul(x: Column, y: Column): Column = zip_with(x, y, _ * _)
     def sub(x: Column, y: Column): Column = zip_with(x, y, _ - _)
     def add(x: Column, y: Column): Column = zip_with(x, y, _ + _)
-    // Σ re_i·e_i + im_i·f_i with the micro³ products taken IN DECIMAL:
-    // at micro magnitude m the per-element long product wraps at
-    // m ≈ 1.66e6, and a one-step sf0.1 state already measures 1.60e6 —
-    // the long lane is a cliff, not a margin. (re/im themselves are
-    // micro², long-safe to m ≈ 2e9.)
+    // Σ re_i·e_i + im_i·f_i: the micro³ products exceed the long lane at
+    // micro magnitude m ≈ 1.66e6 (a one-step sf0.1 state already
+    // measures 1.60e6 — a cliff, not a margin), so each dot runs in the
+    // fused Int128Dot kernel: exact signed-128-bit accumulation
+    // (multiplyHigh + carry), ONE Decimal per row per dot instead of the
+    // per-element decimal multiply/adds of aggregate∘zip_with — same
+    // exact ℤ value, (re/im themselves are micro², long-safe to 2e9).
+    graft.functions.ArrayKernels.register(edges.sparkSession)
     def score(re: Column, im: Column, e: Column, f: Column): Column =
-      aggregate(zip_with(re, e, (p, c) => p.cast("decimal(38,0)") * c),
-                lit(0).cast("decimal(38,0)"), (acc, x) => acc + x) +
-        aggregate(zip_with(im, f, (p, c) => p.cast("decimal(38,0)") * c),
-                  lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+      graft.functions.ArrayKernels.int128Dot(re, e) +
+        graft.functions.ArrayKernels.int128Dot(im, f)
     val est = ed
       .join(ev.select(col("id").as("src"), col("v").as("ha"),
                       col("w").as("hb")), Seq("src"))
@@ -812,9 +814,11 @@ object Training {
     val ed = edges.select(col("src").cast("long").as("src"),
                           col("rel").cast("long").as("rel"),
                           col("dst").cast("long").as("dst"))
+    // Fused one-pass kernel: the aggregate∘zip_with form materializes the
+    // per-element |a−b| array for every (edge, candidate) row.
+    graft.functions.ArrayKernels.register(params.sparkSession)
     def l1(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0L),
-                (acc, x) => acc + x)
+      graft.functions.ArrayKernels.arrayL1Long(a, b)
     // Per-edge estimate h+r and true-tail distance: three equi-joins on an
     // eval-batch-sized frame.
     val est = ed
