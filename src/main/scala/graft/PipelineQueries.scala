@@ -3351,6 +3351,50 @@ object PipelineQueries {
               |       ROUND(list_max(list_transform(d, x -> ABS(x))), 8) AS max_err
               |FROM er""".stripMargin)),
 
+    // Dominant principal direction by EXACT-moment power iteration (the
+    // all-but-the-top common-direction estimate): micro-int vectors, the
+    // scatter matrix n²·Cov as integer-exact decimal (n·Σxᵢxⱼ − sᵢsⱼ
+    // from exact long moment sums — no float summation order anywhere),
+    // three relational d²-sized matvec supersteps re-normalized by the
+    // exact max |y| and re-quantized to the 6-dp grid, sign-canonical on
+    // the first nonzero coordinate. The oracle replays every superstep.
+    ("embedding_pca_power",
+      (s, dir) => Similarity.pcaPowerDirection(
+        Embeddings.fromParquet(s, s"$dir/embeddings.parquet"),
+        dim = 64, iters = 3),
+      Some {
+        def step(k: Int): String = {
+          val (p, yk, nk, wk) = (s"w${k - 1}", s"y$k", s"n$k", s"w$k")
+          s"""$yk AS (SELECT c.i, SUM(cij * $p.w) AS y
+             |       FROM c JOIN $p ON $p.i = c.j GROUP BY 1),
+             |$nk AS (SELECT MAX(ABS(y)) AS ma FROM $yk),
+             |$wk AS (SELECT i, CAST(ROUND(CAST(y AS DOUBLE) / CAST(ma AS DOUBLE)
+             |                             * 1000000, 0) AS BIGINT) AS w
+             |        FROM $yk, $nk)""".stripMargin
+        }
+        s"""WITH e AS ($embedsSql),
+           |x AS (SELECT id, i, CAST(ROUND(v[i + 1] * 1000000, 0) AS BIGINT) AS xi
+           |      FROM e, range(64) g(i)),
+           |nn AS (SELECT COUNT(*) AS n FROM e),
+           |s AS (SELECT i, SUM(xi) AS si FROM x GROUP BY 1),
+           |m AS (SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS sij
+           |      FROM x a JOIN x b USING (id) GROUP BY 1, 2),
+           |c AS (SELECT m.i, m.j,
+           |        CAST(nn.n AS HUGEINT) * sij
+           |          - CAST(sa.si AS HUGEINT) * sb.si AS cij
+           |      FROM m CROSS JOIN nn
+           |      JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j),
+           |w0 AS (SELECT i, CAST(1000000 - (i * 613 % 1000) * 1000 AS BIGINT) AS w
+           |       FROM range(64) g(i)),
+           |${step(1)},
+           |${step(2)},
+           |${step(3)},
+           |fs AS (SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS fs
+           |       FROM w3 WHERE w <> 0 ORDER BY i LIMIT 1)
+           |SELECT CAST(i AS BIGINT) AS pos, w * fs / 1000000.0 AS w
+           |FROM w3, fs""".stripMargin
+      }),
+
     // Stupid-Backoff bigram LM scoring (Brants 2007): model counts from a
     // deterministic 75% split (0.75 is binary-exact — 0.7·10⁶ truncates to
     // 699999 as a double), every doc scored against it, so held-out docs

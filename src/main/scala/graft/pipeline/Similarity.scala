@@ -344,6 +344,67 @@ object Similarity {
           (a, x) => greatest(a, abs(err(x, col("_s"))))), 8).as("max_err"))
   }
 
+  /** Dominant principal direction of an embedding corpus by EXACT-moment
+    * power iteration — the first component of PCA / the "common
+    * direction" that all-but-the-top embedding post-processing (Mu &
+    * Viswanath 2018, public paper) removes. Engineered for cross-engine
+    * exactness end-to-end:
+    *   - vectors quantize to micro ints (6-dp grid);
+    *   - the scatter matrix is integer-exact: n²·Cov_ij = n·Σxᵢxⱼ −
+    *     (Σxᵢ)(Σxⱼ) in decimal(38,0) (the raw moments are exact long
+    *     sums — order-independent, no float summation drift);
+    *   - each power step is a RELATIONAL matvec over the d² scatter
+    *     frame (data-sized work is the one moment pass; iterations are
+    *     d²-sized regardless of corpus size), re-normalized by max |y|
+    *     (exact decimal max, no sqrt) and re-quantized to the 6-dp grid;
+    *   - the returned direction is sign-canonicalized on its first
+    *     nonzero coordinate.
+    * Returns (pos, w) with w ∈ [−1, 1], max |w| = 1. */
+  def pcaPowerDirection(emb: DataFrame, dim: Int, iters: Int = 3,
+                        idCol: String = "id",
+                        vecCol: String = "vec"): DataFrame = {
+    require(iters >= 1 && dim >= 1)
+    val x = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("i", "xv")))
+      .select(col("id"), col("i"),
+              round(col("xv") * 1e6, 0).cast("long").as("xi"))
+      .localCheckpoint(true) // moment pass input, read twice
+    val n = x.select(countDistinct(col("id"))).head().getLong(0)
+    val s = x.groupBy("i").agg(sum(col("xi")).as("si"))
+    val m = x.select(col("id"), col("i"), col("xi"))
+      .join(x.select(col("id"), col("i").as("j"), col("xi").as("xj")), "id")
+      .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sij"))
+    val dec = "decimal(38,0)"
+    val c = m
+      .join(s.select(col("i"), col("si").as("sa")), "i")
+      .join(s.select(col("i").as("j"), col("si").as("sb")), "j")
+      .select(col("i"), col("j"),
+              (lit(n).cast(dec) * col("sij").cast(dec) -
+               col("sa").cast(dec) * col("sb").cast(dec)).as("cij"))
+      .localCheckpoint(true) // d² rows, read every iteration
+    // Integer-exact varying init (identical in the SQL oracle): a
+    // uniform start would be EXACTLY orthogonal to any zero-sum
+    // direction and power iteration could never recover it.
+    var w = emb.sparkSession.range(dim)
+      .select(col("id").cast("int").as("i"),
+              (lit(1000000L) - (col("id") * 613 % 1000) * 1000).as("w"))
+    (1 to iters).foreach { _ =>
+      val y = c.join(w.select(col("i").as("j"), col("w")), "j")
+        .groupBy("i").agg(sum(col("cij") * col("w")).as("y"))
+      val ma = y.agg(max(abs(col("y"))).as("ma"))
+      w = y.crossJoin(ma)
+        .select(col("i"),
+                round(col("y").cast("double") / col("ma").cast("double")
+                      * 1e6, 0).cast("long").as("w"))
+        .localCheckpoint(true)
+    }
+    val flip = w.filter(col("w") =!= 0).orderBy("i").limit(1)
+      .select(signum(col("w").cast("double")).as("fs"))
+    w.crossJoin(flip)
+      .select(col("i").cast("long").as("pos"),
+              (col("w") * col("fs") / 1e6).as("w"))
+  }
+
   /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
     * each query probes its `probes` nearest cells — the standard
     * recall/cost knob (recall grows with probed cells, scan cost stays

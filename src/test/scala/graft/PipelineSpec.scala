@@ -637,6 +637,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextOps.warcRecords("not a warc".getBytes).isEmpty)
   }
 
+  test("pcaPowerDirection recovers a planted dominant direction") {
+    import spark.implicits._
+    // corpus = strong signal along u (alternating ±) + small index noise
+    val dim = 8
+    val u = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val rows = (0 until 200).map { r =>
+      val a = if (r % 2 == 0) 0.4 else -0.4 // ± along u: mean ~0, var high
+      (r.toLong, (0 until dim).map(i => a * u(i) + 0.01 * ((r + i) % 5 - 2)).toSeq)
+    }
+    val emb = rows.toDF("id", "vec")
+    val w = Similarity.pcaPowerDirection(emb, dim, iters = 4)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    // normalized by max|w|: exactly one coordinate at ±1, all in [-1, 1]
+    assert(w.forall(v => v >= -1.0 && v <= 1.0))
+    assert(w.map(math.abs).max == 1.0)
+    // sign-canonical: first nonzero coordinate positive
+    assert(w.find(_ != 0.0).exists(_ > 0))
+    // aligns with the planted direction (cosine > 0.99 up to sign)
+    val dot = w.zip(u).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(w.map(v => v * v).sum) * math.sqrt(u.map(v => v * v).sum))
+    assert(cos > 0.99, s"cos $cos; w=${w.mkString(",")}")
+  }
+
   test("count-min sketch: est >= exact always, exact when collision-free") {
     import spark.implicits._
     val items = (Seq.fill(40)("hot") ++ (0 until 30).map(i => s"cold$i"))
