@@ -1055,6 +1055,54 @@ object SystemQueries {
             |  CAST(media_id % 3 + 1 AS BIGINT) AS n_blocks
             |FROM p""".stripMargin)),
 
+    // REAL WebDataset-style shard ingestion: each row is a genuine tar
+    // (ustar headers, octal fields, verified checksums, 512-block
+    // padding) or ZIP (JDK DEFLATE) shard holding paired
+    // doc-XXX.jpg/doc-XXX.txt entries — the de-facto multimodal training
+    // shard layout. Spark walks the real container (shardCorpus) and
+    // decodes every entry: .jpg through the full baseline-JPEG pipeline,
+    // .txt as UTF-8. The oracle states the construction's closed form —
+    // a match proves the header walk, checksum, padding, and inflate
+    // paths all land byte-exactly.
+    ("multimodal_shard_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val shards = s.range(32).map { id =>
+          val ne = (id % 3).toInt + 1
+          val entries = (0 until ne).flatMap { k =>
+            val blocks = Array.tabulate(4)(b =>
+              ((id * 37 + k * 19 + b * 11) % 256).toInt)
+            Seq((f"doc-$k%03d.jpg", Multimodal.jpegBytes(16, 16, blocks)),
+                (f"doc-$k%03d.txt", s"caption $id $k".getBytes("UTF-8")))
+          }
+          (id, if (id % 2 == 0) Multimodal.tarBytes(entries)
+               else Multimodal.zipBytes(entries))
+        }.toDF("shard_id", "payload")
+        Multimodal.shardCorpus(shards, "shard_id", "payload")
+          .as[(Long, String, Long, Array[Byte])]
+          .map { case (sid, name, _, data) =>
+            if (name.endsWith(".jpg")) {
+              val st = Multimodal.jpegChannelStats(data)
+              val m = st.map { case (_, n, sums, _) =>
+                round6HalfAway(sums(0) / n) }.getOrElse(-2.0)
+              (sid, name, "image", m, null: String)
+            } else (sid, name, "text", -1.0, new String(data, "UTF-8"))
+          }
+          .toDF("shard_id", "name", "kind", "mean_y", "text")
+      },
+      Some("""WITH en AS (SELECT s, k FROM range(32) t(s), range(3) g(k)
+            |            WHERE k < s % 3 + 1)
+            |SELECT s AS shard_id, printf('doc-%03d.jpg', CAST(k AS INT)) AS name,
+            |  'image' AS kind,
+            |  ROUND(list_sum(list_transform(generate_series(0, 3),
+            |    b -> ((s * 37 + k * 19 + b * 11) % 256) / 255.0)) / 4, 6) AS mean_y,
+            |  CAST(NULL AS VARCHAR) AS text
+            |FROM en
+            |UNION ALL
+            |SELECT s, printf('doc-%03d.txt', CAST(k AS INT)), 'text', -1.0,
+            |  'caption ' || s || ' ' || k
+            |FROM en""".stripMargin)),
+
     // REAL MPEG-1 Layer I payload decode, round-trip-proven: each row
     // carries genuinely bit-packed Layer I frames (4-bit allocations,
     // 6-bit scalefactor indices, 2..8-bit interleaved sample codes) whose

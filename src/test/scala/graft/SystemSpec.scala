@@ -832,6 +832,49 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.flacMeta(b.take(20)) == None)
   }
 
+  test("tar/zip shard walk round-trips; tar pinned against the system tar") {
+    val entries = Seq(
+      ("a.txt", "hello shard".getBytes("UTF-8")),
+      ("sub/b.bin", Array.tabulate(700)(i => (i * 7).toByte)), // >1 block
+      ("c.jpg", Multimodal.jpegBytes(16, 8, Array(10, 200))))
+    val tar = Multimodal.tarBytes(entries)
+    val back = Multimodal.tarEntries(tar)
+    assert(back.map(_._1) == entries.map(_._1))
+    back.zip(entries).foreach { case ((_, d), (_, e)) =>
+      assert(d.sameElements(e))
+    }
+    // checksum validation: corrupt one header byte -> walk stops
+    val bad = tar.clone(); bad(20) = 'z'.toByte
+    assert(Multimodal.tarEntries(bad).isEmpty)
+    // Independent pin: the SYSTEM tar lists and extracts our archive...
+    val dir = java.nio.file.Files.createTempDirectory("tarspec")
+    val tf = dir.resolve("t.tar")
+    java.nio.file.Files.write(tf, tar)
+    import scala.sys.process._
+    val listed = Seq("tar", "-tf", tf.toString).!!.trim.split("\n").toSeq
+    assert(listed == entries.map(_._1))
+    assert(Seq("tar", "-xf", tf.toString, "-C", dir.toString).! == 0)
+    assert(java.nio.file.Files.readAllBytes(dir.resolve("sub/b.bin"))
+      .sameElements(entries(1)._2))
+    // ...and we parse a SYSTEM-tar-created archive (ustar format).
+    java.nio.file.Files.write(dir.resolve("x.txt"),
+      "from system tar".getBytes("UTF-8"))
+    assert(Seq("tar", "--format=ustar", "-cf", dir.resolve("s.tar").toString,
+               "-C", dir.toString, "x.txt").! == 0)
+    val sys = Multimodal.tarEntries(
+      java.nio.file.Files.readAllBytes(dir.resolve("s.tar")))
+    assert(sys.exists { case (n, d) =>
+      n.endsWith("x.txt") && new String(d, "UTF-8") == "from system tar" })
+    // zip: JDK round trip + non-zip declines
+    val zip = Multimodal.zipBytes(entries)
+    val Some(ze) = Multimodal.zipEntries(zip)
+    assert(ze.map(_._1) == entries.map(_._1))
+    ze.zip(entries).foreach { case ((_, d), (_, e)) =>
+      assert(d.sameElements(e))
+    }
+    assert(Multimodal.zipEntries(tar) == None)
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
