@@ -103,6 +103,42 @@ object PipelineQueries {
   private val embedsLabelSql =
     "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings"
 
+  /** Shared CTE chain replaying [[Similarity.pcaPowerDirection]] exactly
+    * (micro-int vectors, integer-exact scatter, three max-normalized
+    * matvec supersteps, sign canonicalization) — ends at `w3` (final
+    * micro direction) and `fs` (sign); `x` (micro vectors) stays in
+    * scope for downstream users (the ABTT projection). */
+  private val pcaCtes: String = {
+    def step(k: Int): String = {
+      val (p, yk, nk, wk) = (s"w${k - 1}", s"y$k", s"n$k", s"w$k")
+      s"""$yk AS (SELECT c.i, SUM(cij * $p.w) AS y
+         |       FROM c JOIN $p ON $p.i = c.j GROUP BY 1),
+         |$nk AS (SELECT MAX(ABS(y)) AS ma FROM $yk),
+         |$wk AS (SELECT i, CAST(ROUND(CAST(y AS DOUBLE) / CAST(ma AS DOUBLE)
+         |                             * 1000000, 0) AS BIGINT) AS w
+         |        FROM $yk, $nk)""".stripMargin
+    }
+    s"""e AS ($embedsSql),
+       |x AS (SELECT id, i, CAST(ROUND(v[i + 1] * 1000000, 0) AS BIGINT) AS xi
+       |      FROM e, range(64) g(i)),
+       |nn AS (SELECT COUNT(*) AS n FROM e),
+       |s AS (SELECT i, SUM(xi) AS si FROM x GROUP BY 1),
+       |m AS (SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS sij
+       |      FROM x a JOIN x b USING (id) GROUP BY 1, 2),
+       |c AS (SELECT m.i, m.j,
+       |        CAST(nn.n AS HUGEINT) * sij
+       |          - CAST(sa.si AS HUGEINT) * sb.si AS cij
+       |      FROM m CROSS JOIN nn
+       |      JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j),
+       |w0 AS (SELECT i, CAST(1000000 - (i * 613 % 1000) * 1000 AS BIGINT) AS w
+       |       FROM range(64) g(i)),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |fs AS (SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS fs
+       |       FROM w3 WHERE w <> 0 ORDER BY i LIMIT 1)""".stripMargin
+  }
+
   /** Embeddings WITH the label column (hard negatives, kNN classify,
     * prototypes) — [[Embeddings.fromParquet]] plus `label`. */
   private def embWithLabel(s: SparkSession, dir: String) =
@@ -3362,38 +3398,33 @@ object PipelineQueries {
       (s, dir) => Similarity.pcaPowerDirection(
         Embeddings.fromParquet(s, s"$dir/embeddings.parquet"),
         dim = 64, iters = 3),
-      Some {
-        def step(k: Int): String = {
-          val (p, yk, nk, wk) = (s"w${k - 1}", s"y$k", s"n$k", s"w$k")
-          s"""$yk AS (SELECT c.i, SUM(cij * $p.w) AS y
-             |       FROM c JOIN $p ON $p.i = c.j GROUP BY 1),
-             |$nk AS (SELECT MAX(ABS(y)) AS ma FROM $yk),
-             |$wk AS (SELECT i, CAST(ROUND(CAST(y AS DOUBLE) / CAST(ma AS DOUBLE)
-             |                             * 1000000, 0) AS BIGINT) AS w
-             |        FROM $yk, $nk)""".stripMargin
-        }
-        s"""WITH e AS ($embedsSql),
-           |x AS (SELECT id, i, CAST(ROUND(v[i + 1] * 1000000, 0) AS BIGINT) AS xi
-           |      FROM e, range(64) g(i)),
-           |nn AS (SELECT COUNT(*) AS n FROM e),
-           |s AS (SELECT i, SUM(xi) AS si FROM x GROUP BY 1),
-           |m AS (SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS sij
-           |      FROM x a JOIN x b USING (id) GROUP BY 1, 2),
-           |c AS (SELECT m.i, m.j,
-           |        CAST(nn.n AS HUGEINT) * sij
-           |          - CAST(sa.si AS HUGEINT) * sb.si AS cij
-           |      FROM m CROSS JOIN nn
-           |      JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j),
-           |w0 AS (SELECT i, CAST(1000000 - (i * 613 % 1000) * 1000 AS BIGINT) AS w
-           |       FROM range(64) g(i)),
-           |${step(1)},
-           |${step(2)},
-           |${step(3)},
-           |fs AS (SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS fs
-           |       FROM w3 WHERE w <> 0 ORDER BY i LIMIT 1)
+      Some(
+        s"""WITH $pcaCtes
            |SELECT CAST(i AS BIGINT) AS pos, w * fs / 1000000.0 AS w
-           |FROM w3, fs""".stripMargin
-      }),
+           |FROM w3, fs""".stripMargin)),
+
+    // All-but-the-top projection (Mu & Viswanath 2018): remove the
+    // dominant direction from every vector — v'_j = v_j − (⟨v,w⟩/‖w‖²)·w_j
+    // with the sqrt-free ‖w‖² form so every intermediate is an exact long
+    // (micro ⟨v,w⟩ and ‖w‖² sums) and the final double arithmetic is a
+    // fixed three-operation sequence both engines round identically.
+    // Output is per-(id, pos) — no cross-position float summation, so no
+    // order pinning is needed anywhere.
+    ("embedding_abtt_project",
+      (s, dir) => Similarity.removeTopDirection(
+        Embeddings.fromParquet(s, s"$dir/embeddings.parquet"),
+        dim = 64, iters = 3),
+      Some(
+        s"""WITH $pcaCtes,
+           |wd AS (SELECT i, w * fs AS wj FROM w3, fs),
+           |dn AS (SELECT SUM(wj * wj) AS den FROM wd),
+           |nm AS (SELECT x.id, SUM(x.xi * wd.wj) AS num
+           |       FROM x JOIN wd ON wd.i = x.i GROUP BY 1)
+           |SELECT x.id, CAST(x.i AS BIGINT) AS pos,
+           |  ROUND(x.xi / 1000000.0
+           |        - (num * 1.0 / den) * (wj / 1000000.0), 6) AS vp
+           |FROM x JOIN wd ON wd.i = x.i JOIN nm ON nm.id = x.id
+           |CROSS JOIN dn""".stripMargin)),
 
     // Stupid-Backoff bigram LM scoring (Brants 2007): model counts from a
     // deterministic 75% split (0.75 is binary-exact — 0.7·10⁶ truncates to

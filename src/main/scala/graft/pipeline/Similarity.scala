@@ -405,6 +405,34 @@ object Similarity {
               (col("w") * col("fs") / 1e6).as("w"))
   }
 
+  /** All-but-the-top projection (Mu & Viswanath 2018): remove the
+    * [[pcaPowerDirection]] dominant direction from every vector —
+    * v'_j = v_j − (⟨v,w⟩/‖w‖²)·w_j, the sqrt-free form. Every
+    * intermediate is an exactly-representable integer in double (micro
+    * products ≤ 5e11, sums ≤ 4e13 « 2⁵³), so the sums are
+    * order-independent and the final three-operation double sequence is
+    * engine-identical. Returns (id, pos, vp) — one row per coordinate,
+    * no cross-position float summation anywhere. */
+  def removeTopDirection(emb: DataFrame, dim: Int, iters: Int = 3,
+                         idCol: String = "id",
+                         vecCol: String = "vec"): DataFrame = {
+    val w = pcaPowerDirection(emb, dim, iters, idCol, vecCol)
+    val wd = w.select(col("pos").cast("int").as("i"),
+                      round(col("w") * 1e6, 0).as("wj")) // exact micro
+    val den = wd.agg(sum(col("wj") * col("wj")).as("den"))
+    val x = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("i", "xv")))
+      .select(col("id"), col("i"),
+              round(col("xv") * 1e6, 0).cast("long").as("xi"))
+    val num = x.join(broadcast(wd), "i")
+      .groupBy("id").agg(sum(col("xi") * col("wj")).as("num"))
+    x.join(broadcast(wd), "i").join(num, "id").crossJoin(broadcast(den))
+      .select(col("id"), col("i").cast("long").as("pos"),
+        round(col("xi") / lit(1e6)
+              - (col("num") * lit(1.0) / col("den")) * (col("wj") / lit(1e6)),
+              6).as("vp"))
+  }
+
   /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
     * each query probes its `probes` nearest cells — the standard
     * recall/cost knob (recall grows with probed cells, scan cost stays

@@ -661,6 +661,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(cos > 0.99, s"cos $cos; w=${w.mkString(",")}")
   }
 
+  test("removeTopDirection leaves residuals orthogonal to the direction") {
+    import spark.implicits._
+    val dim = 8
+    val rows = (0 until 100).map { r =>
+      (r.toLong, (0 until dim).map(i =>
+        (if (r % 2 == 0) 0.3 else -0.3) + 0.02 * ((r * 3 + i) % 7 - 3)).toSeq)
+    }
+    val emb = rows.toDF("id", "vec")
+    val w = Similarity.pcaPowerDirection(emb, dim, iters = 4)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val proj = Similarity.removeTopDirection(emb, dim, iters = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    // v'·w ≈ 0 for every vector (quantization leaves ~1e-6 residue)
+    proj.foreach { case (id, vp) =>
+      val d = vp.zip(w).map { case (a, b) => a * b }.sum
+      assert(math.abs(d) < 1e-4, s"id $id residual dot $d")
+    }
+    // and the projection actually changed the vectors
+    val orig = rows.toMap
+    assert(proj.exists { case (id, vp) =>
+      vp.zip(orig(id)).exists { case (a, b) => math.abs(a - b) > 0.01 } })
+  }
+
   test("count-min sketch: est >= exact always, exact when collision-free") {
     import spark.implicits._
     val items = (Seq.fill(40)("hot") ++ (0 until 30).map(i => s"cold$i"))
