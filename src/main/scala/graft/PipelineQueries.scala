@@ -103,41 +103,48 @@ object PipelineQueries {
   private val embedsLabelSql =
     "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings"
 
-  /** Shared CTE chain replaying [[Similarity.pcaPowerDirection]] exactly
-    * (micro-int vectors, integer-exact scatter, three max-normalized
-    * matvec supersteps, sign canonicalization) — ends at `w3` (final
-    * micro direction) and `fs` (sign); `x` (micro vectors) stays in
-    * scope for downstream users (the ABTT projection). */
-  private val pcaCtes: String = {
+  /** CTE chain replaying [[Similarity.pcaPowerDirection]] exactly
+    * (micro-int vectors from the `xSrc` frame `(id, i, xi)`,
+    * integer-exact scatter, three max-normalized matvec supersteps, sign
+    * canonicalization). All names carry `pre` so two chains compose in
+    * one statement (the deflated second-component query); ends at
+    * `${pre}w3` (final micro direction) and `${pre}fs` (sign). */
+  private def pcaChain(pre: String, xSrc: String): String = {
     def step(k: Int): String = {
-      val (p, yk, nk, wk) = (s"w${k - 1}", s"y$k", s"n$k", s"w$k")
-      s"""$yk AS (SELECT c.i, SUM(cij * $p.w) AS y
-         |       FROM c JOIN $p ON $p.i = c.j GROUP BY 1),
+      val (p, yk, nk, wk) =
+        (s"${pre}w${k - 1}", s"${pre}y$k", s"${pre}n$k", s"${pre}w$k")
+      s"""$yk AS MATERIALIZED (SELECT c.i, SUM(cij * $p.w) AS y
+         |       FROM ${pre}c c JOIN $p ON $p.i = c.j GROUP BY 1),
          |$nk AS (SELECT MAX(ABS(y)) AS ma FROM $yk),
-         |$wk AS (SELECT i, CAST(ROUND(CAST(y AS DOUBLE) / CAST(ma AS DOUBLE)
+         |$wk AS MATERIALIZED (SELECT i, CAST(ROUND(CAST(y AS DOUBLE) / CAST(ma AS DOUBLE)
          |                             * 1000000, 0) AS BIGINT) AS w
          |        FROM $yk, $nk)""".stripMargin
     }
-    s"""e AS ($embedsSql),
-       |x AS (SELECT id, i, CAST(ROUND(v[i + 1] * 1000000, 0) AS BIGINT) AS xi
-       |      FROM e, range(64) g(i)),
-       |nn AS (SELECT COUNT(*) AS n FROM e),
-       |s AS (SELECT i, SUM(xi) AS si FROM x GROUP BY 1),
-       |m AS (SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS sij
-       |      FROM x a JOIN x b USING (id) GROUP BY 1, 2),
-       |c AS (SELECT m.i, m.j,
+    s"""${pre}nn AS MATERIALIZED (SELECT COUNT(DISTINCT id) AS n FROM $xSrc),
+       |${pre}s AS MATERIALIZED (SELECT i, SUM(xi) AS si FROM $xSrc GROUP BY 1),
+       |${pre}m AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS sij
+       |      FROM $xSrc a JOIN $xSrc b USING (id) GROUP BY 1, 2),
+       |${pre}c AS MATERIALIZED (SELECT m.i, m.j,
        |        CAST(nn.n AS HUGEINT) * sij
        |          - CAST(sa.si AS HUGEINT) * sb.si AS cij
-       |      FROM m CROSS JOIN nn
-       |      JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j),
-       |w0 AS (SELECT i, CAST(1000000 - (i * 613 % 1000) * 1000 AS BIGINT) AS w
+       |      FROM ${pre}m m CROSS JOIN ${pre}nn nn
+       |      JOIN ${pre}s sa ON sa.i = m.i JOIN ${pre}s sb ON sb.i = m.j),
+       |${pre}w0 AS (SELECT i, CAST(1000000 - (i * 613 % 1000) * 1000 AS BIGINT) AS w
        |       FROM range(64) g(i)),
        |${step(1)},
        |${step(2)},
        |${step(3)},
-       |fs AS (SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS fs
-       |       FROM w3 WHERE w <> 0 ORDER BY i LIMIT 1)""".stripMargin
+       |${pre}fs AS (SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS fs
+       |       FROM ${pre}w3 WHERE w <> 0 ORDER BY i LIMIT 1)""".stripMargin
   }
+
+  /** The unprefixed chain over the raw embeddings (plus `e`/`x` framing)
+    * shared by the PCA / ABTT / second-component queries. */
+  private val pcaCtes: String =
+    s"""e AS ($embedsSql),
+       |x AS MATERIALIZED (SELECT id, i, CAST(ROUND(v[i + 1] * 1000000, 0) AS BIGINT) AS xi
+       |      FROM e, range(64) g(i)),
+       |${pcaChain("", "x")}""".stripMargin
 
   /** Embeddings WITH the label column (hard negatives, kNN classify,
     * prototypes) — [[Embeddings.fromParquet]] plus `label`. */
@@ -3425,6 +3432,38 @@ object PipelineQueries {
            |        - (num * 1.0 / den) * (wj / 1000000.0), 6) AS vp
            |FROM x JOIN wd ON wd.i = x.i JOIN nm ON nm.id = x.id
            |CROSS JOIN dn""".stripMargin)),
+
+    // SECOND principal direction by deflation: project out the top
+    // direction (the ABTT step), then power-iterate the projected
+    // corpus — pure composition of the two operators above, oracle = the
+    // first chain + the projection + a prefixed second chain in one
+    // statement. The 6-dp requantization between stages is the same
+    // state-quantization discipline every iterative trajectory here uses.
+    ("embedding_pca_second",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        val proj = Similarity.removeTopDirection(emb, dim = 64, iters = 3)
+        val emb2 = proj.groupBy("id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("vp")))),
+            x => x.getField("vp")).as("vec"))
+        Similarity.pcaPowerDirection(emb2, dim = 64, iters = 3)
+      },
+      Some(
+        s"""WITH $pcaCtes,
+           |wd AS MATERIALIZED (SELECT i, w * fs AS wj FROM w3, fs),
+           |dn AS (SELECT SUM(wj * wj) AS den FROM wd),
+           |nm AS MATERIALIZED (SELECT x.id, SUM(x.xi * wd.wj) AS num
+           |       FROM x JOIN wd ON wd.i = x.i GROUP BY 1),
+           |px AS MATERIALIZED (SELECT x.id, x.i,
+           |         CAST(ROUND(ROUND(x.xi / 1000000.0
+           |           - (num * 1.0 / den) * (wj / 1000000.0), 6)
+           |           * 1000000, 0) AS BIGINT) AS xi
+           |       FROM x JOIN wd ON wd.i = x.i JOIN nm ON nm.id = x.id
+           |       CROSS JOIN dn),
+           |${pcaChain("q", "px")}
+           |SELECT CAST(i AS BIGINT) AS pos, w * fs / 1000000.0 AS w
+           |FROM qw3, qfs""".stripMargin)),
 
     // Stupid-Backoff bigram LM scoring (Brants 2007): model counts from a
     // deterministic 75% split (0.75 is binary-exact — 0.7·10⁶ truncates to

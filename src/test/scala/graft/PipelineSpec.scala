@@ -661,6 +661,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(cos > 0.99, s"cos $cos; w=${w.mkString(",")}")
   }
 
+  test("deflated second component recovers the second planted direction") {
+    import spark.implicits._
+    // two orthogonal planted directions with distinct strengths
+    val dim = 8
+    val u1 = Array.tabulate(dim)(i => if (i < 4) 1.0 else 1.0)  // all-ones
+    val u2 = Array.tabulate(dim)(i => if (i < 4) 1.0 else -1.0) // split
+    val rows = (0 until 200).map { r =>
+      val a = if (r % 2 == 0) 0.5 else -0.5   // strong along u1
+      val b = if (r % 4 < 2) 0.15 else -0.15  // weaker along u2
+      (r.toLong, (0 until dim).map(i =>
+        a * u1(i) + b * u2(i) + 0.005 * ((r * 7 + i) % 5 - 2)).toSeq)
+    }
+    val emb = rows.toDF("id", "vec")
+    def dirOf(df: org.apache.spark.sql.DataFrame): Array[Double] =
+      df.collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    def cosTo(w: Array[Double], u: Array[Double]): Double = {
+      val d = w.zip(u).map { case (x, y) => x * y }.sum
+      math.abs(d) / (math.sqrt(w.map(x => x * x).sum) *
+                     math.sqrt(u.map(x => x * x).sum))
+    }
+    val w1 = dirOf(Similarity.pcaPowerDirection(emb, dim, iters = 4))
+    assert(cosTo(w1, u1) > 0.99, s"top: ${w1.mkString(",")}")
+    val proj = Similarity.removeTopDirection(emb, dim, iters = 4)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("vp")))),
+                     x => x.getField("vp")).as("vec"))
+    val w2 = dirOf(Similarity.pcaPowerDirection(proj, dim, iters = 4))
+    assert(cosTo(w2, u2) > 0.99, s"second: ${w2.mkString(",")}")
+    assert(cosTo(w2, w1) < 0.05) // deflation leaves it ⊥ the top
+  }
+
   test("removeTopDirection leaves residuals orthogonal to the direction") {
     import spark.implicits._
     val dim = 8
