@@ -1055,6 +1055,41 @@ object SystemQueries {
             |  CAST(media_id % 3 + 1 AS BIGINT) AS n_blocks
             |FROM p""".stripMargin)),
 
+    // REAL BI_RLE8-compressed BMP decode, round-trip-proven: each row
+    // carries a genuine run-length-encoded BMP (both encoded modes —
+    // (count,index) runs and WORD-aligned absolute chunks — EOL/EOF
+    // escapes, 256-entry RGBQUAD palette) whose palette indices follow a
+    // closed-form plateau formula (runs of 4). The oracle computes the
+    // same stats from the formula; the codec itself is additionally
+    // pinned against the JDK ImageIO BMP reader in SystemSpec.
+    ("multimodal_bmp_rle_decode",
+      (s, dir) => {
+        import s.implicits._
+        val (w, h) = (24, 10)
+        s.range(48).map { id =>
+          val pixels = Array.tabulate(w * h)(i =>
+            ((id * 29 + (i / 4).toLong * 17) % 256).toByte)
+          val st = Multimodal.bmpChannelStats(
+            Multimodal.bmpBytesRle8(w, h, pixels))
+          val (meta, n, sums, sqs) =
+            st.getOrElse((Multimodal.ImageMeta(-1, -1, -1, ""), -1L,
+                          Array(-1.0, -1, -1), Array(-1.0, -1, -1)))
+          (id, meta.width.toLong, meta.height.toLong, meta.channels.toLong,
+           n, round6HalfAway(sums(0) / n), round6HalfAway(sqs(0) / n))
+        }.toDF("media_id", "width", "height", "channels", "n_pixels",
+               "mean_r", "msq_r")
+      },
+      Some("""WITH px AS (SELECT r AS media_id, generate_series(0, 239) AS ps
+            |  FROM range(48) t(r))
+            |SELECT media_id,
+            |  CAST(24 AS BIGINT) AS width, CAST(10 AS BIGINT) AS height,
+            |  CAST(3 AS BIGINT) AS channels, CAST(240 AS BIGINT) AS n_pixels,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> ((media_id * 29 + (p // 4) * 17) % 256) / 255.0)) / 240, 6) AS mean_r,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> pow(((media_id * 29 + (p // 4) * 17) % 256) / 255.0, 2))) / 240, 6) AS msq_r
+            |FROM px""".stripMargin)),
+
     // REAL WebDataset-style shard ingestion: each row is a genuine tar
     // (ustar headers, octal fields, verified checksums, 512-block
     // padding) or ZIP (JDK DEFLATE) shard holding paired

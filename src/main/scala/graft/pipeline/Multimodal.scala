@@ -148,6 +148,59 @@ object Multimodal {
   def bmpChannelStats(bytes: Array[Byte])
       : Option[(ImageMeta, Long, Array[Double], Array[Double])] =
     imageMeta(bytes) match {
+      case Some(meta) if meta.format == "bmp" &&
+          le32(bytes, 30) == 1 && le16(bytes, 28) == 8 =>
+        // REAL BI_RLE8 decode (Windows BMP spec): (count, index) runs,
+        // escapes 00 00 = end of line, 00 01 = end of bitmap,
+        // 00 02 dx dy = delta, 00 n (n ≥ 3) = absolute mode with WORD
+        // alignment. Indices map through the RGBQUAD palette (B,G,R,_),
+        // so stats are 3-channel like the GIF path. Rows are stored
+        // bottom-up; the stats are orientation-free sums.
+        val clrUsed = { val c = le32(bytes, 46); if (c == 0) 256 else c }
+        val pal = Array.tabulate(clrUsed)(i =>
+          ((bytes(54 + 4 * i + 2) & 0xff) << 16) |
+            ((bytes(54 + 4 * i + 1) & 0xff) << 8) |
+            (bytes(54 + 4 * i) & 0xff))
+        val sums = new Array[Double](3); val sqs = new Array[Double](3)
+        var n = 0L
+        var p = le32(bytes, 10)
+        var x = 0; var y = 0 // y counts rows from the bottom
+        def emit(idx: Int, count: Int): Unit = {
+          var k = 0
+          while (k < count) {
+            if (x + k < meta.width && y < meta.height && idx < clrUsed) {
+              val rgb = pal(idx)
+              var c = 0
+              while (c < 3) {
+                val v = ((rgb >> (16 - 8 * c)) & 0xff) / 255.0
+                sums(c) += v; sqs(c) += v * v; c += 1
+              }
+              n += 1
+            }
+            k += 1
+          }
+        }
+        try {
+          var done = false
+          while (!done && p + 1 < bytes.length) {
+            val b0 = bytes(p) & 0xff; val b1 = bytes(p + 1) & 0xff
+            p += 2
+            if (b0 > 0) { emit(b1, b0); x += b0 }
+            else b1 match {
+              case 0 => x = 0; y += 1 // EOL
+              case 1 => done = true   // EOF
+              case 2 =>               // delta
+                x += bytes(p) & 0xff; y += bytes(p + 1) & 0xff; p += 2
+              case cnt =>             // absolute mode
+                var i = 0
+                while (i < cnt && p < bytes.length) {
+                  emit(bytes(p) & 0xff, 1); p += 1; x += 1; i += 1
+                }
+                if ((cnt & 1) == 1) p += 1 // WORD alignment pad
+            }
+          }
+        } catch { case _: ArrayIndexOutOfBoundsException => () }
+        Some((meta.copy(channels = 3), n, sums, sqs))
       case Some(meta) if meta.format == "bmp" =>
         val off = le32(bytes, 10)
         val ch = meta.channels
@@ -367,6 +420,73 @@ object Multimodal {
     out(28) = 24           // bits per pixel (3 channels)
     putLe32(34, payload.length)
     System.arraycopy(payload, 0, out, 54, payload.length)
+    out
+  }
+
+  /** Build a real BI_RLE8-compressed BMP: 8-bit palette-indexed pixels
+    * (grey identity RGBQUAD palette), genuine run-length encoding with
+    * both encoded modes — even storage rows as (count, index) runs, odd
+    * rows in absolute mode with WORD-alignment pads — EOL after every
+    * row, EOF terminator. `pixels` are indices in storage (bottom-up)
+    * row order; the decoder's statistics are orientation-free so callers
+    * never need to care. */
+  def bmpBytesRle8(width: Int, height: Int,
+                   pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must be w*h indices")
+    val data = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = data.write(v & 0xff)
+    var y = 0
+    while (y < height) {
+      val row = java.util.Arrays.copyOfRange(pixels, y * width,
+                                             (y + 1) * width)
+      if (y % 2 == 0) { // encoded mode: maximal runs, cap 255
+        var x = 0
+        while (x < width) {
+          var run = 1
+          while (x + run < width && row(x + run) == row(x) && run < 255)
+            run += 1
+          u8(run); u8(row(x) & 0xff)
+          x += run
+        }
+      } else { // absolute mode: chunks of 3..254, singles as 1-runs
+        var x = 0
+        while (x < width) {
+          val rem = width - x
+          if (rem >= 3) {
+            val cnt = math.min(rem, 254)
+            u8(0); u8(cnt)
+            (0 until cnt).foreach(i => u8(row(x + i) & 0xff))
+            if ((cnt & 1) == 1) u8(0) // WORD alignment
+            x += cnt
+          } else { u8(1); u8(row(x) & 0xff); x += 1 }
+        }
+      }
+      u8(0); u8(if (y == height - 1) 1 else 0) // EOL / final EOF
+      y += 1
+    }
+    val body = data.toByteArray
+    val out = new Array[Byte](54 + 1024 + body.length)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length)
+    putLe32(10, 54 + 1024)  // pixel data after header + 256 RGBQUADs
+    putLe32(14, 40)
+    putLe32(18, width); putLe32(22, height)
+    out(26) = 1
+    out(28) = 8             // 8 bpp, palette-indexed
+    putLe32(30, 1)          // BI_RLE8
+    putLe32(34, body.length)
+    putLe32(46, 256)        // biClrUsed
+    var i = 0
+    while (i < 256) { // grey identity RGBQUADs (B, G, R, reserved)
+      out(54 + 4 * i) = i.toByte; out(54 + 4 * i + 1) = i.toByte
+      out(54 + 4 * i + 2) = i.toByte
+      i += 1
+    }
+    System.arraycopy(body, 0, out, 54 + 1024, body.length)
     out
   }
 
@@ -2522,7 +2642,8 @@ object Multimodal {
     * 8-bit palette indices (= grey levels under the identity palette),
     * row-major, not interlaced. */
   def gifBytes(width: Int, height: Int, pixels: Array[Byte],
-               withGce: Boolean = false): Array[Byte] = {
+               withGce: Boolean = false,
+               localTable: Boolean = false): Array[Byte] = {
     require(pixels.length == width * height,
             s"pixels must be width*height indices, got ${pixels.length}")
     val out = new java.io.ByteArrayOutputStream()
@@ -2530,15 +2651,20 @@ object Multimodal {
     def ole16(v: Int): Unit = { u8(v); u8(v >> 8) }
     out.write("GIF89a".getBytes("US-ASCII"))
     ole16(width); ole16(height)
-    u8(0xf7) // GCT present, 8-bit color resolution, 2^(7+1) = 256 entries
+    // grey identity palette as GLOBAL table, or per-image LOCAL table
+    // (GCT absent → packed 0x77: no table flag, 8-bit color resolution)
+    u8(if (localTable) 0x77 else 0xf7)
     u8(0); u8(0) // background color index, pixel aspect ratio
-    (0 until 256).foreach { i => u8(i); u8(i); u8(i) } // grey identity GCT
+    if (!localTable)
+      (0 until 256).foreach { i => u8(i); u8(i); u8(i) }
     if (withGce) { // 0x21 0xF9, 4-byte block, terminator
       u8(0x21); u8(0xf9); u8(4); u8(0); ole16(0); u8(0); u8(0)
     }
     u8(0x2c) // image descriptor
     ole16(0); ole16(0); ole16(width); ole16(height)
-    u8(0) // no local color table, not interlaced
+    u8(if (localTable) 0x87 else 0) // LCT(256) flag, not interlaced
+    if (localTable)
+      (0 until 256).foreach { i => u8(i); u8(i); u8(i) }
     u8(8) // LZW minimum code size
     val clear = 256; val eoi = 257
     var next = 258; var codeWidth = 9

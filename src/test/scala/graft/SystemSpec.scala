@@ -565,6 +565,14 @@ class SystemSpec extends AnyFunSuite {
     // imageMeta sees the logical screen descriptor header-only.
     assert(Multimodal.imageMeta(bytes) ==
       Some(Multimodal.ImageMeta(w, h, 3, "gif")))
+    // LOCAL color table variant (no GCT): identical decode, and the JDK
+    // reader accepts it too.
+    val lct = Multimodal.gifBytes(w, h, pixels, localTable = true)
+    val Some((metaL, idxL, palL)) = Multimodal.gifDecode(lct)
+    assert(metaL == meta && idxL.sameElements(pixels) && palL(9) == 0x090909)
+    val imgL = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(lct))
+    assert((imgL.getRGB(3, 2) & 0xff) == (pixels(2 * w + 3) & 0xff))
     // Stats: identity palette means all three channels equal the grey mean.
     val Some((_, n, sums, sqs)) = Multimodal.gifChannelStats(bytes)
     assert(n == w * h && math.abs(sums(0) - sums(2)) < 1e-12)
@@ -873,6 +881,34 @@ class SystemSpec extends AnyFunSuite {
       assert(d.sameElements(e))
     }
     assert(Multimodal.zipEntries(tar) == None)
+  }
+
+  test("bmp RLE8 decode round-trips both encoded modes, ImageIO-pinned") {
+    val (w, h) = (21, 6)
+    val pixels = Array.tabulate(w * h) { i =>
+      if (i % 9 < 4) 50.toByte else ((i * 13) % 256).toByte // runs + noise
+    }
+    val b = Multimodal.bmpBytesRle8(w, h, pixels)
+    val Some((meta, n, sums, _)) = Multimodal.bmpChannelStats(b)
+    assert(meta == Multimodal.ImageMeta(w, h, 3, "bmp"))
+    assert(n == w * h)
+    val exp = pixels.map(p => (p & 0xff) / 255.0).sum
+    assert(math.abs(sums(0) - exp) < 1e-9 && math.abs(sums(2) - exp) < 1e-9)
+    // JDK ImageIO BMP reader (independent) decodes the same pixels —
+    // bottom-up: image row r = storage row (h-1-r). Raw raster samples
+    // (getRGB would colorspace-convert; with the identity palette the
+    // sample IS the grey level).
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (yy <- 0 until h; xx <- 0 until w) {
+      val want = pixels((h - 1 - yy) * w + xx) & 0xff
+      assert(img.getRaster.getSample(xx, yy, 0) == want,
+             s"ImageIO at ($xx,$yy)")
+    }
+    // the uncompressed 24bpp path is untouched by the new branch
+    assert(Multimodal.bmpChannelStats(
+      Multimodal.bmpBytes(4, 4, Array.fill(64)(7.toByte))).isDefined)
   }
 
   test("audioMeta parses canonical WAV headers; rejects garbage") {
