@@ -1090,6 +1090,45 @@ object SystemQueries {
             |    p -> pow(((media_id * 29 + (p // 4) * 17) % 256) / 255.0, 2))) / 240, 6) AS msq_r
             |FROM px""".stripMargin)),
 
+    // REAL Ogg container metadata (RFC 3533/7845, Vorbis I): genuine
+    // page structure — capture pattern, segment lacing, computed
+    // per-page CRCs the walk VERIFIES — with codec identification from
+    // the BOS page (OpusHead / Vorbis ID header) and duration from the
+    // final granule (Opus granules tick at 48 kHz minus preskip; Vorbis
+    // at the declared rate). The oracle states the construction's
+    // closed form.
+    ("multimodal_ogg_meta",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).map { id =>
+          val opus = id % 2 == 0
+          val np = (id % 5).toInt + 1
+          val bytes =
+            if (opus) Multimodal.oggBytes("opus", ((id % 2) + 1).toInt,
+              48000, preskip = 312, audioPages = np, granulePerPage = 9600)
+            else Multimodal.oggBytes("vorbis", ((id % 3) + 1).toInt,
+              44100, 0, np, granulePerPage = 22050)
+          val m = Multimodal.oggMeta(bytes)
+          (id, m.map(_._4).getOrElse(""), m.map(_._1.channels).getOrElse(-1),
+           m.map(_._1.sampleRate).getOrElse(-1), m.map(_._2).getOrElse(-1),
+           m.map(t => math.rint(t._3 * 1e6) / 1e6).getOrElse(-1.0))
+        }.toDF("media_id", "codec", "channels", "sample_rate", "n_pages",
+               "duration_sec")
+          .select(col("media_id"), col("codec"),
+            col("channels").cast("long").as("channels"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_pages").cast("long").as("n_pages"), col("duration_sec"))
+      },
+      Some("""SELECT r AS media_id,
+            |  CASE WHEN r % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+            |  CAST(CASE WHEN r % 2 = 0 THEN r % 2 + 1 ELSE r % 3 + 1 END AS BIGINT) AS channels,
+            |  CAST(CASE WHEN r % 2 = 0 THEN 48000 ELSE 44100 END AS BIGINT) AS sample_rate,
+            |  CAST(r % 5 + 1 + 2 AS BIGINT) AS n_pages,
+            |  ROUND(CASE WHEN r % 2 = 0
+            |        THEN ((r % 5 + 1) * 9600 - 312) / 48000.0
+            |        ELSE (r % 5 + 1) * 22050 / 44100.0 END, 6) AS duration_sec
+            |FROM range(48) t(r)""".stripMargin)),
+
     // REAL WebDataset-style shard ingestion: each row is a genuine tar
     // (ustar headers, octal fields, verified checksums, 512-block
     // padding) or ZIP (JDK DEFLATE) shard holding paired

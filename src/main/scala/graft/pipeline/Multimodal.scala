@@ -2479,6 +2479,156 @@ object Multimodal {
     if (progressive) finishProgressive() else None
   }
 
+  // ---- REAL Ogg container (RFC 3533) + Opus/Vorbis ID headers ------------
+
+  /** Ogg page CRC (RFC 3533 §6): CRC-32, polynomial 0x04c11db7, init 0,
+    * no reflection, no final xor, computed with the crc field zeroed. */
+  private def oggCrc(bytes: Array[Byte], from: Int, len: Int,
+                     crcFieldAt: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < from + len) {
+      val b = if (i >= crcFieldAt && i < crcFieldAt + 4) 0
+              else bytes(i) & 0xff
+      crc ^= b << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7
+              else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** REAL Ogg container metadata (RFC 3533 + RFC 7845 / Vorbis I, public
+    * specs): page walk by capture pattern + segment-lacing lengths with
+    * per-page CRC VERIFICATION, codec identification from the first
+    * (BOS) page's payload — `OpusHead` (channels, preskip, informational
+    * input rate; granules run at 48 kHz) or `vorbis` (channels,
+    * rate) — and duration from the final page's granule position.
+    * Returns (meta, nPages, durationSec, codec); stops at the first
+    * malformed or CRC-failing page (partial-tail honesty). */
+  def oggMeta(bytes: Array[Byte])
+      : Option[(AudioMeta, Int, Double, String)] = {
+    if (bytes.length < 28 ||
+        new String(bytes.slice(0, 4), "US-ASCII") != "OggS") return None
+    try {
+      var p = 0
+      var nPages = 0
+      var lastGranule = 0L
+      var codec = ""
+      var channels = -1; var rate = -1; var preskip = 0
+      var ok = true
+      while (ok && p + 27 <= bytes.length &&
+             new String(bytes.slice(p, p + 4), "US-ASCII") == "OggS") {
+        val nsegs = bytes(p + 26) & 0xff
+        if (p + 27 + nsegs > bytes.length) ok = false
+        else {
+          var payloadLen = 0
+          (0 until nsegs).foreach(i => payloadLen += bytes(p + 27 + i) & 0xff)
+          val pageLen = 27 + nsegs + payloadLen
+          if (p + pageLen > bytes.length) ok = false
+          else {
+            val crcStored = le32(bytes, p + 22)
+            if (oggCrc(bytes, p, pageLen, p + 22) != crcStored) ok = false
+            else {
+              var g = 0L
+              (0 until 8).foreach(i =>
+                g |= (bytes(p + 6 + i) & 0xffL) << (8 * i))
+              lastGranule = g
+              val d = p + 27 + nsegs
+              if (nPages == 0 && payloadLen >= 16) {
+                if (new String(bytes.slice(d, d + 8), "US-ASCII")
+                      == "OpusHead") {
+                  codec = "opus"
+                  channels = bytes(d + 9) & 0xff
+                  preskip = le16(bytes, d + 10)
+                  rate = le32(bytes, d + 12) // informational input rate
+                } else if ((bytes(d) & 0xff) == 1 &&
+                           new String(bytes.slice(d + 1, d + 7), "US-ASCII")
+                             == "vorbis") {
+                  codec = "vorbis"
+                  channels = bytes(d + 11) & 0xff
+                  rate = le32(bytes, d + 12)
+                }
+              }
+              nPages += 1
+              p += pageLen
+            }
+          }
+        }
+      }
+      if (nPages == 0 || codec.isEmpty) None
+      else {
+        // Opus granules tick at 48 kHz regardless of input rate (RFC
+        // 7845 §4) and preskip samples are trimmed; Vorbis granules tick
+        // at the declared rate.
+        val dur =
+          if (codec == "opus") math.max(0L, lastGranule - preskip) / 48000.0
+          else lastGranule.toDouble / math.max(1, rate)
+        Some((AudioMeta(rate, channels, -1, -1), nPages, dur, codec))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Build a real Ogg stream — genuine page structure with computed
+    * CRCs: a BOS identification page (OpusHead or Vorbis ID), a comment
+    * page (OpusTags / minimal Vorbis comment), then `audioPages` payload
+    * pages advancing the granule by `granulePerPage`, the last flagged
+    * EOS. */
+  def oggBytes(codec: String, channels: Int, rate: Int, preskip: Int,
+               audioPages: Int, granulePerPage: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var seq = 0
+    def page(headerType: Int, granule: Long, payload: Array[Byte]): Unit = {
+      require(payload.length < 255 * 255, "single-page payloads only")
+      val nsegs = payload.length / 255 + 1
+      val page = new Array[Byte](27 + nsegs + payload.length)
+      "OggS".getBytes("US-ASCII").copyToArray(page, 0)
+      page(4) = 0; page(5) = headerType.toByte
+      (0 until 8).foreach(i => page(6 + i) = ((granule >> (8 * i)) & 0xff).toByte)
+      (0 until 4).foreach(i => page(14 + i) = ((0x4754 >> (8 * i)) & 0xff).toByte)
+      (0 until 4).foreach(i => page(18 + i) = ((seq >> (8 * i)) & 0xff).toByte)
+      page(26) = nsegs.toByte
+      (0 until nsegs - 1).foreach(i => page(27 + i) = 255.toByte)
+      page(27 + nsegs - 1) = (payload.length % 255).toByte
+      payload.copyToArray(page, 27 + nsegs)
+      val crc = oggCrc(page, 0, page.length, 22)
+      (0 until 4).foreach(i => page(22 + i) = ((crc >> (8 * i)) & 0xff).toByte)
+      out.write(page, 0, page.length)
+      seq += 1
+    }
+    val id = new java.io.ByteArrayOutputStream()
+    def i8(v: Int): Unit = id.write(v & 0xff)
+    def i16(v: Int): Unit = { i8(v); i8(v >> 8) }
+    def i32(v: Int): Unit = { i16(v); i16(v >> 16) }
+    codec match {
+      case "opus" =>
+        id.write("OpusHead".getBytes("US-ASCII"))
+        i8(1); i8(channels); i16(preskip); i32(rate); i16(0); i8(0)
+      case "vorbis" =>
+        i8(1); id.write("vorbis".getBytes("US-ASCII"))
+        i32(0); i8(channels); i32(rate)
+        i32(0); i32(0); i32(0); i8(0xb8); i8(1)
+      case c => throw new IllegalArgumentException(s"codec $c")
+    }
+    page(0x02, 0, id.toByteArray) // BOS
+    val tags =
+      if (codec == "opus")
+        "OpusTags".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)
+      else Array[Byte](3) ++ "vorbis".getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 1)
+    page(0x00, 0, tags)
+    (1 to audioPages).foreach { k =>
+      val eos = if (k == audioPages) 0x04 else 0x00
+      page(eos, k.toLong * granulePerPage,
+           Array.tabulate(20)(i => ((k * 31 + i) % 256).toByte))
+    }
+    out.toByteArray
+  }
+
   // ---- REAL tar / zip shard containers (WebDataset-style ingestion) -----
 
   /** REAL ustar tar walk (POSIX.1-1988 ustar, public spec): 512-byte

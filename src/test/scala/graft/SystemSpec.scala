@@ -911,6 +911,25 @@ class SystemSpec extends AnyFunSuite {
       Multimodal.bmpBytes(4, 4, Array.fill(64)(7.toByte))).isDefined)
   }
 
+  test("oggMeta walks real pages with CRC verification (opus and vorbis)") {
+    val opus = Multimodal.oggBytes("opus", channels = 2, rate = 48000,
+      preskip = 312, audioPages = 5, granulePerPage = 9600)
+    val Some((m, pages, dur, codec)) = Multimodal.oggMeta(opus)
+    assert(codec == "opus" && m.channels == 2 && m.sampleRate == 48000)
+    assert(pages == 7) // BOS + tags + 5 audio
+    assert(math.abs(dur - (5 * 9600 - 312) / 48000.0) < 1e-12)
+    val vorbis = Multimodal.oggBytes("vorbis", 1, 44100, 0, 3, 44100)
+    val Some((mv, pv, dv, cv)) = Multimodal.oggMeta(vorbis)
+    assert(cv == "vorbis" && mv.sampleRate == 44100 && pv == 5)
+    assert(math.abs(dv - 3.0) < 1e-12)
+    // CRC verification: one flipped payload byte stops the walk there
+    val bad = opus.clone(); bad(bad.length - 3) = 0x7f
+    val Some((_, pBad, _, _)) = Multimodal.oggMeta(bad)
+    assert(pBad == 6) // final page rejected
+    assert(Multimodal.oggMeta(Multimodal.mp3Bytes(2)) == None)
+    assert(Multimodal.oggMeta("OggSnot really".getBytes) == None)
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
