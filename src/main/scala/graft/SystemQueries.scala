@@ -795,6 +795,56 @@ object SystemQueries {
             |  ROUND(1.0, 6) AS decoded_frac
             |FROM px""".stripMargin)),
 
+    // REAL palette and 16-bit PNG decode, round-trip-proven: even rows
+    // carry a genuine color-type-3 PNG (PLTE chunk, index scanlines,
+    // all five filters) decoded through the palette; odd rows a 16-bit-
+    // depth grey PNG (big-endian sample pairs, byte-level filtering with
+    // the spec's bpp=2 left distance). The oracle computes the same
+    // stats from the index/sample formulas; both layouts are ImageIO-
+    // pinned in SystemSpec. 16×10, 48 rows.
+    ("multimodal_png_deep_decode",
+      (s, dir) => {
+        import s.implicits._
+        val (w, h) = (16, 10)
+        s.range(48).map { id =>
+          val bytes =
+            if (id % 2 == 0)
+              Multimodal.pngBytesPalette(w, h,
+                Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte),
+                r => ((id + r) % 5).toInt)
+            else
+              Multimodal.pngBytes16(w, h, 1,
+                Array.tabulate(w * h)(i => ((id * 9931 + i.toLong * 677) % 65536).toInt),
+                r => ((id + r) % 5).toInt)
+          val st = Multimodal.pngChannelStats(bytes)
+          val (meta, n, sums, sqs) =
+            st.getOrElse((Multimodal.ImageMeta(-1, -1, -1, ""), -1L,
+                          Array(-1.0, -1, -1), Array(-1.0, -1, -1)))
+          (id, if (id % 2 == 0) "palette8" else "grey16",
+           meta.width.toLong, meta.height.toLong, meta.channels.toLong, n,
+           round6HalfAway(sums(0) / n), round6HalfAway(sqs(0) / n))
+        }.toDF("media_id", "layout", "width", "height", "channels",
+               "n_pixels", "mean_c0", "msq_c0")
+      },
+      Some("""WITH px AS (SELECT r AS media_id, generate_series(0, 159) AS ps
+            |  FROM range(48) t(r))
+            |SELECT media_id,
+            |  CASE WHEN media_id % 2 = 0 THEN 'palette8' ELSE 'grey16' END AS layout,
+            |  CAST(16 AS BIGINT) AS width, CAST(10 AS BIGINT) AS height,
+            |  CAST(CASE WHEN media_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+            |  CAST(160 AS BIGINT) AS n_pixels,
+            |  ROUND(list_sum(list_transform(ps, p ->
+            |    CASE WHEN media_id % 2 = 0
+            |         THEN ((media_id * 31 + p * 7) % 256) / 255.0
+            |         ELSE ((media_id * 9931 + p * 677) % 65536) / 65535.0
+            |    END)) / 160, 6) AS mean_c0,
+            |  ROUND(list_sum(list_transform(ps, p ->
+            |    CASE WHEN media_id % 2 = 0
+            |         THEN pow(((media_id * 31 + p * 7) % 256) / 255.0, 2)
+            |         ELSE pow(((media_id * 9931 + p * 677) % 65536) / 65535.0, 2)
+            |    END)) / 160, 6) AS msq_c0
+            |FROM px""".stripMargin)),
+
     // REAL baseline JPEG decode, round-trip-proven: each row carries a
     // genuine entropy-coded JPEG (SOI/DQT/SOF0/DHT/SOS markers, standard
     // Annex K Huffman tables, byte stuffing) whose pixels are constant

@@ -1337,7 +1337,57 @@ object Multimodal {
       case 4 => 6
       case c => throw new IllegalArgumentException(s"channels $c")
     }
-    val stride = width * channels
+    pngEncode(width, height, colorType, 8, channels, pixels, filterOf,
+              interlaced, None)
+  }
+
+  /** Build a real PALETTE-indexed PNG (color type 3): PLTE chunk with the
+    * grey identity palette, 8-bit index scanlines. */
+  def pngBytesPalette(width: Int, height: Int, indices: Array[Byte],
+                      filterOf: Int => Int = _ => 0,
+                      interlaced: Boolean = false): Array[Byte] = {
+    require(indices.length == width * height, "index stream size")
+    val plte = new Array[Byte](768)
+    (0 until 256).foreach { i =>
+      plte(3 * i) = i.toByte; plte(3 * i + 1) = i.toByte
+      plte(3 * i + 2) = i.toByte
+    }
+    pngEncode(width, height, 3, 8, 1, indices, filterOf, interlaced,
+              Some(plte))
+  }
+
+  /** Build a real 16-BIT-depth PNG: big-endian samples, filters over the
+    * byte stream with the spec's bpp (= 2·channels) left distance. */
+  def pngBytes16(width: Int, height: Int, channels: Int,
+                 samples: Array[Int], filterOf: Int => Int = _ => 0,
+                 interlaced: Boolean = false): Array[Byte] = {
+    require(samples.length == width * height * channels, "sample count")
+    val colorType = channels match {
+      case 1 => 0
+      case 3 => 2
+      case 4 => 6
+      case c => throw new IllegalArgumentException(s"channels $c")
+    }
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = ((samples(i) >> 8) & 0xff).toByte
+      raw(2 * i + 1) = (samples(i) & 0xff).toByte
+      i += 1
+    }
+    pngEncode(width, height, colorType, 16, channels * 2, raw, filterOf,
+              interlaced, None)
+  }
+
+  /** Shared PNG encoder core: `pixelBytes` is the raw byte image (bpp
+    * bytes per pixel, row-major); filtering runs per pass over bytes with
+    * the spec's bpp left distance (RFC 2083 §6.2 — for 16-bit images the
+    * filters operate on BYTES, not samples). */
+  private def pngEncode(width: Int, height: Int, colorType: Int, depth: Int,
+                        bpp: Int, pixelBytes: Array[Byte],
+                        filterOf: Int => Int, interlaced: Boolean,
+                        plte: Option[Array[Byte]]): Array[Byte] = {
+    val stride = width * bpp
     val passes = if (interlaced) Adam7 else NoInterlace
     val rawB = new java.io.ByteArrayOutputStream()
     var rowCounter = 0
@@ -1345,15 +1395,14 @@ object Multimodal {
       val wP = if (width > x0) (width - x0 + dx - 1) / dx else 0
       val hP = if (height > y0) (height - y0 + dy - 1) / dy else 0
       if (wP > 0 && hP > 0) {
-        val strideP = wP * channels
+        val strideP = wP * bpp
         val cur = new Array[Int](strideP); val up = new Array[Int](strideP)
         var r = 0
         while (r < hP) {
           var j = 0
           while (j < strideP) {
-            cur(j) = pixels((y0 + r * dy) * stride +
-                            (x0 + (j / channels) * dx) * channels +
-                            j % channels) & 0xff
+            cur(j) = pixelBytes((y0 + r * dy) * stride +
+                                (x0 + (j / bpp) * dx) * bpp + j % bpp) & 0xff
             j += 1
           }
           val ft = filterOf(rowCounter); rowCounter += 1
@@ -1361,9 +1410,9 @@ object Multimodal {
           var i = 0
           while (i < strideP) {
             val x = cur(i)
-            val a = if (i >= channels) cur(i - channels) else 0 // left
-            val b = if (r > 0) up(i) else 0                     // up
-            val c = if (r > 0 && i >= channels) up(i - channels) else 0
+            val a = if (i >= bpp) cur(i - bpp) else 0 // left
+            val b = if (r > 0) up(i) else 0           // up
+            val c = if (r > 0 && i >= bpp) up(i - bpp) else 0
             val f = ft match {
               case 0 => x
               case 1 => x - a
@@ -1410,10 +1459,12 @@ object Multimodal {
     val ihdr = Array((width >> 24).toByte, (width >> 16).toByte,
       (width >> 8).toByte, width.toByte, (height >> 24).toByte,
       (height >> 16).toByte, (height >> 8).toByte, height.toByte,
-      8.toByte, colorType.toByte, 0.toByte, 0.toByte,
+      depth.toByte, colorType.toByte, 0.toByte, 0.toByte,
       (if (interlaced) 1 else 0).toByte)
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IHDR", ihdr) ++
+      plte.map(p => chunk("PLTE", p)).getOrElse(Array.empty[Byte]) ++
+      chunk("IDAT", idat) ++
       chunk("IEND", Array.empty[Byte])
   }
 
@@ -1427,17 +1478,24 @@ object Multimodal {
     * partial-tail honesty like the BMP path. Adam7-interlaced streams
     * decode for real: the inflated stream is walked as the 7-pass
     * sequence of reduced images, each unfiltered against pass-local
-    * neighbors (RFC 2083 §2.6). Chunk CRCs are not re-verified
+    * neighbors (RFC 2083 §2.6). PALETTE images (color type 3) decode
+    * through their PLTE chunk to 3-channel stats; 16-BIT depth decodes
+    * big-endian sample pairs with the spec's byte-level filtering
+    * (bpp = 2·channels left distance). Chunk CRCs are not re-verified
     * (decode-what's-there policy; the builder writes real CRCs). None
-    * for non-PNG containers or unsupported layouts (bit depth ≠ 8,
-    * palette). */
+    * for non-PNG containers or unsupported layouts (depths 1/2/4,
+    * 16-bit palette). */
   def pngChannelStats(bytes: Array[Byte])
       : Option[(ImageMeta, Long, Array[Double], Array[Double])] =
     imageMeta(bytes) match {
       case Some(meta) if meta.format == "png" &&
-          bytes(24) == 8 && bytes(25) != 3 && (bytes(28) & 0xff) <= 1 =>
-        // Concatenate IDAT chunk bodies.
+          (bytes(24) == 8 || bytes(24) == 16) &&
+          !(bytes(25) == 3 && bytes(24) != 8) && (bytes(28) & 0xff) <= 1 =>
+        val depth = bytes(24) & 0xff
+        val isPalette = bytes(25) == 3
+        // Concatenate IDAT chunk bodies; pick up PLTE for palette images.
         val idat = new java.io.ByteArrayOutputStream()
+        var pal: Array[Int] = null
         var off = 33 // after signature + IHDR chunk
         var halted = false
         while (!halted && off + 8 <= bytes.length) {
@@ -1448,11 +1506,19 @@ object Multimodal {
             if (tag == "IDAT") {
               val end = math.min(bytes.length.toLong, off + 8L + len).toInt
               if (end > off + 8) idat.write(bytes, off + 8, end - (off + 8))
+            } else if (tag == "PLTE" && off + 8 + len <= bytes.length) {
+              pal = Array.tabulate(len / 3)(i =>
+                ((bytes(off + 8 + 3 * i) & 0xff) << 16) |
+                  ((bytes(off + 8 + 3 * i + 1) & 0xff) << 8) |
+                  (bytes(off + 8 + 3 * i + 2) & 0xff))
             }
             off += 12 + len // len + tag + body + crc
           }
         }
-        val ch = meta.channels
+        if (isPalette && pal == null) return None
+        val ch = meta.channels // 1 for palette (index plane)
+        val bpp = ch * depth / 8 // filter left-distance in BYTES (§6.2)
+        val statCh = if (isPalette) 3 else ch
         val passes = if (bytes(28) == 1) Adam7 else NoInterlace
         // Pass geometry; total expected inflated size spans all passes.
         val passDims = passes.map { case (x0, y0, dx, dy) =>
@@ -1462,7 +1528,7 @@ object Multimodal {
           (wP, hP)
         }
         val expect = passDims.map { case (wP, hP) =>
-          if (wP > 0 && hP > 0) hP * (wP * ch + 1) else 0
+          if (wP > 0 && hP > 0) hP * (wP * bpp + 1) else 0
         }.sum
         val raw = new Array[Byte](expect)
         val inflater = new java.util.zip.Inflater()
@@ -1478,24 +1544,26 @@ object Multimodal {
         finally inflater.end()
         // Unfilter pass by pass (each pass is its own reduced image whose
         // rows reference pass-local neighbors); complete rows only.
-        val sums = new Array[Double](ch)
-        val sqs = new Array[Double](ch)
+        // Sample extraction by layout: 8-bit direct, palette→PLTE RGB,
+        // 16-bit big-endian pairs (/65535).
+        val sums = new Array[Double](statCh)
+        val sqs = new Array[Double](statCh)
         var nPix = 0L
         var base = 0
         var trunc = false
         passDims.foreach { case (wP, hP) =>
           if (wP > 0 && hP > 0 && !trunc) {
-            val strideP = wP * ch
+            val strideP = wP * bpp
             var r = 0
             while (r < hP && base + strideP + 1 <= got) {
               val ft = raw(base) & 0xff
               var i = 0
               while (i < strideP) {
                 val f = raw(base + 1 + i) & 0xff
-                val a = if (i >= ch) raw(base + 1 + i - ch) & 0xff else 0
+                val a = if (i >= bpp) raw(base + 1 + i - bpp) & 0xff else 0
                 val b = if (r > 0) raw(base - strideP + i) & 0xff else 0
-                val c = if (r > 0 && i >= ch)
-                          raw(base - strideP + i - ch) & 0xff
+                val c = if (r > 0 && i >= bpp)
+                          raw(base - strideP + i - bpp) & 0xff
                         else 0
                 val x = ft match {
                   case 0 => f
@@ -1511,8 +1579,25 @@ object Multimodal {
                   case _ => f // unknown filter: pass through, stay honest
                 }
                 raw(base + 1 + i) = x.toByte
-                val v = (x & 0xff) / 255.0
-                sums(i % ch) += v; sqs(i % ch) += v * v
+                if (depth == 8) {
+                  if (isPalette) {
+                    if ((x & 0xff) < pal.length) {
+                      val rgb = pal(x & 0xff)
+                      var cc = 0
+                      while (cc < 3) {
+                        val v = ((rgb >> (16 - 8 * cc)) & 0xff) / 255.0
+                        sums(cc) += v; sqs(cc) += v * v; cc += 1
+                      }
+                    }
+                  } else {
+                    val v = (x & 0xff) / 255.0
+                    sums(i % ch) += v; sqs(i % ch) += v * v
+                  }
+                } else if (i % 2 == 1) { // 16-bit: sample completes here
+                  val s16 = ((raw(base + i) & 0xff) << 8) | (x & 0xff)
+                  val v = s16 / 65535.0
+                  sums((i / 2) % ch) += v; sqs((i / 2) % ch) += v * v
+                }
                 i += 1
               }
               nPix += wP
@@ -1524,7 +1609,8 @@ object Multimodal {
             if (r < hP) trunc = true
           }
         }
-        Some((meta, nPix, sums, sqs))
+        Some((if (isPalette) meta.copy(channels = 3) else meta,
+              nPix, sums, sqs))
       case _ => None
     }
 

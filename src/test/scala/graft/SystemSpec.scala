@@ -930,6 +930,41 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.oggMeta("OggSnot really".getBytes) == None)
   }
 
+  test("png palette and 16-bit depth decode, ImageIO-pinned") {
+    // palette (color type 3): grey identity PLTE, all 5 filters
+    val (w, h) = (19, 11)
+    val idx = Array.tabulate(w * h)(i => ((i * 37 + 5) % 256).toByte)
+    val p8 = Multimodal.pngBytesPalette(w, h, idx, r => r % 5)
+    val Some((m1, n1, s1, _)) = Multimodal.pngChannelStats(p8)
+    assert(m1 == Multimodal.ImageMeta(w, h, 3, "png")) // palette → RGB
+    assert(n1 == w * h)
+    val expSum = idx.map(b => (b & 0xff) / 255.0).sum
+    assert(math.abs(s1(0) - expSum) < 1e-9 &&
+           math.abs(s1(2) - expSum) < 1e-9)
+    val img1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p8))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img1.getRGB(x, y) & 0xff) == (idx(y * w + x) & 0xff))
+    // 16-bit grey: big-endian samples, byte-level filtering (bpp=2)
+    val s16 = Array.tabulate(w * h)(i => (i * 9973 + 11) % 65536)
+    val p16 = Multimodal.pngBytes16(w, h, 1, s16, r => (r + 2) % 5)
+    val Some((m2, n2, sum2, _)) = Multimodal.pngChannelStats(p16)
+    assert(m2 == Multimodal.ImageMeta(w, h, 1, "png"))
+    assert(n2 == w * h)
+    val exp16 = s16.map(_ / 65535.0).sum
+    assert(math.abs(sum2(0) - exp16) < 1e-9)
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p16))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img2.getRaster.getSample(x, y, 0) == s16(y * w + x),
+             s"16-bit at ($x,$y)")
+    // interlaced palette also round-trips
+    val p8i = Multimodal.pngBytesPalette(w, h, idx, r => r % 5,
+                                         interlaced = true)
+    val Some((_, n3, s3, _)) = Multimodal.pngChannelStats(p8i)
+    assert(n3 == w * h && math.abs(s3(0) - expSum) < 1e-9)
+  }
+
   test("audioMeta parses canonical WAV headers; rejects garbage") {
     // Builder round-trip: 8 kHz stereo 16-bit, 32 bytes = 8 frames.
     val wav = Multimodal.wavBytes(8000, 2, 16, Array.fill(32)(3.toByte))
