@@ -3465,6 +3465,38 @@ object PipelineQueries {
            |SELECT CAST(i AS BIGINT) AS pos, w * fs / 1000000.0 AS w
            |FROM qw3, qfs""".stripMargin)),
 
+    // Embedding norm profile — the is-the-table-sane QC report before
+    // any ANN/dedup run (collapsed vectors, un-normalized outliers).
+    // Norms via the ordered per-element fold (both engines sequential —
+    // the order-pinned-sum discipline), 6-dp rounded BEFORE the
+    // percentile so interpolation runs on identical doubles; Spark
+    // percentile() and DuckDB quantile_cont share the linear-
+    // interpolation definition.
+    ("emb_norm_profile",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        val norms = emb.select(
+          round(sqrt(aggregate(col("vec"), lit(0.0),
+            (acc, x) => acc + x * x)), 6).as("nrm"))
+        norms.agg(
+          count(lit(1)).as("n"),
+          round(avg(col("nrm")), 6).as("mean_norm"),
+          round(expr("percentile(nrm, 0.5)"), 6).as("p50"),
+          round(expr("percentile(nrm, 0.95)"), 6).as("p95"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))
+      },
+      Some(s"""WITH e AS ($embedsSql),
+              |nr AS (SELECT ROUND(SQRT(list_sum(list_transform(v, x -> x * x))), 6) AS nrm
+              |       FROM e)
+              |SELECT COUNT(*) AS n,
+              |  ROUND(AVG(nrm), 6) AS mean_norm,
+              |  ROUND(quantile_cont(nrm, 0.5), 6) AS p50,
+              |  ROUND(quantile_cont(nrm, 0.95), 6) AS p95,
+              |  ROUND(MIN(nrm), 6) AS min_norm,
+              |  ROUND(MAX(nrm), 6) AS max_norm
+              |FROM nr""".stripMargin)),
+
     // Stupid-Backoff bigram LM scoring (Brants 2007): model counts from a
     // deterministic 75% split (0.75 is binary-exact — 0.7·10⁶ truncates to
     // 699999 as a double), every doc scored against it, so held-out docs
