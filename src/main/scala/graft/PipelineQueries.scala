@@ -601,6 +601,49 @@ object PipelineQueries {
               |FROM ex JOIN est ON ex.tok = est.tok
               |ORDER BY exact_cnt DESC, token ASC LIMIT 50""".stripMargin)),
 
+    // Count-min sketch MERGEABILITY — the property that makes the sketch
+    // a distributed object: per-shard sketches summed counter-by-counter
+    // equal the whole-corpus sketch exactly (pure integer addition, no
+    // approximation in the merge). The corpus splits on doc parity; the
+    // oracle independently computes both representations and the driver
+    // hash proves cnt_merged == cnt_full on every counter.
+    ("sketch_cms_merge",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+                  explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        def half(parity: Int) = graft.pipeline.Sketch.cmSketch(
+          toks.filter(col("doc_id") % 2 === parity).select("tok"),
+          "tok", 4, 64)
+        val merged = half(0).unionAll(half(1))
+          .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt_merged"))
+        val full = graft.pipeline.Sketch.cmSketch(
+          toks.select("tok"), "tok", 4, 64)
+          .withColumnRenamed("cnt", "cnt_full")
+        merged.join(full, Seq("row", "bucket"), "full")
+          .select(col("row").cast("long").as("row"),
+                  col("bucket").cast("long").as("bucket"),
+                  coalesce(col("cnt_merged"), lit(0L)).as("cnt_merged"),
+                  coalesce(col("cnt_full"), lit(0L)).as("cnt_full"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |             FROM documents),
+              |tf AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+              |rb AS (SELECT doc_id, tok, j,
+              |         ${graft.functions.PortableHash.md5Prefix60Sql("tok || '#cms' || j")} % 64 AS bucket
+              |       FROM tf, range(4) g(j)),
+              |m AS (SELECT j AS row, bucket, COUNT(*) AS cm
+              |      FROM rb GROUP BY doc_id % 2, 1, 2),
+              |merged AS (SELECT row, bucket, SUM(cm) AS cnt_merged
+              |           FROM m GROUP BY 1, 2),
+              |whole AS (SELECT j AS row, bucket, COUNT(*) AS cnt_full
+              |        FROM rb GROUP BY 1, 2)
+              |SELECT CAST(row AS BIGINT) AS row, CAST(bucket AS BIGINT) AS bucket,
+              |       CAST(cnt_merged AS BIGINT) AS cnt_merged,
+              |       CAST(cnt_full AS BIGINT) AS cnt_full
+              |FROM merged JOIN whole USING (row, bucket)""".stripMargin)),
+
     // Uniform-mixture balancing: every source downsampled to the smallest
     // source's size via the per-group hash threshold (engine- and
     // partitioning-reproducible membership).
