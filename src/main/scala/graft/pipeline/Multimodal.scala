@@ -156,7 +156,14 @@ object Multimodal {
         // alignment. Indices map through the RGBQUAD palette (B,G,R,_),
         // so stats are 3-channel like the GIF path. Rows are stored
         // bottom-up; the stats are orientation-free sums.
-        val clrUsed = { val c = le32(bytes, 46); if (c == 0) 256 else c }
+        // An 8-bpp palette has at most 256 entries, and a truncated or
+        // crafted header must degrade to None (the partial-tail contract
+        // every codec path follows), not throw out of the palette read.
+        val clrUsed = {
+          val c = le32(bytes, 46)
+          if (c == 0) 256 else math.min(c, 256)
+        }
+        if (54 + 4 * clrUsed > bytes.length) return None
         val pal = Array.tabulate(clrUsed)(i =>
           ((bytes(54 + 4 * i + 2) & 0xff) << 16) |
             ((bytes(54 + 4 * i + 1) & 0xff) << 8) |
@@ -745,11 +752,13 @@ object Multimodal {
         w16(tag); w16(typ); w32(cnt)
         if (typ == 3 && cnt == 1) { w16(v); w16(0) } else w32(v)
       }
+      // TIFF 6.0 requires IFD entries sorted ascending by tag number;
+      // strict libtiff readers reject out-of-order directories.
       entry(256, 4, 1, width); entry(257, 4, 1, height)
       if (channels == 1) entry(258, 3, 1, bitsPerSample)
       else entry(258, 3, channels, bpsArrayAt)
-      entry(277, 3, 1, channels)
       entry(259, 3, 1, 1) // uncompressed
+      entry(277, 3, 1, channels)
       off += ifdSize
       w32(if (p == pages - 1) 0 else off)
     }

@@ -476,7 +476,17 @@ object TextOps {
     * for payloads that are not gzip or are corrupt past recovery; a
     * truncated final member yields the bytes that survive (partial-tail
     * honesty, matching the codec layer's contract). */
-  def gunzip(bytes: Array[Byte], maxBytes: Int = 1 << 26): Option[Array[Byte]] = {
+  def gunzip(bytes: Array[Byte], maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+    gunzipEx(bytes, maxBytes).map(_._1)
+
+  /** [[gunzip]] plus an explicit incompleteness flag: `true` when the
+    * decode stopped at the size cap with more compressed data remaining
+    * (detected by attempting one extra read past the cap) OR when the
+    * stream ended in a mid-member IOException (partial tail). A silent
+    * cap would make a >cap shard indistinguishable from a complete
+    * decode and lose tail records without any signal. */
+  def gunzipEx(bytes: Array[Byte], maxBytes: Int = 1 << 26)
+      : Option[(Array[Byte], Boolean)] = {
     if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
         (bytes(1) & 0xff) != 0x8b) return None
     val out = new java.io.ByteArrayOutputStream()
@@ -488,11 +498,14 @@ object TextOps {
       while (n > 0 && out.size() < maxBytes) {
         out.write(buf, 0, n); n = in.read(buf)
       }
+      // Cap reached with the stream still open: probe one more read to
+      // distinguish "exactly done" from "tail dropped".
+      val capped = n > 0 && out.size() >= maxBytes && in.read(buf) > 0
       in.close()
-      Some(out.toByteArray)
+      Some((out.toByteArray, capped))
     } catch {
       case _: java.io.IOException =>
-        if (out.size() > 0) Some(out.toByteArray) else None
+        if (out.size() > 0) Some((out.toByteArray, true)) else None
     }
   }
 
