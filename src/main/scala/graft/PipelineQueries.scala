@@ -559,7 +559,8 @@ object PipelineQueries {
              |  CAST(strlen('doc ' || s || ' rec ' || k || ' '
              |              || repeat('x', CAST((s + k) % 17 AS INT))) AS BIGINT) AS content_length,
              |  'doc ' || s || ' rec ' || k || ' '
-             |    || repeat('x', CAST((s + k) % 17 AS INT)) AS content
+             |    || repeat('x', CAST((s + k) % 17 AS INT)) AS content,
+             |  FALSE AS shard_truncated
              |FROM recs""".stripMargin)),
 
     // Count-min-sketch heavy hitters over the documents token stream: the

@@ -494,13 +494,19 @@ object TextOps {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val buf = new Array[Byte](8192)
+      var capped = false
       var n = in.read(buf)
-      while (n > 0 && out.size() < maxBytes) {
-        out.write(buf, 0, n); n = in.read(buf)
+      while (n > 0 && !capped) {
+        val room = maxBytes - out.size()
+        if (n > room) { out.write(buf, 0, room); capped = true }
+        else {
+          out.write(buf, 0, n)
+          n = in.read(buf)
+          // Cap reached exactly: probe one read to distinguish
+          // "exactly done" from "tail dropped".
+          if (n > 0 && out.size() >= maxBytes) capped = true
+        }
       }
-      // Cap reached with the stream still open: probe one more read to
-      // distinguish "exactly done" from "tail dropped".
-      val capped = n > 0 && out.size() >= maxBytes && in.read(buf) > 0
       in.close()
       Some((out.toByteArray, capped))
     } catch {
@@ -594,7 +600,10 @@ object TextOps {
 
   /** WARC-shard ingestion: explode a BINARY column of (optionally
     * gzipped — the `.warc.gz` layout) WARC shards into one row per
-    * record. Partition-local codec-seam Dataset map, no shuffle. */
+    * record. Partition-local codec-seam Dataset map, no shuffle.
+    * `shard_truncated` is true when the gzip decode hit the size cap or
+    * a mid-member error — records past that point are lost, and the flag
+    * is the signal that this shard's record list is a prefix. */
   def warcCorpus(shards: org.apache.spark.sql.DataFrame, idCol: String,
                  shardCol: String): org.apache.spark.sql.DataFrame = {
     val spark = shards.sparkSession
@@ -602,16 +611,17 @@ object TextOps {
     shards.select(col(idCol).cast("long").as("shard_id"), col(shardCol).as("b"))
       .as[(Long, Array[Byte])]
       .flatMap { case (sid, b) =>
-        val raw =
+        val (raw, truncated) =
           if (b != null && b.length >= 2 && (b(0) & 0xff) == 0x1f &&
-              (b(1) & 0xff) == 0x8b) gunzip(b).getOrElse(Array.empty[Byte])
-          else Option(b).getOrElse(Array.empty[Byte])
+              (b(1) & 0xff) == 0x8b)
+            gunzipEx(b).getOrElse((Array.empty[Byte], true))
+          else (Option(b).getOrElse(Array.empty[Byte]), false)
         warcRecords(raw).map(r =>
           (sid, r.rec_idx.toLong, r.warc_type, r.uri,
-           r.content_length.toLong, r.content))
+           r.content_length.toLong, r.content, truncated))
       }
       .toDF("shard_id", "rec_idx", "warc_type", "uri", "content_length",
-            "content")
+            "content", "shard_truncated")
   }
 
   /** gzip-compress one payload (single RFC 1952 member, JDK Deflater). */
@@ -627,8 +637,10 @@ object TextOps {
     * pipeline. Partition-local Dataset map (the codec-seam pattern of
     * [[Multimodal.decodeFeatures]], not a per-row UDF); no shuffle — a
     * 100 TB corpus decompresses embarrassingly parallel. Returns
-    * (id, n_raw_bytes, text, n_bytes, n_chars) with text null and sizes
-    * −1 when the payload is not gzip. */
+    * (id, n_raw_bytes, text, n_bytes, n_chars, truncated) with text null
+    * and sizes −1 when the payload is not gzip; `truncated` is true when
+    * the decode stopped at the size cap or a mid-member error, so a
+    * partial text is never mistaken for a complete one. */
   def gunzipCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    gzCol: String): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
@@ -636,11 +648,13 @@ object TextOps {
     docs.select(col(idCol).cast("long").as("id"), col(gzCol).as("gz"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
-        val t = Option(b).flatMap(gunzip(_)).map(new String(_, "UTF-8"))
+        val dec = Option(b).flatMap(gunzipEx(_))
+        val t = dec.map(d => new String(d._1, "UTF-8"))
         (id, if (b == null) -1L else b.length.toLong, t.orNull,
          t.map(_.getBytes("UTF-8").length.toLong).getOrElse(-1L),
-         t.map(_.length.toLong).getOrElse(-1L))
+         t.map(_.length.toLong).getOrElse(-1L),
+         dec.exists(_._2))
       })
-      .toDF("id", "n_raw_bytes", "text", "n_bytes", "n_chars")
+      .toDF("id", "n_raw_bytes", "text", "n_bytes", "n_chars", "truncated")
   }
 }

@@ -618,6 +618,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(3L) == (None, -1L))
   }
 
+  test("gunzipEx flags cap-truncated and mid-member-broken decodes") {
+    import spark.implicits._
+    val text = "abcdefgh" * 64 // 512 bytes decompressed
+    val gz = TextOps.gzip(text.getBytes("UTF-8"))
+    // complete decode under the cap: not truncated
+    assert(TextOps.gunzipEx(gz).map(_._2) == Some(false))
+    // cap smaller than the payload: flagged, prefix returned
+    val Some((capped, flag)) = TextOps.gunzipEx(gz, maxBytes = 100)
+    assert(flag && capped.length >= 100 &&
+      text.startsWith(new String(capped, "UTF-8")))
+    // cap exactly at the decompressed size: complete, not truncated
+    val Some((exact, flagExact)) = TextOps.gunzipEx(gz, maxBytes = 512)
+    assert(!flagExact && exact.length == 512)
+    // mid-member break: surviving prefix carries the flag
+    val cut = TextOps.gunzipEx(gz.dropRight(6))
+    assert(cut.forall(_._2))
+    // the corpus face surfaces the flag as a column
+    val df = Seq((1L, gz)).toDF("doc_id", "gz")
+    val r = TextOps.gunzipCorpus(df, "doc_id", "gz").collect()(0)
+    assert(r.getAs[Boolean]("truncated") == false)
+  }
+
   test("warcRecords walks Content-Length-framed records; tolerates malformed tails") {
     // content deliberately contains header-looking bytes — only a
     // length-driven walk survives this

@@ -909,6 +909,9 @@ class SystemSpec extends AnyFunSuite {
     // the uncompressed 24bpp path is untouched by the new branch
     assert(Multimodal.bmpChannelStats(
       Multimodal.bmpBytes(4, 4, Array.fill(64)(7.toByte))).isDefined)
+    // header truncated inside the palette (biClrUsed=0 defaults to 256
+    // entries, needing 54+1024 bytes): None, not a thrown index error
+    assert(Multimodal.bmpChannelStats(b.take(100)) == None)
   }
 
   test("oggMeta walks real pages with CRC verification (opus and vorbis)") {
