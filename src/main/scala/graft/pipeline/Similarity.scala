@@ -364,16 +364,28 @@ object Similarity {
                         idCol: String = "id",
                         vecCol: String = "vec"): DataFrame = {
     require(iters >= 1 && dim >= 1)
-    val x = emb.select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("i", "xv")))
-      .select(col("id"), col("i"),
-              round(col("xv") * 1e6, 0).cast("long").as("xi"))
-      .localCheckpoint(true) // moment pass input, read twice
-    val n = x.select(countDistinct(col("id"))).head().getLong(0)
-    val s = x.groupBy("i").agg(sum(col("xi")).as("si"))
-    val m = x.select(col("id"), col("i"), col("xi"))
-      .join(x.select(col("id"), col("i").as("j"), col("xi").as("xj")), "id")
+    // MAP-SIDE moment pass: each row already holds its whole vector, so
+    // the (i, j, xi·xj) product stream is produced WITHIN the row (two
+    // chained generators over the quantized array, upper triangle only,
+    // mirrored after the aggregate) and partial hash aggregation
+    // collapses it to ≤ d² rows per partition before any exchange —
+    // zero data-sized shuffles. The former formulation exploded to
+    // (id, i, xi) and self-joined on id, shuffling the corpus twice
+    // before the same d²-bounded aggregate. Sums are identical longs
+    // (unordered integer addition), so the oracle is unchanged.
+    val q = emb.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        xv => round(xv * 1e6, 0).cast("long")).as("q"))
+    val n = emb.select(countDistinct(col(idCol))).head().getLong(0)
+    val s = q.select(posexplode(col("q")).as(Seq("i", "xi")))
+      .groupBy("i").agg(sum(col("xi")).as("si"))
+    val upper = q
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
       .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sij"))
+    val m = upper.union(upper.filter(col("i") =!= col("j"))
+      .select(col("j"), col("i"), col("sij")))
     val dec = "decimal(38,0)"
     val c = m
       .join(s.select(col("i"), col("si").as("sa")), "i")
