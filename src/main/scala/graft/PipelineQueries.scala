@@ -742,9 +742,12 @@ object PipelineQueries {
     // multi-hop frontier composition oracle-proven beyond TransE (r8
     // verdict ask: scored-path oracle depth).
     ("cqd_2p_complex",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
-        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
-        relEmb(s), graft.score.ComplEx, beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+          Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+          relEmb(s), graft.score.NativeComplEx, beam = Int.MaxValue))
+      },
       Some(s"""WITH ents AS ($supplierEntsSql),
               |s1 AS (SELECT id AS e1, 1 + ${complexSql("400000000", "9", "id")} AS sc FROM ents)
               |${top10Sql(
@@ -772,24 +775,34 @@ object PipelineQueries {
     // F3/F4/F7: the other KGE scorers as full-ranking queries, each
     // oracle-checked against its formula recomputed in SQL.
     ("cqd_1p_distmult",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
-        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
-        DistMult, beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,f)",
+          Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
+          graft.score.NativeDistMult, beam = Int.MaxValue))
+      },
       Some(s"""WITH ents AS ($supplierEntsSql)
               |${top10Sql(s"SELECT id AS entity, 1 + ${distmultSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
     ("cqd_1p_complex",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
-        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
-        graft.score.ComplEx, beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,f)",
+          Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir), relEmb(s),
+          graft.score.NativeComplEx, beam = Int.MaxValue))
+      },
       Some(s"""WITH ents AS ($supplierEntsSql)
               |${top10Sql(s"SELECT id AS entity, 1 + ${complexSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
     ("cqd_1p_rotate",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
-        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir),
-        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2, REL_SEED),
-        graft.score.RotatE, beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,f)",
+          Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir),
+          Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2,
+                                   REL_SEED),
+          graft.score.NativeRotatE, beam = Int.MaxValue))
+      },
       Some(s"""WITH ents AS ($supplierEntsSql)
               |${top10Sql(s"SELECT id AS entity, 1 + ${rotateSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 

@@ -290,6 +290,163 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** ComplEx triple score `Re⟨h, r, conj(t)⟩` fused into one pass (F4/F5;
+  * complex.py:99-122) — embeddings are `2d` arrays, re‖im split at d.
+  * The beam path's `cqd_*_complex` hot expression: the HOF form (4
+  * `zip_with` products + `concat` + dot) allocates six intermediate
+  * arrays per scored pair and ran 8× TransE's fused kernel on the same
+  * plan shape (round-9 bench). BIT-IDENTICAL summation order to the HOF
+  * form: `dot(concat(re, im), t)` folds re terms (index 0..d−1) then im
+  * terms (d..2d−1) sequentially, so the kernel runs two ordered loops —
+  * the oracle rows are unchanged. */
+case class ComplexScore(first: Expression, second: Expression,
+                        third: Expression) extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(h: Any, r: Any, t: Any): Any = {
+    val (hv, rv, tv) = (h.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+                        t.asInstanceOf[ArrayData])
+    val d = hv.numElements() / 2
+    var s = 0.0
+    var k = 0
+    while (k < d) { // re(est)·re(t), index order 0..d−1
+      s += (hv.getDouble(k) * rv.getDouble(k) -
+            hv.getDouble(d + k) * rv.getDouble(d + k)) * tv.getDouble(k)
+      k += 1
+    }
+    k = 0
+    while (k < d) { // im(est)·im(t), index order d..2d−1
+      s += (hv.getDouble(k) * rv.getDouble(d + k) +
+            hv.getDouble(d + k) * rv.getDouble(k)) * tv.getDouble(d + k)
+      k += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, r, t) => {
+      val k = ctx.freshName("k"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      s"""
+         |int $d = $h.numElements() / 2;
+         |double $s = 0.0;
+         |for (int $k = 0; $k < $d; $k++) {
+         |  $s += ($h.getDouble($k) * $r.getDouble($k)
+         |         - $h.getDouble($d + $k) * $r.getDouble($d + $k))
+         |        * $t.getDouble($k);
+         |}
+         |for (int $k = 0; $k < $d; $k++) {
+         |  $s += ($h.getDouble($k) * $r.getDouble($d + $k)
+         |         + $h.getDouble($d + $k) * $r.getDouble($k))
+         |        * $t.getDouble($d + $k);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** RotatE triple score fused into one pass (F7/F8; rotate.py:51-106):
+  * entity embeddings `2d` (re‖im), relation embedding `d` phases; the
+  * score is the *positive* L2 distance between the rotated head and the
+  * tail (the reference quirk — ranking argsorts descending — is kept).
+  * Same ordered two-loop fold as the HOF `lpDist(concat(...), t, 2)`
+  * form (re diffs 0..d−1 then im diffs d..2d−1), so results are
+  * bit-identical and the oracle rows unchanged. Uses
+  * `java.lang.Math.cos/sin` — the same intrinsics Spark's Cos/Sin
+  * expressions codegen to. */
+case class RotateScore(first: Expression, second: Expression,
+                       third: Expression) extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(h: Any, r: Any, t: Any): Any = {
+    val (hv, rv, tv) = (h.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+                        t.asInstanceOf[ArrayData])
+    val d = rv.numElements()
+    var s = 0.0
+    var k = 0
+    while (k < d) {
+      val ph = rv.getDouble(k)
+      val diff = (hv.getDouble(k) * math.cos(ph) -
+                  hv.getDouble(d + k) * math.sin(ph)) - tv.getDouble(k)
+      s += diff * diff
+      k += 1
+    }
+    k = 0
+    while (k < d) {
+      val ph = rv.getDouble(k)
+      val diff = (hv.getDouble(k) * math.sin(ph) +
+                  hv.getDouble(d + k) * math.cos(ph)) - tv.getDouble(d + k)
+      s += diff * diff
+      k += 1
+    }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, r, t) => {
+      val k = ctx.freshName("k"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val ph = ctx.freshName("ph")
+      val df = ctx.freshName("df")
+      s"""
+         |int $d = $r.numElements();
+         |double $s = 0.0;
+         |for (int $k = 0; $k < $d; $k++) {
+         |  double $ph = $r.getDouble($k);
+         |  double $df = ($h.getDouble($k) * java.lang.Math.cos($ph)
+         |                - $h.getDouble($d + $k) * java.lang.Math.sin($ph))
+         |               - $t.getDouble($k);
+         |  $s += $df * $df;
+         |}
+         |for (int $k = 0; $k < $d; $k++) {
+         |  double $ph = $r.getDouble($k);
+         |  double $df = ($h.getDouble($k) * java.lang.Math.sin($ph)
+         |                + $h.getDouble($d + $k) * java.lang.Math.cos($ph))
+         |               - $t.getDouble($d + $k);
+         |  $s += $df * $df;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** DistMult triple score `−Σ h⊙r⊙t` fused into one pass (F3;
+  * distmult.py:36-41, sign as written in the reference). Single ordered
+  * loop — identical fold order to `−dot(mulVec(h, r), t)`. */
+case class DistmultScore(first: Expression, second: Expression,
+                         third: Expression) extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(h: Any, r: Any, t: Any): Any = {
+    val (hv, rv, tv) = (h.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+                        t.asInstanceOf[ArrayData])
+    var s = 0.0
+    var k = 0
+    val n = hv.numElements()
+    while (k < n) {
+      s += hv.getDouble(k) * rv.getDouble(k) * tv.getDouble(k)
+      k += 1
+    }
+    -s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, r, t) => {
+      val k = ctx.freshName("k"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $h.numElements();
+         |double $s = 0.0;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  $s += $h.getDouble($k) * $r.getDouble($k) * $t.getDouble($k);
+         |}
+         |${ev.value} = -$s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
 /** Σ |a[i] − b[i]| over LONG arrays — the exact L1 distance of the
   * micro-int eval checkpoints ([[graft.score.Training]] ranksImpl),
   * evaluated |edges| × |entities| times per eval. One fused pass, no
@@ -406,6 +563,9 @@ object ArrayKernels {
     "array_dot" -> (es => ArrayDot(es(0), es(1))),
     "array_cosine" -> (es => ArrayCosine(es(0), es(1))),
     "transe_score" -> (es => TranseScore(es(0), es(1), es(2))),
+    "complex_score" -> (es => ComplexScore(es(0), es(1), es(2))),
+    "rotate_score" -> (es => RotateScore(es(0), es(1), es(2))),
+    "distmult_score" -> (es => DistmultScore(es(0), es(1), es(2))),
     "pq_encode" -> (es => PqEncode(es(0), es(1), intArg(es(2)), intArg(es(3)))),
     "pq_lut" -> (es => PqLut(es(0), es(1), intArg(es(2)), intArg(es(3)))),
     "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2)))),
@@ -426,6 +586,12 @@ object ArrayKernels {
   def arrayCosine(a: Column, b: Column): Column = call_function("array_cosine", a, b)
   def transeScore(h: Column, r: Column, t: Column): Column =
     call_function("transe_score", h, r, t)
+  def complexScore(h: Column, r: Column, t: Column): Column =
+    call_function("complex_score", h, r, t)
+  def rotateScore(h: Column, r: Column, t: Column): Column =
+    call_function("rotate_score", h, r, t)
+  def distmultScore(h: Column, r: Column, t: Column): Column =
+    call_function("distmult_score", h, r, t)
   def pqEncode(vec: Column, cb: Column, m: Int, k: Int): Column =
     call_function("pq_encode", vec, cb,
                   org.apache.spark.sql.functions.lit(m),

@@ -130,6 +130,38 @@ case object NativeTransE extends KGEModel {
   override def pairScore(est: Column, t: Column): Column = -lpDist(est, t, 2.0)
 }
 
+/** F4/F5 via the fused kernel (graft.functions.ComplexScore): identical
+  * math AND identical fold order to [[ComplEx]] — re terms then im terms,
+  * sequentially — so scores are bit-identical; one codegen'd pass with no
+  * intermediate arrays (the HOF form allocates six per scored pair).
+  * Requires ArrayKernels.register(spark) or GraftExtensions. */
+case object NativeComplEx extends KGEModel {
+  def score(h: Column, r: Column, t: Column): Column =
+    graft.functions.ArrayKernels.complexScore(h, r, t)
+  def estimateTail(h: Column, r: Column): Column = ComplEx.estimateTail(h, r)
+  override def pairScore(est: Column, t: Column): Column =
+    graft.functions.ArrayKernels.arrayDot(est, t)
+}
+
+/** F7/F8 via the fused kernel (graft.functions.RotateScore): same math
+  * and fold order as [[RotatE]] (positive-L2 reference quirk kept),
+  * bit-identical scores, zero per-pair allocation. */
+case object NativeRotatE extends KGEModel {
+  def score(h: Column, r: Column, t: Column): Column =
+    graft.functions.ArrayKernels.rotateScore(h, r, t)
+  def estimateTail(h: Column, r: Column): Column = RotatE.estimateTail(h, r)
+  override def pairScore(est: Column, t: Column): Column = lpDist(est, t, 2.0)
+}
+
+/** F3 via the fused kernel (graft.functions.DistmultScore): same single
+  * sequential fold as [[DistMult]], bit-identical scores. */
+case object NativeDistMult extends KGEModel {
+  def score(h: Column, r: Column, t: Column): Column =
+    graft.functions.ArrayKernels.distmultScore(h, r, t)
+  def estimateTail(h: Column, r: Column): Column = mulVec(h, r)
+  override def pairScore(est: Column, t: Column): Column = -dot(est, t)
+}
+
 /** F12: ConvE — 2-D convolutional scorer (conve.py:8-95), INFERENCE-ONLY
   * with fixed seeded parameters.
   *
@@ -203,7 +235,10 @@ object KGE {
     case "rotate"        => RotatE
     case "rescal"        => Rescal
     case "swtranse"      => SWTransE(particles = 4)
-    case "native_transe" => NativeTransE
+    case "native_transe"   => NativeTransE
+    case "native_complex"  => NativeComplEx
+    case "native_rotate"   => NativeRotatE
+    case "native_distmult" => NativeDistMult
     case "conve"         => ConvE() // inference-only, fixed seeded parameters
     case other => throw new IllegalArgumentException(s"unknown KGE model: $other")
   }
