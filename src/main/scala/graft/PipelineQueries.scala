@@ -806,6 +806,25 @@ object PipelineQueries {
       Some(s"""WITH ents AS ($supplierEntsSql)
               |${top10Sql(s"SELECT id AS entity, 1 + ${rotateSql("400000000", "9", "id")} AS score FROM ents")}""".stripMargin)),
 
+    // F7/F8 composed over two hops: the rotate estimate/score chained
+    // through the existential max — multi-hop oracle depth beyond
+    // TransE/ComplEx (r9 verdict ask: the remaining scorers'
+    // composition was spec-only past one hop).
+    ("cqd_2p_rotate",
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+          Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+          Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2,
+                                   REL_SEED),
+          graft.score.NativeRotatE, beam = Int.MaxValue))
+      },
+      Some(s"""WITH ents AS ($supplierEntsSql),
+              |s1 AS (SELECT id AS e1, 1 + ${rotateSql("400000000", "9", "id")} AS sc FROM ents)
+              |${top10Sql(
+                s"SELECT f.id AS entity, MAX(s1.sc + ${rotateSql("s1.e1", "8", "f.id")}) AS score " +
+                "FROM s1, ents f GROUP BY f.id")}""".stripMargin)),
+
     // F10: RESCAL bilinear h^T W_r t (intended semantics; the reference's
     // own scorer is latently broken, rescal.py:32-36). Relation embedding =
     // flattened 8x8 matrix. Oracle: the double contraction in SQL lambdas,
@@ -980,6 +999,38 @@ object PipelineQueries {
            |        (SQRT(list_dot_product(fv.v, fv.v)) * SQRT(list_dot_product(ev.v, ev.v))), 5) AS score
            |FROM fv CROSS JOIN ev""".stripMargin
       }),
+
+    // G4 negation message on the ORACLE path (r9 verdict ask: the
+    // `1−2·neg` coefficient, exec/LMPNN.scala superstep / lmpnn.py:49-51,
+    // was spec-covered but all lmpnn_* oracle rows were positive-edge):
+    // r1(s1,f)&!r2(s2,f) — the negated atom's message enters the free
+    // node with coefficient −1, so after one superstep
+    // x1(f) = 0.1·vv + (ev(s1) + rv(r1)) − (ev(s2) + rv(r2)), and the
+    // oracle states that closed form verbatim.
+    ("lmpnn_2in",
+      (s, dir) => {
+        val cq = graft.lang.Normalize.toDnf(
+          graft.lang.Parser.parse("r1(s1,f)&!r2(s2,f)")).head
+        val (qn, qe) = graft.lang.QueryGraph.compile(s, Seq(
+          (cq, Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0,
+                   "s2" -> KG.ent(KG.TAG_SUPPLIER, 1)))))
+        graft.exec.LMPNN.answer(qn, qe, supplierEnts(s, dir), relEmb(s),
+          TransE(2), rounds = 1)
+          .select(col("qid"), col("entity"), round(col("score"), 5).as("score"))
+      },
+      Some(s"""WITH ents AS ($supplierEntsSql),
+              |x1 AS (SELECT list_transform(generate_series(1, $DIM), k ->
+              |    0.1 * SIN(0.5)
+              |    + SIN((400000000 % 9973 + 1) * k * 0.017 + $ENT_SEED)
+              |    + SIN((9 % 9973 + 1) * k * 0.017 + $REL_SEED)
+              |    - SIN((400000001 % 9973 + 1) * k * 0.017 + $ENT_SEED)
+              |    - SIN((8 % 9973 + 1) * k * 0.017 + $REL_SEED)) AS v),
+              |ev AS (SELECT id, list_transform(generate_series(1, $DIM),
+              |         k -> SIN((id % 9973 + 1) * k * 0.017 + $ENT_SEED)) AS v FROM ents)
+              |SELECT CAST(0 AS BIGINT) AS qid, ev.id AS entity,
+              |  ROUND(list_dot_product(x1.v, ev.v) /
+              |        (SQRT(list_dot_product(x1.v, x1.v)) * SQRT(list_dot_product(ev.v, ev.v))), 5) AS score
+              |FROM x1 CROSS JOIN ev""".stripMargin)),
 
     // G5 update net: one superstep through the deterministic ReLU MLP
     // (layers/mlp.py:3-18). Oracle: closed form of the single round —
