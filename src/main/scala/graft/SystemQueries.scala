@@ -1280,6 +1280,93 @@ object SystemQueries {
             |  ROUND(list_sum(list_transform(ts, v -> v * v)), 6) AS s_msq
             |FROM tx""".stripMargin)),
 
+    // REAL MPEG-1 Layer II payload decode, round-trip-proven (the Layer
+    // II slice of the stub seam made real; ISO 11172-3 §2.4.3.4, table
+    // 3-B.2a): each row carries genuinely bit-packed Layer II frames —
+    // class-width allocation fields, 2-bit scfsi, scfsi-dependent
+    // scalefactor transmission (all four share modes exercised), and
+    // grouped (3/5/9-step, one 5/7/10-bit code per sample triplet) plus
+    // ungrouped sample codes. Spark bit-unpacks the actual stream,
+    // ungroups by successive modulo, and requantizes via the unified
+    // spec form; the oracle computes the SAME per-subband sums from the
+    // generating formulas — including the scfsi slot→part mapping —
+    // never touching the bytes. Scalefactor indices are multiples of 3
+    // (dyadic sf, engine-portable). Layer III stays declared.
+    ("multimodal_mp2_decode",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val decoded = Multimodal.layer2Decode(Multimodal.layer2Bytes(id, nf))
+          val (_, blocks) = decoded.get
+          blocks.groupBy(_.subband).toSeq.map { case (sb, bs) =>
+            val ordered = bs.sortBy(_.frame)
+            var sum = 0.0; var msq = 0.0; var n = 0
+            ordered.foreach(_.samples.foreach { v =>
+              sum += v; msq += v * v; n += 1
+            })
+            (id, sb, ordered.head.allocIdx, ordered.head.steps,
+             ordered.head.scfsi, n.toLong,
+             round6HalfAway(sum), round6HalfAway(msq))
+          }
+        }.toDF("media_id", "subband", "alloc_idx", "steps", "scfsi",
+               "n_samples", "s_sum", "s_msq")
+          .select(col("media_id"),
+            col("subband").cast("long").as("subband"),
+            col("alloc_idx").cast("long").as("alloc_idx"),
+            col("steps").cast("long").as("steps"),
+            col("scfsi").cast("long").as("scfsi"),
+            col("n_samples"), col("s_sum"), col("s_msq"))
+      },
+      Some("""WITH sbs AS (
+            |  SELECT r AS media_id, sb,
+            |    CASE WHEN sb < 3 THEN (r + sb) % 5
+            |         WHEN sb < 11 THEN (r + sb * 3) % 6
+            |         WHEN sb < 23 THEN (r + sb) % 6
+            |         ELSE (r + sb) % 3 END AS aidx,
+            |    r % 3 + 1 AS nf
+            |  FROM range(48) t(r), range(27) s(sb)),
+            |al AS (
+            |  SELECT media_id, sb, aidx, nf,
+            |    CASE WHEN sb < 3 THEN [3, 7, 15, 31][CAST(aidx AS INT)]
+            |         WHEN sb < 11 THEN [3, 5, 7, 9, 15][CAST(aidx AS INT)]
+            |         WHEN sb < 23 THEN [3, 5, 7, 9, 15][CAST(aidx AS INT)]
+            |         ELSE [3, 5][CAST(aidx AS INT)] END AS steps,
+            |    (media_id + sb) % 4 AS scfsi
+            |  FROM sbs WHERE aidx > 0),
+            |qc AS (
+            |  SELECT media_id, sb, aidx, nf, steps, scfsi,
+            |    steps IN (3, 5, 9) AS grouped,
+            |    CASE steps WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 9 THEN 4
+            |               WHEN 7 THEN 3 WHEN 15 THEN 4 WHEN 31 THEN 5 END AS nb
+            |  FROM al),
+            |tx AS (
+            |  SELECT media_id, sb, aidx, steps, scfsi, nf,
+            |    list_transform(generate_series(0, nf * 36 - 1), i ->
+            |      POWER(2.0, 1.0 - ((media_id * 5 + (i // 36) * 11 + sb * 7
+            |        + (CASE scfsi WHEN 0 THEN ((i % 36) // 12)
+            |                      WHEN 1 THEN (CASE WHEN (i % 36) // 12 = 2 THEN 1 ELSE 0 END)
+            |                      WHEN 2 THEN 0
+            |                      ELSE (CASE WHEN (i % 36) // 12 = 0 THEN 0 ELSE 1 END) END) * 3) % 21))
+            |      * (POWER(2.0, nb) / steps)
+            |      * ((CASE WHEN grouped
+            |            THEN ((media_id * 131 + (i // 36) * 17 + ((i % 36) // 3) * 29 + sb * 13)
+            |                  % (steps * steps * steps))
+            |                 // CAST(POWER(steps, i % 3) AS BIGINT) % steps
+            |            ELSE (media_id * 131 + (i // 36) * 17 + ((i % 36) // 3) * 29
+            |                  + sb * 13 + (i % 3) * 7) % steps END) * 1.0
+            |         / POWER(2.0, nb - 1) - 1.0
+            |         + CASE WHEN grouped THEN 0.5 ELSE 2.0 / POWER(2.0, nb) END)) AS ts
+            |  FROM qc)
+            |SELECT media_id, CAST(sb AS BIGINT) AS subband,
+            |  CAST(aidx AS BIGINT) AS alloc_idx,
+            |  CAST(steps AS BIGINT) AS steps,
+            |  CAST(scfsi AS BIGINT) AS scfsi,
+            |  CAST(nf * 36 AS BIGINT) AS n_samples,
+            |  ROUND(list_sum(ts), 6) AS s_sum,
+            |  ROUND(list_sum(list_transform(ts, v -> v * v)), 6) AS s_msq
+            |FROM tx""".stripMargin)),
+
     // REAL GIF decode, round-trip-proven: each row carries a genuine
     // GIF89a (logical screen descriptor, 256-entry grey global color
     // table, real variable-width LZW entropy coding with width growth;

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * samples ([[wavSampleStats]] — signed 16-bit LE / unsigned 8-bit),
   * with zero external codec dependency; [[imageMeta]]/[[audioMeta]] parse
   * the container headers. Only formats that genuinely require external
-  * codec libraries (progressive/subsampled JPEG, MP3/AAC, video
-  * bitstreams) remain a clearly-marked STUB: [[decodeFeatures]] falls
+  * codec libraries (MP3 Layer III payload — Huffman + IMDCT — and AAC,
+  * arithmetic-coded JPEG, non-MJPEG video bitstreams; MPEG-1 Layer I/II
+  * subband payloads are REAL, [[layer1Decode]]/[[layer2Decode]])
+  * remain a clearly-marked STUB: [[decodeFeatures]] falls
   * back to deterministic byte-moment features there. The Spark-side
   * plumbing — schema, batch shape, partition-parallel mapPartitions,
   * expression-level chunking — is identical for real and stub paths;
@@ -1040,6 +1042,249 @@ object Multimodal {
           }
         }
       }
+    }
+    out
+  }
+
+  /** One decoded Layer II subband block: the 36 requantized samples of
+    * one subband in one frame (12 granules × 3), plus the allocation
+    * index, quantization step count, and scalefactor-selection mode. */
+  final case class SubbandBlock2(frame: Int, subband: Int, allocIdx: Int,
+                                 steps: Int, scfsi: Int,
+                                 samples: Array[Double])
+
+  // Table 3-B.2a (ISO/IEC 11172-3, sblimit = 27 — the 48 kHz / high-rate
+  // table): allocation-field width and quantization step counts per
+  // subband class. Steps 3/5/9 are the grouped classes (three samples
+  // share one 5/7/10-bit code); other entries are 2^nb − 1 step
+  // mid-tread quantizers with nb-bit codes.
+  private val l2Sblimit = 27
+  private def l2AllocBits(sb: Int): Int =
+    if (sb < 3) 4 else if (sb < 11) 4 else if (sb < 23) 3 else 2
+  private def l2Steps(sb: Int, idx: Int): Int = {
+    require(idx > 0)
+    if (sb < 3)
+      Array(3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+            16383, 32767, 65535)(idx - 1)
+    else if (sb < 11)
+      Array(3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+            8191, 65535)(idx - 1)
+    else if (sb < 23) Array(3, 5, 7, 9, 15, 31, 65535)(idx - 1)
+    else Array(3, 5, 65535)(idx - 1)
+  }
+  private def l2Grouped(steps: Int): Boolean =
+    steps == 3 || steps == 5 || steps == 9
+  /** Code bits per (single or ungrouped) sample for a step count. */
+  private def l2SampleBits(steps: Int): Int = steps match {
+    case 3 => 2; case 5 => 3; case 9 => 4
+    case s => 32 - Integer.numberOfLeadingZeros(s) // s = 2^nb − 1 → nb
+  }
+
+  /** REAL MPEG-1 Audio Layer II payload decode (ISO/IEC 11172-3
+    * §2.4.3.4, public spec) — the Layer II extension of
+    * [[layer1Decode]], closing the next slice of the MP3-payload stub
+    * seam. Per mono frame (table 3-B.2a, sblimit 27): class-width
+    * allocation fields (4/4/3/2 bits by subband), 2-bit scalefactor
+    * selection info per allocated subband, 1–3 six-bit scalefactors per
+    * the scfsi mode (0: three, one per 12-sample part; 1: parts 0,1
+    * share the first of two; 2: one for all parts; 3: parts 1,2 share
+    * the second of two), then 12 granules of sample codes — GROUPED
+    * classes (3/5/9 steps) pack three consecutive samples into one
+    * 5/7/10-bit code ungrouped by successive modulo, other classes read
+    * three nb-bit codes. Requantization is the unified spec form
+    * `s = sf · (2^nb/steps) · (code/2^(nb−1) − 1 + D)` with D = 1/2 for
+    * grouped classes and 2^(1−nb) otherwise (the closed form generating
+    * Tables 3-B.4's C/D columns; for steps = 2^nb − 1 it reduces to the
+    * Layer I formula). Synthesis to PCM stays the declared stub
+    * (tabulated polyphase window); Layer III (Huffman + IMDCT) stays
+    * declared. Returns frames × allocated-subband blocks in bitstream
+    * order; None when the stream is not MPEG-1 Layer II at 48 kHz mono
+    * (only the 3-B.2a table is carried). */
+  def layer2Decode(bytes: Array[Byte]): Option[(AudioMeta, Seq[SubbandBlock2])] = {
+    val brL2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                     256, 320, 384)
+    val srV1 = Array(44100, 48000, 32000)
+    def header(p: Int): Option[(Int, Int, Int, Int)] = {
+      if (p + 4 > bytes.length) return None
+      val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
+      val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+      val version = (b2 >> 3) & 0x3
+      val layer = (b2 >> 1) & 0x3 // 2 = Layer II
+      if (version != 3 || layer != 2) return None
+      val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val sr = srV1(srIdx)
+      if (sr != 48000) return None // only table 3-B.2a is carried
+      val padding = (b3 >> 1) & 1
+      val channels = if (((b4 >> 6) & 0x3) == 3) 1 else 2
+      val len = 144 * brL2(brIdx) * 1000 / sr + padding
+      val prot = 1 - (b2 & 1)
+      Some((len, sr, channels, prot))
+    }
+    header(0).filter(_._3 == 1).map { case (_, sr, ch, _) =>
+      val blocks = Seq.newBuilder[SubbandBlock2]
+      var p = 0
+      var f = 0
+      var go = true
+      while (go) {
+        header(p) match {
+          case Some((len, _, _, prot)) if p + len <= bytes.length =>
+            var bitPos = (p + 4 + 2 * prot) * 8
+            def readBits(n: Int): Int = {
+              var v = 0; var i = 0
+              while (i < n) {
+                v = (v << 1) |
+                  ((bytes(bitPos >> 3) >> (7 - (bitPos & 7))) & 1)
+                bitPos += 1; i += 1
+              }
+              v
+            }
+            val alloc = Array.tabulate(l2Sblimit)(sb =>
+              readBits(l2AllocBits(sb)))
+            val scfsi = alloc.map(a => if (a > 0) readBits(2) else 0)
+            // scalefactor per (subband, part): parts are the three
+            // 12-sample thirds of the frame (granules 0-3, 4-7, 8-11)
+            val scfPart = Array.ofDim[Int](l2Sblimit, 3)
+            var sb = 0
+            while (sb < l2Sblimit) {
+              if (alloc(sb) > 0) scfsi(sb) match {
+                case 0 =>
+                  scfPart(sb)(0) = readBits(6); scfPart(sb)(1) = readBits(6)
+                  scfPart(sb)(2) = readBits(6)
+                case 1 =>
+                  val a = readBits(6); val b = readBits(6)
+                  scfPart(sb)(0) = a; scfPart(sb)(1) = a; scfPart(sb)(2) = b
+                case 2 =>
+                  val a = readBits(6)
+                  scfPart(sb)(0) = a; scfPart(sb)(1) = a; scfPart(sb)(2) = a
+                case _ =>
+                  val a = readBits(6); val b = readBits(6)
+                  scfPart(sb)(0) = a; scfPart(sb)(1) = b; scfPart(sb)(2) = b
+              }
+              sb += 1
+            }
+            val samples = Array.ofDim[Double](l2Sblimit, 36)
+            def requant(v: Int, steps: Int, sf: Double): Double = {
+              val nb = l2SampleBits(steps)
+              val d = if (l2Grouped(steps)) 0.5 else 2.0 / (1 << nb)
+              sf * ((1 << nb).toDouble / steps) *
+                (v.toDouble / (1 << (nb - 1)) - 1.0 + d)
+            }
+            var gr = 0
+            while (gr < 12) {
+              val part = gr / 4
+              var sb2 = 0
+              while (sb2 < l2Sblimit) {
+                if (alloc(sb2) > 0) {
+                  val steps = l2Steps(sb2, alloc(sb2))
+                  val sf = math.pow(2.0, 1.0 - scfPart(sb2)(part) / 3.0)
+                  if (l2Grouped(steps)) {
+                    val gBits = steps match {
+                      case 3 => 5; case 5 => 7; case _ => 10
+                    }
+                    var c = readBits(gBits)
+                    var j = 0
+                    while (j < 3) {
+                      samples(sb2)(gr * 3 + j) = requant(c % steps, steps, sf)
+                      c /= steps; j += 1
+                    }
+                  } else {
+                    val nb = l2SampleBits(steps)
+                    var j = 0
+                    while (j < 3) {
+                      samples(sb2)(gr * 3 + j) = requant(readBits(nb), steps, sf)
+                      j += 1
+                    }
+                  }
+                }
+                sb2 += 1
+              }
+              gr += 1
+            }
+            var sb3 = 0
+            while (sb3 < l2Sblimit) {
+              if (alloc(sb3) > 0)
+                blocks += SubbandBlock2(f, sb3, alloc(sb3),
+                  l2Steps(sb3, alloc(sb3)), scfsi(sb3), samples(sb3))
+              sb3 += 1
+            }
+            f += 1; p += len
+          case _ => go = false
+        }
+      }
+      (AudioMeta(sr, ch, -1, f), blocks.result())
+    }
+  }
+
+  /** A real MPEG-1 Layer II mono stream (48 kHz, 192 kbps → 576-byte
+    * frames, table 3-B.2a) with genuinely bit-packed deterministic
+    * content — the encode half of the [[layer2Decode]] round trip.
+    * Per frame `f`, subband `sb`: allocation index by class
+    * (`(seed+sb) % 5` for sb<3, `(seed+sb·3) % 6` for 3≤sb<11 — covers
+    * both grouped and ungrouped classes, `(seed+sb) % 6` for 11≤sb<23,
+    * `(seed+sb) % 3` above; worst-case bit budget 4384 < 4576 payload
+    * bits, asserted), scfsi `(seed+sb) % 4` (all four share modes),
+    * written scalefactors `3·((seed·5 + f·11 + sb·7 + slot·3) % 21)`
+    * per transmitted slot (multiples of 3 keep `2^(1−idx/3)` exactly
+    * dyadic — the engine-portable float contract), grouped sample code
+    * `(seed·131 + f·17 + g·29 + sb·13) % steps³`, ungrouped per-sample
+    * code `(… + j·7) % steps`. */
+  def layer2Bytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576 // 144 * 192000 / 48000
+    val out = new Array[Byte](frameLen * nFrames)
+    var bitPos = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1)
+          out(bitPos >> 3) = (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; i -= 1
+      }
+    }
+    def allocOf(sb: Int): Int =
+      if (sb < 3) ((seed + sb) % 5).toInt
+      else if (sb < 11) ((seed + sb * 3) % 6).toInt
+      else if (sb < 23) ((seed + sb) % 6).toInt
+      else ((seed + sb) % 3).toInt
+    (0 until nFrames).foreach { f =>
+      bitPos = f * frameLen * 8
+      putBits(0xff, 8); putBits(0xfd, 8) // sync + MPEG1 + Layer II + no CRC
+      putBits(0xa4, 8)                   // bitrate idx 10 (192), sr idx 1 (48k)
+      putBits(0xc0, 8)                   // mono
+      val alloc = Array.tabulate(l2Sblimit)(allocOf)
+      (0 until l2Sblimit).foreach(sb => putBits(alloc(sb), l2AllocBits(sb)))
+      val scfsi = Array.tabulate(l2Sblimit)(sb => ((seed + sb) % 4).toInt)
+      (0 until l2Sblimit).foreach(sb =>
+        if (alloc(sb) > 0) putBits(scfsi(sb), 2))
+      (0 until l2Sblimit).foreach { sb =>
+        if (alloc(sb) > 0) {
+          val nScf = scfsi(sb) match {
+            case 0 => 3; case 2 => 1; case _ => 2
+          }
+          (0 until nScf).foreach(slot =>
+            putBits(3 * (((seed * 5 + f * 11 + sb * 7 + slot * 3) % 21).toInt), 6))
+        }
+      }
+      (0 until 12).foreach { g =>
+        (0 until l2Sblimit).foreach { sb =>
+          if (alloc(sb) > 0) {
+            val steps = l2Steps(sb, alloc(sb))
+            if (l2Grouped(steps)) {
+              val gBits = steps match { case 3 => 5; case 5 => 7; case _ => 10 }
+              putBits(((seed * 131 + f * 17 + g * 29 + sb * 13) %
+                (steps.toLong * steps * steps)).toInt, gBits)
+            } else {
+              (0 until 3).foreach { j =>
+                putBits(((seed * 131 + f * 17 + g * 29 + sb * 13 + j * 7) %
+                  steps).toInt, l2SampleBits(steps))
+              }
+            }
+          }
+        }
+      }
+      require(bitPos <= (f + 1) * frameLen * 8,
+        s"Layer II frame overflow: ${bitPos - f * frameLen * 8} bits")
     }
     out
   }

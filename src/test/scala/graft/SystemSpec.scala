@@ -538,6 +538,56 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.layer1Decode("garbage".getBytes) == None)
   }
 
+  test("layer2Decode round-trips genuinely bit-packed MPEG-1 Layer II frames") {
+    val b = Multimodal.layer2Bytes(seed = 5, nFrames = 2)
+    assert(b.length == 576 * 2)
+    val Some((meta, blocks)) = Multimodal.layer2Decode(b)
+    assert(meta == Multimodal.AudioMeta(48000, 1, -1, 2))
+    // alloc: sb<3 (5+sb)%5 -> sb 0 silent; 3<=sb<11 (5+3sb)%6;
+    // 11<=sb<23 (5+sb)%6 -> sb 13,19 silent; sb>=23 (5+sb)%3 -> sb 25 silent
+    def allocOf(sb: Int): Int =
+      if (sb < 3) (5 + sb) % 5
+      else if (sb < 11) (5 + sb * 3) % 6
+      else if (sb < 23) (5 + sb) % 6
+      else (5 + sb) % 3
+    val expAllocated = (0 until 27).count(allocOf(_) > 0)
+    assert(blocks.count(_.frame == 0) == expAllocated)
+    assert(!blocks.exists(_.subband == 0) && !blocks.exists(_.subband == 13))
+    // Spot-check a GROUPED subband (sb=3: alloc (5+9)%6=2 -> steps 5,
+    // scfsi (5+3)%4=0 -> three scf, part0 slot0):
+    // scf = 3*((25 + 21 + 0) % 21) = 3*4 -> sf = 2^(1-4) = 1/8
+    // code c = (5*131 + 3*13) % 125 = 694 % 125 = 69; v0 = 69 % 5 = 4
+    // s = sf * (8/5) * (4/4 - 1 + 0.5) = 0.125 * 1.6 * 0.5 = 0.1
+    val g = blocks.find(b => b.frame == 0 && b.subband == 3).get
+    assert(g.allocIdx == 2 && g.steps == 5 && g.scfsi == 0)
+    assert(math.abs(g.samples(0) - 0.1) < 1e-15)
+    // Spot-check an UNGROUPED subband (sb=1: alloc (5+1)%5=1 -> steps 7?
+    // table sb<3 idx1 -> 3 steps, grouped; use sb=2: (5+2)%5=2 -> steps 7,
+    // nb=3, scfsi (5+2)%4=3 -> two scf, part0 uses slot0):
+    // scf = 3*((25 + 14) % 21) = 3*18 -> sf = 2^-17
+    // code j=0: (5*131 + 2*13) % 7 = 681 % 7 = 2
+    // s = sf * (8/7) * (2/4 - 1 + 2/8) = 2^-17 * (8/7) * (-0.25)
+    val u = blocks.find(b => b.frame == 0 && b.subband == 2).get
+    assert(u.allocIdx == 2 && u.steps == 7 && u.scfsi == 3)
+    val expU = math.pow(2.0, -17) * (8.0 / 7) * (2.0 / 4 - 1 + 0.25)
+    assert(math.abs(u.samples(0) - expU) < 1e-20)
+    // scfsi part sharing: sb=2 scfsi=3 -> parts 1 and 2 share slot1's
+    // scalefactor, so granule 4 (part 1) and granule 8 (part 2) see the
+    // same sf while part 0 differs.
+    val sfSlot1 = math.pow(2.0, 1.0 - ((25 + 14 + 3) % 21))
+    val expU4 = sfSlot1 * (8.0 / 7) *
+      (((5 * 131 + 4 * 29 + 2 * 13) % 7) / 4.0 - 1 + 0.25)
+    assert(math.abs(u.samples(12) - expU4) < 1e-20)
+    assert(math.abs(u.samples(24) - sfSlot1 * (8.0 / 7) *
+      (((5 * 131 + 8 * 29 + 2 * 13) % 7) / 4.0 - 1 + 0.25)) < 1e-20)
+    // Truncation honesty; Layer I/III streams and garbage decline.
+    val Some((m2, blk2)) = Multimodal.layer2Decode(b.take(576 + 100))
+    assert(m2.nFrames == 1 && blk2.forall(_.frame == 0))
+    assert(Multimodal.layer2Decode(Multimodal.layer1Bytes(5, 1)) == None)
+    assert(Multimodal.layer2Decode(Multimodal.mp3Bytes(2)) == None)
+    assert(Multimodal.layer2Decode("garbage".getBytes) == None)
+  }
+
   test("gif codec round-trips and matches the JDK's independent decoder") {
     // Pixels chosen to exercise the LZW hard spots: a long constant run
     // (KwKwK codes), then noise (rapid table growth past the 512/1024
