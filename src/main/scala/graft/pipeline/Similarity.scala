@@ -404,7 +404,7 @@ object Similarity {
       val y = c.join(w.select(col("i").as("j"), col("w")), "j")
         .groupBy("i").agg(sum(col("cij") * col("w")).as("y"))
       val ma = y.agg(max(abs(col("y"))).as("ma"))
-      w = y.crossJoin(ma)
+      w = y.crossJoin(broadcast(ma))
         .select(col("i"),
                 round(col("y").cast("double") / col("ma").cast("double")
                       * 1e6, 0).cast("long").as("w"))
@@ -412,7 +412,7 @@ object Similarity {
     }
     val flip = w.filter(col("w") =!= 0).orderBy("i").limit(1)
       .select(signum(col("w").cast("double")).as("fs"))
-    w.crossJoin(flip)
+    w.crossJoin(broadcast(flip))
       .select(col("i").cast("long").as("pos"),
               (col("w") * col("fs") / 1e6).as("w"))
   }

@@ -230,7 +230,7 @@ object EventStreams {
         "left_semi")
       .select("user_id").distinct()
     from.select("user_id").distinct().agg(count(lit(1)).as("n_from_users"))
-      .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+      .crossJoin(broadcast(converted.agg(count(lit(1)).as("n_converted"))))
       .select(col("n_from_users"), col("n_converted"),
               // Guarded: with zero fromType users the rate is 0.0, not a
               // NULL/engine-dependent division-by-zero artifact.

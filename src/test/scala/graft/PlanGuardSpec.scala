@@ -67,4 +67,55 @@ class PlanGuardSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
   }
+
+  test("no registered query plans an unhinted data-sized cross join") {
+    // The second scale-hazard class after the global window: a
+    // condition-less Join where neither side carries a broadcast hint.
+    // Without the hint Catalyst falls back to size estimates — fine when
+    // one side is provably tiny, a cluster-killing
+    // BroadcastNestedLoop/Cartesian of two data-sized inputs otherwise.
+    // WHITELIST: shapes where the full crossing IS the reference
+    // semantics (frontier × entity-universe scoring) or the operator's
+    // contract (per-group cartesian), each audited in its source file.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val inherent = Set(
+      // CQD beam: unpruned (beam = MaxValue) frontiers are deliberately
+      // NOT broadcast-hinted (CQDBeam scale note: an unconditional hint
+      // would ship the universe to every executor); the frontier ×
+      // universe crossing is the reference's R6 ranking semantics.
+      "cqd_1p_transe", "cqd_1p_distmult", "cqd_1p_complex", "cqd_1p_rotate",
+      "cqd_1p_rescal", "cqd_1p_swtranse", "cqd_1p_conve", "cqd_2p_transe",
+      "cqd_2p_complex", "cqd_2p_rotate", "cqd_2i_godel", "cqd_2in_transe",
+      "cqd_3c_beam", "cqd_batch_2p", "kg_2il", "kg_3il",
+      // LMPNN: the x·Eᵀ projection / final cosine scoring crosses a
+      // per-query handful of states with the entity table (LMPNN.answer
+      // scale note) — states side is O(queries), not data-sized.
+      "lmpnn_2p", "lmpnn_2in", "lmpnn_1p_mlp", "lmpnn_1p_bias",
+      // Per-group cartesian IS the operator (R11).
+      "q_r11_cartesian",
+      // eval suites run the CQD/ranking path over 25 query types.
+      "eval_cqd_mrr", "eval_efo1_suite", "eval_efox_suite")
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(kv => inherent.contains(kv._1))
+      .foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, dir).queryExecution.optimizedPlan
+          val unhinted = plan.collect {
+            case j: Join if j.condition.isEmpty &&
+                j.hint.leftHint.forall(_.strategy.isEmpty) &&
+                j.hint.rightHint.forall(_.strategy.isEmpty) &&
+                j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty => j
+          }
+          if (unhinted.nonEmpty) bad += name
+        } catch {
+          case e: Throwable =>
+            info(s"[plan-guard] $name failed to build: ${e.getMessage}")
+        }
+      }
+    assert(bad.isEmpty,
+      s"unhinted condition-less join in: ${bad.mkString(", ")} — " +
+        "broadcast() the provably-small side, or add the query to the " +
+        "audited whitelist with its inherent-crossing justification")
+  }
 }
