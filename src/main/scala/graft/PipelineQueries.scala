@@ -825,6 +825,21 @@ object PipelineQueries {
                 s"SELECT f.id AS entity, MAX(s1.sc + ${rotateSql("s1.e1", "8", "f.id")}) AS score " +
                 "FROM s1, ents f GROUP BY f.id")}""".stripMargin)),
 
+    // F3 composed over two hops — completes the multi-hop oracle family
+    // for the multiplicative scorer alongside transe/complex/rotate.
+    ("cqd_2p_distmult",
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+          Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+          relEmb(s), graft.score.NativeDistMult, beam = Int.MaxValue))
+      },
+      Some(s"""WITH ents AS ($supplierEntsSql),
+              |s1 AS (SELECT id AS e1, 1 + ${distmultSql("400000000", "9", "id")} AS sc FROM ents)
+              |${top10Sql(
+                s"SELECT f.id AS entity, MAX(s1.sc + ${distmultSql("s1.e1", "8", "f.id")}) AS score " +
+                "FROM s1, ents f GROUP BY f.id")}""".stripMargin)),
+
     // F10: RESCAL bilinear h^T W_r t (intended semantics; the reference's
     // own scorer is latently broken, rescal.py:32-36). Relation embedding =
     // flattened 8x8 matrix. Oracle: the double contraction in SQL lambdas,
