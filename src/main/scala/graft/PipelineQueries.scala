@@ -859,6 +859,67 @@ object PipelineQueries {
              s"list_sum(list_transform(generate_series(0, ${DIM - 1}), i -> $h * $w)) * $t)) AS score FROM ents")}""".stripMargin
       }),
 
+    // F10 composed over two hops: the bilinear double contraction
+    // chained through the existential max — with cqd_2p_{transe,complex,
+    // rotate,distmult,rescal,swtranse} every non-ConvE scorer now has a
+    // multi-hop oracle row (ConvE's reference scorer cannot chain: its
+    // estimate_tail call is the documented broken path, conve.py:143).
+    ("cqd_2p_rescal",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM * DIM,
+                                 REL_SEED),
+        graft.score.Rescal, beam = Int.MaxValue)),
+      Some {
+        def rescalE(h: String, r: String, t: String): String = {
+          val hv = s"SIN((($h) % 9973 + 1) * (i + 1) * 0.017 + $ENT_SEED)"
+          val w = s"SIN((($r) % 9973 + 1) * (i * $DIM + j + 1) * 0.017 + $REL_SEED)"
+          val tv = s"SIN((($t) % 9973 + 1) * (j + 1) * 0.017 + $ENT_SEED)"
+          s"list_sum(list_transform(generate_series(0, ${DIM - 1}), j -> " +
+            s"list_sum(list_transform(generate_series(0, ${DIM - 1}), i -> $hv * $w)) * $tv))"
+        }
+        s"""WITH ents AS ($supplierEntsSql),
+           |s1 AS (SELECT id AS e1, 1 + ${rescalE("400000000", "9", "id")} AS sc FROM ents)
+           |${top10Sql(
+             s"SELECT f.id AS entity, MAX(s1.sc + ${rescalE("s1.e1", "8", "f.id")}) AS score " +
+             "FROM s1, ents f GROUP BY f.id")}""".stripMargin
+      }),
+
+    // F11 composed over two hops: the sliced-Wasserstein particle
+    // distance chained through the existential max; per hop the oracle
+    // re-sorts the translated particle slices per dimension exactly as
+    // swtranse.py:40-68 does.
+    ("cqd_2p_swtranse",
+      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2,
+                                 REL_SEED),
+        graft.score.SWTransE(particles = 2), beam = Int.MaxValue)),
+      Some(s"""WITH ents AS ($supplierEntsSql),
+              |ev AS (SELECT id, list_transform(generate_series(1, $DIM),
+              |         k -> SIN((id % 9973 + 1) * k * 0.017 + $ENT_SEED)) AS v FROM ents),
+              |d1 AS (SELECT e.id, di.i,
+              |   list_sort(list_transform(h.v[di.i * 2 + 1 : di.i * 2 + 2],
+              |     x -> x + SIN((9 % 9973 + 1) * (di.i + 1) * 0.017 + $REL_SEED))) AS est,
+              |   list_sort(e.v[di.i * 2 + 1 : di.i * 2 + 2]) AS tl
+              |   FROM ev e CROSS JOIN (SELECT v FROM ev WHERE id = 400000000) h
+              |   CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) di),
+              |s1 AS (SELECT id AS e1, 1 - SUM(POWER(list_sum(list_transform(generate_series(1, 2),
+              |         k -> POWER(ABS(est[k] - tl[k]), 2))), 0.5)) AS sc
+              |       FROM d1 GROUP BY id),
+              |d2 AS (SELECT a.id AS e1, f.id AS fid, di.i,
+              |   list_sort(list_transform(a.v[di.i * 2 + 1 : di.i * 2 + 2],
+              |     x -> x + SIN((8 % 9973 + 1) * (di.i + 1) * 0.017 + $REL_SEED))) AS est,
+              |   list_sort(f.v[di.i * 2 + 1 : di.i * 2 + 2]) AS tl
+              |   FROM ev a CROSS JOIN ev f
+              |   CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) di),
+              |h2 AS (SELECT e1, fid, -SUM(POWER(list_sum(list_transform(generate_series(1, 2),
+              |         k -> POWER(ABS(est[k] - tl[k]), 2))), 0.5)) AS sc2
+              |       FROM d2 GROUP BY e1, fid)
+              |${top10Sql(
+                "SELECT h2.fid AS entity, MAX(s1.sc + h2.sc2) AS score " +
+                "FROM s1 JOIN h2 ON s1.e1 = h2.e1 GROUP BY h2.fid")}""".stripMargin)),
+
     // F12: ConvE inference with fixed seeded parameters (dim 9 → 2×4
     // planes, 32 3×3 filters; score = est·t, conve.py:74-96,140-144 with
     // the estimte_tail_emb typo repaired). The oracle replays the entire
