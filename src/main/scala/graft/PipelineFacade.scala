@@ -155,6 +155,12 @@ final class GraftVectors(val frame: DataFrame) {
   def nearDupPairs(threshold: Double = 0.9, planes: Int = 6): DataFrame =
     Dedup.embeddingPairs(frame, "id", "vec", threshold, planes)
   def int8Error(): DataFrame = Similarity.int8QuantError(frame)
+  /** Dominant principal direction (exact-moment power iteration). */
+  def pcaDirection(dim: Int, iters: Int = 3): DataFrame =
+    Similarity.pcaPowerDirection(frame, dim, iters)
+  /** All-but-the-top projection (Mu & Viswanath 2018). */
+  def removeTopDirection(dim: Int, iters: Int = 3): DataFrame =
+    Similarity.removeTopDirection(frame, dim, iters)
 }
 
 /** Pipeline facade entry points, companion to [[Graft]]'s KG entries. */
@@ -166,6 +172,18 @@ object GraftPipeline {
 
   /** Wrap an embedding table `(id, vec ARRAY<DOUBLE>[, label])`. */
   def vectors(emb: DataFrame): GraftVectors = new GraftVectors(emb)
+
+  /** Ingest a gzip-compressed text corpus (BINARY column → UTF-8 text
+    * + sizes + `truncated` flag); partition-local, zero shuffles. */
+  def ingestGzip(shards: DataFrame, idCol: String = "id",
+                 gzCol: String = "gz"): GraftCorpus =
+    new GraftCorpus(TextOps.gunzipCorpus(shards, idCol, gzCol), "id", "text")
+
+  /** Ingest WARC shards (optionally gzipped, the `.warc.gz` layout) into
+    * one row per record; partition-local record walk, zero shuffles. */
+  def ingestWarc(shards: DataFrame, idCol: String = "shard_id",
+                 shardCol: String = "payload"): DataFrame =
+    TextOps.warcCorpus(shards, idCol, shardCol)
 
   /** The driver-testdata corpus + vectors for a scale-factor dir. */
   def fromTestdata(spark: SparkSession, dir: String)

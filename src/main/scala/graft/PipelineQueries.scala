@@ -845,10 +845,14 @@ object PipelineQueries {
     // flattened 8x8 matrix. Oracle: the double contraction in SQL lambdas,
     // same fold nesting (inner over i, outer over j).
     ("cqd_1p_rescal",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
-        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir),
-        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM * DIM, REL_SEED),
-        graft.score.Rescal, beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,f)",
+          Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir),
+          Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM * DIM,
+                                   REL_SEED),
+          graft.score.NativeRescal, beam = Int.MaxValue))
+      },
       Some {
         val h = "SIN((400000000 % 9973 + 1) * (i + 1) * 0.017 + " + ENT_SEED + ")"
         val w = s"SIN((9 % 9973 + 1) * (i * $DIM + j + 1) * 0.017 + $REL_SEED)"
@@ -865,11 +869,14 @@ object PipelineQueries {
     // multi-hop oracle row (ConvE's reference scorer cannot chain: its
     // estimate_tail call is the documented broken path, conve.py:143).
     ("cqd_2p_rescal",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
-        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
-        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM * DIM,
-                                 REL_SEED),
-        graft.score.Rescal, beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+          Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+          Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM * DIM,
+                                   REL_SEED),
+          graft.score.NativeRescal, beam = Int.MaxValue))
+      },
       Some {
         def rescalE(h: String, r: String, t: String): String = {
           val hv = s"SIN((($h) % 9973 + 1) * (i + 1) * 0.017 + $ENT_SEED)"
@@ -890,11 +897,14 @@ object PipelineQueries {
     // re-sorts the translated particle slices per dimension exactly as
     // swtranse.py:40-68 does.
     ("cqd_2p_swtranse",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
-        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
-        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2,
-                                 REL_SEED),
-        graft.score.SWTransE(particles = 2), beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+          Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0), supplierEnts(s, dir),
+          Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2,
+                                   REL_SEED),
+          graft.score.NativeSWTransE(particles = 2), beam = Int.MaxValue))
+      },
       Some(s"""WITH ents AS ($supplierEntsSql),
               |ev AS (SELECT id, list_transform(generate_series(1, $DIM),
               |         k -> SIN((id % 9973 + 1) * k * 0.017 + $ENT_SEED)) AS v FROM ents),
@@ -941,10 +951,14 @@ object PipelineQueries {
     // sorts both particle sets per dimension with list_sort and sums the
     // per-dimension L2 distances.
     ("cqd_1p_swtranse",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
-        Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir),
-        Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2, REL_SEED),
-        graft.score.SWTransE(particles = 2), beam = Int.MaxValue)),
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,f)",
+          Map("r1" -> 9L, "s1" -> S0), supplierEnts(s, dir),
+          Embeddings.deterministic(s.range(22).toDF("id"), "id", DIM / 2,
+                                   REL_SEED),
+          graft.score.NativeSWTransE(particles = 2), beam = Int.MaxValue))
+      },
       Some(s"""WITH ents AS ($supplierEntsSql),
               |ev AS (SELECT id, list_transform(generate_series(1, $DIM),
               |         k -> SIN((id % 9973 + 1) * k * 0.017 + $ENT_SEED)) AS v FROM ents),

@@ -447,6 +447,132 @@ case class DistmultScore(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** RESCAL triple score `h^T W_r t` fused into one pass (F10; intended
+  * semantics of rescal.py:38-41 — the relation embedding is a flattened
+  * d×d matrix). The HOF form (`transform(seq, j -> aggregate(seq, i ->
+  * element_at…))`) evaluates d² `element_at` calls through interpreted
+  * lambda plumbing per scored pair and dominated `cqd_2p_rescal`
+  * (12 s at sf0.1). BIT-IDENTICAL fold order: inner i-loop accumulates
+  * `h_i·W[i·d+j]` from 0.0 in i order, outer j-loop folds `est_j·t_j`
+  * from 0.0 in j order — exactly the `dot(transform(aggregate))`
+  * nesting, so oracles are unchanged. */
+case class RescalScore(first: Expression, second: Expression,
+                       third: Expression) extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(h: Any, r: Any, t: Any): Any = {
+    val (hv, rv, tv) = (h.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+                        t.asInstanceOf[ArrayData])
+    val d = hv.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < d) {
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += hv.getDouble(i) * rv.getDouble(i * d + j); i += 1 }
+      s += acc * tv.getDouble(j)
+      j += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, r, t) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $d = $h.numElements();
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $d; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $acc += $h.getDouble($i) * $r.getDouble($i * $d + $j);
+         |  }
+         |  $s += $acc * $t.getDouble($j);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** SWTransE triple score fused into one pass (F11; swtranse.py:40-68):
+  * entity embeddings are d×m particles flattened row-major, the relation
+  * is d values; per dimension the head particles translate by the
+  * relation component, BOTH particle sets sort ascending, and the
+  * per-dimension Lp distance accumulates (negated total). Matches the
+  * HOF form's exact evaluation sequence — `pow(abs(diff), p)` per
+  * particle in sorted order, `pow(Σ, 1/p)` per dimension — via the same
+  * `java.lang.Math.pow/abs` intrinsics Spark codegens, so scores are
+  * bit-identical. `m` (particles) and `p` are literal arity arguments
+  * (the PqEncode convention); the per-dimension sort is an insertion
+  * sort over the m-element scratch buffers (m is small by construction
+  * — the reference defaults to single digits). */
+case class SwtranseScore(first: Expression, second: Expression,
+                         third: Expression, m: Int, p: Double)
+    extends TernaryExpression {
+  require(m > 0, s"particles must be positive, got $m")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(h: Any, r: Any, t: Any): Any = {
+    val (hv, rv, tv) = (h.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+                        t.asInstanceOf[ArrayData])
+    val d = rv.numElements()
+    val eb = new Array[Double](m); val tb = new Array[Double](m)
+    var total = 0.0
+    var i = 0
+    while (i < d) {
+      val ri = rv.getDouble(i)
+      var k = 0
+      while (k < m) {
+        eb(k) = hv.getDouble(i * m + k) + ri
+        tb(k) = tv.getDouble(i * m + k)
+        k += 1
+      }
+      java.util.Arrays.sort(eb); java.util.Arrays.sort(tb)
+      var diffP = 0.0
+      k = 0
+      while (k < m) {
+        diffP += math.pow(math.abs(eb(k) - tb(k)), p); k += 1
+      }
+      total += math.pow(diffP, 1.0 / p)
+      i += 1
+    }
+    -total
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, r, t) => {
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val d = ctx.freshName("d"); val ri = ctx.freshName("ri")
+      val eb = ctx.freshName("eb"); val tb = ctx.freshName("tb")
+      val diffP = ctx.freshName("diffP"); val total = ctx.freshName("total")
+      s"""
+         |int $d = $r.numElements();
+         |double[] $eb = new double[$m];
+         |double[] $tb = new double[$m];
+         |double $total = 0.0;
+         |for (int $i = 0; $i < $d; $i++) {
+         |  double $ri = $r.getDouble($i);
+         |  for (int $k = 0; $k < $m; $k++) {
+         |    $eb[$k] = $h.getDouble($i * $m + $k) + $ri;
+         |    $tb[$k] = $t.getDouble($i * $m + $k);
+         |  }
+         |  java.util.Arrays.sort($eb);
+         |  java.util.Arrays.sort($tb);
+         |  double $diffP = 0.0;
+         |  for (int $k = 0; $k < $m; $k++) {
+         |    $diffP += java.lang.Math.pow(java.lang.Math.abs($eb[$k] - $tb[$k]), $p);
+         |  }
+         |  $total += java.lang.Math.pow($diffP, ${1.0 / p});
+         |}
+         |${ev.value} = -$total;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
 /** Σ |a[i] − b[i]| over LONG arrays — the exact L1 distance of the
   * micro-int eval checkpoints ([[graft.score.Training]] ranksImpl),
   * evaluated |edges| × |entities| times per eval. One fused pass, no
@@ -559,6 +685,17 @@ object ArrayKernels {
         s"PQ arity arguments must be integers, got: $other")
     }
   }
+  private def doubleArg(e: Expression): Double = {
+    require(e.foldable, s"numeric arity arguments must be literals, got: $e")
+    e.eval(null) match {
+      case d: Double => d
+      case f: Float  => f.toDouble
+      case i: Int    => i.toDouble
+      case l: Long   => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"numeric arity arguments must be numbers, got: $other")
+    }
+  }
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> (es => ArrayDot(es(0), es(1))),
     "array_cosine" -> (es => ArrayCosine(es(0), es(1))),
@@ -566,6 +703,9 @@ object ArrayKernels {
     "complex_score" -> (es => ComplexScore(es(0), es(1), es(2))),
     "rotate_score" -> (es => RotateScore(es(0), es(1), es(2))),
     "distmult_score" -> (es => DistmultScore(es(0), es(1), es(2))),
+    "rescal_score" -> (es => RescalScore(es(0), es(1), es(2))),
+    "swtranse_score" -> (es => SwtranseScore(es(0), es(1), es(2),
+      intArg(es(3)), doubleArg(es(4)))),
     "pq_encode" -> (es => PqEncode(es(0), es(1), intArg(es(2)), intArg(es(3)))),
     "pq_lut" -> (es => PqLut(es(0), es(1), intArg(es(2)), intArg(es(3)))),
     "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2)))),
@@ -592,6 +732,13 @@ object ArrayKernels {
     call_function("rotate_score", h, r, t)
   def distmultScore(h: Column, r: Column, t: Column): Column =
     call_function("distmult_score", h, r, t)
+  def rescalScore(h: Column, r: Column, t: Column): Column =
+    call_function("rescal_score", h, r, t)
+  def swtranseScore(h: Column, r: Column, t: Column, m: Int,
+                    p: Double): Column =
+    call_function("swtranse_score", h, r, t,
+                  org.apache.spark.sql.functions.lit(m),
+                  org.apache.spark.sql.functions.lit(p))
   def pqEncode(vec: Column, cb: Column, m: Int, k: Int): Column =
     call_function("pq_encode", vec, cb,
                   org.apache.spark.sql.functions.lit(m),

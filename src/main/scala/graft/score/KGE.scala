@@ -162,6 +162,29 @@ case object NativeDistMult extends KGEModel {
   override def pairScore(est: Column, t: Column): Column = -dot(est, t)
 }
 
+/** F10 via the fused kernel (graft.functions.RescalScore): the bilinear
+  * `h^T W_r t` with the same inner-i / outer-j fold nesting as
+  * [[Rescal]]'s `dot(transform(aggregate))` form — bit-identical scores,
+  * one codegen'd d² loop instead of d² interpreted `element_at` calls
+  * per scored pair. */
+case object NativeRescal extends KGEModel {
+  def score(h: Column, r: Column, t: Column): Column =
+    graft.functions.ArrayKernels.rescalScore(h, r, t)
+  def estimateTail(h: Column, r: Column): Column = Rescal.estimateTail(h, r)
+  override def pairScore(est: Column, t: Column): Column = dot(est, t)
+}
+
+/** F11 via the fused kernel (graft.functions.SwtranseScore): per-dim
+  * particle translate + sort + Lp fold in the exact HOF evaluation
+  * sequence — bit-identical scores, no per-pair array churn. */
+final case class NativeSWTransE(particles: Int, p: Double = 2.0)
+    extends KGEModel {
+  def score(h: Column, r: Column, t: Column): Column =
+    graft.functions.ArrayKernels.swtranseScore(h, r, t, particles, p)
+  def estimateTail(h: Column, r: Column): Column =
+    SWTransE(particles, p).estimateTail(h, r)
+}
+
 /** F12: ConvE — 2-D convolutional scorer (conve.py:8-95), INFERENCE-ONLY
   * with fixed seeded parameters.
   *
@@ -239,6 +262,8 @@ object KGE {
     case "native_complex"  => NativeComplEx
     case "native_rotate"   => NativeRotatE
     case "native_distmult" => NativeDistMult
+    case "native_rescal"   => NativeRescal
+    case "native_swtranse" => NativeSWTransE(particles = 4)
     case "conve"         => ConvE() // inference-only, fixed seeded parameters
     case other => throw new IllegalArgumentException(s"unknown KGE model: $other")
   }

@@ -116,6 +116,26 @@ class GraftFacadeSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == 1.0)
   }
 
+  test("pipeline facade: round-10 methods (PCA, ingestion) are wired") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val (_, v) = GraftPipeline.fromTestdata(spark, dir)
+    val dim = v.frame.select(org.apache.spark.sql.functions
+      .size(col("vec"))).head().getInt(0)
+    assert(v.pcaDirection(dim, iters = 1).count() == dim)
+    assert(v.removeTopDirection(dim, iters = 1).columns.toSeq
+      == Seq("id", "pos", "vp"))
+    val gz = Seq((1L, graft.pipeline.TextOps.gzip("hello facade".getBytes)))
+      .toDF("id", "gz")
+    val c2 = GraftPipeline.ingestGzip(gz)
+    assert(c2.frame.select("text").head().getString(0) == "hello facade")
+    val warc = Seq((0L, graft.pipeline.TextOps.warcBytes(
+      Seq(("response", "http://x/1", "payload one"))))).toDF("shard_id", "payload")
+    val recs = GraftPipeline.ingestWarc(warc)
+    assert(recs.count() == 1 &&
+      recs.select("content").head().getString(0) == "payload one")
+  }
+
   test("facade train: every model family returns its parameter frame") {
     import org.apache.spark.sql.functions.col
     val kg = Graft.fromTriples(spark,
