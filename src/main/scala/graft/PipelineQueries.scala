@@ -973,6 +973,24 @@ object PipelineQueries {
               |sc0 AS (SELECT id AS entity, 1 - SUM(dist) AS score FROM dd GROUP BY id)
               |${top10Sql("SELECT entity, score FROM sc0")}""".stripMargin)),
 
+    // R3 on the SCORED path: disjunction = DNF split, one beam search
+    // per conjunct, combined with MAX (Gödel t-conorm on log-space
+    // scores, tnorm.py:22-28 via CQDBeam.answer's union+groupBy-max) —
+    // previously only the hard-set analog (kg_2u) had an oracle row.
+    ("cqd_2u_transe",
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,f)|r2(s2,f)",
+          Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0,
+              "s2" -> KG.ent(KG.TAG_SUPPLIER, 1)),
+          supplierEnts(s, dir), relEmb(s), graft.score.NativeTransE,
+          beam = Int.MaxValue))
+      },
+      Some(s"""WITH ents AS ($supplierEntsSql)
+              |${top10Sql(
+                s"SELECT id AS entity, GREATEST(1 + ${transeSql("400000000", "9", "id")}, " +
+                s"1 + ${transeSql("400000001", "8", "id")}) AS score FROM ents")}""".stripMargin)),
+
     // F16 Godel t-norm: conjunction = min over edges instead of the
     // log-space sum (tnorm.py:31-33 vs cqd.py:344-355).
     ("cqd_2i_godel",

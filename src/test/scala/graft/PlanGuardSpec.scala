@@ -86,7 +86,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "cqd_1p_transe", "cqd_1p_distmult", "cqd_1p_complex", "cqd_1p_rotate",
       "cqd_1p_rescal", "cqd_1p_swtranse", "cqd_1p_conve", "cqd_2p_transe",
       "cqd_2p_complex", "cqd_2p_rotate", "cqd_2p_distmult", "cqd_2p_rescal",
-      "cqd_2p_swtranse", "cqd_2i_godel", "cqd_2in_transe",
+      "cqd_2p_swtranse", "cqd_2i_godel", "cqd_2in_transe", "cqd_2u_transe",
       "cqd_3c_beam", "cqd_batch_2p", "kg_2il", "kg_3il",
       // LMPNN: the x·Eᵀ projection / final cosine scoring crosses a
       // per-query handful of states with the entity table (LMPNN.answer
