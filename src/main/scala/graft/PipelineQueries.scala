@@ -193,6 +193,47 @@ object PipelineQueries {
          s"SELECT id AS entity, 1 + list_dot_product(e, ${vec9("id", ENT_SEED)}) AS score FROM ents, es")}""".stripMargin
   }
 
+  /** ConvE 2p oracle: hop 1 is the constant forward (as
+    * [[conveOracleSql]]); hop 2 re-runs the seeded forward pass PER e1
+    * (the `es2` CTE is correlated on the e1 vector) and the final score
+    * is the existential max over e1 of `sc1(e1) + ⟨est2(e1), f⟩`. */
+  private def conve2pOracleSql: String = {
+    import graft.score.ConvE._
+    def vec9(idExpr: String, seed: Double) =
+      s"list_transform(generate_series(0, 8), i -> SIN((($idExpr) % 9973 + 1) * (i + 1) * 0.017 + $seed))"
+    def inp(h: String, r: String) =
+      "CASE WHEN ((fi % 4) // 2 + kk // 3) < 2 " +
+        s"THEN $h[2 + ((fi % 4) // 2 + kk // 3) * 4 + (fi % 2 + kk % 3)] " +
+        s"ELSE $r[2 + ((fi % 4) // 2 + kk // 3 - 2) * 4 + (fi % 2 + kk % 3)] END"
+    def flatten(h: String, r: String) =
+      s"""list_transform(generate_series(0, 127), fi ->
+         |    GREATEST(SIN((fi // 4 + 1) * 0.013 + $ConvBSeed) * $ConvBScale +
+         |      list_sum(list_transform(generate_series(0, 8), kk ->
+         |        SIN(((fi // 4) * 9 + kk + 1) * 0.013 + $ConvWSeed) * $ConvWScale * (${inp(h, r)}))),
+         |      0))""".stripMargin
+    val project =
+      s"""list_concat([CAST(1 AS DOUBLE)],
+         |    list_transform(generate_series(0, 7), j ->
+         |      GREATEST(SIN((j + 1) * 0.013 + $ProjBSeed) * $ProjBScale +
+         |        list_sum(list_transform(generate_series(0, 127), i ->
+         |          SIN((j * 128 + i + 1) * 0.013 + $ProjWSeed) * $ProjWScale * f[i + 1])),
+         |        0)))""".stripMargin
+    s"""WITH ents AS ($supplierEntsSql),
+       |ev AS (SELECT id, ${vec9("id", ENT_SEED)} AS v FROM ents),
+       |hv AS (SELECT ${vec9("400000000", ENT_SEED)} AS h),
+       |rv1 AS (SELECT ${vec9("9", REL_SEED)} AS r),
+       |rv2 AS (SELECT ${vec9("8", REL_SEED)} AS r),
+       |fl1 AS (SELECT ${flatten("h", "r")} AS f FROM hv, rv1),
+       |es1 AS (SELECT $project AS e FROM fl1),
+       |s1 AS (SELECT b.id AS e1, 1 + list_dot_product(es1.e, b.v) AS sc
+       |       FROM ev b, es1),
+       |fl2 AS (SELECT b.id AS e1, ${flatten("b.v", "r")} AS f FROM ev b, rv2),
+       |es2 AS (SELECT e1, $project AS e FROM fl2)
+       |${top10Sql(
+         "SELECT f.id AS entity, MAX(s1.sc + list_dot_product(es2.e, f.v)) AS score " +
+         "FROM s1 JOIN es2 ON s1.e1 = es2.e1 CROSS JOIN ev f GROUP BY f.id")}""".stripMargin
+  }
+
   /** DistMult 1p score in SQL: -Σ h_i·r_i·t_i (distmult.py:36-41). */
   private def distmultSql(h: String, r: String, tl: String): String =
     "-(" + (0 until DIM).map(i => s"${ev(h, i)} * ${rv(r, i)} * ${ev(tl, i)}")
@@ -936,15 +977,38 @@ object PipelineQueries {
     // forward pass — stack, convolve, ReLU, project, ReLU, bias dim — in
     // SQL lambdas over the same sin-seeded weight formulas.
     ("cqd_1p_conve",
-      (s, dir) => top10Rounded(CQDBeam.answer("r1(s1,f)",
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,f)",
         Map("r1" -> 9L, "s1" -> S0),
         Embeddings.deterministic(
           t(s, dir, "supplier").select(
             (lit(KG.TAG_SUPPLIER * KG.TAG_BASE) + col("s_suppkey"))
               .cast("long").as("id")), "id", 9, ENT_SEED),
         Embeddings.deterministic(s.range(22).toDF("id"), "id", 9, REL_SEED),
-        graft.score.ConvE(dim = 9), beam = Int.MaxValue)),
+        graft.score.ConvE(dim = 9), beam = Int.MaxValue))
+      },
       Some(conveOracleSql)),
+
+    // F12 composed over two hops: the REPAIRED ConvE estimate path
+    // (conve.py:143's estimte_tail_emb typo fixed to the evident intent)
+    // chained through the existential max — the hop-2 forward pass runs
+    // PER e1 in the oracle (stack e1‖r planes, convolve, ReLU, project,
+    // ReLU, bias dim), so all seven scorers now have multi-hop oracle
+    // rows.
+    ("cqd_2p_conve",
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        top10Rounded(CQDBeam.answer("r1(s1,e1)&r2(e1,f)",
+        Map("r1" -> 9L, "r2" -> 8L, "s1" -> S0),
+        Embeddings.deterministic(
+          t(s, dir, "supplier").select(
+            (lit(KG.TAG_SUPPLIER * KG.TAG_BASE) + col("s_suppkey"))
+              .cast("long").as("id")), "id", 9, ENT_SEED),
+        Embeddings.deterministic(s.range(22).toDF("id"), "id", 9, REL_SEED),
+        graft.score.ConvE(dim = 9), beam = Int.MaxValue))
+      },
+      Some(conve2pOracleSql)),
 
     // F11: SWTransE sliced-Wasserstein (d=4 dims x m=2 particles in the
     // 8-wide entity space; relation embeddings are d-dimensional). Oracle

@@ -109,10 +109,24 @@ object CQDBeam {
           val rvec = rels.filter(col("id") === b(a.rel))
             .select(col("vec").as("_rvec"))
           val srcR = src.crossJoin(broadcast(rvec))
-          val scored = cand.crossJoin(if (srcSmall) broadcast(srcR) else srcR)
-          val edgeScore =
-            if (srcIsHead) model.score(col("_svec"), col("_rvec"), col("_cvec"))
-            else model.score(col("_cvec"), col("_rvec"), col("_svec"))
+          // Estimate-heavy scorers (scoreOnFrontier): materialize the
+          // predicted-tail embedding ONCE per frontier row and pair-score
+          // it against candidates — the forward pass runs |frontier|
+          // times, not |frontier| × |entities| times. Only valid for
+          // head-to-candidate edges (the estimate depends on the solved
+          // side); candidate-as-head edges keep the 3-arg score.
+          val (scored, edgeScore) =
+            if (model.scoreOnFrontier && srcIsHead) {
+              val srcEst = srcR.withColumn("_est",
+                model.estimateTail(col("_svec"), col("_rvec")))
+              (cand.crossJoin(if (srcSmall) broadcast(srcEst) else srcEst),
+               model.pairScore(col("_est"), col("_cvec")))
+            } else {
+              (cand.crossJoin(if (srcSmall) broadcast(srcR) else srcR),
+               if (srcIsHead)
+                 model.score(col("_svec"), col("_rvec"), col("_cvec"))
+               else model.score(col("_cvec"), col("_rvec"), col("_svec")))
+            }
           val flipped = KGE.negFlip(edgeScore, lit(neg))
           scored
             .withColumn("_total",

@@ -21,6 +21,14 @@ sealed trait KGEModel {
     * (entity_pair_scoring where the reference defines it; falls back to
     * negative L2 otherwise). */
   def pairScore(est: Column, t: Column): Column = -lpDist(est, t, 2.0)
+  /** True when `score(h, r, t) ≡ pairScore(estimateTail(h, r), t)`
+    * bit-exactly AND the estimate is expensive enough that the beam
+    * should materialize it ONCE per frontier row instead of per
+    * (frontier × candidate) pair (CQDBeam honors this for
+    * head-to-candidate edges). Opt-in per model: the fused 3-arg
+    * kernels are already allocation-free, so only estimate-heavy
+    * scorers (ConvE's seeded forward pass) benefit. */
+  def scoreOnFrontier: Boolean = false
 }
 
 /** F1/F2: TransE — score `-‖h + r − t‖_p`, tail estimate `h + r`
@@ -216,8 +224,16 @@ final case class ConvE(dim: Int = 9, aspectRatio: Int = 2,
       hgt, wid, outChannels))
   }
   def score(h: Column, r: Column, t: Column): Column =
-    dot(estimateTail(h, r), t)
-  override def pairScore(est: Column, t: Column): Column = dot(est, t)
+    pairScore(estimateTail(h, r), t)
+  /** Fused dot (same sequential fold as the HOF form — bit-identical;
+    * FunctionsSpec asserts the equivalence class). Requires
+    * ArrayKernels.register(spark) or GraftExtensions. */
+  override def pairScore(est: Column, t: Column): Column =
+    graft.functions.ArrayKernels.arrayDot(est, t)
+  /** The forward pass (conv + ReLU + d²-sized projection) is ~10³ flops
+    * and depends only on (h, r): materialize per frontier row, not per
+    * scored pair — score = dot(est, t) is the same fold either way. */
+  override def scoreOnFrontier: Boolean = true
 }
 
 object ConvE {

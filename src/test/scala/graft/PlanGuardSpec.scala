@@ -84,7 +84,8 @@ class PlanGuardSpec extends AnyFunSuite {
       // would ship the universe to every executor); the frontier ×
       // universe crossing is the reference's R6 ranking semantics.
       "cqd_1p_transe", "cqd_1p_distmult", "cqd_1p_complex", "cqd_1p_rotate",
-      "cqd_1p_rescal", "cqd_1p_swtranse", "cqd_1p_conve", "cqd_2p_transe",
+      "cqd_1p_rescal", "cqd_1p_swtranse", "cqd_1p_conve", "cqd_2p_conve",
+      "cqd_2p_transe",
       "cqd_2p_complex", "cqd_2p_rotate", "cqd_2p_distmult", "cqd_2p_rescal",
       "cqd_2p_swtranse", "cqd_2i_godel", "cqd_2in_transe", "cqd_2u_transe",
       "cqd_3c_beam", "cqd_batch_2p", "kg_2il", "kg_3il",
