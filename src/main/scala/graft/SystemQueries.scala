@@ -1367,6 +1367,94 @@ object SystemQueries {
             |  ROUND(list_sum(list_transform(ts, v -> v * v)), 6) AS s_msq
             |FROM tx""".stripMargin)),
 
+    // decodeFeatures over REAL MPEG audio payloads: even rows carry
+    // Layer I streams, odd rows Layer II — the feature extractor routes
+    // both through the real subband decode (mpegSubbandStats), no stub.
+    // The oracle rebuilds each stream's requantized samples from the
+    // generating formulas IN BITSTREAM ORDER (frame-major, subband-asc,
+    // group-asc — the same fold order the extractor sums in) and
+    // recomputes mean / mean-square / peak / fill.
+    ("multimodal_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(24).map { id =>
+          val nf = (id % 2).toInt + 1
+          Multimodal.MediaRow(id, "audio",
+            if (id % 2 == 0) Multimodal.layer1Bytes(id, nf)
+            else Multimodal.layer2Bytes(id, nf), -1, -1, -1)
+        }
+        Multimodal.decodeFeatures(media).toDF().select(
+          col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          round(element_at(col("features"), 1), 6).as("f_mean"),
+          round(element_at(col("features"), 2), 6).as("f_msq"),
+          round(element_at(col("features"), 3), 6).as("f_peak"),
+          round(element_at(col("features"), 4), 6).as("f_fill"))
+      },
+      Some("""WITH m AS (SELECT r AS id, r % 2 + 1 AS nf FROM range(24) t(r)),
+            |l1 AS (
+            |  SELECT id, nf, list_filter(list_transform(generate_series(0, nf * 384 - 1), i ->
+            |    CASE WHEN (id + (i % 384) // 12) % 8 > 0 THEN
+            |      POWER(2.0, 1.0 - ((id * 5 + (i // 384) * 11 + ((i % 384) // 12) * 7) % 21))
+            |      * ((1 << ((id + (i % 384) // 12) % 8 + 1)) / ((1 << ((id + (i % 384) // 12) % 8 + 1)) - 1.0))
+            |      * (((id * 131 + (i // 384) * 17 + (i % 12) * 29 + ((i % 384) // 12) * 13)
+            |          % (1 << ((id + (i % 384) // 12) % 8 + 1))) * 1.0
+            |         / (1 << ((id + (i % 384) // 12) % 8)) - 1.0
+            |         + 2.0 / (1 << ((id + (i % 384) // 12) % 8 + 1)))
+            |    ELSE NULL END), v -> v IS NOT NULL) AS ts,
+            |    nf * 384 AS cap
+            |  FROM m WHERE id % 2 = 0),
+            |sb2 AS (
+            |  SELECT id, nf, i, (i % 972) // 36 AS sb, i // 972 AS f,
+            |         ((i % 972) % 36) // 3 AS gr, (i % 36) % 3 AS jj
+            |  FROM m, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, nf * 972 - 1)) AS i) g
+            |  WHERE id % 2 = 1),
+            |al2 AS (
+            |  SELECT id, nf, i, sb, f, gr, jj,
+            |    CASE WHEN sb < 3 THEN (id + sb) % 5
+            |         WHEN sb < 11 THEN (id + sb * 3) % 6
+            |         WHEN sb < 23 THEN (id + sb) % 6
+            |         ELSE (id + sb) % 3 END AS aidx
+            |  FROM sb2),
+            |qc2 AS (
+            |  SELECT id, nf, i, sb, f, gr, jj, aidx,
+            |    CASE WHEN sb < 3 THEN [3, 7, 15, 31][CAST(aidx AS INT)]
+            |         WHEN sb < 11 THEN [3, 5, 7, 9, 15][CAST(aidx AS INT)]
+            |         WHEN sb < 23 THEN [3, 5, 7, 9, 15][CAST(aidx AS INT)]
+            |         ELSE [3, 5][CAST(aidx AS INT)] END AS steps,
+            |    (id + sb) % 4 AS scfsi
+            |  FROM al2 WHERE aidx > 0),
+            |tx2 AS (
+            |  SELECT id, nf, i,
+            |    POWER(2.0, 1.0 - ((id * 5 + f * 11 + sb * 7
+            |      + (CASE scfsi WHEN 0 THEN gr // 4
+            |                    WHEN 1 THEN (CASE WHEN gr // 4 = 2 THEN 1 ELSE 0 END)
+            |                    WHEN 2 THEN 0
+            |                    ELSE (CASE WHEN gr // 4 = 0 THEN 0 ELSE 1 END) END) * 3) % 21))
+            |    * (POWER(2.0, CASE steps WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 9 THEN 4
+            |                             WHEN 7 THEN 3 WHEN 15 THEN 4 WHEN 31 THEN 5 END) / steps)
+            |    * ((CASE WHEN steps IN (3, 5, 9)
+            |          THEN ((id * 131 + f * 17 + gr * 29 + sb * 13) % (steps * steps * steps))
+            |               // CAST(POWER(steps, jj) AS BIGINT) % steps
+            |          ELSE (id * 131 + f * 17 + gr * 29 + sb * 13 + jj * 7) % steps END) * 1.0
+            |       / POWER(2.0, CASE steps WHEN 3 THEN 1 WHEN 5 THEN 2 WHEN 9 THEN 3
+            |                               WHEN 7 THEN 2 WHEN 15 THEN 3 WHEN 31 THEN 4 END) - 1.0
+            |       + CASE WHEN steps IN (3, 5, 9) THEN 0.5
+            |              ELSE 2.0 / POWER(2.0, CASE steps WHEN 7 THEN 3 WHEN 15 THEN 4
+            |                                              WHEN 31 THEN 5 END) END) AS v
+            |  FROM qc2),
+            |agg2 AS (
+            |  SELECT id, list(v ORDER BY i) AS ts, MAX(nf) * 972 AS cap
+            |  FROM tx2 GROUP BY id),
+            |u AS (SELECT id, ts, cap FROM l1 UNION ALL SELECT id, ts, cap FROM agg2)
+            |SELECT id AS media_id,
+            |  CAST(CASE WHEN id % 2 = 0 THEN 32000 ELSE 48000 END AS BIGINT) AS sample_rate,
+            |  ROUND(list_sum(ts) / len(ts), 6) AS f_mean,
+            |  ROUND(list_sum(list_transform(ts, v -> v * v)) / len(ts), 6) AS f_msq,
+            |  ROUND(list_max(list_transform(ts, v -> ABS(v))), 6) AS f_peak,
+            |  ROUND(len(ts) * 1.0 / cap, 6) AS f_fill
+            |FROM u""".stripMargin)),
+
     // REAL GIF decode, round-trip-proven: each row carries a genuine
     // GIF89a (logical screen descriptor, 256-entry grey global color
     // table, real variable-width LZW entropy coding with width growth;

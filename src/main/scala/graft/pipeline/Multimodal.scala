@@ -1289,6 +1289,38 @@ object Multimodal {
     out
   }
 
+  /** Subband-domain sample statistics for MPEG-1 Layer I/II payloads —
+    * the audio analog of the pixel-stats feature path: (meta, n, mean,
+    * mean-square, peak, fill) over every requantized sample the REAL
+    * [[layer1Decode]]/[[layer2Decode]] walk produces, in bitstream order
+    * (frame-major, subband-ascending, group-ascending — the order an
+    * oracle must replay for bit-equal sums). `fill` is the decoded
+    * fraction of the layer's allocatable sample capacity (32×12 per
+    * Layer I frame, 27×36 per Layer II frame at table 3-B.2a). */
+  def mpegSubbandStats(bytes: Array[Byte])
+      : Option[(AudioMeta, Long, Double, Double, Double, Double)] = {
+    def stats(meta: AudioMeta, samples: Iterator[Array[Double]],
+              capacity: Long) = {
+      var n = 0L; var sum = 0.0; var sq = 0.0; var peak = 0.0
+      samples.foreach(_.foreach { v =>
+        n += 1; sum += v; sq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+      })
+      if (n == 0 || capacity == 0) None
+      else Some((meta, n, sum / n, sq / n, peak, n.toDouble / capacity))
+    }
+    layer1Decode(bytes) match {
+      case Some((m, blocks)) =>
+        stats(m, blocks.iterator.map(_.samples), m.nFrames.toLong * 32 * 12)
+      case None => layer2Decode(bytes) match {
+        case Some((m, blocks)) =>
+          stats(m, blocks.iterator.map(_.samples),
+                m.nFrames.toLong * l2Sblimit * 36)
+        case None => None
+      }
+    }
+  }
+
   /** A minimal real MP4: ftyp + moov(mvhd + one video trak [+ one audio
     * trak]) + mdat filler. Box sizes, fixed-point dims, and sample-entry
     * fourccs are genuine ISO BMFF; `v1 = true` writes version-1
@@ -1507,9 +1539,13 @@ object Multimodal {
     *  - PCM WAV rows: REAL sample statistics via [[wavSampleStats]] —
     *    [mean, mean-square, peak, zero-crossing rate, decoded-sample
     *    fraction, 0-padding];
-    *  - everything else (video, unknown containers): the declared STUB —
-    *    `dim` deterministic byte-derived moments, so downstream operators
-    *    (dedup, ANN) are exercised end-to-end either way. */
+    *  - MPEG-1 Layer I/II rows: REAL subband-sample statistics via
+    *    [[mpegSubbandStats]] — [mean, mean-square, peak, decoded fill
+    *    fraction, 0-padding];
+    *  - everything else (Layer III/AAC, video, unknown containers): the
+    *    declared STUB — `dim` deterministic byte-derived moments, so
+    *    downstream operators (dedup, ANN) are exercised end-to-end
+    *    either way. */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -1519,7 +1555,9 @@ object Multimodal {
         val imeta = imageMeta(bytes)
         // WAV header, else real MP3 frame-header metadata (payload decode
         // for MP3 stays the stub path below).
-        val ameta = audioMeta(bytes).orElse(mp3Meta(bytes).map(_._1))
+        val mpeg = mpegSubbandStats(bytes)
+        val ameta = audioMeta(bytes).orElse(mpeg.map(_._1))
+          .orElse(mp3Meta(bytes).map(_._1))
         val pixelStats = bmpChannelStats(bytes).orElse(pngChannelStats(bytes))
           .orElse(jpegChannelStats(bytes)).orElse(gifChannelStats(bytes))
         val feats = (pixelStats, wavSampleStats(bytes)) match {
@@ -1541,16 +1579,28 @@ object Multimodal {
               case 4 => n.toDouble / math.max(1L, meta.nFrames.toLong * meta.channels)
               case _ => 0.0
             }
-          case _ =>
-            Array.tabulate(dim) { i =>
-              if (bytes.isEmpty) 0.0
-              else {
-                var acc = 0.0
-                var j = i
-                while (j < bytes.length) { acc += (bytes(j) & 0xFF) / 255.0; j += dim }
-                acc / math.max(1, (bytes.length + dim - 1 - i) / dim)
+          case _ => mpeg match {
+            // REAL MPEG-1 Layer I/II subband stats (was the stub path):
+            // [mean, mean-square, peak, decoded fill fraction, 0-pad].
+            case Some((_, n, mean, meanSq, peak, fill)) if n > 0 =>
+              Array.tabulate(dim) {
+                case 0 => mean
+                case 1 => meanSq
+                case 2 => peak
+                case 3 => fill
+                case _ => 0.0
               }
-            }
+            case _ =>
+              Array.tabulate(dim) { i =>
+                if (bytes.isEmpty) 0.0
+                else {
+                  var acc = 0.0
+                  var j = i
+                  while (j < bytes.length) { acc += (bytes(j) & 0xFF) / 255.0; j += dim }
+                  acc / math.max(1, (bytes.length + dim - 1 - i) / dim)
+                }
+              }
+          }
         }
         MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
                       imeta.map(_.width).getOrElse(-1),

@@ -586,6 +586,20 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.layer2Decode(Multimodal.layer1Bytes(5, 1)) == None)
     assert(Multimodal.layer2Decode(Multimodal.mp3Bytes(2)) == None)
     assert(Multimodal.layer2Decode("garbage".getBytes) == None)
+    // decodeFeatures routes BOTH layers through the real subband stats
+    // (not the byte-moment stub): features = [mean, msq, peak, fill].
+    import SparkTestSession.spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(0L, "audio", Multimodal.layer1Bytes(5, 2), -1, -1, -1),
+      Multimodal.MediaRow(1L, "audio", b, -1, -1, -1)).toDS()
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val Some((_, l2blocks)) = Multimodal.layer2Decode(b)
+    val all2 = l2blocks.flatMap(_.samples)
+    assert(feats(1L).sample_rate == 48000)
+    assert(math.abs(feats(1L).features(0) - all2.sum / all2.size) < 1e-12)
+    assert(math.abs(feats(1L).features(2) - all2.map(math.abs).max) < 1e-12)
+    assert(feats(0L).sample_rate == 32000 && feats(0L).features(3) > 0.0)
   }
 
   test("gif codec round-trips and matches the JDK's independent decoder") {
