@@ -85,6 +85,17 @@ final class GraftCorpus(val frame: DataFrame,
       .drop("_digest")
 
   // --- PII / selection / mixture QA ---
+  /** Unicode normalization columns (nfc, accent-folded, casefold of the
+    * folded form) — the standard pre-dedup cleaning stage. */
+  def normalized(): DataFrame = {
+    graft.functions.ArrayKernels.register(frame.sparkSession)
+    frame.select(col(idCol).as("id"),
+      graft.functions.ArrayKernels.nfcNormalize(col(textCol)).as("nfc"),
+      graft.functions.ArrayKernels.stripAccents(col(textCol)).as("folded"),
+      lower(graft.functions.ArrayKernels.stripAccents(col(textCol)))
+        .as("casefold"))
+  }
+
   def scrub(rules: Seq[(String, String)] = TextOps.defaultPiiRules): DataFrame =
     TextOps.scrub(frame, idCol, textCol, rules)
   def dsirWeights(targetPred: org.apache.spark.sql.Column,

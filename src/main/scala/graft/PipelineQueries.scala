@@ -2143,6 +2143,49 @@ object PipelineQueries {
 
     // Pattern scrubbing / PII redaction (digit-run rule over the events
     // payload): pure per-row regexp expressions, one scan, no shuffle.
+    // Unicode normalization — the standard pre-dedup/pre-tokenization
+    // cleaning stage (CCNet/C4 family): NFC canonical composition,
+    // accent folding (NFD + strip combining marks ≡ DuckDB
+    // strip_accents on this fixture's scripts), casefold of the folded
+    // form. Native codegen'd expressions (TextNormKernels), no UDFs.
+    // Fixture mixes composed, DECOMPOSED (combining-mark) and non-Latin
+    // text so NFC actually recomposes and folding actually strips;
+    // every non-ASCII char is spelled chr()-for-escape on both sides.
+    ("text_normalize",
+      (s, dir) => {
+        graft.functions.ArrayKernels.register(s)
+        import s.implicits._
+        val parts = Seq("école", "naïve", "Zürich",
+          "açaí", "Ελλάδα",
+          "crème brûlée", "plain ascii")
+        val docs = s.range(48).map(id =>
+            (id, (0 until 3).map(k => parts(((id + k) % 7).toInt))
+              .mkString(" ")))
+          .toDF("doc_id", "text")
+        docs.select(col("doc_id"),
+          graft.functions.ArrayKernels.nfcNormalize(col("text")).as("nfc"),
+          graft.functions.ArrayKernels.stripAccents(col("text")).as("folded"),
+          lower(graft.functions.ArrayKernels.stripAccents(col("text")))
+            .as("casefold"))
+      },
+      Some("""WITH parts AS (SELECT [
+            |  'e' || chr(769) || 'cole',
+            |  'na' || chr(239) || 've',
+            |  'Z' || chr(252) || 'rich',
+            |  'a' || chr(231) || 'a' || chr(237),
+            |  chr(917) || chr(955) || chr(955) || chr(940) || chr(948) || chr(945),
+            |  'cre' || chr(768) || 'me bru' || chr(770) || 'le' || chr(769) || 'e',
+            |  'plain ascii'] AS p),
+            |docs AS (SELECT r AS doc_id,
+            |  p[CAST(r % 7 AS INT) + 1] || ' ' ||
+            |  p[CAST((r + 1) % 7 AS INT) + 1] || ' ' ||
+            |  p[CAST((r + 2) % 7 AS INT) + 1] AS text
+            |  FROM range(48) t(r), parts)
+            |SELECT doc_id, nfc_normalize(text) AS nfc,
+            |  strip_accents(text) AS folded,
+            |  lower(strip_accents(text)) AS casefold
+            |FROM docs""".stripMargin)),
+
     ("text_scrub",
       (s, dir) => graft.pipeline.TextOps.scrub(
         t(s, dir, "events"), "event_id", "props",

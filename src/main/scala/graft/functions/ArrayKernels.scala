@@ -710,6 +710,8 @@ object ArrayKernels {
     "pq_lut" -> (es => PqLut(es(0), es(1), intArg(es(2)), intArg(es(3)))),
     "pq_adc" -> (es => PqAdc(es(0), es(1), intArg(es(2)))),
     "md5_prefix60" -> (es => Md5Prefix60(es(0))),
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
+    "strip_accents" -> (es => StripAccents(es(0))),
     "int128_dot" -> (es => Int128Dot(es(0), es(1))),
     "array_l1_long" -> (es => ArrayL1Long(es(0), es(1))),
     "bpe_apply" -> (es => BpeApply(es(0), es(1))))
@@ -754,6 +756,8 @@ object ArrayKernels {
     call_function("bpe_apply", toks, mergesFlat)
   def int128Dot(a: Column, b: Column): Column =
     call_function("int128_dot", a, b)
+  def nfcNormalize(s: Column): Column = call_function("nfc_normalize", s)
+  def stripAccents(s: Column): Column = call_function("strip_accents", s)
   def arrayL1Long(a: Column, b: Column): Column =
     call_function("array_l1_long", a, b)
 }
