@@ -2186,6 +2186,62 @@ object PipelineQueries {
             |  lower(strip_accents(text)) AS casefold
             |FROM docs""".stripMargin)),
 
+    // URL normalization — the C4/RefinedWeb URL-dedup key: lowercase
+    // scheme/host, default-port drop, root path, SORTED query params,
+    // fragment drop, registrable-domain heuristic. Fixture covers mixed
+    // case, all port classes (none/default-http/default-https/custom —
+    // including http://…:443, which is NON-default and must survive),
+    // empty paths, unordered query params, fragments. The oracle replays
+    // the same RE2-compatible regex and normalization in SQL.
+    ("text_url_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val docs = s.range(48).map { id =>
+          val scheme = if (id % 2 == 0) "HTTP" else "https"
+          val host = s"Ex${id % 5}.COM"
+          val port = (id % 4) match {
+            case 1 => ":80"; case 2 => ":443"; case 3 => ":8080"; case _ => ""
+          }
+          val path = (id % 3) match {
+            case 1 => "/a/B"; case 2 => "/x"; case _ => ""
+          }
+          val query = (id % 3) match {
+            case 1 => "?z=1&a=2"; case 2 => "?a=1"; case _ => ""
+          }
+          val frag = if (id % 2 == 1) "#frag" else ""
+          (id, s"$scheme://$host$port$path$query$frag")
+        }.toDF("doc_id", "url")
+        graft.pipeline.TextOps.urlNormalize(docs, "doc_id", "url")
+          .select(col("id").as("doc_id"), col("scheme"), col("host"),
+                  col("domain"), col("norm_url"))
+      },
+      Some(s"""WITH m AS (SELECT r AS doc_id,
+             |  (CASE WHEN r % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://Ex' ||
+             |  (r % 5) || '.COM' ||
+             |  (CASE r % 4 WHEN 1 THEN ':80' WHEN 2 THEN ':443' WHEN 3 THEN ':8080' ELSE '' END) ||
+             |  (CASE r % 3 WHEN 1 THEN '/a/B' WHEN 2 THEN '/x' ELSE '' END) ||
+             |  (CASE r % 3 WHEN 1 THEN '?z=1&a=2' WHEN 2 THEN '?a=1' ELSE '' END) ||
+             |  (CASE WHEN r % 2 = 1 THEN '#frag' ELSE '' END) AS url
+             |  FROM range(48) t(r)),
+             |px AS (SELECT doc_id,
+             |  lower(regexp_extract(url, '${graft.pipeline.TextOps.urlRegex}', 1)) AS scheme,
+             |  lower(regexp_extract(url, '${graft.pipeline.TextOps.urlRegex}', 2)) AS host,
+             |  regexp_extract(url, '${graft.pipeline.TextOps.urlRegex}', 3) AS port,
+             |  regexp_extract(url, '${graft.pipeline.TextOps.urlRegex}', 4) AS path,
+             |  regexp_extract(url, '${graft.pipeline.TextOps.urlRegex}', 5) AS query
+             |  FROM m)
+             |SELECT doc_id, scheme, host,
+             |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+             |  scheme || '://' || host ||
+             |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+             |             AND NOT (scheme = 'https' AND port = '443')
+             |        THEN ':' || port ELSE '' END) ||
+             |  (CASE WHEN path = '' THEN '/' ELSE path END) ||
+             |  (CASE WHEN query <> '' THEN '?' ||
+             |        array_to_string(list_sort(string_split(query, '&')), '&')
+             |        ELSE '' END) AS norm_url
+             |FROM px""".stripMargin)),
+
     ("text_scrub",
       (s, dir) => graft.pipeline.TextOps.scrub(
         t(s, dir, "events"), "event_id", "props",

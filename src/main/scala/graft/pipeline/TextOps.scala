@@ -232,6 +232,49 @@ object TextOps {
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
     "[0-9][0-9 ()+.-]{6,}[0-9]" -> "<PHONE>")
 
+  /** RFC-3986-shaped URL regex: scheme :// host [:port] path [?query]
+    * [#fragment]. Group numbers are stable (1 scheme, 2 host, 3 port,
+    * 4 path, 5 query, 6 fragment) and the pattern is RE2-compatible so
+    * the DuckDB oracle replays it verbatim. */
+  val urlRegex: String =
+    "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$"
+
+  /** URL normalization + domain extraction — the C4/RefinedWeb-style
+    * URL-dedup key stage: lowercase scheme and host, drop the default
+    * port (80 for http, 443 for https), keep a non-default port, root
+    * path `/` for an empty path, SORT query parameters (so
+    * `?b=2&a=1` and `?a=1&b=2` collide), drop the fragment.
+    * `domain` is the last two host labels (the registrable-domain
+    * heuristic public corpora use for per-site caps). Pure per-row
+    * regexp/sort expressions — one scan, no shuffle, no UDF; at 100 TB
+    * this is the map-side key extraction in front of an exact
+    * groupBy-dedup. Returns (id, scheme, host, domain, norm_url);
+    * rows whose url does not parse keep null parts. */
+  def urlNormalize(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   urlCol: String): org.apache.spark.sql.DataFrame = {
+    val u = col(urlCol)
+    def part(g: Int): Column = regexp_extract(u, urlRegex, g)
+    val scheme = lower(part(1))
+    val host = lower(part(2))
+    val port = part(3)
+    val path = when(part(4) === "", lit("/")).otherwise(part(4))
+    val query = part(5)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val sortedQuery = concat_ws("&", array_sort(split(query, "&")))
+    val parsed = part(1) =!= ""
+    docs.select(col(idCol).as("id"),
+      when(parsed, scheme).as("scheme"),
+      when(parsed, host).as("host"),
+      when(parsed, regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).as("domain"),
+      when(parsed, concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(query =!= "", concat(lit("?"), sortedQuery)).otherwise(lit(""))))
+        .as("norm_url"))
+  }
+
   /** Pattern scrubbing / PII redaction: apply `rules` (regex →
     * replacement) in order and count total redactions — the
     * pre-training-time PII pass (emails, IPs, phone shapes scrubbed
