@@ -1455,6 +1455,50 @@ object SystemQueries {
             |  ROUND(len(ts) * 1.0 / cap, 6) AS f_fill
             |FROM u""".stripMargin)),
 
+    // REAL MPEG-1 VIDEO intra-frame entropy decode, round-trip-proven
+    // (ISO 11172-2; the video slice of the stub seam made real): each
+    // row carries a genuine I-frame elementary stream — sequence/
+    // picture/slice headers, address-increment and macroblock-type
+    // VLCs, per-block dct_dc_size (separate luma/chroma tables) with
+    // one's-complement DC differentials against per-component predictor
+    // chains, and table-B.5 run/level AC codes INCLUDING the 6+8-bit
+    // escape form (levels span ±10, so both paths occur). Spark
+    // bit-unpacks the stream and applies the exact-integer intra
+    // dequantization (DC×8; AC (QF·qscale·W)/8 oddified); the oracle
+    // recomputes the same integers from the generating formulas with
+    // the default intra matrix walked through the zigzag — never
+    // touching the bytes. P/B (motion) pictures stay declared.
+    ("multimodal_mpeg1_iframe",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded =
+            Multimodal.mpeg1IFrameDecode(Multimodal.mpeg1IFrameBytes(id))
+          val (_, blocks) = decoded.get
+          blocks.map(bl => (id, bl.mb.toLong, bl.blk.toLong,
+            bl.dcF.toLong, bl.nAc.toLong, bl.acSum))
+        }.toDF("media_id", "mb", "blk", "dc_f", "n_ac", "ac_sum")
+      },
+      Some(s"""WITH blks AS (SELECT r AS id, m, b
+             |  FROM range(24) t(r), range(4) mm(m), range(6) bb(b)),
+             |ac AS (SELECT id, m, b, p,
+             |  CASE WHEN (id*11 + m*17 + b*23 + p*31) % 21 - 10 = 0 THEN 1
+             |       ELSE (id*11 + m*17 + b*23 + p*31) % 21 - 10 END AS lvl
+             |  FROM blks, LATERAL (SELECT UNNEST([
+             |    1 + (id + m + b) % 4, 6 + (id*3 + m) % 6, 15 + (b*5 + m) % 8,
+             |    30 + (id + b*7) % 10, 50 + (m*3 + b) % 13]) AS p) g),
+             |dq AS (SELECT id, m, b,
+             |  (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
+             |  (CASE WHEN ABS(lvl) * wz[CAST(p AS INT) + 1] % 2 = 0
+             |        THEN ABS(lvl) * wz[CAST(p AS INT) + 1] - 1
+             |        ELSE ABS(lvl) * wz[CAST(p AS INT) + 1] END) AS v
+             |  FROM ac, (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w)
+             |SELECT id AS media_id, CAST(m AS BIGINT) AS mb,
+             |  CAST(b AS BIGINT) AS blk,
+             |  CAST(((id*7 + m*13 + b*29) % 256) * 8 AS BIGINT) AS dc_f,
+             |  CAST(5 AS BIGINT) AS n_ac, CAST(SUM(v) AS BIGINT) AS ac_sum
+             |FROM dq GROUP BY id, m, b""".stripMargin)),
+
     // REAL GIF decode, round-trip-proven: each row carries a genuine
     // GIF89a (logical screen descriptor, 256-entry grey global color
     // table, real variable-width LZW entropy coding with width growth;

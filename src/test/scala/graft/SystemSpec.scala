@@ -538,6 +538,44 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.layer1Decode("garbage".getBytes) == None)
   }
 
+  test("mpeg1IFrameDecode round-trips genuinely VLC-coded intra frames") {
+    val b = Multimodal.mpeg1IFrameBytes(seed = 5)
+    val Some(((w, h), blocks)) = Multimodal.mpeg1IFrameDecode(b)
+    assert(w == 32 && h == 32)
+    assert(blocks.size == 4 * 6) // 4 macroblocks x (4Y + Cb + Cr)
+    // DC chain: quantized target (5*7 + m*13 + b*29) % 256, dequant x8 —
+    // the stream carries one's-complement DIFFERENTIALS against the
+    // per-component predictor chains, so equality proves the chain walk.
+    blocks.foreach { bl =>
+      assert(bl.dcF == ((5 * 7 + bl.mb * 13 + bl.blk * 29) % 256) * 8,
+             s"mb=${bl.mb} blk=${bl.blk}")
+      assert(bl.nAc == 5)
+    }
+    // Spot-check one dequantized AC against the spec formula by hand:
+    // mb=0, blk=0: first position p = 1 + (5+0+0)%4 = 2,
+    // level = ((55 + 2*31) % 21) - 10 = 117%21 - 10 = 12-10 = 2,
+    // W[zigzag 2] = matrix[8] = 16 (natural row 1 col 0),
+    // a = 2*8*16/8 = 32 (even) -> 31.
+    // All five positions for (0,0): p1 = 1+(5%4) = 2, p2 = 6+(15%6) = 9,
+    // p3 = 15+0 = 15, p4 = 30+(5%10) = 35, p5 = 50+0 = 50.
+    val b00 = blocks.find(bl => bl.mb == 0 && bl.blk == 0).get
+    def lvl(p: Int) = {
+      val l = ((5 * 11 + p * 31) % 21) - 10; if (l == 0) 1 else l
+    }
+    def dq(p: Int) = {
+      val a = math.abs(lvl(p)) * Multimodal.mpeg1W(p)
+      val a1 = if (a % 2 == 0) a - 1 else a
+      if (lvl(p) < 0) -a1 else a1
+    }
+    assert(b00.acSum == Seq(2, 9, 15, 35, 50).map(dq(_).toLong).sum)
+    // Table-coded and escape-coded paths both occur across the fixture
+    // (levels span ±10; |level| > 7 or large runs must escape).
+    // Non-MPEG payloads and truncation decline to None.
+    assert(Multimodal.mpeg1IFrameDecode("garbage".getBytes) == None)
+    assert(Multimodal.mpeg1IFrameDecode(b.take(16)) == None)
+    assert(Multimodal.mpeg1IFrameDecode(Multimodal.mp3Bytes(1)) == None)
+  }
+
   test("layer2Decode round-trips genuinely bit-packed MPEG-1 Layer II frames") {
     val b = Multimodal.layer2Bytes(seed = 5, nFrames = 2)
     assert(b.length == 576 * 2)
