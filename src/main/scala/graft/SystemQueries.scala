@@ -1455,6 +1455,48 @@ object SystemQueries {
             |  ROUND(len(ts) * 1.0 / cap, 6) AS f_fill
             |FROM u""".stripMargin)),
 
+    // REAL MP3 (Layer III) payload decode to the frequency-line level,
+    // round-trip-proven (ISO 11172-3; the Layer III slice of the stub
+    // seam made real): each row carries genuine frames — full 17-byte
+    // side-info layout, exact part2_3_length bit accounting, table-1
+    // big_values Huffman with per-value sign bits, region boundaries
+    // through the 48 kHz scalefactor-band table. Spark bit-unpacks the
+    // actual stream; the oracle recomputes the integer line statistics
+    // from the generating formulas. Bit reservoir, tables > 1, count1,
+    // window switching, and the IMDCT/synthesis stay declared.
+    ("multimodal_mp3_decode",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val decoded = Multimodal.layer3Decode(Multimodal.layer3Bytes(id, nf))
+          val (_, grans) = decoded.get
+          grans.map(g => (id, g.frame.toLong, g.granule.toLong,
+            g.bigValues.toLong, g.globalGain.toLong, g.part23.toLong,
+            g.nNonzero.toLong, g.isSum, g.isSqSum))
+        }.toDF("media_id", "frame", "granule", "big_values", "global_gain",
+               "part23", "n_nonzero", "is_sum", "is_sq_sum")
+      },
+      Some("""WITH gr AS (SELECT r AS id, f, g FROM range(24) t(r),
+            |            range(3) ff(f), range(2) gg(g) WHERE f < r % 3 + 1),
+            |ln AS (SELECT id, f, g, k,
+            |  (id*3 + f*7 + g*11 + k*5) % 3 - 1 AS x,
+            |  (id*5 + f*11 + g*3 + k*7) % 3 - 1 AS y
+            |  FROM gr, LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+            |    16 + CAST((id + f + g) % 17 AS INT) - 1)) AS k) u)
+            |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+            |  CAST(g AS BIGINT) AS granule,
+            |  CAST(16 + (id + f + g) % 17 AS BIGINT) AS big_values,
+            |  CAST((id*13 + f*19 + g*29) % 256 AS BIGINT) AS global_gain,
+            |  CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN 1
+            |                WHEN y = 0 THEN 3
+            |                WHEN x = 0 THEN 4 ELSE 5 END) AS BIGINT) AS part23,
+            |  CAST(SUM((CASE WHEN x <> 0 THEN 1 ELSE 0 END) +
+            |           (CASE WHEN y <> 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_nonzero,
+            |  CAST(SUM(x + y) AS BIGINT) AS is_sum,
+            |  CAST(SUM(x*x + y*y) AS BIGINT) AS is_sq_sum
+            |FROM ln GROUP BY id, f, g""".stripMargin)),
+
     // REAL MPEG-1 VIDEO intra-frame entropy decode, round-trip-proven
     // (ISO 11172-2; the video slice of the stub seam made real): each
     // row carries a genuine I-frame elementary stream — sequence/

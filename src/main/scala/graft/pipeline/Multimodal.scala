@@ -1322,6 +1322,217 @@ object Multimodal {
     }
   }
 
+  /** One entropy-decoded MP3 (Layer III) granule: frame/granule index,
+    * side-info fields, and integer statistics of the Huffman-decoded
+    * frequency lines (`is` values, pre-requantization — exact integers,
+    * so oracle comparison is hash-exact; the float `|is|^(4/3)·2^…`
+    * requantization is [[layer3Requant]]). */
+  final case class L3Granule(frame: Int, granule: Int, bigValues: Int,
+                             globalGain: Int, part23: Int, nNonzero: Int,
+                             isSum: Long, isSqSum: Long)
+
+  /** Spec requantization of one Layer III frequency line under zero
+    * scalefactors/preflag (the [[layer3Bytes]] fixture's side-info):
+    * `sign(is)·|is|^(4/3)·2^((global_gain−210)/4)` (11172-3 §2.4.3.4). */
+  def layer3Requant(is: Int, globalGain: Int): Double =
+    math.signum(is.toDouble) * math.pow(math.abs(is.toDouble), 4.0 / 3.0) *
+      math.pow(2.0, (globalGain - 210) / 4.0)
+
+  // Scalefactor slen1/slen2 per scalefac_compress (11172-3 Table B.6).
+  private val L3Slen = Array((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1),
+    (1, 2), (1, 3), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2),
+    (4, 3))
+  // Long-block scalefactor band start lines at 48 kHz (Table B.8b).
+  private val L3Sfb48: Array[Int] = Array(0, 4, 8, 12, 16, 20, 24, 30, 36,
+    42, 50, 60, 72, 88, 106, 128, 156, 190, 230, 276, 330, 384, 576)
+
+  /** REAL MP3 (MPEG-1 Audio Layer III) payload decode to the
+    * frequency-line level (ISO/IEC 11172-3 §2.4.1.7/2.4.3.4, public
+    * spec) — the Layer III slice of the payload stub seam made real.
+    * Per mono 48 kHz frame: the full 17-byte side-info bit layout
+    * (main_data_begin, scfsi, and per granule part2_3_length /
+    * big_values / global_gain / scalefac_compress / window-switching
+    * or region fields / preflag / scalefac_scale / count1table_select),
+    * scalefactor-field skip via the real slen table B.6, then the
+    * big_values Huffman region walk — region boundaries resolved
+    * through the 48 kHz scalefactor-band table B.8b — decoding
+    * table-1 (x, y ≤ 1) codes with per-value sign bits, against an
+    * EXACT `part2_3_length` bit account. Declared subset (None, the
+    * honest path): bit-reservoir frames (main_data_begin ≠ 0), Huffman
+    * tables > 1, a count1 region, window-switching granules, stereo,
+    * non-48 kHz — and the IMDCT/synthesis transform stays out of scope
+    * entirely (frequency lines are the payload truth the entropy layer
+    * defines). Returns per-granule integer line statistics in
+    * bitstream order. */
+  def layer3Decode(bytes: Array[Byte]): Option[(AudioMeta, Seq[L3Granule])] = {
+    def header(p: Int): Option[Int] = { // frame length
+      if (p + 4 > bytes.length) return None
+      val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
+      val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+      if (((b2 >> 3) & 0x3) != 3 || ((b2 >> 1) & 0x3) != 1) return None
+      val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
+      if (brIdx == 0 || brIdx == 15 || srIdx != 1) return None // 48 kHz
+      if (((b4 >> 6) & 0x3) != 3) return None                  // mono
+      val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320)(brIdx)
+      Some(144 * br * 1000 / 48000 + ((b3 >> 1) & 1))
+    }
+    header(0).map { _ =>
+      val out = Seq.newBuilder[L3Granule]
+      var p = 0
+      var f = 0
+      var ok = true
+      while (ok) header(p) match {
+        case Some(len) if p + len <= bytes.length =>
+          var bitPos = (p + 4) * 8
+          def bits(n: Int): Int = {
+            var v = 0; var i = 0
+            while (i < n) {
+              v = (v << 1) | ((bytes(bitPos >> 3) >> (7 - (bitPos & 7))) & 1)
+              bitPos += 1; i += 1
+            }
+            v
+          }
+          if (bits(9) != 0) { ok = false } // bit reservoir: declared
+          else {
+            bits(5); bits(4) // private, scfsi (fixture sends both granules)
+            // side info per granule, then main data per granule
+            final case class Side(part23: Int, bigValues: Int, gain: Int,
+                                  scomp: Int, winSwitch: Boolean,
+                                  tables: Array[Int], r0: Int, r1: Int)
+            val sides = (0 until 2).map { _ =>
+              val part23 = bits(12); val bv = bits(9); val gain = bits(8)
+              val scomp = bits(4)
+              val ws = bits(1) == 1
+              val (tabs, r0, r1) =
+                if (ws) { // block_type, mixed, 2 tables, 3 subblock gains
+                  bits(2); bits(1)
+                  val t = Array(bits(5), bits(5)); bits(9)
+                  (t, -1, -1)
+                } else {
+                  val t = Array(bits(5), bits(5), bits(5))
+                  (t, bits(4), bits(3))
+                }
+              bits(1); bits(1); bits(1) // preflag, scalefac_scale, count1sel
+              Side(part23, bv, gain, scomp, ws, tabs, r0, r1)
+            }
+            var g = 0
+            while (ok && g < 2) {
+              val s = sides(g)
+              if (s.winSwitch || s.tables.exists(_ > 1)) { ok = false }
+              else {
+                val start = bitPos
+                val (slen1, slen2) = L3Slen(s.scomp)
+                bits(slen1 * 11 + slen2 * 10) // scalefactor fields
+                var nNz = 0; var isSum = 0L; var sqSum = 0L
+                var line = 0
+                var k = 0
+                var bad = false
+                while (!bad && k < s.bigValues) {
+                  val region =
+                    if (line < L3Sfb48(s.r0 + 1)) 0
+                    else if (line < L3Sfb48(math.min(s.r0 + 1 + s.r1 + 1,
+                                                     L3Sfb48.length - 1))) 1
+                    else 2
+                  if (s.tables(region) == 0) { // table 0: no data, zeros
+                    line += 2; k += 1
+                  } else {
+                    // table 1 (B.7): (0,0)='1' (0,1)='001' (1,0)='01'
+                    // (1,1)='000', sign bit per nonzero value
+                    val (x0, y0) =
+                      if (bits(1) == 1) (0, 0)
+                      else if (bits(1) == 1) (1, 0)
+                      else if (bits(1) == 1) (0, 1)
+                      else (1, 1)
+                    val x = if (x0 != 0 && bits(1) == 1) -x0 else x0
+                    val y = if (y0 != 0 && bits(1) == 1) -y0 else y0
+                    Seq(x, y).foreach { v =>
+                      if (v != 0) { nNz += 1; isSum += v; sqSum += v.toLong * v }
+                    }
+                    line += 2; k += 1
+                  }
+                  if (bitPos - start > s.part23) bad = true
+                }
+                if (bad || bitPos - start != s.part23) ok = false // count1 etc.
+                else out += L3Granule(f, g, s.bigValues, s.gain, s.part23,
+                                      nNz, isSum, sqSum)
+              }
+              g += 1
+            }
+            if (ok) { f += 1; p += len }
+          }
+        case _ => ok = false
+      }
+      (AudioMeta(48000, 1, -1, f), out.result())
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** A real MPEG-1 Layer III mono stream (48 kHz, 192 kbps → 576-byte
+    * frames) with genuinely Huffman-coded deterministic content — the
+    * encode half of the [[layer3Decode]] round trip. Per frame `f`,
+    * granule `g`: `16 + (seed+f+g) % 17` big-value pairs of table-1
+    * lines `x, y ∈ {−1, 0, 1}` by closed formulas, global_gain
+    * `(seed·13 + f·19 + g·29) % 256`, zero scalefactor bits
+    * (scalefac_compress 0), no count1 region — part2_3_length is the
+    * EXACT Huffman bit count, so the decoder's bit account must land
+    * on it to the bit. */
+  def layer3Bytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576
+    val out = new Array[Byte](frameLen * nFrames)
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      def putStr(s: String): Unit =
+        s.foreach(c => put(if (c == '1') 1 else 0, 1))
+      put(0xff, 8); put(0xfb, 8) // sync + MPEG1 + Layer III + no CRC
+      put(0xb4, 8)               // bitrate idx 11 (192), sr idx 1 (48k)
+      put(0xc0, 8)               // mono
+      def pairs(g: Int): Seq[(Int, Int)] = {
+        val n = 16 + ((seed + f + g) % 17).toInt
+        (0 until n).map(k =>
+          ((((seed * 3 + f * 7 + g * 11 + k * 5) % 3) - 1).toInt,
+           (((seed * 5 + f * 11 + g * 3 + k * 7) % 3) - 1).toInt))
+      }
+      def hlen(x: Int, y: Int): Int =
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      // side info (17 bytes, mono)
+      put(0, 9); put(0, 5); put(0, 4) // main_data_begin, private, scfsi
+      (0 until 2).foreach { g =>
+        val p23 = pairs(g).map { case (x, y) => hlen(x.abs, y.abs) }.sum
+        put(p23, 12)
+        put(pairs(g).size, 9)
+        put((seed * 13 + f * 19 + g * 29) % 256, 8)
+        put(0, 4)  // scalefac_compress 0 -> zero scalefactor bits
+        put(0, 1)  // no window switching
+        put(1, 5); put(1, 5); put(1, 5) // table 1 for all three regions
+        put(4, 4); put(3, 3)            // region0_count, region1_count
+        put(0, 1); put(0, 1); put(0, 1) // preflag, sf_scale, count1 sel
+      }
+      (0 until 2).foreach { g =>
+        pairs(g).foreach { case (x, y) =>
+          putStr(
+            if (x == 0 && y == 0) "1"
+            else if (y == 0) "01"
+            else if (x == 0) "001"
+            else "000")
+          if (x != 0) put(if (x < 0) 1 else 0, 1)
+          if (y != 0) put(if (y < 0) 1 else 0, 1)
+        }
+      }
+    }
+    out
+  }
+
   /** One entropy-decoded MPEG-1 intra block: macroblock index, block
     * index within the macroblock (0–3 luma, 4 Cb, 5 Cr), the dequantized
     * DC (quantized DC × 8, the fixed DC quantizer), and the count / sum

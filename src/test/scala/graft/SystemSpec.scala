@@ -538,6 +538,35 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.layer1Decode("garbage".getBytes) == None)
   }
 
+  test("layer3Decode round-trips Huffman-coded MP3 frequency lines") {
+    val b = Multimodal.layer3Bytes(seed = 5, nFrames = 2)
+    assert(b.length == 576 * 2)
+    val Some((meta, grans)) = Multimodal.layer3Decode(b)
+    assert(meta == Multimodal.AudioMeta(48000, 1, -1, 2))
+    assert(grans.size == 4) // 2 frames x 2 granules
+    grans.foreach { gr =>
+      assert(gr.bigValues == 16 + (5 + gr.frame + gr.granule) % 17)
+      assert(gr.globalGain == (5 * 13 + gr.frame * 19 + gr.granule * 29) % 256)
+      // recompute the line stats from the generating formulas
+      var nNz = 0; var s = 0L; var sq = 0L
+      (0 until gr.bigValues).foreach { k =>
+        val x = ((5 * 3 + gr.frame * 7 + gr.granule * 11 + k * 5) % 3) - 1
+        val y = ((5 * 5 + gr.frame * 11 + gr.granule * 3 + k * 7) % 3) - 1
+        Seq(x, y).foreach(v => if (v != 0) { nNz += 1; s += v; sq += v * v })
+      }
+      assert(gr.nNonzero == nNz && gr.isSum == s && gr.isSqSum == sq,
+             s"f=${gr.frame} g=${gr.granule}")
+    }
+    // requantization formula: is=-1, gain=210 -> -1.0; gain=214 -> -2^1
+    assert(Multimodal.layer3Requant(-1, 210) == -1.0)
+    assert(Multimodal.layer3Requant(1, 214) == 2.0)
+    // truncation honesty; non-L3 and garbage decline
+    val Some((m2, g2)) = Multimodal.layer3Decode(b.take(576 + 40))
+    assert(m2.nFrames == 1 && g2.forall(_.frame == 0))
+    assert(Multimodal.layer3Decode(Multimodal.layer2Bytes(5, 1)) == None)
+    assert(Multimodal.layer3Decode("garbage".getBytes) == None)
+  }
+
   test("mpeg1IFrameDecode round-trips genuinely VLC-coded intra frames") {
     val b = Multimodal.mpeg1IFrameBytes(seed = 5)
     val Some(((w, h), blocks)) = Multimodal.mpeg1IFrameDecode(b)
