@@ -1612,6 +1612,31 @@ object PipelineQueries {
       Some("SELECT doc_id FROM documents WHERE " +
            s"${graft.pipeline.Sampling.hashBucketSql("doc_id", "sample")} < 250000")),
 
+    // Per-domain cap (C4-style per-site limit): URL → registrable
+    // domain → keep ≤ k docs per domain by portable-md5 draw. Fixture:
+    // 96 docs over 6 domains with skewed sizes (domain d gets ~(d+1)·…
+    // docs), k = 5 — the hot domains are genuinely cut.
+    ("sample_domain_cap",
+      (s, dir) => {
+        import s.implicits._
+        val docs = s.range(96).map { id =>
+          val d = (id * id + id / 7) % 6 // skewed domain assignment
+          (id, s"https://www.Site$d.ORG/doc/$id")
+        }.toDF("doc_id", "url")
+        graft.pipeline.Sampling.domainCap(docs, "doc_id", "url", k = 5)
+      },
+      Some(s"""WITH m AS (SELECT r AS id, (r * r + r // 7) % 6 AS d
+             |  FROM range(96) t(r)),
+             |dm AS (SELECT id, 'site' || d || '.org' AS domain,
+             |  ${graft.functions.PortableHash.md5Prefix60Sql(
+                  "'domcap' || '|' || 'site' || d || '.org' || '|' || CAST(id AS VARCHAR)")} AS h
+             |  FROM m),
+             |rk AS (SELECT id, domain,
+             |  ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, id) AS rk
+             |  FROM dm)
+             |SELECT id, domain, CAST(rk AS BIGINT) AS rk FROM rk
+             |WHERE rk <= 5""".stripMargin)),
+
     // Stratified deterministic sample with per-stratum fractions.
     ("sample_stratified",
       (s, dir) => graft.pipeline.Sampling

@@ -38,6 +38,31 @@ object Sampling {
                  salt: String = "sample"): DataFrame =
     df.filter(hashBucket(col(keyCol), salt) < (fraction * BUCKETS).toLong)
 
+  /** Per-domain document cap — the C4-style per-site limit: normalize
+    * each document's URL ([[graft.pipeline.TextOps.urlNormalize]]),
+    * group by registrable domain, and keep at most `k` documents per
+    * domain, selected by the portable md5 hash of (domain, id) so the
+    * survivors are an unbiased deterministic draw any ANSI engine
+    * replays (not "the first k by id", which would bias toward old
+    * documents). The per-domain rank is a PARTITIONED window — domain
+    * cardinality is the parallelism, and no partition exceeds one
+    * domain's documents, so the plan holds at 100 TB (hot mega-domains
+    * are exactly the rows the cap discards anyway). Returns
+    * (id, domain, rk ≤ k). */
+  def domainCap(docs: DataFrame, idCol: String, urlCol: String,
+                k: Int, salt: String = "domcap"): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    val dom = graft.pipeline.TextOps.urlNormalize(docs, idCol, urlCol)
+      .select(col("id"), col("domain"))
+    val h = graft.functions.PortableHash.md5Prefix60(
+      concat(lit(salt), lit("|"), col("domain"), lit("|"),
+             col("id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(h.asc, col("id").asc)
+    dom.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Deterministic WEIGHTED sample: keeps each row with probability equal
     * to `weight` (a per-row column in [0, 1]) — quality-proportional
     * corpus sampling, the pattern behind quality-bucketed pipeline
