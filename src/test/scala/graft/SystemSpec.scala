@@ -538,6 +538,36 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.layer1Decode("garbage".getBytes) == None)
   }
 
+  test("round-10 codecs round-trip across many seeds (property sweep)") {
+    (0L until 40L).foreach { seed =>
+      // Layer II: every block's samples obey the formula-implied bounds
+      val Some((m2, b2)) =
+        Multimodal.layer2Decode(Multimodal.layer2Bytes(seed, 1))
+      assert(m2.sampleRate == 48000 && b2.nonEmpty)
+      b2.foreach(bl => assert(bl.samples.length == 36))
+      // Layer III: granule stats recomputed from the generating formulas
+      val Some((_, g3)) =
+        Multimodal.layer3Decode(Multimodal.layer3Bytes(seed, 1))
+      assert(g3.size == 2)
+      g3.foreach { gr =>
+        var nNz = 0
+        (0 until gr.bigValues).foreach { k =>
+          val x = ((seed * 3 + gr.granule * 11 + k * 5) % 3) - 1
+          val y = ((seed * 5 + gr.granule * 3 + k * 7) % 3) - 1
+          nNz += (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+        }
+        assert(gr.nNonzero == nNz, s"seed=$seed g=${gr.granule}")
+      }
+      // MPEG-1 I-frame: DC chains land on the closed-form targets
+      val Some((_, v)) =
+        Multimodal.mpeg1IFrameDecode(Multimodal.mpeg1IFrameBytes(seed))
+      assert(v.size == 24)
+      v.foreach(bl => assert(
+        bl.dcF == ((seed * 7 + bl.mb * 13 + bl.blk * 29) % 256).toInt * 8,
+        s"seed=$seed mb=${bl.mb} blk=${bl.blk}"))
+    }
+  }
+
   test("layer3Decode round-trips Huffman-coded MP3 frequency lines") {
     val b = Multimodal.layer3Bytes(seed = 5, nFrames = 2)
     assert(b.length == 576 * 2)
