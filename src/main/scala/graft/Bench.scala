@@ -78,6 +78,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The suite executes 215 queries × repeat medians in ONE JVM —
+      // far past the default 100-entry whole-stage-codegen cache, so
+      // late-alphabet queries were re-compiling every generated class
+      // on every repeat (measured: kg_* at 1.4-4 s in-suite vs
+      // 0.3-0.9 s solo, identical plans). Size the cache to the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
