@@ -1541,6 +1541,51 @@ object SystemQueries {
              |  CAST(5 AS BIGINT) AS n_ac, CAST(SUM(v) AS BIGINT) AS ac_sum
              |FROM dq GROUP BY id, m, b""".stripMargin)),
 
+    // decodeFeatures over REAL MPEG-1 video I-frames: the feature
+    // extractor routes video payloads through the intra entropy decode
+    // (no stub) — features are mean luma/chroma DC (brightness proxies,
+    // /2048), AC density, and mean |AC block sum|. All intermediate
+    // sums are integer-valued doubles (exact regardless of aggregation
+    // order); the oracle recomputes them from the generating formulas.
+    ("multimodal_video_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = s.range(24).map(id => Multimodal.MediaRow(
+          id, "video", Multimodal.mpeg1IFrameBytes(id), -1, -1, -1))
+        Multimodal.decodeFeatures(media).toDF().select(
+          col("media_id"),
+          round(element_at(col("features"), 1), 6).as("f_luma_dc"),
+          round(element_at(col("features"), 2), 6).as("f_chroma_dc"),
+          round(element_at(col("features"), 3), 6).as("f_ac_density"),
+          round(element_at(col("features"), 4), 6).as("f_ac_mean"))
+      },
+      Some(s"""WITH blks AS (SELECT r AS id, m, b
+             |  FROM range(24) t(r), range(4) mm(m), range(6) bb(b)),
+             |ac AS (SELECT id, m, b, p,
+             |  CASE WHEN (id*11 + m*17 + b*23 + p*31) % 21 - 10 = 0 THEN 1
+             |       ELSE (id*11 + m*17 + b*23 + p*31) % 21 - 10 END AS lvl
+             |  FROM blks, LATERAL (SELECT UNNEST([
+             |    1 + (id + m + b) % 4, 6 + (id*3 + m) % 6, 15 + (b*5 + m) % 8,
+             |    30 + (id + b*7) % 10, 50 + (m*3 + b) % 13]) AS p) g),
+             |dq AS (SELECT id, m, b, SUM(
+             |  (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
+             |  (CASE WHEN ABS(lvl) * wz[CAST(p AS INT) + 1] % 2 = 0
+             |        THEN ABS(lvl) * wz[CAST(p AS INT) + 1] - 1
+             |        ELSE ABS(lvl) * wz[CAST(p AS INT) + 1] END)) AS acsum
+             |  FROM ac, (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w
+             |  GROUP BY id, m, b),
+             |dc AS (SELECT id, m, b, ((id*7 + m*13 + b*29) % 256) * 8 AS dcf
+             |       FROM blks)
+             |SELECT dc.id AS media_id,
+             |  ROUND(SUM(CASE WHEN dc.b < 4 THEN dc.dcf ELSE 0 END) * 1.0
+             |        / 16 / 2048.0, 6) AS f_luma_dc,
+             |  ROUND(SUM(CASE WHEN dc.b >= 4 THEN dc.dcf ELSE 0 END) * 1.0
+             |        / 8 / 2048.0, 6) AS f_chroma_dc,
+             |  ROUND(120.0 / 1512, 6) AS f_ac_density,
+             |  ROUND(SUM(ABS(dq.acsum)) * 1.0 / 120, 6) AS f_ac_mean
+             |FROM dc JOIN dq ON dc.id = dq.id AND dc.m = dq.m AND dc.b = dq.b
+             |GROUP BY dc.id""".stripMargin)),
+
     // REAL GIF decode, round-trip-proven: each row carries a genuine
     // GIF89a (logical screen descriptor, 256-entry grey global color
     // table, real variable-width LZW entropy coding with width growth;

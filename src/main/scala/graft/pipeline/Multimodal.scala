@@ -1996,6 +1996,9 @@ object Multimodal {
     *  - MPEG-1 Layer I/II rows: REAL subband-sample statistics via
     *    [[mpegSubbandStats]] — [mean, mean-square, peak, decoded fill
     *    fraction, 0-padding];
+    *  - MPEG-1 video I-frame rows: REAL intra entropy decode via
+    *    [[mpeg1IFrameDecode]] — [mean luma DC, mean chroma DC, AC
+    *    density, mean |AC|, 0-padding];
     *  - everything else (Layer III/AAC, video, unknown containers): the
     *    declared STUB — `dim` deterministic byte-derived moments, so
     *    downstream operators (dedup, ANN) are exercised end-to-end
@@ -2044,16 +2047,37 @@ object Multimodal {
                 case 3 => fill
                 case _ => 0.0
               }
-            case _ =>
-              Array.tabulate(dim) { i =>
-                if (bytes.isEmpty) 0.0
-                else {
-                  var acc = 0.0
-                  var j = i
-                  while (j < bytes.length) { acc += (bytes(j) & 0xFF) / 255.0; j += dim }
-                  acc / math.max(1, (bytes.length + dim - 1 - i) / dim)
+            case _ => mpeg1IFrameDecode(bytes) match {
+              // REAL MPEG-1 video intra-frame stats (was the stub path):
+              // [mean luma DC (brightness, /2048 normalized), mean
+              // chroma DC, AC density (nonzero per 63), mean |AC|].
+              case Some((_, blocks)) if blocks.nonEmpty =>
+                val luma = blocks.filter(_.blk < 4)
+                val chroma = blocks.filter(_.blk >= 4)
+                val nAcTot = blocks.map(_.nAc.toLong).sum
+                Array.tabulate(dim) {
+                  case 0 => luma.map(_.dcF.toDouble).sum /
+                    math.max(1, luma.size) / 2048.0
+                  case 1 => chroma.map(_.dcF.toDouble).sum /
+                    math.max(1, chroma.size) / 2048.0
+                  case 2 => nAcTot.toDouble / (blocks.size * 63L)
+                  case 3 => blocks.map(_.acSum.abs.toDouble).sum /
+                    math.max(1L, nAcTot)
+                  case _ => 0.0
                 }
-              }
+              case _ =>
+                Array.tabulate(dim) { i =>
+                  if (bytes.isEmpty) 0.0
+                  else {
+                    var acc = 0.0
+                    var j = i
+                    while (j < bytes.length) {
+                      acc += (bytes(j) & 0xFF) / 255.0; j += dim
+                    }
+                    acc / math.max(1, (bytes.length + dim - 1 - i) / dim)
+                  }
+                }
+            }
           }
         }
         MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
