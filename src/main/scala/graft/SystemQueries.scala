@@ -1541,6 +1541,32 @@ object SystemQueries {
              |  CAST(5 AS BIGINT) AS n_ac, CAST(SUM(v) AS BIGINT) AS ac_sum
              |FROM dq GROUP BY id, m, b""".stripMargin)),
 
+    // REAL MPEG-1 start-code frame indexing — the seek-and-sample
+    // primitive: multi-picture elementary streams (temporal_reference
+    // carries the picture index) are frame-indexed by a linear scan of
+    // byte-aligned picture start codes, no entropy decode. The oracle
+    // states the closed form of each picture header's first six bytes
+    // (start code + temporal ref + I-type + vbv prefix).
+    ("multimodal_mpeg1_frames",
+      (s, dir) => {
+        import s.implicits._
+        s.range(16).flatMap { id =>
+          val b = Multimodal.mpeg1IFrameBytes(id,
+            nPictures = (id % 3).toInt + 1)
+          Multimodal.mpeg1FrameOffsets(b).zipWithIndex.map {
+            case ((off, tref, ptype), k) =>
+              (id, k.toLong, tref.toLong, ptype.toLong,
+               b.slice(off, off + 6).map("%02X".format(_)).mkString)
+          }
+        }.toDF("media_id", "pic_idx", "temporal_ref", "ptype", "hdr_hex")
+      },
+      Some("""SELECT r AS media_id, CAST(p AS BIGINT) AS pic_idx,
+            |  CAST(p AS BIGINT) AS temporal_ref, CAST(1 AS BIGINT) AS ptype,
+            |  '0000010000' ||
+            |  (CASE p % 4 WHEN 0 THEN '0F' WHEN 1 THEN '4F'
+            |              WHEN 2 THEN '8F' ELSE 'CF' END) AS hdr_hex
+            |FROM range(16) t(r), range(3) pp(p) WHERE p < r % 3 + 1""".stripMargin)),
+
     // decodeFeatures over REAL MPEG-1 video I-frames: the feature
     // extractor routes video payloads through the intra entropy decode
     // (no stub) — features are mean luma/chroma DC (brightness proxies,

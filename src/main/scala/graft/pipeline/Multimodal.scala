@@ -1538,8 +1538,8 @@ object Multimodal {
     * DC (quantized DC × 8, the fixed DC quantizer), and the count / sum
     * of the dequantized AC coefficients (spec intra dequantization with
     * oddification — exact integers, so oracle comparison is hash-exact). */
-  final case class MpegIBlock(mb: Int, blk: Int, dcF: Int, nAc: Int,
-                              acSum: Long)
+  final case class MpegIBlock(pic: Int, mb: Int, blk: Int, dcF: Int,
+                              nAc: Int, acSum: Long)
 
   /** ISO 11172-2 default intra quantizer matrix, raster order. */
   private val Mpeg1IntraMatrix: Array[Int] = Array(
@@ -1617,19 +1617,9 @@ object Multimodal {
       if (code == 0x000001b8) { // GOP header
         bits(27); alignByte(); code = bits(32)
       }
-      if (code != 0x00000100) return None // picture start
-      bits(10)
-      if (bits(3) != 1) return None // I picture only
-      bits(16)
-      while (bits(1) == 1) bits(8) // extra_information_picture
-      alignByte()
-      val slice = bits(32)
-      if (slice < 0x00000101 || slice > 0x000001af) return None
-      var qscale = bits(5)
-      while (bits(1) == 1) bits(8) // extra_information_slice
+      if (code != 0x00000100) return None // first picture start
       val nMb = (w / 16) * (h / 16)
       val blocks = Seq.newBuilder[MpegIBlock]
-      val pred = Array(128, 128, 128) // Y, Cb, Cr quantized-DC predictors
       def vlc[A](table: Seq[(String, A)]): A = {
         val sb = new java.lang.StringBuilder(12)
         while (true) {
@@ -1642,51 +1632,69 @@ object Multimodal {
         }
         throw new IllegalStateException
       }
-      var mb = 0
-      while (mb < nMb) {
-        // macroblock_address_increment (increments 1..3 carried; our
-        // encoder emits 1 but the table subset is decoded honestly)
-        vlc(Seq("1" -> 1, "011" -> 2, "010" -> 3))
-        // macroblock_type for I pictures: '1' intra, '01' intra+quant
-        if (vlc(Seq("1" -> false, "01" -> true))) qscale = bits(5)
-        var blk = 0
-        while (blk < 6) {
-          val comp = if (blk < 4) 0 else blk - 3
-          val dcTab = if (blk < 4) DcLuma else DcChroma
-          val size = vlc(dcTab.zipWithIndex.map { case (c, i) => (c, i) })
-          val diff =
-            if (size == 0) 0
-            else {
-              val v = bits(size)
-              if (v >= (1 << (size - 1))) v else v - (1 << size) + 1
+      var pic = 0
+      var morePictures = true
+      while (morePictures) {
+        bits(10)
+        if (bits(3) != 1) return None // I pictures only
+        bits(16)
+        while (bits(1) == 1) bits(8) // extra_information_picture
+        alignByte()
+        val slice = bits(32)
+        if (slice < 0x00000101 || slice > 0x000001af) return None
+        var qscale = bits(5)
+        while (bits(1) == 1) bits(8) // extra_information_slice
+        val pred = Array(128, 128, 128) // DC predictors, reset per slice
+        var mb = 0
+        while (mb < nMb) {
+          // macroblock_address_increment (increments 1..3 carried; our
+          // encoder emits 1 but the table subset is decoded honestly)
+          vlc(Seq("1" -> 1, "011" -> 2, "010" -> 3))
+          // macroblock_type for I pictures: '1' intra, '01' intra+quant
+          if (vlc(Seq("1" -> false, "01" -> true))) qscale = bits(5)
+          var blk = 0
+          while (blk < 6) {
+            val comp = if (blk < 4) 0 else blk - 3
+            val dcTab = if (blk < 4) DcLuma else DcChroma
+            val size = vlc(dcTab.zipWithIndex.map { case (c, i) => (c, i) })
+            val diff =
+              if (size == 0) 0
+              else {
+                val v = bits(size)
+                if (v >= (1 << (size - 1))) v else v - (1 << size) + 1
+              }
+            pred(comp) += diff
+            val dcF = pred(comp) * 8
+            var nAc = 0; var acSum = 0L
+            var pos = 0
+            var eob = false
+            while (!eob) {
+              val step = vlc(Seq[(String, (Int, Int))](
+                "10" -> ((-1, 0)), "000001" -> ((-2, 0))) ++ AcCodes)
+              step match {
+                case (-1, _) => eob = true
+                case (-2, _) => // escape: run(6) + 8-bit signed level
+                  val run = bits(6)
+                  val raw = bits(8)
+                  val level = if (raw >= 128) raw - 256 else raw
+                  pos += run + 1
+                  acSum += dequantAc0(level, qscale, pos); nAc += 1
+                case (run, mag) =>
+                  val level = if (bits(1) == 1) -mag else mag
+                  pos += run + 1
+                  acSum += dequantAc0(level, qscale, pos); nAc += 1
+              }
+              if (!eob && pos > 63) throw new RuntimeException("overrun")
             }
-          pred(comp) += diff
-          val dcF = pred(comp) * 8
-          var nAc = 0; var acSum = 0L
-          var pos = 0
-          var eob = false
-          while (!eob) {
-            val step = vlc(Seq[(String, (Int, Int))](
-              "10" -> ((-1, 0)), "000001" -> ((-2, 0))) ++ AcCodes)
-            step match {
-              case (-1, _) => eob = true
-              case (-2, _) => // escape: run(6) + 8-bit signed level
-                val run = bits(6)
-                val raw = bits(8)
-                val level = if (raw >= 128) raw - 256 else raw
-                pos += run + 1
-                acSum += dequantAc0(level, qscale, pos); nAc += 1
-              case (run, mag) =>
-                val level = if (bits(1) == 1) -mag else mag
-                pos += run + 1
-                acSum += dequantAc0(level, qscale, pos); nAc += 1
-            }
-            if (!eob && pos > 63) throw new RuntimeException("overrun")
+            blocks += MpegIBlock(pic, mb, blk, dcF, nAc, acSum)
+            blk += 1
           }
-          blocks += MpegIBlock(mb, blk, dcF, nAc, acSum)
-          blk += 1
+          mb += 1
         }
-        mb += 1
+        alignByte()
+        morePictures = bitPos + 32 <= bytes.length * 8 &&
+          bits(32) == 0x00000100
+        if (morePictures) pic += 1
       }
       Some(((w, h), blocks.result()))
     } catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException =>
@@ -1713,9 +1721,9 @@ object Multimodal {
     * positions with levels in ±10 (table-B.5 codes where the (run,level)
     * pair is in the table, the spec ESCAPE form otherwise — both paths
     * exercised), qscale 8. */
-  def mpeg1IFrameBytes(seed: Long, width: Int = 32,
-                       height: Int = 32): Array[Byte] = {
-    require(width % 16 == 0 && height % 16 == 0)
+  def mpeg1IFrameBytes(seed: Long, width: Int = 32, height: Int = 32,
+                       nPictures: Int = 1): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0 && nPictures >= 1)
     val bits = new scala.collection.mutable.ArrayBuffer[Boolean](1 << 14)
     def put(v: Long, n: Int): Unit =
       (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1) == 1)
@@ -1726,53 +1734,83 @@ object Multimodal {
     put(1, 4); put(1, 4); put(0x3ffff, 18); put(1, 1); put(0, 10)
     put(0, 1); put(0, 1); put(0, 1) // constrained, loadI, loadNI
     align()
-    put(0x00000100L, 32); put(0, 10); put(1, 3); put(0xffff, 16); put(0, 1)
-    align()
-    put(0x00000101L, 32)
-    val qscale = 8
-    put(qscale, 5); put(0, 1)
-    val pred = Array(128, 128, 128)
-    val nMb = (width / 16) * (height / 16)
-    (0 until nMb).foreach { m =>
-      putStr("1") // address increment 1
-      putStr("1") // intra
-      (0 until 6).foreach { b =>
-        val comp = if (b < 4) 0 else b - 3
-        val dcq = ((seed * 7 + m * 13 + b * 29) % 256).toInt
-        val diff = dcq - pred(comp)
-        pred(comp) = dcq
-        val size = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-        putStr(if (b < 4) DcLuma(size) else DcChroma(size))
-        if (size > 0)
-          put(if (diff > 0) diff else diff + (1 << size) - 1, size)
-        // AC: five disjoint-range zigzag positions, ascending
-        val ps = Seq(
-          1 + ((seed + m + b) % 4).toInt, 6 + ((seed * 3 + m) % 6).toInt,
-          15 + ((b * 5 + m) % 8).toInt, 30 + ((seed + b * 7) % 10).toInt,
-          50 + ((m * 3 + b) % 13).toInt)
-        var prev = 0
-        ps.foreach { p =>
-          val l0 = ((seed * 11 + m * 17 + b * 23 + p * 31) % 21).toInt - 10
-          val level = if (l0 == 0) 1 else l0
-          val run = p - prev - 1
-          prev = p
-          AcByRunLevel.get((run, math.abs(level))) match {
-            case Some(code) =>
-              putStr(code); put(if (level < 0) 1 else 0, 1)
-            case None =>
-              putStr("000001"); put(run, 6); put(level & 0xff, 8)
+    (0 until nPictures).foreach { pic =>
+      // temporal_reference carries the picture index (so a start-code
+      // frame index recovers it without entropy decode)
+      put(0x00000100L, 32); put(pic, 10); put(1, 3); put(0xffff, 16)
+      put(0, 1)
+      align()
+      put(0x00000101L, 32)
+      val qscale = 8
+      put(qscale, 5); put(0, 1)
+      val pred = Array(128, 128, 128)
+      val nMb = (width / 16) * (height / 16)
+      (0 until nMb).foreach { m =>
+        putStr("1") // address increment 1
+        putStr("1") // intra
+        (0 until 6).foreach { b =>
+          val comp = if (b < 4) 0 else b - 3
+          val dcq = ((seed * 7 + pic * 37 + m * 13 + b * 29) % 256).toInt
+          val diff = dcq - pred(comp)
+          pred(comp) = dcq
+          val size =
+            if (diff == 0) 0
+            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          putStr(if (b < 4) DcLuma(size) else DcChroma(size))
+          if (size > 0)
+            put(if (diff > 0) diff else diff + (1 << size) - 1, size)
+          // AC: five disjoint-range zigzag positions, ascending
+          val ps = Seq(
+            1 + ((seed + m + b) % 4).toInt, 6 + ((seed * 3 + m) % 6).toInt,
+            15 + ((b * 5 + m) % 8).toInt, 30 + ((seed + b * 7) % 10).toInt,
+            50 + ((m * 3 + b) % 13).toInt)
+          var prev = 0
+          ps.foreach { p =>
+            val l0 = ((seed * 11 + pic * 41 + m * 17 + b * 23 + p * 31)
+              % 21).toInt - 10
+            val level = if (l0 == 0) 1 else l0
+            val run = p - prev - 1
+            prev = p
+            AcByRunLevel.get((run, math.abs(level))) match {
+              case Some(code) =>
+                putStr(code); put(if (level < 0) 1 else 0, 1)
+              case None =>
+                putStr("000001"); put(run, 6); put(level & 0xff, 8)
+            }
           }
+          putStr("10") // EOB
         }
-        putStr("10") // EOB
       }
+      align()
     }
-    align()
     put(0x000001b7L, 32) // sequence end
     val out = new Array[Byte](bits.length / 8)
     bits.zipWithIndex.foreach { case (bit, i) =>
       if (bit) out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
     }
     out
+  }
+
+  /** Start-code frame index of an MPEG-1 video elementary stream — the
+    * 100 TB frame-sampling primitive: picture start codes are
+    * byte-aligned by construction, so a stream is frame-indexed by a
+    * single linear scan with NO entropy decode (seek-and-sample without
+    * touching slice payloads). Returns one row per picture:
+    * (byte offset, temporal_reference, picture_coding_type). */
+  def mpeg1FrameOffsets(bytes: Array[Byte]): Seq[(Int, Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    var p = 0
+    while (p + 6 <= bytes.length) {
+      if (bytes(p) == 0 && bytes(p + 1) == 0 && bytes(p + 2) == 1 &&
+          bytes(p + 3) == 0) {
+        val tempRef = ((bytes(p + 4) & 0xff) << 2) |
+          ((bytes(p + 5) & 0xff) >> 6)
+        val ptype = (bytes(p + 5) >> 3) & 0x7
+        out += ((p, tempRef, ptype))
+        p += 4
+      } else p += 1
+    }
+    out.result()
   }
 
   /** A minimal real MP4: ftyp + moov(mvhd + one video trak [+ one audio

@@ -633,6 +633,23 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.mpeg1IFrameDecode("garbage".getBytes) == None)
     assert(Multimodal.mpeg1IFrameDecode(b.take(16)) == None)
     assert(Multimodal.mpeg1IFrameDecode(Multimodal.mp3Bytes(1)) == None)
+    // Multi-picture streams: DC predictor chains reset per slice, the
+    // pic·37 content shift decodes per picture, and the start-code
+    // index recovers (offset, temporal_reference, I-type) with no
+    // entropy decode.
+    val b3 = Multimodal.mpeg1IFrameBytes(seed = 5, nPictures = 3)
+    val Some((_, blocks3)) = Multimodal.mpeg1IFrameDecode(b3)
+    assert(blocks3.size == 3 * 24)
+    blocks3.foreach { bl =>
+      assert(bl.dcF ==
+        ((5 * 7 + bl.pic * 37 + bl.mb * 13 + bl.blk * 29) % 256) * 8,
+        s"pic=${bl.pic} mb=${bl.mb} blk=${bl.blk}")
+    }
+    val idx = Multimodal.mpeg1FrameOffsets(b3)
+    assert(idx.size == 3)
+    assert(idx.map(_._2) == Seq(0, 1, 2)) // temporal refs
+    assert(idx.forall(_._3 == 1))         // all I pictures
+    assert(idx.map(_._1) == idx.map(_._1).sorted && idx.head._1 > 0)
   }
 
   test("layer2Decode round-trips genuinely bit-packed MPEG-1 Layer II frames") {
