@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Multimodal, TextOps}
+
+/** Crash-robustness sweep over the whole codec seam: every decode entry
+  * point must return (Some/None/empty), never throw, on (a) random
+  * bytes, (b) random-prefix truncations of VALID streams, and (c)
+  * single-byte corruptions of valid streams — the malformed-input
+  * classes a 100 TB crawl actually contains. This is the generalization
+  * of the round-10 ADVICE fix (BMP RLE8 palette read crashing on a
+  * crafted header): the contract across the seam is "partial-tail
+  * honesty or None", and a thrown exception would kill a whole Spark
+  * task rather than skip one bad blob. */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(17)
+
+  private def decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+    "imageMeta" -> (Multimodal.imageMeta(_)),
+    "audioMeta" -> (Multimodal.audioMeta(_)),
+    "mp3Meta" -> (Multimodal.mp3Meta(_)),
+    "bmpChannelStats" -> (Multimodal.bmpChannelStats(_)),
+    "pngChannelStats" -> (Multimodal.pngChannelStats(_)),
+    "jpegChannelStats" -> (Multimodal.jpegChannelStats(_)),
+    "gifChannelStats" -> (Multimodal.gifChannelStats(_)),
+    "wavSampleStats" -> (Multimodal.wavSampleStats(_)),
+    "layer1Decode" -> (Multimodal.layer1Decode(_)),
+    "layer2Decode" -> (Multimodal.layer2Decode(_)),
+    "layer3Decode" -> (Multimodal.layer3Decode(_)),
+    "mpegSubbandStats" -> (Multimodal.mpegSubbandStats(_)),
+    "mpeg1IFrameDecode" -> (Multimodal.mpeg1IFrameDecode(_)),
+    "mpeg1FrameOffsets" -> (Multimodal.mpeg1FrameOffsets(_)),
+    "webpMeta" -> (Multimodal.webpMeta(_)),
+    "flacMeta" -> (Multimodal.flacMeta(_)),
+    "gunzipEx" -> (TextOps.gunzipEx(_)),
+    "warcRecords" -> (TextOps.warcRecords(_)))
+
+  private def validStreams: Seq[Array[Byte]] = Seq(
+    Multimodal.layer1Bytes(3, 2),
+    Multimodal.layer2Bytes(3, 2),
+    Multimodal.layer3Bytes(3, 2),
+    Multimodal.mpeg1IFrameBytes(3, nPictures = 2),
+    Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
+    TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),
+    TextOps.warcBytes(Seq(("response", "http://x/1", "hello"))))
+
+  private def check(name: String, fn: Array[Byte] => Any,
+                    b: Array[Byte], what: String): Unit =
+    try fn(b) catch {
+      case e: Throwable =>
+        fail(s"$name threw ${e.getClass.getSimpleName} on $what " +
+          s"(len=${b.length}): ${e.getMessage}")
+    }
+
+  test("decoders never throw on random bytes") {
+    val blobs = Seq(Array.empty[Byte]) ++
+      (0 until 60).map(i => Array.fill(rnd.nextInt(400))(rnd.nextInt.toByte))
+    for ((name, fn) <- decoders; b <- blobs) check(name, fn, b, "random")
+  }
+
+  test("decoders never throw on truncated valid streams") {
+    for ((name, fn) <- decoders; v <- validStreams;
+         cut <- Seq(1, 5, v.length / 3, v.length / 2, v.length - 3))
+      check(name, fn, v.take(math.max(0, cut)), "truncation")
+  }
+
+  test("decoders never throw on single-byte corruptions of valid streams") {
+    for ((name, fn) <- decoders; v <- validStreams; _ <- 0 until 8) {
+      val b = v.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt.toByte
+      check(name, fn, b, "corruption")
+    }
+  }
+}
