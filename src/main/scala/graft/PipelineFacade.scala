@@ -196,6 +196,11 @@ object GraftPipeline {
                  shardCol: String = "payload"): DataFrame =
     TextOps.warcCorpus(shards, idCol, shardCol)
 
+  /** C4-style per-domain document cap over a `(id, url)` frame. */
+  def domainCap(docs: DataFrame, idCol: String, urlCol: String,
+                k: Int): DataFrame =
+    Sampling.domainCap(docs, idCol, urlCol, k)
+
   /** The driver-testdata corpus + vectors for a scale-factor dir. */
   def fromTestdata(spark: SparkSession, dir: String)
       : (GraftCorpus, GraftVectors) = {
