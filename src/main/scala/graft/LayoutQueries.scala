@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.KG
+import graft.operators.DataLayout
+
+/** Physical-data-layout + snapshot-CDC query rows (operators/DataLayout):
+  * Z-order clustering vs linear clustering under statistics pruning,
+  * shuffle-free bucketed joins, Hive-style partition pruning, and
+  * snapshot diff / change replay. Each entry: (name, query fn, DuckDB
+  * oracle SQL). */
+object LayoutQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    KG.table(s, dir, name)
+
+  // CDC fixture: two deterministic snapshots of the documents corpus.
+  // base (the "yesterday" snapshot) is missing every doc_id % 10 == 0 row
+  // and carries a stale payload (text + ' [v1]') for doc_id % 7 == 0;
+  // cur (the "today" snapshot) is missing every doc_id % 13 == 5 row.
+  // So: added = %10=0 ∧ %13≠5, removed = %13=5 ∧ %10≠0,
+  // changed = in both ∧ %7=0.
+  private def cdcBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v1]")))
+          .otherwise(col("text")))
+  private def cdcCur(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 13 =!= 5)
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // Z-order vs linear clustering under min/max-statistics pruning for a
+    // 2-D box predicate over (l_orderkey, l_partkey). Same matching rows,
+    // very different I/O: the linear layout's partkey stats are useless,
+    // the Morton layout's are tight on both dimensions.
+    ("layout_zorder_prune",
+      (s, dir) => DataLayout.zorderCompare(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+      Some("""WITH st AS (
+             |  SELECT MIN(l_orderkey) AS mnx, MAX(l_orderkey) AS mxx,
+             |         MIN(l_partkey) AS mny, MAX(l_partkey) AS mxy
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT (l_orderkey - mnx) * 256 // (mxx - mnx + 1) AS rx,
+             |         (l_partkey - mny) * 256 // (mxy - mny + 1) AS ry
+             |  FROM lineitem, st),
+             |z AS (
+             |  SELECT rx, ry,
+             |    list_sum(list_transform(generate_series(0, 7), i ->
+             |      (((rx >> i) & 1) << (2 * i)) +
+             |      (((ry >> i) & 1) << (2 * i + 1)))) AS zv
+             |  FROM r),
+             |b AS (
+             |  SELECT rx, ry, zv >> 10 AS zb, rx >> 2 AS lb,
+             |    CASE WHEN rx BETWEEN 64 AND 127 AND ry BETWEEN 128 AND 191
+             |         THEN 1 ELSE 0 END AS m
+             |  FROM z),
+             |lin AS (SELECT lb AS bkt, MIN(rx) AS mnrx, MAX(rx) AS mxrx,
+             |               MIN(ry) AS mnry, MAX(ry) AS mxry,
+             |               COUNT(*) AS cnt, SUM(m) AS mm
+             |        FROM b GROUP BY 1),
+             |zo AS (SELECT zb AS bkt, MIN(rx) AS mnrx, MAX(rx) AS mxrx,
+             |              MIN(ry) AS mnry, MAX(ry) AS mxry,
+             |              COUNT(*) AS cnt, SUM(m) AS mm
+             |       FROM b GROUP BY 1)
+             |SELECT 'linear' AS layout, COUNT(*) AS n_buckets,
+             |  CAST(SUM(CASE WHEN NOT (mxrx < 64 OR mnrx > 127 OR
+             |                          mxry < 128 OR mnry > 191)
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+             |  CAST(SUM(CASE WHEN NOT (mxrx < 64 OR mnrx > 127 OR
+             |                          mxry < 128 OR mnry > 191)
+             |           THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+             |  CAST(SUM(mm) AS BIGINT) AS rows_matched
+             |FROM lin
+             |UNION ALL
+             |SELECT 'zorder', COUNT(*),
+             |  CAST(SUM(CASE WHEN NOT (mxrx < 64 OR mnrx > 127 OR
+             |                          mxry < 128 OR mnry > 191)
+             |           THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(SUM(CASE WHEN NOT (mxrx < 64 OR mnrx > 127 OR
+             |                          mxry < 128 OR mnry > 191)
+             |           THEN cnt ELSE 0 END) AS BIGINT),
+             |  CAST(SUM(mm) AS BIGINT)
+             |FROM zo""".stripMargin)),
+
+    // Revenue per market segment through hash-bucketed persistent tables:
+    // the join stage plans zero shuffle exchanges (LayoutQuerySpec /
+    // BucketedJoinSpec assert the plan), the layout cost was paid once at
+    // write time. The oracle only cares that results are unchanged.
+    ("layout_bucketed_join",
+      (s, dir) => DataLayout.bucketedRevenueBySegment(s, dir),
+      Some("SELECT c_mktsegment, COUNT(*) AS n_orders, " +
+           "ROUND(SUM(o_totalprice), 2) AS revenue " +
+           "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1")),
+
+    // Daily rollup over a date-partitioned event log: the day filter
+    // prunes partitions at plan time (7 of ~30 day directories read).
+    ("layout_partition_prune",
+      (s, dir) => DataLayout.eventsWeekRollup(s, dir),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  ROUND(SUM(value), 6) AS sum_value
+             |FROM events
+             |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+             |GROUP BY 1""".stripMargin)),
+
+    // Snapshot CDC diff: one row per doc whose state changed between the
+    // two snapshots, classified added/removed/changed by text fingerprint.
+    ("cdc_snapshot_diff",
+      (s, dir) => DataLayout.snapshotDiff(
+        cdcBase(s, dir), cdcCur(s, dir), "doc_id", md5(col("text"))),
+      Some("""WITH b AS (
+             |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+             |                          THEN text || ' [v1]' ELSE text END) AS fp
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |c AS (SELECT doc_id, md5(text) AS fp
+             |      FROM documents WHERE doc_id % 13 <> 5)
+             |SELECT COALESCE(b.doc_id, c.doc_id) AS id,
+             |  CASE WHEN b.doc_id IS NULL THEN 'added'
+             |       WHEN c.doc_id IS NULL THEN 'removed'
+             |       ELSE 'changed' END AS status
+             |FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id
+             |WHERE b.doc_id IS NULL OR c.doc_id IS NULL OR b.fp <> c.fp"""
+             .stripMargin)),
+
+    // Replay the change set onto the base snapshot (delete removed/stale,
+    // append new payloads) and prove the merged corpus equals the current
+    // snapshot — the oracle computes the same per-bucket profile straight
+    // from the current snapshot's definition, never seeing the merge.
+    ("cdc_apply_changes",
+      (s, dir) => {
+        val base = cdcBase(s, dir); val cur = cdcCur(s, dir)
+        val diff = DataLayout.snapshotDiff(base, cur, "doc_id",
+                                           md5(col("text")))
+        DataLayout.applyChanges(base, diff, cur, "doc_id")
+          .groupBy((col("doc_id") % 16).as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum("n_chars").as("sum_chars"),
+               sum(length(col("text"))).as("sum_len"))
+      },
+      Some("""SELECT doc_id % 16 AS bucket, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
+             |FROM documents WHERE doc_id % 13 <> 5
+             |GROUP BY 1""".stripMargin))
+  )
+}

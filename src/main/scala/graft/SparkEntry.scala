@@ -20,7 +20,8 @@ object SparkEntry {
     val kg = KGQueries.all.map { case (name, lstr, b) =>
       name -> ((s: SparkSession, dir: String) => HardExec.run(s, dir, lstr, b))
     }.toMap
-    val pipe = (PipelineQueries.entries ++ SystemQueries.entries ++ OperatorQueries.entries).map {
+    val pipe = (PipelineQueries.entries ++ SystemQueries.entries ++
+        OperatorQueries.entries ++ LayoutQueries.entries).map {
       case (name, fn, _) => name -> fn
     }.toMap
     kg ++ pipe
@@ -32,7 +33,8 @@ object SparkEntry {
     val kg = KGQueries.all.map { case (name, lstr, b) =>
       name -> OracleSql.formulaSql(lstr, b)
     }.toMap
-    val pipe = (PipelineQueries.entries ++ SystemQueries.entries ++ OperatorQueries.entries).collect {
+    val pipe = (PipelineQueries.entries ++ SystemQueries.entries ++
+        OperatorQueries.entries ++ LayoutQueries.entries).collect {
       case (name, _, Some(sql)) => name -> sql
     }.toMap
     kg ++ pipe
