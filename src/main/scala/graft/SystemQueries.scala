@@ -53,6 +53,59 @@ object SystemQueries {
       .toDF("id", "name")
   }
 
+  // ---- Layer III full-chain oracle scaffolding (multimodal_mp3_reservoir
+  // / multimodal_mp3_imdct): the layer3BytesFull generating formulas
+  // replayed relationally through requantization; the decoder's
+  // 1e-12-quantized transform constants are interpolated as literal
+  // doubles so both engines fold identical values in identical order.
+  private val l3SfbLit = Multimodal.l3Sfb48.mkString("[", ", ", "]")
+  private val l3PretabLit = Multimodal.l3Pretab.mkString("[", ", ", "]")
+  private val l3CsLit = Multimodal.l3Cs.mkString("[", ", ", "]")
+  private val l3CaLit = Multimodal.l3Ca.mkString("[", ", ", "]")
+  private val l3WinLit = Multimodal.l3Win.mkString("[", ", ", "]")
+  private val l3CtLit = Multimodal.l3CosTab.mkString("[", ", ", "]")
+
+  /** CTE chain id/f/g/gidx → requantized frequency lines `xr(line, x)`:
+    * big-values pairs + count1 quadruples by the fixture formulas, then
+    * the §2.4.3.4.7 requantization (global_gain 210+4k, scalefac_scale 1,
+    * scfsi-shared scalefactors, preflag·pretab) — every x is an exact
+    * dyadic double, so sums are order-independent and hash-exact. */
+  private val l3XrCte: String =
+    s"""gr AS (SELECT r AS id, f, g, f * 2 + g AS gidx FROM range(24) t(r),
+       |       range(3) ff(f), range(2) gg(g) WHERE f < r % 3 + 1),
+       |pl AS (SELECT id, f, g, gidx, 2 * k + j AS line,
+       |         CASE WHEN j = 0 THEN (id*3 + f*7 + g*11 + k*5) % 3 - 1
+       |              ELSE (id*5 + f*11 + g*3 + k*7) % 3 - 1 END AS isv
+       |       FROM gr,
+       |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+       |           16 + CAST((id + f + g) % 17 AS INT) - 1)) AS k) u,
+       |         range(2) jj(j)),
+       |q1 AS (SELECT id, f, g, gidx,
+       |         2 * (16 + (id + f + g) % 17) + 4 * q + j AS line,
+       |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+       |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END) AS isv
+       |       FROM gr,
+       |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+       |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+       |         range(4) jj(j)),
+       |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+       |bd AS (SELECT id, f, g, gidx, line, isv,
+       |         len(list_filter($l3SfbLit, v -> v <= line)) - 1 AS band
+       |       FROM ln3),
+       |xr AS (SELECT id, f, g, gidx, line, isv,
+       |         isv * POWER(2.0,
+       |           ((id + f*2 + g) % 8 - 2)
+       |           - (CASE WHEN g = 1 AND
+       |                ((((id + f) % 16) >> CAST(3 - (CASE WHEN band < 6 THEN 0
+       |                    WHEN band < 11 THEN 1 WHEN band < 16 THEN 2
+       |                    ELSE 3 END) AS INT)) & 1) = 1
+       |              THEN (id + f + band) % 4
+       |              ELSE (id + f + band + g*3) % 4 END)
+       |           - (CASE WHEN (id + f + g) % 3 = 0
+       |              THEN $l3PretabLit[CAST(band AS INT) + 1] ELSE 0 END)
+       |         ) AS x
+       |       FROM bd)""".stripMargin
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // S2/S3-adjacent: the derived entity dictionary (id, name).
@@ -1496,6 +1549,109 @@ object SystemQueries {
             |  CAST(SUM(x + y) AS BIGINT) AS is_sum,
             |  CAST(SUM(x*x + y*y) AS BIGINT) AS is_sq_sum
             |FROM ln GROUP BY id, f, g""".stripMargin)),
+
+    // REAL MP3 bit-reservoir + scalefactor + count1 + requantization
+    // decode (layer3DecodeFull): frames whose granule data begins inside
+    // earlier frames' main-data areas (main_data_begin back-pointers),
+    // transmitted slen-2/2 scalefactors with frame-varying scfsi sharing,
+    // count1-table-B quadruples, preflag/pretab, and the full §2.4.3.4.7
+    // requantization. Fixture gains are 210+4k and |is| ≤ 1, so every xr
+    // is an exact dyadic double — the oracle replays the generating
+    // formulas relationally and sums are hash-exact without order pinning.
+    ("multimodal_mp3_reservoir",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, grans, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3BytesFull(id, nf)).get
+          grans.map(g => (id, g.frame.toLong, g.granule.toLong,
+            g.mainDataBegin.toLong, g.preflag.toLong, g.nCount1.toLong,
+            g.nNonzero.toLong, g.xrSum, g.xrMsq))
+        }.toDF("media_id", "frame", "granule", "main_data_begin", "preflag",
+               "n_count1", "n_nonzero", "xr_sum", "xr_msq")
+      },
+      Some(s"""WITH $l3XrCte
+             |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+             |  CAST(g AS BIGINT) AS granule,
+             |  CAST(CASE WHEN f = 0 THEN 0 ELSE (id*7 + f*13) % 40 END
+             |       AS BIGINT) AS main_data_begin,
+             |  CAST(CASE WHEN (id + f + g) % 3 = 0 THEN 1 ELSE 0 END
+             |       AS BIGINT) AS preflag,
+             |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
+             |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nonzero,
+             |  ROUND(SUM(x), 6) + 0.0 AS xr_sum,
+             |  ROUND(SUM(x * x), 6) + 0.0 AS xr_msq
+             |FROM xr GROUP BY id, f, g""".stripMargin)),
+
+    // REAL MP3 transform chain to time-domain subband samples: alias-
+    // reduction butterflies (Table B.9), the 36-point long-block IMDCT,
+    // sine windowing, overlap-add across the granule sequence, and odd-
+    // subband frequency inversion — everything short of the tabulated
+    // polyphase window, which stays declared. The decoder's 1e-12-
+    // quantized cosine/window constants are interpolated into the SQL as
+    // literal doubles and every float fold is order-pinned
+    // (list_sum(list(... ORDER BY ...))), so the replay is bit-identical.
+    ("multimodal_mp3_imdct",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, subs) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3BytesFull(id, nf)).get
+          subs.map(b => (id, b.frame.toLong, b.granule.toLong,
+            b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "granule", "subband", "s_sum", "s_msq")
+      },
+      Some(s"""WITH $l3XrCte,
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.line = ll.l),
+             |al AS (
+             |  SELECT d.id, d.gidx, d.line,
+             |    CASE
+             |      WHEN d.line % 18 <= 7 AND d.line >= 18 THEN
+             |        d.x * ($l3CsLit)[CAST(d.line % 18 AS INT) + 1]
+             |        + p.x * ($l3CaLit)[CAST(d.line % 18 AS INT) + 1]
+             |      WHEN d.line % 18 >= 10 AND d.line < 558 THEN
+             |        d.x * ($l3CsLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |        - p.x * ($l3CaLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |      ELSE d.x END AS x
+             |  FROM dense d
+             |  LEFT JOIN dense p ON p.id = d.id AND p.gidx = d.gidx
+             |    AND p.line =
+             |      CASE WHEN d.line % 18 <= 7 AND d.line >= 18
+             |             THEN d.line - 2 * (d.line % 18) - 1
+             |           WHEN d.line % 18 >= 10 AND d.line < 558
+             |             THEN d.line + 35 - 2 * (d.line % 18)
+             |           ELSE NULL END),
+             |im AS (
+             |  SELECT a.id, a.gidx, a.line // 18 AS sb, ii.i,
+             |    list_sum(list(
+             |      a.x * ($l3CtLit)[CAST(ii.i * 18 + a.line % 18 AS INT) + 1]
+             |      ORDER BY a.line))
+             |      * ($l3WinLit)[CAST(ii.i AS INT) + 1] AS zw
+             |  FROM al a CROSS JOIN range(36) ii(i)
+             |  GROUP BY a.id, a.gidx, a.line // 18, ii.i),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.sb, h.i,
+             |    (h.zw + COALESCE(t3.zw, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM im WHERE i < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, sb, i - 18 AS i, zw
+             |             FROM im WHERE i >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.sb = h.sb
+             |    AND t3.i = h.i)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule, CAST(sb AS BIGINT) AS subband,
+             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
+             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
 
     // REAL MPEG-1 VIDEO intra-frame entropy decode, round-trip-proven
     // (ISO 11172-2; the video slice of the stub seam made real): each

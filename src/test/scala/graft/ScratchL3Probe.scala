@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Multimodal
+
+/** Scratch probe for the Layer III full chain (reservoir + count1 +
+  * scalefactors + requant + IMDCT): round-trips the fixture encoder
+  * through the decoder across seeds and prints representative values. */
+class ScratchL3Probe extends AnyFunSuite {
+  test("layer3 full round trip across 24 seeds") {
+    var mdbNonzero = 0
+    (0 until 24).foreach { id =>
+      val nf = (id % 3) + 1
+      val bytes = Multimodal.layer3BytesFull(id, nf)
+      val decoded = Multimodal.layer3DecodeFull(bytes)
+      assert(decoded.isDefined, s"id=$id decode failed")
+      val (_, grans, subs) = decoded.get
+      assert(grans.size == nf * 2, s"id=$id grans=${grans.size}")
+      assert(subs.size == nf * 2 * 32, s"id=$id subs=${subs.size}")
+      mdbNonzero += grans.count(_.mainDataBegin > 0)
+      if (id < 3) {
+        val g = grans.head
+        info(s"id=$id f0g0: mdb=${g.mainDataBegin} pre=${g.preflag} " +
+          s"nC1=${g.nCount1} nNz=${g.nNonzero} xrSum=${g.xrSum} " +
+          s"xrMsq=${g.xrMsq}")
+        val s0 = subs.head
+        info(s"  sb0: sSum=${s0.sSum} sMsq=${s0.sMsq}")
+      }
+    }
+    assert(mdbNonzero > 10, s"reservoir exercised: $mdbNonzero granules")
+  }
+}
