@@ -1697,6 +1697,118 @@ object SystemQueries {
              |  CAST(5 AS BIGINT) AS n_ac, CAST(SUM(v) AS BIGINT) AS ac_sum
              |FROM dq GROUP BY id, m, b""".stripMargin)),
 
+    // REAL MPEG-1 I→P decode with forward MOTION COMPENSATION
+    // (mpeg1IPDecode): the I picture is reconstructed to pixels (intra
+    // entropy decode + the 1e-12-quantized separable IDCT, round-half-
+    // away, clamp), then the P picture is built macroblock-by-macroblock
+    // — intra-in-P, forward-MC with differentially coded half-pel
+    // vectors (incl. two genuine differential chains), and a skipped
+    // macroblock. The oracle replays the whole chain relationally:
+    // coefficient formulas → dequant → IDCT (order-pinned folds over the
+    // same interpolated basis) → half-pel spec averages ((a+b+1)//2,
+    // (a+b+c+d+2)//4) — integers end-to-end after the pixel rounding, so
+    // comparison is hash-exact. P/B prediction-ERROR coding (CBP table
+    // B.3) and B pictures stay declared.
+    ("multimodal_mpeg1_pframe",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(Multimodal.mpeg1IPBytes(id))
+          val (_, mbs) = decoded.get
+          mbs.map(r => (id, r.pic.toLong, r.mb.toLong, r.kind.toLong,
+            r.dx.toLong, r.dy.toLong, r.ySum, r.ySqSum))
+        }.toDF("media_id", "pic", "mb", "kind", "dx", "dy", "y_sum",
+               "y_sqsum")
+      },
+      Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
+             |cmb AS (SELECT id, pc, m FROM ids, (VALUES (0), (1)) pp(pc),
+             |        range(8) mm(m) WHERE pc = 0 OR m IN (0, 5)),
+             |co AS (
+             |  SELECT id, pc, m, b, 0 AS ord,
+             |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
+             |  FROM cmb, range(4) bb(b)
+             |  UNION ALL
+             |  SELECT id, pc, m, b, p AS ord,
+             |    (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
+             |    LEAST(CASE WHEN ABS(lvl) * wz[CAST(p AS INT) + 1] % 2 = 0
+             |               THEN ABS(lvl) * wz[CAST(p AS INT) + 1] - 1
+             |               ELSE ABS(lvl) * wz[CAST(p AS INT) + 1] END,
+             |          2047) AS f
+             |  FROM (SELECT id, pc, m, b, p,
+             |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
+             |               THEN 1
+             |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
+             |          END AS lvl
+             |        FROM cmb, range(4) bb(b),
+             |          LATERAL (SELECT UNNEST([
+             |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
+             |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
+             |            50 + (m*3 + b) % 13]) AS p) g) lv,
+             |  (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
+             |px AS (
+             |  SELECT id, pc, m, b, x, y,
+             |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT))) AS v
+             |  FROM co, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, pc, m, b, x, y),
+             |mv AS (SELECT id, m,
+             |    CASE m WHEN 1 THEN id % 4 - 2
+             |           WHEN 2 THEN id % 4 - 2 + ((id // 7) % 3 - 1)
+             |           WHEN 4 THEN (id // 11) % 4
+             |           WHEN 6 THEN -((id // 17) % 3)
+             |           WHEN 7 THEN -((id // 23) % 4) ELSE 0 END AS dx,
+             |    CASE m WHEN 1 THEN (id // 4) % 3
+             |           WHEN 2 THEN (id // 9) % 3
+             |           WHEN 4 THEN -((id // 13) % 4)
+             |           WHEN 6 THEN -((id // 19) % 3)
+             |           WHEN 7 THEN -((id // 29) % 4) ELSE 0 END AS dy,
+             |    CASE WHEN m IN (0, 5) THEN 0 WHEN m = 3 THEN 2
+             |         ELSE 1 END AS kind
+             |  FROM ids, range(8) mm(m)),
+             |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
+             |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
+             |        FROM px WHERE pc = 0 AND b < 4),
+             |mc AS (SELECT v.id, v.m, v.kind, v.dx, v.dy,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
+             |       FROM mv v, range(16) xx(x), range(16) yy(y)
+             |       WHERE v.kind IN (1, 2)),
+             |mcp AS (
+             |  SELECT c.id, c.m, c.kind, c.dx, c.dy,
+             |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
+             |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
+             |           THEN (r00.v + r01.v + 1) // 2
+             |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
+             |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS v
+             |  FROM mc c
+             |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
+             |    AND r00.ry = c.y2 // 2
+             |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
+             |    AND r01.ry = c.y2 // 2
+             |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
+             |    AND r10.ry = c.y2 // 2 + 1
+             |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
+             |    AND r11.ry = c.y2 // 2 + 1)
+             |SELECT id AS media_id, CAST(0 AS BIGINT) AS pic,
+             |  CAST(m AS BIGINT) AS mb, CAST(0 AS BIGINT) AS kind,
+             |  CAST(0 AS BIGINT) AS dx, CAST(0 AS BIGINT) AS dy,
+             |  CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
+             |FROM px WHERE pc = 0 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), 0, 0, 0,
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM px WHERE pc = 1 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), CAST(kind AS BIGINT),
+             |  CAST(dx AS BIGINT), CAST(dy AS BIGINT),
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM mcp GROUP BY id, m, kind, dx, dy""".stripMargin)),
+
     // REAL MPEG-1 start-code frame indexing — the seek-and-sample
     // primitive: multi-picture elementary streams (temporal_reference
     // carries the picture index) are frame-indexed by a linear scan of

@@ -2284,6 +2284,477 @@ object Multimodal {
     out.result()
   }
 
+  // ---- MPEG-1 motion-compensated P pictures (11172-2 §2.4.4.2) --------
+
+  /** 1e-12-quantized separable IDCT basis, flattened `u*8 + x`:
+    * `C(u)/2 · cos((2x+1)uπ/16)` — interpolated into the oracle SQL as
+    * literal doubles so both engines fold identical values. */
+  val mpegIct: Array[Double] = Array.tabulate(64) { idx =>
+    val u = idx / 8; val x = idx % 8
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    round12(cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0))
+  }
+  private[graft] def mpegZigzag: Array[Int] = Zigzag
+
+  /** One reconstructed macroblock of an I/P picture: picture index,
+    * macroblock address, kind (0 intra, 1 forward-MC, 2 skipped),
+    * reconstructed forward vector in half-pel units, and the integer
+    * sum / square-sum of the macroblock's 256 reconstructed luma
+    * pixels. */
+  final case class MpegPMb(pic: Int, mb: Int, kind: Int, dx: Int, dy: Int,
+                           ySum: Long, ySqSum: Long)
+
+  // motion_code VLC (11172-2 Table B.4), |code| ≤ 3 subset — the codes
+  // are the B.1 increment codes split by a trailing sign bit (positive
+  // ends in 0). Larger magnitudes stay declared.
+  private val MotionCodes: Seq[(String, Int)] = Seq(
+    "1" -> 0, "010" -> 1, "011" -> -1, "0010" -> 2, "0011" -> -2,
+    "00010" -> 3, "00011" -> -3)
+
+  /** REAL MPEG-1 VIDEO I→P decode with forward motion compensation
+    * (ISO/IEC 11172-2 §2.4.4.2, public spec) — the motion-compensated
+    * slice of the video stub seam made real. The I picture is
+    * reconstructed to pixel planes (intra entropy decode as
+    * [[mpeg1IFrameDecode]], then the separable IDCT over the
+    * 1e-12-quantized basis, round-half-away, clamp to [0,255]); each P
+    * picture is then built macroblock-by-macroblock:
+    *
+    *   - forward motion vectors decoded differentially (motion_code VLC
+    *     subset |code| ≤ 3, `forward_f_code = 1`, half-pel units) with
+    *     the spec predictor resets (slice start, after intra, after
+    *     skipped) and ±16-px wraparound;
+    *   - half-pel interpolation by the spec's round-half-away integer
+    *     averages ((a+b+1)>>1, (a+b+c+d+2)>>2);
+    *   - skipped macroblocks (address increment > 1) copy the co-located
+    *     reference block with vector 0 and reset the predictor;
+    *   - intra macroblocks inside P pictures (full entropy + IDCT path,
+    *     DC predictors re-reset after every non-intra macroblock);
+    *   - chroma compensated with the half-magnitude vector
+    *     (truncate-toward-zero), 4:2:0 planes.
+    *
+    * Declared subset (None on encounter): coded non-intra macroblocks
+    * (the prediction-error path needs the B.3 coded-block-pattern table),
+    * B pictures, |motion_code| > 3, `f_code > 1` residuals. Each decoded
+    * picture becomes the reference for the next. Returns per-macroblock
+    * luma statistics in decode order — integers end-to-end, so the
+    * DuckDB oracle replays the whole chain bit-for-bit. */
+  def mpeg1IPDecode(bytes: Array[Byte])
+      : Option[((Int, Int), Seq[MpegPMb])] = {
+    if (bytes.length < 12) return None
+    var bitPos = 0
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        v = (v << 1) | ((bytes(bitPos >> 3) >> (7 - (bitPos & 7))) & 1)
+        bitPos += 1; i += 1
+      }
+      v
+    }
+    def alignByte(): Unit = bitPos = (bitPos + 7) & ~7
+    def vlc[A](table: Seq[(String, A)]): A = {
+      val sb = new java.lang.StringBuilder(12)
+      while (true) {
+        sb.append(if (bits(1) == 1) '1' else '0')
+        table.find(_._1 == sb.toString) match {
+          case Some((_, a)) => return a
+          case None =>
+            if (sb.length > 12) throw new RuntimeException("vlc")
+        }
+      }
+      throw new IllegalStateException
+    }
+    try {
+      if (bits(32) != 0x000001b3) return None
+      val w = bits(12); val h = bits(12)
+      if (w % 16 != 0 || h % 16 != 0 || w == 0 || h == 0 ||
+          w > 4096 || h > 4096) return None
+      bits(4); bits(4); bits(18); bits(1); bits(10); bits(1)
+      if (bits(1) == 1) (0 until 64).foreach(_ => bits(8))
+      if (bits(1) == 1) (0 until 64).foreach(_ => bits(8))
+      alignByte()
+      val mbw = w / 16; val nMb = mbw * (h / 16)
+      val cw = w / 2; val chH = h / 2
+      // planes: luma + Cb + Cr; ref = previous picture
+      var refY: Array[Int] = null
+      var refCb: Array[Int] = null
+      var refCr: Array[Int] = null
+      val out = Seq.newBuilder[MpegPMb]
+
+      def idctBlock(coeffs: Seq[(Int, Long)]): Array[Int] = {
+        // coeffs: (zigzag pos, dequantized value) in decode order; the
+        // float fold is order-pinned (decode order) over the quantized
+        // basis, then round-half-away + clamp.
+        val px = new Array[Int](64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            coeffs.foreach { case (pos, f) =>
+              val p = Zigzag(pos)
+              acc += f * mpegIct((p % 8) * 8 + x) * mpegIct((p / 8) * 8 + y)
+            }
+            val r = if (acc >= 0) math.floor(acc + 0.5)
+                    else math.ceil(acc - 0.5)
+            px(y * 8 + x) = math.max(0, math.min(255, r.toInt))
+            x += 1
+          }
+          y += 1
+        }
+        px
+      }
+
+      def halfPel(plane: Array[Int], pw: Int, ph: Int, x2: Int, y2: Int)
+          : Int = {
+        val x0 = x2 >> 1; val y0 = y2 >> 1
+        val fx = x2 & 1; val fy = y2 & 1
+        if (x0 < 0 || y0 < 0 || x0 + fx >= pw || y0 + fy >= ph)
+          throw new RuntimeException("mc oob")
+        val p00 = plane(y0 * pw + x0)
+        if (fx == 0 && fy == 0) p00
+        else if (fy == 0) (p00 + plane(y0 * pw + x0 + 1) + 1) >> 1
+        else if (fx == 0) (p00 + plane((y0 + 1) * pw + x0) + 1) >> 1
+        else (p00 + plane(y0 * pw + x0 + 1) + plane((y0 + 1) * pw + x0) +
+              plane((y0 + 1) * pw + x0 + 1) + 2) >> 2
+      }
+
+      var pic = 0
+      var morePictures = true
+      var code = bits(32)
+      if (code == 0x000001b8) { bits(27); alignByte(); code = bits(32) }
+      if (code != 0x00000100) return None
+      while (morePictures) {
+        bits(10) // temporal_reference
+        val ptype = bits(3)
+        if (ptype != 1 && ptype != 2) return None
+        if (ptype == 2 && pic == 0) return None // P needs a reference
+        bits(16) // vbv_delay
+        if (ptype == 2) {
+          if (bits(1) != 0) return None // full_pel_forward_vector
+          if (bits(3) != 1) return None // forward_f_code = 1 only
+        }
+        while (bits(1) == 1) bits(8) // extra_information_picture
+        alignByte()
+        val slice = bits(32)
+        if (slice < 0x00000101 || slice > 0x000001af) return None
+        var qscale = bits(5)
+        while (bits(1) == 1) bits(8)
+        val newY = new Array[Int](w * h)
+        val newCb = new Array[Int](cw * chH)
+        val newCr = new Array[Int](cw * chH)
+        val pred = Array(128, 128, 128)
+        var pmvX = 0; var pmvY = 0
+        var mb = 0
+        while (mb < nMb) {
+          val inc = vlc(Seq("1" -> 1, "011" -> 2, "010" -> 3))
+          // skipped macroblocks: P-picture copy with vector 0
+          var sk = 1
+          while (sk < inc) {
+            if (ptype != 2 || mb >= nMb) throw new RuntimeException("skip")
+            copyMb(refY, refCb, refCr, newY, newCb, newCr, w, cw, mbw, mb)
+            val (ys, yq) = mbLumaStats(newY, w, mbw, mb)
+            out += MpegPMb(pic, mb, 2, 0, 0, ys, yq)
+            pmvX = 0; pmvY = 0
+            pred(0) = 128; pred(1) = 128; pred(2) = 128
+            mb += 1; sk += 1
+          }
+          if (mb >= nMb) throw new RuntimeException("addr")
+          // macroblock_type: I pictures ('1' intra, '01' intra+quant);
+          // P pictures: '001' MC-not-coded / '00011' intra supported,
+          // coded non-intra types (need CBP table B.3) stay declared.
+          val (intra, withQuant, mc) =
+            if (ptype == 1) {
+              val q = vlc(Seq("1" -> false, "01" -> true))
+              (true, q, false)
+            } else {
+              vlc(Seq[(String, Int)]("001" -> 0, "00011" -> 1,
+                                     "000001" -> 2, "1" -> 3, "01" -> 4)) match {
+                case 0 => (false, false, true)  // MC, not coded
+                case 1 => (true, false, false)  // intra
+                case 2 => (true, true, false)   // quant + intra
+                case _ => throw new RuntimeException("cbp") // coded: declared
+              }
+            }
+          if (withQuant) qscale = bits(5)
+          if (mc) {
+            val mh = vlc(MotionCodes); val mv = vlc(MotionCodes)
+            // reconstruct differentially with the f=1 ±16-px wraparound
+            def recon(pmv: Int, codeV: Int): Int = {
+              var v = pmv + codeV
+              if (v > 15) v -= 32
+              if (v < -16) v += 32
+              v
+            }
+            pmvX = recon(pmvX, mh); pmvY = recon(pmvY, mv)
+            val mbx = (mb % mbw) * 16; val mby = (mb / mbw) * 16
+            var yy = 0
+            var ys = 0L; var yq = 0L
+            while (yy < 16) {
+              var xx = 0
+              while (xx < 16) {
+                val v = halfPel(refY, w, h,
+                  2 * (mbx + xx) + pmvX, 2 * (mby + yy) + pmvY)
+                newY((mby + yy) * w + mbx + xx) = v
+                ys += v; yq += v.toLong * v
+                xx += 1
+              }
+              yy += 1
+            }
+            val cdx = pmvX / 2; val cdy = pmvY / 2 // truncate toward zero
+            val cbx = (mb % mbw) * 8; val cby = (mb / mbw) * 8
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                newCb((cby + cy) * cw + cbx + cx) = halfPel(refCb, cw, chH,
+                  2 * (cbx + cx) + cdx, 2 * (cby + cy) + cdy)
+                newCr((cby + cy) * cw + cbx + cx) = halfPel(refCr, cw, chH,
+                  2 * (cbx + cx) + cdx, 2 * (cby + cy) + cdy)
+                cx += 1
+              }
+              cy += 1
+            }
+            out += MpegPMb(pic, mb, 1, pmvX, pmvY, ys, yq)
+            pred(0) = 128; pred(1) = 128; pred(2) = 128
+          } else {
+            // intra macroblock (I picture, or intra-in-P)
+            pmvX = 0; pmvY = 0
+            var blk = 0
+            while (blk < 6) {
+              val comp = if (blk < 4) 0 else blk - 3
+              val dcTab = if (blk < 4) DcLuma else DcChroma
+              val size = vlc(dcTab.zipWithIndex.map { case (c, i) => (c, i) })
+              val diff =
+                if (size == 0) 0
+                else {
+                  val v = bits(size)
+                  if (v >= (1 << (size - 1))) v else v - (1 << size) + 1
+                }
+              pred(comp) += diff
+              val coeffs = Seq.newBuilder[(Int, Long)]
+              coeffs += ((0, pred(comp).toLong * 8))
+              var pos = 0
+              var eob = false
+              while (!eob) {
+                val step = vlc(Seq[(String, (Int, Int))](
+                  "10" -> ((-1, 0)), "000001" -> ((-2, 0))) ++ AcCodes)
+                step match {
+                  case (-1, _) => eob = true
+                  case (-2, _) =>
+                    val run = bits(6)
+                    val raw = bits(8)
+                    val level = if (raw >= 128) raw - 256 else raw
+                    pos += run + 1
+                    coeffs += ((pos, dequantAc0(level, qscale, pos)))
+                  case (run, mag) =>
+                    val level = if (bits(1) == 1) -mag else mag
+                    pos += run + 1
+                    coeffs += ((pos, dequantAc0(level, qscale, pos)))
+                }
+                if (!eob && pos > 63) throw new RuntimeException("overrun")
+              }
+              val px = idctBlock(coeffs.result())
+              // place the 8×8 block into its plane
+              if (blk < 4) {
+                val bx = (mb % mbw) * 16 + 8 * (blk % 2)
+                val by = (mb / mbw) * 16 + 8 * (blk / 2)
+                var y0 = 0
+                while (y0 < 8) {
+                  var x0 = 0
+                  while (x0 < 8) {
+                    newY((by + y0) * w + bx + x0) = px(y0 * 8 + x0)
+                    x0 += 1
+                  }
+                  y0 += 1
+                }
+              } else {
+                val plane = if (blk == 4) newCb else newCr
+                val bx = (mb % mbw) * 8; val by = (mb / mbw) * 8
+                var y0 = 0
+                while (y0 < 8) {
+                  var x0 = 0
+                  while (x0 < 8) {
+                    plane((by + y0) * cw + bx + x0) = px(y0 * 8 + x0)
+                    x0 += 1
+                  }
+                  y0 += 1
+                }
+              }
+              blk += 1
+            }
+            val (ys, yq) = mbLumaStats(newY, w, mbw, mb)
+            out += MpegPMb(pic, mb, 0, 0, 0, ys, yq)
+          }
+          mb += 1
+        }
+        alignByte()
+        refY = newY; refCb = newCb; refCr = newCr
+        morePictures = bitPos + 32 <= bytes.length * 8 &&
+          bits(32) == 0x00000100
+        if (morePictures) pic += 1
+      }
+      Some(((w, h), out.result()))
+    } catch {
+      case _: RuntimeException | _: ArrayIndexOutOfBoundsException |
+           _: NullPointerException => None
+    }
+  }
+
+  private def copyMb(refY: Array[Int], refCb: Array[Int], refCr: Array[Int],
+                     newY: Array[Int], newCb: Array[Int], newCr: Array[Int],
+                     w: Int, cw: Int, mbw: Int, mb: Int): Unit = {
+    val mbx = (mb % mbw) * 16; val mby = (mb / mbw) * 16
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        newY((mby + y) * w + mbx + x) = refY((mby + y) * w + mbx + x)
+        x += 1
+      }
+      y += 1
+    }
+    val cbx = (mb % mbw) * 8; val cby = (mb / mbw) * 8
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        newCb((cby + cy) * cw + cbx + cx) = refCb((cby + cy) * cw + cbx + cx)
+        newCr((cby + cy) * cw + cbx + cx) = refCr((cby + cy) * cw + cbx + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+  }
+
+  private def mbLumaStats(plane: Array[Int], w: Int, mbw: Int, mb: Int)
+      : (Long, Long) = {
+    val mbx = (mb % mbw) * 16; val mby = (mb / mbw) * 16
+    var s = 0L; var q = 0L
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val v = plane((mby + y) * w + mbx + x)
+        s += v; q += v.toLong * v
+        x += 1
+      }
+      y += 1
+    }
+    (s, q)
+  }
+
+  /** The encode half of the [[mpeg1IPDecode]] round trip: a 64×32 MPEG-1
+    * elementary stream with one intra picture (the same per-block
+    * coefficient formulas as [[mpeg1IFrameBytes]]) followed by one P
+    * picture exercising every supported macroblock kind — intra-in-P
+    * (mb 0, 5), forward-MC with seed-dependent half-pel vectors coded
+    * differentially against the running predictor (mb 1→2 and 6→7 are
+    * genuine differential chains), and a skipped macroblock (mb 3).
+    * Vector ranges are chosen so every reference read is in-bounds. */
+  def mpeg1IPBytes(seed: Long): Array[Byte] = {
+    val width = 64; val height = 32
+    val bits = new scala.collection.mutable.ArrayBuffer[Boolean](1 << 14)
+    def put(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1) == 1)
+    def putStr(s: String): Unit = s.foreach(c => bits += c == '1')
+    def align(): Unit = while (bits.length % 8 != 0) bits += false
+    val s = seed
+    put(0x000001b3L, 32)
+    put(width, 12); put(height, 12)
+    put(1, 4); put(1, 4); put(0x3ffff, 18); put(1, 1); put(0, 10)
+    put(0, 1); put(0, 1); put(0, 1)
+    align()
+    val qscale = 8
+    def putIntraMb(pic: Int, m: Int, pred: Array[Int]): Unit = {
+      (0 until 6).foreach { b =>
+        val comp = if (b < 4) 0 else b - 3
+        val dcq = ((s * 7 + pic * 37 + m * 13 + b * 29) % 256).toInt
+        val diff = dcq - pred(comp)
+        pred(comp) = dcq
+        val size =
+          if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        putStr(if (b < 4) DcLuma(size) else DcChroma(size))
+        if (size > 0)
+          put(if (diff > 0) diff else diff + (1 << size) - 1, size)
+        val ps = Seq(
+          1 + ((s + m + b) % 4).toInt, 6 + ((s * 3 + m) % 6).toInt,
+          15 + ((b * 5 + m) % 8).toInt, 30 + ((s + b * 7) % 10).toInt,
+          50 + ((m * 3 + b) % 13).toInt)
+        var prev = 0
+        ps.foreach { p =>
+          val l0 = ((s * 11 + pic * 41 + m * 17 + b * 23 + p * 31) % 21)
+            .toInt - 10
+          val level = if (l0 == 0) 1 else l0
+          val run = p - prev - 1
+          prev = p
+          AcByRunLevel.get((run, math.abs(level))) match {
+            case Some(code) =>
+              putStr(code); put(if (level < 0) 1 else 0, 1)
+            case None =>
+              putStr("000001"); put(run, 6); put(level & 0xff, 8)
+          }
+        }
+        putStr("10")
+      }
+    }
+    // ---- I picture ----
+    put(0x00000100L, 32); put(0, 10); put(1, 3); put(0xffff, 16); put(0, 1)
+    align()
+    put(0x00000101L, 32); put(qscale, 5); put(0, 1)
+    val predI = Array(128, 128, 128)
+    (0 until 8).foreach { m => putStr("1"); putStr("1"); putIntraMb(0, m, predI) }
+    align()
+    // ---- P picture ----
+    put(0x00000100L, 32); put(1, 10); put(2, 3); put(0xffff, 16)
+    put(0, 1); put(1, 3) // full_pel 0, forward_f_code 1
+    put(0, 1)
+    align()
+    put(0x00000101L, 32); put(qscale, 5); put(0, 1)
+    val predP = Array(128, 128, 128)
+    def mcode(v: Int): String = MotionCodes.find(_._2 == v).get._1
+    val (v1x, v1y) = mpeg1PVec(s, 1)
+    val (v2x, v2y) = mpeg1PVec(s, 2)
+    val (v4x, v4y) = mpeg1PVec(s, 4)
+    val (v6x, v6y) = mpeg1PVec(s, 6)
+    val (v7x, v7y) = mpeg1PVec(s, 7)
+    // mb0: intra
+    putStr("1"); putStr("00011"); putIntraMb(1, 0, predP)
+    // mb1: MC (PMV reset by intra → codes = v1)
+    putStr("1"); putStr("001"); putStr(mcode(v1x)); putStr(mcode(v1y))
+    // mb2: MC, coded DIFFERENTIALLY against v1
+    putStr("1"); putStr("001")
+    putStr(mcode(v2x - v1x)); putStr(mcode(v2y - v1y))
+    // mb3: skipped (mb4's increment is 2); mb4: MC (PMV reset by skip)
+    putStr("011"); putStr("001"); putStr(mcode(v4x)); putStr(mcode(v4y))
+    // mb5: intra (resets PMV + DC predictors were reset after mb0)
+    predP(0) = 128; predP(1) = 128; predP(2) = 128
+    putStr("1"); putStr("00011"); putIntraMb(1, 5, predP)
+    // mb6: MC; mb7: MC differential against v6
+    putStr("1"); putStr("001"); putStr(mcode(v6x)); putStr(mcode(v6y))
+    putStr("1"); putStr("001")
+    putStr(mcode(v7x - v6x)); putStr(mcode(v7y - v6y))
+    align()
+    put(0x000001b7L, 32)
+    val out = new Array[Byte](bits.length / 8)
+    bits.zipWithIndex.foreach { case (bit, i) =>
+      if (bit) out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+    }
+    out
+  }
+
+  /** Seed-dependent P-picture forward vectors (half-pel units), ranged so
+    * every reference read stays inside the 64×32 picture and every
+    * differential motion code stays within the |code| ≤ 3 subset. */
+  private[graft] def mpeg1PVec(s: Long, mb: Int): (Int, Int) = (mb match {
+    case 1 => (s % 4 - 2, (s / 4) % 3)
+    case 2 => (s % 4 - 2 + ((s / 7) % 3 - 1), (s / 9) % 3)
+    case 4 => ((s / 11) % 4, -((s / 13) % 4))
+    case 6 => (-((s / 17) % 3), -((s / 19) % 3))
+    case 7 => (-((s / 23) % 4), -((s / 29) % 4))
+    case _ => (0L, 0L)
+  }) match { case (a, b) => (a.toInt, b.toInt) }
+
   /** A minimal real MP4: ftyp + moov(mvhd + one video trak [+ one audio
     * trak]) + mdat filler. Box sizes, fixed-point dims, and sample-entry
     * fourccs are genuine ISO BMFF; `v1 = true` writes version-1
@@ -2590,16 +3061,38 @@ object Multimodal {
                     math.max(1L, nAcTot)
                   case _ => 0.0
                 }
-              case _ =>
-                Array.tabulate(dim) { i =>
-                  if (bytes.isEmpty) 0.0
-                  else {
-                    var acc = 0.0
-                    var j = i
-                    while (j < bytes.length) {
-                      acc += (bytes(j) & 0xFF) / 255.0; j += dim
+              case _ => mpeg1IPDecode(bytes) match {
+                // REAL MPEG-1 motion-compensated I→P decode (was the
+                // stub path): [mean luma, mean-square luma (both /255-
+                // normalized), fraction of P macroblocks that are
+                // motion-compensated, mean |vector| over MC macroblocks].
+                case Some((_, mbs)) if mbs.nonEmpty =>
+                  val n = mbs.size * 256L
+                  val p = mbs.filter(_.pic > 0)
+                  val mcMbs = p.filter(_.kind == 1)
+                  Array.tabulate(dim) {
+                    case 0 => mbs.map(_.ySum).sum.toDouble / n / 255.0
+                    case 1 => mbs.map(_.ySqSum).sum.toDouble / n / 65025.0
+                    case 2 =>
+                      if (p.isEmpty) 0.0
+                      else mcMbs.size.toDouble / p.size
+                    case 3 =>
+                      if (mcMbs.isEmpty) 0.0
+                      else mcMbs.map(r => (r.dx.abs + r.dy.abs).toDouble)
+                        .sum / mcMbs.size
+                    case _ => 0.0
+                  }
+                case _ =>
+                  Array.tabulate(dim) { i =>
+                    if (bytes.isEmpty) 0.0
+                    else {
+                      var acc = 0.0
+                      var j = i
+                      while (j < bytes.length) {
+                        acc += (bytes(j) & 0xFF) / 255.0; j += dim
+                      }
+                      acc / math.max(1, (bytes.length + dim - 1 - i) / dim)
                     }
-                    acc / math.max(1, (bytes.length + dim - 1 - i) / dim)
                   }
                 }
               }

@@ -28,8 +28,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     "layer1Decode" -> (Multimodal.layer1Decode(_)),
     "layer2Decode" -> (Multimodal.layer2Decode(_)),
     "layer3Decode" -> (Multimodal.layer3Decode(_)),
+    "layer3DecodeFull" -> (Multimodal.layer3DecodeFull(_)),
     "mpegSubbandStats" -> (Multimodal.mpegSubbandStats(_)),
     "mpeg1IFrameDecode" -> (Multimodal.mpeg1IFrameDecode(_)),
+    "mpeg1IPDecode" -> (Multimodal.mpeg1IPDecode(_)),
     "mpeg1FrameOffsets" -> (Multimodal.mpeg1FrameOffsets(_)),
     "webpMeta" -> (Multimodal.webpMeta(_)),
     "flacMeta" -> (Multimodal.flacMeta(_)),
@@ -40,7 +42,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.layer1Bytes(3, 2),
     Multimodal.layer2Bytes(3, 2),
     Multimodal.layer3Bytes(3, 2),
+    Multimodal.layer3BytesFull(3, 2),
     Multimodal.mpeg1IFrameBytes(3, nPictures = 2),
+    Multimodal.mpeg1IPBytes(3),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
     TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),
     TextOps.warcBytes(Seq(("response", "http://x/1", "hello"))))
