@@ -201,6 +201,23 @@ object GraftPipeline {
                 k: Int): DataFrame =
     Sampling.domainCap(docs, idCol, urlCol, k)
 
+  /** Z-order-vs-linear clustering study under min/max-statistics pruning
+    * (operators/DataLayout): one row per layout with scan/match counts. */
+  def zorderStudy(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    graft.operators.DataLayout.zorderCompare(df, xCol, yCol)
+
+  /** Snapshot CDC diff by content fingerprint: (id, status) for every
+    * added/removed/changed row between two snapshots. */
+  def snapshotDiff(base: DataFrame, cur: DataFrame, idCol: String,
+                   fingerprint: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.DataLayout.snapshotDiff(base, cur, idCol, fingerprint)
+
+  /** Replay a [[snapshotDiff]] change set onto a base snapshot
+    * (delete + upsert merge touching only the changed rows). */
+  def applyChanges(base: DataFrame, changes: DataFrame, cur: DataFrame,
+                   idCol: String): DataFrame =
+    graft.operators.DataLayout.applyChanges(base, changes, cur, idCol)
+
   /** The driver-testdata corpus + vectors for a scale-factor dir. */
   def fromTestdata(spark: SparkSession, dir: String)
       : (GraftCorpus, GraftVectors) = {
