@@ -39,7 +39,10 @@ object Bench {
     "train_transe_step", "dedup_incremental", "q_triangles",
     // round-8 additions
     "q_range_join", "q_funnel", "text_bpe_encode_fused",
-    "multimodal_jpeg_decode", "lmpnn_1p_bias", "emb_int8_error")
+    "multimodal_jpeg_decode", "lmpnn_1p_bias", "emb_int8_error",
+    // round-11 additions
+    "layout_zorder_prune", "layout_bucketed_join", "cdc_snapshot_diff",
+    "multimodal_mp3_imdct", "multimodal_mpeg1_pframe")
 
   /** 1-minute system load average (or -1 when the platform hides it):
     * the sandbox CPU-throttles under sustained load (NOTES.md — the same
