@@ -1653,6 +1653,122 @@ object SystemQueries {
              |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
 
+    // REAL MP3 JOINT (MS) STEREO through the full chain: 32-byte stereo
+    // side info with per-channel scfsi, both channels of each granule
+    // requantized independently, then the §2.4.3.4.9.1 recombination
+    // L=(M+S)/√2, R=(M−S)/√2 (1e-12-quantized constant), then
+    // per-channel alias reduction, IMDCT, overlap-add, inversion. The
+    // oracle replays the whole stereo chain relationally with the same
+    // interpolated constants and order-pinned folds.
+    ("multimodal_mp3_stereo",
+      (s, dir) => {
+        import s.implicits._
+        s.range(16).flatMap { id =>
+          val nf = (id % 2).toInt + 1
+          val (_, _, subs) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3StereoBytes(id, nf)).get
+          subs.map(b => (id, b.frame.toLong, b.granule.toLong,
+            b.channel.toLong, b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "granule", "channel", "subband",
+               "s_sum", "s_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g, ch, f * 2 + g AS gidx
+             |       FROM range(16) t(r), range(2) ff(f), range(2) gg(g),
+             |            range(2) cc(ch) WHERE f < r % 2 + 1),
+             |pl AS (SELECT id, f, g, ch, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |              THEN (id*3 + f*7 + g*11 + ch*13 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + g*3 + ch*7 + k*7) % 3 - 1
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           16 + CAST((id + f + g + ch*2) % 17 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g, ch, gidx,
+             |         2 * (16 + (id + f + g + ch*2) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7 + ch*11) % 2) *
+             |           (CASE WHEN (id + f + j + q + ch) % 2 = 0
+             |                 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g + ch) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |bd AS (SELECT *, len(list_filter($l3SfbLit, v -> v <= line)) - 1
+             |         AS band
+             |       FROM ln3),
+             |bg AS (SELECT *, CASE WHEN band < 6 THEN 0 WHEN band < 11 THEN 1
+             |                      WHEN band < 16 THEN 2 ELSE 3 END AS grp
+             |       FROM bd),
+             |xr AS (SELECT id, gidx, ch, line,
+             |         isv * POWER(2.0,
+             |           ((id + f*2 + g + ch*3) % 8 - 2)
+             |           - (CASE WHEN g = 1 AND
+             |                ((((id + f + ch) % 16) >> CAST(3 - grp AS INT)) & 1) = 1
+             |              THEN (id + f + band + ch*5) % 4
+             |              ELSE (id + f + band + g*3 + ch*5) % 4 END)
+             |           - (CASE WHEN (id + f + g + ch) % 3 = 0
+             |              THEN $l3PretabLit[CAST(band AS INT) + 1] ELSE 0 END)
+             |         ) AS x
+             |       FROM bg),
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, g2.ch, ll.l AS line,
+             |         COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx, ch FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.ch = g2.ch AND x3.line = ll.l),
+             |msd AS (
+             |  SELECT m.id, m.gidx, oc.oc AS ch, m.line,
+             |    (CASE WHEN oc.oc = 0 THEN m.x + s.x ELSE m.x - s.x END)
+             |      * ${Multimodal.l3InvSqrt2} AS x
+             |  FROM (SELECT * FROM dense WHERE ch = 0) m
+             |  JOIN (SELECT * FROM dense WHERE ch = 1) s
+             |    ON s.id = m.id AND s.gidx = m.gidx AND s.line = m.line
+             |  CROSS JOIN range(2) oc(oc)),
+             |al AS (
+             |  SELECT d.id, d.gidx, d.ch, d.line,
+             |    CASE
+             |      WHEN d.line % 18 <= 7 AND d.line >= 18 THEN
+             |        d.x * ($l3CsLit)[CAST(d.line % 18 AS INT) + 1]
+             |        + p.x * ($l3CaLit)[CAST(d.line % 18 AS INT) + 1]
+             |      WHEN d.line % 18 >= 10 AND d.line < 558 THEN
+             |        d.x * ($l3CsLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |        - p.x * ($l3CaLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |      ELSE d.x END AS x
+             |  FROM msd d
+             |  LEFT JOIN msd p ON p.id = d.id AND p.gidx = d.gidx
+             |    AND p.ch = d.ch AND p.line =
+             |      CASE WHEN d.line % 18 <= 7 AND d.line >= 18
+             |             THEN d.line - 2 * (d.line % 18) - 1
+             |           WHEN d.line % 18 >= 10 AND d.line < 558
+             |             THEN d.line + 35 - 2 * (d.line % 18)
+             |           ELSE NULL END),
+             |im AS (
+             |  SELECT a.id, a.gidx, a.ch, a.line // 18 AS sb, ii.i,
+             |    list_sum(list(
+             |      a.x * ($l3CtLit)[CAST(ii.i * 18 + a.line % 18 AS INT) + 1]
+             |      ORDER BY a.line))
+             |      * ($l3WinLit)[CAST(ii.i AS INT) + 1] AS zw
+             |  FROM al a CROSS JOIN range(36) ii(i)
+             |  GROUP BY a.id, a.gidx, a.ch, a.line // 18, ii.i),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.ch, h.sb, h.i,
+             |    (h.zw + COALESCE(t3.zw, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM im WHERE i < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, ch, sb, i - 18 AS i, zw
+             |             FROM im WHERE i >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.ch = h.ch
+             |    AND t3.sb = h.sb AND t3.i = h.i)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule, CAST(ch AS BIGINT) AS channel,
+             |  CAST(sb AS BIGINT) AS subband,
+             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
+             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
+
     // REAL MPEG-1 VIDEO intra-frame entropy decode, round-trip-proven
     // (ISO 11172-2; the video slice of the stub seam made real): each
     // row carries a genuine I-frame elementary stream — sequence/

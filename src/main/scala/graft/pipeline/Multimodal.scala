@@ -1581,14 +1581,20 @@ object Multimodal {
     * 2^{−m·(sf+preflag·pretab)}`, m = (scalefac_scale+1)/2). */
   final case class L3GranuleFull(frame: Int, granule: Int, mainDataBegin: Int,
                                  preflag: Int, nCount1: Int, nNonzero: Int,
-                                 xrSum: Double, xrMsq: Double)
+                                 xrSum: Double, xrMsq: Double,
+                                 channel: Int = 0)
   /** Time-domain subband output of one granule (18 samples per subband
     * after alias reduction, IMDCT, windowing, overlap-add with the
     * previous granule, and frequency inversion of odd samples in odd
     * subbands — everything short of the tabulated polyphase synthesis
     * window, which stays declared). */
   final case class L3SubbandOut(frame: Int, granule: Int, subband: Int,
-                                sSum: Double, sMsq: Double)
+                                sSum: Double, sMsq: Double, channel: Int = 0)
+
+  /** 1e-12-quantized 1/√2 — the MS-stereo recombination constant
+    * (§2.4.3.4.9.1: L=(M+S)/√2, R=(M−S)/√2), interpolated into the
+    * oracle SQL. */
+  val l3InvSqrt2: Double = round12(1.0 / math.sqrt(2.0))
 
   /** REAL MP3 (MPEG-1 Audio Layer III) payload decode through the
     * reservoir + requantization + transform chain (ISO/IEC 11172-3
@@ -1612,15 +1618,24 @@ object Multimodal {
     *     granules, and odd-subband frequency inversion — emitting
     *     time-domain subband samples.
     *
+    *   - STEREO: plain stereo decodes both channels independently; joint
+    *     stereo with the MS extension applies the §2.4.3.4.9.1
+    *     recombination L=(M+S)/√2, R=(M−S)/√2 after both channels of a
+    *     granule are requantized (32-byte side info, per-channel scfsi
+    *     and overlap-add state).
+    *
     * Still declared (None on encounter): Huffman tables > 1,
-    * window-switching/short blocks, stereo frames, count1 table A, and
-    * the final polyphase synthesis (its 512-coefficient window Table C.1
-    * is a tabulated constant we refuse to approximate). Transform
+    * window-switching/short blocks, intensity stereo, count1 table A,
+    * and the final polyphase synthesis (its 512-coefficient window Table
+    * C.1 is a tabulated constant we refuse to approximate). Transform
     * constants are 1e-12-quantized so the oracle can replay the exact
     * doubles. */
   def layer3DecodeFull(bytes: Array[Byte])
       : Option[(AudioMeta, Seq[L3GranuleFull], Seq[L3SubbandOut])] = {
-    def headerLen(p: Int): Option[Int] = {
+    // header → (frame length, channels, MS-stereo flag); mono, plain
+    // stereo, and joint stereo with the MS extension are supported;
+    // intensity stereo stays declared (None).
+    def headerLen(p: Int): Option[(Int, Int, Boolean)] = {
       if (p + 4 > bytes.length) return None
       val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
       val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
@@ -1628,40 +1643,47 @@ object Multimodal {
       if (((b2 >> 3) & 0x3) != 3 || ((b2 >> 1) & 0x3) != 1) return None
       val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
       if (brIdx == 0 || brIdx == 15 || srIdx != 1) return None // 48 kHz
-      if (((b4 >> 6) & 0x3) != 3) return None                  // mono
+      val mode = (b4 >> 6) & 0x3; val modeExt = (b4 >> 4) & 0x3
+      val nch = if (mode == 3) 1 else 2
+      if (mode == 1 && (modeExt & 1) != 0) return None // intensity: declared
+      val ms = mode == 1 && (modeExt & 2) != 0
       val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                      224, 256, 320)(brIdx)
-      Some(144 * br * 1000 / 48000 + ((b3 >> 1) & 1))
+      Some((144 * br * 1000 / 48000 + ((b3 >> 1) & 1), nch, ms))
     }
     // Pass 1: frame offsets + the main-data pool (everything after each
-    // frame's 4-byte header + 17-byte mono side info).
+    // frame's 4-byte header + 17-byte mono / 32-byte stereo side info).
     val frameOff = Seq.newBuilder[Int]
     var p = 0
     var scanOk = true
     while (scanOk) headerLen(p) match {
-      case Some(len) if p + len <= bytes.length =>
+      case Some((len, _, _)) if p + len <= bytes.length =>
         frameOff += p; p += len
       case _ => scanOk = false
     }
     val offs = frameOff.result()
     if (offs.isEmpty) return None
-    val frameLens = offs.map(o => headerLen(o).get)
-    val pool = offs.zip(frameLens).flatMap { case (o, len) =>
-      bytes.slice(o + 21, o + len)
+    val headers = offs.map(o => headerLen(o).get)
+    def sideBytes(nch: Int): Int = if (nch == 1) 17 else 32
+    val pool = offs.zip(headers).flatMap { case (o, (len, nch, _)) =>
+      bytes.slice(o + 4 + sideBytes(nch), o + len)
     }.toArray
-    val poolBefore = frameLens.map(_ - 21).scanLeft(0)(_ + _)
+    val poolBefore = headers.map { case (len, nch, _) =>
+      len - 4 - sideBytes(nch)
+    }.scanLeft(0)(_ + _)
 
     final case class Side(part23: Int, bigValues: Int, gain: Int, scomp: Int,
                           tables: Array[Int], r0: Int, r1: Int, preflag: Int,
                           sfScale: Int, c1Sel: Int)
     val grans = Seq.newBuilder[L3GranuleFull]
     val subs = Seq.newBuilder[L3SubbandOut]
-    // overlap-add state: previous granule's windowed IMDCT tails
-    val prevTail = Array.ofDim[Double](32, 18)
+    // overlap-add state per channel: previous granule's windowed tails
+    val prevTail = Array.ofDim[Double](2, 32, 18)
     var ok = true
     var f = 0
     while (ok && f < offs.length) {
       val o = offs(f)
+      val (_, nch, ms) = headers(f)
       var sBitPos = (o + 4) * 8
       def sbits(n: Int): Int = {
         var v = 0; var i = 0
@@ -1672,9 +1694,9 @@ object Multimodal {
         v
       }
       val mdb = sbits(9)
-      sbits(5) // private
-      val scfsi = Array.fill(4)(sbits(1))
-      val sides = Array.fill(2) {
+      sbits(if (nch == 1) 5 else 3) // private bits
+      val scfsi = Array.fill(nch)(Array.fill(4)(sbits(1)))
+      val sides = Array.fill(2, nch) {
         val part23 = sbits(12); val bv = sbits(9); val gain = sbits(8)
         val scomp = sbits(4)
         val ws = sbits(1)
@@ -1704,89 +1726,113 @@ object Multimodal {
               v
             }
           }
-          val sfPrev = new Array[Int](21) // granule 0's scalefactors
+          val sfPrev = Array.ofDim[Int](nch, 21) // granule-0 scalefactors
           var g = 0
           while (ok && g < 2) {
-            val s = sides(g)
-            if (s.tables.exists(_ > 1) || s.c1Sel != 1) ok = false
-            else {
-              val start = bitPos
-              val (slen1, slen2) = L3Slen(s.scomp)
-              // scalefactors with scfsi sharing (groups 0-5,6-10,11-15,16-20)
-              val sf = new Array[Int](21)
-              var band = 0
-              while (band < 21) {
-                val group = if (band < 6) 0 else if (band < 11) 1
-                            else if (band < 16) 2 else 3
-                val slen = if (band < 11) slen1 else slen2
-                if (g == 1 && scfsi(group) == 1) sf(band) = sfPrev(band)
-                else sf(band) = bits(slen)
-                band += 1
-              }
-              if (g == 0) Array.copy(sf, 0, sfPrev, 0, 21)
-              // big_values region (table 1 across regions) + count1 region
-              val is = new Array[Int](576)
-              var line = 0
-              var k = 0
-              var bad = false
-              while (!bad && k < s.bigValues && line + 2 <= 576) {
-                val region =
-                  if (line < L3Sfb48(s.r0 + 1)) 0
-                  else if (line < L3Sfb48(math.min(s.r0 + 1 + s.r1 + 1,
-                                                   L3Sfb48.length - 1))) 1
-                  else 2
-                if (s.tables(region) == 0) { line += 2 }
-                else {
-                  val (x0, y0) =
-                    if (bits(1) == 1) (0, 0)
-                    else if (bits(1) == 1) (1, 0)
-                    else if (bits(1) == 1) (0, 1)
-                    else (1, 1)
-                  val x = if (x0 != 0 && bits(1) == 1) -x0 else x0
-                  val y = if (y0 != 0 && bits(1) == 1) -y0 else y0
-                  is(line) = x; is(line + 1) = y
-                  line += 2
-                }
-                k += 1
-                if (bitPos - start > s.part23) bad = true
-              }
-              var nC1 = 0
-              while (!bad && bitPos - start < s.part23 && line + 4 <= 576) {
-                // count1 table B: 4-bit code, each bit the complement of
-                // the quadruple bit; sign bit per nonzero value.
-                val c = bits(4)
-                var j = 0
-                while (j < 4) {
-                  val v0 = 1 - ((c >> (3 - j)) & 1)
-                  is(line + j) =
-                    if (v0 != 0 && bits(1) == 1) -v0 else v0
-                  j += 1
-                }
-                line += 4; nC1 += 1
-                if (bitPos - start > s.part23) bad = true
-              }
-              if (bad || oob || bitPos - start != s.part23) ok = false
+            val xrCh = Array.ofDim[Double](nch, 576)
+            var ch = 0
+            while (ok && ch < nch) {
+              val s = sides(g)(ch)
+              if (s.tables.exists(_ > 1) || s.c1Sel != 1) ok = false
               else {
-                // requantization (§2.4.3.4.7)
-                val mult = math.pow(2.0, (s.gain - 210) / 4.0)
-                val m = 0.5 * (s.sfScale + 1)
-                val xr = new Array[Double](576)
-                var i = 0
-                var nNz = 0; var xs = 0.0; var xq = 0.0
-                while (i < 576) {
-                  val v = is(i)
-                  if (v != 0) {
-                    val bnd = sfbOf(i)
-                    val sfv = if (bnd < 21) sf(bnd) else 0
-                    val x = math.signum(v.toDouble) *
-                      math.pow(math.abs(v.toDouble), 4.0 / 3.0) * mult *
-                      math.pow(2.0, -m * (sfv + s.preflag * L3Pretab(bnd)))
-                    xr(i) = x; nNz += 1; xs += x; xq += x * x
+                val start = bitPos
+                val (slen1, slen2) = L3Slen(s.scomp)
+                // scalefactors with per-channel scfsi sharing
+                // (groups 0-5, 6-10, 11-15, 16-20)
+                val sf = new Array[Int](21)
+                var band = 0
+                while (band < 21) {
+                  val group = if (band < 6) 0 else if (band < 11) 1
+                              else if (band < 16) 2 else 3
+                  val slen = if (band < 11) slen1 else slen2
+                  if (g == 1 && scfsi(ch)(group) == 1)
+                    sf(band) = sfPrev(ch)(band)
+                  else sf(band) = bits(slen)
+                  band += 1
+                }
+                if (g == 0) Array.copy(sf, 0, sfPrev(ch), 0, 21)
+                // big_values region (table 1) + count1 region (table B)
+                val is = new Array[Int](576)
+                var line = 0
+                var k = 0
+                var bad = false
+                while (!bad && k < s.bigValues && line + 2 <= 576) {
+                  val region =
+                    if (line < L3Sfb48(s.r0 + 1)) 0
+                    else if (line < L3Sfb48(math.min(s.r0 + 1 + s.r1 + 1,
+                                                     L3Sfb48.length - 1))) 1
+                    else 2
+                  if (s.tables(region) == 0) { line += 2 }
+                  else {
+                    val (x0, y0) =
+                      if (bits(1) == 1) (0, 0)
+                      else if (bits(1) == 1) (1, 0)
+                      else if (bits(1) == 1) (0, 1)
+                      else (1, 1)
+                    val x = if (x0 != 0 && bits(1) == 1) -x0 else x0
+                    val y = if (y0 != 0 && bits(1) == 1) -y0 else y0
+                    is(line) = x; is(line + 1) = y
+                    line += 2
                   }
+                  k += 1
+                  if (bitPos - start > s.part23) bad = true
+                }
+                var nC1 = 0
+                while (!bad && bitPos - start < s.part23 && line + 4 <= 576) {
+                  // count1 table B: 4-bit code, each bit the complement
+                  // of the quadruple bit; sign bit per nonzero value.
+                  val c = bits(4)
+                  var j = 0
+                  while (j < 4) {
+                    val v0 = 1 - ((c >> (3 - j)) & 1)
+                    is(line + j) =
+                      if (v0 != 0 && bits(1) == 1) -v0 else v0
+                    j += 1
+                  }
+                  line += 4; nC1 += 1
+                  if (bitPos - start > s.part23) bad = true
+                }
+                if (bad || oob || bitPos - start != s.part23) ok = false
+                else {
+                  // requantization (§2.4.3.4.7), pre-stereo-processing
+                  val mult = math.pow(2.0, (s.gain - 210) / 4.0)
+                  val m = 0.5 * (s.sfScale + 1)
+                  val xr = xrCh(ch)
+                  var i = 0
+                  var nNz = 0; var xs = 0.0; var xq = 0.0
+                  while (i < 576) {
+                    val v = is(i)
+                    if (v != 0) {
+                      val bnd = sfbOf(i)
+                      val sfv = if (bnd < 21) sf(bnd) else 0
+                      val x = math.signum(v.toDouble) *
+                        math.pow(math.abs(v.toDouble), 4.0 / 3.0) * mult *
+                        math.pow(2.0, -m * (sfv + s.preflag * L3Pretab(bnd)))
+                      xr(i) = x; nNz += 1; xs += x; xq += x * x
+                    }
+                    i += 1
+                  }
+                  grans += L3GranuleFull(f, g, mdb, s.preflag, nC1, nNz,
+                    round6(xs), round6(xq), ch)
+                }
+              }
+              ch += 1
+            }
+            if (ok) {
+              // MS-stereo recombination (§2.4.3.4.9.1): both channels of
+              // the granule decoded, then L=(M+S)/√2, R=(M−S)/√2.
+              if (ms) {
+                var i = 0
+                while (i < 576) {
+                  val mm = xrCh(0)(i); val ss = xrCh(1)(i)
+                  xrCh(0)(i) = (mm + ss) * l3InvSqrt2
+                  xrCh(1)(i) = (mm - ss) * l3InvSqrt2
                   i += 1
                 }
-                grans += L3GranuleFull(f, g, mdb, s.preflag, nC1, nNz,
-                  round6(xs), round6(xq))
+              }
+              ch = 0
+              while (ch < nch) {
+                val xr = xrCh(ch)
                 // alias reduction (§2.4.3.4.10.1)
                 var sb = 1
                 while (sb < 32) {
@@ -1812,7 +1858,7 @@ object Multimodal {
                       zi += xr(18 * sb + kk) * l3CosTab(i2 * 18 + kk)
                       kk += 1
                     }
-                    var v = zi * l3Win(i2) + prevTail(sb)(i2)
+                    var v = zi * l3Win(i2) + prevTail(ch)(sb)(i2)
                     if (sb % 2 == 1 && i2 % 2 == 1) v = -v
                     ss += v; sq += v * v
                     i2 += 1
@@ -1826,12 +1872,13 @@ object Multimodal {
                       zi += xr(18 * sb + kk) * l3CosTab(i3 * 18 + kk)
                       kk += 1
                     }
-                    prevTail(sb)(i3 - 18) = zi * l3Win(i3)
+                    prevTail(ch)(sb)(i3 - 18) = zi * l3Win(i3)
                     i3 += 1
                   }
-                  subs += L3SubbandOut(f, g, sb, round6(ss), round6(sq))
+                  subs += L3SubbandOut(f, g, sb, round6(ss), round6(sq), ch)
                   sb += 1
                 }
+                ch += 1
               }
             }
             g += 1
@@ -1841,8 +1888,11 @@ object Multimodal {
       f += 1
     }
     if (!ok) None
-    else Some((AudioMeta(48000, 1, -1, offs.length), grans.result(),
-               subs.result()))
+    else {
+      val nch = headers.head._2
+      Some((AudioMeta(48000, nch, -1, offs.length), grans.result(),
+            subs.result()))
+    }
   }
 
   private def round6(x: Double): Double = {
@@ -1993,6 +2043,146 @@ object Multimodal {
         put(1, 1)                       // count1 table B
       }
       // copy this frame's main-data area from the pool
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** Joint-stereo (MS) twin of [[layer3BytesFull]]: 48 kHz / 192 kbps
+    * frames with mode 01 + mode_extension 10, the 32-byte stereo side
+    * info (3 private bits, per-channel scfsi, granule-major
+    * channel-minor granule infos), per-channel scalefactors / big-values
+    * / count1 content by ch-salted formulas, and the same byte-stuffed
+    * bit-reservoir layout. The decoder must apply the §2.4.3.4.9.1 MS
+    * matrix after requantizing both channels of each granule. */
+  def layer3StereoBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 36 // 4 header + 32 side info
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    def scfsiOf(f: Int, ch: Int): Int = ((seed + f + ch) % 16).toInt
+    def sfBase(f: Int, g: Int, band: Int, ch: Int): Int =
+      ((seed + f + band + g * 3 + ch * 5) % 4).toInt
+    def pairs(f: Int, g: Int, ch: Int): Seq[(Int, Int)] = {
+      val n = 16 + ((seed + f + g + ch * 2) % 17).toInt
+      (0 until n).map(k =>
+        ((((seed * 3 + f * 7 + g * 11 + ch * 13 + k * 5) % 3) - 1).toInt,
+         (((seed * 5 + f * 11 + g * 3 + ch * 7 + k * 7) % 3) - 1).toInt))
+    }
+    def quads(f: Int, g: Int, ch: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g + ch) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit =
+            ((seed * (j + 2) + f * 3 + g * 5 + q * 7 + ch * 11) % 2).toInt
+          val sgn = if ((seed + f + j + q + ch) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int, ch: Int): Int =
+      210 + 4 * (((seed + f * 2 + g + ch * 3) % 8).toInt - 2)
+    def preflagOf(f: Int, g: Int, ch: Int): Int =
+      if ((seed + f + g + ch) % 3 == 0) 1 else 0
+    def sfBits(f: Int, g: Int, ch: Int): Int = {
+      var n = 0; var band = 0
+      while (band < 21) {
+        val group = if (band < 6) 0 else if (band < 11) 1
+                    else if (band < 16) 2 else 3
+        if (g == 0 || ((scfsiOf(f, ch) >> (3 - group)) & 1) == 0) n += 2
+        band += 1
+      }
+      n
+    }
+    def huffBits(f: Int, g: Int, ch: Int): Int = {
+      val pb = pairs(f, g, ch).map { case (x, y) =>
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g, ch).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+    val mdbs = new Array[Int](nFrames)
+    (0 until nFrames).foreach { f =>
+      val nominal = f * cap
+      val want = if (f == 0) 0 else ((seed * 7 + f * 13) % 40).toInt
+      val avail = nominal - (poolPos + 7) / 8
+      val mdb = math.min(want, math.max(avail, 0))
+      mdbs(f) = mdb
+      val startBit = (nominal - mdb) * 8
+      while (poolPos < startBit) { poolPos += 1 }
+      (0 until 2).foreach { g =>
+        (0 until 2).foreach { ch =>
+          var band = 0
+          while (band < 21) {
+            val group = if (band < 6) 0 else if (band < 11) 1
+                        else if (band < 16) 2 else 3
+            if (g == 0 || ((scfsiOf(f, ch) >> (3 - group)) & 1) == 0)
+              putPool(sfBase(f, if (g == 1 &&
+                ((scfsiOf(f, ch) >> (3 - group)) & 1) == 1) 0 else g,
+                band, ch), 2)
+            band += 1
+          }
+          pairs(f, g, ch).foreach { case (x, y) =>
+            val c = if (x == 0 && y == 0) "1"
+                    else if (y == 0) "01"
+                    else if (x == 0) "001" else "000"
+            c.foreach(cc => putPool(if (cc == '1') 1 else 0, 1))
+            if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+            if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+          }
+          quads(f, g, ch).foreach { q =>
+            var code = 0
+            q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+            putPool(code, 4)
+            q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+          }
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8); put(0x60, 8) // joint stereo + MS extension
+      put(mdbs(f), 9); put(0, 3)
+      (0 until 2).foreach(ch => put(scfsiOf(f, ch), 4))
+      (0 until 2).foreach { g =>
+        (0 until 2).foreach { ch =>
+          put(sfBits(f, g, ch) + huffBits(f, g, ch), 12)
+          put(pairs(f, g, ch).size, 9)
+          put(gainOf(f, g, ch), 8)
+          put(9, 4)
+          put(0, 1)
+          put(1, 5); put(1, 5); put(1, 5)
+          put(4, 4); put(3, 3)
+          put(preflagOf(f, g, ch), 1)
+          put(1, 1)
+          put(1, 1)
+        }
+      }
       var b = 0
       while (b < cap * 8) {
         if (poolBits(f * cap * 8 + b) == 1)

@@ -43,6 +43,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.layer2Bytes(3, 2),
     Multimodal.layer3Bytes(3, 2),
     Multimodal.layer3BytesFull(3, 2),
+    Multimodal.layer3StereoBytes(3, 2),
     Multimodal.mpeg1IFrameBytes(3, nPictures = 2),
     Multimodal.mpeg1IPBytes(3),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),

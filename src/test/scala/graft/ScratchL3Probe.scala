@@ -30,4 +30,31 @@ class ScratchL3Probe extends AnyFunSuite {
     }
     assert(mdbNonzero > 10, s"reservoir exercised: $mdbNonzero granules")
   }
+
+  test("layer3 MS-stereo round trip across 16 seeds") {
+    (0 until 16).foreach { id =>
+      val nf = (id % 2) + 1
+      val bytes = Multimodal.layer3StereoBytes(id, nf)
+      val decoded = Multimodal.layer3DecodeFull(bytes)
+      assert(decoded.isDefined, s"id=$id stereo decode failed")
+      val (meta, grans, subs) = decoded.get
+      assert(meta.channels == 2)
+      assert(grans.size == nf * 2 * 2, s"id=$id grans=${grans.size}")
+      assert(subs.size == nf * 2 * 2 * 32, s"id=$id subs=${subs.size}")
+      assert(grans.exists(_.channel == 1))
+      // MS recombination: channel sums differ unless M or S is silent
+      if (id == 0) {
+        val l = subs.filter(s => s.frame == 0 && s.granule == 0 &&
+          s.channel == 0).map(_.sSum).sum
+        val r = subs.filter(s => s.frame == 0 && s.granule == 0 &&
+          s.channel == 1).map(_.sSum).sum
+        info(s"id=0 f0g0: L-sum=$l R-sum=$r")
+        assert(l != r)
+      }
+    }
+    // mono streams still decode identically through the same entry
+    val mono = Multimodal.layer3DecodeFull(Multimodal.layer3BytesFull(5, 2))
+    assert(mono.get._1.channels == 1)
+    assert(mono.get._2.forall(_.channel == 0))
+  }
 }
