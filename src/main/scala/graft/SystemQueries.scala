@@ -1925,6 +1925,194 @@ object SystemQueries {
              |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
              |FROM mcp GROUP BY id, m, kind, dx, dy""".stripMargin)),
 
+    // REAL MPEG-1 B PICTURES (bidirectional prediction): the bitstream
+    // carries I, P, then a B picture whose forward reference is the I
+    // and backward reference the P. Exercised: forward / backward /
+    // INTERPOLATED (//2 round-half-away average of both predictions)
+    // not-coded macroblocks, B-skipped semantics (repeat the previous
+    // macroblock's mode with unchanged vectors — different from
+    // P-skipped), separate forward/backward predictor chains (mb 4 is
+    // coded against mb 1's surviving forward predictor across a skip
+    // and a backward MB), and intra-in-B. The oracle reconstructs the I
+    // plane AND the full P plane relationally, then replays every B
+    // prediction — integers end-to-end. Prediction-error coding stays
+    // declared.
+    ("multimodal_mpeg1_bframe",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(
+            Multimodal.mpeg1IPBytes(id, withB = true))
+          val (_, mbs) = decoded.get
+          mbs.filter(_.pic == 2).map(r => (id, r.mb.toLong, r.kind.toLong,
+            r.dx.toLong, r.dy.toLong, r.bdx.toLong, r.bdy.toLong,
+            r.ySum, r.ySqSum))
+        }.toDF("media_id", "mb", "kind", "fdx", "fdy", "bdx", "bdy",
+               "y_sum", "y_sqsum")
+      },
+      Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
+             |cmb AS (SELECT id, pc, m FROM ids, (VALUES (0), (1), (2)) pp(pc),
+             |        range(8) mm(m) WHERE pc = 0 OR m IN (0, 5)),
+             |co AS (
+             |  SELECT id, pc, m, b, 0 AS ord,
+             |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
+             |  FROM cmb, range(4) bb(b)
+             |  UNION ALL
+             |  SELECT id, pc, m, b, p AS ord,
+             |    (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
+             |    LEAST(CASE WHEN ABS(lvl) * wz[CAST(p AS INT) + 1] % 2 = 0
+             |               THEN ABS(lvl) * wz[CAST(p AS INT) + 1] - 1
+             |               ELSE ABS(lvl) * wz[CAST(p AS INT) + 1] END,
+             |          2047) AS f
+             |  FROM (SELECT id, pc, m, b, p,
+             |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
+             |               THEN 1
+             |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
+             |          END AS lvl
+             |        FROM cmb, range(4) bb(b),
+             |          LATERAL (SELECT UNNEST([
+             |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
+             |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
+             |            50 + (m*3 + b) % 13]) AS p) g) lv,
+             |  (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
+             |px AS (
+             |  SELECT id, pc, m, b, x, y,
+             |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT))) AS v
+             |  FROM co, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, pc, m, b, x, y),
+             |mv AS (SELECT id, m,
+             |    CASE m WHEN 1 THEN id % 4 - 2
+             |           WHEN 2 THEN id % 4 - 2 + ((id // 7) % 3 - 1)
+             |           WHEN 4 THEN (id // 11) % 4
+             |           WHEN 6 THEN -((id // 17) % 3)
+             |           WHEN 7 THEN -((id // 23) % 4) ELSE 0 END AS dx,
+             |    CASE m WHEN 1 THEN (id // 4) % 3
+             |           WHEN 2 THEN (id // 9) % 3
+             |           WHEN 4 THEN -((id // 13) % 4)
+             |           WHEN 6 THEN -((id // 19) % 3)
+             |           WHEN 7 THEN -((id // 29) % 4) ELSE 0 END AS dy,
+             |    CASE WHEN m IN (0, 5) THEN 0 WHEN m = 3 THEN 2
+             |         ELSE 1 END AS kind
+             |  FROM ids, range(8) mm(m)),
+             |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
+             |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
+             |        FROM px WHERE pc = 0 AND b < 4),
+             |mc AS (SELECT v.id, v.m,
+             |         16 * (v.m % 4) + xx.x AS dxp,
+             |         16 * (v.m // 4) + yy.y AS dyp,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
+             |       FROM mv v, range(16) xx(x), range(16) yy(y)
+             |       WHERE v.kind IN (1, 2)),
+             |mcp AS (
+             |  SELECT c.id, c.dxp, c.dyp,
+             |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
+             |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
+             |           THEN (r00.v + r01.v + 1) // 2
+             |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
+             |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS v
+             |  FROM mc c
+             |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
+             |    AND r00.ry = c.y2 // 2
+             |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
+             |    AND r01.ry = c.y2 // 2
+             |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
+             |    AND r10.ry = c.y2 // 2 + 1
+             |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
+             |    AND r11.ry = c.y2 // 2 + 1),
+             |pplane AS (
+             |  SELECT id, dxp AS rx, dyp AS ry, v FROM mcp
+             |  UNION ALL
+             |  SELECT id, 16 * (m % 4) + 8 * (b % 2) + x,
+             |         16 * (m // 4) + 8 * (b // 2) + y, v
+             |  FROM px WHERE pc = 1 AND b < 4),
+             |bmv AS (SELECT id, m,
+             |    CASE m WHEN 1 THEN (id // 2) % 2 WHEN 2 THEN (id // 2) % 2
+             |           WHEN 4 THEN (id // 11) % 4
+             |           WHEN 6 THEN (id // 17) % 5 - 2 ELSE 0 END AS fdx,
+             |    CASE m WHEN 1 THEN (id // 3) % 2 WHEN 2 THEN (id // 3) % 2
+             |           WHEN 4 THEN -((id // 13) % 3)
+             |           WHEN 6 THEN -((id // 19) % 3) ELSE 0 END AS fdy,
+             |    CASE m WHEN 3 THEN -((id // 5) % 4)
+             |           WHEN 6 THEN -((id // 23) % 3)
+             |           WHEN 7 THEN -((id // 31) % 4) ELSE 0 END AS bdx,
+             |    CASE m WHEN 3 THEN (id // 7) % 3
+             |           WHEN 6 THEN -((id // 29) % 3)
+             |           WHEN 7 THEN -((id // 37) % 4) ELSE 0 END AS bdy,
+             |    CASE m WHEN 0 THEN 0 WHEN 5 THEN 0 WHEN 2 THEN 2
+             |           WHEN 3 THEN 3 WHEN 7 THEN 3 WHEN 6 THEN 4
+             |           ELSE 1 END AS kind,
+             |    m IN (1, 2, 4, 6) AS uf, m IN (3, 6, 7) AS ub
+             |  FROM ids, range(8) mm(m) WHERE m NOT IN (0, 5)),
+             |bg AS (SELECT v.id, v.m, v.kind, v.fdx, v.fdy, v.bdx, v.bdy,
+             |         v.uf, v.ub,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.fdx AS fx2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.fdy AS fy2,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.bdx AS bx2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.bdy AS by2
+             |       FROM bmv v, range(16) xx(x), range(16) yy(y)),
+             |bp AS (
+             |  SELECT c.id, c.m, c.kind, c.fdx, c.fdy, c.bdx, c.bdy,
+             |    CASE
+             |      WHEN c.uf AND c.ub THEN (
+             |        (CASE WHEN c.fx2 % 2 = 0 AND c.fy2 % 2 = 0 THEN f00.v
+             |              WHEN c.fx2 % 2 = 1 AND c.fy2 % 2 = 0
+             |                THEN (f00.v + f01.v + 1) // 2
+             |              WHEN c.fx2 % 2 = 0 THEN (f00.v + f10.v + 1) // 2
+             |              ELSE (f00.v + f01.v + f10.v + f11.v + 2) // 4 END)
+             |        + (CASE WHEN c.bx2 % 2 = 0 AND c.by2 % 2 = 0 THEN b00.v
+             |                WHEN c.bx2 % 2 = 1 AND c.by2 % 2 = 0
+             |                  THEN (b00.v + b01.v + 1) // 2
+             |                WHEN c.bx2 % 2 = 0 THEN (b00.v + b10.v + 1) // 2
+             |                ELSE (b00.v + b01.v + b10.v + b11.v + 2) // 4 END)
+             |        + 1) // 2
+             |      WHEN c.uf THEN
+             |        CASE WHEN c.fx2 % 2 = 0 AND c.fy2 % 2 = 0 THEN f00.v
+             |             WHEN c.fx2 % 2 = 1 AND c.fy2 % 2 = 0
+             |               THEN (f00.v + f01.v + 1) // 2
+             |             WHEN c.fx2 % 2 = 0 THEN (f00.v + f10.v + 1) // 2
+             |             ELSE (f00.v + f01.v + f10.v + f11.v + 2) // 4 END
+             |      ELSE
+             |        CASE WHEN c.bx2 % 2 = 0 AND c.by2 % 2 = 0 THEN b00.v
+             |             WHEN c.bx2 % 2 = 1 AND c.by2 % 2 = 0
+             |               THEN (b00.v + b01.v + 1) // 2
+             |             WHEN c.bx2 % 2 = 0 THEN (b00.v + b10.v + 1) // 2
+             |             ELSE (b00.v + b01.v + b10.v + b11.v + 2) // 4 END
+             |    END AS v
+             |  FROM bg c
+             |  LEFT JOIN ref f00 ON c.uf AND f00.id = c.id
+             |    AND f00.rx = c.fx2 // 2 AND f00.ry = c.fy2 // 2
+             |  LEFT JOIN ref f01 ON c.uf AND f01.id = c.id
+             |    AND f01.rx = c.fx2 // 2 + 1 AND f01.ry = c.fy2 // 2
+             |  LEFT JOIN ref f10 ON c.uf AND f10.id = c.id
+             |    AND f10.rx = c.fx2 // 2 AND f10.ry = c.fy2 // 2 + 1
+             |  LEFT JOIN ref f11 ON c.uf AND f11.id = c.id
+             |    AND f11.rx = c.fx2 // 2 + 1 AND f11.ry = c.fy2 // 2 + 1
+             |  LEFT JOIN pplane b00 ON c.ub AND b00.id = c.id
+             |    AND b00.rx = c.bx2 // 2 AND b00.ry = c.by2 // 2
+             |  LEFT JOIN pplane b01 ON c.ub AND b01.id = c.id
+             |    AND b01.rx = c.bx2 // 2 + 1 AND b01.ry = c.by2 // 2
+             |  LEFT JOIN pplane b10 ON c.ub AND b10.id = c.id
+             |    AND b10.rx = c.bx2 // 2 AND b10.ry = c.by2 // 2 + 1
+             |  LEFT JOIN pplane b11 ON c.ub AND b11.id = c.id
+             |    AND b11.rx = c.bx2 // 2 + 1 AND b11.ry = c.by2 // 2 + 1)
+             |SELECT id AS media_id, CAST(m AS BIGINT) AS mb,
+             |  CAST(kind AS BIGINT) AS kind,
+             |  CAST(fdx AS BIGINT) AS fdx, CAST(fdy AS BIGINT) AS fdy,
+             |  CAST(bdx AS BIGINT) AS bdx, CAST(bdy AS BIGINT) AS bdy,
+             |  CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
+             |FROM bp GROUP BY id, m, kind, fdx, fdy, bdx, bdy
+             |UNION ALL
+             |SELECT id, CAST(m AS BIGINT), 0, 0, 0, 0, 0,
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM px WHERE pc = 2 AND b < 4 GROUP BY id, m""".stripMargin)),
+
     // REAL MPEG-1 start-code frame indexing — the seek-and-sample
     // primitive: multi-picture elementary streams (temporal_reference
     // carries the picture index) are frame-indexed by a linear scan of

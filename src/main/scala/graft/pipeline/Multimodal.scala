@@ -2486,13 +2486,15 @@ object Multimodal {
   }
   private[graft] def mpegZigzag: Array[Int] = Zigzag
 
-  /** One reconstructed macroblock of an I/P picture: picture index,
-    * macroblock address, kind (0 intra, 1 forward-MC, 2 skipped),
-    * reconstructed forward vector in half-pel units, and the integer
-    * sum / square-sum of the macroblock's 256 reconstructed luma
-    * pixels. */
+  /** One reconstructed macroblock of an I/P/B picture: picture index,
+    * macroblock address, kind (0 intra, 1 forward-MC, 2 skipped, 3
+    * backward-MC, 4 interpolated), the reconstructed forward and
+    * backward vectors in half-pel units (0 when unused; a skipped B
+    * macroblock reports the vectors it reused), and the integer sum /
+    * square-sum of the macroblock's 256 reconstructed luma pixels. */
   final case class MpegPMb(pic: Int, mb: Int, kind: Int, dx: Int, dy: Int,
-                           ySum: Long, ySqSum: Long)
+                           ySum: Long, ySqSum: Long,
+                           bdx: Int = 0, bdy: Int = 0)
 
   // motion_code VLC (11172-2 Table B.4), |code| ≤ 3 subset — the codes
   // are the B.1 increment codes split by a trailing sign bit (positive
@@ -2522,12 +2524,21 @@ object Multimodal {
     *   - chroma compensated with the half-magnitude vector
     *     (truncate-toward-zero), 4:2:0 planes.
     *
+    *   - B pictures (Table B.2c not-coded forms): forward, backward, and
+    *     interpolated prediction — the backward/interpolated pels come
+    *     from the NEXT reference picture (bitstream order I P B), the
+    *     two combined with the //2 round-half-away average; separate
+    *     forward/backward predictor chains; B-skipped macroblocks repeat
+    *     the previous macroblock's mode with unchanged vectors
+    *     (§2.4.4.4 — different semantics from P-skipped).
+    *
     * Declared subset (None on encounter): coded non-intra macroblocks
     * (the prediction-error path needs the B.3 coded-block-pattern table),
-    * B pictures, |motion_code| > 3, `f_code > 1` residuals. Each decoded
-    * picture becomes the reference for the next. Returns per-macroblock
-    * luma statistics in decode order — integers end-to-end, so the
-    * DuckDB oracle replays the whole chain bit-for-bit. */
+    * |motion_code| > 3, `f_code > 1` residuals. Each decoded I/P becomes
+    * the backward reference and slides the previous one to the forward
+    * slot; B pictures are never references. Returns per-macroblock luma
+    * statistics in decode order — integers end-to-end, so the DuckDB
+    * oracle replays the whole chain bit-for-bit. */
   def mpeg1IPDecode(bytes: Array[Byte])
       : Option[((Int, Int), Seq[MpegPMb])] = {
     if (bytes.length < 12) return None
@@ -2564,10 +2575,15 @@ object Multimodal {
       alignByte()
       val mbw = w / 16; val nMb = mbw * (h / 16)
       val cw = w / 2; val chH = h / 2
-      // planes: luma + Cb + Cr; ref = previous picture
+      // planes: luma + Cb + Cr; refY.. = latest I/P reference (backward
+      // ref for B pictures), prevY.. = the one before it (forward ref
+      // for B pictures, which arrive after both in bitstream order).
       var refY: Array[Int] = null
       var refCb: Array[Int] = null
       var refCr: Array[Int] = null
+      var prevY: Array[Int] = null
+      var prevCb: Array[Int] = null
+      var prevCr: Array[Int] = null
       val out = Seq.newBuilder[MpegPMb]
 
       def idctBlock(coeffs: Seq[(Int, Long)]): Array[Int] = {
@@ -2616,12 +2632,17 @@ object Multimodal {
       while (morePictures) {
         bits(10) // temporal_reference
         val ptype = bits(3)
-        if (ptype != 1 && ptype != 2) return None
-        if (ptype == 2 && pic == 0) return None // P needs a reference
+        if (ptype != 1 && ptype != 2 && ptype != 3) return None
+        if (ptype == 2 && refY == null) return None // P needs a reference
+        if (ptype == 3 && (refY == null || prevY == null)) return None
         bits(16) // vbv_delay
-        if (ptype == 2) {
+        if (ptype == 2 || ptype == 3) {
           if (bits(1) != 0) return None // full_pel_forward_vector
           if (bits(3) != 1) return None // forward_f_code = 1 only
+        }
+        if (ptype == 3) {
+          if (bits(1) != 0) return None // full_pel_backward_vector
+          if (bits(3) != 1) return None // backward_f_code = 1 only
         }
         while (bits(1) == 1) bits(8) // extra_information_picture
         alignByte()
@@ -2633,41 +2654,119 @@ object Multimodal {
         val newCb = new Array[Int](cw * chH)
         val newCr = new Array[Int](cw * chH)
         val pred = Array(128, 128, 128)
-        var pmvX = 0; var pmvY = 0
+        // forward and backward vector predictors (B uses both)
+        var pmvFx = 0; var pmvFy = 0; var pmvBx = 0; var pmvBy = 0
+        // previous macroblock's prediction flags (B skipped-MB semantics:
+        // repeat the previous macroblock's mode with unchanged vectors)
+        var lastFwd = false; var lastBwd = false
+        val isB = ptype == 3
+        val fY = if (isB) prevY else refY
+        val fCb = if (isB) prevCb else refCb
+        val fCr = if (isB) prevCr else refCr
+
+        // motion-compensate one macroblock from the forward and/or
+        // backward reference; both → the //2 round-half-away average.
+        def predictMb(mb: Int, useFwd: Boolean, useBwd: Boolean): (Long, Long) = {
+          val mbx = (mb % mbw) * 16; val mby = (mb / mbw) * 16
+          var ys = 0L; var yq = 0L
+          var yy = 0
+          while (yy < 16) {
+            var xx = 0
+            while (xx < 16) {
+              val fv = if (useFwd) halfPel(fY, w, h,
+                2 * (mbx + xx) + pmvFx, 2 * (mby + yy) + pmvFy) else 0
+              val bv = if (useBwd) halfPel(refY, w, h,
+                2 * (mbx + xx) + pmvBx, 2 * (mby + yy) + pmvBy) else 0
+              val v = if (useFwd && useBwd) (fv + bv + 1) >> 1
+                      else if (useFwd) fv else bv
+              newY((mby + yy) * w + mbx + xx) = v
+              ys += v; yq += v.toLong * v
+              xx += 1
+            }
+            yy += 1
+          }
+          val (fcdx, fcdy) = (pmvFx / 2, pmvFy / 2) // truncate toward zero
+          val (bcdx, bcdy) = (pmvBx / 2, pmvBy / 2)
+          val cbx = (mb % mbw) * 8; val cby = (mb / mbw) * 8
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              def cpel(fp: Array[Int], bp: Array[Int]): Int = {
+                val fv = if (useFwd) halfPel(fp, cw, chH,
+                  2 * (cbx + cx) + fcdx, 2 * (cby + cy) + fcdy) else 0
+                val bv = if (useBwd) halfPel(bp, cw, chH,
+                  2 * (cbx + cx) + bcdx, 2 * (cby + cy) + bcdy) else 0
+                if (useFwd && useBwd) (fv + bv + 1) >> 1
+                else if (useFwd) fv else bv
+              }
+              newCb((cby + cy) * cw + cbx + cx) = cpel(fCb, refCb)
+              newCr((cby + cy) * cw + cbx + cx) = cpel(fCr, refCr)
+              cx += 1
+            }
+            cy += 1
+          }
+          (ys, yq)
+        }
+        def mbKind(useFwd: Boolean, useBwd: Boolean): Int =
+          if (useFwd && useBwd) 4 else if (useBwd) 3 else 1
+
         var mb = 0
         while (mb < nMb) {
           val inc = vlc(Seq("1" -> 1, "011" -> 2, "010" -> 3))
-          // skipped macroblocks: P-picture copy with vector 0
+          // skipped macroblocks: P copies co-located with vector 0 and
+          // resets the predictor; B repeats the previous macroblock's
+          // prediction mode with unchanged vectors (§2.4.4.4).
           var sk = 1
           while (sk < inc) {
-            if (ptype != 2 || mb >= nMb) throw new RuntimeException("skip")
-            copyMb(refY, refCb, refCr, newY, newCb, newCr, w, cw, mbw, mb)
-            val (ys, yq) = mbLumaStats(newY, w, mbw, mb)
-            out += MpegPMb(pic, mb, 2, 0, 0, ys, yq)
-            pmvX = 0; pmvY = 0
+            if (mb >= nMb) throw new RuntimeException("skip")
+            if (ptype == 2) {
+              copyMb(refY, refCb, refCr, newY, newCb, newCr, w, cw, mbw, mb)
+              val (ys, yq) = mbLumaStats(newY, w, mbw, mb)
+              out += MpegPMb(pic, mb, 2, 0, 0, ys, yq)
+              pmvFx = 0; pmvFy = 0
+            } else if (isB) {
+              if (!lastFwd && !lastBwd) throw new RuntimeException("skipB")
+              val (ys, yq) = predictMb(mb, lastFwd, lastBwd)
+              out += MpegPMb(pic, mb, 2,
+                if (lastFwd) pmvFx else 0, if (lastFwd) pmvFy else 0, ys, yq,
+                if (lastBwd) pmvBx else 0, if (lastBwd) pmvBy else 0)
+            } else throw new RuntimeException("skip")
             pred(0) = 128; pred(1) = 128; pred(2) = 128
             mb += 1; sk += 1
           }
           if (mb >= nMb) throw new RuntimeException("addr")
           // macroblock_type: I pictures ('1' intra, '01' intra+quant);
-          // P pictures: '001' MC-not-coded / '00011' intra supported,
-          // coded non-intra types (need CBP table B.3) stay declared.
-          val (intra, withQuant, mc) =
+          // P pictures: '001' MC-not-coded / '00011' intra; B pictures
+          // (Table B.2c): '10' interp / '010' backward / '0010' forward
+          // (not-coded forms) and '00011' intra. Coded non-intra types
+          // (need CBP table B.3) stay declared.
+          val (intra, withQuant, useFwd, useBwd) =
             if (ptype == 1) {
               val q = vlc(Seq("1" -> false, "01" -> true))
-              (true, q, false)
-            } else {
+              (true, q, false, false)
+            } else if (ptype == 2) {
               vlc(Seq[(String, Int)]("001" -> 0, "00011" -> 1,
                                      "000001" -> 2, "1" -> 3, "01" -> 4)) match {
-                case 0 => (false, false, true)  // MC, not coded
-                case 1 => (true, false, false)  // intra
-                case 2 => (true, true, false)   // quant + intra
+                case 0 => (false, false, true, false) // MC, not coded
+                case 1 => (true, false, false, false) // intra
+                case 2 => (true, true, false, false)  // quant + intra
+                case _ => throw new RuntimeException("cbp") // coded: declared
+              }
+            } else {
+              vlc(Seq[(String, Int)]("10" -> 0, "010" -> 1, "0010" -> 2,
+                                     "00011" -> 3, "000001" -> 4,
+                                     "11" -> 5, "011" -> 6, "0011" -> 7)) match {
+                case 0 => (false, false, true, true)   // interp, not coded
+                case 1 => (false, false, false, true)  // backward, not coded
+                case 2 => (false, false, true, false)  // forward, not coded
+                case 3 => (true, false, false, false)  // intra
+                case 4 => (true, true, false, false)   // quant + intra
                 case _ => throw new RuntimeException("cbp") // coded: declared
               }
             }
           if (withQuant) qscale = bits(5)
-          if (mc) {
-            val mh = vlc(MotionCodes); val mv = vlc(MotionCodes)
+          if (useFwd || useBwd) {
             // reconstruct differentially with the f=1 ±16-px wraparound
             def recon(pmv: Int, codeV: Int): Int = {
               var v = pmv + codeV
@@ -2675,40 +2774,24 @@ object Multimodal {
               if (v < -16) v += 32
               v
             }
-            pmvX = recon(pmvX, mh); pmvY = recon(pmvY, mv)
-            val mbx = (mb % mbw) * 16; val mby = (mb / mbw) * 16
-            var yy = 0
-            var ys = 0L; var yq = 0L
-            while (yy < 16) {
-              var xx = 0
-              while (xx < 16) {
-                val v = halfPel(refY, w, h,
-                  2 * (mbx + xx) + pmvX, 2 * (mby + yy) + pmvY)
-                newY((mby + yy) * w + mbx + xx) = v
-                ys += v; yq += v.toLong * v
-                xx += 1
-              }
-              yy += 1
+            if (useFwd) {
+              val mh = vlc(MotionCodes); val mv = vlc(MotionCodes)
+              pmvFx = recon(pmvFx, mh); pmvFy = recon(pmvFy, mv)
             }
-            val cdx = pmvX / 2; val cdy = pmvY / 2 // truncate toward zero
-            val cbx = (mb % mbw) * 8; val cby = (mb / mbw) * 8
-            var cy = 0
-            while (cy < 8) {
-              var cx = 0
-              while (cx < 8) {
-                newCb((cby + cy) * cw + cbx + cx) = halfPel(refCb, cw, chH,
-                  2 * (cbx + cx) + cdx, 2 * (cby + cy) + cdy)
-                newCr((cby + cy) * cw + cbx + cx) = halfPel(refCr, cw, chH,
-                  2 * (cbx + cx) + cdx, 2 * (cby + cy) + cdy)
-                cx += 1
-              }
-              cy += 1
+            if (useBwd) {
+              val mh = vlc(MotionCodes); val mv = vlc(MotionCodes)
+              pmvBx = recon(pmvBx, mh); pmvBy = recon(pmvBy, mv)
             }
-            out += MpegPMb(pic, mb, 1, pmvX, pmvY, ys, yq)
+            val (ys, yq) = predictMb(mb, useFwd, useBwd)
+            out += MpegPMb(pic, mb, mbKind(useFwd, useBwd),
+              if (useFwd) pmvFx else 0, if (useFwd) pmvFy else 0, ys, yq,
+              if (useBwd) pmvBx else 0, if (useBwd) pmvBy else 0)
+            lastFwd = useFwd; lastBwd = useBwd
             pred(0) = 128; pred(1) = 128; pred(2) = 128
           } else {
-            // intra macroblock (I picture, or intra-in-P)
-            pmvX = 0; pmvY = 0
+            // intra macroblock (I picture, or intra-in-P/B)
+            pmvFx = 0; pmvFy = 0; pmvBx = 0; pmvBy = 0
+            lastFwd = false; lastBwd = false
             var blk = 0
             while (blk < 6) {
               val comp = if (blk < 4) 0 else blk - 3
@@ -2778,7 +2861,12 @@ object Multimodal {
           mb += 1
         }
         alignByte()
-        refY = newY; refCb = newCb; refCr = newCr
+        if (!isB) {
+          // I/P become the new backward reference; the old one slides to
+          // the forward slot. B pictures are never references.
+          prevY = refY; prevCb = refCb; prevCr = refCr
+          refY = newY; refCb = newCb; refCr = newCr
+        }
         morePictures = bitPos + 32 <= bytes.length * 8 &&
           bits(32) == 0x00000100
         if (morePictures) pic += 1
@@ -2841,7 +2929,7 @@ object Multimodal {
     * differentially against the running predictor (mb 1→2 and 6→7 are
     * genuine differential chains), and a skipped macroblock (mb 3).
     * Vector ranges are chosen so every reference read is in-bounds. */
-  def mpeg1IPBytes(seed: Long): Array[Byte] = {
+  def mpeg1IPBytes(seed: Long, withB: Boolean = false): Array[Byte] = {
     val width = 64; val height = 32
     val bits = new scala.collection.mutable.ArrayBuffer[Boolean](1 << 14)
     def put(v: Long, n: Int): Unit =
@@ -2925,6 +3013,43 @@ object Multimodal {
     putStr("1"); putStr("001")
     putStr(mcode(v7x - v6x)); putStr(mcode(v7y - v6y))
     align()
+    if (withB) {
+      // ---- B picture (display order between I and P: tempref 1) ----
+      put(0x00000100L, 32); put(1, 10); put(3, 3); put(0xffff, 16)
+      put(0, 1); put(1, 3) // full_pel_fwd 0, forward_f_code 1
+      put(0, 1); put(1, 3) // full_pel_bwd 0, backward_f_code 1
+      put(0, 1)
+      align()
+      put(0x00000101L, 32); put(qscale, 5); put(0, 1)
+      val predB = Array(128, 128, 128)
+      val (bf1x, bf1y, _, _) = mpeg1BVec(s, 1)
+      val (_, _, bb3x, bb3y) = mpeg1BVec(s, 3)
+      val (bf4x, bf4y, _, _) = mpeg1BVec(s, 4)
+      val (bf6x, bf6y, bb6x, bb6y) = mpeg1BVec(s, 6)
+      val (_, _, bb7x, bb7y) = mpeg1BVec(s, 7)
+      // mb0: intra
+      putStr("1"); putStr("00011"); putIntraMb(2, 0, predB)
+      // mb1: forward, not coded (PMVs reset by intra → codes = bf1)
+      putStr("1"); putStr("0010"); putStr(mcode(bf1x)); putStr(mcode(bf1y))
+      // mb2: skipped (repeats mb1's forward mode, unchanged vectors)
+      // mb3: backward, not coded (bwd PMV still 0 → codes = bb3)
+      putStr("011"); putStr("010"); putStr(mcode(bb3x)); putStr(mcode(bb3y))
+      // mb4: forward — fwd PMV is still bf1 (skip/bwd leave it) →
+      // a genuine differential chain across intervening macroblocks
+      putStr("1"); putStr("0010")
+      putStr(mcode(bf4x - bf1x)); putStr(mcode(bf4y - bf1y))
+      // mb5: intra (resets PMVs; DC predictors were reset after mb0)
+      predB(0) = 128; predB(1) = 128; predB(2) = 128
+      putStr("1"); putStr("00011"); putIntraMb(2, 5, predB)
+      // mb6: interpolated (both vectors, PMVs reset → codes = vectors)
+      putStr("1"); putStr("10")
+      putStr(mcode(bf6x)); putStr(mcode(bf6y))
+      putStr(mcode(bb6x)); putStr(mcode(bb6y))
+      // mb7: backward, differential against bb6
+      putStr("1"); putStr("010")
+      putStr(mcode(bb7x - bb6x)); putStr(mcode(bb7y - bb6y))
+      align()
+    }
     put(0x000001b7L, 32)
     val out = new Array[Byte](bits.length / 8)
     bits.zipWithIndex.foreach { case (bit, i) =>
@@ -2944,6 +3069,23 @@ object Multimodal {
     case 7 => (-((s / 23) % 4), -((s / 29) % 4))
     case _ => (0L, 0L)
   }) match { case (a, b) => (a.toInt, b.toInt) }
+
+  /** Seed-dependent B-picture (forward, backward) vectors, half-pel
+    * units, ranged for in-bounds reads against BOTH references and for
+    * |differential code| ≤ 3 across the predictor chains (mb 4 is coded
+    * against mb 1's surviving forward predictor, mb 7 against mb 6's
+    * backward predictor). mb 2 is skipped and reuses mb 1's mode. */
+  private[graft] def mpeg1BVec(s: Long, mb: Int): (Int, Int, Int, Int) =
+    (mb match {
+      case 1 => ((s / 2) % 2, (s / 3) % 2, 0L, 0L)
+      case 2 => ((s / 2) % 2, (s / 3) % 2, 0L, 0L) // skipped: mb1 repeated
+      case 3 => (0L, 0L, -((s / 5) % 4), (s / 7) % 3)
+      case 4 => ((s / 11) % 4, -((s / 13) % 3), 0L, 0L)
+      case 6 => ((s / 17) % 5 - 2, -((s / 19) % 3),
+                 -((s / 23) % 3), -((s / 29) % 3))
+      case 7 => (0L, 0L, -((s / 31) % 4), -((s / 37) % 4))
+      case _ => (0L, 0L, 0L, 0L)
+    }) match { case (a, b, c, d) => (a.toInt, b.toInt, c.toInt, d.toInt) }
 
   /** A minimal real MP4: ftyp + moov(mvhd + one video trak [+ one audio
     * trak]) + mdat filler. Box sizes, fixed-point dims, and sample-entry

@@ -43,4 +43,31 @@ class ScratchMpegPProbe extends AnyFunSuite {
       }
     }
   }
+
+  test("mpeg1 I->P->B round trip across 24 seeds") {
+    (0 until 24).foreach { id =>
+      val bytes = Multimodal.mpeg1IPBytes(id, withB = true)
+      val decoded = Multimodal.mpeg1IPDecode(bytes)
+      assert(decoded.isDefined, s"id=$id decode failed")
+      val (_, mbs) = decoded.get
+      assert(mbs.size == 24, s"id=$id mbs=${mbs.size}")
+      val b = mbs.filter(_.pic == 2)
+      // kinds: intra, fwd, skip(=fwd repeat), bwd, fwd, intra, interp, bwd
+      assert(b.map(_.kind) == Seq(0, 1, 2, 3, 1, 0, 4, 3),
+        s"id=$id b-kinds=${b.map(_.kind)}")
+      Seq(1, 2, 3, 4, 6, 7).foreach { m =>
+        val (fx, fy, bx, by) = Multimodal.mpeg1BVec(id, m)
+        val r = b.find(_.mb == m).get
+        assert((r.dx, r.dy, r.bdx, r.bdy) == ((fx, fy, bx, by)),
+          s"id=$id mb=$m got (${r.dx},${r.dy},${r.bdx},${r.bdy}) " +
+            s"want ($fx,$fy,$bx,$by)")
+      }
+      // I and P rows are byte-identical to the no-B stream's rows
+      val noB = Multimodal.mpeg1IPDecode(Multimodal.mpeg1IPBytes(id)).get._2
+      assert(mbs.filter(_.pic < 2) == noB)
+      // a zero-vector interp MB averages I and P co-located pixels
+      val (f6, _, b6, _) = Multimodal.mpeg1BVec(id, 6)
+      if (id < 2) info(s"id=$id b-ySums=${b.map(_.ySum)} f6=$f6 b6=$b6")
+    }
+  }
 }
