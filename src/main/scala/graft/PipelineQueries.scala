@@ -686,6 +686,52 @@ object PipelineQueries {
               |       CAST(cnt_full AS BIGINT) AS cnt_full
               |FROM merged JOIN whole USING (row, bucket)""".stripMargin)),
 
+    // HyperLogLog MERGEABILITY: per-shard register tables (max leading-
+    // zero rank per register, portable md5 hashing) merged by register-
+    // wise MAX equal the union stream's registers exactly — the
+    // distributed COUNT DISTINCT object (per-shard sketches at the map
+    // side, one O(m) merge at the driver — no shuffle of values). The
+    // 2^−rho harmonic sums are exact dyadic arithmetic, so per-shard AND
+    // merged estimates are bit-identical cross-engine; exact distincts
+    // ride along to show the ~1.04/√m error band.
+    ("sketch_hll_merge",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("shard"), col("l_orderkey"))
+        val regs = graft.pipeline.Sketch.hllRegisters(
+          li, "l_orderkey", col("shard"), m = 64)
+        val merged = regs.groupBy("reg").agg(max("max_rho").as("max_rho"))
+          .select(lit("ALL").as("shard"), col("reg"), col("max_rho"))
+        val est = graft.pipeline.Sketch.hllEstimate(
+          regs.unionByName(merged), m = 64, alpha = 0.709)
+        val exact = li.groupBy("shard")
+          .agg(countDistinct("l_orderkey").as("exact_nd"))
+          .unionByName(li.agg(countDistinct("l_orderkey").as("exact_nd"))
+            .select(lit("ALL").as("shard"), col("exact_nd")))
+        est.join(exact, "shard")
+      },
+      Some(s"""WITH h AS (SELECT l_returnflag AS shard, l_orderkey,
+              |  ${graft.functions.PortableHash.md5Prefix60Sql("CAST(l_orderkey AS VARCHAR)")} AS hv
+              |  FROM lineitem),
+              |r AS (SELECT shard, hv % 64 AS reg,
+              |        CASE WHEN (hv >> 6) = 0 THEN 55
+              |             ELSE 55 - LENGTH(bin(hv >> 6)) END AS rho
+              |      FROM h),
+              |regs AS (SELECT shard, reg, MAX(rho) AS max_rho
+              |         FROM r GROUP BY 1, 2),
+              |allregs AS (SELECT * FROM regs UNION ALL
+              |            SELECT 'ALL', reg, MAX(max_rho) FROM regs GROUP BY reg),
+              |est AS (SELECT shard, COUNT(*) AS n_present,
+              |          ROUND(${0.709 * 64 * 64} /
+              |            (64.0 - COUNT(*) + SUM(POWER(2.0, -max_rho))), 4) AS hll_est
+              |        FROM allregs GROUP BY 1),
+              |ex AS (SELECT shard, COUNT(DISTINCT l_orderkey) AS exact_nd
+              |       FROM h GROUP BY 1
+              |       UNION ALL SELECT 'ALL', COUNT(DISTINCT l_orderkey) FROM h)
+              |SELECT e.shard, CAST(n_present AS BIGINT) AS n_present, hll_est,
+              |       CAST(exact_nd AS BIGINT) AS exact_nd
+              |FROM est e JOIN ex ON e.shard = ex.shard""".stripMargin)),
+
     // Uniform-mixture balancing: every source downsampled to the smallest
     // source's size via the per-group hash threshold (engine- and
     // partitioning-reproducible membership).
@@ -1467,6 +1513,39 @@ object PipelineQueries {
       Some("SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp " +
            "FROM lineitem GROUP BY 1")),
 
+    // PIVOT (wide reshaping with an explicit value list — the explicit
+    // list keeps the plan single-pass; an implicit pivot needs a values
+    // scan first and is a 100 TB anti-pattern).
+    ("q_pivot",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+                                   "HOUSEHOLD", "MACHINERY"))
+        .agg(round(sum("c_acctbal"), 2)),
+      Some("""SELECT c_nationkey,
+             |  ROUND(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS "AUTOMOBILE",
+             |  ROUND(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 2) AS "BUILDING",
+             |  ROUND(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN c_acctbal END), 2) AS "FURNITURE",
+             |  ROUND(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END), 2) AS "HOUSEHOLD",
+             |  ROUND(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS "MACHINERY"
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    // EXACT percentiles (interpolated; the approx_percentile twin's
+    // ground truth — both engines use the (n−1)·p linear-interpolation
+    // definition, so 6-dp rounding is cross-engine stable).
+    ("q_exact_median",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+             round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+             round(expr("percentile(l_extendedprice, 0.5)"), 6)
+               .as("median_price")),
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // Exact dedup groups over documents.
     ("dedup_exact_groups",
       (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"),
@@ -1502,6 +1581,33 @@ object PipelineQueries {
     ("dedup_minhash_lsh",
       (s, dir) => minhashPairsPortable(s, dir),
       Some(minhashPairsSql + minhashPairsSelect)),
+
+    // Edit-distance verification of the LSH candidate pairs (the
+    // hash-based near-dup detector's precision stage): Levenshtein over
+    // 64-char prefixes, pairs ≪ corpus so the pair set broadcasts into
+    // both payload joins — the expensive O(len²) DP runs only on
+    // surviving candidates, never corpus×corpus.
+    ("dedup_edit_distance",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val di = docs.select(col("doc_id").as("i"),
+                             substring(col("text"), 1, 64).as("ti"))
+        val dj = docs.select(col("doc_id").as("j"),
+                             substring(col("text"), 1, 64).as("tj"))
+        broadcast(minhashPairsPortable(s, dir).select("i", "j"))
+          .join(di, "i").join(dj, "j")
+          .select(col("i"), col("j"),
+                  levenshtein(col("ti"), col("tj")).cast("long").as("edit64"))
+      },
+      Some(minhashPairsSql + """,
+           |pf AS (SELECT p.i, p.j
+           |       FROM pairs p JOIN sz x ON p.i = x.doc_id
+           |       JOIN sz y ON p.j = y.doc_id
+           |       WHERE c * 1.0 / (x.n + y.n - c) >= 0.5)
+           |SELECT pf.i, pf.j,
+           |  CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS BIGINT) AS edit64
+           |FROM pf JOIN documents a ON a.doc_id = pf.i
+           |JOIN documents b ON b.doc_id = pf.j""".stripMargin)),
 
     // Incremental cross-corpus dedup (nightly-crawl shape): docs >= 400
     // are the fresh batch, the rest the already-deduped base; only fresh

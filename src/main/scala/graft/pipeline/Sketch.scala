@@ -34,6 +34,39 @@ object Sketch {
       .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** HyperLogLog register table (Flajolet–Fuchs–Gandouet–Meunier 2007,
+    * public paper): m = 2^p registers, each holding the maximum rank
+    * (leading-zero count + 1) of the 54-bit hash suffix of the values
+    * routed to it. The register table is O(m) per shard — broadcastable
+    * and mergeable by register-wise MAX (the distributed COUNT DISTINCT
+    * object: merged registers ≡ the union stream's registers exactly).
+    * Hashing is the portable md5 family and the rank comes from the
+    * binary-string length (`bin`), so a SQL oracle replays every
+    * register bit-identically. `m` must be a power of two. */
+  def hllRegisters(items: DataFrame, keyCol: String, shardCol: Column,
+                   m: Int): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of 2: $m")
+    val p = java.lang.Integer.numberOfTrailingZeros(m)
+    val h = PortableHash.md5Prefix60(col(keyCol).cast("string"))
+    val w = shiftright(h, p)
+    val rho = when(w === 0, lit(55)).otherwise(lit(55) - length(bin(w)))
+    items.select(shardCol.as("shard"), h.bitwiseAND(lit(m - 1L)).as("reg"),
+                 rho.as("rho"))
+      .groupBy("shard", "reg").agg(max("rho").as("max_rho"))
+  }
+
+  /** Per-shard HLL estimate from a register table: the raw harmonic-mean
+    * estimator `α·m²/(Σ 2^−M_j)` with absent registers contributing
+    * 2^0 = 1 (`m − present + Σ_present`). The 2^−rho sum is exact dyadic
+    * arithmetic, so the estimate is bit-identical cross-engine. */
+  def hllEstimate(regs: DataFrame, m: Int, alpha: Double): DataFrame =
+    regs.groupBy("shard")
+      .agg(count(lit(1)).as("n_present"),
+           sum(pow(lit(2.0), -col("max_rho"))).as("s"))
+      .select(col("shard"), col("n_present"),
+        round(lit(alpha * m * m) /
+          (lit(m.toDouble) - col("n_present") + col("s")), 4).as("hll_est"))
+
   /** CMS point estimates for candidate keys: min over rows of the bucket
     * counters. The sketch side is counter-table-sized → broadcast; the
     * candidate side streams (no candidate×candidate blowup). Keys absent
