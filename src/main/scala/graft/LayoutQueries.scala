@@ -127,6 +127,27 @@ object LayoutQueries {
              |WHERE b.doc_id IS NULL OR c.doc_id IS NULL OR b.fp <> c.fp"""
              .stripMargin)),
 
+    // SCD-2 history build from the two snapshots: validity-interval rows
+    // per document version (open rows carry valid_to = -1).
+    ("cdc_scd2",
+      (s, dir) => DataLayout.scd2(
+        cdcBase(s, dir), cdcCur(s, dir), "doc_id", md5(col("text"))),
+      Some("""WITH b AS (
+             |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+             |                          THEN text || ' [v1]' ELSE text END) AS fp
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |c AS (SELECT doc_id, md5(text) AS fp
+             |      FROM documents WHERE doc_id % 13 <> 5)
+             |SELECT b.doc_id AS id, b.fp,
+             |  CAST(0 AS BIGINT) AS valid_from,
+             |  CAST(CASE WHEN c.doc_id IS NULL OR b.fp <> c.fp
+             |            THEN 1 ELSE -1 END AS BIGINT) AS valid_to
+             |FROM b LEFT JOIN c ON b.doc_id = c.doc_id
+             |UNION ALL
+             |SELECT c.doc_id, c.fp, CAST(1 AS BIGINT), CAST(-1 AS BIGINT)
+             |FROM c LEFT JOIN b ON b.doc_id = c.doc_id
+             |WHERE b.doc_id IS NULL OR b.fp <> c.fp""".stripMargin)),
+
     // Replay the change set onto the base snapshot (delete removed/stale,
     // append new payloads) and prove the merged corpus equals the current
     // snapshot — the oracle computes the same per-bucket profile straight

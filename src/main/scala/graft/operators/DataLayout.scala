@@ -208,6 +208,29 @@ object DataLayout {
       .filter(col("status") =!= "unchanged")
   }
 
+  /** Slowly-changing-dimension type-2 history from two snapshots: one
+    * row per (id, version) with a validity interval — `valid_from` 0
+    * (base) or 1 (current), `valid_to` 1 where the base version was
+    * superseded/removed at the current snapshot, −1 for rows still open.
+    * Unchanged ids keep one open row; changed ids get a closed base row
+    * plus an open current row. Two id-equi-joins over (id, fingerprint)
+    * projections — payloads never move, so at 100 TB the history build
+    * is change-set-sized, not corpus-sized. */
+  def scd2(base: DataFrame, cur: DataFrame, idCol: String,
+           fingerprint: Column): DataFrame = {
+    val b = base.select(col(idCol).as("id"), fingerprint.as("fp"))
+    val c = cur.select(col(idCol).as("id"), fingerprint.as("fp_cur"))
+    val baseRows = b.join(c, Seq("id"), "left")
+      .select(col("id"), col("fp"), lit(0L).as("valid_from"),
+        when(col("fp_cur").isNull || col("fp") =!= col("fp_cur"), 1L)
+          .otherwise(-1L).as("valid_to"))
+    val newRows = c.join(b, Seq("id"), "left")
+      .filter(col("fp").isNull || col("fp") =!= col("fp_cur"))
+      .select(col("id"), col("fp_cur").as("fp"), lit(1L).as("valid_from"),
+              lit(-1L).as("valid_to"))
+    baseRows.unionByName(newRows)
+  }
+
   /** Replay a change set onto a base snapshot: delete `removed` and
     * `changed` ids, then append the current payload rows for `added` and
     * `changed` ids. `changes` is the [[snapshotDiff]] output; `cur`

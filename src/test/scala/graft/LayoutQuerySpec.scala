@@ -95,5 +95,15 @@ class LayoutQuerySpec extends AnyFunSuite {
     assert(st.getOrElse("added", 0L) == added)
     assert(st.getOrElse("removed", 0L) == removed)
     assert(st.getOrElse("changed", 0L) > 0)
+
+    // SCD-2 invariants: the open rows ARE the current snapshot, closed
+    // rows = removed + superseded(changed) base versions.
+    val hist = DataLayout.scd2(base, cur, "doc_id", md5(col("text")))
+    val open = hist.filter(col("valid_to") === -1L)
+      .select(col("id").as("doc_id"), col("fp"))
+    val curFp = cur.select(col("doc_id"), md5(col("text")).as("fp"))
+    assert(open.exceptAll(curFp).isEmpty && curFp.exceptAll(open).isEmpty)
+    val closed = hist.filter(col("valid_to") =!= -1L).count()
+    assert(closed == removed + st("changed"))
   }
 }
