@@ -1530,6 +1530,55 @@ object PipelineQueries {
              |  ROUND(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS "MACHINERY"
              |FROM customer GROUP BY 1""".stripMargin)),
 
+    // UNPIVOT (long reshaping — the inverse of q_pivot; Spark's native
+    // unpivot/melt keeps it a single projection+explode, no shuffle).
+    ("q_unpivot",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+                                   "HOUSEHOLD", "MACHINERY"))
+        .agg(round(sum("c_acctbal"), 2))
+        .unpivot(Array(col("c_nationkey")),
+                 Array(col("AUTOMOBILE"), col("BUILDING"), col("FURNITURE"),
+                       col("HOUSEHOLD"), col("MACHINERY")),
+                 "segment", "acctbal"),
+      Some("""WITH p AS (SELECT c_nationkey, c_mktsegment AS segment,
+             |  ROUND(SUM(c_acctbal), 2) AS acctbal
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT * FROM p""".stripMargin)),
+
+    // ROLLUP (hierarchical subtotals; distinct from CUBE's full lattice).
+    ("q_rollup_pricing",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("sum_qty"), col("n")),
+      Some("SELECT COALESCE(l_returnflag, 'ALL') AS rf, " +
+           "COALESCE(l_linestatus, 'ALL') AS ls, " +
+           "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n " +
+           "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")),
+
+    // Explicit GROUPING SETS (the general form behind cube/rollup).
+    ("q_grouping_sets",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.createOrReplaceTempView("graft_gs_lineitem")
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                |  COALESCE(l_linestatus, 'ALL') AS ls,
+                |  ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+                |FROM graft_gs_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+          .stripMargin)
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             |  COALESCE(l_linestatus, 'ALL') AS ls,
+             |  ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+             .stripMargin)),
+
     // EXACT percentiles (interpolated; the approx_percentile twin's
     // ground truth — both engines use the (n−1)·p linear-interpolation
     // definition, so 6-dp rounding is cross-engine stable).
