@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   * requantization, alias reduction, IMDCT + overlap-add
   * ([[layer3DecodeFull]]); MPEG-1 video is REAL through intra-frame
   * entropy decode ([[mpeg1IFrameDecode]]). Only pieces that genuinely
-  * require external codec tables/libraries (Layer III Huffman tables > 1
-  * and the tabulated polyphase synthesis window, AAC, arithmetic-coded
-  * JPEG, motion-compensated P/B video pictures) remain a clearly-marked
+  * require external codec tables/libraries (Layer III Huffman tables > 1,
+  * short blocks, and the tabulated polyphase synthesis window; AAC;
+  * arithmetic-coded JPEG; P/B prediction-error coding) remain a clearly-marked
   * STUB: [[decodeFeatures]] falls
   * back to deterministic byte-moment features there. The Spark-side
   * plumbing — schema, batch shape, partition-parallel mapPartitions,
@@ -1596,6 +1596,12 @@ object Multimodal {
     * oracle SQL. */
   val l3InvSqrt2: Double = round12(1.0 / math.sqrt(2.0))
 
+  /** 1e-12-quantized intensity-stereo ratios tan(is_pos·π/12) for
+    * is_pos 0..5 (§2.4.3.4.9.3; is_pos 6 is the fully-left limit
+    * handled exactly, 7 means no processing). */
+  val l3IsRatio: Array[Double] =
+    Array.tabulate(6)(p => round12(math.tan(p * math.Pi / 12.0)))
+
   /** REAL MP3 (MPEG-1 Audio Layer III) payload decode through the
     * reservoir + requantization + transform chain (ISO/IEC 11172-3
     * §2.4.3.4, public spec) — the Layer III structural seam made real:
@@ -1622,20 +1628,24 @@ object Multimodal {
     *     stereo with the MS extension applies the §2.4.3.4.9.1
     *     recombination L=(M+S)/√2, R=(M−S)/√2 after both channels of a
     *     granule are requantized (32-byte side info, per-channel scfsi
-    *     and overlap-add state).
+    *     and overlap-add state); the INTENSITY extension (§2.4.3.4.9.3)
+    *     pans the left-carried signal across scalefactor bands wholly
+    *     above the right channel's last nonzero line with ratio
+    *     tan(is_pos·π/12), is_pos from the right channel's scalefactor
+    *     slots (7 = no processing).
     *
     * Still declared (None on encounter): Huffman tables > 1,
-    * window-switching/short blocks, intensity stereo, count1 table A,
+    * window-switching/short blocks, count1 table A,
     * and the final polyphase synthesis (its 512-coefficient window Table
     * C.1 is a tabulated constant we refuse to approximate). Transform
     * constants are 1e-12-quantized so the oracle can replay the exact
     * doubles. */
   def layer3DecodeFull(bytes: Array[Byte])
       : Option[(AudioMeta, Seq[L3GranuleFull], Seq[L3SubbandOut])] = {
-    // header → (frame length, channels, MS-stereo flag); mono, plain
-    // stereo, and joint stereo with the MS extension are supported;
-    // intensity stereo stays declared (None).
-    def headerLen(p: Int): Option[(Int, Int, Boolean)] = {
+    // header → (frame length, channels, MS flag, intensity flag); mono,
+    // plain stereo, and joint stereo with the MS and/or intensity
+    // extensions are supported.
+    def headerLen(p: Int): Option[(Int, Int, Boolean, Boolean)] = {
       if (p + 4 > bytes.length) return None
       val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
       val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
@@ -1645,11 +1655,11 @@ object Multimodal {
       if (brIdx == 0 || brIdx == 15 || srIdx != 1) return None // 48 kHz
       val mode = (b4 >> 6) & 0x3; val modeExt = (b4 >> 4) & 0x3
       val nch = if (mode == 3) 1 else 2
-      if (mode == 1 && (modeExt & 1) != 0) return None // intensity: declared
       val ms = mode == 1 && (modeExt & 2) != 0
+      val intens = mode == 1 && (modeExt & 1) != 0
       val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                      224, 256, 320)(brIdx)
-      Some((144 * br * 1000 / 48000 + ((b3 >> 1) & 1), nch, ms))
+      Some((144 * br * 1000 / 48000 + ((b3 >> 1) & 1), nch, ms, intens))
     }
     // Pass 1: frame offsets + the main-data pool (everything after each
     // frame's 4-byte header + 17-byte mono / 32-byte stereo side info).
@@ -1657,7 +1667,7 @@ object Multimodal {
     var p = 0
     var scanOk = true
     while (scanOk) headerLen(p) match {
-      case Some((len, _, _)) if p + len <= bytes.length =>
+      case Some((len, _, _, _)) if p + len <= bytes.length =>
         frameOff += p; p += len
       case _ => scanOk = false
     }
@@ -1665,10 +1675,10 @@ object Multimodal {
     if (offs.isEmpty) return None
     val headers = offs.map(o => headerLen(o).get)
     def sideBytes(nch: Int): Int = if (nch == 1) 17 else 32
-    val pool = offs.zip(headers).flatMap { case (o, (len, nch, _)) =>
+    val pool = offs.zip(headers).flatMap { case (o, (len, nch, _, _)) =>
       bytes.slice(o + 4 + sideBytes(nch), o + len)
     }.toArray
-    val poolBefore = headers.map { case (len, nch, _) =>
+    val poolBefore = headers.map { case (len, nch, _, _) =>
       len - 4 - sideBytes(nch)
     }.scanLeft(0)(_ + _)
 
@@ -1683,7 +1693,7 @@ object Multimodal {
     var f = 0
     while (ok && f < offs.length) {
       val o = offs(f)
-      val (_, nch, ms) = headers(f)
+      val (_, nch, ms, intens) = headers(f)
       var sBitPos = (o + 4) * 8
       def sbits(n: Int): Int = {
         var v = 0; var i = 0
@@ -1730,6 +1740,8 @@ object Multimodal {
           var g = 0
           while (ok && g < 2) {
             val xrCh = Array.ofDim[Double](nch, 576)
+            val sfCh = Array.ofDim[Int](nch, 21)
+            val lastNz = Array.fill(nch)(-1) // last nonzero entropy line
             var ch = 0
             while (ok && ch < nch) {
               val s = sides(g)(ch)
@@ -1739,7 +1751,7 @@ object Multimodal {
                 val (slen1, slen2) = L3Slen(s.scomp)
                 // scalefactors with per-channel scfsi sharing
                 // (groups 0-5, 6-10, 11-15, 16-20)
-                val sf = new Array[Int](21)
+                val sf = sfCh(ch)
                 var band = 0
                 while (band < 21) {
                   val group = if (band < 6) 0 else if (band < 11) 1
@@ -1809,6 +1821,7 @@ object Multimodal {
                         math.pow(math.abs(v.toDouble), 4.0 / 3.0) * mult *
                         math.pow(2.0, -m * (sfv + s.preflag * L3Pretab(bnd)))
                       xr(i) = x; nNz += 1; xs += x; xq += x * x
+                      lastNz(ch) = i
                     }
                     i += 1
                   }
@@ -1819,14 +1832,34 @@ object Multimodal {
               ch += 1
             }
             if (ok) {
-              // MS-stereo recombination (§2.4.3.4.9.1): both channels of
-              // the granule decoded, then L=(M+S)/√2, R=(M−S)/√2.
-              if (ms) {
+              // Stereo processing after both channels of the granule are
+              // requantized: INTENSITY bands (§2.4.3.4.9.3 — scalefactor
+              // bands wholly above the right channel's last nonzero line;
+              // is_pos from the right channel's scalefactor slots, 7 = no
+              // processing, ratio tan(is_pos·π/12)) are panned from the
+              // left-carried signal; remaining bands get the MS matrix
+              // (§2.4.3.4.9.1) when the MS extension is on.
+              if (nch == 2 && (ms || intens)) {
                 var i = 0
                 while (i < 576) {
-                  val mm = xrCh(0)(i); val ss = xrCh(1)(i)
-                  xrCh(0)(i) = (mm + ss) * l3InvSqrt2
-                  xrCh(1)(i) = (mm - ss) * l3InvSqrt2
+                  val bnd = sfbOf(i)
+                  val isIntens = intens && L3Sfb48(bnd) > lastNz(1)
+                  if (isIntens) {
+                    val isPos = if (bnd < 21) sfCh(1)(bnd) else 7
+                    if (isPos != 7) {
+                      val l = xrCh(0)(i)
+                      if (isPos == 6) { xrCh(1)(i) = 0.0 }
+                      else {
+                        val r = l3IsRatio(isPos)
+                        xrCh(0)(i) = l * (r / (1.0 + r))
+                        xrCh(1)(i) = l * (1.0 / (1.0 + r))
+                      }
+                    }
+                  } else if (ms) {
+                    val mm = xrCh(0)(i); val ss = xrCh(1)(i)
+                    xrCh(0)(i) = (mm + ss) * l3InvSqrt2
+                    xrCh(1)(i) = (mm - ss) * l3InvSqrt2
+                  }
                   i += 1
                 }
               }
@@ -2061,7 +2094,8 @@ object Multimodal {
     * / count1 content by ch-salted formulas, and the same byte-stuffed
     * bit-reservoir layout. The decoder must apply the §2.4.3.4.9.1 MS
     * matrix after requantizing both channels of each granule. */
-  def layer3StereoBytes(seed: Long, nFrames: Int): Array[Byte] = {
+  def layer3StereoBytes(seed: Long, nFrames: Int,
+                        intensity: Boolean = false): Array[Byte] = {
     val frameLen = 576
     val cap = frameLen - 36 // 4 header + 32 side info
     val out = new Array[Byte](frameLen * nFrames)
@@ -2074,17 +2108,23 @@ object Multimodal {
         poolPos += 1; i -= 1
       }
     }
-    def scfsiOf(f: Int, ch: Int): Int = ((seed + f + ch) % 16).toInt
+    // intensity fixture: scfsi off (all scalefactors transmitted — the
+    // right channel's high-band slots carry is_pos), right channel
+    // band-limited to lines < 16 with no count1 region.
+    def scfsiOf(f: Int, ch: Int): Int =
+      if (intensity) 0 else ((seed + f + ch) % 16).toInt
     def sfBase(f: Int, g: Int, band: Int, ch: Int): Int =
       ((seed + f + band + g * 3 + ch * 5) % 4).toInt
     def pairs(f: Int, g: Int, ch: Int): Seq[(Int, Int)] = {
-      val n = 16 + ((seed + f + g + ch * 2) % 17).toInt
+      val n = if (intensity && ch == 1) 8
+              else 16 + ((seed + f + g + ch * 2) % 17).toInt
       (0 until n).map(k =>
         ((((seed * 3 + f * 7 + g * 11 + ch * 13 + k * 5) % 3) - 1).toInt,
          (((seed * 5 + f * 11 + g * 3 + ch * 7 + k * 7) % 3) - 1).toInt))
     }
     def quads(f: Int, g: Int, ch: Int): Seq[Array[Int]] = {
-      val n = 4 + ((seed + f * 2 + g + ch) % 5).toInt
+      val n = if (intensity && ch == 1) 0
+              else 4 + ((seed + f * 2 + g + ch) % 5).toInt
       (0 until n).map { q =>
         Array.tabulate(4) { j =>
           val bit =
@@ -2166,7 +2206,8 @@ object Multimodal {
         }
       }
       put(0xff, 8); put(0xfb, 8)
-      put(0xb4, 8); put(0x60, 8) // joint stereo + MS extension
+      put(0xb4, 8)
+      put(if (intensity) 0x50 else 0x60, 8) // joint stereo + MS/intensity
       put(mdbs(f), 9); put(0, 3)
       (0 until 2).foreach(ch => put(scfsiOf(f, ch), 4))
       (0 until 2).foreach { g =>

@@ -57,4 +57,27 @@ class ScratchL3Probe extends AnyFunSuite {
     assert(mono.get._1.channels == 1)
     assert(mono.get._2.forall(_.channel == 0))
   }
+
+  test("layer3 intensity-stereo round trip across 16 seeds") {
+    (0 until 16).foreach { id =>
+      val nf = (id % 2) + 1
+      val bytes = Multimodal.layer3StereoBytes(id, nf, intensity = true)
+      val decoded = Multimodal.layer3DecodeFull(bytes)
+      assert(decoded.isDefined, s"id=$id intensity decode failed")
+      val (meta, grans, subs) = decoded.get
+      assert(meta.channels == 2)
+      assert(subs.size == nf * 2 * 2 * 32)
+      // right channel must carry panned (nonzero) energy in subbands the
+      // entropy layer gave it nothing in (bands above line 15 live in
+      // subband 1+): proof the intensity panning actually ran.
+      val rHigh = subs.filter(s => s.channel == 1 && s.subband >= 1)
+        .map(_.sMsq).sum
+      assert(rHigh > 0, s"id=$id right channel high subbands silent")
+      if (id == 0) {
+        val l0 = subs.filter(s => s.channel == 0).map(_.sMsq).sum
+        val r0 = subs.filter(s => s.channel == 1).map(_.sMsq).sum
+        info(s"id=0 energy L=$l0 R=$r0 rHigh=$rHigh")
+      }
+    }
+  }
 }
