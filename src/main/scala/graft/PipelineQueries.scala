@@ -698,8 +698,11 @@ object PipelineQueries {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("shard"), col("l_orderkey"))
+        // the register table is O(shards·m) — checkpoint it so the union/
+        // merge/estimate lineage reads it instead of re-hashing the corpus
+        // (one data-sized scan total, the point of the sketch)
         val regs = graft.pipeline.Sketch.hllRegisters(
-          li, "l_orderkey", col("shard"), m = 64)
+          li, "l_orderkey", col("shard"), m = 64).localCheckpoint(true)
         val merged = regs.groupBy("reg").agg(max("max_rho").as("max_rho"))
           .select(lit("ALL").as("shard"), col("reg"), col("max_rho"))
         val est = graft.pipeline.Sketch.hllEstimate(
