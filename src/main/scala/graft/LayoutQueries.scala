@@ -127,6 +127,84 @@ object LayoutQueries {
              |WHERE b.doc_id IS NULL OR c.doc_id IS NULL OR b.fp <> c.fp"""
              .stripMargin)),
 
+    // Daily time-series resampling with gap fill + LOCF (the series-
+    // regularization operator): per-user calendar spine between first and
+    // last event, missing days carried forward from the day's closing
+    // value (lexicographically-last (ts, event_id) event — deterministic).
+    ("ts_resample_locf",
+      (s, dir) => graft.streaming.EventStreams.resampleDailyLocf(
+        graft.model.KG.eventsNs(s, dir)),
+      Some("""WITH ev AS (SELECT user_id, event_id, value, ts,
+             |              CAST(ts AS DATE) AS day FROM events),
+             |daily AS (
+             |  SELECT user_id, day, COUNT(*) AS n_events,
+             |    MAX(struct_pack(a := ts, b := event_id, c := value)).c
+             |      AS day_value
+             |  FROM ev GROUP BY 1, 2),
+             |spine AS (
+             |  SELECT user_id,
+             |    CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+             |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+             |        FROM daily GROUP BY 1)),
+             |j AS (SELECT s.user_id, s.day, d.n_events, d.day_value
+             |      FROM spine s LEFT JOIN daily d
+             |        ON d.user_id = s.user_id AND d.day = s.day)
+             |SELECT user_id, CAST(day AS VARCHAR) AS day,
+             |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+             |  ROUND(LAST_VALUE(day_value IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             |    AS locf_value,
+             |  CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             |    AS gap
+             |FROM j""".stripMargin)),
+
+    // Declarative data-quality audit (Deequ/dbt-test operator class):
+    // null/range/regex/uniqueness/referential-integrity constraints over
+    // the star schema, one counted-violations row per check — violations
+    // are never collected, FK checks broadcast the parent key set.
+    ("dq_report",
+      (s, dir) => graft.operators.DataQuality.testdataReport(s, dir),
+      Some("""SELECT 'documents_text_not_null' AS check_name,
+             |  CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
+             |  COUNT(*) AS n_checked FROM documents
+             |UNION ALL
+             |SELECT 'lineitem_quantity_1_45',
+             |  CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END), 0) AS BIGINT),
+             |  COUNT(*) FROM lineitem
+             |UNION ALL
+             |SELECT 'customer_acctbal_range',
+             |  CAST(COALESCE(SUM(CASE WHEN c_acctbal < -500 OR c_acctbal > 9000 THEN 1 ELSE 0 END), 0) AS BIGINT),
+             |  COUNT(*) FROM customer
+             |UNION ALL
+             |SELECT 'orders_status_domain',
+             |  CAST(COALESCE(SUM(CASE WHEN NOT regexp_matches(o_orderstatus, '^[OFP]$') THEN 1 ELSE 0 END), 0) AS BIGINT),
+             |  COUNT(*) FROM orders
+             |UNION ALL
+             |SELECT 'customer_key_unique',
+             |  (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+             |   FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey)),
+             |  (SELECT COUNT(*) FROM customer)
+             |UNION ALL
+             |SELECT 'lineitem_line_unique',
+             |  (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+             |   FROM (SELECT COUNT(*) AS n FROM lineitem
+             |         GROUP BY l_orderkey, l_linenumber)),
+             |  (SELECT COUNT(*) FROM lineitem)
+             |UNION ALL
+             |SELECT 'orders_custkey_fk',
+             |  (SELECT COUNT(*) FROM orders o
+             |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |                     WHERE c.c_custkey = o.o_custkey)),
+             |  (SELECT COUNT(*) FROM orders)
+             |UNION ALL
+             |SELECT 'lineitem_orderkey_fk',
+             |  (SELECT COUNT(*) FROM lineitem l
+             |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                     WHERE o.o_orderkey = l.l_orderkey)),
+             |  (SELECT COUNT(*) FROM lineitem)""".stripMargin)),
+
     // SCD-2 history build from the two snapshots: validity-interval rows
     // per document version (open rows carry valid_to = -1).
     ("cdc_scd2",

@@ -254,4 +254,37 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n"), col("sum_value"))
+
+  /** Daily resampling with gap fill and last-observation-carried-forward
+    * (the time-series regularization operator): per user, one row per
+    * calendar day between the user's first and last event — days with no
+    * events are emitted with `n_events = 0`, `gap = 1`, and the previous
+    * day's closing value carried forward. The "closing value" is the
+    * value of the lexicographically-last (ts, event_id) event of the day
+    * (deterministic under ties). Windows are PARTITIONED by user (never
+    * global — PlanGuard-safe), the spine is `sequence(min_day, max_day)`
+    * per user (no driver-side calendar), and input `ts` is the canonical
+    * epoch-ns long from [[graft.model.KG.eventsNs]]. */
+  def resampleDailyLocf(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+           max(struct(col("ts"), col("event_id"), col("value")))
+             .as("last_ev"))
+      .select(col("user_id"), col("day"), col("n_events"),
+              col("last_ev.value").as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(last(col("day_value"), ignoreNulls = true).over(w), 6)
+          .as("locf_value"),
+        when(col("n_events").isNull, 1L).otherwise(0L).as("gap"))
+  }
 }
