@@ -1582,6 +1582,36 @@ object PipelineQueries {
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
              .stripMargin)),
 
+    // Quantile discretization (feature binning): exact quartile
+    // boundaries (1-row broadcast) assign every row to a bin — the
+    // ML-prep binning op with no global sort and no unpartitioned window.
+    ("q_quantile_bins",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val qs = li.agg(
+          expr("percentile(l_extendedprice, 0.25)").as("q1"),
+          expr("percentile(l_extendedprice, 0.5)").as("q2"),
+          expr("percentile(l_extendedprice, 0.75)").as("q3"))
+        li.crossJoin(broadcast(qs))
+          .select(when(col("l_extendedprice") <= col("q1"), 0L)
+            .when(col("l_extendedprice") <= col("q2"), 1L)
+            .when(col("l_extendedprice") <= col("q3"), 2L)
+            .otherwise(3L).as("bin"), col("l_extendedprice"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+               round(min("l_extendedprice"), 2).as("lo"),
+               round(max("l_extendedprice"), 2).as("hi"))
+      },
+      Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+             |  quantile_cont(l_extendedprice, 0.5) AS q2,
+             |  quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+             |SELECT CASE WHEN l_extendedprice <= q1 THEN 0
+             |            WHEN l_extendedprice <= q2 THEN 1
+             |            WHEN l_extendedprice <= q3 THEN 2 ELSE 3 END AS bin,
+             |  COUNT(*) AS n, ROUND(MIN(l_extendedprice), 2) AS lo,
+             |  ROUND(MAX(l_extendedprice), 2) AS hi
+             |FROM lineitem, q GROUP BY 1""".stripMargin)),
+
     // EXACT percentiles (interpolated; the approx_percentile twin's
     // ground truth — both engines use the (n−1)·p linear-interpolation
     // definition, so 6-dp rounding is cross-engine stable).
