@@ -451,6 +451,34 @@ object SystemQueries {
            |  SELECT id, r FROM walk)
            |SELECT id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin)),
 
+    // Community detection: synchronous label propagation (2 fixed
+    // rounds, plurality label, ties toward the smallest — deterministic,
+    // the oracle unrolls both rounds with the same struct-max arg-max).
+    ("q_graph_lpa",
+      (s, dir) => GraphOps.labelPropagationFixed(
+        KG.edges(s, dir).filter(col("rel").isin(
+          KG.REL_SUPP_NATION, KG.REL_NATION_REGION)), rounds = 2),
+      Some(KG.edgesCte.trim + ",\n" +
+        s"""e AS (SELECT src, dst FROM edges
+           |      WHERE rel IN (${KG.REL_SUPP_NATION}, ${KG.REL_NATION_REGION})),
+           |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+           |l0 AS (SELECT DISTINCT src AS id FROM und),
+           |v1 AS (SELECT u.src AS id, l.id AS nl, COUNT(*) AS cnt
+           |       FROM und u JOIN l0 l ON l.id = u.dst GROUP BY 1, 2),
+           |w1 AS (SELECT id, MAX(struct_pack(c := cnt, n := -nl)) AS w
+           |       FROM v1 GROUP BY 1),
+           |l1 AS (SELECT l0.id,
+           |         CAST(COALESCE(-(w1.w.n), l0.id) AS BIGINT) AS label
+           |       FROM l0 LEFT JOIN w1 ON w1.id = l0.id),
+           |v2 AS (SELECT u.src AS id, l.label AS nl, COUNT(*) AS cnt
+           |       FROM und u JOIN l1 l ON l.id = u.dst GROUP BY 1, 2),
+           |w2 AS (SELECT id, MAX(struct_pack(c := cnt, n := -nl)) AS w
+           |       FROM v2 GROUP BY 1),
+           |l2 AS (SELECT l1.id,
+           |         CAST(COALESCE(-(w2.w.n), l1.label) AS BIGINT) AS label
+           |       FROM l1 LEFT JOIN w2 ON w2.id = l1.id)
+           |SELECT id, label AS community FROM l2""".stripMargin)),
+
     // Conversion funnel: click -> purchase within 10 minutes, per user.
     ("q_funnel",
       (s, dir) => {

@@ -210,4 +210,38 @@ object GraphOps {
     }
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Synchronous label propagation for community detection (Raghavan et
+    * al. 2007, public paper), FIXED rounds for determinism (the
+    * pagerank_fixed discipline): every round each node adopts its
+    * neighbors' plurality label, ties broken toward the SMALLEST label —
+    * arg-max via a single `max(struct(count, −label))` aggregate, so the
+    * whole round is one dst-keyed join + two narrow aggregates, no
+    * windows. Per-round localCheckpoint truncates lineage. Isolated
+    * nodes keep their own label. */
+  def labelPropagationFixed(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val votes = und
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")),
+              Seq("dst"))
+        .groupBy(col("src").as("id"), col("nl"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = votes.groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("w"))
+        .select(col("id"), (-col("w.negl")).as("wl"))
+      labels = labels.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("wl"), col("label")).as("label"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
 }
