@@ -218,6 +218,23 @@ object GraftPipeline {
                    idCol: String): DataFrame =
     graft.operators.DataLayout.applyChanges(base, changes, cur, idCol)
 
+  /** SCD-2 validity-interval history from two snapshots. */
+  def scd2(base: DataFrame, cur: DataFrame, idCol: String,
+           fingerprint: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.DataLayout.scd2(base, cur, idCol, fingerprint)
+
+  /** Daily time-series resampling with gap fill + LOCF over the
+    * canonical events frame. */
+  def resampleDaily(events: DataFrame): DataFrame =
+    graft.streaming.EventStreams.resampleDailyLocf(events)
+
+  /** Mergeable HyperLogLog distinct-count registers (register-wise-MAX
+    * merge ≡ union stream). */
+  def distinctSketch(items: DataFrame, keyCol: String,
+                     shardCol: org.apache.spark.sql.Column,
+                     m: Int = 256): DataFrame =
+    graft.pipeline.Sketch.hllRegisters(items, keyCol, shardCol, m)
+
   /** The driver-testdata corpus + vectors for a scale-factor dir. */
   def fromTestdata(spark: SparkSession, dir: String)
       : (GraftCorpus, GraftVectors) = {
