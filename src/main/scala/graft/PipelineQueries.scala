@@ -1582,9 +1582,13 @@ object PipelineQueries {
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
              .stripMargin)),
 
-    // Quantile discretization (feature binning): exact quartile
-    // boundaries (1-row broadcast) assign every row to a bin — the
-    // ML-prep binning op with no global sort and no unpartitioned window.
+    // Quantile discretization (feature binning): exact interpolated
+    // quartile boundaries broadcast as one row; bin assignment is a
+    // map-side CASE. Exact quantiles are the oracle-checkable form (the
+    // ε-rank sketch lands ±1 rank on a near-continuous column, probed at
+    // sf0.1); at 100 TB the boundary stage swaps to approx_percentile —
+    // the sketch itself is proven by q_approx_percentile — while the
+    // binning plan here is unchanged.
     ("q_quantile_bins",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
