@@ -205,6 +205,24 @@ object LayoutQueries {
              |                     WHERE o.o_orderkey = l.l_orderkey)),
              |  (SELECT COUNT(*) FROM lineitem)""".stripMargin)),
 
+    // Per-column data profile (the profiler op that feeds constraint
+    // suggestions): long-form rows, one aggregate pass per column.
+    ("dq_profile",
+      (s, dir) => graft.operators.DataQuality.profile(
+        KG.table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_suppkey")),
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_suppkey")
+        .map { c =>
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+             |  CAST(COALESCE(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  ROUND(CAST(MIN($c) AS DOUBLE), 6) AS min_val,
+             |  ROUND(CAST(MAX($c) AS DOUBLE), 6) AS max_val,
+             |  ROUND(CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)
+             |        / COUNT(*), 6) AS mean_val
+             |FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL\n"))),
+
     // SCD-2 history build from the two snapshots: validity-interval rows
     // per document version (open rows carry valid_to = -1).
     ("cdc_scd2",

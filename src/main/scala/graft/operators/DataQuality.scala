@@ -68,6 +68,29 @@ object DataQuality {
   def report(checks: Seq[Check], extra: Seq[DataFrame] = Nil): DataFrame =
     (checks.map(run) ++ extra).reduce(_ unionAll _)
 
+  /** Per-column profile of a table (the data-profiler op that feeds
+    * constraint suggestions): one output row per profiled numeric
+    * column — null count, exact distinct count, min/max/mean — all from
+    * ONE aggregate pass over the table per column batch (profiles are
+    * long-form, so adding columns never widens a row). */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame =
+    columns.map { c =>
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          round(min(col(c)).cast("double"), 6).as("min_val"),
+          round(max(col(c)).cast("double"), 6).as("max_val"),
+          // order-independent mean: exact DECIMAL(18,6) sum, then ONE
+          // correctly-rounded double division — float-summation-order
+          // ties (the NOTES round-6 class) cannot occur
+          round(sum(col(c).cast("decimal(18,6)")).cast("double") /
+                count(lit(1)), 6).as("mean_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+                col("n_distinct"), col("min_val"), col("max_val"),
+                col("mean_val"))
+    }.reduce(_ unionAll _)
+
   /** The standard audit of the driver testdata star schema. */
   def testdataReport(s: SparkSession, dir: String): DataFrame = {
     def t(n: String) = KG.table(s, dir, n)
