@@ -35,6 +35,15 @@ class ScratchLayoutProbe extends AnyFunSuite {
         DataLayout.snapshotDiff(base, cur, "doc_id", md5(col("text"))).count()
       }
       assert(d > 0)
+      val q = time(s"dqReport $dir") {
+        graft.operators.DataQuality.testdataReport(spark, dir).collect()
+      }
+      assert(q.length == 8)
+      val r = time(s"resampleDailyLocf $dir") {
+        graft.streaming.EventStreams.resampleDailyLocf(
+          graft.model.KG.eventsNs(spark, dir)).count()
+      }
+      assert(r > 0)
     }
   }
 }
