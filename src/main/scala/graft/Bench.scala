@@ -42,7 +42,8 @@ object Bench {
     "multimodal_jpeg_decode", "lmpnn_1p_bias", "emb_int8_error",
     // round-11 additions
     "layout_zorder_prune", "layout_bucketed_join", "cdc_snapshot_diff",
-    "multimodal_mp3_imdct", "multimodal_mpeg1_pframe")
+    "multimodal_mp3_imdct", "multimodal_mpeg1_pframe",
+    "dq_report", "ts_resample_locf", "q_graph_lpa", "sketch_hll_merge")
 
   /** 1-minute system load average (or -1 when the platform hides it):
     * the sandbox CPU-throttles under sustained load (NOTES.md — the same
