@@ -117,13 +117,20 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
 
+    // First-class throttle marker (r11 verdict ask #3): a run STARTED on
+    // a busy box (loadavg > 1.0) is flagged in the emitted JSON itself,
+    // so a committed BENCH_r{N} snapshot self-identifies as
+    // throttled-vs-idle without cross-referencing NOTES. (The sandbox
+    // CPU-throttles: identical binaries have measured 157 s idle vs
+    // 177+ s at loadavg 5.7.)
+    val throttled = loadStart > 1.0
     def jsonLine(qs: Seq[(String, Double)], fmt: Double => String): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,""" +
         s""""failed":$failed,"n_queries":${results.size},"sf":"$sfDir",""" +
         s""""load_sec":${fmt(loadSec)},"loadavg":[$loadStart,$loadEnd],""" +
-        s""""repeat":$repeat,"full":"$outPath"}"""
+        s""""throttled":$throttled,"repeat":$repeat,"full":"$outPath"}"""
     }
 
     val full = jsonLine(results.map(r => (r._1, r._2)), _.toString)

@@ -219,7 +219,7 @@ object LayoutQueries {
              |  ROUND(CAST(MIN($c) AS DOUBLE), 6) AS min_val,
              |  ROUND(CAST(MAX($c) AS DOUBLE), 6) AS max_val,
              |  ROUND(CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)
-             |        / COUNT(*), 6) AS mean_val
+             |        / COUNT($c), 6) AS mean_val
              |FROM lineitem""".stripMargin
         }.mkString("\nUNION ALL\n"))),
 

@@ -217,14 +217,20 @@ object GraphOps {
     * neighbors' plurality label, ties broken toward the SMALLEST label —
     * arg-max via a single `max(struct(count, −label))` aggregate, so the
     * whole round is one dst-keyed join + two narrow aggregates, no
-    * windows. Per-round localCheckpoint truncates lineage. Isolated
-    * nodes keep their own label. */
-  def labelPropagationFixed(edges: DataFrame, rounds: Int): DataFrame = {
+    * windows. Per-round localCheckpoint truncates lineage. The vertex
+    * set defaults to edge endpoints; pass `vertices` (an `id` column)
+    * to include isolated nodes — they keep their own label (no
+    * neighbors ⇒ the left join never overwrites them). */
+  def labelPropagationFixed(edges: DataFrame, rounds: Int,
+                            vertices: Option[DataFrame] = None): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = und.select(col("src").as("id")).distinct()
+    var labels = und.select(col("src").as("id"))
+      .unionAll(vertices.map(_.select(col("id")))
+        .getOrElse(und.limit(0).select(col("src").as("id"))))
+      .distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var r = 0

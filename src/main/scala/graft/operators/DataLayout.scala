@@ -125,7 +125,9 @@ object DataLayout {
     val ct = s"graft_customer_bucketed_$sfx"
     val base = s"$tmpBase/graft_bucketed_$sfx"
     s.synchronized {
-      if (!s.catalog.tableExists(ot)) {
+      // guard on BOTH tables: a prior session that wrote `orders` but
+      // died before `customer` must not make the skip permanent
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
         KG.table(s, dir, "orders").write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .option("path", s"$base/orders").saveAsTable(ot)

@@ -83,9 +83,11 @@ object DataQuality {
           round(max(col(c)).cast("double"), 6).as("max_val"),
           // order-independent mean: exact DECIMAL(18,6) sum, then ONE
           // correctly-rounded double division — float-summation-order
-          // ties (the NOTES round-6 class) cannot occur
+          // ties (the NOTES round-6 class) cannot occur. Denominator is
+          // the NON-NULL count (count(col)) — dividing by n_rows would
+          // silently treat NULLs as zeros.
           round(sum(col(c).cast("decimal(18,6)")).cast("double") /
-                count(lit(1)), 6).as("mean_val"))
+                count(col(c)), 6).as("mean_val"))
         .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
                 col("n_distinct"), col("min_val"), col("max_val"),
                 col("mean_val"))

@@ -36,8 +36,8 @@ object Sketch {
 
   /** HyperLogLog register table (Flajolet–Fuchs–Gandouet–Meunier 2007,
     * public paper): m = 2^p registers, each holding the maximum rank
-    * (leading-zero count + 1) of the 54-bit hash suffix of the values
-    * routed to it. The register table is O(m) per shard — broadcastable
+    * (leading-zero count + 1) of the (60−p)-bit hash suffix of the
+    * values routed to it. The register table is O(m) per shard — broadcastable
     * and mergeable by register-wise MAX (the distributed COUNT DISTINCT
     * object: merged registers ≡ the union stream's registers exactly).
     * Hashing is the portable md5 family and the rank comes from the
@@ -49,7 +49,10 @@ object Sketch {
     val p = java.lang.Integer.numberOfTrailingZeros(m)
     val h = PortableHash.md5Prefix60(col(keyCol).cast("string"))
     val w = shiftright(h, p)
-    val rho = when(w === 0, lit(55)).otherwise(lit(55) - length(bin(w)))
+    // rank = leading zeros in the (60−p)-bit suffix + 1 = (61−p) − bitlen(w)
+    // (61−p, not a constant: a p≠6 register count shifts the suffix width)
+    val rho = when(w === 0, lit(61 - p))
+      .otherwise(lit(61 - p) - length(bin(w)))
     items.select(shardCol.as("shard"), h.bitwiseAND(lit(m - 1L)).as("reg"),
                  rho.as("rho"))
       .groupBy("shard", "reg").agg(max("rho").as("max_rho"))

@@ -68,6 +68,52 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
   }
 
+  test("no registered query plans a global object aggregate") {
+    // The third scale-hazard class (r11 verdict: the guard caught
+    // Windows and cross joins but let `percentile` through): an
+    // Aggregate with NO grouping whose function buffers its whole input
+    // as an object (TypedImperativeAggregate — percentile/collect_list
+    // class). The final merge of such an aggregate is ONE task holding
+    // every value of the column. Constant-size sketch buffers
+    // (approx_percentile's QuantileSummaries, count-min, bloom) are
+    // summaries, not spools — exempt by class.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, TypedImperativeAggregate}
+    val boundedBuffer = Set( // fixed-size mergeable summaries
+      "ApproximatePercentile", "PercentileDigest", "CountMinSketchAgg",
+      "BloomFilterAggregate", "HyperLogLogPlusPlus")
+    val inherent = Set.empty[String] // no documented exceptions today
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(kv => inherent.contains(kv._1))
+      .foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, dir).queryExecution.optimizedPlan
+          val spools = plan.collect {
+            case a: Aggregate if a.groupingExpressions.isEmpty =>
+              a.aggregateExpressions.flatMap(_.collect {
+                case ae: AggregateExpression
+                    if ae.aggregateFunction
+                      .isInstanceOf[TypedImperativeAggregate[_]] &&
+                      !boundedBuffer.contains(
+                        ae.aggregateFunction.getClass.getSimpleName) =>
+                  ae.aggregateFunction.getClass.getSimpleName
+              })
+          }.flatten
+          if (spools.nonEmpty)
+            bad += s"$name(${spools.distinct.mkString("/")})"
+        } catch {
+          case e: Throwable =>
+            info(s"[plan-guard] $name failed to build: ${e.getMessage}")
+        }
+      }
+    assert(bad.isEmpty,
+      s"global object aggregate in: ${bad.mkString(", ")} — compute it " +
+        "from a groupBy(value).count frequency table (ExactQuantiles) " +
+        "or a bounded sketch, or whitelist with justification")
+  }
+
   test("no registered query plans an unhinted data-sized cross join") {
     // The second scale-hazard class after the global window: a
     // condition-less Join where neither side carries a broadcast hint.
@@ -85,7 +131,7 @@ class PlanGuardSpec extends AnyFunSuite {
       // universe crossing is the reference's R6 ranking semantics.
       "cqd_1p_transe", "cqd_1p_distmult", "cqd_1p_complex", "cqd_1p_rotate",
       "cqd_1p_rescal", "cqd_1p_swtranse", "cqd_1p_conve", "cqd_2p_conve",
-      "cqd_2p_transe",
+      "cqd_2p_transe", "cqd_3p_transe",
       "cqd_2p_complex", "cqd_2p_rotate", "cqd_2p_distmult", "cqd_2p_rescal",
       "cqd_2p_swtranse", "cqd_2i_godel", "cqd_2in_transe", "cqd_2u_transe",
       "cqd_3c_beam", "cqd_batch_2p", "kg_2il", "kg_3il",
