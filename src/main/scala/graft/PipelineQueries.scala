@@ -651,31 +651,32 @@ object PipelineQueries {
     // hash proves cnt_merged == cnt_full on every counter.
     ("sketch_cms_merge",
       (s, dir) => {
-        // ONE corpus scan: the per-shard counter tables (shard = doc
-        // parity) are built in a single groupBy and checkpointed —
-        // 2·d·w = 512 rows — then BOTH representations (counter-wise
-        // shard sum, whole-corpus rollup) derive from that object. The
-        // mergeability PROOF is the oracle's: DuckDB computes merged
-        // and full independently from the raw stream, so the driver
-        // hash still certifies sum-of-shards == whole-corpus exactly.
+        // ONE corpus scan — the token stream is checkpointed, and BOTH
+        // representations then derive from it INDEPENDENTLY: the
+        // shard-partitioned sketches (doc-parity shards, summed
+        // counter-by-counter) on one branch, the whole-corpus rollup
+        // on the other. Neither branch sees the other's aggregate, so
+        // the in-query cnt_merged == cnt_full equality is the real
+        // mergeability property, engine-side — and the DuckDB oracle
+        // re-proves it from the raw stream.
         val toks = t(s, dir, "documents")
           .select(col("doc_id"),
                   explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
-        val shardSketch = toks
-          .select((col("doc_id") % 2).as("shard"),
-            explode(array((0 until 4).map(j =>
-              struct(lit(j).as("row"),
-                graft.pipeline.Sketch.cmsBucket(col("tok"), j, 64)
-                  .as("bucket"))): _*)).as("rb"))
-          .groupBy(col("shard"), col("rb.row").as("row"),
-                   col("rb.bucket").as("bucket"))
-          .agg(count(lit(1)).as("cnt"))
           .localCheckpoint(true)
-        val merged = shardSketch
+        val rb = toks.select(col("doc_id"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("row"),
+              graft.pipeline.Sketch.cmsBucket(col("tok"), j, 64)
+                .as("bucket"))): _*)).as("rb"))
+        val merged = rb
+          .groupBy((col("doc_id") % 2).as("shard"), col("rb.row").as("row"),
+                   col("rb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cnt")) // per-shard sketches (2·d·w rows)
           .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt_merged"))
-        val full = shardSketch
-          .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt_full"))
+        val full = rb
+          .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cnt_full"))
         merged.join(full, Seq("row", "bucket"), "full")
           .select(col("row").cast("long").as("row"),
                   col("bucket").cast("long").as("bucket"),
@@ -4103,8 +4104,8 @@ object PipelineQueries {
     // any ANN/dedup run (collapsed vectors, un-normalized outliers).
     // Norms via the ordered per-element fold (both engines sequential —
     // the order-pinned-sum discipline), 6-dp rounded BEFORE the
-    // percentile so interpolation runs on identical doubles; Spark
-    // percentile() and DuckDB quantile_cont share the linear-
+    // quantile stage so interpolation runs on identical doubles;
+    // ExactQuantiles and DuckDB quantile_cont share the linear-
     // interpolation definition.
     ("emb_norm_profile",
       (s, dir) => {
@@ -4112,13 +4113,22 @@ object PipelineQueries {
         val norms = emb.select(
           round(sqrt(aggregate(col("vec"), lit(0.0),
             (acc, x) => acc + x * x)), 6).as("nrm"))
-        norms.agg(
+        // p50/p95 via the frequency-table prefix-sum (bit-identical to
+        // the `percentile` aggregate, WITHOUT its whole-column
+        // single-task buffer — r12 PlanGuard class); the fixed-buffer
+        // scalar aggregates ride alongside and the two one-row frames
+        // meet in a broadcast cross.
+        val qs = graft.operators.ExactQuantiles.quantiles(norms, Seq.empty,
+          Seq(("nrm", "_p50", 0.5), ("nrm", "_p95", 0.95)))
+        val scalars = norms.agg(
           count(lit(1)).as("n"),
           round(avg(col("nrm")), 6).as("mean_norm"),
-          round(expr("percentile(nrm, 0.5)"), 6).as("p50"),
-          round(expr("percentile(nrm, 0.95)"), 6).as("p95"),
           round(min(col("nrm")), 6).as("min_norm"),
           round(max(col("nrm")), 6).as("max_norm"))
+        scalars.crossJoin(broadcast(qs))
+          .select(col("n"), col("mean_norm"),
+            round(col("_p50"), 6).as("p50"), round(col("_p95"), 6).as("p95"),
+            col("min_norm"), col("max_norm"))
       },
       Some(s"""WITH e AS ($embedsSql),
               |nr AS (SELECT ROUND(SQRT(list_sum(list_transform(v, x -> x * x))), 6) AS nrm

@@ -27,7 +27,13 @@ import org.apache.spark.sql.functions._
   * short-circuits included — so the result is the IDENTICAL double the
   * built-in aggregate returns (same value multiset ⇒ same counts ⇒
   * same ranks ⇒ same formula on the same operands), verified
-  * exactly in ExactQuantilesSpec.
+  * bit-for-bit in ExactQuantilesSpec. One documented exception: the
+  * frequency `groupBy(_v)` goes through Spark's
+  * NormalizeFloatingNumbers, so `-0.0` and `0.0` collapse into one
+  * value row (SQL equality semantics — Spark itself normalizes them in
+  * every grouping/join key); an exactly-zero result therefore always
+  * carries a positive sign, where the built-in's raw-bits hashmap can
+  * return `-0.0`. Numerically equal; only the zero's sign bit differs.
   *
   * Reference semantics: SURVEY §2.10 classic-SQL surface (exact
   * quantile boundaries / binning); VERDICT r11 "What's wrong" #1. */
@@ -68,19 +74,34 @@ object ExactQuantiles {
 
     // Data-sized input → distinct-value-sized frequency table. This is
     // the ONLY data-sized stage; everything below is bounded by the
-    // distinct-value count.
+    // distinct-value count. MATERIALIZED (localCheckpoint, eager): the
+    // table feeds four downstream branches (stats, bucketed counts,
+    // per-bucket totals, target ranks) — without the checkpoint each
+    // branch re-derives it, i.e. re-SCANS the data-sized input
+    // (measured: 10 parquet scans in q_exact_median's plan). One scan
+    // of the input, once, is the whole point of the operator.
     val freq = base.groupBy(kc :+ col("_v"): _*)
       .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
 
     // Per-key stats (fixed-size sum/min/max buffers only).
     val stats = freq.groupBy(kc: _*)
       .agg(sum("_c").as("_n"), min("_v").as("_vmin"), max("_v").as("_vmax"))
 
+    // Null-safe group-key equality everywhere a join re-attaches
+    // per-key info: `percentile` keeps a NULL-keyed group (NULL is a
+    // legal groupBy key), so `===`/USING joins would silently drop it.
+    def keyEq(l: String, r: String): Column =
+      (gcols.map(g => col(s"$l.$g") <=> col(s"$r.$g")) :+
+        (col(s"$l._vc") === col(s"$r._vc"))).reduce(_ && _)
+
     // Monotone range bucket: floor((v−vmin)/w) is non-decreasing in v
     // (FP subtraction and division by a positive constant are monotone),
     // so bucket order extends value order and the two-level prefix sum
     // is a true ordered prefix.
-    val withB = freq.join(broadcast(stats), gcols :+ "_vc")
+    val withB = freq.alias("f").join(broadcast(stats.alias("s")), keyEq("f", "s"))
+      .select(((gcols :+ "_vc").map(n => col(s"f.$n")) ++
+        Seq(col("f._v"), col("f._c"), col("s._vmin"), col("s._vmax"))): _*)
       .withColumn("_bkt",
         when(col("_vmax") === col("_vmin"), lit(0L))
           .otherwise(least(
@@ -106,7 +127,10 @@ object ExactQuantiles {
       .withColumn("_bpre", coalesce(sum("_bc").over(wB), lit(0L)))
       .select(kc :+ col("_bkt") :+ col("_bpre"): _*)
 
-    val cum = cumIn.join(broadcast(bPrefix), gcols ++ Seq("_vc", "_bkt"))
+    val cum = cumIn.alias("c").join(broadcast(bPrefix.alias("b")),
+        keyEq("c", "b") && col("c._bkt") === col("b._bkt"))
+      .select(((gcols :+ "_vc").map(n => col(s"c.$n")) ++
+        Seq(col("c._v"), col("c._c"), col("c._cumb"), col("b._bpre"))): _*)
       .withColumn("_cum_hi", col("_bpre") + col("_cumb"))
       .withColumn("_cum_lo", col("_cum_hi") - col("_c"))
 
@@ -116,7 +140,7 @@ object ExactQuantiles {
       struct(lit(vc).as("_svc"), lit(nm).as("_q"), lit(p).as("_p"))
     }: _*)
     val targets = stats
-      .select(kc :+ explode(specArr).as("_s"): _*)
+      .select(kc ++ Seq(col("_n"), explode(specArr).as("_s")): _*)
       .filter(col("_s._svc") === col("_vc"))
       .select(kc :+ col("_s._q").as("_q") :+
         ((col("_n") - 1).cast("double") * col("_s._p")).as("_pos"): _*)
@@ -133,8 +157,7 @@ object ExactQuantiles {
     // row: cum_lo ≤ r < cum_hi. The rank side is O(groups·specs) —
     // broadcast.
     val hit = cum.alias("f").join(broadcast(ranks.alias("t")),
-      gcols.map(g => col(s"f.$g") === col(s"t.$g")).reduce(_ && _) &&
-        col("f._vc") === col("t._vc") &&
+      keyEq("f", "t") &&
         col("t._r") >= col("f._cum_lo") && col("t._r") < col("f._cum_hi"))
       .select(gcols.map(g => col(s"f.$g")) ++ Seq(col("t._q").as("_q"),
         col("t._pos").as("_pos"), col("t._lo").as("_lo"),

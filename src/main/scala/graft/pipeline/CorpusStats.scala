@@ -73,23 +73,24 @@ object CorpusStats {
     * (rounded 6 dp), computed with EXACT interpolated percentiles so the
     * DuckDB oracle (quantile_cont) lands on identical cut points; docs
     * compare `<= t` against them (head = highest scores). Scale note: the
-    * exact percentile is one sort-based aggregate of |corpus| scalars; at
-    * 100 TB swap in percentile_approx (mergeable sketch, same API shape) —
-    * bucket boundaries are statistical anyway. Output:
-    * (id, avg_logp, bucket). */
+    * thresholds come from the frequency-table prefix-sum
+    * ([[graft.operators.ExactQuantiles]] — bit-identical to the
+    * `percentile` aggregate without its whole-column one-task buffer) and
+    * reach the assignment by broadcasting ONE threshold row — no eager
+    * driver-side job, no data-sized spool anywhere, lazily planned like
+    * every other query. Output: (id, avg_logp, bucket). */
   def perplexityBuckets(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val lp = unigramLogProb(docs, idCol, textCol)
       .select(col("id"), col("avg_logp"))
       .localCheckpoint(true) // consumed twice: thresholds + assignment
-    val ts = lp.agg(expr(
-      "percentile(avg_logp, array(1.0D/3.0D, 2.0D/3.0D))").as("t"))
-      .collect()(0).getSeq[Double](0)
-    val (t1, t2) = (ts(0), ts(1))
-    lp.select(col("id"), col("avg_logp"),
-      when(col("avg_logp") <= t1, lit("tail"))
-        .when(col("avg_logp") <= t2, lit("middle"))
-        .otherwise(lit("head")).as("bucket"))
+    val ts = graft.operators.ExactQuantiles.quantiles(lp, Seq.empty,
+      Seq(("avg_logp", "_t1", 1.0 / 3.0), ("avg_logp", "_t2", 2.0 / 3.0)))
+    lp.crossJoin(broadcast(ts))
+      .select(col("id"), col("avg_logp"),
+        when(col("avg_logp") <= col("_t1"), lit("tail"))
+          .when(col("avg_logp") <= col("_t2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
   }
 
   /** Corpus-level top-k bigram collocations by pointwise mutual
@@ -231,19 +232,25 @@ object CorpusStats {
 
   /** Per-group document-length profile: count plus exact interpolated
     * token-count percentiles (p50/p90/p99) — the shard-size / context-
-    * budget planning report. Exact percentile is one sort-based aggregate
-    * per group; at 100 TB swap percentile_approx (mergeable sketch, same
-    * API shape) — profile boundaries are statistical anyway. */
+    * budget planning report. Percentiles via the frequency-table
+    * prefix-sum ([[graft.operators.ExactQuantiles]]): the per-group
+    * `percentile` aggregate buffers a whole GROUP in one task (a skewed
+    * source = a data-sized spool), this never holds more than a
+    * distinct-length partition anywhere — and token counts have a tiny
+    * distinct domain, so the frequency table is near-constant-sized. */
   def lengthProfile(docs: DataFrame, groupCol: String,
-                    textCol: String): DataFrame =
-    docs.select(col(groupCol), TextOps.tokenCount(col(textCol)).as("nt"))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-           expr("percentile(nt, array(0.5D, 0.9D, 0.99D))").as("_p"))
-      .select(col(groupCol), col("n_docs"),
-              round(element_at(col("_p"), 1), 6).as("p50"),
-              round(element_at(col("_p"), 2), 6).as("p90"),
-              round(element_at(col("_p"), 3), 6).as("p99"))
+                    textCol: String): DataFrame = {
+    val nt = docs.select(col(groupCol), TextOps.tokenCount(col(textCol)).as("nt"))
+    val qs = graft.operators.ExactQuantiles.quantiles(nt, Seq(groupCol),
+      Seq(("nt", "_p50", 0.5), ("nt", "_p90", 0.9), ("nt", "_p99", 0.99)))
+    val counts = nt.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    counts.alias("c").join(qs.alias("q"),
+        col(s"c.$groupCol") <=> col(s"q.$groupCol"))
+      .select(col(s"c.$groupCol"), col("n_docs"),
+              round(col("_p50"), 6).as("p50"),
+              round(col("_p90"), 6).as("p90"),
+              round(col("_p99"), 6).as("p99"))
+  }
 
   /** Zipf rank-frequency slope over the top-N vocabulary — the corpus
     * health check (natural language sits near slope −1; templated or

@@ -25,7 +25,19 @@ import org.apache.spark.sql.functions._
   * short blocks, and the tabulated polyphase synthesis window; AAC;
   * arithmetic-coded JPEG; P/B prediction-error coding) remain a clearly-marked
   * STUB: [[decodeFeatures]] falls
-  * back to deterministic byte-moment features there. The Spark-side
+  * back to deterministic byte-moment features there. This boundary is a
+  * deliberate POLICY, not an oversight (maintained rounds 10–13): those
+  * pieces are pages of empirical ISO table DATA (11172-3 Table B.7 codes
+  * 2–31 with linbits, the 512-coefficient synthesis window, 11172-2
+  * Table B.3 CBP codes, JPEG Annex D Qe transitions) that cannot be
+  * re-derived from structure, and no codec source ships in this
+  * environment to transcribe them from. Writing them from approximate
+  * recall would make the self-round-trip tests pass (encoder and decoder
+  * would share the same wrong table) while silently breaking on any real
+  * file — a fabricated-conformance failure mode strictly worse than the
+  * labeled stub. The machinery around the tables (bit reservoir, region
+  * walk, requantization, IMDCT, motion compensation) is real; each table
+  * slot is one data-array drop-in away from conformance. The Spark-side
   * plumbing — schema, batch shape, partition-parallel mapPartitions,
   * expression-level chunking — is identical for real and stub paths;
   * swapping a stub for a JNI/codec call changes one function.

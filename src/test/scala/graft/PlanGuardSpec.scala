@@ -20,20 +20,33 @@ class PlanGuardSpec extends AnyFunSuite {
   private def unpartitionedWindows(p: LogicalPlan): Seq[Window] =
     p.collect { case w: Window if w.partitionSpec.isEmpty => w }
 
+  // A registered query that cannot even ANALYZE is the worst possible
+  // state — it crashes verify AND bench (exactly how r12 shipped two
+  // broken quantile queries with a green suite: the sweeps used to
+  // info()-swallow build failures). Every sweep now funnels build
+  // failures here, and each asserts the buffer is empty.
+  private def buildOrFail(name: String, fn: (org.apache.spark.sql.SparkSession,
+      String) => org.apache.spark.sql.DataFrame,
+      broken: scala.collection.mutable.ArrayBuffer[String])
+      : Option[LogicalPlan] =
+    try Some(fn(spark, dir).queryExecution.optimizedPlan)
+    catch {
+      case e: Throwable =>
+        broken += s"$name(${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString})"
+        None
+    }
+
   test("no registered query plans an unpartitioned Window") {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, dir)
-        if (unpartitionedWindows(df.queryExecution.optimizedPlan).nonEmpty)
-          bad += name
-      } catch {
-        // A query that cannot even build its frame shows up in the verify
-        // gate; this guard only judges plan shape.
-        case e: Throwable =>
-          info(s"[plan-guard] $name failed to build: ${e.getMessage}")
+      buildOrFail(name, fn, broken).foreach { plan =>
+        if (unpartitionedWindows(plan).nonEmpty) bad += name
       }
     }
+    assert(broken.isEmpty,
+      s"queries that FAIL TO BUILD: ${broken.mkString(", ")}")
     assert(bad.isEmpty,
       s"unpartitioned Window in: ${bad.mkString(", ")} — use " +
         "Ranking.globalIndex / rankTopK instead of a global window")
@@ -85,11 +98,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "BloomFilterAggregate", "HyperLogLogPlusPlus")
     val inherent = Set.empty[String] // no documented exceptions today
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => inherent.contains(kv._1))
       .foreach { case (name, fn) =>
-        try {
-          val plan = fn(spark, dir).queryExecution.optimizedPlan
+        buildOrFail(name, fn, broken).foreach { plan =>
           val spools = plan.collect {
             case a: Aggregate if a.groupingExpressions.isEmpty =>
               a.aggregateExpressions.flatMap(_.collect {
@@ -103,11 +116,10 @@ class PlanGuardSpec extends AnyFunSuite {
           }.flatten
           if (spools.nonEmpty)
             bad += s"$name(${spools.distinct.mkString("/")})"
-        } catch {
-          case e: Throwable =>
-            info(s"[plan-guard] $name failed to build: ${e.getMessage}")
         }
       }
+    assert(broken.isEmpty,
+      s"queries that FAIL TO BUILD: ${broken.mkString(", ")}")
     assert(bad.isEmpty,
       s"global object aggregate in: ${bad.mkString(", ")} — compute it " +
         "from a groupBy(value).count frequency table (ExactQuantiles) " +
@@ -144,11 +156,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // eval suites run the CQD/ranking path over 25 query types.
       "eval_cqd_mrr", "eval_efo1_suite", "eval_efox_suite")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => inherent.contains(kv._1))
       .foreach { case (name, fn) =>
-        try {
-          val plan = fn(spark, dir).queryExecution.optimizedPlan
+        buildOrFail(name, fn, broken).foreach { plan =>
           val unhinted = plan.collect {
             case j: Join if j.condition.isEmpty &&
                 j.hint.leftHint.forall(_.strategy.isEmpty) &&
@@ -156,11 +168,10 @@ class PlanGuardSpec extends AnyFunSuite {
                 j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty => j
           }
           if (unhinted.nonEmpty) bad += name
-        } catch {
-          case e: Throwable =>
-            info(s"[plan-guard] $name failed to build: ${e.getMessage}")
         }
       }
+    assert(broken.isEmpty,
+      s"queries that FAIL TO BUILD: ${broken.mkString(", ")}")
     assert(bad.isEmpty,
       s"unhinted condition-less join in: ${bad.mkString(", ")} — " +
         "broadcast() the provably-small side, or add the query to the " +
