@@ -2270,6 +2270,401 @@ object SystemQueries {
              |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
              |FROM px WHERE pc = 2 AND b < 4 GROUP BY id, m""".stripMargin)),
 
+    // REAL MPEG-1 PREDICTION-ERROR CODING (coded non-intra macroblocks
+    // — the r11/r12 declared seam closed): the P picture carries every
+    // supported Table-B.2b type — MC+coded, pattern-only (zero vector),
+    // quant+MC+coded (qscale 8→4 mid-slice, then PROVEN carried into
+    // the trailing intra macroblock's dequant), quant+pattern-only,
+    // skipped, MC-not-coded, intra. CBP decodes through the full
+    // 63-entry Table B.3; coded blocks run the dct_coeff_first/next
+    // entropy walk (1-bit run-0/±1 first form, table codes, ESCAPE),
+    // non-intra dequantization ((2|QF|+1)·qscale, uniform-16 default
+    // matrix, oddified), IDCT, and the prediction+residual add with the
+    // post-add clamp. The oracle replays the whole chain relationally —
+    // intra planes → half-pel prediction → residual IDCT → clamped add
+    // — integers end-to-end, hash-exact.
+    ("multimodal_mpeg1_presidual",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(
+            Multimodal.mpeg1PResidualBytes(id))
+          val (_, mbs) = decoded.get
+          mbs.map(r => (id, r.pic.toLong, r.mb.toLong, r.kind.toLong,
+            r.dx.toLong, r.dy.toLong, r.cbp.toLong, r.ySum, r.ySqSum))
+        }.toDF("media_id", "pic", "mb", "kind", "dx", "dy", "cbp",
+               "y_sum", "y_sqsum")
+      },
+      Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
+             |cmb AS (SELECT id, pc, m FROM ids, (VALUES (0), (1)) pp(pc),
+             |        range(8) mm(m) WHERE pc = 0 OR m IN (0, 7)),
+             |lv AS (SELECT id, pc, m, b, p,
+             |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
+             |               THEN 1
+             |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
+             |          END AS lvl,
+             |          CASE WHEN pc = 1 AND m = 7 THEN 4 ELSE 8 END AS qs
+             |        FROM cmb, range(4) bb(b),
+             |          LATERAL (SELECT UNNEST([
+             |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
+             |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
+             |            50 + (m*3 + b) % 13]) AS p) g),
+             |dqi AS (SELECT id, pc, m, b, p,
+             |          CASE WHEN lvl < 0 THEN -1 ELSE 1 END AS sg,
+             |          (ABS(lvl) * qs * wz[CAST(p AS INT) + 1]) // 8 AS a0
+             |        FROM lv,
+             |          (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
+             |co AS (
+             |  SELECT id, pc, m, b, 0 AS ord,
+             |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
+             |  FROM cmb, range(4) bb(b)
+             |  UNION ALL
+             |  SELECT id, pc, m, b, p AS ord,
+             |    sg * LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+             |               2047) AS f
+             |  FROM dqi),
+             |px AS (
+             |  SELECT id, pc, m, b, x, y,
+             |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT))) AS v
+             |  FROM co, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, pc, m, b, x, y),
+             |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
+             |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
+             |        FROM px WHERE pc = 0 AND b < 4),
+             |mv AS (SELECT id, m,
+             |    CASE m WHEN 1 THEN id % 5 - 2 WHEN 3 THEN -((id // 5) % 3)
+             |           WHEN 5 THEN id % 3 ELSE 0 END AS dx,
+             |    CASE m WHEN 1 THEN (id // 3) % 3 WHEN 3 THEN (id // 7) % 3
+             |           WHEN 5 THEN -((id // 11) % 2) ELSE 0 END AS dy,
+             |    CASE m WHEN 1 THEN 5 WHEN 2 THEN 6 WHEN 3 THEN 5
+             |           WHEN 4 THEN 2 WHEN 5 THEN 1 ELSE 6 END AS kind,
+             |    CASE WHEN m IN (1, 2, 3, 6) THEN 1 + (id*5 + m*11) % 63
+             |         ELSE 0 END AS cbp
+             |  FROM ids, range(7) mm(m) WHERE m >= 1),
+             |mc AS (SELECT v.id, v.m, v.kind, v.dx, v.dy, v.cbp,
+             |         xx.x AS lx, yy.y AS ly,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
+             |       FROM mv v, range(16) xx(x), range(16) yy(y)),
+             |prd AS (
+             |  SELECT c.id, c.m, c.kind, c.dx, c.dy, c.cbp, c.lx, c.ly,
+             |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
+             |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
+             |           THEN (r00.v + r01.v + 1) // 2
+             |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
+             |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS pv
+             |  FROM mc c
+             |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
+             |    AND r00.ry = c.y2 // 2
+             |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
+             |    AND r01.ry = c.y2 // 2
+             |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
+             |    AND r10.ry = c.y2 // 2 + 1
+             |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
+             |    AND r11.ry = c.y2 // 2 + 1),
+             |cdb AS (SELECT id, m, b FROM mv, range(4) bb(b)
+             |        WHERE cbp > 0 AND ((cbp >> (5 - CAST(b AS INT))) & 1) = 1),
+             |rk AS (SELECT id, m, b, k,
+             |         CASE WHEN k = 0 THEN (id + m + b) % 2
+             |              ELSE 1 + (id*3 + b*5 + k*7) % 6 END AS step,
+             |         CASE WHEN (id*7 + m*3 + b*11 + k*13) % 19 - 9 = 0 THEN 1
+             |              ELSE (id*7 + m*3 + b*11 + k*13) % 19 - 9 END AS lvl
+             |       FROM cdb, range(4) kk(k)
+             |       WHERE k < 2 + (id + m + b) % 3),
+             |rps AS (SELECT id, m, b, k, lvl,
+             |          SUM(step) OVER (PARTITION BY id, m, b ORDER BY k) AS pos
+             |        FROM rk),
+             |rcf AS (SELECT id, m, b, pos AS ord,
+             |          (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
+             |          LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+             |                2047) AS f
+             |        FROM (SELECT *, (2 * ABS(lvl) + 1) *
+             |                (CASE WHEN m IN (3, 6) THEN 4 ELSE 8 END) AS a0
+             |              FROM rps) q),
+             |rpx AS (SELECT id, m, b, x, y,
+             |    CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT) AS rv
+             |  FROM rcf, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, m, b, x, y),
+             |rmap AS (SELECT id, m, 8 * (b % 2) + x AS lx,
+             |                8 * (b // 2) + y AS ly, rv
+             |         FROM rpx),
+             |fin AS (SELECT p.id, p.m, p.kind, p.dx, p.dy, p.cbp,
+             |          LEAST(255, GREATEST(0, p.pv + COALESCE(r.rv, 0))) AS v
+             |        FROM prd p LEFT JOIN rmap r
+             |          ON r.id = p.id AND r.m = p.m AND r.lx = p.lx
+             |            AND r.ly = p.ly)
+             |SELECT id AS media_id, CAST(0 AS BIGINT) AS pic,
+             |  CAST(m AS BIGINT) AS mb, CAST(0 AS BIGINT) AS kind,
+             |  CAST(0 AS BIGINT) AS dx, CAST(0 AS BIGINT) AS dy,
+             |  CAST(0 AS BIGINT) AS cbp, CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
+             |FROM px WHERE pc = 0 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), 0, 0, 0, 0,
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM px WHERE pc = 1 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), CAST(kind AS BIGINT),
+             |  CAST(dx AS BIGINT), CAST(dy AS BIGINT), CAST(cbp AS BIGINT),
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM fin GROUP BY id, m, kind, dx, dy, cbp""".stripMargin)),
+
+    // REAL MPEG-1 B-PICTURE PREDICTION-ERROR CODING: all three coded
+    // Table-B.2c forms — forward+coded, backward+coded, and
+    // INTERPOLATED+coded (residual on top of the //2 round-half-away
+    // two-reference average) — plus skip-after-coded (prediction-only,
+    // mode repeated) and the forward predictor carrying across the skip
+    // into a zero-code MC macroblock. The backward reference is the P
+    // picture WITH its own decoded residuals, so the oracle
+    // reconstructs the I plane, the full residual-corrected P plane,
+    // and every B prediction relationally — integers end-to-end.
+    ("multimodal_mpeg1_bresidual",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(
+            Multimodal.mpeg1PResidualBytes(id, withB = true))
+          val (_, mbs) = decoded.get
+          mbs.filter(_.pic == 2).map(r => (id, r.mb.toLong, r.kind.toLong,
+            r.dx.toLong, r.dy.toLong, r.bdx.toLong, r.bdy.toLong,
+            r.cbp.toLong, r.ySum, r.ySqSum))
+        }.toDF("media_id", "mb", "kind", "fdx", "fdy", "bdx", "bdy",
+               "cbp", "y_sum", "y_sqsum")
+      },
+      Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
+             |cmb AS (SELECT id, pc, m FROM ids, (VALUES (0), (1), (2)) pp(pc),
+             |        range(8) mm(m)
+             |        WHERE pc = 0 OR (pc = 1 AND m IN (0, 7))
+             |           OR (pc = 2 AND m IN (0, 3, 7))),
+             |lv AS (SELECT id, pc, m, b, p,
+             |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
+             |               THEN 1
+             |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
+             |          END AS lvl,
+             |          CASE WHEN pc = 1 AND m = 7 THEN 4 ELSE 8 END AS qs
+             |        FROM cmb, range(4) bb(b),
+             |          LATERAL (SELECT UNNEST([
+             |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
+             |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
+             |            50 + (m*3 + b) % 13]) AS p) g),
+             |dqi AS (SELECT id, pc, m, b, p,
+             |          CASE WHEN lvl < 0 THEN -1 ELSE 1 END AS sg,
+             |          (ABS(lvl) * qs * wz[CAST(p AS INT) + 1]) // 8 AS a0
+             |        FROM lv,
+             |          (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
+             |co AS (
+             |  SELECT id, pc, m, b, 0 AS ord,
+             |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
+             |  FROM cmb, range(4) bb(b)
+             |  UNION ALL
+             |  SELECT id, pc, m, b, p AS ord,
+             |    sg * LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+             |               2047) AS f
+             |  FROM dqi),
+             |px AS (
+             |  SELECT id, pc, m, b, x, y,
+             |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT))) AS v
+             |  FROM co, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, pc, m, b, x, y),
+             |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
+             |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
+             |        FROM px WHERE pc = 0 AND b < 4),
+             |mv AS (SELECT id, m,
+             |    CASE m WHEN 1 THEN id % 5 - 2 WHEN 3 THEN -((id // 5) % 3)
+             |           WHEN 5 THEN id % 3 ELSE 0 END AS dx,
+             |    CASE m WHEN 1 THEN (id // 3) % 3 WHEN 3 THEN (id // 7) % 3
+             |           WHEN 5 THEN -((id // 11) % 2) ELSE 0 END AS dy,
+             |    CASE WHEN m IN (1, 2, 3, 6) THEN 1 + (id*5 + m*11) % 63
+             |         ELSE 0 END AS cbp
+             |  FROM ids, range(7) mm(m) WHERE m >= 1),
+             |mc AS (SELECT v.id, v.m, v.cbp, xx.x AS lx, yy.y AS ly,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
+             |       FROM mv v, range(16) xx(x), range(16) yy(y)),
+             |prd AS (
+             |  SELECT c.id, c.m, c.cbp, c.lx, c.ly,
+             |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
+             |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
+             |           THEN (r00.v + r01.v + 1) // 2
+             |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
+             |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS pv
+             |  FROM mc c
+             |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
+             |    AND r00.ry = c.y2 // 2
+             |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
+             |    AND r01.ry = c.y2 // 2
+             |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
+             |    AND r10.ry = c.y2 // 2 + 1
+             |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
+             |    AND r11.ry = c.y2 // 2 + 1),
+             |cdb AS (SELECT id, m, b FROM mv, range(4) bb(b)
+             |        WHERE cbp > 0 AND ((cbp >> (5 - CAST(b AS INT))) & 1) = 1),
+             |rk AS (SELECT id, m, b, k,
+             |         CASE WHEN k = 0 THEN (id + m + b) % 2
+             |              ELSE 1 + (id*3 + b*5 + k*7) % 6 END AS step,
+             |         CASE WHEN (id*7 + m*3 + b*11 + k*13) % 19 - 9 = 0 THEN 1
+             |              ELSE (id*7 + m*3 + b*11 + k*13) % 19 - 9 END AS lvl
+             |       FROM cdb, range(4) kk(k)
+             |       WHERE k < 2 + (id + m + b) % 3),
+             |rps AS (SELECT id, m, b, k, lvl,
+             |          SUM(step) OVER (PARTITION BY id, m, b ORDER BY k) AS pos
+             |        FROM rk),
+             |rcf AS (SELECT id, m, b, pos AS ord,
+             |          (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
+             |          LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+             |                2047) AS f
+             |        FROM (SELECT *, (2 * ABS(lvl) + 1) *
+             |                (CASE WHEN m IN (3, 6) THEN 4 ELSE 8 END) AS a0
+             |              FROM rps) q),
+             |rpx AS (SELECT id, m, b, x, y,
+             |    CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT) AS rv
+             |  FROM rcf, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, m, b, x, y),
+             |rmap AS (SELECT id, m, 8 * (b % 2) + x AS lx,
+             |                8 * (b // 2) + y AS ly, rv
+             |         FROM rpx),
+             |fin AS (SELECT p.id, p.m, p.lx, p.ly,
+             |          LEAST(255, GREATEST(0, p.pv + COALESCE(r.rv, 0))) AS v
+             |        FROM prd p LEFT JOIN rmap r
+             |          ON r.id = p.id AND r.m = p.m AND r.lx = p.lx
+             |            AND r.ly = p.ly),
+             |pfull AS (
+             |  SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
+             |         16 * (m // 4) + 8 * (b // 2) + y AS ry, v
+             |  FROM px WHERE pc = 1 AND b < 4
+             |  UNION ALL
+             |  SELECT id, 16 * (m % 4) + lx, 16 * (m // 4) + ly, v FROM fin),
+             |bmv AS (SELECT id, m,
+             |    CASE WHEN m IN (1) THEN id % 3 - 1
+             |         WHEN m IN (4, 5, 6) THEN id % 2 ELSE 0 END AS fdx,
+             |    CASE WHEN m IN (1) THEN (id // 3) % 2
+             |         WHEN m IN (4, 5, 6) THEN -((id // 11) % 2)
+             |         ELSE 0 END AS fdy,
+             |    CASE WHEN m = 2 THEN -((id // 5) % 2)
+             |         WHEN m IN (4, 5) THEN (id // 13) % 2 ELSE 0 END AS bdx,
+             |    CASE WHEN m = 2 THEN (id // 7) % 2
+             |         WHEN m IN (4, 5) THEN -((id // 17) % 2) ELSE 0 END AS bdy,
+             |    CASE m WHEN 1 THEN 5 WHEN 2 THEN 7 WHEN 4 THEN 8
+             |           WHEN 5 THEN 2 ELSE 1 END AS kind,
+             |    CASE WHEN m IN (1, 2, 4)
+             |         THEN 1 + (id*5 + (m + 8)*11) % 63 ELSE 0 END AS cbp,
+             |    (m IN (1, 4, 5, 6)) AS usef, (m IN (2, 4, 5)) AS useb
+             |  FROM ids, range(7) mm(m) WHERE m >= 1 AND m <> 3),
+             |bmc AS (SELECT v.*, xx.x AS lx, yy.y AS ly,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.fdx AS fx2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.fdy AS fy2,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.bdx AS bx2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.bdy AS by2
+             |       FROM bmv v, range(16) xx(x), range(16) yy(y)),
+             |bprd AS (
+             |  SELECT c.id, c.m, c.kind, c.fdx, c.fdy, c.bdx, c.bdy, c.cbp,
+             |    c.lx, c.ly,
+             |    CASE WHEN NOT c.usef THEN NULL
+             |         WHEN c.fx2 % 2 = 0 AND c.fy2 % 2 = 0 THEN f00.v
+             |         WHEN c.fx2 % 2 = 1 AND c.fy2 % 2 = 0
+             |           THEN (f00.v + f01.v + 1) // 2
+             |         WHEN c.fx2 % 2 = 0 THEN (f00.v + f10.v + 1) // 2
+             |         ELSE (f00.v + f01.v + f10.v + f11.v + 2) // 4 END AS fv,
+             |    CASE WHEN NOT c.useb THEN NULL
+             |         WHEN c.bx2 % 2 = 0 AND c.by2 % 2 = 0 THEN b00.v
+             |         WHEN c.bx2 % 2 = 1 AND c.by2 % 2 = 0
+             |           THEN (b00.v + b01.v + 1) // 2
+             |         WHEN c.bx2 % 2 = 0 THEN (b00.v + b10.v + 1) // 2
+             |         ELSE (b00.v + b01.v + b10.v + b11.v + 2) // 4 END AS bv
+             |  FROM bmc c
+             |  LEFT JOIN ref f00 ON f00.id = c.id AND f00.rx = c.fx2 // 2
+             |    AND f00.ry = c.fy2 // 2
+             |  LEFT JOIN ref f01 ON f01.id = c.id AND f01.rx = c.fx2 // 2 + 1
+             |    AND f01.ry = c.fy2 // 2
+             |  LEFT JOIN ref f10 ON f10.id = c.id AND f10.rx = c.fx2 // 2
+             |    AND f10.ry = c.fy2 // 2 + 1
+             |  LEFT JOIN ref f11 ON f11.id = c.id AND f11.rx = c.fx2 // 2 + 1
+             |    AND f11.ry = c.fy2 // 2 + 1
+             |  LEFT JOIN pfull b00 ON b00.id = c.id AND b00.rx = c.bx2 // 2
+             |    AND b00.ry = c.by2 // 2
+             |  LEFT JOIN pfull b01 ON b01.id = c.id AND b01.rx = c.bx2 // 2 + 1
+             |    AND b01.ry = c.by2 // 2
+             |  LEFT JOIN pfull b10 ON b10.id = c.id AND b10.rx = c.bx2 // 2
+             |    AND b10.ry = c.by2 // 2 + 1
+             |  LEFT JOIN pfull b11 ON b11.id = c.id AND b11.rx = c.bx2 // 2 + 1
+             |    AND b11.ry = c.by2 // 2 + 1),
+             |bcdb AS (SELECT id, m, b FROM bmv, range(4) bb(b)
+             |         WHERE cbp > 0 AND ((cbp >> (5 - CAST(b AS INT))) & 1) = 1),
+             |brk AS (SELECT id, m, b, k,
+             |          CASE WHEN k = 0 THEN (id + m + 8 + b) % 2
+             |               ELSE 1 + (id*3 + b*5 + k*7) % 6 END AS step,
+             |          CASE WHEN (id*7 + (m + 8)*3 + b*11 + k*13) % 19 - 9 = 0
+             |               THEN 1
+             |               ELSE (id*7 + (m + 8)*3 + b*11 + k*13) % 19 - 9
+             |          END AS lvl
+             |        FROM bcdb, range(4) kk(k)
+             |        WHERE k < 2 + (id + m + 8 + b) % 3),
+             |brps AS (SELECT id, m, b, k, lvl,
+             |           SUM(step) OVER (PARTITION BY id, m, b ORDER BY k) AS pos
+             |         FROM brk),
+             |brcf AS (SELECT id, m, b, pos AS ord,
+             |           (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
+             |           LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+             |                 2047) AS f
+             |         FROM (SELECT *, (2 * ABS(lvl) + 1) * 8 AS a0
+             |               FROM brps) q),
+             |brpx AS (SELECT id, m, b, x, y,
+             |    CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT) AS rv
+             |  FROM brcf, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, m, b, x, y),
+             |brmap AS (SELECT id, m, 8 * (b % 2) + x AS lx,
+             |                 8 * (b // 2) + y AS ly, rv
+             |          FROM brpx),
+             |bfin AS (SELECT p.id, p.m, p.kind, p.fdx, p.fdy, p.bdx, p.bdy,
+             |           p.cbp,
+             |           LEAST(255, GREATEST(0,
+             |             CASE WHEN p.fv IS NOT NULL AND p.bv IS NOT NULL
+             |                  THEN (p.fv + p.bv + 1) // 2
+             |                  WHEN p.fv IS NOT NULL THEN p.fv
+             |                  ELSE p.bv END + COALESCE(r.rv, 0))) AS v
+             |         FROM bprd p LEFT JOIN brmap r
+             |           ON r.id = p.id AND r.m = p.m AND r.lx = p.lx
+             |             AND r.ly = p.ly)
+             |SELECT id AS media_id, CAST(m AS BIGINT) AS mb,
+             |  CAST(0 AS BIGINT) AS kind, CAST(0 AS BIGINT) AS fdx,
+             |  CAST(0 AS BIGINT) AS fdy, CAST(0 AS BIGINT) AS bdx,
+             |  CAST(0 AS BIGINT) AS bdy, CAST(0 AS BIGINT) AS cbp,
+             |  CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
+             |FROM px WHERE pc = 2 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, CAST(m AS BIGINT), CAST(kind AS BIGINT),
+             |  CAST(fdx AS BIGINT), CAST(fdy AS BIGINT),
+             |  CAST(bdx AS BIGINT), CAST(bdy AS BIGINT), CAST(cbp AS BIGINT),
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM bfin GROUP BY id, m, kind, fdx, fdy, bdx, bdy, cbp"""
+             .stripMargin)),
+
     // REAL MPEG-1 start-code frame indexing — the seek-and-sample
     // primitive: multi-picture elementary streams (temporal_reference
     // carries the picture index) are frame-indexed by a linear scan of

@@ -48,6 +48,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.mpeg1IFrameBytes(3, nPictures = 2),
     Multimodal.mpeg1IPBytes(3),
     Multimodal.mpeg1IPBytes(3, withB = true),
+    Multimodal.mpeg1PResidualBytes(3),
+    Multimodal.mpeg1PResidualBytes(3, withB = true),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
     TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),
     TextOps.warcBytes(Seq(("response", "http://x/1", "hello"))))
