@@ -1797,6 +1797,68 @@ object SystemQueries {
              |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
 
+    // GENERALIZED big-values Huffman walk with ESC/LINBITS (round 13):
+    // the decode is table-driven (L3Tables keyed by table_select) and
+    // this stream selects slot 4 — an ISO-UNUSED slot carrying the
+    // clearly-labeled GRAFT-SYNTHETIC uniform 8-bit linbits table — so
+    // every walker path runs end-to-end: codeword lookup, ESC
+    // (magnitude 15 ⇒ +4 linbits bits), sign bits, the count1 table-B
+    // region after, all against an exact part2_3_length bit account.
+    // Magnitudes reach 30, so requantization runs through the
+    // 1e-12-quantized |is|^(4/3) table (interpolated below as literal
+    // doubles) and every float fold is order-pinned. ISO tables 2–31
+    // remain declared — this row proves the MACHINERY a table drop-in
+    // would activate, not ISO codeword data.
+    ("multimodal_mp3_linbits",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, grans, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3LinbitsBytes(id, nf)).get
+          grans.map(g => (id, g.frame.toLong, g.granule.toLong,
+            g.nCount1.toLong, g.nNonzero.toLong, g.xrSum, g.xrMsq))
+        }.toDF("media_id", "frame", "granule", "n_count1", "n_nonzero",
+               "xr_sum", "xr_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g FROM range(24) t(r),
+             |       range(3) ff(f), range(2) gg(g) WHERE f < r % 3 + 1),
+             |pl AS (SELECT id, f, g, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |           THEN (CASE WHEN (id + f + k) % 2 = 1 THEN -1 ELSE 1 END)
+             |                * ((id*3 + f*7 + g*11 + k*5) % 31)
+             |           ELSE (CASE WHEN (id + g + k) % 2 = 1 THEN -1 ELSE 1 END)
+             |                * ((id*5 + f*11 + g*3 + k*7) % 31) END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           10 + CAST((id + f + g) % 7 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g,
+             |         2 * (10 + (id + f + g) % 7) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |xr AS (SELECT id, f, g, line, isv,
+             |         (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END) *
+             |         p43[CAST(ABS(isv) AS INT) + 1] *
+             |         POWER(2.0, (id + f*2 + g) % 8 - 2) AS x
+             |       FROM ln3,
+             |         (SELECT [${Multimodal.l3Pow43.mkString(", ")}] AS p43) pp)
+             |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+             |  CAST(g AS BIGINT) AS granule,
+             |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
+             |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nonzero,
+             |  ROUND(list_sum(list(x ORDER BY line)
+             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_sum,
+             |  ROUND(list_sum(list(x * x ORDER BY line)
+             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_msq
+             |FROM xr GROUP BY id, f, g""".stripMargin)),
+
     // REAL MP3 INTENSITY STEREO (§2.4.3.4.9.3): the right channel is
     // band-limited at the entropy layer; scalefactor bands wholly above
     // its last nonzero line are reconstructed by panning the left-carried

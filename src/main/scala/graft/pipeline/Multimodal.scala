@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   * tables > 1, short blocks, and the tabulated polyphase synthesis
   * window; AAC; arithmetic-coded JPEG; B quant+coded macroblock types)
   * remain a clearly-marked STUB: [[decodeFeatures]] falls
-  * back to deterministic byte-moment features there. This boundary is a
+  * back to deterministic byte-moment features there. The Layer III
+  * big-values stage is now TABLE-DRIVEN with full ESC/linbits machinery
+  * ([[L3Tables]], round 13) — proven end-to-end through a synthetic
+  * linbits table mounted at an ISO-unused slot
+  * (`multimodal_mp3_linbits`) — so each remaining ISO table 2–31 is a
+  * pure data drop-in. This boundary is a
   * deliberate POLICY, not an oversight (maintained rounds 10–13): those
   * pieces are pages of empirical ISO table DATA (11172-3 Table B.7 codes
   * 2–31 with linbits, the 512-coefficient synthesis window, JPEG Annex D
@@ -1570,6 +1575,40 @@ object Multimodal {
 
   private def round12(x: Double): Double = math.rint(x * 1e12) / 1e12
 
+  /** Requantization magnitudes |is|^(4/3) for |is| ≤ 30 (the largest
+    * value the registered linbits tables can produce: ESC 15 + 4
+    * linbits), quantized to 1e-12 — the same engine-portability
+    * discipline as the cos/window tables, so the DuckDB oracle folds
+    * the identical doubles. Entries 0 and 1 are exact (0, 1), which is
+    * why the pre-round-13 dyadic-exactness fixtures (|is| ≤ 1) are
+    * unaffected by the table route. */
+  val l3Pow43: Array[Double] =
+    Array.tabulate(31)(v => round12(math.pow(v.toDouble, 4.0 / 3.0)))
+
+  /** Generalized big-values Huffman table, keyed by `table_select`.
+    * Slot 1 carries ISO 11172-3 Table B.7 code table 1 (x, y ≤ 1, no
+    * linbits). Slot 4 — a slot the ISO spec explicitly leaves UNUSED
+    * ("not used" in Table B.7, as is 14) — carries a GRAFT-SYNTHETIC
+    * uniform 8-bit table over the full 16×16 (x, y) grid with
+    * linbits = 4 (code = the 8-bit big-endian encoding of x·16+y). It
+    * exists solely to drive the generalized walker's ESC/linbits
+    * machinery end-to-end (x or y = 15 ⇒ read `linbits` extra
+    * magnitude bits before the sign) and is NOT ISO data; mounting it
+    * at an ISO-unused slot makes the boundary unmistakable. Real ISO
+    * tables 2–31 remain declared — their empirical codeword data
+    * cannot be re-derived from structure (header policy note). */
+  private[graft] final case class L3HuffTable(
+      codes: Map[String, (Int, Int)], linbits: Int, maxLen: Int)
+
+  private[graft] val L3Tables: Map[Int, L3HuffTable] = Map(
+    1 -> L3HuffTable(Map("1" -> ((0, 0)), "001" -> ((0, 1)),
+      "01" -> ((1, 0)), "000" -> ((1, 1))), 0, 3),
+    4 -> L3HuffTable(
+      (for (x <- 0 until 16; y <- 0 until 16) yield {
+        val v = x * 16 + y
+        (("0" * 8 + v.toBinaryString).takeRight(8), (x, y))
+      }).toMap, 4, 8))
+
   /** Alias-reduction butterfly coefficients (11172-3 §2.4.3.4.10.1,
     * Table B.9 `ci`), quantized to 1e-12 so both engines evaluate the
     * identical doubles (the k-means-quantization portability trick). */
@@ -1767,7 +1806,8 @@ object Multimodal {
             var ch = 0
             while (ok && ch < nch) {
               val s = sides(g)(ch)
-              if (s.tables.exists(_ > 1) || s.c1Sel != 1) ok = false
+              if (s.tables.exists(t => t != 0 && !L3Tables.contains(t)) ||
+                  s.c1Sel != 1) ok = false
               else {
                 val start = bitPos
                 val (slen1, slen2) = L3Slen(s.scomp)
@@ -1785,11 +1825,33 @@ object Multimodal {
                   band += 1
                 }
                 if (g == 0) Array.copy(sf, 0, sfPrev(ch), 0, 21)
-                // big_values region (table 1) + count1 region (table B)
+                // big_values region (table-driven: any registered table,
+                // ESC/linbits included) + count1 region (table B)
                 val is = new Array[Int](576)
                 var line = 0
                 var k = 0
                 var bad = false
+                // one (x, y) pair through a registered Huffman table:
+                // codeword walk, then per value the ESC linbits
+                // extension (x0 = 15 ⇒ magnitude += linbits bits) and
+                // the sign bit — the §2.4.3.7 field order.
+                def readPair(tab: L3HuffTable): Option[(Int, Int)] = {
+                  val sb = new java.lang.StringBuilder(tab.maxLen)
+                  var hit: Option[(Int, Int)] = None
+                  while (hit.isEmpty && sb.length < tab.maxLen) {
+                    sb.append(if (bits(1) == 1) '1' else '0')
+                    hit = tab.codes.get(sb.toString)
+                  }
+                  hit.map { case (x0, y0) =>
+                    val xm = if (tab.linbits > 0 && x0 == 15)
+                      x0 + bits(tab.linbits) else x0
+                    val x = if (xm != 0 && bits(1) == 1) -xm else xm
+                    val ym = if (tab.linbits > 0 && y0 == 15)
+                      y0 + bits(tab.linbits) else y0
+                    val y = if (ym != 0 && bits(1) == 1) -ym else ym
+                    (x, y)
+                  }
+                }
                 while (!bad && k < s.bigValues && line + 2 <= 576) {
                   val region =
                     if (line < L3Sfb48(s.r0 + 1)) 0
@@ -1797,16 +1859,11 @@ object Multimodal {
                                                      L3Sfb48.length - 1))) 1
                     else 2
                   if (s.tables(region) == 0) { line += 2 }
-                  else {
-                    val (x0, y0) =
-                      if (bits(1) == 1) (0, 0)
-                      else if (bits(1) == 1) (1, 0)
-                      else if (bits(1) == 1) (0, 1)
-                      else (1, 1)
-                    val x = if (x0 != 0 && bits(1) == 1) -x0 else x0
-                    val y = if (y0 != 0 && bits(1) == 1) -y0 else y0
-                    is(line) = x; is(line + 1) = y
-                    line += 2
+                  else readPair(L3Tables(s.tables(region))) match {
+                    case None => bad = true
+                    case Some((x, y)) =>
+                      is(line) = x; is(line + 1) = y
+                      line += 2
                   }
                   k += 1
                   if (bitPos - start > s.part23) bad = true
@@ -1840,7 +1897,7 @@ object Multimodal {
                       val bnd = sfbOf(i)
                       val sfv = if (bnd < 21) sf(bnd) else 0
                       val x = math.signum(v.toDouble) *
-                        math.pow(math.abs(v.toDouble), 4.0 / 3.0) * mult *
+                        l3Pow43(math.min(math.abs(v), 30)) * mult *
                         math.pow(2.0, -m * (sfv + s.preflag * L3Pretab(bnd)))
                       xr(i) = x; nNz += 1; xs += x; xq += x * x
                       lastNz(ch) = i
@@ -2098,6 +2155,115 @@ object Multimodal {
         put(1, 1)                       // count1 table B
       }
       // copy this frame's main-data area from the pool
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** The encode half of the generalized-table/linbits round trip: a
+    * real mono 48 kHz / 192 kbps Layer III stream whose big-values
+    * regions select table 4 — the ISO-unused slot carrying the
+    * GRAFT-SYNTHETIC uniform 8-bit linbits table (see [[L3Tables]]) —
+    * with magnitudes 0..30, so the decode exercises every walker path:
+    * plain codes, ESC (x or y = 15 ⇒ 4 linbits magnitude bits), sign
+    * bits, and the count1 table-B region after; `part2_3_length` is
+    * the exact bit count, so the account must land to the bit.
+    * Zero scalefactor bits (scalefac_compress 0), gain 210+4k,
+    * no reservoir (that path is proven by [[layer3BytesFull]]). */
+  def layer3LinbitsBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 21
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    def pairs(f: Int, g: Int): Seq[(Int, Int)] = {
+      val n = 10 + ((seed + f + g) % 7).toInt
+      (0 until n).map { k =>
+        val mx = ((seed * 3 + f * 7 + g * 11 + k * 5) % 31).toInt
+        val my = ((seed * 5 + f * 11 + g * 3 + k * 7) % 31).toInt
+        val x = if ((seed + f + k) % 2 == 1) -mx else mx
+        val y = if ((seed + g + k) % 2 == 1) -my else my
+        (x, y)
+      }
+    }
+    def quads(f: Int, g: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + g * 5 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int): Int =
+      210 + 4 * (((seed + f * 2 + g) % 8).toInt - 2)
+    def huffBits(f: Int, g: Int): Int = {
+      val pb = pairs(f, g).map { case (x, y) =>
+        8 + (if (math.abs(x) >= 15) 4 else 0) + (if (x != 0) 1 else 0) +
+            (if (math.abs(y) >= 15) 4 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+    (0 until nFrames).foreach { f =>
+      poolPos = f * cap * 8 // no reservoir: nominal, byte-aligned starts
+      (0 until 2).foreach { g =>
+        pairs(f, g).foreach { case (x, y) =>
+          val mx = math.abs(x); val my = math.abs(y)
+          putPool(math.min(mx, 15) * 16 + math.min(my, 15), 8)
+          if (mx >= 15) putPool(mx - 15, 4)
+          if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+          if (my >= 15) putPool(my - 15, 4)
+          if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+        }
+        quads(f, g).foreach { q =>
+          var code = 0
+          q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+          putPool(code, 4)
+          q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8); put(0xc0, 8)
+      put(0, 9); put(0, 5); put(0, 4) // mdb 0, private, scfsi 0
+      (0 until 2).foreach { g =>
+        put(huffBits(f, g), 12)       // scomp 0 → zero scalefactor bits
+        put(pairs(f, g).size, 9)
+        put(gainOf(f, g), 8)
+        put(0, 4)                     // scalefac_compress 0
+        put(0, 1)                     // no window switching
+        put(4, 5); put(4, 5); put(4, 5) // table 4 (synthetic linbits slot)
+        put(4, 4); put(3, 3)          // region counts
+        put(0, 1)                     // preflag 0
+        put(1, 1)                     // scalefac_scale 1
+        put(1, 1)                     // count1 table B
+      }
       var b = 0
       while (b < cap * 8) {
         if (poolBits(f * cap * 8 + b) == 1)

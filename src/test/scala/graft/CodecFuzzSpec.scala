@@ -43,6 +43,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.layer2Bytes(3, 2),
     Multimodal.layer3Bytes(3, 2),
     Multimodal.layer3BytesFull(3, 2),
+    Multimodal.layer3LinbitsBytes(3, 2),
     Multimodal.layer3StereoBytes(3, 2),
     Multimodal.layer3StereoBytes(3, 2, intensity = true),
     Multimodal.mpeg1IFrameBytes(3, nPictures = 2),
