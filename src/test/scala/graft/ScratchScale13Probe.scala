@@ -14,11 +14,24 @@ import org.apache.spark.sql.functions._
   * numbers. */
 object ScratchScale13Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkTestSession.spark
+    // own local[16] session: the 100×-decade points are compute-bound
+    // and the shared local[4] test session underuses the box by 4×
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[16]")
+      .appName("graft-scale13")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def point(fam: String, n: Long)(f: => Any): (Long, Double) = {
+      val t = time(f)
+      println(f"POINT13 $fam n=$n%9d t=$t%8.2fs")
+      (n, t)
     }
     def report(fam: String, pts: Seq[(Long, Double)]): Unit = {
       val body = pts.map { case (n, t) => f"n=$n%9d t=$t%8.2fs" }
@@ -30,14 +43,18 @@ object ScratchScale13Probe {
     }
 
     // ---- Dedup: MinHash/LSH banding end-to-end, planted 10-way dups.
+    // Token space SCALES with n (the round-10 fixture's fixed 997-token
+    // space saturates at 500k docs: shingle diversity collapses, LSH
+    // buckets merge across groups, and the probe would measure fixture
+    // saturation, not the operator — observed as a >15-min 500k point).
     def docs(n: Int) = spark.range(n).select(col("id").as("doc_id"),
       concat_ws(" ", (0 until 40).map(k =>
-        concat(lit("w"), ((col("id") / lit(10)) * 7 + k * 13) % 997)): _*)
+        concat(lit("w"), ((col("id") / lit(10)) * 7 + k * 13) % (n / 5))): _*)
         .as("text"))
     report("dedup", Seq(5000, 50000, 500000).map { n =>
-      (n.toLong, time(
+      point("dedup", n)(
         graft.pipeline.Dedup.minhashLshPairs(docs(n), "doc_id", "text")
-          .count()))
+          .count())
     })
 
     // ---- ANN: IVF top-k over three corpus decades, 64 queries.
@@ -45,9 +62,9 @@ object ScratchScale13Probe {
     def vecs(n: Int, seed: Double) = spark.range(n).select(col("id"),
       graft.score.Embeddings.deterministicVec(col("id"), dim, seed).as("vec"))
     report("ann_ivf", Seq(20000, 200000, 2000000).map { n =>
-      (n.toLong, time(
+      point("ann_ivf", n)(
         graft.pipeline.Similarity.ivfTopK(vecs(n, 0.3), vecs(64, 1.1),
-          k = 10, nCentroids = 16, dim = dim).count()))
+          k = 10, nCentroids = 16, dim = dim).count())
     })
 
     // ---- Training: two TransE SGD steps at three entity decades
@@ -57,9 +74,9 @@ object ScratchScale13Probe {
       (col("id") % n).as("src"), (col("id") % 7).as("rel"),
       ((col("id") * 31 + 5) % n).as("dst"))
     report("train", Seq(2000, 20000, 200000).map { n =>
-      (n.toLong, time(
+      point("train", n)(
         graft.score.Training.transeSgd(ents(n), edges(n), dim = 8,
-          entSeed = 0.3, relSeed = 1.7, steps = 2).count()))
+          entSeed = 0.3, relSeed = 1.7, steps = 2).count())
     })
   }
 }
