@@ -106,6 +106,132 @@ object SystemQueries {
        |         ) AS x
        |       FROM bd)""".stripMargin
 
+  /** Shared CTE scaffolding for the MPEG-1 coded-residual oracles
+    * (multimodal_mpeg1_presidual / _bresidual): replays the
+    * [[Multimodal.mpeg1PResidualBytes]] fixture relationally from the
+    * closed formulas — intra coefficient chains → dequant → IDCT →
+    * clamped pixels (`px`), the I-picture reference plane (`ref`),
+    * P-macroblock vectors/kinds/CBPs (`mv`), per-pixel half-pel
+    * prediction (`prd`), residual coefficients through the NON-intra
+    * dequant (`rcf`), residual IDCT (`rpx`), and the residual-corrected
+    * P pixels with macroblock-local coordinates (`fin`). `withB`
+    * additionally carries the B-picture intra macroblocks (pc = 2)
+    * through the same intra chain. Starts after a `WITH ids AS (...)`
+    * clause; ends at `fin`. */
+  private def mpeg1ResidCte(withB: Boolean): String = {
+    val pics = if (withB) "(VALUES (0), (1), (2))" else "(VALUES (0), (1))"
+    val extra =
+      if (withB) "\n           OR (pc = 2 AND m IN (0, 3, 7))" else ""
+    s"""cmb AS (SELECT id, pc, m FROM ids, $pics pp(pc),
+       |        range(8) mm(m)
+       |        WHERE pc = 0 OR (pc = 1 AND m IN (0, 7))$extra),
+       |lv AS (SELECT id, pc, m, b, p,
+       |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
+       |               THEN 1
+       |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
+       |          END AS lvl,
+       |          CASE WHEN pc = 1 AND m = 7 THEN 4 ELSE 8 END AS qs
+       |        FROM cmb, range(4) bb(b),
+       |          LATERAL (SELECT UNNEST([
+       |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
+       |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
+       |            50 + (m*3 + b) % 13]) AS p) g),
+       |dqi AS (SELECT id, pc, m, b, p,
+       |          CASE WHEN lvl < 0 THEN -1 ELSE 1 END AS sg,
+       |          (ABS(lvl) * qs * wz[CAST(p AS INT) + 1]) // 8 AS a0
+       |        FROM lv,
+       |          (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
+       |co AS (
+       |  SELECT id, pc, m, b, 0 AS ord,
+       |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
+       |  FROM cmb, range(4) bb(b)
+       |  UNION ALL
+       |  SELECT id, pc, m, b, p AS ord,
+       |    sg * LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+       |               2047) AS f
+       |  FROM dqi),
+       |px AS (
+       |  SELECT id, pc, m, b, x, y,
+       |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
+       |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+       |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+       |      ORDER BY ord))) AS BIGINT))) AS v
+       |  FROM co, range(8) xx(x), range(8) yy(y),
+       |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+       |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+       |  GROUP BY id, pc, m, b, x, y),
+       |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
+       |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
+       |        FROM px WHERE pc = 0 AND b < 4),
+       |mv AS (SELECT id, m,
+       |    CASE m WHEN 1 THEN id % 5 - 2 WHEN 3 THEN -((id // 5) % 3)
+       |           WHEN 5 THEN id % 3 ELSE 0 END AS dx,
+       |    CASE m WHEN 1 THEN (id // 3) % 3 WHEN 3 THEN (id // 7) % 3
+       |           WHEN 5 THEN -((id // 11) % 2) ELSE 0 END AS dy,
+       |    CASE m WHEN 1 THEN 5 WHEN 2 THEN 6 WHEN 3 THEN 5
+       |           WHEN 4 THEN 2 WHEN 5 THEN 1 ELSE 6 END AS kind,
+       |    CASE WHEN m IN (1, 2, 3, 6) THEN 1 + (id*5 + m*11) % 63
+       |         ELSE 0 END AS cbp
+       |  FROM ids, range(7) mm(m) WHERE m >= 1),
+       |mc AS (SELECT v.id, v.m, v.kind, v.dx, v.dy, v.cbp,
+       |         xx.x AS lx, yy.y AS ly,
+       |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
+       |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
+       |       FROM mv v, range(16) xx(x), range(16) yy(y)),
+       |prd AS (
+       |  SELECT c.id, c.m, c.kind, c.dx, c.dy, c.cbp, c.lx, c.ly,
+       |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
+       |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
+       |           THEN (r00.v + r01.v + 1) // 2
+       |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
+       |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS pv
+       |  FROM mc c
+       |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
+       |    AND r00.ry = c.y2 // 2
+       |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
+       |    AND r01.ry = c.y2 // 2
+       |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
+       |    AND r10.ry = c.y2 // 2 + 1
+       |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
+       |    AND r11.ry = c.y2 // 2 + 1),
+       |cdb AS (SELECT id, m, b FROM mv, range(4) bb(b)
+       |        WHERE cbp > 0 AND ((cbp >> (5 - CAST(b AS INT))) & 1) = 1),
+       |rk AS (SELECT id, m, b, k,
+       |         CASE WHEN k = 0 THEN (id + m + b) % 2
+       |              ELSE 1 + (id*3 + b*5 + k*7) % 6 END AS step,
+       |         CASE WHEN (id*7 + m*3 + b*11 + k*13) % 19 - 9 = 0 THEN 1
+       |              ELSE (id*7 + m*3 + b*11 + k*13) % 19 - 9 END AS lvl
+       |       FROM cdb, range(4) kk(k)
+       |       WHERE k < 2 + (id + m + b) % 3),
+       |rps AS (SELECT id, m, b, k, lvl,
+       |          SUM(step) OVER (PARTITION BY id, m, b ORDER BY k) AS pos
+       |        FROM rk),
+       |rcf AS (SELECT id, m, b, pos AS ord,
+       |          (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
+       |          LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+       |                2047) AS f
+       |        FROM (SELECT *, (2 * ABS(lvl) + 1) *
+       |                (CASE WHEN m IN (3, 6) THEN 4 ELSE 8 END) AS a0
+       |              FROM rps) q),
+       |rpx AS (SELECT id, m, b, x, y,
+       |    CAST(ROUND(list_sum(list(
+       |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+       |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+       |      ORDER BY ord))) AS BIGINT) AS rv
+       |  FROM rcf, range(8) xx(x), range(8) yy(y),
+       |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+       |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+       |  GROUP BY id, m, b, x, y),
+       |rmap AS (SELECT id, m, 8 * (b % 2) + x AS lx,
+       |                8 * (b // 2) + y AS ly, rv
+       |         FROM rpx),
+       |fin AS (SELECT p.id, p.m, p.kind, p.dx, p.dy, p.cbp, p.lx, p.ly,
+       |          LEAST(255, GREATEST(0, p.pv + COALESCE(r.rv, 0))) AS v
+       |        FROM prd p LEFT JOIN rmap r
+       |          ON r.id = p.id AND r.m = p.m AND r.lx = p.lx
+       |            AND r.ly = p.ly)""".stripMargin
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // S2/S3-adjacent: the derived entity dictionary (id, name).
@@ -2358,113 +2484,7 @@ object SystemQueries {
                "y_sum", "y_sqsum")
       },
       Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
-             |cmb AS (SELECT id, pc, m FROM ids, (VALUES (0), (1)) pp(pc),
-             |        range(8) mm(m) WHERE pc = 0 OR m IN (0, 7)),
-             |lv AS (SELECT id, pc, m, b, p,
-             |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
-             |               THEN 1
-             |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
-             |          END AS lvl,
-             |          CASE WHEN pc = 1 AND m = 7 THEN 4 ELSE 8 END AS qs
-             |        FROM cmb, range(4) bb(b),
-             |          LATERAL (SELECT UNNEST([
-             |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
-             |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
-             |            50 + (m*3 + b) % 13]) AS p) g),
-             |dqi AS (SELECT id, pc, m, b, p,
-             |          CASE WHEN lvl < 0 THEN -1 ELSE 1 END AS sg,
-             |          (ABS(lvl) * qs * wz[CAST(p AS INT) + 1]) // 8 AS a0
-             |        FROM lv,
-             |          (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
-             |co AS (
-             |  SELECT id, pc, m, b, 0 AS ord,
-             |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
-             |  FROM cmb, range(4) bb(b)
-             |  UNION ALL
-             |  SELECT id, pc, m, b, p AS ord,
-             |    sg * LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
-             |               2047) AS f
-             |  FROM dqi),
-             |px AS (
-             |  SELECT id, pc, m, b, x, y,
-             |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
-             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
-             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
-             |      ORDER BY ord))) AS BIGINT))) AS v
-             |  FROM co, range(8) xx(x), range(8) yy(y),
-             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
-             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
-             |  GROUP BY id, pc, m, b, x, y),
-             |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
-             |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
-             |        FROM px WHERE pc = 0 AND b < 4),
-             |mv AS (SELECT id, m,
-             |    CASE m WHEN 1 THEN id % 5 - 2 WHEN 3 THEN -((id // 5) % 3)
-             |           WHEN 5 THEN id % 3 ELSE 0 END AS dx,
-             |    CASE m WHEN 1 THEN (id // 3) % 3 WHEN 3 THEN (id // 7) % 3
-             |           WHEN 5 THEN -((id // 11) % 2) ELSE 0 END AS dy,
-             |    CASE m WHEN 1 THEN 5 WHEN 2 THEN 6 WHEN 3 THEN 5
-             |           WHEN 4 THEN 2 WHEN 5 THEN 1 ELSE 6 END AS kind,
-             |    CASE WHEN m IN (1, 2, 3, 6) THEN 1 + (id*5 + m*11) % 63
-             |         ELSE 0 END AS cbp
-             |  FROM ids, range(7) mm(m) WHERE m >= 1),
-             |mc AS (SELECT v.id, v.m, v.kind, v.dx, v.dy, v.cbp,
-             |         xx.x AS lx, yy.y AS ly,
-             |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
-             |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
-             |       FROM mv v, range(16) xx(x), range(16) yy(y)),
-             |prd AS (
-             |  SELECT c.id, c.m, c.kind, c.dx, c.dy, c.cbp, c.lx, c.ly,
-             |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
-             |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
-             |           THEN (r00.v + r01.v + 1) // 2
-             |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
-             |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS pv
-             |  FROM mc c
-             |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
-             |    AND r00.ry = c.y2 // 2
-             |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
-             |    AND r01.ry = c.y2 // 2
-             |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
-             |    AND r10.ry = c.y2 // 2 + 1
-             |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
-             |    AND r11.ry = c.y2 // 2 + 1),
-             |cdb AS (SELECT id, m, b FROM mv, range(4) bb(b)
-             |        WHERE cbp > 0 AND ((cbp >> (5 - CAST(b AS INT))) & 1) = 1),
-             |rk AS (SELECT id, m, b, k,
-             |         CASE WHEN k = 0 THEN (id + m + b) % 2
-             |              ELSE 1 + (id*3 + b*5 + k*7) % 6 END AS step,
-             |         CASE WHEN (id*7 + m*3 + b*11 + k*13) % 19 - 9 = 0 THEN 1
-             |              ELSE (id*7 + m*3 + b*11 + k*13) % 19 - 9 END AS lvl
-             |       FROM cdb, range(4) kk(k)
-             |       WHERE k < 2 + (id + m + b) % 3),
-             |rps AS (SELECT id, m, b, k, lvl,
-             |          SUM(step) OVER (PARTITION BY id, m, b ORDER BY k) AS pos
-             |        FROM rk),
-             |rcf AS (SELECT id, m, b, pos AS ord,
-             |          (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
-             |          LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
-             |                2047) AS f
-             |        FROM (SELECT *, (2 * ABS(lvl) + 1) *
-             |                (CASE WHEN m IN (3, 6) THEN 4 ELSE 8 END) AS a0
-             |              FROM rps) q),
-             |rpx AS (SELECT id, m, b, x, y,
-             |    CAST(ROUND(list_sum(list(
-             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
-             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
-             |      ORDER BY ord))) AS BIGINT) AS rv
-             |  FROM rcf, range(8) xx(x), range(8) yy(y),
-             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
-             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
-             |  GROUP BY id, m, b, x, y),
-             |rmap AS (SELECT id, m, 8 * (b % 2) + x AS lx,
-             |                8 * (b // 2) + y AS ly, rv
-             |         FROM rpx),
-             |fin AS (SELECT p.id, p.m, p.kind, p.dx, p.dy, p.cbp,
-             |          LEAST(255, GREATEST(0, p.pv + COALESCE(r.rv, 0))) AS v
-             |        FROM prd p LEFT JOIN rmap r
-             |          ON r.id = p.id AND r.m = p.m AND r.lx = p.lx
-             |            AND r.ly = p.ly)
+             |${mpeg1ResidCte(withB = false)}
              |SELECT id AS media_id, CAST(0 AS BIGINT) AS pic,
              |  CAST(m AS BIGINT) AS mb, CAST(0 AS BIGINT) AS kind,
              |  CAST(0 AS BIGINT) AS dx, CAST(0 AS BIGINT) AS dy,
@@ -2504,112 +2524,7 @@ object SystemQueries {
                "cbp", "y_sum", "y_sqsum")
       },
       Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
-             |cmb AS (SELECT id, pc, m FROM ids, (VALUES (0), (1), (2)) pp(pc),
-             |        range(8) mm(m)
-             |        WHERE pc = 0 OR (pc = 1 AND m IN (0, 7))
-             |           OR (pc = 2 AND m IN (0, 3, 7))),
-             |lv AS (SELECT id, pc, m, b, p,
-             |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
-             |               THEN 1
-             |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
-             |          END AS lvl,
-             |          CASE WHEN pc = 1 AND m = 7 THEN 4 ELSE 8 END AS qs
-             |        FROM cmb, range(4) bb(b),
-             |          LATERAL (SELECT UNNEST([
-             |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
-             |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
-             |            50 + (m*3 + b) % 13]) AS p) g),
-             |dqi AS (SELECT id, pc, m, b, p,
-             |          CASE WHEN lvl < 0 THEN -1 ELSE 1 END AS sg,
-             |          (ABS(lvl) * qs * wz[CAST(p AS INT) + 1]) // 8 AS a0
-             |        FROM lv,
-             |          (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
-             |co AS (
-             |  SELECT id, pc, m, b, 0 AS ord,
-             |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
-             |  FROM cmb, range(4) bb(b)
-             |  UNION ALL
-             |  SELECT id, pc, m, b, p AS ord,
-             |    sg * LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
-             |               2047) AS f
-             |  FROM dqi),
-             |px AS (
-             |  SELECT id, pc, m, b, x, y,
-             |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
-             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
-             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
-             |      ORDER BY ord))) AS BIGINT))) AS v
-             |  FROM co, range(8) xx(x), range(8) yy(y),
-             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
-             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
-             |  GROUP BY id, pc, m, b, x, y),
-             |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
-             |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
-             |        FROM px WHERE pc = 0 AND b < 4),
-             |mv AS (SELECT id, m,
-             |    CASE m WHEN 1 THEN id % 5 - 2 WHEN 3 THEN -((id // 5) % 3)
-             |           WHEN 5 THEN id % 3 ELSE 0 END AS dx,
-             |    CASE m WHEN 1 THEN (id // 3) % 3 WHEN 3 THEN (id // 7) % 3
-             |           WHEN 5 THEN -((id // 11) % 2) ELSE 0 END AS dy,
-             |    CASE WHEN m IN (1, 2, 3, 6) THEN 1 + (id*5 + m*11) % 63
-             |         ELSE 0 END AS cbp
-             |  FROM ids, range(7) mm(m) WHERE m >= 1),
-             |mc AS (SELECT v.id, v.m, v.cbp, xx.x AS lx, yy.y AS ly,
-             |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
-             |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
-             |       FROM mv v, range(16) xx(x), range(16) yy(y)),
-             |prd AS (
-             |  SELECT c.id, c.m, c.cbp, c.lx, c.ly,
-             |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
-             |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
-             |           THEN (r00.v + r01.v + 1) // 2
-             |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
-             |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS pv
-             |  FROM mc c
-             |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
-             |    AND r00.ry = c.y2 // 2
-             |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
-             |    AND r01.ry = c.y2 // 2
-             |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
-             |    AND r10.ry = c.y2 // 2 + 1
-             |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
-             |    AND r11.ry = c.y2 // 2 + 1),
-             |cdb AS (SELECT id, m, b FROM mv, range(4) bb(b)
-             |        WHERE cbp > 0 AND ((cbp >> (5 - CAST(b AS INT))) & 1) = 1),
-             |rk AS (SELECT id, m, b, k,
-             |         CASE WHEN k = 0 THEN (id + m + b) % 2
-             |              ELSE 1 + (id*3 + b*5 + k*7) % 6 END AS step,
-             |         CASE WHEN (id*7 + m*3 + b*11 + k*13) % 19 - 9 = 0 THEN 1
-             |              ELSE (id*7 + m*3 + b*11 + k*13) % 19 - 9 END AS lvl
-             |       FROM cdb, range(4) kk(k)
-             |       WHERE k < 2 + (id + m + b) % 3),
-             |rps AS (SELECT id, m, b, k, lvl,
-             |          SUM(step) OVER (PARTITION BY id, m, b ORDER BY k) AS pos
-             |        FROM rk),
-             |rcf AS (SELECT id, m, b, pos AS ord,
-             |          (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
-             |          LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
-             |                2047) AS f
-             |        FROM (SELECT *, (2 * ABS(lvl) + 1) *
-             |                (CASE WHEN m IN (3, 6) THEN 4 ELSE 8 END) AS a0
-             |              FROM rps) q),
-             |rpx AS (SELECT id, m, b, x, y,
-             |    CAST(ROUND(list_sum(list(
-             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
-             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
-             |      ORDER BY ord))) AS BIGINT) AS rv
-             |  FROM rcf, range(8) xx(x), range(8) yy(y),
-             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
-             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
-             |  GROUP BY id, m, b, x, y),
-             |rmap AS (SELECT id, m, 8 * (b % 2) + x AS lx,
-             |                8 * (b // 2) + y AS ly, rv
-             |         FROM rpx),
-             |fin AS (SELECT p.id, p.m, p.lx, p.ly,
-             |          LEAST(255, GREATEST(0, p.pv + COALESCE(r.rv, 0))) AS v
-             |        FROM prd p LEFT JOIN rmap r
-             |          ON r.id = p.id AND r.m = p.m AND r.lx = p.lx
-             |            AND r.ly = p.ly),
+             |${mpeg1ResidCte(withB = true)},
              |pfull AS (
              |  SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
              |         16 * (m // 4) + 8 * (b // 2) + y AS ry, v

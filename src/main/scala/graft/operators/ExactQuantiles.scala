@@ -46,7 +46,13 @@ object ExactQuantiles {
     * @param specs     (valueCol, outputName, p) triples; output names
     *                  must be unique — each becomes a double column
     * @param buckets   range-bucket fan-out for the two-level prefix sum
-    * @return one row per group: groupCols ++ one double column per spec
+    * @return one row per group: groupCols ++ one double column per spec.
+    *         Contract note (ExactQuantilesPropertySpec): a group whose
+    *         values are ALL null yields no row here, where the built-in
+    *         `percentile` yields a NULL-valued row — the melt drops
+    *         null values before grouping. Callers needing the empty
+    *         groups re-attach them with a left join from the group
+    *         universe.
     */
   def quantiles(df: DataFrame, groupCols: Seq[String],
                 specs: Seq[(String, String, Double)],
