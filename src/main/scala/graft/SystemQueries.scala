@@ -64,6 +64,10 @@ object SystemQueries {
   private val l3CaLit = Multimodal.l3Ca.mkString("[", ", ", "]")
   private val l3WinLit = Multimodal.l3Win.mkString("[", ", ", "]")
   private val l3CtLit = Multimodal.l3CosTab.mkString("[", ", ", "]")
+  private val l3SnLit = Multimodal.l3SynthN.mkString("[", ", ", "]")
+  private val l3SdLit = Multimodal.l3SynthD.mkString("[", ", ", "]")
+  private val l3C12Lit = Multimodal.l3Cos12.mkString("[", ", ", "]")
+  private val l3W12Lit = Multimodal.l3Win12.mkString("[", ", ", "]")
 
   /** CTE chain id/f/g/gidx → requantized frequency lines `xr(line, x)`:
     * big-values pairs + count1 quadruples by the fixture formulas, then
@@ -105,6 +109,57 @@ object SystemQueries {
        |              THEN $l3PretabLit[CAST(band AS INT) + 1] ELSE 0 END)
        |         ) AS x
        |       FROM bd)""".stripMargin
+
+  /** CTE chain xr → time-domain subband samples `ov(id, gidx, sb, i, v)`:
+    * alias-reduction butterflies, the 36-point long-block IMDCT with the
+    * sine window, overlap-add across the granule sequence, and
+    * odd-subband frequency inversion — the §2.4.3.4.10–12 transform
+    * replayed relationally with the decoder's 1e-12-quantized constants
+    * and order-pinned folds. Shared by multimodal_mp3_imdct and
+    * multimodal_mp3_synth. */
+  private val l3OvCte: String =
+    s"""dense AS (
+       |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
+       |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+       |  CROSS JOIN range(576) ll(l)
+       |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+       |    AND x3.line = ll.l),
+       |al AS (
+       |  SELECT d.id, d.gidx, d.line,
+       |    CASE
+       |      WHEN d.line % 18 <= 7 AND d.line >= 18 THEN
+       |        d.x * ($l3CsLit)[CAST(d.line % 18 AS INT) + 1]
+       |        + p.x * ($l3CaLit)[CAST(d.line % 18 AS INT) + 1]
+       |      WHEN d.line % 18 >= 10 AND d.line < 558 THEN
+       |        d.x * ($l3CsLit)[CAST(17 - d.line % 18 AS INT) + 1]
+       |        - p.x * ($l3CaLit)[CAST(17 - d.line % 18 AS INT) + 1]
+       |      ELSE d.x END AS x
+       |  FROM dense d
+       |  LEFT JOIN dense p ON p.id = d.id AND p.gidx = d.gidx
+       |    AND p.line =
+       |      CASE WHEN d.line % 18 <= 7 AND d.line >= 18
+       |             THEN d.line - 2 * (d.line % 18) - 1
+       |           WHEN d.line % 18 >= 10 AND d.line < 558
+       |             THEN d.line + 35 - 2 * (d.line % 18)
+       |           ELSE NULL END),
+       |im AS (
+       |  SELECT a.id, a.gidx, a.line // 18 AS sb, ii.i,
+       |    list_sum(list(
+       |      a.x * ($l3CtLit)[CAST(ii.i * 18 + a.line % 18 AS INT) + 1]
+       |      ORDER BY a.line))
+       |      * ($l3WinLit)[CAST(ii.i AS INT) + 1] AS zw
+       |  FROM al a CROSS JOIN range(36) ii(i)
+       |  GROUP BY a.id, a.gidx, a.line // 18, ii.i),
+       |ov AS (
+       |  SELECT h.id, h.gidx, h.sb, h.i,
+       |    (h.zw + COALESCE(t3.zw, 0.0)) *
+       |      (CASE WHEN h.sb % 2 = 1 AND h.i % 2 = 1
+       |            THEN -1.0 ELSE 1.0 END) AS v
+       |  FROM (SELECT * FROM im WHERE i < 18) h
+       |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, sb, i - 18 AS i, zw
+       |             FROM im WHERE i >= 18) t3
+       |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.sb = h.sb
+       |    AND t3.i = h.i)""".stripMargin
 
   /** Shared CTE scaffolding for the MPEG-1 coded-residual oracles
     * (multimodal_mpeg1_presidual / _bresidual): replays the
@@ -1717,7 +1772,7 @@ object SystemQueries {
         import s.implicits._
         s.range(24).flatMap { id =>
           val nf = (id % 3).toInt + 1
-          val (_, grans, _) = Multimodal.layer3DecodeFull(
+          val (_, grans, _, _) = Multimodal.layer3DecodeFull(
             Multimodal.layer3BytesFull(id, nf)).get
           grans.map(g => (id, g.frame.toLong, g.granule.toLong,
             g.mainDataBegin.toLong, g.preflag.toLong, g.nCount1.toLong,
@@ -1752,57 +1807,167 @@ object SystemQueries {
         import s.implicits._
         s.range(24).flatMap { id =>
           val nf = (id % 3).toInt + 1
-          val (_, _, subs) = Multimodal.layer3DecodeFull(
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
             Multimodal.layer3BytesFull(id, nf)).get
           subs.map(b => (id, b.frame.toLong, b.granule.toLong,
             b.subband.toLong, b.sSum, b.sMsq))
         }.toDF("media_id", "frame", "granule", "subband", "s_sum", "s_msq")
       },
       Some(s"""WITH $l3XrCte,
+             |$l3OvCte
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule, CAST(sb AS BIGINT) AS subband,
+             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
+             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
+
+    // REAL MP3 polyphase synthesis MACHINERY (§2.4.3.2.2) on top of the
+    // full chain: per time step the 1024-sample V shift register advances
+    // by 64, the 32 subband samples are matrixed through the CLOSED-FORM
+    // N(k,i) = cos((16+k)(2i+1)π/64), the U vector is extracted
+    // (U[j·64+i]=V[j·128+i], U[j·64+32+i]=V[j·128+96+i]), and each PCM
+    // sample is the 16-tap windowed sum — with a GRAFT-SYNTHETIC
+    // closed-form window standing in for the tabulated ISO Table C.1
+    // coefficients (which stay declared; see Multimodal.l3SynthD). The
+    // oracle replays the register as an M-history: the V block at depth d
+    // of step t IS the matrixed vector of step t−d, so each output sample
+    // is Σ_d M(t−d)[off(d,i)]·D[d·32+i] with off = i (d even) / 32+i
+    // (d odd), zero history before the stream start — folds order-pinned
+    // by d, constants interpolated as the decoder's 1e-12-quantized
+    // literal doubles.
+    ("multimodal_mp3_synth",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, _, pcms) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3BytesFull(id, nf)).get
+          pcms.map(p => (id, p.frame.toLong, p.granule.toLong,
+            p.pcmSum, p.pcmMsq))
+        }.toDF("media_id", "frame", "granule", "pcm_sum", "pcm_msq")
+      },
+      Some(s"""WITH $l3XrCte,
+             |$l3OvCte,
+             |mtx AS (
+             |  SELECT o.id, o.gidx * 18 + o.i AS tg, kk.k,
+             |    list_sum(list(
+             |      o.v * ($l3SnLit)[CAST(kk.k * 32 + o.sb AS INT) + 1]
+             |      ORDER BY o.sb)) AS mv
+             |  FROM ov o CROSS JOIN range(64) kk(k)
+             |  GROUP BY o.id, o.gidx * 18 + o.i, kk.k),
+             |pcm AS (
+             |  SELECT st.id, st.tg, ii.i2,
+             |    list_sum(list(
+             |      COALESCE(m.mv, 0.0) *
+             |        ($l3SdLit)[CAST(dd.d * 32 + ii.i2 AS INT) + 1]
+             |      ORDER BY dd.d)) AS p
+             |  FROM (SELECT DISTINCT id, tg FROM mtx) st
+             |  CROSS JOIN range(32) ii(i2) CROSS JOIN range(16) dd(d)
+             |  LEFT JOIN mtx m ON m.id = st.id AND m.tg = st.tg - dd.d
+             |    AND m.k = CASE WHEN dd.d % 2 = 0 THEN ii.i2
+             |                   ELSE 32 + ii.i2 END
+             |  GROUP BY st.id, st.tg, ii.i2),
+             |pcg AS (SELECT id, tg // 18 AS gidx, tg % 18 AS t, i2, p
+             |        FROM pcm)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule,
+             |  ROUND(list_sum(list(p ORDER BY t * 32 + i2)), 6) + 0.0
+             |    AS pcm_sum,
+             |  ROUND(list_sum(list(p * p ORDER BY t * 32 + i2)), 6)
+             |    + 0.0 AS pcm_msq
+             |FROM pcg GROUP BY id, gidx""".stripMargin)),
+
+    // REAL MP3 SHORT-BLOCK (window-switching) machinery: the §2.4.1.7
+    // side-info form (block_type 2 / mixed 0, two table_selects, three
+    // subblock_gains, implicit entropy-line-36 region boundary), 12×3
+    // short scalefactors, per-window subblock-gain requantization, the
+    // §2.4.3.4.8 stride-3 reorder (spectral line l of window w → slot
+    // 3l+w), three 12-point IMDCTs per subband with the CLOSED-FORM
+    // short sine window, the 6-offset overlap assembly into 36 samples,
+    // granule overlap-add, and odd-subband inversion. Short
+    // scalefactor-band GEOMETRY is the synthetic uniform 12×16 layout
+    // (ISO Table B.8 short columns stay declared — same structural
+    // boundary as the linbits/synthesis rows). Fixture gains keep every
+    // requantized value dyadic; IMDCT folds are order-pinned.
+    ("multimodal_mp3_shortblock",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3ShortBytes(id, nf)).get
+          subs.map(b => (id, b.frame.toLong, b.granule.toLong,
+            b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "granule", "subband", "s_sum", "s_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g, f * 2 + g AS gidx
+             |       FROM range(24) t(r), range(3) ff(f), range(2) gg(g)
+             |       WHERE f < r % 3 + 1),
+             |pl AS (SELECT id, f, g, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0 THEN (id*3 + f*7 + g*11 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + g*3 + k*7) % 3 - 1 END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           16 + CAST((id + f + g) % 17 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g, gidx,
+             |         2 * (16 + (id + f + g) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END)
+             |           AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |rq AS (SELECT id, f, g, gidx, line, isv,
+             |         line // 48 AS b, (line % 48) // 16 AS w, line % 16 AS j
+             |       FROM ln3),
+             |xr AS (SELECT id, gidx, 3 * (b * 16 + j) + w AS t,
+             |         isv * POWER(2.0,
+             |           ((id + f*2 + g) % 8 - 2)
+             |           - 2 * ((id + f*2 + g + w*3) % 5)
+             |           - ((id + f + b + w + g*3) % 4)) AS x
+             |       FROM rq),
              |dense AS (
              |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
              |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
              |  CROSS JOIN range(576) ll(l)
              |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
-             |    AND x3.line = ll.l),
-             |al AS (
-             |  SELECT d.id, d.gidx, d.line,
-             |    CASE
-             |      WHEN d.line % 18 <= 7 AND d.line >= 18 THEN
-             |        d.x * ($l3CsLit)[CAST(d.line % 18 AS INT) + 1]
-             |        + p.x * ($l3CaLit)[CAST(d.line % 18 AS INT) + 1]
-             |      WHEN d.line % 18 >= 10 AND d.line < 558 THEN
-             |        d.x * ($l3CsLit)[CAST(17 - d.line % 18 AS INT) + 1]
-             |        - p.x * ($l3CaLit)[CAST(17 - d.line % 18 AS INT) + 1]
-             |      ELSE d.x END AS x
-             |  FROM dense d
-             |  LEFT JOIN dense p ON p.id = d.id AND p.gidx = d.gidx
-             |    AND p.line =
-             |      CASE WHEN d.line % 18 <= 7 AND d.line >= 18
-             |             THEN d.line - 2 * (d.line % 18) - 1
-             |           WHEN d.line % 18 >= 10 AND d.line < 558
-             |             THEN d.line + 35 - 2 * (d.line % 18)
-             |           ELSE NULL END),
-             |im AS (
-             |  SELECT a.id, a.gidx, a.line // 18 AS sb, ii.i,
+             |    AND x3.t = ll.l),
+             |zw AS (
+             |  SELECT d.id, d.gidx, d.line // 18 AS sb,
+             |    (d.line % 18) % 3 AS w, ii.i,
              |    list_sum(list(
-             |      a.x * ($l3CtLit)[CAST(ii.i * 18 + a.line % 18 AS INT) + 1]
-             |      ORDER BY a.line))
-             |      * ($l3WinLit)[CAST(ii.i AS INT) + 1] AS zw
-             |  FROM al a CROSS JOIN range(36) ii(i)
-             |  GROUP BY a.id, a.gidx, a.line // 18, ii.i),
+             |      d.x * ($l3C12Lit)[CAST(ii.i * 6 + (d.line % 18) // 3
+             |                             AS INT) + 1]
+             |      ORDER BY d.line))
+             |      * ($l3W12Lit)[CAST(ii.i AS INT) + 1] AS z
+             |  FROM dense d CROSS JOIN range(12) ii(i)
+             |  GROUP BY d.id, d.gidx, d.line // 18, (d.line % 18) % 3, ii.i),
+             |z36 AS (
+             |  SELECT g2.id, g2.gidx, sbb.sb, ii.i36,
+             |    COALESCE(list_sum(list(a.z ORDER BY a.w)), 0.0) AS zv
+             |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+             |  CROSS JOIN range(32) sbb(sb) CROSS JOIN range(36) ii(i36)
+             |  LEFT JOIN (SELECT id, gidx, sb, 6 + 6 * w + i AS i36, w, z
+             |             FROM zw) a
+             |    ON a.id = g2.id AND a.gidx = g2.gidx AND a.sb = sbb.sb
+             |    AND a.i36 = ii.i36
+             |  GROUP BY g2.id, g2.gidx, sbb.sb, ii.i36),
              |ov AS (
-             |  SELECT h.id, h.gidx, h.sb, h.i,
-             |    (h.zw + COALESCE(t3.zw, 0.0)) *
-             |      (CASE WHEN h.sb % 2 = 1 AND h.i % 2 = 1
+             |  SELECT h.id, h.gidx, h.sb, h.i36 AS i,
+             |    (h.zv + COALESCE(t3.zv, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i36 % 2 = 1
              |            THEN -1.0 ELSE 1.0 END) AS v
-             |  FROM (SELECT * FROM im WHERE i < 18) h
-             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, sb, i - 18 AS i, zw
-             |             FROM im WHERE i >= 18) t3
+             |  FROM (SELECT * FROM z36 WHERE i36 < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, sb, i36 - 18 AS i36,
+             |             zv FROM z36 WHERE i36 >= 18) t3
              |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.sb = h.sb
-             |    AND t3.i = h.i)
+             |    AND t3.i36 = h.i36)
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
-             |  CAST(gidx % 2 AS BIGINT) AS granule, CAST(sb AS BIGINT) AS subband,
+             |  CAST(gidx % 2 AS BIGINT) AS granule,
+             |  CAST(sb AS BIGINT) AS subband,
              |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
              |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
@@ -1819,7 +1984,7 @@ object SystemQueries {
         import s.implicits._
         s.range(16).flatMap { id =>
           val nf = (id % 2).toInt + 1
-          val (_, _, subs) = Multimodal.layer3DecodeFull(
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
             Multimodal.layer3StereoBytes(id, nf)).get
           subs.map(b => (id, b.frame.toLong, b.granule.toLong,
             b.channel.toLong, b.subband.toLong, b.sSum, b.sMsq))
@@ -1940,7 +2105,7 @@ object SystemQueries {
         import s.implicits._
         s.range(24).flatMap { id =>
           val nf = (id % 3).toInt + 1
-          val (_, grans, _) = Multimodal.layer3DecodeFull(
+          val (_, grans, _, _) = Multimodal.layer3DecodeFull(
             Multimodal.layer3LinbitsBytes(id, nf)).get
           grans.map(g => (id, g.frame.toLong, g.granule.toLong,
             g.nCount1.toLong, g.nNonzero.toLong, g.xrSum, g.xrMsq))
@@ -1998,7 +2163,7 @@ object SystemQueries {
         import s.implicits._
         s.range(16).flatMap { id =>
           val nf = (id % 2).toInt + 1
-          val (_, _, subs) = Multimodal.layer3DecodeFull(
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
             Multimodal.layer3StereoBytes(id, nf, intensity = true)).get
           subs.map(b => (id, b.frame.toLong, b.granule.toLong,
             b.channel.toLong, b.subband.toLong, b.sSum, b.sMsq))

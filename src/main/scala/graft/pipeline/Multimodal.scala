@@ -28,15 +28,27 @@ import org.apache.spark.sql.functions._
   * verified in Mpeg1ResidualSpec, value-verified by the
   * `multimodal_mpeg1_presidual`/`_bresidual` oracles). Only pieces that
   * genuinely require external codec tables/libraries (Layer III Huffman
-  * tables > 1, short blocks, and the tabulated polyphase synthesis
-  * window; AAC; arithmetic-coded JPEG; B quant+coded macroblock types)
+  * tables > 1, the ISO short-block scalefactor-band GEOMETRY, and the
+  * ISO synthesis-window COEFFICIENTS; AAC; arithmetic-coded JPEG;
+  * start/stop-window and mixed-block forms)
   * remain a clearly-marked STUB: [[decodeFeatures]] falls
   * back to deterministic byte-moment features there. The Layer III
   * big-values stage is now TABLE-DRIVEN with full ESC/linbits machinery
   * ([[L3Tables]], round 13) — proven end-to-end through a synthetic
   * linbits table mounted at an ISO-unused slot
   * (`multimodal_mp3_linbits`) — so each remaining ISO table 2–31 is a
-  * pure data drop-in. This boundary is a
+  * pure data drop-in; likewise the POLYPHASE SYNTHESIS MACHINERY
+  * (§2.4.3.2.2 shift register, closed-form matrixing, U extraction,
+  * 16-tap windowed sum — [[l3SynthStep]], round 13) is real and proven
+  * through a synthetic closed-form window (`multimodal_mp3_synth`),
+  * leaving the ISO Table C.1 coefficients a one-array drop-in; and the
+  * SHORT-BLOCK machinery (window-switching side info, 12×3
+  * scalefactors, subblock gains, the §2.4.3.4.8 stride-3 reorder,
+  * 12-point IMDCTs with the closed-form short window, 6-offset overlap
+  * assembly — round 13) is real and proven over a synthetic uniform
+  * 12×16 band geometry (`multimodal_mp3_shortblock`), leaving ISO Table
+  * B.8's short columns a one-array drop-in. This
+  * boundary is a
   * deliberate POLICY, not an oversight (maintained rounds 10–13): those
   * pieces are pages of empirical ISO table DATA (11172-3 Table B.7 codes
   * 2–31 with linbits, the 512-coefficient synthesis window, JPEG Annex D
@@ -1631,6 +1643,18 @@ object Multimodal {
   val l3Win: Array[Double] =
     Array.tabulate(36)(i => round12(math.sin(math.Pi / 36.0 * (i + 0.5))))
 
+  /** 12-point short-block IMDCT cosine table, flattened `i*6 + k`
+    * (11172-3 §2.4.3.4.12 with n = 12: cos(π/24·(2i+1+6)·(2k+1))), and
+    * the short-block sine window (§2.4.3.4.10.3 block_type 2:
+    * sin(π/12·(i+½))) — both CLOSED-FORM and 1e-12-quantized for engine
+    * portability. */
+  val l3Cos12: Array[Double] = Array.tabulate(12 * 6) { idx =>
+    val i = idx / 6; val k = idx % 6
+    round12(math.cos(math.Pi / 24.0 * (2 * i + 1 + 6) * (2 * k + 1)))
+  }
+  val l3Win12: Array[Double] =
+    Array.tabulate(12)(i => round12(math.sin(math.Pi / 12.0 * (i + 0.5))))
+
   /** 48 kHz long-block scalefactor-band starts and the pretab, visible
     * for SQL interpolation. */
   private[graft] def l3Sfb48: Array[Int] = L3Sfb48
@@ -1662,6 +1686,69 @@ object Multimodal {
     * handled exactly, 7 means no processing). */
   val l3IsRatio: Array[Double] =
     Array.tabulate(6)(p => round12(math.tan(p * math.Pi / 12.0)))
+
+  /** Polyphase synthesis matrixing coefficients (11172-3 §2.4.3.2.2 /
+    * Annex A flow chart: N(k,i) = cos((16+k)·(2i+1)·π/64), k = 0..63,
+    * i = 0..31), flattened `k*32 + i` and 1e-12-quantized — CLOSED-FORM
+    * ISO structure, not tabulated data. */
+  val l3SynthN: Array[Double] = Array.tabulate(64 * 32) { idx =>
+    val k = idx / 32; val i = idx % 32
+    round12(math.cos((16 + k) * (2 * i + 1) * math.Pi / 64.0))
+  }
+
+  /** GRAFT-SYNTHETIC 512-coefficient synthesis window. The ISO window
+    * (11172-3 Table C.1 / Annex B Table 3-B.3) is TABULATED empirical
+    * data we refuse to approximate (header policy note); this
+    * closed-form stand-in — sin(π·(2n+1)/1024)/32, 1e-12-quantized —
+    * exists solely to drive the REAL §2.4.3.2.2 synthesis machinery
+    * (1024-sample shift register, closed-form matrixing, the U-vector
+    * extraction V[j·128+i]/V[j·128+96+i], and the 16-tap windowed sum)
+    * end-to-end. Swapping in the ISO coefficients is a one-array drop-in
+    * that activates conformant PCM; the machinery itself is what this
+    * table proves. Aliasing-safe for index bugs: D[a] = D[b] only when
+    * a + b = 511, which no same-output-sample tap pair satisfies
+    * (32·(j1+j2) + 2·i = 511 is odd). */
+  val l3SynthD: Array[Double] =
+    Array.tabulate(512)(n => round12(math.sin((2 * n + 1) * math.Pi / 1024.0) / 32.0))
+
+  /** Windowed PCM output of one granule through the polyphase synthesis
+    * machinery (18 steps × 32 samples; synthetic window — see
+    * [[l3SynthD]]): per-granule sum and sum-of-squares of the 576
+    * output samples, folded in (step, sample) order. */
+  final case class L3PcmOut(frame: Int, granule: Int,
+                            pcmSum: Double, pcmMsq: Double, channel: Int = 0)
+
+  /** One §2.4.3.2.2 synthesis step: shifts the 1024-sample V register
+    * `vv` by 64 (mutating it), matrixes the 32 subband samples `s`
+    * through [[l3SynthN]], extracts the U vector
+    * (U[j·64+i] = V[j·128+i], U[j·64+32+i] = V[j·128+96+i]), and returns
+    * the 32 PCM samples as 16-tap windowed sums over [[l3SynthD]].
+    * Register depth: 1024/64 = 16 steps — an input stops influencing
+    * the output exactly 16 steps later. */
+  private[graft] def l3SynthStep(vv: Array[Double],
+                                 s: Array[Double]): Array[Double] = {
+    var k = 1023
+    while (k >= 64) { vv(k) = vv(k - 64); k -= 1 }
+    k = 0
+    while (k < 64) {
+      var acc = 0.0
+      var sb = 0
+      while (sb < 32) { acc += s(sb) * l3SynthN(k * 32 + sb); sb += 1 }
+      vv(k) = acc
+      k += 1
+    }
+    Array.tabulate(32) { i =>
+      var acc = 0.0
+      var j = 0
+      while (j < 16) {
+        val u = if (j % 2 == 0) vv((j / 2) * 128 + i)
+                else vv((j / 2) * 128 + 96 + i)
+        acc += u * l3SynthD(j * 32 + i)
+        j += 1
+      }
+      acc
+    }
+  }
 
   /** REAL MP3 (MPEG-1 Audio Layer III) payload decode through the
     * reservoir + requantization + transform chain (ISO/IEC 11172-3
@@ -1695,14 +1782,25 @@ object Multimodal {
     *     tan(is_pos·π/12), is_pos from the right channel's scalefactor
     *     slots (7 = no processing).
     *
+    *   - POLYPHASE SYNTHESIS (§2.4.3.2.2): the REAL machinery — per time
+    *     step the 1024-sample V shift register advances by 64, the 32
+    *     subband samples are matrixed through the closed-form
+    *     N(k,i) = cos((16+k)(2i+1)π/64), the 512-sample U vector is
+    *     extracted (U[j·64+i] = V[j·128+i], U[j·64+32+i] = V[j·128+96+i]),
+    *     and each of the 32 PCM samples is the 16-tap windowed sum
+    *     Σⱼ U[j·32+i]·D[j·32+i] — with the GRAFT-SYNTHETIC window of
+    *     [[l3SynthD]] standing in for the tabulated ISO Table C.1
+    *     coefficients (which stay declared).
+    *
     * Still declared (None on encounter): Huffman tables > 1,
-    * window-switching/short blocks, count1 table A,
-    * and the final polyphase synthesis (its 512-coefficient window Table
-    * C.1 is a tabulated constant we refuse to approximate). Transform
+    * window-switching/short blocks, count1 table A, and the ISO synthesis
+    * window coefficients (Table C.1 — tabulated constants we refuse to
+    * approximate; the synthesis MACHINERY above is real). Transform
     * constants are 1e-12-quantized so the oracle can replay the exact
     * doubles. */
   def layer3DecodeFull(bytes: Array[Byte])
-      : Option[(AudioMeta, Seq[L3GranuleFull], Seq[L3SubbandOut])] = {
+      : Option[(AudioMeta, Seq[L3GranuleFull], Seq[L3SubbandOut],
+                Seq[L3PcmOut])] = {
     // header → (frame length, channels, MS flag, intensity flag); mono,
     // plain stereo, and joint stereo with the MS and/or intensity
     // extensions are supported.
@@ -1743,13 +1841,20 @@ object Multimodal {
       len - 4 - sideBytes(nch)
     }.scanLeft(0)(_ + _)
 
+    // bt = block_type (0 long, 2 short/non-mixed — 1/3 start/stop and
+    // mixed blocks stay declared); sbg = subblock_gain per short window
     final case class Side(part23: Int, bigValues: Int, gain: Int, scomp: Int,
                           tables: Array[Int], r0: Int, r1: Int, preflag: Int,
-                          sfScale: Int, c1Sel: Int)
+                          sfScale: Int, c1Sel: Int, bt: Int = 0,
+                          sbg: Array[Int] = Array(0, 0, 0))
     val grans = Seq.newBuilder[L3GranuleFull]
     val subs = Seq.newBuilder[L3SubbandOut]
+    val pcms = Seq.newBuilder[L3PcmOut]
     // overlap-add state per channel: previous granule's windowed tails
     val prevTail = Array.ofDim[Double](2, 32, 18)
+    // polyphase synthesis state per channel: the 1024-sample V shift
+    // register of §2.4.3.2.2, persisted across granules and frames
+    val synthV = Array.ofDim[Double](2, 1024)
     var ok = true
     var f = 0
     while (ok && f < offs.length) {
@@ -1771,8 +1876,22 @@ object Multimodal {
         val part23 = sbits(12); val bv = sbits(9); val gain = sbits(8)
         val scomp = sbits(4)
         val ws = sbits(1)
-        if (ws == 1) { ok = false; Side(0, 0, 0, 0, Array(0), 0, 0, 0, 0, 0) }
-        else {
+        if (ws == 1) {
+          // window switching (§2.4.1.7): block_type, mixed_block_flag,
+          // TWO table_selects, three subblock_gains; region0/region1 are
+          // implicit (short non-mixed: entropy-line 36 boundary, region1
+          // to the top). Only block_type 2 / mixed 0 is decoded —
+          // start/stop windows (1/3) and mixed blocks stay declared.
+          val bt = sbits(2); val mixed = sbits(1)
+          val tabs = Array(sbits(5), sbits(5))
+          val sbg = Array(sbits(3), sbits(3), sbits(3))
+          val pre = sbits(1); val sfs = sbits(1); val c1 = sbits(1)
+          if (bt != 2 || mixed != 0) {
+            ok = false
+            Side(0, 0, 0, 0, Array(0), 0, 0, 0, 0, 0)
+          } else Side(part23, bv, gain, scomp, tabs, 0, 0, pre, sfs, c1,
+                      bt, sbg)
+        } else {
           val tabs = Array(sbits(5), sbits(5), sbits(5))
           val r0 = sbits(4); val r1 = sbits(3)
           val pre = sbits(1); val sfs = sbits(1); val c1 = sbits(1)
@@ -1811,20 +1930,34 @@ object Multimodal {
               else {
                 val start = bitPos
                 val (slen1, slen2) = L3Slen(s.scomp)
-                // scalefactors with per-channel scfsi sharing
-                // (groups 0-5, 6-10, 11-15, 16-20)
+                val short = s.bt == 2
+                // scalefactors. Long: per-channel scfsi sharing (groups
+                // 0-5, 6-10, 11-15, 16-20). Short (§2.4.2.7): 12 bands ×
+                // 3 windows, slen1 for bands 0-5, slen2 for 6-11, always
+                // transmitted (scfsi does not apply to short blocks).
                 val sf = sfCh(ch)
-                var band = 0
-                while (band < 21) {
-                  val group = if (band < 6) 0 else if (band < 11) 1
-                              else if (band < 16) 2 else 3
-                  val slen = if (band < 11) slen1 else slen2
-                  if (g == 1 && scfsi(ch)(group) == 1)
-                    sf(band) = sfPrev(ch)(band)
-                  else sf(band) = bits(slen)
-                  band += 1
+                val sfS = Array.ofDim[Int](12, 3)
+                if (short) {
+                  var b2 = 0
+                  while (b2 < 12) {
+                    val slen = if (b2 < 6) slen1 else slen2
+                    var w = 0
+                    while (w < 3) { sfS(b2)(w) = bits(slen); w += 1 }
+                    b2 += 1
+                  }
+                } else {
+                  var band = 0
+                  while (band < 21) {
+                    val group = if (band < 6) 0 else if (band < 11) 1
+                                else if (band < 16) 2 else 3
+                    val slen = if (band < 11) slen1 else slen2
+                    if (g == 1 && scfsi(ch)(group) == 1)
+                      sf(band) = sfPrev(ch)(band)
+                    else sf(band) = bits(slen)
+                    band += 1
+                  }
+                  if (g == 0) Array.copy(sf, 0, sfPrev(ch), 0, 21)
                 }
-                if (g == 0) Array.copy(sf, 0, sfPrev(ch), 0, 21)
                 // big_values region (table-driven: any registered table,
                 // ESC/linbits included) + count1 region (table B)
                 val is = new Array[Int](576)
@@ -1853,8 +1986,11 @@ object Multimodal {
                   }
                 }
                 while (!bad && k < s.bigValues && line + 2 <= 576) {
+                  // short non-mixed: implicit entropy-line-36 boundary,
+                  // region1 to the top (§2.4.1.7 window-switching form)
                   val region =
-                    if (line < L3Sfb48(s.r0 + 1)) 0
+                    if (short) { if (line < 36) 0 else 1 }
+                    else if (line < L3Sfb48(s.r0 + 1)) 0
                     else if (line < L3Sfb48(math.min(s.r0 + 1 + s.r1 + 1,
                                                      L3Sfb48.length - 1))) 1
                     else 2
@@ -1894,13 +2030,37 @@ object Multimodal {
                   while (i < 576) {
                     val v = is(i)
                     if (v != 0) {
-                      val bnd = sfbOf(i)
-                      val sfv = if (bnd < 21) sf(bnd) else 0
-                      val x = math.signum(v.toDouble) *
-                        l3Pow43(math.min(math.abs(v), 30)) * mult *
-                        math.pow(2.0, -m * (sfv + s.preflag * L3Pretab(bnd)))
-                      xr(i) = x; nNz += 1; xs += x; xq += x * x
-                      lastNz(ch) = i
+                      val x = if (short) {
+                        // short: entropy order is band-major with the 3
+                        // windows grouped inside each band (synthetic
+                        // uniform 12×16 geometry — ISO Table B.8 short
+                        // columns stay declared); per-window
+                        // subblock_gain (−2 exponent units each) and
+                        // per-(band, window) scalefactor, no pretab
+                        // (preflag is not used with short blocks).
+                        val b = i / 48; val w = (i % 48) / 16
+                        math.signum(v.toDouble) *
+                          l3Pow43(math.min(math.abs(v), 30)) * mult *
+                          math.pow(2.0, -2.0 * s.sbg(w) - m * sfS(b)(w))
+                      } else {
+                        val bnd = sfbOf(i)
+                        val sfv = if (bnd < 21) sf(bnd) else 0
+                        math.signum(v.toDouble) *
+                          l3Pow43(math.min(math.abs(v), 30)) * mult *
+                          math.pow(2.0, -m * (sfv + s.preflag * L3Pretab(bnd)))
+                      }
+                      if (short) {
+                        // reorder (§2.4.3.4.8): spectral line l of window
+                        // w lands at 3·l + w — within subband l/6 the
+                        // windows interleave with stride 3
+                        val b = i / 48; val w = (i % 48) / 16
+                        val l = b * 16 + i % 16
+                        xr(3 * l + w) = x
+                      } else {
+                        xr(i) = x
+                        lastNz(ch) = i
+                      }
+                      nNz += 1; xs += x; xq += x * x
                     }
                     i += 1
                   }
@@ -1918,7 +2078,12 @@ object Multimodal {
               // processing, ratio tan(is_pos·π/12)) are panned from the
               // left-carried signal; remaining bands get the MS matrix
               // (§2.4.3.4.9.1) when the MS extension is on.
-              if (nch == 2 && (ms || intens)) {
+              // MS/intensity over short-block granules stays declared
+              // (long-band geometry drives both) — the short fixtures
+              // are mono/plain-stereo only.
+              if (nch == 2 && (ms || intens) &&
+                  sides(g).exists(_.bt == 2)) ok = false
+              if (ok && nch == 2 && (ms || intens)) {
                 var i = 0
                 while (i < 576) {
                   val bnd = sfbOf(i)
@@ -1943,53 +2108,98 @@ object Multimodal {
                 }
               }
               ch = 0
-              while (ch < nch) {
+              while (ok && ch < nch) {
                 val xr = xrCh(ch)
-                // alias reduction (§2.4.3.4.10.1)
-                var sb = 1
-                while (sb < 32) {
-                  var j = 0
-                  while (j < 8) {
-                    val lo = 18 * sb - 1 - j; val hi = 18 * sb + j
-                    val a = xr(lo); val b = xr(hi)
-                    xr(lo) = a * l3Cs(j) - b * l3Ca(j)
-                    xr(hi) = b * l3Cs(j) + a * l3Ca(j)
-                    j += 1
+                val shortCh = sides(g)(ch).bt == 2
+                // alias reduction (§2.4.3.4.10.1) — long blocks only;
+                // block_type 2 non-mixed has no long subbands to blend
+                if (!shortCh) {
+                  var sb = 1
+                  while (sb < 32) {
+                    var j = 0
+                    while (j < 8) {
+                      val lo = 18 * sb - 1 - j; val hi = 18 * sb + j
+                      val a = xr(lo); val b = xr(hi)
+                      xr(lo) = a * l3Cs(j) - b * l3Ca(j)
+                      xr(hi) = b * l3Cs(j) + a * l3Ca(j)
+                      j += 1
+                    }
+                    sb += 1
                   }
-                  sb += 1
                 }
-                // IMDCT + window + overlap-add + frequency inversion
-                sb = 0
+                // IMDCT + window + overlap-add + frequency inversion.
+                // Long: one 36-point IMDCT per subband. Short
+                // (§2.4.3.4.10.3 block_type 2): three 12-point IMDCTs per
+                // subband over the stride-3-interleaved windows, each
+                // sine-windowed, overlapped at 6-sample offsets into the
+                // 36-sample vector (first/last 6 zero) — then the same
+                // granule overlap-add and inversion as long blocks.
+                val sVal = Array.ofDim[Double](32, 18)
+                var sb = 0
                 while (sb < 32) {
+                  val z36 = new Array[Double](36)
+                  if (shortCh) {
+                    var w = 0
+                    while (w < 3) {
+                      var i2 = 0
+                      while (i2 < 12) {
+                        var zi = 0.0
+                        var kk = 0
+                        while (kk < 6) {
+                          zi += xr(18 * sb + 3 * kk + w) * l3Cos12(i2 * 6 + kk)
+                          kk += 1
+                        }
+                        z36(6 + 6 * w + i2) += zi * l3Win12(i2)
+                        i2 += 1
+                      }
+                      w += 1
+                    }
+                  } else {
+                    var i2 = 0
+                    while (i2 < 36) {
+                      var zi = 0.0
+                      var kk = 0
+                      while (kk < 18) {
+                        zi += xr(18 * sb + kk) * l3CosTab(i2 * 18 + kk)
+                        kk += 1
+                      }
+                      z36(i2) = zi * l3Win(i2)
+                      i2 += 1
+                    }
+                  }
                   var ss = 0.0; var sq = 0.0
                   var i2 = 0
                   while (i2 < 18) {
-                    var zi = 0.0
-                    var kk = 0
-                    while (kk < 18) {
-                      zi += xr(18 * sb + kk) * l3CosTab(i2 * 18 + kk)
-                      kk += 1
-                    }
-                    var v = zi * l3Win(i2) + prevTail(ch)(sb)(i2)
+                    var v = z36(i2) + prevTail(ch)(sb)(i2)
                     if (sb % 2 == 1 && i2 % 2 == 1) v = -v
+                    sVal(sb)(i2) = v
                     ss += v; sq += v * v
+                    // stash this granule's tail for the next overlap-add
+                    prevTail(ch)(sb)(i2) = z36(18 + i2)
                     i2 += 1
-                  }
-                  // stash this granule's tail for the next overlap-add
-                  var i3 = 18
-                  while (i3 < 36) {
-                    var zi = 0.0
-                    var kk = 0
-                    while (kk < 18) {
-                      zi += xr(18 * sb + kk) * l3CosTab(i3 * 18 + kk)
-                      kk += 1
-                    }
-                    prevTail(ch)(sb)(i3 - 18) = zi * l3Win(i3)
-                    i3 += 1
                   }
                   subs += L3SubbandOut(f, g, sb, round6(ss), round6(sq), ch)
                   sb += 1
                 }
+                // polyphase synthesis (§2.4.3.2.2): per time step shift
+                // the V register by 64, matrix the 32 subband samples
+                // through the closed-form N, extract U, and emit the 32
+                // windowed 16-tap sums (synthetic window — l3SynthD).
+                val vv = synthV(ch)
+                var ps = 0.0; var pq = 0.0
+                var t = 0
+                while (t < 18) {
+                  val outw = l3SynthStep(vv,
+                    Array.tabulate(32)(sb2 => sVal(sb2)(t)))
+                  var i4 = 0
+                  while (i4 < 32) {
+                    val a = outw(i4)
+                    ps += a; pq += a * a
+                    i4 += 1
+                  }
+                  t += 1
+                }
+                pcms += L3PcmOut(f, g, round6(ps), round6(pq), ch)
                 ch += 1
               }
             }
@@ -2003,7 +2213,7 @@ object Multimodal {
     else {
       val nch = headers.head._2
       Some((AudioMeta(48000, nch, -1, offs.length), grans.result(),
-            subs.result()))
+            subs.result(), pcms.result()))
     }
   }
 
@@ -2155,6 +2365,127 @@ object Multimodal {
         put(1, 1)                       // count1 table B
       }
       // copy this frame's main-data area from the pool
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** The encode half of the SHORT-BLOCK round trip: a real MPEG-1
+    * Layer III mono 48 kHz / 192 kbps stream whose every granule uses
+    * window switching with block_type 2 / mixed_block_flag 0 — the
+    * §2.4.1.7 side-info form (two table_selects, three subblock_gains,
+    * implicit regions), 12×3 short scalefactors (scomp 9 → slen 2/2,
+    * scfsi 0), per-window subblock gains, a count1-table-B region, and
+    * nonzero reservoir back-pointers. Global gain 210 + 4k, |is| ≤ 1 and
+    * integral exponents keep every requantized value an exact dyadic
+    * double. Short scalefactor-band GEOMETRY is the synthetic uniform
+    * 12×16 layout (ISO Table B.8 short columns stay declared). */
+  def layer3ShortBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 21
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    def sfOf(f: Int, g: Int, b: Int, w: Int): Int =
+      ((seed + f + b + w + g * 3) % 4).toInt
+    def sbgOf(f: Int, g: Int, w: Int): Int =
+      ((seed + f * 2 + g + w * 3) % 5).toInt
+    def pairs(f: Int, g: Int): Seq[(Int, Int)] = {
+      val n = 16 + ((seed + f + g) % 17).toInt
+      (0 until n).map(k =>
+        ((((seed * 3 + f * 7 + g * 11 + k * 5) % 3) - 1).toInt,
+         (((seed * 5 + f * 11 + g * 3 + k * 7) % 3) - 1).toInt))
+    }
+    def quads(f: Int, g: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + g * 5 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int): Int =
+      210 + 4 * (((seed + f * 2 + g) % 8).toInt - 2)
+    def huffBits(f: Int, g: Int): Int = {
+      val pb = pairs(f, g).map { case (x, y) =>
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+
+    val mdbs = new Array[Int](nFrames)
+    (0 until nFrames).foreach { f =>
+      val nominal = f * cap
+      val want = if (f == 0) 0 else ((seed * 7 + f * 13) % 40).toInt
+      val avail = nominal - (poolPos + 7) / 8
+      val mdb = math.min(want, math.max(avail, 0))
+      mdbs(f) = mdb
+      val startBit = (nominal - mdb) * 8
+      while (poolPos < startBit) { poolPos += 1 }
+      (0 until 2).foreach { g =>
+        (0 until 12).foreach { b =>
+          (0 until 3).foreach(w => putPool(sfOf(f, g, b, w), 2))
+        }
+        pairs(f, g).foreach { case (x, y) =>
+          val s = if (x == 0 && y == 0) "1"
+                  else if (y == 0) "01"
+                  else if (x == 0) "001" else "000"
+          s.foreach(c => putPool(if (c == '1') 1 else 0, 1))
+          if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+          if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+        }
+        quads(f, g).foreach { q =>
+          var code = 0
+          q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+          putPool(code, 4)
+          q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8); put(0xc0, 8)
+      put(mdbs(f), 9); put(0, 5); put(0, 4) // scfsi 0: short always fresh
+      (0 until 2).foreach { g =>
+        put(72 + huffBits(f, g), 12)        // part2 = 12 bands × 3 w × 2
+        put(pairs(f, g).size, 9)
+        put(gainOf(f, g), 8)
+        put(9, 4)                           // scalefac_compress 9 → 2/2
+        put(1, 1)                           // window switching
+        put(2, 2); put(0, 1)                // block_type 2, not mixed
+        put(1, 5); put(1, 5)                // table 1 in both regions
+        (0 until 3).foreach(w => put(sbgOf(f, g, w), 3))
+        put(0, 1)                           // preflag (not used w/ short)
+        put(1, 1)                           // scalefac_scale 1
+        put(1, 1)                           // count1 table B
+      }
       var b = 0
       while (b < cap * 8) {
         if (poolBits(f * cap * 8 + b) == 1)
@@ -3976,7 +4307,7 @@ object Multimodal {
               // subband stats from reservoir + requant + IMDCT —
               // [sample mean, sample mean-square, peak subband energy,
               // fraction of subbands carrying energy].
-              case Some((_, _, subs)) if subs.nonEmpty =>
+              case Some((_, _, subs, _)) if subs.nonEmpty =>
                 val n = subs.size * 18L
                 val sum = subs.map(_.sSum).sum
                 val sq = subs.map(_.sMsq).sum

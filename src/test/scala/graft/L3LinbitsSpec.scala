@@ -47,7 +47,7 @@ class L3LinbitsSpec extends AnyFunSuite {
       val out = Multimodal.layer3DecodeFull(
         Multimodal.layer3LinbitsBytes(id, nf))
       assert(out.isDefined, s"seed $id failed to decode")
-      val (meta, grans, _) = out.get
+      val (meta, grans, _, _) = out.get
       assert(meta.nFrames == nf)
       assert(grans.size == nf * 2, s"seed $id granules ${grans.size}")
       // ESC values actually occur: some granule must carry a magnitude
@@ -61,7 +61,7 @@ class L3LinbitsSpec extends AnyFunSuite {
     // With |is| <= 1 (table 1) every |xr| <= 2^5; linbits magnitudes up
     // to 30 requantize to pow43(30) ~ 93 * 2^k, so some granule's
     // energy must exceed any table-1-reachable bound at gain <= 230.
-    val (_, grans, _) = Multimodal.layer3DecodeFull(
+    val (_, grans, _, _) = Multimodal.layer3DecodeFull(
       Multimodal.layer3LinbitsBytes(7, 3)).get
     assert(grans.exists(_.xrMsq > 1000.0),
       s"max xrMsq ${grans.map(_.xrMsq).max} — ESC path apparently unused")

@@ -15,7 +15,7 @@ class ScratchL3Probe extends AnyFunSuite {
       val bytes = Multimodal.layer3BytesFull(id, nf)
       val decoded = Multimodal.layer3DecodeFull(bytes)
       assert(decoded.isDefined, s"id=$id decode failed")
-      val (_, grans, subs) = decoded.get
+      val (_, grans, subs, _) = decoded.get
       assert(grans.size == nf * 2, s"id=$id grans=${grans.size}")
       assert(subs.size == nf * 2 * 32, s"id=$id subs=${subs.size}")
       mdbNonzero += grans.count(_.mainDataBegin > 0)
@@ -37,7 +37,7 @@ class ScratchL3Probe extends AnyFunSuite {
       val bytes = Multimodal.layer3StereoBytes(id, nf)
       val decoded = Multimodal.layer3DecodeFull(bytes)
       assert(decoded.isDefined, s"id=$id stereo decode failed")
-      val (meta, grans, subs) = decoded.get
+      val (meta, grans, subs, _) = decoded.get
       assert(meta.channels == 2)
       assert(grans.size == nf * 2 * 2, s"id=$id grans=${grans.size}")
       assert(subs.size == nf * 2 * 2 * 32, s"id=$id subs=${subs.size}")
@@ -64,7 +64,7 @@ class ScratchL3Probe extends AnyFunSuite {
       val bytes = Multimodal.layer3StereoBytes(id, nf, intensity = true)
       val decoded = Multimodal.layer3DecodeFull(bytes)
       assert(decoded.isDefined, s"id=$id intensity decode failed")
-      val (meta, grans, subs) = decoded.get
+      val (meta, grans, subs, _) = decoded.get
       assert(meta.channels == 2)
       assert(subs.size == nf * 2 * 2 * 32)
       // right channel must carry panned (nonzero) energy in subbands the
