@@ -172,11 +172,19 @@ object SystemQueries {
     * P pixels with macroblock-local coordinates (`fin`). `withB`
     * additionally carries the B-picture intra macroblocks (pc = 2)
     * through the same intra chain. Starts after a `WITH ids AS (...)`
-    * clause; ends at `fin`. */
-  private def mpeg1ResidCte(withB: Boolean): String = {
+    * clause; ends at `fin`. `bQuant` follows the quant-form B fixture's
+    * qscale schedule for the B-picture intra macroblocks (mb3 decoded
+    * at the updated qscale 6, mb7 at the carried 4). */
+  private def mpeg1ResidCte(withB: Boolean, bQuant: Boolean = false): String = {
     val pics = if (withB) "(VALUES (0), (1), (2))" else "(VALUES (0), (1))"
     val extra =
       if (withB) "\n           OR (pc = 2 AND m IN (0, 3, 7))" else ""
+    val qsExpr =
+      if (bQuant)
+        """CASE WHEN pc = 1 AND m = 7 THEN 4
+          |               WHEN pc = 2 AND m = 3 THEN 6
+          |               WHEN pc = 2 AND m = 7 THEN 4 ELSE 8 END""".stripMargin
+      else "CASE WHEN pc = 1 AND m = 7 THEN 4 ELSE 8 END"
     s"""cmb AS (SELECT id, pc, m FROM ids, $pics pp(pc),
        |        range(8) mm(m)
        |        WHERE pc = 0 OR (pc = 1 AND m IN (0, 7))$extra),
@@ -185,7 +193,7 @@ object SystemQueries {
        |               THEN 1
        |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
        |          END AS lvl,
-       |          CASE WHEN pc = 1 AND m = 7 THEN 4 ELSE 8 END AS qs
+       |          $qsExpr AS qs
        |        FROM cmb, range(4) bb(b),
        |          LATERAL (SELECT UNNEST([
        |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
@@ -2769,6 +2777,150 @@ object SystemQueries {
              |           LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
              |                 2047) AS f
              |         FROM (SELECT *, (2 * ABS(lvl) + 1) * 8 AS a0
+             |               FROM brps) q),
+             |brpx AS (SELECT id, m, b, x, y,
+             |    CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT) AS rv
+             |  FROM brcf, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, m, b, x, y),
+             |brmap AS (SELECT id, m, 8 * (b % 2) + x AS lx,
+             |                 8 * (b // 2) + y AS ly, rv
+             |          FROM brpx),
+             |bfin AS (SELECT p.id, p.m, p.kind, p.fdx, p.fdy, p.bdx, p.bdy,
+             |           p.cbp,
+             |           LEAST(255, GREATEST(0,
+             |             CASE WHEN p.fv IS NOT NULL AND p.bv IS NOT NULL
+             |                  THEN (p.fv + p.bv + 1) // 2
+             |                  WHEN p.fv IS NOT NULL THEN p.fv
+             |                  ELSE p.bv END + COALESCE(r.rv, 0))) AS v
+             |         FROM bprd p LEFT JOIN brmap r
+             |           ON r.id = p.id AND r.m = p.m AND r.lx = p.lx
+             |             AND r.ly = p.ly)
+             |SELECT id AS media_id, CAST(m AS BIGINT) AS mb,
+             |  CAST(0 AS BIGINT) AS kind, CAST(0 AS BIGINT) AS fdx,
+             |  CAST(0 AS BIGINT) AS fdy, CAST(0 AS BIGINT) AS bdx,
+             |  CAST(0 AS BIGINT) AS bdy, CAST(0 AS BIGINT) AS cbp,
+             |  CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
+             |FROM px WHERE pc = 2 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, CAST(m AS BIGINT), CAST(kind AS BIGINT),
+             |  CAST(fdx AS BIGINT), CAST(fdy AS BIGINT),
+             |  CAST(bdx AS BIGINT), CAST(bdy AS BIGINT), CAST(cbp AS BIGINT),
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM bfin GROUP BY id, m, kind, fdx, fdy, bdx, bdy, cbp"""
+             .stripMargin)),
+
+    // REAL MPEG-1 B-picture QUANT macroblock forms — the last three
+    // Table-B.2c rows: '00010' quant+interp+coded, '000011'
+    // quant+forward+coded, '000010' quant+backward+coded (the full
+    // 11-code table now closes Kraft mass to 63/64 with exactly
+    // '000000' reserved, structurally re-verified in
+    // Mpeg1ResidualSpec). The fixture walks the quantizer 8→4→6→4
+    // through the three forms; B intra macroblocks mb3/mb7 decode at
+    // the UPDATED scales, an interp+coded macroblock at the carried 4,
+    // and forward/backward predictors carry through zero motion codes.
+    // The oracle rebuilds I plane → residual-corrected P plane → every
+    // quant-B prediction + residual relationally, integers end-to-end.
+    ("multimodal_mpeg1_bquant",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(
+            Multimodal.mpeg1PResidualBytes(id, withB = true, bQuant = true))
+          val (_, mbs) = decoded.get
+          mbs.filter(_.pic == 2).map(r => (id, r.mb.toLong, r.kind.toLong,
+            r.dx.toLong, r.dy.toLong, r.bdx.toLong, r.bdy.toLong,
+            r.cbp.toLong, r.ySum, r.ySqSum))
+        }.toDF("media_id", "mb", "kind", "fdx", "fdy", "bdx", "bdy",
+               "cbp", "y_sum", "y_sqsum")
+      },
+      Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
+             |${mpeg1ResidCte(withB = true, bQuant = true)},
+             |pfull AS (
+             |  SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
+             |         16 * (m // 4) + 8 * (b // 2) + y AS ry, v
+             |  FROM px WHERE pc = 1 AND b < 4
+             |  UNION ALL
+             |  SELECT id, 16 * (m % 4) + lx, 16 * (m // 4) + ly, v FROM fin),
+             |bmv AS (SELECT id, m,
+             |    CASE WHEN m IN (1, 2) THEN id % 3 - 1
+             |         WHEN m IN (5, 6) THEN id % 2 ELSE 0 END AS fdx,
+             |    CASE WHEN m IN (1, 2) THEN (id // 3) % 2
+             |         WHEN m IN (5, 6) THEN -((id // 17) % 2)
+             |         ELSE 0 END AS fdy,
+             |    CASE WHEN m = 1 THEN -((id // 5) % 2)
+             |         WHEN m IN (4, 5) THEN (id // 11) % 2 ELSE 0 END AS bdx,
+             |    CASE WHEN m = 1 THEN (id // 7) % 2
+             |         WHEN m IN (4, 5) THEN -((id // 13) % 2) ELSE 0 END AS bdy,
+             |    CASE m WHEN 1 THEN 8 WHEN 2 THEN 5 WHEN 4 THEN 7
+             |           WHEN 5 THEN 8 ELSE 1 END AS kind,
+             |    CASE WHEN m IN (1, 2, 4, 5)
+             |         THEN 1 + (id*5 + (m + 16)*11) % 63 ELSE 0 END AS cbp,
+             |    (m IN (1, 2, 5, 6)) AS usef, (m IN (1, 4, 5)) AS useb
+             |  FROM ids, range(7) mm(m) WHERE m >= 1 AND m <> 3),
+             |bmc AS (SELECT v.*, xx.x AS lx, yy.y AS ly,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.fdx AS fx2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.fdy AS fy2,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.bdx AS bx2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.bdy AS by2
+             |       FROM bmv v, range(16) xx(x), range(16) yy(y)),
+             |bprd AS (
+             |  SELECT c.id, c.m, c.kind, c.fdx, c.fdy, c.bdx, c.bdy, c.cbp,
+             |    c.lx, c.ly,
+             |    CASE WHEN NOT c.usef THEN NULL
+             |         WHEN c.fx2 % 2 = 0 AND c.fy2 % 2 = 0 THEN f00.v
+             |         WHEN c.fx2 % 2 = 1 AND c.fy2 % 2 = 0
+             |           THEN (f00.v + f01.v + 1) // 2
+             |         WHEN c.fx2 % 2 = 0 THEN (f00.v + f10.v + 1) // 2
+             |         ELSE (f00.v + f01.v + f10.v + f11.v + 2) // 4 END AS fv,
+             |    CASE WHEN NOT c.useb THEN NULL
+             |         WHEN c.bx2 % 2 = 0 AND c.by2 % 2 = 0 THEN b00.v
+             |         WHEN c.bx2 % 2 = 1 AND c.by2 % 2 = 0
+             |           THEN (b00.v + b01.v + 1) // 2
+             |         WHEN c.bx2 % 2 = 0 THEN (b00.v + b10.v + 1) // 2
+             |         ELSE (b00.v + b01.v + b10.v + b11.v + 2) // 4 END AS bv
+             |  FROM bmc c
+             |  LEFT JOIN ref f00 ON f00.id = c.id AND f00.rx = c.fx2 // 2
+             |    AND f00.ry = c.fy2 // 2
+             |  LEFT JOIN ref f01 ON f01.id = c.id AND f01.rx = c.fx2 // 2 + 1
+             |    AND f01.ry = c.fy2 // 2
+             |  LEFT JOIN ref f10 ON f10.id = c.id AND f10.rx = c.fx2 // 2
+             |    AND f10.ry = c.fy2 // 2 + 1
+             |  LEFT JOIN ref f11 ON f11.id = c.id AND f11.rx = c.fx2 // 2 + 1
+             |    AND f11.ry = c.fy2 // 2 + 1
+             |  LEFT JOIN pfull b00 ON b00.id = c.id AND b00.rx = c.bx2 // 2
+             |    AND b00.ry = c.by2 // 2
+             |  LEFT JOIN pfull b01 ON b01.id = c.id AND b01.rx = c.bx2 // 2 + 1
+             |    AND b01.ry = c.by2 // 2
+             |  LEFT JOIN pfull b10 ON b10.id = c.id AND b10.rx = c.bx2 // 2
+             |    AND b10.ry = c.by2 // 2 + 1
+             |  LEFT JOIN pfull b11 ON b11.id = c.id AND b11.rx = c.bx2 // 2 + 1
+             |    AND b11.ry = c.by2 // 2 + 1),
+             |bcdb AS (SELECT id, m, b FROM bmv, range(4) bb(b)
+             |         WHERE cbp > 0 AND ((cbp >> (5 - CAST(b AS INT))) & 1) = 1),
+             |brk AS (SELECT id, m, b, k,
+             |          CASE WHEN k = 0 THEN (id + m + 16 + b) % 2
+             |               ELSE 1 + (id*3 + b*5 + k*7) % 6 END AS step,
+             |          CASE WHEN (id*7 + (m + 16)*3 + b*11 + k*13) % 19 - 9 = 0
+             |               THEN 1
+             |               ELSE (id*7 + (m + 16)*3 + b*11 + k*13) % 19 - 9
+             |          END AS lvl
+             |        FROM bcdb, range(4) kk(k)
+             |        WHERE k < 2 + (id + m + 16 + b) % 3),
+             |brps AS (SELECT id, m, b, k, lvl,
+             |           SUM(step) OVER (PARTITION BY id, m, b ORDER BY k) AS pos
+             |         FROM brk),
+             |brcf AS (SELECT id, m, b, pos AS ord,
+             |           (CASE WHEN lvl < 0 THEN -1 ELSE 1 END) *
+             |           LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+             |                 2047) AS f
+             |         FROM (SELECT *, (2 * ABS(lvl) + 1) *
+             |                 (CASE WHEN m = 2 THEN 6 ELSE 4 END) AS a0
              |               FROM brps) q),
              |brpx AS (SELECT id, m, b, x, y,
              |    CAST(ROUND(list_sum(list(

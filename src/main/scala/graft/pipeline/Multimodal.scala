@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   * entropy decode ([[mpeg1IFrameDecode]]), motion-compensated P/B
   * reconstruction, and — round 13 — PREDICTION-ERROR CODING: coded
   * non-intra macroblocks with the full 63-entry Table B.3 CBP VLC,
-  * dct_coeff_first/next semantics, non-intra dequantization, and the
-  * residual-add reconstruction ([[mpeg1IPDecode]], structurally
-  * verified in Mpeg1ResidualSpec, value-verified by the
-  * `multimodal_mpeg1_presidual`/`_bresidual` oracles). Only pieces that
+  * dct_coeff_first/next semantics, non-intra dequantization, the
+  * residual-add reconstruction, and the FULL Table B.2c B
+  * macroblock-type set including the three quant+coded forms with
+  * running-quantizer carry ([[mpeg1IPDecode]], [[BMbTypeCodes]] —
+  * structurally verified in Mpeg1ResidualSpec, value-verified by the
+  * `multimodal_mpeg1_presidual`/`_bresidual`/`_bquant` oracles). Only pieces that
   * genuinely require external codec tables/libraries (Layer III Huffman
   * tables > 1, the ISO short-block scalefactor-band GEOMETRY, and the
   * ISO synthesis-window COEFFICIENTS; AAC; arithmetic-coded JPEG;
@@ -3090,6 +3092,31 @@ object Multimodal {
     "000000111" -> 31, "000000110" -> 47, "000000101" -> 55,
     "000000100" -> 59, "000000011" -> 27, "000000010" -> 39)
 
+  /** Full B-picture macroblock_type VLC (ISO 11172-2 Table B.2c):
+    * code → (intra, quant, forward, backward, coded). Structurally
+    * re-verified in Mpeg1ResidualSpec (the same discipline that
+    * admitted the CBP table): prefix-free; Kraft mass 63/64 with
+    * EXACTLY '000000' left reserved — the identical closure the
+    * P-picture table B.2b exhibits; every quant row is a coded row's
+    * flag set plus quant, and exactly the three coded non-intra forms
+    * plus intra carry quant variants (mirroring B.2b, where both coded
+    * forms and intra do); within each length group, prediction-richer
+    * modes take the lexicographically larger code ('11' coded >
+    * '10' not-coded, '000011' fwd > '000010' bwd). */
+  private[graft] val BMbTypeCodes
+      : Seq[(String, (Boolean, Boolean, Boolean, Boolean, Boolean))] = Seq(
+    "10"     -> ((false, false, true,  true,  false)), // interp
+    "11"     -> ((false, false, true,  true,  true)),  // interp+coded
+    "010"    -> ((false, false, false, true,  false)), // bwd
+    "011"    -> ((false, false, false, true,  true)),  // bwd+coded
+    "0010"   -> ((false, false, true,  false, false)), // fwd
+    "0011"   -> ((false, false, true,  false, true)),  // fwd+coded
+    "00011"  -> ((true,  false, false, false, false)), // intra
+    "00010"  -> ((false, true,  true,  true,  true)),  // quant+interp+c
+    "000011" -> ((false, true,  true,  false, true)),  // quant+fwd+c
+    "000010" -> ((false, true,  false, true,  true)),  // quant+bwd+c
+    "000001" -> ((true,  true,  false, false, false))) // quant+intra
+
   private[graft] val CbpByValue: Map[Int, String] =
     CbpCodes.map(_.swap).toMap
 
@@ -3135,7 +3162,9 @@ object Multimodal {
     *
     *   - CODED non-intra macroblocks (P: all four Table-B.2b coded
     *     forms incl. the quant variants and the zero-vector
-    *     pattern-only type; B: the three non-quant coded forms): CBP
+    *     pattern-only type; B: ALL SIX coded forms — the full Table
+    *     B.2c via [[BMbTypeCodes]], quant variants included with
+    *     running-quantizer carry): CBP
     *     via the full 63-entry Table B.3, per coded block the
     *     dct_coeff_first/next entropy decode (the '1' = run-0/±1 first
     *     code in EOB's freed prefix space, ESCAPE form included),
@@ -3143,8 +3172,8 @@ object Multimodal {
     *     default matrix, oddified, saturated), IDCT, and the
     *     prediction + residual add with the post-add [0,255] clamp.
     *
-    * Declared subset (None on encounter): B quant+coded macroblock
-    * types, |motion_code| > 3, `f_code > 1` residuals. Each decoded I/P becomes
+    * Declared subset (None on encounter):
+    * |motion_code| > 3, `f_code > 1` residuals. Each decoded I/P becomes
     * the backward reference and slides the previous one to the forward
     * slot; B pictures are never references. Returns per-macroblock luma
     * statistics in decode order — integers end-to-end, so the DuckDB
@@ -3446,11 +3475,15 @@ object Multimodal {
           // P pictures — full Table B.2b: '1' MC+coded / '01' coded
           // (no MC, zero vector) / '001' MC-not-coded / '00011' intra /
           // '00010' quant+MC+coded / '00001' quant+coded / '000001'
-          // quant+intra; B pictures (Table B.2c): '10'/'11' interp
+          // quant+intra; B pictures — full Table B.2c: '10'/'11' interp
           // not-coded/coded, '010'/'011' backward, '0010'/'0011'
-          // forward, '00011' intra, '000001' quant+intra. B
-          // quant+coded forms stay declared. Tuple: (intra, withQuant,
-          // useFwd, useBwd, coded, zeroVec).
+          // forward, '00011' intra, '00010' quant+interp+coded,
+          // '000011' quant+forward+coded, '000010' quant+backward+coded,
+          // '000001' quant+intra. Both tables close Kraft mass to 63/64
+          // with exactly '000000' reserved, every quant form pairs a
+          // coded form's flag set plus quant, and the table is
+          // re-verified structurally in Mpeg1ResidualSpec. Tuple:
+          // (intra, withQuant, useFwd, useBwd, coded, zeroVec).
           val (intra, withQuant, useFwd, useBwd, coded, zeroVec) =
             if (ptype == 1) {
               val q = vlc(Seq("1" -> false, "01" -> true))
@@ -3468,18 +3501,8 @@ object Multimodal {
                 case _ => (false, true, true, false, true, true)    // q+coded
               }
             } else {
-              vlc(Seq[(String, Int)]("10" -> 0, "010" -> 1, "0010" -> 2,
-                                     "00011" -> 3, "000001" -> 4,
-                                     "11" -> 5, "011" -> 6, "0011" -> 7)) match {
-                case 0 => (false, false, true, true, false, false)  // interp
-                case 1 => (false, false, false, true, false, false) // bwd
-                case 2 => (false, false, true, false, false, false) // fwd
-                case 3 => (true, false, false, false, false, false) // intra
-                case 4 => (true, true, false, false, false, false)  // q+intra
-                case 5 => (false, false, true, true, true, false)   // interp+c
-                case 6 => (false, false, false, true, true, false)  // bwd+c
-                case _ => (false, false, true, false, true, false)  // fwd+c
-              }
+              val (bI, bQ, bF, bBk, bC) = vlc(BMbTypeCodes)
+              (bI, bQ, bF, bBk, bC, false)
             }
           if (withQuant) qscale = bits(5)
           if (useFwd || useBwd) {
@@ -3850,6 +3873,20 @@ object Multimodal {
       case _ => (0L, 0L, 0L, 0L)
     }) match { case (a, b, c, d) => (a.toInt, b.toInt, c.toInt, d.toInt) }
 
+  /** Seed-dependent B-picture (forward, backward) vectors for the
+    * QUANT-form residual fixture — mb1 interp absolute, mb2 forward
+    * carried from mb1 (zero motion codes), mb4 backward absolute, mb5
+    * interp with absolute forward and mb4's backward carried, mb6
+    * forward carried from mb5. Ranged for in-bounds luma/chroma reads
+    * against both references at each macroblock's position. */
+  private[graft] def mpeg1BQVec(s: Long, mb: Int): (Int, Int, Int, Int) =
+    (mb match {
+      case 1 | 2 => (s % 3 - 1, (s / 3) % 2, -((s / 5) % 2), (s / 7) % 2)
+      case 4 => (0L, 0L, (s / 11) % 2, -((s / 13) % 2))
+      case 5 | 6 => (s % 2, -((s / 17) % 2), (s / 11) % 2, -((s / 13) % 2))
+      case _ => (0L, 0L, 0L, 0L)
+    }) match { case (a, b, c, d) => (a.toInt, b.toInt, c.toInt, d.toInt) }
+
   /** The encode half of the PREDICTION-ERROR (coded-residual) round
     * trip: a 64×32 MPEG-1 stream with one intra picture (same per-block
     * formulas as [[mpeg1IPBytes]]) followed by one P picture exercising
@@ -3865,7 +3902,8 @@ object Multimodal {
     * positions/levels, so the stream decodes through every
     * dct_coeff_first/next path: the 1-bit run-0/±1 first form, plain
     * table codes, and the ESCAPE form. */
-  def mpeg1PResidualBytes(seed: Long, withB: Boolean = false): Array[Byte] = {
+  def mpeg1PResidualBytes(seed: Long, withB: Boolean = false,
+                          bQuant: Boolean = false): Array[Byte] = {
     val width = 64; val height = 32
     val bits = new scala.collection.mutable.ArrayBuffer[Boolean](1 << 14)
     def put(v: Long, n: Int): Unit =
@@ -3983,13 +4021,55 @@ object Multimodal {
     align()
     if (withB) {
       // ---- B picture: the three CODED Table-B.2c forms + the carry
-      // ---- paths (display order between I and P: tempref 1) ----
+      // ---- paths (display order between I and P: tempref 1); with
+      // ---- bQuant, the three QUANT+coded forms instead ----
       put(0x00000100L, 32); put(1, 10); put(3, 3); put(0xffff, 16)
       put(0, 1); put(1, 3) // full_pel_fwd 0, forward_f_code 1
       put(0, 1); put(1, 3) // full_pel_bwd 0, backward_f_code 1
       put(0, 1)
       align()
       put(0x00000101L, 32); put(8, 5); put(0, 1)
+      if (bQuant) {
+        // mb0 intra; mb1 quant+interp+coded '00010' (qscale→4, absolute
+        // vectors after the intra reset); mb2 quant+forward+coded
+        // '000011' (qscale→6, zero forward codes CARRY mb1's forward);
+        // mb3 intra decoded at the updated qscale 6; mb4
+        // quant+backward+coded '000010' (qscale→4, absolute after mb3's
+        // reset); mb5 interp+coded '11' at the CARRIED qscale 4
+        // (absolute forward, zero backward codes carry mb4's); mb6
+        // forward not-coded '0010' with zero codes (carries mb5's
+        // forward); mb7 intra at qscale 4. Residual/cbp formulas use
+        // m+16 so the blocks differ from both the P and plain-B slices.
+        val predQ = Array(128, 128, 128)
+        val (f1x, f1y, b1x, b1y) = mpeg1BQVec(s, 1)
+        val (_, _, b4x, b4y) = mpeg1BQVec(s, 4)
+        val (f5x, f5y, _, _) = mpeg1BQVec(s, 5)
+        putStr("1"); putStr("00011"); putIntraMb(2, 0, predQ)
+        putStr("1"); putStr("00010"); put(4, 5)
+        putStr(mcode(f1x)); putStr(mcode(f1y))
+        putStr(mcode(b1x)); putStr(mcode(b1y))
+        putCodedBlocks(17)
+        putStr("1"); putStr("000011"); put(6, 5)
+        putStr(mcode(0)); putStr(mcode(0)); putCodedBlocks(18)
+        predQ(0) = 128; predQ(1) = 128; predQ(2) = 128
+        putStr("1"); putStr("00011"); putIntraMb(2, 3, predQ)
+        putStr("1"); putStr("000010"); put(4, 5)
+        putStr(mcode(b4x)); putStr(mcode(b4y)); putCodedBlocks(20)
+        putStr("1"); putStr("11")
+        putStr(mcode(f5x)); putStr(mcode(f5y))
+        putStr(mcode(0)); putStr(mcode(0))
+        putCodedBlocks(21)
+        putStr("1"); putStr("0010"); putStr(mcode(0)); putStr(mcode(0))
+        predQ(0) = 128; predQ(1) = 128; predQ(2) = 128
+        putStr("1"); putStr("00011"); putIntraMb(2, 7, predQ)
+        align()
+        put(0x000001b7L, 32)
+        val outQ = new Array[Byte](bits.length / 8)
+        bits.zipWithIndex.foreach { case (bit, i) =>
+          if (bit) outQ(i / 8) = (outQ(i / 8) | (1 << (7 - (i % 8)))).toByte
+        }
+        return outQ
+      }
       val predB = Array(128, 128, 128)
       val (f1x, f1y, _, _) = mpeg1BResVec(s, 1)
       val (_, _, b2x, b2y) = mpeg1BResVec(s, 2)

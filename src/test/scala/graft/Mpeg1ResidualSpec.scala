@@ -83,6 +83,50 @@ class Mpeg1ResidualSpec extends AnyFunSuite {
     }
   }
 
+  test("B macroblock_type table: prefix-free, Kraft 63/64, '000000' reserved") {
+    val cs = Multimodal.BMbTypeCodes.map(_._1)
+    assert(cs.size == 11 && cs.distinct.size == 11)
+    for (a <- cs; b <- cs if a != b)
+      assert(!b.startsWith(a), s"$a is a prefix of $b")
+    val mass = cs.toSeq.map(c => math.pow(2.0, -c.length)).sum
+    // 63/64: the only unassigned length-6 slot is '000000' — the SAME
+    // closure the P-picture table B.2b exhibits
+    assert(math.abs(mass - 63.0 / 64.0) < 1e-12, s"mass $mass")
+    assert(!cs.contains("000000"))
+  }
+
+  test("B macroblock_type table: quant rows pair coded rows exactly") {
+    val byFlags = Multimodal.BMbTypeCodes.map(_.swap).toMap
+    // every quant row = a non-quant row's flag set + quant; exactly the
+    // three coded non-intra forms and intra carry quant variants
+    val quantRows = Multimodal.BMbTypeCodes.filter(_._2._2)
+    assert(quantRows.size == 4)
+    quantRows.foreach { case (_, (i, _, f, b, c)) =>
+      assert(byFlags.contains((i, false, f, b, c)),
+        s"quant row ($i,$f,$b,$c) has no non-quant twin")
+      assert(c || i, "only coded or intra rows may carry quant")
+    }
+    // flag sets are unique (the VLC is a bijection onto 11 mode sets)
+    assert(Multimodal.BMbTypeCodes.map(_._2).distinct.size == 11)
+  }
+
+  test("B quant-form fixture decodes with the planned kinds and carries") {
+    (0L until 24L).foreach { id =>
+      val Some((_, mbs)) = Multimodal.mpeg1IPDecode(
+        Multimodal.mpeg1PResidualBytes(id, withB = true, bQuant = true))
+      val b = mbs.filter(_.pic == 2)
+      // 0 intra, 8 quant+interp+coded, 5 quant+fwd+coded, 0 intra,
+      // 7 quant+bwd+coded, 8 interp+coded (carried qscale), 1 fwd
+      // not-coded (carried vector), 0 intra
+      assert(b.map(_.kind) == Seq(0, 8, 5, 0, 7, 8, 1, 0), s"seed $id")
+      val m1 = b(1); val m2 = b(2); val m4 = b(4); val m5 = b(5); val m6 = b(6)
+      assert((m2.dx, m2.dy) == ((m1.dx, m1.dy)), s"seed $id fwd carry m2")
+      assert((m5.bdx, m5.bdy) == ((m4.bdx, m4.bdy)), s"seed $id bwd carry m5")
+      assert((m6.dx, m6.dy) == ((m5.dx, m5.dy)), s"seed $id fwd carry m6")
+      assert(b.forall(_.cbp >= 0) && Seq(m1, m2, m4, m5).forall(_.cbp > 0))
+    }
+  }
+
   test("decoder consumes coded streams bit-exactly (trailing intra intact)") {
     // mb7 of the P picture decodes AFTER all residual blocks; its DC
     // closed formula only matches if every preceding VLC consumed the
