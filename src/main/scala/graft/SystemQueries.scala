@@ -68,6 +68,8 @@ object SystemQueries {
   private val l3SdLit = Multimodal.l3SynthD.mkString("[", ", ", "]")
   private val l3C12Lit = Multimodal.l3Cos12.mkString("[", ", ", "]")
   private val l3W12Lit = Multimodal.l3Win12.mkString("[", ", ", "]")
+  private val l3WsaLit = Multimodal.l3WinStart.mkString("[", ", ", "]")
+  private val l3WsoLit = Multimodal.l3WinStop.mkString("[", ", ", "]")
 
   /** CTE chain id/f/g/gidx → requantized frequency lines `xr(line, x)`:
     * big-values pairs + count1 quadruples by the fixture formulas, then
@@ -1980,6 +1982,235 @@ object SystemQueries {
              |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
 
+    // REAL MP3 START/STOP WINDOW forms (block_type 1/3): the §2.4.1.7
+    // window-switching side-info layout with LONG scalefactors, inert
+    // subblock_gain fields correctly skipped in the bit account, the
+    // implicit line-36 region boundary, alias reduction (long subbands
+    // present), the 36-point IMDCT, and the CLOSED-FORM piecewise
+    // start/stop windows of §2.4.3.4.10.3 — long rise / flat / short
+    // fall and its time reverse — chosen per granule by the fixture
+    // parity. Closes the start/stop slice of the window-switching seam;
+    // only MIXED blocks remain declared. Constants 1e-12-quantized,
+    // folds order-pinned.
+    ("multimodal_mp3_startstop",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3StartStopBytes(id, nf)).get
+          subs.map(b => (id, b.frame.toLong, b.granule.toLong,
+            b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "granule", "subband", "s_sum", "s_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g, f * 2 + g AS gidx
+             |       FROM range(24) t(r), range(3) ff(f), range(2) gg(g)
+             |       WHERE f < r % 3 + 1),
+             |pl AS (SELECT id, f, g, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0 THEN (id*3 + f*7 + g*11 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + g*3 + k*7) % 3 - 1 END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           16 + CAST((id + f + g) % 17 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g, gidx,
+             |         2 * (16 + (id + f + g) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END)
+             |           AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |bd AS (SELECT id, f, g, gidx, line, isv,
+             |         len(list_filter($l3SfbLit, v -> v <= line)) - 1 AS band
+             |       FROM ln3),
+             |xr AS (SELECT id, gidx, line,
+             |         isv * POWER(2.0,
+             |           ((id + f*2 + g) % 8 - 2)
+             |           - ((id + f + band + g*3) % 4)
+             |           - (CASE WHEN (id + f + g) % 3 = 0
+             |              THEN $l3PretabLit[CAST(band AS INT) + 1] ELSE 0 END)
+             |         ) AS x
+             |       FROM bd),
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.line = ll.l),
+             |al AS (
+             |  SELECT d.id, d.gidx, d.line,
+             |    CASE
+             |      WHEN d.line % 18 <= 7 AND d.line >= 18 THEN
+             |        d.x * ($l3CsLit)[CAST(d.line % 18 AS INT) + 1]
+             |        + p.x * ($l3CaLit)[CAST(d.line % 18 AS INT) + 1]
+             |      WHEN d.line % 18 >= 10 AND d.line < 558 THEN
+             |        d.x * ($l3CsLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |        - p.x * ($l3CaLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |      ELSE d.x END AS x
+             |  FROM dense d
+             |  LEFT JOIN dense p ON p.id = d.id AND p.gidx = d.gidx
+             |    AND p.line =
+             |      CASE WHEN d.line % 18 <= 7 AND d.line >= 18
+             |             THEN d.line - 2 * (d.line % 18) - 1
+             |           WHEN d.line % 18 >= 10 AND d.line < 558
+             |             THEN d.line + 35 - 2 * (d.line % 18)
+             |           ELSE NULL END),
+             |im AS (
+             |  SELECT a.id, a.gidx, a.line // 18 AS sb, ii.i,
+             |    list_sum(list(
+             |      a.x * ($l3CtLit)[CAST(ii.i * 18 + a.line % 18 AS INT) + 1]
+             |      ORDER BY a.line))
+             |      * (CASE WHEN (a.id + a.gidx // 2 + a.gidx % 2) % 2 = 0
+             |              THEN ($l3WsaLit)[CAST(ii.i AS INT) + 1]
+             |              ELSE ($l3WsoLit)[CAST(ii.i AS INT) + 1] END) AS zw
+             |  FROM al a CROSS JOIN range(36) ii(i)
+             |  GROUP BY a.id, a.gidx, a.line // 18, ii.i),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.sb, h.i,
+             |    (h.zw + COALESCE(t3.zw, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM im WHERE i < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, sb, i - 18 AS i, zw
+             |             FROM im WHERE i >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.sb = h.sb
+             |    AND t3.i = h.i)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule,
+             |  CAST(sb AS BIGINT) AS subband,
+             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
+             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
+
+    // REAL MP3 MIXED-BLOCK form (block_type 2 / mixed_block_flag 1) —
+    // the LAST window-switching variant: two LONG subbands below
+    // per-window line 12 (real ISO long geometry — bands 0-7 end
+    // exactly at entropy line 36 = L3Sfb48(8)) under the long window +
+    // 36-point IMDCT with alias reduction at their single boundary,
+    // and SHORT windows above (synthetic aligned geometry, bands 3-11
+    // × 20 lines per window) with subblock gains, stride-3 reorder,
+    // and 12-point IMDCTs. Scalefactors use the §2.4.2.7 mixed layout
+    // (8 long + 27 short slots). Constants 1e-12-quantized, folds
+    // order-pinned; dyadic fixture gains.
+    ("multimodal_mp3_mixed",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3MixedBytes(id, nf)).get
+          subs.map(b => (id, b.frame.toLong, b.granule.toLong,
+            b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "granule", "subband", "s_sum", "s_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g, f * 2 + g AS gidx
+             |       FROM range(24) t(r), range(3) ff(f), range(2) gg(g)
+             |       WHERE f < r % 3 + 1),
+             |pl AS (SELECT id, f, g, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0 THEN (id*3 + f*7 + g*11 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + g*3 + k*7) % 3 - 1 END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           16 + CAST((id + f + g) % 17 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g, gidx,
+             |         2 * (16 + (id + f + g) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END)
+             |           AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |xr AS (
+             |  SELECT id, gidx, line AS t,
+             |    isv * POWER(2.0, ((id + f*2 + g) % 8 - 2)
+             |      - ((id + f + band + g*3) % 4)) AS x
+             |  FROM (SELECT *, len(list_filter($l3SfbLit, v -> v <= line)) - 1
+             |          AS band
+             |        FROM ln3 WHERE line < 36) lq
+             |  UNION ALL
+             |  SELECT id, gidx, 3 * (12 + 20 * (b - 3) + j) + w AS t,
+             |    isv * POWER(2.0, ((id + f*2 + g) % 8 - 2)
+             |      - 2 * ((id + f*2 + g + w*3) % 5)
+             |      - ((id + f + b + w + g*3) % 4)) AS x
+             |  FROM (SELECT *, 3 + (line - 36) // 60 AS b,
+             |               ((line - 36) % 60) // 20 AS w,
+             |               (line - 36) % 20 AS j
+             |        FROM ln3 WHERE line >= 36) sq),
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.t = ll.l),
+             |al AS (
+             |  SELECT d.id, d.gidx, d.line,
+             |    CASE
+             |      WHEN d.line >= 18 AND d.line <= 25 THEN
+             |        d.x * ($l3CsLit)[CAST(d.line - 18 AS INT) + 1]
+             |        + p.x * ($l3CaLit)[CAST(d.line - 18 AS INT) + 1]
+             |      WHEN d.line >= 10 AND d.line <= 17 THEN
+             |        d.x * ($l3CsLit)[CAST(17 - d.line AS INT) + 1]
+             |        - p.x * ($l3CaLit)[CAST(17 - d.line AS INT) + 1]
+             |      ELSE d.x END AS x
+             |  FROM dense d
+             |  LEFT JOIN dense p ON p.id = d.id AND p.gidx = d.gidx
+             |    AND p.line = CASE WHEN d.line >= 10 AND d.line <= 25
+             |                      THEN 35 - d.line ELSE NULL END),
+             |imL AS (
+             |  SELECT a.id, a.gidx, a.line // 18 AS sb, ii.i36,
+             |    list_sum(list(
+             |      a.x * ($l3CtLit)[CAST(ii.i36 * 18 + a.line % 18 AS INT) + 1]
+             |      ORDER BY a.line))
+             |      * ($l3WinLit)[CAST(ii.i36 AS INT) + 1] AS zv
+             |  FROM al a CROSS JOIN range(36) ii(i36)
+             |  WHERE a.line < 36
+             |  GROUP BY a.id, a.gidx, a.line // 18, ii.i36),
+             |zwS AS (
+             |  SELECT d.id, d.gidx, d.line // 18 AS sb,
+             |    (d.line % 18) % 3 AS w, ii.i,
+             |    list_sum(list(
+             |      d.x * ($l3C12Lit)[CAST(ii.i * 6 + (d.line % 18) // 3
+             |                             AS INT) + 1]
+             |      ORDER BY d.line))
+             |      * ($l3W12Lit)[CAST(ii.i AS INT) + 1] AS z
+             |  FROM al d CROSS JOIN range(12) ii(i)
+             |  WHERE d.line >= 36
+             |  GROUP BY d.id, d.gidx, d.line // 18, (d.line % 18) % 3, ii.i),
+             |z36S AS (
+             |  SELECT g2.id, g2.gidx, sbb.sb, ii.i36,
+             |    COALESCE(list_sum(list(a.z ORDER BY a.w)), 0.0) AS zv
+             |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+             |  CROSS JOIN (SELECT 2 + s2.r AS sb FROM range(30) s2(r)) sbb
+             |  CROSS JOIN range(36) ii(i36)
+             |  LEFT JOIN (SELECT id, gidx, sb, 6 + 6 * w + i AS i36, w, z
+             |             FROM zwS) a
+             |    ON a.id = g2.id AND a.gidx = g2.gidx AND a.sb = sbb.sb
+             |    AND a.i36 = ii.i36
+             |  GROUP BY g2.id, g2.gidx, sbb.sb, ii.i36),
+             |z36 AS (SELECT * FROM imL UNION ALL SELECT * FROM z36S),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.sb, h.i36 AS i,
+             |    (h.zv + COALESCE(t3.zv, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i36 % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM z36 WHERE i36 < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, sb, i36 - 18 AS i36,
+             |             zv FROM z36 WHERE i36 >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.sb = h.sb
+             |    AND t3.i36 = h.i36)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule,
+             |  CAST(sb AS BIGINT) AS subband,
+             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
+             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
+
     // REAL MP3 JOINT (MS) STEREO through the full chain: 32-byte stereo
     // side info with per-channel scfsi, both channels of each granule
     // requantized independently, then the §2.4.3.4.9.1 recombination
@@ -2650,6 +2881,45 @@ object SystemQueries {
         s.range(24).flatMap { id =>
           val decoded = Multimodal.mpeg1IPDecode(
             Multimodal.mpeg1PResidualBytes(id))
+          val (_, mbs) = decoded.get
+          mbs.map(r => (id, r.pic.toLong, r.mb.toLong, r.kind.toLong,
+            r.dx.toLong, r.dy.toLong, r.cbp.toLong, r.ySum, r.ySqSum))
+        }.toDF("media_id", "pic", "mb", "kind", "dx", "dy", "cbp",
+               "y_sum", "y_sqsum")
+      },
+      Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
+             |${mpeg1ResidCte(withB = false)}
+             |SELECT id AS media_id, CAST(0 AS BIGINT) AS pic,
+             |  CAST(m AS BIGINT) AS mb, CAST(0 AS BIGINT) AS kind,
+             |  CAST(0 AS BIGINT) AS dx, CAST(0 AS BIGINT) AS dy,
+             |  CAST(0 AS BIGINT) AS cbp, CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
+             |FROM px WHERE pc = 0 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), 0, 0, 0, 0,
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM px WHERE pc = 1 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), CAST(kind AS BIGINT),
+             |  CAST(dx AS BIGINT), CAST(dy AS BIGINT), CAST(cbp AS BIGINT),
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM fin GROUP BY id, m, kind, dx, dy, cbp""".stripMargin)),
+
+    // REAL MPEG-1 f_code > 1 MOTION RESIDUALS: the same P picture as
+    // multimodal_mpeg1_presidual re-encoded at forward_f_code = 2 —
+    // every nonzero motion code carries a 1-bit residual and the
+    // decoder reconstructs delta = 1 + f·(|code|−1) + r with the
+    // general ±16f wraparound. The decoded vectors (and therefore every
+    // pixel) are IDENTICAL to the f_code = 1 stream, so the oracle is
+    // the presidual replay verbatim: two different bitstream encodings,
+    // one relational truth. Mpeg1ResidualSpec additionally asserts
+    // whole-output equality between the two encodings across 24 seeds.
+    ("multimodal_mpeg1_fcode",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(
+            Multimodal.mpeg1PResidualBytes(id, fcode2 = true))
           val (_, mbs) = decoded.get
           mbs.map(r => (id, r.pic.toLong, r.mb.toLong, r.kind.toLong,
             r.dx.toLong, r.dy.toLong, r.cbp.toLong, r.ySum, r.ySqSum))

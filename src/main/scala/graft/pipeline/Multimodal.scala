@@ -31,8 +31,7 @@ import org.apache.spark.sql.functions._
   * `multimodal_mpeg1_presidual`/`_bresidual`/`_bquant` oracles). Only pieces that
   * genuinely require external codec tables/libraries (Layer III Huffman
   * tables > 1, the ISO short-block scalefactor-band GEOMETRY, and the
-  * ISO synthesis-window COEFFICIENTS; AAC; arithmetic-coded JPEG;
-  * start/stop-window and mixed-block forms)
+  * ISO synthesis-window COEFFICIENTS; AAC; arithmetic-coded JPEG)
   * remain a clearly-marked STUB: [[decodeFeatures]] falls
   * back to deterministic byte-moment features there. The Layer III
   * big-values stage is now TABLE-DRIVEN with full ESC/linbits machinery
@@ -1657,6 +1656,24 @@ object Multimodal {
   val l3Win12: Array[Double] =
     Array.tabulate(12)(i => round12(math.sin(math.Pi / 12.0 * (i + 0.5))))
 
+  /** Start (block_type 1) and stop (block_type 3) windows —
+    * §2.4.3.4.10.3's CLOSED-FORM piecewise constructions bridging long
+    * and short granules: start = long rise / flat 1 / short fall /
+    * zero; stop is the time reverse. 1e-12-quantized like every
+    * transform constant. */
+  val l3WinStart: Array[Double] = Array.tabulate(36) { i =>
+    if (i < 18) round12(math.sin(math.Pi / 36.0 * (i + 0.5)))
+    else if (i < 24) 1.0
+    else if (i < 30) round12(math.sin(math.Pi / 12.0 * (i - 18 + 0.5)))
+    else 0.0
+  }
+  val l3WinStop: Array[Double] = Array.tabulate(36) { i =>
+    if (i < 6) 0.0
+    else if (i < 12) round12(math.sin(math.Pi / 12.0 * (i - 6 + 0.5)))
+    else if (i < 18) 1.0
+    else round12(math.sin(math.Pi / 36.0 * (i + 0.5)))
+  }
+
   /** 48 kHz long-block scalefactor-band starts and the pretab, visible
     * for SQL interpolation. */
   private[graft] def l3Sfb48: Array[Int] = L3Sfb48
@@ -1794,12 +1811,22 @@ object Multimodal {
     *     [[l3SynthD]] standing in for the tabulated ISO Table C.1
     *     coefficients (which stay declared).
     *
-    * Still declared (None on encounter): Huffman tables > 1,
-    * window-switching/short blocks, count1 table A, and the ISO synthesis
-    * window coefficients (Table C.1 — tabulated constants we refuse to
-    * approximate; the synthesis MACHINERY above is real). Transform
-    * constants are 1e-12-quantized so the oracle can replay the exact
-    * doubles. */
+    * WINDOW SWITCHING is decoded in FULL: block_type 1 (start), 2
+    * short (stride-3 reorder, subblock gains, three 12-point IMDCTs
+    * with the closed-form short window, 6-offset overlap assembly over
+    * a SYNTHETIC uniform 12×16 band geometry), 2 MIXED (two long
+    * subbands under the real ISO long geometry + short windows above
+    * over a synthetic aligned geometry, alias reduction at the single
+    * long boundary, the §2.4.2.7 mixed scalefactor layout), and 3
+    * (stop) — the start/stop windows are the closed-form §2.4.3.4.10.3
+    * piecewise constructions.
+    *
+    * Still declared (None on encounter): Huffman tables > 1, count1
+    * table A, the ISO short-block scalefactor-band geometry (Table B.8
+    * short columns), and the ISO synthesis window coefficients (Table
+    * C.1) — tabulated constants we refuse to approximate; the machinery
+    * around each is real. Transform constants are 1e-12-quantized so
+    * the oracle can replay the exact doubles. */
   def layer3DecodeFull(bytes: Array[Byte])
       : Option[(AudioMeta, Seq[L3GranuleFull], Seq[L3SubbandOut],
                 Seq[L3PcmOut])] = {
@@ -1843,12 +1870,14 @@ object Multimodal {
       len - 4 - sideBytes(nch)
     }.scanLeft(0)(_ + _)
 
-    // bt = block_type (0 long, 2 short/non-mixed — 1/3 start/stop and
-    // mixed blocks stay declared); sbg = subblock_gain per short window
+    // bt = block_type (0 long, 1 start, 2 short, 3 stop); mixed =
+    // mixed_block_flag (only valid with bt 2: two long subbands below
+    // per-window line 12, short windows above); sbg = subblock_gain
+    // per short window
     final case class Side(part23: Int, bigValues: Int, gain: Int, scomp: Int,
                           tables: Array[Int], r0: Int, r1: Int, preflag: Int,
                           sfScale: Int, c1Sel: Int, bt: Int = 0,
-                          sbg: Array[Int] = Array(0, 0, 0))
+                          sbg: Array[Int] = Array(0, 0, 0), mixed: Int = 0)
     val grans = Seq.newBuilder[L3GranuleFull]
     val subs = Seq.newBuilder[L3SubbandOut]
     val pcms = Seq.newBuilder[L3PcmOut]
@@ -1880,19 +1909,23 @@ object Multimodal {
         val ws = sbits(1)
         if (ws == 1) {
           // window switching (§2.4.1.7): block_type, mixed_block_flag,
-          // TWO table_selects, three subblock_gains; region0/region1 are
-          // implicit (short non-mixed: entropy-line 36 boundary, region1
-          // to the top). Only block_type 2 / mixed 0 is decoded —
-          // start/stop windows (1/3) and mixed blocks stay declared.
+          // TWO table_selects, three subblock_gains (transmitted for
+          // every ws granule; only short windows apply them);
+          // region0/region1 are implicit — region0_count 7 (long forms)
+          // and 8 (short) both place the boundary at entropy line 36
+          // (L3Sfb48(8) = 36), region1 to the top. block_type 1 (start),
+          // 2 (short, mixed or not), and 3 (stop) are all decoded; only
+          // the forbidden block_type 0 and mixed flags on non-short
+          // types refuse.
           val bt = sbits(2); val mixed = sbits(1)
           val tabs = Array(sbits(5), sbits(5))
           val sbg = Array(sbits(3), sbits(3), sbits(3))
           val pre = sbits(1); val sfs = sbits(1); val c1 = sbits(1)
-          if (bt != 2 || mixed != 0) {
+          if (bt == 0 || (mixed == 1 && bt != 2)) {
             ok = false
             Side(0, 0, 0, 0, Array(0), 0, 0, 0, 0, 0)
           } else Side(part23, bv, gain, scomp, tabs, 0, 0, pre, sfs, c1,
-                      bt, sbg)
+                      bt, sbg, mixed)
         } else {
           val tabs = Array(sbits(5), sbits(5), sbits(5))
           val r0 = sbits(4); val r1 = sbits(3)
@@ -1933,13 +1966,27 @@ object Multimodal {
                 val start = bitPos
                 val (slen1, slen2) = L3Slen(s.scomp)
                 val short = s.bt == 2
+                val mix = short && s.mixed == 1
                 // scalefactors. Long: per-channel scfsi sharing (groups
                 // 0-5, 6-10, 11-15, 16-20). Short (§2.4.2.7): 12 bands ×
                 // 3 windows, slen1 for bands 0-5, slen2 for 6-11, always
                 // transmitted (scfsi does not apply to short blocks).
+                // Mixed: long bands 0-7 (slen1), then short bands 3-11 ×
+                // 3 windows (slen1 for 3-5, slen2 for 6-11) — 17·slen1 +
+                // 18·slen2 bits.
                 val sf = sfCh(ch)
                 val sfS = Array.ofDim[Int](12, 3)
-                if (short) {
+                if (mix) {
+                  var band = 0
+                  while (band < 8) { sf(band) = bits(slen1); band += 1 }
+                  var b2 = 3
+                  while (b2 < 12) {
+                    val slen = if (b2 < 6) slen1 else slen2
+                    var w = 0
+                    while (w < 3) { sfS(b2)(w) = bits(slen); w += 1 }
+                    b2 += 1
+                  }
+                } else if (short) {
                   var b2 = 0
                   while (b2 < 12) {
                     val slen = if (b2 < 6) slen1 else slen2
@@ -1988,10 +2035,11 @@ object Multimodal {
                   }
                 }
                 while (!bad && k < s.bigValues && line + 2 <= 576) {
-                  // short non-mixed: implicit entropy-line-36 boundary,
-                  // region1 to the top (§2.4.1.7 window-switching form)
+                  // window switching: implicit entropy-line-36 boundary
+                  // (region0_count 7 long / 8 short both land there),
+                  // region1 to the top (§2.4.1.7)
                   val region =
-                    if (short) { if (line < 36) 0 else 1 }
+                    if (s.bt != 0) { if (line < 36) 0 else 1 }
                     else if (line < L3Sfb48(s.r0 + 1)) 0
                     else if (line < L3Sfb48(math.min(s.r0 + 1 + s.r1 + 1,
                                                      L3Sfb48.length - 1))) 1
@@ -2032,7 +2080,19 @@ object Multimodal {
                   while (i < 576) {
                     val v = is(i)
                     if (v != 0) {
-                      val x = if (short) {
+                      val x = if (mix && i >= 36) {
+                        // mixed upper region: short bands 3-11 over a
+                        // SYNTHETIC aligned geometry (9 bands × 20
+                        // lines per window starting at per-window line
+                        // 12 — ISO Table B.8 short columns stay
+                        // declared); entropy order band-major, windows
+                        // grouped inside each band.
+                        val e = i - 36
+                        val b = 3 + e / 60; val w = (e % 60) / 20
+                        math.signum(v.toDouble) *
+                          l3Pow43(math.min(math.abs(v), 30)) * mult *
+                          math.pow(2.0, -2.0 * s.sbg(w) - m * sfS(b)(w))
+                      } else if (short && !mix) {
                         // short: entropy order is band-major with the 3
                         // windows grouped inside each band (synthetic
                         // uniform 12×16 geometry — ISO Table B.8 short
@@ -2045,13 +2105,23 @@ object Multimodal {
                           l3Pow43(math.min(math.abs(v), 30)) * mult *
                           math.pow(2.0, -2.0 * s.sbg(w) - m * sfS(b)(w))
                       } else {
+                        // long lines (block_type 0/1/3, and the mixed
+                        // form's two long subbands — real ISO long
+                        // geometry, bands 0-7)
                         val bnd = sfbOf(i)
                         val sfv = if (bnd < 21) sf(bnd) else 0
                         math.signum(v.toDouble) *
                           l3Pow43(math.min(math.abs(v), 30)) * mult *
                           math.pow(2.0, -m * (sfv + s.preflag * L3Pretab(bnd)))
                       }
-                      if (short) {
+                      if (mix && i >= 36) {
+                        // reorder: spectral line l = 12 + 20·(b−3) + j
+                        // of window w lands at 3·l + w (slots ≥ 36)
+                        val e = i - 36
+                        val b = 3 + e / 60; val w = (e % 60) / 20
+                        val l = 12 + 20 * (b - 3) + e % 20
+                        xr(3 * l + w) = x
+                      } else if (short && !mix) {
                         // reorder (§2.4.3.4.8): spectral line l of window
                         // w lands at 3·l + w — within subband l/6 the
                         // windows interleave with stride 3
@@ -2113,11 +2183,15 @@ object Multimodal {
               while (ok && ch < nch) {
                 val xr = xrCh(ch)
                 val shortCh = sides(g)(ch).bt == 2
-                // alias reduction (§2.4.3.4.10.1) — long blocks only;
-                // block_type 2 non-mixed has no long subbands to blend
-                if (!shortCh) {
+                val mixedCh = shortCh && sides(g)(ch).mixed == 1
+                // alias reduction (§2.4.3.4.10.1) — long subbands only:
+                // all 31 boundaries for long block types, ONLY the
+                // sb0|sb1 boundary for mixed (its two long subbands),
+                // none for pure short
+                if (!shortCh || mixedCh) {
                   var sb = 1
-                  while (sb < 32) {
+                  val sbMax = if (mixedCh) 2 else 32
+                  while (sb < sbMax) {
                     var j = 0
                     while (j < 8) {
                       val lo = 18 * sb - 1 - j; val hi = 18 * sb + j
@@ -2140,7 +2214,9 @@ object Multimodal {
                 var sb = 0
                 while (sb < 32) {
                   val z36 = new Array[Double](36)
-                  if (shortCh) {
+                  // mixed: the two lowest subbands are LONG (block_type
+                  // 0 treatment with the long window), the rest short
+                  if (shortCh && (!mixedCh || sb >= 2)) {
                     var w = 0
                     while (w < 3) {
                       var i2 = 0
@@ -2157,6 +2233,14 @@ object Multimodal {
                       w += 1
                     }
                   } else {
+                    // block_type 0/1/3 share the 36-point IMDCT; only
+                    // the closed-form window differs (start/stop bridge
+                    // long and short shapes)
+                    val winArr = sides(g)(ch).bt match {
+                      case 1 => l3WinStart
+                      case 3 => l3WinStop
+                      case _ => l3Win
+                    }
                     var i2 = 0
                     while (i2 < 36) {
                       var zi = 0.0
@@ -2165,7 +2249,7 @@ object Multimodal {
                         zi += xr(18 * sb + kk) * l3CosTab(i2 * 18 + kk)
                         kk += 1
                       }
-                      z36(i2) = zi * l3Win(i2)
+                      z36(i2) = zi * winArr(i2)
                       i2 += 1
                     }
                   }
@@ -2485,6 +2569,252 @@ object Multimodal {
         put(1, 5); put(1, 5)                // table 1 in both regions
         (0 until 3).foreach(w => put(sbgOf(f, g, w), 3))
         put(0, 1)                           // preflag (not used w/ short)
+        put(1, 1)                           // scalefac_scale 1
+        put(1, 1)                           // count1 table B
+      }
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** The encode half of the MIXED-BLOCK round trip: a real MPEG-1
+    * Layer III mono 48 kHz / 192 kbps stream whose every granule uses
+    * window switching with block_type 2 / mixed_block_flag 1 — two LONG
+    * subbands below per-window line 12 (real ISO long geometry, bands
+    * 0-7 ending exactly at entropy line 36 = L3Sfb48(8)) and short
+    * windows above (SYNTHETIC aligned geometry: bands 3-11 of 20 lines
+    * per window — ISO Table B.8 short columns stay declared).
+    * Scalefactors follow the §2.4.2.7 mixed layout (8 long + 9×3 short
+    * slots, 17·slen1 + 18·slen2 = 70 bits at scomp 9), subblock gains
+    * apply to the short region only, alias reduction to the single long
+    * boundary. Gains 210 + 4k and |is| ≤ 1 keep values dyadic. */
+  def layer3MixedBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 21
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    def sfLOf(f: Int, g: Int, band: Int): Int =
+      ((seed + f + band + g * 3) % 4).toInt
+    def sfSOf(f: Int, g: Int, b: Int, w: Int): Int =
+      ((seed + f + b + w + g * 3) % 4).toInt
+    def sbgOf(f: Int, g: Int, w: Int): Int =
+      ((seed + f * 2 + g + w * 3) % 5).toInt
+    def pairs(f: Int, g: Int): Seq[(Int, Int)] = {
+      val n = 16 + ((seed + f + g) % 17).toInt
+      (0 until n).map(k =>
+        ((((seed * 3 + f * 7 + g * 11 + k * 5) % 3) - 1).toInt,
+         (((seed * 5 + f * 11 + g * 3 + k * 7) % 3) - 1).toInt))
+    }
+    def quads(f: Int, g: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + g * 5 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int): Int =
+      210 + 4 * (((seed + f * 2 + g) % 8).toInt - 2)
+    def huffBits(f: Int, g: Int): Int = {
+      val pb = pairs(f, g).map { case (x, y) =>
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+
+    val mdbs = new Array[Int](nFrames)
+    (0 until nFrames).foreach { f =>
+      val nominal = f * cap
+      val want = if (f == 0) 0 else ((seed * 7 + f * 13) % 40).toInt
+      val avail = nominal - (poolPos + 7) / 8
+      val mdb = math.min(want, math.max(avail, 0))
+      mdbs(f) = mdb
+      val startBit = (nominal - mdb) * 8
+      while (poolPos < startBit) { poolPos += 1 }
+      (0 until 2).foreach { g =>
+        (0 until 8).foreach(band => putPool(sfLOf(f, g, band), 2))
+        (3 until 12).foreach { b =>
+          (0 until 3).foreach(w => putPool(sfSOf(f, g, b, w), 2))
+        }
+        pairs(f, g).foreach { case (x, y) =>
+          val str = if (x == 0 && y == 0) "1"
+                    else if (y == 0) "01"
+                    else if (x == 0) "001" else "000"
+          str.foreach(c => putPool(if (c == '1') 1 else 0, 1))
+          if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+          if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+        }
+        quads(f, g).foreach { q =>
+          var code = 0
+          q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+          putPool(code, 4)
+          q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8); put(0xc0, 8)
+      put(mdbs(f), 9); put(0, 5); put(0, 4) // scfsi 0
+      (0 until 2).foreach { g =>
+        put(70 + huffBits(f, g), 12)        // part2: 17·2 + 18·2
+        put(pairs(f, g).size, 9)
+        put(gainOf(f, g), 8)
+        put(9, 4)                           // scalefac_compress 9 → 2/2
+        put(1, 1)                           // window switching
+        put(2, 2); put(1, 1)                // block_type 2, MIXED
+        put(1, 5); put(1, 5)                // table 1 in both regions
+        (0 until 3).foreach(w => put(sbgOf(f, g, w), 3))
+        put(0, 1)                           // preflag
+        put(1, 1)                           // scalefac_scale 1
+        put(1, 1)                           // count1 table B
+      }
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** The encode half of the START/STOP-WINDOW round trip: a real MPEG-1
+    * Layer III mono 48 kHz / 192 kbps stream whose every granule uses
+    * window switching with block_type 1 (start) when (seed+f+g) is even
+    * and 3 (stop) otherwise — the §2.4.1.7 ws side-info form with LONG
+    * scalefactors (21 bands, scomp 9, scfsi 0), preflag granules,
+    * nonzero subblock_gain fields (transmitted but inert for long
+    * forms — their correct skipping is part of the bit account), the
+    * implicit line-36 region boundary, and reservoir back-pointers.
+    * Gains 210 + 4k and |is| ≤ 1 keep requantized values dyadic. */
+  def layer3StartStopBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 21
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    def sfOf(f: Int, g: Int, band: Int): Int =
+      ((seed + f + band + g * 3) % 4).toInt
+    def pairs(f: Int, g: Int): Seq[(Int, Int)] = {
+      val n = 16 + ((seed + f + g) % 17).toInt
+      (0 until n).map(k =>
+        ((((seed * 3 + f * 7 + g * 11 + k * 5) % 3) - 1).toInt,
+         (((seed * 5 + f * 11 + g * 3 + k * 7) % 3) - 1).toInt))
+    }
+    def quads(f: Int, g: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + g * 5 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int): Int =
+      210 + 4 * (((seed + f * 2 + g) % 8).toInt - 2)
+    def preflagOf(f: Int, g: Int): Int =
+      if ((seed + f + g) % 3 == 0) 1 else 0
+    def btOf(f: Int, g: Int): Int =
+      if ((seed + f + g) % 2 == 0) 1 else 3
+    def huffBits(f: Int, g: Int): Int = {
+      val pb = pairs(f, g).map { case (x, y) =>
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+
+    val mdbs = new Array[Int](nFrames)
+    (0 until nFrames).foreach { f =>
+      val nominal = f * cap
+      val want = if (f == 0) 0 else ((seed * 7 + f * 13) % 40).toInt
+      val avail = nominal - (poolPos + 7) / 8
+      val mdb = math.min(want, math.max(avail, 0))
+      mdbs(f) = mdb
+      val startBit = (nominal - mdb) * 8
+      while (poolPos < startBit) { poolPos += 1 }
+      (0 until 2).foreach { g =>
+        (0 until 21).foreach(band => putPool(sfOf(f, g, band), 2))
+        pairs(f, g).foreach { case (x, y) =>
+          val str = if (x == 0 && y == 0) "1"
+                    else if (y == 0) "01"
+                    else if (x == 0) "001" else "000"
+          str.foreach(c => putPool(if (c == '1') 1 else 0, 1))
+          if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+          if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+        }
+        quads(f, g).foreach { q =>
+          var code = 0
+          q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+          putPool(code, 4)
+          q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8); put(0xc0, 8)
+      put(mdbs(f), 9); put(0, 5); put(0, 4) // scfsi 0
+      (0 until 2).foreach { g =>
+        put(42 + huffBits(f, g), 12)        // part2 = 21 bands × 2 bits
+        put(pairs(f, g).size, 9)
+        put(gainOf(f, g), 8)
+        put(9, 4)                           // scalefac_compress 9 → 2/2
+        put(1, 1)                           // window switching
+        put(btOf(f, g), 2); put(0, 1)       // block_type 1/3, not mixed
+        put(1, 5); put(1, 5)                // table 1 in both regions
+        (0 until 3).foreach(w =>            // inert for long forms
+          put((seed + f + g + w) % 8, 3))
+        put(preflagOf(f, g), 1)
         put(1, 1)                           // scalefac_scale 1
         put(1, 1)                           // count1 table B
       }
@@ -3140,9 +3470,10 @@ object Multimodal {
     * picture is then built macroblock-by-macroblock:
     *
     *   - forward motion vectors decoded differentially (motion_code VLC
-    *     subset |code| ≤ 3, `forward_f_code = 1`, half-pel units) with
-    *     the spec predictor resets (slice start, after intra, after
-    *     skipped) and ±16-px wraparound;
+    *     subset |code| ≤ 3, ANY `f_code` 1-7 — per-component residual
+    *     bits, delta = 1 + f·(|code|−1) + r, the general ±16f
+    *     wraparound — half-pel units) with the spec predictor resets
+    *     (slice start, after intra, after skipped);
     *   - half-pel interpolation by the spec's round-half-away integer
     *     averages ((a+b+1)>>1, (a+b+c+d+2)>>2);
     *   - skipped macroblocks (address increment > 1) copy the co-located
@@ -3172,8 +3503,8 @@ object Multimodal {
     *     default matrix, oddified, saturated), IDCT, and the
     *     prediction + residual add with the post-add [0,255] clamp.
     *
-    * Declared subset (None on encounter):
-    * |motion_code| > 3, `f_code > 1` residuals. Each decoded I/P becomes
+    * Declared subset (None on encounter): |motion_code| > 3 (Table
+    * B.4's longer codewords are tabulated data). Each decoded I/P becomes
     * the backward reference and slides the previous one to the forward
     * slot; B pictures are never references. Returns per-macroblock luma
     * statistics in decode order — integers end-to-end, so the DuckDB
@@ -3338,14 +3669,23 @@ object Multimodal {
         if (ptype == 2 && refY == null) return None // P needs a reference
         if (ptype == 3 && (refY == null || prevY == null)) return None
         bits(16) // vbv_delay
+        // f_code 1..7 (§2.4.3.1): r_size = f_code − 1 residual bits per
+        // nonzero motion code, delta = 1 + f·(|code|−1) + residual,
+        // predictors wrap into [−16f, 16f−1]
+        var rSizeF = 0; var rSizeB = 0
         if (ptype == 2 || ptype == 3) {
           if (bits(1) != 0) return None // full_pel_forward_vector
-          if (bits(3) != 1) return None // forward_f_code = 1 only
+          val fc = bits(3)
+          if (fc < 1) return None // forbidden forward_f_code
+          rSizeF = fc - 1
         }
         if (ptype == 3) {
           if (bits(1) != 0) return None // full_pel_backward_vector
-          if (bits(3) != 1) return None // backward_f_code = 1 only
+          val fc = bits(3)
+          if (fc < 1) return None // forbidden backward_f_code
+          rSizeB = fc - 1
         }
+        val fF = 1 << rSizeF; val fB = 1 << rSizeB
         while (bits(1) == 1) bits(8) // extra_information_picture
         alignByte()
         val slice = bits(32)
@@ -3506,24 +3846,37 @@ object Multimodal {
             }
           if (withQuant) qscale = bits(5)
           if (useFwd || useBwd) {
-            // reconstruct differentially with the f=1 ±16-px wraparound
-            def recon(pmv: Int, codeV: Int): Int = {
-              var v = pmv + codeV
-              if (v > 15) v -= 32
-              if (v < -16) v += 32
+            // reconstruct differentially (§2.4.4.2): delta =
+            // 1 + f·(|code|−1) + residual, predictor wraps into
+            // [−16f, 16f−1] (f = 1 reduces to pmv + code, ±16 wrap)
+            def recon(pmv: Int, codeV: Int, r: Int, fv: Int): Int = {
+              var v = pmv + (if (codeV == 0) 0 else {
+                val d = 1 + fv * (math.abs(codeV) - 1) + r
+                if (codeV < 0) -d else d
+              })
+              if (v > 16 * fv - 1) v -= 32 * fv
+              if (v < -16 * fv) v += 32 * fv
               v
             }
+            // field order per component: motion_code, then (when
+            // f_code > 1 and code ≠ 0) r_size residual bits
+            def readMv(rSize: Int): (Int, Int) = {
+              val c = vlc(MotionCodes)
+              (c, if (rSize > 0 && c != 0) bits(rSize) else 0)
+            }
             if (useFwd && !zeroVec) {
-              val mh = vlc(MotionCodes); val mv = vlc(MotionCodes)
-              pmvFx = recon(pmvFx, mh); pmvFy = recon(pmvFy, mv)
+              val (mh, rh) = readMv(rSizeF); val (mv, rv) = readMv(rSizeF)
+              pmvFx = recon(pmvFx, mh, rh, fF)
+              pmvFy = recon(pmvFy, mv, rv, fF)
             } else if (zeroVec) {
               // P pattern-only macroblock: zero vector AND the forward
               // predictor resets (§2.4.4.2 predictor-reset list).
               pmvFx = 0; pmvFy = 0
             }
             if (useBwd) {
-              val mh = vlc(MotionCodes); val mv = vlc(MotionCodes)
-              pmvBx = recon(pmvBx, mh); pmvBy = recon(pmvBy, mv)
+              val (mh, rh) = readMv(rSizeB); val (mv, rv) = readMv(rSizeB)
+              pmvBx = recon(pmvBx, mh, rh, fB)
+              pmvBy = recon(pmvBy, mv, rv, fB)
             }
             val (ys0, yq0) = predictMb(mb, useFwd, useBwd)
             var cbp = 0
@@ -3903,7 +4256,8 @@ object Multimodal {
     * dct_coeff_first/next path: the 1-bit run-0/±1 first form, plain
     * table codes, and the ESCAPE form. */
   def mpeg1PResidualBytes(seed: Long, withB: Boolean = false,
-                          bQuant: Boolean = false): Array[Byte] = {
+                          bQuant: Boolean = false,
+                          fcode2: Boolean = false): Array[Byte] = {
     val width = 64; val height = 32
     val bits = new scala.collection.mutable.ArrayBuffer[Boolean](1 << 14)
     def put(v: Long, n: Int): Unit =
@@ -3990,11 +4344,23 @@ object Multimodal {
     align()
     // ---- P picture ----
     put(0x00000100L, 32); put(1, 10); put(2, 3); put(0xffff, 16)
-    put(0, 1); put(1, 3) // full_pel 0, forward_f_code 1
+    // full_pel 0; forward_f_code 1, or 2 in the fcode2 variant (every
+    // nonzero motion code then carries one residual bit)
+    put(0, 1); put(if (fcode2) 2 else 1, 3)
     put(0, 1)
     align()
     put(0x00000101L, 32); put(8, 5); put(0, 1)
     def mcode(v: Int): String = MotionCodes.find(_._2 == v).get._1
+    // encode vector value v at the active f_code: f = 1 emits the code
+    // directly; f = 2 emits (code, 1-bit residual) with
+    // |v| = 1 + 2·(|code|−1) + r — the SAME decoded vector either way
+    def putMv(v: Int): Unit =
+      if (!fcode2 || v == 0) putStr(mcode(v))
+      else {
+        val a = math.abs(v)
+        val code = (a - 1) / 2 + 1; val r = (a - 1) % 2
+        putStr(mcode(if (v < 0) -code else code)); put(r, 1)
+      }
     val (w1x, w1y) = mpeg1PResVec(s, 1)
     val (w3x, w3y) = mpeg1PResVec(s, 3)
     val (w5x, w5y) = mpeg1PResVec(s, 5)
@@ -4003,15 +4369,15 @@ object Multimodal {
     putStr("1"); putStr("00011"); putIntraMb(1, 0, predP)
     // mb1: MC + coded (PMV reset by intra → codes = w1)
     putStr("1"); putStr("1")
-    putStr(mcode(w1x)); putStr(mcode(w1y)); putCodedBlocks(1)
+    putMv(w1x); putMv(w1y); putCodedBlocks(1)
     // mb2: pattern-only (zero vector; resets PMV)
     putStr("1"); putStr("01"); putCodedBlocks(2)
     // mb3: quant + MC + coded, qscale → 4 (PMV reset by mb2 → codes = w3)
     putStr("1"); putStr("00010"); put(4, 5)
-    putStr(mcode(w3x)); putStr(mcode(w3y)); putCodedBlocks(3)
+    putMv(w3x); putMv(w3y); putCodedBlocks(3)
     // mb4: skipped (mb5's increment is 2); mb5: MC not-coded (PMV reset
     // by the skip → codes = w5)
-    putStr("011"); putStr("001"); putStr(mcode(w5x)); putStr(mcode(w5y))
+    putStr("011"); putStr("001"); putMv(w5x); putMv(w5y)
     // mb6: quant + pattern-only (re-emits qscale 4)
     putStr("1"); putStr("00001"); put(4, 5); putCodedBlocks(6)
     // mb7: intra — DC predictors reset after the non-intra run; decoded

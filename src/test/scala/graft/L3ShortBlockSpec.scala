@@ -82,17 +82,73 @@ class L3ShortBlockSpec extends AnyFunSuite {
     assert(slots.sorted == (0 until 576))
   }
 
-  test("start/stop and mixed window forms stay declared (None)") {
-    // Flip block_type 2 → 1 in the first granule's side info: decoder
-    // must refuse (declared seam), not mis-decode. block_type bits sit
-    // right after the ws flag of granule 0: header(32) + mdb(9) +
-    // private(5) + scfsi(4) + part23(12) + bv(9) + gain(8) + scomp(4) +
-    // ws(1) = bit 84, so block_type occupies bits 84-85.
-    val bytes = Multimodal.layer3ShortBytes(3L, 1)
+  test("start/stop windows: closed-form pieces, time-reverse symmetry") {
+    val sta = Multimodal.l3WinStart; val sto = Multimodal.l3WinStop
+    assert(sta.length == 36 && sto.length == 36)
+    // start's long rise IS the long window's rise
+    assert(sta.take(18).toSeq == Multimodal.l3Win.take(18).toSeq)
+    assert(sta.slice(18, 24).forall(_ == 1.0) && sta.drop(30).forall(_ == 0.0))
+    assert(sto.take(6).forall(_ == 0.0) && sto.slice(12, 18).forall(_ == 1.0))
+    // stop is start time-reversed (sine symmetry survives quantization)
+    (0 until 36).foreach(i => assert(sto(i) == sta(35 - i), s"i=$i"))
+    // the short fall matches the short window's fall
+    (0 until 6).foreach(i =>
+      assert(sta(24 + i) == Multimodal.l3Win12(6 + i), s"short fall $i"))
+  }
+
+  test("start/stop fixture round-trips across 24 seeds") {
+    (0 until 24).foreach { id =>
+      val nf = (id % 3) + 1
+      val decoded = Multimodal.layer3DecodeFull(
+        Multimodal.layer3StartStopBytes(id.toLong, nf))
+      assert(decoded.isDefined, s"id=$id start/stop decode failed")
+      val (_, grans, subs, _) = decoded.get
+      assert(grans.size == nf * 2 && subs.size == nf * 2 * 32)
+      assert(subs.exists(_.sMsq > 0.0))
+    }
+  }
+
+  test("mixed-block fixture round-trips across 24 seeds") {
+    (0 until 24).foreach { id =>
+      val nf = (id % 3) + 1
+      val decoded = Multimodal.layer3DecodeFull(
+        Multimodal.layer3MixedBytes(id.toLong, nf))
+      assert(decoded.isDefined, s"id=$id mixed decode failed")
+      val (_, grans, subs, _) = decoded.get
+      assert(grans.size == nf * 2 && subs.size == nf * 2 * 32)
+      assert(grans.forall(_.nNonzero > 0))
+      // both regions carry energy: the long subbands (0-1) and the
+      // short ones (2+) — proof the split actually exercises both paths
+      assert(subs.exists(s2 => s2.subband <= 1 && s2.sMsq > 0.0),
+        s"id=$id long region silent")
+      assert(subs.exists(s2 => s2.subband >= 2 && s2.sMsq > 0.0),
+        s"id=$id short region silent")
+    }
+  }
+
+  test("mixed reorder: long lines fixed, short slots ≥ 36, permutation") {
+    val slots = (0 until 576).map { e =>
+      if (e < 36) e
+      else {
+        val e2 = e - 36
+        val b = 3 + e2 / 60; val w = (e2 % 60) / 20
+        val l = 12 + 20 * (b - 3) + e2 % 20
+        val t = 3 * l + w
+        assert(t >= 36 && t % 3 == w, s"e=$e")
+        t
+      }
+    }
+    assert(slots.sorted == (0 until 576))
+  }
+
+  test("mixed flag on non-short block types stays declared (None)") {
+    // Set mixed_block_flag on a block_type 1 granule: refuse, not
+    // mis-decode. Flag = bit 86 → byte 10, mask 0x02 (after header 32 +
+    // mdb 9 + private 5 + scfsi 4 + part23 12 + bv 9 + gain 8 +
+    // scomp 4 + ws 1 + block_type 2).
+    val bytes = Multimodal.layer3StartStopBytes(2L, 1) // seed 2: g0 is bt 1
     val bad = bytes.clone()
-    // bit 84 is in byte 10, mask 0x08; set block_type = 1 (bits 01):
-    // clear bit 84, set bit 85
-    bad(10) = ((bad(10) & ~0x08) | 0x04).toByte
+    bad(10) = (bad(10) | 0x02).toByte
     assert(Multimodal.layer3DecodeFull(bad).isEmpty)
   }
 }

@@ -127,6 +127,20 @@ class Mpeg1ResidualSpec extends AnyFunSuite {
     }
   }
 
+  test("f_code 2 re-encoding decodes identically to f_code 1") {
+    // The fcode2 fixture encodes the SAME vectors as the plain residual
+    // fixture — |v| = 1 + 2·(|code|−1) + r — so the decoded output must
+    // be equal row-for-row: residual-bit reads, the generalized delta,
+    // and the ±32 wrap bound all verified by equivalence.
+    (0L until 24L).foreach { id =>
+      val a = Multimodal.mpeg1IPDecode(
+        Multimodal.mpeg1PResidualBytes(id)).get._2
+      val b = Multimodal.mpeg1IPDecode(
+        Multimodal.mpeg1PResidualBytes(id, fcode2 = true)).get._2
+      assert(a == b, s"seed $id: f_code 1 vs 2 decode differs")
+    }
+  }
+
   test("decoder consumes coded streams bit-exactly (trailing intra intact)") {
     // mb7 of the P picture decodes AFTER all residual blocks; its DC
     // closed formula only matches if every preceding VLC consumed the
