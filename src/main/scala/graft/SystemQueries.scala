@@ -2211,6 +2211,110 @@ object SystemQueries {
              |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
 
+    // REAL MP3 MS STEREO over SHORT BLOCKS: the §2.4.3.4.9.1
+    // recombination is LINE-wise and therefore geometry-independent —
+    // both channels decode window-switched block_type-2 granules
+    // (per-channel short scalefactors and subblock gains), then
+    // L=(M+S)/√2, R=(M−S)/√2 applies on the reordered short spectra
+    // before the per-channel 12-point IMDCT chain. Intensity over short
+    // blocks stays declared (band-geometry-driven). The oracle replays
+    // requant → reorder → MS → short transform per output channel with
+    // order-pinned folds.
+    ("multimodal_mp3_stereo_short",
+      (s, dir) => {
+        import s.implicits._
+        s.range(16).flatMap { id =>
+          val nf = (id % 2).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3StereoShortBytes(id, nf)).get
+          subs.map(b => (id, b.frame.toLong, b.granule.toLong,
+            b.channel.toLong, b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "granule", "channel", "subband",
+               "s_sum", "s_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g, ch, f * 2 + g AS gidx
+             |       FROM range(16) t(r), range(2) ff(f), range(2) gg(g),
+             |            range(2) cc(ch) WHERE f < r % 2 + 1),
+             |pl AS (SELECT id, f, g, ch, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |              THEN (id*3 + f*7 + g*11 + ch*13 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + g*3 + ch*7 + k*7) % 3 - 1
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           16 + CAST((id + f + g + ch*2) % 17 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g, ch, gidx,
+             |         2 * (16 + (id + f + g + ch*2) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7 + ch*11) % 2) *
+             |           (CASE WHEN (id + f + j + q + ch) % 2 = 0
+             |                 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g + ch) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |rq AS (SELECT id, f, g, ch, gidx, line, isv,
+             |         line // 48 AS b, (line % 48) // 16 AS w, line % 16 AS j
+             |       FROM ln3),
+             |xr AS (SELECT id, gidx, ch, 3 * (b * 16 + j) + w AS t,
+             |         isv * POWER(2.0,
+             |           ((id + f*2 + g + ch*3) % 8 - 2)
+             |           - 2 * ((id + f*2 + g + w*3 + ch) % 5)
+             |           - ((id + f + b + w + g*3 + ch*5) % 4)) AS x
+             |       FROM rq),
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, g2.ch, ll.l AS t,
+             |         COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx, ch FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.ch = g2.ch AND x3.t = ll.l),
+             |msd AS (
+             |  SELECT m.id, m.gidx, oc.oc AS ch, m.t,
+             |    (CASE WHEN oc.oc = 0 THEN m.x + s2.x ELSE m.x - s2.x END)
+             |      * ${Multimodal.l3InvSqrt2} AS x
+             |  FROM (SELECT * FROM dense WHERE ch = 0) m
+             |  JOIN (SELECT * FROM dense WHERE ch = 1) s2
+             |    ON s2.id = m.id AND s2.gidx = m.gidx AND s2.t = m.t
+             |  CROSS JOIN range(2) oc(oc)),
+             |zw AS (
+             |  SELECT d.id, d.gidx, d.ch, d.t // 18 AS sb,
+             |    (d.t % 18) % 3 AS w, ii.i,
+             |    list_sum(list(
+             |      d.x * ($l3C12Lit)[CAST(ii.i * 6 + (d.t % 18) // 3
+             |                             AS INT) + 1]
+             |      ORDER BY d.t))
+             |      * ($l3W12Lit)[CAST(ii.i AS INT) + 1] AS z
+             |  FROM msd d CROSS JOIN range(12) ii(i)
+             |  GROUP BY d.id, d.gidx, d.ch, d.t // 18, (d.t % 18) % 3, ii.i),
+             |z36 AS (
+             |  SELECT g2.id, g2.gidx, g2.ch, sbb.sb, ii.i36,
+             |    COALESCE(list_sum(list(a.z ORDER BY a.w)), 0.0) AS zv
+             |  FROM (SELECT DISTINCT id, gidx, ch FROM gr) g2
+             |  CROSS JOIN range(32) sbb(sb) CROSS JOIN range(36) ii(i36)
+             |  LEFT JOIN (SELECT id, gidx, ch, sb, 6 + 6 * w + i AS i36, w, z
+             |             FROM zw) a
+             |    ON a.id = g2.id AND a.gidx = g2.gidx AND a.ch = g2.ch
+             |    AND a.sb = sbb.sb AND a.i36 = ii.i36
+             |  GROUP BY g2.id, g2.gidx, g2.ch, sbb.sb, ii.i36),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.ch, h.sb, h.i36 AS i,
+             |    (h.zv + COALESCE(t3.zv, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i36 % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM z36 WHERE i36 < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, ch, sb, i36 - 18 AS i36,
+             |             zv FROM z36 WHERE i36 >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.ch = h.ch
+             |    AND t3.sb = h.sb AND t3.i36 = h.i36)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule,
+             |  CAST(ch AS BIGINT) AS channel, CAST(sb AS BIGINT) AS subband,
+             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
+             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
+
     // REAL MP3 JOINT (MS) STEREO through the full chain: 32-byte stereo
     // side info with per-channel scfsi, both channels of each granule
     // requantized independently, then the §2.4.3.4.9.1 recombination

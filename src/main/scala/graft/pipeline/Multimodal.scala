@@ -2150,10 +2150,12 @@ object Multimodal {
               // processing, ratio tan(is_pos·π/12)) are panned from the
               // left-carried signal; remaining bands get the MS matrix
               // (§2.4.3.4.9.1) when the MS extension is on.
-              // MS/intensity over short-block granules stays declared
-              // (long-band geometry drives both) — the short fixtures
-              // are mono/plain-stereo only.
-              if (nch == 2 && (ms || intens) &&
+              // MS recombination is LINE-wise (geometry-independent), so
+              // it applies to window-switched granules too; INTENSITY
+              // over short blocks stays declared (its band walk is
+              // long-geometry-driven and short intensity uses per-window
+              // is_pos semantics).
+              if (nch == 2 && intens &&
                   sides(g).exists(_.bt == 2)) ok = false
               if (ok && nch == 2 && (ms || intens)) {
                 var i = 0
@@ -2571,6 +2573,130 @@ object Multimodal {
         put(0, 1)                           // preflag (not used w/ short)
         put(1, 1)                           // scalefac_scale 1
         put(1, 1)                           // count1 table B
+      }
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** The encode half of the MS-STEREO SHORT-BLOCK round trip: a real
+    * MPEG-1 Layer III joint-stereo (MS extension) 48 kHz stream whose
+    * every granule of BOTH channels uses block_type 2 / mixed 0 —
+    * 32-byte stereo side info, per-channel 12×3 short scalefactors
+    * (scfsi 0), per-channel subblock gains, and the §2.4.3.4.9.1
+    * recombination applied line-wise on the reordered short spectra.
+    * Same synthetic uniform 12×16 geometry as [[layer3ShortBytes]];
+    * dyadic gains. */
+  def layer3StereoShortBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 36 // 4 header + 32 side info
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    def sfOf(f: Int, g: Int, b: Int, w: Int, ch: Int): Int =
+      ((seed + f + b + w + g * 3 + ch * 5) % 4).toInt
+    def sbgOf(f: Int, g: Int, w: Int, ch: Int): Int =
+      ((seed + f * 2 + g + w * 3 + ch) % 5).toInt
+    def pairs(f: Int, g: Int, ch: Int): Seq[(Int, Int)] = {
+      val n = 16 + ((seed + f + g + ch * 2) % 17).toInt
+      (0 until n).map(k =>
+        ((((seed * 3 + f * 7 + g * 11 + ch * 13 + k * 5) % 3) - 1).toInt,
+         (((seed * 5 + f * 11 + g * 3 + ch * 7 + k * 7) % 3) - 1).toInt))
+    }
+    def quads(f: Int, g: Int, ch: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g + ch) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit =
+            ((seed * (j + 2) + f * 3 + g * 5 + q * 7 + ch * 11) % 2).toInt
+          val sgn = if ((seed + f + j + q + ch) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int, ch: Int): Int =
+      210 + 4 * (((seed + f * 2 + g + ch * 3) % 8).toInt - 2)
+    def huffBits(f: Int, g: Int, ch: Int): Int = {
+      val pb = pairs(f, g, ch).map { case (x, y) =>
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g, ch).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+    val mdbs = new Array[Int](nFrames)
+    (0 until nFrames).foreach { f =>
+      val nominal = f * cap
+      val want = if (f == 0) 0 else ((seed * 7 + f * 13) % 40).toInt
+      val avail = nominal - (poolPos + 7) / 8
+      val mdb = math.min(want, math.max(avail, 0))
+      mdbs(f) = mdb
+      val startBit = (nominal - mdb) * 8
+      while (poolPos < startBit) { poolPos += 1 }
+      (0 until 2).foreach { g =>
+        (0 until 2).foreach { ch =>
+          (0 until 12).foreach { b =>
+            (0 until 3).foreach(w => putPool(sfOf(f, g, b, w, ch), 2))
+          }
+          pairs(f, g, ch).foreach { case (x, y) =>
+            val str = if (x == 0 && y == 0) "1"
+                      else if (y == 0) "01"
+                      else if (x == 0) "001" else "000"
+            str.foreach(c => putPool(if (c == '1') 1 else 0, 1))
+            if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+            if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+          }
+          quads(f, g, ch).foreach { q =>
+            var code = 0
+            q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+            putPool(code, 4)
+            q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+          }
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8); put(0x60, 8) // joint stereo, MS extension
+      put(mdbs(f), 9); put(0, 3)
+      put(0, 4); put(0, 4) // scfsi 0 both channels
+      (0 until 2).foreach { g =>
+        (0 until 2).foreach { ch =>
+          put(72 + huffBits(f, g, ch), 12)
+          put(pairs(f, g, ch).size, 9)
+          put(gainOf(f, g, ch), 8)
+          put(9, 4)                      // scalefac_compress 9 → 2/2
+          put(1, 1)                      // window switching
+          put(2, 2); put(0, 1)           // block_type 2, not mixed
+          put(1, 5); put(1, 5)           // table 1 in both regions
+          (0 until 3).foreach(w => put(sbgOf(f, g, w, ch), 3))
+          put(0, 1)                      // preflag
+          put(1, 1)                      // scalefac_scale 1
+          put(1, 1)                      // count1 table B
+        }
       }
       var b = 0
       while (b < cap * 8) {

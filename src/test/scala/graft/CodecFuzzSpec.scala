@@ -51,6 +51,12 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.mpeg1IPBytes(3, withB = true),
     Multimodal.mpeg1PResidualBytes(3),
     Multimodal.mpeg1PResidualBytes(3, withB = true),
+    Multimodal.mpeg1PResidualBytes(3, withB = true, bQuant = true),
+    Multimodal.mpeg1PResidualBytes(3, fcode2 = true),
+    Multimodal.layer3ShortBytes(3, 2),
+    Multimodal.layer3StartStopBytes(3, 2),
+    Multimodal.layer3MixedBytes(3, 2),
+    Multimodal.layer3StereoShortBytes(3, 2),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
     TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),
     TextOps.warcBytes(Seq(("response", "http://x/1", "hello"))))

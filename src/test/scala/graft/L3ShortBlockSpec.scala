@@ -141,6 +141,25 @@ class L3ShortBlockSpec extends AnyFunSuite {
     assert(slots.sorted == (0 until 576))
   }
 
+  test("MS stereo over short blocks round-trips; intensity stays gated") {
+    (0 until 16).foreach { id =>
+      val nf = (id % 2) + 1
+      val decoded = Multimodal.layer3DecodeFull(
+        Multimodal.layer3StereoShortBytes(id.toLong, nf))
+      assert(decoded.isDefined, s"id=$id MS-short decode failed")
+      val (meta, grans, subs, _) = decoded.get
+      assert(meta.channels == 2)
+      assert(grans.size == nf * 2 * 2 && subs.size == nf * 2 * 2 * 32)
+      assert(subs.exists(s2 => s2.channel == 1 && s2.sMsq > 0.0))
+    }
+    // flipping the MS stream's mode extension to intensity (mode_ext
+    // bits 01) must refuse: intensity over short blocks is declared.
+    val bytes = Multimodal.layer3StereoShortBytes(3L, 1)
+    val bad = bytes.clone()
+    bad(3) = ((bad(3) & ~0x30) | 0x10).toByte // mode_ext 10 → 01
+    assert(Multimodal.layer3DecodeFull(bad).isEmpty)
+  }
+
   test("mixed flag on non-short block types stays declared (None)") {
     // Set mixed_block_flag on a block_type 1 granule: refuse, not
     // mis-decode. Flag = bit 86 → byte 10, mask 0x02 (after header 32 +
