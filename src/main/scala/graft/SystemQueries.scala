@@ -1804,6 +1804,41 @@ object SystemQueries {
              |  ROUND(SUM(x * x), 6) + 0.0 AS xr_msq
              |FROM xr GROUP BY id, f, g""".stripMargin)),
 
+    // REAL MP3 CRC-PROTECTED frames (§2.4.3.1 protection_bit 0): a
+    // 16-bit CRC word (poly x¹⁶+x¹⁵+x²+1, init 0xFFFF, over header
+    // bytes 2–3 + the complete side info) sits between header and side
+    // info and is VERIFIED — a mismatching frame refuses the stream
+    // (asserted in L3CrcSpec). The protected fixture carries the same
+    // granule payloads as multimodal_mp3_reservoir, so it decodes to
+    // IDENTICAL rows and shares that oracle verbatim — the
+    // re-encode-equivalence pattern.
+    ("multimodal_mp3_crc",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, grans, _, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3BytesFull(id, nf, crc = true)).get
+          grans.map(g => (id, g.frame.toLong, g.granule.toLong,
+            g.mainDataBegin.toLong, g.preflag.toLong, g.nCount1.toLong,
+            g.nNonzero.toLong, g.xrSum, g.xrMsq))
+        }.toDF("media_id", "frame", "granule", "main_data_begin", "preflag",
+               "n_count1", "n_nonzero", "xr_sum", "xr_msq")
+      },
+      Some(s"""WITH $l3XrCte
+             |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+             |  CAST(g AS BIGINT) AS granule,
+             |  CAST(CASE WHEN f = 0 THEN 0 ELSE (id*7 + f*13) % 40 END
+             |       AS BIGINT) AS main_data_begin,
+             |  CAST(CASE WHEN (id + f + g) % 3 = 0 THEN 1 ELSE 0 END
+             |       AS BIGINT) AS preflag,
+             |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
+             |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nonzero,
+             |  ROUND(SUM(x), 6) + 0.0 AS xr_sum,
+             |  ROUND(SUM(x * x), 6) + 0.0 AS xr_msq
+             |FROM xr GROUP BY id, f, g""".stripMargin)),
+
     // REAL MP3 transform chain to time-domain subband samples: alias-
     // reduction butterflies (Table B.9), the 36-point long-block IMDCT,
     // sine windowing, overlap-add across the granule sequence, and odd-
@@ -3047,6 +3082,155 @@ object SystemQueries {
              |  CAST(dx AS BIGINT), CAST(dy AS BIGINT), CAST(cbp AS BIGINT),
              |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
              |FROM fin GROUP BY id, m, kind, dx, dy, cbp""".stripMargin)),
+
+    // REAL MPEG-1 MULTI-SLICE pictures (§2.4.2.4, row-aligned slices):
+    // both the I and P pictures carry two slices (0x101 row 0, 0x102
+    // row 1); the slice-2 header resets quantizer scale, DC predictors,
+    // and motion-vector predictors. The P picture's slice 1 leaves a
+    // NONZERO forward predictor via a differential chain, so slice 2's
+    // first vector decodes correctly ONLY with the reset — a decoder
+    // that carries the predictor across slices produces wrong pixels
+    // and fails this oracle. The oracle rebuilds the I plane and every
+    // half-pel prediction relationally, integers end-to-end.
+    ("multimodal_mpeg1_slices",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(
+            Multimodal.mpeg1SliceBytes(id))
+          val (_, mbs) = decoded.get
+          mbs.map(r => (id, r.pic.toLong, r.mb.toLong, r.kind.toLong,
+            r.dx.toLong, r.dy.toLong, r.ySum, r.ySqSum))
+        }.toDF("media_id", "pic", "mb", "kind", "dx", "dy",
+               "y_sum", "y_sqsum")
+      },
+      Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
+             |cmb AS (SELECT id, pc, m FROM ids, (VALUES (0), (1)) pp(pc),
+             |        range(8) mm(m)
+             |        WHERE pc = 0 OR (pc = 1 AND m IN (0, 6))),
+             |lv AS (SELECT id, pc, m, b, p,
+             |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
+             |               THEN 1
+             |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
+             |          END AS lvl
+             |        FROM cmb, range(4) bb(b),
+             |          LATERAL (SELECT UNNEST([
+             |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
+             |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
+             |            50 + (m*3 + b) % 13]) AS p) g),
+             |dqi AS (SELECT id, pc, m, b, p,
+             |          CASE WHEN lvl < 0 THEN -1 ELSE 1 END AS sg,
+             |          (ABS(lvl) * 8 * wz[CAST(p AS INT) + 1]) // 8 AS a0
+             |        FROM lv,
+             |          (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
+             |co AS (
+             |  SELECT id, pc, m, b, 0 AS ord,
+             |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
+             |  FROM cmb, range(4) bb(b)
+             |  UNION ALL
+             |  SELECT id, pc, m, b, p AS ord,
+             |    sg * LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+             |               2047) AS f
+             |  FROM dqi),
+             |px AS (
+             |  SELECT id, pc, m, b, x, y,
+             |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT))) AS v
+             |  FROM co, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, pc, m, b, x, y),
+             |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
+             |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
+             |        FROM px WHERE pc = 0 AND b < 4),
+             |mv AS (SELECT id, m,
+             |    CASE m WHEN 1 THEN id % 4 - 2 WHEN 2 THEN (id // 5) % 3 - 1
+             |           WHEN 3 THEN -((id // 11) % 3)
+             |           WHEN 4 THEN (id // 17) % 3
+             |           WHEN 5 THEN (id // 23) % 3 - 1
+             |           ELSE -((id // 31) % 3) END AS dx,
+             |    CASE m WHEN 1 THEN (id // 4) % 3 WHEN 2 THEN (id // 7) % 3
+             |           WHEN 3 THEN (id // 13) % 3
+             |           WHEN 4 THEN -((id // 19) % 3)
+             |           WHEN 5 THEN -((id // 29) % 2)
+             |           ELSE -((id // 37) % 2) END AS dy
+             |  FROM ids, range(8) mm(m) WHERE m IN (1, 2, 3, 4, 5, 7)),
+             |mc AS (SELECT v.id, v.m, v.dx, v.dy, xx.x AS lx, yy.y AS ly,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
+             |       FROM mv v, range(16) xx(x), range(16) yy(y)),
+             |prd AS (
+             |  SELECT c.id, c.m, c.dx, c.dy,
+             |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
+             |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
+             |           THEN (r00.v + r01.v + 1) // 2
+             |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
+             |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS pv
+             |  FROM mc c
+             |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
+             |    AND r00.ry = c.y2 // 2
+             |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
+             |    AND r01.ry = c.y2 // 2
+             |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
+             |    AND r10.ry = c.y2 // 2 + 1
+             |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
+             |    AND r11.ry = c.y2 // 2 + 1)
+             |SELECT id AS media_id, CAST(0 AS BIGINT) AS pic,
+             |  CAST(m AS BIGINT) AS mb, CAST(0 AS BIGINT) AS kind,
+             |  CAST(0 AS BIGINT) AS dx, CAST(0 AS BIGINT) AS dy,
+             |  CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
+             |FROM px WHERE pc = 0 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), 0, 0, 0,
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM px WHERE pc = 1 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), 1,
+             |  CAST(dx AS BIGINT), CAST(dy AS BIGINT),
+             |  CAST(SUM(pv) AS BIGINT), CAST(SUM(pv * pv) AS BIGINT)
+             |FROM prd GROUP BY id, m, dx, dy""".stripMargin)),
+
+    // REAL MPEG-1 D PICTURES (picture_coding_type 4, §2.4.3.5) — the
+    // fast-preview picture class completing the I/P/B/D family: the
+    // picture header carries no f_code fields, the only macroblock type
+    // is '1' (intra, Table B.2d), blocks carry just the DC-differential
+    // chain (no AC, no EOB), and every macroblock closes with
+    // end_of_macroblock = 1; D pictures never become references. The
+    // oracle replays the DC chain through the single-coefficient IDCT
+    // (a flat block of the quantized DC) with the decoder's
+    // 1e-12-quantized basis.
+    ("multimodal_mpeg1_dframe",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(
+            Multimodal.mpeg1DBytes(id, (id % 3).toInt + 1))
+          val (_, mbs) = decoded.get
+          mbs.map(r => (id, r.pic.toLong, r.mb.toLong, r.kind.toLong,
+            r.ySum, r.ySqSum))
+        }.toDF("media_id", "pic", "mb", "kind", "y_sum", "y_sqsum")
+      },
+      Some(s"""WITH dm AS (
+             |  SELECT r AS id, p AS pic, m, b
+             |  FROM range(24) t(r), range(3) pp(p), range(8) mm(m),
+             |       range(4) bb(b)
+             |  WHERE p < r % 3 + 1),
+             |px AS (
+             |  SELECT id, pic, m, b, x, y,
+             |    LEAST(255, GREATEST(0, CAST(ROUND(
+             |      ((id*7 + pic*37 + m*13 + b*29) % 256) * 8
+             |      * ict[CAST(x AS INT) + 1] * ict[CAST(y AS INT) + 1])
+             |      AS BIGINT))) AS v
+             |  FROM dm, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict) cc)
+             |SELECT id AS media_id, CAST(pic AS BIGINT) AS pic,
+             |  CAST(m AS BIGINT) AS mb, CAST(0 AS BIGINT) AS kind,
+             |  CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
+             |FROM px GROUP BY id, pic, m""".stripMargin)),
 
     // REAL MPEG-1 B-PICTURE PREDICTION-ERROR CODING: all three coded
     // Table-B.2c forms — forward+coded, backward+coded, and

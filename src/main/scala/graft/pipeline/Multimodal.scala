@@ -1695,6 +1695,27 @@ object Multimodal {
   final case class L3SubbandOut(frame: Int, granule: Int, subband: Int,
                                 sSum: Double, sMsq: Double, channel: Int = 0)
 
+  /** ISO 11172-3 §2.4.3.1 CRC-16 over the protected field (header bytes
+    * 2–3 + the complete side info): polynomial x¹⁶+x¹⁵+x²+1 (0x8005),
+    * initial state 0xFFFF, MSB-first, no reflection, no final xor. */
+  private[graft] def mpegCrc16(bytes: Array[Byte], from: Int,
+                               until: Int): Int = {
+    var crc = 0xffff
+    var i = from
+    while (i < until) {
+      var bit = 7
+      while (bit >= 0) {
+        val in = (bytes(i) >> bit) & 1
+        val top = (crc >> 15) & 1
+        crc = ((crc << 1) & 0xffff) | 0
+        if ((top ^ in) == 1) crc ^= 0x8005
+        bit -= 1
+      }
+      i += 1
+    }
+    crc
+  }
+
   /** 1e-12-quantized 1/√2 — the MS-stereo recombination constant
     * (§2.4.3.4.9.1: L=(M+S)/√2, R=(M−S)/√2), interpolated into the
     * oracle SQL. */
@@ -1830,10 +1851,13 @@ object Multimodal {
   def layer3DecodeFull(bytes: Array[Byte])
       : Option[(AudioMeta, Seq[L3GranuleFull], Seq[L3SubbandOut],
                 Seq[L3PcmOut])] = {
-    // header → (frame length, channels, MS flag, intensity flag); mono,
-    // plain stereo, and joint stereo with the MS and/or intensity
-    // extensions are supported.
-    def headerLen(p: Int): Option[(Int, Int, Boolean, Boolean)] = {
+    // header → (frame length, channels, MS flag, intensity flag, CRC
+    // protection); mono, plain stereo, and joint stereo with the MS
+    // and/or intensity extensions are supported; protection_bit = 0
+    // frames carry a 16-bit CRC word between header and side info that
+    // is VERIFIED (§2.4.3.1: poly x¹⁶+x¹⁵+x²+1 over header bytes 2–3 +
+    // the side info) — a mismatching frame refuses the stream.
+    def headerLen(p: Int): Option[(Int, Int, Boolean, Boolean, Boolean)] = {
       if (p + 4 > bytes.length) return None
       val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
       val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
@@ -1845,17 +1869,20 @@ object Multimodal {
       val nch = if (mode == 3) 1 else 2
       val ms = mode == 1 && (modeExt & 2) != 0
       val intens = mode == 1 && (modeExt & 1) != 0
+      val prot = (b2 & 1) == 0
       val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                      224, 256, 320)(brIdx)
-      Some((144 * br * 1000 / 48000 + ((b3 >> 1) & 1), nch, ms, intens))
+      Some((144 * br * 1000 / 48000 + ((b3 >> 1) & 1), nch, ms, intens,
+            prot))
     }
     // Pass 1: frame offsets + the main-data pool (everything after each
-    // frame's 4-byte header + 17-byte mono / 32-byte stereo side info).
+    // frame's 4-byte header, optional 2-byte CRC, and 17-byte mono /
+    // 32-byte stereo side info).
     val frameOff = Seq.newBuilder[Int]
     var p = 0
     var scanOk = true
     while (scanOk) headerLen(p) match {
-      case Some((len, _, _, _)) if p + len <= bytes.length =>
+      case Some((len, _, _, _, _)) if p + len <= bytes.length =>
         frameOff += p; p += len
       case _ => scanOk = false
     }
@@ -1863,11 +1890,24 @@ object Multimodal {
     if (offs.isEmpty) return None
     val headers = offs.map(o => headerLen(o).get)
     def sideBytes(nch: Int): Int = if (nch == 1) 17 else 32
-    val pool = offs.zip(headers).flatMap { case (o, (len, nch, _, _)) =>
-      bytes.slice(o + 4 + sideBytes(nch), o + len)
+    def crcBytes(prot: Boolean): Int = if (prot) 2 else 0
+    // verify every protected frame's CRC up front
+    offs.zip(headers).foreach { case (o, (_, nch, _, _, prot)) =>
+      if (prot) {
+        val sb = o + 4 + 2
+        if (sb + sideBytes(nch) > bytes.length) return None
+        val protected_ = bytes.slice(o + 2, o + 4) ++
+          bytes.slice(sb, sb + sideBytes(nch))
+        val want = ((bytes(o + 4) & 0xff) << 8) | (bytes(o + 5) & 0xff)
+        if (mpegCrc16(protected_, 0, protected_.length) != want)
+          return None
+      }
+    }
+    val pool = offs.zip(headers).flatMap { case (o, (len, nch, _, _, pr)) =>
+      bytes.slice(o + 4 + crcBytes(pr) + sideBytes(nch), o + len)
     }.toArray
-    val poolBefore = headers.map { case (len, nch, _, _) =>
-      len - 4 - sideBytes(nch)
+    val poolBefore = headers.map { case (len, nch, _, _, pr) =>
+      len - 4 - crcBytes(pr) - sideBytes(nch)
     }.scanLeft(0)(_ + _)
 
     // bt = block_type (0 long, 1 start, 2 short, 3 stop); mixed =
@@ -1890,8 +1930,8 @@ object Multimodal {
     var f = 0
     while (ok && f < offs.length) {
       val o = offs(f)
-      val (_, nch, ms, intens) = headers(f)
-      var sBitPos = (o + 4) * 8
+      val (_, nch, ms, intens, prot) = headers(f)
+      var sBitPos = (o + 4 + crcBytes(prot)) * 8
       def sbits(n: Int): Int = {
         var v = 0; var i = 0
         while (i < n) {
@@ -2325,10 +2365,17 @@ object Multimodal {
     * frame-varying scfsi sharing, preflag granules, scalefac_scale 1,
     * and a count1-table-B region after the big-values pairs. Global gain
     * is pinned to 210 + 4k and |is| ≤ 1, so every requantized value is
-    * an exact dyadic double and the oracle replay is bit-identical. */
-  def layer3BytesFull(seed: Long, nFrames: Int): Array[Byte] = {
+    * an exact dyadic double and the oracle replay is bit-identical.
+    * With `crc = true` every frame is CRC-PROTECTED (§2.4.3.1:
+    * protection_bit 0, a real 16-bit CRC over header bytes 2–3 + side
+    * info between header and side info) — the granule payloads are
+    * unchanged, so the protected stream decodes to the IDENTICAL rows
+    * and shares the unprotected oracle. */
+  def layer3BytesFull(seed: Long, nFrames: Int,
+                      crc: Boolean = false): Array[Byte] = {
     val frameLen = 576
-    val cap = frameLen - 21 // main-data bytes per frame
+    val hdrSide = if (crc) 23 else 21 // 4 header [+2 crc] + 17 side
+    val cap = frameLen - hdrSide // main-data bytes per frame
     val out = new Array[Byte](frameLen * nFrames)
     val poolBits = new Array[Byte](cap * nFrames * 8) // bit-addressed pool
     var poolPos = 0 // bit cursor into the pool
@@ -2437,8 +2484,9 @@ object Multimodal {
           bitPos += 1; i -= 1
         }
       }
-      put(0xff, 8); put(0xfb, 8)
+      put(0xff, 8); put(if (crc) 0xfa else 0xfb, 8)
       put(0xb4, 8); put(0xc0, 8)
+      if (crc) put(0, 16) // CRC placeholder, patched after the side info
       put(mdbs(f), 9); put(0, 5); put(scfsiOf(f), 4)
       (0 until 2).foreach { g =>
         put(sfBits(f, g) + huffBits(f, g), 12)
@@ -2451,6 +2499,14 @@ object Multimodal {
         put(preflagOf(f, g), 1)
         put(1, 1)                       // scalefac_scale 1 (multiplier 1)
         put(1, 1)                       // count1 table B
+      }
+      if (crc) {
+        val base = f * frameLen
+        val protected_ = out.slice(base + 2, base + 4) ++
+          out.slice(base + 6, base + 23)
+        val c = mpegCrc16(protected_, 0, protected_.length)
+        out(base + 4) = ((c >> 8) & 0xff).toByte
+        out(base + 5) = (c & 0xff).toByte
       }
       // copy this frame's main-data area from the pool
       var b = 0
@@ -3627,12 +3683,23 @@ object Multimodal {
     *     code in EOB's freed prefix space, ESCAPE form included),
     *     non-intra dequantization ((2·|QF|+1)·qscale with the uniform-16
     *     default matrix, oddified, saturated), IDCT, and the
-    *     prediction + residual add with the post-add [0,255] clamp.
+    *     prediction + residual add with the post-add [0,255] clamp;
+    *
+    *   - D pictures (picture_coding_type 4, §2.4.3.5): DC-only intra
+    *     macroblocks with the end_of_macroblock gate, no f_code fields,
+    *     never references;
+    *
+    *   - MULTI-SLICE pictures (§2.4.2.4, row-aligned slices): slice
+    *     start codes between macroblocks reset the quantizer scale, DC
+    *     predictors, motion-vector predictors, and the B skip-mode
+    *     memory; slice_vertical_position must continue exactly at the
+    *     next undecoded row (gaps refuse).
     *
     * Declared subset (None on encounter): |motion_code| > 3 (Table
-    * B.4's longer codewords are tabulated data). Each decoded I/P becomes
+    * B.4's longer codewords are tabulated data), mid-row slice starts.
+    * Each decoded I/P becomes
     * the backward reference and slides the previous one to the forward
-    * slot; B pictures are never references. Returns per-macroblock luma
+    * slot; B and D pictures are never references. Returns per-macroblock luma
     * statistics in decode order — integers end-to-end, so the DuckDB
     * oracle replays the whole chain bit-for-bit. */
   def mpeg1IPDecode(bytes: Array[Byte])
@@ -3791,7 +3858,7 @@ object Multimodal {
       while (morePictures) {
         bits(10) // temporal_reference
         val ptype = bits(3)
-        if (ptype != 1 && ptype != 2 && ptype != 3) return None
+        if (ptype < 1 || ptype > 4) return None // I/P/B/D
         if (ptype == 2 && refY == null) return None // P needs a reference
         if (ptype == 3 && (refY == null || prevY == null)) return None
         bits(16) // vbv_delay
@@ -3816,6 +3883,8 @@ object Multimodal {
         alignByte()
         val slice = bits(32)
         if (slice < 0x00000101 || slice > 0x000001af) return None
+        // the first slice must cover the picture's first macroblock row
+        if ((slice & 0xff) != 1) return None
         var qscale = bits(5)
         while (bits(1) == 1) bits(8)
         val newY = new Array[Int](w * h)
@@ -3914,6 +3983,38 @@ object Multimodal {
 
         var mb = 0
         while (mb < nMb) {
+          // MULTI-SLICE (§2.4.2.4): between macroblocks, a byte-aligned
+          // slice start code (after all-zero padding bits) opens the
+          // next slice — slice_vertical_position must continue exactly
+          // at the next undecoded macroblock row, and the slice header
+          // resets the quantizer scale, DC predictors, motion-vector
+          // predictors, and the B skipped-macroblock mode memory.
+          if (mb > 0 && mb % mbw == 0) {
+            val save = bitPos
+            val aligned = (bitPos + 7) & ~7
+            if (aligned + 32 <= bytes.length * 8) {
+              var pad0 = true
+              var pb = bitPos
+              while (pb < aligned) {
+                if (((bytes(pb >> 3) >> (7 - (pb & 7))) & 1) != 0)
+                  pad0 = false
+                pb += 1
+              }
+              if (pad0) {
+                bitPos = aligned
+                val code = bits(32)
+                if (code >= 0x00000101 && code <= 0x000001af) {
+                  if (((code & 0xff) - 1) * mbw != mb)
+                    throw new RuntimeException("slicegap")
+                  qscale = bits(5)
+                  while (bits(1) == 1) bits(8)
+                  pred(0) = 128; pred(1) = 128; pred(2) = 128
+                  pmvFx = 0; pmvFy = 0; pmvBx = 0; pmvBy = 0
+                  lastFwd = false; lastBwd = false
+                } else bitPos = save
+              }
+            }
+          }
           val inc = vlc(Seq("1" -> 1, "011" -> 2, "010" -> 3))
           // skipped macroblocks: P copies co-located with vector 0 and
           // resets the predictor; B repeats the previous macroblock's
@@ -3954,6 +4055,10 @@ object Multimodal {
             if (ptype == 1) {
               val q = vlc(Seq("1" -> false, "01" -> true))
               (true, q, false, false, false, false)
+            } else if (ptype == 4) {
+              // D pictures (Table B.2d): intra DC-only is the ONLY type
+              vlc(Seq("1" -> 0))
+              (true, false, false, false, false, false)
             } else if (ptype == 2) {
               vlc(Seq[(String, Int)]("001" -> 0, "00011" -> 1,
                                      "000001" -> 2, "1" -> 3, "01" -> 4,
@@ -4046,25 +4151,29 @@ object Multimodal {
               pred(comp) += diff
               val coeffs = Seq.newBuilder[(Int, Long)]
               coeffs += ((0, pred(comp).toLong * 8))
-              var pos = 0
-              var eob = false
-              while (!eob) {
-                val step = vlc(Seq[(String, (Int, Int))](
-                  "10" -> ((-1, 0)), "000001" -> ((-2, 0))) ++ AcCodes)
-                step match {
-                  case (-1, _) => eob = true
-                  case (-2, _) =>
-                    val run = bits(6)
-                    val raw = bits(8)
-                    val level = if (raw >= 128) raw - 256 else raw
-                    pos += run + 1
-                    coeffs += ((pos, dequantAc0(level, qscale, pos)))
-                  case (run, mag) =>
-                    val level = if (bits(1) == 1) -mag else mag
-                    pos += run + 1
-                    coeffs += ((pos, dequantAc0(level, qscale, pos)))
+              // D-picture blocks carry ONLY the DC chain — no AC codes,
+              // no EOB (§2.4.3.5); everything else runs the AC walk
+              if (ptype != 4) {
+                var pos = 0
+                var eob = false
+                while (!eob) {
+                  val step = vlc(Seq[(String, (Int, Int))](
+                    "10" -> ((-1, 0)), "000001" -> ((-2, 0))) ++ AcCodes)
+                  step match {
+                    case (-1, _) => eob = true
+                    case (-2, _) =>
+                      val run = bits(6)
+                      val raw = bits(8)
+                      val level = if (raw >= 128) raw - 256 else raw
+                      pos += run + 1
+                      coeffs += ((pos, dequantAc0(level, qscale, pos)))
+                    case (run, mag) =>
+                      val level = if (bits(1) == 1) -mag else mag
+                      pos += run + 1
+                      coeffs += ((pos, dequantAc0(level, qscale, pos)))
+                  }
+                  if (!eob && pos > 63) throw new RuntimeException("overrun")
                 }
-                if (!eob && pos > 63) throw new RuntimeException("overrun")
               }
               val px = idctBlock(coeffs.result())
               // place the 8×8 block into its plane
@@ -4095,15 +4204,18 @@ object Multimodal {
               }
               blk += 1
             }
+            // D pictures close every macroblock with end_of_macroblock=1
+            if (ptype == 4 && bits(1) != 1)
+              throw new RuntimeException("eomb")
             val (ys, yq) = mbLumaStats(newY, w, mbw, mb)
             out += MpegPMb(pic, mb, 0, 0, 0, ys, yq)
           }
           mb += 1
         }
         alignByte()
-        if (!isB) {
+        if (!isB && ptype != 4) {
           // I/P become the new backward reference; the old one slides to
-          // the forward slot. B pictures are never references.
+          // the forward slot. B and D pictures are never references.
           prevY = refY; prevCb = refCb; prevCr = refCr
           refY = newY; refCb = newCb; refCr = newCr
         }
@@ -4365,6 +4477,173 @@ object Multimodal {
       case 5 | 6 => (s % 2, -((s / 17) % 2), (s / 11) % 2, -((s / 13) % 2))
       case _ => (0L, 0L, 0L, 0L)
     }) match { case (a, b, c, d) => (a.toInt, b.toInt, c.toInt, d.toInt) }
+
+  /** Seed-dependent P-picture forward vectors for the MULTI-SLICE
+    * fixture (half-pel units, in-bounds at each macroblock's edge
+    * position, |differential code| ≤ 3 along the chains). */
+  private[graft] def mpeg1SliceVec(s: Long, mb: Int): (Int, Int) = (mb match {
+    case 1 => (s % 4 - 2, (s / 4) % 3)
+    case 2 => ((s / 5) % 3 - 1, (s / 7) % 3)
+    case 3 => (-((s / 11) % 3), (s / 13) % 3)
+    case 4 => ((s / 17) % 3, -((s / 19) % 3))
+    case 5 => ((s / 23) % 3 - 1, -((s / 29) % 2))
+    case 7 => (-((s / 31) % 3), -((s / 37) % 2))
+    case _ => (0L, 0L)
+  }) match { case (a, b) => (a.toInt, b.toInt) }
+
+  /** The encode half of the MULTI-SLICE round trip: a 64×32 MPEG-1
+    * stream (mb rows of 4) whose I and P pictures each carry TWO slices
+    * — 0x101 for macroblock row 0, 0x102 for row 1 (§2.4.2.4,
+    * row-aligned slices). The slice-2 header resets the DC and
+    * motion-vector predictors: the I picture's mb4 DC chain restarts
+    * from 128, and the P picture's slice 1 deliberately leaves a
+    * NONZERO forward predictor (mb1 abs → mb2/mb3 differential) so
+    * mb4's motion codes are absolute ONLY because of the reset — a
+    * decoder that fails to reset produces wrong pixels and fails the
+    * oracle. All P macroblocks are prediction-only ('001') or intra. */
+  def mpeg1SliceBytes(seed: Long): Array[Byte] = {
+    val width = 64; val height = 32
+    val bits = new scala.collection.mutable.ArrayBuffer[Boolean](1 << 13)
+    def put(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1) == 1)
+    def putStr(str: String): Unit = str.foreach(c => bits += c == '1')
+    def align(): Unit = while (bits.length % 8 != 0) bits += false
+    val s = seed
+    put(0x000001b3L, 32)
+    put(width, 12); put(height, 12)
+    put(1, 4); put(1, 4); put(0x3ffff, 18); put(1, 1); put(0, 10)
+    put(0, 1); put(0, 1); put(0, 1)
+    align()
+    def putIntraMb(pic: Int, m: Int, pred: Array[Int]): Unit = {
+      (0 until 6).foreach { b =>
+        val comp = if (b < 4) 0 else b - 3
+        val dcq = ((s * 7 + pic * 37 + m * 13 + b * 29) % 256).toInt
+        val diff = dcq - pred(comp)
+        pred(comp) = dcq
+        val size =
+          if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        putStr(if (b < 4) DcLuma(size) else DcChroma(size))
+        if (size > 0)
+          put(if (diff > 0) diff else diff + (1 << size) - 1, size)
+        val ps = Seq(
+          1 + ((s + m + b) % 4).toInt, 6 + ((s * 3 + m) % 6).toInt,
+          15 + ((b * 5 + m) % 8).toInt, 30 + ((s + b * 7) % 10).toInt,
+          50 + ((m * 3 + b) % 13).toInt)
+        var prev = 0
+        ps.foreach { p =>
+          val l0 = ((s * 11 + pic * 41 + m * 17 + b * 23 + p * 31) % 21)
+            .toInt - 10
+          val level = if (l0 == 0) 1 else l0
+          val run = p - prev - 1
+          prev = p
+          AcByRunLevel.get((run, math.abs(level))) match {
+            case Some(code) =>
+              putStr(code); put(if (level < 0) 1 else 0, 1)
+            case None =>
+              putStr("000001"); put(run, 6); put(level & 0xff, 8)
+          }
+        }
+        putStr("10")
+      }
+    }
+    def mcode(v: Int): String = MotionCodes.find(_._2 == v).get._1
+    // ---- I picture, two slices ----
+    put(0x00000100L, 32); put(0, 10); put(1, 3); put(0xffff, 16); put(0, 1)
+    align()
+    put(0x00000101L, 32); put(8, 5); put(0, 1)
+    val predI = Array(128, 128, 128)
+    (0 until 4).foreach { m => putStr("1"); putStr("1"); putIntraMb(0, m, predI) }
+    align()
+    put(0x00000102L, 32); put(8, 5); put(0, 1)
+    predI(0) = 128; predI(1) = 128; predI(2) = 128 // slice reset
+    (4 until 8).foreach { m => putStr("1"); putStr("1"); putIntraMb(0, m, predI) }
+    align()
+    // ---- P picture, two slices ----
+    put(0x00000100L, 32); put(1, 10); put(2, 3); put(0xffff, 16)
+    put(0, 1); put(1, 3)
+    put(0, 1)
+    align()
+    val v = (0 until 8).map(m => mpeg1SliceVec(s, m))
+    put(0x00000101L, 32); put(8, 5); put(0, 1)
+    val predP = Array(128, 128, 128)
+    // mb0 intra; mb1 MC abs; mb2/mb3 MC differential — leaves PMV = v3
+    putStr("1"); putStr("00011"); putIntraMb(1, 0, predP)
+    putStr("1"); putStr("001"); putStr(mcode(v(1)._1)); putStr(mcode(v(1)._2))
+    putStr("1"); putStr("001")
+    putStr(mcode(v(2)._1 - v(1)._1)); putStr(mcode(v(2)._2 - v(1)._2))
+    putStr("1"); putStr("001")
+    putStr(mcode(v(3)._1 - v(2)._1)); putStr(mcode(v(3)._2 - v(2)._2))
+    align()
+    put(0x00000102L, 32); put(8, 5); put(0, 1)
+    predP(0) = 128; predP(1) = 128; predP(2) = 128
+    // mb4 MC ABSOLUTE (slice reset zeroed the predictor); mb5
+    // differential vs mb4; mb6 intra; mb7 MC absolute after the intra
+    putStr("1"); putStr("001"); putStr(mcode(v(4)._1)); putStr(mcode(v(4)._2))
+    putStr("1"); putStr("001")
+    putStr(mcode(v(5)._1 - v(4)._1)); putStr(mcode(v(5)._2 - v(4)._2))
+    putStr("1"); putStr("00011"); putIntraMb(1, 6, predP)
+    putStr("1"); putStr("001"); putStr(mcode(v(7)._1)); putStr(mcode(v(7)._2))
+    align()
+    put(0x000001b7L, 32)
+    val out = new Array[Byte](bits.length / 8)
+    bits.zipWithIndex.foreach { case (bit, i) =>
+      if (bit) out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+    }
+    out
+  }
+
+  /** The encode half of the D-PICTURE round trip: a 64×32 MPEG-1 stream
+    * of DC-only D pictures (picture_coding_type 4, §2.4.3.5) — the only
+    * macroblock type is '1' (intra, Table B.2d), blocks carry just the
+    * DC-differential chain (no AC codes, no EOB), every macroblock
+    * closes with end_of_macroblock = 1, the picture header carries no
+    * f_code fields, and D pictures never become references. */
+  def mpeg1DBytes(seed: Long, nPictures: Int): Array[Byte] = {
+    val width = 64; val height = 32
+    val bits = new scala.collection.mutable.ArrayBuffer[Boolean](1 << 12)
+    def put(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1) == 1)
+    def putStr(str: String): Unit = str.foreach(c => bits += c == '1')
+    def align(): Unit = while (bits.length % 8 != 0) bits += false
+    val s = seed
+    put(0x000001b3L, 32)
+    put(width, 12); put(height, 12)
+    put(1, 4); put(1, 4); put(0x3ffff, 18); put(1, 1); put(0, 10)
+    put(0, 1); put(0, 1); put(0, 1)
+    align()
+    (0 until nPictures).foreach { pic =>
+      put(0x00000100L, 32); put(pic, 10); put(4, 3); put(0xffff, 16)
+      put(0, 1) // extra_bit_picture (no f_code fields for D)
+      align()
+      put(0x00000101L, 32); put(8, 5); put(0, 1)
+      val pred = Array(128, 128, 128)
+      (0 until 8).foreach { m =>
+        putStr("1") // macroblock_address_increment 1
+        putStr("1") // macroblock_type: intra (the only D type)
+        (0 until 6).foreach { b =>
+          val comp = if (b < 4) 0 else b - 3
+          val dcq = ((s * 7 + pic * 37 + m * 13 + b * 29) % 256).toInt
+          val diff = dcq - pred(comp)
+          pred(comp) = dcq
+          val size =
+            if (diff == 0) 0
+            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          putStr(if (b < 4) DcLuma(size) else DcChroma(size))
+          if (size > 0)
+            put(if (diff > 0) diff else diff + (1 << size) - 1, size)
+        }
+        putStr("1") // end_of_macroblock
+      }
+      align()
+    }
+    put(0x000001b7L, 32)
+    val out = new Array[Byte](bits.length / 8)
+    bits.zipWithIndex.foreach { case (bit, i) =>
+      if (bit) out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+    }
+    out
+  }
 
   /** The encode half of the PREDICTION-ERROR (coded-residual) round
     * trip: a 64×32 MPEG-1 stream with one intra picture (same per-block

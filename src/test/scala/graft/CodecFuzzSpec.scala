@@ -57,6 +57,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.layer3StartStopBytes(3, 2),
     Multimodal.layer3MixedBytes(3, 2),
     Multimodal.layer3StereoShortBytes(3, 2),
+    Multimodal.mpeg1DBytes(3, 2),
+    Multimodal.layer3BytesFull(3, 2, crc = true),
+    Multimodal.mpeg1SliceBytes(3),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
     TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),
     TextOps.warcBytes(Seq(("response", "http://x/1", "hello"))))

