@@ -163,6 +163,26 @@ object SystemQueries {
        |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.sb = h.sb
        |    AND t3.i = h.i)""".stripMargin
 
+  /** The reservoir-fixture granule oracle (xr CTE → per-granule stats),
+    * shared verbatim by `multimodal_mp3_reservoir` and
+    * `multimodal_mp3_crc` — the CRC fixture re-encodes the same granule
+    * payloads behind a protection word, so the decoded rows are
+    * identical by construction. */
+  private val l3ReservoirOracle: String =
+    s"""WITH $l3XrCte
+       |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+       |  CAST(g AS BIGINT) AS granule,
+       |  CAST(CASE WHEN f = 0 THEN 0 ELSE (id*7 + f*13) % 40 END
+       |       AS BIGINT) AS main_data_begin,
+       |  CAST(CASE WHEN (id + f + g) % 3 = 0 THEN 1 ELSE 0 END
+       |       AS BIGINT) AS preflag,
+       |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
+       |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_nonzero,
+       |  ROUND(SUM(x), 6) + 0.0 AS xr_sum,
+       |  ROUND(SUM(x * x), 6) + 0.0 AS xr_msq
+       |FROM xr GROUP BY id, f, g""".stripMargin
+
   /** Shared CTE scaffolding for the MPEG-1 coded-residual oracles
     * (multimodal_mpeg1_presidual / _bresidual): replays the
     * [[Multimodal.mpeg1PResidualBytes]] fixture relationally from the
@@ -1790,19 +1810,7 @@ object SystemQueries {
         }.toDF("media_id", "frame", "granule", "main_data_begin", "preflag",
                "n_count1", "n_nonzero", "xr_sum", "xr_msq")
       },
-      Some(s"""WITH $l3XrCte
-             |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
-             |  CAST(g AS BIGINT) AS granule,
-             |  CAST(CASE WHEN f = 0 THEN 0 ELSE (id*7 + f*13) % 40 END
-             |       AS BIGINT) AS main_data_begin,
-             |  CAST(CASE WHEN (id + f + g) % 3 = 0 THEN 1 ELSE 0 END
-             |       AS BIGINT) AS preflag,
-             |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
-             |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_nonzero,
-             |  ROUND(SUM(x), 6) + 0.0 AS xr_sum,
-             |  ROUND(SUM(x * x), 6) + 0.0 AS xr_msq
-             |FROM xr GROUP BY id, f, g""".stripMargin)),
+      Some(l3ReservoirOracle)),
 
     // REAL MP3 CRC-PROTECTED frames (§2.4.3.1 protection_bit 0): a
     // 16-bit CRC word (poly x¹⁶+x¹⁵+x²+1, init 0xFFFF, over header
@@ -1825,19 +1833,7 @@ object SystemQueries {
         }.toDF("media_id", "frame", "granule", "main_data_begin", "preflag",
                "n_count1", "n_nonzero", "xr_sum", "xr_msq")
       },
-      Some(s"""WITH $l3XrCte
-             |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
-             |  CAST(g AS BIGINT) AS granule,
-             |  CAST(CASE WHEN f = 0 THEN 0 ELSE (id*7 + f*13) % 40 END
-             |       AS BIGINT) AS main_data_begin,
-             |  CAST(CASE WHEN (id + f + g) % 3 = 0 THEN 1 ELSE 0 END
-             |       AS BIGINT) AS preflag,
-             |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
-             |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_nonzero,
-             |  ROUND(SUM(x), 6) + 0.0 AS xr_sum,
-             |  ROUND(SUM(x * x), 6) + 0.0 AS xr_msq
-             |FROM xr GROUP BY id, f, g""".stripMargin)),
+      Some(l3ReservoirOracle)),
 
     // REAL MP3 transform chain to time-domain subband samples: alias-
     // reduction butterflies (Table B.9), the 36-point long-block IMDCT,

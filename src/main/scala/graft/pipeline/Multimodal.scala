@@ -1992,6 +1992,17 @@ object Multimodal {
             }
           }
           val sfPrev = Array.ofDim[Int](nch, 21) // granule-0 scalefactors
+          // §2.4.2.7: scfsi must be all-zero when either granule of the
+          // channel uses short blocks — a short granule populates no
+          // long-band slots to share, so such a stream REFUSES rather
+          // than mis-decoding granule 1 from empty predictors (start/
+          // stop granules use the long layout and may share normally)
+          var c2 = 0
+          while (c2 < nch) {
+            if (scfsi(c2).exists(_ == 1) &&
+                (sides(0)(c2).bt == 2 || sides(1)(c2).bt == 2)) ok = false
+            c2 += 1
+          }
           var g = 0
           while (ok && g < 2) {
             val xrCh = Array.ofDim[Double](nch, 576)

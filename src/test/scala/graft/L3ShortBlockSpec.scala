@@ -160,6 +160,18 @@ class L3ShortBlockSpec extends AnyFunSuite {
     assert(Multimodal.layer3DecodeFull(bad).isEmpty)
   }
 
+  test("nonzero scfsi with a short granule refuses (no empty-slot sharing)") {
+    // scfsi sharing copies granule-0 LONG scalefactor bands; a short
+    // granule populates none, so §2.4.2.7 forbids the combination —
+    // setting the mono scfsi field (bits 46-49) on a short stream must
+    // refuse, never mis-decode granule 1 from zeros.
+    val bytes = Multimodal.layer3ShortBytes(3L, 1)
+    val bad = bytes.clone()
+    bad(5) = (bad(5) | 0x03).toByte  // scfsi bits 46-47
+    bad(6) = (bad(6) | 0xc0).toByte  // scfsi bits 48-49
+    assert(Multimodal.layer3DecodeFull(bad).isEmpty)
+  }
+
   test("mixed flag on non-short block types stays declared (None)") {
     // Set mixed_block_flag on a block_type 1 granule: refuse, not
     // mis-decode. Flag = bit 86 → byte 10, mask 0x02 (after header 32 +
