@@ -1215,6 +1215,44 @@ object SystemQueries {
             |  ROUND((r % 7 + 1) * 1152.0 / 44100, 6) AS duration_sec
             |FROM range(48) t(r)""".stripMargin)),
 
+    // REAL MP3 FREE-FORMAT metadata (§2.4.2.3, bitrate_index 0): the
+    // constant frame length is DISCOVERED as the distance to the next
+    // syncword with identical header bytes — the fixture's 300-byte
+    // frames encode 100 kbps, a rate the bitrate table cannot express
+    // (free format's reason to exist). A third of the rows sit behind
+    // ID3v2 tags; frame counting walks the discovered constant length.
+    ("multimodal_mp3_freeformat",
+      (s, dir) => {
+        import s.implicits._
+        val rows = s.range(24).map { id =>
+          val nf = (id % 5).toInt + 2 // ≥ 2 frames: length is discoverable
+          val pad = (id % 3).toInt * 40
+          Multimodal.MediaRow(id, "audio", Multimodal.mp3BytesFree(nf, pad),
+            -1, -1, -1)
+        }
+        rows.map { r =>
+          val m = Multimodal.mp3Meta(r.media)
+          (r.media_id,
+           m.map(_._1.sampleRate).getOrElse(-1),
+           m.map(_._1.channels).getOrElse(-1),
+           m.map(_._1.nFrames).getOrElse(-1),
+           m.map(_._2).getOrElse(-1),
+           m.map(t => math.rint(t._3 * 1e6) / 1e6).getOrElse(-1.0))
+        }.toDF("media_id", "sample_rate", "channels", "n_frames", "kbps",
+               "duration_sec")
+          .select(col("media_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("kbps").cast("long").as("kbps"), col("duration_sec"))
+      },
+      Some("""SELECT r AS media_id, CAST(48000 AS BIGINT) AS sample_rate,
+            |  CAST(1 AS BIGINT) AS channels,
+            |  CAST(r % 5 + 2 AS BIGINT) AS n_frames,
+            |  CAST(100 AS BIGINT) AS kbps,
+            |  ROUND((r % 5 + 2) * 1152.0 / 48000, 6) AS duration_sec
+            |FROM range(24) t(r)""".stripMargin)),
+
     // REAL MP4 (ISO BMFF) container metadata: each row carries a genuine
     // box tree (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsd +
     // mdat) that Spark walks for real — every third row uses version-1

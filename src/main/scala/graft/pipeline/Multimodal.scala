@@ -372,25 +372,70 @@ object Multimodal {
       val len = mult * kbps * 1000 / sr + padding
       if (len < 4) None else Some((len, sr, channels, kbps, spf))
     }
+    // FREE FORMAT (§2.4.2.3, bitrate_index 0): the constant frame
+    // length is not in the table — it is DISCOVERED as the distance to
+    // the next syncword carrying the identical header bytes 1-3 (same
+    // version/layer/rate/padding; the constant-padding subset). The
+    // derived bitrate is len·sr/(mult·1000) — values the table cannot
+    // express are exactly what free format exists for.
+    def freeAt(p: Int): Option[(Int, Int, Int, Int, Int)] = {
+      if (p + 4 > bytes.length) return None
+      val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
+      val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+      val version = (b2 >> 3) & 0x3; val layer = (b2 >> 1) & 0x3
+      if (version == 1 || layer != 1) return None
+      val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
+      if (brIdx != 0 || srIdx == 3) return None
+      var q = p + 4
+      var len = -1
+      while (len < 0 && q + 4 <= bytes.length) {
+        if ((bytes(q) & 0xff) == 0xff && bytes(q + 1) == bytes(p + 1) &&
+            bytes(q + 2) == bytes(p + 2) && bytes(q + 3) == bytes(p + 3))
+          len = q - p
+        else q += 1
+      }
+      if (len < 4) return None
+      val sr0 = srV1(srIdx)
+      val (sr, mult, spf) = version match {
+        case 3 => (sr0, 144, 1152)
+        case 2 => (sr0 / 2, 72, 576)
+        case _ => (sr0 / 4, 72, 576)
+      }
+      val channels = if (((b4 >> 6) & 0x3) == 3) 1 else 2
+      Some((len, sr, channels, len * sr / (mult * 1000), spf))
+    }
     // Find the first sync that also chains to a valid (or absent) next
-    // frame — guards against 0xFFEx bytes inside tag padding.
+    // frame — guards against 0xFFEx bytes inside tag padding. A free-
+    // format candidate is self-verifying (its length came from a
+    // matching next sync).
     var found = -1
     while (found < 0 && off + 4 <= bytes.length) {
       frameAt(off) match {
         case Some((len, _, _, _, _))
             if off + len + 4 > bytes.length || frameAt(off + len).isDefined =>
           found = off
-        case _ => off += 1
+        case _ =>
+          if (freeAt(off).isDefined) found = off else off += 1
       }
     }
     if (found < 0) return None
-    frameAt(found).map { case (_, sr, ch, kbps, spf) =>
+    val free = frameAt(found).isEmpty
+    frameAt(found).orElse(freeAt(found)).map { case (len0, sr, ch, kbps, spf) =>
       var p = found
       var frames = 0
       var ok = true
       while (ok) {
-        frameAt(p) match {
-          case Some((len, _, _, _, _)) if p + len <= bytes.length =>
+        // free-format frames all share the discovered constant length;
+        // table-bitrate frames re-derive length per header (padding)
+        val fa =
+          if (free) {
+            if (p + 4 <= bytes.length && (bytes(p) & 0xff) == 0xff &&
+                bytes(p + 1) == bytes(found + 1) &&
+                bytes(p + 2) == bytes(found + 2)) Some(len0) else None
+          } else frameAt(p).map(_._1)
+        fa match {
+          case Some(len) if p + len <= bytes.length =>
             frames += 1; p += len
           case _ => ok = false
         }
@@ -423,6 +468,30 @@ object Multimodal {
       out.write(0x90) // bitrate idx 9 (128 V1 / 80 V2), sr idx 0
       out.write(0xc0) // mono
       (4 until frameLen).foreach(i => out.write((f * 31 + i) & 0xff))
+    }
+    out.toByteArray
+  }
+
+  /** A minimal real FREE-FORMAT MP3 stream (§2.4.2.3, bitrate_index 0):
+    * `nFrames` MPEG-1 Layer III 48 kHz mono frames of constant length
+    * 300 bytes — the 100 kbps rate the bitrate table cannot express,
+    * which is exactly what free format exists for. Payload bytes stay
+    * below 0xFF so the only syncwords are the real frame headers.
+    * Optionally ID3v2-prefixed. Metadata-parse fixture. */
+  def mp3BytesFree(nFrames: Int, id3Pad: Int = 0): Array[Byte] = {
+    val frameLen = 300 // 144 · 100000 / 48000
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Pad > 0) {
+      out.write(Array('I', 'D', '3', 3, 0, 0).map(_.toByte))
+      out.write(Array((id3Pad >> 21) & 0x7f, (id3Pad >> 14) & 0x7f,
+        (id3Pad >> 7) & 0x7f, id3Pad & 0x7f).map(_.toByte))
+      (0 until id3Pad).foreach(i => out.write(i & 0x7f))
+    }
+    (0 until nFrames).foreach { f =>
+      out.write(0xff); out.write(0xfb) // V1, Layer III, no CRC
+      out.write(0x04)                  // bitrate idx 0 (FREE), 48 kHz
+      out.write(0xc0)                  // mono
+      (4 until frameLen).foreach(i => out.write((f * 31 + i) % 251))
     }
     out.toByteArray
   }

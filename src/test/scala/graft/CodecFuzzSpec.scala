@@ -60,6 +60,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.mpeg1DBytes(3, 2),
     Multimodal.layer3BytesFull(3, 2, crc = true),
     Multimodal.mpeg1SliceBytes(3),
+    Multimodal.mp3BytesFree(3),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
     TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),
     TextOps.warcBytes(Seq(("response", "http://x/1", "hello"))))

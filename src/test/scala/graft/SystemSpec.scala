@@ -427,6 +427,26 @@ class SystemSpec extends AnyFunSuite {
     assert(f(4) == 1.0)
   }
 
+  test("mp3Meta free format: length discovery, derived bitrate, honesty") {
+    // free format (bitrate_index 0): constant 300-byte frames → the
+    // 100 kbps rate the table cannot express, discovered from the next
+    // matching syncword
+    val free = Multimodal.mp3BytesFree(5)
+    val Some((meta, kbps, dur)) = Multimodal.mp3Meta(free)
+    assert(meta == Multimodal.AudioMeta(48000, 1, -1, 5))
+    assert(kbps == 100)
+    assert(math.abs(dur - 5.0 * 1152 / 48000) < 1e-9)
+    // ID3-prefixed free streams parse the same
+    assert(Multimodal.mp3Meta(Multimodal.mp3BytesFree(4, id3Pad = 120))
+      .map(_._1.nFrames) == Some(4))
+    // truncation honesty: only complete frames of the discovered length
+    assert(Multimodal.mp3Meta(Multimodal.mp3BytesFree(5).take(300 * 2 + 50))
+      .map(_._1.nFrames) == Some(2))
+    // a SINGLE free frame has no next sync to measure against → None
+    // (refuse, never guess a length)
+    assert(Multimodal.mp3Meta(Multimodal.mp3BytesFree(1)).isEmpty)
+  }
+
   test("mp3Meta parses real frame headers: sync, ID3 skip, frame count") {
     // 7 genuine MPEG-1 Layer III headers (44.1 kHz mono 128 kbps).
     val mp3 = Multimodal.mp3Bytes(7)
