@@ -2562,6 +2562,69 @@ object SystemQueries {
              |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_msq
              |FROM xr GROUP BY id, f, g""".stripMargin)),
 
+    // REAL ISO HUFFMAN TABLE DATA (round 14): the big-values regions of
+    // this stream select REAL ISO 11172-3 Table B.7 tables — region0
+    // table 7, region1 table 10, region2 table 9, with real
+    // region0_count/region1_count boundaries — and the count1 region
+    // selects REAL count1 table A (count1table_select 0). Shipped tables
+    // (1,2,3,5,6,7,8,9,10 + count1 A) each pass exact Kraft completeness
+    // + prefix-freeness per build (L3HuffTablesSpec); part2_3_length is
+    // the exact bit account over the REAL code lengths, so one wrong
+    // hlen anywhere refuses the stream. Tables 11-13/15/16-31 remain
+    // declared (L3IsoHuff scaladoc records why).
+    ("multimodal_mp3_huffreal",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, grans, _, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3HuffRealBytes(id, nf)).get
+          grans.map(g => (id, g.frame.toLong, g.granule.toLong,
+            g.nCount1.toLong, g.nNonzero.toLong, g.xrSum, g.xrMsq))
+        }.toDF("media_id", "frame", "granule", "n_count1", "n_nonzero",
+               "xr_sum", "xr_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g FROM range(24) t(r),
+             |       range(3) ff(f), range(2) gg(g) WHERE f < r % 3 + 1),
+             |pl AS (SELECT id, f, g, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |           THEN (CASE WHEN (id + f + k) % 2 = 1 THEN -1 ELSE 1 END)
+             |                * ((id*3 + f*7 + g*11 + k*5) %
+             |                   (CASE WHEN k >= 10 AND k < 21 THEN 8 ELSE 6 END))
+             |           ELSE (CASE WHEN (id + g + k) % 2 = 1 THEN -1 ELSE 1 END)
+             |                * ((id*5 + f*11 + g*3 + k*7) %
+             |                   (CASE WHEN k >= 10 AND k < 21 THEN 8 ELSE 6 END))
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           22 + CAST((id + f + g) % 5 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g,
+             |         2 * (22 + (id + f + g) % 5) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |xr AS (SELECT id, f, g, line, isv,
+             |         (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END) *
+             |         p43[CAST(ABS(isv) AS INT) + 1] *
+             |         POWER(2.0, (id + f*2 + g) % 8 - 2) AS x
+             |       FROM ln3,
+             |         (SELECT [${Multimodal.l3Pow43.mkString(", ")}] AS p43) pp)
+             |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+             |  CAST(g AS BIGINT) AS granule,
+             |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
+             |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nonzero,
+             |  ROUND(list_sum(list(x ORDER BY line)
+             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_sum,
+             |  ROUND(list_sum(list(x * x ORDER BY line)
+             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_msq
+             |FROM xr GROUP BY id, f, g""".stripMargin)),
+
     // REAL MP3 INTENSITY STEREO (§2.4.3.4.9.3): the right channel is
     // band-limited at the entropy layer; scalefactor bands wholly above
     // its last nonzero line are reconstructed by panning the left-carried

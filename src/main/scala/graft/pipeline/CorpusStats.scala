@@ -76,9 +76,11 @@ object CorpusStats {
     * thresholds come from the frequency-table prefix-sum
     * ([[graft.operators.ExactQuantiles]] — bit-identical to the
     * `percentile` aggregate without its whole-column one-task buffer) and
-    * reach the assignment by broadcasting ONE threshold row — no eager
-    * driver-side job, no data-sized spool anywhere, lazily planned like
-    * every other query. Output: (id, avg_logp, bucket). */
+    * reach the assignment by broadcasting ONE threshold row — no
+    * driver-side collect; thresholds stay distributed. (The two
+    * localCheckpoints below do run Spark jobs at construction time; what
+    * was removed in round 13 is the driver-side value pull, not the
+    * materialization.) Output: (id, avg_logp, bucket). */
   def perplexityBuckets(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val lp = unigramLogProb(docs, idCol, textCol)
@@ -244,8 +246,12 @@ object CorpusStats {
     val qs = graft.operators.ExactQuantiles.quantiles(nt, Seq(groupCol),
       Seq(("nt", "_p50", 0.5), ("nt", "_p90", 0.9), ("nt", "_p99", 0.99)))
     val counts = nt.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    // LEFT join per the ExactQuantiles contract: a group whose values are
+    // all NULL has no frequency-table rows, so it must be re-attached here
+    // to keep its n_docs row with NULL percentiles (the built-in
+    // `percentile` aggregate's semantics).
     counts.alias("c").join(qs.alias("q"),
-        col(s"c.$groupCol") <=> col(s"q.$groupCol"))
+        col(s"c.$groupCol") <=> col(s"q.$groupCol"), "left")
       .select(col(s"c.$groupCol"), col("n_docs"),
               round(col("_p50"), 6).as("p50"),
               round(col("_p90"), 6).as("p90"),

@@ -387,11 +387,20 @@ object Multimodal {
       if (version == 1 || layer != 1) return None
       val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
       if (brIdx != 0 || srIdx == 3) return None
+      // Discover the constant frame length from the next matching sync —
+      // and require the candidate length to RE-CHAIN: either the stream
+      // ends within one more frame, or a matching sync sits at p+2·len.
+      // A stray 0xFF + matching bytes inside the payload would otherwise
+      // silently truncate the discovered length (round-14 advice).
+      def syncMatch(r: Int): Boolean =
+        r + 4 <= bytes.length && (bytes(r) & 0xff) == 0xff &&
+          bytes(r + 1) == bytes(p + 1) && bytes(r + 2) == bytes(p + 2) &&
+          bytes(r + 3) == bytes(p + 3)
       var q = p + 4
       var len = -1
       while (len < 0 && q + 4 <= bytes.length) {
-        if ((bytes(q) & 0xff) == 0xff && bytes(q + 1) == bytes(p + 1) &&
-            bytes(q + 2) == bytes(p + 2) && bytes(q + 3) == bytes(p + 3))
+        if (syncMatch(q) &&
+            (p + 2 * (q - p) + 4 > bytes.length || syncMatch(p + 2 * (q - p))))
           len = q - p
         else q += 1
       }
@@ -430,9 +439,12 @@ object Multimodal {
         // table-bitrate frames re-derive length per header (padding)
         val fa =
           if (free) {
+            // match the SAME byte range (1-3) the discovery step matched,
+            // so a mid-stream mode change is a chain break, not a count
             if (p + 4 <= bytes.length && (bytes(p) & 0xff) == 0xff &&
                 bytes(p + 1) == bytes(found + 1) &&
-                bytes(p + 2) == bytes(found + 2)) Some(len0) else None
+                bytes(p + 2) == bytes(found + 2) &&
+                bytes(p + 3) == bytes(found + 3)) Some(len0) else None
           } else frameAt(p).map(_._1)
         fa match {
           case Some(len) if p + len <= bytes.length =>
@@ -1683,13 +1695,15 @@ object Multimodal {
       codes: Map[String, (Int, Int)], linbits: Int, maxLen: Int)
 
   private[graft] val L3Tables: Map[Int, L3HuffTable] = Map(
-    1 -> L3HuffTable(Map("1" -> ((0, 0)), "001" -> ((0, 1)),
-      "01" -> ((1, 0)), "000" -> ((1, 1))), 0, 3),
     4 -> L3HuffTable(
       (for (x <- 0 until 16; y <- 0 until 16) yield {
         val v = x * 16 + y
         (("0" * 8 + v.toBinaryString).takeRight(8), (x, y))
-      }).toMap, 4, 8))
+      }).toMap, 4, 8)) ++
+    // real ISO 11172-3 Table B.7 data (tables 1, 2, 3, 5, 6, 7, 8, 9,
+    // 10 — each Kraft-complete and prefix-free, asserted per build by
+    // L3HuffTablesSpec; see L3IsoHuff for the shipping policy)
+    L3IsoHuff.tables
 
   /** Alias-reduction butterfly coefficients (11172-3 §2.4.3.4.10.1,
     * Table B.9 `ci`), quantized to 1e-12 so both engines evaluate the
@@ -2080,8 +2094,11 @@ object Multimodal {
             var ch = 0
             while (ok && ch < nch) {
               val s = sides(g)(ch)
-              if (s.tables.exists(t => t != 0 && !L3Tables.contains(t)) ||
-                  s.c1Sel != 1) ok = false
+              // any registered table decodes (real ISO 1-3/5-10 +
+              // synthetic slot 4); both count1 tables decode since
+              // round 14 (A = real ISO quad code, B = closed form)
+              if (s.tables.exists(t => t != 0 && !L3Tables.contains(t)))
+                ok = false
               else {
                 val start = bitPos
                 val (slen1, slen2) = L3Slen(s.scomp)
@@ -2176,12 +2193,25 @@ object Multimodal {
                 }
                 var nC1 = 0
                 while (!bad && bitPos - start < s.part23 && line + 4 <= 576) {
-                  // count1 table B: 4-bit code, each bit the complement
-                  // of the quadruple bit; sign bit per nonzero value.
-                  val c = bits(4)
+                  // count1 region per count1table_select (§2.4.2.7):
+                  // 0 → table A (real ISO quad Huffman code, walked like
+                  // a big-values codeword), 1 → table B (the closed-form
+                  // 4-bit complement code). Either way the decoded 4-bit
+                  // index IS (v,w,x,y), then a sign bit per nonzero.
+                  val c =
+                    if (s.c1Sel == 0) {
+                      val sb = new java.lang.StringBuilder(
+                        L3IsoHuff.quadAMaxLen)
+                      var hit = -1
+                      while (hit < 0 && sb.length < L3IsoHuff.quadAMaxLen) {
+                        sb.append(if (bits(1) == 1) '1' else '0')
+                        hit = L3IsoHuff.quadA.getOrElse(sb.toString, -1)
+                      }
+                      if (hit < 0) { bad = true; 0 } else hit
+                    } else 0xf ^ bits(4)
                   var j = 0
-                  while (j < 4) {
-                    val v0 = 1 - ((c >> (3 - j)) & 1)
+                  while (!bad && j < 4) {
+                    val v0 = (c >> (3 - j)) & 1
                     is(line + j) =
                       if (v0 != 0 && bits(1) == 1) -v0 else v0
                     j += 1
@@ -3188,6 +3218,131 @@ object Multimodal {
         put(0, 1)                     // preflag 0
         put(1, 1)                     // scalefac_scale 1
         put(1, 1)                     // count1 table B
+      }
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** The encode half of the REAL-ISO-table round trip
+    * (`multimodal_mp3_huffreal`): a mono 48 kHz / 192 kbps Layer III
+    * stream whose THREE big-values regions select real ISO 11172-3
+    * Table B.7 code tables — region0 table 7 (values 0–5), region1
+    * table 10 (values 0–7), region2 table 9 (values 0–5), region
+    * boundaries from region0_count 4 / region1_count 3 (entropy lines
+    * 20 and 42 under the 48 kHz Table B.8 long geometry) — and whose
+    * count1 region selects REAL count1 table A
+    * (count1table_select 0). Every codeword is emitted from
+    * [[L3IsoHuff.encode]] / [[L3IsoHuff.quadAEncode]], so the decoder
+    * walks genuine ISO codewords and `part2_3_length` (the exact bit
+    * account, checked to the bit) depends on the REAL code lengths —
+    * a wrong hlen anywhere in the shipped tables breaks the account
+    * and refuses the stream. Zero scalefactor bits
+    * (scalefac_compress 0), no reservoir (proven by
+    * [[layer3BytesFull]]). */
+  def layer3HuffRealBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 21
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(w: String): Unit = {
+      var i = 0
+      while (i < w.length) {
+        if (w.charAt(i) == '1') poolBits(poolPos) = 1
+        poolPos += 1; i += 1
+      }
+    }
+    def putPoolBit(b: Int): Unit = {
+      if (b == 1) poolBits(poolPos) = 1
+      poolPos += 1
+    }
+    // region of pair k: 0 (lines 0-19, table 7), 1 (lines 20-41,
+    // table 10), 2 (table 9) — value range 0..5 / 0..7 / 0..5
+    def tabOf(k: Int): Int = if (k < 10) 7 else if (k < 21) 10 else 9
+    def modOf(k: Int): Int = if (k >= 10 && k < 21) 8 else 6
+    def pairs(f: Int, g: Int): Seq[(Int, Int)] = {
+      val n = 22 + ((seed + f + g) % 5).toInt
+      (0 until n).map { k =>
+        val m = modOf(k)
+        val mx = ((seed * 3 + f * 7 + g * 11 + k * 5) % m).toInt
+        val my = ((seed * 5 + f * 11 + g * 3 + k * 7) % m).toInt
+        val x = if ((seed + f + k) % 2 == 1) -mx else mx
+        val y = if ((seed + g + k) % 2 == 1) -my else my
+        (x, y)
+      }
+    }
+    def quads(f: Int, g: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + g * 5 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int): Int =
+      210 + 4 * (((seed + f * 2 + g) % 8).toInt - 2)
+    def huffBits(f: Int, g: Int): Int = {
+      val pb = pairs(f, g).zipWithIndex.map { case ((x, y), k) =>
+        L3IsoHuff.encode(tabOf(k))((math.abs(x), math.abs(y))).length +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g).map { q =>
+        var idx = 0
+        q.foreach(v => idx = (idx << 1) | (if (v != 0) 1 else 0))
+        L3IsoHuff.quadABits(idx) + q.count(_ != 0)
+      }.sum
+      pb + qb
+    }
+    (0 until nFrames).foreach { f =>
+      poolPos = f * cap * 8 // no reservoir: byte-aligned nominal starts
+      (0 until 2).foreach { g =>
+        pairs(f, g).zipWithIndex.foreach { case ((x, y), k) =>
+          putPool(L3IsoHuff.encode(tabOf(k))((math.abs(x), math.abs(y))))
+          if (x != 0) putPoolBit(if (x < 0) 1 else 0)
+          if (y != 0) putPoolBit(if (y < 0) 1 else 0)
+        }
+        quads(f, g).foreach { q =>
+          var idx = 0
+          q.foreach(v => idx = (idx << 1) | (if (v != 0) 1 else 0))
+          putPool(L3IsoHuff.quadAEncode(idx))
+          q.foreach(v => if (v != 0) putPoolBit(if (v < 0) 1 else 0))
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8); put(0xc0, 8)
+      put(0, 9); put(0, 5); put(0, 4) // mdb 0, private, scfsi 0
+      (0 until 2).foreach { g =>
+        put(huffBits(f, g), 12)       // scomp 0 → zero scalefactor bits
+        put(pairs(f, g).size, 9)
+        put(gainOf(f, g), 8)
+        put(0, 4)                     // scalefac_compress 0
+        put(0, 1)                     // no window switching
+        put(7, 5); put(10, 5); put(9, 5) // REAL tables 7 / 10 / 9
+        put(4, 4); put(3, 3)          // region0_count 4, region1_count 3
+        put(0, 1)                     // preflag 0
+        put(1, 1)                     // scalefac_scale 1
+        put(0, 1)                     // count1 table A (REAL)
       }
       var b = 0
       while (b < cap * 8) {
