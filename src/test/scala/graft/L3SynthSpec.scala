@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Polyphase synthesis machinery (ISO/IEC 11172-3 §2.4.3.2.2) — the
   * 1024-sample V shift register, closed-form matrixing, U-vector
   * extraction and 16-tap windowed sum behind `multimodal_mp3_synth`.
-  * The window is the GRAFT-SYNTHETIC [[Multimodal.l3SynthD]] (the ISO
-  * Table C.1 coefficients stay declared); everything verified here is
+  * Since round 14 [[Multimodal.l3SynthD]] is the REAL ISO Table C.1
+  * window (exact multiples of 2^-16; functionally pinned by the
+  * near-PR cascade in L3IsoSynthSpec); everything verified here is
   * window-independent register/matrixing STRUCTURE. */
 class L3SynthSpec extends AnyFunSuite {
 
@@ -24,17 +25,29 @@ class L3SynthSpec extends AnyFunSuite {
     // quantization idempotent (oracle interpolates the same literals)
     assert(Multimodal.l3SynthN.forall(x => math.rint(x * 1e12) / 1e12 == x))
     assert(Multimodal.l3SynthD.length == 512)
-    assert(Multimodal.l3SynthD.forall(x => math.rint(x * 1e12) / 1e12 == x))
+    // real Table C.1 taps are exact multiples of 2^-16 — no
+    // quantization step, both engines fold identical doubles
+    assert(Multimodal.l3SynthD.forall(x =>
+      (x * 65536.0) == math.rint(x * 65536.0)))
   }
 
-  test("synthetic window has no same-tap aliasing pairs") {
-    // D[a] = D[b] only when a + b = 511; two taps of the SAME output
-    // sample i sit at j1*32+i and j2*32+i whose sum 32(j1+j2)+2i is
-    // even — so no two taps of one sample can carry equal weights and
-    // mask a U-extraction index bug.
+  test("window same-tap aliasing limited to the 3 mirror pairs at i=0") {
+    // With the round-13 synthetic window, NO two taps of one output
+    // sample carried equal weights (that property proved the
+    // U-extraction indexing). The real Table C.1 window's mirror
+    // symmetry D[a] = D[512-a] (matching block signs) creates exactly
+    // three equal-weight pairs, all at output sample 0 (taps j and
+    // 16-j for j = 2, 4, 6); every other (i, j1, j2) stays distinct,
+    // so an extraction index bug is still caught at 31 of 32 samples.
     val d = Multimodal.l3SynthD
+    val dup = for {
+      i <- 0 until 32; j1 <- 0 until 16; j2 <- 0 until j1
+      if d(j1 * 32 + i) == d(j2 * 32 + i)
+    } yield (i, j1, j2)
+    assert(dup.toSet == Set((0, 10, 6), (0, 12, 4), (0, 14, 2)))
+    val syn = Multimodal.l3SynthDSynthetic
     for (i <- 0 until 32; j1 <- 0 until 16; j2 <- 0 until j1)
-      assert(d(j1 * 32 + i) != d(j2 * 32 + i), s"alias at i=$i $j1/$j2")
+      assert(syn(j1 * 32 + i) != syn(j2 * 32 + i), s"alias at i=$i $j1/$j2")
   }
 
   test("first step from zero state: out = N-row dot s, windowed at tap 0") {
