@@ -64,6 +64,8 @@ object SystemQueries {
   // grouped inside, width = (lit[b+1]-lit[b])/3 lines per window
   private val l3SfbS3Lit =
     Multimodal.l3SfbS48.map(_ * 3).mkString("[", ", ", "]")
+  // the same B.8 short column in per-window SPECTRAL line space
+  private val l3SfbSLit = Multimodal.l3SfbS48.mkString("[", ", ", "]")
 
   /** Shared CTE replaying the [[Multimodal.layer3HuffRealBytes]] fixture
     * (REAL ISO Huffman tables 7/10/9 + count1 A) down to requantized
@@ -2425,6 +2427,140 @@ object SystemQueries {
              |      ORDER BY d.t))
              |      * ($l3W12Lit)[CAST(ii.i AS INT) + 1] AS z
              |  FROM msd d CROSS JOIN range(12) ii(i)
+             |  GROUP BY d.id, d.gidx, d.ch, d.t // 18, (d.t % 18) % 3, ii.i),
+             |z36 AS (
+             |  SELECT g2.id, g2.gidx, g2.ch, sbb.sb, ii.i36,
+             |    COALESCE(list_sum(list(a.z ORDER BY a.w)), 0.0) AS zv
+             |  FROM (SELECT DISTINCT id, gidx, ch FROM gr) g2
+             |  CROSS JOIN range(32) sbb(sb) CROSS JOIN range(36) ii(i36)
+             |  LEFT JOIN (SELECT id, gidx, ch, sb, 6 + 6 * w + i AS i36, w, z
+             |             FROM zw) a
+             |    ON a.id = g2.id AND a.gidx = g2.gidx AND a.ch = g2.ch
+             |    AND a.sb = sbb.sb AND a.i36 = ii.i36
+             |  GROUP BY g2.id, g2.gidx, g2.ch, sbb.sb, ii.i36),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.ch, h.sb, h.i36 AS i,
+             |    (h.zv + COALESCE(t3.zv, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i36 % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM z36 WHERE i36 < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, ch, sb, i36 - 18 AS i36,
+             |             zv FROM z36 WHERE i36 >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.ch = h.ch
+             |    AND t3.sb = h.sb AND t3.i36 = h.i36)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule,
+             |  CAST(ch AS BIGINT) AS channel, CAST(sb AS BIGINT) AS subband,
+             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
+             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
+
+    // REAL MP3 INTENSITY STEREO over SHORT blocks (round 14 — unblocked
+    // by the real Table B.8 geometry): the §2.4.3.4.9.3 bound is PER
+    // WINDOW — scalefactor bands wholly above the right channel's last
+    // nonzero spectral line of THAT window are panned from the
+    // left-carried signal with ratio tan(is_pos·π/12), is_pos from the
+    // right channel's SHORT scalefactor slots (b, w). The right channel
+    // is band-limited at the entropy layer (9 pairs, no count1), so the
+    // three window bounds differ and move with the data. The oracle
+    // derives each window's MAX nonzero right line, replays the panning
+    // with the decoder's ratio table, then the short IMDCT chain per
+    // output channel.
+    ("multimodal_mp3_intensity_short",
+      (s, dir) => {
+        import s.implicits._
+        s.range(16).flatMap { id =>
+          val nf = (id % 2).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3StereoShortBytes(id, nf, intensity = true)).get
+          subs.map(b => (id, b.frame.toLong, b.granule.toLong,
+            b.channel.toLong, b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "granule", "channel", "subband",
+               "s_sum", "s_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g, ch, f * 2 + g AS gidx
+             |       FROM range(16) t(r), range(2) ff(f), range(2) gg(g),
+             |            range(2) cc(ch) WHERE f < r % 2 + 1),
+             |pl AS (SELECT id, f, g, ch, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |              THEN (id*3 + f*7 + g*11 + ch*13 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + g*3 + ch*7 + k*7) % 3 - 1
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           CASE WHEN ch = 1 THEN 9
+             |                ELSE 16 + CAST((id + f + g + ch*2) % 17 AS INT)
+             |           END - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g, ch, gidx,
+             |         2 * (16 + (id + f + g + ch*2) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7 + ch*11) % 2) *
+             |           (CASE WHEN (id + f + j + q + ch) % 2 = 0
+             |                 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g + ch) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)
+             |       WHERE ch = 0),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |rq AS (SELECT id, f, g, ch, gidx, line, isv, b,
+             |         (line - ($l3SfbS3Lit)[b+1])
+             |           // ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3) AS w,
+             |         (line - ($l3SfbS3Lit)[b+1])
+             |           % ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3) AS j
+             |       FROM (SELECT *,
+             |               len(list_filter($l3SfbS3Lit, v -> v <= line)) - 1
+             |                 AS b
+             |             FROM ln3) bb),
+             |xr AS (SELECT id, f, g, gidx, ch,
+             |         3 * (($l3SfbS3Lit)[b+1] // 3 + j) + w AS t, isv,
+             |         isv * POWER(2.0,
+             |           ((id + f*2 + g + ch*3) % 8 - 2)
+             |           - 2 * ((id + f*2 + g + w*3 + ch) % 5)
+             |           - (CASE WHEN b < 12
+             |              THEN (id + f + b + w + g*3 + ch*5) % 4
+             |              ELSE 0 END)) AS x
+             |       FROM rq),
+             |rm AS (SELECT id, gidx, t % 3 AS w, MAX(t // 3) AS rmax
+             |       FROM xr WHERE ch = 1 AND isv <> 0 GROUP BY 1, 2, 3),
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, g2.ch, ll.l AS t,
+             |         COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx, ch FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.ch = g2.ch AND x3.t = ll.l),
+             |proc AS (
+             |  SELECT id, gidx, ch, t,
+             |    CASE WHEN ($l3SfbSLit)[CAST(bp AS INT)] > rmax
+             |    THEN CASE WHEN ch = 0
+             |           THEN x0 * (rt / (1.0 + rt))
+             |           ELSE x0 * (1.0 / (1.0 + rt)) END
+             |    ELSE x END AS x
+             |  FROM (
+             |    SELECT d.id, d.gidx, d.ch, d.t, d.x, l0.x AS x0,
+             |      COALESCE(rm.rmax, -1) AS rmax,
+             |      len(list_filter($l3SfbSLit, v -> v <= d.t // 3)) AS bp,
+             |      (${Multimodal.l3IsRatio.mkString("[", ", ", "]")})
+             |        [CAST((d.id + d.gidx // 2
+             |               + (len(list_filter($l3SfbSLit, v -> v <= d.t // 3))
+             |                  - 1)
+             |               + d.t % 3 + (d.gidx % 2) * 3 + 5) % 4 AS INT) + 1]
+             |        AS rt
+             |    FROM dense d
+             |    JOIN dense l0 ON l0.id = d.id AND l0.gidx = d.gidx
+             |      AND l0.ch = 0 AND l0.t = d.t
+             |    LEFT JOIN rm ON rm.id = d.id AND rm.gidx = d.gidx
+             |      AND rm.w = d.t % 3)),
+             |zw AS (
+             |  SELECT d.id, d.gidx, d.ch, d.t // 18 AS sb,
+             |    (d.t % 18) % 3 AS w, ii.i,
+             |    list_sum(list(
+             |      d.x * ($l3C12Lit)[CAST(ii.i * 6 + (d.t % 18) // 3
+             |                             AS INT) + 1]
+             |      ORDER BY d.t))
+             |      * ($l3W12Lit)[CAST(ii.i AS INT) + 1] AS z
+             |  FROM proc d CROSS JOIN range(12) ii(i)
              |  GROUP BY d.id, d.gidx, d.ch, d.t // 18, (d.t % 18) % 3, ii.i),
              |z36 AS (
              |  SELECT g2.id, g2.gidx, g2.ch, sbb.sb, ii.i36,

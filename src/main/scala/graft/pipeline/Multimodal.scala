@@ -2090,7 +2090,11 @@ object Multimodal {
           while (ok && g < 2) {
             val xrCh = Array.ofDim[Double](nch, 576)
             val sfCh = Array.ofDim[Int](nch, 21)
+            val sfSCh = Array.ofDim[Int](nch, 12, 3) // short scalefactors
             val lastNz = Array.fill(nch)(-1) // last nonzero entropy line
+            // short blocks: last nonzero per-window SPECTRAL line — the
+            // §2.4.3.4.9.3 intensity bound is per window there
+            val lastNzS = Array.fill(nch, 3)(-1)
             var ch = 0
             while (ok && ch < nch) {
               val s = sides(g)(ch)
@@ -2112,7 +2116,7 @@ object Multimodal {
                 // 3 windows (slen1 for 3-5, slen2 for 6-11) — 17·slen1 +
                 // 18·slen2 bits.
                 val sf = sfCh(ch)
-                val sfS = Array.ofDim[Int](12, 3)
+                val sfS = sfSCh(ch) // kept per channel for intensity is_pos
                 if (mix) {
                   var band = 0
                   while (band < 8) { sf(band) = bits(slen1); band += 1 }
@@ -2264,6 +2268,7 @@ object Multimodal {
                         // short column
                         val (_, w, l) = L3IsoSynth.shortPos(L3SfbS48, i)
                         xr(3 * l + w) = x
+                        if (l > lastNzS(ch)(w)) lastNzS(ch)(w) = l
                       } else {
                         xr(i) = x
                         lastNz(ch) = i
@@ -2287,19 +2292,37 @@ object Multimodal {
               // left-carried signal; remaining bands get the MS matrix
               // (§2.4.3.4.9.1) when the MS extension is on.
               // MS recombination is LINE-wise (geometry-independent), so
-              // it applies to window-switched granules too; INTENSITY
-              // over short blocks stays declared (its band walk is
-              // long-geometry-driven and short intensity uses per-window
-              // is_pos semantics).
-              if (nch == 2 && intens &&
-                  sides(g).exists(_.bt == 2)) ok = false
+              // it applies to window-switched granules too. INTENSITY
+              // over pure-short granules is decoded since round 14 (real
+              // B.8 geometry unblocked it): the §2.4.3.4.9.3 bound is
+              // PER WINDOW (bands wholly above the right channel's last
+              // nonzero spectral line of that window), is_pos from the
+              // right channel's short scalefactor slots. Intensity with
+              // MIXED blocks or with differing channel block types stays
+              // declared.
+              val shortStereo = nch == 2 && sides(g)(0).bt == 2 &&
+                sides(g)(1).bt == 2 && sides(g).forall(_.mixed == 0)
+              if (nch == 2 && intens && sides(g).exists(_.bt == 2) &&
+                  !shortStereo) ok = false
               if (ok && nch == 2 && (ms || intens)) {
                 var i = 0
                 while (i < 576) {
-                  val bnd = sfbOf(i)
-                  val isIntens = intens && L3Sfb48(bnd) > lastNz(1)
+                  val isIntens = intens && {
+                    if (shortStereo) {
+                      val w = i % 3
+                      val b = sbandOf(i / 3)
+                      L3SfbS48(b) > lastNzS(1)(w)
+                    } else L3Sfb48(sfbOf(i)) > lastNz(1)
+                  }
                   if (isIntens) {
-                    val isPos = if (bnd < 21) sfCh(1)(bnd) else 7
+                    val isPos =
+                      if (shortStereo) {
+                        val b = sbandOf(i / 3)
+                        if (b < 12) sfSCh(1)(b)(i % 3) else 7
+                      } else {
+                        val bnd = sfbOf(i)
+                        if (bnd < 21) sfCh(1)(bnd) else 7
+                      }
                     if (isPos != 7) {
                       val l = xrCh(0)(i)
                       if (isPos == 6) { xrCh(1)(i) = 0.0 }
@@ -2449,6 +2472,14 @@ object Multimodal {
   private def sfbOf(line: Int): Int = {
     var b = 0
     while (b + 1 < L3Sfb48.length && L3Sfb48(b + 1) <= line) b += 1
+    b
+  }
+
+  /** Short-geometry band of a per-window SPECTRAL line (real Table B.8
+    * 48 kHz short column; band 12 = the no-scalefactor top region). */
+  private def sbandOf(line: Int): Int = {
+    var b = 0
+    while (b + 1 < L3SfbS48.length && L3SfbS48(b + 1) <= line) b += 1
     b
   }
 
@@ -2744,8 +2775,18 @@ object Multimodal {
     * (scfsi 0), per-channel subblock gains, and the §2.4.3.4.9.1
     * recombination applied line-wise on the reordered short spectra.
     * Same REAL ISO Table B.8 short geometry as [[layer3ShortBytes]];
-    * dyadic gains. */
-  def layer3StereoShortBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    * dyadic gains.
+    *
+    * `intensity = true` (round 14) switches the mode extension to
+    * INTENSITY stereo over the same pure-short granules: the right
+    * channel is band-limited at the entropy layer (9 pairs, no count1
+    * quads), so each window's §2.4.3.4.9.3 bound — bands wholly above
+    * the right channel's last nonzero spectral line of THAT window —
+    * is data-dependent and window-varying; is_pos comes from the right
+    * channel's short scalefactor slots (fixture values 0–3, all inside
+    * the tan(is_pos·π/12) table). */
+  def layer3StereoShortBytes(seed: Long, nFrames: Int,
+                             intensity: Boolean = false): Array[Byte] = {
     val frameLen = 576
     val cap = frameLen - 36 // 4 header + 32 side info
     val out = new Array[Byte](frameLen * nFrames)
@@ -2763,13 +2804,15 @@ object Multimodal {
     def sbgOf(f: Int, g: Int, w: Int, ch: Int): Int =
       ((seed + f * 2 + g + w * 3 + ch) % 5).toInt
     def pairs(f: Int, g: Int, ch: Int): Seq[(Int, Int)] = {
-      val n = 16 + ((seed + f + g + ch * 2) % 17).toInt
+      val n = if (intensity && ch == 1) 9
+              else 16 + ((seed + f + g + ch * 2) % 17).toInt
       (0 until n).map(k =>
         ((((seed * 3 + f * 7 + g * 11 + ch * 13 + k * 5) % 3) - 1).toInt,
          (((seed * 5 + f * 11 + g * 3 + ch * 7 + k * 7) % 3) - 1).toInt))
     }
     def quads(f: Int, g: Int, ch: Int): Seq[Array[Int]] = {
-      val n = 4 + ((seed + f * 2 + g + ch) % 5).toInt
+      val n = if (intensity && ch == 1) 0
+              else 4 + ((seed + f * 2 + g + ch) % 5).toInt
       (0 until n).map { q =>
         Array.tabulate(4) { j =>
           val bit =
@@ -2832,7 +2875,9 @@ object Multimodal {
         }
       }
       put(0xff, 8); put(0xfb, 8)
-      put(0xb4, 8); put(0x60, 8) // joint stereo, MS extension
+      put(0xb4, 8)
+      // joint stereo; mode_extension 10 = MS, 01 = intensity
+      put(if (intensity) 0x50 else 0x60, 8)
       put(mdbs(f), 9); put(0, 3)
       put(0, 4); put(0, 4) // scfsi 0 both channels
       (0 until 2).foreach { g =>

@@ -57,6 +57,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.layer3StartStopBytes(3, 2),
     Multimodal.layer3MixedBytes(3, 2),
     Multimodal.layer3StereoShortBytes(3, 2),
+    Multimodal.layer3StereoShortBytes(3, 2, intensity = true),
+    Multimodal.layer3HuffRealBytes(3, 2),
     Multimodal.mpeg1DBytes(3, 2),
     Multimodal.layer3BytesFull(3, 2, crc = true),
     Multimodal.mpeg1SliceBytes(3),

@@ -141,7 +141,7 @@ class L3ShortBlockSpec extends AnyFunSuite {
     assert(slots.sorted == (0 until 576))
   }
 
-  test("MS stereo over short blocks round-trips; intensity stays gated") {
+  test("MS stereo over short blocks round-trips") {
     (0 until 16).foreach { id =>
       val nf = (id % 2) + 1
       val decoded = Multimodal.layer3DecodeFull(
@@ -152,12 +152,31 @@ class L3ShortBlockSpec extends AnyFunSuite {
       assert(grans.size == nf * 2 * 2 && subs.size == nf * 2 * 2 * 32)
       assert(subs.exists(s2 => s2.channel == 1 && s2.sMsq > 0.0))
     }
-    // flipping the MS stream's mode extension to intensity (mode_ext
-    // bits 01) must refuse: intensity over short blocks is declared.
-    val bytes = Multimodal.layer3StereoShortBytes(3L, 1)
-    val bad = bytes.clone()
-    bad(3) = ((bad(3) & ~0x30) | 0x10).toByte // mode_ext 10 → 01
-    assert(Multimodal.layer3DecodeFull(bad).isEmpty)
+  }
+
+  test("intensity over short blocks decodes (round 14) and the mode " +
+       "extension bit is load-bearing") {
+    (0 until 16).foreach { id =>
+      val nf = (id % 2) + 1
+      val decoded = Multimodal.layer3DecodeFull(
+        Multimodal.layer3StereoShortBytes(id.toLong, nf, intensity = true))
+      assert(decoded.isDefined, s"id=$id intensity-short decode failed")
+      val (meta, _, subs, _) = decoded.get
+      assert(meta.channels == 2)
+      // panning puts energy into the band-limited right channel's
+      // intensity region (per-window bounds from the right channel's
+      // own 9-pair band limit)
+      assert(subs.exists(s2 => s2.channel == 1 && s2.sMsq > 0.0))
+    }
+    // same payload bits, MS vs intensity mode extension → different
+    // stereo reconstruction (the bit selects a different §2.4.3.4.9
+    // path, not a relabeling)
+    val ib = Multimodal.layer3StereoShortBytes(3L, 1, intensity = true)
+    val mb = ib.clone()
+    mb(3) = ((mb(3) & ~0x30) | 0x20).toByte // mode_ext 01 → 10 (MS)
+    val (_, _, iSubs, _) = Multimodal.layer3DecodeFull(ib).get
+    val (_, _, mSubs, _) = Multimodal.layer3DecodeFull(mb).get
+    assert(iSubs != mSubs)
   }
 
   test("nonzero scfsi with a short granule refuses (no empty-slot sharing)") {
