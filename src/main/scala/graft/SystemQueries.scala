@@ -241,8 +241,124 @@ object SystemQueries {
     * clause; ends at `fin`. `bQuant` follows the quant-form B fixture's
     * qscale schedule for the B-picture intra macroblocks (mb3 decoded
     * at the updated qscale 6, mb7 at the carried 4). */
-  private def mpeg1ResidCte(withB: Boolean, bQuant: Boolean = false): String = {
+  /** The multi-slice oracle, shared VERBATIM by
+    * `multimodal_mpeg1_slices` (row-aligned) and
+    * `multimodal_mpeg1_midslice` (round 14, mid-row slice start):
+    * the mid-row fixture re-slices the SAME P picture without
+    * changing any reconstructed value (differential vs absolute
+    * coding of identical vectors), so the decoded rows are
+    * identical by construction — the re-encode-equivalence
+    * verification shape. */
+  private val mpeg1SlicesOracle: String =
+    s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
+             |cmb AS (SELECT id, pc, m FROM ids, (VALUES (0), (1)) pp(pc),
+             |        range(8) mm(m)
+             |        WHERE pc = 0 OR (pc = 1 AND m IN (0, 6))),
+             |lv AS (SELECT id, pc, m, b, p,
+             |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
+             |               THEN 1
+             |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
+             |          END AS lvl
+             |        FROM cmb, range(4) bb(b),
+             |          LATERAL (SELECT UNNEST([
+             |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
+             |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
+             |            50 + (m*3 + b) % 13]) AS p) g),
+             |dqi AS (SELECT id, pc, m, b, p,
+             |          CASE WHEN lvl < 0 THEN -1 ELSE 1 END AS sg,
+             |          (ABS(lvl) * 8 * wz[CAST(p AS INT) + 1]) // 8 AS a0
+             |        FROM lv,
+             |          (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
+             |co AS (
+             |  SELECT id, pc, m, b, 0 AS ord,
+             |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
+             |  FROM cmb, range(4) bb(b)
+             |  UNION ALL
+             |  SELECT id, pc, m, b, p AS ord,
+             |    sg * LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
+             |               2047) AS f
+             |  FROM dqi),
+             |px AS (
+             |  SELECT id, pc, m, b, x, y,
+             |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
+             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
+             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
+             |      ORDER BY ord))) AS BIGINT))) AS v
+             |  FROM co, range(8) xx(x), range(8) yy(y),
+             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
+             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
+             |  GROUP BY id, pc, m, b, x, y),
+             |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
+             |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
+             |        FROM px WHERE pc = 0 AND b < 4),
+             |mv AS (SELECT id, m,
+             |    CASE m WHEN 1 THEN id % 4 - 2 WHEN 2 THEN (id // 5) % 3 - 1
+             |           WHEN 3 THEN -((id // 11) % 3)
+             |           WHEN 4 THEN (id // 17) % 3
+             |           WHEN 5 THEN (id // 23) % 3 - 1
+             |           ELSE -((id // 31) % 3) END AS dx,
+             |    CASE m WHEN 1 THEN (id // 4) % 3 WHEN 2 THEN (id // 7) % 3
+             |           WHEN 3 THEN (id // 13) % 3
+             |           WHEN 4 THEN -((id // 19) % 3)
+             |           WHEN 5 THEN -((id // 29) % 2)
+             |           ELSE -((id // 37) % 2) END AS dy
+             |  FROM ids, range(8) mm(m) WHERE m IN (1, 2, 3, 4, 5, 7)),
+             |mc AS (SELECT v.id, v.m, v.dx, v.dy, xx.x AS lx, yy.y AS ly,
+             |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
+             |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
+             |       FROM mv v, range(16) xx(x), range(16) yy(y)),
+             |prd AS (
+             |  SELECT c.id, c.m, c.dx, c.dy,
+             |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
+             |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
+             |           THEN (r00.v + r01.v + 1) // 2
+             |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
+             |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS pv
+             |  FROM mc c
+             |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
+             |    AND r00.ry = c.y2 // 2
+             |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
+             |    AND r01.ry = c.y2 // 2
+             |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
+             |    AND r10.ry = c.y2 // 2 + 1
+             |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
+             |    AND r11.ry = c.y2 // 2 + 1)
+             |SELECT id AS media_id, CAST(0 AS BIGINT) AS pic,
+             |  CAST(m AS BIGINT) AS mb, CAST(0 AS BIGINT) AS kind,
+             |  CAST(0 AS BIGINT) AS dx, CAST(0 AS BIGINT) AS dy,
+             |  CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
+             |FROM px WHERE pc = 0 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), 0, 0, 0,
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM px WHERE pc = 1 AND b < 4 GROUP BY id, m
+             |UNION ALL
+             |SELECT id, 1, CAST(m AS BIGINT), 1,
+             |  CAST(dx AS BIGINT), CAST(dy AS BIGINT),
+             |  CAST(SUM(pv) AS BIGINT), CAST(SUM(pv * pv) AS BIGINT)
+             |FROM prd GROUP BY id, m, dx, dy""".stripMargin
+
+  private def mpeg1ResidCte(withB: Boolean, bQuant: Boolean = false,
+                            bigMotion: Boolean = false): String = {
     val pics = if (withB) "(VALUES (0), (1), (2))" else "(VALUES (0), (1))"
+    // forward-vector formulas: the plain fixture's small vectors, or the
+    // round-14 big-motion twin spanning Table B.4 magnitudes 4-16
+    // (mirrors Multimodal.mpeg1PResVec / mpeg1PResVecBig)
+    val dxExpr =
+      if (bigMotion)
+        """CASE m WHEN 1 THEN 11 + id % 3 WHEN 3 THEN -(12 + (id // 5) % 5)
+          |           WHEN 5 THEN 8 + id % 5 ELSE 0 END""".stripMargin
+      else
+        """CASE m WHEN 1 THEN id % 5 - 2 WHEN 3 THEN -((id // 5) % 3)
+          |           WHEN 5 THEN id % 3 ELSE 0 END""".stripMargin
+    val dyExpr =
+      if (bigMotion)
+        """CASE m WHEN 1 THEN 13 + (id % 2) * 2 WHEN 3 THEN 4 + (id // 7) % 4
+          |           WHEN 5 THEN -(12 + (id // 11) % 3) ELSE 0 END""".stripMargin
+      else
+        """CASE m WHEN 1 THEN (id // 3) % 3 WHEN 3 THEN (id // 7) % 3
+          |           WHEN 5 THEN -((id // 11) % 2) ELSE 0 END""".stripMargin
     val extra =
       if (withB) "\n           OR (pc = 2 AND m IN (0, 3, 7))" else ""
     val qsExpr =
@@ -293,10 +409,8 @@ object SystemQueries {
        |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
        |        FROM px WHERE pc = 0 AND b < 4),
        |mv AS (SELECT id, m,
-       |    CASE m WHEN 1 THEN id % 5 - 2 WHEN 3 THEN -((id // 5) % 3)
-       |           WHEN 5 THEN id % 3 ELSE 0 END AS dx,
-       |    CASE m WHEN 1 THEN (id // 3) % 3 WHEN 3 THEN (id // 7) % 3
-       |           WHEN 5 THEN -((id // 11) % 2) ELSE 0 END AS dy,
+       |    $dxExpr AS dx,
+       |    $dyExpr AS dy,
        |    CASE m WHEN 1 THEN 5 WHEN 2 THEN 6 WHEN 3 THEN 5
        |           WHEN 4 THEN 2 WHEN 5 THEN 1 ELSE 6 END AS kind,
        |    CASE WHEN m IN (1, 2, 3, 6) THEN 1 + (id*5 + m*11) % 63
@@ -3429,94 +3543,71 @@ object SystemQueries {
         }.toDF("media_id", "pic", "mb", "kind", "dx", "dy",
                "y_sum", "y_sqsum")
       },
+      Some(mpeg1SlicesOracle)),
+
+    // REAL MPEG-1 MID-ROW SLICE STARTS (round 14, §2.4.2.4 general
+    // form): the SAME P picture as multimodal_mpeg1_slices re-sliced so
+    // slice 1 crosses the row boundary (mb4/mb5 turn differential —
+    // same reconstructed vectors) and slice 2 starts mid-row at mb6:
+    // slice_vertical_position 2 with FIRST address increment 3, walking
+    // from the reset address (svp−1)·mb_width − 1 exactly onto mb6 over
+    // macroblocks the previous slice owns (positioning, not skipping).
+    // Decoded rows are IDENTICAL by construction, so the oracle is the
+    // multi-slice replay verbatim; a wrong first increment refuses
+    // (slice gap), asserted in Mpeg1ResidualSpec.
+    ("multimodal_mpeg1_midslice",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(
+            Multimodal.mpeg1SliceBytes(id, midRow = true))
+          val (_, mbs) = decoded.get
+          mbs.map(r => (id, r.pic.toLong, r.mb.toLong, r.kind.toLong,
+            r.dx.toLong, r.dy.toLong, r.ySum, r.ySqSum))
+        }.toDF("media_id", "pic", "mb", "kind", "dx", "dy",
+               "y_sum", "y_sqsum")
+      },
+      Some(mpeg1SlicesOracle)),
+
+    // REAL MPEG-1 LONG MOTION CODES (round 14): the coded-residual P
+    // picture with vectors whose Table B.4 codes span magnitudes 4-16
+    // at f_code 1 — the long VLC rows real streams with large motion
+    // hit. The B.4 data is DERIVED from the full Table B.1
+    // address-increment codes through the published pairing
+    // (B.1(2m) = p(m)+'1', B.1(2m+1) = p(m)+'0'), build-time-checked
+    // for all 16 magnitudes and structurally asserted in
+    // Mpeg1ResidualSpec (prefix-freeness + the exact Kraft gap
+    // accounting of both tables). Half-pel interpolation now reaches
+    // across macroblock distances; the oracle replays it per pixel.
+    ("multimodal_mpeg1_bigmotion",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val decoded = Multimodal.mpeg1IPDecode(
+            Multimodal.mpeg1PResidualBytes(id, bigMotion = true))
+          val (_, mbs) = decoded.get
+          mbs.map(r => (id, r.pic.toLong, r.mb.toLong, r.kind.toLong,
+            r.dx.toLong, r.dy.toLong, r.cbp.toLong, r.ySum, r.ySqSum))
+        }.toDF("media_id", "pic", "mb", "kind", "dx", "dy", "cbp",
+               "y_sum", "y_sqsum")
+      },
       Some(s"""WITH ids AS (SELECT r AS id FROM range(24) t(r)),
-             |cmb AS (SELECT id, pc, m FROM ids, (VALUES (0), (1)) pp(pc),
-             |        range(8) mm(m)
-             |        WHERE pc = 0 OR (pc = 1 AND m IN (0, 6))),
-             |lv AS (SELECT id, pc, m, b, p,
-             |          CASE WHEN (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10 = 0
-             |               THEN 1
-             |               ELSE (id*11 + pc*41 + m*17 + b*23 + p*31) % 21 - 10
-             |          END AS lvl
-             |        FROM cmb, range(4) bb(b),
-             |          LATERAL (SELECT UNNEST([
-             |            1 + (id + m + b) % 4, 6 + (id*3 + m) % 6,
-             |            15 + (b*5 + m) % 8, 30 + (id + b*7) % 10,
-             |            50 + (m*3 + b) % 13]) AS p) g),
-             |dqi AS (SELECT id, pc, m, b, p,
-             |          CASE WHEN lvl < 0 THEN -1 ELSE 1 END AS sg,
-             |          (ABS(lvl) * 8 * wz[CAST(p AS INT) + 1]) // 8 AS a0
-             |        FROM lv,
-             |          (SELECT [${(0 until 64).map(Multimodal.mpeg1W).mkString(", ")}] AS wz) w),
-             |co AS (
-             |  SELECT id, pc, m, b, 0 AS ord,
-             |    CAST(((id*7 + pc*37 + m*13 + b*29) % 256) * 8 AS BIGINT) AS f
-             |  FROM cmb, range(4) bb(b)
-             |  UNION ALL
-             |  SELECT id, pc, m, b, p AS ord,
-             |    sg * LEAST(CASE WHEN a0 % 2 = 0 THEN a0 - 1 ELSE a0 END,
-             |               2047) AS f
-             |  FROM dqi),
-             |px AS (
-             |  SELECT id, pc, m, b, x, y,
-             |    LEAST(255, GREATEST(0, CAST(ROUND(list_sum(list(
-             |      f * ict[(zig[CAST(ord AS INT) + 1] % 8) * 8 + CAST(x AS INT) + 1]
-             |        * ict[(zig[CAST(ord AS INT) + 1] // 8) * 8 + CAST(y AS INT) + 1]
-             |      ORDER BY ord))) AS BIGINT))) AS v
-             |  FROM co, range(8) xx(x), range(8) yy(y),
-             |    (SELECT [${Multimodal.mpegIct.mkString(", ")}] AS ict,
-             |            [${Multimodal.mpegZigzag.mkString(", ")}] AS zig) cc
-             |  GROUP BY id, pc, m, b, x, y),
-             |ref AS (SELECT id, 16 * (m % 4) + 8 * (b % 2) + x AS rx,
-             |               16 * (m // 4) + 8 * (b // 2) + y AS ry, v
-             |        FROM px WHERE pc = 0 AND b < 4),
-             |mv AS (SELECT id, m,
-             |    CASE m WHEN 1 THEN id % 4 - 2 WHEN 2 THEN (id // 5) % 3 - 1
-             |           WHEN 3 THEN -((id // 11) % 3)
-             |           WHEN 4 THEN (id // 17) % 3
-             |           WHEN 5 THEN (id // 23) % 3 - 1
-             |           ELSE -((id // 31) % 3) END AS dx,
-             |    CASE m WHEN 1 THEN (id // 4) % 3 WHEN 2 THEN (id // 7) % 3
-             |           WHEN 3 THEN (id // 13) % 3
-             |           WHEN 4 THEN -((id // 19) % 3)
-             |           WHEN 5 THEN -((id // 29) % 2)
-             |           ELSE -((id // 37) % 2) END AS dy
-             |  FROM ids, range(8) mm(m) WHERE m IN (1, 2, 3, 4, 5, 7)),
-             |mc AS (SELECT v.id, v.m, v.dx, v.dy, xx.x AS lx, yy.y AS ly,
-             |         2 * (16 * (v.m % 4) + xx.x) + v.dx AS x2,
-             |         2 * (16 * (v.m // 4) + yy.y) + v.dy AS y2
-             |       FROM mv v, range(16) xx(x), range(16) yy(y)),
-             |prd AS (
-             |  SELECT c.id, c.m, c.dx, c.dy,
-             |    CASE WHEN c.x2 % 2 = 0 AND c.y2 % 2 = 0 THEN r00.v
-             |         WHEN c.x2 % 2 = 1 AND c.y2 % 2 = 0
-             |           THEN (r00.v + r01.v + 1) // 2
-             |         WHEN c.x2 % 2 = 0 THEN (r00.v + r10.v + 1) // 2
-             |         ELSE (r00.v + r01.v + r10.v + r11.v + 2) // 4 END AS pv
-             |  FROM mc c
-             |  JOIN ref r00 ON r00.id = c.id AND r00.rx = c.x2 // 2
-             |    AND r00.ry = c.y2 // 2
-             |  LEFT JOIN ref r01 ON r01.id = c.id AND r01.rx = c.x2 // 2 + 1
-             |    AND r01.ry = c.y2 // 2
-             |  LEFT JOIN ref r10 ON r10.id = c.id AND r10.rx = c.x2 // 2
-             |    AND r10.ry = c.y2 // 2 + 1
-             |  LEFT JOIN ref r11 ON r11.id = c.id AND r11.rx = c.x2 // 2 + 1
-             |    AND r11.ry = c.y2 // 2 + 1)
+             |${mpeg1ResidCte(withB = false, bigMotion = true)}
              |SELECT id AS media_id, CAST(0 AS BIGINT) AS pic,
              |  CAST(m AS BIGINT) AS mb, CAST(0 AS BIGINT) AS kind,
              |  CAST(0 AS BIGINT) AS dx, CAST(0 AS BIGINT) AS dy,
-             |  CAST(SUM(v) AS BIGINT) AS y_sum,
+             |  CAST(0 AS BIGINT) AS cbp, CAST(SUM(v) AS BIGINT) AS y_sum,
              |  CAST(SUM(v * v) AS BIGINT) AS y_sqsum
              |FROM px WHERE pc = 0 AND b < 4 GROUP BY id, m
              |UNION ALL
-             |SELECT id, 1, CAST(m AS BIGINT), 0, 0, 0,
+             |SELECT id, 1, CAST(m AS BIGINT), 0, 0, 0, 0,
              |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
              |FROM px WHERE pc = 1 AND b < 4 GROUP BY id, m
              |UNION ALL
-             |SELECT id, 1, CAST(m AS BIGINT), 1,
-             |  CAST(dx AS BIGINT), CAST(dy AS BIGINT),
-             |  CAST(SUM(pv) AS BIGINT), CAST(SUM(pv * pv) AS BIGINT)
-             |FROM prd GROUP BY id, m, dx, dy""".stripMargin)),
+             |SELECT id, 1, CAST(m AS BIGINT), CAST(kind AS BIGINT),
+             |  CAST(dx AS BIGINT), CAST(dy AS BIGINT), CAST(cbp AS BIGINT),
+             |  CAST(SUM(v) AS BIGINT), CAST(SUM(v * v) AS BIGINT)
+             |FROM fin GROUP BY id, m, kind, dx, dy, cbp""".stripMargin)),
 
     // REAL MPEG-1 D PICTURES (picture_coding_type 4, §2.4.3.5) — the
     // fast-preview picture class completing the I/P/B/D family: the

@@ -3836,12 +3836,52 @@ object Multimodal {
                            ySum: Long, ySqSum: Long,
                            bdx: Int = 0, bdy: Int = 0, cbp: Int = 0)
 
-  // motion_code VLC (11172-2 Table B.4), |code| ≤ 3 subset — the codes
-  // are the B.1 increment codes split by a trailing sign bit (positive
-  // ends in 0). Larger magnitudes stay declared.
-  private val MotionCodes: Seq[(String, Int)] = Seq(
-    "1" -> 0, "010" -> 1, "011" -> -1, "0010" -> 2, "0011" -> -2,
-    "00010" -> 3, "00011" -> -3)
+  /** macroblock_address_increment VLC (ISO/IEC 11172-2 Table B.1,
+    * public spec; shared with H.262 Table B-1) — the FULL table since
+    * round 14: increments 1–33 plus the escape ('00000001000', adds 33
+    * and continues) and stuffing ('00000001111', discarded) codes.
+    * Structural closure asserted in Mpeg1ResidualSpec: prefix-free,
+    * Kraft mass 2026/2048 with the deficit exactly the spec's reserved
+    * regions ('00000000…', the six unused '00000001xxx' leaves around
+    * escape/stuffing, and '00000010…'), and the B.4 pairing below. */
+  private[graft] val AddrIncCodes: Seq[(String, Int)] = Seq(
+    "1" -> 1, "011" -> 2, "010" -> 3, "0011" -> 4, "0010" -> 5,
+    "00011" -> 6, "00010" -> 7, "0000111" -> 8, "0000110" -> 9,
+    "00001011" -> 10, "00001010" -> 11, "00001001" -> 12,
+    "00001000" -> 13, "00000111" -> 14, "00000110" -> 15,
+    "0000010111" -> 16, "0000010110" -> 17, "0000010101" -> 18,
+    "0000010100" -> 19, "0000010011" -> 20, "0000010010" -> 21,
+    "00000100011" -> 22, "00000100010" -> 23, "00000100001" -> 24,
+    "00000100000" -> 25, "00000011111" -> 26, "00000011110" -> 27,
+    "00000011101" -> 28, "00000011100" -> 29, "00000011011" -> 30,
+    "00000011010" -> 31, "00000011001" -> 32, "00000011000" -> 33)
+  private[graft] val AddrIncEscape = "00000001000"
+  private[graft] val AddrIncStuffing = "00000001111"
+  // decode alphabet: stuffing → 0 (discard and read again), escape →
+  // −1 (add 33 and read again)
+  private val AddrIncAlphabet: Seq[(String, Int)] =
+    AddrIncCodes ++ Seq(AddrIncStuffing -> 0, AddrIncEscape -> -1)
+
+  /** motion_code VLC (11172-2 Table B.4), FULL |code| ≤ 16 since round
+    * 14 — DERIVED from Table B.1 rather than recalled separately: the
+    * published structural correspondence is that each B.4 magnitude
+    * prefix p(m) splits into the two B.1 increment codes
+    * B.1(2m) = p(m)+'1' and B.1(2m+1) = p(m)+'0', with the sign bit
+    * (positive = '0') taking the place of the B.1 low bit. The
+    * `require` makes the derivation a build-time structural check over
+    * all 16 magnitudes; the pairing on magnitudes ≤ 3 reproduces the
+    * codes every motion oracle row has decoded against since round 12. */
+  private[graft] val MotionCodes: Seq[(String, Int)] = {
+    val byVal = AddrIncCodes.map { case (c, v) => v -> c }.toMap
+    ("1" -> 0) +: (1 to 16).flatMap { m =>
+      val hi = byVal(2 * m)
+      val lo = byVal(2 * m + 1)
+      require(hi.last == '1' && lo == hi.dropRight(1) + "0",
+              s"B.1/B.4 pairing broken at magnitude $m")
+      val p = hi.dropRight(1)
+      Seq((p + "0") -> m, (p + "1") -> -m)
+    }
+  }
 
   /** coded_block_pattern VLC (ISO/IEC 11172-2 Table B.3, public spec;
     * shared with H.262 Table B-9) — all 63 codes, cbp 1..63 (cbp 0 has
@@ -4248,14 +4288,33 @@ object Multimodal {
           }
 
         var mb = 0
+        // > 0 when the NEXT address increment is a new slice's first:
+        // it positions over macroblocks the previous slice already
+        // decoded (no skip semantics) and must land exactly on `mb`
+        var sliceFirstInc = -1
+        // full Table B.1 read: stuffing codes are discarded, each
+        // escape adds 33 and the read continues (§2.4.2.7)
+        def addrInc(): Int = {
+          var extra = 0
+          var v = -1
+          while (v <= 0) {
+            val c = vlc(AddrIncAlphabet)
+            if (c == -1) extra += 33 else if (c > 0) v = c
+          }
+          extra + v
+        }
         while (mb < nMb) {
           // MULTI-SLICE (§2.4.2.4): between macroblocks, a byte-aligned
           // slice start code (after all-zero padding bits) opens the
-          // next slice — slice_vertical_position must continue exactly
-          // at the next undecoded macroblock row, and the slice header
-          // resets the quantizer scale, DC predictors, motion-vector
-          // predictors, and the B skipped-macroblock mode memory.
-          if (mb > 0 && mb % mbw == 0) {
+          // next slice. Since round 14 slices may start MID-ROW:
+          // slice_vertical_position must equal the next undecoded
+          // macroblock's row + 1, and the slice's FIRST address
+          // increment must walk from (svp−1)·mbw − 1 exactly onto that
+          // macroblock (a short or long walk is a slice gap/overlap →
+          // refuse). The header resets the quantizer scale, DC
+          // predictors, motion-vector predictors, and the B
+          // skipped-macroblock mode memory.
+          if (mb > 0) {
             val save = bitPos
             val aligned = (bitPos + 7) & ~7
             if (aligned + 32 <= bytes.length * 8) {
@@ -4270,18 +4329,26 @@ object Multimodal {
                 bitPos = aligned
                 val code = bits(32)
                 if (code >= 0x00000101 && code <= 0x000001af) {
-                  if (((code & 0xff) - 1) * mbw != mb)
+                  if ((code & 0xff) - 1 != mb / mbw)
                     throw new RuntimeException("slicegap")
                   qscale = bits(5)
                   while (bits(1) == 1) bits(8)
                   pred(0) = 128; pred(1) = 128; pred(2) = 128
                   pmvFx = 0; pmvFy = 0; pmvBx = 0; pmvBy = 0
                   lastFwd = false; lastBwd = false
+                  sliceFirstInc = mb % mbw + 1
                 } else bitPos = save
               }
             }
           }
-          val inc = vlc(Seq("1" -> 1, "011" -> 2, "010" -> 3))
+          val incRaw = addrInc()
+          val inc =
+            if (sliceFirstInc > 0) {
+              if (incRaw != sliceFirstInc)
+                throw new RuntimeException("slicegap")
+              sliceFirstInc = -1
+              1
+            } else incRaw
           // skipped macroblocks: P copies co-located with vector 0 and
           // resets the predictor; B repeats the previous macroblock's
           // prediction mode with unchanged vectors (§2.4.4.4).
@@ -4717,6 +4784,22 @@ object Multimodal {
     case _ => (0L, 0L)
   }) match { case (a, b) => (a.toInt, b.toInt) }
 
+  /** BIG-MOTION twin of [[mpeg1PResVec]] (round 14): vectors whose
+    * motion codes at f_code 1 span magnitudes 4–16, exercising the full
+    * Table B.4 VLC (codes to magnitude 16 when (s/5)%5 = 4), still
+    * in-bounds for luma AND halved-chroma reads at each macroblock's
+    * position in the 64×32 frame, and inside the f_code 1 principal
+    * range [−16, +15] (+16 would wrap; magnitude-16 CODES are exercised
+    * through mb3's dx = −16). All three coded macroblocks sit next
+    * to predictor resets, so the codes are absolute. */
+  private[graft] def mpeg1PResVecBig(s: Long, mb: Int): (Int, Int) =
+    (mb match {
+      case 1 => (11 + s % 3, 13 + (s % 2) * 2)
+      case 3 => (-(12 + (s / 5) % 5), 4 + (s / 7) % 4)
+      case 5 => (8 + s % 5, -(12 + (s / 11) % 3))
+      case _ => (0L, 0L)
+    }) match { case (a, b) => (a.toInt, b.toInt) }
+
   /** Seed-dependent B-picture (forward, backward) vectors for the
     * residual fixture — absolute-coded (each MC macroblock's predictors
     * are freshly reset by a neighboring intra, or carried unchanged:
@@ -4766,8 +4849,18 @@ object Multimodal {
     * NONZERO forward predictor (mb1 abs → mb2/mb3 differential) so
     * mb4's motion codes are absolute ONLY because of the reset — a
     * decoder that fails to reset produces wrong pixels and fails the
-    * oracle. All P macroblocks are prediction-only ('001') or intra. */
-  def mpeg1SliceBytes(seed: Long): Array[Byte] = {
+    * oracle. All P macroblocks are prediction-only ('001') or intra.
+    *
+    * `midRow = true` (round 14) RE-SLICES the P picture without
+    * changing any reconstructed value: slice 1 runs through mb5
+    * (crossing the row boundary, mb4/mb5 now differential — same
+    * reconstructed vectors), and slice 2 starts MID-ROW at mb6
+    * (slice_vertical_position 2, first address increment 3 walking
+    * from the reset address 3 onto mb6 over macroblocks the previous
+    * slice owns). Decoded rows are IDENTICAL to the row-aligned
+    * stream's by construction — the re-encode-equivalence oracle shape
+    * — and a wrong first increment is a slice gap (refusal-tested). */
+  def mpeg1SliceBytes(seed: Long, midRow: Boolean = false): Array[Byte] = {
     val width = 64; val height = 32
     val bits = new scala.collection.mutable.ArrayBuffer[Boolean](1 << 13)
     def put(v: Long, n: Int): Unit =
@@ -4840,17 +4933,36 @@ object Multimodal {
     putStr(mcode(v(2)._1 - v(1)._1)); putStr(mcode(v(2)._2 - v(1)._2))
     putStr("1"); putStr("001")
     putStr(mcode(v(3)._1 - v(2)._1)); putStr(mcode(v(3)._2 - v(2)._2))
-    align()
-    put(0x00000102L, 32); put(8, 5); put(0, 1)
-    predP(0) = 128; predP(1) = 128; predP(2) = 128
-    // mb4 MC ABSOLUTE (slice reset zeroed the predictor); mb5
-    // differential vs mb4; mb6 intra; mb7 MC absolute after the intra
-    putStr("1"); putStr("001"); putStr(mcode(v(4)._1)); putStr(mcode(v(4)._2))
-    putStr("1"); putStr("001")
-    putStr(mcode(v(5)._1 - v(4)._1)); putStr(mcode(v(5)._2 - v(4)._2))
-    putStr("1"); putStr("00011"); putIntraMb(1, 6, predP)
-    putStr("1"); putStr("001"); putStr(mcode(v(7)._1)); putStr(mcode(v(7)._2))
-    align()
+    if (midRow) {
+      // slice 1 continues across the row boundary: mb4/mb5 carry the
+      // SAME reconstructed vectors, now coded differentially
+      putStr("1"); putStr("001")
+      putStr(mcode(v(4)._1 - v(3)._1)); putStr(mcode(v(4)._2 - v(3)._2))
+      putStr("1"); putStr("001")
+      putStr(mcode(v(5)._1 - v(4)._1)); putStr(mcode(v(5)._2 - v(4)._2))
+      align()
+      // slice 2 starts MID-ROW at mb6: vertical position 2, first
+      // increment 3 (reset address 2·4−1−... = 3 → 3+3 = mb6)
+      put(0x00000102L, 32); put(8, 5); put(0, 1)
+      predP(0) = 128; predP(1) = 128; predP(2) = 128
+      putStr("010") // first address increment = 3 (positioning)
+      putStr("00011"); putIntraMb(1, 6, predP)
+      putStr("1"); putStr("001")
+      putStr(mcode(v(7)._1)); putStr(mcode(v(7)._2))
+      align()
+    } else {
+      align()
+      put(0x00000102L, 32); put(8, 5); put(0, 1)
+      predP(0) = 128; predP(1) = 128; predP(2) = 128
+      // mb4 MC ABSOLUTE (slice reset zeroed the predictor); mb5
+      // differential vs mb4; mb6 intra; mb7 MC absolute after the intra
+      putStr("1"); putStr("001"); putStr(mcode(v(4)._1)); putStr(mcode(v(4)._2))
+      putStr("1"); putStr("001")
+      putStr(mcode(v(5)._1 - v(4)._1)); putStr(mcode(v(5)._2 - v(4)._2))
+      putStr("1"); putStr("00011"); putIntraMb(1, 6, predP)
+      putStr("1"); putStr("001"); putStr(mcode(v(7)._1)); putStr(mcode(v(7)._2))
+      align()
+    }
     put(0x000001b7L, 32)
     val out = new Array[Byte](bits.length / 8)
     bits.zipWithIndex.foreach { case (bit, i) =>
@@ -4928,7 +5040,8 @@ object Multimodal {
     * table codes, and the ESCAPE form. */
   def mpeg1PResidualBytes(seed: Long, withB: Boolean = false,
                           bQuant: Boolean = false,
-                          fcode2: Boolean = false): Array[Byte] = {
+                          fcode2: Boolean = false,
+                          bigMotion: Boolean = false): Array[Byte] = {
     val width = 64; val height = 32
     val bits = new scala.collection.mutable.ArrayBuffer[Boolean](1 << 14)
     def put(v: Long, n: Int): Unit =
@@ -5032,9 +5145,11 @@ object Multimodal {
         val code = (a - 1) / 2 + 1; val r = (a - 1) % 2
         putStr(mcode(if (v < 0) -code else code)); put(r, 1)
       }
-    val (w1x, w1y) = mpeg1PResVec(s, 1)
-    val (w3x, w3y) = mpeg1PResVec(s, 3)
-    val (w5x, w5y) = mpeg1PResVec(s, 5)
+    def vecOf(m: Int): (Int, Int) =
+      if (bigMotion) mpeg1PResVecBig(s, m) else mpeg1PResVec(s, m)
+    val (w1x, w1y) = vecOf(1)
+    val (w3x, w3y) = vecOf(3)
+    val (w5x, w5y) = vecOf(5)
     val predP = Array(128, 128, 128)
     // mb0: intra (resets PMV and DC predictors)
     putStr("1"); putStr("00011"); putIntraMb(1, 0, predP)

@@ -62,6 +62,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.mpeg1DBytes(3, 2),
     Multimodal.layer3BytesFull(3, 2, crc = true),
     Multimodal.mpeg1SliceBytes(3),
+    Multimodal.mpeg1SliceBytes(3, midRow = true),
+    Multimodal.mpeg1PResidualBytes(3, bigMotion = true),
     Multimodal.mp3BytesFree(3),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
     TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),

@@ -208,4 +208,100 @@ class Mpeg1ResidualSpec extends AnyFunSuite {
     }
     assert(sums.distinct.size > 20, "mb7 stats should vary with seed")
   }
+
+  // ---- round 14: full Table B.1 + derived Table B.4, mid-row slices ----
+
+  private def prefixFree(words: Seq[String]): Boolean = {
+    val s = words.sorted
+    s.zip(s.drop(1)).forall { case (a, b) => !b.startsWith(a) }
+  }
+
+  test("Table B.1 full: prefix-free with the exact reserved-gap Kraft " +
+       "accounting") {
+    val words = Multimodal.AddrIncCodes.map(_._1) ++
+      Seq(Multimodal.AddrIncEscape, Multimodal.AddrIncStuffing)
+    assert(words.size == 35 && words.distinct.size == 35)
+    assert(prefixFree(words))
+    assert(Multimodal.AddrIncCodes.map(_._2).sorted == (1 to 33))
+    // Kraft in 2^-11 units: total 2026/2048, the deficit EXACTLY the
+    // spec's reserved regions — '00000000…' (8), the six unused
+    // '00000001xxx' leaves around escape/stuffing (6), '00000010…' (8)
+    val mass = words.map(w => 1L << (11 - w.length)).sum
+    assert(mass == 2026, s"B.1 Kraft mass $mass")
+    assert(Multimodal.AddrIncEscape.startsWith("00000001"))
+    assert(Multimodal.AddrIncStuffing.startsWith("00000001"))
+    assert(!words.exists(w => w.startsWith("00000000")))
+    assert(!words.exists(w => w.startsWith("00000010")))
+  }
+
+  test("Table B.4 derived from B.1 is prefix-free with the documented gap") {
+    val words = Multimodal.MotionCodes.map(_._1)
+    assert(words.size == 33 && words.distinct.size == 33) // 0 ± 1..16
+    assert(prefixFree(words))
+    assert(Multimodal.MotionCodes.map(_._2).sorted == (-16 to 16))
+    // gap 24/2048: the whole '0000000…' (16) and '00000010…' (8) spaces
+    val mass = words.map(w => 1L << (11 - w.length)).sum
+    assert(mass == 2048 - 24, s"B.4 Kraft mass $mass")
+    // the ≤3 subset is byte-for-byte the rows every motion oracle row
+    // has decoded against since round 12
+    val m = Multimodal.MotionCodes.toMap.map(_.swap)
+    assert(m(0) == "1" && m(1) == "010" && m(-1) == "011")
+    assert(m(2) == "0010" && m(-2) == "0011")
+    assert(m(3) == "00010" && m(-3) == "00011")
+  }
+
+  test("mid-row slice stream decodes row-for-row identically to the " +
+       "row-aligned stream") {
+    (0L until 24L).foreach { id =>
+      val a = Multimodal.mpeg1IPDecode(Multimodal.mpeg1SliceBytes(id))
+      val b = Multimodal.mpeg1IPDecode(
+        Multimodal.mpeg1SliceBytes(id, midRow = true))
+      assert(a.isDefined && b.isDefined, s"id=$id")
+      assert(a.get._2 == b.get._2, s"id=$id rows differ")
+    }
+  }
+
+  test("a mid-row slice whose first increment misses its macroblock " +
+       "refuses (slice gap)") {
+    val bytes = Multimodal.mpeg1SliceBytes(5L, midRow = true)
+    // find the P picture's slice-2 start code (the LAST 00 00 01 02)
+    var idx = -1
+    (0 until bytes.length - 3).foreach { i =>
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1 &&
+          bytes(i + 3) == 2) idx = i
+    }
+    assert(idx > 0)
+    // after the 32-bit code: 5 qscale bits + 1 extra bit, then the
+    // first increment '010' — force its first bit to 1 ('1…' = inc 1,
+    // but mb6 needs inc 3)
+    val bad = bytes.clone()
+    bad(idx + 4) = (bad(idx + 4) | 0x02).toByte
+    assert(Multimodal.mpeg1IPDecode(bad).isEmpty)
+    // and a wrong slice_vertical_position refuses too
+    val bad2 = bytes.clone()
+    bad2(idx + 3) = 3
+    assert(Multimodal.mpeg1IPDecode(bad2).isEmpty)
+  }
+
+  test("big-motion vectors reconstruct through the long B.4 rows, " +
+       "magnitude 16 included") {
+    var sawSixteen = false
+    (0L until 24L).foreach { id =>
+      val d = Multimodal.mpeg1IPDecode(
+        Multimodal.mpeg1PResidualBytes(id, bigMotion = true))
+      assert(d.isDefined, s"id=$id")
+      val mbs = d.get._2
+      val (e1x, e1y) = Multimodal.mpeg1PResVecBig(id, 1)
+      val (e3x, e3y) = Multimodal.mpeg1PResVecBig(id, 3)
+      val (e5x, e5y) = Multimodal.mpeg1PResVecBig(id, 5)
+      val m1 = mbs.find(r => r.pic == 1 && r.mb == 1).get
+      val m3 = mbs.find(r => r.pic == 1 && r.mb == 3).get
+      val m5 = mbs.find(r => r.pic == 1 && r.mb == 5).get
+      assert((m1.dx, m1.dy) == ((e1x, e1y)), s"id=$id mb1")
+      assert((m3.dx, m3.dy) == ((e3x, e3y)), s"id=$id mb3")
+      assert((m5.dx, m5.dy) == ((e5x, e5y)), s"id=$id mb5")
+      if (math.abs(e3x) == 16) sawSixteen = true
+    }
+    assert(sawSixteen, "no seed exercised a magnitude-16 motion code")
+  }
 }
