@@ -1411,6 +1411,55 @@ object SystemQueries {
             |  ROUND((r % 5 + 2) * 1152.0 / 48000, 6) AS duration_sec
             |FROM range(24) t(r)""".stripMargin)),
 
+    // REAL AAC/ADTS container metadata (round 14): genuine 7-byte ADTS
+    // headers — 0xFFF sync with layer '00', profile, sampling_frequency_
+    // index (reserved ≥ 13 refuses), channel_configuration split across
+    // bytes 2-3, the 13-bit aac_frame_length chain (per-frame VARYING
+    // payload lengths, so the walk must follow the chain), and
+    // number_of_raw_data_blocks driving the 1024-samples-per-block
+    // duration account. A third of the rows sit behind ID3v2 tags. The
+    // AAC payload (raw_data_block) stays the declared out-of-scope
+    // codec — this is the container face a pipeline filters on.
+    ("multimodal_aac_meta",
+      (s, dir) => {
+        import s.implicits._
+        val rows = s.range(48).map { id =>
+          val nf = (id % 5).toInt + 1
+          val pad = (id % 3).toInt * 30
+          Multimodal.MediaRow(id, "audio",
+            Multimodal.aacBytes(nf, pad, profile = (id % 3).toInt,
+              srIdx = 3 + (id % 4).toInt, channels = 1 + (id % 2).toInt,
+              rdb = (id % 2).toInt),
+            -1, -1, -1)
+        }
+        rows.map { r =>
+          val m = Multimodal.aacAdtsMeta(r.media)
+          (r.media_id,
+           m.map(_._1.sampleRate).getOrElse(-1),
+           m.map(_._1.channels).getOrElse(-1),
+           m.map(_._1.nFrames).getOrElse(-1),
+           m.map(_._2).getOrElse(-1),
+           m.map(t => math.rint(t._3 * 1e6) / 1e6).getOrElse(-1.0))
+        }.toDF("media_id", "sample_rate", "channels", "n_frames",
+               "profile", "duration_sec")
+          .select(col("media_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("profile").cast("long").as("profile"), col("duration_sec"))
+      },
+      Some("""WITH p AS (SELECT r,
+            |    CASE r % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+            |               WHEN 2 THEN 32000 ELSE 24000 END AS sr
+            |  FROM range(48) t(r))
+            |SELECT r AS media_id, CAST(sr AS BIGINT) AS sample_rate,
+            |  CAST(r % 2 + 1 AS BIGINT) AS channels,
+            |  CAST(r % 5 + 1 AS BIGINT) AS n_frames,
+            |  CAST(r % 3 AS BIGINT) AS profile,
+            |  ROUND((r % 5 + 1) * 1024.0 * (r % 2 + 1) / sr, 6)
+            |    AS duration_sec
+            |FROM p""".stripMargin)),
+
     // REAL MP4 (ISO BMFF) container metadata: each row carries a genuine
     // box tree (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsd +
     // mdat) that Spark walks for real — every third row uses version-1

@@ -499,6 +499,114 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** ADTS sampling_frequency_index table (ISO 13818-7 / 14496-3,
+    * public spec). Index ≥ 13 is reserved → refuse. */
+  private val AdtsSampleRates: Array[Int] = Array(
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350)
+
+  /** AAC/ADTS CONTAINER metadata (round 14): the header walk real AAC
+    * files need without any payload decode — ID3v2 skip (synchsafe
+    * length), 12-bit 0xFFF sync with layer '00', profile /
+    * sampling_frequency_index / channel_configuration fields, and the
+    * aac_frame_length chain hop (7-byte headers, 9 with the CRC word
+    * when protection_absent = 0 — the CRC bytes are length-accounted,
+    * not verified: ADTS CRC semantics cover raw-block positions and
+    * stay out of container scope). Every frame contributes
+    * 1024 · (number_of_raw_data_blocks + 1) samples. nFrames counts
+    * COMPLETE frames (truncation honesty); refusals: reserved
+    * frequency index, nonzero layer, frame_length smaller than its own
+    * header. Returns (meta, profile, durationSec); the AAC PAYLOAD
+    * (raw_data_block) remains the declared out-of-scope codec. */
+  def aacAdtsMeta(bytes: Array[Byte]): Option[(AudioMeta, Int, Double)] = {
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val len = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + len
+    }
+    def frameAt(p: Int): Option[(Int, Int, Int, Int, Int, Int)] = {
+      if (p + 7 > bytes.length) return None
+      val b0 = bytes(p) & 0xff; val b1 = bytes(p + 1) & 0xff
+      val b2 = bytes(p + 2) & 0xff; val b3 = bytes(p + 3) & 0xff
+      val b4 = bytes(p + 4) & 0xff; val b5 = bytes(p + 5) & 0xff
+      val b6 = bytes(p + 6) & 0xff
+      if (b0 != 0xff || (b1 & 0xf0) != 0xf0) return None
+      if ((b1 & 0x06) != 0) return None // layer must be '00'
+      val protAbsent = b1 & 1
+      val profile = (b2 >> 6) & 0x3
+      val srIdx = (b2 >> 2) & 0xf
+      if (srIdx >= AdtsSampleRates.length) return None
+      val ch = ((b2 & 1) << 2) | ((b3 >> 6) & 0x3)
+      val frameLen = ((b3 & 0x3) << 11) | (b4 << 3) | ((b5 >> 5) & 0x7)
+      val rdb = b6 & 0x3
+      val hdr = if (protAbsent == 1) 7 else 9
+      if (frameLen < hdr) return None
+      Some((frameLen, AdtsSampleRates(srIdx), ch, profile, rdb, protAbsent))
+    }
+    // first sync must chain to a valid (or absent) next frame — the
+    // same tag-padding guard as the MP3 walk
+    var found = -1
+    while (found < 0 && off + 7 <= bytes.length) {
+      frameAt(off) match {
+        case Some((len, _, _, _, _, _))
+            if off + len + 7 > bytes.length || frameAt(off + len).isDefined =>
+          found = off
+        case _ => off += 1
+      }
+    }
+    if (found < 0) return None
+    frameAt(found).map { case (_, sr, ch, profile, _, _) =>
+      var p = found
+      var frames = 0
+      var samples = 0L
+      var ok = true
+      while (ok) {
+        frameAt(p) match {
+          case Some((len, sr2, ch2, pf2, rdb, _))
+              if p + len <= bytes.length && sr2 == sr && ch2 == ch &&
+                pf2 == profile =>
+            frames += 1; samples += 1024L * (rdb + 1); p += len
+          case _ => ok = false
+        }
+      }
+      (AudioMeta(sr, ch, -1, frames), profile,
+       samples.toDouble / sr)
+    }
+  }
+
+  /** A minimal real ADTS AAC stream: `nFrames` frames with genuine
+    * 7-byte ADTS headers (profile / frequency-index / channel /
+    * raw-data-block fields all live) and deterministic filler payload
+    * whose per-frame LENGTH varies, so the metadata walk must follow
+    * the aac_frame_length chain rather than a constant hop. The payload
+    * is not a real raw_data_block (container-metadata fixture). */
+  def aacBytes(nFrames: Int, id3Pad: Int = 0, profile: Int = 1,
+               srIdx: Int = 3, channels: Int = 1,
+               rdb: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Pad > 0) {
+      out.write(Array('I', 'D', '3', 3, 0, 0).map(_.toByte))
+      out.write(Array((id3Pad >> 21) & 0x7f, (id3Pad >> 14) & 0x7f,
+        (id3Pad >> 7) & 0x7f, id3Pad & 0x7f).map(_.toByte))
+      (0 until id3Pad).foreach(i => out.write(i & 0x7f))
+    }
+    (0 until nFrames).foreach { f =>
+      val payload = 50 + (f * 17 + srIdx * 7 + profile * 3) % 100
+      val frameLen = 7 + payload
+      out.write(0xff)
+      out.write(0xf1) // MPEG-4, layer 00, protection_absent 1
+      out.write((profile << 6) | (srIdx << 2) | ((channels >> 2) & 1))
+      out.write(((channels & 0x3) << 6) | ((frameLen >> 11) & 0x3))
+      out.write((frameLen >> 3) & 0xff)
+      out.write(((frameLen & 0x7) << 5) | 0x1f) // buffer fullness hi
+      out.write(0xfc | (rdb & 0x3))             // fullness lo + rdb
+      (0 until payload).foreach(i => out.write((f * 13 + i) % 251))
+    }
+    out.toByteArray
+  }
+
   /** A minimal canonical WAV header + payload (PCM, 16-byte fmt chunk).
     * `declaredLen` overrides the data-chunk length field when the payload
     * is appended separately (the synthetic-corpus path); −1 = payload

@@ -20,6 +20,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "imageMeta" -> (Multimodal.imageMeta(_)),
     "audioMeta" -> (Multimodal.audioMeta(_)),
     "mp3Meta" -> (Multimodal.mp3Meta(_)),
+    "aacAdtsMeta" -> (Multimodal.aacAdtsMeta(_)),
     "bmpChannelStats" -> (Multimodal.bmpChannelStats(_)),
     "pngChannelStats" -> (Multimodal.pngChannelStats(_)),
     "jpegChannelStats" -> (Multimodal.jpegChannelStats(_)),
@@ -65,6 +66,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.mpeg1SliceBytes(3, midRow = true),
     Multimodal.mpeg1PResidualBytes(3, bigMotion = true),
     Multimodal.mp3BytesFree(3),
+    Multimodal.aacBytes(3, id3Pad = 20, rdb = 1),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
     TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),
     TextOps.warcBytes(Seq(("response", "http://x/1", "hello"))))

@@ -447,6 +447,36 @@ class SystemSpec extends AnyFunSuite {
     assert(Multimodal.mp3Meta(Multimodal.mp3BytesFree(1)).isEmpty)
   }
 
+  test("aacAdtsMeta: frame-length chain, ID3 skip, honesty, refusals") {
+    val b = Multimodal.aacBytes(4, profile = 1, srIdx = 4, channels = 2,
+                                rdb = 1)
+    val Some((meta, profile, dur)) = Multimodal.aacAdtsMeta(b)
+    assert(meta == Multimodal.AudioMeta(44100, 2, -1, 4))
+    assert(profile == 1)
+    assert(math.abs(dur - 4.0 * 2048 / 44100) < 1e-9)
+    // ID3-prefixed streams parse the same
+    assert(Multimodal.aacAdtsMeta(Multimodal.aacBytes(3, id3Pad = 80))
+      .map(_._1.nFrames) == Some(3))
+    // truncation honesty: only complete frames count (frame lengths
+    // vary per frame, so the walk must follow the 13-bit chain)
+    val f0 = 7 + 50 + (0 * 17 + 3 * 7 + 1 * 3) % 100
+    assert(Multimodal.aacAdtsMeta(Multimodal.aacBytes(3).take(f0 + 20))
+      .map(_._1.nFrames) == Some(1))
+    // a reserved sampling_frequency_index invalidates that header; the
+    // walk RESYNCS at the next genuine frame (mp3Meta's guard shape)
+    val bad = Multimodal.aacBytes(2)
+    bad(2) = ((bad(2) & ~0x3c) | (13 << 2)).toByte
+    assert(Multimodal.aacAdtsMeta(bad).map(_._1.nFrames) == Some(1))
+    // with no further frame to resync onto, it refuses outright
+    val bad1 = Multimodal.aacBytes(1)
+    bad1(2) = ((bad1(2) & ~0x3c) | (13 << 2)).toByte
+    assert(Multimodal.aacAdtsMeta(bad1).isEmpty)
+    // nonzero layer bits likewise invalidate the header
+    val bad2 = Multimodal.aacBytes(1)
+    bad2(1) = (bad2(1) | 0x06).toByte
+    assert(Multimodal.aacAdtsMeta(bad2).isEmpty)
+  }
+
   test("mp3Meta parses real frame headers: sync, ID3 skip, frame count") {
     // 7 genuine MPEG-1 Layer III headers (44.1 kHz mono 128 kbps).
     val mp3 = Multimodal.mp3Bytes(7)
