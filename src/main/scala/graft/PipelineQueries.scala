@@ -783,37 +783,36 @@ object PipelineQueries {
     // hash proves cnt_merged == cnt_full on every counter.
     ("sketch_cms_merge",
       (s, dir) => {
-        // ONE corpus scan, ONE map-side aggregation down to the
-        // per-shard sketch counters (doc-parity shards × 4 rows × 64
-        // buckets = at most 512 rows) — THAT tiny table is what gets
-        // checkpointed, not the data-sized token stream (round-14
-        // advice: the spool must stay sketch-sized at 100 TB). Both
-        // output columns then derive from the counter table engine-side
-        // (cnt_merged via the two-level shard→total sum, cnt_full via
-        // the direct rollup — associativity makes these one plan apart);
-        // the INDEPENDENCE half of the mergeability proof lives in the
-        // DuckDB oracle, which recomputes cnt_full from the RAW token
-        // stream (whole-corpus COUNT(*)) and cnt_merged through the
-        // sharded path, so the driver hash ties sum-of-shard-sketches
-        // to the from-scratch whole-corpus sketch across engines.
-        val toks = t(s, dir, "documents")
+        // The per-shard branch aggregates map-side down to the shard
+        // sketch counters (doc-parity shards × 4 rows × 64 buckets ≤
+        // 512 rows) and checkpoints THAT tiny table — never the
+        // data-sized token stream (round-14 advice: the spool must stay
+        // sketch-sized at 100 TB) — then sums counter-by-counter into
+        // cnt_merged. The whole-corpus branch recomputes cnt_full from
+        // a SECOND INDEPENDENT scan of the source (deterministic
+        // parquet read → identical token stream), never touching the
+        // shard counters — so the in-engine cnt_merged == cnt_full
+        // equality is a real mergeability property, not an
+        // associativity tautology (round-14 review), and the DuckDB
+        // oracle re-proves both representations from the raw stream.
+        def rb() = t(s, dir, "documents")
           .select(col("doc_id"),
                   explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
-        val rb = toks.select(col("doc_id"),
-          explode(array((0 until 4).map(j =>
-            struct(lit(j).as("row"),
-              graft.pipeline.Sketch.cmsBucket(col("tok"), j, 64)
-                .as("bucket"))): _*)).as("rb"))
-        val shardCnt = rb
+          .select(col("doc_id"),
+            explode(array((0 until 4).map(j =>
+              struct(lit(j).as("row"),
+                graft.pipeline.Sketch.cmsBucket(col("tok"), j, 64)
+                  .as("bucket"))): _*)).as("rb"))
+        val merged = rb()
           .groupBy((col("doc_id") % 2).as("shard"), col("rb.row").as("row"),
                    col("rb.bucket").as("bucket"))
           .agg(count(lit(1)).as("cnt")) // per-shard sketches (2·d·w rows)
           .localCheckpoint(true)
-        val merged = shardCnt
           .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt_merged"))
-        val full = shardCnt
-          .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt_full"))
+        val full = rb()
+          .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cnt_full"))
         merged.join(full, Seq("row", "bucket"), "full")
           .select(col("row").cast("long").as("row"),
                   col("bucket").cast("long").as("bucket"),

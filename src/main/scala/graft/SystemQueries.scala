@@ -2696,6 +2696,7 @@ object SystemQueries {
              |proc AS (
              |  SELECT id, gidx, ch, t,
              |    CASE WHEN ($l3SfbSLit)[CAST(bp AS INT)] > rmax
+             |              AND bp <= 12
              |    THEN CASE WHEN ch = 0
              |           THEN x0 * (rt / (1.0 + rt))
              |           ELSE x0 * (1.0 / (1.0 + rt)) END

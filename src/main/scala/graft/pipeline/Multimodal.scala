@@ -379,22 +379,31 @@ object Multimodal {
       val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
       if (brIdx != 0 || srIdx == 3) return None
       // Discover the constant frame length from the next matching sync —
-      // and require the candidate length to RE-CHAIN: either the stream
-      // ends within one more frame, or a matching sync sits at p+2·len.
-      // A stray 0xFF + matching bytes inside the payload would otherwise
-      // silently truncate the discovered length (round-14 advice).
+      // PREFERRING a candidate that RE-CHAINS (a matching sync at
+      // p+2·len, or the stream ending within one more frame): a stray
+      // 0xFF + matching bytes inside the payload would otherwise
+      // silently truncate the discovered length (round-14 advice). If
+      // NO candidate re-chains — a 2-frame stream with trailing
+      // non-frame bytes such as an ID3v1 trailer — fall back to the
+      // FIRST matching sync: with no third frame there is nothing to
+      // disambiguate, and refusing would drop a stream that parses
+      // fine (round-14 review).
       def syncMatch(r: Int): Boolean =
         r + 4 <= bytes.length && (bytes(r) & 0xff) == 0xff &&
           bytes(r + 1) == bytes(p + 1) && bytes(r + 2) == bytes(p + 2) &&
           bytes(r + 3) == bytes(p + 3)
       var q = p + 4
       var len = -1
+      var firstMatch = -1
       while (len < 0 && q + 4 <= bytes.length) {
-        if (syncMatch(q) &&
-            (p + 2 * (q - p) + 4 > bytes.length || syncMatch(p + 2 * (q - p))))
-          len = q - p
-        else q += 1
+        if (syncMatch(q)) {
+          if (firstMatch < 0) firstMatch = q - p
+          if (p + 2 * (q - p) + 4 > bytes.length || syncMatch(p + 2 * (q - p)))
+            len = q - p
+        }
+        q += 1
       }
+      if (len < 4 && firstMatch >= 4) len = firstMatch
       if (len < 4) return None
       val sr0 = srV1(srIdx)
       val (sr, mult, spf) = version match {

@@ -445,6 +445,13 @@ class SystemSpec extends AnyFunSuite {
     // a SINGLE free frame has no next sync to measure against → None
     // (refuse, never guess a length)
     assert(Multimodal.mp3Meta(Multimodal.mp3BytesFree(1)).isEmpty)
+    // a 2-frame free stream with a trailing ID3v1-style tag: no THIRD
+    // sync exists to re-chain against, so discovery falls back to the
+    // first matching sync instead of refusing (round-14 review), and
+    // counting stops honestly at the trailer
+    val tagged = Multimodal.mp3BytesFree(2) ++
+      ("TAG" + "x" * 125).getBytes("US-ASCII")
+    assert(Multimodal.mp3Meta(tagged).map(_._1.nFrames) == Some(2))
   }
 
   test("aacAdtsMeta: frame-length chain, ID3 skip, honesty, refusals") {
