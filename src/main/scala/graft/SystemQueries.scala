@@ -66,6 +66,11 @@ object SystemQueries {
     Multimodal.l3SfbS48.map(_ * 3).mkString("[", ", ", "]")
   // the same B.8 short column in per-window SPECTRAL line space
   private val l3SfbSLit = Multimodal.l3SfbS48.mkString("[", ", ", "]")
+  // Table B.8 44.1/32 kHz long columns (round 14: rate-general decode)
+  private val l3Sfb44Lit =
+    graft.pipeline.L3IsoSynth.sfbLong(44100).mkString("[", ", ", "]")
+  private val l3Sfb32Lit =
+    graft.pipeline.L3IsoSynth.sfbLong(32000).mkString("[", ", ", "]")
 
   /** Shared CTE replaying the [[Multimodal.layer3HuffRealBytes]] fixture
     * (REAL ISO Huffman tables 7/10/9 + count1 A) down to requantized
@@ -3016,6 +3021,158 @@ object SystemQueries {
              |  ROUND(list_sum(list(p * p ORDER BY t * 32 + i2)), 6)
              |    + 0.0 AS pcm_msq
              |FROM pcg GROUP BY id, gidx""".stripMargin)),
+
+    // 44.1 kHz END-TO-END (round 14): Layer III payload decode is
+    // rate-general — this row drives header→PCM at 44.1 kHz with the
+    // REAL Table B.8 44.1 column in BOTH the bit account (region
+    // boundaries at lines 20/44) and the VALUES (nonzero scalefactors,
+    // so requant depends on each line's 44.1 band), real tables 7/10/9
+    // + count1 A, and the real-world PADDING-bit cadence
+    // (144·192000/44100 is non-integral: frame lengths alternate
+    // 626/627 — a shape no 48 kHz fixture can produce).
+    ("multimodal_mp3_44k",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (meta, _, _, pcms) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3Bytes44k(id, nf)).get
+          require(meta.sampleRate == 44100)
+          pcms.map(p => (id, p.frame.toLong, p.granule.toLong,
+            p.pcmSum, p.pcmMsq))
+        }.toDF("media_id", "frame", "granule", "pcm_sum", "pcm_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g, f * 2 + g AS gidx
+             |       FROM range(24) t(r),
+             |       range(3) ff(f), range(2) gg(g) WHERE f < r % 3 + 1),
+             |pl AS (SELECT id, f, g, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |           THEN (CASE WHEN (id + f + k) % 2 = 1 THEN -1 ELSE 1 END)
+             |                * ((id*3 + f*7 + g*11 + k*5) %
+             |                   (CASE WHEN k >= 10 AND k < 22 THEN 8 ELSE 6 END))
+             |           ELSE (CASE WHEN (id + g + k) % 2 = 1 THEN -1 ELSE 1 END)
+             |                * ((id*5 + f*11 + g*3 + k*7) %
+             |                   (CASE WHEN k >= 10 AND k < 22 THEN 8 ELSE 6 END))
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           23 + CAST((id + f + g) % 5 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g, gidx,
+             |         2 * (23 + (id + f + g) % 5) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |xr AS (SELECT id, f, g, gidx, line, isv,
+             |         (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END) *
+             |         p43[CAST(ABS(isv) AS INT) + 1] *
+             |         POWER(2.0, (id + f*2 + g) % 8 - 2
+             |           - (CASE WHEN band < 21
+             |              THEN (id + f + g + band) % 2 ELSE 0 END)) AS x
+             |       FROM (SELECT *,
+             |               len(list_filter($l3Sfb44Lit, v -> v <= line)) - 1
+             |                 AS band
+             |             FROM ln3) bb,
+             |         (SELECT [${Multimodal.l3Pow43.mkString(", ")}] AS p43) pp),
+             |$l3OvCte,
+             |mtx AS (
+             |  SELECT o.id, o.gidx * 18 + o.i AS tg, kk.k,
+             |    list_sum(list(
+             |      o.v * ($l3SnLit)[CAST(kk.k * 32 + o.sb AS INT) + 1]
+             |      ORDER BY o.sb)) AS mv
+             |  FROM ov o CROSS JOIN range(64) kk(k)
+             |  GROUP BY o.id, o.gidx * 18 + o.i, kk.k),
+             |pcm AS (
+             |  SELECT st.id, st.tg, ii.i2,
+             |    list_sum(list(
+             |      COALESCE(m.mv, 0.0) *
+             |        ($l3SdLit)[CAST(dd.d * 32 + ii.i2 AS INT) + 1]
+             |      ORDER BY dd.d)) AS p
+             |  FROM (SELECT DISTINCT id, tg FROM mtx) st
+             |  CROSS JOIN range(32) ii(i2) CROSS JOIN range(16) dd(d)
+             |  LEFT JOIN mtx m ON m.id = st.id AND m.tg = st.tg - dd.d
+             |    AND m.k = CASE WHEN dd.d % 2 = 0 THEN ii.i2
+             |                   ELSE 32 + ii.i2 END
+             |  GROUP BY st.id, st.tg, ii.i2),
+             |pcg AS (SELECT id, tg // 18 AS gidx, tg % 18 AS t, i2, p
+             |        FROM pcm)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule,
+             |  ROUND(list_sum(list(p ORDER BY t * 32 + i2)), 6) + 0.0
+             |    AS pcm_sum,
+             |  ROUND(list_sum(list(p * p ORDER BY t * 32 + i2)), 6)
+             |    + 0.0 AS pcm_msq
+             |FROM pcg GROUP BY id, gidx""".stripMargin)),
+
+    // 32 kHz granule decode (round 14): the third MPEG-1 rate through
+    // the same rate-general path — integral 864-byte frames (no
+    // padding), and the SAME region boundaries as the 44.1 fixture but
+    // a different Table B.8 column, so lines 52-53 land in band 9
+    // instead of band 10 and the nonzero scalefactors give them
+    // different requantized values — the two columns separate in the
+    // data, not just the metadata.
+    ("multimodal_mp3_32k",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (meta, grans, _, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3Bytes44k(id, nf, sr32 = true)).get
+          require(meta.sampleRate == 32000)
+          grans.map(g => (id, g.frame.toLong, g.granule.toLong,
+            g.nCount1.toLong, g.nNonzero.toLong, g.xrSum, g.xrMsq))
+        }.toDF("media_id", "frame", "granule", "n_count1", "n_nonzero",
+               "xr_sum", "xr_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g FROM range(24) t(r),
+             |       range(3) ff(f), range(2) gg(g) WHERE f < r % 3 + 1),
+             |pl AS (SELECT id, f, g, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |           THEN (CASE WHEN (id + f + k) % 2 = 1 THEN -1 ELSE 1 END)
+             |                * ((id*3 + f*7 + g*11 + k*5) %
+             |                   (CASE WHEN k >= 10 AND k < 22 THEN 8 ELSE 6 END))
+             |           ELSE (CASE WHEN (id + g + k) % 2 = 1 THEN -1 ELSE 1 END)
+             |                * ((id*5 + f*11 + g*3 + k*7) %
+             |                   (CASE WHEN k >= 10 AND k < 22 THEN 8 ELSE 6 END))
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           23 + CAST((id + f + g) % 5 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g,
+             |         2 * (23 + (id + f + g) % 5) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |xr AS (SELECT id, f, g, line, isv,
+             |         (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END) *
+             |         p43[CAST(ABS(isv) AS INT) + 1] *
+             |         POWER(2.0, (id + f*2 + g) % 8 - 2
+             |           - (CASE WHEN band < 21
+             |              THEN (id + f + g + band) % 2 ELSE 0 END)) AS x
+             |       FROM (SELECT *,
+             |               len(list_filter($l3Sfb32Lit, v -> v <= line)) - 1
+             |                 AS band
+             |             FROM ln3) bb,
+             |         (SELECT [${Multimodal.l3Pow43.mkString(", ")}] AS p43) pp)
+             |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+             |  CAST(g AS BIGINT) AS granule,
+             |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
+             |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nonzero,
+             |  ROUND(list_sum(list(x ORDER BY line)
+             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_sum,
+             |  ROUND(list_sum(list(x * x ORDER BY line)
+             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_msq
+             |FROM xr GROUP BY id, f, g""".stripMargin)),
 
     // REAL MP3 INTENSITY STEREO (§2.4.3.4.9.3): the right channel is
     // band-limited at the entropy layer; scalefactor bands wholly above

@@ -2057,14 +2057,18 @@ object Multimodal {
     // frames carry a 16-bit CRC word between header and side info that
     // is VERIFIED (§2.4.3.1: poly x¹⁶+x¹⁵+x²+1 over header bytes 2–3 +
     // the side info) — a mismatching frame refuses the stream.
-    def headerLen(p: Int): Option[(Int, Int, Boolean, Boolean, Boolean)] = {
+    def headerLen(p: Int)
+        : Option[(Int, Int, Boolean, Boolean, Boolean, Int)] = {
       if (p + 4 > bytes.length) return None
       val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
       val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
       if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
       if (((b2 >> 3) & 0x3) != 3 || ((b2 >> 1) & 0x3) != 1) return None
       val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
-      if (brIdx == 0 || brIdx == 15 || srIdx != 1) return None // 48 kHz
+      // all three MPEG-1 rates since round 14 (the Table B.8 columns
+      // for 44.1/48/32 kHz are shipped and closure-verified)
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val sr = Array(44100, 48000, 32000)(srIdx)
       val mode = (b4 >> 6) & 0x3; val modeExt = (b4 >> 4) & 0x3
       val nch = if (mode == 3) 1 else 2
       val ms = mode == 1 && (modeExt & 2) != 0
@@ -2072,8 +2076,8 @@ object Multimodal {
       val prot = (b2 & 1) == 0
       val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                      224, 256, 320)(brIdx)
-      Some((144 * br * 1000 / 48000 + ((b3 >> 1) & 1), nch, ms, intens,
-            prot))
+      Some((144 * br * 1000 / sr + ((b3 >> 1) & 1), nch, ms, intens,
+            prot, sr))
     }
     // Pass 1: frame offsets + the main-data pool (everything after each
     // frame's 4-byte header, optional 2-byte CRC, and 17-byte mono /
@@ -2082,7 +2086,7 @@ object Multimodal {
     var p = 0
     var scanOk = true
     while (scanOk) headerLen(p) match {
-      case Some((len, _, _, _, _)) if p + len <= bytes.length =>
+      case Some((len, _, _, _, _, _)) if p + len <= bytes.length =>
         frameOff += p; p += len
       case _ => scanOk = false
     }
@@ -2092,7 +2096,7 @@ object Multimodal {
     def sideBytes(nch: Int): Int = if (nch == 1) 17 else 32
     def crcBytes(prot: Boolean): Int = if (prot) 2 else 0
     // verify every protected frame's CRC up front
-    offs.zip(headers).foreach { case (o, (_, nch, _, _, prot)) =>
+    offs.zip(headers).foreach { case (o, (_, nch, _, _, prot, _)) =>
       if (prot) {
         val sb = o + 4 + 2
         if (sb + sideBytes(nch) > bytes.length) return None
@@ -2103,10 +2107,27 @@ object Multimodal {
           return None
       }
     }
-    val pool = offs.zip(headers).flatMap { case (o, (len, nch, _, _, pr)) =>
+    val pool = offs.zip(headers).flatMap { case (o, (len, nch, _, _, pr, _)) =>
       bytes.slice(o + 4 + crcBytes(pr) + sideBytes(nch), o + len)
     }.toArray
-    val poolBefore = headers.map { case (len, nch, _, _, pr) =>
+    // one constant sample rate per stream: the scalefactor-band
+    // geometry is rate-wide state; a mid-stream rate change refuses
+    val srAll = headers.map(_._6).distinct
+    if (srAll.size != 1) return None
+    val srHz = srAll.head
+    val sfbL = L3IsoSynth.sfbLong(srHz)
+    val sfbS = L3IsoSynth.sfbShort(srHz)
+    def sfbOfL(line: Int): Int = {
+      var b = 0
+      while (b + 1 < sfbL.length && sfbL(b + 1) <= line) b += 1
+      b
+    }
+    def sbandOfS(line: Int): Int = {
+      var b = 0
+      while (b + 1 < sfbS.length && sfbS(b + 1) <= line) b += 1
+      b
+    }
+    val poolBefore = headers.map { case (len, nch, _, _, pr, _) =>
       len - 4 - crcBytes(pr) - sideBytes(nch)
     }.scanLeft(0)(_ + _)
 
@@ -2130,7 +2151,7 @@ object Multimodal {
     var f = 0
     while (ok && f < offs.length) {
       val o = offs(f)
-      val (_, nch, ms, intens, prot) = headers(f)
+      val (_, nch, ms, intens, prot, _) = headers(f)
       var sBitPos = (o + 4 + crcBytes(prot)) * 8
       def sbits(n: Int): Int = {
         var v = 0; var i = 0
@@ -2298,9 +2319,9 @@ object Multimodal {
                   // region1 to the top (§2.4.1.7)
                   val region =
                     if (s.bt != 0) { if (line < 36) 0 else 1 }
-                    else if (line < L3Sfb48(s.r0 + 1)) 0
-                    else if (line < L3Sfb48(math.min(s.r0 + 1 + s.r1 + 1,
-                                                     L3Sfb48.length - 1))) 1
+                    else if (line < sfbL(s.r0 + 1)) 0
+                    else if (line < sfbL(math.min(s.r0 + 1 + s.r1 + 1,
+                                                  sfbL.length - 1))) 1
                     else 2
                   if (s.tables(region) == 0) { line += 2 }
                   else readPair(L3Tables(s.tables(region))) match {
@@ -2362,7 +2383,7 @@ object Multimodal {
                         // per-(band, window) scalefactor (0 in the
                         // no-scalefactor region above band 11), no pretab
                         // (preflag is not used with short blocks).
-                        val (b, w, _) = L3IsoSynth.shortPos(L3SfbS48, i)
+                        val (b, w, _) = L3IsoSynth.shortPos(sfbS, i)
                         val sfv = if (b < 12) sfS(b)(w) else 0
                         math.signum(v.toDouble) *
                           l3Pow43(math.min(math.abs(v), 30)) * mult *
@@ -2371,7 +2392,7 @@ object Multimodal {
                         // long lines (block_type 0/1/3, and the mixed
                         // form's two long subbands — real ISO long
                         // geometry, bands 0-7)
-                        val bnd = sfbOf(i)
+                        val bnd = sfbOfL(i)
                         val sfv = if (bnd < 21) sf(bnd) else 0
                         math.signum(v.toDouble) *
                           l3Pow43(math.min(math.abs(v), 30)) * mult *
@@ -2383,7 +2404,7 @@ object Multimodal {
                         // within subband l/6 the windows interleave with
                         // stride 3; band starts from the REAL Table B.8
                         // short column
-                        val (_, w, l) = L3IsoSynth.shortPos(L3SfbS48, i)
+                        val (_, w, l) = L3IsoSynth.shortPos(sfbS, i)
                         xr(3 * l + w) = x
                         if (l > lastNzS(ch)(w)) lastNzS(ch)(w) = l
                       } else {
@@ -2427,17 +2448,17 @@ object Multimodal {
                   val isIntens = intens && {
                     if (shortStereo) {
                       val w = i % 3
-                      val b = sbandOf(i / 3)
-                      L3SfbS48(b) > lastNzS(1)(w)
-                    } else L3Sfb48(sfbOf(i)) > lastNz(1)
+                      val b = sbandOfS(i / 3)
+                      sfbS(b) > lastNzS(1)(w)
+                    } else sfbL(sfbOfL(i)) > lastNz(1)
                   }
                   if (isIntens) {
                     val isPos =
                       if (shortStereo) {
-                        val b = sbandOf(i / 3)
+                        val b = sbandOfS(i / 3)
                         if (b < 12) sfSCh(1)(b)(i % 3) else 7
                       } else {
-                        val bnd = sfbOf(i)
+                        val bnd = sfbOfL(i)
                         if (bnd < 21) sfCh(1)(bnd) else 7
                       }
                     if (isPos != 7) {
@@ -2576,7 +2597,7 @@ object Multimodal {
     if (!ok) None
     else {
       val nch = headers.head._2
-      Some((AudioMeta(48000, nch, -1, offs.length), grans.result(),
+      Some((AudioMeta(srHz, nch, -1, offs.length), grans.result(),
             subs.result(), pcms.result()))
     }
   }
@@ -2584,20 +2605,6 @@ object Multimodal {
   private def round6(x: Double): Double = {
     val y = x * 1e6
     ((if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 1e6) + 0.0
-  }
-
-  private def sfbOf(line: Int): Int = {
-    var b = 0
-    while (b + 1 < L3Sfb48.length && L3Sfb48(b + 1) <= line) b += 1
-    b
-  }
-
-  /** Short-geometry band of a per-window SPECTRAL line (real Table B.8
-    * 48 kHz short column; band 12 = the no-scalefactor top region). */
-  private def sbandOf(line: Int): Int = {
-    var b = 0
-    while (b + 1 < L3SfbS48.length && L3SfbS48(b + 1) <= line) b += 1
-    b
   }
 
   /** The encode half of the [[layer3DecodeFull]] round trip: a real
@@ -3499,6 +3506,118 @@ object Multimodal {
             (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
         bitPos += 1; b += 1
       }
+    }
+    out
+  }
+
+  /** The 44.1 kHz twin of [[layer3HuffRealBytes]] (round 14): a mono
+    * 44.1 kHz / 192 kbps stream — REAL ISO tables 7/10/9 + count1 A,
+    * REAL Table B.8 44.1 kHz long geometry (region boundaries at lines
+    * 20 and 44 from region0_count 4 / region1_count 3), NONZERO
+    * scalefactors (scalefac_compress 5 → slen 1/1, 21 bits per
+    * granule) so the requantized VALUES depend on the 44.1 band
+    * boundaries (not just the bit account), and the PADDING bit
+    * alternating per frame (144·192000/44100 is not integral — the
+    * real-world CBR cadence the 48 kHz fixtures never exercise:
+    * frame lengths 626/627). No reservoir.
+    *
+    * `sr32 = true` emits the same stream shape at 32 kHz (frame length
+    * 864, integral — no padding): the region boundaries are identical
+    * (both rates put band starts 20 and 44 at region0_count 4 /
+    * region1_count 3) but the band of lines 52-53 differs (44.1 kHz
+    * band 10 vs 32 kHz band 9), so the requantized values separate the
+    * two Table B.8 columns. */
+  def layer3Bytes44k(seed: Long, nFrames: Int,
+                     sr32: Boolean = false): Array[Byte] = {
+    def tabOf(k: Int): Int = if (k < 10) 7 else if (k < 22) 10 else 9
+    def modOf(k: Int): Int = if (k >= 10 && k < 22) 8 else 6
+    def pairs(f: Int, g: Int): Seq[(Int, Int)] = {
+      val n = 23 + ((seed + f + g) % 5).toInt
+      (0 until n).map { k =>
+        val m = modOf(k)
+        val mx = ((seed * 3 + f * 7 + g * 11 + k * 5) % m).toInt
+        val my = ((seed * 5 + f * 11 + g * 3 + k * 7) % m).toInt
+        val x = if ((seed + f + k) % 2 == 1) -mx else mx
+        val y = if ((seed + g + k) % 2 == 1) -my else my
+        (x, y)
+      }
+    }
+    def quads(f: Int, g: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + g * 5 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def sfOf(f: Int, g: Int, b: Int): Int = ((seed + f + g + b) % 2).toInt
+    def gainOf(f: Int, g: Int): Int =
+      210 + 4 * (((seed + f * 2 + g) % 8).toInt - 2)
+    def huffBits(f: Int, g: Int): Int = {
+      val pb = pairs(f, g).zipWithIndex.map { case ((x, y), k) =>
+        L3IsoHuff.encode(tabOf(k))((math.abs(x), math.abs(y))).length +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g).map { q =>
+        var idx = 0
+        q.foreach(v => idx = (idx << 1) | (if (v != 0) 1 else 0))
+        L3IsoHuff.quadABits(idx) + q.count(_ != 0)
+      }.sum
+      pb + qb
+    }
+    val lens =
+      if (sr32) Array.fill(nFrames)(864) // 144·192000/32000, integral
+      else Array.tabulate(nFrames)(f => 626 + f % 2)
+    val out = new Array[Byte](lens.sum)
+    var base = 0
+    (0 until nFrames).foreach { f =>
+      var bitPos = base * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      def putStr(w: String): Unit =
+        w.foreach(c => put(if (c == '1') 1 else 0, 1))
+      put(0xff, 8); put(0xfb, 8)
+      // br idx 11 (192k); sr idx 0 (44.1, padding alternates) or 2 (32k)
+      put(if (sr32) 0xb8 else 0xb0 | ((f % 2) << 1), 8)
+      put(0xc0, 8)                  // mono
+      put(0, 9); put(0, 5); put(0, 4) // mdb 0, private, scfsi 0
+      (0 until 2).foreach { g =>
+        put(21 + huffBits(f, g), 12)  // 21 scalefactor bits + entropy
+        put(pairs(f, g).size, 9)
+        put(gainOf(f, g), 8)
+        put(5, 4)                     // scalefac_compress 5 → slen 1/1
+        put(0, 1)                     // no window switching
+        put(7, 5); put(10, 5); put(9, 5) // REAL tables 7 / 10 / 9
+        put(4, 4); put(3, 3)          // region0_count 4, region1_count 3
+        put(0, 1)                     // preflag 0
+        put(1, 1)                     // scalefac_scale 1
+        put(0, 1)                     // count1 table A
+      }
+      // main data immediately after side info (mdb 0, no reservoir)
+      (0 until 2).foreach { g =>
+        (0 until 21).foreach(b => put(sfOf(f, g, b), 1))
+        pairs(f, g).zipWithIndex.foreach { case ((x, y), k) =>
+          putStr(L3IsoHuff.encode(tabOf(k))((math.abs(x), math.abs(y))))
+          if (x != 0) put(if (x < 0) 1 else 0, 1)
+          if (y != 0) put(if (y < 0) 1 else 0, 1)
+        }
+        quads(f, g).foreach { q =>
+          var idx = 0
+          q.foreach(v => idx = (idx << 1) | (if (v != 0) 1 else 0))
+          putStr(L3IsoHuff.quadAEncode(idx))
+          q.foreach(v => if (v != 0) put(if (v < 0) 1 else 0, 1))
+        }
+      }
+      base += lens(f)
     }
     out
   }

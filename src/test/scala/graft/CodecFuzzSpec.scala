@@ -60,6 +60,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.layer3StereoShortBytes(3, 2),
     Multimodal.layer3StereoShortBytes(3, 2, intensity = true),
     Multimodal.layer3HuffRealBytes(3, 2),
+    Multimodal.layer3Bytes44k(3, 2),
+    Multimodal.layer3Bytes44k(3, 2, sr32 = true),
     Multimodal.mpeg1DBytes(3, 2),
     Multimodal.layer3BytesFull(3, 2, crc = true),
     Multimodal.mpeg1SliceBytes(3),

@@ -78,6 +78,34 @@ class L3HuffTablesSpec extends AnyFunSuite {
     }
   }
 
+  test("rate-general decode: 44.1 kHz with padding, 32 kHz, and a " +
+       "mid-stream rate change refuses") {
+    (0L until 6L).foreach { id =>
+      val nf = (id % 3).toInt + 2
+      val d44 = Multimodal.layer3DecodeFull(
+        Multimodal.layer3Bytes44k(id, nf))
+      assert(d44.isDefined, s"id $id 44.1 refused")
+      assert(d44.get._1.sampleRate == 44100 && d44.get._1.nFrames == nf)
+      val d32 = Multimodal.layer3DecodeFull(
+        Multimodal.layer3Bytes44k(id, nf, sr32 = true))
+      assert(d32.isDefined, s"id $id 32k refused")
+      assert(d32.get._1.sampleRate == 32000 && d32.get._1.nFrames == nf)
+      // the two Table B.8 columns separate in the VALUES: lines 52-53
+      // sit in band 10 (44.1) vs band 9 (32k) under nonzero
+      // scalefactors, so the granule energies differ
+      assert(d44.get._2.map(g => (g.xrSum, g.xrMsq)) !=
+             d32.get._2.map(g => (g.xrSum, g.xrMsq)), s"id $id")
+    }
+    // frame lengths: 626/627 alternating (44.1, padding) vs 864 (32k)
+    assert(Multimodal.layer3Bytes44k(1, 2).length == 626 + 627)
+    assert(Multimodal.layer3Bytes44k(1, 2, sr32 = true).length == 1728)
+    // a stream whose second frame switches sample rate refuses: the
+    // scalefactor-band geometry is rate-wide state
+    val a = Multimodal.layer3Bytes44k(3, 1)
+    val b = Multimodal.layer3Bytes44k(3, 1, sr32 = true)
+    assert(Multimodal.layer3DecodeFull(a ++ b).isEmpty)
+  }
+
   test("an unregistered table_select still refuses") {
     val bytes = Multimodal.layer3HuffRealBytes(1, 1)
     // granule 0 table_select region0 sits right after
