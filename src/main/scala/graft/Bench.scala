@@ -43,7 +43,10 @@ object Bench {
     // round-11 additions
     "layout_zorder_prune", "layout_bucketed_join", "cdc_snapshot_diff",
     "multimodal_mp3_imdct", "multimodal_mpeg1_pframe",
-    "dq_report", "ts_resample_locf", "q_graph_lpa", "sketch_hll_merge")
+    "dq_report", "ts_resample_locf", "q_graph_lpa", "sketch_hll_merge",
+    // round-14 additions: the composed pipeline and the end-to-end
+    // real-table MP3 PCM chain
+    "pipeline_end_to_end", "multimodal_mp3_pcm")
 
   /** 1-minute system load average (or -1 when the platform hides it):
     * the sandbox CPU-throttles under sustained load (NOTES.md — the same
