@@ -228,8 +228,8 @@ object SystemQueries {
        |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
        |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_nonzero,
-       |  ROUND(SUM(x), 6) + 0.0 AS xr_sum,
-       |  ROUND(SUM(x * x), 6) + 0.0 AS xr_msq
+       |  SUM(CAST(ROUND(x * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS xr_sum,
+       |  SUM(CAST(ROUND(x * x * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS xr_msq
        |FROM xr GROUP BY id, f, g""".stripMargin
 
   /** Shared CTE scaffolding for the MPEG-1 coded-residual oracles
@@ -1789,13 +1789,15 @@ object SystemQueries {
           val decoded = Multimodal.layer1Decode(Multimodal.layer1Bytes(id, nf))
           val (_, blocks) = decoded.get
           blocks.groupBy(_.subband).toSeq.map { case (sb, bs) =>
-            val ordered = bs.sortBy(_.frame) // bitstream order: f asc, g asc
-            var sum = 0.0; var msq = 0.0; var n = 0
+            val ordered = bs.sortBy(_.frame)
+            // 1e-6-quantized per-sample Longs: order-independent integer
+            // sums, hash-exact vs the oracle's BIGINT sum (round 15).
+            var qs = 0L; var qq = 0L; var n = 0
             ordered.foreach(_.samples.foreach { v =>
-              sum += v; msq += v * v; n += 1
+              qs += Multimodal.quant6(v); qq += Multimodal.quant6(v * v)
+              n += 1
             })
-            (id, sb, ordered.head.alloc, n.toLong,
-             round6HalfAway(sum), round6HalfAway(msq))
+            (id, sb, ordered.head.alloc, n.toLong, qs / 1e6, qq / 1e6)
           }
         }.toDF("media_id", "subband", "alloc", "n_samples", "s_sum", "s_msq")
           .select(col("media_id"),
@@ -1818,8 +1820,10 @@ object SystemQueries {
             |SELECT media_id, CAST(sb AS BIGINT) AS subband,
             |  CAST(alloc AS BIGINT) AS alloc,
             |  CAST(nf * 12 AS BIGINT) AS n_samples,
-            |  ROUND(list_sum(ts), 6) AS s_sum,
-            |  ROUND(list_sum(list_transform(ts, v -> v * v)), 6) AS s_msq
+            |  list_sum(list_transform(ts,
+            |    v -> CAST(ROUND(v * 1e6, 0) AS BIGINT))) / 1e6 AS s_sum,
+            |  list_sum(list_transform(ts,
+            |    v -> CAST(ROUND(v * v * 1e6, 0) AS BIGINT))) / 1e6 AS s_msq
             |FROM tx""".stripMargin)),
 
     // REAL MPEG-1 Layer II payload decode, round-trip-proven (the Layer
@@ -1843,13 +1847,13 @@ object SystemQueries {
           val (_, blocks) = decoded.get
           blocks.groupBy(_.subband).toSeq.map { case (sb, bs) =>
             val ordered = bs.sortBy(_.frame)
-            var sum = 0.0; var msq = 0.0; var n = 0
+            var qs = 0L; var qq = 0L; var n = 0
             ordered.foreach(_.samples.foreach { v =>
-              sum += v; msq += v * v; n += 1
+              qs += Multimodal.quant6(v); qq += Multimodal.quant6(v * v)
+              n += 1
             })
             (id, sb, ordered.head.allocIdx, ordered.head.steps,
-             ordered.head.scfsi, n.toLong,
-             round6HalfAway(sum), round6HalfAway(msq))
+             ordered.head.scfsi, n.toLong, qs / 1e6, qq / 1e6)
           }
         }.toDF("media_id", "subband", "alloc_idx", "steps", "scfsi",
                "n_samples", "s_sum", "s_msq")
@@ -1905,8 +1909,10 @@ object SystemQueries {
             |  CAST(steps AS BIGINT) AS steps,
             |  CAST(scfsi AS BIGINT) AS scfsi,
             |  CAST(nf * 36 AS BIGINT) AS n_samples,
-            |  ROUND(list_sum(ts), 6) AS s_sum,
-            |  ROUND(list_sum(list_transform(ts, v -> v * v)), 6) AS s_msq
+            |  list_sum(list_transform(ts,
+            |    v -> CAST(ROUND(v * 1e6, 0) AS BIGINT))) / 1e6 AS s_sum,
+            |  list_sum(list_transform(ts,
+            |    v -> CAST(ROUND(v * v * 1e6, 0) AS BIGINT))) / 1e6 AS s_msq
             |FROM tx""".stripMargin)),
 
     // decodeFeatures over REAL MPEG audio payloads: even rows carry
@@ -1925,11 +1931,14 @@ object SystemQueries {
             if (id % 2 == 0) Multimodal.layer1Bytes(id, nf)
             else Multimodal.layer2Bytes(id, nf), -1, -1, -1)
         }
+        // f_mean/f_msq come out of the extractor already exact (1e-6-
+        // quantized Long sums / 1e6 / n, round 15) — no final rounding,
+        // the oracle replays the identical integer arithmetic.
         Multimodal.decodeFeatures(media).toDF().select(
           col("media_id"),
           col("sample_rate").cast("long").as("sample_rate"),
-          round(element_at(col("features"), 1), 6).as("f_mean"),
-          round(element_at(col("features"), 2), 6).as("f_msq"),
+          element_at(col("features"), 1).as("f_mean"),
+          element_at(col("features"), 2).as("f_msq"),
           round(element_at(col("features"), 3), 6).as("f_peak"),
           round(element_at(col("features"), 4), 6).as("f_fill"))
       },
@@ -1991,8 +2000,10 @@ object SystemQueries {
             |u AS (SELECT id, ts, cap FROM l1 UNION ALL SELECT id, ts, cap FROM agg2)
             |SELECT id AS media_id,
             |  CAST(CASE WHEN id % 2 = 0 THEN 32000 ELSE 48000 END AS BIGINT) AS sample_rate,
-            |  ROUND(list_sum(ts) / len(ts), 6) AS f_mean,
-            |  ROUND(list_sum(list_transform(ts, v -> v * v)) / len(ts), 6) AS f_msq,
+            |  list_sum(list_transform(ts,
+            |    v -> CAST(ROUND(v * 1e6, 0) AS BIGINT))) / 1e6 / len(ts) AS f_mean,
+            |  list_sum(list_transform(ts,
+            |    v -> CAST(ROUND(v * v * 1e6, 0) AS BIGINT))) / 1e6 / len(ts) AS f_msq,
             |  ROUND(list_max(list_transform(ts, v -> ABS(v))), 6) AS f_peak,
             |  ROUND(len(ts) * 1.0 / cap, 6) AS f_fill
             |FROM u""".stripMargin)),
@@ -2109,8 +2120,8 @@ object SystemQueries {
              |$l3OvCte
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule, CAST(sb AS BIGINT) AS subband,
-             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
-             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
 
     // REAL MP3 polyphase synthesis MACHINERY (§2.4.3.2.2) on top of the
@@ -2163,9 +2174,9 @@ object SystemQueries {
              |        FROM pcm)
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule,
-             |  ROUND(list_sum(list(p ORDER BY t * 32 + i2)), 6) + 0.0
+             |  SUM(CAST(ROUND(p * 1e6, 0) AS BIGINT)) / 1e6 + 0.0
              |    AS pcm_sum,
-             |  ROUND(list_sum(list(p * p ORDER BY t * 32 + i2)), 6)
+             |  SUM(CAST(ROUND(p * p * 1e6, 0) AS BIGINT)) / 1e6
              |    + 0.0 AS pcm_msq
              |FROM pcg GROUP BY id, gidx""".stripMargin)),
 
@@ -2268,8 +2279,8 @@ object SystemQueries {
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule,
              |  CAST(sb AS BIGINT) AS subband,
-             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
-             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
 
     // REAL MP3 START/STOP WINDOW forms (block_type 1/3): the §2.4.1.7
@@ -2371,8 +2382,8 @@ object SystemQueries {
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule,
              |  CAST(sb AS BIGINT) AS subband,
-             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
-             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
 
     // REAL MP3 MIXED-BLOCK form (block_type 2 / mixed_block_flag 1) —
@@ -2506,8 +2517,8 @@ object SystemQueries {
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule,
              |  CAST(sb AS BIGINT) AS subband,
-             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
-             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
 
     // REAL MP3 MS STEREO over SHORT BLOCKS: the §2.4.3.4.9.1
@@ -2619,8 +2630,8 @@ object SystemQueries {
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule,
              |  CAST(ch AS BIGINT) AS channel, CAST(sb AS BIGINT) AS subband,
-             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
-             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
 
     // REAL MP3 INTENSITY STEREO over SHORT blocks (round 14 — unblocked
@@ -2754,8 +2765,8 @@ object SystemQueries {
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule,
              |  CAST(ch AS BIGINT) AS channel, CAST(sb AS BIGINT) AS subband,
-             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
-             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
 
     // REAL MP3 JOINT (MS) STEREO through the full chain: 32-byte stereo
@@ -2870,8 +2881,8 @@ object SystemQueries {
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule, CAST(ch AS BIGINT) AS channel,
              |  CAST(sb AS BIGINT) AS subband,
-             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
-             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
 
     // GENERALIZED big-values Huffman walk with ESC/LINBITS (round 13):
@@ -2930,10 +2941,10 @@ object SystemQueries {
              |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
              |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_nonzero,
-             |  ROUND(list_sum(list(x ORDER BY line)
-             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_sum,
-             |  ROUND(list_sum(list(x * x ORDER BY line)
-             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_msq
+             |  SUM(CAST(ROUND(x * 1e6, 0) AS BIGINT))
+             |    FILTER (WHERE isv <> 0) / 1e6 + 0.0 AS xr_sum,
+             |  SUM(CAST(ROUND(x * x * 1e6, 0) AS BIGINT))
+             |    FILTER (WHERE isv <> 0) / 1e6 + 0.0 AS xr_msq
              |FROM xr GROUP BY id, f, g""".stripMargin)),
 
     // REAL ISO HUFFMAN TABLE DATA (round 14): the big-values regions of
@@ -2964,10 +2975,10 @@ object SystemQueries {
              |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
              |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_nonzero,
-             |  ROUND(list_sum(list(x ORDER BY line)
-             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_sum,
-             |  ROUND(list_sum(list(x * x ORDER BY line)
-             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_msq
+             |  SUM(CAST(ROUND(x * 1e6, 0) AS BIGINT))
+             |    FILTER (WHERE isv <> 0) / 1e6 + 0.0 AS xr_sum,
+             |  SUM(CAST(ROUND(x * x * 1e6, 0) AS BIGINT))
+             |    FILTER (WHERE isv <> 0) / 1e6 + 0.0 AS xr_msq
              |FROM xr GROUP BY id, f, g""".stripMargin)),
 
     // END-TO-END REAL MP3 PCM (round 14, the verdict's integration ask):
@@ -3016,9 +3027,9 @@ object SystemQueries {
              |        FROM pcm)
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule,
-             |  ROUND(list_sum(list(p ORDER BY t * 32 + i2)), 6) + 0.0
+             |  SUM(CAST(ROUND(p * 1e6, 0) AS BIGINT)) / 1e6 + 0.0
              |    AS pcm_sum,
-             |  ROUND(list_sum(list(p * p ORDER BY t * 32 + i2)), 6)
+             |  SUM(CAST(ROUND(p * p * 1e6, 0) AS BIGINT)) / 1e6
              |    + 0.0 AS pcm_msq
              |FROM pcg GROUP BY id, gidx""".stripMargin)),
 
@@ -3102,9 +3113,9 @@ object SystemQueries {
              |        FROM pcm)
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule,
-             |  ROUND(list_sum(list(p ORDER BY t * 32 + i2)), 6) + 0.0
+             |  SUM(CAST(ROUND(p * 1e6, 0) AS BIGINT)) / 1e6 + 0.0
              |    AS pcm_sum,
-             |  ROUND(list_sum(list(p * p ORDER BY t * 32 + i2)), 6)
+             |  SUM(CAST(ROUND(p * p * 1e6, 0) AS BIGINT)) / 1e6
              |    + 0.0 AS pcm_msq
              |FROM pcg GROUP BY id, gidx""".stripMargin)),
 
@@ -3168,10 +3179,10 @@ object SystemQueries {
              |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
              |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_nonzero,
-             |  ROUND(list_sum(list(x ORDER BY line)
-             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_sum,
-             |  ROUND(list_sum(list(x * x ORDER BY line)
-             |    FILTER (WHERE isv <> 0)), 6) + 0.0 AS xr_msq
+             |  SUM(CAST(ROUND(x * 1e6, 0) AS BIGINT))
+             |    FILTER (WHERE isv <> 0) / 1e6 + 0.0 AS xr_sum,
+             |  SUM(CAST(ROUND(x * x * 1e6, 0) AS BIGINT))
+             |    FILTER (WHERE isv <> 0) / 1e6 + 0.0 AS xr_msq
              |FROM xr GROUP BY id, f, g""".stripMargin)),
 
     // REAL MP3 INTENSITY STEREO (§2.4.3.4.9.3): the right channel is
@@ -3299,8 +3310,8 @@ object SystemQueries {
              |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
              |  CAST(gidx % 2 AS BIGINT) AS granule, CAST(ch AS BIGINT) AS channel,
              |  CAST(sb AS BIGINT) AS subband,
-             |  ROUND(list_sum(list(v ORDER BY i)), 6) + 0.0 AS s_sum,
-             |  ROUND(list_sum(list(v * v ORDER BY i)), 6) + 0.0 AS s_msq
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
 
     // REAL MPEG-1 VIDEO intra-frame entropy decode, round-trip-proven

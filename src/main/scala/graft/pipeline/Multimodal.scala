@@ -1535,13 +1535,17 @@ object Multimodal {
       : Option[(AudioMeta, Long, Double, Double, Double, Double)] = {
     def stats(meta: AudioMeta, samples: Iterator[Array[Double]],
               capacity: Long) = {
-      var n = 0L; var sum = 0.0; var sq = 0.0; var peak = 0.0
+      // Mean/mean-square over 1e-6-quantized samples summed as Longs
+      // (order-independent, hash-exact vs the oracle's BIGINT sum; the
+      // division order qs/1e6/n is part of the cross-engine contract).
+      var n = 0L; var qs = 0L; var qq = 0L; var peak = 0.0
       samples.foreach(_.foreach { v =>
-        n += 1; sum += v; sq += v * v
+        n += 1; qs += quant6(v); qq += quant6(v * v)
         if (math.abs(v) > peak) peak = math.abs(v)
       })
       if (n == 0 || capacity == 0) None
-      else Some((meta, n, sum / n, sq / n, peak, n.toDouble / capacity))
+      else Some((meta, n, qs / 1e6 / n, qq / 1e6 / n, peak,
+                 n.toDouble / capacity))
     }
     layer1Decode(bytes) match {
       case Some((m, blocks)) =>
@@ -2368,7 +2372,7 @@ object Multimodal {
                   val m = 0.5 * (s.sfScale + 1)
                   val xr = xrCh(ch)
                   var i = 0
-                  var nNz = 0; var xs = 0.0; var xq = 0.0
+                  var nNz = 0; var xs = 0L; var xq = 0L
                   while (i < 576) {
                     val v = is(i)
                     if (v != 0) {
@@ -2411,12 +2415,12 @@ object Multimodal {
                         xr(i) = x
                         lastNz(ch) = i
                       }
-                      nNz += 1; xs += x; xq += x * x
+                      nNz += 1; xs += quant6(x); xq += quant6(x * x)
                     }
                     i += 1
                   }
                   grans += L3GranuleFull(f, g, mdb, s.preflag, nC1, nNz,
-                    round6(xs), round6(xq), ch)
+                    xs / 1e6 + 0.0, xq / 1e6 + 0.0, ch)
                 }
               }
               ch += 1
@@ -2552,18 +2556,19 @@ object Multimodal {
                       i2 += 1
                     }
                   }
-                  var ss = 0.0; var sq = 0.0
+                  var ss = 0L; var sq = 0L
                   var i2 = 0
                   while (i2 < 18) {
                     var v = z36(i2) + prevTail(ch)(sb)(i2)
                     if (sb % 2 == 1 && i2 % 2 == 1) v = -v
                     sVal(sb)(i2) = v
-                    ss += v; sq += v * v
+                    ss += quant6(v); sq += quant6(v * v)
                     // stash this granule's tail for the next overlap-add
                     prevTail(ch)(sb)(i2) = z36(18 + i2)
                     i2 += 1
                   }
-                  subs += L3SubbandOut(f, g, sb, round6(ss), round6(sq), ch)
+                  subs += L3SubbandOut(f, g, sb, ss / 1e6 + 0.0,
+                                       sq / 1e6 + 0.0, ch)
                   sb += 1
                 }
                 // polyphase synthesis (§2.4.3.2.2): per time step shift
@@ -2571,7 +2576,7 @@ object Multimodal {
                 // through the closed-form N, extract U, and emit the 32
                 // windowed 16-tap sums (REAL Table C.1 window).
                 val vv = synthV(ch)
-                var ps = 0.0; var pq = 0.0
+                var ps = 0L; var pq = 0L
                 var t = 0
                 while (t < 18) {
                   val outw = l3SynthStep(vv,
@@ -2579,12 +2584,12 @@ object Multimodal {
                   var i4 = 0
                   while (i4 < 32) {
                     val a = outw(i4)
-                    ps += a; pq += a * a
+                    ps += quant6(a); pq += quant6(a * a)
                     i4 += 1
                   }
                   t += 1
                 }
-                pcms += L3PcmOut(f, g, round6(ps), round6(pq), ch)
+                pcms += L3PcmOut(f, g, ps / 1e6 + 0.0, pq / 1e6 + 0.0, ch)
                 ch += 1
               }
             }
@@ -2602,9 +2607,17 @@ object Multimodal {
     }
   }
 
-  private def round6(x: Double): Double = {
+  /** Per-sample 1e-6 quantizer (half away from zero, the probed DuckDB
+    * `ROUND(x·1e6, 0)` semantics): the exact-stat building block.
+    * Quantized Longs sum order-independently, so a 576-term float fold
+    * can no longer land on a 6-decimal rounding boundary differently in
+    * the two engines — the round-14 `multimodal_mp3_pcm`/`_44k` 1-ulp
+    * hash-fail class is extinct by construction. Stat columns are the
+    * integer sum divided once by 1e6 (exact int→double for |q| < 2⁵³;
+    * `+ 0.0` keeps the −0.0 normalization contract). */
+  private[graft] def quant6(x: Double): Long = {
     val y = x * 1e6
-    ((if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / 1e6) + 0.0
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
   }
 
   /** The encode half of the [[layer3DecodeFull]] round trip: a real

@@ -768,7 +768,10 @@ class SystemSpec extends AnyFunSuite {
     val Some((_, l2blocks)) = Multimodal.layer2Decode(b)
     val all2 = l2blocks.flatMap(_.samples)
     assert(feats(1L).sample_rate == 48000)
-    assert(math.abs(feats(1L).features(0) - all2.sum / all2.size) < 1e-12)
+    // round 15: mean is the 1e-6-quantized Long sum / 1e6 / n (the
+    // exact-stat contract) — assert bit equality, not a tolerance
+    assert(feats(1L).features(0) ==
+      all2.map(Multimodal.quant6).sum / 1e6 / all2.size)
     assert(math.abs(feats(1L).features(2) - all2.map(math.abs).max) < 1e-12)
     assert(feats(0L).sample_rate == 32000 && feats(0L).features(3) > 0.0)
   }
