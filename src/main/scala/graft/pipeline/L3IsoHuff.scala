@@ -15,7 +15,7 @@ package graft.pipeline
   * properties for every registered table on every build, and round-trips
   * each (x, y) entry through the decoder's codeword walk.
   *
-  * Shipped: big-values tables 1, 2, 3, 5, 6, 7, 8, 9, 10 and count1
+  * Shipped: big-values tables 1, 2, 3, 5, 6, 7, 8, 9, 10, 12 and count1
   * table A (code data as published in ISO 11172-3 Table B.7 and in every
   * public decoder's tables, e.g. dist10 `huffdec` / ffmpeg
   * `mpegaudiotabs`). Table 8 carried a single-length ambiguity under the
@@ -25,13 +25,27 @@ package graft.pipeline
   * the cross-table length ordering (table 9 gives (5,3) the shorter
   * code) pin (5,3)=9, (4,5)=10.
   *
-  * NOT shipped (still declared, `SURVEY.md` §2.10): tables 11, 12 (the
-  * recalled code values admit no ≤3-entry length completion — the data
-  * could not be structurally verified, so per policy it does not ship)
-  * and the 16×16 tables 13, 15, 16/24 (with their linbits families
-  * 17–23 / 25–31) whose 256-entry code arrays exceed reliable recall;
-  * the ESC/linbits MACHINERY itself is proven through the synthetic
-  * slot-4 table (`multimodal_mp3_linbits`).
+  * Table 12 shipped in round 15: its 64 code VALUES were recalled
+  * identically in two separate sessions (64/64 agreement), and the
+  * round-15 length recollection passes the full gate exactly (the
+  * round-14 length recall — 7 entries different — failed Kraft at
+  * 519/512, the gate doing its job). Closure caveat, recorded honestly:
+  * the exact-tiling solver shows the lengths are NOT uniquely forced by
+  * the codes — alternates exist that swap lengths between equal-code
+  * entry pairs (e.g. (0,1)/(1,2), both code 6, at hlen 3/4) — so the
+  * (x, y) attribution of ~7 entries rests on the gate-passing
+  * recollection, the same evidence level as tables 1–7/9/10 (each
+  * shipped on a single recollection that passed the gate outright).
+  *
+  * NOT shipped (still declared, `SURVEY.md` §2.10): table 11 (two
+  * recollections of its code values disagree on 62/64 entries and
+  * neither passes the gate — no ≤3-entry repair exists) and the 16×16
+  * tables 13, 15, 16/24 (with their linbits families 17–23 / 25–31):
+  * their 256-entry CODE arrays exceed reliable recall, and the table-12
+  * solver result above proves lengths alone cannot reconstruct them
+  * (multiple tilings exist even at 64 entries); the ESC/linbits
+  * MACHINERY itself is proven through the synthetic slot-4 table
+  * (`multimodal_mp3_linbits`).
   */
 private[graft] object L3IsoHuff {
 
@@ -81,7 +95,16 @@ private[graft] object L3IsoHuff {
       Array(1, 2, 10, 23, 35, 30, 12, 17, 3, 3, 8, 12, 18, 21, 12, 7,
             11, 9, 15, 21, 32, 40, 19, 6, 14, 13, 22, 34, 46, 23, 18, 7,
             20, 19, 33, 47, 27, 22, 9, 3, 31, 22, 41, 26, 21, 20, 5, 3,
-            14, 13, 10, 11, 16, 6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0))))
+            14, 13, 10, 11, 16, 6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0))),
+    12 -> ((8,
+      Array(4, 3, 5, 7, 8, 9, 9, 9, 3, 3, 4, 5, 7, 7, 8, 8,
+            5, 4, 5, 6, 7, 8, 7, 8, 6, 5, 6, 6, 7, 8, 8, 8,
+            7, 6, 7, 7, 8, 8, 8, 9, 8, 7, 8, 8, 8, 9, 8, 9,
+            8, 7, 7, 8, 8, 9, 9, 10, 9, 8, 8, 9, 9, 9, 9, 10),
+      Array(9, 6, 16, 33, 41, 39, 38, 26, 7, 5, 6, 9, 23, 16, 26, 11,
+            17, 7, 11, 14, 21, 30, 10, 7, 17, 10, 15, 12, 18, 28, 14, 5,
+            32, 13, 22, 19, 18, 16, 9, 5, 40, 17, 31, 29, 17, 13, 4, 2,
+            27, 12, 11, 15, 10, 7, 4, 1, 27, 12, 8, 12, 6, 3, 1, 0))))
 
   /** count1 table A (quad table, indexed v·8+w·4+x·2+y). Complete
     * (Kraft Σ = 1) and prefix-free; count1 table B is the closed-form

@@ -3523,6 +3523,120 @@ object Multimodal {
     out
   }
 
+  /** The TABLE-12 twin of [[layer3HuffRealBytes]] (round 15 — exercises
+    * the newly shipped ISO table): a mono 48 kHz / 192 kbps Layer III
+    * stream whose all THREE big-values regions select REAL ISO table 12
+    * (dim 8, values 0–7 — the formulas run mod 8 in every region, unlike
+    * the 7/10/9 fixture's per-region mod) and whose count1 region
+    * selects REAL count1 table A. Every codeword is emitted from
+    * [[L3IsoHuff.encode]], so `part2_3_length` is the exact bit account
+    * over table 12's REAL code lengths — one wrong hlen anywhere in the
+    * 64-entry table breaks the account and refuses the stream. Zero
+    * scalefactor bits, no reservoir. */
+  def layer3Huff12Bytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 21
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(w: String): Unit = {
+      var i = 0
+      while (i < w.length) {
+        if (w.charAt(i) == '1') poolBits(poolPos) = 1
+        poolPos += 1; i += 1
+      }
+    }
+    def putPoolBit(b: Int): Unit = {
+      if (b == 1) poolBits(poolPos) = 1
+      poolPos += 1
+    }
+    def pairs(f: Int, g: Int): Seq[(Int, Int)] = {
+      val n = 22 + ((seed + f + g) % 5).toInt
+      (0 until n).map { k =>
+        val mx = ((seed * 3 + f * 7 + g * 11 + k * 5) % 8).toInt
+        val my = ((seed * 5 + f * 11 + g * 3 + k * 7) % 8).toInt
+        val x = if ((seed + f + k) % 2 == 1) -mx else mx
+        val y = if ((seed + g + k) % 2 == 1) -my else my
+        (x, y)
+      }
+    }
+    def quads(f: Int, g: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + g * 5 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int): Int =
+      210 + 4 * (((seed + f * 2 + g) % 8).toInt - 2)
+    def huffBits(f: Int, g: Int): Int = {
+      val pb = pairs(f, g).map { case (x, y) =>
+        L3IsoHuff.encode(12)((math.abs(x), math.abs(y))).length +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g).map { q =>
+        var idx = 0
+        q.foreach(v => idx = (idx << 1) | (if (v != 0) 1 else 0))
+        L3IsoHuff.quadABits(idx) + q.count(_ != 0)
+      }.sum
+      pb + qb
+    }
+    (0 until nFrames).foreach { f =>
+      poolPos = f * cap * 8
+      (0 until 2).foreach { g =>
+        pairs(f, g).foreach { case (x, y) =>
+          putPool(L3IsoHuff.encode(12)((math.abs(x), math.abs(y))))
+          if (x != 0) putPoolBit(if (x < 0) 1 else 0)
+          if (y != 0) putPoolBit(if (y < 0) 1 else 0)
+        }
+        quads(f, g).foreach { q =>
+          var idx = 0
+          q.foreach(v => idx = (idx << 1) | (if (v != 0) 1 else 0))
+          putPool(L3IsoHuff.quadAEncode(idx))
+          q.foreach(v => if (v != 0) putPoolBit(if (v < 0) 1 else 0))
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8); put(0xc0, 8)
+      put(0, 9); put(0, 5); put(0, 4)
+      (0 until 2).foreach { g =>
+        put(huffBits(f, g), 12)
+        put(pairs(f, g).size, 9)
+        put(gainOf(f, g), 8)
+        put(0, 4)                        // scalefac_compress 0
+        put(0, 1)                        // no window switching
+        put(12, 5); put(12, 5); put(12, 5) // REAL table 12, all regions
+        put(4, 4); put(3, 3)             // region0_count 4, region1_count 3
+        put(0, 1)                        // preflag 0
+        put(1, 1)                        // scalefac_scale 1
+        put(0, 1)                        // count1 table A (REAL)
+      }
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
   /** The 44.1 kHz twin of [[layer3HuffRealBytes]] (round 14): a mono
     * 44.1 kHz / 192 kbps stream — REAL ISO tables 7/10/9 + count1 A,
     * REAL Table B.8 44.1 kHz long geometry (region boundaries at lines

@@ -23,7 +23,7 @@ class L3HuffTablesSpec extends AnyFunSuite {
   }
 
   test("every shipped ISO big-values table is a complete prefix code") {
-    assert(L3IsoHuff.tableIds == Seq(1, 2, 3, 5, 6, 7, 8, 9, 10))
+    assert(L3IsoHuff.tableIds == Seq(1, 2, 3, 5, 6, 7, 8, 9, 10, 12))
     L3IsoHuff.tableIds.foreach { tid =>
       val es = L3IsoHuff.entries(tid)
       es.foreach { case (len, v) =>
