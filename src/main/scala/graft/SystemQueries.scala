@@ -2769,6 +2769,202 @@ object SystemQueries {
              |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
 
+    // REAL MP3 INTENSITY STEREO over MIXED blocks (round 15 — the last
+    // window-switching × stereo combination): both channels block_type 2
+    // / mixed_block_flag 1. The §2.4.3.4.9.3 zero region is contiguous
+    // from the top of the spectrum, so the bound splits by region: the
+    // SHORT region (reordered lines ≥ 36) takes the per-window bound
+    // (bands wholly above the right channel's last nonzero line of THAT
+    // window, is_pos from the right SHORT slots); a LONG band below the
+    // switch point pans ONLY when the right channel's entire short
+    // region is zero in all three windows, and then bands wholly above
+    // its last nonzero LONG line pan with is_pos from the right LONG
+    // slots. The fixture alternates the right channel per granule
+    // between 9 pairs (lines 0-17: long+all-short panning regime) and
+    // 21 pairs (lines 0-41, spilling into short band 3 of windows 0-1:
+    // per-window-only regime) — both regimes and the window-dependent
+    // bound are data-driven, and the oracle derives every bound from
+    // the replayed entropy lines.
+    ("multimodal_mp3_intensity_mixed",
+      (s, dir) => {
+        import s.implicits._
+        s.range(16).flatMap { id =>
+          val nf = (id % 2).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3MixedStereoBytes(id, nf, intensity = true)).get
+          subs.map(b => (id, b.frame.toLong, b.granule.toLong,
+            b.channel.toLong, b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "granule", "channel", "subband",
+               "s_sum", "s_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g, ch, f * 2 + g AS gidx
+             |       FROM range(16) t(r), range(2) ff(f), range(2) gg(g),
+             |            range(2) cc(ch) WHERE f < r % 2 + 1),
+             |pl AS (SELECT id, f, g, ch, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |              THEN (id*3 + f*7 + g*11 + ch*13 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + g*3 + ch*7 + k*7) % 3 - 1
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           CASE WHEN ch = 1 THEN
+             |                  CASE WHEN (id + f + g) % 2 = 0 THEN 9 ELSE 21 END
+             |                ELSE 16 + CAST((id + f + g + ch*2) % 17 AS INT)
+             |           END - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g, ch, gidx,
+             |         2 * (16 + (id + f + g + ch*2) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7 + ch*11) % 2) *
+             |           (CASE WHEN (id + f + j + q + ch) % 2 = 0
+             |                 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g + ch) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)
+             |       WHERE ch = 0),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |xr AS (
+             |  SELECT id, f, g, ch, gidx, line AS t, isv,
+             |    isv * POWER(2.0, ((id + f*2 + g + ch*3) % 8 - 2)
+             |      - ((id + f + band + g*3 + ch*5) % 4)) AS x
+             |  FROM (SELECT *, len(list_filter($l3SfbLit, v -> v <= line)) - 1
+             |          AS band
+             |        FROM ln3 WHERE line < 36) lq
+             |  UNION ALL
+             |  SELECT id, f, g, ch, gidx,
+             |    3 * (($l3SfbS3Lit)[b+1] // 3 + j) + w AS t, isv,
+             |    isv * POWER(2.0, ((id + f*2 + g + ch*3) % 8 - 2)
+             |      - 2 * ((id + f*2 + g + w*3 + ch) % 5)
+             |      - (CASE WHEN b < 12
+             |         THEN (id + f + b + w + g*3 + ch*5) % 4 ELSE 0 END)) AS x
+             |  FROM (SELECT *,
+             |          (line - ($l3SfbS3Lit)[b+1])
+             |            // ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3)
+             |            AS w,
+             |          (line - ($l3SfbS3Lit)[b+1])
+             |            % ((($l3SfbS3Lit)[b+2] - ($l3SfbS3Lit)[b+1]) // 3)
+             |            AS j
+             |        FROM (SELECT *,
+             |                len(list_filter($l3SfbS3Lit, v -> v <= line)) - 1
+             |                  AS b
+             |              FROM ln3 WHERE line >= 36) sb0) sq),
+             |rmS AS (SELECT id, gidx, t % 3 AS w, MAX(t // 3) AS rmax
+             |        FROM xr WHERE ch = 1 AND isv <> 0 AND t >= 36
+             |        GROUP BY 1, 2, 3),
+             |rmL AS (SELECT id, gidx, MAX(t) AS rmax,
+             |          SUM(CASE WHEN t >= 36 AND isv <> 0
+             |                   THEN 1 ELSE 0 END) AS nshort
+             |        FROM xr WHERE ch = 1 AND isv <> 0 GROUP BY 1, 2),
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, g2.ch, ll.l AS t,
+             |         COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx, ch FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.ch = g2.ch AND x3.t = ll.l),
+             |proc AS (
+             |  SELECT id, gidx, ch, t,
+             |    CASE WHEN t >= 36
+             |              AND ($l3SfbSLit)[CAST(bpS AS INT)] > rmaxS
+             |    THEN CASE WHEN ch = 0
+             |           THEN x0 * (rtS / (1.0 + rtS))
+             |           ELSE x0 * (1.0 / (1.0 + rtS)) END
+             |    WHEN t < 36 AND rShortZero
+             |              AND ($l3SfbLit)[CAST(bpL AS INT)] > rmaxL
+             |    THEN CASE WHEN ch = 0
+             |           THEN x0 * (rtL / (1.0 + rtL))
+             |           ELSE x0 * (1.0 / (1.0 + rtL)) END
+             |    ELSE x END AS x
+             |  FROM (
+             |    SELECT d.id, d.gidx, d.ch, d.t, d.x, l0.x AS x0,
+             |      COALESCE(rmS.rmax, -1) AS rmaxS,
+             |      COALESCE(CASE WHEN rmL.nshort > 0 THEN NULL
+             |                    ELSE rmL.rmax END, -1) AS rmaxL,
+             |      (COALESCE(rmL.nshort, 0) = 0) AS rShortZero,
+             |      len(list_filter($l3SfbSLit, v -> v <= d.t // 3)) AS bpS,
+             |      len(list_filter($l3SfbLit, v -> v <= d.t)) AS bpL,
+             |      (${Multimodal.l3IsRatio.mkString("[", ", ", "]")})
+             |        [CAST((d.id + d.gidx // 2
+             |               + (len(list_filter($l3SfbSLit, v -> v <= d.t // 3))
+             |                  - 1)
+             |               + d.t % 3 + (d.gidx % 2) * 3 + 5) % 4 AS INT) + 1]
+             |        AS rtS,
+             |      (${Multimodal.l3IsRatio.mkString("[", ", ", "]")})
+             |        [CAST((d.id + d.gidx // 2
+             |               + (len(list_filter($l3SfbLit, v -> v <= d.t)) - 1)
+             |               + (d.gidx % 2) * 3 + 5) % 4 AS INT) + 1]
+             |        AS rtL
+             |    FROM dense d
+             |    JOIN dense l0 ON l0.id = d.id AND l0.gidx = d.gidx
+             |      AND l0.ch = 0 AND l0.t = d.t
+             |    LEFT JOIN rmS ON rmS.id = d.id AND rmS.gidx = d.gidx
+             |      AND rmS.w = d.t % 3
+             |    LEFT JOIN rmL ON rmL.id = d.id AND rmL.gidx = d.gidx)),
+             |al AS (
+             |  SELECT d.id, d.gidx, d.ch, d.t AS line,
+             |    CASE
+             |      WHEN d.t >= 18 AND d.t <= 25 THEN
+             |        d.x * ($l3CsLit)[CAST(d.t - 18 AS INT) + 1]
+             |        + p.x * ($l3CaLit)[CAST(d.t - 18 AS INT) + 1]
+             |      WHEN d.t >= 10 AND d.t <= 17 THEN
+             |        d.x * ($l3CsLit)[CAST(17 - d.t AS INT) + 1]
+             |        - p.x * ($l3CaLit)[CAST(17 - d.t AS INT) + 1]
+             |      ELSE d.x END AS x
+             |  FROM proc d
+             |  LEFT JOIN proc p ON p.id = d.id AND p.gidx = d.gidx
+             |    AND p.ch = d.ch
+             |    AND p.t = CASE WHEN d.t >= 10 AND d.t <= 25
+             |                   THEN 35 - d.t ELSE NULL END),
+             |imL AS (
+             |  SELECT a.id, a.gidx, a.ch, a.line // 18 AS sb, ii.i36,
+             |    list_sum(list(
+             |      a.x * ($l3CtLit)[CAST(ii.i36 * 18 + a.line % 18 AS INT) + 1]
+             |      ORDER BY a.line))
+             |      * ($l3WinLit)[CAST(ii.i36 AS INT) + 1] AS zv
+             |  FROM al a CROSS JOIN range(36) ii(i36)
+             |  WHERE a.line < 36
+             |  GROUP BY a.id, a.gidx, a.ch, a.line // 18, ii.i36),
+             |zwS AS (
+             |  SELECT d.id, d.gidx, d.ch, d.line // 18 AS sb,
+             |    (d.line % 18) % 3 AS w, ii.i,
+             |    list_sum(list(
+             |      d.x * ($l3C12Lit)[CAST(ii.i * 6 + (d.line % 18) // 3
+             |                             AS INT) + 1]
+             |      ORDER BY d.line))
+             |      * ($l3W12Lit)[CAST(ii.i AS INT) + 1] AS z
+             |  FROM al d CROSS JOIN range(12) ii(i)
+             |  WHERE d.line >= 36
+             |  GROUP BY d.id, d.gidx, d.ch, d.line // 18, (d.line % 18) % 3,
+             |           ii.i),
+             |z36S AS (
+             |  SELECT g2.id, g2.gidx, g2.ch, sbb.sb, ii.i36,
+             |    COALESCE(list_sum(list(a.z ORDER BY a.w)), 0.0) AS zv
+             |  FROM (SELECT DISTINCT id, gidx, ch FROM gr) g2
+             |  CROSS JOIN (SELECT 2 + s2.r AS sb FROM range(30) s2(r)) sbb
+             |  CROSS JOIN range(36) ii(i36)
+             |  LEFT JOIN (SELECT id, gidx, ch, sb, 6 + 6 * w + i AS i36, w, z
+             |             FROM zwS) a
+             |    ON a.id = g2.id AND a.gidx = g2.gidx AND a.ch = g2.ch
+             |    AND a.sb = sbb.sb AND a.i36 = ii.i36
+             |  GROUP BY g2.id, g2.gidx, g2.ch, sbb.sb, ii.i36),
+             |z36 AS (SELECT * FROM imL UNION ALL SELECT * FROM z36S),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.ch, h.sb, h.i36 AS i,
+             |    (h.zv + COALESCE(t3.zv, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i36 % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM z36 WHERE i36 < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, ch, sb, i36 - 18 AS i36,
+             |             zv FROM z36 WHERE i36 >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.ch = h.ch
+             |    AND t3.sb = h.sb AND t3.i36 = h.i36)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule,
+             |  CAST(ch AS BIGINT) AS channel, CAST(sb AS BIGINT) AS subband,
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
+
     // REAL MP3 JOINT (MS) STEREO through the full chain: 32-byte stereo
     // side info with per-channel scfsi, both channels of each granule
     // requantized independently, then the §2.4.3.4.9.1 recombination

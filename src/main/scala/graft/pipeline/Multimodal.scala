@@ -2439,31 +2439,47 @@ object Multimodal {
               // B.8 geometry unblocked it): the §2.4.3.4.9.3 bound is
               // PER WINDOW (bands wholly above the right channel's last
               // nonzero spectral line of that window), is_pos from the
-              // right channel's short scalefactor slots. Intensity with
-              // MIXED blocks or with differing channel block types stays
+              // right channel's short scalefactor slots. Intensity over
+              // MIXED granules (both channels bt 2 / mixed 1) is decoded
+              // since round 15: the short region (reordered lines ≥ 36)
+              // takes the same per-window bound; a LONG band below the
+              // switch point is in the right channel's zero part only if
+              // the ENTIRE short region above it is zero in all three
+              // windows (the zero region is contiguous from the top of
+              // the spectrum, §2.4.3.4.9.3) — then bands above the last
+              // nonzero long line pan with is_pos from the right
+              // channel's LONG slots. Differing channel block types stay
               // declared.
               val shortStereo = nch == 2 && sides(g)(0).bt == 2 &&
                 sides(g)(1).bt == 2 && sides(g).forall(_.mixed == 0)
+              val mixedStereo = nch == 2 && sides(g)(0).bt == 2 &&
+                sides(g)(1).bt == 2 && sides(g).forall(_.mixed == 1)
               if (nch == 2 && intens && sides(g).exists(_.bt == 2) &&
-                  !shortStereo) ok = false
+                  !shortStereo && !mixedStereo) ok = false
               if (ok && nch == 2 && (ms || intens)) {
+                val rShortZero = mixedStereo &&
+                  (0 until 3).forall(lastNzS(1)(_) < 0)
                 var i = 0
                 while (i < 576) {
                   val isIntens = intens && {
-                    if (shortStereo) {
+                    if (shortStereo || (mixedStereo && i >= 36)) {
                       val w = i % 3
                       val b = sbandOfS(i / 3)
                       sfbS(b) > lastNzS(1)(w)
+                    } else if (mixedStereo) {
+                      rShortZero && sfbL(sfbOfL(i)) > lastNz(1)
                     } else sfbL(sfbOfL(i)) > lastNz(1)
                   }
                   if (isIntens) {
                     val isPos =
-                      if (shortStereo) {
+                      if (shortStereo || (mixedStereo && i >= 36)) {
                         val b = sbandOfS(i / 3)
                         if (b < 12) sfSCh(1)(b)(i % 3) else 7
                       } else {
                         val bnd = sfbOfL(i)
-                        if (bnd < 21) sfCh(1)(bnd) else 7
+                        if (bnd < (if (mixedStereo) 8 else 21))
+                          sfCh(1)(bnd)
+                        else 7
                       }
                     if (isPos != 7) {
                       val l = xrCh(0)(i)
@@ -3156,6 +3172,147 @@ object Multimodal {
         put(0, 1)                           // preflag
         put(1, 1)                           // scalefac_scale 1
         put(1, 1)                           // count1 table B
+      }
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** STEREO MIXED-BLOCK fixture (round 15): a real MPEG-1 Layer III
+    * JOINT-STEREO 48 kHz / 192 kbps stream whose every granule uses
+    * block_type 2 / mixed_block_flag 1 on BOTH channels — the §2.4.2.7
+    * mixed scalefactor layout per channel (8 long + 9×3 short slots,
+    * 70 bits at scomp 9), table 1 in both regions, count1 table B,
+    * reservoir back-pointers. `intensity = true` switches the mode
+    * extension to 01 (intensity, no MS) and band-limits the RIGHT
+    * channel at the entropy layer, alternating per granule between the
+    * two §2.4.3.4.9.3 regimes: 9 pairs (lines 0–17, the short region
+    * empty in all three windows → LONG bands above the last nonzero
+    * long line pan, plus every short band in every window) and 21 pairs
+    * (lines 0–41, spilling into short band 3 of windows 0–1 → window 2
+    * pans from band 3 up, windows 0–1 from band 4, and NO long band
+    * pans because the right short region is nonzero). is_pos comes from
+    * the right channel's long/short scalefactor slots. Gains 210 + 4k
+    * and |is| ≤ 1 keep requantized values dyadic. */
+  def layer3MixedStereoBytes(seed: Long, nFrames: Int,
+                             intensity: Boolean = false): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 36 // 4 header + 32 side info
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    def sfLOf(f: Int, g: Int, band: Int, ch: Int): Int =
+      ((seed + f + band + g * 3 + ch * 5) % 4).toInt
+    def sfSOf(f: Int, g: Int, b: Int, w: Int, ch: Int): Int =
+      ((seed + f + b + w + g * 3 + ch * 5) % 4).toInt
+    def sbgOf(f: Int, g: Int, w: Int, ch: Int): Int =
+      ((seed + f * 2 + g + w * 3 + ch) % 5).toInt
+    def pairs(f: Int, g: Int, ch: Int): Seq[(Int, Int)] = {
+      val n = if (intensity && ch == 1) {
+        if ((seed + f + g) % 2 == 0) 9 else 21
+      } else 16 + ((seed + f + g + ch * 2) % 17).toInt
+      (0 until n).map(k =>
+        ((((seed * 3 + f * 7 + g * 11 + ch * 13 + k * 5) % 3) - 1).toInt,
+         (((seed * 5 + f * 11 + g * 3 + ch * 7 + k * 7) % 3) - 1).toInt))
+    }
+    def quads(f: Int, g: Int, ch: Int): Seq[Array[Int]] = {
+      val n = if (intensity && ch == 1) 0
+              else 4 + ((seed + f * 2 + g + ch) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit =
+            ((seed * (j + 2) + f * 3 + g * 5 + q * 7 + ch * 11) % 2).toInt
+          val sgn = if ((seed + f + j + q + ch) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int, ch: Int): Int =
+      210 + 4 * (((seed + f * 2 + g + ch * 3) % 8).toInt - 2)
+    def huffBits(f: Int, g: Int, ch: Int): Int = {
+      val pb = pairs(f, g, ch).map { case (x, y) =>
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g, ch).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+    val mdbs = new Array[Int](nFrames)
+    (0 until nFrames).foreach { f =>
+      val nominal = f * cap
+      val want = if (f == 0) 0 else ((seed * 7 + f * 13) % 40).toInt
+      val avail = nominal - (poolPos + 7) / 8
+      val mdb = math.min(want, math.max(avail, 0))
+      mdbs(f) = mdb
+      val startBit = (nominal - mdb) * 8
+      while (poolPos < startBit) { poolPos += 1 }
+      (0 until 2).foreach { g =>
+        (0 until 2).foreach { ch =>
+          (0 until 8).foreach(band => putPool(sfLOf(f, g, band, ch), 2))
+          (3 until 12).foreach { b =>
+            (0 until 3).foreach(w => putPool(sfSOf(f, g, b, w, ch), 2))
+          }
+          pairs(f, g, ch).foreach { case (x, y) =>
+            val str = if (x == 0 && y == 0) "1"
+                      else if (y == 0) "01"
+                      else if (x == 0) "001" else "000"
+            str.foreach(c => putPool(if (c == '1') 1 else 0, 1))
+            if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+            if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+          }
+          quads(f, g, ch).foreach { q =>
+            var code = 0
+            q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+            putPool(code, 4)
+            q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+          }
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8)
+      // joint stereo; mode_extension 10 = MS, 01 = intensity
+      put(if (intensity) 0x50 else 0x60, 8)
+      put(mdbs(f), 9); put(0, 3)
+      put(0, 4); put(0, 4) // scfsi 0 both channels
+      (0 until 2).foreach { g =>
+        (0 until 2).foreach { ch =>
+          put(70 + huffBits(f, g, ch), 12) // part2: 17·2 + 18·2 (mixed)
+          put(pairs(f, g, ch).size, 9)
+          put(gainOf(f, g, ch), 8)
+          put(9, 4)                      // scalefac_compress 9 → 2/2
+          put(1, 1)                      // window switching
+          put(2, 2); put(1, 1)           // block_type 2, MIXED
+          put(1, 5); put(1, 5)           // table 1 in both regions
+          (0 until 3).foreach(w => put(sbgOf(f, g, w, ch), 3))
+          put(0, 1)                      // preflag
+          put(1, 1)                      // scalefac_scale 1
+          put(1, 1)                      // count1 table B
+        }
       }
       var b = 0
       while (b < cap * 8) {

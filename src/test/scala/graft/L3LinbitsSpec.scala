@@ -26,10 +26,11 @@ class L3LinbitsSpec extends AnyFunSuite {
     assert(t4.codes.size == 256 && t4.codes.keys.forall(_.length == 8))
     assert(t4.codes.values.toSet ==
       (for (x <- 0 until 16; y <- 0 until 16) yield (x, y)).toSet)
-    // round 14: real ISO tables 1-3/5-10 are registered alongside the
-    // synthetic slot; the remaining slots (11-13, 15, 16-31) stay out
-    // until their data passes the structural closure gate (L3IsoHuff)
-    assert(Multimodal.L3Tables.keySet == Set(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+    // round 15: real ISO tables 1-3/5-10 + 12 are registered alongside
+    // the synthetic slot; the remaining slots (11, 13, 15, 16-31) stay
+    // out until their data passes the structural closure gate (L3IsoHuff)
+    assert(Multimodal.L3Tables.keySet ==
+      Set(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12))
   }
 
   test("pow43 magnitudes: exact at 0/1 (dyadic fixtures unaffected), " +

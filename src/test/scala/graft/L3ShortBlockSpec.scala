@@ -179,6 +179,47 @@ class L3ShortBlockSpec extends AnyFunSuite {
     assert(iSubs != mSubs)
   }
 
+  test("intensity over MIXED blocks decodes (round 15), both §2.4.3.4.9.3 " +
+       "regimes firing") {
+    var evenPan = false // 9-pair regime: panning beyond the right spectrum
+    var oddPan = false  // 21-pair regime: per-window panning above band 3
+    (0 until 16).foreach { id =>
+      val nf = (id % 2) + 1
+      // plain MS over stereo mixed decodes too (line-wise recombination)
+      assert(Multimodal.layer3DecodeFull(
+        Multimodal.layer3MixedStereoBytes(id.toLong, nf)).isDefined,
+        s"id=$id MS-mixed decode failed")
+      val decoded = Multimodal.layer3DecodeFull(
+        Multimodal.layer3MixedStereoBytes(id.toLong, nf, intensity = true))
+      assert(decoded.isDefined, s"id=$id intensity-mixed decode failed")
+      val (meta, _, subs, _) = decoded.get
+      assert(meta.channels == 2)
+      assert(subs.exists(s2 => s2.channel == 1 && s2.sMsq > 0.0))
+      // Causality probes on granule (f0, g0) — no overlap-add history:
+      // EVEN id = 9-pair regime, the right channel's own lines stop at
+      // entropy line 17 (subband 0) and alias leakage of those reaches
+      // subband 1 at most, so ch-1 energy in subbands ≥ 2 can only be
+      // SHORT-band panning (reordered short lines start at t = 36).
+      // ODD id = 21-pair regime, the right's own reordered lines stop
+      // at t ≤ 46 (subband 2), so ch-1 energy in subbands ≥ 3 proves
+      // the PER-WINDOW bound panned bands above its spectrum. The
+      // long-band panning VALUES are proven bit-exactly by the
+      // multimodal_mp3_intensity_mixed oracle row (its proc CTE pans
+      // the long region independently); these are liveness probes.
+      val g0 = subs.filter(s2 => s2.frame == 0 && s2.granule == 0 &&
+                                 s2.channel == 1)
+      if (id % 2 == 0) {
+        if (g0.exists(s2 => s2.subband >= 2 && s2.sMsq > 0.0))
+          evenPan = true
+      } else {
+        if (g0.exists(s2 => s2.subband >= 3 && s2.sMsq > 0.0))
+          oddPan = true
+      }
+    }
+    assert(evenPan, "short-band panning never fired in the 9-pair regime")
+    assert(oddPan, "per-window panning never fired in the 21-pair regime")
+  }
+
   test("nonzero scfsi with a short granule refuses (no empty-slot sharing)") {
     // scfsi sharing copies granule-0 LONG scalefactor bands; a short
     // granule populates none, so §2.4.2.7 forbids the combination —
