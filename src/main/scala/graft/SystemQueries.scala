@@ -1416,6 +1416,81 @@ object SystemQueries {
             |  ROUND((r % 5 + 2) * 1152.0 / 48000, 6) AS duration_sec
             |FROM range(24) t(r)""".stripMargin)),
 
+    // Xing/Info VBR header metadata (round 15; the de-facto standard
+    // lame/ffmpeg/mpg123 all write and read): the first frame's data
+    // area after the version×mode side-info offset (17/32 bytes MPEG-1
+    // mono/stereo) carries 'Xing' (VBR) or 'Info' (CBR), a BE flag word
+    // (frames/bytes/TOC/quality), then exactly the flagged fields. The
+    // fixture cycles all 15 nonempty flag subsets, both channel modes,
+    // both tags, ID3v2 prefixes, and plain no-header streams (None).
+    ("multimodal_mp3_xing",
+      (s, dir) => {
+        import s.implicits._
+        s.range(60).map { id =>
+          val nf = (id % 7).toInt + 1
+          val m = Multimodal.mp3XingMeta(Multimodal.mp3BytesXing(id, nf))
+          (id, m.map(_._1).getOrElse("none"),
+           m.map(_._2).getOrElse(-1L), m.map(_._3).getOrElse(-1L),
+           m.map(_._4).getOrElse(-1L), m.map(_._5).getOrElse(-1L),
+           m.map(_._6).getOrElse(-1L), m.map(_._7.toLong).getOrElse(-1L))
+        }.toDF("media_id", "tag", "flags", "n_frames", "n_bytes",
+               "toc_sum", "quality", "channels")
+      },
+      Some("""WITH base AS (
+            |  SELECT r AS id, r % 5 = 4 AS plain, r % 15 + 1 AS fl,
+            |         r % 7 + 1 AS nf
+            |  FROM range(60) t(r))
+            |SELECT id AS media_id,
+            |  CASE WHEN plain THEN 'none'
+            |       WHEN id % 3 = 0 THEN 'Info' ELSE 'Xing' END AS tag,
+            |  CAST(CASE WHEN plain THEN -1 ELSE fl END AS BIGINT) AS flags,
+            |  CAST(CASE WHEN plain OR (fl & 1) = 0 THEN -1
+            |            ELSE nf END AS BIGINT) AS n_frames,
+            |  CAST(CASE WHEN plain OR (fl & 2) = 0 THEN -1
+            |            ELSE 417 * (nf + 1) END AS BIGINT) AS n_bytes,
+            |  CAST(CASE WHEN plain OR (fl & 4) = 0 THEN -1
+            |            ELSE list_sum(list_transform(generate_series(0, 99),
+            |                   k -> (id * 7 + k * 13) % 256))
+            |       END AS BIGINT) AS toc_sum,
+            |  CAST(CASE WHEN plain OR (fl & 8) = 0 THEN -1
+            |            ELSE (id * 11) % 101 END AS BIGINT) AS quality,
+            |  CAST(CASE WHEN plain THEN -1
+            |            WHEN id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+            |    AS channels
+            |FROM base""".stripMargin)),
+
+    // ID3v2.3/2.4 tag FRAME walk (round 15; public id3.org spec): the
+    // frame SIZE field is plain 32-bit BE in v2.3 but SYNCSAFE in v2.4
+    // — the TALB frame is always ≥ 128 bytes so the two encodings
+    // produce different bytes and a wrong-version size walk derails
+    // into the padding check. Text frames carry the ISO-8859-1
+    // encoding byte; the walk stops at padding.
+    ("multimodal_id3v2",
+      (s, dir) => {
+        import s.implicits._
+        s.range(48).flatMap { id =>
+          val parsed = Multimodal.id3v2Frames(Multimodal.id3v2Bytes(id))
+          val (ver, frames) = parsed.get
+          frames.map { case (fid, sz, txt) =>
+            (id, ver.toLong, fid, sz.toLong, txt)
+          }
+        }.toDF("media_id", "ver", "frame_id", "frame_size", "text")
+      },
+      Some("""WITH f AS (
+            |  SELECT r AS id, u.fid,
+            |    CASE u.fid
+            |      WHEN 'TIT2' THEN 'ti' || repeat('t', CAST((r*7) % 5 + 1 AS INT))
+            |      WHEN 'TPE1' THEN 'ar' || repeat('p', CAST((r*11) % 7 + 1 AS INT))
+            |      WHEN 'TALB' THEN repeat('al', CAST(64 + (r % 40) * 2 AS INT))
+            |      ELSE CAST(r % 20 AS VARCHAR) END AS text
+            |  FROM range(48) t(r),
+            |       (VALUES ('TIT2'), ('TPE1'), ('TALB'), ('TRCK')) u(fid))
+            |SELECT id AS media_id,
+            |  CAST(CASE WHEN id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) AS ver,
+            |  fid AS frame_id,
+            |  CAST(LENGTH(text) + 1 AS BIGINT) AS frame_size, text
+            |FROM f""".stripMargin)),
+
     // REAL AAC/ADTS container metadata (round 14): genuine 7-byte ADTS
     // headers — 0xFFF sync with layer '00', profile, sampling_frequency_
     // index (reserved ≥ 13 refuses), channel_configuration split across

@@ -484,6 +484,202 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Xing/Info VBR header metadata (round 15; the de-facto standard
+    * every public MP3 toolchain writes and reads — lame, ffmpeg,
+    * mpg123): the FIRST MPEG frame's data area, immediately after the
+    * side info (MPEG-1: 17 bytes mono / 32 stereo; MPEG-2 LSF: 9 / 17 —
+    * the version×mode OFFSET arithmetic is the real decode content),
+    * carries the magic `Xing` (VBR) or `Info` (CBR), a 4-byte
+    * big-endian flag word (1 = frame count, 2 = byte count, 4 = the
+    * 100-byte seek TOC, 8 = quality), then exactly the flagged fields
+    * in that order. Returns (tag, flags, frames, bytes, tocSum,
+    * quality, channels) with −1 for absent fields; None when the first
+    * frame carries no Xing/Info magic at the correct offset. ID3v2
+    * prefixes are skipped like [[mp3Meta]]. */
+  def mp3XingMeta(bytes: Array[Byte])
+      : Option[(String, Long, Long, Long, Long, Long, Int)] = {
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + size
+    }
+    if (off + 4 > bytes.length) return None
+    val b1 = bytes(off) & 0xff; val b2 = bytes(off + 1) & 0xff
+    val b4 = bytes(off + 3) & 0xff
+    if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+    val version = (b2 >> 3) & 0x3
+    if (version == 1 || ((b2 >> 1) & 0x3) != 1) return None
+    val mono = ((b4 >> 6) & 0x3) == 3
+    val side = if (version == 3) { if (mono) 17 else 32 }
+               else { if (mono) 9 else 17 }
+    var p = off + 4 + side
+    if (p + 8 > bytes.length) return None
+    val tag = new String(bytes.slice(p, p + 4), "ISO-8859-1")
+    if (tag != "Xing" && tag != "Info") return None
+    def be32(q: Int): Long =
+      ((bytes(q) & 0xffL) << 24) | ((bytes(q + 1) & 0xffL) << 16) |
+        ((bytes(q + 2) & 0xffL) << 8) | (bytes(q + 3) & 0xffL)
+    val flags = be32(p + 4)
+    p += 8
+    val need = (if ((flags & 1) != 0) 4 else 0) +
+      (if ((flags & 2) != 0) 4 else 0) +
+      (if ((flags & 4) != 0) 100 else 0) +
+      (if ((flags & 8) != 0) 4 else 0)
+    if (p + need > bytes.length) return None
+    def take4(present: Boolean): Long =
+      if (!present) -1L
+      else { val v = be32(p); p += 4; v }
+    val frames = take4((flags & 1) != 0)
+    val nBytes = take4((flags & 2) != 0)
+    val tocSum =
+      if ((flags & 4) == 0) -1L
+      else {
+        var s = 0L; var k = 0
+        while (k < 100) { s += bytes(p + k) & 0xff; k += 1 }
+        p += 100; s
+      }
+    val quality = take4((flags & 8) != 0)
+    Some((tag, flags, frames, nBytes, tocSum, quality, if (mono) 1 else 2))
+  }
+
+  /** Fixture for [[mp3XingMeta]]: a 44.1 kHz / 128 kbps Layer III
+    * stream whose first frame carries a Xing/Info header — tag, flag
+    * subset (all 15 nonempty subsets cycle), channel mode, and ID3v2
+    * prefix all vary by seed; every fifth seed emits a PLAIN stream
+    * (no VBR header → None). Field values come from closed seed
+    * formulas the oracle replays. */
+  def mp3BytesXing(id: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 417
+    val mono = id % 2 == 0
+    val pad = if (id % 3 == 1) 50 else 0
+    val out = new java.io.ByteArrayOutputStream()
+    if (pad > 0) {
+      out.write(Array('I', 'D', '3', 3, 0, 0).map(_.toByte))
+      out.write(Array(0, 0, (pad >> 7) & 0x7f, pad & 0x7f).map(_.toByte))
+      (0 until pad).foreach(i => out.write(i & 0x7f))
+    }
+    def frameHeader(): Unit = {
+      out.write(0xff); out.write(0xfb); out.write(0x90)
+      out.write(if (mono) 0xc0 else 0x00)
+    }
+    if (id % 5 != 4) {
+      // first frame: side info zeros, then the Xing/Info block
+      frameHeader()
+      val side = if (mono) 17 else 32
+      (0 until side).foreach(_ => out.write(0))
+      val tag = if (id % 3 == 0) "Info" else "Xing"
+      tag.foreach(c => out.write(c.toInt))
+      val flags = (id % 15).toInt + 1
+      out.write(0); out.write(0); out.write(0); out.write(flags)
+      def be32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      if ((flags & 1) != 0) be32(nFrames)
+      if ((flags & 2) != 0) be32(frameLen.toLong * (nFrames + 1))
+      if ((flags & 4) != 0)
+        (0 until 100).foreach(k => out.write(((id * 7 + k * 13) % 256).toInt))
+      if ((flags & 8) != 0) be32((id * 11) % 101)
+      while (out.size % frameLen != (if (pad > 0) (pad + 10) % frameLen
+                                     else 0)) out.write(0)
+    }
+    (0 until nFrames).foreach { f =>
+      frameHeader()
+      (4 until frameLen).foreach(i => out.write((f * 31 + i) & 0x7f))
+    }
+    out.toByteArray
+  }
+
+  /** ID3v2.3 / v2.4 tag FRAME walk (round 15; public id3.org spec —
+    * the metadata layer of nearly every real-world MP3): header `ID3`,
+    * version byte 3 or 4, flags 0, syncsafe tag size; then frames of
+    * 4-char id + size + 2 flag bytes + payload, where the SIZE field is
+    * plain 32-bit big-endian in v2.3 but SYNCSAFE (4×7 bits) in v2.4 —
+    * the version split is the decode content, load-bearing for any
+    * frame ≥ 128 bytes. Text frames (`T...`) carry an encoding byte
+    * (0 = ISO-8859-1) before the text. The walk stops at padding (a
+    * zero byte where a frame id would start) or tag end. Returns
+    * (version, frames as (id, size, text)). */
+  def id3v2Frames(bytes: Array[Byte])
+      : Option[(Int, Seq[(String, Int, String)])] = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+        bytes(2) != '3') return None
+    val ver = bytes(3) & 0xff
+    if (ver != 3 && ver != 4) return None
+    val tagSize = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    val end = math.min(10 + tagSize, bytes.length)
+    var p = 10
+    val frames = Seq.newBuilder[(String, Int, String)]
+    var ok = true
+    while (ok && p + 10 <= end && bytes(p) != 0) {
+      val fid = new String(bytes.slice(p, p + 4), "ISO-8859-1")
+      if (!fid.forall(c => c.isUpper || c.isDigit)) ok = false
+      else {
+        val size =
+          if (ver == 4)
+            ((bytes(p + 4) & 0x7f) << 21) | ((bytes(p + 5) & 0x7f) << 14) |
+              ((bytes(p + 6) & 0x7f) << 7) | (bytes(p + 7) & 0x7f)
+          else
+            ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
+              ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
+        if (p + 10 + size > end || size <= 0) ok = false
+        else {
+          val text =
+            if (fid.startsWith("T") && size >= 1 && bytes(p + 10) == 0)
+              new String(bytes.slice(p + 11, p + 10 + size), "ISO-8859-1")
+            else ""
+          frames += ((fid, size, text))
+          p += 10 + size
+        }
+      }
+    }
+    if (!ok) None else Some((ver, frames.result()))
+  }
+
+  /** Fixture for [[id3v2Frames]]: a v2.3 (even seeds) / v2.4 (odd
+    * seeds) tag with four text frames — TIT2 / TPE1 / TRCK short,
+    * TALB deliberately ≥ 128 bytes so the v2.3-plain vs v2.4-syncsafe
+    * size encodings produce DIFFERENT bytes and a wrong size walk
+    * derails — plus padding, followed by one MPEG frame. */
+  def id3v2Bytes(id: Long): Array[Byte] = {
+    val ver = if (id % 2 == 0) 3 else 4
+    val texts = Seq(
+      "TIT2" -> ("ti" + "t" * ((id * 7) % 5 + 1).toInt),
+      "TPE1" -> ("ar" + "p" * ((id * 11) % 7 + 1).toInt),
+      "TALB" -> ("al" * (64 + (id % 40) * 2).toInt),
+      "TRCK" -> (id % 20).toString)
+    val body = new java.io.ByteArrayOutputStream()
+    texts.foreach { case (fid, txt) =>
+      fid.foreach(c => body.write(c.toInt))
+      val size = txt.length + 1
+      if (ver == 4) {
+        body.write((size >> 21) & 0x7f); body.write((size >> 14) & 0x7f)
+        body.write((size >> 7) & 0x7f); body.write(size & 0x7f)
+      } else {
+        body.write((size >> 24) & 0xff); body.write((size >> 16) & 0xff)
+        body.write((size >> 8) & 0xff); body.write(size & 0xff)
+      }
+      body.write(0); body.write(0) // frame flags
+      body.write(0)                // encoding 0 = ISO-8859-1
+      txt.foreach(c => body.write(c.toInt))
+    }
+    (0 until (id % 30).toInt).foreach(_ => body.write(0)) // padding
+    val b = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array('I', 'D', '3').map(_.toByte))
+    out.write(ver); out.write(0); out.write(0)
+    out.write((b.length >> 21) & 0x7f); out.write((b.length >> 14) & 0x7f)
+    out.write((b.length >> 7) & 0x7f); out.write(b.length & 0x7f)
+    out.write(b)
+    // one real MPEG frame after the tag (offset math composes)
+    out.write(0xff); out.write(0xfb); out.write(0x90); out.write(0xc0)
+    (4 until 417).foreach(i => out.write(i & 0x7f))
+    out.toByteArray
+  }
+
   /** A minimal real FREE-FORMAT MP3 stream (§2.4.2.3, bitrate_index 0):
     * `nFrames` MPEG-1 Layer III 48 kHz mono frames of constant length
     * 300 bytes — the 100 kbps rate the bitrate table cannot express,

@@ -20,6 +20,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "imageMeta" -> (Multimodal.imageMeta(_)),
     "audioMeta" -> (Multimodal.audioMeta(_)),
     "mp3Meta" -> (Multimodal.mp3Meta(_)),
+    "mp3XingMeta" -> (Multimodal.mp3XingMeta(_)),
+    "id3v2Frames" -> (Multimodal.id3v2Frames(_)),
     "aacAdtsMeta" -> (Multimodal.aacAdtsMeta(_)),
     "bmpChannelStats" -> (Multimodal.bmpChannelStats(_)),
     "pngChannelStats" -> (Multimodal.pngChannelStats(_)),
@@ -68,6 +70,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.mpeg1SliceBytes(3, midRow = true),
     Multimodal.mpeg1PResidualBytes(3, bigMotion = true),
     Multimodal.mp3BytesFree(3),
+    Multimodal.layer3Huff12Bytes(3, 2),
+    Multimodal.layer3MixedStereoBytes(3, 2),
+    Multimodal.layer3MixedStereoBytes(3, 2, intensity = true),
+    Multimodal.mp3BytesXing(3, 2),
+    Multimodal.id3v2Bytes(3),
     Multimodal.aacBytes(3, id3Pad = 20, rdb = 1),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
     TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),
