@@ -3649,6 +3649,141 @@ object SystemQueries {
              |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
 
+    // INTENSITY is_pos 6 and 7 (round 15 — the §2.4.3.4.9.3 cases the
+    // %4-slot fixtures never reach): the right channel transmits 3-BIT
+    // scalefactor slots (scomp 13 → slen 3/3), so its high-band is_pos
+    // values span 0..7 — 7 = NO PROCESSING (both channels pass
+    // through), 6 = fully-left (right zeroed, left unchanged), 0..5 =
+    // tan(is_pos·π/12) panning. The slot width itself is load-bearing:
+    // a 2-bit walk would derail the bit account.
+    ("multimodal_mp3_intensity_pos67",
+      (s, dir) => {
+        import s.implicits._
+        s.range(16).flatMap { id =>
+          val nf = (id % 2).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3StereoBytes(id, nf, intensity = true,
+                                         isPos67 = true)).get
+          subs.map(b => (id, b.frame.toLong, b.granule.toLong,
+            b.channel.toLong, b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "granule", "channel", "subband",
+               "s_sum", "s_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g, ch, f * 2 + g AS gidx
+             |       FROM range(16) t(r), range(2) ff(f), range(2) gg(g),
+             |            range(2) cc(ch) WHERE f < r % 2 + 1),
+             |pl AS (SELECT id, f, g, ch, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |              THEN (id*3 + f*7 + g*11 + ch*13 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + g*3 + ch*7 + k*7) % 3 - 1
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           CASE WHEN ch = 1 THEN 8
+             |                ELSE 16 + CAST((id + f + g) % 17 AS INT)
+             |           END - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g, ch, gidx,
+             |         2 * (16 + (id + f + g) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0
+             |                 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)
+             |       WHERE ch = 0),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |bd AS (SELECT *, len(list_filter($l3SfbLit, v -> v <= line)) - 1
+             |         AS band
+             |       FROM ln3),
+             |xr AS (SELECT id, gidx, ch, line, isv,
+             |         isv * POWER(2.0,
+             |           ((id + f*2 + g + ch*3) % 8 - 2)
+             |           - (CASE WHEN ch = 1
+             |              THEN (id + f + band + g*3 + ch*5) % 8
+             |              ELSE (id + f + band + g*3 + ch*5) % 4 END)
+             |           - (CASE WHEN (id + f + g + ch) % 3 = 0
+             |              THEN $l3PretabLit[CAST(band AS INT) + 1] ELSE 0 END)
+             |         ) AS x
+             |       FROM bd),
+             |rm AS (SELECT id, gidx,
+             |         COALESCE(MAX(CASE WHEN ch = 1 AND isv <> 0
+             |                           THEN line END), -1) AS rmax
+             |       FROM xr GROUP BY 1, 2),
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, g2.ch, ll.l AS line,
+             |         COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx, ch FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.ch = g2.ch AND x3.line = ll.l),
+             |proc AS (
+             |  SELECT id, gidx, ch, line,
+             |    CASE WHEN ($l3SfbLit)[CAST(bp AS INT)] > rmax THEN
+             |      CASE WHEN ip = 7 THEN x
+             |           WHEN ip = 6 THEN
+             |             CASE WHEN ch = 0 THEN x ELSE 0.0 END
+             |           WHEN ch = 0 THEN x0 * (rt / (1.0 + rt))
+             |           ELSE x0 * (1.0 / (1.0 + rt)) END
+             |    ELSE x END AS x
+             |  FROM (
+             |    SELECT d.id, d.gidx, d.ch, d.line, d.x, l0.x AS x0, rm.rmax,
+             |      len(list_filter($l3SfbLit, v -> v <= d.line)) AS bp,
+             |      (d.id + d.gidx // 2
+             |       + (len(list_filter($l3SfbLit, v -> v <= d.line)) - 1)
+             |       + (d.gidx % 2) * 3 + 5) % 8 AS ip,
+             |      (${Multimodal.l3IsRatio.mkString("[", ", ", "]")})
+             |        [CAST((d.id + d.gidx // 2
+             |               + (len(list_filter($l3SfbLit, v -> v <= d.line)) - 1)
+             |               + (d.gidx % 2) * 3 + 5) % 8 AS INT) + 1] AS rt
+             |    FROM dense d
+             |    JOIN dense l0 ON l0.id = d.id AND l0.gidx = d.gidx
+             |      AND l0.ch = 0 AND l0.line = d.line
+             |    JOIN rm ON rm.id = d.id AND rm.gidx = d.gidx)),
+             |al AS (
+             |  SELECT d.id, d.gidx, d.ch, d.line,
+             |    CASE
+             |      WHEN d.line % 18 <= 7 AND d.line >= 18 THEN
+             |        d.x * ($l3CsLit)[CAST(d.line % 18 AS INT) + 1]
+             |        + p.x * ($l3CaLit)[CAST(d.line % 18 AS INT) + 1]
+             |      WHEN d.line % 18 >= 10 AND d.line < 558 THEN
+             |        d.x * ($l3CsLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |        - p.x * ($l3CaLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |      ELSE d.x END AS x
+             |  FROM proc d
+             |  LEFT JOIN proc p ON p.id = d.id AND p.gidx = d.gidx
+             |    AND p.ch = d.ch AND p.line =
+             |      CASE WHEN d.line % 18 <= 7 AND d.line >= 18
+             |             THEN d.line - 2 * (d.line % 18) - 1
+             |           WHEN d.line % 18 >= 10 AND d.line < 558
+             |             THEN d.line + 35 - 2 * (d.line % 18)
+             |           ELSE NULL END),
+             |im AS (
+             |  SELECT a.id, a.gidx, a.ch, a.line // 18 AS sb, ii.i,
+             |    list_sum(list(
+             |      a.x * ($l3CtLit)[CAST(ii.i * 18 + a.line % 18 AS INT) + 1]
+             |      ORDER BY a.line))
+             |      * ($l3WinLit)[CAST(ii.i AS INT) + 1] AS zw
+             |  FROM al a CROSS JOIN range(36) ii(i)
+             |  GROUP BY a.id, a.gidx, a.ch, a.line // 18, ii.i),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.ch, h.sb, h.i,
+             |    (h.zw + COALESCE(t3.zw, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM im WHERE i < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, ch, sb, i - 18 AS i, zw
+             |             FROM im WHERE i >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.ch = h.ch
+             |    AND t3.sb = h.sb AND t3.i = h.i)
+             |SELECT id AS media_id, CAST(gidx // 2 AS BIGINT) AS frame,
+             |  CAST(gidx % 2 AS BIGINT) AS granule, CAST(ch AS BIGINT) AS channel,
+             |  CAST(sb AS BIGINT) AS subband,
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
+
     // REAL MPEG-1 VIDEO intra-frame entropy decode, round-trip-proven
     // (ISO 11172-2; the video slice of the stub seam made real): each
     // row carries a genuine I-frame elementary stream — sequence/

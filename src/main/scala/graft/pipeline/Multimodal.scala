@@ -4110,7 +4110,8 @@ object Multimodal {
     * bit-reservoir layout. The decoder must apply the §2.4.3.4.9.1 MS
     * matrix after requantizing both channels of each granule. */
   def layer3StereoBytes(seed: Long, nFrames: Int,
-                        intensity: Boolean = false): Array[Byte] = {
+                        intensity: Boolean = false,
+                        isPos67: Boolean = false): Array[Byte] = {
     val frameLen = 576
     val cap = frameLen - 36 // 4 header + 32 side info
     val out = new Array[Byte](frameLen * nFrames)
@@ -4128,8 +4129,14 @@ object Multimodal {
     // band-limited to lines < 16 with no count1 region.
     def scfsiOf(f: Int, ch: Int): Int =
       if (intensity) 0 else ((seed + f + ch) % 16).toInt
+    // isPos67 (round 15): the RIGHT channel transmits 3-bit slots
+    // (scomp 13 -> slen 3/3), so its high-band is_pos values span 0..7
+    // and exercise the fully-left (6) and no-processing (7) cases.
+    def slenOf(ch: Int): Int = if (isPos67 && ch == 1) 3 else 2
     def sfBase(f: Int, g: Int, band: Int, ch: Int): Int =
-      ((seed + f + band + g * 3 + ch * 5) % 4).toInt
+      if (isPos67 && ch == 1)
+        ((seed + f + band + g * 3 + ch * 5) % 8).toInt
+      else ((seed + f + band + g * 3 + ch * 5) % 4).toInt
     def pairs(f: Int, g: Int, ch: Int): Seq[(Int, Int)] = {
       val n = if (intensity && ch == 1) 8
               else 16 + ((seed + f + g + ch * 2) % 17).toInt
@@ -4158,7 +4165,8 @@ object Multimodal {
       while (band < 21) {
         val group = if (band < 6) 0 else if (band < 11) 1
                     else if (band < 16) 2 else 3
-        if (g == 0 || ((scfsiOf(f, ch) >> (3 - group)) & 1) == 0) n += 2
+        if (g == 0 || ((scfsiOf(f, ch) >> (3 - group)) & 1) == 0)
+          n += slenOf(ch)
         band += 1
       }
       n
@@ -4189,7 +4197,7 @@ object Multimodal {
             if (g == 0 || ((scfsiOf(f, ch) >> (3 - group)) & 1) == 0)
               putPool(sfBase(f, if (g == 1 &&
                 ((scfsiOf(f, ch) >> (3 - group)) & 1) == 1) 0 else g,
-                band, ch), 2)
+                band, ch), slenOf(ch))
             band += 1
           }
           pairs(f, g, ch).foreach { case (x, y) =>
@@ -4230,7 +4238,7 @@ object Multimodal {
           put(sfBits(f, g, ch) + huffBits(f, g, ch), 12)
           put(pairs(f, g, ch).size, 9)
           put(gainOf(f, g, ch), 8)
-          put(9, 4)
+          put(if (isPos67 && ch == 1) 13 else 9, 4)
           put(0, 1)
           put(1, 5); put(1, 5); put(1, 5)
           put(4, 4); put(3, 3)

@@ -49,6 +49,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.layer3LinbitsBytes(3, 2),
     Multimodal.layer3StereoBytes(3, 2),
     Multimodal.layer3StereoBytes(3, 2, intensity = true),
+    Multimodal.layer3StereoBytes(3, 2, intensity = true, isPos67 = true),
     Multimodal.mpeg1IFrameBytes(3, nPictures = 2),
     Multimodal.mpeg1IPBytes(3),
     Multimodal.mpeg1IPBytes(3, withB = true),
