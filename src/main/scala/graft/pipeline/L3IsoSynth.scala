@@ -82,22 +82,46 @@ private[graft] object L3IsoSynth {
     }
   }
 
+  /** GRAFT-SYNTHETIC long-block band geometry for the MPEG-2 LSF rates
+    * (round 15): the LSF side-info/scalefactor MACHINERY (13818-3 one
+    * granule per frame, 8-bit main_data_begin, 9-bit scalefac_compress
+    * with the algorithmic slen/partition derivation) is real and
+    * oracle-verified, but the ISO 13818-3 Annex B band TABLES for
+    * 22.05/24/16 kHz did not pass the recall gate — so all three LSF
+    * rates mount this one clearly-synthetic monotone even-width tiling
+    * of 0..576 (the r13 synthetic-geometry precedent: machinery proven,
+    * data declared). Swapping in real columns is a one-array drop-in. */
+  private val lsfSyntheticLong: Array[Int] =
+    Array(0, 6, 12, 18, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134, 162,
+          196, 236, 282, 334, 392, 456, 526, 576)
+
   /** Table B.8 long-block scalefactor band starts (22 bands + end 576;
-    * band 21 is the no-scalefactor region above the last band). */
+    * band 21 is the no-scalefactor region above the last band). MPEG-1
+    * rates carry the REAL closure-verified columns; the LSF rates carry
+    * [[lsfSyntheticLong]] (declared synthetic). */
   val sfbLong: Map[Int, Array[Int]] = Map(
     44100 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90,
                    110, 134, 162, 196, 238, 288, 342, 418, 576),
     48000 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88,
                    106, 128, 156, 190, 230, 276, 330, 384, 576),
     32000 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102,
-                   126, 156, 194, 240, 296, 364, 448, 550, 576))
+                   126, 156, 194, 240, 296, 364, 448, 550, 576),
+    22050 -> lsfSyntheticLong,
+    24000 -> lsfSyntheticLong,
+    16000 -> lsfSyntheticLong)
 
   /** Table B.8 short-block scalefactor band starts per window (13
     * bands + end 192; band 12 is the no-scalefactor region). */
   val sfbShort: Map[Int, Array[Int]] = Map(
     44100 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
     48000 -> Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
-    32000 -> Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192))
+    32000 -> Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
+    // LSF rates: short/mixed blocks REFUSE at LSF (declared), so these
+    // synthetic entries exist only so the rate lookup is total — the
+    // geometry is never consulted on a decode path.
+    22050 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192),
+    24000 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192),
+    16000 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192))
 
   /** Short-geometry entropy-order position of entropy line `i`
     * (§2.4.3.4.5/§2.4.3.4.8): the entropy stream runs band-major with

@@ -1775,6 +1775,26 @@ object Multimodal {
   private val L3Slen = Array((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1),
     (1, 2), (1, 3), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2),
     (4, 3))
+
+  /** MPEG-2 LSF long-block scalefactor layout (ISO 13818-3 §2.4.3.3,
+    * the non-intensity-channel class; round 15): four slens and four
+    * partition widths derived ALGORITHMICALLY from the 9-bit
+    * scalefac_compress — no table data to recall — and preflag is
+    * `sfc ≥ 500` (the LSF side info transmits no preflag bit). Every
+    * class's partitions tile the 21 long scalefactor bands exactly
+    * (6+5+5+5, 6+5+7+3, 11+10+0+0), a structural closure `L3LsfSpec`
+    * asserts over all 512 sfc values together with slen bounds. */
+  private[graft] def lsfScaleLong(sfc: Int): (Array[Int], Array[Int]) =
+    if (sfc < 400)
+      (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3),
+       Array(6, 5, 5, 5))
+    else if (sfc < 500) {
+      val c = sfc - 400
+      (Array((c >> 2) / 5, (c >> 2) % 5, c & 3, 0), Array(6, 5, 7, 3))
+    } else {
+      val c = sfc - 500
+      (Array(c / 3, c % 3, 0, 0), Array(11, 10, 0, 0))
+    }
   // Long-block scalefactor band start lines at 48 kHz (Table B.8b).
   private val L3Sfb48: Array[Int] = Array(0, 4, 8, 12, 16, 20, 24, 30, 36,
     42, 50, 60, 72, 88, 106, 128, 156, 190, 230, 276, 330, 384, 576)
@@ -2258,26 +2278,34 @@ object Multimodal {
     // is VERIFIED (§2.4.3.1: poly x¹⁶+x¹⁵+x²+1 over header bytes 2–3 +
     // the side info) — a mismatching frame refuses the stream.
     def headerLen(p: Int)
-        : Option[(Int, Int, Boolean, Boolean, Boolean, Int)] = {
+        : Option[(Int, Int, Boolean, Boolean, Boolean, Int, Boolean)] = {
       if (p + 4 > bytes.length) return None
       val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff
       val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
       if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
-      if (((b2 >> 3) & 0x3) != 3 || ((b2 >> 1) & 0x3) != 1) return None
+      // MPEG-1 (version bits 11) since round 14, MPEG-2 LSF (bits 10)
+      // since round 15; MPEG-2.5 (bits 00) stays out of scope
+      val version = (b2 >> 3) & 0x3
+      if ((version != 3 && version != 2) || ((b2 >> 1) & 0x3) != 1)
+        return None
+      val lsf = version == 2
       val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
-      // all three MPEG-1 rates since round 14 (the Table B.8 columns
-      // for 44.1/48/32 kHz are shipped and closure-verified)
       if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
-      val sr = Array(44100, 48000, 32000)(srIdx)
+      val sr = if (lsf) Array(22050, 24000, 16000)(srIdx)
+               else Array(44100, 48000, 32000)(srIdx)
       val mode = (b4 >> 6) & 0x3; val modeExt = (b4 >> 4) & 0x3
       val nch = if (mode == 3) 1 else 2
       val ms = mode == 1 && (modeExt & 2) != 0
       val intens = mode == 1 && (modeExt & 1) != 0
       val prot = (b2 & 1) == 0
-      val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
-                     224, 256, 320)(brIdx)
-      Some((144 * br * 1000 / sr + ((b3 >> 1) & 1), nch, ms, intens,
-            prot, sr))
+      val br =
+        if (lsf) Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                       128, 144, 160)(brIdx)
+        else Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                   224, 256, 320)(brIdx)
+      // LSF frames carry 576 samples (one granule): length = 72·br/sr
+      Some(((if (lsf) 72 else 144) * br * 1000 / sr + ((b3 >> 1) & 1),
+            nch, ms, intens, prot, sr, lsf))
     }
     // Pass 1: frame offsets + the main-data pool (everything after each
     // frame's 4-byte header, optional 2-byte CRC, and 17-byte mono /
@@ -2286,29 +2314,35 @@ object Multimodal {
     var p = 0
     var scanOk = true
     while (scanOk) headerLen(p) match {
-      case Some((len, _, _, _, _, _)) if p + len <= bytes.length =>
+      case Some((len, _, _, _, _, _, _)) if p + len <= bytes.length =>
         frameOff += p; p += len
       case _ => scanOk = false
     }
     val offs = frameOff.result()
     if (offs.isEmpty) return None
     val headers = offs.map(o => headerLen(o).get)
-    def sideBytes(nch: Int): Int = if (nch == 1) 17 else 32
+    // LSF (13818-3) side info is 9/17 bytes (one granule, 8-bit
+    // main_data_begin, 9-bit scalefac_compress, no scfsi, no preflag
+    // bit) vs MPEG-1's 17/32
+    def sideBytes(nch: Int, lsf: Boolean): Int =
+      if (lsf) { if (nch == 1) 9 else 17 }
+      else { if (nch == 1) 17 else 32 }
     def crcBytes(prot: Boolean): Int = if (prot) 2 else 0
     // verify every protected frame's CRC up front
-    offs.zip(headers).foreach { case (o, (_, nch, _, _, prot, _)) =>
+    offs.zip(headers).foreach { case (o, (_, nch, _, _, prot, _, lsfF)) =>
       if (prot) {
         val sb = o + 4 + 2
-        if (sb + sideBytes(nch) > bytes.length) return None
+        if (sb + sideBytes(nch, lsfF) > bytes.length) return None
         val protected_ = bytes.slice(o + 2, o + 4) ++
-          bytes.slice(sb, sb + sideBytes(nch))
+          bytes.slice(sb, sb + sideBytes(nch, lsfF))
         val want = ((bytes(o + 4) & 0xff) << 8) | (bytes(o + 5) & 0xff)
         if (mpegCrc16(protected_, 0, protected_.length) != want)
           return None
       }
     }
-    val pool = offs.zip(headers).flatMap { case (o, (len, nch, _, _, pr, _)) =>
-      bytes.slice(o + 4 + crcBytes(pr) + sideBytes(nch), o + len)
+    val pool = offs.zip(headers).flatMap {
+      case (o, (len, nch, _, _, pr, _, lsfF)) =>
+        bytes.slice(o + 4 + crcBytes(pr) + sideBytes(nch, lsfF), o + len)
     }.toArray
     // one constant sample rate per stream: the scalefactor-band
     // geometry is rate-wide state; a mid-stream rate change refuses
@@ -2327,8 +2361,8 @@ object Multimodal {
       while (b + 1 < sfbS.length && sfbS(b + 1) <= line) b += 1
       b
     }
-    val poolBefore = headers.map { case (len, nch, _, _, pr, _) =>
-      len - 4 - crcBytes(pr) - sideBytes(nch)
+    val poolBefore = headers.map { case (len, nch, _, _, pr, _, lsfF) =>
+      len - 4 - crcBytes(pr) - sideBytes(nch, lsfF)
     }.scanLeft(0)(_ + _)
 
     // bt = block_type (0 long, 1 start, 2 short, 3 stop); mixed =
@@ -2351,7 +2385,7 @@ object Multimodal {
     var f = 0
     while (ok && f < offs.length) {
       val o = offs(f)
-      val (_, nch, ms, intens, prot, _) = headers(f)
+      val (_, nch, ms, intens, prot, _, lsf) = headers(f)
       var sBitPos = (o + 4 + crcBytes(prot)) * 8
       def sbits(n: Int): Int = {
         var v = 0; var i = 0
@@ -2361,12 +2395,18 @@ object Multimodal {
         }
         v
       }
-      val mdb = sbits(9)
-      sbits(if (nch == 1) 5 else 3) // private bits
-      val scfsi = Array.fill(nch)(Array.fill(4)(sbits(1)))
-      val sides = Array.fill(2, nch) {
+      // LSF: 8-bit main_data_begin, 1/2 private bits, NO scfsi, ONE
+      // granule, 9-bit scalefac_compress, preflag DERIVED (sfc >= 500)
+      val mdb = sbits(if (lsf) 8 else 9)
+      sbits(if (lsf) { if (nch == 1) 1 else 2 }
+            else { if (nch == 1) 5 else 3 }) // private bits
+      val scfsi =
+        if (lsf) Array.fill(nch)(Array.fill(4)(0))
+        else Array.fill(nch)(Array.fill(4)(sbits(1)))
+      val ngr = if (lsf) 1 else 2
+      val sides = Array.fill(ngr, nch) {
         val part23 = sbits(12); val bv = sbits(9); val gain = sbits(8)
-        val scomp = sbits(4)
+        val scomp = sbits(if (lsf) 9 else 4)
         val ws = sbits(1)
         if (ws == 1) {
           // window switching (§2.4.1.7): block_type, mixed_block_flag,
@@ -2381,8 +2421,11 @@ object Multimodal {
           val bt = sbits(2); val mixed = sbits(1)
           val tabs = Array(sbits(5), sbits(5))
           val sbg = Array(sbits(3), sbits(3), sbits(3))
-          val pre = sbits(1); val sfs = sbits(1); val c1 = sbits(1)
-          if (bt == 0 || (mixed == 1 && bt != 2)) {
+          val pre = if (lsf) { if (scomp >= 500) 1 else 0 } else sbits(1)
+          val sfs = sbits(1); val c1 = sbits(1)
+          // LSF short/mixed blocks stay declared (their scalefactor
+          // PARTITIONS are separate 13818-3 table rows not yet gated)
+          if (bt == 0 || (mixed == 1 && bt != 2) || (lsf && bt == 2)) {
             ok = false
             Side(0, 0, 0, 0, Array(0), 0, 0, 0, 0, 0)
           } else Side(part23, bv, gain, scomp, tabs, 0, 0, pre, sfs, c1,
@@ -2390,7 +2433,8 @@ object Multimodal {
         } else {
           val tabs = Array(sbits(5), sbits(5), sbits(5))
           val r0 = sbits(4); val r1 = sbits(3)
-          val pre = sbits(1); val sfs = sbits(1); val c1 = sbits(1)
+          val pre = if (lsf) { if (scomp >= 500) 1 else 0 } else sbits(1)
+          val sfs = sbits(1); val c1 = sbits(1)
           Side(part23, bv, gain, scomp, tabs, r0, r1, pre, sfs, c1)
         }
       }
@@ -2425,7 +2469,7 @@ object Multimodal {
             c2 += 1
           }
           var g = 0
-          while (ok && g < 2) {
+          while (ok && g < ngr) {
             val xrCh = Array.ofDim[Double](nch, 576)
             val sfCh = Array.ofDim[Int](nch, 21)
             val sfSCh = Array.ofDim[Int](nch, 12, 3) // short scalefactors
@@ -2443,7 +2487,8 @@ object Multimodal {
                 ok = false
               else {
                 val start = bitPos
-                val (slen1, slen2) = L3Slen(s.scomp)
+                val (slen1, slen2) =
+                  if (lsf) (0, 0) else L3Slen(s.scomp)
                 val short = s.bt == 2
                 val mix = short && s.mixed == 1
                 // scalefactors. Long: per-channel scfsi sharing (groups
@@ -2455,7 +2500,24 @@ object Multimodal {
                 // 18·slen2 bits.
                 val sf = sfCh(ch)
                 val sfS = sfSCh(ch) // kept per channel for intensity is_pos
-                if (mix) {
+                if (lsf) {
+                  // LSF long layout (13818-3 §2.4.3.3): four slens and
+                  // four partition widths derived ALGORITHMICALLY from
+                  // the 9-bit scalefac_compress; the partitions tile the
+                  // 21 long bands exactly in every class (6+5+5+5 /
+                  // 6+5+7+3 / 11+10 — asserted by L3LsfSpec), so the
+                  // read loop covers every band and the bit account
+                  // pins the derivation
+                  val (slens, parts) = lsfScaleLong(s.scomp)
+                  var band = 0; var pi = 0
+                  while (pi < 4) {
+                    var k2 = 0
+                    while (k2 < parts(pi)) {
+                      sf(band) = bits(slens(pi)); band += 1; k2 += 1
+                    }
+                    pi += 1
+                  }
+                } else if (mix) {
                   var band = 0
                   while (band < 8) { sf(band) = bits(slen1); band += 1 }
                   var b2 = 3
@@ -3510,6 +3572,138 @@ object Multimodal {
           put(1, 1)                      // count1 table B
         }
       }
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** MPEG-2 LSF (ISO 13818-3) Layer III fixture (round 15): a mono
+    * 24 kHz / 64 kbps stream — ONE granule per frame (576 samples,
+    * frame length 72·64000/24000 = 192 exactly, no padding), the 9-byte
+    * LSF mono side info (8-bit main_data_begin, 1 private bit, NO
+    * scfsi, NO preflag bit), and a 9-bit scalefac_compress CYCLING all
+    * three 13818-3 slen classes by frame (< 400 / 400–499 / 500–511 —
+    * the third class derives preflag = 1) with TRANSMITTED nonzero
+    * scalefactors through the algorithmic partition layout
+    * ([[lsfScaleLong]]). Granules window-switch start/stop (implicit
+    * line-36 region boundary), table 1 + count1 B, reservoir
+    * back-pointers. Band GEOMETRY at the LSF rates is the declared
+    * GRAFT-SYNTHETIC tiling ([[L3IsoSynth.sfbLong]]) — machinery real,
+    * table data declared. Gains 210 + 4k with integer scalefactor
+    * exponents keep every requantized value dyadic. */
+  def layer3LsfBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 192
+    val cap = frameLen - 13 // 4 header + 9 LSF mono side info
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    def sfcOf(f: Int): Int = (f % 3) match {
+      case 0 => ((seed * 3 + f * 7) % 400).toInt
+      case 1 => 400 + ((seed * 5 + f * 11) % 100).toInt
+      case _ => 500 + ((seed * 7 + f * 13) % 12).toInt
+    }
+    def pairs(f: Int): Seq[(Int, Int)] = {
+      val n = 16 + ((seed + f) % 17).toInt
+      (0 until n).map(k =>
+        ((((seed * 3 + f * 7 + k * 5) % 3) - 1).toInt,
+         (((seed * 5 + f * 11 + k * 7) % 3) - 1).toInt))
+    }
+    def quads(f: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int): Int = 210 + 4 * (((seed + f * 2) % 8).toInt - 2)
+    def btOf(f: Int): Int = if ((seed + f) % 2 == 0) 1 else 3
+    def sfBits(f: Int): Int = {
+      val (slens, parts) = lsfScaleLong(sfcOf(f))
+      (0 until 4).map(i => slens(i) * parts(i)).sum
+    }
+    def huffBits(f: Int): Int = {
+      val pb = pairs(f).map { case (x, y) =>
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+    val mdbs = new Array[Int](nFrames)
+    (0 until nFrames).foreach { f =>
+      val nominal = f * cap
+      val want = if (f == 0) 0 else ((seed * 7 + f * 13) % 40).toInt
+      val avail = nominal - (poolPos + 7) / 8
+      val mdb = math.min(want, math.max(avail, 0))
+      mdbs(f) = mdb
+      val startBit = (nominal - mdb) * 8
+      while (poolPos < startBit) { poolPos += 1 }
+      val (slens, parts) = lsfScaleLong(sfcOf(f))
+      var band = 0
+      (0 until 4).foreach { pi =>
+        (0 until parts(pi)).foreach { _ =>
+          if (slens(pi) > 0)
+            putPool((seed + f + band * 3) % (1L << slens(pi)), slens(pi))
+          band += 1
+        }
+      }
+      pairs(f).foreach { case (x, y) =>
+        val str = if (x == 0 && y == 0) "1"
+                  else if (y == 0) "01"
+                  else if (x == 0) "001" else "000"
+        str.foreach(c => putPool(if (c == '1') 1 else 0, 1))
+        if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+        if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+      }
+      quads(f).foreach { q =>
+        var code = 0
+        q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+        putPool(code, 4)
+        q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      // V2 LSF header: sync + version 10 + Layer III + no CRC; 64 kbps
+      // (LSF bitrate index 8), 24 kHz (sr index 1), no padding, mono
+      put(0xff, 8); put(0xf3, 8); put(0x84, 8); put(0xc0, 8)
+      put(mdbs(f), 8); put(0, 1) // 8-bit main_data_begin + 1 private bit
+      put(sfBits(f) + huffBits(f), 12)
+      put(pairs(f).size, 9)
+      put(gainOf(f), 8)
+      put(sfcOf(f), 9)                   // 9-bit scalefac_compress
+      put(1, 1)                          // window switching
+      put(btOf(f), 2); put(0, 1)         // block_type 1/3, not mixed
+      put(1, 5); put(1, 5)               // table 1 in both regions
+      (0 until 3).foreach(w =>           // inert for long forms
+        put((seed + f + w) % 8, 3))
+      put(1, 1)                          // scalefac_scale 1 (no preflag bit)
+      put(1, 1)                          // count1 table B
       var b = 0
       while (b < cap * 8) {
         if (poolBits(f * cap * 8 + b) == 1)
