@@ -2757,7 +2757,9 @@ object PipelineQueries {
            |           SIN((rel % 9973 + 1) * i * 0.017 + $REL_SEED)
            |         FROM (SELECT DISTINCT rel FROM te) tr CROSS JOIN generate_series(1, $DIM) g(i))
            |SELECT kind, id, CAST(i - 1 AS BIGINT) AS pos,
-           |       CASE WHEN COALESCE(g, 0) = 0 THEN x0
+           |       CASE WHEN COALESCE(g, 0) = 0 THEN
+           |              CAST(CAST(ROUND(x0 * 1000000, 0) AS BIGINT)
+           |                   AS DOUBLE) / 1000000
            |            ELSE CAST(CAST(ROUND(x0 * 1000000, 0) AS BIGINT)
            |                      - CAST(g AS BIGINT) *
            |                        CAST(FLOOR(31250.0 / SQRT(g * g)) AS BIGINT)
@@ -2816,7 +2818,9 @@ object PipelineQueries {
              |gs$k AS (SELECT kind, id, i, SUM(g) AS g FROM ct$k GROUP BY 1, 2, 3),
              |$mvPrev,
              |$c AS MATERIALIZED (SELECT kind, id, i,
-             |         CASE WHEN COALESCE(m, 0) = 0 THEN x
+             |         CASE WHEN COALESCE(m, 0) = 0 THEN
+             |                CAST(CAST(ROUND(x * 1000000, 0) AS BIGINT)
+             |                     AS DOUBLE) / 1000000
              |              ELSE CAST(CAST(ROUND(x * 1000000, 0) AS BIGINT)
              |                        - CAST(SIGN(m) AS BIGINT) *
              |                          CAST(FLOOR(31250.0 * ABS(m) / $bc /

@@ -300,9 +300,15 @@ object Training {
         // the AdaGrad floor-micro step with bias-corrected moments. The
         // expression order is mirrored VERBATIM by the oracle — float
         // associativity is part of the contract.
+        // untouched cells are pinned to the same 1e-6 micro grid the
+        // touched branch starts from (round 15): a raw sin carry-through
+        // differs from DuckDB's SIN at ulp level — 6dp-green but not
+        // bit-exact — and the grid costs nothing since every touched
+        // cell already lives on it
         e = e.join(mv, Seq("kind", "id", "pos"), "left")
           .select(col("kind"), col("id"), col("pos"),
-            when(coalesce(col("m"), lit(0.0)) === 0, col("x"))
+            when(coalesce(col("m"), lit(0.0)) === 0,
+                 round(col("x") * 1e6, 0).cast("long").cast("double") / 1e6)
               .otherwise(
                 (round(col("x") * 1e6, 0).cast("long") -
                   signum(col("m")).cast("long") *
@@ -329,7 +335,8 @@ object Training {
         e = e.join(grads, Seq("kind", "id", "pos"), "left")
           .join(acc, Seq("kind", "id", "pos"), "left")
           .select(col("kind"), col("id"), col("pos"),
-            when(coalesce(col("g"), lit(0.0)) === 0, col("x"))
+            when(coalesce(col("g"), lit(0.0)) === 0,
+                 round(col("x") * 1e6, 0).cast("long").cast("double") / 1e6)
               .otherwise(
                 (round(col("x") * 1e6, 0).cast("long") -
                   col("g").cast("long") *
