@@ -76,6 +76,8 @@ object SystemQueries {
   private val l3SfbLsfLit =
     graft.pipeline.L3IsoSynth.sfbLong(24000).mkString("[", ", ", "]")
 
+
+
   /** Shared CTE replaying the [[Multimodal.layer3HuffRealBytes]] fixture
     * (REAL ISO Huffman tables 7/10/9 + count1 A) down to requantized
     * lines `xr(id, f, g, gidx, line, isv, x)` — used by
@@ -123,6 +125,128 @@ object SystemQueries {
   private val l3W12Lit = Multimodal.l3Win12.mkString("[", ", ", "]")
   private val l3WsaLit = Multimodal.l3WinStart.mkString("[", ", ", "]")
   private val l3WsoLit = Multimodal.l3WinStop.mkString("[", ", ", "]")
+
+  /** The LSF-granule oracle (side-info formulas -> algorithmic slen
+    * partition -> requant on the synthetic LSF geometry -> alias ->
+    * start/stop IMDCT -> frame-crossing overlap-add), shared VERBATIM by
+    * `multimodal_mp3_lsf` (MPEG-2, 24 kHz) and `multimodal_mp3_v25`
+    * (MPEG-2.5, 12 kHz): the V2.5 fixture re-wraps the IDENTICAL granule
+    * payloads at the quarter rate, so the decoded rows are equal by
+    * construction (asserted row-for-row by L3LsfSpec) — the
+    * re-encode-equivalence verification shape. */
+  private val l3LsfOracle: String = s"""WITH gr AS (SELECT r AS id, f, f AS gidx
+             |       FROM range(24) t(r), range(3) ff(f)
+             |       WHERE f < r % 3 + 1),
+             |sc AS (SELECT id, f, gidx,
+             |         CASE f % 3
+             |           WHEN 0 THEN (id*3 + f*7) % 400
+             |           WHEN 1 THEN 400 + (id*5 + f*11) % 100
+             |           ELSE 500 + (id*7 + f*13) % 12 END AS sfc
+             |       FROM gr),
+             |sl AS (SELECT id, f, gidx, sfc,
+             |         CASE WHEN sfc < 400 THEN (sfc // 16) // 5
+             |              WHEN sfc < 500 THEN ((sfc - 400) // 4) // 5
+             |              ELSE (sfc - 500) // 3 END AS s1,
+             |         CASE WHEN sfc < 400 THEN (sfc // 16) % 5
+             |              WHEN sfc < 500 THEN ((sfc - 400) // 4) % 5
+             |              ELSE (sfc - 500) % 3 END AS s2,
+             |         CASE WHEN sfc < 400 THEN (sfc % 16) // 4
+             |              WHEN sfc < 500 THEN (sfc - 400) % 4
+             |              ELSE 0 END AS s3,
+             |         CASE WHEN sfc < 400 THEN sfc % 4 ELSE 0 END AS s4,
+             |         CASE WHEN sfc < 500 THEN 6 ELSE 11 END AS p0,
+             |         CASE WHEN sfc < 500 THEN 5 ELSE 10 END AS p1,
+             |         CASE WHEN sfc < 400 THEN 5
+             |              WHEN sfc < 500 THEN 7 ELSE 0 END AS p2,
+             |         CASE WHEN sfc >= 500 THEN 1 ELSE 0 END AS pre
+             |       FROM sc),
+             |pl AS (SELECT id, f, gidx, 2 * k + j AS line,
+             |         CASE WHEN j = 0 THEN (id*3 + f*7 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + k*7) % 3 - 1 END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           16 + CAST((id + f) % 17 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, gidx,
+             |         2 * (16 + (id + f) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END)
+             |           AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |bd AS (SELECT l.id, l.f, l.gidx, l.line, l.isv,
+             |         len(list_filter($l3SfbLsfLit, v -> v <= l.line)) - 1
+             |           AS band,
+             |         s.s1, s.s2, s.s3, s.s4, s.p0, s.p1, s.p2, s.pre
+             |       FROM ln3 l JOIN sl s
+             |         ON s.id = l.id AND s.gidx = l.gidx),
+             |rq AS (SELECT id, gidx, line, isv, band, pre,
+             |         CASE WHEN band < p0 THEN s1
+             |              WHEN band < p0 + p1 THEN s2
+             |              WHEN band < p0 + p1 + p2 THEN s3
+             |              ELSE s4 END AS slen
+             |       FROM bd),
+             |xr AS (SELECT r2.id, r2.gidx, r2.line,
+             |         r2.isv * POWER(2.0,
+             |           ((r2.id + (r2.gidx) * 2) % 8 - 2)
+             |           - (CASE WHEN r2.slen = 0 THEN 0
+             |              ELSE (r2.id + r2.gidx + r2.band * 3)
+             |                   % (1 << r2.slen) END)
+             |           - r2.pre * ($l3PretabLit)[CAST(r2.band AS INT) + 1]
+             |         ) AS x
+             |       FROM rq r2),
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.line = ll.l),
+             |al AS (
+             |  SELECT d.id, d.gidx, d.line,
+             |    CASE
+             |      WHEN d.line % 18 <= 7 AND d.line >= 18 THEN
+             |        d.x * ($l3CsLit)[CAST(d.line % 18 AS INT) + 1]
+             |        + p.x * ($l3CaLit)[CAST(d.line % 18 AS INT) + 1]
+             |      WHEN d.line % 18 >= 10 AND d.line < 558 THEN
+             |        d.x * ($l3CsLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |        - p.x * ($l3CaLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |      ELSE d.x END AS x
+             |  FROM dense d
+             |  LEFT JOIN dense p ON p.id = d.id AND p.gidx = d.gidx
+             |    AND p.line =
+             |      CASE WHEN d.line % 18 <= 7 AND d.line >= 18
+             |             THEN d.line - 2 * (d.line % 18) - 1
+             |           WHEN d.line % 18 >= 10 AND d.line < 558
+             |             THEN d.line + 35 - 2 * (d.line % 18)
+             |           ELSE NULL END),
+             |im AS (
+             |  SELECT a.id, a.gidx, a.line // 18 AS sb, ii.i,
+             |    list_sum(list(
+             |      a.x * ($l3CtLit)[CAST(ii.i * 18 + a.line % 18 AS INT) + 1]
+             |      ORDER BY a.line))
+             |      * (CASE WHEN (a.id + a.gidx) % 2 = 0
+             |              THEN ($l3WsaLit)[CAST(ii.i AS INT) + 1]
+             |              ELSE ($l3WsoLit)[CAST(ii.i AS INT) + 1] END) AS zw
+             |  FROM al a CROSS JOIN range(36) ii(i)
+             |  GROUP BY a.id, a.gidx, a.line // 18, ii.i),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.sb, h.i,
+             |    (h.zw + COALESCE(t3.zw, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM im WHERE i < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, sb, i - 18 AS i, zw
+             |             FROM im WHERE i >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.sb = h.sb
+             |    AND t3.i = h.i)
+             |SELECT id AS media_id, CAST(gidx AS BIGINT) AS frame,
+             |  CAST(sb AS BIGINT) AS subband,
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, sb""".stripMargin
 
   /** CTE chain id/f/g/gidx → requantized frequency lines `xr(line, x)`:
     * big-values pairs + count1 quadruples by the fixture formulas, then
@@ -2488,119 +2612,27 @@ object SystemQueries {
             b.sSum, b.sMsq))
         }.toDF("media_id", "frame", "subband", "s_sum", "s_msq")
       },
-      Some(s"""WITH gr AS (SELECT r AS id, f, f AS gidx
-             |       FROM range(24) t(r), range(3) ff(f)
-             |       WHERE f < r % 3 + 1),
-             |sc AS (SELECT id, f, gidx,
-             |         CASE f % 3
-             |           WHEN 0 THEN (id*3 + f*7) % 400
-             |           WHEN 1 THEN 400 + (id*5 + f*11) % 100
-             |           ELSE 500 + (id*7 + f*13) % 12 END AS sfc
-             |       FROM gr),
-             |sl AS (SELECT id, f, gidx, sfc,
-             |         CASE WHEN sfc < 400 THEN (sfc // 16) // 5
-             |              WHEN sfc < 500 THEN ((sfc - 400) // 4) // 5
-             |              ELSE (sfc - 500) // 3 END AS s1,
-             |         CASE WHEN sfc < 400 THEN (sfc // 16) % 5
-             |              WHEN sfc < 500 THEN ((sfc - 400) // 4) % 5
-             |              ELSE (sfc - 500) % 3 END AS s2,
-             |         CASE WHEN sfc < 400 THEN (sfc % 16) // 4
-             |              WHEN sfc < 500 THEN (sfc - 400) % 4
-             |              ELSE 0 END AS s3,
-             |         CASE WHEN sfc < 400 THEN sfc % 4 ELSE 0 END AS s4,
-             |         CASE WHEN sfc < 500 THEN 6 ELSE 11 END AS p0,
-             |         CASE WHEN sfc < 500 THEN 5 ELSE 10 END AS p1,
-             |         CASE WHEN sfc < 400 THEN 5
-             |              WHEN sfc < 500 THEN 7 ELSE 0 END AS p2,
-             |         CASE WHEN sfc >= 500 THEN 1 ELSE 0 END AS pre
-             |       FROM sc),
-             |pl AS (SELECT id, f, gidx, 2 * k + j AS line,
-             |         CASE WHEN j = 0 THEN (id*3 + f*7 + k*5) % 3 - 1
-             |              ELSE (id*5 + f*11 + k*7) % 3 - 1 END AS isv
-             |       FROM gr,
-             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
-             |           16 + CAST((id + f) % 17 AS INT) - 1)) AS k) u,
-             |         range(2) jj(j)),
-             |q1 AS (SELECT id, f, gidx,
-             |         2 * (16 + (id + f) % 17) + 4 * q + j AS line,
-             |         ((id*(j+2) + f*3 + q*7) % 2) *
-             |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END)
-             |           AS isv
-             |       FROM gr,
-             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
-             |           4 + CAST((id + f*2) % 5 AS INT) - 1)) AS q) uu,
-             |         range(4) jj(j)),
-             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
-             |bd AS (SELECT l.id, l.f, l.gidx, l.line, l.isv,
-             |         len(list_filter($l3SfbLsfLit, v -> v <= l.line)) - 1
-             |           AS band,
-             |         s.s1, s.s2, s.s3, s.s4, s.p0, s.p1, s.p2, s.pre
-             |       FROM ln3 l JOIN sl s
-             |         ON s.id = l.id AND s.gidx = l.gidx),
-             |rq AS (SELECT id, gidx, line, isv, band, pre,
-             |         CASE WHEN band < p0 THEN s1
-             |              WHEN band < p0 + p1 THEN s2
-             |              WHEN band < p0 + p1 + p2 THEN s3
-             |              ELSE s4 END AS slen
-             |       FROM bd),
-             |xr AS (SELECT r2.id, r2.gidx, r2.line,
-             |         r2.isv * POWER(2.0,
-             |           ((r2.id + (r2.gidx) * 2) % 8 - 2)
-             |           - (CASE WHEN r2.slen = 0 THEN 0
-             |              ELSE (r2.id + r2.gidx + r2.band * 3)
-             |                   % (1 << r2.slen) END)
-             |           - r2.pre * ($l3PretabLit)[CAST(r2.band AS INT) + 1]
-             |         ) AS x
-             |       FROM rq r2),
-             |dense AS (
-             |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
-             |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
-             |  CROSS JOIN range(576) ll(l)
-             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
-             |    AND x3.line = ll.l),
-             |al AS (
-             |  SELECT d.id, d.gidx, d.line,
-             |    CASE
-             |      WHEN d.line % 18 <= 7 AND d.line >= 18 THEN
-             |        d.x * ($l3CsLit)[CAST(d.line % 18 AS INT) + 1]
-             |        + p.x * ($l3CaLit)[CAST(d.line % 18 AS INT) + 1]
-             |      WHEN d.line % 18 >= 10 AND d.line < 558 THEN
-             |        d.x * ($l3CsLit)[CAST(17 - d.line % 18 AS INT) + 1]
-             |        - p.x * ($l3CaLit)[CAST(17 - d.line % 18 AS INT) + 1]
-             |      ELSE d.x END AS x
-             |  FROM dense d
-             |  LEFT JOIN dense p ON p.id = d.id AND p.gidx = d.gidx
-             |    AND p.line =
-             |      CASE WHEN d.line % 18 <= 7 AND d.line >= 18
-             |             THEN d.line - 2 * (d.line % 18) - 1
-             |           WHEN d.line % 18 >= 10 AND d.line < 558
-             |             THEN d.line + 35 - 2 * (d.line % 18)
-             |           ELSE NULL END),
-             |im AS (
-             |  SELECT a.id, a.gidx, a.line // 18 AS sb, ii.i,
-             |    list_sum(list(
-             |      a.x * ($l3CtLit)[CAST(ii.i * 18 + a.line % 18 AS INT) + 1]
-             |      ORDER BY a.line))
-             |      * (CASE WHEN (a.id + a.gidx) % 2 = 0
-             |              THEN ($l3WsaLit)[CAST(ii.i AS INT) + 1]
-             |              ELSE ($l3WsoLit)[CAST(ii.i AS INT) + 1] END) AS zw
-             |  FROM al a CROSS JOIN range(36) ii(i)
-             |  GROUP BY a.id, a.gidx, a.line // 18, ii.i),
-             |ov AS (
-             |  SELECT h.id, h.gidx, h.sb, h.i,
-             |    (h.zw + COALESCE(t3.zw, 0.0)) *
-             |      (CASE WHEN h.sb % 2 = 1 AND h.i % 2 = 1
-             |            THEN -1.0 ELSE 1.0 END) AS v
-             |  FROM (SELECT * FROM im WHERE i < 18) h
-             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, sb, i - 18 AS i, zw
-             |             FROM im WHERE i >= 18) t3
-             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.sb = h.sb
-             |    AND t3.i = h.i)
-             |SELECT id AS media_id, CAST(gidx AS BIGINT) AS frame,
-             |  CAST(sb AS BIGINT) AS subband,
-             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
-             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
-             |FROM ov GROUP BY id, gidx, sb""".stripMargin)),
+      Some(l3LsfOracle)),
+
+    // MPEG-2.5 (round 15; the de-facto quarter-rate extension every
+    // public decoder ships — version bits 00, 11.025/12/8 kHz, the same
+    // LSF frame layout): the fixture re-wraps the IDENTICAL LSF granule
+    // payloads at 12 kHz (frame length 72·64000/12000 = 384), so the
+    // decoded rows equal multimodal_mp3_lsf's by construction and the
+    // oracle is shared VERBATIM — re-encode equivalence; L3LsfSpec
+    // asserts the row-for-row decode equality.
+    ("multimodal_mp3_v25",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3LsfBytes(id, nf, v25 = true)).get
+          subs.map(b => (id, b.frame.toLong, b.subband.toLong,
+            b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "subband", "s_sum", "s_msq")
+      },
+      Some(l3LsfOracle)),
 
     // REAL MP3 MIXED-BLOCK form (block_type 2 / mixed_block_flag 1) —
     // the LAST window-switching variant: two LONG subbands below

@@ -108,7 +108,10 @@ private[graft] object L3IsoSynth {
                    126, 156, 194, 240, 296, 364, 448, 550, 576),
     22050 -> lsfSyntheticLong,
     24000 -> lsfSyntheticLong,
-    16000 -> lsfSyntheticLong)
+    16000 -> lsfSyntheticLong,
+    11025 -> lsfSyntheticLong,
+    12000 -> lsfSyntheticLong,
+    8000 -> lsfSyntheticLong)
 
   /** Table B.8 short-block scalefactor band starts per window (13
     * bands + end 192; band 12 is the no-scalefactor region). */
@@ -121,7 +124,10 @@ private[graft] object L3IsoSynth {
     // geometry is never consulted on a decode path.
     22050 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192),
     24000 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192),
-    16000 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192))
+    16000 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192),
+    11025 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192),
+    12000 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192),
+    8000 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192))
 
   /** Short-geometry entropy-order position of entropy line `i`
     * (§2.4.3.4.5/§2.4.3.4.8): the entropy stream runs band-major with

@@ -2284,15 +2284,18 @@ object Multimodal {
       val b3 = bytes(p + 2) & 0xff; val b4 = bytes(p + 3) & 0xff
       if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
       // MPEG-1 (version bits 11) since round 14, MPEG-2 LSF (bits 10)
-      // since round 15; MPEG-2.5 (bits 00) stays out of scope
+      // and the de-facto MPEG-2.5 extension (bits 00, quarter rates,
+      // same LSF frame layout) since round 15; bits 01 are reserved
       val version = (b2 >> 3) & 0x3
-      if ((version != 3 && version != 2) || ((b2 >> 1) & 0x3) != 1)
-        return None
-      val lsf = version == 2
+      if (version == 1 || ((b2 >> 1) & 0x3) != 1) return None
+      val lsf = version != 3
       val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 0x3
       if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
-      val sr = if (lsf) Array(22050, 24000, 16000)(srIdx)
-               else Array(44100, 48000, 32000)(srIdx)
+      val sr = version match {
+        case 3 => Array(44100, 48000, 32000)(srIdx)
+        case 2 => Array(22050, 24000, 16000)(srIdx)
+        case _ => Array(11025, 12000, 8000)(srIdx)
+      }
       val mode = (b4 >> 6) & 0x3; val modeExt = (b4 >> 4) & 0x3
       val nch = if (mode == 3) 1 else 2
       val ms = mode == 1 && (modeExt & 2) != 0
@@ -3597,8 +3600,16 @@ object Multimodal {
     * GRAFT-SYNTHETIC tiling ([[L3IsoSynth.sfbLong]]) — machinery real,
     * table data declared. Gains 210 + 4k with integer scalefactor
     * exponents keep every requantized value dyadic. */
-  def layer3LsfBytes(seed: Long, nFrames: Int): Array[Byte] = {
-    val frameLen = 192
+  def layer3LsfBytes(seed: Long, nFrames: Int,
+                     v25: Boolean = false): Array[Byte] = {
+    // v25 = true emits the identical granule payloads as MPEG-2.5 at
+    // 12 kHz (version bits 00, frame length 72·64000/12000 = 384):
+    // the decoded values are IDENTICAL by construction (the synthetic
+    // LSF geometry is rate-shared and every formula depends only on
+    // (seed, f)), so the V2.5 row reuses this fixture's oracle verbatim
+    // and a spec asserts row-for-row decode equality — the
+    // re-encode-equivalence verification shape.
+    val frameLen = if (v25) 384 else 192
     val cap = frameLen - 13 // 4 header + 9 LSF mono side info
     val out = new Array[Byte](frameLen * nFrames)
     val poolBits = new Array[Byte](cap * nFrames * 8)
@@ -3689,9 +3700,11 @@ object Multimodal {
           bitPos += 1; i -= 1
         }
       }
-      // V2 LSF header: sync + version 10 + Layer III + no CRC; 64 kbps
-      // (LSF bitrate index 8), 24 kHz (sr index 1), no padding, mono
-      put(0xff, 8); put(0xf3, 8); put(0x84, 8); put(0xc0, 8)
+      // V2 LSF header: sync + version 10 (V2.5: 00) + Layer III + no
+      // CRC; 64 kbps (LSF bitrate index 8), 24 kHz / 12 kHz (sr index
+      // 1), no padding, mono
+      put(0xff, 8); put(if (v25) 0xe3 else 0xf3, 8)
+      put(0x84, 8); put(0xc0, 8)
       put(mdbs(f), 8); put(0, 1) // 8-bit main_data_begin + 1 private bit
       put(sfBits(f) + huffBits(f), 12)
       put(pairs(f).size, 9)

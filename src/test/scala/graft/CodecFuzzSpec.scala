@@ -76,6 +76,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.layer3MixedStereoBytes(3, 2, intensity = true),
     Multimodal.mp3BytesXing(3, 2),
     Multimodal.layer3LsfBytes(3, 2),
+    Multimodal.layer3LsfBytes(3, 2, v25 = true),
     Multimodal.id3v2Bytes(3),
     Multimodal.aacBytes(3, id3Pad = 20, rdb = 1),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),

@@ -18,7 +18,7 @@ class L3IsoSynthSpec extends AnyFunSuite {
 
   test("Table B.8 long columns tile 0..576 with even nondecreasing widths") {
     assert(L3IsoSynth.sfbLong.keySet ==
-      Set(32000, 44100, 48000, 22050, 24000, 16000))
+      Set(32000, 44100, 48000, 22050, 24000, 16000, 11025, 12000, 8000))
     // the MPEG-1 columns are REAL closure-verified data; the three LSF
     // keys share one declared-synthetic array (round 15) and still must
     // satisfy the same structural closure
@@ -42,7 +42,7 @@ class L3IsoSynthSpec extends AnyFunSuite {
 
   test("Table B.8 short columns tile 0..192 with even nondecreasing widths") {
     assert(L3IsoSynth.sfbShort.keySet ==
-      Set(32000, 44100, 48000, 22050, 24000, 16000))
+      Set(32000, 44100, 48000, 22050, 24000, 16000, 11025, 12000, 8000))
     L3IsoSynth.sfbShort.foreach { case (sr, b) =>
       assert(b.length == 14, s"$sr entries")
       assert(b.head == 0 && b.last == 192, s"$sr ends")

@@ -62,10 +62,25 @@ class L3LsfSpec extends AnyFunSuite {
     shortBt(10) = ((shortBt(10) & 0x3f) | 0x80).toByte // bt 1/3 → 2
     assert(Multimodal.layer3DecodeFull(shortBt).isEmpty,
       "LSF short block must refuse (declared)")
-    // MPEG-2.5 (version bits 00) stays out of scope
-    val v25 = ok.clone()
-    v25(1) = (v25(1) & ~0x18).toByte
-    assert(Multimodal.layer3DecodeFull(v25).isEmpty)
+    // MPEG-2.5 (round 15): decodes, and the quarter-rate re-wrap of
+    // the SAME granule payloads decodes to IDENTICAL rows — the
+    // re-encode-equivalence check that lets multimodal_mp3_v25 share
+    // multimodal_mp3_lsf's oracle verbatim
+    (0 until 8).foreach { id =>
+      val nf = (id % 3) + 1
+      val a = Multimodal.layer3DecodeFull(
+        Multimodal.layer3LsfBytes(id.toLong, nf))
+      val b = Multimodal.layer3DecodeFull(
+        Multimodal.layer3LsfBytes(id.toLong, nf, v25 = true))
+      assert(b.isDefined, s"id=$id V2.5 decode failed")
+      assert(b.get._1.sampleRate == 12000)
+      assert(a.get._2 == b.get._2 && a.get._3 == b.get._3,
+        s"id=$id V2/V2.5 decode mismatch")
+    }
+    // reserved version bits 01 refuse
+    val vres = ok.clone()
+    vres(1) = ((vres(1) & ~0x18) | 0x08).toByte
+    assert(Multimodal.layer3DecodeFull(vres).isEmpty)
     // a V1 frame following an LSF frame: the sample rates differ, so
     // the rate-wide-geometry refusal fires
     val mixed = Multimodal.layer3LsfBytes(3L, 1) ++
