@@ -2634,6 +2634,92 @@ object PipelineQueries {
              |        ELSE '' END) AS norm_url
              |FROM px""".stripMargin)),
 
+    // HTML → text extraction (round 15; the boilerplate-removal stage a
+    // WARC pipeline runs on every crawl response): script/style/comment
+    // stripping, entity decoding (named + decimal + hex), block
+    // segmentation at block-level tags with INLINE <a> flowing, per-
+    // block EXACT-INTEGER link/total char counts and the link-density
+    // keep rule in integer form (2·link ≤ total ∧ total ≥ 20). The
+    // fixture's five blocks cover: an all-link nav (dropped by
+    // density), a long content div with a decimal entity (kept), a
+    // too-short p (dropped), a mixed text+link div (keep is
+    // data-dependent — both outcomes occur across ids), and a content p
+    // with a hex entity (kept); <title> with an entity is captured
+    // separately; the script body contains a bare '<'.
+    ("text_html_extract",
+      (s, dir) => {
+        import s.implicits._
+        def words(id: Long, p: Int, n: Int): String =
+          (0 until n).map(k => s"w${(id * 7 + p * 11 + k * 13) % 97}")
+            .mkString(" ")
+        val docs = s.range(48).map { id =>
+          val html =
+            s"<html><head><title>Doc $id &amp; co</title>" +
+            s"<style>.c{color:#000}</style><script>var i=$id<9;</script>" +
+            "</head><body>" +
+            s"""<nav><a href="/a">${words(id, 0, 3)}</a> """ +
+            s"""<a href="/b">${words(id, 1, 2)}</a></nav>""" +
+            s"<div>${words(id, 2, 12 + (id % 9).toInt)} &#33;</div>" +
+            s"<p>${words(id, 3, 2)}</p>" +
+            s"""<div>${words(id, 4, 4)} <a href="/c">${
+              words(id, 5, 6)}</a></div>""" +
+            "<!-- <p>ghost</p> -->" +
+            s"<p>${words(id, 6, 10 + (id % 5).toInt)} &#x41;Z</p>" +
+            "</body></html>"
+          (id, html)
+        }.toDF("doc_id", "html")
+        graft.pipeline.TextOps.htmlBlocks(docs, "doc_id", "html")
+          .select(col("id").as("doc_id"), col("title"), col("block_idx"),
+                  col("block_text"), col("n_chars"), col("link_chars"),
+                  col("keep"))
+      },
+      Some("""WITH ids AS (SELECT r AS id FROM range(48) t(r)),
+            |w AS (SELECT id, p, n,
+            |        array_to_string(list_transform(
+            |          generate_series(0, n - 1),
+            |          k -> 'w' || ((id*7 + p*11 + k*13) % 97)), ' ') AS t
+            |      FROM ids, (VALUES (0, 3), (1, 2), (2, 0), (3, 2),
+            |                        (4, 4), (5, 6), (6, 0)) pp(p, n0),
+            |        LATERAL (SELECT CASE p WHEN 2 THEN 12 + CAST(id % 9 AS INT)
+            |                               WHEN 6 THEN 10 + CAST(id % 5 AS INT)
+            |                               ELSE n0 END AS n) nn),
+            |blk AS (
+            |  SELECT id, 0 AS block_idx,
+            |    (SELECT t FROM w x WHERE x.id = b.id AND x.p = 0) || ' ' ||
+            |    (SELECT t FROM w x WHERE x.id = b.id AND x.p = 1) AS text,
+            |    LENGTH((SELECT t FROM w x WHERE x.id = b.id AND x.p = 0)) +
+            |    LENGTH((SELECT t FROM w x WHERE x.id = b.id AND x.p = 1))
+            |      AS link_chars
+            |  FROM ids b
+            |  UNION ALL
+            |  SELECT id, 1,
+            |    (SELECT t FROM w x WHERE x.id = b.id AND x.p = 2) || ' !',
+            |    0
+            |  FROM ids b
+            |  UNION ALL
+            |  SELECT id, 2,
+            |    (SELECT t FROM w x WHERE x.id = b.id AND x.p = 3), 0
+            |  FROM ids b
+            |  UNION ALL
+            |  SELECT id, 3,
+            |    (SELECT t FROM w x WHERE x.id = b.id AND x.p = 4) || ' ' ||
+            |    (SELECT t FROM w x WHERE x.id = b.id AND x.p = 5),
+            |    LENGTH((SELECT t FROM w x WHERE x.id = b.id AND x.p = 5))
+            |  FROM ids b
+            |  UNION ALL
+            |  SELECT id, 4,
+            |    (SELECT t FROM w x WHERE x.id = b.id AND x.p = 6) || ' AZ',
+            |    0
+            |  FROM ids b)
+            |SELECT id AS doc_id,
+            |  'Doc ' || id || ' & co' AS title,
+            |  CAST(block_idx AS BIGINT) AS block_idx,
+            |  text AS block_text,
+            |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+            |  CAST(link_chars AS BIGINT) AS link_chars,
+            |  LENGTH(text) >= 20 AND 2 * link_chars <= LENGTH(text) AS keep
+            |FROM blk""".stripMargin)),
+
     ("text_scrub",
       (s, dir) => graft.pipeline.TextOps.scrub(
         t(s, dir, "events"), "event_id", "props",

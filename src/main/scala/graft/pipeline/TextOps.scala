@@ -700,4 +700,141 @@ object TextOps {
       })
       .toDF("id", "n_raw_bytes", "text", "n_bytes", "n_chars", "truncated")
   }
+
+  /** Block-level HTML tags: opening or closing one ends the current
+    * text block (inline tags — `<a>`, `<b>`, `<span>`, … — do not). */
+  private val htmlBlockTags: Set[String] = Set(
+    "p", "div", "br", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul",
+    "ol", "table", "tr", "td", "th", "section", "article", "header",
+    "footer", "nav", "aside", "main", "blockquote", "pre", "title",
+    "body", "head", "html", "hr", "form")
+
+  /** HTML → text extraction (round 15): the boilerplate-removal stage a
+    * WARC→training-data pipeline runs on every crawl response
+    * (jusText/trafilatura-class heuristics, partition-local linear
+    * scan — the codec-seam discipline, never throws on malformed
+    * markup). Strips `<script>`/`<style>` payloads and comments,
+    * decodes entities (amp/lt/gt/quot/apos/nbsp + decimal `&#NN;` and
+    * hex `&#xHH;`), segments text into blocks at block-level tags
+    * (inline tags like `<a>` keep flowing), captures `<title>`
+    * separately, and per block counts EXACT INTEGER link/total chars —
+    * the cross-engine contract: `linkChars` = decoded characters that
+    * arrived inside `<a>…</a>`, `totalChars` = length of the
+    * trimmed block text, `keep` = totalChars ≥ 20 ∧ 2·linkChars ≤
+    * totalChars (the link-density boilerplate rule in exact integer
+    * form — no float densities to wobble). */
+  def htmlExtract(html: String)
+      : (String, Seq[(String, Long, Long, Boolean)]) = {
+    if (html == null) return ("", Seq.empty)
+    val blocks = Seq.newBuilder[(String, Long, Long, Boolean)]
+    val cur = new StringBuilder
+    var curLink = 0L
+    val titleSb = new StringBuilder
+    var inTitle = false
+    var inLink = false
+    var i = 0
+    val n = html.length
+    def flush(): Unit = {
+      val t = cur.toString.trim
+      if (t.nonEmpty) {
+        val tot = t.length.toLong
+        blocks += ((t, tot, curLink, tot >= 20 && 2 * curLink <= tot))
+      }
+      cur.clear(); curLink = 0L
+    }
+    def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+    lazy val lhtml = lower(html) // computed once, only if script/style occurs
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val e = html.indexOf('>', i + 1)
+          if (e < 0) { i = n } // unterminated tag: stop (fuzz-safe)
+          else {
+            val inner = html.substring(i + 1, e)
+            val closing = inner.startsWith("/")
+            val name = lower(inner.dropWhile(_ == '/')
+              .takeWhile(ch => ch.isLetterOrDigit))
+            i = e + 1
+            if (!closing && (name == "script" || name == "style")) {
+              val close = s"</$name"
+              val ci = lhtml.indexOf(close, i)
+              i = if (ci < 0) n
+                  else math.max(i, html.indexOf('>', ci) match {
+                    case -1 => n
+                    case x  => x + 1
+                  })
+            } else if (name == "a") {
+              inLink = !closing
+            } else if (htmlBlockTags.contains(name)) {
+              flush()
+              if (name == "title") inTitle = !closing
+            }
+          }
+        }
+      } else if (c == '&') {
+        val e = html.indexOf(';', i + 1)
+        val decoded: Option[String] =
+          if (e < 0 || e - i > 10) None
+          else {
+            val ent = html.substring(i + 1, e)
+            ent match {
+              case "amp"  => Some("&")
+              case "lt"   => Some("<")
+              case "gt"   => Some(">")
+              case "quot" => Some("\"")
+              case "apos" => Some("'")
+              case "nbsp" => Some(" ")
+              case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+                try Some(Integer.parseInt(ent.drop(2), 16).toChar.toString)
+                catch { case _: Exception => None }
+              case _ if ent.startsWith("#") =>
+                try Some(Integer.parseInt(ent.drop(1)).toChar.toString)
+                catch { case _: Exception => None }
+              case _ => None
+            }
+          }
+        decoded match {
+          case Some(d) =>
+            if (inTitle) titleSb.append(d)
+            else { cur.append(d); if (inLink) curLink += d.length }
+            i = e + 1
+          case None =>
+            if (inTitle) titleSb.append(c)
+            else { cur.append(c); if (inLink) curLink += 1 }
+            i += 1
+        }
+      } else {
+        if (inTitle) titleSb.append(c)
+        else { cur.append(c); if (inLink) curLink += 1 }
+        i += 1
+      }
+    }
+    flush()
+    (titleSb.toString.trim, blocks.result())
+  }
+
+  /** DataFrame face of [[htmlExtract]]: one row per text block —
+    * (id, title, block_idx, block_text, n_chars, link_chars, keep).
+    * Partition-local flatMap, no shuffle; at 100 TB this runs where the
+    * WARC bytes already sit, exactly like [[warcCorpus]]. */
+  def htmlBlocks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+                col(htmlCol).cast("string").as("h"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, h) =>
+        val (title, bs) = htmlExtract(h)
+        bs.zipWithIndex.map { case ((t, tot, lk, keep), bi) =>
+          (id, title, bi.toLong, t, tot, lk, keep)
+        }
+      })
+      .toDF("id", "title", "block_idx", "block_text", "n_chars",
+            "link_chars", "keep")
+  }
 }

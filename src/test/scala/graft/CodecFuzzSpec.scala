@@ -39,6 +39,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "webpMeta" -> (Multimodal.webpMeta(_)),
     "flacMeta" -> (Multimodal.flacMeta(_)),
     "gunzipEx" -> (TextOps.gunzipEx(_)),
+    "htmlExtract" -> ((b: Array[Byte]) =>
+      TextOps.htmlExtract(new String(b, "UTF-8"))),
     "warcRecords" -> (TextOps.warcRecords(_)))
 
   private def validStreams: Seq[Array[Byte]] = Seq(
@@ -81,6 +83,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.aacBytes(3, id3Pad = 20, rdb = 1),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
     TextOps.gzip("fuzz corpus payload".getBytes("UTF-8")),
+    ("<html><body><div>fuzz <a href=x>l</a> &amp; &#65; <script>a<b" +
+     "</script><p>tail</p>").getBytes("UTF-8"),
     TextOps.warcBytes(Seq(("response", "http://x/1", "hello"))))
 
   private def check(name: String, fn: Array[Byte] => Any,
