@@ -46,7 +46,11 @@ object Bench {
     "dq_report", "ts_resample_locf", "q_graph_lpa", "sketch_hll_merge",
     // round-14 additions: the composed pipeline and the end-to-end
     // real-table MP3 PCM chain
-    "pipeline_end_to_end", "multimodal_mp3_pcm")
+    "pipeline_end_to_end", "multimodal_mp3_pcm",
+    // round-15 additions: the new stereo/LSF decode chains and the
+    // HTML boilerplate-removal stage
+    "multimodal_mp3_intensity_mixed", "multimodal_mp3_lsf",
+    "text_html_extract")
 
   /** 1-minute system load average (or -1 when the platform hides it):
     * the sandbox CPU-throttles under sustained load (NOTES.md — the same
