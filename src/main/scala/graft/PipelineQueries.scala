@@ -2720,6 +2720,70 @@ object PipelineQueries {
             |  LENGTH(text) >= 20 AND 2 * link_chars <= LENGTH(text) AS keep
             |FROM blk""".stripMargin)),
 
+    // Charset sniffing (round 15; the encoding stage before any text
+    // op — strict UTF-8 else Latin-1 fallback): the six byte classes
+    // cover pure ASCII, 2-byte and 3+4-byte valid UTF-8 (astral char —
+    // code-point counting, not UTF-16 units), a truncated lead, an
+    // OVERLONG encoding (C0 AF must be invalid per RFC 3629 — the
+    // validator-correctness crux), and a stray continuation byte.
+    // Latin-1 maps byte k to code point k, so the fallback text and
+    // the bad-byte counts are exact integers/strings in both engines.
+    ("text_charset_sniff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = s.range(48).map { id =>
+          val tail = s" d$id"
+          val b = (id % 6) match {
+            case 0 => s"doc $id plain".getBytes("US-ASCII")
+            case 1 => ("caf".getBytes("US-ASCII") :+ 0xc3.toByte :+
+                       0xa9.toByte) ++ tail.getBytes("US-ASCII")
+            case 2 => ("x".getBytes("US-ASCII") ++
+                       Array(0xe2, 0x82, 0xac).map(_.toByte) ++
+                       Array(0xf0, 0x9d, 0x84, 0x9e).map(_.toByte)) ++
+                      tail.getBytes("US-ASCII")
+            case 3 => ("ab".getBytes("US-ASCII") :+ 0xc3.toByte) ++
+                      s"cd$id".getBytes("US-ASCII")
+            case 4 => ("p".getBytes("US-ASCII") ++
+                       Array(0xc0, 0xaf).map(_.toByte)) ++
+                      s"q$id".getBytes("US-ASCII")
+            case _ => ("r".getBytes("US-ASCII") :+ 0xa9.toByte) ++
+                      s"s$id".getBytes("US-ASCII")
+          }
+          (id, b)
+        }.toDF("doc_id", "raw")
+        graft.pipeline.TextOps.charsetSniff(docs, "doc_id", "raw")
+          .select(col("id").as("doc_id"), col("mode"), col("text"),
+                  col("n_bytes"), col("n_chars"), col("n_bad"))
+      },
+      Some("""SELECT r AS doc_id,
+            |  CASE r % 6 WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf8'
+            |       WHEN 2 THEN 'utf8' ELSE 'latin1' END AS mode,
+            |  CASE r % 6
+            |    WHEN 0 THEN 'doc ' || r || ' plain'
+            |    WHEN 1 THEN 'caf' || chr(233) || ' d' || r
+            |    WHEN 2 THEN 'x' || chr(8364) || chr(119070) || ' d' || r
+            |    WHEN 3 THEN 'ab' || chr(195) || 'cd' || r
+            |    WHEN 4 THEN 'p' || chr(192) || chr(175) || 'q' || r
+            |    ELSE 'r' || chr(169) || 's' || r END AS text,
+            |  CAST(CASE r % 6
+            |    WHEN 0 THEN 10 + LENGTH(CAST(r AS VARCHAR))
+            |    WHEN 1 THEN 7 + LENGTH(CAST(r AS VARCHAR))
+            |    WHEN 2 THEN 10 + LENGTH(CAST(r AS VARCHAR))
+            |    WHEN 3 THEN 5 + LENGTH(CAST(r AS VARCHAR))
+            |    WHEN 4 THEN 4 + LENGTH(CAST(r AS VARCHAR))
+            |    ELSE 3 + LENGTH(CAST(r AS VARCHAR)) END AS BIGINT)
+            |    AS n_bytes,
+            |  CAST(LENGTH(CASE r % 6
+            |    WHEN 0 THEN 'doc ' || r || ' plain'
+            |    WHEN 1 THEN 'caf' || chr(233) || ' d' || r
+            |    WHEN 2 THEN 'x' || chr(8364) || chr(119070) || ' d' || r
+            |    WHEN 3 THEN 'ab' || chr(195) || 'cd' || r
+            |    WHEN 4 THEN 'p' || chr(192) || chr(175) || 'q' || r
+            |    ELSE 'r' || chr(169) || 's' || r END) AS BIGINT) AS n_chars,
+            |  CAST(CASE r % 6 WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 5 THEN 1
+            |       ELSE 0 END AS BIGINT) AS n_bad
+            |FROM range(48) t(r)""".stripMargin)),
+
     ("text_scrub",
       (s, dir) => graft.pipeline.TextOps.scrub(
         t(s, dir, "events"), "event_id", "props",

@@ -817,6 +817,81 @@ object TextOps {
     (titleSb.toString.trim, blocks.result())
   }
 
+  /** Charset sniffing (round 15): the encoding stage a crawl pipeline
+    * runs before any text op (ccnet/RefinedWeb shape — try strict
+    * UTF-8, fall back to Latin-1). A STRICT UTF-8 validator
+    * (RFC 3629 ranges: no overlongs, no surrogates, no > U+10FFFF —
+    * `C0 80` and `ED A0 80` are invalid by construction) classifies
+    * the bytes: `ascii` (no byte ≥ 0x80), `utf8` (valid non-ASCII), or
+    * `latin1` (invalid UTF-8 → ISO-8859-1 decode, which maps byte k to
+    * code point k exactly). `nBad` counts the bytes that are part of
+    * no valid sequence — an exact integer both engines agree on.
+    * Partition-local, never throws. */
+  def utf8Sniff(bytes: Array[Byte]): (String, String, Long) = {
+    if (bytes == null) return ("ascii", "", 0L)
+    val n = bytes.length
+    var i = 0
+    var nBad = 0L
+    var hasHigh = false
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80) i += 1
+      else {
+        hasHigh = true
+        val (need, lo, hi) =
+          if (b >= 0xc2 && b <= 0xdf) (1, 0x80, 0xbf)
+          else if (b == 0xe0) (2, 0xa0, 0xbf)
+          else if (b >= 0xe1 && b <= 0xec) (2, 0x80, 0xbf)
+          else if (b == 0xed) (2, 0x80, 0x9f) // no surrogates
+          else if (b >= 0xee && b <= 0xef) (2, 0x80, 0xbf)
+          else if (b == 0xf0) (3, 0x90, 0xbf)
+          else if (b >= 0xf1 && b <= 0xf3) (3, 0x80, 0xbf)
+          else if (b == 0xf4) (3, 0x80, 0x8f)
+          else (-1, 0, 0) // 0x80..0xC1 leads and 0xF5+ are never valid
+        if (need < 0) { nBad += 1; i += 1 }
+        else {
+          // first continuation must sit in the lead-specific range,
+          // the rest in 0x80..0xBF; any break = the LEAD byte is bad,
+          // rescan from the next byte (maximal-subpart resync)
+          var okSeq = i + need < n
+          if (okSeq) {
+            val c1 = bytes(i + 1) & 0xff
+            okSeq = c1 >= lo && c1 <= hi
+            var j = 2
+            while (okSeq && j <= need) {
+              val cj = bytes(i + j) & 0xff
+              okSeq = cj >= 0x80 && cj <= 0xbf
+              j += 1
+            }
+          }
+          if (okSeq) i += need + 1
+          else { nBad += 1; i += 1 }
+        }
+      }
+    }
+    if (!hasHigh) ("ascii", new String(bytes, "US-ASCII"), 0L)
+    else if (nBad == 0) ("utf8", new String(bytes, "UTF-8"), 0L)
+    else ("latin1", new String(bytes, "ISO-8859-1"), nBad)
+  }
+
+  /** DataFrame face of [[utf8Sniff]]:
+    * (id, mode, text, n_bytes, n_chars, n_bad). */
+  def charsetSniff(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   bytesCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(bytesCol).as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (mode, text, nBad) = utf8Sniff(b)
+        // code POINTS, not UTF-16 units — astral chars are one char in
+        // DuckDB's LENGTH and must be one here too
+        (id, mode, text, if (b == null) 0L else b.length.toLong,
+         text.codePointCount(0, text.length).toLong, nBad)
+      })
+      .toDF("id", "mode", "text", "n_bytes", "n_chars", "n_bad")
+  }
+
   /** DataFrame face of [[htmlExtract]]: one row per text block —
     * (id, title, block_idx, block_text, n_chars, link_chars, keep).
     * Partition-local flatMap, no shuffle; at 100 TB this runs where the

@@ -41,6 +41,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "gunzipEx" -> (TextOps.gunzipEx(_)),
     "htmlExtract" -> ((b: Array[Byte]) =>
       TextOps.htmlExtract(new String(b, "UTF-8"))),
+    "utf8Sniff" -> (TextOps.utf8Sniff(_)),
     "warcRecords" -> (TextOps.warcRecords(_)))
 
   private def validStreams: Seq[Array[Byte]] = Seq(
