@@ -2784,6 +2784,67 @@ object PipelineQueries {
             |       ELSE 0 END AS BIGINT) AS n_bad
             |FROM range(48) t(r)""".stripMargin)),
 
+    // robots.txt evaluation (round 15; RFC 9309 — the crawl-compliance
+    // filter): group selection is EXCLUSIVE (a named-agent group does
+    // not merge the * group's rules — the classic bug), multi-token
+    // groups share one rule set, longest matching pattern wins with
+    // allow on ties, '*' wildcards and '$' anchors match per §2.2.3,
+    // empty Disallow and comment lines are ignored, agent tokens
+    // compare case-insensitively. Paths cover: no-match, plain prefix
+    // deny, longer allow overriding deny, wildcard deny, anchored
+    // allow beating a shorter deny on the exact path, the anchor NOT
+    // matching a longer path, and the named-group-only rule. The
+    // robots side broadcasts (domain-count-sized) — zero shuffle on
+    // the URL stream.
+    ("text_robots_filter",
+      (s, dir) => {
+        import s.implicits._
+        val robots = s.range(8).map { j =>
+          val star = s"# crawl policy $j\nUser-agent: *\n" +
+            "Disallow: /private\nAllow: /private/ok\nDisallow: /tmp*\n" +
+            "Allow: /a$\nDisallow: /a\nDisallow:\n"
+          val bot = "User-agent: graftbot\nUser-agent: otherbot\n" +
+            "Disallow: /bot-only\n"
+          (s"d$j.example", if (j % 2 == 1) star + "\n" + bot else star)
+        }.toDF("domain", "txt")
+        val urls = s.range(96).map { id =>
+          val j = (id % 8).toInt
+          val path = (id % 7).toInt match {
+            case 0 => s"/public/x$id"
+            case 1 => "/private/x"
+            case 2 => "/private/ok/x"
+            case 3 => s"/tmp$id"
+            case 4 => "/a"
+            case 5 => "/ab"
+            case _ => s"/bot-only/p$id"
+          }
+          (id, s"d$j.example", path)
+        }.toDF("url_id", "domain", "path")
+        graft.pipeline.TextOps.robotsFilter(urls, "url_id", "domain",
+            "path", robots, "domain", "txt", "GraftBot")
+          .select(col("id").as("url_id"), col("domain"), col("path"),
+                  col("allowed"), col("rule_len"))
+      },
+      Some("""SELECT r AS url_id,
+            |  'd' || (r % 8) || '.example' AS domain,
+            |  CASE r % 7
+            |    WHEN 0 THEN '/public/x' || r
+            |    WHEN 1 THEN '/private/x'
+            |    WHEN 2 THEN '/private/ok/x'
+            |    WHEN 3 THEN '/tmp' || r
+            |    WHEN 4 THEN '/a'
+            |    WHEN 5 THEN '/ab'
+            |    ELSE '/bot-only/p' || r END AS path,
+            |  CASE WHEN (r % 8) % 2 = 1
+            |       THEN r % 7 <> 6
+            |       ELSE r % 7 NOT IN (1, 3, 5) END AS allowed,
+            |  CAST(CASE WHEN (r % 8) % 2 = 1
+            |       THEN CASE WHEN r % 7 = 6 THEN 9 ELSE 0 END
+            |       ELSE CASE r % 7 WHEN 1 THEN 8 WHEN 2 THEN 11
+            |            WHEN 3 THEN 5 WHEN 4 THEN 3 WHEN 5 THEN 2
+            |            ELSE 0 END END AS BIGINT) AS rule_len
+            |FROM range(96) t(r)""".stripMargin)),
+
     ("text_scrub",
       (s, dir) => graft.pipeline.TextOps.scrub(
         t(s, dir, "events"), "event_id", "props",

@@ -817,6 +817,154 @@ object TextOps {
     (titleSb.toString.trim, blocks.result())
   }
 
+  /** One robots.txt rule: allow/disallow + path pattern (with `*`
+    * wildcards and an optional `$` end anchor, RFC 9309 §2.2.3). */
+  final case class RobotsRule(allow: Boolean, pattern: String)
+
+  /** robots.txt parse (RFC 9309; round 15 — the crawl-compliance stage
+    * of a pipeline that refreshes or audits a crawl): groups are runs
+    * of consecutive `User-agent:` lines followed by their rules; keys
+    * are case-insensitive; `#` starts a comment; unknown keys and
+    * malformed lines are skipped (never throws). Returns one
+    * (agentToken, rules) entry per user-agent token, rules in file
+    * order; the token is lowercased. */
+  def robotsParse(txt: String): Seq[(String, Seq[RobotsRule])] = {
+    if (txt == null) return Seq.empty
+    val groups = Seq.newBuilder[(Seq[String], Seq[RobotsRule])]
+    var agents = List.empty[String]
+    var rules = List.empty[RobotsRule]
+    var collectingAgents = true
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += ((agents.reverse, rules.reverse))
+      agents = Nil; rules = Nil
+    }
+    txt.split("\n", -1).foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!collectingAgents) { flush(); collectingAgents = true }
+            agents ::= value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" if agents.nonEmpty =>
+            collectingAgents = false
+            // an empty Disallow means "allow everything" — RFC 9309
+            // treats it as no rule
+            if (value.nonEmpty)
+              rules ::= RobotsRule(key == "allow", value)
+          case _ => () // sitemap/crawl-delay/unknown: ignored
+        }
+      }
+    }
+    flush()
+    groups.result().flatMap { case (as, rs) => as.map(_ -> rs) }
+  }
+
+  /** RFC 9309 path match: `*` matches any run (including empty), `$`
+    * anchors the pattern end at the path end; otherwise a prefix
+    * match. Linear greedy segment scan — no regex. */
+  private[graft] def robotsMatch(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val segs = pat.split("\\*", -1)
+    // first segment: required prefix
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    val lastIdx = segs.length - 1
+    // middle segments (and the last one when unanchored): earliest
+    // occurrence is optimal for '*' matching — no backtracking needed
+    var i = 1
+    val stop = if (anchored) lastIdx else segs.length
+    while (i < stop) {
+      val at = path.indexOf(segs(i), pos)
+      if (at < 0) return false
+      pos = at + segs(i).length
+      i += 1
+    }
+    if (!anchored) true
+    else if (lastIdx == 0) pos == path.length // no '*': exact-end prefix
+    else {
+      val last = segs(lastIdx)
+      // "...*$": the wildcard eats the rest; otherwise the final
+      // segment must sit flush at the path END, at or after pos —
+      // checked independently of the greedy middles (earliest-match
+      // for the LAST anchored segment would wrongly reject
+      // "/a*b$" vs "/axbyb")
+      last.isEmpty ||
+        (path.length - last.length >= pos && path.endsWith(last))
+    }
+  }
+
+  /** RFC 9309 decision for one path under one group's rules: the
+    * LONGEST matching pattern wins; on a length tie, allow wins; no
+    * match → allowed. Returns (allowed, winningPatternLength). */
+  def robotsAllowed(rules: Seq[RobotsRule], path: String)
+      : (Boolean, Int) = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (robotsMatch(r.pattern, path)) {
+        val l = r.pattern.length
+        if (l > bestLen || (l == bestLen && r.allow && !bestAllow)) {
+          bestLen = l; bestAllow = r.allow
+        }
+      }
+    }
+    (if (bestLen < 0) true else bestAllow, math.max(bestLen, 0))
+  }
+
+  /** Group selection (RFC 9309 §2.2.1): the group whose user-agent
+    * token equals the product token (case-insensitive) if present,
+    * else the `*` group, else no rules. THE MATCHED GROUP IS EXCLUSIVE
+    * — rules from `*` do NOT merge into a named group (the classic
+    * implementation bug this op's fixture exercises). */
+  def robotsGroup(groups: Seq[(String, Seq[RobotsRule])],
+                  agent: String): Seq[RobotsRule] = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    groups.collectFirst { case (t, rs) if t == a => rs }
+      .orElse(groups.collectFirst { case ("*", rs) => rs })
+      .getOrElse(Seq.empty)
+  }
+
+  /** DataFrame face: evaluate every (domain, path) URL against its
+    * domain's robots.txt for a crawler token. The robots side is
+    * per-domain tiny — BROADCAST it; the URL side streams map-side
+    * with zero shuffle, which is the 100 TB shape (robots.txt count =
+    * domain count, always broadcastable). */
+  def robotsFilter(urls: org.apache.spark.sql.DataFrame, idCol: String,
+                   domainCol: String, pathCol: String,
+                   robots: org.apache.spark.sql.DataFrame,
+                   robotsDomainCol: String, robotsTxtCol: String,
+                   agent: String): org.apache.spark.sql.DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val parsed = robots
+      .select(col(robotsDomainCol).cast("string").as("domain"),
+              col(robotsTxtCol).cast("string").as("txt"))
+      .as[(String, String)]
+      .map { case (d, t) =>
+        val rs = robotsGroup(robotsParse(t), agent)
+        (d, rs.map(r => (r.allow, r.pattern)))
+      }
+      .toDF("domain", "rules")
+    urls.select(col(idCol).cast("long").as("id"),
+                col(domainCol).cast("string").as("domain"),
+                col(pathCol).cast("string").as("path"))
+      .join(org.apache.spark.sql.functions.broadcast(parsed),
+            Seq("domain"), "left")
+      .as[(String, Long, String, Option[Seq[(Boolean, String)]])]
+      .map { case (domain, id, path, rules) =>
+        val rs = rules.getOrElse(Seq.empty)
+          .map { case (a, p) => RobotsRule(a, p) }
+        val (allowed, len) = robotsAllowed(rs, path)
+        (id, domain, path, allowed, len.toLong)
+      }
+      .toDF("id", "domain", "path", "allowed", "rule_len")
+  }
+
   /** Charset sniffing (round 15): the encoding stage a crawl pipeline
     * runs before any text op (ccnet/RefinedWeb shape — try strict
     * UTF-8, fall back to Latin-1). A STRICT UTF-8 validator

@@ -42,6 +42,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "htmlExtract" -> ((b: Array[Byte]) =>
       TextOps.htmlExtract(new String(b, "UTF-8"))),
     "utf8Sniff" -> (TextOps.utf8Sniff(_)),
+    "robotsParse" -> ((b: Array[Byte]) =>
+      TextOps.robotsParse(new String(b, "UTF-8"))),
     "warcRecords" -> (TextOps.warcRecords(_)))
 
   private def validStreams: Seq[Array[Byte]] = Seq(

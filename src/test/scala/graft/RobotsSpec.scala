@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.TextOps
+import graft.pipeline.TextOps.RobotsRule
+
+/** RFC 9309 matcher edge cases for [[TextOps.robotsMatch]] /
+  * [[robotsAllowed]] / [[robotsGroup]] — in particular the anchored
+  * wildcard case where the earliest occurrence of the final segment is
+  * NOT at the path end (greedy-first on the last anchored segment
+  * would wrongly reject), the tie-goes-to-allow rule, and the
+  * exclusive group selection. */
+class RobotsSpec extends AnyFunSuite {
+
+  test("wildcard + anchor matching") {
+    assert(TextOps.robotsMatch("/a", "/ab"))          // plain prefix
+    assert(TextOps.robotsMatch("/a$", "/a"))
+    assert(!TextOps.robotsMatch("/a$", "/ab"))        // anchor blocks
+    assert(TextOps.robotsMatch("/tmp*", "/tmp123"))
+    assert(TextOps.robotsMatch("/tmp*", "/tmp"))      // '*' matches empty
+    assert(TextOps.robotsMatch("/a*b", "/axxb/c"))
+    assert(!TextOps.robotsMatch("/a*b", "/axxc"))
+    // the anchored-final-segment case: 'b' occurs mid-path too
+    assert(TextOps.robotsMatch("/a*b$", "/axbyb"))
+    assert(!TextOps.robotsMatch("/a*b$", "/axbyc"))
+    assert(TextOps.robotsMatch("/x*y*z$", "/x1y2y3z"))
+    assert(TextOps.robotsMatch("/p*$", "/p/anything")) // trailing *$
+  }
+
+  test("longest match wins; allow wins ties; no match allows") {
+    val rules = Seq(RobotsRule(allow = false, "/private"),
+                    RobotsRule(allow = true, "/private/ok"))
+    assert(TextOps.robotsAllowed(rules, "/private/x") == ((false, 8)))
+    assert(TextOps.robotsAllowed(rules, "/private/ok/x") == ((true, 11)))
+    assert(TextOps.robotsAllowed(rules, "/pub") == ((true, 0)))
+    // exact tie: allow wins regardless of rule order
+    val tie = Seq(RobotsRule(allow = false, "/t/"),
+                  RobotsRule(allow = true, "/t/$"))
+    assert(TextOps.robotsAllowed(
+      Seq(RobotsRule(allow = false, "/x"), RobotsRule(allow = true, "/y")),
+      "/z") == ((true, 0)))
+    assert(TextOps.robotsAllowed(
+      Seq(RobotsRule(allow = false, "/ab"), RobotsRule(allow = true, "/cd")),
+      "/ab") == ((false, 3)))
+    val t2 = Seq(RobotsRule(allow = false, "/aa"),
+                 RobotsRule(allow = true, "/bb"))
+    assert(TextOps.robotsAllowed(t2 :+ RobotsRule(allow = true, "/aa"),
+      "/aa") == ((true, 3)), "length tie must go to allow")
+  }
+
+  test("group selection is exclusive and case-insensitive") {
+    val txt = "User-agent: *\nDisallow: /star\n\n" +
+      "User-agent: GraftBot\nUser-agent: other\nDisallow: /bot\n" +
+      "# comment\nDisallow:\nSitemap: http://x/s.xml\n"
+    val groups = TextOps.robotsParse(txt)
+    val bot = TextOps.robotsGroup(groups, "graftbot")
+    assert(bot == Seq(RobotsRule(allow = false, "/bot")))
+    // the * rules must NOT merge in
+    assert(TextOps.robotsAllowed(bot, "/star/x")._1)
+    val other = TextOps.robotsGroup(groups, "OTHER")
+    assert(other == bot)
+    val unknown = TextOps.robotsGroup(groups, "nobody")
+    assert(unknown == Seq(RobotsRule(allow = false, "/star")))
+    assert(TextOps.robotsGroup(Seq.empty, "x").isEmpty)
+  }
+}
