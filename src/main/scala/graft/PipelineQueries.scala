@@ -2845,6 +2845,81 @@ object PipelineQueries {
             |            ELSE 0 END END AS BIGINT) AS rule_len
             |FROM range(96) t(r)""".stripMargin)),
 
+    // HTML-FRONT composed ingest (round 15; the integration row for the
+    // round's crawl stages): WARC shards whose response payloads are
+    // HTML (half the shards gzipped) → real warcCorpus parse →
+    // htmlBlocks boilerplate removal (nav and too-short blocks drop,
+    // the content paragraph survives) → per-doc text from the kept
+    // block → EXACT dedup (planted duplicate tids collapse to the
+    // earliest doc) — one DataFrame chain, one oracle. The oracle
+    // regenerates the expected survivors from the generating formulas
+    // (the engine walks real WARC/gzip/HTML bytes; the oracle never
+    // touches bytes — the standard codec-oracle shape).
+    ("pipeline_html_ingest",
+      (s, dir) => {
+        import s.implicits._
+        def words(tid: Long, n: Int): String =
+          (0 until n).map(k => s"h${(tid * 7 + k * 11) % 97}")
+            .mkString(" ")
+        val shards = s.range(20).map { sid =>
+          val recs = (0 until (sid % 3).toInt + 1).map { k =>
+            val dk = sid * 3 + k
+            val tid = if (dk % 5 == 2 && dk >= 7) dk - 7 else dk
+            val html =
+              s"<html><head><title>T $tid</title>" +
+              s"<script>var a=$tid<2;</script></head><body>" +
+              s"""<nav><a href="/n">m m m</a></nav>""" +
+              s"<p>${words(tid, 24 + (tid % 7).toInt * 4)}</p>" +
+              s"<p>tiny</p></body></html>"
+            ("response", s"http://ex.org/$sid/$k", html)
+          }
+          val raw = graft.pipeline.TextOps.warcBytes(recs)
+          (sid, if (sid % 2 == 0) graft.pipeline.TextOps.gzip(raw) else raw)
+        }.toDF("shard_id", "payload")
+        val docs = graft.pipeline.TextOps
+          .warcCorpus(shards, "shard_id", "payload")
+          .filter(col("warc_type") === "response")
+          .select((col("shard_id") * 3 + col("rec_idx")).as("doc_key"),
+                  col("content").as("html"))
+        val blocks = graft.pipeline.TextOps
+          .htmlBlocks(docs, "doc_key", "html")
+          .filter(col("keep"))
+        // exactly ONE block survives per doc by fixture construction
+        // (kept_blocks is asserted in the output), so max() is the
+        // deterministic single-element pick — collect_list would carry
+        // a nondeterministic order if that ever changed
+        val texts = blocks.groupBy(col("id").as("doc_key"))
+          .agg(max(col("title")).as("title"),
+               max(col("block_text")).as("text"),
+               count(lit(1)).as("kept_blocks"))
+        texts.as("a").join(
+            texts.as("b"),
+            col("a.text") === col("b.text") &&
+              col("b.doc_key") < col("a.doc_key"),
+            "left_anti")
+          .select(col("doc_key"), col("title"),
+                  length(col("text")).cast("long").as("text_chars"),
+                  col("kept_blocks"))
+      },
+      Some("""WITH recs AS (SELECT s, k FROM range(20) t(s), range(3) g(k)
+            |              WHERE k < s % 3 + 1),
+            |keys AS (SELECT s * 3 + k AS dk,
+            |               CASE WHEN (s * 3 + k) % 5 = 2 AND s * 3 + k >= 7
+            |                    THEN s * 3 + k - 7 ELSE s * 3 + k END AS tid
+            |        FROM recs),
+            |txt AS (SELECT dk, tid,
+            |          array_to_string(list_transform(
+            |            generate_series(0, 24 + CAST(tid % 7 AS INT) * 4 - 1),
+            |            k -> 'h' || ((tid*7 + k*11) % 97)), ' ') AS text
+            |        FROM keys),
+            |ded AS (SELECT * FROM txt c WHERE NOT EXISTS (
+            |          SELECT 1 FROM txt c2
+            |          WHERE c2.text = c.text AND c2.dk < c.dk))
+            |SELECT dk AS doc_key, 'T ' || tid AS title,
+            |  CAST(LENGTH(text) AS BIGINT) AS text_chars,
+            |  CAST(1 AS BIGINT) AS kept_blocks
+            |FROM ded""".stripMargin)),
+
     ("text_scrub",
       (s, dir) => graft.pipeline.TextOps.scrub(
         t(s, dir, "events"), "event_id", "props",
