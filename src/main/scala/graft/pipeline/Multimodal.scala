@@ -2351,6 +2351,11 @@ object Multimodal {
     // geometry is rate-wide state; a mid-stream rate change refuses
     val srAll = headers.map(_._6).distinct
     if (srAll.size != 1) return None
+    // LSF joint-stereo INTENSITY refuses (declared, round-15 review):
+    // 13818-3 intensity uses different scalefac_compress classes and
+    // 2^(-k/4) ratios, not the MPEG-1 tan(is_pos·π/12) panning — the
+    // same declared-refusal discipline as LSF short/mixed blocks
+    if (headers.exists(h => h._7 && h._4)) return None
     val srHz = srAll.head
     val sfbL = L3IsoSynth.sfbLong(srHz)
     val sfbS = L3IsoSynth.sfbShort(srHz)

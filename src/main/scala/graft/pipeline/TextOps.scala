@@ -737,12 +737,27 @@ object TextOps {
     def flush(): Unit = {
       val t = cur.toString.trim
       if (t.nonEmpty) {
-        val tot = t.length.toLong
-        blocks += ((t, tot, curLink, tot >= 20 && 2 * curLink <= tot))
+        // code POINTS (DuckDB LENGTH semantics), and link chars clamped
+        // to the trimmed total: whitespace at a block edge inside an
+        // anchor is counted into curLink but trimmed out of t, and the
+        // invariant linkChars <= totalChars is part of the contract
+        val tot = t.codePointCount(0, t.length).toLong
+        val lk = math.min(curLink, tot)
+        blocks += ((t, tot, lk, tot >= 20 && 2 * lk <= tot))
       }
       cur.clear(); curLink = 0L
     }
     def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+    // numeric character reference, astral-safe: reject <= 0, surrogates,
+    // > U+10FFFF; emit via Character.toChars so U+1F600 stays an emoji
+    // instead of being truncated to its low 16 bits
+    def ncr(digits: String, radix: Int): Option[String] =
+      try {
+        val cp = Integer.parseInt(digits, radix)
+        if (cp <= 0 || cp > 0x10ffff ||
+            (cp >= 0xd800 && cp <= 0xdfff)) None
+        else Some(new String(Character.toChars(cp)))
+      } catch { case _: Exception => None }
     lazy val lhtml = lower(html) // computed once, only if script/style occurs
     while (i < n) {
       val c = html.charAt(i)
@@ -771,7 +786,9 @@ object TextOps {
               inLink = !closing
             } else if (htmlBlockTags.contains(name)) {
               flush()
-              if (name == "title") inTitle = !closing
+              // an unclosed <title> must not swallow the document: any
+              // other block-level tag ends title capture
+              inTitle = name == "title" && !closing
             }
           }
         }
@@ -789,27 +806,34 @@ object TextOps {
               case "apos" => Some("'")
               case "nbsp" => Some(" ")
               case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
-                try Some(Integer.parseInt(ent.drop(2), 16).toChar.toString)
-                catch { case _: Exception => None }
+                ncr(ent.drop(2), 16)
               case _ if ent.startsWith("#") =>
-                try Some(Integer.parseInt(ent.drop(1)).toChar.toString)
-                catch { case _: Exception => None }
+                ncr(ent.drop(1), 10)
               case _ => None
             }
           }
         decoded match {
           case Some(d) =>
             if (inTitle) titleSb.append(d)
-            else { cur.append(d); if (inLink) curLink += d.length }
+            else {
+              cur.append(d)
+              if (inLink) curLink += d.codePointCount(0, d.length)
+            }
             i = e + 1
           case None =>
             if (inTitle) titleSb.append(c)
-            else { cur.append(c); if (inLink) curLink += 1 }
+            else {
+              cur.append(c)
+              if (inLink && !Character.isLowSurrogate(c)) curLink += 1
+            }
             i += 1
         }
       } else {
         if (inTitle) titleSb.append(c)
-        else { cur.append(c); if (inLink) curLink += 1 }
+        else {
+          cur.append(c)
+          if (inLink && !Character.isLowSurrogate(c)) curLink += 1
+        }
         i += 1
       }
     }
@@ -924,9 +948,13 @@ object TextOps {
   def robotsGroup(groups: Seq[(String, Seq[RobotsRule])],
                   agent: String): Seq[RobotsRule] = {
     val a = agent.toLowerCase(java.util.Locale.ROOT)
-    groups.collectFirst { case (t, rs) if t == a => rs }
-      .orElse(groups.collectFirst { case ("*", rs) => rs })
-      .getOrElse(Seq.empty)
+    // RFC 9309 §2.2.1: ALL groups naming the same token combine into
+    // one rule set (sites routinely append a second group for the same
+    // crawler later in the file) — taking only the first group would
+    // silently drop the later rules
+    val named = groups.collect { case (t, rs) if t == a => rs }.flatten
+    if (named.nonEmpty) named
+    else groups.collect { case ("*", rs) => rs }.flatten
   }
 
   /** DataFrame face: evaluate every (domain, path) URL against its

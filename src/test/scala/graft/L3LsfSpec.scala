@@ -77,6 +77,11 @@ class L3LsfSpec extends AnyFunSuite {
       assert(a.get._2 == b.get._2 && a.get._3 == b.get._3,
         s"id=$id V2/V2.5 decode mismatch")
     }
+    // LSF joint-stereo INTENSITY refuses upfront (declared; 13818-3
+    // intensity semantics differ from the MPEG-1 panning)
+    val intens = ok.clone()
+    intens(3) = 0x50.toByte // joint stereo, mode_ext 01
+    assert(Multimodal.layer3DecodeFull(intens).isEmpty)
     // reserved version bits 01 refuse
     val vres = ok.clone()
     vres(1) = ((vres(1) & ~0x18) | 0x08).toByte

@@ -33,9 +33,12 @@ class RobotsSpec extends AnyFunSuite {
     assert(TextOps.robotsAllowed(rules, "/private/x") == ((false, 8)))
     assert(TextOps.robotsAllowed(rules, "/private/ok/x") == ((true, 11)))
     assert(TextOps.robotsAllowed(rules, "/pub") == ((true, 0)))
-    // exact tie: allow wins regardless of rule order
+    // anchored pattern is LONGER by its '$' — allow wins on "/t/"
+    // via length, and the anchor stops matching "/t/x"
     val tie = Seq(RobotsRule(allow = false, "/t/"),
                   RobotsRule(allow = true, "/t/$"))
+    assert(TextOps.robotsAllowed(tie, "/t/") == ((true, 4)))
+    assert(TextOps.robotsAllowed(tie, "/t/x") == ((false, 3)))
     assert(TextOps.robotsAllowed(
       Seq(RobotsRule(allow = false, "/x"), RobotsRule(allow = true, "/y")),
       "/z") == ((true, 0)))
@@ -62,5 +65,15 @@ class RobotsSpec extends AnyFunSuite {
     val unknown = TextOps.robotsGroup(groups, "nobody")
     assert(unknown == Seq(RobotsRule(allow = false, "/star")))
     assert(TextOps.robotsGroup(Seq.empty, "x").isEmpty)
+    // RFC 9309: TWO groups naming the same token COMBINE (review fix —
+    // collectFirst dropped the later group's rules)
+    val twoGroups = TextOps.robotsParse(
+      "User-agent: bot\nDisallow: /x\n\n" +
+      "User-agent: other\nDisallow: /o\n\n" +
+      "User-agent: bot\nDisallow: /y\n")
+    val combined = TextOps.robotsGroup(twoGroups, "bot")
+    assert(combined == Seq(RobotsRule(allow = false, "/x"),
+                           RobotsRule(allow = false, "/y")))
+    assert(!TextOps.robotsAllowed(combined, "/y/z")._1)
   }
 }
