@@ -2920,6 +2920,49 @@ object PipelineQueries {
             |  CAST(1 AS BIGINT) AS kept_blocks
             |FROM ded""".stripMargin)),
 
+    // sitemap.xml parse (round 15; the robots.txt companion): even ids
+    // carry a <urlset> with three <url> entries — entity-escaped query
+    // strings in <loc> (decoded), per-entry <lastmod>, and <priority>
+    // present only on entry 0 (absent → -1) — odd ids a <sitemapindex>
+    // with two <sitemap> locs and neither optional field. A malformed
+    // trailing fragment (unclosed <url>) is skipped, not thrown on.
+    ("text_sitemap_parse",
+      (s, dir) => {
+        import s.implicits._
+        val docs = s.range(24).map { id =>
+          val xml = if (id % 2 == 0) {
+            val urls = (0 until 3).map { k =>
+              val prio = if (k == 0) s"<priority>0.${(id % 5) + 3}</priority>"
+                         else ""
+              s"<url><loc>http://ex$id.org/p$k?a=1&amp;b=$k</loc>" +
+              s"<lastmod>2026-0${k + 1}-15</lastmod>$prio</url>"
+            }.mkString
+            s"""<?xml version="1.0"?><urlset>$urls<url><loc>""" // dangling
+          } else {
+            val maps = (0 until 2).map(k =>
+              s"<sitemap><loc>http://ex$id.org/s$k.xml</loc></sitemap>")
+              .mkString
+            s"""<?xml version="1.0"?><sitemapindex>$maps</sitemapindex>"""
+          }
+          (id, xml)
+        }.toDF("doc_id", "xml")
+        graft.pipeline.TextOps.sitemapUrls(docs, "doc_id", "xml")
+          .select(col("id").as("doc_id"), col("kind"), col("loc"),
+                  col("lastmod"), col("priority"))
+      },
+      Some("""SELECT r AS doc_id,
+            |  CASE WHEN r % 2 = 0 THEN 'urlset' ELSE 'index' END AS kind,
+            |  CASE WHEN r % 2 = 0
+            |    THEN 'http://ex' || r || '.org/p' || k || '?a=1&b=' || k
+            |    ELSE 'http://ex' || r || '.org/s' || k || '.xml' END AS loc,
+            |  CASE WHEN r % 2 = 0 THEN '2026-0' || (k + 1) || '-15'
+            |       ELSE '' END AS lastmod,
+            |  CASE WHEN r % 2 = 0 AND k = 0
+            |       THEN CAST('0.' || ((r % 5) + 3) AS DOUBLE)
+            |       ELSE -1.0 END AS priority
+            |FROM range(24) t(r), range(3) u(k)
+            |WHERE r % 2 = 0 OR k < 2""".stripMargin)),
+
     ("text_scrub",
       (s, dir) => graft.pipeline.TextOps.scrub(
         t(s, dir, "events"), "event_id", "props",

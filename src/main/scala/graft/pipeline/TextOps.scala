@@ -993,6 +993,74 @@ object TextOps {
       .toDF("id", "domain", "path", "allowed", "rule_len")
   }
 
+  /** sitemap.xml parse (round 15; the robots.txt companion a crawl
+    * frontier consumes): both document kinds — `<urlset>` with
+    * `<url><loc/><lastmod/><priority/></url>` entries and
+    * `<sitemapindex>` with `<sitemap><loc/></sitemap>` entries — via a
+    * linear tag scan (no XML library; never throws on malformed
+    * input). `&amp;`/`&lt;`/`&gt;` in locs decode (query strings in
+    * URLs are routinely entity-escaped); absent lastmod → empty
+    * string, absent priority → -1. Returns
+    * (kind, loc, lastmod, priority). */
+  def sitemapEntries(xml: String): Seq[(String, String, String, Double)] = {
+    if (xml == null) return Seq.empty
+    def unesc(s: String): String =
+      s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    def inner(block: String, tag: String): Option[String] = {
+      val o = block.indexOf(s"<$tag>")
+      if (o < 0) None
+      else {
+        val c = block.indexOf(s"</$tag>", o)
+        if (c < 0) None
+        else Some(block.substring(o + tag.length + 2, c).trim)
+      }
+    }
+    def entries(entryTag: String, kind: String)
+        : Seq[(String, String, String, Double)] = {
+      val out = Seq.newBuilder[(String, String, String, Double)]
+      var p = 0
+      var go = true
+      while (go) {
+        val o = xml.indexOf(s"<$entryTag>", p)
+        if (o < 0) go = false
+        else {
+          val c = xml.indexOf(s"</$entryTag>", o)
+          if (c < 0) go = false
+          else {
+            val block = xml.substring(o, c)
+            inner(block, "loc").filter(_.nonEmpty).foreach { loc =>
+              val lastmod = inner(block, "lastmod").getOrElse("")
+              val prio = inner(block, "priority")
+                .flatMap(v => scala.util.Try(v.toDouble).toOption)
+                .getOrElse(-1.0)
+              out += ((kind, unesc(loc), lastmod, prio))
+            }
+            p = c + entryTag.length + 3
+          }
+        }
+      }
+      out.result()
+    }
+    if (xml.contains("<sitemapindex")) entries("sitemap", "index")
+    else if (xml.contains("<urlset")) entries("url", "urlset")
+    else Seq.empty
+  }
+
+  /** DataFrame face of [[sitemapEntries]]: one row per entry —
+    * (id, kind, loc, lastmod, priority). Partition-local flatMap. */
+  def sitemapUrls(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  xmlCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+                col(xmlCol).cast("string").as("x"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, x) =>
+        sitemapEntries(x).map { case (k, l, m, pr) => (id, k, l, m, pr) }
+      })
+      .toDF("id", "kind", "loc", "lastmod", "priority")
+  }
+
   /** Charset sniffing (round 15): the encoding stage a crawl pipeline
     * runs before any text op (ccnet/RefinedWeb shape — try strict
     * UTF-8, fall back to Latin-1). A STRICT UTF-8 validator

@@ -44,6 +44,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "utf8Sniff" -> (TextOps.utf8Sniff(_)),
     "robotsParse" -> ((b: Array[Byte]) =>
       TextOps.robotsParse(new String(b, "UTF-8"))),
+    "sitemapEntries" -> ((b: Array[Byte]) =>
+      TextOps.sitemapEntries(new String(b, "UTF-8"))),
     "warcRecords" -> (TextOps.warcRecords(_)))
 
   private def validStreams: Seq[Array[Byte]] = Seq(
