@@ -758,7 +758,21 @@ object TextOps {
             (cp >= 0xd800 && cp <= 0xdfff)) None
         else Some(new String(Character.toChars(cp)))
       } catch { case _: Exception => None }
-    lazy val lhtml = lower(html) // computed once, only if script/style occurs
+    // case-insensitive close-tag scan over the ORIGINAL string —
+    // lowercasing the whole document and reusing its indices is wrong
+    // because locale-independent case mappings can change length
+    // (U+0130 'İ' lowercases to two chars), misaligning every index
+    // after such a character and corrupting block extraction
+    def findCloseTag(from: Int, name: String): Int = {
+      val pat = "</" + name
+      var j = from
+      val limit = n - pat.length
+      while (j <= limit) {
+        if (html.regionMatches(true, j, pat, 0, pat.length)) return j
+        j += 1
+      }
+      -1
+    }
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
@@ -775,8 +789,7 @@ object TextOps {
               .takeWhile(ch => ch.isLetterOrDigit))
             i = e + 1
             if (!closing && (name == "script" || name == "style")) {
-              val close = s"</$name"
-              val ci = lhtml.indexOf(close, i)
+              val ci = findCloseTag(i, name)
               i = if (ci < 0) n
                   else math.max(i, html.indexOf('>', ci) match {
                     case -1 => n
@@ -876,9 +889,11 @@ object TextOps {
           case "allow" | "disallow" if agents.nonEmpty =>
             collectingAgents = false
             // an empty Disallow means "allow everything" — RFC 9309
-            // treats it as no rule
+            // treats it as no rule. Patterns are stored in canonical
+            // percent-encoded form (§2.2.2) so matching and the
+            // longest-rule tiebreak both work on octets.
             if (value.nonEmpty)
-              rules ::= RobotsRule(key == "allow", value)
+              rules ::= RobotsRule(key == "allow", pctCanonical(value))
           case _ => () // sitemap/crawl-delay/unknown: ignored
         }
       }
@@ -887,9 +902,58 @@ object TextOps {
     groups.result().flatMap { case (as, rs) => as.map(_ -> rs) }
   }
 
+  /** RFC 9309 §2.2.2 canonical percent-encoded form, applied to both
+    * rule patterns (at parse time) and request paths (once per
+    * evaluation) so the match compares octets, not accidental
+    * encodings: `%XX` hex is uppercased and decoded to the literal
+    * character only when the octet is UNRESERVED (ALPHA / DIGIT /
+    * `-._~`, RFC 3986 §2.3 — `%41` ≡ `A` but `%2F` stays `%2F`,
+    * distinct from a path `/`); raw characters outside the URI-safe
+    * set (non-ASCII, space, controls, `"<>{}|\^` + backtick) are
+    * percent-encoded from their UTF-8 octets. `*` and `$` are legal
+    * sub-delims and the rule metacharacters — they stay raw, so
+    * canonicalizing a whole pattern never disturbs its wildcards. */
+  private[graft] def pctCanonical(s: String): String = {
+    def hexVal(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    def unreserved(v: Int): Boolean =
+      (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' ||
+      v == '~'
+    def keepRaw(c: Char): Boolean =
+      unreserved(c) || ":/?#[]@!$&'()*+,;=".indexOf(c) >= 0
+    val hex = "0123456789ABCDEF"
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (unreserved(v)) sb.append(v.toChar)
+        else sb.append('%').append(hex(v >> 4)).append(hex(v & 15))
+        i += 3
+      } else if (keepRaw(c)) {
+        sb.append(c); i += 1
+      } else {
+        val cp = s.codePointAt(i)
+        new String(Character.toChars(cp)).getBytes("UTF-8").foreach { b =>
+          sb.append('%').append(hex((b >> 4) & 15)).append(hex(b & 15))
+        }
+        i += Character.charCount(cp)
+      }
+    }
+    sb.toString
+  }
+
   /** RFC 9309 path match: `*` matches any run (including empty), `$`
     * anchors the pattern end at the path end; otherwise a prefix
-    * match. Linear greedy segment scan — no regex. */
+    * match. Linear greedy segment scan — no regex. Operands are
+    * expected in [[pctCanonical]] form (patterns are canonicalized at
+    * parse time, paths once in [[robotsAllowed]]). */
   private[graft] def robotsMatch(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
     val pat = if (anchored) pattern.dropRight(1) else pattern
@@ -927,10 +991,11 @@ object TextOps {
     * match → allowed. Returns (allowed, winningPatternLength). */
   def robotsAllowed(rules: Seq[RobotsRule], path: String)
       : (Boolean, Int) = {
+    val canon = pctCanonical(path) // once per path, not per rule
     var bestLen = -1
     var bestAllow = true
     rules.foreach { r =>
-      if (robotsMatch(r.pattern, path)) {
+      if (robotsMatch(r.pattern, canon)) {
         val l = r.pattern.length
         if (l > bestLen || (l == bestLen && r.allow && !bestAllow)) {
           bestLen = l; bestAllow = r.allow
@@ -951,9 +1016,14 @@ object TextOps {
     // RFC 9309 §2.2.1: ALL groups naming the same token combine into
     // one rule set (sites routinely append a second group for the same
     // crawler later in the file) — taking only the first group would
-    // silently drop the later rules
-    val named = groups.collect { case (t, rs) if t == a => rs }.flatten
-    if (named.nonEmpty) named
+    // silently drop the later rules. Matching is exclusive on group
+    // EXISTENCE, not on rule count: a named group with ZERO rules
+    // (e.g. 'User-agent: graftbot' followed by an empty 'Disallow:' —
+    // the common allow-everything exemption) still claims the agent
+    // and means everything is allowed; falling back to '*' there
+    // would over-block the exempted crawler.
+    if (groups.exists(_._1 == a))
+      groups.collect { case (t, rs) if t == a => rs }.flatten
     else groups.collect { case ("*", rs) => rs }.flatten
   }
 
@@ -1006,13 +1076,70 @@ object TextOps {
     if (xml == null) return Seq.empty
     def unesc(s: String): String =
       s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-    def inner(block: String, tag: String): Option[String] = {
-      val o = block.indexOf(s"<$tag>")
-      if (o < 0) None
+    def nameChar(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.' || c == ':'
+    // Real-world sitemap tags carry attributes and namespace prefixes —
+    // '<url changefreq="daily">', '<sm:loc>' — so matching the exact
+    // literal '<tag>' silently skips those entries. Match the LOCAL
+    // name (prefix stripped) followed by '>', whitespace, or '/'.
+    // Returns (tagStart, contentStart) of the next open tag whose local
+    // name equals `tag`, or null; self-closing tags yield an empty
+    // content span at the tag end.
+    def findOpen(tag: String, from: Int): (Int, Int) = {
+      var p = from
+      while (true) {
+        val o = xml.indexOf('<', p)
+        if (o < 0 || o + 1 >= xml.length) return null
+        val c1 = xml.charAt(o + 1)
+        if (c1 == '/' || c1 == '!' || c1 == '?') { p = o + 1 }
+        else {
+          var k = o + 1
+          while (k < xml.length && nameChar(xml.charAt(k))) k += 1
+          val name = xml.substring(o + 1, k)
+          val local = name.substring(name.lastIndexOf(':') + 1)
+          val followOk = k < xml.length &&
+            (xml.charAt(k) == '>' || xml.charAt(k) == '/' ||
+             xml.charAt(k).isWhitespace)
+          if (local == tag && name.nonEmpty && followOk) {
+            val gt = xml.indexOf('>', k)
+            if (gt < 0) return null // unterminated tag: fuzz-safe stop
+            // '<tag .../>': self-closing, empty content
+            if (xml.charAt(gt - 1) == '/') return (o, -(gt + 1))
+            return (o, gt + 1)
+          }
+          p = o + 1
+        }
+      }
+      null
+    }
+    // next '</tag>' (namespace-prefix tolerant) at/after `from`;
+    // returns (closeStart, closeEnd) or null
+    def findClose(tag: String, from: Int): (Int, Int) = {
+      var p = from
+      while (true) {
+        val o = xml.indexOf("</", p)
+        if (o < 0) return null
+        var k = o + 2
+        while (k < xml.length && nameChar(xml.charAt(k))) k += 1
+        val name = xml.substring(o + 2, k)
+        val local = name.substring(name.lastIndexOf(':') + 1)
+        var e = k
+        while (e < xml.length && xml.charAt(e).isWhitespace) e += 1
+        if (local == tag && e < xml.length && xml.charAt(e) == '>')
+          return (o, e + 1)
+        p = o + 2
+      }
+      null
+    }
+    def inner(blockStart: Int, blockEnd: Int, tag: String)
+        : Option[String] = {
+      val o = findOpen(tag, blockStart)
+      if (o == null || o._1 >= blockEnd) None
+      else if (o._2 < 0) Some("") // self-closing
       else {
-        val c = block.indexOf(s"</$tag>", o)
-        if (c < 0) None
-        else Some(block.substring(o + tag.length + 2, c).trim)
+        val c = findClose(tag, o._2)
+        if (c == null || c._1 > blockEnd) None
+        else Some(xml.substring(o._2, c._1).trim)
       }
     }
     def entries(entryTag: String, kind: String)
@@ -1021,28 +1148,29 @@ object TextOps {
       var p = 0
       var go = true
       while (go) {
-        val o = xml.indexOf(s"<$entryTag>", p)
-        if (o < 0) go = false
+        val o = findOpen(entryTag, p)
+        if (o == null) go = false
+        else if (o._2 < 0) { p = -o._2 } // self-closing entry: skip
         else {
-          val c = xml.indexOf(s"</$entryTag>", o)
-          if (c < 0) go = false
+          val c = findClose(entryTag, o._2)
+          if (c == null) go = false
           else {
-            val block = xml.substring(o, c)
-            inner(block, "loc").filter(_.nonEmpty).foreach { loc =>
-              val lastmod = inner(block, "lastmod").getOrElse("")
-              val prio = inner(block, "priority")
-                .flatMap(v => scala.util.Try(v.toDouble).toOption)
-                .getOrElse(-1.0)
-              out += ((kind, unesc(loc), lastmod, prio))
-            }
-            p = c + entryTag.length + 3
+            inner(o._2, c._1, "loc").map(unesc).filter(_.nonEmpty)
+              .foreach { loc =>
+                val lastmod = inner(o._2, c._1, "lastmod").getOrElse("")
+                val prio = inner(o._2, c._1, "priority")
+                  .flatMap(v => scala.util.Try(v.toDouble).toOption)
+                  .getOrElse(-1.0)
+                out += ((kind, loc, lastmod, prio))
+              }
+            p = c._2
           }
         }
       }
       out.result()
     }
-    if (xml.contains("<sitemapindex")) entries("sitemap", "index")
-    else if (xml.contains("<urlset")) entries("url", "urlset")
+    if (findOpen("sitemapindex", 0) != null) entries("sitemap", "index")
+    else if (findOpen("urlset", 0) != null) entries("url", "urlset")
     else Seq.empty
   }
 

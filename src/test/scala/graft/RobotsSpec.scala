@@ -76,4 +76,49 @@ class RobotsSpec extends AnyFunSuite {
                            RobotsRule(allow = false, "/y")))
     assert(!TextOps.robotsAllowed(combined, "/y/z")._1)
   }
+
+  test("named group with zero rules claims the agent (allow-all)") {
+    // the common allow-everything exemption: a named group whose only
+    // line is an empty Disallow. RFC 9309 group matching is exclusive
+    // on group EXISTENCE — '*' must NOT apply to the exempted crawler.
+    val txt = "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: graftbot\nDisallow:\n"
+    val groups = TextOps.robotsParse(txt)
+    val bot = TextOps.robotsGroup(groups, "graftbot")
+    assert(bot.isEmpty)
+    assert(TextOps.robotsAllowed(bot, "/anything")._1)
+    // everyone else still sees the '*' deny
+    assert(!TextOps.robotsAllowed(
+      TextOps.robotsGroup(groups, "nobody"), "/anything")._1)
+  }
+
+  test("percent-encoding canonical form (RFC 9309 §2.2.2)") {
+    // %XX hex uppercases; unreserved octets decode to the literal
+    assert(TextOps.pctCanonical("/a%2fb") == "/a%2Fb")
+    assert(TextOps.pctCanonical("/%7Efoo") == "/~foo")
+    assert(TextOps.pctCanonical("/%41%62c") == "/Abc")
+    // raw non-ASCII percent-encodes from UTF-8 octets
+    assert(TextOps.pctCanonical("/café") == "/caf%C3%A9")
+    assert(TextOps.pctCanonical("/a b") == "/a%20b")
+    // metacharacters and reserved chars stay raw; %2F stays encoded
+    // (distinct from a path '/')
+    assert(TextOps.pctCanonical("/t*mp$?q=1") == "/t*mp$?q=1")
+    // a stray '%' not followed by two hex digits re-encodes as %25 —
+    // applied identically to pattern and path, so they still match
+    assert(TextOps.pctCanonical("/100%") == "/100%25")
+    assert(TextOps.pctCanonical("/100%zz") == "/100%25zz")
+    // end-to-end: an encoded rule matches the decoded path and vice
+    // versa for unreserved octets...
+    val g = TextOps.robotsParse(
+      "User-agent: *\nDisallow: /caf%C3%A9\nDisallow: /%7Euser\n")
+    val rules = TextOps.robotsGroup(g, "anybot")
+    assert(!TextOps.robotsAllowed(rules, "/café/menu")._1)
+    assert(!TextOps.robotsAllowed(rules, "/~user/x")._1)
+    assert(!TextOps.robotsAllowed(rules, "/%7euser/x")._1)
+    // ...but %2F does NOT collapse into the path delimiter
+    val g2 = TextOps.robotsParse("User-agent: *\nDisallow: /a%2Fb\n")
+    val r2 = TextOps.robotsGroup(g2, "anybot")
+    assert(TextOps.robotsAllowed(r2, "/a/b")._1)
+    assert(!TextOps.robotsAllowed(r2, "/a%2fb")._1)
+  }
 }
