@@ -75,6 +75,10 @@ object SystemQueries {
   // machinery real, band table data declared; see L3IsoSynth)
   private val l3SfbLsfLit =
     graft.pipeline.L3IsoSynth.sfbLong(24000).mkString("[", ", ", "]")
+  // 48 kHz region boundaries for the loaded-table fixture (round 16):
+  // region0_count 4 / region1_count 3 → Table B.8 lines 20 / 42
+  private val l3LoadB0 = graft.pipeline.L3IsoSynth.sfbLong(48000)(5)
+  private val l3LoadB1 = graft.pipeline.L3IsoSynth.sfbLong(48000)(9)
 
 
 
@@ -3473,6 +3477,90 @@ object SystemQueries {
              |         range(4) jj(j)),
              |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
              |xr AS (SELECT id, f, g, gidx, line, isv,
+             |         (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END) *
+             |         p43[CAST(ABS(isv) AS INT) + 1] *
+             |         POWER(2.0, (id + f*2 + g) % 8 - 2) AS x
+             |       FROM ln3,
+             |         (SELECT [${Multimodal.l3Pow43.mkString(", ")}] AS p43) pp)
+             |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+             |  CAST(g AS BIGINT) AS granule,
+             |  CAST(4 + (id + f*2 + g) % 5 AS BIGINT) AS n_count1,
+             |  CAST(SUM(CASE WHEN isv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nonzero,
+             |  SUM(CAST(ROUND(x * 1e6, 0) AS BIGINT))
+             |    FILTER (WHERE isv <> 0) / 1e6 + 0.0 AS xr_sum,
+             |  SUM(CAST(ROUND(x * x * 1e6, 0) AS BIGINT))
+             |    FILTER (WHERE isv <> 0) / 1e6 + 0.0 AS xr_msq
+             |FROM xr GROUP BY id, f, g""".stripMargin)),
+
+    // RUNTIME-LOADED HUFFMAN TABLES (round 16 — the user-pluggable
+    // plumbing for the declared ISO slots 11/13/15/16-31 whose data the
+    // recall route cannot verify): a table FILE is written and loaded
+    // through L3IsoHuff.load, whose closure gate (exact Kraft
+    // completeness + prefix-freeness + v < 2^hlen, the same properties
+    // L3HuffTablesSpec asserts for the shipped tables) admits the data
+    // before registration. The stream's big-values regions select ids
+    // 13 (regions 0/2, plain) and 24 (region1, linbits 4 — magnitudes
+    // to 30 through the ESC path), which the SHIPPED tables refuse
+    // (L3HuffLoadSpec asserts both the refusal and gate rejections);
+    // decode succeeds only via layer3DecodeFull's extraTables. The
+    // file's code data is GRAFT-SYNTHETIC (64×7/64×8/128×9-bit
+    // canonical — the fixture proves the mechanism, not ISO data); a
+    // user with the spec mounts the real tables the same way.
+    ("multimodal_mp3_hufftable_load",
+      (s, dir) => {
+        import s.implicits._
+        val tf = java.nio.file.Files.createTempFile("graft_hufftables",
+          ".txt")
+        java.nio.file.Files.write(tf, graft.pipeline.L3IsoHuff
+          .synthLoadFileText(Seq((13, 0), (24, 4))).getBytes("UTF-8"))
+        // load DRIVER-side; the gated tables are closure-captured and
+        // ship with the tasks (executors never need the file)
+        val extra = graft.pipeline.L3IsoHuff.load(tf.toString)
+        java.nio.file.Files.delete(tf)
+        val enc = graft.pipeline.L3IsoHuff.synthLoadEncode
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, grans, _, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3HuffLoadBytes(id, nf, 13, 24, enc, 4),
+            extra).get
+          grans.map(g => (id, g.frame.toLong, g.granule.toLong,
+            g.nCount1.toLong, g.nNonzero.toLong, g.xrSum, g.xrMsq))
+        }.toDF("media_id", "frame", "granule", "n_count1", "n_nonzero",
+               "xr_sum", "xr_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, g FROM range(24) t(r),
+             |       range(3) ff(f), range(2) gg(g) WHERE f < r % 3 + 1),
+             |pl AS (SELECT id, f, g, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |           THEN (CASE WHEN (id + f + k) % 2 = 1
+             |                      THEN -1 ELSE 1 END)
+             |                * ((id*3 + f*7 + g*11 + k*5) %
+             |                   (CASE WHEN 2*k >= ${l3LoadB0} AND
+             |                              2*k < ${l3LoadB1}
+             |                         THEN 31 ELSE 16 END))
+             |           ELSE (CASE WHEN (id + g + k) % 2 = 1
+             |                      THEN -1 ELSE 1 END)
+             |                * ((id*5 + f*11 + g*3 + k*7) %
+             |                   (CASE WHEN 2*k >= ${l3LoadB0} AND
+             |                              2*k < ${l3LoadB1}
+             |                         THEN 31 ELSE 16 END))
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           23 + CAST((id + f + g) % 5 AS INT) - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, g,
+             |         2 * (23 + (id + f + g) % 5) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + g*5 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0
+             |                 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2 + g) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |xr AS (SELECT id, f, g, line, isv,
              |         (CASE WHEN isv < 0 THEN -1.0 ELSE 1.0 END) *
              |         p43[CAST(ABS(isv) AS INT) + 1] *
              |         POWER(2.0, (id + f*2 + g) % 8 - 2) AS x

@@ -47,7 +47,7 @@ package graft.pipeline
   * MACHINERY itself is proven through the synthetic slot-4 table
   * (`multimodal_mp3_linbits`).
   */
-private[graft] object L3IsoHuff {
+object L3IsoHuff {
 
   /** (dim, hlen row-major x·dim+y, hcod row-major). */
   private val raw: Map[Int, (Int, Array[Int], Array[Int])] = Map(
@@ -150,4 +150,160 @@ private[graft] object L3IsoHuff {
     bits.toSeq.zip(codes.toSeq)
   }
   def tableIds: Seq[Int] = raw.keys.toSeq.sorted
+
+  // ---------------------------------------------------------------------
+  // Runtime-loadable tables (round 16). The recall route for ISO tables
+  // 11/13/15 and the 16/24 linbits families is exhausted (scaladoc
+  // above); instead of remembering data we cannot verify, a user WHO HAS
+  // THE SPEC mounts it at runtime: `load(path)` parses a plain-text
+  // table file and admits each table only through the SAME structural
+  // closure gate the shipped tables pass per build (L3HuffTablesSpec) —
+  // exact Kraft completeness, prefix-freeness, per-entry v < 2^hlen.
+  // Gate-failing data throws; nothing is registered partially. The
+  // result feeds [[Multimodal.layer3DecodeFull]]'s `extraTables`
+  // parameter (closure-captured, so it ships with Spark tasks).
+  //
+  // File format (comments with '#', blank lines ignored):
+  //   table <tid> dim <d> linbits <n>
+  //   <hlen> <hcod>            -- d*d entry lines, row-major x*d+y
+  // ---------------------------------------------------------------------
+
+  /** ISO big-values table dims: tables 1-15 are 2/3/4/6/8-dim; the
+    * linbits families 16-31 are 16-dim. Loadable ids are the spec's
+    * defined-but-unshipped slots only. */
+  private val isoDims = Set(2, 3, 4, 6, 8, 16)
+
+  /** Validate one candidate table through the closure gate; returns the
+    * decode table or throws IllegalArgumentException with the failing
+    * property named. */
+  def gate(tid: Int, dim: Int, linbits: Int,
+           bits: Array[Int], codes: Array[Int]): Multimodal.L3HuffTable = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"table $tid: $msg")
+    if (tid < 1 || tid > 31) fail(s"table id out of range 1..31")
+    if (Multimodal.L3Tables.contains(tid))
+      fail("collides with a registered table (shipped ISO data and the " +
+           "synthetic slot 4 cannot be overridden)")
+    if (!isoDims.contains(dim)) fail(s"dim $dim not an ISO table dim")
+    if (linbits < 0 || linbits > 13) fail(s"linbits $linbits out of 0..13")
+    if (bits.length != dim * dim || codes.length != dim * dim)
+      fail(s"expected ${dim * dim} entries, got ${bits.length}")
+    bits.zip(codes).zipWithIndex.foreach { case ((len, v), i) =>
+      if (len < 1 || len > 19) fail(s"entry $i hlen $len out of 1..19")
+      if (v < 0 || v >= (1 << len)) fail(s"entry $i code $v !< 2^$len")
+    }
+    // Kraft completeness in exact integer arithmetic: Σ 2^(32-len) must
+    // equal 2^32 — every ISO B.7 table is a COMPLETE prefix code
+    val unit = 1L << 32
+    val kraft = bits.map(l => unit >> l).sum
+    if (kraft != unit)
+      fail(s"not Kraft-complete (sum ${kraft}/2^32)")
+    val words = bits.zip(codes).map { case (len, v) => codeword(v, len) }
+    if (words.distinct.length != words.length) fail("duplicate codeword")
+    val sorted = words.sorted
+    sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+      if (b.startsWith(a)) fail(s"not prefix-free ($a prefixes $b)")
+    }
+    val m = words.zipWithIndex.map { case (w, i) =>
+      w -> ((i / dim, i % dim))
+    }.toMap
+    Multimodal.L3HuffTable(m, linbits, bits.max)
+  }
+
+  /** Parse + gate a table file's text (see format above). */
+  def parse(text: String): Map[Int, Multimodal.L3HuffTable] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"hufftable file: $msg")
+    val lines = text.split("\n", -1).iterator
+      .map(_.takeWhile(_ != '#').trim).filter(_.nonEmpty).toSeq
+    val out = Map.newBuilder[Int, Multimodal.L3HuffTable]
+    val seen = scala.collection.mutable.Set[Int]()
+    var i = 0
+    while (i < lines.length) {
+      val hdr = lines(i).split("\\s+")
+      if (hdr.length != 6 || hdr(0) != "table" || hdr(2) != "dim" ||
+          hdr(4) != "linbits")
+        fail(s"bad header line '${lines(i)}' (want: table <tid> dim <d> " +
+             "linbits <n>)")
+      val (tid, dim, lb) =
+        try ((hdr(1).toInt, hdr(3).toInt, hdr(5).toInt))
+        catch { case _: NumberFormatException =>
+          fail(s"non-integer field in '${lines(i)}'") }
+      if (!seen.add(tid)) fail(s"table $tid appears twice")
+      val n = dim * dim
+      val bits = new Array[Int](n)
+      val codes = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        if (i + 1 + k >= lines.length)
+          fail(s"table $tid: truncated (need $n entry lines)")
+        val e = lines(i + 1 + k).split("\\s+")
+        if (e.length != 2) fail(s"table $tid entry $k: want '<hlen> <hcod>'")
+        try { bits(k) = e(0).toInt; codes(k) = e(1).toInt }
+        catch { case _: NumberFormatException =>
+          fail(s"table $tid entry $k: non-integer") }
+        k += 1
+      }
+      out += tid -> gate(tid, dim, lb, bits, codes)
+      i += 1 + n
+    }
+    val r = out.result()
+    if (r.isEmpty) fail("no tables found")
+    r
+  }
+
+  /** Load + gate-validate big-values tables from a file; throws on any
+    * structural failure, registers nothing partially. */
+  def load(path: String): Map[Int, Multimodal.L3HuffTable] =
+    parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8"))
+
+  /** GRAFT-SYNTHETIC structured 16×16 fixture code for the loader row
+    * and spec (NOT ISO data — it proves the load/gate/decode MECHANISM
+    * a real spec-table file would travel): canonical code with 64
+    * codewords of length 7, 64 of length 8, 128 of length 9 —
+    * Kraft-exact (64/128 + 64/256 + 128/512 = 1) and prefix-free by
+    * canonical construction. */
+  def synthLoadLens: Array[Int] =
+    Array.tabulate(256)(i => if (i < 64) 7 else if (i < 128) 8 else 9)
+  def synthLoadCodes: Array[Int] = {
+    val lens = synthLoadLens
+    val out = new Array[Int](256)
+    var c = 0
+    var prev = lens(0)
+    var i = 0
+    while (i < 256) {
+      c <<= (lens(i) - prev); prev = lens(i)
+      out(i) = c; c += 1; i += 1
+    }
+    out
+  }
+
+  /** Render the synthetic fixture table file: the same data mounted at
+    * each requested (tid, linbits). */
+  def synthLoadFileText(slots: Seq[(Int, Int)]): String = {
+    val lens = synthLoadLens
+    val codes = synthLoadCodes
+    val sb = new StringBuilder
+    sb.append("# GRAFT-SYNTHETIC loadable big-values tables (mechanism " +
+      "fixture, not ISO data)\n")
+    slots.foreach { case (tid, lb) =>
+      sb.append(s"table $tid dim 16 linbits $lb\n")
+      var i = 0
+      while (i < 256) {
+        sb.append(lens(i)).append(' ').append(codes(i)).append('\n')
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Encode map for the synthetic loadable table (fixture direction). */
+  def synthLoadEncode: Map[(Int, Int), String] = {
+    val lens = synthLoadLens
+    val codes = synthLoadCodes
+    (0 until 256).map(i => (i / 16, i % 16) -> codeword(codes(i), lens(i)))
+      .toMap
+  }
 }

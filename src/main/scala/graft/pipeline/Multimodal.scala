@@ -2021,7 +2021,7 @@ object Multimodal {
     * Tables 11-13/15 and the 16/24 linbits families remain declared —
     * their recalled data did not pass the closure gate ([[L3IsoHuff]]
     * scaladoc records the attempts). */
-  private[graft] final case class L3HuffTable(
+  final case class L3HuffTable(
       codes: Map[String, (Int, Int)], linbits: Int, maxLen: Int)
 
   private[graft] val L3Tables: Map[Int, L3HuffTable] = Map(
@@ -2268,9 +2268,18 @@ object Multimodal {
     * C.1) — tabulated constants we refuse to approximate; the machinery
     * around each is real. Transform constants are 1e-12-quantized so
     * the oracle can replay the exact doubles. */
-  def layer3DecodeFull(bytes: Array[Byte])
+  def layer3DecodeFull(bytes: Array[Byte],
+                       extraTables: Map[Int, L3HuffTable] = Map.empty)
       : Option[(AudioMeta, Seq[L3GranuleFull], Seq[L3SubbandOut],
                 Seq[L3PcmOut])] = {
+    // runtime-loaded big-values tables ([[L3IsoHuff.load]] — e.g. the
+    // ISO tables 11/13/15/16-31 whose data the repo declares rather
+    // than ships) merge OVER nothing: load() refuses ids that collide
+    // with registered tables, so this union is always disjoint. The
+    // map is closure-captured, so on a real cluster the loaded tables
+    // ship with the task like any other fixture constant.
+    val huffTabs =
+      if (extraTables.isEmpty) L3Tables else L3Tables ++ extraTables
     // header → (frame length, channels, MS flag, intensity flag, CRC
     // protection); mono, plain stereo, and joint stereo with the MS
     // and/or intensity extensions are supported; protection_bit = 0
@@ -2491,7 +2500,7 @@ object Multimodal {
               // any registered table decodes (real ISO 1-3/5-10 +
               // synthetic slot 4); both count1 tables decode since
               // round 14 (A = real ISO quad code, B = closed form)
-              if (s.tables.exists(t => t != 0 && !L3Tables.contains(t)))
+              if (s.tables.exists(t => t != 0 && !huffTabs.contains(t)))
                 ok = false
               else {
                 val start = bitPos
@@ -2594,7 +2603,7 @@ object Multimodal {
                                                   sfbL.length - 1))) 1
                     else 2
                   if (s.tables(region) == 0) { line += 2 }
-                  else readPair(L3Tables(s.tables(region))) match {
+                  else readPair(huffTabs(s.tables(region))) match {
                     case None => bad = true
                     case Some((x, y)) =>
                       is(line) = x; is(line + 1) = y
@@ -4186,6 +4195,140 @@ object Multimodal {
         put(0, 4)                        // scalefac_compress 0
         put(0, 1)                        // no window switching
         put(12, 5); put(12, 5); put(12, 5) // REAL table 12, all regions
+        put(4, 4); put(3, 3)             // region0_count 4, region1_count 3
+        put(0, 1)                        // preflag 0
+        put(1, 1)                        // scalefac_scale 1
+        put(0, 1)                        // count1 table A (REAL)
+      }
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** Fixture for the RUNTIME-LOADED table path ([[L3IsoHuff.load]],
+    * round 16): a mono 48 kHz / 192 kbps stream whose big-values
+    * regions select table ids that are NOT registered in [[L3Tables]] —
+    * region0/region2 `t0` (no linbits) and region1 `t1` (linbits 4,
+    * magnitudes to 30 through the ESC path) — so the stream REFUSES
+    * under the shipped tables and decodes only when the caller mounts
+    * the ids via `layer3DecodeFull(bytes, extraTables)`. Region
+    * boundaries are the real 48 kHz Table B.8 lines 20/42
+    * (region0_count 4, region1_count 3); count1 region uses real
+    * table A; the encode map is the caller's (the loaded table's
+    * inverse). */
+  def layer3HuffLoadBytes(seed: Long, nFrames: Int, t0: Int, t1: Int,
+                          enc: Map[(Int, Int), String],
+                          linbits1: Int): Array[Byte] = {
+    val frameLen = 576
+    val cap = frameLen - 21
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(w: String): Unit = {
+      var i = 0
+      while (i < w.length) {
+        if (w.charAt(i) == '1') poolBits(poolPos) = 1
+        poolPos += 1; i += 1
+      }
+    }
+    def putPoolBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    val sfb48 = L3IsoSynth.sfbLong(48000)
+    val b0 = sfb48(5)  // region0_count 4 → boundary line 20
+    val b1 = sfb48(9)  // region1_count 3 → boundary line 42
+    // region1 pairs travel the ESC path: magnitudes 0..30 (symbol
+    // min(m,15) + 4 linbits magnitude bits when m >= 15); regions 0/2
+    // stay plain 0..15 (t0 has no linbits: symbol 15 IS magnitude 15)
+    def pairs(f: Int, g: Int): Seq[(Int, Int)] = {
+      val n = 23 + ((seed + f + g) % 5).toInt
+      (0 until n).map { k =>
+        val m = if (2 * k >= b0 && 2 * k < b1) 31 else 16
+        val mx = ((seed * 3 + f * 7 + g * 11 + k * 5) % m).toInt
+        val my = ((seed * 5 + f * 11 + g * 3 + k * 7) % m).toInt
+        val x = if ((seed + f + k) % 2 == 1) -mx else mx
+        val y = if ((seed + g + k) % 2 == 1) -my else my
+        (x, y)
+      }
+    }
+    def quads(f: Int, g: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2 + g) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + g * 5 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, g: Int): Int =
+      210 + 4 * (((seed + f * 2 + g) % 8).toInt - 2)
+    def escBits(k: Int, m: Int): Int =
+      if (2 * k >= b0 && 2 * k < b1 && m >= 15) linbits1 else 0
+    def huffBits(f: Int, g: Int): Int = {
+      val pb = pairs(f, g).zipWithIndex.map { case ((x, y), k) =>
+        val ax = math.abs(x); val ay = math.abs(y)
+        enc((math.min(ax, 15), math.min(ay, 15))).length +
+          escBits(k, ax) + escBits(k, ay) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, g).map { q =>
+        var idx = 0
+        q.foreach(v => idx = (idx << 1) | (if (v != 0) 1 else 0))
+        L3IsoHuff.quadABits(idx) + q.count(_ != 0)
+      }.sum
+      pb + qb
+    }
+    (0 until nFrames).foreach { f =>
+      poolPos = f * cap * 8
+      (0 until 2).foreach { g =>
+        pairs(f, g).zipWithIndex.foreach { case ((x, y), k) =>
+          val ax = math.abs(x); val ay = math.abs(y)
+          putPool(enc((math.min(ax, 15), math.min(ay, 15))))
+          if (escBits(k, ax) > 0) putPoolBits(ax - 15, linbits1)
+          if (x != 0) putPoolBits(if (x < 0) 1 else 0, 1)
+          if (escBits(k, ay) > 0) putPoolBits(ay - 15, linbits1)
+          if (y != 0) putPoolBits(if (y < 0) 1 else 0, 1)
+        }
+        quads(f, g).foreach { q =>
+          var idx = 0
+          q.foreach(v => idx = (idx << 1) | (if (v != 0) 1 else 0))
+          putPool(L3IsoHuff.quadAEncode(idx))
+          q.foreach(v => if (v != 0) putPoolBits(if (v < 0) 1 else 0, 1))
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xfb, 8)
+      put(0xb4, 8); put(0xc0, 8)
+      put(0, 9); put(0, 5); put(0, 4)
+      (0 until 2).foreach { g =>
+        put(huffBits(f, g), 12)
+        put(pairs(f, g).size, 9)
+        put(gainOf(f, g), 8)
+        put(0, 4)                        // scalefac_compress 0
+        put(0, 1)                        // no window switching
+        put(t0, 5); put(t1, 5); put(t0, 5) // LOADED table ids
         put(4, 4); put(3, 3)             // region0_count 4, region1_count 3
         put(0, 1)                        // preflag 0
         put(1, 1)                        // scalefac_scale 1
