@@ -138,7 +138,8 @@ object SystemQueries {
     * payloads at the quarter rate, so the decoded rows are equal by
     * construction (asserted row-for-row by L3LsfSpec) — the
     * re-encode-equivalence verification shape. */
-  private val l3LsfOracle: String = s"""WITH gr AS (SELECT r AS id, f, f AS gidx
+  private def l3LsfOracleWith(geomLit: String): String =
+    s"""WITH gr AS (SELECT r AS id, f, f AS gidx
              |       FROM range(24) t(r), range(3) ff(f)
              |       WHERE f < r % 3 + 1),
              |sc AS (SELECT id, f, gidx,
@@ -182,7 +183,7 @@ object SystemQueries {
              |         range(4) jj(j)),
              |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
              |bd AS (SELECT l.id, l.f, l.gidx, l.line, l.isv,
-             |         len(list_filter($l3SfbLsfLit, v -> v <= l.line)) - 1
+             |         len(list_filter($geomLit, v -> v <= l.line)) - 1
              |           AS band,
              |         s.s1, s.s2, s.s3, s.s4, s.p0, s.p1, s.p2, s.pre
              |       FROM ln3 l JOIN sl s
@@ -251,6 +252,12 @@ object SystemQueries {
              |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
              |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
              |FROM ov GROUP BY id, gidx, sb""".stripMargin
+
+  private val l3LsfOracle: String = l3LsfOracleWith(l3SfbLsfLit)
+  // the loaded-geometry twin: same chain, band lookup on the
+  // file-mounted alternate tiling (multimodal_mp3_geometry_load)
+  private val l3LsfAltLit =
+    graft.pipeline.L3IsoSynth.synthAltLong.mkString("[", ", ", "]")
 
   /** CTE chain id/f/g/gidx → requantized frequency lines `xr(line, x)`:
     * big-values pairs + count1 quadruples by the fixture formulas, then
@@ -2610,8 +2617,11 @@ object SystemQueries {
         import s.implicits._
         s.range(24).flatMap { id =>
           val nf = (id % 3).toInt + 1
+          // the fixture opts into the declared synthetic tiling by name
+          // (round 16: real-world LSF rates refuse by default)
           val (_, _, subs, _) = Multimodal.layer3DecodeFull(
-            Multimodal.layer3LsfBytes(id, nf)).get
+            Multimodal.layer3LsfBytes(id, nf),
+            allowSyntheticGeometry = true).get
           subs.map(b => (id, b.frame.toLong, b.subband.toLong,
             b.sSum, b.sMsq))
         }.toDF("media_id", "frame", "subband", "s_sum", "s_msq")
@@ -2631,12 +2641,47 @@ object SystemQueries {
         s.range(24).flatMap { id =>
           val nf = (id % 3).toInt + 1
           val (_, _, subs, _) = Multimodal.layer3DecodeFull(
-            Multimodal.layer3LsfBytes(id, nf, v25 = true)).get
+            Multimodal.layer3LsfBytes(id, nf, v25 = true),
+            allowSyntheticGeometry = true).get
           subs.map(b => (id, b.frame.toLong, b.subband.toLong,
             b.sSum, b.sMsq))
         }.toDF("media_id", "frame", "subband", "s_sum", "s_msq")
       },
       Some(l3LsfOracle)),
+
+    // RUNTIME-LOADED LSF BAND GEOMETRY (round 16 — the drop-in seam for
+    // the real 13818-3 Annex B columns): a geometry FILE is mounted via
+    // L3IsoSynth.loadGeometry, whose monotone-tiling closure gate
+    // (23-entry long tiling 0..576, 14-entry short tiling 0..192,
+    // strictly monotone, even widths, LSF rates only) admits the
+    // columns before the decoder consults them. The same LSF fixture
+    // stream is decoded WITHOUT the synthetic opt-in — the loaded
+    // geometry satisfies the provenance guard — and the oracle replays
+    // the band lookup on the loaded tiling, whose boundaries differ
+    // from the built-in synthetic one at nearly every band: the row
+    // proves the file-mounted columns reach requantization. The file's
+    // data is GRAFT-SYNTHETIC (an alternate tiling — mechanism, not
+    // Annex B); a user with the spec mounts the real columns the same
+    // way and every LSF rate then decodes real-world input.
+    ("multimodal_mp3_geometry_load",
+      (s, dir) => {
+        import s.implicits._
+        val tf = java.nio.file.Files.createTempFile("graft_geometry",
+          ".txt")
+        java.nio.file.Files.write(tf, graft.pipeline.L3IsoSynth
+          .synthGeometryFileText(Seq(24000)).getBytes("UTF-8"))
+        val geom = graft.pipeline.L3IsoSynth.loadGeometry(tf.toString)
+        java.nio.file.Files.delete(tf)
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3LsfBytes(id, nf),
+            extraGeometry = geom).get
+          subs.map(b => (id, b.frame.toLong, b.subband.toLong,
+            b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "subband", "s_sum", "s_msq")
+      },
+      Some(l3LsfOracleWith(l3LsfAltLit))),
 
     // REAL MP3 MIXED-BLOCK form (block_type 2 / mixed_block_flag 1) —
     // the LAST window-switching variant: two LONG subbands below

@@ -28,7 +28,7 @@ package graft.pipeline
   *     `L3Sfb48` array already proven through every long-block oracle
   *     row since round 12.
   */
-private[graft] object L3IsoSynth {
+object L3IsoSynth {
 
   /** Table C.1 half window × 65536 (indices 0..256). */
   private val EnwHalf: Array[Int] = Array(
@@ -128,6 +128,113 @@ private[graft] object L3IsoSynth {
     11025 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192),
     12000 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192),
     8000 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 110, 144, 192))
+
+  /** Rates whose Table B.8 columns are REAL closure-verified ISO data;
+    * every other rate (the LSF/V2.5 family) mounts declared
+    * GRAFT-SYNTHETIC geometry and must not decode real-world input
+    * silently — [[Multimodal.layer3DecodeFull]] refuses those rates
+    * unless geometry is loaded ([[loadGeometry]]) or the caller opts
+    * into the synthetic tiling explicitly. */
+  val realGeometryRates: Set[Int] = Set(44100, 48000, 32000)
+
+  private val lsfRates: Set[Int] =
+    Set(22050, 24000, 16000, 11025, 12000, 8000)
+
+  /** Monotone-tiling closure gate for one loaded band-geometry column
+    * pair (the same structural properties the shipped MPEG-1 columns
+    * satisfy): the long column has 23 entries tiling 0..576 strictly
+    * monotonically with even widths; the short column 14 entries tiling
+    * 0..192 the same way. Width NON-DECREASE is deliberately NOT
+    * required — the published 13818-3 Annex B columns end in a
+    * narrowing top band, and the gate must admit real spec data. Only
+    * LSF/V2.5 rates are loadable: the MPEG-1 rates ship real verified
+    * data that must not be silently overridden. */
+  def gateGeometry(rate: Int, long: Array[Int], short: Array[Int])
+      : (Array[Int], Array[Int]) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"geometry $rate: $msg")
+    if (realGeometryRates.contains(rate))
+      fail("rate ships real verified ISO data (not overridable)")
+    if (!lsfRates.contains(rate)) fail("not an MPEG sample rate")
+    def check(col: Array[Int], n: Int, end: Int, what: String): Unit = {
+      if (col.length != n) fail(s"$what column needs $n entries")
+      if (col(0) != 0 || col(n - 1) != end)
+        fail(s"$what column must tile 0..$end")
+      var i = 1
+      while (i < n) {
+        val w = col(i) - col(i - 1)
+        if (w <= 0) fail(s"$what column not strictly monotone at $i")
+        if (w % 2 != 0) fail(s"$what column width at $i is odd")
+        i += 1
+      }
+    }
+    check(long, 23, 576, "long")
+    check(short, 14, 192, "short")
+    (long, short)
+  }
+
+  /** Parse + gate a band-geometry file: per rate a `geometry <rate>`
+    * header followed by `long <23 ints>` and `short <14 ints>` lines;
+    * '#' comments and blank lines ignored. Throws on any structural
+    * failure; nothing registers partially. */
+  def parseGeometry(text: String): Map[Int, (Array[Int], Array[Int])] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"geometry file: $msg")
+    val lines = text.split("\n", -1).iterator
+      .map(_.takeWhile(_ != '#').trim).filter(_.nonEmpty).toSeq
+    if (lines.length % 3 != 0 || lines.isEmpty)
+      fail("want triplets of: geometry <rate> / long <...> / short <...>")
+    val out = Map.newBuilder[Int, (Array[Int], Array[Int])]
+    val seen = scala.collection.mutable.Set[Int]()
+    lines.grouped(3).foreach { g =>
+      val h = g(0).split("\\s+")
+      if (h.length != 2 || h(0) != "geometry")
+        fail(s"bad header '${g(0)}'")
+      val rate = try h(1).toInt
+        catch { case _: NumberFormatException => fail(s"bad rate '${h(1)}'") }
+      if (!seen.add(rate)) fail(s"rate $rate appears twice")
+      def col(line: String, tag: String): Array[Int] = {
+        val p = line.split("\\s+")
+        if (p.isEmpty || p(0) != tag) fail(s"expected '$tag ...', got '$line'")
+        try p.drop(1).map(_.toInt)
+        catch { case _: NumberFormatException => fail(s"non-integer in '$line'") }
+      }
+      out += rate -> gateGeometry(rate, col(g(1), "long"), col(g(2), "short"))
+    }
+    out.result()
+  }
+
+  /** Load + gate-validate LSF/V2.5 band geometry from a file — the
+    * drop-in seam for the real 13818-3 Annex B columns. The result
+    * feeds [[Multimodal.layer3DecodeFull]]'s `extraGeometry`. */
+  def loadGeometry(path: String): Map[Int, (Array[Int], Array[Int])] =
+    parseGeometry(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8"))
+
+  /** GRAFT-SYNTHETIC alternate tiling for the geometry-loader fixture
+    * (NOT ISO data; deliberately different from [[lsfSyntheticLong]] so
+    * a decode that consults the loaded columns produces different
+    * values — the consultation proof). */
+  val synthAltLong: Array[Int] =
+    Array(0, 8, 14, 20, 26, 32, 38, 46, 54, 64, 76, 92, 112, 136, 164,
+          198, 238, 284, 336, 394, 458, 528, 576)
+  val synthAltShort: Array[Int] =
+    Array(0, 6, 10, 14, 18, 24, 32, 42, 54, 68, 86, 112, 146, 192)
+
+  /** Render the fixture geometry file (the same alt tiling at each
+    * requested rate). */
+  def synthGeometryFileText(rates: Seq[Int]): String = {
+    val sb = new StringBuilder
+    sb.append("# GRAFT-SYNTHETIC loadable band geometry (mechanism " +
+      "fixture, not ISO data)\n")
+    rates.foreach { r =>
+      sb.append(s"geometry $r\n")
+      sb.append("long ").append(synthAltLong.mkString(" ")).append('\n')
+      sb.append("short ").append(synthAltShort.mkString(" ")).append('\n')
+    }
+    sb.toString
+  }
 
   /** Short-geometry entropy-order position of entropy line `i`
     * (§2.4.3.4.5/§2.4.3.4.8): the entropy stream runs band-major with

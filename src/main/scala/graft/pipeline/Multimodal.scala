@@ -2269,7 +2269,10 @@ object Multimodal {
     * around each is real. Transform constants are 1e-12-quantized so
     * the oracle can replay the exact doubles. */
   def layer3DecodeFull(bytes: Array[Byte],
-                       extraTables: Map[Int, L3HuffTable] = Map.empty)
+                       extraTables: Map[Int, L3HuffTable] = Map.empty,
+                       extraGeometry: Map[Int, (Array[Int], Array[Int])] =
+                         Map.empty,
+                       allowSyntheticGeometry: Boolean = false)
       : Option[(AudioMeta, Seq[L3GranuleFull], Seq[L3SubbandOut],
                 Seq[L3PcmOut])] = {
     // runtime-loaded big-values tables ([[L3IsoHuff.load]] — e.g. the
@@ -2366,8 +2369,17 @@ object Multimodal {
     // same declared-refusal discipline as LSF short/mixed blocks
     if (headers.exists(h => h._7 && h._4)) return None
     val srHz = srAll.head
-    val sfbL = L3IsoSynth.sfbLong(srHz)
-    val sfbS = L3IsoSynth.sfbShort(srHz)
+    // PROVENANCE GUARD (round 16): the LSF/V2.5 rates mount declared
+    // GRAFT-SYNTHETIC band geometry — decoding a real 22.05/24/16 kHz
+    // file with it would yield silently-wrong band boundaries. Those
+    // rates therefore REFUSE unless the caller loads real geometry
+    // ([[L3IsoSynth.loadGeometry]] → `extraGeometry`, gate-validated)
+    // or opts into the synthetic tiling explicitly (fixtures/specs).
+    val geomOver = extraGeometry.get(srHz)
+    if (!L3IsoSynth.realGeometryRates.contains(srHz) &&
+        geomOver.isEmpty && !allowSyntheticGeometry) return None
+    val sfbL = geomOver.map(_._1).getOrElse(L3IsoSynth.sfbLong(srHz))
+    val sfbS = geomOver.map(_._2).getOrElse(L3IsoSynth.sfbShort(srHz))
     def sfbOfL(line: Int): Int = {
       var b = 0
       while (b + 1 < sfbL.length && sfbL(b + 1) <= line) b += 1

@@ -36,7 +36,8 @@ class L3LsfSpec extends AnyFunSuite {
     (0 until 24).foreach { id =>
       val nf = (id % 3) + 1
       val decoded = Multimodal.layer3DecodeFull(
-        Multimodal.layer3LsfBytes(id.toLong, nf))
+        Multimodal.layer3LsfBytes(id.toLong, nf),
+        allowSyntheticGeometry = true)
       assert(decoded.isDefined, s"id=$id LSF decode failed")
       val (meta, grans, subs, _) = decoded.get
       assert(meta.sampleRate == 24000 && meta.channels == 1)
@@ -48,19 +49,25 @@ class L3LsfSpec extends AnyFunSuite {
     }
     // all three sfc classes occur across a 3-frame stream (f % 3 cycle)
     val (_, g3, _, _) = Multimodal.layer3DecodeFull(
-      Multimodal.layer3LsfBytes(5L, 3)).get
+      Multimodal.layer3LsfBytes(5L, 3), allowSyntheticGeometry = true).get
     assert(g3.size == 3)
   }
 
   test("LSF refusals: short blocks, MPEG-2.5, and version mixing") {
     val ok = Multimodal.layer3LsfBytes(3L, 1)
-    assert(Multimodal.layer3DecodeFull(ok).isDefined)
+    assert(Multimodal.layer3DecodeFull(ok,
+      allowSyntheticGeometry = true).isDefined)
+    // round 16 provenance guard: WITHOUT the opt-in (or loaded
+    // geometry) the same LSF stream refuses — a real-world 24 kHz file
+    // can never decode on the synthetic tiling silently
+    assert(Multimodal.layer3DecodeFull(ok).isEmpty)
     // force block_type 2 (short) on the LSF granule: side info bit
     // layout 32 hdr + 8 mdb + 1 priv + 12 + 9 + 8 + 9 + 1 ws = 80,
     // block_type = bits 80-81 → byte 10 top two bits
     val shortBt = ok.clone()
     shortBt(10) = ((shortBt(10) & 0x3f) | 0x80).toByte // bt 1/3 → 2
-    assert(Multimodal.layer3DecodeFull(shortBt).isEmpty,
+    assert(Multimodal.layer3DecodeFull(shortBt,
+        allowSyntheticGeometry = true).isEmpty,
       "LSF short block must refuse (declared)")
     // MPEG-2.5 (round 15): decodes, and the quarter-rate re-wrap of
     // the SAME granule payloads decodes to IDENTICAL rows — the
@@ -69,9 +76,11 @@ class L3LsfSpec extends AnyFunSuite {
     (0 until 8).foreach { id =>
       val nf = (id % 3) + 1
       val a = Multimodal.layer3DecodeFull(
-        Multimodal.layer3LsfBytes(id.toLong, nf))
+        Multimodal.layer3LsfBytes(id.toLong, nf),
+        allowSyntheticGeometry = true)
       val b = Multimodal.layer3DecodeFull(
-        Multimodal.layer3LsfBytes(id.toLong, nf, v25 = true))
+        Multimodal.layer3LsfBytes(id.toLong, nf, v25 = true),
+        allowSyntheticGeometry = true)
       assert(b.isDefined, s"id=$id V2.5 decode failed")
       assert(b.get._1.sampleRate == 12000)
       assert(a.get._2 == b.get._2 && a.get._3 == b.get._3,
@@ -81,7 +90,8 @@ class L3LsfSpec extends AnyFunSuite {
     // intensity semantics differ from the MPEG-1 panning)
     val intens = ok.clone()
     intens(3) = 0x50.toByte // joint stereo, mode_ext 01
-    assert(Multimodal.layer3DecodeFull(intens).isEmpty)
+    assert(Multimodal.layer3DecodeFull(intens,
+      allowSyntheticGeometry = true).isEmpty)
     // reserved version bits 01 refuse
     val vres = ok.clone()
     vres(1) = ((vres(1) & ~0x18) | 0x08).toByte
@@ -90,6 +100,7 @@ class L3LsfSpec extends AnyFunSuite {
     // the rate-wide-geometry refusal fires
     val mixed = Multimodal.layer3LsfBytes(3L, 1) ++
       Multimodal.layer3BytesFull(3L, 1)
-    assert(Multimodal.layer3DecodeFull(mixed).isEmpty)
+    assert(Multimodal.layer3DecodeFull(mixed,
+      allowSyntheticGeometry = true).isEmpty)
   }
 }
