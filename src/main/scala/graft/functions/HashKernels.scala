@@ -45,3 +45,85 @@ object Md5Prefix60 {
     (v << 4) | ((d(7) >> 4) & 0xfL)
   }
 }
+
+/** Fused packed-bitset Bloom membership probe — the native kernel behind
+  * [[graft.pipeline.Dedup.bloomProbe]] above its size threshold.
+  *
+  * Semantically identical to the portable column form
+  * `AND_j array_contains(setBitPositions, pmod(md5Prefix60('bloom<j>|' ⧺ key), m))`
+  * but evaluated as k digest+bit-test probes against an m-bit bitset packed
+  * into `long[]`: no per-row position array scan (the portable form is
+  * O(k·|setBits|) per row — fine for blocklist-sized filters, wrong shape
+  * for a saturated multi-MB filter where |setBits| ≈ m/2), no hex-string
+  * round trip, short-circuit on the first cleared bit. The filter words
+  * ship once per expression instance via the codegen reference array, so a
+  * broadcast-sized filter is shared by every row of a task, and the hash
+  * is the engine's portable md5-prefix family — the DuckDB oracle rebuilds
+  * the identical filter from the member set. Runs inside whole-stage
+  * codegen via a static call. */
+case class BloomBitsetProbe(child: Expression, words: Array[Long],
+                            mBits: Long, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(mBits > 0 && words.length.toLong == (mBits + 63) / 64,
+    s"bitset word count ${words.length} does not cover $mBits bits")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  // one prefix byte-array per hash index: md5 over (prefix ⧺ key bytes)
+  // equals md5 of the concatenated string, so the two forms hash alike
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(j =>
+      s"bloom$j|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override protected def nullSafeEval(s: Any): Any =
+    BloomBitsetProbe.probe(s.asInstanceOf[UTF8String], words, mBits, prefixes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    val p = ctx.addReferenceObj("bloomPrefixes", prefixes, "byte[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BloomBitsetProbe.probe($c, $w, ${mBits}L, $p)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object BloomBitsetProbe {
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** k-fold probe: for each prefix, position = md5Prefix60(prefix ⧺ key)
+    * mod m (the 60-bit value is non-negative, so % ≡ pmod), then test bit
+    * position p at word p/64, bit p%64. False as soon as any bit is clear. */
+  def probe(s: UTF8String, words: Array[Long], m: Long,
+            prefixes: Array[Array[Byte]]): Boolean = {
+    val keyBytes = s.getBytes
+    var j = 0
+    while (j < prefixes.length) {
+      val md = md5.get()
+      md.update(prefixes(j)); md.update(keyBytes)
+      val d = md.digest()
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((d(7) >> 4) & 0xfL)
+      val pos = v % m
+      if (((words((pos >> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 0L)
+        return false
+      j += 1
+    }
+    true
+  }
+
+  /** Pack sorted set-bit positions (each in [0, m)) into the probe's
+    * little-endian-within-word `long[]` bitset. */
+  def pack(setBits: Array[Long], m: Long): Array[Long] = {
+    val words = new Array[Long](((m + 63) / 64).toInt)
+    var i = 0
+    while (i < setBits.length) {
+      val p = setBits(i)
+      words((p >> 6).toInt) |= 1L << (p & 63L).toInt
+      i += 1
+    }
+    words
+  }
+}

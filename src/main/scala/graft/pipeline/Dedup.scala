@@ -683,32 +683,59 @@ object Dedup {
     // a one-row-per-member Spark job (keeps the md5Prefix60 definition
     // single-sourced in the kernel rather than re-implemented in Scala).
     // The filter ships as the sorted array of SET bit positions — a Bloom
-    // filter is exactly its set-bit set, and position arrays keep the
-    // probe in portable column expressions (a packed-long bitset needs a
-    // variable-amount bit shift, which the Scala DSL doesn't expose). The
-    // probe is a linear array_contains per hash — fine for blocklist-
-    // sized filters; a saturated multi-MB filter wants a native bitset
-    // Expression instead.
-    def positions(keyC: Column, j: Int): Column =
-      pmod(graft.functions.PortableHash.md5Prefix60(
-        concat(lit(s"bloom$j|"), keyC)), lit(m))
+    // filter is exactly its set-bit set. Small filters probe through
+    // portable column expressions (array_contains over the positions);
+    // above [[nativeBitsetThresholdBits]] the positions pack into a
+    // long[] bitset probed by the fused [[graft.functions.
+    // BloomBitsetProbe]] codegen kernel — the portable form is
+    // O(k·|setBits|) per row, the wrong shape once the filter saturates
+    // (|setBits| ≈ m/2 at multi-MB sizes). Both forms hash identically
+    // (BloomKernelSpec asserts column-for-column equivalence).
     val spark = df.sparkSession
     import spark.implicits._
     val setBits: Array[Long] =
       if (keys.isEmpty) Array.empty
       else keys.toSeq.toDF("mk")
-        .select(explode(array((0 until k).map(j => positions(col("mk"), j)): _*))
-                  .as("p"))
+        .select(explode(array((0 until k).map(j =>
+                  bloomPosition(col("mk"), j, m)): _*)).as("p"))
         .distinct().collect().map(_.getLong(0)).sorted
-    val bitsLit = typedlit(setBits.toSeq)
     val key = col(keyCol).cast("string")
-    val maybe = (0 until k)
-      .map(j => array_contains(bitsLit, positions(key, j)))
-      .reduce(_ && _)
+    val maybe =
+      bloomMaybeColumn(key, setBits, m, k, m >= nativeBitsetThresholdBits)
     df.withColumn("maybe_member", maybe)
       .withColumn("is_member",
         if (keys.isEmpty) lit(false) else key.isin(keys.toSeq: _*))
   }
+
+  /** Filter size (bits) at which [[bloomProbe]] switches from the portable
+    * array_contains probe to the packed-bitset codegen kernel: 2^18 bits
+    * (32 KiB) ≈ 27k members at the 1% default — blocklist-sized filters
+    * keep the portable plan, corpus-scale filters get the O(k) probe. */
+  private[graft] val nativeBitsetThresholdBits: Long = 1L << 18
+
+  /** Bit position j of `keyC`: md5Prefix60("bloom<j>|" ⧺ key) mod m —
+    * ONE definition, used by the filter build, the portable probe, and
+    * (re-expressed byte-for-byte in [[graft.functions.BloomBitsetProbe]])
+    * the native probe. */
+  private[graft] def bloomPosition(keyC: Column, j: Int, m: Long): Column =
+    pmod(graft.functions.PortableHash.md5Prefix60(
+      concat(lit(s"bloom$j|"), keyC)), lit(m))
+
+  /** The k-fold membership conjunction over a built filter, in either
+    * probe form; exposed for the equivalence spec. */
+  private[graft] def bloomMaybeColumn(key: Column, setBits: Array[Long],
+                                      m: Long, k: Int,
+                                      native: Boolean): Column =
+    if (native)
+      org.apache.spark.sql.GraftColumn.of(graft.functions.BloomBitsetProbe(
+        org.apache.spark.sql.GraftColumn.expr(key.cast("string")),
+        graft.functions.BloomBitsetProbe.pack(setBits, m), m, k))
+    else {
+      val bitsLit = typedlit(setBits.toSeq)
+      (0 until k)
+        .map(j => array_contains(bitsLit, bloomPosition(key, j, m)))
+        .reduce(_ && _)
+    }
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     * exact cosine verification (see Similarity.hyperplaneBucket), on the
