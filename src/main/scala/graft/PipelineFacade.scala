@@ -135,6 +135,27 @@ final class GraftCorpus(val frame: DataFrame,
   def sampleK(weight: org.apache.spark.sql.Column, k: Int): DataFrame =
     Sampling.weightedSampleK(frame, idCol, weight, k)
 
+  // --- SQL surface ---
+  /** Register the corpus and its most composable pipeline stages as temp
+    * views so a SQL-only user can chain a mini-pipeline through
+    * `spark.sql` alone: `{prefix}docs` (the corpus itself),
+    * `{prefix}text_stats` (per-doc `id, n_tokens, n_chars, lang_pred`),
+    * `{prefix}dedup_drops` (the exact-dedup drop list, `id`), and
+    * `{prefix}sample` (deterministic hash sample of the corpus at
+    * `sampleFraction`). Views are LAZY logical plans, not materialized
+    * tables — a SQL query joining them optimizes as one Catalyst plan
+    * (the document scan is shared, filters and pruning push through the
+    * view boundary), so composing views costs the same as composing the
+    * DataFrames directly. The KG twin is [[GraftKG.registerViews]]. */
+  def registerViews(prefix: String = "graft_",
+                    sampleFraction: Double = 0.25): Unit = {
+    frame.createOrReplaceTempView(prefix + "docs")
+    stats().createOrReplaceTempView(prefix + "text_stats")
+    exactDropIds().createOrReplaceTempView(prefix + "dedup_drops")
+    Sampling.hashSample(frame, idCol, sampleFraction)
+      .createOrReplaceTempView(prefix + "sample")
+  }
+
   // --- sketches ---
   def heavyHitters(k: Int = 50, depth: Int = 4,
                    width: Int = 1 << 16): DataFrame = {

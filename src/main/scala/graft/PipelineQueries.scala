@@ -4704,7 +4704,71 @@ object PipelineQueries {
              |SELECT CAST(n AS BIGINT) AS n_top,
              |       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
              |       ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // SQL facade over the PIPELINE operators (round 16; the KG twin is
+    // q_facade_sql): GraftPipeline.corpus(...).registerViews registers
+    // the corpus + text stats + exact-dedup drop list + hash sample as
+    // temp views, and the query is pure spark.sql over them — per-
+    // language corpus totals from the stats view alone.
+    ("facade_sql_stats",
+      (s, dir) => {
+        GraftPipeline.corpus(t(s, dir, "documents")).registerViews("graftp_")
+        s.sql("""SELECT lang_pred, COUNT(*) AS n_docs,
+                 SUM(n_tokens) AS sum_tokens, SUM(n_chars) AS sum_chars
+                 FROM graftp_text_stats GROUP BY lang_pred""")
+      },
+      Some {
+        def hitsSql(markers: Seq[String]): String =
+          s"len(list_filter(string_split(lower(text), ' '), t -> t IN (" +
+            markers.map(m => s"'$m'").mkString(", ") + ")))"
+        val enc = TextOps.langMarkers.map { case (lang, markers) =>
+          s"lpad(CAST(${hitsSql(markers)} AS VARCHAR), 5, '0') || '$lang'"
+        }.mkString(",\n      ")
+        s"""WITH q AS (SELECT greatest($enc) AS best,
+           |  len(string_split(text, ' ')) AS nt, LENGTH(text) AS nc
+           |  FROM documents)
+           |SELECT CASE WHEN CAST(substr(best, 1, 5) AS INT) > 0
+           |            THEN substr(best, 6) ELSE 'und' END AS lang_pred,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           |  CAST(SUM(nc) AS BIGINT) AS sum_chars
+           |FROM q GROUP BY 1""".stripMargin
+      }),
+
+    // The SQL-only mini-pipeline composed ACROSS the facade views:
+    // dedup (NOT IN the exact-drop list) → deterministic hash sample
+    // (IN the sample view) → per-source token totals from the stats
+    // view. All four views are lazy plans over ONE documents scan, so
+    // Catalyst compiles the whole composition into a single plan — the
+    // SQL user pays no materialization tax for the view boundary.
+    ("facade_sql_pipeline",
+      (s, dir) => {
+        GraftPipeline.corpus(t(s, dir, "documents")).registerViews("graftp_")
+        s.sql("""SELECT d.source, COUNT(*) AS n_docs,
+                 SUM(s.n_tokens) AS sum_tokens
+                 FROM graftp_docs d
+                 JOIN graftp_text_stats s ON s.id = d.doc_id
+                 WHERE d.doc_id IN (SELECT doc_id FROM graftp_sample)
+                   AND d.doc_id NOT IN (SELECT id FROM graftp_dedup_drops)
+                 GROUP BY d.source""")
+      },
+      Some(s"""WITH drops AS (
+              |  SELECT doc_id AS id FROM (
+              |    SELECT doc_id,
+              |           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+              |    FROM documents)
+              |  WHERE doc_id <> keep),
+              |samp AS (SELECT doc_id FROM documents
+              |  WHERE ${graft.pipeline.Sampling.hashBucketSql(
+                   "doc_id", "sample")} < 250000)
+              |SELECT d.source, COUNT(*) AS n_docs,
+              |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+              |    AS sum_tokens
+              |FROM documents d
+              |WHERE d.doc_id IN (SELECT doc_id FROM samp)
+              |  AND d.doc_id NOT IN (SELECT id FROM drops)
+              |GROUP BY d.source""".stripMargin))
   )
 
   /** Shared CTE chain for the duplicated-span oracles (Lee et al.

@@ -445,27 +445,48 @@ object Similarity {
               6).as("vp"))
   }
 
-  /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
-    * each query probes its `probes` nearest cells — the standard
-    * recall/cost knob (recall grows with probed cells, scan cost stays
-    * |corpus|·probes/nCentroids on average). A neighbor can match at most
-    * once (one corpus cell, distinct probe cells), so no dedup is needed. */
-  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
-                        nCentroids: Int = 16, dim: Int, probes: Int = 2,
-                        seed: Double = 2.7): DataFrame = {
-    ArrayKernels.register(corpus.sparkSession)
-    def cellScores(vec: Column): Column = array((0 until nCentroids).map { c =>
+  /** Per-cell (negdot, cell) scores against the sin-seeded synthetic
+    * coarse centroids — the ONE quantizer definition shared by the index
+    * build and the query probe (they must agree or recall silently dies). */
+  private def ivfCellScores(vec: Column, nCentroids: Int, dim: Int,
+                            seed: Double): Column =
+    array((0 until nCentroids).map { c =>
       val cvec = typedLit(
         (1 to dim).map(i => math.sin((c % 9973 + 1) * i * 0.017 + seed)))
       struct((-ArrayKernels.arrayDot(vec, cvec)).as("negdot"),
              lit(c).as("cell"))
     }: _*)
-    val c = corpus.select(col("id").as("nid"), col("vec").as("nvec"),
-                          array_min(cellScores(col("vec"))).getField("cell").as("cell"))
+
+  /** IVF index BUILD: each corpus vector quantized to its single nearest
+    * cell → `(nid, nvec, cell)`. One linear pass (n·nCentroids fused
+    * dots, no shuffle); at scale this runs ONCE and persists (parquet,
+    * partitioned by cell) — query batches reuse it via [[ivfProbeTopK]]
+    * without re-assigning the corpus. ScratchAnnProbe measures the
+    * build/probe split across decades. */
+  def ivfAssign(corpus: DataFrame, nCentroids: Int, dim: Int,
+                seed: Double = 2.7): DataFrame = {
+    ArrayKernels.register(corpus.sparkSession)
+    corpus.select(col("id").as("nid"), col("vec").as("nvec"),
+      array_min(ivfCellScores(col("vec"), nCentroids, dim, seed))
+        .getField("cell").as("cell"))
+  }
+
+  /** IVF query PROBE over a built index ([[ivfAssign]] output): each
+    * query expands to its `probes` nearest cells, candidates come from a
+    * broadcast hash join on `cell`, and per-query cost is
+    * probes·occupancy — independent of corpus size at fixed occupancy
+    * (grow nCentroids with the corpus to hold occupancy constant). */
+  def ivfProbeTopK(assigned: DataFrame, queries: DataFrame, k: Int,
+                   nCentroids: Int, dim: Int, probes: Int = 2,
+                   seed: Double = 2.7): DataFrame = {
+    ArrayKernels.register(assigned.sparkSession)
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
-        explode(slice(array_sort(cellScores(col("vec"))), 1, probes)).as("sc"))
+        explode(slice(array_sort(
+          ivfCellScores(col("vec"), nCentroids, dim, seed)), 1, probes))
+          .as("sc"))
       .select(col("qid"), col("qvec"), col("sc.cell").as("cell"))
-    val cands = c.join(broadcast(q), "cell").filter(col("nid") =!= col("qid"))
+    val cands = assigned.join(broadcast(q), "cell")
+      .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
               ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
@@ -474,4 +495,17 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"),
               round(col("cos"), 6).as("cos"))
   }
+
+  /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
+    * each query probes its `probes` nearest cells — the standard
+    * recall/cost knob (recall grows with probed cells, scan cost stays
+    * |corpus|·probes/nCentroids on average). A neighbor can match at most
+    * once (one corpus cell, distinct probe cells), so no dedup is needed.
+    * Composition of [[ivfAssign]] (the build) + [[ivfProbeTopK]] (the
+    * probe); callers with standing corpora should persist the build. */
+  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nCentroids: Int = 16, dim: Int, probes: Int = 2,
+                        seed: Double = 2.7): DataFrame =
+    ivfProbeTopK(ivfAssign(corpus, nCentroids, dim, seed), queries, k,
+                 nCentroids, dim, probes, seed)
 }
