@@ -496,6 +496,40 @@ object Similarity {
               round(col("cos"), 6).as("cos"))
   }
 
+  /** [[ivfProbeTopK]] with the index scan STATICALLY pruned to the query
+    * batch's probed cells: the batch's distinct cell set is collected
+    * (≤ |Q|·probes ints — driver-bounded by the query-batch contract)
+    * and pushed as an `isin` partition filter, so a persisted index
+    * written `partitionBy("cell")` ([[ivfAssign]]) reads ONLY the probed
+    * partitions' files. This is the 100 TB probe shape — scan cost
+    * tracks cells-probed, not corpus size — and it is static pruning by
+    * construction, not dependent on the optimizer electing dynamic
+    * partition pruning (whose benefit heuristic can decline a
+    * filterless dimension side; measured in ScratchAnnProbe). */
+  def ivfProbeTopKPruned(assigned: DataFrame, queries: DataFrame, k: Int,
+                         nCentroids: Int, dim: Int, probes: Int = 2,
+                         seed: Double = 2.7): DataFrame = {
+    ArrayKernels.register(assigned.sparkSession)
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
+        explode(slice(array_sort(
+          ivfCellScores(col("vec"), nCentroids, dim, seed)), 1, probes))
+          .as("sc"))
+      .select(col("qid"), col("qvec"), col("sc.cell").as("cell"))
+      .localCheckpoint(true) // one tiny batch job; reused twice below
+    val probedCells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cands = assigned.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(q), "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+              ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"),
+              round(col("cos"), 6).as("cos"))
+  }
+
   /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
     * each query probes its `probes` nearest cells — the standard
     * recall/cost knob (recall grows with probed cells, scan cost stays

@@ -68,6 +68,41 @@ object ScratchAnnProbe {
       f"(decade exponent ${math.log10(b.probe / a.probe)}%5.2f); " +
       f"fixed-cells control probe ${c.probe}%5.2fs (${c.probe / b.probe}%4.1fx the scaled probe)")
 
+    // The PERSISTED-index shape (what ivfAssign's scaladoc prescribes at
+    // scale): the assigned corpus written as parquet PARTITIONED BY cell,
+    // so a probe's join on the partition column prunes the scan to the
+    // probed cells' files via dynamic partition pruning — the mechanism
+    // that makes probe cost track cells-probed when the corpus no longer
+    // fits anyone's memory. Verified structurally (the plan carries a
+    // dynamicpruning filter on the scan) and timed.
+    {
+      // 8-query batch → ≤16 of 160 cells probed: the at-scale regime
+      // (a batch's cell set ≪ total cells), where pruning has teeth
+      val n = 300000; val cells = 160
+      val corpus = gen(n)
+      val queries = corpus.filter(col("id") % (n / 8) === 0)
+        .limit(8).localCheckpoint(true)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ann_index").toString
+      val tw = time {
+        graft.pipeline.Similarity.ivfAssign(corpus, cells, DIM)
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+      }
+      val idx = spark.read.parquet(path)
+      val plain = graft.pipeline.Similarity
+        .ivfProbeTopK(idx, queries, 10, cells, DIM, probes = 2)
+      val tp = time { plain.count() }
+      val pruned = graft.pipeline.Similarity
+        .ivfProbeTopKPruned(idx, queries, 10, cells, DIM, probes = 2)
+      // the scan must carry a partition filter on cell (static pruning)
+      val pf = pruned.queryExecution.executedPlan.toString
+        .linesIterator.exists(l => l.contains("PartitionFilters") &&
+          l.contains("cell") && l.contains("IN"))
+      val tpp = time { pruned.count() }
+      println(f"POINT16 ann_ivf persisted n=$n cells=$cells write=$tw%6.2fs " +
+        f"full-scan probe=$tp%6.2fs pruned probe=$tpp%6.2fs partition-filter=$pf")
+    }
+
     def pqPoint(n: Int): Double = {
       val corpus = gen(n)
       val queries = corpus.filter(col("id") % (n / 64) === 0)
