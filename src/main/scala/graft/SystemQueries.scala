@@ -254,6 +254,216 @@ object SystemQueries {
              |FROM ov GROUP BY id, gidx, sb""".stripMargin
 
   private val l3LsfOracle: String = l3LsfOracleWith(l3SfbLsfLit)
+
+  // GRAFT-SYNTHETIC LSF short geometry ×3 (entropy-line space), the
+  // short-side twin of l3SfbS3Lit for the LSF rates (round 16)
+  private val l3SfbSLsf3Lit =
+    graft.pipeline.L3IsoSynth.sfbShort(24000).map(_ * 3)
+      .mkString("[", ", ", "]")
+
+  /** The LSF SHORT/MIXED-granule oracle (round 16): the
+    * [[Multimodal.layer3LsfShortBytes]] formulas replayed relationally —
+    * 9-bit scalefac_compress classes → btn-specific partition SLOT
+    * counts (13818-3 blocktypenumber 1 = pure short, 2 = mixed) → slot
+    * slens → per-window subblock-gain requant → §2.4.3.4.8 stride-3
+    * reorder → (mixed: single sb0|sb1 alias + long 36-point IMDCT below
+    * line 36) → 12-point short IMDCTs → frame-crossing overlap-add.
+    * Every value dyadic; folds order-pinned. */
+  private def l3LsfShortOracle(mixedForm: Boolean): String = {
+    // partition slot counts per class for this btn
+    val (pA, pB, pC) =
+      if (mixedForm) (Seq(6, 9, 9, 9), Seq(6, 9, 12, 6), Seq(15, 18, 0, 0))
+      else (Seq(9, 9, 9, 9), Seq(9, 9, 12, 6), Seq(18, 18, 0, 0))
+    def pCol(i: Int): String =
+      s"""CASE WHEN sfc < 400 THEN ${pA(i)}
+         |              WHEN sfc < 500 THEN ${pB(i)}
+         |              ELSE ${pC(i)} END AS p$i""".stripMargin
+    // slot → slen lookup over the cumulative partitions
+    val slenSql =
+      """CASE WHEN slot < p0 THEN s1
+        |            WHEN slot < p0 + p1 THEN s2
+        |            WHEN slot < p0 + p1 + p2 THEN s3
+        |            ELSE s4 END""".stripMargin
+    val sfvSql =
+      s"""CASE WHEN ($slenSql) = 0 THEN 0
+         |       ELSE (id + f + slot * 3) % (1 << ($slenSql)) END""".stripMargin
+    // short-side line decomposition (b, w, freq) + slot index
+    val shortSlot =
+      if (mixedForm) "6 + (b - 3) * 3 + w" else "b * 3 + w"
+    val shortXr =
+      s"""SELECT id, f, gidx, slot,
+         |    3 * (($l3SfbSLsf3Lit)[b+1] // 3 + jj) + w AS t,
+         |    isv * POWER(2.0, ((id + f*2) % 8 - 2)
+         |      - 2 * ((id + f + w) % 8)
+         |      - (CASE WHEN b < 12 THEN ($sfvSql) ELSE 0 END)) AS x
+         |  FROM (
+         |    SELECT lq.*, s.s1, s.s2, s.s3, s.s4, s.p0, s.p1, s.p2,
+         |      $shortSlot AS slot
+         |    FROM (
+         |      SELECT *,
+         |        (line - ($l3SfbSLsf3Lit)[b+1])
+         |          // ((($l3SfbSLsf3Lit)[b+2] - ($l3SfbSLsf3Lit)[b+1]) // 3)
+         |          AS w,
+         |        (line - ($l3SfbSLsf3Lit)[b+1])
+         |          % ((($l3SfbSLsf3Lit)[b+2] - ($l3SfbSLsf3Lit)[b+1]) // 3)
+         |          AS jj
+         |      FROM (SELECT *,
+         |              len(list_filter($l3SfbSLsf3Lit, v -> v <= line)) - 1
+         |                AS b
+         |            FROM ln3${if (mixedForm) " WHERE line >= 36" else ""}) b0)
+         |      lq
+         |    JOIN sl s ON s.id = lq.id AND s.gidx = lq.gidx) sq""".stripMargin
+    val longXr =
+      s"""SELECT id, f, gidx, slot, line AS t,
+         |    isv * POWER(2.0, ((id + f*2) % 8 - 2) - ($sfvSql)) AS x
+         |  FROM (
+         |    SELECT lq.*, s.s1, s.s2, s.s3, s.s4, s.p0, s.p1, s.p2,
+         |      band AS slot
+         |    FROM (SELECT *,
+         |            len(list_filter($l3SfbLsfLit, v -> v <= line)) - 1
+         |              AS band
+         |          FROM ln3 WHERE line < 36) lq
+         |    JOIN sl s ON s.id = lq.id AND s.gidx = lq.gidx) sq""".stripMargin
+    val xrCte =
+      if (mixedForm) s"xr AS (\n$longXr\n  UNION ALL\n$shortXr)"
+      else s"xr AS (\n$shortXr)"
+    // mixed: alias at the single sb0|sb1 boundary, long IMDCT on the two
+    // low subbands; pure short: no alias, short IMDCT everywhere
+    val postCtes =
+      if (mixedForm)
+        s"""al AS (
+           |  SELECT d.id, d.gidx, d.line,
+           |    CASE
+           |      WHEN d.line >= 18 AND d.line <= 25 THEN
+           |        d.x * ($l3CsLit)[CAST(d.line - 18 AS INT) + 1]
+           |        + p.x * ($l3CaLit)[CAST(d.line - 18 AS INT) + 1]
+           |      WHEN d.line >= 10 AND d.line <= 17 THEN
+           |        d.x * ($l3CsLit)[CAST(17 - d.line AS INT) + 1]
+           |        - p.x * ($l3CaLit)[CAST(17 - d.line AS INT) + 1]
+           |      ELSE d.x END AS x
+           |  FROM dense d
+           |  LEFT JOIN dense p ON p.id = d.id AND p.gidx = d.gidx
+           |    AND p.line = CASE WHEN d.line >= 10 AND d.line <= 25
+           |                      THEN 35 - d.line ELSE NULL END),
+           |imL AS (
+           |  SELECT a.id, a.gidx, a.line // 18 AS sb, ii.i36,
+           |    list_sum(list(
+           |      a.x * ($l3CtLit)[CAST(ii.i36 * 18 + a.line % 18 AS INT) + 1]
+           |      ORDER BY a.line))
+           |      * ($l3WinLit)[CAST(ii.i36 AS INT) + 1] AS zv
+           |  FROM al a CROSS JOIN range(36) ii(i36)
+           |  WHERE a.line < 36
+           |  GROUP BY a.id, a.gidx, a.line // 18, ii.i36),
+           |zwS AS (
+           |  SELECT d.id, d.gidx, d.line // 18 AS sb,
+           |    (d.line % 18) % 3 AS w, ii.i,
+           |    list_sum(list(
+           |      d.x * ($l3C12Lit)[CAST(ii.i * 6 + (d.line % 18) // 3
+           |                             AS INT) + 1]
+           |      ORDER BY d.line))
+           |      * ($l3W12Lit)[CAST(ii.i AS INT) + 1] AS z
+           |  FROM al d CROSS JOIN range(12) ii(i)
+           |  WHERE d.line >= 36
+           |  GROUP BY d.id, d.gidx, d.line // 18, (d.line % 18) % 3, ii.i),
+           |z36S AS (
+           |  SELECT g2.id, g2.gidx, sbb.sb, ii.i36,
+           |    COALESCE(list_sum(list(a.z ORDER BY a.w)), 0.0) AS zv
+           |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+           |  CROSS JOIN (SELECT 2 + s2.r AS sb FROM range(30) s2(r)) sbb
+           |  CROSS JOIN range(36) ii(i36)
+           |  LEFT JOIN (SELECT id, gidx, sb, 6 + 6 * w + i AS i36, w, z
+           |             FROM zwS) a
+           |    ON a.id = g2.id AND a.gidx = g2.gidx AND a.sb = sbb.sb
+           |    AND a.i36 = ii.i36
+           |  GROUP BY g2.id, g2.gidx, sbb.sb, ii.i36),
+           |z36 AS (SELECT * FROM imL UNION ALL SELECT * FROM z36S)"""
+          .stripMargin
+      else
+        s"""zw AS (
+           |  SELECT d.id, d.gidx, d.line // 18 AS sb,
+           |    (d.line % 18) % 3 AS w, ii.i,
+           |    list_sum(list(
+           |      d.x * ($l3C12Lit)[CAST(ii.i * 6 + (d.line % 18) // 3
+           |                             AS INT) + 1]
+           |      ORDER BY d.line))
+           |      * ($l3W12Lit)[CAST(ii.i AS INT) + 1] AS z
+           |  FROM dense d CROSS JOIN range(12) ii(i)
+           |  GROUP BY d.id, d.gidx, d.line // 18, (d.line % 18) % 3, ii.i),
+           |z36 AS (
+           |  SELECT g2.id, g2.gidx, sbb.sb, ii.i36,
+           |    COALESCE(list_sum(list(a.z ORDER BY a.w)), 0.0) AS zv
+           |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+           |  CROSS JOIN range(32) sbb(sb) CROSS JOIN range(36) ii(i36)
+           |  LEFT JOIN (SELECT id, gidx, sb, 6 + 6 * w + i AS i36, w, z
+           |             FROM zw) a
+           |    ON a.id = g2.id AND a.gidx = g2.gidx AND a.sb = sbb.sb
+           |    AND a.i36 = ii.i36
+           |  GROUP BY g2.id, g2.gidx, sbb.sb, ii.i36)""".stripMargin
+    s"""WITH gr AS (SELECT r AS id, f, f AS gidx
+       |       FROM range(24) t(r), range(3) ff(f)
+       |       WHERE f < r % 3 + 1),
+       |sc AS (SELECT id, f, gidx,
+       |         CASE f % 3
+       |           WHEN 0 THEN (id*3 + f*7) % 400
+       |           WHEN 1 THEN 400 + (id*5 + f*11) % 100
+       |           ELSE 500 + (id*7 + f*13) % 12 END AS sfc
+       |       FROM gr),
+       |sl AS (SELECT id, f, gidx, sfc,
+       |         CASE WHEN sfc < 400 THEN (sfc // 16) // 5
+       |              WHEN sfc < 500 THEN ((sfc - 400) // 4) // 5
+       |              ELSE (sfc - 500) // 3 END AS s1,
+       |         CASE WHEN sfc < 400 THEN (sfc // 16) % 5
+       |              WHEN sfc < 500 THEN ((sfc - 400) // 4) % 5
+       |              ELSE (sfc - 500) % 3 END AS s2,
+       |         CASE WHEN sfc < 400 THEN (sfc % 16) // 4
+       |              WHEN sfc < 500 THEN (sfc - 400) % 4
+       |              ELSE 0 END AS s3,
+       |         CASE WHEN sfc < 400 THEN sfc % 4 ELSE 0 END AS s4,
+       |         ${pCol(0)},
+       |         ${pCol(1)},
+       |         ${pCol(2)}
+       |       FROM sc),
+       |pl AS (SELECT id, f, gidx, 2 * k + j AS line,
+       |         CASE WHEN j = 0 THEN (id*3 + f*7 + k*5) % 3 - 1
+       |              ELSE (id*5 + f*11 + k*7) % 3 - 1 END AS isv
+       |       FROM gr,
+       |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+       |           16 + CAST((id + f) % 17 AS INT) - 1)) AS k) u,
+       |         range(2) jj(j)),
+       |q1 AS (SELECT id, f, gidx,
+       |         2 * (16 + (id + f) % 17) + 4 * q + j AS line,
+       |         ((id*(j+2) + f*3 + q*7) % 2) *
+       |           (CASE WHEN (id + f + j + q) % 2 = 0 THEN 1 ELSE -1 END)
+       |           AS isv
+       |       FROM gr,
+       |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+       |           4 + CAST((id + f*2) % 5 AS INT) - 1)) AS q) uu,
+       |         range(4) jj(j)),
+       |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+       |$xrCte,
+       |dense AS (
+       |  SELECT g2.id, g2.gidx, ll.l AS line, COALESCE(x3.x, 0.0) AS x
+       |  FROM (SELECT DISTINCT id, gidx FROM gr) g2
+       |  CROSS JOIN range(576) ll(l)
+       |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+       |    AND x3.t = ll.l),
+       |$postCtes,
+       |ov AS (
+       |  SELECT h.id, h.gidx, h.sb, h.i36 AS i,
+       |    (h.zv + COALESCE(t3.zv, 0.0)) *
+       |      (CASE WHEN h.sb % 2 = 1 AND h.i36 % 2 = 1
+       |            THEN -1.0 ELSE 1.0 END) AS v
+       |  FROM (SELECT * FROM z36 WHERE i36 < 18) h
+       |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, sb, i36 - 18 AS i36,
+       |             zv FROM z36 WHERE i36 >= 18) t3
+       |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.sb = h.sb
+       |    AND t3.i36 = h.i36)
+       |SELECT id AS media_id, CAST(gidx AS BIGINT) AS frame,
+       |  CAST(sb AS BIGINT) AS subband,
+       |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+       |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
+       |FROM ov GROUP BY id, gidx, sb""".stripMargin
+  }
   // the loaded-geometry twin: same chain, band lookup on the
   // file-mounted alternate tiling (multimodal_mp3_geometry_load)
   private val l3LsfAltLit =
@@ -2682,6 +2892,45 @@ object SystemQueries {
         }.toDF("media_id", "frame", "subband", "s_sum", "s_msq")
       },
       Some(l3LsfOracleWith(l3LsfAltLit))),
+
+    // MPEG-2 LSF SHORT BLOCKS (round 16 — the 13818-3 blocktypenumber-1
+    // class the round-15 LSF landing declared): one window-switched
+    // block_type-2 granule per frame, 36 scalefactor slots through the
+    // btn-1 partition classes of the 9-bit scalefac_compress, APPLIED
+    // per-window subblock gains, stride-3 reorder on the synthetic LSF
+    // short geometry, 12-point IMDCTs, frame-crossing overlap-add.
+    ("multimodal_mp3_lsf_short",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3LsfShortBytes(id, nf),
+            allowSyntheticGeometry = true).get
+          subs.map(b => (id, b.frame.toLong, b.subband.toLong,
+            b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "subband", "s_sum", "s_msq")
+      },
+      Some(l3LsfShortOracle(mixedForm = false))),
+
+    // MPEG-2 LSF MIXED BLOCKS (round 16, blocktypenumber 2): 6 long
+    // bands + short bands 3-11 × 3 windows = 33 slots, the long region
+    // under the first two subbands (the tiling aligns: sfbL(6) = 36,
+    // sfbS(3) = 12 — misaligned loaded geometry REFUSES mixed granules,
+    // L3LsfSpec), single sb0|sb1 alias, long IMDCT below / short above.
+    ("multimodal_mp3_lsf_mixed",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3LsfShortBytes(id, nf, mixed = true),
+            allowSyntheticGeometry = true).get
+          subs.map(b => (id, b.frame.toLong, b.subband.toLong,
+            b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "subband", "s_sum", "s_msq")
+      },
+      Some(l3LsfShortOracle(mixedForm = true))),
 
     // REAL MP3 MIXED-BLOCK form (block_type 2 / mixed_block_flag 1) —
     // the LAST window-switching variant: two LONG subbands below

@@ -1785,16 +1785,99 @@ object Multimodal {
     * (6+5+5+5, 6+5+7+3, 11+10+0+0), a structural closure `L3LsfSpec`
     * asserts over all 512 sfc values together with slen bounds. */
   private[graft] def lsfScaleLong(sfc: Int): (Array[Int], Array[Int]) =
+    lsfScale(sfc, 0)
+
+  /** MPEG-2 LSF scalefactor layout generalized over the three 13818-3
+    * block-type classes (round 16; §2.4.3.2's blocktypenumber): btn 0 =
+    * long (block_type 0/1/3), 1 = short (bt 2, not mixed), 2 = mixed
+    * (bt 2, mixed flag). The four slens derive algorithmically from the
+    * 9-bit scalefac_compress exactly as for long blocks; only the
+    * partition SLOT counts differ per btn. Slots are linear: btn 0 → 21
+    * long bands; btn 1 → 36 short slots (12 bands × 3 windows,
+    * band-major window-minor); btn 2 → 6 long bands then 27 short slots
+    * (bands 3–11 × 3). Every class tiles its slot total exactly
+    * (21/36/33 — L3LsfSpec closes this over all 512 sfc × 3 btn).
+    * preflag stays the derived `sfc ≥ 500` and applies to LONG lines
+    * only (pretab is zero on bands 0–5, so mixed granules are
+    * unaffected by construction). */
+  private[graft] def lsfScale(sfc: Int, btn: Int): (Array[Int], Array[Int]) =
     if (sfc < 400)
       (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3),
-       Array(6, 5, 5, 5))
+       btn match { case 0 => Array(6, 5, 5, 5)
+                   case 1 => Array(9, 9, 9, 9)
+                   case _ => Array(6, 9, 9, 9) })
     else if (sfc < 500) {
       val c = sfc - 400
-      (Array((c >> 2) / 5, (c >> 2) % 5, c & 3, 0), Array(6, 5, 7, 3))
+      (Array((c >> 2) / 5, (c >> 2) % 5, c & 3, 0),
+       btn match { case 0 => Array(6, 5, 7, 3)
+                   case 1 => Array(9, 9, 12, 6)
+                   case _ => Array(6, 9, 12, 6) })
     } else {
       val c = sfc - 500
-      (Array(c / 3, c % 3, 0, 0), Array(11, 10, 0, 0))
+      (Array(c / 3, c % 3, 0, 0),
+       btn match { case 0 => Array(11, 10, 0, 0)
+                   case 1 => Array(18, 18, 0, 0)
+                   case _ => Array(15, 18, 0, 0) })
     }
+
+  /** 13818-3 INTENSITY-channel scalefactor layout (round 16): the right
+    * channel of an LSF intensity-stereo stream reinterprets its 9-bit
+    * scalefac_compress as `int_scalefac_compress = sfc >> 1` (the LSB is
+    * intensity_scale) with three classes of its own; preflag never
+    * applies to the intensity channel. The transmitted values double as
+    * is_pos positions in the intensity region; a value equal to the
+    * band's `(1 << slen) − 1` is the ILLEGAL position = no processing.
+    * `isfc = 255` falls outside every class and refuses upstream.
+    * Tilings close over all isfc < 255 × 3 btn (L3LsfSpec).
+    *
+    * Provenance note: the class boundaries (180/244/255), slen
+    * derivations, and partition counts follow the public 13818-3
+    * §2.4.3.2 layout as recollected and structurally gated (exact slot
+    * tilings) — the same evidence level as the shipped ISO Huffman
+    * tables 1–10. */
+  private[graft] def lsfScaleIntensity(isfc: Int, btn: Int)
+      : (Array[Int], Array[Int]) =
+    if (isfc < 180)
+      (Array(isfc / 36, (isfc % 36) / 6, isfc % 6, 0),
+       btn match { case 0 => Array(7, 7, 7, 0)
+                   case 1 => Array(12, 12, 12, 0)
+                   case _ => Array(6, 15, 12, 0) })
+    else if (isfc < 244) {
+      val c = isfc - 180
+      (Array(c >> 4, (c & 15) >> 2, c & 3, 0),
+       btn match { case 0 => Array(6, 6, 6, 3)
+                   case 1 => Array(12, 9, 9, 6)
+                   case _ => Array(6, 12, 9, 6) })
+    } else {
+      require(isfc < 255, s"int_scalefac_compress $isfc outside every class")
+      val c = isfc - 244
+      (Array(c / 3, c % 3, 0, 0),
+       btn match { case 0 => Array(8, 8, 5, 0)
+                   case 1 => Array(15, 12, 9, 0)
+                   case _ => Array(6, 18, 9, 0) })
+    }
+
+  /** 13818-3 intensity factor pairs (k_left, k_right) per
+    * (intensity_scale, is_pos): io = 2^(−¼·(scale+1)); is_pos 0 → both
+    * 1; odd → (io^((p+1)/2), 1); even → (1, io^(p/2)). Channels
+    * reconstruct as left = l·k_l, right = l·k_r from the left-carried
+    * signal — NOT the MPEG-1 tan(is_pos·π/12)/(1+r) split. 1e-12
+    * quantized like [[l3IsRatio]] so the oracle interpolates identical
+    * literals. Two independent public formulations (the ISO reference
+    * decoder's io constants 0.84089…/0.70710… keyed on sfc parity, and
+    * the pow(2, −0.25(j+1)) table build common to public decoders)
+    * agree on io; the odd/even channel attribution is the recollected
+    * reference-decoder form, declared at that evidence level. */
+  val l3LsfIsKl: Array[Array[Double]] = Array.tabulate(2, 32) { (sc, p) =>
+    if (p == 0) 1.0
+    else if (p % 2 == 1)
+      round12(math.pow(2.0, -0.25 * (sc + 1) * ((p + 1) / 2))) else 1.0
+  }
+  val l3LsfIsKr: Array[Array[Double]] = Array.tabulate(2, 32) { (sc, p) =>
+    if (p == 0) 1.0
+    else if (p % 2 == 0)
+      round12(math.pow(2.0, -0.25 * (sc + 1) * (p / 2))) else 1.0
+  }
   // Long-block scalefactor band start lines at 48 kHz (Table B.8b).
   private val L3Sfb48: Array[Int] = Array(0, 4, 8, 12, 16, 20, 24, 30, 36,
     42, 50, 60, 72, 88, 106, 128, 156, 190, 230, 276, 330, 384, 576)
@@ -2363,11 +2446,10 @@ object Multimodal {
     // geometry is rate-wide state; a mid-stream rate change refuses
     val srAll = headers.map(_._6).distinct
     if (srAll.size != 1) return None
-    // LSF joint-stereo INTENSITY refuses (declared, round-15 review):
-    // 13818-3 intensity uses different scalefac_compress classes and
-    // 2^(-k/4) ratios, not the MPEG-1 tan(is_pos·π/12) panning — the
-    // same declared-refusal discipline as LSF short/mixed blocks
-    if (headers.exists(h => h._7 && h._4)) return None
+    // LSF joint-stereo intensity decodes since round 16 with the
+    // 13818-3 semantics (int_scalefac_compress classes, io^k factor
+    // pairs — lsfScaleIntensity / l3LsfIsKl/Kr), replacing the round-15
+    // declared refusal; only isfc = 255 (outside every class) refuses.
     val srHz = srAll.head
     // PROVENANCE GUARD (round 16): the LSF/V2.5 rates mount declared
     // GRAFT-SYNTHETIC band geometry — decoding a real 22.05/24/16 kHz
@@ -2390,6 +2472,15 @@ object Multimodal {
       while (b + 1 < sfbS.length && sfbS(b + 1) <= line) b += 1
       b
     }
+    // LSF MIXED blocks put the two long subbands under the first 6 long
+    // bands and start the short region at short band 3 — that is only
+    // coherent when the geometry tiles those boundaries exactly
+    // (sfbL(6) = 36, sfbS(3) = 12; true of the synthetic tiling AND the
+    // published Annex B columns at every LSF rate). A loaded geometry
+    // that breaks the alignment refuses MIXED granules rather than
+    // mis-banding them (long/short granules don't depend on it).
+    val lsfMixedAligned = sfbL.length > 6 && sfbL(6) == 36 &&
+      sfbS.length > 3 && sfbS(3) == 12
     val poolBefore = headers.map { case (len, nch, _, _, pr, _, lsfF) =>
       len - 4 - crcBytes(pr) - sideBytes(nch, lsfF)
     }.scanLeft(0)(_ + _)
@@ -2433,9 +2524,18 @@ object Multimodal {
         if (lsf) Array.fill(nch)(Array.fill(4)(0))
         else Array.fill(nch)(Array.fill(4)(sbits(1)))
       val ngr = if (lsf) 1 else 2
-      val sides = Array.fill(ngr, nch) {
+      // The RIGHT channel of an LSF intensity-stereo frame reinterprets
+      // its scalefac_compress through the intensity classes (13818-3):
+      // preflag never applies there, and isfc = 255 (outside every
+      // class) refuses.
+      def lsfIntChan(ch: Int): Boolean =
+        lsf && intens && nch == 2 && ch == 1
+      val sides = Array.tabulate(ngr, nch) { (_, chIdx) =>
         val part23 = sbits(12); val bv = sbits(9); val gain = sbits(8)
         val scomp = sbits(if (lsf) 9 else 4)
+        if (lsfIntChan(chIdx) && (scomp >> 1) == 255) ok = false
+        def lsfPre: Int =
+          if (lsfIntChan(chIdx)) 0 else if (scomp >= 500) 1 else 0
         val ws = sbits(1)
         if (ws == 1) {
           // window switching (§2.4.1.7): block_type, mixed_block_flag,
@@ -2444,17 +2544,18 @@ object Multimodal {
           // region0/region1 are implicit — region0_count 7 (long forms)
           // and 8 (short) both place the boundary at entropy line 36
           // (L3Sfb48(8) = 36), region1 to the top. block_type 1 (start),
-          // 2 (short, mixed or not), and 3 (stop) are all decoded; only
-          // the forbidden block_type 0 and mixed flags on non-short
-          // types refuse.
+          // 2 (short, mixed or not), and 3 (stop) are all decoded —
+          // for MPEG-1 since round 14/15 and for LSF since round 16
+          // (lsfScale's short/mixed partition classes); only the
+          // forbidden block_type 0, mixed flags on non-short types, and
+          // LSF mixed on non-aligned loaded geometry refuse.
           val bt = sbits(2); val mixed = sbits(1)
           val tabs = Array(sbits(5), sbits(5))
           val sbg = Array(sbits(3), sbits(3), sbits(3))
-          val pre = if (lsf) { if (scomp >= 500) 1 else 0 } else sbits(1)
+          val pre = if (lsf) lsfPre else sbits(1)
           val sfs = sbits(1); val c1 = sbits(1)
-          // LSF short/mixed blocks stay declared (their scalefactor
-          // PARTITIONS are separate 13818-3 table rows not yet gated)
-          if (bt == 0 || (mixed == 1 && bt != 2) || (lsf && bt == 2)) {
+          if (bt == 0 || (mixed == 1 && bt != 2) ||
+              (lsf && mixed == 1 && !lsfMixedAligned)) {
             ok = false
             Side(0, 0, 0, 0, Array(0), 0, 0, 0, 0, 0)
           } else Side(part23, bv, gain, scomp, tabs, 0, 0, pre, sfs, c1,
@@ -2462,7 +2563,7 @@ object Multimodal {
         } else {
           val tabs = Array(sbits(5), sbits(5), sbits(5))
           val r0 = sbits(4); val r1 = sbits(3)
-          val pre = if (lsf) { if (scomp >= 500) 1 else 0 } else sbits(1)
+          val pre = if (lsf) lsfPre else sbits(1)
           val sfs = sbits(1); val c1 = sbits(1)
           Side(part23, bv, gain, scomp, tabs, r0, r1, pre, sfs, c1)
         }
@@ -2502,6 +2603,11 @@ object Multimodal {
             val xrCh = Array.ofDim[Double](nch, 576)
             val sfCh = Array.ofDim[Int](nch, 21)
             val sfSCh = Array.ofDim[Int](nch, 12, 3) // short scalefactors
+            // per-band slot slens (LSF only): the intensity ILLEGAL
+            // position is (1 << slen) − 1 of the RIGHT channel's band
+            // slot, so the read loop records what it read each slot with
+            val slenLCh = Array.ofDim[Int](nch, 21)
+            val slenSCh = Array.ofDim[Int](nch, 12, 3)
             val lastNz = Array.fill(nch)(-1) // last nonzero entropy line
             // short blocks: last nonzero per-window SPECTRAL line — the
             // §2.4.3.4.9.3 intensity bound is per window there
@@ -2530,19 +2636,41 @@ object Multimodal {
                 val sf = sfCh(ch)
                 val sfS = sfSCh(ch) // kept per channel for intensity is_pos
                 if (lsf) {
-                  // LSF long layout (13818-3 §2.4.3.3): four slens and
-                  // four partition widths derived ALGORITHMICALLY from
-                  // the 9-bit scalefac_compress; the partitions tile the
-                  // 21 long bands exactly in every class (6+5+5+5 /
-                  // 6+5+7+3 / 11+10 — asserted by L3LsfSpec), so the
-                  // read loop covers every band and the bit account
-                  // pins the derivation
-                  val (slens, parts) = lsfScaleLong(s.scomp)
-                  var band = 0; var pi = 0
+                  // LSF layout (13818-3 §2.4.3.2/.3): four slens and
+                  // four partition SLOT counts derived ALGORITHMICALLY
+                  // from the 9-bit scalefac_compress — the long class
+                  // since round 15, the short/mixed classes and the
+                  // intensity-channel reinterpretation (isfc = scomp>>1,
+                  // own classes, preflag 0) since round 16. Slots map
+                  // btn 0 → 21 long bands; btn 1 → 36 short slots
+                  // (band-major window-minor); btn 2 → 6 long bands then
+                  // short bands 3–11 × 3. Every class tiles its slot
+                  // total exactly (L3LsfSpec closes all 512 × 3 + the
+                  // intensity 255 × 3), so the read loop covers every
+                  // slot and the bit account pins the derivation.
+                  val btn = if (short) { if (mix) 2 else 1 } else 0
+                  val isInt = intens && nch == 2 && ch == 1
+                  val (slens, parts) =
+                    if (isInt) lsfScaleIntensity(s.scomp >> 1, btn)
+                    else lsfScale(s.scomp, btn)
+                  val slenL = slenLCh(ch); val slenS = slenSCh(ch)
+                  var slot = 0; var pi = 0
                   while (pi < 4) {
                     var k2 = 0
                     while (k2 < parts(pi)) {
-                      sf(band) = bits(slens(pi)); band += 1; k2 += 1
+                      val sl = slens(pi)
+                      val v = bits(sl)
+                      if (btn == 0) { sf(slot) = v; slenL(slot) = sl }
+                      else if (btn == 1) {
+                        sfS(slot / 3)(slot % 3) = v
+                        slenS(slot / 3)(slot % 3) = sl
+                      } else if (slot < 6) {
+                        sf(slot) = v; slenL(slot) = sl
+                      } else {
+                        val b2 = 3 + (slot - 6) / 3; val w2 = (slot - 6) % 3
+                        sfS(b2)(w2) = v; slenS(b2)(w2) = sl
+                      }
+                      slot += 1; k2 += 1
                     }
                     pi += 1
                   }
@@ -2758,21 +2886,44 @@ object Multimodal {
                     } else sfbL(sfbOfL(i)) > lastNz(1)
                   }
                   if (isIntens) {
-                    val isPos =
-                      if (shortStereo || (mixedStereo && i >= 36)) {
-                        val b = sbandOfS(i / 3)
-                        if (b < 12) sfSCh(1)(b)(i % 3) else 7
-                      } else {
-                        val bnd = sfbOfL(i)
-                        if (bnd < (if (mixedStereo) 8 else 21))
-                          sfCh(1)(bnd)
-                        else 7
+                    // is_pos from the right channel's band slot; LSF
+                    // also needs the slot's slen (illegal = 2^slen − 1).
+                    // Slots beyond the transmitted range mean NO
+                    // processing (isPosV stays −1): MPEG-1 encodes that
+                    // as is_pos 7, 13818-3 as the illegal position.
+                    var isPosV = -1; var slenR = 0
+                    if (shortStereo || (mixedStereo && i >= 36)) {
+                      val b = sbandOfS(i / 3)
+                      if (b < 12) {
+                        isPosV = sfSCh(1)(b)(i % 3)
+                        slenR = slenSCh(1)(b)(i % 3)
                       }
-                    if (isPos != 7) {
+                    } else {
+                      val bnd = sfbOfL(i)
+                      val nLong =
+                        if (mixedStereo) { if (lsf) 6 else 8 } else 21
+                      if (bnd < nLong) {
+                        isPosV = sfCh(1)(bnd)
+                        slenR = slenLCh(1)(bnd)
+                      }
+                    }
+                    if (lsf) {
+                      // 13818-3 intensity (round 16): factor pairs
+                      // (k_l, k_r) = io^k from l3LsfIsKl/Kr, keyed on
+                      // intensity_scale = the right channel's
+                      // scalefac_compress LSB; illegal position =
+                      // (1 << slen) − 1 of the band's slot → untouched.
+                      if (isPosV >= 0 && isPosV != (1 << slenR) - 1) {
+                        val sc = sides(g)(1).scomp & 1
+                        val l = xrCh(0)(i)
+                        xrCh(0)(i) = l * l3LsfIsKl(sc)(isPosV)
+                        xrCh(1)(i) = l * l3LsfIsKr(sc)(isPosV)
+                      }
+                    } else if (isPosV >= 0 && isPosV != 7) {
                       val l = xrCh(0)(i)
-                      if (isPos == 6) { xrCh(1)(i) = 0.0 }
+                      if (isPosV == 6) { xrCh(1)(i) = 0.0 }
                       else {
-                        val r = l3IsRatio(isPos)
+                        val r = l3IsRatio(isPosV)
                         xrCh(0)(i) = l * (r / (1.0 + r))
                         xrCh(1)(i) = l * (1.0 / (1.0 + r))
                       }
@@ -3743,6 +3894,138 @@ object Multimodal {
         put((seed + f + w) % 8, 3))
       put(1, 1)                          // scalefac_scale 1 (no preflag bit)
       put(1, 1)                          // count1 table B
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
+  /** MPEG-2 LSF SHORT/MIXED-block fixture (round 16): the same mono
+    * 24 kHz / 64 kbps one-granule-per-frame stream as [[layer3LsfBytes]]
+    * but with every granule window-switched to block_type 2 — pure
+    * short (`mixed = false`, 13818-3 blocktypenumber 1: 36 scalefactor
+    * slots = 12 bands × 3 windows) or mixed (`mixed = true`,
+    * blocktypenumber 2: 6 long bands + short bands 3–11 × 3 = 33
+    * slots), with the 9-bit scalefac_compress CYCLING all three slen
+    * classes by frame and APPLIED per-window subblock gains. Entropy
+    * lines walk table 1 + count1 B exactly as the long fixture; short
+    * lines reorder through [[L3IsoSynth.shortPos]] on the synthetic LSF
+    * short geometry, mixed low lines stay long under the first 6 long
+    * bands (the tiling aligns: sfbL(6) = 36, sfbS(3) = 12). Gains
+    * 210 + 4k, scalefac_scale 1, integer slots — every requantized
+    * value dyadic (class-C preflag is inert: pretab is 0 on bands 0–5,
+    * the only long bands a mixed granule has). */
+  def layer3LsfShortBytes(seed: Long, nFrames: Int,
+                          mixed: Boolean = false): Array[Byte] = {
+    val frameLen = 192
+    val cap = frameLen - 13
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    val btn = if (mixed) 2 else 1
+    def sfcOf(f: Int): Int = (f % 3) match {
+      case 0 => ((seed * 3 + f * 7) % 400).toInt
+      case 1 => 400 + ((seed * 5 + f * 11) % 100).toInt
+      case _ => 500 + ((seed * 7 + f * 13) % 12).toInt
+    }
+    def pairs(f: Int): Seq[(Int, Int)] = {
+      val n = 16 + ((seed + f) % 17).toInt
+      (0 until n).map(k =>
+        ((((seed * 3 + f * 7 + k * 5) % 3) - 1).toInt,
+         (((seed * 5 + f * 11 + k * 7) % 3) - 1).toInt))
+    }
+    def quads(f: Int): Seq[Array[Int]] = {
+      val n = 4 + ((seed + f * 2) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int): Int = 210 + 4 * (((seed + f * 2) % 8).toInt - 2)
+    def sbgOf(f: Int, w: Int): Int = ((seed + f + w) % 8).toInt
+    def sfBits(f: Int): Int = {
+      val (slens, parts) = lsfScale(sfcOf(f), btn)
+      (0 until 4).map(i => slens(i) * parts(i)).sum
+    }
+    def huffBits(f: Int): Int = {
+      val pb = pairs(f).map { case (x, y) =>
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+    val mdbs = new Array[Int](nFrames)
+    (0 until nFrames).foreach { f =>
+      val nominal = f * cap
+      val want = if (f == 0) 0 else ((seed * 7 + f * 13) % 40).toInt
+      val avail = nominal - (poolPos + 7) / 8
+      val mdb = math.min(want, math.max(avail, 0))
+      mdbs(f) = mdb
+      val startBit = (nominal - mdb) * 8
+      while (poolPos < startBit) { poolPos += 1 }
+      val (slens, parts) = lsfScale(sfcOf(f), btn)
+      var slot = 0
+      (0 until 4).foreach { pi =>
+        (0 until parts(pi)).foreach { _ =>
+          if (slens(pi) > 0)
+            putPool((seed + f + slot * 3) % (1L << slens(pi)), slens(pi))
+          slot += 1
+        }
+      }
+      pairs(f).foreach { case (x, y) =>
+        val str = if (x == 0 && y == 0) "1"
+                  else if (y == 0) "01"
+                  else if (x == 0) "001" else "000"
+        str.foreach(c => putPool(if (c == '1') 1 else 0, 1))
+        if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+        if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+      }
+      quads(f).foreach { q =>
+        var code = 0
+        q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+        putPool(code, 4)
+        q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      put(0xff, 8); put(0xf3, 8); put(0x84, 8); put(0xc0, 8)
+      put(mdbs(f), 8); put(0, 1)
+      put(sfBits(f) + huffBits(f), 12)
+      put(pairs(f).size, 9)
+      put(gainOf(f), 8)
+      put(sfcOf(f), 9)
+      put(1, 1)                           // window switching
+      put(2, 2); put(if (mixed) 1 else 0, 1) // block_type 2, mixed flag
+      put(1, 5); put(1, 5)                // table 1 in both regions
+      (0 until 3).foreach(w => put(sbgOf(f, w), 3)) // APPLIED this time
+      put(1, 1)                           // scalefac_scale 1
+      put(1, 1)                           // count1 table B
       var b = 0
       while (b < cap * 8) {
         if (poolBits(f * cap * 8 + b) == 1)

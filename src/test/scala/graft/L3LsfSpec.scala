@@ -31,6 +31,58 @@ class L3LsfSpec extends AnyFunSuite {
     }
   }
 
+  test("short/mixed classes: all 512 sfc × btn tile 36/33 slots exactly") {
+    (0 until 512).foreach { sfc =>
+      val (slensS, partsS) = Multimodal.lsfScale(sfc, 1)
+      val (slensM, partsM) = Multimodal.lsfScale(sfc, 2)
+      assert(partsS.sum == 36, s"sfc=$sfc short ${partsS.mkString(",")}")
+      assert(partsM.sum == 33, s"sfc=$sfc mixed ${partsM.mkString(",")}")
+      assert(partsS.forall(_ >= 0) && partsM.forall(_ >= 0))
+      // slens are class-derived, identical across btn (the btn changes
+      // only the slot counts)
+      assert(slensS.toSeq == Multimodal.lsfScaleLong(sfc)._1.toSeq)
+      assert(slensM.toSeq == slensS.toSeq)
+      // the mixed class's first slots cover exactly the 6 long bands:
+      // every class row starts with a partition of ≥ 6 slots
+      assert(partsM(0) >= 6, s"sfc=$sfc mixed p0 ${partsM(0)}")
+    }
+  }
+
+  test("intensity classes: all isfc < 255 × btn tile 21/36/33; " +
+       "isfc = 255 refuses; factor tables are io^k") {
+    (0 until 255).foreach { isfc =>
+      val sums = Seq(21, 36, 33)
+      (0 to 2).foreach { btn =>
+        val (slens, parts) = Multimodal.lsfScaleIntensity(isfc, btn)
+        assert(parts.sum == sums(btn),
+          s"isfc=$isfc btn=$btn ${parts.mkString(",")}")
+        assert(parts.forall(_ >= 0))
+        assert(slens.forall(l => l >= 0 && l <= 5),
+          s"isfc=$isfc slens ${slens.mkString(",")}")
+        assert(slens(3) == 0) // the intensity classes use three slens
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.lsfScaleIntensity(255, 0)
+    }
+    // factor pairs: position 0 is the identity; exactly one channel is
+    // scaled elsewhere; factors are monotone non-increasing in k within
+    // a parity; scale 1 (io = 2^-1/2) attenuates faster than scale 0
+    (0 to 1).foreach { sc =>
+      assert(Multimodal.l3LsfIsKl(sc)(0) == 1.0)
+      assert(Multimodal.l3LsfIsKr(sc)(0) == 1.0)
+      (1 until 32).foreach { p =>
+        val kl = Multimodal.l3LsfIsKl(sc)(p)
+        val kr = Multimodal.l3LsfIsKr(sc)(p)
+        if (p % 2 == 1) assert(kl < 1.0 && kr == 1.0, s"sc=$sc p=$p")
+        else assert(kl == 1.0 && kr < 1.0, s"sc=$sc p=$p")
+      }
+      // io^2 at scale 0 (2^-1/4 squared) = io at scale 1 (2^-1/2)
+      assert(math.abs(Multimodal.l3LsfIsKr(0)(4) -
+                      Multimodal.l3LsfIsKr(1)(2)) < 1e-11)
+    }
+  }
+
   test("LSF fixture round-trips: one granule per frame, all three " +
        "scalefactor classes carry energy") {
     (0 until 24).foreach { id =>
@@ -53,6 +105,47 @@ class L3LsfSpec extends AnyFunSuite {
     assert(g3.size == 3)
   }
 
+  test("LSF short/mixed fixtures round-trip (round 16): one granule " +
+       "per frame, applied subblock gains, short slots carry energy") {
+    (0 until 24).foreach { id =>
+      val nf = (id % 3) + 1
+      Seq(false, true).foreach { mx =>
+        val d = Multimodal.layer3DecodeFull(
+          Multimodal.layer3LsfShortBytes(id.toLong, nf, mixed = mx),
+          allowSyntheticGeometry = true)
+        assert(d.isDefined, s"id=$id mixed=$mx refused")
+        val (meta, grans, subs, _) = d.get
+        assert(meta.sampleRate == 24000 && meta.channels == 1)
+        assert(grans.size == nf, s"id=$id mixed=$mx grans ${grans.size}")
+        assert(grans.forall(_.nNonzero > 0))
+        assert(subs.exists(_.sMsq > 0.0), s"id=$id mixed=$mx all-silent")
+      }
+      // pure-short and mixed layouts must decode DIFFERENTLY (btn
+      // routes both the slot reads and the low-line banding)
+      val a = Multimodal.layer3DecodeFull(
+        Multimodal.layer3LsfShortBytes(id.toLong, nf),
+        allowSyntheticGeometry = true).get._3
+      val b = Multimodal.layer3DecodeFull(
+        Multimodal.layer3LsfShortBytes(id.toLong, nf, mixed = true),
+        allowSyntheticGeometry = true).get._3
+      assert(a != b, s"id=$id short == mixed decode")
+    }
+    // mixed granules on NON-aligned loaded geometry refuse (the
+    // synthAlt tiling has sfbL(6) = 38 ≠ 36): machinery guards the
+    // band-boundary coherence instead of mis-banding
+    val geom = Map(24000 ->
+      (graft.pipeline.L3IsoSynth.synthAltLong,
+       graft.pipeline.L3IsoSynth.synthAltShort))
+    assert(Multimodal.layer3DecodeFull(
+      Multimodal.layer3LsfShortBytes(3L, 1, mixed = true),
+      extraGeometry = geom).isEmpty,
+      "mixed on misaligned geometry must refuse")
+    // ... while pure short on the same loaded geometry decodes
+    assert(Multimodal.layer3DecodeFull(
+      Multimodal.layer3LsfShortBytes(3L, 1),
+      extraGeometry = geom).isDefined)
+  }
+
   test("LSF refusals: short blocks, MPEG-2.5, and version mixing") {
     val ok = Multimodal.layer3LsfBytes(3L, 1)
     assert(Multimodal.layer3DecodeFull(ok,
@@ -63,12 +156,20 @@ class L3LsfSpec extends AnyFunSuite {
     assert(Multimodal.layer3DecodeFull(ok).isEmpty)
     // force block_type 2 (short) on the LSF granule: side info bit
     // layout 32 hdr + 8 mdb + 1 priv + 12 + 9 + 8 + 9 + 1 ws = 80,
-    // block_type = bits 80-81 → byte 10 top two bits
+    // block_type = bits 80-81 → byte 10 top two bits. Short blocks
+    // DECODE since round 16 (lsfScale btn 1), so the flip no longer
+    // refuses up front: the stream re-reads as a (garbage but
+    // well-formed) short-block stream — either the bit account breaks,
+    // or it reconciles by chance and the decode MUST differ from the
+    // long-layout decode (btn actually routes the slot layout).
     val shortBt = ok.clone()
     shortBt(10) = ((shortBt(10) & 0x3f) | 0x80).toByte // bt 1/3 → 2
-    assert(Multimodal.layer3DecodeFull(shortBt,
-        allowSyntheticGeometry = true).isEmpty,
-      "LSF short block must refuse (declared)")
+    val flipped = Multimodal.layer3DecodeFull(shortBt,
+      allowSyntheticGeometry = true)
+    val unflipped = Multimodal.layer3DecodeFull(ok,
+      allowSyntheticGeometry = true)
+    assert(flipped.isEmpty || flipped.get._3 != unflipped.get._3,
+      "flipped block_type must not decode to the long-layout rows")
     // MPEG-2.5 (round 15): decodes, and the quarter-rate re-wrap of
     // the SAME granule payloads decodes to IDENTICAL rows — the
     // re-encode-equivalence check that lets multimodal_mp3_v25 share
@@ -86,8 +187,10 @@ class L3LsfSpec extends AnyFunSuite {
       assert(a.get._2 == b.get._2 && a.get._3 == b.get._3,
         s"id=$id V2/V2.5 decode mismatch")
     }
-    // LSF joint-stereo INTENSITY refuses upfront (declared; 13818-3
-    // intensity semantics differ from the MPEG-1 panning)
+    // flipping the MONO fixture's header to joint stereo (round 16:
+    // LSF intensity now decodes — see layer3LsfIntensityBytes) shifts
+    // the expected side-info size 9 → 17 bytes, so the stream reads as
+    // garbage and refuses on the side/bit account, not silently
     val intens = ok.clone()
     intens(3) = 0x50.toByte // joint stereo, mode_ext 01
     assert(Multimodal.layer3DecodeFull(intens,
