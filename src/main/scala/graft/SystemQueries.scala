@@ -255,6 +255,13 @@ object SystemQueries {
 
   private val l3LsfOracle: String = l3LsfOracleWith(l3SfbLsfLit)
 
+  // 13818-3 intensity factor tables per intensity_scale (round 16):
+  // 1e-12-quantized io^k literals shared verbatim by decoder and oracle
+  private val l3IsKl0Lit = Multimodal.l3LsfIsKl(0).mkString("[", ", ", "]")
+  private val l3IsKl1Lit = Multimodal.l3LsfIsKl(1).mkString("[", ", ", "]")
+  private val l3IsKr0Lit = Multimodal.l3LsfIsKr(0).mkString("[", ", ", "]")
+  private val l3IsKr1Lit = Multimodal.l3LsfIsKr(1).mkString("[", ", ", "]")
+
   // GRAFT-SYNTHETIC LSF short geometry ×3 (entropy-line space), the
   // short-side twin of l3SfbS3Lit for the LSF rates (round 16)
   private val l3SfbSLsf3Lit =
@@ -2931,6 +2938,215 @@ object SystemQueries {
         }.toDF("media_id", "frame", "subband", "s_sum", "s_msq")
       },
       Some(l3LsfShortOracle(mixedForm = true))),
+
+    // MPEG-2 LSF INTENSITY STEREO (round 16 — the 13818-3 semantics the
+    // round-15 review made refuse): the right channel reinterprets its
+    // scalefac_compress as 2·isfc + intensity_scale through the three
+    // intensity classes (lsfScaleIntensity), its slots double as is_pos,
+    // a slot equal to (2^slen − 1) is the ILLEGAL position (pass-through),
+    // and processed bands reconstruct left = l·k_l, right = l·k_r from
+    // the io^k tables (io = 2^(−¼·(scale+1))) — NOT the MPEG-1
+    // tan(is_pos·π/12)/(1+r) split. The oracle derives the
+    // data-dependent intensity bound (MAX nonzero right line), replays
+    // both channels' class-derived requant, the per-band is_pos/illegal
+    // rule, the panning with the shared 1e-12-quantized k literals, and
+    // the per-channel long transform chain.
+    ("multimodal_mp3_lsf_intensity",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, subs, _) = Multimodal.layer3DecodeFull(
+            Multimodal.layer3LsfIntensityBytes(id, nf),
+            allowSyntheticGeometry = true).get
+          subs.map(b => (id, b.frame.toLong, b.channel.toLong,
+            b.subband.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "channel", "subband", "s_sum", "s_msq")
+      },
+      Some(s"""WITH gr AS (SELECT r AS id, f, f AS gidx, ch
+             |       FROM range(24) t(r), range(3) ff(f), range(2) cc(ch)
+             |       WHERE f < r % 3 + 1),
+             |scl AS (SELECT id, f, gidx, sfc,
+             |         CASE WHEN sfc < 400 THEN (sfc // 16) // 5
+             |              WHEN sfc < 500 THEN ((sfc - 400) // 4) // 5
+             |              ELSE (sfc - 500) // 3 END AS s1,
+             |         CASE WHEN sfc < 400 THEN (sfc // 16) % 5
+             |              WHEN sfc < 500 THEN ((sfc - 400) // 4) % 5
+             |              ELSE (sfc - 500) % 3 END AS s2,
+             |         CASE WHEN sfc < 400 THEN (sfc % 16) // 4
+             |              WHEN sfc < 500 THEN (sfc - 400) % 4
+             |              ELSE 0 END AS s3,
+             |         CASE WHEN sfc < 400 THEN sfc % 4 ELSE 0 END AS s4,
+             |         CASE WHEN sfc < 500 THEN 6 ELSE 11 END AS p0,
+             |         CASE WHEN sfc < 500 THEN 5 ELSE 10 END AS p1,
+             |         CASE WHEN sfc < 400 THEN 5
+             |              WHEN sfc < 500 THEN 7 ELSE 0 END AS p2,
+             |         CASE WHEN sfc >= 500 THEN 1 ELSE 0 END AS pre
+             |       FROM (SELECT id, f, gidx,
+             |               CASE f % 3
+             |                 WHEN 0 THEN (id*3 + f*7) % 400
+             |                 WHEN 1 THEN 400 + (id*5 + f*11) % 100
+             |                 ELSE 500 + (id*7 + f*13) % 12 END AS sfc
+             |             FROM (SELECT DISTINCT id, f, gidx FROM gr))),
+             |sci AS (SELECT id, f, gidx, isfc, (id + f) % 2 AS scale,
+             |         CASE WHEN isfc < 180 THEN isfc // 36
+             |              WHEN isfc < 244 THEN (isfc - 180) // 16
+             |              ELSE (isfc - 244) // 3 END AS i1,
+             |         CASE WHEN isfc < 180 THEN (isfc % 36) // 6
+             |              WHEN isfc < 244 THEN ((isfc - 180) % 16) // 4
+             |              ELSE (isfc - 244) % 3 END AS i2,
+             |         CASE WHEN isfc < 180 THEN isfc % 6
+             |              WHEN isfc < 244 THEN (isfc - 180) % 4
+             |              ELSE 0 END AS i3,
+             |         CASE WHEN isfc < 180 THEN 7
+             |              WHEN isfc < 244 THEN 6 ELSE 8 END AS q0,
+             |         CASE WHEN isfc < 180 THEN 7
+             |              WHEN isfc < 244 THEN 6 ELSE 8 END AS q1,
+             |         CASE WHEN isfc < 180 THEN 7
+             |              WHEN isfc < 244 THEN 6 ELSE 5 END AS q2
+             |       FROM (SELECT id, f, gidx,
+             |               CASE f % 3
+             |                 WHEN 0 THEN (id*3 + f*7) % 180
+             |                 WHEN 1 THEN 180 + (id*5 + f*11) % 64
+             |                 ELSE 244 + (id*7 + f*13) % 11 END AS isfc
+             |             FROM (SELECT DISTINCT id, f, gidx FROM gr))),
+             |pl AS (SELECT id, f, gidx, ch, 2 * k + j AS line,
+             |         CASE WHEN j = 0
+             |              THEN (id*3 + f*7 + ch*13 + k*5) % 3 - 1
+             |              ELSE (id*5 + f*11 + ch*7 + k*7) % 3 - 1
+             |         END AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           CASE WHEN ch = 1 THEN 8
+             |                ELSE 16 + CAST((id + f) % 17 AS INT)
+             |           END - 1)) AS k) u,
+             |         range(2) jj(j)),
+             |q1 AS (SELECT id, f, gidx, ch,
+             |         2 * (16 + (id + f) % 17) + 4 * q + j AS line,
+             |         ((id*(j+2) + f*3 + q*7) % 2) *
+             |           (CASE WHEN (id + f + j + q) % 2 = 0
+             |                 THEN 1 ELSE -1 END) AS isv
+             |       FROM gr,
+             |         LATERAL (SELECT UNNEST(GENERATE_SERIES(0,
+             |           4 + CAST((id + f*2) % 5 AS INT) - 1)) AS q) uu,
+             |         range(4) jj(j)
+             |       WHERE ch = 0),
+             |ln3 AS (SELECT * FROM pl UNION ALL SELECT * FROM q1),
+             |bd AS (SELECT l.*,
+             |         len(list_filter($l3SfbLsfLit, v -> v <= l.line)) - 1
+             |           AS band
+             |       FROM ln3 l),
+             |xr AS (SELECT id, gidx, ch, line, isv,
+             |         isv * POWER(2.0,
+             |           ((id + f*2 + ch*3) % 8 - 2)
+             |           - (CASE WHEN sl2 = 0 THEN 0
+             |              ELSE (id + f + band*3) % (1 << sl2) END)
+             |           - (CASE WHEN ch = 0
+             |              THEN pre * ($l3PretabLit)[CAST(band AS INT) + 1]
+             |              ELSE 0 END)) AS x
+             |       FROM (
+             |         SELECT b.*, l.pre,
+             |           CASE WHEN b.ch = 0 THEN
+             |             CASE WHEN b.band < l.p0 THEN l.s1
+             |                  WHEN b.band < l.p0 + l.p1 THEN l.s2
+             |                  WHEN b.band < l.p0 + l.p1 + l.p2 THEN l.s3
+             |                  ELSE l.s4 END
+             |           ELSE
+             |             CASE WHEN b.band < r.q0 THEN r.i1
+             |                  WHEN b.band < r.q0 + r.q1 THEN r.i2
+             |                  WHEN b.band < r.q0 + r.q1 + r.q2 THEN r.i3
+             |                  ELSE 0 END
+             |           END AS sl2
+             |         FROM bd b
+             |         JOIN scl l ON l.id = b.id AND l.gidx = b.gidx
+             |         JOIN sci r ON r.id = b.id AND r.gidx = b.gidx) q0),
+             |rm AS (SELECT id, gidx,
+             |         COALESCE(MAX(CASE WHEN ch = 1 AND isv <> 0
+             |                           THEN line END), -1) AS rmax
+             |       FROM xr GROUP BY 1, 2),
+             |dense AS (
+             |  SELECT g2.id, g2.gidx, g2.ch, ll.l AS line,
+             |         COALESCE(x3.x, 0.0) AS x
+             |  FROM (SELECT DISTINCT id, gidx, ch FROM gr) g2
+             |  CROSS JOIN range(576) ll(l)
+             |  LEFT JOIN xr x3 ON x3.id = g2.id AND x3.gidx = g2.gidx
+             |    AND x3.ch = g2.ch AND x3.line = ll.l),
+             |proc AS (
+             |  SELECT id, gidx, ch, line,
+             |    CASE WHEN ($l3SfbLsfLit)[CAST(band + 1 AS INT)] > rmax
+             |              AND pos <> (1 << slr) - 1
+             |    THEN
+             |      CASE WHEN ch = 0
+             |        THEN x0 * (CASE WHEN scale = 0
+             |               THEN ($l3IsKl0Lit)[CAST(pos AS INT) + 1]
+             |               ELSE ($l3IsKl1Lit)[CAST(pos AS INT) + 1] END)
+             |        ELSE x0 * (CASE WHEN scale = 0
+             |               THEN ($l3IsKr0Lit)[CAST(pos AS INT) + 1]
+             |               ELSE ($l3IsKr1Lit)[CAST(pos AS INT) + 1] END)
+             |      END
+             |    ELSE x END AS x
+             |  FROM (
+             |    SELECT *, CASE WHEN slr = 0 THEN 0
+             |                   ELSE (id + gidx + band*3) % (1 << slr)
+             |              END AS pos
+             |    FROM (
+             |      SELECT *,
+             |        CASE WHEN band < q0 THEN i1
+             |             WHEN band < q0 + q1 THEN i2
+             |             WHEN band < q0 + q1 + q2 THEN i3
+             |             ELSE 0 END AS slr
+             |      FROM (
+             |        SELECT d.id, d.gidx, d.ch, d.line, d.x, l0.x AS x0,
+             |          rm.rmax, r.scale, r.q0, r.q1, r.q2,
+             |          r.i1, r.i2, r.i3,
+             |          len(list_filter($l3SfbLsfLit, v -> v <= d.line)) - 1
+             |            AS band
+             |        FROM dense d
+             |        JOIN dense l0 ON l0.id = d.id AND l0.gidx = d.gidx
+             |          AND l0.ch = 0 AND l0.line = d.line
+             |        JOIN rm ON rm.id = d.id AND rm.gidx = d.gidx
+             |        JOIN sci r ON r.id = d.id AND r.gidx = d.gidx) t1) t2)),
+             |al AS (
+             |  SELECT d.id, d.gidx, d.ch, d.line,
+             |    CASE
+             |      WHEN d.line % 18 <= 7 AND d.line >= 18 THEN
+             |        d.x * ($l3CsLit)[CAST(d.line % 18 AS INT) + 1]
+             |        + p.x * ($l3CaLit)[CAST(d.line % 18 AS INT) + 1]
+             |      WHEN d.line % 18 >= 10 AND d.line < 558 THEN
+             |        d.x * ($l3CsLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |        - p.x * ($l3CaLit)[CAST(17 - d.line % 18 AS INT) + 1]
+             |      ELSE d.x END AS x
+             |  FROM proc d
+             |  LEFT JOIN proc p ON p.id = d.id AND p.gidx = d.gidx
+             |    AND p.ch = d.ch AND p.line =
+             |      CASE WHEN d.line % 18 <= 7 AND d.line >= 18
+             |             THEN d.line - 2 * (d.line % 18) - 1
+             |           WHEN d.line % 18 >= 10 AND d.line < 558
+             |             THEN d.line + 35 - 2 * (d.line % 18)
+             |           ELSE NULL END),
+             |im AS (
+             |  SELECT a.id, a.gidx, a.ch, a.line // 18 AS sb, ii.i,
+             |    list_sum(list(
+             |      a.x * ($l3CtLit)[CAST(ii.i * 18 + a.line % 18 AS INT) + 1]
+             |      ORDER BY a.line))
+             |      * ($l3WinLit)[CAST(ii.i AS INT) + 1] AS zw
+             |  FROM al a CROSS JOIN range(36) ii(i)
+             |  GROUP BY a.id, a.gidx, a.ch, a.line // 18, ii.i),
+             |ov AS (
+             |  SELECT h.id, h.gidx, h.ch, h.sb, h.i,
+             |    (h.zw + COALESCE(t3.zw, 0.0)) *
+             |      (CASE WHEN h.sb % 2 = 1 AND h.i % 2 = 1
+             |            THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM (SELECT * FROM im WHERE i < 18) h
+             |  LEFT JOIN (SELECT id, gidx + 1 AS gidx, ch, sb, i - 18 AS i,
+             |             zw FROM im WHERE i >= 18) t3
+             |    ON t3.id = h.id AND t3.gidx = h.gidx AND t3.ch = h.ch
+             |    AND t3.sb = h.sb AND t3.i = h.i)
+             |SELECT id AS media_id, CAST(gidx AS BIGINT) AS frame,
+             |  CAST(ch AS BIGINT) AS channel, CAST(sb AS BIGINT) AS subband,
+             |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+             |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
+             |FROM ov GROUP BY id, gidx, ch, sb""".stripMargin)),
 
     // REAL MP3 MIXED-BLOCK form (block_type 2 / mixed_block_flag 1) —
     // the LAST window-switching variant: two LONG subbands below

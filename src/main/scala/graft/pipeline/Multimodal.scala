@@ -4037,6 +4037,150 @@ object Multimodal {
     out
   }
 
+  /** MPEG-2 LSF INTENSITY-STEREO fixture (round 16): joint stereo
+    * 24 kHz / 64 kbps, mode_extension 01 (intensity on, MS off), one
+    * long-block (ws = 0) granule per frame. The LEFT channel carries
+    * full-band table-1 + count1-B data under the normal 13818-3 long
+    * classes; the RIGHT channel is the intensity channel — its 9-bit
+    * scalefac_compress encodes `2·isfc + intensity_scale` with isfc
+    * CYCLING the three 13818-3 intensity classes (< 180 / 180–243 /
+    * 244–254) and the scale bit alternating, its scalefactor slots read
+    * through [[lsfScaleIntensity]] (doubling as is_pos above its
+    * spectrum), and its entropy data stops at line 16 so the upper
+    * bands are the intensity region. Bands whose slot equals the
+    * illegal position (2^slen − 1) pass through unprocessed; the rest
+    * pan left = l·k_l, right = l·k_r from [[l3LsfIsKl]]/[[l3LsfIsKr]].
+    * Gains 210 + 4k, scalefac_scale 1 — requantized values dyadic; the
+    * k factors are the 1e-12-quantized literals both engines share. */
+  def layer3LsfIntensityBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    val frameLen = 192
+    val cap = frameLen - 21 // 4 header + 17 LSF stereo side info
+    val out = new Array[Byte](frameLen * nFrames)
+    val poolBits = new Array[Byte](cap * nFrames * 8)
+    var poolPos = 0
+    def putPool(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) poolBits(poolPos) = 1
+        poolPos += 1; i -= 1
+      }
+    }
+    def sfcOf(f: Int): Int = (f % 3) match { // left channel, long classes
+      case 0 => ((seed * 3 + f * 7) % 400).toInt
+      case 1 => 400 + ((seed * 5 + f * 11) % 100).toInt
+      case _ => 500 + ((seed * 7 + f * 13) % 12).toInt
+    }
+    def isfcOf(f: Int): Int = (f % 3) match { // right channel classes
+      case 0 => ((seed * 3 + f * 7) % 180).toInt
+      case 1 => 180 + ((seed * 5 + f * 11) % 64).toInt
+      case _ => 244 + ((seed * 7 + f * 13) % 11).toInt
+    }
+    def scompOf(f: Int, ch: Int): Int =
+      if (ch == 0) sfcOf(f) else 2 * isfcOf(f) + ((seed + f) % 2).toInt
+    def scaleParts(f: Int, ch: Int): (Array[Int], Array[Int]) =
+      if (ch == 0) lsfScale(sfcOf(f), 0) else lsfScaleIntensity(isfcOf(f), 0)
+    def pairs(f: Int, ch: Int): Seq[(Int, Int)] = {
+      val n = if (ch == 1) 8 else 16 + ((seed + f) % 17).toInt
+      (0 until n).map(k =>
+        ((((seed * 3 + f * 7 + ch * 13 + k * 5) % 3) - 1).toInt,
+         (((seed * 5 + f * 11 + ch * 7 + k * 7) % 3) - 1).toInt))
+    }
+    def quads(f: Int, ch: Int): Seq[Array[Int]] = {
+      val n = if (ch == 1) 0 else 4 + ((seed + f * 2) % 5).toInt
+      (0 until n).map { q =>
+        Array.tabulate(4) { j =>
+          val bit = ((seed * (j + 2) + f * 3 + q * 7) % 2).toInt
+          val sgn = if ((seed + f + j + q) % 2 == 0) 1 else -1
+          bit * sgn
+        }
+      }
+    }
+    def gainOf(f: Int, ch: Int): Int =
+      210 + 4 * (((seed + f * 2 + ch * 3) % 8).toInt - 2)
+    def sfBits(f: Int, ch: Int): Int = {
+      val (slens, parts) = scaleParts(f, ch)
+      (0 until 4).map(i => slens(i) * parts(i)).sum
+    }
+    def huffBits(f: Int, ch: Int): Int = {
+      val pb = pairs(f, ch).map { case (x, y) =>
+        (if (x == 0 && y == 0) 1 else if (y == 0) 2 else 3) +
+          (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+      }.sum
+      val qb = quads(f, ch).map(q => 4 + q.count(_ != 0)).sum
+      pb + qb
+    }
+    val mdbs = new Array[Int](nFrames)
+    (0 until nFrames).foreach { f =>
+      val nominal = f * cap
+      val want = if (f == 0) 0 else ((seed * 7 + f * 13) % 40).toInt
+      val avail = nominal - (poolPos + 7) / 8
+      val mdb = math.min(want, math.max(avail, 0))
+      mdbs(f) = mdb
+      val startBit = (nominal - mdb) * 8
+      while (poolPos < startBit) { poolPos += 1 }
+      (0 until 2).foreach { ch =>
+        val (slens, parts) = scaleParts(f, ch)
+        var slot = 0
+        (0 until 4).foreach { pi =>
+          (0 until parts(pi)).foreach { _ =>
+            if (slens(pi) > 0)
+              putPool((seed + f + slot * 3) % (1L << slens(pi)), slens(pi))
+            slot += 1
+          }
+        }
+        pairs(f, ch).foreach { case (x, y) =>
+          val str = if (x == 0 && y == 0) "1"
+                    else if (y == 0) "01"
+                    else if (x == 0) "001" else "000"
+          str.foreach(c => putPool(if (c == '1') 1 else 0, 1))
+          if (x != 0) putPool(if (x < 0) 1 else 0, 1)
+          if (y != 0) putPool(if (y < 0) 1 else 0, 1)
+        }
+        quads(f, ch).foreach { q =>
+          var code = 0
+          q.foreach(v => code = (code << 1) | (if (v != 0) 0 else 1))
+          putPool(code, 4)
+          q.foreach(v => if (v != 0) putPool(if (v < 0) 1 else 0, 1))
+        }
+      }
+    }
+    (0 until nFrames).foreach { f =>
+      var bitPos = f * frameLen * 8
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1)
+            out(bitPos >> 3) =
+              (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+          bitPos += 1; i -= 1
+        }
+      }
+      // V2 LSF header: 64 kbps, 24 kHz, joint stereo, mode_ext 01
+      // (intensity on, MS off)
+      put(0xff, 8); put(0xf3, 8); put(0x84, 8); put(0x50, 8)
+      put(mdbs(f), 8); put(0, 2) // 8-bit main_data_begin + 2 private
+      (0 until 2).foreach { ch =>
+        put(sfBits(f, ch) + huffBits(f, ch), 12)
+        put(pairs(f, ch).size, 9)
+        put(gainOf(f, ch), 8)
+        put(scompOf(f, ch), 9)
+        put(0, 1)                  // no window switching (long block)
+        put(1, 5); put(1, 5); put(1, 5) // table 1 in all three regions
+        put(4, 4); put(3, 3)       // region0/region1 counts (inert: one table)
+        put(1, 1)                  // scalefac_scale 1 (no preflag bit)
+        put(1, 1)                  // count1 table B
+      }
+      var b = 0
+      while (b < cap * 8) {
+        if (poolBits(f * cap * 8 + b) == 1)
+          out(bitPos >> 3) =
+            (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1; b += 1
+      }
+    }
+    out
+  }
+
   /** The encode half of the START/STOP-WINDOW round trip: a real MPEG-1
     * Layer III mono 48 kHz / 192 kbps stream whose every granule uses
     * window switching with block_type 1 (start) when (seed+f+g) is even

@@ -146,6 +146,46 @@ class L3LsfSpec extends AnyFunSuite {
       extraGeometry = geom).isDefined)
   }
 
+  test("LSF intensity-stereo fixture round-trips (round 16): panning " +
+       "reaches the right channel, illegal positions pass through") {
+    var panned = 0
+    (0 until 24).foreach { id =>
+      val nf = (id % 3) + 1
+      val d = Multimodal.layer3DecodeFull(
+        Multimodal.layer3LsfIntensityBytes(id.toLong, nf),
+        allowSyntheticGeometry = true)
+      assert(d.isDefined, s"id=$id refused")
+      val (meta, grans, subs, _) = d.get
+      assert(meta.sampleRate == 24000 && meta.channels == 2)
+      assert(grans.size == nf * 2, s"id=$id grans ${grans.size}")
+      // the right channel must carry energy ABOVE its own transmitted
+      // spectrum (lines < 16 ⊂ subbands 0) in some granule — only the
+      // intensity pan can put it there
+      if (subs.exists(b => b.channel == 1 && b.subband >= 1 &&
+                           b.sMsq > 0.0)) panned += 1
+    }
+    assert(panned > 12, s"intensity panning reached only $panned/24 streams")
+    // the scale bit matters: flipping intensity_scale (scomp LSB of the
+    // right channel) must change the decode — k factors differ. Seed 7:
+    // isfc = 21 → slens (0,3,3), so the upper partitions carry 3-bit
+    // is_pos values ≥ 2 where the two io bases actually diverge (a
+    // seed whose class yields only slen ≤ 1 slots has is_pos ∈
+    // {0, illegal}, which are scale-invariant by construction)
+    val base = Multimodal.layer3DecodeFull(
+      Multimodal.layer3LsfIntensityBytes(7L, 1),
+      allowSyntheticGeometry = true).get._3
+    // right channel scomp LSB: side info bits 32+8+2+63 ch0, then ch1
+    // part23(12) bv(9) gain(8) scomp(9) → LSB at bit 105+38 = offset
+    // 32+8+2+63+12+9+8+8 = 142 from frame start
+    val flip = Multimodal.layer3LsfIntensityBytes(7L, 1)
+    val bitIdx = 32 + 8 + 2 + 63 + 12 + 9 + 8 + 8
+    flip(bitIdx >> 3) = (flip(bitIdx >> 3) ^ (1 << (7 - (bitIdx & 7)))).toByte
+    val flipped = Multimodal.layer3DecodeFull(flip,
+      allowSyntheticGeometry = true)
+    assert(flipped.isEmpty || flipped.get._3 != base,
+      "intensity_scale flip must change the decode")
+  }
+
   test("LSF refusals: short blocks, MPEG-2.5, and version mixing") {
     val ok = Multimodal.layer3LsfBytes(3L, 1)
     assert(Multimodal.layer3DecodeFull(ok,
