@@ -2275,6 +2275,40 @@ object PipelineQueries {
               |  SELECT qid, nid, cs, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc) t
               |WHERE rank <= 5""".stripMargin)),
 
+    // The STATICALLY-PRUNED probe over a persisted cell-partitioned
+    // index (round 16; the 100 TB probe shape — see ivfProbeTopKPruned):
+    // the index is WRITTEN partitionBy(cell) and read back, the query
+    // batch's probed-cell set pushes as a partition filter, and the
+    // results must equal the unpruned probe's exactly — the oracle is
+    // the multiprobe chain verbatim (pruning may change the scan, never
+    // the answer).
+    ("ann_ivf_pruned",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_idx").toString
+        Similarity.ivfAssign(emb, nCentroids = 8, dim = 64)
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        val idx = s.read.parquet(path)
+          .withColumn("cell", col("cell").cast("int"))
+        Similarity.ivfProbeTopKPruned(idx, emb.filter(col("id") < 20),
+            k = 5, nCentroids = 8, dim = 64, probes = 2)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH e AS ($embedsSql),
+              |cents AS (SELECT c, list_transform(generate_series(1, 64), i -> sin((c % 9973 + 1) * i * 0.017 + 2.7)) AS cv
+              |          FROM generate_series(0, 7) t(c)),
+              |assign AS (SELECT id, v, c AS cell,
+              |             ROW_NUMBER() OVER (PARTITION BY id ORDER BY -list_dot_product(v, cv) ASC, c ASC) AS rn
+              |           FROM e CROSS JOIN cents),
+              |corp AS (SELECT id, v, cell FROM assign WHERE rn = 1),
+              |qc AS (SELECT id, v, cell FROM assign WHERE rn <= 2 AND id < 20),
+              |sc AS (SELECT q.id AS qid, n.id AS nid, ${cosSql("q.v", "n.v")} AS cs
+              |       FROM qc q JOIN corp n ON q.cell = n.cell AND n.id <> q.id)
+              |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(cs, 6) AS cos FROM (
+              |  SELECT qid, nid, cs, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc) t
+              |WHERE rank <= 5""".stripMargin)),
+
     // LSH-bucketed approximate ANN: oracle reproduces both probe tables'
     // buckets and the UNION-dedup of candidates.
     ("ann_lsh_topk",
@@ -2509,6 +2543,43 @@ object PipelineQueries {
               |SELECT d.doc_id, h.maybe_member,
               |       (md5(d.text) IN (SELECT mk FROM mem)) AS is_member
               |FROM documents d JOIN hit h ON d.doc_id = h.doc_id""".stripMargin)),
+
+    // The NATIVE-KERNEL Bloom path under the oracle gate (round 16):
+    // 40k generated members size the filter to ~383k bits — above the
+    // 2^18 threshold, so bloomProbe routes through the packed-bitset
+    // BloomBitsetProbe codegen expression (BloomKernelSpec asserts the
+    // routing); the oracle rebuilds the identical filter from the same
+    // member set with the portable md5 family, proving the fused
+    // digest+bit-test kernel engine-identical, not just
+    // spec-equivalent to the array form.
+    ("dedup_bloom_native",
+      (s, dir) => {
+        val members = s.range(40000).select(
+          concat(lit("k"), col("id").cast("string")).as("mk"))
+        val corpus = s.range(2000).select(col("id").as("probe_id"),
+          when(col("id") % 2 === 0,
+            concat(lit("k"), (col("id") * 21).cast("string")))
+            .otherwise(concat(lit("miss_"), col("id").cast("string")))
+            .as("digest"))
+        graft.pipeline.Dedup.bloomProbe(corpus, "digest", members, "mk")
+          .select(col("probe_id"), col("maybe_member"), col("is_member"))
+      },
+      Some(s"""WITH mem AS (SELECT DISTINCT 'k' || CAST(r AS VARCHAR) AS mk
+              |             FROM range(40000) t(r)),
+              |mm AS (SELECT GREATEST(64, ((CAST(CEIL(COUNT(*) * $BLOOM_BITS_PER_KEY) AS BIGINT) + 63) // 64) * 64) AS m FROM mem),
+              |pos AS (SELECT DISTINCT p FROM mem, mm, LATERAL (SELECT UNNEST([
+              |          ${bloomPosSql("mk", 0)}, ${bloomPosSql("mk", 1)}, ${bloomPosSql("mk", 2)}]) AS p) u),
+              |probe AS (SELECT r AS probe_id,
+              |            CASE WHEN r % 2 = 0 THEN 'k' || CAST(r * 21 AS VARCHAR)
+              |                 ELSE 'miss_' || CAST(r AS VARCHAR) END AS dg
+              |          FROM range(2000) t(r)),
+              |pj AS (SELECT probe_id, p FROM probe, mm, LATERAL (SELECT UNNEST([
+              |         ${bloomPosSql("dg", 0)}, ${bloomPosSql("dg", 1)}, ${bloomPosSql("dg", 2)}]) AS p) u),
+              |hit AS (SELECT probe_id, BOOL_AND(pos.p IS NOT NULL) AS maybe_member
+              |        FROM pj LEFT JOIN pos ON pj.p = pos.p GROUP BY 1)
+              |SELECT pr.probe_id, h.maybe_member,
+              |       (pr.dg IN (SELECT mk FROM mem)) AS is_member
+              |FROM probe pr JOIN hit h ON pr.probe_id = h.probe_id""".stripMargin)),
 
     // DSIR importance weights (Xie et al. 2023): hashed-unigram target-vs-
     // raw log-likelihood ratio per doc; target domain = sources src0-src3.
