@@ -2368,6 +2368,53 @@ object PipelineQueries {
               |  SELECT qid, nid, adist, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, nid) AS rank FROM ad) t
               |WHERE rank <= 5""".stripMargin)),
 
+    // IVF-PQ (round 16) — the composition large-scale ANN ships
+    // (Jégou 2011 §IV / FAISS IVFPQ): coarse cells bound WHO is scored
+    // (probes × occupancy candidates, never a full scan), PQ codes bound
+    // WHAT each score costs (m byte-lookups, no float math). The oracle
+    // composes the two verified chains — cell assignment/probing from
+    // ann_ivf_multiprobe, codes/LUT/ADC from ann_pq_topk — restricted to
+    // cell-matched candidate pairs.
+    ("ann_ivfpq_topk",
+      (s, dir) => {
+        val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
+        Similarity.ivfPqTopK(emb, emb.filter(col("id") < 20), k = 5,
+                             nCentroids = 8, dim = 64, probes = 2)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH e AS ($embedsSql),
+              |cents AS (SELECT c, list_transform(generate_series(1, 64), i -> sin((c % 9973 + 1) * i * 0.017 + 2.7)) AS cv
+              |          FROM generate_series(0, 7) t(c)),
+              |assign AS (SELECT id, v, c AS cell,
+              |             ROW_NUMBER() OVER (PARTITION BY id ORDER BY -list_dot_product(v, cv) ASC, c ASC) AS rn
+              |           FROM e CROSS JOIN cents),
+              |corp AS (SELECT id, cell FROM assign WHERE rn = 1),
+              |qc AS (SELECT id, cell FROM assign WHERE rn <= 2 AND id < 20),
+              |cb AS (SELECT s, c, list_transform(generate_series(1, 8), i ->
+              |         sin(((s*16 + c) % 9973 + 1) * i * 0.013 + 3.9)) AS cv
+              |       FROM generate_series(0, 7) ts(s) CROSS JOIN generate_series(0, 15) tc(c)),
+              |subs AS (SELECT id, s, list_slice(v, s*8 + 1, s*8 + 8) AS sv
+              |         FROM e CROSS JOIN generate_series(0, 7) ts(s)),
+              |enc AS (SELECT subs.id, subs.s, cb.c,
+              |          ROW_NUMBER() OVER (PARTITION BY subs.id, subs.s
+              |            ORDER BY list_dot_product(cv, cv) - 2 * list_dot_product(sv, cv) ASC, cb.c ASC) AS rn
+              |        FROM subs JOIN cb ON cb.s = subs.s),
+              |codes AS (SELECT id, s, c AS code FROM enc WHERE rn = 1),
+              |qd AS (SELECT subs.id AS qid, subs.s, cb.c,
+              |         list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + list_dot_product(cv, cv) AS d
+              |       FROM subs JOIN cb ON cb.s = subs.s WHERE subs.id < 20),
+              |cand AS (SELECT q.id AS qid, n.id AS nid
+              |         FROM qc q JOIN corp n ON q.cell = n.cell AND n.id <> q.id),
+              |ad AS (SELECT ca.qid, ca.nid,
+              |         list_sum(list(qd.d ORDER BY qd.s)) AS adist
+              |       FROM cand ca
+              |       JOIN codes ON codes.id = ca.nid
+              |       JOIN qd ON qd.qid = ca.qid AND qd.s = codes.s AND qd.c = codes.code
+              |       GROUP BY ca.qid, ca.nid)
+              |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(adist, 4) AS adist FROM (
+              |  SELECT qid, nid, adist, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, nid) AS rank FROM ad) t
+              |WHERE rank <= 5""".stripMargin)),
+
     // Hard-negative mining for contrastive training: top-5 most-similar
     // vectors with a DIFFERENT label per query — the highest-loss
     // negatives InfoNCE-style objectives want (in-batch sampling misses

@@ -542,4 +542,53 @@ object Similarity {
                         seed: Double = 2.7): DataFrame =
     ivfProbeTopK(ivfAssign(corpus, nCentroids, dim, seed), queries, k,
                  nCentroids, dim, probes, seed)
+
+  /** IVF-PQ (round 16) — the composition large-scale ANN actually ships
+    * (Jégou et al. 2011 §IV; FAISS's IVFPQ): the corpus is coarse-
+    * quantized to IVF cells AND product-quantized to m codes per vector,
+    * so the index stores (cell, m bytes) per vector; a query probes its
+    * `probes` nearest cells and scores ONLY those cells' candidates via
+    * the ADC lookup table — per-query cost = probes·occupancy·m
+    * byte-lookups, no float math and no full scan in the hot loop. This
+    * bounds the pqTopK linear ADC scan by the IVF cell structure
+    * (ScratchAnnProbe measured both halves of that claim). Same index
+    * persistence contract as [[ivfAssign]]: write partitionBy(cell)
+    * once, probe many times. Output (qid, nid, rank, adist), adist
+    * ascending approximate squared L2. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int, dim: Int, probes: Int = 2,
+                m: Int = 8, codebookSize: Int = 16,
+                cellSeed: Double = 2.7, pqSeed: Double = 3.9): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    ArrayKernels.register(corpus.sparkSession)
+    val width = vecDim(corpus)
+    require(width == 0 || width == dim,
+            s"dim=$dim but corpus vectors are $width-wide")
+    val cbFlat = typedLit(
+      (for {
+        s <- 0 until m; c <- 0 until codebookSize; i <- 1 to dim / m
+      } yield math.sin(((s * codebookSize + c) % 9973 + 1) * i * 0.013
+                       + pqSeed)).toSeq)
+    val enc = ivfAssign(corpus, nCentroids, dim, cellSeed)
+      .select(col("nid"), col("cell"),
+        ArrayKernels.pqEncode(col("nvec"), cbFlat, m, codebookSize)
+          .as("codes"))
+    val q = queries.select(col("id").as("qid"),
+        ArrayKernels.pqLut(col("vec"), cbFlat, m, codebookSize).as("lut"),
+        explode(slice(array_sort(
+          ivfCellScores(col("vec"), nCentroids, dim, cellSeed)), 1, probes))
+          .as("sc"))
+      .select(col("qid"), col("lut"), col("sc.cell").as("cell"))
+    val scored = enc.join(broadcast(q), "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        ArrayKernels.pqAdc(col("lut"), col("codes"), codebookSize)
+          .as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc,
+                                              col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"),
+              round(col("adist"), 4).as("adist"))
+  }
 }
