@@ -4051,8 +4051,14 @@ object Multimodal {
     * illegal position (2^slen − 1) pass through unprocessed; the rest
     * pan left = l·k_l, right = l·k_r from [[l3LsfIsKl]]/[[l3LsfIsKr]].
     * Gains 210 + 4k, scalefac_scale 1 — requantized values dyadic; the
-    * k factors are the 1e-12-quantized literals both engines share. */
-  def layer3LsfIntensityBytes(seed: Long, nFrames: Int): Array[Byte] = {
+    * k factors are the 1e-12-quantized literals both engines share.
+    * `shortBlocks = true` window-switches BOTH channels to block_type 2
+    * (btn-1 slot layouts on both sides, applied subblock gains): the
+    * intensity bound becomes PER WINDOW and is_pos reads from the right
+    * channel's short (band, window) slots — the LSF intensity × short
+    * combination, spec-exercised by L3LsfSpec. */
+  def layer3LsfIntensityBytes(seed: Long, nFrames: Int,
+                              shortBlocks: Boolean = false): Array[Byte] = {
     val frameLen = 192
     val cap = frameLen - 21 // 4 header + 17 LSF stereo side info
     val out = new Array[Byte](frameLen * nFrames)
@@ -4077,8 +4083,10 @@ object Multimodal {
     }
     def scompOf(f: Int, ch: Int): Int =
       if (ch == 0) sfcOf(f) else 2 * isfcOf(f) + ((seed + f) % 2).toInt
+    val btn = if (shortBlocks) 1 else 0
     def scaleParts(f: Int, ch: Int): (Array[Int], Array[Int]) =
-      if (ch == 0) lsfScale(sfcOf(f), 0) else lsfScaleIntensity(isfcOf(f), 0)
+      if (ch == 0) lsfScale(sfcOf(f), btn)
+      else lsfScaleIntensity(isfcOf(f), btn)
     def pairs(f: Int, ch: Int): Seq[(Int, Int)] = {
       val n = if (ch == 1) 8 else 16 + ((seed + f) % 17).toInt
       (0 until n).map(k =>
@@ -4164,11 +4172,23 @@ object Multimodal {
         put(pairs(f, ch).size, 9)
         put(gainOf(f, ch), 8)
         put(scompOf(f, ch), 9)
-        put(0, 1)                  // no window switching (long block)
-        put(1, 5); put(1, 5); put(1, 5) // table 1 in all three regions
-        put(4, 4); put(3, 3)       // region0/region1 counts (inert: one table)
-        put(1, 1)                  // scalefac_scale 1 (no preflag bit)
-        put(1, 1)                  // count1 table B
+        if (shortBlocks) {
+          // window-switched short form (both channels block_type 2):
+          // intensity over LSF SHORT blocks — per-window bound +
+          // btn-1 intensity classes; subblock gains applied
+          put(1, 1)                // window switching
+          put(2, 2); put(0, 1)     // block_type 2, not mixed
+          put(1, 5); put(1, 5)     // table 1 in both regions
+          (0 until 3).foreach(w => put((seed + f + w + ch) % 8, 3))
+          put(1, 1)                // scalefac_scale 1 (no preflag bit)
+          put(1, 1)                // count1 table B
+        } else {
+          put(0, 1)                // no window switching (long block)
+          put(1, 5); put(1, 5); put(1, 5) // table 1 in all three regions
+          put(4, 4); put(3, 3)     // region0/region1 counts (inert: one table)
+          put(1, 1)                // scalefac_scale 1 (no preflag bit)
+          put(1, 1)                // count1 table B
+        }
       }
       var b = 0
       while (b < cap * 8) {

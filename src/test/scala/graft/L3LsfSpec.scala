@@ -186,6 +186,38 @@ class L3LsfSpec extends AnyFunSuite {
       "intensity_scale flip must change the decode")
   }
 
+  test("LSF intensity over SHORT blocks (round 16): per-window bound, " +
+       "btn-1 intensity classes, panning reaches the right channel") {
+    var panned = 0
+    (0 until 24).foreach { id =>
+      val nf = (id % 3) + 1
+      val d = Multimodal.layer3DecodeFull(
+        Multimodal.layer3LsfIntensityBytes(id.toLong, nf,
+          shortBlocks = true),
+        allowSyntheticGeometry = true)
+      assert(d.isDefined, s"id=$id refused")
+      val (meta, grans, subs, _) = d.get
+      assert(meta.sampleRate == 24000 && meta.channels == 2)
+      assert(grans.size == nf * 2)
+      // the right channel's own short spectrum reorders to scattered
+      // low spectral lines; energy in upper subbands can only arrive
+      // via the per-window intensity pan
+      if (subs.exists(b => b.channel == 1 && b.subband >= 2 &&
+                           b.sMsq > 0.0)) panned += 1
+    }
+    assert(panned > 12,
+      s"short-block intensity panned only $panned/24 streams")
+    // and the short layout must differ from the long-block decode of
+    // the same seeds (the btn routes both channels' slot layouts)
+    val a = Multimodal.layer3DecodeFull(
+      Multimodal.layer3LsfIntensityBytes(7L, 1),
+      allowSyntheticGeometry = true).get._3
+    val b = Multimodal.layer3DecodeFull(
+      Multimodal.layer3LsfIntensityBytes(7L, 1, shortBlocks = true),
+      allowSyntheticGeometry = true).get._3
+    assert(a != b)
+  }
+
   test("LSF refusals: short blocks, MPEG-2.5, and version mixing") {
     val ok = Multimodal.layer3LsfBytes(3L, 1)
     assert(Multimodal.layer3DecodeFull(ok,
