@@ -50,7 +50,11 @@ object Bench {
     // round-15 additions: the new stereo/LSF decode chains and the
     // HTML boilerplate-removal stage
     "multimodal_mp3_intensity_mixed", "multimodal_mp3_lsf",
-    "text_html_extract")
+    "text_html_extract",
+    // round-16 additions: the LSF short/intensity decode, the composed
+    // IVF-PQ index, the native Bloom path, and the SQL-facade pipeline
+    "multimodal_mp3_lsf_short", "multimodal_mp3_lsf_intensity",
+    "ann_ivfpq_topk", "dedup_bloom_native", "facade_sql_pipeline")
 
   /** 1-minute system load average (or -1 when the platform hides it):
     * the sandbox CPU-throttles under sustained load (NOTES.md — the same

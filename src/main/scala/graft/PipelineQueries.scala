@@ -2285,8 +2285,13 @@ object PipelineQueries {
     ("ann_ivf_pruned",
       (s, dir) => {
         val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_ivf_idx").toString
+        // fixed per-(tmpdir, sf-dir) path, overwritten each run: the
+        // read is lazy, so the dir must outlive query construction —
+        // a fresh createTempDirectory per invocation would leak one
+        // parquet index per bench repetition (round-16 review)
+        val path = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_idx_${Integer.toHexString(dir.hashCode)}").toString
         Similarity.ivfAssign(emb, nCentroids = 8, dim = 64)
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         val idx = s.read.parquet(path)

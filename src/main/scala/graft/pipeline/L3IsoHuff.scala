@@ -230,6 +230,11 @@ object L3IsoHuff {
         catch { case _: NumberFormatException =>
           fail(s"non-integer field in '${lines(i)}'") }
       if (!seen.add(tid)) fail(s"table $tid appears twice")
+      // dim gates BEFORE the n = dim² allocation: an unvalidated header
+      // dim must die as the documented gate failure, not as an
+      // integer-overflow NegativeArraySizeException or a driver OOM
+      // from a multi-GB allocation (round-16 review)
+      if (!isoDims.contains(dim)) fail(s"dim $dim not an ISO table dim")
       val n = dim * dim
       val bits = new Array[Int](n)
       val codes = new Array[Int](n)

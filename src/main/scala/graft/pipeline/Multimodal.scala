@@ -2919,7 +2919,12 @@ object Multimodal {
                         xrCh(0)(i) = l * l3LsfIsKl(sc)(isPosV)
                         xrCh(1)(i) = l * l3LsfIsKr(sc)(isPosV)
                       }
-                    } else if (isPosV >= 0 && isPosV != 7) {
+                    } else if (isPosV >= 0 && isPosV < 7) {
+                      // MPEG-1: is_pos 7 = no processing; values 8..15
+                      // are possible bit patterns under a 4-bit slen but
+                      // are reserved — treated as no-processing too
+                      // (round-16 review: l3IsRatio has 6 ratio entries,
+                      // a corrupt file must not crash the task)
                       val l = xrCh(0)(i)
                       if (isPosV == 6) { xrCh(1)(i) = 0.0 }
                       else {

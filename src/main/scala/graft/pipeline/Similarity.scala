@@ -478,14 +478,34 @@ object Similarity {
     * (grow nCentroids with the corpus to hold occupancy constant). */
   def ivfProbeTopK(assigned: DataFrame, queries: DataFrame, k: Int,
                    nCentroids: Int, dim: Int, probes: Int = 2,
-                   seed: Double = 2.7): DataFrame = {
+                   seed: Double = 2.7): DataFrame =
+    ivfProbeImpl(assigned, queries, k, nCentroids, dim, probes, seed,
+                 prune = false)
+
+  /** ONE probe pipeline for both forms — the pruned variant differs
+    * ONLY in materializing the query-cell batch and filtering the index
+    * scan to it; everything downstream (self-filter, cosine, tie-break,
+    * rounding) is shared, so the 'pruning never changes the answer'
+    * contract the ann_ivf_pruned oracle asserts holds by construction. */
+  private def ivfProbeImpl(assigned: DataFrame, queries: DataFrame, k: Int,
+                           nCentroids: Int, dim: Int, probes: Int,
+                           seed: Double, prune: Boolean): DataFrame = {
     ArrayKernels.register(assigned.sparkSession)
-    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
+    val qRaw = queries.select(col("id").as("qid"), col("vec").as("qvec"),
         explode(slice(array_sort(
           ivfCellScores(col("vec"), nCentroids, dim, seed)), 1, probes))
           .as("sc"))
       .select(col("qid"), col("qvec"), col("sc.cell").as("cell"))
-    val cands = assigned.join(broadcast(q), "cell")
+    // pruned: one tiny batch job materializes the query side; its
+    // distinct cell set is driver-bounded by the query-batch contract
+    val q = if (prune) qRaw.localCheckpoint(true) else qRaw
+    val src =
+      if (prune) {
+        val probedCells = q.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        assigned.filter(col("cell").isin(probedCells: _*))
+      } else assigned
+    val cands = src.join(broadcast(q), "cell")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
               ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
@@ -508,27 +528,9 @@ object Similarity {
     * filterless dimension side; measured in ScratchAnnProbe). */
   def ivfProbeTopKPruned(assigned: DataFrame, queries: DataFrame, k: Int,
                          nCentroids: Int, dim: Int, probes: Int = 2,
-                         seed: Double = 2.7): DataFrame = {
-    ArrayKernels.register(assigned.sparkSession)
-    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
-        explode(slice(array_sort(
-          ivfCellScores(col("vec"), nCentroids, dim, seed)), 1, probes))
-          .as("sc"))
-      .select(col("qid"), col("qvec"), col("sc.cell").as("cell"))
-      .localCheckpoint(true) // one tiny batch job; reused twice below
-    val probedCells = q.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val cands = assigned.filter(col("cell").isin(probedCells: _*))
-      .join(broadcast(q), "cell")
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-              ArrayKernels.arrayCosine(col("qvec"), col("nvec")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"),
-              round(col("cos"), 6).as("cos"))
-  }
+                         seed: Double = 2.7): DataFrame =
+    ivfProbeImpl(assigned, queries, k, nCentroids, dim, probes, seed,
+                 prune = true)
 
   /** Multi-probe IVF: the corpus is quantized to its single nearest cell;
     * each query probes its `probes` nearest cells — the standard
