@@ -32,6 +32,12 @@ class CodecFuzzSpec extends AnyFunSuite {
     "layer2Decode" -> (Multimodal.layer2Decode(_)),
     "layer3Decode" -> (Multimodal.layer3Decode(_)),
     "layer3DecodeFull" -> (Multimodal.layer3DecodeFull(_)),
+    // the synthetic-geometry opt-in variant: WITHOUT it the round-16
+    // provenance guard refuses every LSF-rate stream up front, so
+    // corruption fuzz would never reach the LSF short/mixed/intensity
+    // decode internals at all
+    "layer3DecodeFullSynth" -> ((b: Array[Byte]) =>
+      Multimodal.layer3DecodeFull(b, allowSyntheticGeometry = true)),
     "mpegSubbandStats" -> (Multimodal.mpegSubbandStats(_)),
     "mpeg1IFrameDecode" -> (Multimodal.mpeg1IFrameDecode(_)),
     "mpeg1IPDecode" -> (Multimodal.mpeg1IPDecode(_)),
@@ -84,6 +90,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.mp3BytesXing(3, 2),
     Multimodal.layer3LsfBytes(3, 2),
     Multimodal.layer3LsfBytes(3, 2, v25 = true),
+    Multimodal.layer3LsfShortBytes(3, 2),
+    Multimodal.layer3LsfShortBytes(3, 2, mixed = true),
+    Multimodal.layer3LsfIntensityBytes(3, 2),
+    Multimodal.layer3LsfIntensityBytes(3, 2, shortBlocks = true),
     Multimodal.id3v2Bytes(3),
     Multimodal.aacBytes(3, id3Pad = 20, rdb = 1),
     Multimodal.bmpBytes(8, 8, Array.fill(8 * 8 * 3)(7.toByte)),
