@@ -174,6 +174,18 @@ final class GraftVectors(val frame: DataFrame) {
     Similarity.bruteTopK(frame, queries, k)
   def topKApprox(queries: DataFrame, k: Int): DataFrame =
     Similarity.lshTopK(frame, queries, k)
+  /** IVF-PQ top-k — the composed index for corpora where even the IVF
+    * cells are too big to scan as floats (round 16). */
+  def topKIvfPq(queries: DataFrame, k: Int, nCentroids: Int,
+                dim: Int, probes: Int = 2): DataFrame =
+    Similarity.ivfPqTopK(frame, queries, k, nCentroids, dim, probes)
+  /** IVF index build (persist `partitionBy("cell")`) + the statically-
+    * pruned probe over it — the standing-index serving shape. */
+  def buildIvfIndex(nCentroids: Int, dim: Int): DataFrame =
+    Similarity.ivfAssign(frame, nCentroids, dim)
+  def probeIvfIndex(index: DataFrame, queries: DataFrame, k: Int,
+                    nCentroids: Int, dim: Int, probes: Int = 2): DataFrame =
+    Similarity.ivfProbeTopKPruned(index, queries, k, nCentroids, dim, probes)
   def hardNegatives(queries: DataFrame, k: Int): DataFrame =
     Similarity.hardNegatives(frame, queries, k)
   def classify(queries: DataFrame, k: Int = 10): DataFrame =
