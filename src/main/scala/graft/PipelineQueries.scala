@@ -2288,10 +2288,19 @@ object PipelineQueries {
         // fixed per-(tmpdir, sf-dir) path, overwritten each run: the
         // read is lazy, so the dir must outlive query construction —
         // a fresh createTempDirectory per invocation would leak one
-        // parquet index per bench repetition (round-16 review)
+        // parquet index per bench repetition (round-16 review). Keyed
+        // on an md5 of the full dataset dir (not String.hashCode —
+        // 32-bit collisions between dirs would silently cross-wire
+        // indexes; round-16 advice). Two CONCURRENT processes probing
+        // the SAME dataset dir still share the path by design
+        // (overwrite + lazy read) — don't run bench and verify on one
+        // sf dir simultaneously.
+        val dirTag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(8).map(b => f"$b%02x").mkString
         val path = new java.io.File(
           System.getProperty("java.io.tmpdir"),
-          s"graft_ivf_idx_${Integer.toHexString(dir.hashCode)}").toString
+          s"graft_ivf_idx_$dirTag").toString
         Similarity.ivfAssign(emb, nCentroids = 8, dim = 64)
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         val idx = s.read.parquet(path)

@@ -60,7 +60,11 @@ object Md5Prefix60 {
   * broadcast-sized filter is shared by every row of a task, and the hash
   * is the engine's portable md5-prefix family — the DuckDB oracle rebuilds
   * the identical filter from the member set. Runs inside whole-stage
-  * codegen via a static call. */
+  * codegen via a static call. (Interpreted/fallback eval serializes the
+  * words array with the expression tree per task — acceptable for the
+  * broadcast-sized filters the bloomProbe contract allows; equality is
+  * by filter CONTENT, see equals below, so identical probes canonicalize
+  * and plan-level reuse works.) */
 case class BloomBitsetProbe(child: Expression, words: Array[Long],
                             mBits: Long, k: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -85,6 +89,22 @@ case class BloomBitsetProbe(child: Expression, words: Array[Long],
       s"graft.functions.BloomBitsetProbe.probe($c, $w, ${mBits}L, $p)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+
+  // The synthesized case-class equality on an Array field is reference
+  // identity, which would make two identical probes never semanticEquals —
+  // defeating canonicalization/subexpression elimination for any plan that
+  // probes the same filter twice (round-16 advice). Compare by content:
+  // the filter IS (words, mBits, k).
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomBitsetProbe =>
+      mBits == b.mBits && k == b.k && child == b.child &&
+        java.util.Arrays.equals(words, b.words)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Long.box(mBits), Int.box(k),
+      Int.box(if (words.length == 0) 0
+              else java.lang.Long.hashCode(words(0) ^ words.length)))
 }
 
 object BloomBitsetProbe {

@@ -525,7 +525,14 @@ object Similarity {
     * tracks cells-probed, not corpus size — and it is static pruning by
     * construction, not dependent on the optimizer electing dynamic
     * partition pruning (whose benefit heuristic can decline a
-    * filterless dimension side; measured in ScratchAnnProbe). */
+    * filterless dimension side; measured in ScratchAnnProbe).
+    *
+    * NOTE: construction is EAGER (round-16 advice) — calling this runs
+    * two small Spark jobs (a localCheckpoint of the query batch and a
+    * collect of its distinct probed cells) so the cell set can push as
+    * a static filter, and that cell set is FROZEN at construction: call
+    * it when the query batch is final, not while speculatively building
+    * plans; [[ivfProbeTopK]] is the fully-lazy form. */
   def ivfProbeTopKPruned(assigned: DataFrame, queries: DataFrame, k: Int,
                          nCentroids: Int, dim: Int, probes: Int = 2,
                          seed: Double = 2.7): DataFrame =
