@@ -1,0 +1,422 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{Aac, AacHuff}
+
+/** AAC-LC payload oracle rows (round 17). Each row decodes synthetic
+  * ADTS streams from [[Aac.aacLcBytes]] through the REAL payload
+  * machinery ([[Aac.aacLcDecode]]: element loop, sections, dpcm
+  * scalefactors, spectral Huffman + signs + escapes, dequant, M/S,
+  * window sequences/shapes, IMDCT, overlap-add) and the DuckDB oracle
+  * replays the generator's closed-form field formulas through the same
+  * transform chain — every transcendental constant interpolated as the
+  * decoder's own 1e-12-quantized literal (ONE π/4096 cosine lattice
+  * covers all IMDCT bases and sine windows; KBD halves, scalefactor
+  * gains 2^((sf−100)/4) and |q|^(4/3) get literal tables), every float
+  * fold order-pinned, and the band stats 1e-6-integer-quantized — the
+  * bit-identical-replay contract of the MP3 rows. */
+object AacQueries {
+  import PipelineQueries.QFn
+
+  // ---- the decoder's quantized constants as DuckDB literals ----
+  private val latLit = Aac.cosLattice.mkString("[", ", ", "]")
+  private val kbdLLit = Aac.kbdLongHalf.mkString("[", ", ", "]")
+  private val kbdSLit = Aac.kbdShortHalf.mkString("[", ", ", "]")
+  private val gainsLit = (0 until 256).map(Aac.sfGain).mkString("[", ", ", "]")
+  private val p43Lit = (0 to 31).map(Aac.pow43).mkString("[", ", ", "]")
+
+  private val constsCte =
+    s"""co AS (SELECT $latLit AS lat, $kbdLLit AS kbdl, $kbdSLit AS kbds,
+       |  $gainsLit AS gains, $p43Lit AS p43)""".stripMargin
+
+  /** cos(π·m/4096) from the lattice (m any non-negative integer SQL
+    * expression): fold by cosine symmetry into 0..4096, 1-based index. */
+  private def latAt(m: String): String =
+    s"co.lat[CAST(CASE WHEN ($m) % 8192 > 4096 THEN 8192 - ($m) % 8192 " +
+      s"ELSE ($m) % 8192 END AS INT) + 1]"
+
+  /** Long-window rise half value at sample `n` (0..1023) for shape
+    * expression `sh` (0 sine / 1 KBD). */
+  private def riseL(sh: String, n: String): String =
+    s"(CASE WHEN ($sh) = 0 THEN ${latAt(s"2047 - 2*($n)")} " +
+      s"ELSE co.kbdl[CAST($n AS INT) + 1] END)"
+
+  /** Long fall half at m = n − 1024 (0..1023): rise(1023 − m). */
+  private def fallL(sh: String, m: String): String =
+    riseL(sh, s"1023 - ($m)")
+
+  private def riseS(sh: String, n: String): String =
+    s"(CASE WHEN ($sh) = 0 THEN ${latAt(s"8*(255 - 2*($n))")} " +
+      s"ELSE co.kbds[CAST($n AS INT) + 1] END)"
+
+  private def fallS(sh: String, m: String): String =
+    riseS(sh, s"127 - ($m)")
+
+  /** Spectral book of (id, f, scope s): [1,3,5,7,9,11][(id+f+2s) % 6]
+    * — [[Aac.aacLcBytes]]'s cbSel. */
+  private def cbSql(s: String): String =
+    s"(CASE CAST((id + f + 2*($s)) % 6 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3 " +
+      s"WHEN 2 THEN 5 WHEN 3 THEN 7 WHEN 4 THEN 9 ELSE 11 END)"
+
+  /** LAV magnitude modulus per book (min(lav, 12); book 11 handled by
+    * the escape branch at call sites). */
+  private val lavCase =
+    "(CASE cb WHEN 1 THEN 1 WHEN 3 THEN 2 WHEN 5 THEN 4 WHEN 7 THEN 7 " +
+      "ELSE 12 END)"
+
+  /** The (id, f) frame grid shared by all rows: 24 media, nf frames. */
+  private def frCte(nfExpr: String): String =
+    s"""fr AS (SELECT r AS id, f FROM range(24) t(r), range(4) ff(f)
+       |       WHERE f < $nfExpr)""".stripMargin
+
+  /** Dequantized nonzero LINES of a LONG-content frame for channel
+    * `ch` (an integer literal): k (spectral line) and x (dequantized
+    * value). Emits CTEs `pr$ch` and `lx$ch`. */
+  private def longLinesCte(ch: Int): String = {
+    val c = ch.toString
+    s"""pr$c AS (SELECT id, f, b,
+       |    (id + f + $c) % 8 + 1 AS a,
+       |    ${cbSql(c)} AS cb,
+       |    130 + (id*5 + f*9 + $c*13) % 20
+       |      + ((id*3 + f*5 + $c*17) % 21) - 10
+       |      + CASE WHEN b = 1
+       |          THEN ((id*3 + f*5 + 11 + $c*17) % 21) - 10 ELSE 0 END AS sf,
+       |    CASE WHEN (id + f + b) % 2 = 1 THEN -1.0 ELSE 1.0 END AS sgn
+       |  FROM fr, range(2) bb(b)),
+       |pm$c AS (SELECT id, f, b, a, cb, sf, sgn,
+       |    CASE WHEN cb IN (1, 3) THEN 4 ELSE 2 END AS dim,
+       |    CASE WHEN cb = 11 THEN 16 + (id + f + b) % 8
+       |         ELSE 1 + (id + f + b) % $lavCase END AS mag
+       |  FROM pr$c),
+       |lx$c AS (SELECT p.id, p.f,
+       |    32*(p.a + p.b) + p.dim * ((p.id + 2*p.f + p.b) % (32 // p.dim))
+       |      + (p.id + p.b) % p.dim AS k,
+       |    p.sgn * co.p43[CAST(p.mag AS INT) + 1]
+       |      * co.gains[CAST(p.sf AS INT) + 1] AS x
+       |  FROM pm$c p CROSS JOIN co)""".stripMargin
+  }
+
+  /** Long-frame windowed buffer from a lines relation `src(id, f, k, x)`
+    * (ONLY_LONG window), emitting `zw$tag(id, f, n, v)` over n 0..2047.
+    * Shape-left uses the previous frame's transmitted shape. */
+  private def longWindowCte(tag: String, src: String): String =
+    s"""zz$tag AS (SELECT fr.id, fr.f, nn.n,
+       |    COALESCE(list_sum(list(l.x *
+       |      ${latAt("(2*nn.n + 1025) * (2*l.k + 1)")} ORDER BY l.k)), 0.0)
+       |      / 1024.0 AS z
+       |  FROM fr CROSS JOIN range(2048) nn(n)
+       |  LEFT JOIN $src l ON l.id = fr.id AND l.f = fr.f
+       |  CROSS JOIN co
+       |  GROUP BY fr.id, fr.f, nn.n),
+       |zw$tag AS (SELECT z.id, z.f, z.n,
+       |    z.z * (CASE WHEN z.n < 1024
+       |      THEN ${riseL("CASE WHEN z.f = 0 THEN 0 ELSE (z.id + z.f - 1) % 2 END", "z.n")}
+       |      ELSE ${fallL("(z.id + z.f) % 2", "z.n - 1024")} END) AS v
+       |  FROM zz$tag z CROSS JOIN co)""".stripMargin
+
+  /** Band stats over the overlap-added output of `zwSrc(id, [key,] f,
+    * n, v)`; `key` is an optional extra chain key (the channel column),
+    * emitted as `channel` in the result. */
+  private def bandsSelect(zwSrc: String, key: String = ""): String = {
+    val kSel = if (key.isEmpty) "" else s"cur.$key AS $key, "
+    val kJoin = if (key.isEmpty) "" else s"AND prv.$key = cur.$key "
+    s"""ov AS (SELECT cur.id, ${kSel}cur.f, cur.n,
+       |    cur.v + COALESCE(prv.v, 0.0) AS v
+       |  FROM $zwSrc cur LEFT JOIN $zwSrc prv
+       |    ON prv.id = cur.id AND prv.f = cur.f - 1
+       |      AND prv.n = cur.n + 1024 $kJoin
+       |  WHERE cur.n < 1024)
+       |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+       |  ${if (key.isEmpty) "" else s"CAST($key AS BIGINT) AS channel,"}
+       |  CAST(n // 128 AS BIGINT) AS band,
+       |  SUM(CAST(ROUND(v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_sum,
+       |  SUM(CAST(ROUND(v * v * 1e6, 0) AS BIGINT)) / 1e6 + 0.0 AS s_msq
+       |FROM ov GROUP BY id, f, ${if (key.isEmpty) "" else s"$key,"} n // 128""".stripMargin
+  }
+
+  /** SHORT-content per-group line parameters + per-window spectra +
+    * the composed 2048 windowed buffer `zwS(id, f, n, v)` (the
+    * EIGHT_SHORT filterbank). `fSel` restricts which frames are short
+    * (SQL bool over fr columns). */
+  private def shortBufCtes(fSel: String): String =
+    s"""sg AS (SELECT id, f, g,
+       |    CASE WHEN g = 2 THEN 2 ELSE 3 END AS gsize, g * 3 AS winbase,
+       |    (id + f + g) % 6 AS c,
+       |    ${cbSql("g")} AS cb,
+       |    130 + (id*5 + f*9) % 20
+       |      + ((id*3 + f*5) % 21) - 10
+       |      + CASE WHEN g >= 1 THEN ((id*3 + f*5 + 7) % 21) - 10 ELSE 0 END
+       |      + CASE WHEN g >= 2 THEN ((id*3 + f*5 + 14) % 21) - 10 ELSE 0 END AS sf,
+       |    CASE WHEN (id + f + g) % 2 = 1 THEN -1.0 ELSE 1.0 END AS sgn
+       |  FROM fr, range(3) gg(g) WHERE $fSel),
+       |sm AS (SELECT id, f, g, gsize, winbase, c, cb, sf, sgn,
+       |    CASE WHEN cb IN (1, 3) THEN 4 ELSE 2 END AS dim,
+       |    CASE WHEN cb = 11 THEN 16 + (id + f + g) % 8
+       |         ELSE 1 + (id + f + g) % $lavCase END AS mag
+       |  FROM sg),
+       |sl AS (SELECT s.id, s.f, s.winbase + (s.id + s.g) % s.gsize AS w8,
+       |    16*s.c + s.dim * ((s.id + 2*s.f + s.g) % (16 // s.dim))
+       |      + (s.id + s.g) % s.dim AS k,
+       |    s.sgn * co.p43[CAST(s.mag AS INT) + 1]
+       |      * co.gains[CAST(s.sf AS INT) + 1] AS x
+       |  FROM sm s CROSS JOIN co),
+       |z8 AS (SELECT fr.id, fr.f, ww.w, nn.n,
+       |    COALESCE(SUM(l.x *
+       |      ${latAt("8*(2*nn.n + 129) * (2*l.k + 1)")}), 0.0) / 128.0 AS z
+       |  FROM fr CROSS JOIN range(8) ww(w) CROSS JOIN range(256) nn(n)
+       |  LEFT JOIN sl l ON l.id = fr.id AND l.f = fr.f AND l.w8 = ww.w
+       |  CROSS JOIN co
+       |  WHERE $fSel
+       |  GROUP BY fr.id, fr.f, ww.w, nn.n),
+       |z8w AS (SELECT z.id, z.f, 448 + 128*z.w + z.n AS nb,
+       |    z.z * (CASE WHEN z.n < 128
+       |      THEN ${riseS("CASE WHEN z.w = 0 THEN " +
+                "(CASE WHEN z.f = 0 THEN 0 ELSE (z.id + z.f - 1) % 2 END) " +
+                "ELSE (z.id + z.f) % 2 END", "z.n")}
+       |      ELSE ${fallS("(z.id + z.f) % 2", "z.n - 128")} END) AS v
+       |  FROM z8 z CROSS JOIN co),
+       |sbuf AS (SELECT id, f, nb AS n, SUM(v) AS v
+       |  FROM z8w GROUP BY id, f, nb),
+       |zwS AS (SELECT fr.id, fr.f, nn.n, COALESCE(b.v, 0.0) AS v
+       |  FROM fr CROSS JOIN range(2048) nn(n)
+       |  LEFT JOIN sbuf b ON b.id = fr.id AND b.f = fr.f AND b.n = nn.n
+       |  WHERE $fSel)""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  private val sceLongOracle =
+    s"""WITH $constsCte,
+       |${frCte("r % 3 + 1")},
+       |${longLinesCte(0)},
+       |${longWindowCte("L", "lx0")},
+       |${bandsSelect("zwL")}""".stripMargin
+
+  private val shortOracle =
+    s"""WITH $constsCte,
+       |${frCte("r % 3 + 1")},
+       |${shortBufCtes("TRUE")},
+       |${bandsSelect("zwS")}""".stripMargin
+
+  /** The window-sequence cycle: frames f = 0..nf−1 with sequence f
+    * (ONLY_LONG → LONG_START → EIGHT_SHORT → LONG_STOP); long-content
+    * formulas on f ≠ 2, short-content on f = 2; the long frames'
+    * windows switch by sequence (START right half = flat 448 + short
+    * fall + zeros; STOP left half = zeros 448 + short rise + flat). */
+  private val cycleOracle =
+    s"""WITH $constsCte,
+       |${frCte("r % 3 + 2")},
+       |${longLinesCte(0)},
+       |zzC AS (SELECT fr.id, fr.f, nn.n,
+       |    COALESCE(list_sum(list(l.x *
+       |      ${latAt("(2*nn.n + 1025) * (2*l.k + 1)")} ORDER BY l.k)), 0.0)
+       |      / 1024.0 AS z
+       |  FROM fr CROSS JOIN range(2048) nn(n)
+       |  LEFT JOIN lx0 l ON l.id = fr.id AND l.f = fr.f
+       |  CROSS JOIN co
+       |  WHERE fr.f <> 2
+       |  GROUP BY fr.id, fr.f, nn.n),
+       |zwC AS (SELECT z.id, z.f, z.n,
+       |    z.z * (CASE
+       |      WHEN z.f = 0 OR z.f = 1 THEN
+       |        CASE WHEN z.n < 1024
+       |          THEN ${riseL("CASE WHEN z.f = 0 THEN 0 ELSE (z.id + z.f - 1) % 2 END", "z.n")}
+       |          WHEN z.f = 0 THEN ${fallL("(z.id + z.f) % 2", "z.n - 1024")}
+       |          WHEN z.n < 1472 THEN 1.0
+       |          WHEN z.n < 1600 THEN ${fallS("(z.id + z.f) % 2", "z.n - 1472")}
+       |          ELSE 0.0 END
+       |      ELSE -- f = 3: LONG_STOP
+       |        CASE WHEN z.n < 448 THEN 0.0
+       |          WHEN z.n < 576 THEN ${riseS("(z.id + z.f - 1) % 2", "z.n - 448")}
+       |          WHEN z.n < 1024 THEN 1.0
+       |          ELSE ${fallL("(z.id + z.f) % 2", "z.n - 1024")} END
+       |      END) AS v
+       |  FROM zzC z CROSS JOIN co),
+       |${shortBufCtes("fr.f = 2")},
+       |zwAll AS (SELECT * FROM zwC UNION ALL SELECT * FROM zwS),
+       |${bandsSelect("zwAll")}""".stripMargin
+
+  /** CPE + M/S: per-channel long-content lines (channel-offset
+    * formulas), the mid/side reconstruction on the union of line
+    * positions (ms_mask_present = (id+f) mod 3; mask 1 uses per-band
+    * bits (id+f+sfb) odd), then each output channel through the
+    * ONLY_LONG filterbank and its own overlap-add chain. */
+  private val msOracle =
+    s"""WITH $constsCte,
+       |${frCte("2")},
+       |${longLinesCte(0)},
+       |${longLinesCte(1)},
+       |allk AS (SELECT id, f, k FROM lx0 UNION SELECT id, f, k FROM lx1),
+       |msd AS (SELECT a.id, a.f, a.k,
+       |    COALESCE(m.x, 0.0) AS mx, COALESCE(s.x, 0.0) AS sx,
+       |    CASE CAST((a.id + a.f) % 3 AS INT)
+       |      WHEN 2 THEN TRUE
+       |      WHEN 1 THEN (a.id + a.f + a.k // 32) % 2 = 1
+       |      ELSE FALSE END AS used
+       |  FROM allk a
+       |  LEFT JOIN lx0 m ON m.id = a.id AND m.f = a.f AND m.k = a.k
+       |  LEFT JOIN lx1 s ON s.id = a.id AND s.f = a.f AND s.k = a.k),
+       |lout AS (
+       |  SELECT id, f, k, 0 AS ch,
+       |    CASE WHEN used THEN mx + sx ELSE mx END AS x FROM msd
+       |  UNION ALL
+       |  SELECT id, f, k, 1 AS ch,
+       |    CASE WHEN used THEN mx - sx ELSE sx END AS x FROM msd),
+       |zzM AS (SELECT fr.id, fr.f, cc.ch, nn.n,
+       |    COALESCE(list_sum(list(l.x *
+       |      ${latAt("(2*nn.n + 1025) * (2*l.k + 1)")} ORDER BY l.k)), 0.0)
+       |      / 1024.0 AS z
+       |  FROM fr CROSS JOIN range(2) cc(ch) CROSS JOIN range(2048) nn(n)
+       |  LEFT JOIN lout l ON l.id = fr.id AND l.f = fr.f AND l.ch = cc.ch
+       |  CROSS JOIN co
+       |  GROUP BY fr.id, fr.f, cc.ch, nn.n),
+       |zwM AS (SELECT z.id, z.f, z.ch, z.n,
+       |    z.z * (CASE WHEN z.n < 1024
+       |      THEN ${riseL("CASE WHEN z.f = 0 THEN 0 ELSE (z.id + z.f - 1) % 2 END", "z.n")}
+       |      ELSE ${fallL("(z.id + z.f) % 2", "z.n - 1024")} END) AS v
+       |  FROM zzM z CROSS JOIN co),
+       |${bandsSelect("zwM", "ch")}""".stripMargin
+
+  /** Frame-level structural oracle for the cycle mode. */
+  private val framesOracle =
+    s"""WITH ${frCte("r % 3 + 2")}
+       |SELECT id AS media_id, CAST(f AS BIGINT) AS frame,
+       |  CAST(f AS BIGINT) AS wseq,
+       |  CAST((id + f) % 2 AS BIGINT) AS wshape,
+       |  CAST(CASE WHEN f = 2 THEN 8 ELSE 10 + id % 5 END AS BIGINT) AS max_sfb,
+       |  CAST(CASE WHEN f = 2
+       |    THEN 6 + CASE WHEN (id + f) % 6 > 0 THEN 1 ELSE 0 END
+       |           + CASE WHEN (id + f + 1) % 6 > 0 THEN 1 ELSE 0 END
+       |           + CASE WHEN (id + f + 2) % 6 > 0 THEN 1 ELSE 0 END
+       |    ELSE 2 + CASE WHEN 10 + id % 5 - ((id + f) % 8 + 1) - 2 > 0
+       |                  THEN 1 ELSE 0 END END AS BIGINT) AS n_sections,
+       |  CAST(CASE WHEN f = 2 THEN 3 ELSE 2 END AS BIGINT) AS n_nonzero,
+       |  CAST(130 + (id*5 + f*9) % 20 AS BIGINT) AS global_gain
+       |FROM fr""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // Frame-level structure across the full window-sequence cycle:
+    // proves the element walk, ics_info (both forms), sectioning with
+    // short-form escape run lengths, and the nonzero accounting.
+    ("multimodal_aac_frames",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 2
+          val (_, frames, _) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, nf, "cycle"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          frames.map(fr => (id, fr.frame.toLong, fr.windowSequence.toLong,
+            fr.windowShape.toLong, fr.maxSfb.toLong, fr.nSections.toLong,
+            fr.nNonzero.toLong, fr.globalGain.toLong))
+        }.toDF("media_id", "frame", "wseq", "wshape", "max_sfb",
+               "n_sections", "n_nonzero", "global_gain")
+      },
+      Some(framesOracle)),
+
+    // ONLY_LONG SCE: the base filterbank chain — spectral Huffman (all
+    // six book families incl. the book-11 escape), dpcm scalefactors,
+    // dequant, IMDCT-2048 on the lattice, sine/KBD shape switching,
+    // 50%-overlap-add; 8 output bands × 128 samples per frame.
+    ("multimodal_aac_sce_long",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, nf, "long"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "band", "s_sum", "s_msq")
+      },
+      Some(sceLongOracle)),
+
+    // EIGHT_SHORT SCE: grouping 1101101 → [3,3,2], per-group sections
+    // with 3-bit escape run lengths, per-group scalefactor chain,
+    // window-in-group spectral ordering, 8 IMDCT-256s composed at the
+    // 448 + 128·w offsets with first-window shape switching.
+    ("multimodal_aac_short",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, nf, "short"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "band", "s_sum", "s_msq")
+      },
+      Some(shortOracle)),
+
+    // The full window-sequence cycle ONLY_LONG → LONG_START →
+    // EIGHT_SHORT → LONG_STOP: start/stop window composition (flat
+    // 448-sample shelves, embedded short halves) and the cross-
+    // sequence overlap-adds long↔short frames.
+    ("multimodal_aac_startstop",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 2
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, nf, "cycle"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "band", "s_sum", "s_msq")
+      },
+      Some(cycleOracle)),
+
+    // CPE common_window + M/S: per-channel sections/scalefactors, the
+    // three ms_mask_present forms (none / per-band bits / all), and
+    // mid/side reconstruction on the dequantized spectra before each
+    // channel's filterbank.
+    ("multimodal_aac_ms",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, 2, "ms"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.channel.toLong,
+            b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "channel", "band", "s_sum", "s_msq")
+      },
+      Some(msOracle)),
+
+    // The LOADER path (the user-pluggable spec-data mechanism, like
+    // multimodal_mp3_hufftable_load): books and swb geometry mounted
+    // from FILES through their closure gates, no synthetic opt-in —
+    // rows must equal the opt-in decode's exactly (same fixture data
+    // traveling the load/gate path a real ISO table file would).
+    ("multimodal_aac_codebook_load",
+      (s, dir) => {
+        import s.implicits._
+        val bookText = AacHuff.syntheticFileText(
+          AacHuff.spec.keys.toSeq.sorted)
+        val geoText =
+          "swb 3 long 32\n" + (0 to 32).map(_ * 32).mkString("\n") +
+            "\nswb 3 short 8\n" + (0 to 8).map(_ * 16).mkString("\n") + "\n"
+        val tmp = java.nio.file.Files.createTempDirectory("graft_aac_load")
+        val bp = tmp.resolve("books.txt"); val gp = tmp.resolve("geo.txt")
+        java.nio.file.Files.write(bp, bookText.getBytes("UTF-8"))
+        java.nio.file.Files.write(gp, geoText.getBytes("UTF-8"))
+        val books = AacHuff.load(bp.toString)
+        val geo = Aac.loadGeometry(gp.toString)
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, nf, "long"),
+            books = books, geometry = geo).get
+          bands.map(b => (id, b.frame.toLong, b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "band", "s_sum", "s_msq")
+      },
+      Some(sceLongOracle))
+  )
+}

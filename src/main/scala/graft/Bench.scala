@@ -54,7 +54,10 @@ object Bench {
     // round-16 additions: the LSF short/intensity decode, the composed
     // IVF-PQ index, the native Bloom path, and the SQL-facade pipeline
     "multimodal_mp3_lsf_short", "multimodal_mp3_lsf_intensity",
-    "ann_ivfpq_topk", "dedup_bloom_native", "facade_sql_pipeline")
+    "ann_ivfpq_topk", "dedup_bloom_native", "facade_sql_pipeline",
+    // round-17 additions: the AAC-LC payload chain
+    "multimodal_aac_sce_long", "multimodal_aac_startstop",
+    "multimodal_aac_ms")
 
   /** 1-minute system load average (or -1 when the platform hides it):
     * the sandbox CPU-throttles under sustained load (NOTES.md — the same

@@ -21,7 +21,8 @@ object SparkEntry {
       name -> ((s: SparkSession, dir: String) => HardExec.run(s, dir, lstr, b))
     }.toMap
     val pipe = (PipelineQueries.entries ++ SystemQueries.entries ++
-        OperatorQueries.entries ++ LayoutQueries.entries).map {
+        OperatorQueries.entries ++ LayoutQueries.entries ++
+        AacQueries.entries).map {
       case (name, fn, _) => name -> fn
     }.toMap
     kg ++ pipe
@@ -34,7 +35,8 @@ object SparkEntry {
       name -> OracleSql.formulaSql(lstr, b)
     }.toMap
     val pipe = (PipelineQueries.entries ++ SystemQueries.entries ++
-        OperatorQueries.entries ++ LayoutQueries.entries).collect {
+        OperatorQueries.entries ++ LayoutQueries.entries ++
+        AacQueries.entries).collect {
       case (name, _, Some(sql)) => name -> sql
     }.toMap
     kg ++ pipe

@@ -1,0 +1,936 @@
+package graft.pipeline
+
+import Multimodal.{AudioMeta, quant6}
+
+/** AAC-LC payload decode — the round-17 conversion of the last large
+  * declared audio seam ("ADTS container metadata only") into real
+  * machinery with user-pluggable spec data, the same policy the MP3
+  * chain ships under ([[L3IsoHuff]], loadable LSF geometry):
+  *
+  *   - REAL machinery: ADTS payload walk, raw_data_block element loop
+  *     (SCE/CPE/DSE/FIL/END), ics_info, section data with escape run
+  *     lengths, dpcm scalefactors, 4-tuple/2-tuple spectral Huffman with
+  *     sign bits and book-11 escape sequences, x^(4/3)·2^(0.25(sf−100))
+  *     dequantization, M/S stereo, the four window sequences
+  *     (ONLY_LONG / LONG_START / EIGHT_SHORT / LONG_STOP) with per-half
+  *     window-SHAPE switching (sine and Kaiser–Bessel-derived), IMDCT
+  *     (N = 2048 long / 256 short, n0 = N/4 + 1/2), short-window
+  *     grouping, and 50 %-overlap-add (ISO/IEC 14496-3 §4.5–4.6).
+  *   - PLUGGABLE data: Huffman codebooks mount at runtime through
+  *     [[AacHuff.load]]'s closure gate; scalefactor-band geometry (the
+  *     per-sample-rate swb_offset tables) mounts through
+  *     [[Aac.parseGeometry]]'s monotone-tiling gate. Without loaded
+  *     data the decoder REFUSES unless the caller opts into the
+  *     GRAFT-SYNTHETIC books/geometry — a real AAC file can never be
+  *     silently decoded against non-ISO tables.
+  *
+  * Declared NOT implemented (refused when present, honest seams): TNS,
+  * PNS (noise codebook 13), intensity stereo (books 14/15), pulse data,
+  * CCE/LFE/PCE elements, multiple raw_data_blocks per ADTS frame,
+  * ADTS CRC (protection_absent = 0), LTP/main-profile prediction.
+  *
+  * Float determinism (the DuckDB-oracle contract, after the MP3 chain):
+  * every transcendental constant is quantized to 1e-12 at table-build
+  * time and the oracle interpolates the SAME literal doubles — all IMDCT
+  * basis values and sine windows live on ONE π/4096 cosine lattice
+  * ([[cosLattice]]: cos of any angle π·m/4096 for integer m), KBD
+  * windows and requant/gain factors get their own quantized tables, and
+  * every float fold is order-pinned (k ascending, then window, then
+  * overlap pair), so the replay is bit-identical. */
+object Aac {
+
+  // ------------------------------------------------------------------
+  // Quantized trig lattice
+  // ------------------------------------------------------------------
+
+  private def q12(x: Double): Double =
+    math.rint(x * 1e12) / 1e12
+
+  /** cos(π·m/4096) quantized to 1e-12 for m ∈ 0..4096 — the ONE table
+    * every IMDCT basis value and sine-window sample reduces to:
+    * long basis cos((2π/2048)(n+512.5)(k+0.5)) = C[(2n+1025)(2k+1)],
+    * short basis = C[8(2n+129)(2k+1)], long sine window sin(π(n+0.5)
+    * /2048) = C[2047−2n], short sine window = C[8(255−2n)] (indices mod
+    * 8192, folded by cosine symmetry m → 8192−m into 0..4096). */
+  val cosLattice: Array[Double] =
+    Array.tabulate(4097)(m => q12(math.cos(math.Pi * m / 4096.0)))
+
+  /** Lattice lookup at any integer multiple of π/4096. */
+  def latticeAt(m: Long): Double = {
+    val mm = ((m % 8192) + 8192) % 8192
+    cosLattice(if (mm > 4096) (8192 - mm).toInt else mm.toInt)
+  }
+
+  // ------------------------------------------------------------------
+  // Windows: sine (on the lattice) and Kaiser–Bessel-derived
+  // ------------------------------------------------------------------
+
+  /** Modified Bessel I0 by its power series, summed to convergence at
+    * double precision (terms fall superexponentially; deterministic
+    * fixed evaluation order). */
+  private def besselI0(x: Double): Double = {
+    var term = 1.0
+    var sum = 1.0
+    var k = 1
+    while (k < 80 && term > sum * 1e-18) {
+      val t = x / (2.0 * k)
+      term *= t * t
+      sum += term
+      k += 1
+    }
+    sum
+  }
+
+  /** KBD window rise half for transform size N (N/2 samples), kernel
+    * alpha per ISO 14496-3 §4.6.11.3.2: 4 for long, 6 for short.
+    * w(n) = sqrt(Σ_{j≤n} ker(j) / Σ_{j≤N/2} ker(j)),
+    * ker(j) = I0(πα·sqrt(1 − ((j − N/4)/(N/4))²)); quantized to 1e-12.
+    * The fall half is the mirror w(N/2 − 1 − n). */
+  private def kbdHalf(halfLen: Int, alpha: Double): Array[Double] = {
+    val kern = Array.tabulate(halfLen + 1) { j =>
+      val t = (j - halfLen / 2.0) / (halfLen / 2.0)
+      besselI0(math.Pi * alpha * math.sqrt(math.max(0.0, 1.0 - t * t)))
+    }
+    val total = kern.sum
+    val out = new Array[Double](halfLen)
+    var cum = 0.0
+    var n = 0
+    while (n < halfLen) {
+      cum += kern(n)
+      out(n) = q12(math.sqrt(cum / total))
+      n += 1
+    }
+    out
+  }
+
+  /** KBD long-window rise half (1024 samples, alpha 4), 1e-12-quantized
+    * — exposed for the oracle's literal interpolation. */
+  val kbdLongHalf: Array[Double] = kbdHalf(1024, 4.0)
+
+  /** KBD short-window rise half (128 samples, alpha 6). */
+  val kbdShortHalf: Array[Double] = kbdHalf(128, 6.0)
+
+  /** Window rise half value: shape 0 = sine (lattice), 1 = KBD. */
+  private def riseLong(shape: Int, n: Int): Double =
+    if (shape == 0) latticeAt(2047L - 2L * n) else kbdLongHalf(n)
+  private def riseShort(shape: Int, n: Int): Double =
+    if (shape == 0) latticeAt(8L * (255L - 2L * n)) else kbdShortHalf(n)
+  private def fallLong(shape: Int, n: Int): Double =
+    riseLong(shape, 1023 - n)
+  private def fallShort(shape: Int, n: Int): Double =
+    riseShort(shape, 127 - n)
+
+  // ------------------------------------------------------------------
+  // Requant tables (1e-12-quantized; oracle interpolates the same)
+  // ------------------------------------------------------------------
+
+  /** |q|^(4/3) quantized to 1e-12. */
+  def pow43(q: Int): Double = q12(math.pow(q.toDouble, 4.0 / 3.0))
+
+  /** 2^(0.25·(sf − 100)) quantized to 1e-12 (SF_OFFSET = 100). */
+  def sfGain(sf: Int): Double = q12(math.pow(2.0, 0.25 * (sf - 100)))
+
+  // ------------------------------------------------------------------
+  // Scalefactor-band geometry: synthetic + loadable (tiling gate)
+  // ------------------------------------------------------------------
+
+  /** GRAFT-SYNTHETIC swb geometry (NOT the ISO per-rate tables): 32
+    * uniform long bands of 32 lines tiling 0..1024 and 8 uniform short
+    * bands of 16 tiling 0..128. Used for any sample rate, but ONLY
+    * under `allowSyntheticGeometry` — real 14496-3 Table 4.110-4.129
+    * data mounts via [[parseGeometry]]. */
+  val synthSwbLong: Array[Int] = Array.tabulate(33)(_ * 32)
+  val synthSwbShort: Array[Int] = Array.tabulate(9)(_ * 16)
+
+  /** Gate one swb offset tiling: starts at 0, strictly increasing, ends
+    * exactly at the spectral length (1024 long / 128 short). */
+  def gateSwb(label: String, offs: Array[Int], end: Int): Array[Int] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"swb $label: $msg")
+    if (offs.length < 2) fail("needs at least one band")
+    if (offs.head != 0) fail(s"must start at 0, got ${offs.head}")
+    if (offs.last != end) fail(s"must end at $end, got ${offs.last}")
+    offs.zip(offs.drop(1)).foreach { case (a, b) =>
+      if (b <= a) fail(s"not strictly increasing at $a -> $b")
+    }
+    if (offs.length - 1 > 64) fail("more than 64 bands")
+    offs
+  }
+
+  /** Parse + gate a geometry file: per sample-rate-index blocks
+    * `swb <srIdx> long <n>` / `swb <srIdx> short <n>` each followed by
+    * n+1 offset lines. Returns srIdx → (longOffsets, shortOffsets);
+    * both kinds must be present for an index. */
+  def parseGeometry(text: String): Map[Int, (Array[Int], Array[Int])] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"aac geometry file: $msg")
+    val lines = text.split("\n", -1).iterator
+      .map(_.takeWhile(_ != '#').trim).filter(_.nonEmpty).toSeq
+    val longs = scala.collection.mutable.Map[Int, Array[Int]]()
+    val shorts = scala.collection.mutable.Map[Int, Array[Int]]()
+    var i = 0
+    while (i < lines.length) {
+      val hdr = lines(i).split("\\s+")
+      if (hdr.length != 4 || hdr(0) != "swb")
+        fail(s"bad header '${lines(i)}' (want: swb <srIdx> long|short <n>)")
+      val (sr, kind, n) =
+        try ((hdr(1).toInt, hdr(2), hdr(3).toInt))
+        catch { case _: NumberFormatException =>
+          fail(s"non-integer field in '${lines(i)}'") }
+      if (sr < 0 || sr > 12) fail(s"srIdx $sr out of 0..12")
+      if (kind != "long" && kind != "short") fail(s"kind '$kind'")
+      if (n < 1 || n > 64) fail(s"band count $n out of 1..64")
+      val offs = new Array[Int](n + 1)
+      var k = 0
+      while (k <= n) {
+        if (i + 1 + k >= lines.length) fail(s"srIdx $sr $kind: truncated")
+        try offs(k) = lines(i + 1 + k).toInt
+        catch { case _: NumberFormatException =>
+          fail(s"srIdx $sr $kind offset $k: non-integer") }
+        k += 1
+      }
+      val tgt = if (kind == "long") longs else shorts
+      if (tgt.contains(sr)) fail(s"srIdx $sr $kind appears twice")
+      tgt(sr) = gateSwb(s"$sr/$kind", offs, if (kind == "long") 1024 else 128)
+      i += 2 + n
+    }
+    val both = longs.keySet.intersect(shorts.keySet)
+    val dangling = (longs.keySet ++ shorts.keySet) -- both
+    if (dangling.nonEmpty)
+      fail(s"srIdx ${dangling.min} has only one of long/short")
+    if (both.isEmpty) fail("no complete (long + short) geometry found")
+    both.map(sr => sr -> ((longs(sr), shorts(sr)))).toMap
+  }
+
+  /** Load + gate-validate swb geometry from a file. */
+  def loadGeometry(path: String): Map[Int, (Array[Int], Array[Int])] =
+    parseGeometry(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8"))
+
+  // ------------------------------------------------------------------
+  // Bit I/O
+  // ------------------------------------------------------------------
+
+  private final class BitReader(bytes: Array[Byte], startByte: Int,
+                                endByte: Int) {
+    var pos: Long = startByte * 8L
+    private val end: Long = endByte * 8L
+    def remaining: Long = end - pos
+    def bit(): Int = {
+      if (pos >= end) throw new IllegalStateException("bit past end")
+      val b = (bytes((pos >> 3).toInt) >> (7 - (pos & 7)).toInt) & 1
+      pos += 1
+      b
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def byteAlign(): Unit =
+      while ((pos & 7) != 0) pos += 1
+    /** Walk one codeword against a book (string-prefix walk — the
+      * fixture-table idiom the MP3 decoder uses). */
+    def huff(book: AacHuff.Book): Int = {
+      val sb = new StringBuilder
+      while (sb.length <= book.maxLen) {
+        sb.append(if (bit() == 1) '1' else '0')
+        book.decode.get(sb.toString) match {
+          case Some(i) => return i
+          case None    =>
+        }
+      }
+      throw new IllegalStateException(s"no codeword after ${sb.length} bits")
+    }
+  }
+
+  private[pipeline] final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nAcc = 0
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
+        i -= 1
+      }
+    }
+    def str(code: String): Unit =
+      code.foreach(c => bits(if (c == '1') 1 else 0, 1))
+    def byteAlign(): Unit = if (nAcc != 0) bits(0, 8 - nAcc)
+    def toBytes: Array[Byte] = { byteAlign(); out.toByteArray }
+  }
+
+  // ------------------------------------------------------------------
+  // Decoder
+  // ------------------------------------------------------------------
+
+  /** Per-band time-domain stats of one decoded frame: 8 bands of 128
+    * PCM samples each, 1e-6-quantized sums (the cross-engine-exact stat
+    * convention of the MP3 chain). */
+  final case class AacBandOut(frame: Int, channel: Int, band: Int,
+                              sSum: Double, sMsq: Double)
+
+  /** Per-frame structural record (first channel element). */
+  final case class AacFrameOut(frame: Int, windowSequence: Int,
+                               windowShape: Int, maxSfb: Int,
+                               nSections: Int, nNonzero: Int,
+                               globalGain: Int, channels: Int)
+
+  private final case class Ics(
+      windowSequence: Int, windowShape: Int, maxSfb: Int,
+      groups: Array[Int],                  // window count per group
+      globalGain: Int,
+      nSections: Int,
+      // dequantized spectra: long → (1 window)(1024); short → (8)(128)
+      spec: Array[Array[Double]],
+      nNonzero: Int)
+
+  /** Decode an ADTS AAC-LC stream's payloads. Returns per-frame
+    * structural rows and per-band PCM stats, or None when the stream
+    * is malformed or uses a declared-unsupported feature. Codebooks /
+    * geometry mount via `books` / `geometry` ([[AacHuff.load]],
+    * [[loadGeometry]]); absent data REFUSES unless the caller opts
+    * into the GRAFT-SYNTHETIC fixtures. */
+  def aacLcDecode(bytes: Array[Byte],
+                  books: Map[Int, AacHuff.Book] = Map.empty,
+                  geometry: Map[Int, (Array[Int], Array[Int])] = Map.empty,
+                  allowSyntheticBooks: Boolean = false,
+                  allowSyntheticGeometry: Boolean = false)
+      : Option[(AudioMeta, Seq[AacFrameOut], Seq[AacBandOut])] = {
+    val effBooks =
+      if (allowSyntheticBooks) AacHuff.synthetic ++ books else books
+
+    // ---- ADTS frame walk (header fields as in aacAdtsMeta) ----
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val len = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + len
+    }
+    final case class Hdr(pos: Int, frameLen: Int, srIdx: Int, ch: Int,
+                         profile: Int, rdb: Int, protAbsent: Int)
+    def frameAt(p: Int): Option[Hdr] = {
+      if (p + 7 > bytes.length) return None
+      val b0 = bytes(p) & 0xff; val b1 = bytes(p + 1) & 0xff
+      val b2 = bytes(p + 2) & 0xff; val b3 = bytes(p + 3) & 0xff
+      val b4 = bytes(p + 4) & 0xff; val b5 = bytes(p + 5) & 0xff
+      val b6 = bytes(p + 6) & 0xff
+      if (b0 != 0xff || (b1 & 0xf0) != 0xf0) return None
+      if ((b1 & 0x06) != 0) return None
+      val srIdx = (b2 >> 2) & 0xf
+      if (srIdx >= Multimodal.AdtsSampleRates.length) return None
+      val ch = ((b2 & 1) << 2) | ((b3 >> 6) & 0x3)
+      val frameLen = ((b3 & 0x3) << 11) | (b4 << 3) | ((b5 >> 5) & 0x7)
+      val hdrLen = if ((b1 & 1) == 1) 7 else 9
+      if (frameLen < hdrLen) return None
+      Some(Hdr(p, frameLen, srIdx, ch, (b2 >> 6) & 3, b6 & 3, b1 & 1))
+    }
+    var found = -1
+    while (found < 0 && off + 7 <= bytes.length) {
+      frameAt(off) match {
+        case Some(h)
+            if off + h.frameLen + 7 > bytes.length ||
+              frameAt(off + h.frameLen).isDefined =>
+          found = off
+        case _ => off += 1
+      }
+    }
+    if (found < 0) return None
+    val frames = Seq.newBuilder[Hdr]
+    var p = found
+    var walking = true
+    while (walking) frameAt(p) match {
+      case Some(h) if p + h.frameLen <= bytes.length =>
+        frames += h; p += h.frameLen
+      case _ => walking = false
+    }
+    val hdrs = frames.result()
+    if (hdrs.isEmpty) return None
+    val srIdx = hdrs.head.srIdx
+    // declared-unsupported container shapes refuse
+    if (hdrs.exists(h => h.protAbsent == 0 || h.rdb != 0 ||
+          h.srIdx != srIdx)) return None
+
+    val (swbL, swbS) = geometry.get(srIdx) match {
+      case Some(g)                          => g
+      case None if allowSyntheticGeometry  => (synthSwbLong, synthSwbShort)
+      case None                             => return None
+    }
+
+    // ---- per-channel filterbank state ----
+    val maxCh = 2
+    val prevTail = Array.fill(maxCh)(new Array[Double](1024))
+    val prevShape = Array.fill(maxCh)(0)
+
+    val frameOut = Seq.newBuilder[AacFrameOut]
+    val bandOut = Seq.newBuilder[AacBandOut]
+
+    def parseIcsInfo(r: BitReader): Option[(Int, Int, Int, Array[Int])] = {
+      if (r.bits(1) != 0) return None // ics_reserved_bit
+      val wseq = r.bits(2)
+      val shape = r.bits(1)
+      if (wseq == 2) {
+        val maxSfb = r.bits(4)
+        val grouping = r.bits(7)
+        // bit i (MSB-first, windows 1..7): 1 = same group as previous
+        val groups = scala.collection.mutable.ArrayBuffer(1)
+        var w = 1
+        while (w < 8) {
+          if (((grouping >> (7 - w)) & 1) == 1)
+            groups(groups.length - 1) += 1
+          else groups += 1
+          w += 1
+        }
+        if (maxSfb > swbS.length - 1) return None
+        Some((wseq, shape, maxSfb, groups.toArray))
+      } else {
+        val maxSfb = r.bits(6)
+        if (r.bits(1) != 0) return None // predictor_data_present: LC = 0
+        if (maxSfb > swbL.length - 1) return None
+        Some((wseq, shape, maxSfb, Array(1)))
+      }
+    }
+
+    /** individual_channel_stream; commonIcs = the CPE common_window
+      * ics_info, if present. */
+    def parseIcs(r: BitReader,
+                 commonIcs: Option[(Int, Int, Int, Array[Int])])
+        : Option[Ics] = {
+      val gg = r.bits(8)
+      val (wseq, shape, maxSfb, groups) = commonIcs match {
+        case Some(i) => i
+        case None    => parseIcsInfo(r).getOrElse(return None)
+      }
+      val short = wseq == 2
+      val swb = if (short) swbS else swbL
+      val specLen = if (short) 128 else 1024
+      val nWin = if (short) 8 else 1
+      // section_data: per group, runs of (codebook, length)
+      val sectBits = if (short) 3 else 5
+      val sectEsc = (1 << sectBits) - 1
+      // cb per (group, sfb)
+      val cbOf = Array.fill(groups.length, math.max(maxSfb, 1))(0)
+      var nSections = 0
+      var g = 0
+      while (g < groups.length) {
+        var k = 0
+        while (k < maxSfb) {
+          val cb = r.bits(4)
+          if (cb == 12 || cb >= 13) return None // noise/intensity: refuse
+          var len = 0
+          var incr = r.bits(sectBits)
+          while (incr == sectEsc) { len += sectEsc; incr = r.bits(sectBits) }
+          len += incr
+          if (len == 0 || k + len > maxSfb) return None
+          var j = 0
+          while (j < len) { cbOf(g)(k + j) = cb; j += 1 }
+          k += len
+          nSections += 1
+        }
+        g += 1
+      }
+      // scale_factor_data: dpcm from global_gain over coded bands
+      val sfBook = effBooks.getOrElse(0, return None)
+      val sf = Array.fill(groups.length, math.max(maxSfb, 1))(0)
+      var last = gg
+      g = 0
+      while (g < groups.length) {
+        var k = 0
+        while (k < maxSfb) {
+          if (cbOf(g)(k) != 0) {
+            val dpcm = r.huff(sfBook) - 60
+            last += dpcm
+            if (last < 0 || last > 255) return None
+            sf(g)(k) = last
+          }
+          k += 1
+        }
+        g += 1
+      }
+      if (r.bits(1) != 0) return None // pulse_data_present: refuse
+      if (r.bits(1) != 0) return None // tns_data_present: refuse
+      if (r.bits(1) != 0) return None // gain_control_data_present: refuse
+      // spectral_data: (group, sfb, window-in-group, line) order
+      val spec = Array.fill(nWin)(new Array[Double](specLen))
+      var nNonzero = 0
+      var winBase = 0
+      g = 0
+      while (g < groups.length) {
+        var k = 0
+        while (k < maxSfb) {
+          val cb = cbOf(g)(k)
+          if (cb != 0) {
+            val book = effBooks.getOrElse(cb, return None)
+            val (_, dim, _, signed) = AacHuff.spec(cb)
+            val width = swb(k + 1) - swb(k)
+            if (width % dim != 0) return None
+            var w = 0
+            while (w < groups(g)) {
+              val win = winBase + w
+              var line = swb(k)
+              while (line < swb(k + 1)) {
+                val idx = r.huff(book)
+                val vals = AacHuff.indexTuple(cb, idx)
+                if (!signed) {
+                  var j = 0
+                  while (j < dim) {
+                    if (vals(j) != 0 && r.bits(1) == 1) vals(j) = -vals(j)
+                    j += 1
+                  }
+                }
+                if (cb == 11) {
+                  var j = 0
+                  while (j < dim) {
+                    if (math.abs(vals(j)) == 16) {
+                      var n1 = 0
+                      while (r.bits(1) == 1) {
+                        n1 += 1
+                        if (n1 > 16) return None
+                      }
+                      val word = r.bits(n1 + 4)
+                      val mag = (1 << (n1 + 4)) + word
+                      vals(j) = if (vals(j) < 0) -mag else mag
+                    }
+                    j += 1
+                  }
+                }
+                val gainV = sfGain(sf(g)(k))
+                var j = 0
+                while (j < dim) {
+                  val q = vals(j)
+                  if (q != 0) {
+                    val mag = pow43(math.abs(q)) * gainV
+                    spec(win)(line + j) = if (q < 0) -mag else mag
+                    nNonzero += 1
+                  }
+                  j += 1
+                }
+                line += dim
+              }
+              w += 1
+            }
+          }
+          k += 1
+        }
+        winBase += groups(g)
+        g += 1
+      }
+      Some(Ics(wseq, shape, maxSfb, groups, gg, nSections, spec, nNonzero))
+    }
+
+    /** IMDCT + window + sequence composition → the 2048-sample windowed
+      * buffer of this frame (before overlap-add). */
+    def filterbank(ics: Ics, pShape: Int): Array[Double] = {
+      val buf = new Array[Double](2048)
+      if (ics.windowSequence == 2) {
+        var w = 0
+        while (w < 8) {
+          val x = ics.spec(w)
+          val nz = (0 until 128).filter(k => x(k) != 0.0)
+          val base = 448 + 128 * w
+          var n = 0
+          while (n < 256) {
+            var z = 0.0
+            nz.foreach { k =>
+              z += x(k) * latticeAt(8L * (2L * n + 129L) * (2L * k + 1L))
+            }
+            z *= 1.0 / 128.0
+            val wv =
+              if (n < 128)
+                riseShort(if (w == 0) pShape else ics.windowShape, n)
+              else fallShort(ics.windowShape, n - 128)
+            buf(base + n) += z * wv
+            n += 1
+          }
+          w += 1
+        }
+      } else {
+        val x = ics.spec(0)
+        val nz = (0 until 1024).filter(k => x(k) != 0.0)
+        var n = 0
+        while (n < 2048) {
+          var z = 0.0
+          nz.foreach { k =>
+            z += x(k) * latticeAt((2L * n + 1025L) * (2L * k + 1L))
+          }
+          z *= 1.0 / 1024.0
+          val wv = ics.windowSequence match {
+            case 0 =>
+              if (n < 1024) riseLong(pShape, n)
+              else fallLong(ics.windowShape, n - 1024)
+            case 1 =>
+              if (n < 1024) riseLong(pShape, n)
+              else if (n < 1472) 1.0
+              else if (n < 1600) fallShort(ics.windowShape, n - 1472)
+              else 0.0
+            case _ => // 3 = LONG_STOP
+              if (n < 448) 0.0
+              else if (n < 576) riseShort(pShape, n - 448)
+              else if (n < 1024) 1.0
+              else fallLong(ics.windowShape, n - 1024)
+          }
+          buf(n) = z * wv
+          n += 1
+        }
+      }
+      buf
+    }
+
+    def emit(f: Int, ch: Int, ics: Ics): Unit = {
+      val buf = filterbank(ics, prevShape(ch))
+      prevShape(ch) = ics.windowShape
+      var band = 0
+      while (band < 8) {
+        var ss = 0L; var sq = 0L
+        var n = band * 128
+        while (n < (band + 1) * 128) {
+          val v = buf(n) + prevTail(ch)(n)
+          ss += quant6(v); sq += quant6(v * v)
+          n += 1
+        }
+        bandOut += AacBandOut(f, ch, band, ss / 1e6 + 0.0, sq / 1e6 + 0.0)
+        band += 1
+      }
+      System.arraycopy(buf, 1024, prevTail(ch), 0, 1024)
+    }
+
+    // ---- per-frame raw_data_block decode ----
+    var f = 0
+    var ok = true
+    while (ok && f < hdrs.length) {
+      val h = hdrs(f)
+      val r = new BitReader(bytes, h.pos + 7, h.pos + h.frameLen)
+      var ended = false
+      var sawAudio = false
+      try {
+        while (!ended) {
+          r.bits(3) match {
+            case 0 => // SCE
+              r.bits(4) // element_instance_tag
+              parseIcs(r, None) match {
+                case Some(ics) =>
+                  if (sawAudio) { ok = false; ended = true }
+                  else {
+                    sawAudio = true
+                    frameOut += AacFrameOut(f, ics.windowSequence,
+                      ics.windowShape, ics.maxSfb, ics.nSections,
+                      ics.nNonzero, ics.globalGain, 1)
+                    emit(f, 0, ics)
+                  }
+                case None => ok = false; ended = true
+              }
+            case 1 => // CPE
+              r.bits(4)
+              val common = r.bits(1) == 1
+              if (!common) { ok = false; ended = true }
+              else {
+                val icsInfo = parseIcsInfo(r)
+                if (icsInfo.isEmpty) { ok = false; ended = true }
+                else {
+                  val msMask = r.bits(2)
+                  val info = icsInfo.get
+                  val nGroups = info._4.length
+                  val maxSfb = info._3
+                  val msUsed = Array.fill(nGroups, math.max(maxSfb, 1))(false)
+                  if (msMask == 1) {
+                    var g = 0
+                    while (g < nGroups) {
+                      var k = 0
+                      while (k < maxSfb) {
+                        msUsed(g)(k) = r.bits(1) == 1; k += 1
+                      }
+                      g += 1
+                    }
+                  } else if (msMask == 2) {
+                    msUsed.foreach(a => java.util.Arrays.fill(a, true))
+                  } else if (msMask == 3) { ok = false }
+                  if (ok) {
+                    (parseIcs(r, icsInfo), parseIcs(r, icsInfo)) match {
+                      case (Some(l), Some(rr)) =>
+                        if (sawAudio) { ok = false; ended = true }
+                        else {
+                          sawAudio = true
+                          // M/S: mid/side → left/right on dequant spectra
+                          val short = l.windowSequence == 2
+                          val swb = if (short) swbS else swbL
+                          var winBase = 0
+                          var g = 0
+                          while (g < nGroups) {
+                            var k = 0
+                            while (k < maxSfb) {
+                              if (msUsed(g)(k)) {
+                                var w = 0
+                                while (w < l.groups(g)) {
+                                  var i = swb(k)
+                                  while (i < swb(k + 1)) {
+                                    val m = l.spec(winBase + w)(i)
+                                    val s = rr.spec(winBase + w)(i)
+                                    l.spec(winBase + w)(i) = m + s
+                                    rr.spec(winBase + w)(i) = m - s
+                                    i += 1
+                                  }
+                                  w += 1
+                                }
+                              }
+                              k += 1
+                            }
+                            winBase += l.groups(g)
+                            g += 1
+                          }
+                          frameOut += AacFrameOut(f, l.windowSequence,
+                            l.windowShape, l.maxSfb, l.nSections,
+                            l.nNonzero + rr.nNonzero, l.globalGain, 2)
+                          emit(f, 0, l)
+                          emit(f, 1, rr)
+                        }
+                      case _ => ok = false; ended = true
+                    }
+                  } else ended = true
+                }
+              }
+            case 4 => // DSE: skip
+              r.bits(4)
+              val align = r.bits(1) == 1
+              var cnt = r.bits(8)
+              if (cnt == 255) cnt += r.bits(8)
+              if (align) r.byteAlign()
+              var i = 0
+              while (i < cnt) { r.bits(8); i += 1 }
+            case 6 => // FIL: skip
+              var cnt = r.bits(4)
+              if (cnt == 15) cnt += r.bits(8) - 1
+              var i = 0
+              while (i < cnt) { r.bits(8); i += 1 }
+            case 7 => // END
+              r.byteAlign()
+              ended = true
+            case _ => // CCE/LFE/PCE: declared unsupported
+              ok = false; ended = true
+          }
+        }
+      } catch {
+        case _: IllegalStateException => ok = false
+        case _: IllegalArgumentException => ok = false
+      }
+      if (!sawAudio) ok = false
+      f += 1
+    }
+    if (!ok) None
+    else {
+      val sr = Multimodal.AdtsSampleRates(srIdx)
+      Some((AudioMeta(sr, hdrs.head.ch, -1, hdrs.length),
+            frameOut.result(), bandOut.result()))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture generator (the encode half of the round trip)
+  // ------------------------------------------------------------------
+
+  /** Spectral book id used by media `id` frame `f` scope `s` (a band
+    * index for long frames, a group index for short ones). */
+  private def cbSel(id: Long, f: Int, s: Int): Int =
+    Array(1, 3, 5, 7, 9, 11)(((id + f + 2L * s) % 6).toInt)
+
+  /** The per-field closed forms shared by the generator and the DuckDB
+    * oracle (the `(id*3 + f*7) % 400` idiom of the MP3 rows):
+    *
+    *   global_gain         = 130 + (id·5 + f·9 + ch·13) mod 20
+    *   window_shape        = (id + f) mod 2
+    *   long: max_sfb       = 10 + id mod 5; coded sfbs a, a+1 with
+    *         a               = (id + f + ch) mod 8 + 1
+    *         book            = [1,3,5,7,9,11][(id + f + 2ch) mod 6]
+    *         sf dpcm         = ((id·3 + f·5 + b·11 + ch·17) mod 21) − 10
+    *         one nonzero line per coded band: tuple (id + 2f + b) mod
+    *         nTuples, slot (id + b) mod dim, magnitude 1 + (id+f+b) mod
+    *         min(lav, 12) (book 11: 16 + (id+f+b) mod 8, an escape),
+    *         negative iff (id + f + b) odd
+    *   short: max_sfb 8, grouping 1101101₂ → windows [3,3,2]; per group
+    *         g: coded sfb c = (id + f + g) mod 6, book cbSel(id,f,g),
+    *         sf dpcm ((id·3 + f·5 + g·7) mod 21) − 10, one nonzero
+    *         tuple in window (id + g) mod |group| at tuple
+    *         (id + 2f + g) mod nTuples, slot (id + g) mod dim,
+    *         magnitude as long with b → g
+    *
+    * Modes: "long" = ONLY_LONG SCE; "short" = EIGHT_SHORT SCE;
+    * "cycle" = window_sequence f mod 4 (ONLY_LONG → LONG_START →
+    * EIGHT_SHORT → LONG_STOP) SCE; "ms" = ONLY_LONG CPE common_window
+    * with ms_mask_present (id + f) mod 3 and (mask 1) per-band ms_used
+    * = (id + f + sfb) odd. Frames (id + f) ≡ 0 mod 3 carry a 2-byte
+    * FIL element before END (skip-machinery coverage). */
+  def aacLcBytes(id: Long, nFrames: Int, mode: String = "long"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val srIdx = 3 // 48 kHz
+    val chCfg = if (mode == "ms") 2 else 1
+    val enc = AacHuff.syntheticEncode
+    var f = 0
+    while (f < nFrames) {
+      val w = new BitWriter
+      val shape = ((id + f) % 2).toInt
+      val wseq = mode match {
+        case "short" => 2
+        case "cycle" => f % 4
+        case _       => 0
+      }
+
+      def writeIcsInfo(): Unit = {
+        w.bits(0, 1) // ics_reserved
+        w.bits(wseq, 2)
+        w.bits(shape, 1)
+        if (wseq == 2) {
+          w.bits(8, 4)         // max_sfb
+          w.bits(0x6d, 7)      // grouping 1101101 → [3,3,2]
+        } else {
+          w.bits(10 + (id % 5).toInt, 6) // max_sfb
+          w.bits(0, 1)                   // predictor_data_present
+        }
+      }
+
+      def writeShortSectLen(len0: Int): Unit = {
+        var len = len0
+        while (len >= 7) { w.bits(7, 3); len -= 7 }
+        w.bits(len, 3)
+      }
+
+      def writeTuple(cb: Int, dim: Int, signed: Boolean, neg: Boolean,
+                     vals: Array[Int]): Unit = {
+        // codeword over the book-domain values (escapes cap at 16)
+        val domainVals = vals.map { v =>
+          val m = math.abs(v)
+          val capped = if (cb == 11 && m >= 16) 16 else m
+          if (signed) (if (v < 0) -capped else capped) else capped
+        }
+        w.str(enc(cb)(AacHuff.tupleIndex(cb, domainVals)))
+        if (!signed)
+          vals.foreach(v => if (v != 0) w.bits(if (neg) 1 else 0, 1))
+        if (cb == 11) vals.foreach { v =>
+          val m = math.abs(v)
+          if (m >= 16) {
+            // escape, N = 0: terminator bit then 4-bit word (mag − 16)
+            w.bits(0, 1); w.bits(m - 16, 4)
+          }
+        }
+      }
+
+      /** One channel's ICS payload (after the shared/per-channel
+        * ics_info); `ch` parameterizes the closed forms. */
+      def writeIcsBody(ch: Int, icsInfoInline: Boolean): Unit = {
+        val gg = 130 + ((id * 5 + f * 9 + ch * 13) % 20).toInt
+        w.bits(gg, 8)
+        if (icsInfoInline) writeIcsInfo()
+        if (wseq == 2) {
+          // sections per group
+          val groups = Array(3, 3, 2)
+          for (g <- 0 until 3) {
+            val c = ((id + f + g) % 6).toInt
+            val cb = cbSel(id, f, g)
+            if (c > 0) { w.bits(0, 4); writeShortSectLen(c) }
+            w.bits(cb, 4); writeShortSectLen(1)
+            if (8 - c - 1 > 0) { w.bits(0, 4); writeShortSectLen(8 - c - 1) }
+          }
+          // scalefactors: one coded band per group, dpcm chain
+          for (g <- 0 until 3) {
+            val d = ((id * 3 + f * 5 + g * 7) % 21).toInt - 10
+            w.str(enc(0)(d + 60))
+          }
+          w.bits(0, 3) // pulse/tns/gain_control absent
+          // spectral: per group, each window of the group (the coded
+          // sfb's POSITION is fixed by the section layout above; the
+          // spectral stream itself carries only the coded tuples)
+          for (g <- 0 until 3) {
+            val cb = cbSel(id, f, g)
+            val (_, dim, lav, signed) = AacHuff.spec(cb)
+            val nTuples = 16 / dim
+            val wSel = ((id + g) % groups(g)).toInt
+            val tSel = ((id + 2 * f + g) % nTuples).toInt
+            val pSel = ((id + g) % dim).toInt
+            val neg = (id + f + g) % 2 == 1
+            val mag =
+              if (cb == 11) 16 + ((id + f + g) % 8).toInt
+              else 1 + ((id + f + g) % math.min(lav, 12)).toInt
+            for (win <- 0 until groups(g); t <- 0 until nTuples) {
+              val vals = new Array[Int](dim)
+              if (win == wSel && t == tSel)
+                vals(pSel) = if (signed && neg) -mag else mag
+              writeTuple(cb, dim, signed, neg, vals)
+            }
+          }
+        } else {
+          val maxSfb = 10 + (id % 5).toInt
+          val a = ((id + f + ch) % 8).toInt + 1
+          val cb = cbSel(id, f, ch)
+          // sections (long: 5-bit incrs, lengths < 31 here)
+          w.bits(0, 4); w.bits(a, 5)
+          w.bits(cb, 4); w.bits(2, 5)
+          if (maxSfb - a - 2 > 0) { w.bits(0, 4); w.bits(maxSfb - a - 2, 5) }
+          // scalefactors for the two coded bands
+          for (b <- 0 until 2) {
+            val d = ((id * 3 + f * 5 + b * 11 + ch * 17) % 21).toInt - 10
+            w.str(enc(0)(d + 60))
+          }
+          w.bits(0, 3)
+          // spectral: the two coded bands (32 lines each)
+          val (_, dim, lav, signed) = AacHuff.spec(cb)
+          val nTuples = 32 / dim
+          for (b <- 0 until 2) {
+            val tSel = ((id + 2 * f + b) % nTuples).toInt
+            val pSel = ((id + b) % dim).toInt
+            val neg = (id + f + b) % 2 == 1
+            val mag =
+              if (cb == 11) 16 + ((id + f + b) % 8).toInt
+              else 1 + ((id + f + b) % math.min(lav, 12)).toInt
+            for (t <- 0 until nTuples) {
+              val vals = new Array[Int](dim)
+              if (t == tSel) vals(pSel) = if (signed && neg) -mag else mag
+              writeTuple(cb, dim, signed, neg, vals)
+            }
+          }
+        }
+      }
+
+      if (mode == "ms") {
+        w.bits(1, 3) // CPE
+        w.bits(0, 4)
+        w.bits(1, 1) // common_window
+        writeIcsInfo()
+        val msMask = ((id + f) % 3).toInt
+        w.bits(msMask, 2)
+        if (msMask == 1) {
+          val maxSfb = 10 + (id % 5).toInt
+          for (k <- 0 until maxSfb)
+            w.bits(if ((id + f + k) % 2 == 1) 1 else 0, 1)
+        }
+        writeIcsBody(0, icsInfoInline = false)
+        writeIcsBody(1, icsInfoInline = false)
+      } else {
+        w.bits(0, 3) // SCE
+        w.bits(0, 4)
+        writeIcsBody(0, icsInfoInline = true)
+      }
+      if ((id + f) % 3 == 0) {
+        w.bits(6, 3) // FIL
+        w.bits(2, 4)
+        w.bits(0xa5, 8); w.bits(0x5a, 8)
+      }
+      w.bits(7, 3) // END
+      val payload = w.toBytes
+      val frameLen = 7 + payload.length
+      out.write(0xff)
+      out.write(0xf1) // MPEG-4, layer 00, protection_absent 1
+      out.write((1 << 6) | (srIdx << 2) | ((chCfg >> 2) & 1))
+      out.write(((chCfg & 0x3) << 6) | ((frameLen >> 11) & 0x3))
+      out.write((frameLen >> 3) & 0xff)
+      out.write(((frameLen & 0x7) << 5) | 0x1f)
+      out.write(0xfc)
+      out.write(payload)
+      f += 1
+    }
+    out.toByteArray
+  }
+}

@@ -706,7 +706,7 @@ object Multimodal {
 
   /** ADTS sampling_frequency_index table (ISO 13818-7 / 14496-3,
     * public spec). Index ≥ 13 is reserved → refuse. */
-  private val AdtsSampleRates: Array[Int] = Array(
+  private[pipeline] val AdtsSampleRates: Array[Int] = Array(
     96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
     16000, 12000, 11025, 8000, 7350)
 
