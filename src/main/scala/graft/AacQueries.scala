@@ -26,9 +26,12 @@ object AacQueries {
   private val gainsLit = (0 until 256).map(Aac.sfGain).mkString("[", ", ", "]")
   private val p43Lit = (0 to 31).map(Aac.pow43).mkString("[", ", ", "]")
 
+  private val iscLit =
+    (-60 to 60).map(Aac.isScale).mkString("[", ", ", "]")
+
   private val constsCte =
     s"""co AS (SELECT $latLit AS lat, $kbdLLit AS kbdl, $kbdSLit AS kbds,
-       |  $gainsLit AS gains, $p43Lit AS p43)""".stripMargin
+       |  $gainsLit AS gains, $p43Lit AS p43, $iscLit AS isc)""".stripMargin
 
   /** cos(π·m/4096) from the lattice (m any non-negative integer SQL
     * expression): fold by cosine symmetry into 0..4096, 1-based index. */
@@ -277,6 +280,102 @@ object AacQueries {
        |  FROM zzM z CROSS JOIN co),
        |${bandsSelect("zwM", "ch")}""".stripMargin
 
+  /** Pulse data: the long-content lines at the QUANTIZED level, the
+    * transmitted pulse amplitudes added (|q| grows; a zero coefficient
+    * becomes +amp), then dequant — the §4.6.3.3 order the decoder
+    * implements. Pulses exist on (id+f)-even frames: 1 + (id mod 2) of
+    * them starting at sfb a, offsets/amps from the generator formulas;
+    * both pulse lines stay inside the two coded bands by construction
+    * so every line has a scalefactor. */
+  private val pulseOracle =
+    s"""WITH $constsCte,
+       |${frCte("r % 3 + 1")},
+       |${longLinesCte(0)},
+       |bl AS (SELECT p.id, p.f, p.b, p.a, p.sf,
+       |    32*(p.a + p.b) + p.dim * ((p.id + 2*p.f + p.b) % (32 // p.dim))
+       |      + (p.id + p.b) % p.dim AS k,
+       |    CAST(p.sgn AS BIGINT) * p.mag AS q
+       |  FROM pm0 p),
+       |pp AS (SELECT DISTINCT id, f, a FROM pr0),
+       |pl AS (SELECT pp.id, pp.f,
+       |    32*pp.a + (pp.id*3 + pp.f*7) % 30
+       |      + CASE WHEN jj.j = 1 THEN 1 + (pp.id*5 + pp.f) % 30
+       |             ELSE 0 END AS k,
+       |    1 + (pp.id + pp.f + 3*jj.j) % 8 AS amp
+       |  FROM pp, range(2) jj(j)
+       |  WHERE (pp.id + pp.f) % 2 = 0 AND jj.j <= pp.id % 2),
+       |alk AS (SELECT id, f, k FROM bl UNION SELECT id, f, k FROM pl),
+       |mq AS (SELECT a2.id, a2.f, a2.k, m.sf,
+       |    COALESCE(b.q, 0) AS q, COALESCE(p.amp, 0) AS amp
+       |  FROM alk a2
+       |  JOIN pp ON pp.id = a2.id AND pp.f = a2.f
+       |  JOIN pm0 m ON m.id = a2.id AND m.f = a2.f
+       |    AND m.b = a2.k // 32 - pp.a
+       |  LEFT JOIN bl b ON b.id = a2.id AND b.f = a2.f AND b.k = a2.k
+       |  LEFT JOIN pl p ON p.id = a2.id AND p.f = a2.f AND p.k = a2.k),
+       |lxP AS (SELECT t.id, t.f, t.k,
+       |    CASE WHEN t.q2 < 0
+       |      THEN -(co.p43[CAST(-t.q2 AS INT) + 1]
+       |             * co.gains[CAST(t.sf AS INT) + 1])
+       |      ELSE co.p43[CAST(t.q2 AS INT) + 1]
+       |             * co.gains[CAST(t.sf AS INT) + 1] END AS x
+       |  FROM (SELECT *, CASE WHEN q > 0 THEN q + amp
+       |                       WHEN q < 0 THEN q - amp
+       |                       ELSE amp END AS q2 FROM mq) t
+       |  CROSS JOIN co),
+       |${longWindowCte("P", "lxP")},
+       |${bandsSelect("zwP")}""".stripMargin
+
+  /** Intensity stereo: the right channel of the CPE carries NO spectra
+    * — its two intensity bands (book 15/14 alternating by (id+f) mod 2)
+    * rebuild right = ±left·0.5^(is_pos/4), phase inverted when book-14
+    * XOR the band's ms_used bit; non-intensity ms_used bands give
+    * right = mid − side = left (side is zero); everything else is
+    * silent. Left passes through unchanged (side is zero everywhere). */
+  private val isOracle = {
+    val used =
+      s"""(CASE CAST((l.id + l.f) % 3 AS INT)
+         |  WHEN 2 THEN TRUE
+         |  WHEN 1 THEN (l.id + l.f + l.k // 32) % 2 = 1
+         |  ELSE FALSE END)""".stripMargin
+    s"""WITH $constsCte,
+       |${frCte("2")},
+       |${longLinesCte(0)},
+       |ip AS (SELECT id, f,
+       |    (id + f + 1) % 8 + 1 AS ar,
+       |    14 + (id + f) % 2 AS cbi,
+       |    ((id*7 + f*3) % 25) - 12 AS d0,
+       |    ((id*7 + f*3 + 5) % 25) - 12 AS d1
+       |  FROM fr),
+       |rl AS (SELECT l.id, l.f, l.k,
+       |    CASE
+       |      WHEN l.k // 32 >= ip.ar AND l.k // 32 < ip.ar + 2 THEN
+       |        (CASE WHEN (ip.cbi = 14) <> $used THEN -1.0 ELSE 1.0 END)
+       |        * (co.isc[CAST((CASE WHEN l.k // 32 = ip.ar THEN ip.d0
+       |                             ELSE ip.d0 + ip.d1 END) + 60 AS INT) + 1]
+       |           * l.x)
+       |      WHEN $used THEN l.x
+       |      ELSE 0.0 END AS x
+       |  FROM lx0 l JOIN ip ON ip.id = l.id AND ip.f = l.f CROSS JOIN co),
+       |lout AS (
+       |  SELECT id, f, k, 0 AS ch, x FROM lx0
+       |  UNION ALL SELECT id, f, k, 1 AS ch, x FROM rl),
+       |zzI AS (SELECT fr.id, fr.f, cc.ch, nn.n,
+       |    COALESCE(list_sum(list(l.x *
+       |      ${latAt("(2*nn.n + 1025) * (2*l.k + 1)")} ORDER BY l.k)), 0.0)
+       |      / 1024.0 AS z
+       |  FROM fr CROSS JOIN range(2) cc(ch) CROSS JOIN range(2048) nn(n)
+       |  LEFT JOIN lout l ON l.id = fr.id AND l.f = fr.f AND l.ch = cc.ch
+       |  CROSS JOIN co
+       |  GROUP BY fr.id, fr.f, cc.ch, nn.n),
+       |zwI AS (SELECT z.id, z.f, z.ch, z.n,
+       |    z.z * (CASE WHEN z.n < 1024
+       |      THEN ${riseL("CASE WHEN z.f = 0 THEN 0 ELSE (z.id + z.f - 1) % 2 END", "z.n")}
+       |      ELSE ${fallL("(z.id + z.f) % 2", "z.n - 1024")} END) AS v
+       |  FROM zzI z CROSS JOIN co),
+       |${bandsSelect("zwI", "ch")}""".stripMargin
+  }
+
   /** Frame-level structural oracle for the cycle mode. */
   private val framesOracle =
     s"""WITH ${frCte("r % 3 + 2")}
@@ -389,6 +488,41 @@ object AacQueries {
         }.toDF("media_id", "frame", "channel", "band", "s_sum", "s_msq")
       },
       Some(msOracle)),
+
+    // PULSE data (§4.6.3.3): transmitted amplitudes added to the
+    // QUANTIZED coefficients before dequant — the reason decode is
+    // quantize-then-dequant; pulse frames alternate with plain ones.
+    ("multimodal_aac_pulse",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, nf, "pulse"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "band", "s_sum", "s_msq")
+      },
+      Some(pulseOracle)),
+
+    // INTENSITY stereo (books 14/15): the right channel's bands rebuild
+    // from the LEFT spectra scaled by 0.5^(is_pos/4), is_pos on its own
+    // dpcm chain from 0, phase = book-14 XOR ms_used — all three
+    // ms_mask_present forms interact.
+    ("multimodal_aac_intensity",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, 2, "is"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.channel.toLong,
+            b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "channel", "band", "s_sum", "s_msq")
+      },
+      Some(isOracle)),
 
     // The LOADER path (the user-pluggable spec-data mechanism, like
     // multimodal_mp3_hufftable_load): books and swb geometry mounted

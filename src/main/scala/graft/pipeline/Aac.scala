@@ -24,10 +24,17 @@ import Multimodal.{AudioMeta, quant6}
   *     GRAFT-SYNTHETIC books/geometry — a real AAC file can never be
   *     silently decoded against non-ISO tables.
   *
+  * Round-17 second pass adds the fully-FORMULAIC side tools (no spec
+  * tables involved): intensity stereo (books 14/15, right =
+  * ±left·0.5^(is_pos/4) with the ms_used phase interaction), pulse
+  * data (transmitted amplitudes added to the quantized coefficients
+  * pre-dequant, long windows only), and LFE elements (SCE syntax,
+  * long-window-only restriction).
+  *
   * Declared NOT implemented (refused when present, honest seams): TNS,
-  * PNS (noise codebook 13), intensity stereo (books 14/15), pulse data,
-  * CCE/LFE/PCE elements, multiple raw_data_blocks per ADTS frame,
-  * ADTS CRC (protection_absent = 0), LTP/main-profile prediction.
+  * PNS (noise codebook 13), CCE/PCE elements, multiple
+  * raw_data_blocks per ADTS frame, ADTS CRC (protection_absent = 0),
+  * LTP/main-profile prediction.
   *
   * Float determinism (the DuckDB-oracle contract, after the MP3 chain):
   * every transcendental constant is quantized to 1e-12 at table-build
@@ -129,6 +136,10 @@ object Aac {
 
   /** 2^(0.25·(sf − 100)) quantized to 1e-12 (SF_OFFSET = 100). */
   def sfGain(sf: Int): Double = q12(math.pow(2.0, 0.25 * (sf - 100)))
+
+  /** Intensity-stereo scale 0.5^(0.25·is_pos) quantized to 1e-12
+    * (ISO 14496-3 §4.6.8.2.3: right = left · 2^(−is_pos/4)). */
+  def isScale(isPos: Int): Double = q12(math.pow(0.5, 0.25 * isPos))
 
   // ------------------------------------------------------------------
   // Scalefactor-band geometry: synthetic + loadable (tiling gate)
@@ -286,6 +297,8 @@ object Aac {
       groups: Array[Int],                  // window count per group
       globalGain: Int,
       nSections: Int,
+      cbOf: Array[Array[Int]],             // codebook per (group, sfb)
+      isPos: Array[Array[Int]],            // intensity position per (g, sfb)
       // dequantized spectra: long → (1 window)(1024); short → (8)(128)
       spec: Array[Array[Double]],
       nNonzero: Int)
@@ -399,8 +412,16 @@ object Aac {
 
     /** individual_channel_stream; commonIcs = the CPE common_window
       * ics_info, if present. */
+    /** individual_channel_stream. Intensity codebooks (14/15) are legal
+      * ONLY on the second channel of a CPE (`intensityAllowed`); their
+      * bands transmit dpcm is_positions instead of scalefactors and no
+      * spectral data — reconstruction from the left channel happens at
+      * the CPE level. Pulse data (long windows only) adds transmitted
+      * amplitudes to the QUANTIZED coefficients before dequant
+      * (§4.6.3.3), which is why decode is quantize-then-dequant. */
     def parseIcs(r: BitReader,
-                 commonIcs: Option[(Int, Int, Int, Array[Int])])
+                 commonIcs: Option[(Int, Int, Int, Array[Int])],
+                 intensityAllowed: Boolean)
         : Option[Ics] = {
       val gg = r.bits(8)
       val (wseq, shape, maxSfb, groups) = commonIcs match {
@@ -422,7 +443,8 @@ object Aac {
         var k = 0
         while (k < maxSfb) {
           val cb = r.bits(4)
-          if (cb == 12 || cb >= 13) return None // noise/intensity: refuse
+          if (cb == 12 || cb == 13) return None // reserved/noise: refuse
+          if (cb >= 14 && !intensityAllowed) return None
           var len = 0
           var incr = r.bits(sectBits)
           while (incr == sectEsc) { len += sectEsc; incr = r.bits(sectBits) }
@@ -435,17 +457,25 @@ object Aac {
         }
         g += 1
       }
-      // scale_factor_data: dpcm from global_gain over coded bands
+      // scale_factor_data: TWO dpcm chains over the coded bands — sf
+      // from global_gain for spectral books, is_position from 0 for
+      // intensity books (both through the scalefactor codebook)
       val sfBook = effBooks.getOrElse(0, return None)
       val sf = Array.fill(groups.length, math.max(maxSfb, 1))(0)
+      val isPos = Array.fill(groups.length, math.max(maxSfb, 1))(0)
       var last = gg
+      var lastIs = 0
       g = 0
       while (g < groups.length) {
         var k = 0
         while (k < maxSfb) {
-          if (cbOf(g)(k) != 0) {
-            val dpcm = r.huff(sfBook) - 60
-            last += dpcm
+          val cb = cbOf(g)(k)
+          if (cb >= 14) {
+            lastIs += r.huff(sfBook) - 60
+            if (lastIs < -60 || lastIs > 60) return None
+            isPos(g)(k) = lastIs
+          } else if (cb != 0) {
+            last += r.huff(sfBook) - 60
             if (last < 0 || last > 255) return None
             sf(g)(k) = last
           }
@@ -453,19 +483,37 @@ object Aac {
         }
         g += 1
       }
-      if (r.bits(1) != 0) return None // pulse_data_present: refuse
+      // pulse_data (§4.6.3.3): long windows only; amplitudes collected
+      // here, applied after spectral decode on the quantized values
+      var pulses: List[(Int, Int)] = Nil // (line, amp)
+      if (r.bits(1) == 1) {
+        if (short) return None
+        val nPulse = r.bits(2) + 1
+        val startSfb = r.bits(6)
+        if (startSfb >= swb.length - 1) return None
+        var line = swb(startSfb)
+        var i = 0
+        while (i < nPulse) {
+          line += r.bits(5)
+          val amp = r.bits(4)
+          if (line >= specLen) return None
+          pulses = (line, amp) :: pulses
+          i += 1
+        }
+        pulses = pulses.reverse
+      }
       if (r.bits(1) != 0) return None // tns_data_present: refuse
       if (r.bits(1) != 0) return None // gain_control_data_present: refuse
-      // spectral_data: (group, sfb, window-in-group, line) order
-      val spec = Array.fill(nWin)(new Array[Double](specLen))
-      var nNonzero = 0
+      // spectral_data: (group, sfb, window-in-group, line) order, into
+      // QUANTIZED coefficients (intensity/zero bands carry none)
+      val qspec = Array.fill(nWin)(new Array[Int](specLen))
       var winBase = 0
       g = 0
       while (g < groups.length) {
         var k = 0
         while (k < maxSfb) {
           val cb = cbOf(g)(k)
-          if (cb != 0) {
+          if (cb != 0 && cb < 14) {
             val book = effBooks.getOrElse(cb, return None)
             val (_, dim, _, signed) = AacHuff.spec(cb)
             val width = swb(k + 1) - swb(k)
@@ -500,16 +548,9 @@ object Aac {
                     j += 1
                   }
                 }
-                val gainV = sfGain(sf(g)(k))
                 var j = 0
                 while (j < dim) {
-                  val q = vals(j)
-                  if (q != 0) {
-                    val mag = pow43(math.abs(q)) * gainV
-                    spec(win)(line + j) = if (q < 0) -mag else mag
-                    nNonzero += 1
-                  }
-                  j += 1
+                  qspec(win)(line + j) = vals(j); j += 1
                 }
                 line += dim
               }
@@ -521,7 +562,51 @@ object Aac {
         winBase += groups(g)
         g += 1
       }
-      Some(Ics(wseq, shape, maxSfb, groups, gg, nSections, spec, nNonzero))
+      // apply pulses to the quantized values: amp adds to |q| (a zero
+      // coefficient becomes +amp). A pulse landing outside a spectral-
+      // coded band has no scalefactor to dequantize under — refuse.
+      pulses.foreach { case (line, amp) =>
+        var kb = 0
+        while (kb < swb.length - 1 && swb(kb + 1) <= line) kb += 1
+        if (kb >= maxSfb || cbOf(0)(kb) == 0 || cbOf(0)(kb) >= 14)
+          return None
+        val q = qspec(0)(line)
+        qspec(0)(line) = if (q < 0) q - amp else q + amp
+      }
+      // dequant: x = sign(q)·|q|^(4/3)·2^((sf−100)/4) per coded band
+      val spec = Array.fill(nWin)(new Array[Double](specLen))
+      var nNonzero = 0
+      winBase = 0
+      g = 0
+      while (g < groups.length) {
+        var k = 0
+        while (k < maxSfb) {
+          val cb = cbOf(g)(k)
+          if (cb != 0 && cb < 14) {
+            val gainV = sfGain(sf(g)(k))
+            var w = 0
+            while (w < groups(g)) {
+              val win = winBase + w
+              var line = swb(k)
+              while (line < swb(k + 1)) {
+                val q = qspec(win)(line)
+                if (q != 0) {
+                  val mag = pow43(math.abs(q)) * gainV
+                  spec(win)(line) = if (q < 0) -mag else mag
+                  nNonzero += 1
+                }
+                line += 1
+              }
+              w += 1
+            }
+          }
+          k += 1
+        }
+        winBase += groups(g)
+        g += 1
+      }
+      Some(Ics(wseq, shape, maxSfb, groups, gg, nSections, cbOf, isPos,
+               spec, nNonzero))
     }
 
     /** IMDCT + window + sequence composition → the 2048-sample windowed
@@ -611,12 +696,13 @@ object Aac {
       try {
         while (!ended) {
           r.bits(3) match {
-            case 0 => // SCE
+            case el @ (0 | 3) => // SCE, or LFE (SCE syntax, long-only)
               r.bits(4) // element_instance_tag
-              parseIcs(r, None) match {
+              parseIcs(r, None, intensityAllowed = false) match {
                 case Some(ics) =>
-                  if (sawAudio) { ok = false; ended = true }
-                  else {
+                  if (sawAudio || (el == 3 && ics.windowSequence != 0)) {
+                    ok = false; ended = true
+                  } else {
                     sawAudio = true
                     frameOut += AacFrameOut(f, ics.windowSequence,
                       ics.windowShape, ics.maxSfb, ics.nSections,
@@ -651,12 +737,19 @@ object Aac {
                     msUsed.foreach(a => java.util.Arrays.fill(a, true))
                   } else if (msMask == 3) { ok = false }
                   if (ok) {
-                    (parseIcs(r, icsInfo), parseIcs(r, icsInfo)) match {
+                    (parseIcs(r, icsInfo, intensityAllowed = false),
+                     parseIcs(r, icsInfo, intensityAllowed = true)) match {
                       case (Some(l), Some(rr)) =>
                         if (sawAudio) { ok = false; ended = true }
                         else {
                           sawAudio = true
-                          // M/S: mid/side → left/right on dequant spectra
+                          // Joint stereo on the dequantized spectra.
+                          // Per band: an INTENSITY band on the right
+                          // (cb 14 in-phase-inverted semantics XOR the
+                          // band's ms_used bit, §4.6.8.2) rebuilds
+                          // right = ±left·0.5^(is_pos/4) and M/S does
+                          // NOT apply; otherwise ms_used bands do the
+                          // mid/side sum/difference.
                           val short = l.windowSequence == 2
                           val swb = if (short) swbS else swbL
                           var winBase = 0
@@ -664,7 +757,22 @@ object Aac {
                           while (g < nGroups) {
                             var k = 0
                             while (k < maxSfb) {
-                              if (msUsed(g)(k)) {
+                              val cbR = rr.cbOf(g)(k)
+                              if (cbR >= 14) {
+                                val scale = isScale(rr.isPos(g)(k))
+                                val inv = (cbR == 14) != msUsed(g)(k)
+                                var w = 0
+                                while (w < l.groups(g)) {
+                                  var i = swb(k)
+                                  while (i < swb(k + 1)) {
+                                    val v = l.spec(winBase + w)(i) * scale
+                                    rr.spec(winBase + w)(i) =
+                                      if (inv) -v else v
+                                    i += 1
+                                  }
+                                  w += 1
+                                }
+                              } else if (msUsed(g)(k)) {
                                 var w = 0
                                 while (w < l.groups(g)) {
                                   var i = swb(k)
@@ -767,7 +875,7 @@ object Aac {
   def aacLcBytes(id: Long, nFrames: Int, mode: String = "long"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val srIdx = 3 // 48 kHz
-    val chCfg = if (mode == "ms") 2 else 1
+    val chCfg = if (mode == "ms" || mode == "is") 2 else 1
     val enc = AacHuff.syntheticEncode
     var f = 0
     while (f < nFrames) {
@@ -819,8 +927,13 @@ object Aac {
       }
 
       /** One channel's ICS payload (after the shared/per-channel
-        * ics_info); `ch` parameterizes the closed forms. */
-      def writeIcsBody(ch: Int, icsInfoInline: Boolean): Unit = {
+        * ics_info); `ch` parameterizes the closed forms. `intensity`
+        * (the "is" mode's right channel) emits two intensity bands
+        * (alternating books 15/14) instead of spectral content: is_pos
+        * dpcm ((id·7 + f·3 + b·5) mod 25 − 12 per band, chained from
+        * 0) through the scalefactor codebook, no spectral data. */
+      def writeIcsBody(ch: Int, icsInfoInline: Boolean,
+                       intensity: Boolean = false): Unit = {
         val gg = 130 + ((id * 5 + f * 9 + ch * 13) % 20).toInt
         w.bits(gg, 8)
         if (icsInfoInline) writeIcsInfo()
@@ -864,6 +977,18 @@ object Aac {
         } else {
           val maxSfb = 10 + (id % 5).toInt
           val a = ((id + f + ch) % 8).toInt + 1
+          if (intensity) {
+            val cbI = 14 + ((id + f) % 2).toInt
+            w.bits(0, 4); w.bits(a, 5)
+            w.bits(cbI, 4); w.bits(2, 5)
+            if (maxSfb - a - 2 > 0) { w.bits(0, 4); w.bits(maxSfb - a - 2, 5) }
+            for (b <- 0 until 2) {
+              val d = ((id * 7 + f * 3 + b * 5) % 25).toInt - 12
+              w.str(enc(0)(d + 60))
+            }
+            w.bits(0, 3) // pulse/tns/gain absent; no spectral data
+            return
+          }
           val cb = cbSel(id, f, ch)
           // sections (long: 5-bit incrs, lengths < 31 here)
           w.bits(0, 4); w.bits(a, 5)
@@ -874,7 +999,22 @@ object Aac {
             val d = ((id * 3 + f * 5 + b * 11 + ch * 17) % 21).toInt - 10
             w.str(enc(0)(d + 60))
           }
-          w.bits(0, 3)
+          if (mode == "pulse" && (id + f) % 2 == 0) {
+            // pulse_data: 1 + (id mod 2) pulses inside the coded bands,
+            // offsets (id·3 + f·7) mod 30 then +1 + (id·5 + f) mod 30,
+            // amplitudes 1 + (id + f + 3j) mod 8
+            w.bits(1, 1)
+            val nP = (id % 2).toInt
+            w.bits(nP, 2)
+            w.bits(a, 6) // pulse_start_sfb
+            w.bits(((id * 3 + f * 7) % 30).toInt, 5)
+            w.bits(1 + ((id + f) % 8).toInt, 4)
+            if (nP == 1) {
+              w.bits(1 + ((id * 5 + f) % 30).toInt, 5)
+              w.bits(1 + ((id + f + 3) % 8).toInt, 4)
+            }
+            w.bits(0, 2)
+          } else w.bits(0, 3)
           // spectral: the two coded bands (32 lines each)
           val (_, dim, lav, signed) = AacHuff.spec(cb)
           val nTuples = 32 / dim
@@ -894,7 +1034,7 @@ object Aac {
         }
       }
 
-      if (mode == "ms") {
+      if (mode == "ms" || mode == "is") {
         w.bits(1, 3) // CPE
         w.bits(0, 4)
         w.bits(1, 1) // common_window
@@ -907,9 +1047,9 @@ object Aac {
             w.bits(if ((id + f + k) % 2 == 1) 1 else 0, 1)
         }
         writeIcsBody(0, icsInfoInline = false)
-        writeIcsBody(1, icsInfoInline = false)
+        writeIcsBody(1, icsInfoInline = false, intensity = mode == "is")
       } else {
-        w.bits(0, 3) // SCE
+        w.bits(if (mode == "lfe") 3 else 0, 3) // SCE (or LFE: same syntax)
         w.bits(0, 4)
         writeIcsBody(0, icsInfoInline = true)
       }

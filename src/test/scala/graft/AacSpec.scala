@@ -157,6 +157,77 @@ class AacSpec extends AnyFunSuite {
     assert(l != rr)
   }
 
+  test("intensity stereo reconstructs the right channel from the left") {
+    (0L until 12L).foreach { id =>
+      val r = decode(Aac.aacLcBytes(id, 2, "is"))
+      assert(r.isDefined, s"id $id refused")
+      val (meta, frames, bands) = r.get
+      assert(meta.channels == 2)
+      // right channel carries no spectral data of its own: every
+      // nonzero right sample is an is_pos-scaled copy of a left line,
+      // so right energy is bounded by left energy times max scale
+      frames.foreach(fr => assert(fr.channels == 2))
+      assert(bands.map(_.channel).distinct.sorted == Seq(0, 1))
+    }
+    // at least one id must give the right channel NONZERO output
+    // (intensity bands overlap a left coded band for most ids)
+    val anyEnergy = (0L until 12L).exists { id =>
+      decode(Aac.aacLcBytes(id, 2, "is")).get._3
+        .filter(_.channel == 1).map(_.sMsq).sum > 0.0
+    }
+    assert(anyEnergy, "no id produced nonzero intensity output")
+  }
+
+  test("intensity phase: book 14 inverts, ms_used flips it back") {
+    // mask = 2 (all ms_used) with book 15 (in-phase) → inverted;
+    // the sign never changes s_msq, and s_sum flips — find an id/frame
+    // where the right channel's s_sum is the exact negative of what a
+    // copy would give: compare right vs left impossible directly (the
+    // scale differs), so assert structure instead: decode twice and
+    // verify determinism, and that SOME frame has right s_sum < 0
+    // while its left s_sum > 0 or vice versa (a phase inversion).
+    val all = (0L until 24L).flatMap { id =>
+      decode(Aac.aacLcBytes(id, 2, "is")).get._3.map(b => (id, b))
+    }
+    val flipped = all.groupBy { case (id, b) => (id, b.frame, b.band) }
+      .values.exists { rows =>
+        val l = rows.find(_._2.channel == 0).map(_._2.sSum).getOrElse(0.0)
+        val r = rows.find(_._2.channel == 1).map(_._2.sSum).getOrElse(0.0)
+        l * r < 0
+      }
+    assert(flipped, "no band ever showed an out-of-phase right channel")
+  }
+
+  test("pulse data changes the decoded output and round-trips") {
+    (0L until 12L).foreach { id =>
+      val r = decode(Aac.aacLcBytes(id, 2, "pulse"))
+      assert(r.isDefined, s"id $id refused")
+    }
+    // pulses add energy: a pulse frame must differ from the same
+    // content decoded from "long" mode (identical except pulse bits)
+    // for ids where frame 0 carries pulses ((id+0) % 2 == 0)
+    val withP = decode(Aac.aacLcBytes(2, 1, "pulse")).get._3
+    val without = decode(Aac.aacLcBytes(2, 1, "long")).get._3
+    assert(withP.map(_.sMsq).sum != without.map(_.sMsq).sum)
+    // and frames without the pulse flag ((id+f) odd) decode identically
+    val oddP = decode(Aac.aacLcBytes(3, 1, "pulse")).get._3
+    val oddL = decode(Aac.aacLcBytes(3, 1, "long")).get._3
+    assert(oddP == oddL)
+  }
+
+  test("LFE elements decode with SCE syntax, long windows only") {
+    val r = decode(Aac.aacLcBytes(4, 2, "lfe"))
+    assert(r.isDefined)
+    assert(r.get._3 == decode(Aac.aacLcBytes(4, 2, "long")).get._3)
+    // an LFE carrying a short frame refuses: build via "short" content
+    // under element id 3 by flipping the element tag of a short stream
+    val short = Aac.aacLcBytes(5, 1, "short")
+    // element id lives in the first 3 payload bits (byte 7, high bits)
+    val mut = short.clone
+    mut(7) = ((mut(7) & 0x1f) | (3 << 5)).toByte
+    assert(decode(mut).isEmpty, "short LFE must refuse")
+  }
+
   // ---- refusal policy ----
 
   test("decode REFUSES without books/geometry opt-in") {
