@@ -29,9 +29,17 @@ object AacQueries {
   private val iscLit =
     (-60 to 60).map(Aac.isScale).mkString("[", ", ", "]")
 
+  /** TNS reflection-coef sine dequant values, indexed
+    * (resBits − 3)·16 + v + 8 (+1 for SQL): both resolutions, the full
+    * signed index range. */
+  private val tsinLit =
+    (for (res <- 3 to 4; v <- -8 to 7) yield Aac.tnsCoef(res, v))
+      .mkString("[", ", ", "]")
+
   private val constsCte =
     s"""co AS (SELECT $latLit AS lat, $kbdLLit AS kbdl, $kbdSLit AS kbds,
-       |  $gainsLit AS gains, $p43Lit AS p43, $iscLit AS isc)""".stripMargin
+       |  $gainsLit AS gains, $p43Lit AS p43, $iscLit AS isc,
+       |  $tsinLit AS tsin)""".stripMargin
 
   /** cos(π·m/4096) from the lattice (m any non-negative integer SQL
     * expression): fold by cosine symmetry into 0..4096, 1-based index. */
@@ -376,6 +384,118 @@ object AacQueries {
        |${bandsSelect("zwI", "ch")}""".stripMargin
   }
 
+  /** TNS: the "tns" mode pins max_sfb = a+2 so the one top-anchored
+    * filter region IS the two coded bands (64 lines). Reflection coefs
+    * come from the formulaic sine dequant (tsin literal), the LPC
+    * step-up is closed-formed per order 1..3, and the all-pole
+    * recursion replays as a RECURSIVE CTE over the 64 region steps in
+    * transmission direction, exactly the decoder's fold order
+    * ((in − l1·x) − l2·x1) − l3·x2 with zero state at the edge. */
+  private val tnsOracle =
+    s"""WITH RECURSIVE $constsCte,
+       |${frCte("r % 3 + 1")},
+       |${longLinesCte(0)},
+       |tp AS (SELECT id, f,
+       |    (id + f) % 8 + 1 AS a,
+       |    1 + (id + f) % 3 AS ord,
+       |    id % 2 AS dir,
+       |    (id + f) % 2 + 3 AS resbits,
+       |    f % 2 AS compress
+       |  FROM fr),
+       |tvv AS (SELECT tp.id, tp.f, ii.i,
+       |    (tp.id*3 + tp.f*7 + ii.i*5) % (1 << (tp.resbits - tp.compress))
+       |      AS raw, tp.resbits, tp.resbits - tp.compress AS lenbits
+       |  FROM tp, range(3) ii(i) WHERE ii.i < tp.ord),
+       |tvs AS (SELECT id, f, i, resbits,
+       |    CASE WHEN raw >= (1 << (lenbits - 1)) THEN raw - (1 << lenbits)
+       |         ELSE raw END AS v
+       |  FROM tvv),
+       |tt AS (SELECT t.id, t.f,
+       |    MAX(CASE WHEN t.i = 0 THEN
+       |      co.tsin[CAST((t.resbits - 3)*16 + t.v + 8 AS INT) + 1] END)
+       |      AS t0,
+       |    COALESCE(MAX(CASE WHEN t.i = 1 THEN
+       |      co.tsin[CAST((t.resbits - 3)*16 + t.v + 8 AS INT) + 1] END),
+       |      0.0) AS t1,
+       |    COALESCE(MAX(CASE WHEN t.i = 2 THEN
+       |      co.tsin[CAST((t.resbits - 3)*16 + t.v + 8 AS INT) + 1] END),
+       |      0.0) AS t2
+       |  FROM tvs t CROSS JOIN co GROUP BY t.id, t.f),
+       |lp AS (SELECT tp.id, tp.f, tp.a, tp.ord, tp.dir,
+       |    CASE tp.ord WHEN 1 THEN tt.t0 WHEN 2 THEN tt.t0 + tt.t1*tt.t0
+       |         ELSE (tt.t0 + tt.t1*tt.t0) + tt.t2*tt.t1 END AS l1,
+       |    CASE tp.ord WHEN 1 THEN 0.0 WHEN 2 THEN tt.t1
+       |         ELSE tt.t1 + tt.t2*(tt.t0 + tt.t1*tt.t0) END AS l2,
+       |    CASE tp.ord WHEN 3 THEN tt.t2 ELSE 0.0 END AS l3
+       |  FROM tp JOIN tt ON tt.id = tp.id AND tt.f = tp.f),
+       |rin AS (SELECT lp.id, lp.f, ss.s,
+       |    CASE WHEN lp.dir = 0 THEN 32*lp.a + ss.s
+       |         ELSE 32*lp.a + 63 - ss.s END AS line
+       |  FROM lp, range(64) ss(s)),
+       |rin2 AS (SELECT r.id, r.f, r.s, r.line, COALESCE(l.x, 0.0) AS xin
+       |  FROM rin r LEFT JOIN lx0 l
+       |    ON l.id = r.id AND l.f = r.f AND l.k = r.line),
+       |flt AS (
+       |  SELECT id, f, s, line, xin AS x0,
+       |    CAST(0.0 AS DOUBLE) AS x1, CAST(0.0 AS DOUBLE) AS x2
+       |  FROM rin2 WHERE s = 0
+       |  UNION ALL
+       |  SELECT n.id, n.f, n.s, n.line,
+       |    ((n.xin - lp.l1 * p.x0) - lp.l2 * p.x1) - lp.l3 * p.x2,
+       |    p.x0, p.x1
+       |  FROM flt p
+       |  JOIN rin2 n ON n.id = p.id AND n.f = p.f AND n.s = p.s + 1
+       |  JOIN lp ON lp.id = p.id AND lp.f = p.f),
+       |lxT AS (SELECT id, f, line AS k, x0 AS x FROM flt),
+       |${longWindowCte("T", "lxT")},
+       |${bandsSelect("zwT")}""".stripMargin
+
+  /** PNS: the noise band's vector replays through DuckDB's md5 (the
+    * engine's portable hash family), energy-normalized to
+    * 2^(noise_nrg/2) with IEEE-exact sqrt/divide; the noise_nrg chain
+    * starts at gg − 90 and the first noise band arrives as a 9-bit
+    * PCM dpcm. */
+  private val pnsOracle =
+    s"""WITH $constsCte,
+       |${frCte("r % 3 + 1")},
+       |pg AS (SELECT id, f,
+       |    (id + f) % 8 + 1 AS a,
+       |    ${cbSql("0")} AS cb,
+       |    130 + (id*5 + f*9) % 20 AS gg
+       |  FROM fr),
+       |ps AS (SELECT id, f, a, cb, gg,
+       |    CASE WHEN cb IN (1, 3) THEN 4 ELSE 2 END AS dim,
+       |    CASE WHEN cb = 11 THEN 16 + (id + f) % 8
+       |         ELSE 1 + (id + f) % $lavCase END AS mag,
+       |    CASE WHEN (id + f) % 2 = 1 THEN -1.0 ELSE 1.0 END AS sgn,
+       |    gg + ((id*3 + f*5) % 21) - 10 AS sf,
+       |    gg - 180 + (id*11 + f*3) % 80 AS nrg
+       |  FROM pg),
+       |spl AS (SELECT p.id, p.f,
+       |    32*p.a + p.dim*((p.id + 2*p.f) % (32 // p.dim))
+       |      + p.id % p.dim AS k,
+       |    p.sgn * co.p43[CAST(p.mag AS INT) + 1]
+       |      * co.gains[CAST(p.sf AS INT) + 1] AS x
+       |  FROM ps p CROSS JOIN co),
+       |nl AS (SELECT p.id, p.f, 32*(p.a + 1) + ll.l AS k, p.nrg,
+       |    (('0x' || substr(md5('aacpns|' || p.f || '|' ||
+       |        (32*(p.a + 1) + ll.l)), 1, 15))::BIGINT % 2001 - 1000)
+       |      / 1000.0 AS r
+       |  FROM ps p, range(32) ll(l)),
+       |ne AS (SELECT id, f, list_sum(list(r*r ORDER BY k)) AS energy
+       |  FROM nl GROUP BY id, f),
+       |nx AS (SELECT nl.id, nl.f, nl.k,
+       |    nl.r * (CASE WHEN ne.energy = 0 THEN 0.0
+       |      ELSE co.gains[CAST(nl.nrg + 100 AS INT) + 1] / sqrt(ne.energy)
+       |      END) AS x
+       |  FROM nl JOIN ne ON ne.id = nl.id AND ne.f = nl.f
+       |  CROSS JOIN co
+       |  WHERE nl.r <> 0),
+       |lxN AS (SELECT id, f, k, x FROM spl
+       |        UNION ALL SELECT id, f, k, x FROM nx),
+       |${longWindowCte("N", "lxN")},
+       |${bandsSelect("zwN")}""".stripMargin
+
   /** Frame-level structural oracle for the cycle mode. */
   private val framesOracle =
     s"""WITH ${frCte("r % 3 + 2")}
@@ -523,6 +643,43 @@ object AacQueries {
         }.toDF("media_id", "frame", "channel", "band", "s_sum", "s_msq")
       },
       Some(isOracle)),
+
+    // TNS (§4.6.9): formulaic temporal noise shaping — sine-dequant
+    // reflection coefs, LPC step-up, all-pole synthesis over the
+    // filter region in transmitted direction (both directions, both
+    // resolutions, orders 1..3, both compressions exercised).
+    ("multimodal_aac_tns",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, nf, "tns"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "band", "s_sum", "s_msq")
+      },
+      Some(tnsOracle)),
+
+    // PNS (§4.6.13): perceptual noise substitution — codebook-13 bands
+    // fill with the engine's portable-hash noise vector normalized to
+    // the transmitted noise energy (the PRNG is implementation-defined
+    // by the spec; this one is chosen to be stateless and
+    // oracle-replayable).
+    ("multimodal_aac_pns",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, nf, "pns"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "band", "s_sum", "s_msq")
+      },
+      Some(pnsOracle)),
 
     // The LOADER path (the user-pluggable spec-data mechanism, like
     // multimodal_mp3_hufftable_load): books and swb geometry mounted

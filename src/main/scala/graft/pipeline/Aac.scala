@@ -141,6 +141,29 @@ object Aac {
     * (ISO 14496-3 §4.6.8.2.3: right = left · 2^(−is_pos/4)). */
   def isScale(isPos: Int): Double = q12(math.pow(0.5, 0.25 * isPos))
 
+  /** PNS noise sample for (frame, line): the spec leaves the noise
+    * PRNG implementation-defined (§4.6.13 requires only a uniform-ish
+    * random vector); this engine uses its portable md5-prefix hash so
+    * the DuckDB oracle replays the identical values —
+    * r = (md5Prefix60("aacpns|f|line") mod 2001 − 1000)/1000 ∈ [−1, 1]. */
+  def pnsNoise(frame: Int, line: Int): Double = {
+    val h = graft.functions.Md5Prefix60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"aacpns|$frame|$line"))
+    (h % 2001 - 1000) / 1000.0
+  }
+
+  /** TNS reflection coefficient from a transmitted signed index v at
+    * resolution `resBits` (3 or 4): sin(v / iqfac±) with iqfac =
+    * (2^(resBits−1) ∓ 0.5)/(π/2) (§4.6.9.3 tns_decode_coef), quantized
+    * to 1e-12 — FORMULAIC, no spec table involved. */
+  def tnsCoef(resBits: Int, v: Int): Double = {
+    val iqfac =
+      if (v >= 0) ((1 << (resBits - 1)) - 0.5) / (math.Pi / 2.0)
+      else ((1 << (resBits - 1)) + 0.5) / (math.Pi / 2.0)
+    q12(math.sin(v / iqfac))
+  }
+
   // ------------------------------------------------------------------
   // Scalefactor-band geometry: synthetic + loadable (tiling gate)
   // ------------------------------------------------------------------
@@ -182,6 +205,8 @@ object Aac {
     var i = 0
     while (i < lines.length) {
       val hdr = lines(i).split("\\s+")
+      if (hdr.length == 4 && hdr(0) == "tnsmax") { i += 1 }
+      else {
       if (hdr.length != 4 || hdr(0) != "swb")
         fail(s"bad header '${lines(i)}' (want: swb <srIdx> long|short <n>)")
       val (sr, kind, n) =
@@ -204,6 +229,7 @@ object Aac {
       if (tgt.contains(sr)) fail(s"srIdx $sr $kind appears twice")
       tgt(sr) = gateSwb(s"$sr/$kind", offs, if (kind == "long") 1024 else 128)
       i += 2 + n
+      }
     }
     val both = longs.keySet.intersect(shorts.keySet)
     val dangling = (longs.keySet ++ shorts.keySet) -- both
@@ -218,6 +244,29 @@ object Aac {
     parseGeometry(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       "UTF-8"))
+
+  /** Parse the OPTIONAL per-rate TNS band caps from a geometry file:
+    * `tnsmax <srIdx> <long> <short>` lines (the 14496-3 Table 4.139
+    * family — data, so loadable like the swb offsets; absent = no cap,
+    * which is what the GRAFT-SYNTHETIC geometry uses). */
+  def parseTnsMax(text: String): Map[Int, (Int, Int)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"aac tnsmax: $msg")
+    text.split("\n", -1).iterator
+      .map(_.takeWhile(_ != '#').trim).filter(_.nonEmpty)
+      .filter(_.startsWith("tnsmax")).map { line =>
+        val h = line.split("\\s+")
+        if (h.length != 4) fail(s"bad line '$line'")
+        val (sr, lo, sh) =
+          try ((h(1).toInt, h(2).toInt, h(3).toInt))
+          catch { case _: NumberFormatException =>
+            fail(s"non-integer in '$line'") }
+        if (sr < 0 || sr > 12) fail(s"srIdx $sr out of 0..12")
+        if (lo < 1 || lo > 64 || sh < 1 || sh > 64)
+          fail(s"cap out of 1..64 in '$line'")
+        sr -> ((lo, sh))
+      }.toMap
+  }
 
   // ------------------------------------------------------------------
   // Bit I/O
@@ -299,9 +348,17 @@ object Aac {
       nSections: Int,
       cbOf: Array[Array[Int]],             // codebook per (group, sfb)
       isPos: Array[Array[Int]],            // intensity position per (g, sfb)
+      tns: Array[List[TnsFilter]],         // per window, top-down order
       // dequantized spectra: long → (1 window)(1024); short → (8)(128)
       spec: Array[Array[Double]],
       nNonzero: Int)
+
+  /** One decoded TNS filter: all-pole lpc (lpc(0) = 1 implicit, taps
+    * lpc(1..order)) over spectral lines [start, end), applied upward
+    * (dir 0) or downward (dir 1) with zero state at the region edge. */
+  private final case class TnsFilter(order: Int, dir: Int,
+                                     lpc: Array[Double],
+                                     start: Int, end: Int)
 
   /** Decode an ADTS AAC-LC stream's payloads. Returns per-frame
     * structural rows and per-band PCM stats, or None when the stream
@@ -313,7 +370,8 @@ object Aac {
                   books: Map[Int, AacHuff.Book] = Map.empty,
                   geometry: Map[Int, (Array[Int], Array[Int])] = Map.empty,
                   allowSyntheticBooks: Boolean = false,
-                  allowSyntheticGeometry: Boolean = false)
+                  allowSyntheticGeometry: Boolean = false,
+                  tnsMaxBands: Map[Int, (Int, Int)] = Map.empty)
       : Option[(AudioMeta, Seq[AacFrameOut], Seq[AacBandOut])] = {
     val effBooks =
       if (allowSyntheticBooks) AacHuff.synthetic ++ books else books
@@ -421,7 +479,8 @@ object Aac {
       * (§4.6.3.3), which is why decode is quantize-then-dequant. */
     def parseIcs(r: BitReader,
                  commonIcs: Option[(Int, Int, Int, Array[Int])],
-                 intensityAllowed: Boolean)
+                 intensityAllowed: Boolean,
+                 noiseAllowed: Boolean = false, frameIdx: Int = 0)
         : Option[Ics] = {
       val gg = r.bits(8)
       val (wseq, shape, maxSfb, groups) = commonIcs match {
@@ -443,7 +502,8 @@ object Aac {
         var k = 0
         while (k < maxSfb) {
           val cb = r.bits(4)
-          if (cb == 12 || cb == 13) return None // reserved/noise: refuse
+          if (cb == 12) return None // reserved
+          if (cb == 13 && !noiseAllowed) return None // PNS: SCE/LFE only
           if (cb >= 14 && !intensityAllowed) return None
           var len = 0
           var incr = r.bits(sectBits)
@@ -463,8 +523,11 @@ object Aac {
       val sfBook = effBooks.getOrElse(0, return None)
       val sf = Array.fill(groups.length, math.max(maxSfb, 1))(0)
       val isPos = Array.fill(groups.length, math.max(maxSfb, 1))(0)
+      val nrg = Array.fill(groups.length, math.max(maxSfb, 1))(0)
       var last = gg
       var lastIs = 0
+      var lastNrg = gg - 90 // NOISE_OFFSET
+      var firstNoise = true
       g = 0
       while (g < groups.length) {
         var k = 0
@@ -474,6 +537,12 @@ object Aac {
             lastIs += r.huff(sfBook) - 60
             if (lastIs < -60 || lastIs > 60) return None
             isPos(g)(k) = lastIs
+          } else if (cb == 13) {
+            // first noise band: 9-bit PCM dpcm; later bands: codebook
+            if (firstNoise) { lastNrg += r.bits(9) - 256; firstNoise = false }
+            else lastNrg += r.huff(sfBook) - 60
+            if (lastNrg < -100 || lastNrg > 155) return None
+            nrg(g)(k) = lastNrg
           } else if (cb != 0) {
             last += r.huff(sfBook) - 60
             if (last < 0 || last > 255) return None
@@ -502,7 +571,71 @@ object Aac {
         }
         pulses = pulses.reverse
       }
-      if (r.bits(1) != 0) return None // tns_data_present: refuse
+      // tns_data (§4.6.9): per window, filters anchored at the top
+      // band (min(loaded tns_max_bands, max_sfb); the GRAFT-SYNTHETIC
+      // geometry carries no cap) stacking downward; reflection coefs
+      // through the FORMULAIC sine dequant + the LPC step-up recursion.
+      // LC order caps: 12 long / 7 short.
+      val tns = Array.fill(nWin)(List.empty[TnsFilter])
+      if (r.bits(1) == 1) {
+        val capPair = tnsMaxBands.get(srIdx)
+        val cap = capPair.map(p => if (short) p._2 else p._1)
+          .getOrElse(swb.length - 1)
+        val anchor = math.min(cap, maxSfb)
+        var w = 0
+        while (w < nWin) {
+          val nFilt = r.bits(if (short) 1 else 2)
+          if (nFilt > 0) {
+            val coefRes = r.bits(1)
+            val resBits = coefRes + 3
+            var topBand = anchor
+            var fi = 0
+            val acc = List.newBuilder[TnsFilter]
+            while (fi < nFilt) {
+              val len = r.bits(if (short) 4 else 6)
+              val order = r.bits(if (short) 3 else 5)
+              if (order > (if (short) 7 else 12)) return None
+              val botBand = math.max(0, topBand - len)
+              if (order > 0) {
+                val dir = r.bits(1)
+                val compress = r.bits(1)
+                val lenBits = resBits - compress
+                val refl = new Array[Double](order)
+                var i = 0
+                while (i < order) {
+                  val raw = r.bits(lenBits)
+                  val v =
+                    if (raw >= (1 << (lenBits - 1))) raw - (1 << lenBits)
+                    else raw
+                  refl(i) = tnsCoef(resBits, v)
+                  i += 1
+                }
+                // step-up: reflection → all-pole lpc (lpc(0) = 1)
+                val a = new Array[Double](order + 1)
+                a(0) = 1.0
+                var m = 1
+                while (m <= order) {
+                  val b = new Array[Double](order + 1)
+                  b(0) = 1.0
+                  var j = 1
+                  while (j < m) {
+                    b(j) = a(j) + refl(m - 1) * a(m - j); j += 1
+                  }
+                  b(m) = refl(m - 1)
+                  System.arraycopy(b, 0, a, 0, order + 1)
+                  m += 1
+                }
+                if (botBand < topBand)
+                  acc += TnsFilter(order, dir, a, swb(botBand), swb(topBand))
+              }
+              topBand = botBand
+              fi += 1
+            }
+            tns(w) = acc.result()
+          }
+          w += 1
+        }
+      }
       if (r.bits(1) != 0) return None // gain_control_data_present: refuse
       // spectral_data: (group, sfb, window-in-group, line) order, into
       // QUANTIZED coefficients (intensity/zero bands carry none)
@@ -513,7 +646,7 @@ object Aac {
         var k = 0
         while (k < maxSfb) {
           val cb = cbOf(g)(k)
-          if (cb != 0 && cb < 14) {
+          if (cb != 0 && cb != 13 && cb < 14) {
             val book = effBooks.getOrElse(cb, return None)
             val (_, dim, _, signed) = AacHuff.spec(cb)
             val width = swb(k + 1) - swb(k)
@@ -582,7 +715,35 @@ object Aac {
         var k = 0
         while (k < maxSfb) {
           val cb = cbOf(g)(k)
-          if (cb != 0 && cb < 14) {
+          if (cb == 13) {
+            // PNS: hash-noise vector normalized to band energy
+            // 2^(noise_nrg/2): scale = 2^(nrg/4)/sqrt(Σr²) (sqrt and
+            // divide are correctly-rounded IEEE — deterministic)
+            var w = 0
+            while (w < groups(g)) {
+              val win = winBase + w
+              var energy = 0.0
+              var line = swb(k)
+              while (line < swb(k + 1)) {
+                val rv = pnsNoise(frameIdx, line)
+                energy += rv * rv
+                line += 1
+              }
+              val scale =
+                if (energy == 0.0) 0.0
+                else sfGain(nrg(g)(k) + 100) / math.sqrt(energy)
+              line = swb(k)
+              while (line < swb(k + 1)) {
+                val rv = pnsNoise(frameIdx, line)
+                if (rv != 0.0) {
+                  spec(win)(line) = rv * scale
+                  nNonzero += 1
+                }
+                line += 1
+              }
+              w += 1
+            }
+          } else if (cb != 0 && cb < 14) {
             val gainV = sfGain(sf(g)(k))
             var w = 0
             while (w < groups(g)) {
@@ -606,7 +767,7 @@ object Aac {
         g += 1
       }
       Some(Ics(wseq, shape, maxSfb, groups, gg, nSections, cbOf, isPos,
-               spec, nNonzero))
+               tns, spec, nNonzero))
     }
 
     /** IMDCT + window + sequence composition → the 2048-sample windowed
@@ -667,7 +828,34 @@ object Aac {
       buf
     }
 
+    /** All-pole TNS synthesis over a window's spectrum, in place:
+      * x(i) ← x(i) − Σ_j lpc(j)·x(i∓j), taps beyond the region edge
+      * are zero (fresh state per region), direction 0 = upward. */
+    def applyTns(spec: Array[Double], flt: TnsFilter): Unit = {
+      var sIdx = 0
+      val len = flt.end - flt.start
+      while (sIdx < len) {
+        val line =
+          if (flt.dir == 0) flt.start + sIdx else flt.end - 1 - sIdx
+        var acc = spec(line)
+        var j = 1
+        while (j <= flt.order) {
+          val tap = if (flt.dir == 0) line - j else line + j
+          if (tap >= flt.start && tap < flt.end)
+            acc -= flt.lpc(j) * spec(tap)
+          j += 1
+        }
+        spec(line) = acc
+        sIdx += 1
+      }
+    }
+
     def emit(f: Int, ch: Int, ics: Ics): Unit = {
+      var wI = 0
+      while (wI < ics.tns.length) {
+        ics.tns(wI).foreach(applyTns(ics.spec(wI), _))
+        wI += 1
+      }
       val buf = filterbank(ics, prevShape(ch))
       prevShape(ch) = ics.windowShape
       var band = 0
@@ -698,7 +886,8 @@ object Aac {
           r.bits(3) match {
             case el @ (0 | 3) => // SCE, or LFE (SCE syntax, long-only)
               r.bits(4) // element_instance_tag
-              parseIcs(r, None, intensityAllowed = false) match {
+              parseIcs(r, None, intensityAllowed = false,
+                       noiseAllowed = true, frameIdx = f) match {
                 case Some(ics) =>
                   if (sawAudio || (el == 3 && ics.windowSequence != 0)) {
                     ok = false; ended = true
@@ -895,7 +1084,12 @@ object Aac {
           w.bits(8, 4)         // max_sfb
           w.bits(0x6d, 7)      // grouping 1101101 → [3,3,2]
         } else {
-          w.bits(10 + (id % 5).toInt, 6) // max_sfb
+          // "tns" mode pins max_sfb to a+2 so the single top-anchored
+          // TNS filter region IS the two coded bands (64 lines)
+          val msfb =
+            if (mode == "tns") ((id + f) % 8).toInt + 3
+            else 10 + (id % 5).toInt
+          w.bits(msfb, 6)                // max_sfb
           w.bits(0, 1)                   // predictor_data_present
         }
       }
@@ -975,7 +1169,9 @@ object Aac {
             }
           }
         } else {
-          val maxSfb = 10 + (id % 5).toInt
+          val maxSfb =
+            if (mode == "tns") ((id + f) % 8).toInt + 3
+            else 10 + (id % 5).toInt
           val a = ((id + f + ch) % 8).toInt + 1
           if (intensity) {
             val cbI = 14 + ((id + f) % 2).toInt
@@ -990,6 +1186,34 @@ object Aac {
             return
           }
           val cb = cbSel(id, f, ch)
+          if (mode == "pns") {
+            // spectral band a + NOISE band a+1: the noise band's
+            // energy arrives as the FIRST noise dpcm — a 9-bit PCM
+            // against the gg − 90 offset chain
+            w.bits(0, 4); w.bits(a, 5)
+            w.bits(cb, 4); w.bits(1, 5)
+            w.bits(13, 4); w.bits(1, 5)
+            if (maxSfb - a - 2 > 0) { w.bits(0, 4); w.bits(maxSfb - a - 2, 5) }
+            val d = ((id * 3 + f * 5) % 21).toInt - 10
+            w.str(enc(0)(d + 60))
+            w.bits(166 + ((id * 11 + f * 3) % 80).toInt, 9)
+            w.bits(0, 3) // pulse/tns/gain absent
+            // spectral data: only band a (the noise band carries none)
+            val (_, dim, lav, signed) = AacHuff.spec(cb)
+            val nTuples = 32 / dim
+            val tSel = ((id + 2 * f) % nTuples).toInt
+            val pSel = (id % dim).toInt
+            val neg = (id + f) % 2 == 1
+            val mag =
+              if (cb == 11) 16 + ((id + f) % 8).toInt
+              else 1 + ((id + f) % math.min(lav, 12)).toInt
+            for (t <- 0 until nTuples) {
+              val vals = new Array[Int](dim)
+              if (t == tSel) vals(pSel) = if (signed && neg) -mag else mag
+              writeTuple(cb, dim, signed, neg, vals)
+            }
+            return
+          }
           // sections (long: 5-bit incrs, lengths < 31 here)
           w.bits(0, 4); w.bits(a, 5)
           w.bits(cb, 4); w.bits(2, 5)
@@ -999,7 +1223,27 @@ object Aac {
             val d = ((id * 3 + f * 5 + b * 11 + ch * 17) % 21).toInt - 10
             w.str(enc(0)(d + 60))
           }
-          if (mode == "pulse" && (id + f) % 2 == 0) {
+          if (mode == "tns") {
+            // one top-anchored filter over the coded bands: formulaic
+            // reflection coefs, direction/resolution/compression all
+            // exercised by the closed forms
+            w.bits(0, 1) // pulse absent
+            w.bits(1, 1) // tns_data_present
+            w.bits(1, 2) // n_filt = 1
+            val coefRes = ((id + f) % 2).toInt
+            w.bits(coefRes, 1)
+            w.bits(2, 6) // length = 2 sfbs
+            val order = 1 + ((id + f) % 3).toInt
+            w.bits(order, 5)
+            w.bits((id % 2).toInt, 1) // direction
+            val compress = (f % 2).toInt
+            w.bits(compress, 1)
+            val lenBits = coefRes + 3 - compress
+            for (i <- 0 until order)
+              w.bits(((id * 3 + f * 7 + i * 5) % (1 << lenBits)).toInt,
+                     lenBits)
+            w.bits(0, 1) // gain_control absent
+          } else if (mode == "pulse" && (id + f) % 2 == 0) {
             // pulse_data: 1 + (id mod 2) pulses inside the coded bands,
             // offsets (id·3 + f·7) mod 30 then +1 + (id·5 + f) mod 30,
             // amplitudes 1 + (id + f + 3j) mod 8

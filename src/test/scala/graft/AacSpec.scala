@@ -228,6 +228,54 @@ class AacSpec extends AnyFunSuite {
     assert(decode(mut).isEmpty, "short LFE must refuse")
   }
 
+  test("TNS filters the spectrum: output differs from the unfiltered") {
+    (0L until 12L).foreach { id =>
+      val r = decode(Aac.aacLcBytes(id, 2, "tns"))
+      assert(r.isDefined, s"id $id refused")
+      assert(r.get._3.map(_.sMsq).sum > 0.0)
+    }
+    // the IIR spreads energy: decode deterministic, both directions
+    val a = decode(Aac.aacLcBytes(2, 2, "tns")).get._3 // dir 0
+    val b = decode(Aac.aacLcBytes(3, 2, "tns")).get._3 // dir 1
+    assert(a == decode(Aac.aacLcBytes(2, 2, "tns")).get._3)
+    assert(a.map(_.sMsq).sum != b.map(_.sMsq).sum)
+  }
+
+  test("loaded tnsmax cap moves the filter anchor and changes output") {
+    val bytes = Aac.aacLcBytes(4, 1, "tns")
+    val uncapped = decode(bytes).get._3
+    // cap below the stream's max_sfb shifts the region downward
+    val capped = Aac.aacLcDecode(bytes,
+      allowSyntheticBooks = true, allowSyntheticGeometry = true,
+      tnsMaxBands = Map(3 -> ((2, 2)))).get._3
+    assert(uncapped != capped)
+    // parse + gate path
+    val m = Aac.parseTnsMax("tnsmax 3 40 14\n")
+    assert(m(3) == ((40, 14)))
+    intercept[IllegalArgumentException] {
+      Aac.parseTnsMax("tnsmax 3 0 14\n")
+    }
+    // geometry parser skips tnsmax lines
+    val g = Aac.parseGeometry(
+      "tnsmax 3 40 14\nswb 3 long 2\n0\n512\n1024\n" +
+        "swb 3 short 2\n0\n64\n128\n")
+    assert(g(3)._1.toSeq == Seq(0, 512, 1024))
+  }
+
+  test("PNS fills noise bands with normalized hash noise") {
+    (0L until 12L).foreach { id =>
+      val r = decode(Aac.aacLcBytes(id, 2, "pns"))
+      assert(r.isDefined, s"id $id refused")
+      val (_, frames, bands) = r.get
+      // a noise band adds ~32 nonzero lines on top of the 1 spectral
+      frames.foreach(fr => assert(fr.nNonzero >= 30, s"id $id"))
+      assert(bands.map(_.sMsq).sum > 0.0)
+    }
+    // determinism: the hash noise is stateless
+    assert(decode(Aac.aacLcBytes(7, 2, "pns")).get._3 ==
+           decode(Aac.aacLcBytes(7, 2, "pns")).get._3)
+  }
+
   // ---- refusal policy ----
 
   test("decode REFUSES without books/geometry opt-in") {
