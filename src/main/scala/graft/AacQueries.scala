@@ -681,6 +681,25 @@ object AacQueries {
       },
       Some(pnsOracle)),
 
+    // MULTI-RDB ADTS frames: number_of_raw_data_blocks > 0 packs
+    // consecutive byte-aligned blocks into one container frame; the
+    // oracle is the UNPACKED chain's verbatim (packing may change the
+    // container walk, never the answer — same contract shape as
+    // ann_ivf_pruned).
+    ("multimodal_aac_multirdb",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val nf = (id % 3).toInt + 1
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, nf, "long", rdbGroup = nf),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "band", "s_sum", "s_msq")
+      },
+      Some(sceLongOracle)),
+
     // The LOADER path (the user-pluggable spec-data mechanism, like
     // multimodal_mp3_hufftable_load): books and swb geometry mounted
     // from FILES through their closure gates, no synthetic opt-in —

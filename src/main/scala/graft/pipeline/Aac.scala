@@ -424,8 +424,10 @@ object Aac {
     val hdrs = frames.result()
     if (hdrs.isEmpty) return None
     val srIdx = hdrs.head.srIdx
-    // declared-unsupported container shapes refuse
-    if (hdrs.exists(h => h.protAbsent == 0 || h.rdb != 0 ||
+    // declared-unsupported container shapes refuse (multi-rdb frames
+    // are supported since round 17: protection_absent = 1 blocks are
+    // consecutive byte-aligned raw_data_blocks, 1024 samples each)
+    if (hdrs.exists(h => h.protAbsent == 0 ||
           h.srIdx != srIdx)) return None
 
     val (swbL, swbS) = geometry.get(srIdx) match {
@@ -873,12 +875,22 @@ object Aac {
       System.arraycopy(buf, 1024, prevTail(ch), 0, 1024)
     }
 
-    // ---- per-frame raw_data_block decode ----
+    // ---- per-raw_data_block decode (an ADTS frame carries rdb+1
+    // consecutive byte-aligned blocks; `f` is the GLOBAL block index,
+    // i.e. the output-frame counter) ----
     var f = 0
     var ok = true
-    while (ok && f < hdrs.length) {
-      val h = hdrs(f)
-      val r = new BitReader(bytes, h.pos + 7, h.pos + h.frameLen)
+    var hi = 0
+    var blkLeft = 0
+    var r: BitReader = null
+    while (ok && (hi < hdrs.length || blkLeft > 0)) {
+      if (blkLeft == 0) {
+        val h = hdrs(hi)
+        r = new BitReader(bytes, h.pos + 7, h.pos + h.frameLen)
+        blkLeft = h.rdb + 1
+        hi += 1
+      }
+      blkLeft -= 1
       var ended = false
       var sawAudio = false
       try {
@@ -1021,7 +1033,7 @@ object Aac {
     if (!ok) None
     else {
       val sr = Multimodal.AdtsSampleRates(srIdx)
-      Some((AudioMeta(sr, hdrs.head.ch, -1, hdrs.length),
+      Some((AudioMeta(sr, hdrs.head.ch, -1, f),
             frameOut.result(), bandOut.result()))
     }
   }
@@ -1061,11 +1073,18 @@ object Aac {
     * with ms_mask_present (id + f) mod 3 and (mask 1) per-band ms_used
     * = (id + f + sfb) odd. Frames (id + f) ≡ 0 mod 3 carry a 2-byte
     * FIL element before END (skip-machinery coverage). */
-  def aacLcBytes(id: Long, nFrames: Int, mode: String = "long"): Array[Byte] = {
+  def aacLcBytes(id: Long, nFrames: Int, mode: String = "long",
+                 rdbGroup: Int = 1): Array[Byte] = {
+    require(rdbGroup >= 1 && rdbGroup <= 4, "rdbGroup out of 1..4")
     val out = new java.io.ByteArrayOutputStream()
     val srIdx = 3 // 48 kHz
     val chCfg = if (mode == "ms" || mode == "is") 2 else 1
     val enc = AacHuff.syntheticEncode
+    // rdbGroup > 1 packs consecutive blocks into ONE ADTS frame
+    // (number_of_raw_data_blocks = rdbGroup − 1): the same per-block
+    // content as the unpacked stream, so packed ≡ unpacked rows
+    val pend = new java.io.ByteArrayOutputStream()
+    var pendBlocks = 0
     var f = 0
     while (f < nFrames) {
       val w = new BitWriter
@@ -1304,15 +1323,22 @@ object Aac {
       }
       w.bits(7, 3) // END
       val payload = w.toBytes
-      val frameLen = 7 + payload.length
-      out.write(0xff)
-      out.write(0xf1) // MPEG-4, layer 00, protection_absent 1
-      out.write((1 << 6) | (srIdx << 2) | ((chCfg >> 2) & 1))
-      out.write(((chCfg & 0x3) << 6) | ((frameLen >> 11) & 0x3))
-      out.write((frameLen >> 3) & 0xff)
-      out.write(((frameLen & 0x7) << 5) | 0x1f)
-      out.write(0xfc)
-      out.write(payload)
+      pend.write(payload)
+      pendBlocks += 1
+      if (pendBlocks == rdbGroup || f == nFrames - 1) {
+        val body = pend.toByteArray
+        val frameLen = 7 + body.length
+        out.write(0xff)
+        out.write(0xf1) // MPEG-4, layer 00, protection_absent 1
+        out.write((1 << 6) | (srIdx << 2) | ((chCfg >> 2) & 1))
+        out.write(((chCfg & 0x3) << 6) | ((frameLen >> 11) & 0x3))
+        out.write((frameLen >> 3) & 0xff)
+        out.write(((frameLen & 0x7) << 5) | 0x1f)
+        out.write(0xfc | (pendBlocks - 1))
+        out.write(body)
+        pend.reset()
+        pendBlocks = 0
+      }
       f += 1
     }
     out.toByteArray

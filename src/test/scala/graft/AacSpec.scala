@@ -276,6 +276,23 @@ class AacSpec extends AnyFunSuite {
            decode(Aac.aacLcBytes(7, 2, "pns")).get._3)
   }
 
+  test("multi-rdb frames: packed blocks decode identically to unpacked") {
+    (0L until 12L).foreach { id =>
+      val nf = (id % 3).toInt + 1
+      val packed = decode(Aac.aacLcBytes(id, nf, "long", rdbGroup = nf))
+      val unpacked = decode(Aac.aacLcBytes(id, nf, "long"))
+      assert(packed.isDefined, s"id $id packed refused")
+      assert(packed.get._3 == unpacked.get._3, s"id $id rows differ")
+      assert(packed.get._2 == unpacked.get._2, s"id $id frames differ")
+      // one ADTS frame carries all nf blocks
+      assert(packed.get._1.nFrames == nf) // output frames = blocks
+    }
+    // mixed grouping across modes also round-trips
+    val p2 = decode(Aac.aacLcBytes(5, 4, "cycle", rdbGroup = 2))
+    val u2 = decode(Aac.aacLcBytes(5, 4, "cycle"))
+    assert(p2.get._3 == u2.get._3)
+  }
+
   // ---- refusal policy ----
 
   test("decode REFUSES without books/geometry opt-in") {
@@ -316,7 +333,8 @@ class AacSpec extends AnyFunSuite {
     prot(1) = (prot(1) & ~1).toByte
     assert(Aac.aacLcDecode(prot, allowSyntheticBooks = true,
       allowSyntheticGeometry = true).isEmpty)
-    // nonzero number_of_raw_data_blocks
+    // a LYING number_of_raw_data_blocks (declares 2 blocks, carries 1)
+    // refuses on the truncated second block
     val rdb = good.clone
     rdb(6) = (rdb(6) | 1).toByte
     assert(Aac.aacLcDecode(rdb, allowSyntheticBooks = true,
