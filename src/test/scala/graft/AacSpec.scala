@@ -341,21 +341,43 @@ class AacSpec extends AnyFunSuite {
       allowSyntheticGeometry = true).isEmpty)
   }
 
-  test("bit-flip fuzz: decode refuses or differs, never crashes") {
-    val bytes = Aac.aacLcBytes(7, 2, "cycle")
-    val base = decode(bytes).get._3
+  test("bit-flip fuzz: decode refuses or differs, never crashes — all modes") {
+    // every mode (and the packed container) through a single-bit-flip
+    // sweep: the decoder must refuse or decode-differently, never throw
+    val streams = Seq(
+      Aac.aacLcBytes(7, 2, "cycle"),
+      Aac.aacLcBytes(5, 2, "ms"),
+      Aac.aacLcBytes(9, 2, "is"),
+      Aac.aacLcBytes(4, 2, "pulse"),
+      Aac.aacLcBytes(3, 2, "tns"),
+      Aac.aacLcBytes(6, 2, "pns"),
+      Aac.aacLcBytes(8, 3, "long", rdbGroup = 3))
     var refused = 0
-    (0 until 200).foreach { t =>
-      val mut = bytes.clone
-      val bit = (t * 97) % (bytes.length * 8)
-      mut(bit / 8) = (mut(bit / 8) ^ (1 << (bit % 8))).toByte
-      decode(mut) match {
-        case None => refused += 1
-        case Some((_, _, b)) => assert(b != null) // decoded differently/same
+    streams.foreach { bytes =>
+      assert(decode(bytes).isDefined)
+      (0 until 150).foreach { t =>
+        val mut = bytes.clone
+        val bit = (t * 97) % (bytes.length * 8)
+        mut(bit / 8) = (mut(bit / 8) ^ (1 << (bit % 8))).toByte
+        decode(mut) match {
+          case None => refused += 1
+          case Some((_, _, b)) => assert(b != null)
+        }
       }
     }
-    assert(refused > 0, "no mutation ever refused")
-    assert(base.nonEmpty)
+    assert(refused > 100, s"only $refused mutations refused")
+  }
+
+  test("truncation fuzz: every prefix refuses or decodes fewer frames") {
+    val bytes = Aac.aacLcBytes(11, 3, "cycle")
+    val full = decode(bytes).get._2.length
+    (1 until bytes.length by 13).foreach { len =>
+      decode(bytes.take(len)) match {
+        case None => // fine
+        case Some((_, frames, _)) =>
+          assert(frames.length <= full, s"prefix $len grew frames")
+      }
+    }
   }
 
   // ---- window/lattice internals ----
