@@ -496,6 +496,95 @@ object AacQueries {
        |${longWindowCte("N", "lxN")},
        |${bandsSelect("zwN")}""".stripMargin
 
+  /** PNS in a CPE: both channels carry a noise band at the same sfb
+    * (a2+1) plus their own spectral band at a2. ms_used on the noise
+    * band → the right channel REUSES the left's noise vector scaled by
+    * its own noise_nrg (§4.6.13.3 correlation); otherwise independent
+    * noise from the right-channel key. ms_used on the spectral band
+    * does ordinary mid/side. */
+  private val pnsCpeOracle = {
+    def used(k: String) =
+      s"""(CASE CAST((id + f) % 3 AS INT)
+         |  WHEN 2 THEN TRUE
+         |  WHEN 1 THEN (id + f + ($k)) % 2 = 1
+         |  ELSE FALSE END)""".stripMargin
+    def noise(tag: String) =
+      s"(('0x' || substr(md5('$tag' || f || '|' || k), 1, 15))::BIGINT " +
+        "% 2001 - 1000) / 1000.0"
+    s"""WITH $constsCte,
+       |${frCte("2")},
+       |pg AS (SELECT id, f, (id + f) % 8 + 1 AS a2 FROM fr),
+       |sc AS (SELECT pg.id, pg.f, pg.a2, cc.ch,
+       |    130 + (pg.id*5 + pg.f*9 + cc.ch*13) % 20 AS gg,
+       |    CASE CAST((pg.id + pg.f + 2*cc.ch) % 6 AS INT)
+       |      WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5
+       |      WHEN 3 THEN 7 WHEN 4 THEN 9 ELSE 11 END AS cb
+       |  FROM pg CROSS JOIN range(2) cc(ch)),
+       |sm AS (SELECT id, f, a2, ch, gg, cb,
+       |    CASE WHEN cb IN (1, 3) THEN 4 ELSE 2 END AS dim,
+       |    CASE WHEN cb = 11 THEN 16 + (id + f + ch) % 8
+       |         ELSE 1 + (id + f + ch) % $lavCase END AS mag,
+       |    CASE WHEN (id + f + ch) % 2 = 1 THEN -1.0 ELSE 1.0 END AS sgn,
+       |    gg + ((id*3 + f*5 + ch*17) % 21) - 10 AS sf,
+       |    gg - 180 + (id*11 + f*3 + ch*7) % 80 AS nrg
+       |  FROM sc),
+       |spl AS (SELECT m.id, m.f, m.ch,
+       |    32*m.a2 + m.dim*((m.id + 2*m.f + m.ch) % (32 // m.dim))
+       |      + (m.id + m.ch) % m.dim AS k,
+       |    m.sgn * co.p43[CAST(m.mag AS INT) + 1]
+       |      * co.gains[CAST(m.sf AS INT) + 1] AS x
+       |  FROM sm m CROSS JOIN co),
+       |allk AS (SELECT DISTINCT id, f, k FROM spl),
+       |msd AS (SELECT a.id, a.f, a.k,
+       |    COALESCE(m.x, 0.0) AS mx, COALESCE(s2.x, 0.0) AS sx
+       |  FROM allk a
+       |  LEFT JOIN spl m ON m.id = a.id AND m.f = a.f AND m.k = a.k
+       |    AND m.ch = 0
+       |  LEFT JOIN spl s2 ON s2.id = a.id AND s2.f = a.f AND s2.k = a.k
+       |    AND s2.ch = 1),
+       |sout AS (
+       |  SELECT id, f, k, 0 AS ch,
+       |    CASE WHEN ${used("k // 32")} THEN mx + sx ELSE mx END AS x
+       |  FROM msd
+       |  UNION ALL
+       |  SELECT id, f, k, 1 AS ch,
+       |    CASE WHEN ${used("k // 32")} THEN mx - sx ELSE sx END AS x
+       |  FROM msd),
+       |nl AS (SELECT m.id, m.f, m.ch, m.nrg, 32*(m.a2 + 1) + ll.l AS k
+       |  FROM sm m, range(32) ll(l)),
+       |nr AS (SELECT id, f, ch, nrg, k,
+       |    CASE WHEN ch = 0 OR ${used("k // 32")}
+       |      THEN ${noise("aacpns|")}
+       |      ELSE ${noise("aacpnsr|")} END AS r
+       |  FROM nl),
+       |ne AS (SELECT id, f, ch, list_sum(list(r*r ORDER BY k)) AS energy
+       |  FROM nr GROUP BY id, f, ch),
+       |nx AS (SELECT nr.id, nr.f, nr.ch, nr.k,
+       |    nr.r * (CASE WHEN ne.energy = 0 THEN 0.0
+       |      ELSE co.gains[CAST(nr.nrg + 100 AS INT) + 1] / sqrt(ne.energy)
+       |      END) AS x
+       |  FROM nr JOIN ne ON ne.id = nr.id AND ne.f = nr.f
+       |    AND ne.ch = nr.ch
+       |  CROSS JOIN co
+       |  WHERE nr.r <> 0),
+       |lout AS (SELECT id, f, k, ch, x FROM sout
+       |         UNION ALL SELECT id, f, k, ch, x FROM nx),
+       |zzC2 AS (SELECT fr.id, fr.f, cc.ch, nn.n,
+       |    COALESCE(list_sum(list(l.x *
+       |      ${latAt("(2*nn.n + 1025) * (2*l.k + 1)")} ORDER BY l.k)), 0.0)
+       |      / 1024.0 AS z
+       |  FROM fr CROSS JOIN range(2) cc(ch) CROSS JOIN range(2048) nn(n)
+       |  LEFT JOIN lout l ON l.id = fr.id AND l.f = fr.f AND l.ch = cc.ch
+       |  CROSS JOIN co
+       |  GROUP BY fr.id, fr.f, cc.ch, nn.n),
+       |zwC2 AS (SELECT z.id, z.f, z.ch, z.n,
+       |    z.z * (CASE WHEN z.n < 1024
+       |      THEN ${riseL("CASE WHEN z.f = 0 THEN 0 ELSE (z.id + z.f - 1) % 2 END", "z.n")}
+       |      ELSE ${fallL("(z.id + z.f) % 2", "z.n - 1024")} END) AS v
+       |  FROM zzC2 z CROSS JOIN co),
+       |${bandsSelect("zwC2", "ch")}""".stripMargin
+  }
+
   /** Frame-level structural oracle for the cycle mode. */
   private val framesOracle =
     s"""WITH ${frCte("r % 3 + 2")}
@@ -699,6 +788,23 @@ object AacQueries {
         }.toDF("media_id", "frame", "band", "s_sum", "s_msq")
       },
       Some(sceLongOracle)),
+
+    // PNS in CPE with the §4.6.13.3 correlation rule: ms_used on an
+    // aligned noise-band pair makes the right channel reuse the left's
+    // noise vector (scaled by its own nrg); spectral bands still M/S.
+    ("multimodal_aac_pns_cpe",
+      (s, dir) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val (_, _, bands) = Aac.aacLcDecode(
+            Aac.aacLcBytes(id, 2, "pns2"),
+            allowSyntheticBooks = true,
+            allowSyntheticGeometry = true).get
+          bands.map(b => (id, b.frame.toLong, b.channel.toLong,
+            b.band.toLong, b.sSum, b.sMsq))
+        }.toDF("media_id", "frame", "channel", "band", "s_sum", "s_msq")
+      },
+      Some(pnsCpeOracle)),
 
     // The LOADER path (the user-pluggable spec-data mechanism, like
     // multimodal_mp3_hufftable_load): books and swb geometry mounted

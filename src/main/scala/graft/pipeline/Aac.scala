@@ -146,10 +146,11 @@ object Aac {
     * random vector); this engine uses its portable md5-prefix hash so
     * the DuckDB oracle replays the identical values —
     * r = (md5Prefix60("aacpns|f|line") mod 2001 − 1000)/1000 ∈ [−1, 1]. */
-  def pnsNoise(frame: Int, line: Int): Double = {
+  def pnsNoise(frame: Int, line: Int, tag: Int = 0): Double = {
+    val key = if (tag == 0) s"aacpns|$frame|$line"
+              else s"aacpnsr|$frame|$line"
     val h = graft.functions.Md5Prefix60.hash(
-      org.apache.spark.unsafe.types.UTF8String.fromString(
-        s"aacpns|$frame|$line"))
+      org.apache.spark.unsafe.types.UTF8String.fromString(key))
     (h % 2001 - 1000) / 1000.0
   }
 
@@ -348,6 +349,7 @@ object Aac {
       nSections: Int,
       cbOf: Array[Array[Int]],             // codebook per (group, sfb)
       isPos: Array[Array[Int]],            // intensity position per (g, sfb)
+      nrg: Array[Array[Int]],              // PNS noise energy per (g, sfb)
       tns: Array[List[TnsFilter]],         // per window, top-down order
       // dequantized spectra: long → (1 window)(1024); short → (8)(128)
       spec: Array[Array[Double]],
@@ -482,7 +484,8 @@ object Aac {
     def parseIcs(r: BitReader,
                  commonIcs: Option[(Int, Int, Int, Array[Int])],
                  intensityAllowed: Boolean,
-                 noiseAllowed: Boolean = false, frameIdx: Int = 0)
+                 noiseAllowed: Boolean = false, frameIdx: Int = 0,
+                 noiseTag: Int = 0)
         : Option[Ics] = {
       val gg = r.bits(8)
       val (wseq, shape, maxSfb, groups) = commonIcs match {
@@ -727,7 +730,7 @@ object Aac {
               var energy = 0.0
               var line = swb(k)
               while (line < swb(k + 1)) {
-                val rv = pnsNoise(frameIdx, line)
+                val rv = pnsNoise(frameIdx, line, noiseTag)
                 energy += rv * rv
                 line += 1
               }
@@ -736,7 +739,7 @@ object Aac {
                 else sfGain(nrg(g)(k) + 100) / math.sqrt(energy)
               line = swb(k)
               while (line < swb(k + 1)) {
-                val rv = pnsNoise(frameIdx, line)
+                val rv = pnsNoise(frameIdx, line, noiseTag)
                 if (rv != 0.0) {
                   spec(win)(line) = rv * scale
                   nNonzero += 1
@@ -769,7 +772,7 @@ object Aac {
         g += 1
       }
       Some(Ics(wseq, shape, maxSfb, groups, gg, nSections, cbOf, isPos,
-               tns, spec, nNonzero))
+               nrg, tns, spec, nNonzero))
     }
 
     /** IMDCT + window + sequence composition → the 2048-sample windowed
@@ -938,8 +941,11 @@ object Aac {
                     msUsed.foreach(a => java.util.Arrays.fill(a, true))
                   } else if (msMask == 3) { ok = false }
                   if (ok) {
-                    (parseIcs(r, icsInfo, intensityAllowed = false),
-                     parseIcs(r, icsInfo, intensityAllowed = true)) match {
+                    (parseIcs(r, icsInfo, intensityAllowed = false,
+                        noiseAllowed = true, frameIdx = f, noiseTag = 0),
+                     parseIcs(r, icsInfo, intensityAllowed = true,
+                        noiseAllowed = true, frameIdx = f, noiseTag = 1))
+                    match {
                       case (Some(l), Some(rr)) =>
                         if (sawAudio) { ok = false; ended = true }
                         else {
@@ -959,7 +965,37 @@ object Aac {
                             var k = 0
                             while (k < maxSfb) {
                               val cbR = rr.cbOf(g)(k)
-                              if (cbR >= 14) {
+                              val noiseBand =
+                                cbR == 13 || l.cbOf(g)(k) == 13
+                              if (cbR == 13 && l.cbOf(g)(k) == 13 &&
+                                  msUsed(g)(k)) {
+                                // CORRELATED noise (§4.6.13.3): ms_used
+                                // on a both-channels noise band means
+                                // the right reuses the LEFT's noise
+                                // vector, scaled by its own noise_nrg
+                                var w = 0
+                                while (w < l.groups(g)) {
+                                  val win = winBase + w
+                                  var energy = 0.0
+                                  var i = swb(k)
+                                  while (i < swb(k + 1)) {
+                                    val rv = pnsNoise(f, i, 0)
+                                    energy += rv * rv
+                                    i += 1
+                                  }
+                                  val scale =
+                                    if (energy == 0.0) 0.0
+                                    else sfGain(rr.nrg(g)(k) + 100) /
+                                      math.sqrt(energy)
+                                  i = swb(k)
+                                  while (i < swb(k + 1)) {
+                                    rr.spec(win)(i) =
+                                      pnsNoise(f, i, 0) * scale
+                                    i += 1
+                                  }
+                                  w += 1
+                                }
+                              } else if (cbR >= 14) {
                                 val scale = isScale(rr.isPos(g)(k))
                                 val inv = (cbR == 14) != msUsed(g)(k)
                                 var w = 0
@@ -973,7 +1009,7 @@ object Aac {
                                   }
                                   w += 1
                                 }
-                              } else if (msUsed(g)(k)) {
+                              } else if (msUsed(g)(k) && !noiseBand) {
                                 var w = 0
                                 while (w < l.groups(g)) {
                                   var i = swb(k)
@@ -1078,7 +1114,8 @@ object Aac {
     require(rdbGroup >= 1 && rdbGroup <= 4, "rdbGroup out of 1..4")
     val out = new java.io.ByteArrayOutputStream()
     val srIdx = 3 // 48 kHz
-    val chCfg = if (mode == "ms" || mode == "is") 2 else 1
+    val chCfg =
+      if (mode == "ms" || mode == "is" || mode == "pns2") 2 else 1
     val enc = AacHuff.syntheticEncode
     // rdbGroup > 1 packs consecutive blocks into ONE ADTS frame
     // (number_of_raw_data_blocks = rdbGroup − 1): the same per-block
@@ -1205,6 +1242,34 @@ object Aac {
             return
           }
           val cb = cbSel(id, f, ch)
+          if (mode == "pns2") {
+            // CPE noise: BOTH channels carry a noise band at the SAME
+            // sfb (a2+1) so the ms_used correlation rule is exercised,
+            // plus a per-channel spectral band at a2
+            val a2 = ((id + f) % 8).toInt + 1
+            w.bits(0, 4); w.bits(a2, 5)
+            w.bits(cb, 4); w.bits(1, 5)
+            w.bits(13, 4); w.bits(1, 5)
+            if (maxSfb - a2 - 2 > 0) { w.bits(0, 4); w.bits(maxSfb - a2 - 2, 5) }
+            val d = ((id * 3 + f * 5 + ch * 17) % 21).toInt - 10
+            w.str(enc(0)(d + 60))
+            w.bits(166 + ((id * 11 + f * 3 + ch * 7) % 80).toInt, 9)
+            w.bits(0, 3)
+            val (_, dim, lav, signed) = AacHuff.spec(cb)
+            val nTuples = 32 / dim
+            val tSel = ((id + 2 * f + ch) % nTuples).toInt
+            val pSel = ((id + ch) % dim).toInt
+            val neg = (id + f + ch) % 2 == 1
+            val mag =
+              if (cb == 11) 16 + ((id + f + ch) % 8).toInt
+              else 1 + ((id + f + ch) % math.min(lav, 12)).toInt
+            for (t <- 0 until nTuples) {
+              val vals = new Array[Int](dim)
+              if (t == tSel) vals(pSel) = if (signed && neg) -mag else mag
+              writeTuple(cb, dim, signed, neg, vals)
+            }
+            return
+          }
           if (mode == "pns") {
             // spectral band a + NOISE band a+1: the noise band's
             // energy arrives as the FIRST noise dpcm — a 9-bit PCM
@@ -1297,7 +1362,7 @@ object Aac {
         }
       }
 
-      if (mode == "ms" || mode == "is") {
+      if (mode == "ms" || mode == "is" || mode == "pns2") {
         w.bits(1, 3) // CPE
         w.bits(0, 4)
         w.bits(1, 1) // common_window

@@ -293,6 +293,21 @@ class AacSpec extends AnyFunSuite {
     assert(p2.get._3 == u2.get._3)
   }
 
+  test("CPE noise: correlated under ms_used, independent otherwise") {
+    (0L until 12L).foreach { id =>
+      val r = decode(Aac.aacLcBytes(id, 2, "pns2"))
+      assert(r.isDefined, s"id $id refused")
+      assert(r.get._1.channels == 2)
+      assert(r.get._3.map(_.sMsq).sum > 0.0)
+    }
+    // id+f ≡ 2 mod 3 → mask 2 (all used): right noise = left · const
+    // ratio; id+f ≡ 0 → independent noise. Different masks must give
+    // structurally different right channels for the same noise band.
+    val corr = decode(Aac.aacLcBytes(2, 1, "pns2")).get._3
+    val indep = decode(Aac.aacLcBytes(3, 1, "pns2")).get._3
+    assert(corr.filter(_.channel == 1) != indep.filter(_.channel == 1))
+  }
+
   // ---- refusal policy ----
 
   test("decode REFUSES without books/geometry opt-in") {
