@@ -819,7 +819,13 @@ object AacQueries {
         val geoText =
           "swb 3 long 32\n" + (0 to 32).map(_ * 32).mkString("\n") +
             "\nswb 3 short 8\n" + (0 to 8).map(_ * 16).mkString("\n") + "\n"
-        val tmp = java.nio.file.Files.createTempDirectory("graft_aac_load")
+        // FIXED path, overwritten each run — a fresh createTempDirectory
+        // per invocation would leak one dir per bench repetition (the
+        // round-16 IVF-index lesson; round-17 review #5). Content is
+        // deterministic, so concurrent runs write identical bytes.
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_aac_load")
+        java.nio.file.Files.createDirectories(tmp)
         val bp = tmp.resolve("books.txt"); val gp = tmp.resolve("geo.txt")
         java.nio.file.Files.write(bp, bookText.getBytes("UTF-8"))
         java.nio.file.Files.write(gp, geoText.getBytes("UTF-8"))

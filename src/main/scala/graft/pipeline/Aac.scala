@@ -28,13 +28,16 @@ import Multimodal.{AudioMeta, quant6}
   * tables involved): intensity stereo (books 14/15, right =
   * ±left·0.5^(is_pos/4) with the ms_used phase interaction), pulse
   * data (transmitted amplitudes added to the quantized coefficients
-  * pre-dequant, long windows only), and LFE elements (SCE syntax,
-  * long-window-only restriction).
+  * pre-dequant, long windows only), LFE elements (SCE syntax,
+  * long-window-only restriction), TNS (sine-dequant reflection coefs →
+  * LPC step-up → all-pole synthesis, loadable per-rate band caps), PNS
+  * (portable-hash noise, §4.6.13.3 ms_used correlation in CPEs), and
+  * multi-rdb ADTS frames (consecutive byte-aligned blocks).
   *
-  * Declared NOT implemented (refused when present, honest seams): TNS,
-  * PNS (noise codebook 13), CCE/PCE elements, multiple
-  * raw_data_blocks per ADTS frame, ADTS CRC (protection_absent = 0),
-  * LTP/main-profile prediction.
+  * Declared NOT implemented (refused when present, honest seams):
+  * CCE/PCE elements, ADTS CRC (protection_absent = 0), LTP/
+  * main-profile prediction — each a spec-recall risk where a
+  * self-consistent wrong parser would pass its own round trip.
   *
   * Float determinism (the DuckDB-oracle contract, after the MP3 chain):
   * every transcendental constant is quantized to 1e-12 at table-build
@@ -206,7 +209,7 @@ object Aac {
     var i = 0
     while (i < lines.length) {
       val hdr = lines(i).split("\\s+")
-      if (hdr.length == 4 && hdr(0) == "tnsmax") { i += 1 }
+      if (hdr.headOption.contains("tnsmax")) { i += 1 }
       else {
       if (hdr.length != 4 || hdr(0) != "swb")
         fail(s"bad header '${lines(i)}' (want: swb <srIdx> long|short <n>)")
@@ -253,9 +256,11 @@ object Aac {
   def parseTnsMax(text: String): Map[Int, (Int, Int)] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"aac tnsmax: $msg")
+    val out = scala.collection.mutable.Map[Int, (Int, Int)]()
     text.split("\n", -1).iterator
       .map(_.takeWhile(_ != '#').trim).filter(_.nonEmpty)
-      .filter(_.startsWith("tnsmax")).map { line =>
+      .filter(_.split("\\s+").headOption.contains("tnsmax"))
+      .foreach { line =>
         val h = line.split("\\s+")
         if (h.length != 4) fail(s"bad line '$line'")
         val (sr, lo, sh) =
@@ -265,8 +270,10 @@ object Aac {
         if (sr < 0 || sr > 12) fail(s"srIdx $sr out of 0..12")
         if (lo < 1 || lo > 64 || sh < 1 || sh > 64)
           fail(s"cap out of 1..64 in '$line'")
-        sr -> ((lo, sh))
-      }.toMap
+        if (out.contains(sr)) fail(s"srIdx $sr appears twice")
+        out(sr) = (lo, sh)
+      }
+    out.toMap
   }
 
   // ------------------------------------------------------------------
@@ -508,7 +515,7 @@ object Aac {
         while (k < maxSfb) {
           val cb = r.bits(4)
           if (cb == 12) return None // reserved
-          if (cb == 13 && !noiseAllowed) return None // PNS: SCE/LFE only
+          if (cb == 13 && !noiseAllowed) return None // PNS element gate
           if (cb >= 14 && !intensityAllowed) return None
           var len = 0
           var incr = r.bits(sectBits)
@@ -706,7 +713,8 @@ object Aac {
       pulses.foreach { case (line, amp) =>
         var kb = 0
         while (kb < swb.length - 1 && swb(kb + 1) <= line) kb += 1
-        if (kb >= maxSfb || cbOf(0)(kb) == 0 || cbOf(0)(kb) >= 14)
+        if (kb >= maxSfb || cbOf(0)(kb) == 0 || cbOf(0)(kb) == 13 ||
+            cbOf(0)(kb) >= 14)
           return None
         val q = qspec(0)(line)
         qspec(0)(line) = if (q < 0) q - amp else q + amp
@@ -855,7 +863,13 @@ object Aac {
       }
     }
 
-    def emit(f: Int, ch: Int, ics: Ics): Unit = {
+    /** Returns false (→ the stream refuses) when a sample exceeds the
+      * exact-stat range: |v| ≤ 1e5 keeps quant6(v²) ≤ 1e16 and the
+      * 128-term band sum < 2^63 — beyond it the Long accumulators
+      * would saturate/wrap and silently diverge from the oracle's
+      * BIGINT arithmetic (round-17 review #3). Real loaded-table
+      * streams with extreme sf + escape magnitudes hit this. */
+    def emit(f: Int, ch: Int, ics: Ics): Boolean = {
       var wI = 0
       while (wI < ics.tns.length) {
         ics.tns(wI).foreach(applyTns(ics.spec(wI), _))
@@ -869,6 +883,7 @@ object Aac {
         var n = band * 128
         while (n < (band + 1) * 128) {
           val v = buf(n) + prevTail(ch)(n)
+          if (math.abs(v) > 1e5) return false
           ss += quant6(v); sq += quant6(v * v)
           n += 1
         }
@@ -876,6 +891,7 @@ object Aac {
         band += 1
       }
       System.arraycopy(buf, 1024, prevTail(ch), 0, 1024)
+      true
     }
 
     // ---- per-raw_data_block decode (an ADTS frame carries rdb+1
@@ -911,7 +927,7 @@ object Aac {
                     frameOut += AacFrameOut(f, ics.windowSequence,
                       ics.windowShape, ics.maxSfb, ics.nSections,
                       ics.nNonzero, ics.globalGain, 1)
-                    emit(f, 0, ics)
+                    if (!emit(f, 0, ics)) { ok = false; ended = true }
                   }
                 case None => ok = false; ended = true
               }
@@ -1028,11 +1044,18 @@ object Aac {
                             winBase += l.groups(g)
                             g += 1
                           }
+                          // rr.nNonzero was counted from the
+                          // pre-rewrite spectra (independent noise /
+                          // pre-intensity); recount from the actual
+                          // reconstructed right spectrum (r17 review #2)
+                          val rrNz = rr.spec.iterator
+                            .map(w0 => w0.count(_ != 0.0)).sum
                           frameOut += AacFrameOut(f, l.windowSequence,
                             l.windowShape, l.maxSfb, l.nSections,
-                            l.nNonzero + rr.nNonzero, l.globalGain, 2)
-                          emit(f, 0, l)
-                          emit(f, 1, rr)
+                            l.nNonzero + rrNz, l.globalGain, 2)
+                          if (!emit(f, 0, l) || !emit(f, 1, rr)) {
+                            ok = false; ended = true
+                          }
                         }
                       case _ => ok = false; ended = true
                     }
@@ -1055,7 +1078,7 @@ object Aac {
             case 7 => // END
               r.byteAlign()
               ended = true
-            case _ => // CCE/LFE/PCE: declared unsupported
+            case _ => // CCE/PCE: declared unsupported
               ok = false; ended = true
           }
         }

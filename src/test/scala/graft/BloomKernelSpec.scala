@@ -79,6 +79,20 @@ class BloomKernelSpec extends AnyFunSuite {
     // measures the fixture, not the kernel (round-16 advice).
   }
 
+  test("the default AUTO-sizing routes large member sets to the native kernel") {
+    // 28k members at the 1% default sizes the filter to ~268k bits —
+    // just over the 2^18 threshold through the auto-sizing arithmetic
+    // itself (round-17 review #7: the explicit-mBits test alone can't
+    // catch a sizing regression). The plan string carries the 28k-
+    // literal isin (~300 KB) — bounded, unlike the 1M fixture.
+    val members = spark.range(28000).select(
+      concat(lit("am"), col("id").cast("string")).as("mk"))
+    val corpus = (0 until 50).map(i => s"am$i").toDF("digest")
+    val plan = Dedup.bloomProbe(corpus, "digest", members, "mk")
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(plan.contains("bloombitsetprobe"))
+  }
+
   test("filters sized above the bitset threshold route to the native kernel") {
     // A tiny member set with an EXPLICIT mBits just over the threshold:
     // routing is decided by filter size alone, so this pins the native
