@@ -1150,9 +1150,9 @@ object Aac {
       val w = new BitWriter
       val shape = ((id + f) % 2).toInt
       val wseq = mode match {
-        case "short" => 2
-        case "cycle" => f % 4
-        case _       => 0
+        case "short" | "tns_short" => 2
+        case "cycle"               => f % 4
+        case _                     => 0
       }
 
       def writeIcsInfo(): Unit = {
@@ -1207,7 +1207,11 @@ object Aac {
         * 0) through the scalefactor codebook, no spectral data. */
       def writeIcsBody(ch: Int, icsInfoInline: Boolean,
                        intensity: Boolean = false): Unit = {
-        val gg = 130 + ((id * 5 + f * 9 + ch * 13) % 20).toInt
+        // tns_short rings its all-pole filters near the stability edge
+        // (|refl| up to ~0.98); a lower gain keeps the output inside
+        // the exact-stat range the emit guard enforces
+        val gg = (if (mode == "tns_short") 100 else 130) +
+          ((id * 5 + f * 9 + ch * 13) % 20).toInt
         w.bits(gg, 8)
         if (icsInfoInline) writeIcsInfo()
         if (wseq == 2) {
@@ -1225,7 +1229,30 @@ object Aac {
             val d = ((id * 3 + f * 5 + g * 7) % 21).toInt - 10
             w.str(enc(0)(d + 60))
           }
-          w.bits(0, 3) // pulse/tns/gain_control absent
+          if (mode == "tns_short") {
+            // per-window filters over ALL 8 bands (length 8 → the
+            // region covers the coded lines), alternating windows
+            w.bits(0, 1) // pulse absent
+            w.bits(1, 1) // tns_data_present
+            for (win <- 0 until 8) {
+              val nf2 = if ((id + f + win) % 2 == 0) 1 else 0
+              w.bits(nf2, 1)
+              if (nf2 == 1) {
+                val coefRes = ((id + f) % 2).toInt
+                w.bits(coefRes, 1)
+                w.bits(8, 4) // length: all 8 bands
+                val order = 1 + ((id + win) % 2).toInt
+                w.bits(order, 3)
+                w.bits(((id + win) % 2).toInt, 1) // direction
+                w.bits(0, 1)                      // coef_compress
+                val lenBits = coefRes + 3
+                for (i <- 0 until order)
+                  w.bits(((id * 3 + f * 7 + win * 5 + i * 11)
+                    % (1 << lenBits)).toInt, lenBits)
+              }
+            }
+            w.bits(0, 1) // gain_control absent
+          } else w.bits(0, 3) // pulse/tns/gain_control absent
           // spectral: per group, each window of the group (the coded
           // sfb's POSITION is fixed by the section layout above; the
           // spectral stream itself carries only the coded tuples)
@@ -1405,9 +1432,18 @@ object Aac {
         writeIcsBody(0, icsInfoInline = true)
       }
       if ((id + f) % 3 == 0) {
-        w.bits(6, 3) // FIL
-        w.bits(2, 4)
-        w.bits(0xa5, 8); w.bits(0x5a, 8)
+        if ((id + f) % 6 == 0) {
+          w.bits(6, 3) // FIL
+          w.bits(2, 4)
+          w.bits(0xa5, 8); w.bits(0x5a, 8)
+        } else {
+          w.bits(4, 3) // DSE (skip-machinery coverage)
+          w.bits(1, 4) // element_instance_tag
+          w.bits(1, 1) // data_byte_align_flag
+          w.bits(3, 8) // count
+          w.byteAlign()
+          w.bits(0x11, 8); w.bits(0x22, 8); w.bits(0x33, 8)
+        }
       }
       w.bits(7, 3) // END
       val payload = w.toBytes

@@ -308,6 +308,24 @@ class AacSpec extends AnyFunSuite {
     assert(corr.filter(_.channel == 1) != indep.filter(_.channel == 1))
   }
 
+  test("DSE elements skip cleanly inside audio frames") {
+    // (id+f) % 3 == 0 frames now alternate FIL/DSE; all modes decode
+    (0L until 12L).foreach { id =>
+      assert(decode(Aac.aacLcBytes(id, 3, "long")).isDefined, s"id $id")
+    }
+  }
+
+  test("short-window TNS filters per window and changes the output") {
+    (0L until 12L).foreach { id =>
+      val r = decode(Aac.aacLcBytes(id, 2, "tns_short"))
+      assert(r.isDefined, s"id $id refused")
+      assert(r.get._3.map(_.sMsq).sum > 0.0)
+    }
+    val plain = decode(Aac.aacLcBytes(4, 2, "short")).get._3
+    val tns = decode(Aac.aacLcBytes(4, 2, "tns_short")).get._3
+    assert(plain != tns, "short TNS had no effect")
+  }
+
   // ---- refusal policy ----
 
   test("decode REFUSES without books/geometry opt-in") {
