@@ -1,0 +1,365 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.pipeline.Flac
+import graft.pipeline.Flac._
+
+/** FLAC payload oracle rows (round 17, continuation session). Each row
+  * builds genuine FLAC streams from closed-form PCM via
+  * [[Flac.frameBytes]], decodes them through the REAL payload machinery
+  * ([[Flac.decode]]: sync + header codes, UTF-8 coded numbers, CRC-8,
+  * subframe types CONSTANT/VERBATIM/FIXED/LPC, wasted bits, partitioned
+  * Rice/Rice2 residuals with escapes, stereo decorrelation, CRC-16),
+  * and the DuckDB oracle recomputes the INPUT signal in pure integer
+  * SQL — FLAC is lossless, so decoded PCM must equal the generator's
+  * closed form bit-for-bit, with no codec replay in the oracle at all.
+  * A wrong predictor, zigzag, shift, or stereo fold cannot match. */
+object FlacQueries {
+  import PipelineQueries.QFn
+
+  /** The shared pseudo-signal: integer, non-negative before centering,
+    * identical term-for-term in Scala and DuckDB. */
+  private def base(id: Long, f: Long, ch: Long, t: Long): Long =
+    (id * 37 + f * 59 + ch * 101 + t * 13 + ((t * t) % 251) * 7 +
+      ((id + t) % 17) * 29) % 200 - 100
+
+  private val baseSql =
+    "((r*37 + f*59 + c*101 + t*13 + ((t*t)%251)*7 + ((r+t)%17)*29) % 200 - 100)"
+
+  private def bpsCodeOf(bps: Int): Int = bps match {
+    case 8 => 1; case 12 => 2; case 16 => 4
+    case 20 => 5; case 24 => 6; case 32 => 7
+  }
+
+  def entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ------------------------------------------------------------------
+    // The mixed matrix: every stereo mode, every subframe type, both
+    // residual methods, partition orders 0-2, escape partitions, all six
+    // bit depths, explicit and from-STREAMINFO header codes, both
+    // blocking strategies. 24 media x 2 frames x 2 ch x 48 samples.
+    // ------------------------------------------------------------------
+    ("multimodal_flac_decode",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val bps = Array(8, 12, 16, 20, 24, 32)((id % 6).toInt)
+          val bs = 48
+          val frames = (0L to 1L).map { f =>
+            val modeIdx = ((id + f) % 4).toInt
+            val chAssign = Array(1, 8, 9, 10)(modeIdx)
+            val pcm = Array.tabulate(2) { ch =>
+              Array.tabulate(bs) { t =>
+                if (modeIdx == 0 && ch == 0) (id * 37 + f * 59) % 200 - 100
+                else base(id, f, ch, t)
+              }
+            }
+            val plans = Array.tabulate(2) { ch =>
+              val sel = ((id + f + ch) % 4).toInt
+              val sub: SubPlan = sel match {
+                case 0 if chAssign <= 7 => PlanConstant
+                case 0 | 1              => PlanVerbatim
+                case 2                  => PlanFixed(((id + ch) % 5).toInt)
+                case 3 =>
+                  val order = 2 + ((id + ch) % 4).toInt
+                  PlanLpc(order, precision = 6 + ch, shift = 3,
+                    coefs = Array.tabulate(order)(j => (j * 5 - 7).toLong))
+              }
+              ChannelPlan(sub, 0,
+                ResidualPlan(((id + f) % 2).toInt, ((id + ch) % 3).toInt,
+                  p => (p + id) % 4 == 0))
+            }
+            val strategy = (id % 2).toInt
+            Flac.frameBytes(pcm, chAssign, bps, 44100,
+              FrameHeaderPlan(blockSizeCode = 6,
+                rateCode = if (id % 2 == 0) 9 else 0,
+                bpsCode = if (id % 5 == 0) 0 else bpsCodeOf(bps),
+                strategy = strategy,
+                codedNumber = if (strategy == 0) f else f * bs),
+              plans)
+          }
+          val stream = Flac.streamBytes(44100, 2, bps, 2L * bs, frames)
+          Flac.decode(stream) match {
+            case Right(fs) =>
+              for {
+                fr <- fs
+                ch <- 0 until 2
+                t <- 0 until bs
+              } yield (id, fr.info.index.toLong, ch.toLong, t.toLong,
+                fr.samples(ch)(t))
+            case Left(err) => throw new IllegalStateException(err)
+          }
+        }.toDF("media_id", "frame", "ch", "t", "sample")
+      }): QFn,
+      Some("""SELECT r AS media_id, f AS frame, c AS ch, t,
+            |  CAST(CASE WHEN (r+f)%4 = 0 AND c = 0
+            |            THEN (r*37 + f*59) % 200 - 100
+            |            ELSE """.stripMargin + baseSql + """ END AS BIGINT) AS sample
+            |FROM range(24) t0(r), range(2) t1(f), range(2) t2(c), range(48) t3(t)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Header-field sweep: all common blocksize codes + 8/16-bit explicit
+    // fields, rate codes incl. the kHz / Hz / tens-of-Hz trailing fields
+    // and from-STREAMINFO, every bit-depth code, both strategies with
+    // multi-byte coded sample numbers, wasted-bits on CONSTANT frames.
+    // ------------------------------------------------------------------
+    ("multimodal_flac_header",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val frames = (0L to 1L).map { f =>
+            val (bsCode, bs) = (((id + f) % 7).toInt: @unchecked) match {
+              case 0 => (1, 192); case 1 => (2, 576); case 2 => (3, 1152)
+              case 3 => (8, 256); case 4 => (9, 512)
+              case 5 => (6, 48 + id.toInt); case 6 => (7, 300 + id.toInt * 7)
+            }
+            val (rateCode, rate) = (((id + f) % 6).toInt: @unchecked) match {
+              case 0 => (9, 44100); case 1 => (10, 48000); case 2 => (0, 32000)
+              case 3 => (12, 8000); case 4 => (13, 22050); case 5 => (14, 44100)
+            }
+            val (bpsCode, bps) = (((id + f) % 7).toInt: @unchecked) match {
+              case 0 => (1, 8); case 1 => (2, 12); case 2 => (4, 16)
+              case 3 => (5, 20); case 4 => (6, 24); case 5 => (7, 32)
+              case 6 => (0, 16)
+            }
+            val strategy = (id % 2).toInt
+            val coded =
+              if (strategy == 0) f else (id * 97 + f) * 131071L
+            val w = ((id + f) % 3).toInt
+            val cval = (((id * 13 + f * 29) % 50) - 25) << w
+            Flac.frameBytes(Array(Array.fill(bs)(cval)), 0, bps, rate,
+              FrameHeaderPlan(bsCode, rateCode, bpsCode, strategy, coded),
+              Array(ChannelPlan(PlanConstant, w, ResidualPlan(0, 0))))
+          }
+          val stream = Flac.streamBytes(32000, 1, 16, 0L, frames)
+          Flac.decode(stream) match {
+            case Right(fs) =>
+              fs.map { fr =>
+                (id, fr.info.index.toLong, fr.info.blockSize.toLong,
+                 fr.info.sampleRate.toLong, fr.info.bps.toLong,
+                 fr.info.strategy.toLong, fr.info.codedNumber,
+                 fr.info.subTypes(0).toLong, fr.info.wasted(0).toLong,
+                 fr.samples(0)(0))
+              }
+            case Left(err) => throw new IllegalStateException(err)
+          }
+        }.toDF("media_id", "frame", "block_size", "sample_rate", "bits",
+               "strategy", "coded_number", "sub_type", "wasted", "const_val")
+      }): QFn,
+      Some("""SELECT r AS media_id, f AS frame,
+            |  CAST(CASE (r+f)%7 WHEN 0 THEN 192 WHEN 1 THEN 576 WHEN 2 THEN 1152
+            |       WHEN 3 THEN 256 WHEN 4 THEN 512 WHEN 5 THEN 48 + r
+            |       ELSE 300 + r*7 END AS BIGINT) AS block_size,
+            |  CAST(CASE (r+f)%6 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            |       WHEN 2 THEN 32000 WHEN 3 THEN 8000 WHEN 4 THEN 22050
+            |       ELSE 44100 END AS BIGINT) AS sample_rate,
+            |  CAST(CASE (r+f)%7 WHEN 0 THEN 8 WHEN 1 THEN 12 WHEN 2 THEN 16
+            |       WHEN 3 THEN 20 WHEN 4 THEN 24 WHEN 5 THEN 32
+            |       ELSE 16 END AS BIGINT) AS bits,
+            |  CAST(r%2 AS BIGINT) AS strategy,
+            |  CAST(CASE WHEN r%2 = 0 THEN f ELSE (r*97 + f) * 131071 END AS BIGINT)
+            |    AS coded_number,
+            |  CAST(0 AS BIGINT) AS sub_type,
+            |  CAST((r+f)%3 AS BIGINT) AS wasted,
+            |  CAST((((r*13 + f*29) % 50) - 25)
+            |       * (CASE (r+f)%3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+            |       AS BIGINT) AS const_val
+            |FROM range(24) t0(r), range(2) t1(f)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // LPC sweep: orders 1-8, precisions 5-12, shifts 0-7, signed
+    // coefficients — integer prediction with the arithmetic right shift
+    // of the signed accumulator, exact by losslessness.
+    // ------------------------------------------------------------------
+    ("multimodal_flac_lpc",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val bs = 32
+          val frames = (0L to 2L).map { f =>
+            val order = 1 + ((id + f) % 8).toInt
+            Flac.frameBytes(
+              Array(Array.tabulate(bs)(t => base(id, f, 0, t))), 0, 16, 44100,
+              FrameHeaderPlan(6, 9, 4, 0, f),
+              Array(ChannelPlan(
+                PlanLpc(order, precision = 5 + (id % 8).toInt,
+                  shift = ((id + f) % 8).toInt,
+                  coefs = Array.tabulate(order)(j => (id + j * 7) % 13 - 6)),
+                0, ResidualPlan(0, (f % 2).toInt))))
+          }
+          val stream = Flac.streamBytes(44100, 1, 16, 3L * bs, frames)
+          Flac.decode(stream) match {
+            case Right(fs) =>
+              for { fr <- fs; t <- 0 until bs }
+                yield (id, fr.info.index.toLong, t.toLong, fr.samples(0)(t))
+            case Left(err) => throw new IllegalStateException(err)
+          }
+        }.toDF("media_id", "frame", "t", "sample")
+      }): QFn,
+      Some("""SELECT r AS media_id, f AS frame, t,
+            |  CAST((r*37 + f*59 + t*13 + ((t*t)%251)*7 + ((r+t)%17)*29) % 200 - 100
+            |       AS BIGINT) AS sample
+            |FROM range(24) t0(r), range(3) t1(f), range(32) t3(t)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Residual plumbing: both Rice methods, partition orders 0-3, escape
+    // partitions (incl. the 0-bit all-zero escape on constant signals),
+    // grouped integer stats.
+    // ------------------------------------------------------------------
+    ("multimodal_flac_rice",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val bs = 64
+          val frames = (0L to 1L).map { f =>
+            val pcm = Array.tabulate(bs) { t =>
+              if (id % 6 == 5) (id * 13) % 50 - 25 else base(id, f, 0, t)
+            }
+            Flac.frameBytes(Array(pcm), 0, 16, 44100,
+              FrameHeaderPlan(6, 9, 4, 0, f),
+              Array(ChannelPlan(PlanFixed(((id + f) % 3).toInt), 0,
+                ResidualPlan(((id + f) % 2).toInt, (id % 4).toInt,
+                  p => (p + f) % 3 == 0))))
+          }
+          val stream = Flac.streamBytes(44100, 1, 16, 2L * bs, frames)
+          Flac.decode(stream) match {
+            case Right(fs) =>
+              fs.map { fr =>
+                val v = fr.samples(0)
+                (id, fr.info.index.toLong, v.length.toLong, v.sum,
+                 v.map(math.abs).sum, v.min, v.max)
+              }
+            case Left(err) => throw new IllegalStateException(err)
+          }
+        }.toDF("media_id", "frame", "n", "sum_v", "sum_abs", "min_v", "max_v")
+      }): QFn,
+      Some("""WITH sv AS (SELECT r, f, t,
+            |    CASE WHEN r%6 = 5 THEN (r*13)%50 - 25
+            |         ELSE (r*37 + f*59 + t*13 + ((t*t)%251)*7 + ((r+t)%17)*29) % 200 - 100
+            |    END AS v
+            |  FROM range(24) t0(r), range(2) t1(f), range(64) t2(t))
+            |SELECT r AS media_id, f AS frame,
+            |  CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(v) AS BIGINT) AS sum_v,
+            |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+            |  CAST(MIN(v) AS BIGINT) AS min_v,
+            |  CAST(MAX(v) AS BIGINT) AS max_v
+            |FROM sv GROUP BY r, f""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Stereo decorrelation: correlated channels (R = L − small delta) —
+    // the case the side transforms exist for — through all four channel
+    // assignments; the mid/side parity fold is exact by losslessness.
+    // ------------------------------------------------------------------
+    ("multimodal_flac_stereo",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val bs = 32
+          val frames = (0L to 1L).map { f =>
+            val l = Array.tabulate(bs)(t => base(id, f, 0, t))
+            val rr = Array.tabulate(bs)(t =>
+              l(t) - ((t % 5) + (id % 7) - 3))
+            val chAssign = Array(1, 8, 9, 10)(((id + f) % 4).toInt)
+            Flac.frameBytes(Array(l, rr), chAssign, 16, 44100,
+              FrameHeaderPlan(6, 9, 4, 0, f),
+              Array.fill(2)(ChannelPlan(PlanFixed(2), 0,
+                ResidualPlan((f % 2).toInt, 1))))
+          }
+          val stream = Flac.streamBytes(44100, 2, 16, 2L * bs, frames)
+          Flac.decode(stream) match {
+            case Right(fs) =>
+              for { fr <- fs; ch <- 0 until 2; t <- 0 until bs }
+                yield (id, fr.info.index.toLong, ch.toLong, t.toLong,
+                  fr.samples(ch)(t))
+            case Left(err) => throw new IllegalStateException(err)
+          }
+        }.toDF("media_id", "frame", "ch", "t", "sample")
+      }): QFn,
+      Some("""SELECT r AS media_id, f AS frame, c AS ch, t,
+            |  CAST((r*37 + f*59 + t*13 + ((t*t)%251)*7 + ((r+t)%17)*29) % 200 - 100
+            |       - CASE WHEN c = 1 THEN (t%5) + (r%7) - 3 ELSE 0 END
+            |       AS BIGINT) AS sample
+            |FROM range(24) t0(r), range(2) t1(f), range(2) t2(c), range(32) t3(t)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Wasted bits: samples divisible by 2^w, signalled by the unary
+    // prefix, decoded back through the left shift.
+    // ------------------------------------------------------------------
+    ("multimodal_flac_wasted",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val bs = 32
+          val pcm = Array.tabulate(2) { ch =>
+            val w = 1 + ((id + ch) % 3).toInt
+            Array.tabulate(bs)(t => base(id, 0, ch, t) << w)
+          }
+          val plans = Array.tabulate(2) { ch =>
+            ChannelPlan(PlanFixed(((id + ch) % 5).toInt),
+              1 + ((id + ch) % 3).toInt, ResidualPlan(0, 1))
+          }
+          val frame = Flac.frameBytes(pcm, 1, 16, 44100,
+            FrameHeaderPlan(6, 9, 4, 0, 0), plans)
+          val stream = Flac.streamBytes(44100, 2, 16, bs.toLong, Seq(frame))
+          Flac.decode(stream) match {
+            case Right(fs) =>
+              for { fr <- fs; ch <- 0 until 2; t <- 0 until bs }
+                yield (id, ch.toLong, t.toLong, fr.samples(ch)(t),
+                  fr.info.wasted(ch).toLong)
+            case Left(err) => throw new IllegalStateException(err)
+          }
+        }.toDF("media_id", "ch", "t", "sample", "wasted")
+      }): QFn,
+      Some("""SELECT r AS media_id, c AS ch, t,
+            |  CAST(((r*37 + c*101 + t*13 + ((t*t)%251)*7 + ((r+t)%17)*29) % 200 - 100)
+            |       * (CASE (r+c)%3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END)
+            |       AS BIGINT) AS sample,
+            |  CAST(1 + (r+c)%3 AS BIGINT) AS wasted
+            |FROM range(24) t0(r), range(2) t2(c), range(32) t3(t)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Corruption refusal: pristine streams decode; a flipped strategy
+    // bit refuses at CRC-8, a flipped CRC-16 bit refuses at CRC-16, a
+    // broken sync byte refuses at sync — never a silently-wrong PCM.
+    // ------------------------------------------------------------------
+    ("multimodal_flac_crc",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).map { id =>
+          val bs = 48
+          val frames = (0L to 1L).map { f =>
+            Flac.frameBytes(
+              Array(Array.tabulate(bs)(t => base(id, f, 0, t))), 0, 16, 44100,
+              FrameHeaderPlan(6, 9, 4, 0, f),
+              Array(ChannelPlan(PlanFixed(2), 0, ResidualPlan(0, 0))))
+          }
+          val stream = Flac.streamBytes(44100, 1, 16, 2L * bs, frames)
+          val frameStart = stream.length - frames.map(_.length).sum
+          val mutated = stream.clone
+          (id % 4) match {
+            case 0 => ()
+            case 1 => // strategy-bit flip: header parses, CRC-8 refuses
+              mutated(frameStart + 1) = (mutated(frameStart + 1) ^ 0x01).toByte
+            case 2 => // last CRC-16 byte flip
+              mutated(mutated.length - 1) =
+                (mutated(mutated.length - 1) ^ 0x01).toByte
+            case 3 => // sync break
+              mutated(frameStart) = (mutated(frameStart) ^ 0x80).toByte
+          }
+          Flac.decode(mutated) match {
+            case Right(fs) => (id, 1L, "", fs.length.toLong)
+            case Left(err) => (id, 0L, err, 0L)
+          }
+        }.toDF("media_id", "ok", "err", "n_frames")
+      }): QFn,
+      Some("""SELECT r AS media_id,
+            |  CAST(CASE WHEN r%4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok,
+            |  CASE r%4 WHEN 0 THEN '' WHEN 1 THEN 'crc8' WHEN 2 THEN 'crc16'
+            |       ELSE 'sync' END AS err,
+            |  CAST(CASE WHEN r%4 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_frames
+            |FROM range(24) t(r)""".stripMargin))
+  )
+}

@@ -22,7 +22,7 @@ object SparkEntry {
     }.toMap
     val pipe = (PipelineQueries.entries ++ SystemQueries.entries ++
         OperatorQueries.entries ++ LayoutQueries.entries ++
-        AacQueries.entries).map {
+        AacQueries.entries ++ FlacQueries.entries).map {
       case (name, fn, _) => name -> fn
     }.toMap
     kg ++ pipe
@@ -36,7 +36,7 @@ object SparkEntry {
     }.toMap
     val pipe = (PipelineQueries.entries ++ SystemQueries.entries ++
         OperatorQueries.entries ++ LayoutQueries.entries ++
-        AacQueries.entries).collect {
+        AacQueries.entries ++ FlacQueries.entries).collect {
       case (name, _, Some(sql)) => name -> sql
     }.toMap
     kg ++ pipe
