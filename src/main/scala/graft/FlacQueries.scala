@@ -321,6 +321,62 @@ object FlacQueries {
             |FROM range(24) t0(r), range(2) t2(c), range(32) t3(t)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Metadata blocks beyond STREAMINFO: VORBIS_COMMENT (the format's
+    // only little-endian section, incl. non-ASCII UTF-8 values),
+    // SEEKTABLE (big-endian 18-byte points), PICTURE (big-endian
+    // lengths/dimensions) — the chain walked and parsed for real.
+    // ------------------------------------------------------------------
+    ("multimodal_flac_tags",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).map { id =>
+          val comments =
+            Seq("TITLE" -> s"Trâck $id", "ARTIST" -> s"Artist ${id % 5}") ++
+              (0L until id % 3).map(k => "GENRE" -> s"genre$k")
+          val seeks = (0L to id % 4).map(k => (k * 4096, k * 1000 + id, 4096))
+          val pic =
+            if (id % 2 == 0)
+              Some(Flac.FlacPicture(3, "image/png", s"cover é",
+                16 * (id % 7 + 1).toInt, 16 * (id % 5 + 1).toInt, 24, 0,
+                (id % 50 + 10).toInt))
+            else None
+          val blocks =
+            Seq(4 -> Flac.vorbisCommentBytes(s"graft-$id", comments),
+                3 -> Flac.seekTableBytes(seeks)) ++
+              pic.map(p => 6 -> Flac.pictureBytes(p,
+                Array.fill(p.dataLen)((id % 251).toByte)))
+          val stream = Flac.streamBytesWithMeta(44100, 2, 16, 0L, blocks)
+          val tags = Flac.parseTags(stream).get
+          val title = tags.comments.find(_._1 == "TITLE").map(_._2).getOrElse("")
+          val artist = tags.comments.find(_._1 == "ARTIST").map(_._2).getOrElse("")
+          (id, tags.vendor, title, artist, tags.comments.length.toLong,
+           tags.seekpoints.length.toLong, tags.seekpoints.last._1,
+           tags.seekpoints.last._2,
+           tags.picture.map(_ => 1L).getOrElse(0L),
+           tags.picture.map(_.mime).getOrElse(""),
+           tags.picture.map(_.width.toLong).getOrElse(-1L),
+           tags.picture.map(_.height.toLong).getOrElse(-1L),
+           tags.picture.map(_.dataLen.toLong).getOrElse(-1L))
+        }.toDF("media_id", "vendor", "title", "artist", "n_comments",
+               "n_seek", "last_seek_sample", "last_seek_off", "has_pic",
+               "pic_mime", "pic_w", "pic_h", "pic_len")
+      }): QFn,
+      Some("""SELECT r AS media_id,
+            |  'graft-' || r AS vendor,
+            |  'Tr' || chr(226) || 'ck ' || r AS title,
+            |  'Artist ' || (r % 5) AS artist,
+            |  CAST(2 + r % 3 AS BIGINT) AS n_comments,
+            |  CAST(1 + r % 4 AS BIGINT) AS n_seek,
+            |  CAST((r % 4) * 4096 AS BIGINT) AS last_seek_sample,
+            |  CAST((r % 4) * 1000 + r AS BIGINT) AS last_seek_off,
+            |  CAST(CASE WHEN r % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS has_pic,
+            |  CASE WHEN r % 2 = 0 THEN 'image/png' ELSE '' END AS pic_mime,
+            |  CAST(CASE WHEN r % 2 = 0 THEN 16 * (r % 7 + 1) ELSE -1 END AS BIGINT) AS pic_w,
+            |  CAST(CASE WHEN r % 2 = 0 THEN 16 * (r % 5 + 1) ELSE -1 END AS BIGINT) AS pic_h,
+            |  CAST(CASE WHEN r % 2 = 0 THEN r % 50 + 10 ELSE -1 END AS BIGINT) AS pic_len
+            |FROM range(24) t(r)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Corruption refusal: pristine streams decode; a flipped strategy
     // bit refuses at CRC-8, a flipped CRC-16 bit refuses at CRC-16, a
     // broken sync byte refuses at sync — never a silently-wrong PCM.

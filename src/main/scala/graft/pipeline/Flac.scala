@@ -447,6 +447,175 @@ object Flac {
   }
 
   // ------------------------------------------------------------------
+  // Metadata blocks beyond STREAMINFO (RFC 9639 §8.3/§8.6/§8.8):
+  // SEEKTABLE (big-endian 18-byte points), VORBIS_COMMENT (the format's
+  // ONLY little-endian section — u32-LE length-prefixed UTF-8 strings),
+  // PICTURE (big-endian lengths and dimensions).
+  // ------------------------------------------------------------------
+
+  final case class FlacPicture(picType: Int, mime: String, desc: String,
+                               width: Int, height: Int, depth: Int,
+                               colors: Int, dataLen: Int)
+
+  final case class FlacTags(vendor: String, comments: Seq[(String, String)],
+                            seekpoints: Seq[(Long, Long, Int)],
+                            picture: Option[FlacPicture])
+
+  private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+  private def be32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+
+  def vorbisCommentBytes(vendor: String,
+                         comments: Seq[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val vb = vendor.getBytes("UTF-8")
+    le32(out, vb.length); out.write(vb)
+    le32(out, comments.length)
+    comments.foreach { case (k, v) =>
+      val cb = s"$k=$v".getBytes("UTF-8")
+      le32(out, cb.length); out.write(cb)
+    }
+    out.toByteArray
+  }
+
+  def seekTableBytes(points: Seq[(Long, Long, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    points.foreach { case (sample, offset, n) =>
+      (7 to 0 by -1).foreach(i => out.write(((sample >>> (8 * i)) & 0xff).toInt))
+      (7 to 0 by -1).foreach(i => out.write(((offset >>> (8 * i)) & 0xff).toInt))
+      out.write((n >> 8) & 0xff); out.write(n & 0xff)
+    }
+    out.toByteArray
+  }
+
+  def pictureBytes(p: FlacPicture, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    be32(out, p.picType)
+    val mb = p.mime.getBytes("US-ASCII")
+    be32(out, mb.length); out.write(mb)
+    val db = p.desc.getBytes("UTF-8")
+    be32(out, db.length); out.write(db)
+    be32(out, p.width); be32(out, p.height); be32(out, p.depth)
+    be32(out, p.colors)
+    be32(out, data.length); out.write(data)
+    out.toByteArray
+  }
+
+  /** fLaC + STREAMINFO (via the verified [[Multimodal.flacBytes]]
+    * packing, last-flag cleared) + the given (type, payload) blocks,
+    * the final one carrying the last-flag. */
+  def streamBytesWithMeta(sampleRate: Int, channels: Int, bps: Int,
+                          totalSamples: Long,
+                          blocks: Seq[(Int, Array[Byte])],
+                          frames: Seq[Array[Byte]] = Nil): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val head = Multimodal.flacBytes(sampleRate, channels, bps, totalSamples)
+    if (blocks.nonEmpty) head(4) = (head(4) & 0x7f).toByte
+    out.write(head)
+    blocks.zipWithIndex.foreach { case ((typ, payload), i) =>
+      val lastFlag = if (i == blocks.length - 1) 0x80 else 0x00
+      out.write(lastFlag | typ)
+      out.write((payload.length >> 16) & 0xff)
+      out.write((payload.length >> 8) & 0xff)
+      out.write(payload.length & 0xff)
+      out.write(payload)
+    }
+    frames.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Walk the metadata chain and parse VORBIS_COMMENT / SEEKTABLE /
+    * PICTURE. Refuses (None) on truncated chains, comment lengths
+    * overrunning the block, or malformed comment entries (no '='). */
+  def parseTags(bytes: Array[Byte]): Option[FlacTags] = {
+    if (bytes.length < 42 ||
+        new String(bytes.slice(0, 4), "US-ASCII") != "fLaC") return None
+    var p = 4
+    var last = false
+    var vendor = ""
+    var comments = Seq.empty[(String, String)]
+    var seekpoints = Seq.empty[(Long, Long, Int)]
+    var picture: Option[FlacPicture] = None
+    def rdLe32(d: Array[Byte], o: Int): Long =
+      (d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) |
+        ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24)
+    def rdBe32(d: Array[Byte], o: Int): Long =
+      ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+    while (!last) {
+      if (p + 4 > bytes.length) return None
+      val hdr = bytes(p) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = ((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+        (bytes(p + 3) & 0xff)
+      if (p + 4 + len > bytes.length) return None
+      val d = bytes.slice(p + 4, p + 4 + len)
+      typ match {
+        case 4 => // VORBIS_COMMENT — little-endian lengths
+          if (d.length < 8) return None
+          val vLen = rdLe32(d, 0).toInt
+          if (4 + vLen + 4 > d.length) return None
+          vendor = new String(d, 4, vLen, "UTF-8")
+          val n = rdLe32(d, 4 + vLen).toInt
+          var o = 8 + vLen
+          var i = 0
+          val cs = Seq.newBuilder[(String, String)]
+          while (i < n) {
+            if (o + 4 > d.length) return None
+            val cLen = rdLe32(d, o).toInt
+            if (o + 4 + cLen > d.length) return None
+            val s = new String(d, o + 4, cLen, "UTF-8")
+            val eq = s.indexOf('=')
+            if (eq < 0) return None
+            cs += ((s.substring(0, eq), s.substring(eq + 1)))
+            o += 4 + cLen
+            i += 1
+          }
+          comments = cs.result()
+        case 3 => // SEEKTABLE — big-endian 18-byte points
+          if (d.length % 18 != 0) return None
+          seekpoints = (0 until d.length / 18).map { i =>
+            val o = i * 18
+            var sample = 0L
+            var off = 0L
+            (0 until 8).foreach(j => sample = (sample << 8) | (d(o + j) & 0xffL))
+            (0 until 8).foreach(j => off = (off << 8) | (d(o + 8 + j) & 0xffL))
+            val n = ((d(o + 16) & 0xff) << 8) | (d(o + 17) & 0xff)
+            (sample, off, n)
+          }
+        case 6 => // PICTURE — big-endian
+          if (d.length < 32) return None
+          val picType = rdBe32(d, 0).toInt
+          val mLen = rdBe32(d, 4).toInt
+          if (8 + mLen + 4 > d.length) return None
+          val mime = new String(d, 8, mLen, "US-ASCII")
+          var o = 8 + mLen
+          val dLen = rdBe32(d, o).toInt
+          if (o + 4 + dLen + 20 > d.length) return None
+          val desc = new String(d, o + 4, dLen, "UTF-8")
+          o += 4 + dLen
+          val width = rdBe32(d, o).toInt
+          val height = rdBe32(d, o + 4).toInt
+          val depth = rdBe32(d, o + 8).toInt
+          val colors = rdBe32(d, o + 12).toInt
+          val dataLen = rdBe32(d, o + 16).toInt
+          if (o + 20 + dataLen > d.length) return None
+          picture = Some(FlacPicture(picType, mime, desc, width, height,
+            depth, colors, dataLen))
+        case _ => ()
+      }
+      p += 4 + len
+    }
+    Some(FlacTags(vendor, comments, seekpoints, picture))
+  }
+
+  // ------------------------------------------------------------------
   // Decode
   // ------------------------------------------------------------------
 

@@ -304,6 +304,60 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("vorbis-comment block bytes are little-endian (hand-assembled pin)") {
+    // The one little-endian section of the format: u32-LE lengths.
+    val block = Flac.vorbisCommentBytes("AB", Seq("K" -> "V"))
+    val expected = Array[Byte](
+      2, 0, 0, 0, 'A', 'B',        // vendor length LE + vendor
+      1, 0, 0, 0,                  // comment count LE
+      3, 0, 0, 0, 'K', '=', 'V')   // comment length LE + "K=V"
+    assert(block.toSeq == expected.toSeq)
+  }
+
+  test("tags round-trip through the metadata chain, incl. non-ASCII UTF-8") {
+    val pic = Flac.FlacPicture(3, "image/png", "cover é", 32, 48, 24, 0, 5)
+    val stream = Flac.streamBytesWithMeta(44100, 2, 16, 0L,
+      Seq(4 -> Flac.vorbisCommentBytes("vnd", Seq("TITLE" -> "Trâck 1",
+            "ARTIST" -> "Å")),
+          3 -> Flac.seekTableBytes(Seq((0L, 10L, 4096), (4096L, 99L, 4096))),
+          6 -> Flac.pictureBytes(pic, Array.fill(5)(7.toByte)),
+          1 -> Array.fill(4)(0.toByte))) // PADDING is skipped, not refused
+    val tags = Flac.parseTags(stream).get
+    assert(tags.vendor == "vnd")
+    assert(tags.comments == Seq("TITLE" -> "Trâck 1", "ARTIST" -> "Å"))
+    assert(tags.seekpoints == Seq((0L, 10L, 4096), (4096L, 99L, 4096)))
+    assert(tags.picture.contains(pic))
+    // frames still decode when tags are present
+    val pcm = pcmGen(9, 16, 64)
+    val frame = Flac.frameBytes(Array(pcm), 0, 16, 44100,
+      FrameHeaderPlan(6, 9, 4, 0, 0),
+      Array(ChannelPlan(PlanFixed(2), 0, ResidualPlan(0, 0))))
+    val full = Flac.streamBytesWithMeta(44100, 1, 16, 64L,
+      Seq(4 -> Flac.vorbisCommentBytes("v", Nil)), Seq(frame))
+    assert(Flac.decode(full).toOption.get.head.samples(0).toSeq == pcm.toSeq)
+  }
+
+  test("malformed tag blocks refuse") {
+    val good = Flac.streamBytesWithMeta(44100, 2, 16, 0L,
+      Seq(4 -> Flac.vorbisCommentBytes("v", Seq("A" -> "B"))))
+    assert(Flac.parseTags(good).isDefined)
+    // comment length overrunning its block
+    val bad = good.clone
+    bad(good.length - 7) = 0x7f // the LE low byte of the "A=B" length
+    assert(Flac.parseTags(bad).isEmpty)
+    // comment without '='
+    val noEq = Flac.streamBytesWithMeta(44100, 2, 16, 0L,
+      Seq(4 -> Flac.vorbisCommentBytes("v", Seq("AB" -> ""))))
+    assert(Flac.parseTags(noEq).isDefined) // "AB=" is legal
+    // claims one comment, provides none (count field is the last data)
+    val raw = Array[Byte](1, 0, 0, 0, 'v', 1, 0, 0, 0)
+    assert(Flac.parseTags(Flac.streamBytesWithMeta(44100, 2, 16, 0L,
+      Seq(4 -> raw))).isEmpty)
+    // seektable not a multiple of 18
+    assert(Flac.parseTags(Flac.streamBytesWithMeta(44100, 2, 16, 0L,
+      Seq(3 -> Array.fill(17)(0.toByte)))).isEmpty)
+  }
+
   test("streaminfo fields flow into codes 0 and agree with flacMeta") {
     val stream = Flac.streamBytes(96000, 2, 24, 1000, Nil)
     val meta = Multimodal.flacMeta(stream)
