@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
-import graft.pipeline.Flac
+import graft.pipeline.{AudioDispatch, Flac}
 import graft.pipeline.Flac._
 
 /** FLAC payload oracle rows (round 17, continuation session). Each row
@@ -319,6 +319,66 @@ object FlacQueries {
             |       AS BIGINT) AS sample,
             |  CAST(1 + (r+c)%3 AS BIGINT) AS wasted
             |FROM range(24) t0(r), range(2) t2(c), range(32) t3(t)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Unified ingest: a mixed-format audio corpus (WAV / FLAC / MP3 /
+    // ADTS AAC / Layer I / Layer II, some behind ID3v2 tags) routed by
+    // magic-byte sniff to the matching real decoder — the composition
+    // surface a crawl's audio column actually needs.
+    // ------------------------------------------------------------------
+    ("multimodal_audio_dispatch",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).map { id =>
+          val bytes = ((id % 6).toInt: @unchecked) match {
+            case 0 =>
+              val ch = (id % 2).toInt + 1
+              graft.pipeline.Multimodal.wavBytes(44100, ch, 16,
+                new Array[Byte](200 * ch))
+            case 1 =>
+              val bs = 48
+              val frames = (0L to 1L).map { f =>
+                Flac.frameBytes(
+                  Array(Array.tabulate(bs)(t => base(id, f, 0, t)),
+                        Array.tabulate(bs)(t => base(id, f, 1, t))),
+                  1, 16, 44100, FrameHeaderPlan(6, 9, 4, 0, f),
+                  Array.fill(2)(ChannelPlan(PlanFixed(2), 0,
+                    ResidualPlan(0, 0))))
+              }
+              Flac.streamBytes(44100, 2, 16, 96L, frames)
+            case 2 => graft.pipeline.Multimodal.layer3Bytes(id, 3)
+            case 3 => graft.pipeline.Aac.aacLcBytes(id, 2, "long")
+            case 4 => graft.pipeline.Multimodal.layer1Bytes(id, 2)
+            case 5 => graft.pipeline.Multimodal.layer2Bytes(id, 3)
+          }
+          // every third media hides behind an ID3v2 tag (MPEG family
+          // only — RIFF/fLaC magics are position-zero by spec)
+          val wrapped =
+            if (id % 3 == 0 && id % 6 >= 2) {
+              val pad = 6 + (id % 5).toInt
+              Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0,
+                ((pad >> 7) & 0x7f).toByte, (pad & 0x7f).toByte) ++
+                new Array[Byte](pad) ++ bytes
+            } else bytes
+          AudioDispatch.dispatch(wrapped, allowSyntheticAac = true) match {
+            case Right((fmt, rate, ch, units)) =>
+              (id, fmt, rate.toLong, ch.toLong, units)
+            case Left(err) => (id, "refused:" + err, -1L, -1L, -1L)
+          }
+        }.toDF("media_id", "format", "sample_rate", "channels", "units")
+      }): QFn,
+      Some("""SELECT r AS media_id,
+            |  CASE r%6 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+            |       WHEN 3 THEN 'aac' WHEN 4 THEN 'mp1' ELSE 'mp2' END AS format,
+            |  CAST(CASE r%6 WHEN 0 THEN 44100 WHEN 1 THEN 44100 WHEN 2 THEN 48000
+            |       WHEN 3 THEN 48000 WHEN 4 THEN 32000 ELSE 48000 END AS BIGINT)
+            |    AS sample_rate,
+            |  CAST(CASE WHEN r%6 = 0 THEN r%2 + 1 WHEN r%6 = 1 THEN 2
+            |       ELSE 1 END AS BIGINT) AS channels,
+            |  CAST(CASE r%6 WHEN 0 THEN 100 * (r%2 + 1) WHEN 1 THEN 2
+            |       WHEN 2 THEN 3 WHEN 3 THEN 2 WHEN 4 THEN 2 ELSE 3 END AS BIGINT)
+            |    AS units
+            |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Metadata blocks beyond STREAMINFO: VORBIS_COMMENT (the format's
