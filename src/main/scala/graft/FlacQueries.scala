@@ -330,7 +330,7 @@ object FlacQueries {
       ((s: SparkSession, dir: String) => {
         import s.implicits._
         s.range(24).map { id =>
-          val bytes = ((id % 6).toInt: @unchecked) match {
+          val bytes = ((id % 8).toInt: @unchecked) match {
             case 0 =>
               val ch = (id % 2).toInt + 1
               graft.pipeline.Multimodal.wavBytes(44100, ch, 16,
@@ -350,11 +350,17 @@ object FlacQueries {
             case 3 => graft.pipeline.Aac.aacLcBytes(id, 2, "long")
             case 4 => graft.pipeline.Multimodal.layer1Bytes(id, 2)
             case 5 => graft.pipeline.Multimodal.layer2Bytes(id, 3)
+            case 6 =>
+              graft.pipeline.PcmAudio.aiffBytes(22050, 1, 16,
+                Array(Array.tabulate(30)(t => (t * 7 + id.toInt) % 100)))
+            case 7 =>
+              graft.pipeline.PcmAudio.auBytes(1, 8000, 1,
+                Array.tabulate(50)(t => ((id * 7 + t) % 256).toByte))
           }
-          // every third media hides behind an ID3v2 tag (MPEG family
-          // only — RIFF/fLaC magics are position-zero by spec)
+          // every third MPEG-family media hides behind an ID3v2 tag
+          // (RIFF/fLaC/FORM/.snd magics are position-zero by spec)
           val wrapped =
-            if (id % 3 == 0 && id % 6 >= 2) {
+            if (id % 3 == 0 && id % 8 >= 2 && id % 8 <= 5) {
               val pad = 6 + (id % 5).toInt
               Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0,
                 ((pad >> 7) & 0x7f).toByte, (pad & 0x7f).toByte) ++
@@ -368,17 +374,109 @@ object FlacQueries {
         }.toDF("media_id", "format", "sample_rate", "channels", "units")
       }): QFn,
       Some("""SELECT r AS media_id,
-            |  CASE r%6 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
-            |       WHEN 3 THEN 'aac' WHEN 4 THEN 'mp1' ELSE 'mp2' END AS format,
-            |  CAST(CASE r%6 WHEN 0 THEN 44100 WHEN 1 THEN 44100 WHEN 2 THEN 48000
-            |       WHEN 3 THEN 48000 WHEN 4 THEN 32000 ELSE 48000 END AS BIGINT)
+            |  CASE r%8 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+            |       WHEN 3 THEN 'aac' WHEN 4 THEN 'mp1' WHEN 5 THEN 'mp2'
+            |       WHEN 6 THEN 'aiff' ELSE 'au' END AS format,
+            |  CAST(CASE r%8 WHEN 0 THEN 44100 WHEN 1 THEN 44100 WHEN 2 THEN 48000
+            |       WHEN 3 THEN 48000 WHEN 4 THEN 32000 WHEN 5 THEN 48000
+            |       WHEN 6 THEN 22050 ELSE 8000 END AS BIGINT)
             |    AS sample_rate,
-            |  CAST(CASE WHEN r%6 = 0 THEN r%2 + 1 WHEN r%6 = 1 THEN 2
+            |  CAST(CASE WHEN r%8 = 0 THEN r%2 + 1 WHEN r%8 = 1 THEN 2
             |       ELSE 1 END AS BIGINT) AS channels,
-            |  CAST(CASE r%6 WHEN 0 THEN 100 * (r%2 + 1) WHEN 1 THEN 2
-            |       WHEN 2 THEN 3 WHEN 3 THEN 2 WHEN 4 THEN 2 ELSE 3 END AS BIGINT)
+            |  CAST(CASE r%8 WHEN 0 THEN 100 * (r%2 + 1) WHEN 1 THEN 2
+            |       WHEN 2 THEN 3 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+            |       WHEN 6 THEN 30 ELSE 50 END AS BIGINT)
             |    AS units
             |FROM range(24) t(r)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // AIFF: FORM/AIFF chunk walk, COMM with the 80-bit extended-float
+    // sample rate (incl. non-power-of-two rates), SSND offsets, even-
+    // length chunk padding, big-endian interleaved samples.
+    // ------------------------------------------------------------------
+    ("multimodal_aiff_decode",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val rate = Array(44100L, 22050L, 48000L, 8000L, 96000L, 11025L)((id % 6).toInt)
+          val ch = (id % 2).toInt + 1
+          val nf = 40
+          val pcm = Array.tabulate(ch)(c => Array.tabulate(nf)(t =>
+            (((id * 37 + c * 101 + t * 13 + ((t.toLong * t) % 251) * 7) % 4000) - 2000).toInt))
+          val bytes = graft.pipeline.PcmAudio.aiffBytes(rate, ch, 16, pcm,
+            ssndOffset = (id % 3).toInt * 4)
+          graft.pipeline.PcmAudio.aiffDecode(bytes) match {
+            case Some((info, samples)) =>
+              for { c <- 0 until info.channels; t <- 0 until nf }
+                yield (id, info.sampleRate, info.channels.toLong, c.toLong,
+                  t.toLong, samples(c)(t).toLong)
+            case None => throw new IllegalStateException("aiff refused")
+          }
+        }.toDF("media_id", "sample_rate", "channels", "ch", "t", "sample")
+      }): QFn,
+      Some("""SELECT r AS media_id,
+            |  CAST(CASE r%6 WHEN 0 THEN 44100 WHEN 1 THEN 22050 WHEN 2 THEN 48000
+            |       WHEN 3 THEN 8000 WHEN 4 THEN 96000 ELSE 11025 END AS BIGINT)
+            |    AS sample_rate,
+            |  CAST(r%2 + 1 AS BIGINT) AS channels, c AS ch, t,
+            |  CAST((r*37 + c*101 + t*13 + ((t*t)%251)*7) % 4000 - 2000 AS BIGINT)
+            |    AS sample
+            |FROM range(24) t0(r), range(2) t1(c), range(40) t2(t)
+            |WHERE c <= r%2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Sun AU + G.711: mu-law and A-law bytes expanded through the
+    // segmented closed forms (complement vs XOR-0x55, opposite sign
+    // polarity — preserved exactly), next to 16-bit linear BE; the
+    // oracle replays the expansion arithmetic in integer SQL.
+    // ------------------------------------------------------------------
+    ("multimodal_au_g711",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).flatMap { id =>
+          val enc = Array(1, 27, 3)((id % 3).toInt)
+          val n = 64
+          val payload: Array[Byte] = enc match {
+            case 3 =>
+              val out = new Array[Byte](2 * n)
+              (0 until n).foreach { t =>
+                val v = (((id * 37 + t * 13 + ((t.toLong * t) % 251) * 7) % 4096) - 2048).toInt
+                out(2 * t) = ((v >> 8) & 0xff).toByte
+                out(2 * t + 1) = (v & 0xff).toByte
+              }
+              out
+            case _ =>
+              Array.tabulate(n)(t =>
+                (((id * 7 + t * 13 + (t.toLong * t) % 31) % 256)).toByte)
+          }
+          val bytes = graft.pipeline.PcmAudio.auBytes(enc, 8000, 1, payload,
+            dataOffset = 24 + (id % 3).toInt * 4)
+          graft.pipeline.PcmAudio.auDecode(bytes) match {
+            case Some((info, samples)) =>
+              samples.zipWithIndex.map { case (v, t) =>
+                (id, info.encoding.toLong, t.toLong, v.toLong)
+              }.toSeq
+            case None => throw new IllegalStateException("au refused")
+          }
+        }.toDF("media_id", "enc", "t", "sample")
+      }): QFn,
+      Some("""WITH b AS (SELECT r, t,
+            |    (r*7 + t*13 + (t*t)%31) % 256 AS bv,
+            |    (r*37 + t*13 + ((t*t)%251)*7) % 4096 - 2048 AS lin
+            |  FROM range(24) t0(r), range(64) t1(t)),
+            |g AS (SELECT r, t, bv, lin,
+            |    255 - bv AS u, xor(bv, 85) AS a FROM b)
+            |SELECT r AS media_id,
+            |  CAST(CASE r%3 WHEN 0 THEN 1 WHEN 1 THEN 27 ELSE 3 END AS BIGINT) AS enc,
+            |  t,
+            |  CAST(CASE r%3
+            |    WHEN 0 THEN (CASE WHEN u >= 128 THEN -1 ELSE 1 END)
+            |      * (((u%16)*8 + 132) * (1 << ((u//16)%8)) - 132)
+            |    WHEN 1 THEN (CASE WHEN a >= 128 THEN 1 ELSE -1 END)
+            |      * (CASE WHEN (a//16)%8 = 0 THEN (a%16)*16 + 8
+            |              ELSE ((a%16)*16 + 264) * (1 << ((a//16)%8 - 1)) END)
+            |    ELSE lin END AS BIGINT) AS sample
+            |FROM g""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Metadata blocks beyond STREAMINFO: VORBIS_COMMENT (the format's

@@ -12,6 +12,8 @@ package graft.pipeline
   *  - `fLaC`                    → FLAC ([[Flac.decode]])
   *  - 0xFFF sync, 2-bit layer   → 00 ADTS AAC ([[Aac.aacLcDecode]]),
   *    01 Layer III, 10 Layer II, 11 Layer I ([[Multimodal]] decoders)
+  *  - `FORM....AIFF`            → AIFF ([[PcmAudio.aiffDecode]])
+  *  - `.snd`                    → Sun AU ([[PcmAudio.auDecode]])
   *  - `ID3`                     → skip the ID3v2 tag (syncsafe 28-bit
   *    size) and re-sniff the remainder
   */
@@ -62,6 +64,16 @@ object AudioDispatch {
                blocks.map(_.frame).distinct.length.toLong)
             }.toRight("mp1-parse")
       }
+    else if (tag(0, "FORM") && tag(8, "AIFF"))
+      PcmAudio.aiffDecode(bytes)
+        .map { case (i, _) =>
+          ("aiff", i.sampleRate.toInt, i.channels, i.nFrames)
+        }.toRight("aiff-parse")
+    else if (tag(0, ".snd"))
+      PcmAudio.auDecode(bytes)
+        .map { case (i, s) =>
+          ("au", i.sampleRate, i.channels, s.length.toLong)
+        }.toRight("au-parse")
     else if (tag(0, "ID3")) {
       if (bytes.length < 10) Left("id3-truncated")
       else {

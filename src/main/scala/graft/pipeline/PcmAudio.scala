@@ -1,0 +1,221 @@
+package graft.pipeline
+
+/** REAL AIFF and Sun AU (.snd) audio containers + G.711 companding —
+  * the remaining standard PCM-family corpus formats next to WAV.
+  *
+  * AIFF (EA IFF 85 / Apple AIFF 1.3, public spec): FORM/AIFF chunk
+  * walk, COMM (channels, sample frames, bits, and the 80-bit IEEE 754
+  * extended-precision sample rate — sign(1)/exp(15)/explicit-integer-
+  * bit mantissa(64)), SSND with offset/blockSize, big-endian signed
+  * interleaved samples.
+  *
+  * AU (Sun/NeXT .snd, public spec): big-endian header (magic, data
+  * offset, data size, encoding, rate, channels) with encodings 1
+  * (G.711 mu-law), 2 (8-bit linear), 3 (16-bit linear BE), 27 (G.711
+  * A-law).
+  *
+  * G.711 expansion is the classic segmented closed form (the Sun
+  * reference implementation's arithmetic, not a table): mu-law
+  * complements the byte, then mag = ((mant<<3) + 132) << exp, minus
+  * the bias, sign bit set = negative; A-law XORs 0x55, seg 0 adds 8,
+  * higher segs add 0x108 then shift, sign bit set = POSITIVE (the two
+  * laws disagree on sign polarity — preserved exactly). Both are pure
+  * integer formulas, replayable in SQL.
+  */
+object PcmAudio {
+
+  // ------------------------------------------------------------------
+  // G.711
+  // ------------------------------------------------------------------
+
+  def mulawExpand(b: Int): Int = {
+    val u = ~b & 0xff
+    val exp = (u >> 4) & 0x7
+    val mant = u & 0xf
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  def alawExpand(b: Int): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a >> 4) & 0x7
+    val mant = a & 0xf
+    val mag =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  // ------------------------------------------------------------------
+  // 80-bit extended-precision sample rate (AIFF COMM)
+  // ------------------------------------------------------------------
+
+  /** Encode a positive integer rate: exp = 16383 + floor(log2 r),
+    * mantissa left-aligned with the explicit integer bit. */
+  def extended80(rate: Long): Array[Byte] = {
+    require(rate > 0)
+    val top = 63 - java.lang.Long.numberOfLeadingZeros(rate)
+    val exp = 16383 + top
+    val mant = rate << (63 - top)
+    val out = new Array[Byte](10)
+    out(0) = ((exp >> 8) & 0x7f).toByte // sign 0
+    out(1) = (exp & 0xff).toByte
+    (0 until 8).foreach(i => out(2 + i) = ((mant >>> (8 * (7 - i))) & 0xff).toByte)
+    out
+  }
+
+  /** Decode to the nearest integer rate (negative/zero/NaN forms → -1). */
+  def parseExtended80(d: Array[Byte], off: Int): Long = {
+    if (off + 10 > d.length) return -1
+    val sign = (d(off) & 0x80) != 0
+    val exp = ((d(off) & 0x7f) << 8) | (d(off + 1) & 0xff)
+    var mant = 0L
+    (0 until 8).foreach(i => mant = (mant << 8) | (d(off + 2 + i) & 0xffL))
+    if (sign || exp == 0 || exp == 0x7fff || mant == 0) return -1
+    val shift = 16383 + 63 - exp
+    if (shift < 0 || shift > 63) return -1
+    // round to nearest on the dropped bits
+    val v = mant >>> shift
+    val rnd = if (shift > 0 && ((mant >>> (shift - 1)) & 1L) == 1L) 1L else 0L
+    v + rnd
+  }
+
+  // ------------------------------------------------------------------
+  // AIFF
+  // ------------------------------------------------------------------
+
+  final case class AiffInfo(sampleRate: Long, channels: Int, bits: Int,
+                            nFrames: Long)
+
+  def aiffBytes(rate: Long, channels: Int, bits: Int,
+                samples: Array[Array[Int]], ssndOffset: Int = 0): Array[Byte] = {
+    require(bits == 16, "generator emits 16-bit AIFF")
+    val nFrames = samples(0).length
+    val dataLen = nFrames * channels * 2
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = { out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val formLen = 4 + (8 + 18) + (8 + 8 + ssndOffset + dataLen)
+    tag("FORM"); be32(formLen); tag("AIFF")
+    tag("COMM"); be32(18)
+    be16(channels); be32(nFrames); be16(bits)
+    out.write(extended80(rate))
+    tag("SSND"); be32(8 + ssndOffset + dataLen)
+    be32(ssndOffset); be32(0)
+    (0 until ssndOffset).foreach(_ => out.write(0))
+    (0 until nFrames).foreach { t =>
+      (0 until channels).foreach(ch => be16(samples(ch)(t)))
+    }
+    out.toByteArray
+  }
+
+  /** Parse + decode 16-bit AIFF. Returns (info, samples[ch][t]); None
+    * on wrong magic, missing chunks, truncation, or non-16-bit data. */
+  def aiffDecode(bytes: Array[Byte]): Option[(AiffInfo, Array[Array[Int]])] = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def tag(o: Int, s: String): Boolean =
+      o + s.length <= bytes.length &&
+        new String(bytes.slice(o, o + s.length), "US-ASCII") == s
+    if (bytes.length < 12 || !tag(0, "FORM") || !tag(8, "AIFF")) return None
+    var p = 12
+    var info: Option[AiffInfo] = None
+    var data: Option[Array[Array[Int]]] = None
+    var pendingSsnd: Option[(Int, Int)] = None // (dataStart, dataLen)
+    while (p + 8 <= bytes.length) {
+      val ck = new String(bytes.slice(p, p + 4), "US-ASCII")
+      val len = be32(p + 4).toInt
+      if (p + 8 + len > bytes.length) return None
+      ck match {
+        case "COMM" if len >= 18 =>
+          val ch = be16(p + 8)
+          val nf = be32(p + 10)
+          val bits = be16(p + 14)
+          val rate = parseExtended80(bytes, p + 16)
+          if (ch <= 0 || bits != 16 || rate <= 0) return None
+          info = Some(AiffInfo(rate, ch, bits, nf))
+        case "SSND" if len >= 8 =>
+          val off = be32(p + 8).toInt
+          pendingSsnd = Some((p + 16 + off, len - 8 - off))
+        case _ => ()
+      }
+      p += 8 + len + (len & 1) // IFF chunks pad to even length
+    }
+    for {
+      i <- info
+      (start, dlen) <- pendingSsnd
+    } yield {
+      val nf = math.min(i.nFrames, dlen / (2L * i.channels)).toInt
+      val s = Array.ofDim[Int](i.channels, nf)
+      var t = 0
+      while (t < nf) {
+        var ch = 0
+        while (ch < i.channels) {
+          val o = start + 2 * (t * i.channels + ch)
+          val v = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+          s(ch)(t) = if (v >= 0x8000) v - 0x10000 else v
+          ch += 1
+        }
+        t += 1
+      }
+      (i.copy(nFrames = nf), s)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Sun AU
+  // ------------------------------------------------------------------
+
+  final case class AuInfo(encoding: Int, sampleRate: Int, channels: Int)
+
+  def auBytes(encoding: Int, rate: Int, channels: Int,
+              payload: Array[Byte], dataOffset: Int = 24): Array[Byte] = {
+    require(dataOffset >= 24)
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = { out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(".snd".getBytes("US-ASCII"))
+    be32(dataOffset); be32(payload.length); be32(encoding)
+    be32(rate); be32(channels)
+    (24 until dataOffset).foreach(_ => out.write(0))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** Parse + decode AU to linear 16-bit samples (flat, interleaved).
+    * Encodings: 1 mu-law, 2 linear-8 (signed), 3 linear-16 BE,
+    * 27 A-law. None otherwise. */
+  def auDecode(bytes: Array[Byte]): Option[(AuInfo, Array[Int])] = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    if (bytes.length < 24 ||
+        new String(bytes.slice(0, 4), "US-ASCII") != ".snd") return None
+    val off = be32(4).toInt
+    val dataSize = be32(8)
+    val enc = be32(12).toInt
+    val rate = be32(16).toInt
+    val ch = be32(20).toInt
+    if (off < 24 || off > bytes.length || rate <= 0 || ch <= 0) return None
+    val end =
+      if (dataSize == 0xffffffffL) bytes.length
+      else math.min(bytes.length.toLong, off + dataSize).toInt
+    val n = end - off
+    val samples: Array[Int] = enc match {
+      case 1 => Array.tabulate(n)(i => mulawExpand(bytes(off + i) & 0xff))
+      case 27 => Array.tabulate(n)(i => alawExpand(bytes(off + i) & 0xff))
+      case 2 => Array.tabulate(n)(i => bytes(off + i).toInt) // signed 8-bit
+      case 3 =>
+        Array.tabulate(n / 2) { i =>
+          val v = ((bytes(off + 2 * i) & 0xff) << 8) | (bytes(off + 2 * i + 1) & 0xff)
+          if (v >= 0x8000) v - 0x10000 else v
+        }
+      case _ => return None
+    }
+    Some((AuInfo(enc, rate, ch), samples))
+  }
+}

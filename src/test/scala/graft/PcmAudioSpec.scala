@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.PcmAudio
+
+/** AIFF + AU containers and G.711 expansion: pinned against published
+  * reference values (the G.711 table endpoints; the canonical 80-bit
+  * encoding of 44100 Hz found in real AIFF files), plus round trips and
+  * refusal behavior. */
+class PcmAudioSpec extends AnyFunSuite {
+
+  test("G.711 expansion hits the published table endpoints") {
+    // mu-law: 0xFF is digital zero, 0x00 is the negative extreme -32124,
+    // 0x80 the positive extreme +32124 (sign bit clear after complement).
+    assert(PcmAudio.mulawExpand(0xff) == 0)
+    assert(PcmAudio.mulawExpand(0x00) == -32124)
+    assert(PcmAudio.mulawExpand(0x80) == 32124)
+    // A-law: 0x55 -> -8, 0xD5 -> +8 (the smallest magnitudes), 0x2A the
+    // negative extreme -32256, 0xAA the positive extreme +32256.
+    assert(PcmAudio.alawExpand(0x55) == -8)
+    assert(PcmAudio.alawExpand(0xd5) == 8)
+    assert(PcmAudio.alawExpand(0x2a) == -32256)
+    assert(PcmAudio.alawExpand(0xaa) == 32256)
+  }
+
+  test("G.711 expansion is monotone within each sign") {
+    // within the negative mu-law codes 0x00..0x7F magnitude decreases
+    val mu = (0 to 0x7f).map(PcmAudio.mulawExpand)
+    assert(mu == mu.sorted)
+    val muPos = (0x80 to 0xff).map(PcmAudio.mulawExpand)
+    assert(muPos == muPos.sorted.reverse)
+  }
+
+  test("80-bit extended rate: canonical 44100 encoding and round trips") {
+    // the bytes every 44.1 kHz AIFF carries: 40 0E AC 44 00..
+    assert(PcmAudio.extended80(44100).toSeq ==
+      Seq(0x40, 0x0e, 0xac, 0x44, 0, 0, 0, 0, 0, 0).map(_.toByte))
+    Seq(1L, 8000L, 11025L, 22050L, 44100L, 48000L, 96000L, 192000L)
+      .foreach { r =>
+        assert(PcmAudio.parseExtended80(PcmAudio.extended80(r), 0) == r,
+          s"rate $r")
+      }
+    // negative sign / zero mantissa refuse
+    val neg = PcmAudio.extended80(44100)
+    neg(0) = (neg(0) | 0x80).toByte
+    assert(PcmAudio.parseExtended80(neg, 0) == -1)
+    assert(PcmAudio.parseExtended80(new Array[Byte](10), 0) == -1)
+  }
+
+  test("AIFF round-trips with SSND offsets and chunk padding") {
+    val pcm = Array.tabulate(2)(c => Array.tabulate(25)(t => c * 1000 + t * 3 - 40))
+    for (off <- Seq(0, 4)) {
+      val bytes = PcmAudio.aiffBytes(11025, 2, 16, pcm, ssndOffset = off)
+      val Some((info, s)) = PcmAudio.aiffDecode(bytes)
+      assert(info.sampleRate == 11025 && info.channels == 2 &&
+        info.nFrames == 25)
+      assert(s(0).toSeq == pcm(0).toSeq && s(1).toSeq == pcm(1).toSeq)
+    }
+    // truncated SSND decodes nothing rather than misaligned samples
+    val bytes = PcmAudio.aiffBytes(8000, 1, 16, Array(Array.tabulate(10)(identity)))
+    assert(PcmAudio.aiffDecode(bytes.take(bytes.length - 1)).isEmpty)
+    assert(PcmAudio.aiffDecode("FORMxxxxAIFC".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("AU round-trips all four encodings and refuses unknown ones") {
+    val lin = Array.tabulate(20)(t => t * 37 - 300)
+    val be = new Array[Byte](40)
+    lin.indices.foreach { i =>
+      be(2 * i) = ((lin(i) >> 8) & 0xff).toByte
+      be(2 * i + 1) = (lin(i) & 0xff).toByte
+    }
+    val Some((i3, s3)) = PcmAudio.auDecode(PcmAudio.auBytes(3, 16000, 1, be))
+    assert(i3 == PcmAudio.AuInfo(3, 16000, 1) && s3.toSeq == lin.toSeq)
+    val raw = Array.tabulate(16)(i => (i * 17).toByte)
+    val Some((_, s1)) = PcmAudio.auDecode(PcmAudio.auBytes(1, 8000, 1, raw))
+    assert(s1.toSeq == raw.map(b => PcmAudio.mulawExpand(b & 0xff)).toSeq)
+    val Some((_, s27)) = PcmAudio.auDecode(PcmAudio.auBytes(27, 8000, 1, raw))
+    assert(s27.toSeq == raw.map(b => PcmAudio.alawExpand(b & 0xff)).toSeq)
+    val Some((_, s2)) = PcmAudio.auDecode(PcmAudio.auBytes(2, 8000, 1, raw))
+    assert(s2.toSeq == raw.map(_.toInt).toSeq)
+    assert(PcmAudio.auDecode(PcmAudio.auBytes(99, 8000, 1, raw)).isEmpty)
+    // annotation padding before the data offset is skipped
+    val Some((_, sOff)) =
+      PcmAudio.auDecode(PcmAudio.auBytes(1, 8000, 1, raw, dataOffset = 32))
+    assert(sOff.toSeq == s1.toSeq)
+  }
+}
