@@ -263,6 +263,63 @@ object LayoutQueries {
              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
              |FROM documents WHERE doc_id % 13 <> 5
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // Source/sink fidelity through the non-parquet formats Spark ships:
+    // part -> write ORC / CSV / JSON -> read back -> aggregate; the
+    // oracle aggregates the original parquet directly, so any value,
+    // type, or row lost in the round trip mismatches. Like the pruned
+    // IVF probe, the sink write runs EAGERLY at query construction
+    // (documented surprise); the path is md5-keyed on the data dir so
+    // concurrent runs against different dirs never collide.
+    ("source_orc_roundtrip",
+      (s, dir) => sourceRoundtrip(s, dir, "orc"),
+      Some(srcRtOracle)),
+    ("source_csv_roundtrip",
+      (s, dir) => sourceRoundtrip(s, dir, "csv"),
+      Some(srcRtOracle)),
+    ("source_json_roundtrip",
+      (s, dir) => sourceRoundtrip(s, dir, "json"),
+      Some(srcRtOracle))
   )
+
+  // def, not val: referenced from `entries` above, which initializes
+  // first in declaration order — a val here would be captured as null.
+  private def srcRtOracle =
+    """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(p_size) AS BIGINT) AS sum_size,
+      |  MIN(p_type) AS min_type, MAX(p_type) AS max_type,
+      |  ROUND(SUM(p_retailprice), 2) AS sum_price
+      |FROM part GROUP BY p_brand""".stripMargin
+
+  /** part → sink `fmt` → source `fmt` → aggregate. CSV/JSON read back
+    * with the WRITER's schema (inference would widen int32 and reorder
+    * nothing — the explicit schema keeps the round trip honest). */
+  private def sourceRoundtrip(s: SparkSession, dir: String,
+                              fmt: String): DataFrame = {
+    val src = t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"/tmp/graft_srcrt_${fmt}_$key"
+    val w = src.write.mode("overwrite")
+    fmt match {
+      case "csv" => w.option("header", "true").csv(path)
+      case _     => w.format(fmt).save(path)
+    }
+    val back = fmt match {
+      case "csv" =>
+        s.read.schema(src.schema).option("header", "true").csv(path)
+      case "json" => s.read.schema(src.schema).json(path)
+      case _      => s.read.format(fmt).load(path)
+    }
+    back.groupBy("p_brand").agg(
+      count(lit(1)).as("n"),
+      sum("p_partkey").as("sum_key"),
+      sum("p_size").as("sum_size"),
+      min("p_type").as("min_type"),
+      max("p_type").as("max_type"),
+      round(sum("p_retailprice"), 2).as("sum_price"))
+  }
 }
