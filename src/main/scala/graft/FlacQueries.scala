@@ -390,6 +390,48 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // REAL image resize over REAL decoded pixels (replaces the former
+    // byte-truncate stub): GIF decode -> nearest-neighbor to a
+    // non-integer ratio (floor source mapping) and integer box-mean
+    // downscale, both exact-integer and replayed per pixel in SQL.
+    // ------------------------------------------------------------------
+    ("multimodal_resize",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val (w, h) = (24, 16)
+        s.range(24).flatMap { id =>
+          val pixels = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((id * 7 + x * 3 + y * 11) % 256).toByte
+          }
+          val bytes = graft.pipeline.Multimodal.gifBytes(w, h, pixels)
+          val (meta, idx, pal) =
+            graft.pipeline.Multimodal.gifDecode(bytes).get
+          // red channel of the decoded raster (identity-gray palette)
+          val red = idx.map(b => (pal(b & 0xff) >> 16) & 0xff)
+          val nn = graft.pipeline.Multimodal.resizeNearest(red, w, h, 10, 7)
+          val box = graft.pipeline.Multimodal.resizeBoxMean(red, w, h, 2, 2)
+          val nnRows = for (y <- 0 until 7; x <- 0 until 10)
+            yield (id, "nn", x.toLong, y.toLong, nn(y * 10 + x).toLong)
+          val boxRows = for (y <- 0 until 8; x <- 0 until 12)
+            yield (id, "box", x.toLong, y.toLong, box(y * 12 + x).toLong)
+          (nnRows ++ boxRows).toSeq
+        }.toDF("media_id", "op", "x", "y", "v")
+      }): QFn,
+      Some("""WITH nn AS (SELECT r, x, y,
+            |    (r*7 + ((x*24)//10)*3 + ((y*16)//7)*11) % 256 AS v
+            |  FROM range(24) t0(r), range(10) t1(x), range(7) t2(y)),
+            |box AS (SELECT r, x, y,
+            |    (  (r*7 + (2*x)*3   + (2*y)*11) % 256
+            |     + (r*7 + (2*x+1)*3 + (2*y)*11) % 256
+            |     + (r*7 + (2*x)*3   + (2*y+1)*11) % 256
+            |     + (r*7 + (2*x+1)*3 + (2*y+1)*11) % 256) // 4 AS v
+            |  FROM range(24) t0(r), range(12) t1(x), range(8) t2(y))
+            |SELECT r AS media_id, 'nn' AS op, x, y, CAST(v AS BIGINT) AS v FROM nn
+            |UNION ALL
+            |SELECT r, 'box', x, y, CAST(v AS BIGINT) FROM box""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // AIFF: FORM/AIFF chunk walk, COMM with the 80-bit extended-float
     // sample rate (incl. non-power-of-two rates), SSND offsets, even-
     // length chunk padding, big-endian interleaved samples.
@@ -533,6 +575,59 @@ object FlacQueries {
             |  CAST(CASE WHEN r % 2 = 0 THEN 16 * (r % 5 + 1) ELSE -1 END AS BIGINT) AS pic_h,
             |  CAST(CASE WHEN r % 2 = 0 THEN r % 50 + 10 ELSE -1 END AS BIGINT) AS pic_len
             |FROM range(24) t(r)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // COMPOSED audio-corpus ingest: tar shards (the WebDataset layout)
+    // holding six audio formats -> real ustar walk -> magic-byte
+    // dispatch -> per-member routed decode, one DataFrame chain; the
+    // oracle regenerates every member's identity from the closed form.
+    // ------------------------------------------------------------------
+    ("pipeline_audio_ingest",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(8).flatMap { sid =>
+          val members = (0 until 6).map { k =>
+            val id = sid * 6 + k
+            val (ext, bytes) = (k: @unchecked) match {
+              case 0 => ("wav", graft.pipeline.Multimodal.wavBytes(
+                44100, 1, 16, new Array[Byte](120)))
+              case 1 =>
+                val frame = Flac.frameBytes(
+                  Array(Array.tabulate(48)(t => base(id, 0, 0, t))), 0, 16,
+                  44100, FrameHeaderPlan(6, 9, 4, 0, 0),
+                  Array(ChannelPlan(PlanFixed(2), 0, ResidualPlan(0, 0))))
+                ("flac", Flac.streamBytes(44100, 1, 16, 48L, Seq(frame)))
+              case 2 => ("mp3", graft.pipeline.Multimodal.layer3Bytes(id, 2))
+              case 3 => ("aac", graft.pipeline.Aac.aacLcBytes(id, 2, "long"))
+              case 4 => ("au", graft.pipeline.PcmAudio.auBytes(1, 8000, 1,
+                Array.tabulate(40)(t => ((id * 7 + t) % 256).toByte)))
+              case 5 => ("aiff", graft.pipeline.PcmAudio.aiffBytes(22050, 1,
+                16, Array(Array.tabulate(20)(t => (t * 9 + id.toInt) % 500))))
+            }
+            (s"m$id.$ext", bytes)
+          }
+          val tar = graft.pipeline.Multimodal.tarBytes(members)
+          graft.pipeline.Multimodal.tarEntries(tar).map { case (nm, b) =>
+            AudioDispatch.dispatch(b, allowSyntheticAac = true) match {
+              case Right((fmt, rate, _, units)) =>
+                (sid, nm, fmt, rate.toLong, units)
+              case Left(e) => (sid, nm, "refused:" + e, -1L, -1L)
+            }
+          }
+        }.toDF("shard_id", "name", "format", "sample_rate", "units")
+      }): QFn,
+      Some("""SELECT r AS shard_id,
+            |  'm' || (r*6 + k) || '.' ||
+            |    (CASE k WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+            |            WHEN 3 THEN 'aac' WHEN 4 THEN 'au' ELSE 'aiff' END) AS name,
+            |  CASE k WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+            |       WHEN 3 THEN 'aac' WHEN 4 THEN 'au' ELSE 'aiff' END AS format,
+            |  CAST(CASE k WHEN 0 THEN 44100 WHEN 1 THEN 44100 WHEN 2 THEN 48000
+            |       WHEN 3 THEN 48000 WHEN 4 THEN 8000 ELSE 22050 END AS BIGINT)
+            |    AS sample_rate,
+            |  CAST(CASE k WHEN 0 THEN 60 WHEN 1 THEN 1 WHEN 2 THEN 2
+            |       WHEN 3 THEN 2 WHEN 4 THEN 40 ELSE 20 END AS BIGINT) AS units
+            |FROM range(8) t0(r), range(6) t1(k)""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Corruption refusal: pristine streams decode; a flipped strategy

@@ -280,8 +280,55 @@ object LayoutQueries {
       Some(srcRtOracle)),
     ("source_json_roundtrip",
       (s, dir) => sourceRoundtrip(s, dir, "json"),
-      Some(srcRtOracle))
+      Some(srcRtOracle)),
+
+    // CSV fidelity under hostile content: embedded delimiters, quotes,
+    // newlines (multiLine read), tabs, leading/trailing spaces, and
+    // non-ASCII — written and read back with Spark's quoting; the
+    // oracle regenerates the strings from the same closed form, so a
+    // field split or mangled by quoting mismatches.
+    ("source_csv_quoting",
+      (s, dir) => {
+        import s.implicits._
+        val df = (0 until 30).map { i =>
+          (i.toLong, csvNasty(i % 10) + "-" + i, (i.toLong * 37) % 100)
+        }.toDF("id", "s", "v")
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val path = s"/tmp/graft_srcrt_csvq_$key"
+        df.write.mode("overwrite").option("header", "true")
+          // the CSV WRITER trims field whitespace by default — disable
+          // both so the leading/trailing-space fixtures survive
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(path)
+        s.read.schema(df.schema).option("header", "true")
+          .option("multiLine", "true").csv(path)
+      },
+      Some("""SELECT CAST(r AS BIGINT) AS id,
+            |  (CASE r%10 WHEN 0 THEN 'plain' WHEN 1 THEN 'comma,inside'
+            |    WHEN 2 THEN 'quote"inside' WHEN 3 THEN 'both","x'
+            |    WHEN 4 THEN 'newline' || chr(10) || 'inside'
+            |    WHEN 5 THEN 'tab' || chr(9) || 'inside'
+            |    WHEN 6 THEN 'trailing space ' WHEN 7 THEN ' leading'
+            |    WHEN 8 THEN 'unicode-é-ß' ELSE 'empty-next' END)
+            |    || '-' || r AS s,
+            |  CAST((r*37) % 100 AS BIGINT) AS v
+            |FROM range(30) t(r)""".stripMargin))
   )
+
+  private def csvNasty(k: Int): String = k match {
+    case 0 => "plain"
+    case 1 => "comma,inside"
+    case 2 => "quote\"inside"
+    case 3 => "both\",\"x"
+    case 4 => "newline\ninside"
+    case 5 => "tab\tinside"
+    case 6 => "trailing space "
+    case 7 => " leading"
+    case 8 => "unicode-é-ß"
+    case _ => "empty-next"
+  }
 
   // def, not val: referenced from `entries` above, which initializes
   // first in declaration order — a val here would be captured as null.

@@ -8944,10 +8944,39 @@ object Multimodal {
          |  i -> substring($mediaCol, cast(i * $frameBytes + 1 as int), $frameBytes))"""
         .stripMargin))
 
-  /** 'Resize' stub: truncate/pad payload to a target byte budget (stands in
-    * for a real resample; keeps schema + sizes honest). */
-  def resizeStub(df: DataFrame, mediaCol: String, targetBytes: Int): DataFrame =
-    df.withColumn(mediaCol,
-      substring(col(mediaCol), 1, targetBytes))
-      .withColumn("resized_bytes", length(col(mediaCol)).cast("long"))
+  /** REAL nearest-neighbor resize of a single-channel raster (row-major):
+    * source coordinate sx = ⌊x·w/ow⌋, sy = ⌊y·h/oh⌋ — the classic integer
+    * NN mapping, exact and replayable (replaces the former byte-truncate
+    * resize stub now that decode-to-pixels is real). */
+  def resizeNearest(px: Array[Int], w: Int, h: Int,
+                    ow: Int, oh: Int): Array[Int] =
+    Array.tabulate(ow * oh) { i =>
+      val x = i % ow
+      val y = i / ow
+      px((y * h / oh) * w + (x * w / ow))
+    }
+
+  /** Integer box-mean downscale by (fx, fy): floor-mean of each fx×fy
+    * block — the antialiased downscale in exact integer form. */
+  def resizeBoxMean(px: Array[Int], w: Int, h: Int,
+                    fx: Int, fy: Int): Array[Int] = {
+    require(w % fx == 0 && h % fy == 0, "box resize needs integer tiling")
+    val ow = w / fx
+    val oh = h / fy
+    Array.tabulate(ow * oh) { i =>
+      val x = i % ow
+      val y = i / ow
+      var s = 0
+      var dy = 0
+      while (dy < fy) {
+        var dx = 0
+        while (dx < fx) {
+          s += px((y * fy + dy) * w + (x * fx + dx))
+          dx += 1
+        }
+        dy += 1
+      }
+      s / (fx * fy)
+    }
+  }
 }
