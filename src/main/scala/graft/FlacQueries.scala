@@ -577,6 +577,74 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // REAL TIFF raster decode: strip organization (multi-strip with a
+    // short final strip vs single-strip inline tags), both byte orders,
+    // gray and RGB, inline-vs-offset IFD value encoding; uncompressed
+    // strips must tile the image exactly.
+    // ------------------------------------------------------------------
+    ("multimodal_tiff_decode",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val (w, h) = (12, 8)
+        s.range(24).flatMap { id =>
+          val spp = if (id % 2 == 0) 1 else 3
+          val n = w * h * spp
+          val px = Array.tabulate(n)(i =>
+            ((id * 7 + i * 3 + (i.toLong * i) % 97) % 256).toByte)
+          val bytes = graft.pipeline.TiffRaster.tiffRasterBytes(
+            w, h, spp, px, rowsPerStrip = Array(3, 4, 10)((id % 3).toInt),
+            packBits = false, littleEndian = id % 4 < 2)
+          graft.pipeline.TiffRaster.tiffRasterDecode(bytes) match {
+            case Some((info, out)) =>
+              require(info.width == w && info.height == h && info.spp == spp)
+              out.zipWithIndex.map { case (v, i) =>
+                (id, i.toLong, (v & 0xff).toLong)
+              }.toSeq
+            case None => throw new IllegalStateException("tiff refused")
+          }
+        }.toDF("media_id", "i", "v")
+      }): QFn,
+      Some("""SELECT r AS media_id, i,
+            |  CAST((r*7 + i*3 + (i*i)%97) % 256 AS BIGINT) AS v
+            |FROM range(24) t0(r), range(288) t1(i)
+            |WHERE i < CASE WHEN r%2 = 0 THEN 96 ELSE 288 END""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // REAL TIFF PackBits strips (Compression 32773): run packets,
+    // literal packets, run/literal interleave from a plateau formula;
+    // decode must produce exactly the strip's expected byte count.
+    // ------------------------------------------------------------------
+    ("multimodal_tiff_packbits",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val (w, h) = (12, 8)
+        s.range(24).flatMap { id =>
+          val spp = if (id % 2 == 0) 1 else 3
+          val n = w * h * spp
+          val px = Array.tabulate(n) { i =>
+            (if (i % 31 < 3) (i * 11 + id) % 256
+             else ((i / 5) * 13 + id * 7) % 256).toByte
+          }
+          val bytes = graft.pipeline.TiffRaster.tiffRasterBytes(
+            w, h, spp, px, rowsPerStrip = Array(3, 4, 10)((id % 3).toInt),
+            packBits = true, littleEndian = id % 4 >= 2)
+          graft.pipeline.TiffRaster.tiffRasterDecode(bytes) match {
+            case Some((info, out)) =>
+              require(info.compression == 32773)
+              out.zipWithIndex.map { case (v, i) =>
+                (id, i.toLong, (v & 0xff).toLong)
+              }.toSeq
+            case None => throw new IllegalStateException("tiff refused")
+          }
+        }.toDF("media_id", "i", "v")
+      }): QFn,
+      Some("""SELECT r AS media_id, i,
+            |  CAST(CASE WHEN i % 31 < 3 THEN (i*11 + r) % 256
+            |       ELSE ((i//5)*13 + r*7) % 256 END AS BIGINT) AS v
+            |FROM range(24) t0(r), range(288) t1(i)
+            |WHERE i < CASE WHEN r%2 = 0 THEN 96 ELSE 288 END""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // COMPOSED audio-corpus ingest: tar shards (the WebDataset layout)
     // holding six audio formats -> real ustar walk -> magic-byte
     // dispatch -> per-member routed decode, one DataFrame chain; the

@@ -314,8 +314,71 @@ object LayoutQueries {
             |    WHEN 8 THEN 'unicode-é-ß' ELSE 'empty-next' END)
             |    || '-' || r AS s,
             |  CAST((r*37) % 100 AS BIGINT) AS v
-            |FROM range(30) t(r)""".stripMargin))
+            |FROM range(30) t(r)""".stripMargin)),
+
+    ("source_csv_gzip_roundtrip",
+      (s, dir) => csvGzipRoundtrip(s, dir),
+      Some(srcRtOracle)),
+
+    ("source_json_corrupt",
+      (s, dir) => jsonCorrupt(s, dir),
+      Some("""SELECT CAST(50 AS BIGINT) AS n_lines,
+            |  CAST(10 AS BIGINT) AS n_corrupt,
+            |  CAST((SELECT SUM((r*37) % 100) FROM range(50) t(r)
+            |        WHERE r % 5 <> 4) AS BIGINT) AS sum_good_v""".stripMargin))
   )
+
+  // Compressed text-source round trip: gzip is the JDK-backed codec
+  // (the hadoop-native zstd/lz4 text codecs need libhadoop, absent
+  // here; parquet-internal zstd is separate and already exercised).
+  private def csvGzipRoundtrip(s: SparkSession, dir: String) = {
+    val src = t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"/tmp/graft_srcrt_csvgz_$key"
+    src.write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(path)
+    s.read.schema(src.schema).option("header", "true").csv(path)
+      .groupBy("p_brand").agg(
+        count(lit(1)).as("n"),
+        sum("p_partkey").as("sum_key"),
+        sum("p_size").as("sum_size"),
+        min("p_type").as("min_type"),
+        max("p_type").as("max_type"),
+        round(sum("p_retailprice"), 2).as("sum_price"))
+  }
+
+  // PERMISSIVE JSON ingest with corrupt-record accounting: every fifth
+  // line is malformed; the reader must capture it in the corrupt column
+  // without dropping or mis-parsing the good lines. (Cached before
+  // aggregation — Spark refuses raw-file queries that reference only
+  // the corrupt column.)
+  private def jsonCorrupt(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"/tmp/graft_srcrt_jsonc_$key"
+    (0 until 50).map { i =>
+      if (i % 5 == 4) s"""{"id":$i,"v":"""
+      else s"""{"id":$i,"v":${(i * 37) % 100}}"""
+    }.toDF("value").coalesce(1).write.mode("overwrite").text(path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_bad",
+        org.apache.spark.sql.types.StringType)))
+    val df = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(path).cache()
+    df.agg(
+      count(lit(1)).as("n_lines"),
+      count(col("_bad")).as("n_corrupt"),
+      sum(when(col("_bad").isNull, col("v"))).as("sum_good_v"))
+  }
 
   private def csvNasty(k: Int): String = k match {
     case 0 => "plain"
