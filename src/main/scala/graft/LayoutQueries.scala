@@ -325,7 +325,84 @@ object LayoutQueries {
       Some("""SELECT CAST(50 AS BIGINT) AS n_lines,
             |  CAST(10 AS BIGINT) AS n_corrupt,
             |  CAST((SELECT SUM((r*37) % 100) FROM range(50) t(r)
-            |        WHERE r % 5 <> 4) AS BIGINT) AS sum_good_v""".stripMargin))
+            |        WHERE r % 5 <> 4) AS BIGINT) AS sum_good_v""".stripMargin)),
+
+    // Parquet internal compression codecs (the choice that matters at
+    // corpus scale): the same table written with each codec Spark ships
+    // jars for, read back, identically aggregated — one result row per
+    // codec, all four identical to the parquet original.
+    ("source_parquet_codecs",
+      (s, dir) => {
+        val src = t(s, dir, "part")
+          .select("p_partkey", "p_brand", "p_size")
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        Seq("zstd", "snappy", "gzip", "lz4").map { codec =>
+          val path = s"/tmp/graft_srcrt_pq_${codec}_$key"
+          src.write.mode("overwrite").option("compression", codec)
+            .parquet(path)
+          s.read.parquet(path).agg(
+            count(lit(1)).as("n"),
+            sum("p_partkey").as("sum_key"),
+            sum("p_size").as("sum_size"),
+            countDistinct("p_brand").as("n_brands"))
+            .withColumn("codec", lit(codec))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""SELECT codec, COUNT(*) AS n,
+            |  CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+            |  CAST(SUM(p_size) AS BIGINT) AS sum_size,
+            |  CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+            |FROM part, (SELECT UNNEST(['zstd','snappy','gzip','lz4']) AS codec)
+            |GROUP BY codec""".stripMargin)),
+
+    // Daily resampling with LINEAR interpolation across gaps — the
+    // other standard regularization fill next to LOCF: interior gap
+    // days get the distance-weighted blend of the surrounding observed
+    // day-values over the per-user calendar spine.
+    ("ts_interpolate",
+      (s, dir) => graft.streaming.EventStreams.resampleDailyInterp(
+        graft.model.KG.eventsNs(s, dir)),
+      Some("""WITH ev AS (SELECT user_id, event_id, value, ts,
+             |              CAST(ts AS DATE) AS day FROM events),
+             |daily AS (
+             |  SELECT user_id, day, COUNT(*) AS n_events,
+             |    MAX(struct_pack(a := ts, b := event_id, c := value)).c
+             |      AS day_value
+             |  FROM ev GROUP BY 1, 2),
+             |spine AS (
+             |  SELECT user_id,
+             |    CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+             |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+             |        FROM daily GROUP BY 1)),
+             |j AS (SELECT s.user_id, s.day, d.n_events, d.day_value
+             |      FROM spine s LEFT JOIN daily d
+             |        ON d.user_id = s.user_id AND d.day = s.day),
+             |k AS (SELECT user_id, day, n_events, day_value,
+             |    LAST_VALUE(day_value IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    LAST_VALUE(CASE WHEN day_value IS NOT NULL THEN day END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |    FIRST_VALUE(day_value IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |    FIRST_VALUE(CASE WHEN day_value IS NOT NULL THEN day END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |  FROM j)
+             |SELECT user_id, CAST(day AS VARCHAR) AS day,
+             |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+             |  ROUND(CASE WHEN day_value IS NOT NULL THEN day_value
+             |    ELSE pv + (nv - pv) * (day - pd) * 1.0 / (nd - pd) END, 6)
+             |    AS interp_value,
+             |  CAST(CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             |    AS gap
+             |FROM k""".stripMargin))
   )
 
   // Compressed text-source round trip: gzip is the JDK-backed codec

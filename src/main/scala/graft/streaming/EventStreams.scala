@@ -287,4 +287,46 @@ object EventStreams {
           .as("locf_value"),
         when(col("n_events").isNull, 1L).otherwise(0L).as("gap"))
   }
+
+  /** Daily resampling with LINEAR interpolation across gaps (the other
+    * standard series-regularization fill next to LOCF): interior gap
+    * days get prev + (next − prev)·(day − prevDay)/(nextDay − prevDay)
+    * over the per-user calendar spine; spine endpoints are observed
+    * days by construction, so prev/next always exist. Same windowed
+    * shape as [[resampleDailyLocf]] — partitioned Window, no driver
+    * state, scales per user key. */
+  def resampleDailyInterp(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+           max(struct(col("ts"), col("event_id"), col("value")))
+             .as("last_ev"))
+      .select(col("user_id"), col("day"), col("n_events"),
+              col("last_ev.value").as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+              explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("user_id").orderBy("day")
+    val wPrev = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wNext = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    val obsDay = when(col("day_value").isNotNull, col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(obsDay, ignoreNulls = true).over(wPrev).as("pd"),
+        first(col("day_value"), ignoreNulls = true).over(wNext).as("nv"),
+        first(obsDay, ignoreNulls = true).over(wNext).as("nd"))
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        col("n_events"),
+        round(when(col("day_value").isNotNull, col("day_value"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            datediff(col("day"), col("pd")) /
+            datediff(col("nd"), col("pd"))), 6).as("interp_value"),
+        when(col("day_value").isNull, 1L).otherwise(0L).as("gap"))
+  }
 }
