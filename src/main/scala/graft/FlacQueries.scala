@@ -577,6 +577,44 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // G.711 as a NATIVE SQL function: the codegen expression
+    // g711_expand(payload [, law]) over a binary column — the
+    // whole-stage-codegen path for telephony-corpus PCM, no UDF, no
+    // per-row decoder object; the oracle replays the segmented
+    // arithmetic per byte.
+    // ------------------------------------------------------------------
+    ("multimodal_g711_sql",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        graft.functions.ArrayKernels.register(s)
+        val df = s.range(24).map { id =>
+          (id, Array.tabulate(48)(t =>
+            ((id * 11 + t * 7 + (t.toLong * t) % 53) % 256).toByte))
+        }.toDF("media_id", "payload")
+        val mu = df.selectExpr("media_id", "'mulaw' AS law",
+          "posexplode(g711_expand(payload)) AS (t, sample)")
+        val al = df.selectExpr("media_id", "'alaw' AS law",
+          "posexplode(g711_expand(payload, 'alaw')) AS (t, sample)")
+        mu.unionByName(al)
+          .select(col("media_id"), col("law"),
+            col("t").cast("long").as("t"),
+            col("sample").cast("long").as("sample"))
+      }): QFn,
+      Some("""WITH b AS (SELECT r, t, (r*11 + t*7 + (t*t)%53) % 256 AS bv
+            |  FROM range(24) t0(r), range(48) t1(t)),
+            |g AS (SELECT r, t, 255 - bv AS u, xor(bv, 85) AS a FROM b)
+            |SELECT r AS media_id, 'mulaw' AS law, t,
+            |  CAST((CASE WHEN u >= 128 THEN -1 ELSE 1 END)
+            |    * (((u%16)*8 + 132) * (1 << ((u//16)%8)) - 132) AS BIGINT) AS sample
+            |FROM g
+            |UNION ALL
+            |SELECT r, 'alaw', t,
+            |  CAST((CASE WHEN a >= 128 THEN 1 ELSE -1 END)
+            |    * (CASE WHEN (a//16)%8 = 0 THEN (a%16)*16 + 8
+            |            ELSE ((a%16)*16 + 264) * (1 << ((a//16)%8 - 1)) END) AS BIGINT)
+            |FROM g""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // REAL TIFF raster decode: strip organization (multi-strip with a
     // short final strip vs single-strip inline tags), both byte orders,
     // gray and RGB, inline-vs-offset IFD value encoding; uncompressed

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DecimalType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions (with doGenCode) for the hot vector kernels
   * of SURVEY §2.6. The higher-order-function formulations in
@@ -669,6 +670,61 @@ case class Int128Dot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** G.711 expansion of a companded byte payload to linear PCM — the
+  * Catalyst-native form of [[graft.pipeline.PcmAudio.mulawExpand]] /
+  * `alawExpand` for SQL pipelines over mu-law/A-law audio columns (a
+  * telephony corpus is one `g711_expand(payload, 'mulaw')` from linear
+  * samples, inside whole-stage codegen, no UDF). The segmented
+  * arithmetic is inlined in the generated Java; equivalence with the
+  * reference decoder is spec-asserted over all 256 codes. */
+case class G711Expand(child: Expression, alaw: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"g711_expand needs a BINARY payload, got ${child.dataType}")
+  override def nullSafeEval(b: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = if (alaw) graft.pipeline.PcmAudio.alawExpand(bytes(i) & 0xff)
+               else graft.pipeline.PcmAudio.mulawExpand(bytes(i) & 0xff)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      val mag = ctx.freshName("mag")
+      val seg = ctx.freshName("seg")
+      val body =
+        if (alaw)
+          s"""int $v = ($b[$i] ^ 0x55) & 0xff;
+             |int $seg = ($v >> 4) & 0x7;
+             |int $mag = $seg == 0 ? (($v & 0xf) << 4) + 8
+             |  : (((($v & 0xf) << 4) + 0x108) << ($seg - 1));
+             |$out[$i] = ($v & 0x80) != 0 ? $mag : -$mag;""".stripMargin
+        else
+          s"""int $v = (~$b[$i]) & 0xff;
+             |int $mag = (((($v & 0xf) << 3) + 0x84) << (($v >> 4) & 0x7)) - 0x84;
+             |$out[$i] = ($v & 0x80) != 0 ? -$mag : $mag;""".stripMargin
+      s"""
+         |int[] $out = new int[$b.length];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  ${body}
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object ArrayKernels {
   /** PQ arity arguments (m, k) must be integer literals; any integral
     * type a SQL caller might write (16, CAST(16 AS BIGINT), 16S) is
@@ -714,7 +770,14 @@ object ArrayKernels {
     "strip_accents" -> (es => StripAccents(es(0))),
     "int128_dot" -> (es => Int128Dot(es(0), es(1))),
     "array_l1_long" -> (es => ArrayL1Long(es(0), es(1))),
-    "bpe_apply" -> (es => BpeApply(es(0), es(1))))
+    "bpe_apply" -> (es => BpeApply(es(0), es(1))),
+    "g711_expand" -> (es => G711Expand(es(0),
+      es.length > 1 && stringArg(es(1)) == "alaw")))
+
+  private def stringArg(e: Expression): String = {
+    require(e.foldable, s"law argument must be a string literal, got: $e")
+    String.valueOf(e.eval(null))
+  }
 
   /** Idempotent session-local registration (the non-extensions path). */
   def register(spark: SparkSession): Unit =
