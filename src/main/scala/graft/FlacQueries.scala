@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, element_at, split}
 
 import graft.pipeline.{AudioDispatch, Flac}
 import graft.pipeline.Flac._
@@ -575,6 +575,65 @@ object FlacQueries {
             |  CAST(CASE WHEN r % 2 = 0 THEN 16 * (r % 5 + 1) ELSE -1 END AS BIGINT) AS pic_h,
             |  CAST(CASE WHEN r % 2 = 0 THEN r % 50 + 10 ELSE -1 END AS BIGINT) AS pic_len
             |FROM range(24) t(r)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // binaryFile source ingest: the standard Spark pattern for media
+    // corpora at scale — one file per media object, read as
+    // (path, length, content), routed through the dispatcher. The sink
+    // dir is md5-keyed on the data dir; modificationTime is excluded
+    // (nondeterministic by nature).
+    // ------------------------------------------------------------------
+    ("pipeline_binaryfile_ingest",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val root = new java.io.File(s"/tmp/graft_binmedia_$key")
+        root.mkdirs()
+        // clear stale members so a fixture change never leaves extras
+        Option(root.listFiles).foreach(_.foreach(_.delete()))
+        (0 until 18).foreach { i =>
+          val (ext, bytes) = (i % 3) match {
+            case 0 => ("wav", graft.pipeline.Multimodal.wavBytes(
+              44100, 1, 16, new Array[Byte](2 * (40 + i))))
+            case 1 =>
+              val frame = Flac.frameBytes(
+                Array(Array.tabulate(48)(t => base(i, 0, 0, t))), 0, 16,
+                44100, FrameHeaderPlan(6, 9, 4, 0, 0),
+                Array(ChannelPlan(PlanFixed(2), 0, ResidualPlan(0, 0))))
+              ("flac", Flac.streamBytes(44100, 1, 16, 48L, Seq(frame)))
+            case 2 => ("au", graft.pipeline.PcmAudio.auBytes(27, 8000, 1,
+              Array.tabulate(30 + i)(t => ((i * 3 + t) % 256).toByte)))
+          }
+          val f = new java.io.FileOutputStream(
+            new java.io.File(root, f"media_$i%03d.$ext"))
+          f.write(bytes); f.close()
+        }
+        s.read.format("binaryFile").load(root.getAbsolutePath)
+          .select(
+            element_at(split(col("path"), "/"), -1).as("name"),
+            col("length"), col("content"))
+          .as[(String, Long, Array[Byte])]
+          .map { case (name, len, content) =>
+            // FLAC stream length depends on the Rice coding — not a
+            // closed form; the wav/au headers make length exact.
+            val lenOut = if (name.endsWith(".flac")) -1L else len
+            AudioDispatch.dispatch(content) match {
+              case Right((fmt, rate, _, units)) => (name, lenOut, fmt, units)
+              case Left(e) => (name, lenOut, "refused:" + e, -1L)
+            }
+          }.toDF("name", "length", "format", "units")
+      }): QFn,
+      Some("""SELECT 'media_' || lpad(CAST(r AS VARCHAR), 3, '0') || '.' ||
+            |    (CASE r%3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'au' END)
+            |    AS name,
+            |  CAST(CASE r%3 WHEN 0 THEN 44 + 2*(40 + r)
+            |       WHEN 2 THEN 24 + 30 + r ELSE -1 END AS BIGINT) AS length,
+            |  CASE r%3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'au' END
+            |    AS format,
+            |  CAST(CASE r%3 WHEN 0 THEN 40 + r WHEN 1 THEN 1
+            |       ELSE 30 + r END AS BIGINT) AS units
+            |FROM range(18) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
     // G.711 as a NATIVE SQL function: the codegen expression

@@ -356,6 +356,32 @@ object LayoutQueries {
             |FROM part, (SELECT UNNEST(['zstd','snappy','gzip','lz4']) AS codec)
             |GROUP BY codec""".stripMargin)),
 
+    // XML extraction with the built-in from_xml (XML moved into Spark
+    // core in 4.x): element fields, an attribute (_id), and a repeated
+    // element collected as an array — the remaining text-corpus markup
+    // format next to JSON/HTML/sitemaps.
+    ("source_xml_extract",
+      (s, dir) => {
+        import s.implicits._
+        (0 until 40).map { i =>
+          val tags = (0 to i % 3).map(k => s"<tag>t${(i + k) % 7}</tag>")
+            .mkString
+          (i.toLong,
+           s"""<rec id="$i"><name>n-$i</name><v>${(i * 37) % 100}</v>$tags</rec>""")
+        }.toDF("row_id", "xml")
+          .selectExpr("row_id",
+            "from_xml(xml, 'struct<_id:bigint,name:string,v:bigint,tag:array<string>>') AS r")
+          .select(col("row_id"), col("r._id").as("id"),
+            col("r.name").as("name"), col("r.v").as("v"),
+            size(col("r.tag")).cast("long").as("n_tags"),
+            element_at(col("r.tag"), 1).as("first_tag"))
+      },
+      Some("""SELECT r AS row_id, CAST(r AS BIGINT) AS id,
+            |  'n-' || r AS name, CAST((r*37) % 100 AS BIGINT) AS v,
+            |  CAST(r % 3 + 1 AS BIGINT) AS n_tags,
+            |  't' || (r % 7) AS first_tag
+            |FROM range(40) t(r)""".stripMargin)),
+
     // Daily resampling with LINEAR interpolation across gaps — the
     // other standard regularization fill next to LOCF: interior gap
     // days get the distance-weighted blend of the surrounding observed
