@@ -577,6 +577,41 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // ID3v1 / ID3v1.1 trailers: the fixed 128-byte end tag (v1.1 track
+    // detection via the zero byte at offset 125), fields unpadded; the
+    // MP3 frames before the trailer must still decode.
+    // ------------------------------------------------------------------
+    ("multimodal_id3v1",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).map { id =>
+          val v11 = id % 2 == 0
+          val tag = graft.pipeline.PcmAudio.Id3v1(
+            s"Title $id", s"Artist ${id % 5}", s"Album ${id % 3}",
+            (1990 + id % 30).toString, s"c$id",
+            if (v11) (id % 20 + 1).toInt else 0, (id % 80).toInt)
+          val stream = graft.pipeline.Multimodal.layer3Bytes(id, 2) ++
+            graft.pipeline.PcmAudio.id3v1Bytes(tag)
+          val p = graft.pipeline.PcmAudio.id3v1Parse(stream).get
+          val nFrames = graft.pipeline.Multimodal.layer3Decode(stream)
+            .map(_._2.map(_.frame).distinct.length.toLong).getOrElse(-1L)
+          (id, p.title, p.artist, p.album, p.year, p.comment,
+           p.track.toLong, p.genre.toLong, nFrames)
+        }.toDF("media_id", "title", "artist", "album", "year", "comment",
+               "track", "genre", "n_frames")
+      }): QFn,
+      Some("""SELECT r AS media_id,
+            |  'Title ' || r AS title, 'Artist ' || (r % 5) AS artist,
+            |  'Album ' || (r % 3) AS album,
+            |  CAST(1990 + r % 30 AS VARCHAR) AS year,
+            |  'c' || r AS comment,
+            |  CAST(CASE WHEN r % 2 = 0 THEN r % 20 + 1 ELSE 0 END AS BIGINT)
+            |    AS track,
+            |  CAST(r % 80 AS BIGINT) AS genre,
+            |  CAST(2 AS BIGINT) AS n_frames
+            |FROM range(24) t(r)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // binaryFile source ingest: the standard Spark pattern for media
     // corpora at scale — one file per media object, read as
     // (path, length, content), routed through the dispatcher. The sink

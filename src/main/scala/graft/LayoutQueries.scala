@@ -356,6 +356,13 @@ object LayoutQueries {
             |FROM part, (SELECT UNNEST(['zstd','snappy','gzip','lz4']) AS codec)
             |GROUP BY codec""".stripMargin)),
 
+    ("q_null_semantics",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("part_ns")
+        s.sql(nullSemSql("part_ns"))
+      },
+      Some(nullSemSql("part"))),
+
     // XML extraction with the built-in from_xml (XML moved into Spark
     // core in 4.x): element fields, an attribute (_id), and a repeated
     // element collected as an array — the remaining text-corpus markup
@@ -430,6 +437,29 @@ object LayoutQueries {
              |    AS gap
              |FROM k""".stripMargin))
   )
+
+  /** ANSI three-valued-logic conformance, identical SQL on both engines:
+    * NOT IN against a NULL-bearing set never matches, UNKNOWN predicates,
+    * COUNT/COUNT(col)/COUNT(DISTINCT) null treatment, IS NOT DISTINCT
+    * FROM. Any engine that "fixes" NULL semantics mismatches. */
+  private def nullSemSql(tbl: String): String =
+    s"""WITH x AS (SELECT p_partkey AS k,
+       |  CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_size END AS v
+       |  FROM $tbl)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+       |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       |  CAST(SUM(CASE WHEN v IN (5, 10) THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+       |  CAST(SUM(CASE WHEN v NOT IN (5, 10) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_not_in,
+       |  CAST(SUM(CASE WHEN (v = 5) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unknown,
+       |  CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ndist_null,
+       |  CAST((SELECT COUNT(*) FROM x x2
+       |        WHERE x2.k NOT IN (SELECT v FROM x)) AS BIGINT)
+       |    AS n_notin_nullset
+       |FROM x""".stripMargin
 
   // Compressed text-source round trip: gzip is the JDK-backed codec
   // (the hadoop-native zstd/lz4 text codecs need libhadoop, absent

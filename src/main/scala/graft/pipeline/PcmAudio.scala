@@ -167,6 +167,50 @@ object PcmAudio {
   }
 
   // ------------------------------------------------------------------
+  // ID3v1 / ID3v1.1 trailer (the fixed 128-byte tag at stream end —
+  // the other ID3 form next to the v2 header Multimodal already walks)
+  // ------------------------------------------------------------------
+
+  final case class Id3v1(title: String, artist: String, album: String,
+                         year: String, comment: String, track: Int,
+                         genre: Int)
+
+  def id3v1Bytes(t: Id3v1): Array[Byte] = {
+    val out = new Array[Byte](128)
+    def put(off: Int, s: String, len: Int): Unit = {
+      val b = s.getBytes("ISO-8859-1")
+      System.arraycopy(b, 0, out, off, math.min(b.length, len))
+    }
+    put(0, "TAG", 3)
+    put(3, t.title, 30); put(33, t.artist, 30); put(63, t.album, 30)
+    put(93, t.year, 4)
+    if (t.track > 0) { // v1.1: 28-byte comment + zero + track
+      put(97, t.comment, 28)
+      out(126) = t.track.toByte
+    } else put(97, t.comment, 30)
+    out(127) = t.genre.toByte
+    out
+  }
+
+  /** Parse the trailing 128 bytes; v1.1 track detected by the zero byte
+    * at offset 125 with a nonzero track at 126. Fields trimmed of the
+    * NUL/space padding. None without the TAG magic. */
+  def id3v1Parse(bytes: Array[Byte]): Option[Id3v1] = {
+    if (bytes.length < 128) return None
+    val o = bytes.length - 128
+    if (bytes(o) != 'T' || bytes(o + 1) != 'A' || bytes(o + 2) != 'G')
+      return None
+    def str(off: Int, len: Int): String =
+      new String(bytes, o + off, len, "ISO-8859-1")
+        .takeWhile(_ != '\u0000').reverse.dropWhile(_ == ' ').reverse
+    val v11 = bytes(o + 125) == 0 && bytes(o + 126) != 0
+    Some(Id3v1(str(3, 30), str(33, 30), str(63, 30), str(93, 4),
+      if (v11) str(97, 28) else str(97, 30),
+      if (v11) bytes(o + 126) & 0xff else 0,
+      bytes(o + 127) & 0xff))
+  }
+
+  // ------------------------------------------------------------------
   // Sun AU
   // ------------------------------------------------------------------
 

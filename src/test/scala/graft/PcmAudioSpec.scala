@@ -62,6 +62,19 @@ class PcmAudioSpec extends AnyFunSuite {
     assert(PcmAudio.aiffDecode("FORMxxxxAIFC".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("ID3v1 and v1.1 trailers round-trip; non-tags refuse") {
+    val v11 = PcmAudio.Id3v1("A Title With Spaces", "Artist", "Album",
+      "1999", "comment", 7, 42)
+    val p11 = PcmAudio.id3v1Parse(Array.fill(64)(0xff.toByte) ++
+      PcmAudio.id3v1Bytes(v11)).get
+    assert(p11 == v11)
+    val v10 = v11.copy(track = 0, comment = "a 30-byte-capable comment xx")
+    val p10 = PcmAudio.id3v1Parse(PcmAudio.id3v1Bytes(v10)).get
+    assert(p10 == v10)
+    assert(PcmAudio.id3v1Parse(new Array[Byte](128)).isEmpty)
+    assert(PcmAudio.id3v1Parse(new Array[Byte](100)).isEmpty)
+  }
+
   test("AU round-trips all four encodings and refuses unknown ones") {
     val lin = Array.tabulate(20)(t => t * 37 - 300)
     val be = new Array[Byte](40)
