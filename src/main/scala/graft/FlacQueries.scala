@@ -577,6 +577,85 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Sub-byte PNG depths (1/2/4 — document scans and icons): MSB-first
+    // bit packing with zero pad bits in the partial trailing byte
+    // (w = 13 is deliberately non-byte-aligned), all five filters over
+    // PACKED bytes at bpp = 1, gray levels scaled by the exact integer
+    // 255/(2^d − 1).
+    // ------------------------------------------------------------------
+    ("multimodal_png_depth124",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val (w, h) = (13, 8)
+        s.range(24).flatMap { id =>
+          val d = Array(1, 2, 4)((id % 3).toInt)
+          val m = 1 << d
+          val samples = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((id * 3 + x * 5 + y * 7) % m).toInt
+          }
+          val bytes = graft.pipeline.PngDepths.pngBytesSubByte(
+            w, h, d, samples, filterOf = r => ((id + r) % 5).toInt)
+          graft.pipeline.PngDepths.pngSubByteDecode(bytes) match {
+            case Some((info, out)) =>
+              require(info.depth == d && info.colorType == 0)
+              for (y <- 0 until h; x <- 0 until w) yield
+                (id, x.toLong, y.toLong, out(y * w + x).toLong,
+                 (out(y * w + x) * (255 / (m - 1))).toLong)
+            case None => throw new IllegalStateException("png refused")
+          }
+        }.toDF("media_id", "x", "y", "v", "gray8")
+      }): QFn,
+      Some("""SELECT r AS media_id, x, y,
+            |  CAST((r*3 + x*5 + y*7) %
+            |    (CASE r%3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END) AS BIGINT) AS v,
+            |  CAST(((r*3 + x*5 + y*7) %
+            |     (CASE r%3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END))
+            |    * (CASE r%3 WHEN 0 THEN 255 WHEN 1 THEN 85 ELSE 17 END)
+            |    AS BIGINT) AS gray8
+            |FROM range(24) t0(r), range(13) t1(x), range(8) t2(y)""".stripMargin)),
+
+    ("multimodal_png_pal_subbyte",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val (w, h) = (13, 8)
+        s.range(24).flatMap { id =>
+          val d = Array(2, 4)((id % 2).toInt)
+          val m = 1 << d
+          val pal = Array.tabulate(m)(i =>
+            (((i * 37 + id.toInt) % 256) << 16) | (((i * 59) % 256) << 8) |
+              ((i * 83 + 7) % 256))
+          val samples = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((id + x * 3 + y * 5) % m).toInt
+          }
+          val bytes = graft.pipeline.PngDepths.pngBytesSubByte(
+            w, h, d, samples, palette = Some(pal),
+            filterOf = r => ((id + r + 2) % 5).toInt)
+          graft.pipeline.PngDepths.pngSubByteDecode(bytes) match {
+            case Some((info, out)) =>
+              require(info.colorType == 3 && info.palette.length == m)
+              for (y <- 0 until h; x <- 0 until w) yield {
+                val idx = out(y * w + x)
+                val rgb = info.palette(idx)
+                (id, x.toLong, y.toLong, idx.toLong,
+                 ((rgb >> 16) & 0xff).toLong, ((rgb >> 8) & 0xff).toLong,
+                 (rgb & 0xff).toLong)
+              }
+            case None => throw new IllegalStateException("png refused")
+          }
+        }.toDF("media_id", "x", "y", "idx", "pr", "pg", "pb")
+      }): QFn,
+      Some("""WITH px AS (SELECT r, x, y,
+            |    (r + x*3 + y*5) % (CASE r%2 WHEN 0 THEN 4 ELSE 16 END) AS idx
+            |  FROM range(24) t0(r), range(13) t1(x), range(8) t2(y))
+            |SELECT r AS media_id, x, y, CAST(idx AS BIGINT) AS idx,
+            |  CAST((idx*37 + r) % 256 AS BIGINT) AS pr,
+            |  CAST((idx*59) % 256 AS BIGINT) AS pg,
+            |  CAST((idx*83 + 7) % 256 AS BIGINT) AS pb
+            |FROM px""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // ID3v1 / ID3v1.1 trailers: the fixed 128-byte end tag (v1.1 track
     // detection via the zero byte at offset 125), fields unpadded; the
     // MP3 frames before the trailer must still decode.
