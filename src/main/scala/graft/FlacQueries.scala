@@ -577,6 +577,41 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // BI_RLE4 BMP (the nibble RLE next to the RLE8 row): encoded-mode
+    // runs whose data byte's two nibbles ALTERNATE across the run,
+    // absolute chunks of packed nibbles with WORD pads; plateau pixels
+    // exercise runs, odd storage rows go through absolute mode.
+    // ------------------------------------------------------------------
+    ("multimodal_bmp_rle4",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val (w, h) = (24, 10)
+        s.range(48).map { id =>
+          val pixels = Array.tabulate(w * h)(i =>
+            ((id * 5 + (i / 4).toLong * 3) % 16).toByte)
+          val st = graft.pipeline.Multimodal.bmpRle4Stats(
+            graft.pipeline.Multimodal.bmpBytesRle4(w, h, pixels))
+          val (meta, n, sums, sqs) = st.get
+          (id, meta.width.toLong, meta.height.toLong, meta.channels.toLong,
+           n, math.floor(sums(0) / n * 1e6 + 0.5) / 1e6, // half-away, as
+           math.floor(sqs(0) / n * 1e6 + 0.5) / 1e6)     // DuckDB ROUND does
+        }.toDF("media_id", "width", "height", "channels", "n_pixels",
+               "mean_r", "msq_r")
+      }): QFn,
+      Some("""WITH px AS (SELECT r AS media_id, generate_series(0, 239) AS ps
+            |  FROM range(48) t(r))
+            |SELECT media_id,
+            |  CAST(24 AS BIGINT) AS width, CAST(10 AS BIGINT) AS height,
+            |  CAST(3 AS BIGINT) AS channels, CAST(240 AS BIGINT) AS n_pixels,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> ((media_id * 5 + (p // 4) * 3) % 16) * 17 / 255.0)) / 240, 6)
+            |    AS mean_r,
+            |  ROUND(list_sum(list_transform(ps,
+            |    p -> pow(((media_id * 5 + (p // 4) * 3) % 16) * 17 / 255.0, 2))) / 240, 6)
+            |    AS msq_r
+            |FROM px""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Sub-byte PNG depths (1/2/4 — document scans and icons): MSB-first
     // bit packing with zero pad bits in the partial trailing byte
     // (w = 13 is deliberately non-byte-aligned), all five filters over

@@ -862,6 +862,150 @@ object Multimodal {
     out
   }
 
+  /** Build a real BI_RLE4-compressed BMP (the nibble RLE): encoded-mode
+    * runs where the data byte's TWO nibbles ALTERNATE across the run
+    * (hi, lo, hi, ...), absolute chunks of packed nibbles padded to
+    * WORD boundaries, EOL per row, final EOF. 16-entry RGBQUAD
+    * palette; `pixels` are 0..15 indices in storage (bottom-up) order. */
+  def bmpBytesRle4(width: Int, height: Int,
+                   pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must be w*h indices")
+    val data = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = data.write(v & 0xff)
+    var y = 0
+    while (y < height) {
+      val row = java.util.Arrays.copyOfRange(pixels, y * width,
+                                             (y + 1) * width)
+      if (y % 2 == 0) { // encoded mode: two-nibble alternating runs
+        var x = 0
+        while (x < width) {
+          // a run covers pixels matching the alternating pair (a, b)
+          val a = row(x) & 0xf
+          val b = if (x + 1 < width) row(x + 1) & 0xf else a
+          var run = 1
+          while (x + run < width && run < 255 &&
+                 (row(x + run) & 0xf) == (if (run % 2 == 0) a else b))
+            run += 1
+          u8(run); u8((a << 4) | b)
+          x += run
+        }
+      } else { // absolute mode: packed nibbles, WORD-aligned
+        var x = 0
+        while (x < width) {
+          val rem = width - x
+          if (rem >= 3) {
+            val cnt = math.min(rem, 254)
+            u8(0); u8(cnt)
+            var i = 0
+            while (i < cnt) {
+              val hi = row(x + i) & 0xf
+              val lo = if (i + 1 < cnt) row(x + i + 1) & 0xf else 0
+              u8((hi << 4) | lo)
+              i += 2
+            }
+            if (((cnt + 1) / 2) % 2 == 1) u8(0) // WORD alignment
+            x += cnt
+          } else {
+            u8(1); u8((row(x) & 0xf) << 4)
+            x += 1
+          }
+        }
+      }
+      u8(0); u8(if (y == height - 1) 1 else 0) // EOL / final EOF
+      y += 1
+    }
+    val body = data.toByteArray
+    val out = new Array[Byte](54 + 64 + body.length)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length)
+    putLe32(10, 54 + 64)    // data after header + 16 RGBQUADs
+    putLe32(14, 40)
+    putLe32(18, width); putLe32(22, height)
+    out(26) = 1
+    out(28) = 4             // 4 bpp
+    putLe32(30, 2)          // BI_RLE4
+    putLe32(34, body.length)
+    putLe32(46, 16)         // biClrUsed
+    var i = 0
+    while (i < 16) { // identity-ish gray palette: v = i * 17
+      val v = i * 17
+      out(54 + 4 * i) = v.toByte      // blue
+      out(54 + 4 * i + 1) = v.toByte  // green
+      out(54 + 4 * i + 2) = v.toByte  // red
+      i += 1
+    }
+    System.arraycopy(body, 0, out, 54 + 64, body.length)
+    out
+  }
+
+  /** Decode a BI_RLE4 BMP to per-channel stats (the RLE8 path's shape):
+    * alternating-nibble runs, packed absolute chunks with WORD pads,
+    * EOL/EOF/delta escapes. None unless the header says 4 bpp RLE4. */
+  def bmpRle4Stats(bytes: Array[Byte])
+      : Option[(ImageMeta, Long, Array[Double], Array[Double])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    if ((bytes(28) & 0xff) != 4 || le32(bytes, 30) != 2) return None
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    if (width <= 0 || height <= 0) return None
+    val clrUsed = {
+      val c = le32(bytes, 46)
+      if (c == 0) 16 else math.min(c, 16)
+    }
+    if (54 + 4 * clrUsed > bytes.length) return None
+    val pal = Array.tabulate(clrUsed)(i =>
+      ((bytes(54 + 4 * i + 2) & 0xff) << 16) |
+        ((bytes(54 + 4 * i + 1) & 0xff) << 8) |
+        (bytes(54 + 4 * i) & 0xff))
+    val sums = new Array[Double](3); val sqs = new Array[Double](3)
+    var n = 0L
+    var p = le32(bytes, 10)
+    var x = 0; var y = 0
+    def emit(idx: Int): Unit =
+      if (x < width && y < height && idx < clrUsed) {
+        val rgb = pal(idx)
+        var c = 0
+        while (c < 3) {
+          val v = ((rgb >> (16 - 8 * c)) & 0xff) / 255.0
+          sums(c) += v; sqs(c) += v * v; c += 1
+        }
+        n += 1
+      }
+    try {
+      var done = false
+      while (!done && p + 1 < bytes.length) {
+        val b0 = bytes(p) & 0xff; val b1 = bytes(p + 1) & 0xff
+        p += 2
+        if (b0 > 0) {
+          var k = 0
+          while (k < b0) {
+            emit(if (k % 2 == 0) (b1 >> 4) & 0xf else b1 & 0xf)
+            x += 1; k += 1
+          }
+        } else b1 match {
+          case 0 => x = 0; y += 1
+          case 1 => done = true
+          case 2 =>
+            x += bytes(p) & 0xff; y += bytes(p + 1) & 0xff; p += 2
+          case cnt =>
+            var i = 0
+            while (i < cnt && p < bytes.length) {
+              val byt = bytes(p) & 0xff
+              emit((byt >> 4) & 0xf); x += 1; i += 1
+              if (i < cnt) { emit(byt & 0xf); x += 1; i += 1 }
+              p += 1
+            }
+            if (((cnt + 1) / 2) % 2 == 1) p += 1 // WORD pad
+        }
+      }
+      Some((ImageMeta(width, height, 3, "bmp"), n, sums, sqs))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
   /** Build a real BI_RLE8-compressed BMP: 8-bit palette-indexed pixels
     * (grey identity RGBQUAD palette), genuine run-length encoding with
     * both encoded modes — even storage rows as (count, index) runs, odd

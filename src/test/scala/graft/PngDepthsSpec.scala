@@ -59,6 +59,26 @@ class PngDepthsSpec extends AnyFunSuite {
     }
   }
 
+  test("BI_RLE4 BMP: ImageIO pin and stats agreement") {
+    import graft.pipeline.Multimodal
+    val (w, h) = (24, 10)
+    val px = Array.tabulate(w * h)(i => ((7 + (i / 4) * 3) % 16).toByte)
+    val bytes = Multimodal.bmpBytesRle4(w, h, px)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    // BMP rows are stored bottom-up; palette value = idx * 17
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = px((h - 1 - y) * w + x) & 0xf
+      assert(raster.getSample(x, y, 0) == expect, s"($x,$y)")
+    }
+    val Some((meta, n, sums, _)) = Multimodal.bmpRle4Stats(bytes)
+    assert(meta.width == w && meta.height == h && n == w * h)
+    val want = px.map(i => (i & 0xf) * 17 / 255.0).sum
+    assert(math.abs(sums(0) - want) < 1e-9)
+  }
+
   test("refusals: depth 8 routes elsewhere, truncation, bad magic") {
     val px = gen(13, 8, 4, 1)
     val good = PngDepths.pngBytesSubByte(13, 8, 4, px)
