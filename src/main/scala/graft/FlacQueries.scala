@@ -577,6 +577,36 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Ogg comment packets: OpusTags and the Vorbis type-3 header
+    // (framing bit verified) around the shared little-endian comment
+    // structure, reassembled from CRC-verified pages.
+    // ------------------------------------------------------------------
+    ("multimodal_ogg_tags",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).map { id =>
+          val codec = if (id % 2 == 0) "opus" else "vorbis"
+          val comments =
+            Seq("TITLE" -> s"Sông $id", "ARTIST" -> s"Artist ${id % 5}") ++
+              (0L until id % 3).map(k => "GENRE" -> s"g$k")
+          val bytes = graft.pipeline.Multimodal.oggBytes(codec, 2, 48000,
+            312, 2, 960, oggVendor = s"graft-$id", oggComments = comments)
+          val (c, vendor, parsed) =
+            graft.pipeline.Multimodal.oggTags(bytes).get
+          (id, c, vendor, parsed.length.toLong,
+           parsed.find(_._1 == "TITLE").map(_._2).getOrElse(""),
+           parsed.find(_._1 == "ARTIST").map(_._2).getOrElse(""))
+        }.toDF("media_id", "codec", "vendor", "n_comments", "title", "artist")
+      }): QFn,
+      Some("""SELECT r AS media_id,
+            |  CASE WHEN r % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+            |  'graft-' || r AS vendor,
+            |  CAST(2 + r % 3 AS BIGINT) AS n_comments,
+            |  'S' || chr(244) || 'ng ' || r AS title,
+            |  'Artist ' || (r % 5) AS artist
+            |FROM range(24) t(r)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // BI_RLE4 BMP (the nibble RLE next to the RLE8 row): encoded-mode
     // runs whose data byte's two nibbles ALTERNATE across the run,
     // absolute chunks of packed nibbles with WORD pads; plateau pixels

@@ -8659,8 +8659,112 @@ object Multimodal {
     * page (OpusTags / minimal Vorbis comment), then `audioPages` payload
     * pages advancing the granule by `granulePerPage`, the last flagged
     * EOS. */
+  /** The comment (tags) packet: OpusTags (RFC 7845 §5.2) or the Vorbis
+    * type-3 comment header (framing bit 1) around the shared
+    * little-endian vorbis-comment structure. Empty vendor + no comments
+    * reproduces the pre-tags fixture bytes exactly. */
+  def oggTagsPacket(codec: String, vendor: String,
+                    comments: Seq[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32o(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    if (codec == "opus") out.write("OpusTags".getBytes("US-ASCII"))
+    else { out.write(3); out.write("vorbis".getBytes("US-ASCII")) }
+    val vb = vendor.getBytes("UTF-8")
+    le32o(vb.length); out.write(vb)
+    le32o(comments.length)
+    comments.foreach { case (k, v) =>
+      val cb = s"$k=$v".getBytes("UTF-8")
+      le32o(cb.length); out.write(cb)
+    }
+    if (codec != "opus") out.write(1) // framing bit
+    out.toByteArray
+  }
+
+  /** Parse the tags packet back out of a full Ogg stream: page walk with
+    * CRC verification, payload reassembly of the second logical packet
+    * (continuation pages honored), codec routing by the BOS magic, the
+    * LE comment structure, and the Vorbis framing-bit check (absent or
+    * zero refuses). Returns (codec, vendor, comments). */
+  def oggTags(bytes: Array[Byte])
+      : Option[(String, String, Seq[(String, String)])] = {
+    if (bytes.length < 28 ||
+        new String(bytes.slice(0, 4), "US-ASCII") != "OggS") return None
+    try {
+      var p = 0
+      var pageIdx = 0
+      var codec = ""
+      val packet = new java.io.ByteArrayOutputStream()
+      var collecting = false
+      var done = false
+      while (!done && p + 27 <= bytes.length) {
+        val nsegs = bytes(p + 26) & 0xff
+        if (p + 27 + nsegs > bytes.length) return None
+        val headerType = bytes(p + 5) & 0xff
+        var payloadLen = 0
+        (0 until nsegs).foreach(i => payloadLen += bytes(p + 27 + i) & 0xff)
+        val pageLen = 27 + nsegs + payloadLen
+        if (p + pageLen > bytes.length) return None
+        val crcStored = le32(bytes, p + 22)
+        if (oggCrc(bytes, p, pageLen, p + 22) != crcStored) return None
+        val body = bytes.slice(p + 27 + nsegs, p + pageLen)
+        if (pageIdx == 0) {
+          codec =
+            if (body.length >= 8 &&
+                new String(body.take(8), "US-ASCII") == "OpusHead") "opus"
+            else if (body.length >= 7 && body(0) == 1 &&
+                new String(body.slice(1, 7), "US-ASCII") == "vorbis") "vorbis"
+            else return None
+        } else if (pageIdx == 1 || (collecting && (headerType & 1) != 0)) {
+          packet.write(body)
+          collecting = true
+          // ends when the page's final lacing value is < 255
+          if (nsegs > 0 && (bytes(p + 27 + nsegs - 1) & 0xff) < 255)
+            done = true
+        } else if (collecting) done = true
+        p += pageLen
+        pageIdx += 1
+      }
+      val d = packet.toByteArray
+      var o =
+        if (codec == "opus") {
+          if (d.length < 8 ||
+              new String(d.take(8), "US-ASCII") != "OpusTags") return None
+          8
+        } else {
+          if (d.length < 7 || d(0) != 3 ||
+              new String(d.slice(1, 7), "US-ASCII") != "vorbis") return None
+          7
+        }
+      if (o + 4 > d.length) return None
+      val vLen = le32(d, o)
+      if (o + 4 + vLen + 4 > d.length) return None
+      val vendor = new String(d, o + 4, vLen, "UTF-8")
+      val n = le32(d, o + 4 + vLen)
+      o = o + 8 + vLen
+      val cs = Seq.newBuilder[(String, String)]
+      var i = 0
+      while (i < n) {
+        if (o + 4 > d.length) return None
+        val cLen = le32(d, o)
+        if (o + 4 + cLen > d.length) return None
+        val s = new String(d, o + 4, cLen, "UTF-8")
+        val eq = s.indexOf('=')
+        if (eq < 0) return None
+        cs += ((s.substring(0, eq), s.substring(eq + 1)))
+        o += 4 + cLen
+        i += 1
+      }
+      if (codec == "vorbis" && (o >= d.length || (d(o) & 1) != 1))
+        return None // framing bit mandatory
+      Some((codec, vendor, cs.result()))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
   def oggBytes(codec: String, channels: Int, rate: Int, preskip: Int,
-               audioPages: Int, granulePerPage: Long): Array[Byte] = {
+               audioPages: Int, granulePerPage: Long,
+               oggVendor: String = "",
+               oggComments: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var seq = 0
     def page(headerType: Int, granule: Long, payload: Array[Byte]): Unit = {
@@ -8696,12 +8800,7 @@ object Multimodal {
       case c => throw new IllegalArgumentException(s"codec $c")
     }
     page(0x02, 0, id.toByteArray) // BOS
-    val tags =
-      if (codec == "opus")
-        "OpusTags".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)
-      else Array[Byte](3) ++ "vorbis".getBytes("US-ASCII") ++
-        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 1)
-    page(0x00, 0, tags)
+    page(0x00, 0, oggTagsPacket(codec, oggVendor, oggComments))
     (1 to audioPages).foreach { k =>
       val eos = if (k == audioPages) 0x04 else 0x00
       page(eos, k.toLong * granulePerPage,
