@@ -577,6 +577,86 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Extended WAV (the non-canonical real world): 24-bit PCM, IEEE
+    // float32, A-law/mu-law format codes, WAVE_FORMAT_EXTENSIBLE with
+    // the SubFormat GUID, and a proper chunk walk past LIST chunks
+    // with odd-length padding. Float fixtures are dyadic => per-sample
+    // DOUBLE equality is exact.
+    // ------------------------------------------------------------------
+    ("multimodal_wav_ext",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val n = 40
+        s.range(24).flatMap { id =>
+          val sel = (id % 5).toInt
+          val (fmtCode, bits, ext, payload) = sel match {
+            case 0 =>
+              val p = new Array[Byte](3 * n)
+              (0 until n).foreach { t =>
+                val v = ((id * 1000 + t * 777) * 9 - 4000000).toInt
+                p(3 * t) = (v & 0xff).toByte
+                p(3 * t + 1) = ((v >> 8) & 0xff).toByte
+                p(3 * t + 2) = ((v >> 16) & 0xff).toByte
+              }
+              (1, 24, false, p)
+            case 1 =>
+              val p = new Array[Byte](4 * n)
+              (0 until n).foreach { t =>
+                val b = java.lang.Float.floatToIntBits(
+                  ((id * 16 + t).toFloat / 256.0f) - 1.5f)
+                p(4 * t) = (b & 0xff).toByte
+                p(4 * t + 1) = ((b >> 8) & 0xff).toByte
+                p(4 * t + 2) = ((b >> 16) & 0xff).toByte
+                p(4 * t + 3) = ((b >> 24) & 0xff).toByte
+              }
+              (3, 32, false, p)
+            case 2 =>
+              (6, 8, false,
+               Array.tabulate(n)(t => ((id * 7 + t * 13) % 256).toByte))
+            case 3 =>
+              (7, 8, false,
+               Array.tabulate(n)(t => ((id * 7 + t * 13) % 256).toByte))
+            case 4 =>
+              val p = new Array[Byte](2 * n)
+              (0 until n).foreach { t =>
+                val v = ((id * 37 + t * 13) % 4096 - 2048).toInt
+                p(2 * t) = (v & 0xff).toByte
+                p(2 * t + 1) = ((v >> 8) & 0xff).toByte
+              }
+              (1, 16, true, p)
+          }
+          val bytes = graft.pipeline.PcmAudio.wavBytesExt(fmtCode, 44100, 1,
+            bits, payload, extensible = ext, extraChunk = (id % 3).toInt * 7)
+          graft.pipeline.PcmAudio.wavDecodeExt(bytes) match {
+            case Some((info, samples)) =>
+              require(info.fmtCode == fmtCode && info.extensible == ext)
+              samples.zipWithIndex.map { case (v, t) =>
+                (id, fmtCode.toLong, if (ext) 1L else 0L, t.toLong, v)
+              }.toSeq
+            case None => throw new IllegalStateException("wav refused")
+          }
+        }.toDF("media_id", "fmt", "extensible", "t", "v")
+      }): QFn,
+      Some("""WITH b AS (SELECT r, t, (r*7 + t*13) % 256 AS bv
+            |  FROM range(24) t0(r), range(40) t1(t)),
+            |g AS (SELECT r, t, bv, 255 - bv AS u, xor(bv, 85) AS a FROM b)
+            |SELECT r AS media_id,
+            |  CAST(CASE r%5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 6
+            |       WHEN 3 THEN 7 ELSE 1 END AS BIGINT) AS fmt,
+            |  CAST(CASE WHEN r%5 = 4 THEN 1 ELSE 0 END AS BIGINT) AS extensible,
+            |  t,
+            |  CAST(CASE r%5
+            |    WHEN 0 THEN (r*1000 + t*777) * 9 - 4000000
+            |    WHEN 1 THEN (r*16 + t) / 256.0 - 1.5
+            |    WHEN 2 THEN (CASE WHEN a >= 128 THEN 1 ELSE -1 END)
+            |      * (CASE WHEN (a//16)%8 = 0 THEN (a%16)*16 + 8
+            |              ELSE ((a%16)*16 + 264) * (1 << ((a//16)%8 - 1)) END)
+            |    WHEN 3 THEN (CASE WHEN u >= 128 THEN -1 ELSE 1 END)
+            |      * (((u%16)*8 + 132) * (1 << ((u//16)%8)) - 132)
+            |    ELSE (r*37 + t*13) % 4096 - 2048 END AS DOUBLE) AS v
+            |FROM g""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Ogg comment packets: OpusTags and the Vorbis type-3 header
     // (framing bit verified) around the shared little-endian comment
     // structure, reassembled from CRC-verified pages.

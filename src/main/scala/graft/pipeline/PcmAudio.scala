@@ -167,6 +167,143 @@ object PcmAudio {
   }
 
   // ------------------------------------------------------------------
+  // Extended WAV (the non-canonical real world): proper RIFF chunk
+  // walk (LIST/fact chunks skipped, odd-length padding), format codes
+  // 1 (PCM incl. 24-bit), 3 (IEEE float32), 6 (A-law), 7 (mu-law),
+  // and 0xFFFE WAVE_FORMAT_EXTENSIBLE whose SubFormat GUID carries the
+  // actual code in its first two bytes.
+  // ------------------------------------------------------------------
+
+  /** The fixed tail of the Microsoft SubFormat GUID (bytes 2..15). */
+  private val ksDataFormatGuidTail = Array[Int](
+    0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xaa,
+    0x00, 0x38, 0x9b, 0x71).map(_.toByte)
+
+  final case class WavExtInfo(fmtCode: Int, sampleRate: Int, channels: Int,
+                              bits: Int, extensible: Boolean)
+
+  /** Build a WAV with the given format code; `extensible` wraps it in
+    * WAVE_FORMAT_EXTENSIBLE. `extraChunk` inserts a LIST chunk between
+    * fmt and data to exercise the walk (odd lengths pad per RIFF). */
+  def wavBytesExt(fmtCode: Int, rate: Int, channels: Int, bits: Int,
+                  payload: Array[Byte], extensible: Boolean = false,
+                  extraChunk: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v); le16(v >> 16) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val fmtLen = if (extensible) 40 else if (fmtCode == 1) 16 else 18
+    val extraLen = if (extraChunk > 0) 8 + extraChunk + (extraChunk & 1) else 0
+    tag("RIFF")
+    le32(4 + 8 + fmtLen + extraLen + 8 + payload.length + (payload.length & 1))
+    tag("WAVE")
+    tag("fmt "); le32(fmtLen)
+    le16(if (extensible) 0xfffe else fmtCode)
+    le16(channels); le32(rate)
+    le32(rate * channels * bits / 8)
+    le16(channels * bits / 8); le16(bits)
+    if (extensible) {
+      le16(22)        // cbSize
+      le16(bits)      // valid bits
+      le32(0x3)       // channel mask (FL|FR)
+      le16(fmtCode); le16(0) // SubFormat GUID data1 (LE32) = the code
+      out.write(ksDataFormatGuidTail)
+    } else if (fmtCode != 1) le16(0) // cbSize 0
+    if (extraChunk > 0) {
+      tag("LIST"); le32(extraChunk)
+      (0 until extraChunk).foreach(i => out.write(i & 0xff))
+      if ((extraChunk & 1) == 1) out.write(0)
+    }
+    tag("data"); le32(payload.length)
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Chunk-walking decode of the extended formats to per-sample DOUBLE
+    * values (PCM 24-bit exact integers; float32 bit-exact; G.711
+    * expanded integers; 8-bit unsigned centered, 16-bit signed).
+    * None on unknown codes, missing chunks, or a malformed GUID. */
+  def wavDecodeExt(bytes: Array[Byte])
+      : Option[(WavExtInfo, Array[Double])] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+    def tagAt(o: Int, s: String): Boolean =
+      o + s.length <= bytes.length &&
+        new String(bytes.slice(o, o + s.length), "US-ASCII") == s
+    if (bytes.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "WAVE"))
+      return None
+    var p = 12
+    var info: Option[WavExtInfo] = None
+    var data: Option[(Int, Int)] = None
+    while (p + 8 <= bytes.length && (info.isEmpty || data.isEmpty)) {
+      val ck = new String(bytes.slice(p, p + 4), "US-ASCII")
+      val len = u32(p + 4).toInt
+      if (p + 8 + len > bytes.length) return None
+      ck match {
+        case "fmt " if len >= 16 =>
+          var code = u16(p + 8)
+          val ch = u16(p + 10)
+          val rate = u32(p + 12).toInt
+          val bits = u16(p + 22)
+          val extensible = code == 0xfffe
+          if (extensible) {
+            if (len < 40) return None
+            code = u16(p + 32) // SubFormat GUID data1 (LE32) low half
+            if (u16(p + 34) != 0 ||
+                !bytes.slice(p + 36, p + 48)
+                  .sameElements(ksDataFormatGuidTail))
+              return None
+          }
+          if (ch <= 0 || rate <= 0) return None
+          info = Some(WavExtInfo(code, rate, ch, bits, extensible))
+        case "data" => data = Some((p + 8, len))
+        case _      => ()
+      }
+      p += 8 + len + (len & 1) // RIFF pads odd chunks
+    }
+    for {
+      i <- info
+      (off, dlen) <- data
+      out <- decodeSamples(bytes, off, dlen, i)
+    } yield (i, out)
+  }
+
+  private def decodeSamples(bytes: Array[Byte], off: Int, dlen: Int,
+                            i: WavExtInfo): Option[Array[Double]] =
+    (i.fmtCode, i.bits) match {
+      case (1, 8) =>
+        Some(Array.tabulate(dlen)(k => ((bytes(off + k) & 0xff) - 128).toDouble))
+      case (1, 16) =>
+        Some(Array.tabulate(dlen / 2) { k =>
+          val v = (bytes(off + 2 * k) & 0xff) |
+            ((bytes(off + 2 * k + 1) & 0xff) << 8)
+          (if (v >= 0x8000) v - 0x10000 else v).toDouble
+        })
+      case (1, 24) =>
+        Some(Array.tabulate(dlen / 3) { k =>
+          val v = (bytes(off + 3 * k) & 0xff) |
+            ((bytes(off + 3 * k + 1) & 0xff) << 8) |
+            ((bytes(off + 3 * k + 2) & 0xff) << 16)
+          (if (v >= 0x800000) v - 0x1000000 else v).toDouble
+        })
+      case (3, 32) =>
+        Some(Array.tabulate(dlen / 4) { k =>
+          val b = (bytes(off + 4 * k) & 0xff) |
+            ((bytes(off + 4 * k + 1) & 0xff) << 8) |
+            ((bytes(off + 4 * k + 2) & 0xff) << 16) |
+            ((bytes(off + 4 * k + 3) & 0xff) << 24)
+          java.lang.Float.intBitsToFloat(b).toDouble
+        })
+      case (6, 8) =>
+        Some(Array.tabulate(dlen)(k => alawExpand(bytes(off + k) & 0xff).toDouble))
+      case (7, 8) =>
+        Some(Array.tabulate(dlen)(k => mulawExpand(bytes(off + k) & 0xff).toDouble))
+      case _ => None
+    }
+
+  // ------------------------------------------------------------------
   // ID3v1 / ID3v1.1 trailer (the fixed 128-byte tag at stream end —
   // the other ID3 form next to the v2 header Multimodal already walks)
   // ------------------------------------------------------------------

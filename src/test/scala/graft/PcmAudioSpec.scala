@@ -62,6 +62,48 @@ class PcmAudioSpec extends AnyFunSuite {
     assert(PcmAudio.aiffDecode("FORMxxxxAIFC".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("extended WAV: 24-bit, float32, G.711 codes, extensible GUID, chunk walk") {
+    // 24-bit PCM round trip incl. negative values
+    val v24 = Array(-8388608, -1, 0, 1, 8388607, 123456, -654321)
+    val p24 = new Array[Byte](v24.length * 3)
+    v24.indices.foreach { i =>
+      p24(3 * i) = (v24(i) & 0xff).toByte
+      p24(3 * i + 1) = ((v24(i) >> 8) & 0xff).toByte
+      p24(3 * i + 2) = ((v24(i) >> 16) & 0xff).toByte
+    }
+    val Some((i24, s24)) = PcmAudio.wavDecodeExt(
+      PcmAudio.wavBytesExt(1, 48000, 1, 24, p24, extraChunk = 5))
+    assert(i24.fmtCode == 1 && i24.bits == 24 && !i24.extensible)
+    assert(s24.toSeq == v24.map(_.toDouble).toSeq)
+    // float32 bit-exact incl. negatives and denormal-free dyadics
+    val f32 = Array(0.0f, -1.5f, 0.25f, 1e10f, -3.375f)
+    val pf = new Array[Byte](f32.length * 4)
+    f32.indices.foreach { i =>
+      val b = java.lang.Float.floatToIntBits(f32(i))
+      (0 until 4).foreach(k => pf(4 * i + k) = ((b >> (8 * k)) & 0xff).toByte)
+    }
+    val Some((i3, s3)) = PcmAudio.wavDecodeExt(
+      PcmAudio.wavBytesExt(3, 44100, 1, 32, pf))
+    assert(i3.fmtCode == 3 && s3.toSeq == f32.map(_.toDouble).toSeq)
+    // G.711 WAV codes route through the expanders
+    val raw = Array.tabulate(8)(i => (i * 31).toByte)
+    val Some((_, sa)) = PcmAudio.wavDecodeExt(
+      PcmAudio.wavBytesExt(6, 8000, 1, 8, raw))
+    assert(sa.toSeq == raw.map(b => PcmAudio.alawExpand(b & 0xff).toDouble).toSeq)
+    // extensible wrapper resolves the inner code; corrupt GUID refuses
+    val bytes = PcmAudio.wavBytesExt(7, 8000, 1, 8, raw, extensible = true)
+    val Some((ie, se)) = PcmAudio.wavDecodeExt(bytes)
+    assert(ie.fmtCode == 7 && ie.extensible &&
+      se.toSeq == raw.map(b => PcmAudio.mulawExpand(b & 0xff).toDouble).toSeq)
+    val badGuid = bytes.clone
+    // GUID tail lives at absolute 48..59 (12 + 8 fmt hdr + 28 into fmt)
+    badGuid(52) = (badGuid(52) ^ 1).toByte
+    assert(PcmAudio.wavDecodeExt(badGuid).isEmpty)
+    // unknown format code refuses
+    assert(PcmAudio.wavDecodeExt(
+      PcmAudio.wavBytesExt(99, 8000, 1, 8, raw)).isEmpty)
+  }
+
   test("ID3v1 and v1.1 trailers round-trip; non-tags refuse") {
     val v11 = PcmAudio.Id3v1("A Title With Spaces", "Artist", "Album",
       "1999", "comment", 7, 42)
