@@ -577,6 +577,84 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // AIFF-C: the FVER chunk, COMM compression fourCC + pascal name,
+    // 'NONE' (big-endian like AIFF) vs 'sowt' (LITTLE-endian 16-bit —
+    // the classic Mac CD-rip artifact); compressed types refuse.
+    // ------------------------------------------------------------------
+    ("multimodal_aifc_sowt",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val (nf, nch) = (24, 2)
+        s.range(24).flatMap { id =>
+          val comp = if (id % 2 == 0) "NONE" else "sowt"
+          val pcm = Array.tabulate(nch)(ch => Array.tabulate(nf)(t =>
+            (((id * 37 + ch * 101 + t * 263) % 4000) - 2000).toInt))
+          val bytes = graft.pipeline.PcmAudio.aiffBytes(22050, nch, 16, pcm,
+            compression = comp)
+          val (info, out) = graft.pipeline.PcmAudio.aiffDecode(bytes).get
+          require(info.nFrames == nf)
+          for { ch <- 0 until nch; t <- 0 until nf }
+            yield (id, comp, ch.toLong, t.toLong, out(ch)(t).toLong)
+        }.toDF("media_id", "compression", "ch", "t", "sample")
+      }): QFn,
+      Some("""SELECT r AS media_id,
+            |  CASE WHEN r % 2 = 0 THEN 'NONE' ELSE 'sowt' END AS compression,
+            |  c AS ch, t,
+            |  CAST((r*37 + c*101 + t*263) % 4000 - 2000 AS BIGINT) AS sample
+            |FROM range(24) t0(r), range(2) t1(c), range(24) t2(t)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // N-Triples (W3C RDF 1.1): IRIs, blank nodes, plain/langtag/typed
+    // literals with the full escape family, comment and blank lines,
+    // and malformed lines REPORTED with an error class — corpus hygiene
+    // as a measurable column, the KG-interchange ingest next to the
+    // reference's integer TSV.
+    // ------------------------------------------------------------------
+    ("text_ntriples_parse",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(40).map { i =>
+          val line = (i % 8) match {
+            case 0 => s"<http://ex/s$i> <http://ex/p> <http://ex/o${i % 7}> ."
+            case 1 => s"""_:b$i <http://ex/p> "lit $i" ."""
+            case 2 => s"""<http://ex/s$i> <http://ex/p> "v$i"@en-US ."""
+            case 3 => s"""<http://ex/s$i> <http://ex/p> "$i"^^<http://www.w3.org/2001/XMLSchema#integer> ."""
+            case 4 => s"""<http://ex/s$i> <http://ex/p> "tab\\there \\"q\\" u\\u00e9" ."""
+            case 5 => s"# comment $i"
+            case 6 => ""
+            case 7 => s"<http://ex/s$i <p> ."
+          }
+          graft.pipeline.NTriples.parseLine(line) match {
+            case Right(Some(t)) =>
+              (i, "triple", t.subject.kind, t.subject.value, t.predicate.value,
+               t.obj.kind, t.obj.value, t.obj.lang)
+            case Right(None) => (i, "none", "", "", "", "", "", "")
+            case Left(err)   => (i, "err:" + err, "", "", "", "", "", "")
+          }
+        }.toDF("line_id", "status", "s_kind", "s_val", "p_val",
+               "o_kind", "o_val", "o_lang")
+      }): QFn,
+      Some("""SELECT r AS line_id,
+            |  CASE r%8 WHEN 5 THEN 'none' WHEN 6 THEN 'none'
+            |       WHEN 7 THEN 'err:bad-iri-char' ELSE 'triple' END AS status,
+            |  CASE WHEN r%8 IN (5,6,7) THEN ''
+            |       WHEN r%8 = 1 THEN 'blank' ELSE 'iri' END AS s_kind,
+            |  CASE WHEN r%8 IN (5,6,7) THEN ''
+            |       WHEN r%8 = 1 THEN 'b' || r ELSE 'http://ex/s' || r END AS s_val,
+            |  CASE WHEN r%8 IN (5,6,7) THEN '' ELSE 'http://ex/p' END AS p_val,
+            |  CASE r%8 WHEN 0 THEN 'iri' WHEN 5 THEN '' WHEN 6 THEN ''
+            |       WHEN 7 THEN '' ELSE 'literal' END AS o_kind,
+            |  CASE r%8 WHEN 0 THEN 'http://ex/o' || (r%7)
+            |       WHEN 1 THEN 'lit ' || r WHEN 2 THEN 'v' || r
+            |       WHEN 3 THEN CAST(r AS VARCHAR)
+            |       WHEN 4 THEN 'tab' || chr(9) || 'here "q" u' || chr(233)
+            |       ELSE '' END AS o_val,
+            |  CASE r%8 WHEN 2 THEN '@en-US'
+            |       WHEN 3 THEN '^^http://www.w3.org/2001/XMLSchema#integer'
+            |       ELSE '' END AS o_lang
+            |FROM range(40) t(r)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Extended WAV (the non-canonical real world): 24-bit PCM, IEEE
     // float32, A-law/mu-law format codes, WAVE_FORMAT_EXTENSIBLE with
     // the SubFormat GUID, and a proper chunk walk past LIST chunks

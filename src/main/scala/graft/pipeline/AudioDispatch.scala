@@ -64,7 +64,7 @@ object AudioDispatch {
                blocks.map(_.frame).distinct.length.toLong)
             }.toRight("mp1-parse")
       }
-    else if (tag(0, "FORM") && tag(8, "AIFF"))
+    else if (tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC")))
       PcmAudio.aiffDecode(bytes)
         .map { case (i, _) =>
           ("aiff", i.sampleRate.toInt, i.channels, i.nFrames)

@@ -87,9 +87,16 @@ object PcmAudio {
   final case class AiffInfo(sampleRate: Long, channels: Int, bits: Int,
                             nFrames: Long)
 
+  /** `compression`: "" = classic AIFF; "NONE"/"sowt" = AIFF-C ("sowt"
+    * stores the 16-bit samples LITTLE-endian — the classic Mac CD-rip
+    * artifact; "NONE" is big-endian like AIFF). AIFF-C adds the FVER
+    * chunk and the COMM compression fourCC + pascal-string name. */
   def aiffBytes(rate: Long, channels: Int, bits: Int,
-                samples: Array[Array[Int]], ssndOffset: Int = 0): Array[Byte] = {
+                samples: Array[Array[Int]], ssndOffset: Int = 0,
+                compression: String = ""): Array[Byte] = {
     require(bits == 16, "generator emits 16-bit AIFF")
+    require(compression.isEmpty || compression == "NONE" ||
+            compression == "sowt")
     val nFrames = samples(0).length
     val dataLen = nFrames * channels * 2
     val out = new java.io.ByteArrayOutputStream()
@@ -97,16 +104,27 @@ object PcmAudio {
       out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
-    val formLen = 4 + (8 + 18) + (8 + 8 + ssndOffset + dataLen)
-    tag("FORM"); be32(formLen); tag("AIFF")
-    tag("COMM"); be32(18)
+    val aifc = compression.nonEmpty
+    // AIFF-C COMM: 18 base + 4 fourCC + pascal name "" (len byte + pad)
+    val commLen = if (aifc) 18 + 4 + 2 else 18
+    val fverLen = if (aifc) 8 + 4 else 0
+    val formLen = 4 + fverLen + (8 + commLen) + (8 + 8 + ssndOffset + dataLen)
+    tag("FORM"); be32(formLen); tag(if (aifc) "AIFC" else "AIFF")
+    if (aifc) { tag("FVER"); be32(4); be32(0xa2805140) }
+    tag("COMM"); be32(commLen)
     be16(channels); be32(nFrames); be16(bits)
     out.write(extended80(rate))
+    if (aifc) { tag(compression); out.write(0); out.write(0) }
     tag("SSND"); be32(8 + ssndOffset + dataLen)
     be32(ssndOffset); be32(0)
     (0 until ssndOffset).foreach(_ => out.write(0))
+    val le = compression == "sowt"
     (0 until nFrames).foreach { t =>
-      (0 until channels).foreach(ch => be16(samples(ch)(t)))
+      (0 until channels).foreach { ch =>
+        val v = samples(ch)(t)
+        if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        else be16(v)
+      }
     }
     out.toByteArray
   }
@@ -121,7 +139,10 @@ object PcmAudio {
     def tag(o: Int, s: String): Boolean =
       o + s.length <= bytes.length &&
         new String(bytes.slice(o, o + s.length), "US-ASCII") == s
-    if (bytes.length < 12 || !tag(0, "FORM") || !tag(8, "AIFF")) return None
+    if (bytes.length < 12 || !tag(0, "FORM") ||
+        !(tag(8, "AIFF") || tag(8, "AIFC"))) return None
+    val aifc = tag(8, "AIFC")
+    var littleEndian = false
     var p = 12
     var info: Option[AiffInfo] = None
     var data: Option[Array[Array[Int]]] = None
@@ -137,6 +158,15 @@ object PcmAudio {
           val bits = be16(p + 14)
           val rate = parseExtended80(bytes, p + 16)
           if (ch <= 0 || bits != 16 || rate <= 0) return None
+          if (aifc) { // compression fourCC follows the rate
+            if (len < 22) return None
+            val comp = new String(bytes.slice(p + 26, p + 30), "US-ASCII")
+            comp match {
+              case "NONE" => ()
+              case "sowt" => littleEndian = true
+              case _      => return None // compressed AIFF-C: out of scope
+            }
+          }
           info = Some(AiffInfo(rate, ch, bits, nf))
         case "SSND" if len >= 8 =>
           val off = be32(p + 8).toInt
@@ -156,7 +186,9 @@ object PcmAudio {
         var ch = 0
         while (ch < i.channels) {
           val o = start + 2 * (t * i.channels + ch)
-          val v = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+          val v =
+            if (littleEndian) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+            else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
           s(ch)(t) = if (v >= 0x8000) v - 0x10000 else v
           ch += 1
         }

@@ -117,6 +117,46 @@ class PcmAudioSpec extends AnyFunSuite {
     assert(PcmAudio.id3v1Parse(new Array[Byte](100)).isEmpty)
   }
 
+  test("AIFF-C: NONE is big-endian, sowt is little-endian, others refuse") {
+    val pcm = Array(Array(0x0102, -0x0102, 300, -300, 0, 32767, -32768))
+    for (comp <- Seq("NONE", "sowt")) {
+      val bytes = PcmAudio.aiffBytes(44100, 1, 16, pcm, compression = comp)
+      val Some((info, out)) = PcmAudio.aiffDecode(bytes)
+      assert(out(0).toSeq == pcm(0).toSeq, comp)
+      // the two encodings must differ on the wire (0x0102 byte-swaps)
+      if (comp == "sowt") {
+        val none = PcmAudio.aiffBytes(44100, 1, 16, pcm, compression = "NONE")
+        assert(!bytes.sameElements(none.patch(8, "AIFC".getBytes, 4)))
+      }
+    }
+    // a compressed type refuses rather than misdecoding
+    val ima = PcmAudio.aiffBytes(44100, 1, 16, pcm, compression = "NONE")
+    val patched = ima.clone
+    "ima4".getBytes("US-ASCII").copyToArray(patched,
+      ima.indexOfSlice("NONE".getBytes("US-ASCII")))
+    assert(PcmAudio.aiffDecode(patched).isEmpty)
+  }
+
+  test("N-Triples: escapes, langtags, datatypes, refusal classes") {
+    import graft.pipeline.NTriples
+    val Right(Some(t)) = NTriples.parseLine(
+      """<http://a> <http://p> "x\ty \"z\" é \U0001F600"@en-US .""")
+    assert(t.obj.value == "x\ty \"z\" é 😀")
+    assert(t.obj.lang == "@en-US")
+    val Right(Some(t2)) = NTriples.parseLine(
+      """_:n1 <http://p> "5"^^<http://www.w3.org/2001/XMLSchema#int> .""")
+    assert(t2.subject == NTriples.Term("blank", "n1", "") &&
+      t2.obj.lang == "^^http://www.w3.org/2001/XMLSchema#int")
+    assert(NTriples.parseLine("  # just a comment") == Right(None))
+    assert(NTriples.parseLine("") == Right(None))
+    assert(NTriples.parseLine("""<http://a> <http://p> "x" """).isLeft)
+    assert(NTriples.parseLine("""<http://a> "lit" <http://o> .""").isLeft)
+    assert(NTriples.parseLine("""<http://a> <http://p> "x\q" .""")
+      == Left("bad-escape"))
+    assert(NTriples.parseLine("""<http://a> <http://p> <http://o> . x""")
+      == Left("trailing-garbage"))
+  }
+
   test("AU round-trips all four encodings and refuses unknown ones") {
     val lin = Array.tabulate(20)(t => t * 37 - 300)
     val be = new Array[Byte](40)
