@@ -57,7 +57,12 @@ object Bench {
     "ann_ivfpq_topk", "dedup_bloom_native", "facade_sql_pipeline",
     // round-17 additions: the AAC-LC payload chain
     "multimodal_aac_sce_long", "multimodal_aac_startstop",
-    "multimodal_aac_ms")
+    "multimodal_aac_ms",
+    // round-17 continuation: FLAC payload, unified dispatch, the
+    // composed shard ingest, TIFF PackBits, source hardening, interp
+    "multimodal_flac_decode", "multimodal_audio_dispatch",
+    "pipeline_audio_ingest", "multimodal_tiff_packbits",
+    "source_csv_quoting", "ts_interpolate")
 
   /** 1-minute system load average (or -1 when the platform hides it):
     * the sandbox CPU-throttles under sustained load (NOTES.md — the same
