@@ -577,6 +577,55 @@ object FlacQueries {
             |FROM range(24) t(r)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // WAV LIST/INFO tags (INAM/IART/ICRD/ICMT...): sub-chunk walk with
+    // NUL trim and even padding, spliced between fmt and data — sample
+    // decode must keep working around the metadata.
+    // ------------------------------------------------------------------
+    ("multimodal_wav_info",
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        s.range(24).map { id =>
+          val n = 30
+          val payload = new Array[Byte](2 * n)
+          (0 until n).foreach { t =>
+            val v = ((id * 37 + t * 13) % 4096 - 2048).toInt
+            payload(2 * t) = (v & 0xff).toByte
+            payload(2 * t + 1) = ((v >> 8) & 0xff).toByte
+          }
+          val tags = Seq("INAM" -> s"Näme $id", "IART" -> s"Artist ${id % 5}",
+            "ICRD" -> (1990 + id % 30).toString) ++
+            (if (id % 2 == 0) Seq("ICMT" -> ("c" * (1 + (id % 4)).toInt))
+             else Nil)
+          val base = graft.pipeline.PcmAudio.wavBytesExt(1, 44100, 1, 16,
+            payload)
+          val info = graft.pipeline.PcmAudio.wavInfoChunk(tags)
+          val out = base.take(36) ++ info ++ base.drop(36)
+          val sz = out.length - 8
+          out(4) = (sz & 0xff).toByte; out(5) = ((sz >> 8) & 0xff).toByte
+          out(6) = ((sz >> 16) & 0xff).toByte; out(7) = ((sz >> 24) & 0xff).toByte
+          val parsed = graft.pipeline.PcmAudio.wavInfoTags(out).get
+          val samples = graft.pipeline.PcmAudio.wavDecodeExt(out).get._2
+          (id, parsed.length.toLong,
+           parsed.find(_._1 == "INAM").map(_._2).getOrElse(""),
+           parsed.find(_._1 == "IART").map(_._2).getOrElse(""),
+           parsed.find(_._1 == "ICRD").map(_._2).getOrElse(""),
+           parsed.find(_._1 == "ICMT").map(_._2).getOrElse(""),
+           samples.length.toLong, samples.map(math.abs).sum.toLong)
+        }.toDF("media_id", "n_tags", "inam", "iart", "icrd", "icmt",
+               "n_samples", "sum_abs")
+      }): QFn,
+      Some("""SELECT r AS media_id,
+            |  CAST(3 + CASE WHEN r % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_tags,
+            |  'N' || chr(228) || 'me ' || r AS inam,
+            |  'Artist ' || (r % 5) AS iart,
+            |  CAST(1990 + r % 30 AS VARCHAR) AS icrd,
+            |  CASE WHEN r % 2 = 0 THEN repeat('c', 1 + r % 4) ELSE '' END AS icmt,
+            |  CAST(30 AS BIGINT) AS n_samples,
+            |  CAST((SELECT SUM(ABS((r*37 + t*13) % 4096 - 2048))
+            |        FROM range(30) tt(t)) AS BIGINT) AS sum_abs
+            |FROM range(24) t(r)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // AIFF-C: the FVER chunk, COMM compression fourCC + pascal name,
     // 'NONE' (big-endian like AIFF) vs 'sowt' (LITTLE-endian 16-bit —
     // the classic Mac CD-rip artifact); compressed types refuse.

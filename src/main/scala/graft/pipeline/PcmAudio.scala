@@ -252,6 +252,67 @@ object PcmAudio {
     out.toByteArray
   }
 
+  /** Build a RIFF LIST/INFO chunk from (fourCC, value) tags: each value
+    * NUL-terminated and padded to even length per RIFF. */
+  def wavInfoChunk(tags: Seq[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("INFO".getBytes("US-ASCII"))
+    tags.foreach { case (cc, v) =>
+      require(cc.length == 4)
+      val vb = v.getBytes("UTF-8") :+ 0.toByte
+      body.write(cc.getBytes("US-ASCII"))
+      val b = new Array[Byte](4)
+      b(0) = vb.length.toByte; b(1) = (vb.length >> 8).toByte
+      b(2) = (vb.length >> 16).toByte; b(3) = (vb.length >> 24).toByte
+      body.write(b)
+      body.write(vb)
+      if ((vb.length & 1) == 1) body.write(0)
+    }
+    out.write("LIST".getBytes("US-ASCII"))
+    le32(body.size())
+    body.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Parse LIST/INFO tags out of a WAV: chunk walk to LIST chunks of
+    * type INFO, sub-chunk walk with NUL-trim and even padding. Returns
+    * the (fourCC, value) pairs in stream order (empty when absent). */
+  def wavInfoTags(bytes: Array[Byte]): Option[Seq[(String, String)]] = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tagAt(o: Int, s: String): Boolean =
+      o + s.length <= bytes.length &&
+        new String(bytes.slice(o, o + s.length), "US-ASCII") == s
+    if (bytes.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "WAVE"))
+      return None
+    val out = Seq.newBuilder[(String, String)]
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val ck = new String(bytes.slice(p, p + 4), "US-ASCII")
+      val len = u32(p + 4).toInt
+      if (p + 8 + len > bytes.length) return None
+      if (ck == "LIST" && len >= 4 && tagAt(p + 8, "INFO")) {
+        var q = p + 12
+        val end = p + 8 + len
+        while (q + 8 <= end) {
+          val cc = new String(bytes.slice(q, q + 4), "US-ASCII")
+          val vLen = u32(q + 4).toInt
+          if (q + 8 + vLen > end) return None
+          var realLen = vLen
+          while (realLen > 0 && bytes(q + 8 + realLen - 1) == 0) realLen -= 1
+          out += ((cc, new String(bytes, q + 8, realLen, "UTF-8")))
+          q += 8 + vLen + (vLen & 1)
+        }
+      }
+      p += 8 + len + (len & 1)
+    }
+    Some(out.result())
+  }
+
   /** Chunk-walking decode of the extended formats to per-sample DOUBLE
     * values (PCM 24-bit exact integers; float32 bit-exact; G.711
     * expanded integers; 8-bit unsigned centered, 16-bit signed).

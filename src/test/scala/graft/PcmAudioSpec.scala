@@ -104,6 +104,23 @@ class PcmAudioSpec extends AnyFunSuite {
       PcmAudio.wavBytesExt(99, 8000, 1, 8, raw)).isEmpty)
   }
 
+  test("WAV LIST/INFO tags round-trip with padding; truncation refuses") {
+    val tags = Seq("INAM" -> "odd", "IART" -> "ab", "ICMT" -> "")
+    // splice into a minimal PCM16 WAV between fmt and data
+    val base = PcmAudio.wavBytesExt(1, 8000, 1, 16, new Array[Byte](8))
+    val info = PcmAudio.wavInfoChunk(tags)
+    val out = base.take(36) ++ info ++ base.drop(36)
+    val sz = out.length - 8
+    out(4) = (sz & 0xff).toByte; out(5) = ((sz >> 8) & 0xff).toByte
+    out(6) = ((sz >> 16) & 0xff).toByte; out(7) = ((sz >> 24) & 0xff).toByte
+    assert(PcmAudio.wavInfoTags(out).contains(tags))
+    assert(PcmAudio.wavDecodeExt(out).exists(_._2.length == 4))
+    // no INFO chunk -> empty tag list, not a refusal
+    assert(PcmAudio.wavInfoTags(base).contains(Seq()))
+    // truncated tag value refuses
+    assert(PcmAudio.wavInfoTags(out.take(out.length - 6)).isEmpty)
+  }
+
   test("ID3v1 and v1.1 trailers round-trip; non-tags refuse") {
     val v11 = PcmAudio.Id3v1("A Title With Spaces", "Artist", "Album",
       "1999", "comment", 7, 42)
