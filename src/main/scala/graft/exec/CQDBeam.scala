@@ -129,7 +129,26 @@ object CQDBeam {
             if (model.scoreOnFrontier && srcIsHead) {
               val srcEst = srcR.withColumn("_est",
                 model.estimateTail(col("_svec"), col("_rvec")))
-              (cand.crossJoin(if (srcSmall) broadcast(srcEst) else srcEst),
+              // A non-broadcast estimate frontier is the STREAM side of the
+              // |frontier| × |entities| crossing, and the frontier is tiny
+              // in BYTES (id + score + vec) while the crossing amplifies
+              // every row |entities|-fold — so AQE's byte-based coalescing
+              // collapses it to one partition and the whole scoring stage
+              // runs in ONE task (measured: cqd_2p_conve's 10⁶-row ConvE
+              // stage single-core). Spread it explicitly across the
+              // session's shuffle parallelism (conf-derived, not a local
+              // constant); row set unchanged, so scores are identical.
+              // Round-robin, not hash-by-_src: the frontier arrives already
+              // hash-partitioned by _src from its own aggregate, so a hash
+              // repartition is elided as redundant by EnsureRequirements
+              // and AQE then coalesces the upstream exchange to one
+              // partition anyway. Round-robin partitioning never matches
+              // an existing distribution, so the spread survives planning.
+              val spread =
+                if (srcSmall) broadcast(srcEst)
+                else srcEst.repartition(
+                  srcEst.sparkSession.sessionState.conf.numShufflePartitions)
+              (cand.crossJoin(spread),
                model.pairScore(col("_est"), col("_cvec")))
             } else {
               (cand.crossJoin(if (srcSmall) broadcast(srcR) else srcR),
@@ -153,6 +172,17 @@ object CQDBeam {
         }.select(col("_cand").as("_ent"), col("_escore").as("_score"))
         frontiers(v) =
           if (v == cq.freeVar.name) combined
+          else if (beam == Int.MaxValue)
+            // Prune disabled (the unpruned cqd_1p/2p/3p rows): a
+            // sort+limit here keeps every row anyway, but planned as
+            // rangepartition-sort + SinglePartition GlobalLimit it
+            // FUNNELS the frontier — and every downstream edge crossing,
+            // i.e. the expensive |frontier|×|entities| scoring stage —
+            // through ONE task (measured on cqd_2p_conve: the whole 10⁶
+            // ConvE-dot crossing ran single-core). Skip the no-op limit
+            // and keep the frontier's natural partitioning; result rows
+            // are identical (order feeds a join/aggregate, never output).
+            combined
           else
             // Global top-k: planned as TakeOrderedAndProject (no full sort,
             // no single-partition window). Deterministic tie-break on id.
