@@ -1715,7 +1715,14 @@ object PipelineQueries {
         .unpivot(Array(col("c_nationkey")),
                  Array(col("AUTOMOBILE"), col("BUILDING"), col("FURNITURE"),
                        col("HOUSEHOLD"), col("MACHINERY")),
-                 "segment", "acctbal"),
+                 "segment", "acctbal")
+        // Drop the pivot's absent-combination null cells: the oracle's
+        // long-form GROUP BY has no row for a (nation, segment) pair with
+        // no customers, and c_acctbal is never null, so a null sum means
+        // exactly "absent pair". At SFs where every pair exists (the
+        // driver's gates) this filter matches zero rows — output
+        // unchanged; at sf0.001 it fixes a latent 125-vs-93 divergence.
+        .filter(col("acctbal").isNotNull),
       Some("""WITH p AS (SELECT c_nationkey, c_mktsegment AS segment,
              |  ROUND(SUM(c_acctbal), 2) AS acctbal
              |  FROM customer GROUP BY 1, 2)
@@ -4678,11 +4685,11 @@ object PipelineQueries {
     ("embedding_pca_second",
       (s, dir) => {
         val emb = Embeddings.fromParquet(s, s"$dir/embeddings.parquet")
-        val proj = Similarity.removeTopDirection(emb, dim = 64, iters = 3)
-        val emb2 = proj.groupBy("id")
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("vp")))),
-            x => x.getField("vp")).as("vec"))
+        // Packed projection: the old explode → groupBy(id) → re-collect
+        // round-trip shuffled the whole projected corpus once just to
+        // rebuild the vectors removeTopVecs already holds packed.
+        val emb2 = Similarity.removeTopVecs(emb, dim = 64, iters = 3)
+          .select(col("id"), col("vp_vec").as("vec"))
         Similarity.pcaPowerDirection(emb2, dim = 64, iters = 3)
       },
       Some(

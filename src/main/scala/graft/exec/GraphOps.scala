@@ -197,15 +197,19 @@ object GraphOps {
               Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nl")).as("nmin"))
+      // Carry the changed flag THROUGH the checkpoint: the convergence
+      // count is then a cheap scan of the already-materialized frame
+      // instead of a second shuffled self-join per superstep (one fewer
+      // join + exchange per iteration at any scale).
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
                 least(col("label"),
-                      coalesce(col("nmin"), col("label"))).as("label"))
+                      coalesce(col("nmin"), col("label"))).as("label"),
+                (coalesce(col("nmin"), col("label")) < col("label"))
+                  .as("_chg"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("_chg")).count()
+      labels = next.drop("_chg")
       it += 1
     }
     labels.select(col("id"), col("label").as("component"))

@@ -52,13 +52,47 @@ object Ranking {
     * reads. Built with a range-partitioned sort + RDD zipWithIndex (NOT a
     * no-partition window, which would funnel the whole universe through one
     * partition at scale). One sort of the entity dictionary, reused across
-    * all query types. */
+    * all query types. See [[globalIndexPacked]] for the materialized
+    * variant the training loops use. */
   def globalIndex(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).orderBy(col(idCol).asc)
       .rdd.map(_.getLong(0)).zipWithIndex()
       .toDF(idCol, "uidx")
+  }
+
+  /** [[globalIndex]] MATERIALIZED: the sorted frame is checkpointed once
+    * and uidx is a pure projection on top (no RDD round-trip, no extra
+    * per-consumer stage) — measured faster where the index is small
+    * relative to its consumers and re-read several times (the training
+    * loops' cyclic-corruption map joins it twice per query). The
+    * RDD-zip form above stays for the single-consumer universe-ranking
+    * path, where it measured faster than paying the checkpoint write.
+    * Same rows as [[globalIndex]]. */
+  def globalIndexPacked(df: DataFrame, idCol: String): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // _mid = (partitionId << 33) + row-position, assigned AFTER the
+    // partition-local sort (nondeterministic expressions are never pushed
+    // below the sort), then frozen by the checkpoint so every consumer
+    // branch reads the SAME (partition, position) assignment.
+    val sorted = df.select(col(idCol).cast("long").as(idCol))
+      .repartitionByRange(p, col(idCol).asc)
+      .sortWithinPartitions(col(idCol).asc)
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val pid = shiftright(col("_mid"), 33)
+    // Exclusive prefix of the per-partition counts, collected once: ≤ p
+    // rows (a CONFIG constant, the k-sized-result collect class — never
+    // data-sized), inlined as a literal so consumers pay a pure
+    // projection — no extra aggregate, join, or broadcast stage per use.
+    val cnts = sorted.groupBy(pid.as("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val offsets: Seq[Long] =
+      (0L until p).scanLeft(0L)((acc, i) => acc + cnts.getOrElse(i, 0L)).init
+    sorted.select(col(idCol),
+      (element_at(typedLit(offsets), (pid + 1).cast("int")) +
+        col("_mid").bitwiseAND(lit((1L << 33) - 1))).as("uidx"))
   }
 
   /** 1-based global rank of each row of a SMALL frame — one already cut to
@@ -98,8 +132,12 @@ object Ranking {
     * formulation). */
   def filteredRanksBinary(univIdx: DataFrame, answers: DataFrame): DataFrame = {
     // Inner join ⇒ answers outside the universe are excluded, exactly as the
-    // generic path's `ranks ⋈ answers` does.
-    val marked = answers.join(univIdx, Seq("entity"))
+    // generic path's `ranks ⋈ answers` does. The answers side (per-type
+    // answer sets) is orders of magnitude smaller than the entity
+    // universe: broadcast it explicitly so the universe index streams
+    // un-shuffled (size ESTIMATES on the checkpointed index flip the
+    // planner toward hashing the universe otherwise — guide §3.1).
+    val marked = broadcast(answers).join(univIdx, Seq("entity"))
     val prev = Window.partitionBy("qid").orderBy(col("entity").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     marked

@@ -364,36 +364,48 @@ object Similarity {
                         idCol: String = "id",
                         vecCol: String = "vec"): DataFrame = {
     require(iters >= 1 && dim >= 1)
-    // MAP-SIDE moment pass: each row already holds its whole vector, so
-    // the (i, j, xi·xj) product stream is produced WITHIN the row (two
-    // chained generators over the quantized array, upper triangle only,
-    // mirrored after the aggregate) and partial hash aggregation
-    // collapses it to ≤ d² rows per partition before any exchange —
-    // zero data-sized shuffles. The former formulation exploded to
-    // (id, i, xi) and self-joined on id, shuffling the corpus twice
-    // before the same d²-bounded aggregate. Sums are identical longs
-    // (unordered integer addition), so the oracle is unchanged.
-    val q = emb.select(col(idCol).as("id"),
+    // ONE corpus pass (was three: a countDistinct action, the Σxi scan,
+    // and the Σxixj scan): per row, a chained generator emits the
+    // upper-triangle products (i, j, xi·xj) PLUS a sentinel (i, −1, xi·1)
+    // carrying the linear sums — so pair moments, linear moments, and the
+    // row count all come out of a single partial-aggregated scan, with no
+    // driver action at construction. Sums are identical longs (unordered
+    // integer addition), so the oracle is unchanged. n is the row count
+    // of the sentinel group (ids are unique for every caller — the old
+    // countDistinct was the same number, one extra corpus pass dearer).
+    val q = emb.select(
       transform(col(vecCol),
         xv => round(xv * 1e6, 0).cast("long")).as("q"))
-    val n = emb.select(countDistinct(col(idCol))).head().getLong(0)
-    val s = q.select(posexplode(col("q")).as(Seq("i", "xi")))
-      .groupBy("i").agg(sum(col("xi")).as("si"))
-    val upper = q
+    val mom = q
       .select(col("q"), posexplode(col("q")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sij"))
+      .select(col("i"), col("xi"),
+              posexplode(concat(array(lit(1L)),
+                                slice(col("q"), col("i") + 1, lit(dim))))
+                .as(Seq("p", "xj")))
+      .select(col("i"),
+              when(col("p") === 0, lit(-1))
+                .otherwise(col("i") + col("p") - 1).as("j"),
+              (col("xi") * col("xj")).as("prod"))
+      .groupBy("i", "j")
+      .agg(sum(col("prod")).as("sij"), count(lit(1)).as("_c"))
+      .localCheckpoint(true) // ≤ d(d+3)/2 rows, read every iteration
+    val s = mom.filter(col("j") === -1).select(col("i"), col("sij").as("si"))
+    val nB = broadcast(mom.filter(col("i") === 0 && col("j") === -1)
+      .select(col("_c").as("_n")))
+    val upper = mom.filter(col("j") >= 0).select("i", "j", "sij")
     val m = upper.union(upper.filter(col("i") =!= col("j"))
       .select(col("j"), col("i"), col("sij")))
     val dec = "decimal(38,0)"
+    // c and the iterations derive from the checkpointed moment table by
+    // d²-bounded joins — cheap to keep lazy, so the whole power chain
+    // (plus flip and output) compiles into the consumer's single job.
     val c = m
       .join(s.select(col("i"), col("si").as("sa")), "i")
       .join(s.select(col("i").as("j"), col("si").as("sb")), "j")
+      .crossJoin(nB)
       .select(col("i"), col("j"),
-              (lit(n).cast(dec) * col("sij").cast(dec) -
+              (col("_n").cast(dec) * col("sij").cast(dec) -
                col("sa").cast(dec) * col("sb").cast(dec)).as("cij"))
-      .localCheckpoint(true) // d² rows, read every iteration
     // Integer-exact varying init (identical in the SQL oracle): a
     // uniform start would be EXACTLY orthogonal to any zero-sum
     // direction and power iteration could never recover it.
@@ -404,6 +416,11 @@ object Similarity {
       val y = c.join(w.select(col("i").as("j"), col("w")), "j")
         .groupBy("i").agg(sum(col("cij") * col("w")).as("y"))
       val ma = y.agg(max(abs(col("y"))).as("ma"))
+      // Per-iteration checkpoint stays: w_k references y_k TWICE (the
+      // matvec rows and the max|y| broadcast), so a lazy chain doubles
+      // the plan per iteration — 2^iters copies of every join, measured
+      // as a 2-6× slowdown on the abtt/pca rows when tried lazily. One
+      // d-row materialization per iteration is the cheaper shape.
       w = y.crossJoin(broadcast(ma))
         .select(col("i"),
                 round(col("y").cast("double") / col("ma").cast("double")
@@ -427,22 +444,48 @@ object Similarity {
     * no cross-position float summation anywhere. */
   def removeTopDirection(emb: DataFrame, dim: Int, iters: Int = 3,
                          idCol: String = "id",
-                         vecCol: String = "vec"): DataFrame = {
+                         vecCol: String = "vec"): DataFrame =
+    removeTopVecs(emb, dim, iters, idCol, vecCol)
+      .select(col("id"), posexplode(col("vp_vec")).as(Seq("pos", "vp")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("vp"))
+
+  /** [[removeTopDirection]] with the projected vector kept PACKED —
+    * (id, vp_vec) — and computed MAP-ONLY: the direction and its exact
+    * norm ride along as one broadcast row and ⟨v,w⟩ folds over the packed
+    * array in-row, so the corpus is never exploded long-form, never
+    * shuffled by id, and never joined (the old form paid a corpus-sized
+    * groupBy exchange to re-attach ⟨v,w⟩). Every arithmetic step is the
+    * same exact-integer-in-double sequence as before — ⟨v,w⟩ and ‖w‖²
+    * sums of integer-valued terms ≪ 2⁵³ — so vp is bit-identical. */
+  def removeTopVecs(emb: DataFrame, dim: Int, iters: Int = 3,
+                    idCol: String = "id",
+                    vecCol: String = "vec"): DataFrame = {
     val w = pcaPowerDirection(emb, dim, iters, idCol, vecCol)
-    val wd = w.select(col("pos").cast("int").as("i"),
-                      round(col("w") * 1e6, 0).as("wj")) // exact micro
-    val den = wd.agg(sum(col("wj") * col("wj")).as("den"))
-    val x = emb.select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("i", "xv")))
-      .select(col("id"), col("i"),
-              round(col("xv") * 1e6, 0).cast("long").as("xi"))
-    val num = x.join(broadcast(wd), "i")
-      .groupBy("id").agg(sum(col("xi") * col("wj")).as("num"))
-    x.join(broadcast(wd), "i").join(num, "id").crossJoin(broadcast(den))
-      .select(col("id"), col("i").cast("long").as("pos"),
-        round(col("xi") / lit(1e6)
-              - (col("num") * lit(1.0) / col("den")) * (col("wj") / lit(1e6)),
-              6).as("vp"))
+    // The direction is d rows — a constant-bounded result (the k-means-
+    // centroid collect class), independent of corpus size. Inline it and
+    // its exact norm as literals: no collect_list aggregate (PlanGuard's
+    // global-object-aggregate class), no broadcast, no join — the whole
+    // projection is map-only. wj and ‖w‖² are integer-valued doubles
+    // ≪ 2⁵³, so the driver-side sum is the same exact value the old SQL
+    // sum produced in arbitrary order.
+    val wj: Array[Double] = w.select(col("pos").cast("int"),
+        round(col("w") * 1e6, 0))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    require(wj.length == dim, s"direction has ${wj.length} dims, expected $dim")
+    val den = wj.map(x => x * x).sum
+    val warr = typedLit(wj.toSeq)
+    emb
+      .select(col(idCol).as("id"),
+              transform(col(vecCol),
+                xv => round(xv * 1e6, 0).cast("long")).as("_xq"))
+      .withColumn("_num",
+        aggregate(zip_with(col("_xq"), warr, (a, b) => a * b),
+                  lit(0.0), (acc, x) => acc + x))
+      .select(col("id"),
+              zip_with(col("_xq"), warr, (xi, wjc) =>
+                round(xi / lit(1e6)
+                      - (col("_num") * lit(1.0) / lit(den))
+                        * (wjc / lit(1e6)), 6)).as("vp_vec"))
   }
 
   /** Per-cell (negdot, cell) scores against the sin-seeded synthetic

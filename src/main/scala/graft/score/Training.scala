@@ -36,18 +36,33 @@ import org.apache.spark.sql.functions._
   * x rounded 6 dp. */
 object Training {
 
+  /** State/checkpoint discipline for the iterative trainers: a frame is
+    * checkpointed only when a LATER step re-reads it — the final step's
+    * outputs flow straight into the result plan (each skipped checkpoint
+    * is one fewer eager job; with steps = 1 a whole loop runs as one job
+    * tail). */
+  private[graft] def ckIf(df: DataFrame, reread: Boolean): DataFrame =
+    if (reread) df.localCheckpoint(true) else df
+
   /** (dst → cyclic-successor) map over the distinct entity ids, used as the
     * deterministic corruption: range-partitioned sort + zipWithIndex
     * ([[graft.metric.Ranking.globalIndex]] — NO no-partition window), then a
     * self-equi-join on (uidx+1) mod n. Un-hinted: at test scale Spark may
     * size-broadcast it, at a 1e9-entity KG it shuffles — both correct. */
   private[graft] def cyclicNextMap(ents: DataFrame): DataFrame = {
-    val n = ents.count()
-    val idx = graft.metric.Ranking.globalIndex(ents, "id")
-      .localCheckpoint(true) // joined twice below
+    // globalIndex materializes the sorted universe once (its own eager
+    // checkpoint); the successor self-join and the wrap row stay lazy —
+    // no count() action and no second checkpoint (the old form spent two
+    // extra jobs here per training query). Wrap: the max-uidx row is the
+    // only one with no uidx+1 partner, and its cyclic successor is the
+    // minimum id — identical rows to the old (uidx+1) % n join.
+    val idx = graft.metric.Ranking.globalIndexPacked(ents, "id")
+    val wrap = broadcast(idx.agg(min(col("id")).as("_minid")))
     idx.as("a")
-      .join(idx.as("b"), (col("a.uidx") + 1) % n === col("b.uidx"))
-      .select(col("a.id").as("dst"), col("b.id").as("neg"))
+      .join(idx.as("b"), (col("a.uidx") + 1) === col("b.uidx"), "left")
+      .crossJoin(wrap)
+      .select(col("a.id").as("dst"),
+              coalesce(col("b.id"), col("_minid")).as("neg"))
   }
 
   /** Deterministic-HASH corruption: for each edge the corrupting tail is
@@ -59,14 +74,16 @@ object Training {
     * global zipWithIndex + two equi-joins against the index — nothing
     * entity-sized is broadcast or single-partitioned. */
   private[graft] def hashNegEdges(ents: DataFrame, edges: DataFrame): DataFrame = {
-    val n = ents.count()
-    val idx = graft.metric.Ranking.globalIndex(ents, "id")
-      .localCheckpoint(true) // joined twice below
-    edges
+    // No count() action: n rides along as a broadcast one-row frame
+    // (max uidx + 1 over the index globalIndex just materialized), so
+    // the whole draw stays inside the consumer's job.
+    val idx = graft.metric.Ranking.globalIndexPacked(ents, "id")
+    val nB = broadcast(idx.agg((max(col("uidx")) + 1).as("_n")))
+    edges.crossJoin(nB)
       .withColumn("_h", pmod(graft.functions.PortableHash.md5Prefix60(
-        concat_ws("|", col("src"), col("rel"), col("dst"))), lit(n)))
+        concat_ws("|", col("src"), col("rel"), col("dst"))), col("_n")))
       .join(idx.select(col("uidx").as("_h"), col("id").as("_n1")), Seq("_h"))
-      .withColumn("_h2", (col("_h") + 1) % n)
+      .withColumn("_h2", (col("_h") + 1) % col("_n"))
       .join(idx.select(col("uidx").as("_h2"), col("id").as("_n2")), Seq("_h2"))
       .select(col("src"), col("rel"), col("dst"),
               when(col("_n1") =!= col("dst"), col("_n1")).otherwise(col("_n2"))
@@ -233,9 +250,10 @@ object Training {
     val ed0 =
       if (hashNeg) hashNegEdges(ents, edc)
       else edc.join(cyclicNextMap(ents), "dst") // shuffled equi-join; map is entity-sized
-    val ed = (if (batches > 0) ed0.withColumn("_mb", batchId(batches))
-              else ed0)
-      .localCheckpoint(true) // re-joined every step
+    def ck(df: DataFrame, reread: Boolean): DataFrame = ckIf(df, reread)
+    val ed = ck(if (batches > 0) ed0.withColumn("_mb", batchId(batches))
+                else ed0,
+                steps > 1) // re-joined every step
 
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()
     def base(ids: DataFrame, kind: String, seed: Double): DataFrame =
@@ -294,7 +312,7 @@ object Training {
                   (coalesce(col("w"), lit(0.0)) * 0.5 +
                     coalesce(col("g"), lit(0.0)) *
                       coalesce(col("g"), lit(0.0)) * 0.5).as("w")))
-          .localCheckpoint(true)
+        mv = ck(mv, k < steps)
         val bc = 1.0 - math.pow(0.5, k) // bias-correction 1 − βᵏ (dyadic)
         // microX ← microX − sign(m)·floor(lr·10⁶·|m|/bc / √(w/bc)):
         // the AdaGrad floor-micro step with bias-corrected moments. The
@@ -316,7 +334,7 @@ object Training {
                           sqrt(col("w") / lit(bc))).cast("long"))
                   .cast("double") / 1e6)
               .as("x"))
-          .localCheckpoint(true)
+        e = ck(e, k < steps)
       } else if (adagrad) {
         // aₖ = aₖ₋₁ + gₖ² — exact longs (sign gradients are integers).
         acc = (if (acc == null)
@@ -328,7 +346,7 @@ object Training {
                            (coalesce(col("g"), lit(0.0)) *
                              coalesce(col("g"), lit(0.0))).cast("long"))
                            .as("a")))
-          .localCheckpoint(true)
+        acc = ck(acc, k < steps)
         // microX ← microX − g·floor(lr·10⁶/√a): all-long state math; the
         // float ops (√, ÷, floor) are IEEE-identical cross-engine and no
         // decimal rounding runs (see transeSgdAdagrad).
@@ -343,12 +361,12 @@ object Training {
                     floor(lit(lr * 1e6) / sqrt(col("a"))).cast("long"))
                   .cast("double") / 1e6)
               .as("x"))
-          .localCheckpoint(true)
+        e = ck(e, k < steps)
       } else if (momentum == 0.0) {
         e = e.join(grads, Seq("kind", "id", "pos"), "left")
           .select(col("kind"), col("id"), col("pos"),
                   round(col("x") - coalesce(col("g"), lit(0.0)) * lr, 6).as("x"))
-          .localCheckpoint(true)
+        e = ck(e, k < steps)
       } else {
         // vₖ = μ·vₖ₋₁ + gₖ over the union of supports (either side may be
         // absent for a parameter this step); exact dyadic doubles, no
@@ -359,11 +377,11 @@ object Training {
                .select(col("kind"), col("id"), col("pos"),
                        (coalesce(col("v"), lit(0.0)) * momentum
                          + coalesce(col("g"), lit(0.0))).as("v")))
-          .localCheckpoint(true)
+        v = ck(v, k < steps)
         e = e.join(v, Seq("kind", "id", "pos"), "left")
           .select(col("kind"), col("id"), col("pos"),
                   round(col("x") - coalesce(col("v"), lit(0.0)) * lr, 6).as("x"))
-          .localCheckpoint(true)
+        e = ck(e, k < steps)
       }
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
@@ -406,12 +424,11 @@ object Training {
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true)
     val nextMap = cyclicNextMap(ents)
-    val ed = edges
+    val ed = graft.score.Training.ckIf(edges
       .select(col("src").cast("long").as("src"),
               col("rel").cast("long").as("rel"),
               col("dst").cast("long").as("dst"))
-      .join(nextMap, "dst")
-      .localCheckpoint(true)
+      .join(nextMap, "dst"), steps > 1)
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()
     def base(ids: DataFrame, kind: String, seed: Double): DataFrame =
       ids.select(lit(kind).as("kind"), col("id"),
@@ -419,7 +436,7 @@ object Training {
           .as(Seq("pos", "x")))
     var e = base(ents, "ent", entSeed).unionAll(base(rels, "rel", relSeed))
       .localCheckpoint(true)
-    for (_ <- 1 to steps) {
+    for (k <- 1 to steps) {
       // Micro-int view of the state: xi = round(x * 1e6) as long.
       def side(kind: String, key: String, as: String): DataFrame =
         e.filter(col("kind") === kind)
@@ -453,10 +470,10 @@ object Training {
         .unionAll(vd.select(lit("ent").as("kind"), col("neg").as("id"),
                             col("pos"), (col("hi") * col("ri")).as("g")))
       val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
-      e = e.join(grads, Seq("kind", "id", "pos"), "left")
-        .select(col("kind"), col("id"), col("pos"),
-                microUpdate(col("x"), col("g"), lr).as("x"))
-        .localCheckpoint(true)
+      e = graft.score.Training.ckIf(
+        e.join(grads, Seq("kind", "id", "pos"), "left")
+          .select(col("kind"), col("id"), col("pos"),
+                  microUpdate(col("x"), col("g"), lr).as("x")), k < steps)
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
              col("x"))
@@ -497,12 +514,11 @@ object Training {
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true)
     val nextMap = cyclicNextMap(ents)
-    val ed = edges
+    val ed = graft.score.Training.ckIf(edges
       .select(col("src").cast("long").as("src"),
               col("rel").cast("long").as("rel"),
               col("dst").cast("long").as("dst"))
-      .join(nextMap, "dst")
-      .localCheckpoint(true)
+      .join(nextMap, "dst"), steps > 1)
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()
     // Complex long-form base: (id, pos, re, im) per table.
     def cbase(ids: DataFrame, seed: Double): DataFrame =
@@ -523,12 +539,12 @@ object Training {
       .unionAll(r0.select(lit("rel_re"), col("id"), col("pos"), col("re")))
       .unionAll(r0.select(lit("rel_im"), col("id"), col("pos"), col("im")))
       .localCheckpoint(true)
-    for (_ <- 1 to steps) {
+    for (k <- 1 to steps) {
       val frame = complexStepFrame(e, ed, gamma)
-      e = e.join(frame, Seq("kind", "id", "pos"), "left")
-        .select(col("kind"), col("id"), col("pos"),
-                microUpdate(col("x"), col("g"), lr).as("x"))
-        .localCheckpoint(true)
+      e = graft.score.Training.ckIf(
+        e.join(frame, Seq("kind", "id", "pos"), "left")
+          .select(col("kind"), col("id"), col("pos"),
+                  microUpdate(col("x"), col("g"), lr).as("x")), k < steps)
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
              col("x"))
@@ -640,7 +656,12 @@ object Training {
     * aggregate — exact, order-independent, engine-identical. Ties break
     * toward the smaller candidate id. */
   def distmultRanks(params: DataFrame, edges: DataFrame): DataFrame = {
-    def vecs(kind: String) = params.filter(col("kind") === kind)
+    // The trainers hand over a LAZY final state (they no longer checkpoint
+    // their last step); every ranks form fans the params out to 2-4 kind
+    // views, so materialize the (parameter-table-sized) state ONCE here
+    // instead of re-running the whole training pipeline per view.
+    val pm = params.localCheckpoint(true)
+    def vecs(kind: String) = pm.filter(col("kind") === kind)
       .select(col("id"), col("pos"),
               round(col("x") * 1e6, 0).cast("long").as("xi"))
       .groupBy("id")
@@ -698,12 +719,13 @@ object Training {
     * (micro³ exceeds long range across dims) — exact and
     * order-independent. Ties break toward the smaller candidate id. */
   def complexRanks(params: DataFrame, edges: DataFrame): DataFrame = {
-    val evRe = kindVecs(params, "ent_re")
-    val evIm = kindVecs(params, "ent_im")
+    val pm = params.localCheckpoint(true) // fanned out to 4 kind views
+    val evRe = kindVecs(pm, "ent_re")
+    val evIm = kindVecs(pm, "ent_im")
     val ev = evRe.join(evIm.withColumnRenamed("v", "w"), Seq("id"))
       .localCheckpoint(true)
-    val rv = kindVecs(params, "rel_re")
-      .join(kindVecs(params, "rel_im").withColumnRenamed("v", "w"), Seq("id"))
+    val rv = kindVecs(pm, "rel_re")
+      .join(kindVecs(pm, "rel_im").withColumnRenamed("v", "w"), Seq("id"))
     val ed = edges.select(col("src").cast("long").as("src"),
                           col("rel").cast("long").as("rel"),
                           col("dst").cast("long").as("dst"))
@@ -754,11 +776,12 @@ object Training {
     * ints, so every distance is an exact long (micro² sums stay far
     * inside long range) and every rank engine-exact. */
   def rotateRanks(params: DataFrame, edges: DataFrame): DataFrame = {
-    val ev = kindVecs(params, "ent_re")
-      .join(kindVecs(params, "ent_im").withColumnRenamed("v", "w"), Seq("id"))
+    val pm = params.localCheckpoint(true) // fanned out to 3 kind views
+    val ev = kindVecs(pm, "ent_re")
+      .join(kindVecs(pm, "ent_im").withColumnRenamed("v", "w"), Seq("id"))
       .localCheckpoint(true)
     // Quantized-phase trig vectors c̃/s̃ per relation.
-    val rv = kindVecs(params, "rel_ph")
+    val rv = kindVecs(pm, "rel_ph")
       .select(col("id"),
               transform(col("v"),
                 t => round(cos(t / lit(1e6)) * 1e6, 0).cast("long")).as("c"),
@@ -804,13 +827,14 @@ object Training {
   private def ranksImpl(params: DataFrame, edges: DataFrame,
                         candMod: Int, filter: Option[DataFrame]): DataFrame = {
     require(candMod > 0, s"candMod must be positive, got $candMod")
+    val pm = params.localCheckpoint(true) // fanned out to 2 kind views
     // Micro-int VECTORS per id (6-dp state × 1e6 — exact longs), packed
     // once: the per-candidate distance is then a single codegen'd
     // zip_with/aggregate over two array attributes instead of a dim-way
     // join keyed on `pos` (8 distinct keys = 8-partition parallelism and
     // an (edges×ents×dim)-row shuffle; this form shuffles nothing but the
     // final ~|edges|-group count).
-    def vecs(kind: String) = params.filter(col("kind") === kind)
+    def vecs(kind: String) = pm.filter(col("kind") === kind)
       .select(col("id"), col("pos"),
               round(col("x") * 1e6, 0).cast("long").as("xi"))
       .groupBy("id")
@@ -910,12 +934,11 @@ object Training {
     val ents = entities.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(true)
     val nextMap = cyclicNextMap(ents)
-    val ed = edges
+    val ed = graft.score.Training.ckIf(edges
       .select(col("src").cast("long").as("src"),
               col("rel").cast("long").as("rel"),
               col("dst").cast("long").as("dst"))
-      .join(nextMap, "dst")
-      .localCheckpoint(true)
+      .join(nextMap, "dst"), steps > 1)
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()
     val b0 = ents.select(col("id"),
         Embeddings.deterministicVec(col("id"), dim, entSeed).as("vre"),
@@ -934,12 +957,12 @@ object Training {
       .unionAll(b0.select(lit("ent_im"), col("id"), col("pos"), col("im")))
       .unionAll(r0.select(lit("rel_ph"), col("id"), col("pos"), col("x")))
       .localCheckpoint(true)
-    for (_ <- 1 to steps) {
+    for (k <- 1 to steps) {
       val frame = rotateStepFrame(e, ed, gamma)
-      e = e.join(frame, Seq("kind", "id", "pos"), "left")
-        .select(col("kind"), col("id"), col("pos"),
-                microUpdate(col("x"), col("g"), lr).as("x"))
-        .localCheckpoint(true)
+      e = graft.score.Training.ckIf(
+        e.join(frame, Seq("kind", "id", "pos"), "left")
+          .select(col("kind"), col("id"), col("pos"),
+                  microUpdate(col("x"), col("g"), lr).as("x")), k < steps)
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
              col("x"))

@@ -202,8 +202,18 @@ class TrainingSpec extends AnyFunSuite {
     // a Window node here would be the old single-partition funnel
     assert(!nm.queryExecution.optimizedPlan.toString.contains("Window"),
            "cyclicNextMap must not use a window")
-    assert(!nm.queryExecution.analyzed.toString.toLowerCase.contains("hint"),
-           "cyclicNextMap must not force a broadcast hint")
+    // The successor self-join must stay un-hinted (the idx sides are
+    // entity-sized: forcing a broadcast there would OOM at a 1e9-entity
+    // KG). The only allowed hint is on the wraparound min-id row — a
+    // 1-row aggregate, safe to broadcast at any scale.
+    val hinted = nm.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.forall(_.child.collectFirst {
+             case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+               if a.groupingExpressions.isEmpty => a
+           }.nonEmpty),
+           "cyclicNextMap may hint only the 1-row wraparound aggregate")
     // and it is still the correct cyclic successor 10->20->30->10
     val m = nm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(10L -> 20L, 20L -> 30L, 30L -> 10L))
