@@ -334,7 +334,7 @@ object Training {
                           sqrt(col("w") / lit(bc))).cast("long"))
                   .cast("double") / 1e6)
               .as("x"))
-        e = ck(e, k < steps)
+          .localCheckpoint(true)
       } else if (adagrad) {
         // aₖ = aₖ₋₁ + gₖ² — exact longs (sign gradients are integers).
         acc = (if (acc == null)
@@ -361,12 +361,12 @@ object Training {
                     floor(lit(lr * 1e6) / sqrt(col("a"))).cast("long"))
                   .cast("double") / 1e6)
               .as("x"))
-        e = ck(e, k < steps)
+          .localCheckpoint(true)
       } else if (momentum == 0.0) {
         e = e.join(grads, Seq("kind", "id", "pos"), "left")
           .select(col("kind"), col("id"), col("pos"),
                   round(col("x") - coalesce(col("g"), lit(0.0)) * lr, 6).as("x"))
-        e = ck(e, k < steps)
+          .localCheckpoint(true)
       } else {
         // vₖ = μ·vₖ₋₁ + gₖ over the union of supports (either side may be
         // absent for a parameter this step); exact dyadic doubles, no
@@ -381,7 +381,7 @@ object Training {
         e = e.join(v, Seq("kind", "id", "pos"), "left")
           .select(col("kind"), col("id"), col("pos"),
                   round(col("x") - coalesce(col("v"), lit(0.0)) * lr, 6).as("x"))
-        e = ck(e, k < steps)
+          .localCheckpoint(true)
       }
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
@@ -470,10 +470,10 @@ object Training {
         .unionAll(vd.select(lit("ent").as("kind"), col("neg").as("id"),
                             col("pos"), (col("hi") * col("ri")).as("g")))
       val grads = contrib.groupBy("kind", "id", "pos").agg(sum("g").as("g"))
-      e = graft.score.Training.ckIf(
-        e.join(grads, Seq("kind", "id", "pos"), "left")
-          .select(col("kind"), col("id"), col("pos"),
-                  microUpdate(col("x"), col("g"), lr).as("x")), k < steps)
+      e = e.join(grads, Seq("kind", "id", "pos"), "left")
+        .select(col("kind"), col("id"), col("pos"),
+                microUpdate(col("x"), col("g"), lr).as("x"))
+        .localCheckpoint(true)
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
              col("x"))
@@ -541,10 +541,10 @@ object Training {
       .localCheckpoint(true)
     for (k <- 1 to steps) {
       val frame = complexStepFrame(e, ed, gamma)
-      e = graft.score.Training.ckIf(
-        e.join(frame, Seq("kind", "id", "pos"), "left")
-          .select(col("kind"), col("id"), col("pos"),
-                  microUpdate(col("x"), col("g"), lr).as("x")), k < steps)
+      e = e.join(frame, Seq("kind", "id", "pos"), "left")
+        .select(col("kind"), col("id"), col("pos"),
+                microUpdate(col("x"), col("g"), lr).as("x"))
+        .localCheckpoint(true)
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
              col("x"))
@@ -656,12 +656,7 @@ object Training {
     * aggregate — exact, order-independent, engine-identical. Ties break
     * toward the smaller candidate id. */
   def distmultRanks(params: DataFrame, edges: DataFrame): DataFrame = {
-    // The trainers hand over a LAZY final state (they no longer checkpoint
-    // their last step); every ranks form fans the params out to 2-4 kind
-    // views, so materialize the (parameter-table-sized) state ONCE here
-    // instead of re-running the whole training pipeline per view.
-    val pm = params.localCheckpoint(true)
-    def vecs(kind: String) = pm.filter(col("kind") === kind)
+    def vecs(kind: String) = params.filter(col("kind") === kind)
       .select(col("id"), col("pos"),
               round(col("x") * 1e6, 0).cast("long").as("xi"))
       .groupBy("id")
@@ -719,13 +714,12 @@ object Training {
     * (micro³ exceeds long range across dims) — exact and
     * order-independent. Ties break toward the smaller candidate id. */
   def complexRanks(params: DataFrame, edges: DataFrame): DataFrame = {
-    val pm = params.localCheckpoint(true) // fanned out to 4 kind views
-    val evRe = kindVecs(pm, "ent_re")
-    val evIm = kindVecs(pm, "ent_im")
+    val evRe = kindVecs(params, "ent_re")
+    val evIm = kindVecs(params, "ent_im")
     val ev = evRe.join(evIm.withColumnRenamed("v", "w"), Seq("id"))
       .localCheckpoint(true)
-    val rv = kindVecs(pm, "rel_re")
-      .join(kindVecs(pm, "rel_im").withColumnRenamed("v", "w"), Seq("id"))
+    val rv = kindVecs(params, "rel_re")
+      .join(kindVecs(params, "rel_im").withColumnRenamed("v", "w"), Seq("id"))
     val ed = edges.select(col("src").cast("long").as("src"),
                           col("rel").cast("long").as("rel"),
                           col("dst").cast("long").as("dst"))
@@ -776,12 +770,11 @@ object Training {
     * ints, so every distance is an exact long (micro² sums stay far
     * inside long range) and every rank engine-exact. */
   def rotateRanks(params: DataFrame, edges: DataFrame): DataFrame = {
-    val pm = params.localCheckpoint(true) // fanned out to 3 kind views
-    val ev = kindVecs(pm, "ent_re")
-      .join(kindVecs(pm, "ent_im").withColumnRenamed("v", "w"), Seq("id"))
+    val ev = kindVecs(params, "ent_re")
+      .join(kindVecs(params, "ent_im").withColumnRenamed("v", "w"), Seq("id"))
       .localCheckpoint(true)
     // Quantized-phase trig vectors c̃/s̃ per relation.
-    val rv = kindVecs(pm, "rel_ph")
+    val rv = kindVecs(params, "rel_ph")
       .select(col("id"),
               transform(col("v"),
                 t => round(cos(t / lit(1e6)) * 1e6, 0).cast("long")).as("c"),
@@ -827,14 +820,13 @@ object Training {
   private def ranksImpl(params: DataFrame, edges: DataFrame,
                         candMod: Int, filter: Option[DataFrame]): DataFrame = {
     require(candMod > 0, s"candMod must be positive, got $candMod")
-    val pm = params.localCheckpoint(true) // fanned out to 2 kind views
     // Micro-int VECTORS per id (6-dp state × 1e6 — exact longs), packed
     // once: the per-candidate distance is then a single codegen'd
     // zip_with/aggregate over two array attributes instead of a dim-way
     // join keyed on `pos` (8 distinct keys = 8-partition parallelism and
     // an (edges×ents×dim)-row shuffle; this form shuffles nothing but the
     // final ~|edges|-group count).
-    def vecs(kind: String) = pm.filter(col("kind") === kind)
+    def vecs(kind: String) = params.filter(col("kind") === kind)
       .select(col("id"), col("pos"),
               round(col("x") * 1e6, 0).cast("long").as("xi"))
       .groupBy("id")
@@ -959,10 +951,10 @@ object Training {
       .localCheckpoint(true)
     for (k <- 1 to steps) {
       val frame = rotateStepFrame(e, ed, gamma)
-      e = graft.score.Training.ckIf(
-        e.join(frame, Seq("kind", "id", "pos"), "left")
-          .select(col("kind"), col("id"), col("pos"),
-                  microUpdate(col("x"), col("g"), lr).as("x")), k < steps)
+      e = e.join(frame, Seq("kind", "id", "pos"), "left")
+        .select(col("kind"), col("id"), col("pos"),
+                microUpdate(col("x"), col("g"), lr).as("x"))
+        .localCheckpoint(true)
     }
     e.select(col("kind"), col("id"), col("pos").cast("long").as("pos"),
              col("x"))
