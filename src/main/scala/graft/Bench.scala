@@ -6,13 +6,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Output contract (two sinks, one stdout line):
   *   - FULL results — every per-query timing at ns precision — are written to
-  *     `BENCH_FULL.json` (override with SPARK_GRAFT_BENCH_OUT). The driver's
-  *     stdout capture keeps only the last 2000 characters, which has truncated
-  *     the head of the full per-query map every round (BENCH_r01–r04 all have
+  *     `BENCH_FULL_c<cpus>.json` (override with SPARK_GRAFT_BENCH_OUT; the
+  *     per-core-count name keeps the driver's two bench runs from clobbering
+  *     each other). The driver's stdout capture keeps only the last 2000
+  *     characters, which has truncated the head of the full per-query map
+  *     when the line outgrew the window (BENCH_r01–r04, r16, r17 all have
   *     `parsed: null`); the file is the complete record.
   *   - stdout gets ONE SHORT JSON line — total/load/failed plus a fixed
-  *     headline subset of per-query timings at 3 dp — sized well under the
-  *     2000-char tail window so the driver can parse it.
+  *     headline subset of per-query timings — precision auto-drops from 3 dp
+  *     to 2 dp so the line stays under the 2000-char tail window (incl. the
+  *     sbt success trailer) and the driver can parse it.
   *
   * The derived-KG edges view is materialized once up front (load phase,
   * reported as load_sec) — the analog of the reference's eager adjacency
@@ -79,7 +82,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Per-core-count file name: the driver runs the bench at TWO core
+    // counts back-to-back, and a fixed name let the second run clobber
+    // the first's full per-query record (r17 verdict #2 — the 8-core run
+    // destroyed the 32-core BENCH_FULL.json).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_FULL_c$cpus.json")
     // De-noising: run every query REPEAT times and report the per-query
     // MEDIAN. Default is 3 as of round 8 (judge request: the sandbox's CPU
     // throttling made single-pass round-over-round deltas a lottery —
@@ -143,23 +151,36 @@ object Bench {
     // CPU-throttles: identical binaries have measured 157 s idle vs
     // 177+ s at loadavg 5.7.)
     val throttled = loadStart > 1.0
-    def jsonLine(qs: Seq[(String, Double)], fmt: Double => String): String = {
+    def jsonLine(qs: Seq[(String, Double)], fmt: Double => String,
+                 withFull: Boolean): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,""" +
         s""""failed":$failed,"n_queries":${results.size},"sf":"$sfDir",""" +
         s""""load_sec":${fmt(loadSec)},"loadavg":[$loadStart,$loadEnd],""" +
-        s""""throttled":$throttled,"repeat":$repeat,"full":"$outPath"}"""
+        s""""throttled":$throttled,"repeat":$repeat""" +
+        (if (withFull) s""","full":"$outPath"}""" else "}")
     }
 
-    val full = jsonLine(results.map(r => (r._1, r._2)), _.toString)
+    val full = jsonLine(results.map(r => (r._1, r._2)), _.toString,
+      withFull = true)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
 
+    // The driver captures only the LAST 2000 stdout characters, and sbt
+    // appends a ~75-90 char "[success] ..." trailer after this line — the
+    // 70-entry headline map at 3 dp overflowed that window in r16 AND r17
+    // (both rounds' PERF parsed null; verdict #2). Emit the HIGHEST
+    // precision whose full line still fits with margin; the per-query
+    // headline set itself is additions-only (never trimmed).
     val head = results.collect {
       case (k, v, _) if headline.contains(k) => (k, v)
     }
-    println(jsonLine(head, v => f"$v%.3f"))
+    val line = Seq[Double => String](v => f"$v%.3f", v => f"$v%.2f")
+      .map(fmt => jsonLine(head, fmt, withFull = false))
+      .find(_.length <= 1880)
+      .getOrElse(jsonLine(head, v => f"$v%.2f", withFull = false))
+    println(line)
     spark.stop()
     // A crashing query must fail the bench run, not just skew a timing.
     if (results.exists(!_._3)) sys.exit(1)
