@@ -132,12 +132,19 @@ object Ranking {
     * formulation). */
   def filteredRanksBinary(univIdx: DataFrame, answers: DataFrame): DataFrame = {
     // Inner join ⇒ answers outside the universe are excluded, exactly as the
-    // generic path's `ranks ⋈ answers` does. The answers side (per-type
-    // answer sets) is orders of magnitude smaller than the entity
-    // universe: broadcast it explicitly so the universe index streams
-    // un-shuffled (size ESTIMATES on the checkpointed index flip the
-    // planner toward hashing the universe otherwise — guide §3.1).
-    val marked = broadcast(answers).join(univIdx, Seq("entity"))
+    // generic path's `ranks ⋈ answers` does. GATED broadcast of the answers
+    // side: size estimates on the checkpointed index otherwise flip the
+    // planner into shuffling the UNIVERSE (observed: dropping the hint
+    // turns this into two SortMergeJoins — the universe index, 1e9 rows at
+    // scale, crossing an exchange), but an UNconditional hint bypasses
+    // autoBroadcastJoinThreshold and for high-fanout/negation formulas an
+    // answer set can approach universe size — the driver-OOM hazard ADVICE
+    // r17 flagged. The count gate is cheap by contract: callers pass a
+    // materialized (checkpointed) answers frame. ~24 B/row ⇒ 400k rows ≈
+    // the default 10 MB broadcast threshold.
+    val answersSmall = answers.count() <= 400000L
+    val marked = (if (answersSmall) broadcast(answers) else answers)
+      .join(univIdx, Seq("entity"))
     val prev = Window.partitionBy("qid").orderBy(col("entity").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     marked

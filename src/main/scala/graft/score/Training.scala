@@ -253,7 +253,8 @@ object Training {
     def ck(df: DataFrame, reread: Boolean): DataFrame = ckIf(df, reread)
     val ed = ck(if (batches > 0) ed0.withColumn("_mb", batchId(batches))
                 else ed0,
-                steps > 1) // re-joined every step
+                steps > 1) // consumed once per step (dm below is the
+    // checkpointed fan-out point), so a 1-step loop skips the job
 
     val rels = edges.select(col("rel").cast("long").as("id")).distinct()
     def base(ids: DataFrame, kind: String, seed: Double): DataFrame =
@@ -278,6 +279,7 @@ object Training {
         .join(side("rel", "rel", "r"), Seq("rel", "pos"))
         .join(side("ent", "dst", "t"), Seq("dst", "pos"))
         .join(side("ent", "neg", "tn"), Seq("neg", "pos"))
+        .localCheckpoint(true) // feeds hinge agg + gradient projection
       val sc = dm.groupBy("src", "rel", "dst", "neg")
         .agg(sum(abs(col("h") + col("r") - col("t"))).as("dp"),
              sum(abs(col("h") + col("r") - col("tn"))).as("dn"))
