@@ -1770,19 +1770,27 @@ object PipelineQueries {
     ("q_quantile_bins",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val qs = graft.operators.ExactQuantiles.quantiles(li, Seq.empty,
+        // ONE data pass (was two): both the quantile boundaries AND the
+        // binning aggregate derive from the operator's distinct-value
+        // frequency table — n = Σ_c per bin and lo/hi = min/max over the
+        // distinct values are exactly the raw-row count/min/max
+        // (l_extendedprice is NOT NULL, so no rows leave the melt).
+        val freq = graft.operators.ExactQuantiles.frequencies(
+          li, Seq.empty, Seq("l_extendedprice"))
+        val qs = graft.operators.ExactQuantiles.quantilesOfFreq(freq,
+          Seq.empty,
           Seq(("l_extendedprice", "q1", 0.25),
               ("l_extendedprice", "q2", 0.5),
               ("l_extendedprice", "q3", 0.75)))
-        li.crossJoin(broadcast(qs))
-          .select(when(col("l_extendedprice") <= col("q1"), 0L)
-            .when(col("l_extendedprice") <= col("q2"), 1L)
-            .when(col("l_extendedprice") <= col("q3"), 2L)
-            .otherwise(3L).as("bin"), col("l_extendedprice"))
+        freq.crossJoin(broadcast(qs))
+          .select(when(col("_v") <= col("q1"), 0L)
+            .when(col("_v") <= col("q2"), 1L)
+            .when(col("_v") <= col("q3"), 2L)
+            .otherwise(3L).as("bin"), col("_v"), col("_c"))
           .groupBy("bin")
-          .agg(count(lit(1)).as("n"),
-               round(min("l_extendedprice"), 2).as("lo"),
-               round(max("l_extendedprice"), 2).as("hi"))
+          .agg(sum(col("_c")).as("n"),
+               round(min("_v"), 2).as("lo"),
+               round(max("_v"), 2).as("hi"))
       },
       Some("""WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
              |  quantile_cont(l_extendedprice, 0.5) AS q2,

@@ -54,21 +54,21 @@ object ExactQuantiles {
     *         groups re-attach them with a left join from the group
     *         universe.
     */
-  def quantiles(df: DataFrame, groupCols: Seq[String],
-                specs: Seq[(String, String, Double)],
-                buckets: Int = 1024): DataFrame = {
-    require(specs.nonEmpty, "at least one quantile spec")
-    require(specs.map(_._2).distinct.size == specs.size,
-            "quantile output names must be unique")
-    val valueCols = specs.map(_._1).distinct
+  /** Distinct-value FREQUENCY table of the melted value columns —
+    * `groupCols ++ (_vc, _v, _c)`, checkpointed. This is the operator's
+    * one data-sized pass; [[quantilesOfFreq]] computes the quantiles
+    * from it, and callers that need further value-distribution work
+    * (binning, histogram counts — q_quantile_bins) reuse the SAME table
+    * instead of re-scanning the data-sized input: Σ_c / min / max over
+    * the frequency rows are exactly the count / min / max over the raw
+    * rows. NULLs are dropped per column, matching `percentile`'s
+    * semantics (each column's n counts only its own non-null rows);
+    * `groupBy(_v)` normalizes -0.0/0.0 (documented above). */
+  def frequencies(df: DataFrame, groupCols: Seq[String],
+                  valueCols: Seq[String]): DataFrame = {
     val gcols = if (groupCols.isEmpty) Seq("_g") else groupCols
-    val gc = gcols.map(col)
-
-    // Melt the value columns long-form: ONE scan covers every spec.
-    // NULLs are dropped per column, matching `percentile`'s semantics
-    // (each column's n counts only its own non-null rows).
     val melted = df
-      .select(groupCols.map(col) :+ explode(array(valueCols.map(vc =>
+      .select(groupCols.map(col) :+ explode(array(valueCols.distinct.map(vc =>
         struct(lit(vc).as("_vc"), col(vc).cast("double").as("_v"))): _*))
         .as("_m"): _*)
       .select((groupCols.map(col) :+ col("_m._vc").as("_vc") :+
@@ -76,19 +76,36 @@ object ExactQuantiles {
       .filter(col("_v").isNotNull)
     val base =
       if (groupCols.isEmpty) melted.withColumn("_g", lit(1)) else melted
-    val kc = gc :+ col("_vc") // full key: group × value-column
-
     // Data-sized input → distinct-value-sized frequency table. This is
-    // the ONLY data-sized stage; everything below is bounded by the
+    // the ONLY data-sized stage; everything downstream is bounded by the
     // distinct-value count. MATERIALIZED (localCheckpoint, eager): the
     // table feeds four downstream branches (stats, bucketed counts,
     // per-bucket totals, target ranks) — without the checkpoint each
     // branch re-derives it, i.e. re-SCANS the data-sized input
     // (measured: 10 parquet scans in q_exact_median's plan). One scan
     // of the input, once, is the whole point of the operator.
-    val freq = base.groupBy(kc :+ col("_v"): _*)
+    base.groupBy((gcols.map(col) :+ col("_vc")) :+ col("_v"): _*)
       .agg(count(lit(1)).as("_c"))
       .localCheckpoint(true)
+  }
+
+  def quantiles(df: DataFrame, groupCols: Seq[String],
+                specs: Seq[(String, String, Double)],
+                buckets: Int = 1024): DataFrame =
+    quantilesOfFreq(frequencies(df, groupCols, specs.map(_._1).distinct),
+                    groupCols, specs, buckets)
+
+  /** [[quantiles]] over a prebuilt [[frequencies]] table (same groupCols;
+    * the freq table must cover every spec's value column). */
+  def quantilesOfFreq(freq: DataFrame, groupCols: Seq[String],
+                      specs: Seq[(String, String, Double)],
+                      buckets: Int = 1024): DataFrame = {
+    require(specs.nonEmpty, "at least one quantile spec")
+    require(specs.map(_._2).distinct.size == specs.size,
+            "quantile output names must be unique")
+    val gcols = if (groupCols.isEmpty) Seq("_g") else groupCols
+    val gc = gcols.map(col)
+    val kc = gc :+ col("_vc") // full key: group × value-column
 
     // Per-key stats (fixed-size sum/min/max buffers only).
     val stats = freq.groupBy(kc: _*)
@@ -174,20 +191,27 @@ object ExactQuantiles {
     //   if (higher == lower)        lowerValue
     //   else if (vHi == vLo)        lowerValue
     //   else (higher−position)·vLo + (position−lower)·vHi
-    val q = hit.groupBy(gc ++ Seq(col("_q"), col("_pos"), col("_lo"),
-        col("_hi")): _*)
-      .agg(max(when(col("_k") === "lo", col("_v"))).as("_vlo"),
-           max(when(col("_k") === "hi", col("_v"))).as("_vhi"))
-      .withColumn("_qval",
-        when(col("_hi") === col("_lo") || col("_vhi") === col("_vlo"),
-          col("_vlo"))
-        .otherwise((col("_hi") - col("_pos")) * col("_vlo") +
-                   (col("_pos") - col("_lo")) * col("_vhi")))
-
-    val qCols = specs.map { case (_, nm, _) =>
-      max(when(col("_q") === nm, col("_qval"))).as(nm)
+    // ONE tiny groupBy (was two chained): per-spec max(when) aggregates
+    // pull each quantile's (vlo, vhi, pos, lo, hi) out of the ≤ 2 hit
+    // rows per spec, and the interpolation runs as a projection — one
+    // fewer exchange + scheduled stage per call (§2.4), same values.
+    def pick(nm: String, c: Column): Column = max(when(col("_q") === nm, c))
+    val qCols = specs.flatMap { case (_, nm, _) =>
+      Seq(pick(nm, when(col("_k") === "lo", col("_v"))).as(s"_vlo_$nm"),
+          pick(nm, when(col("_k") === "hi", col("_v"))).as(s"_vhi_$nm"),
+          pick(nm, col("_pos")).as(s"_pos_$nm"),
+          pick(nm, col("_lo").cast("double")).as(s"_lo_$nm"),
+          pick(nm, col("_hi").cast("double")).as(s"_hi_$nm"))
     }
-    val out = q.groupBy(gc: _*).agg(qCols.head, qCols.tail: _*)
+    val agg = hit.groupBy(gc: _*).agg(qCols.head, qCols.tail: _*)
+    val outCols = gc ++ specs.map { case (_, nm, _) =>
+      when(col(s"_hi_$nm") === col(s"_lo_$nm")
+             || col(s"_vhi_$nm") === col(s"_vlo_$nm"), col(s"_vlo_$nm"))
+        .otherwise((col(s"_hi_$nm") - col(s"_pos_$nm")) * col(s"_vlo_$nm") +
+                   (col(s"_pos_$nm") - col(s"_lo_$nm")) * col(s"_vhi_$nm"))
+        .as(nm)
+    }
+    val out = agg.select(outCols: _*)
     if (groupCols.isEmpty) out.drop("_g") else out
   }
 }
