@@ -39,10 +39,14 @@ object GraphOps {
     var done = false
     while (!done && lv < maxLevels) {
       lv += 1
+      // LAZY checkpoint + count: the count is the action that materializes
+      // the frontier AND answers the emptiness probe — one job per level
+      // instead of the eager-checkpoint-then-isEmpty pair (§2.4 / the
+      // minLabelComponents carried-flag discipline).
       val next = propagate(edges, frontier)
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(false)
+      if (next.count() == 0) done = true
       else {
         levelFrames += next.select(col("id"), lit(lv).as("level"))
         visited = visited.unionAll(next)
@@ -75,8 +79,8 @@ object GraphOps {
         .join(visited, Seq("id"), "left_anti")
         .join(remaining.select(col("dst").as("id")).distinct(),
               Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(false) // materialized by the count — one job
+      if (next.count() == 0) done = true
       else {
         levelFrames += next.select(col("id"), lit(lv).as("level"))
         visited = visited.unionAll(next)
@@ -130,18 +134,23 @@ object GraphOps {
       (col("da") === col("db") && col("a") < col("b"))
     val oriented = withDeg.select(
         when(lowFirst, col("a")).otherwise(col("b")).as("u"),
-        when(lowFirst, col("b")).otherwise(col("a")).as("v"),
-        when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
-      .localCheckpoint(true) // wedge self-join + closing-edge probe
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-            col("e1.u") === col("e2.u") &&
-              (col("e1.dv") < col("e2.dv") ||
-                (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
-      .select(col("e1.v").as("x"), col("e2.v").as("y"))
-    wedges.join(oriented.select(col("u").as("x"), col("v").as("y")),
-                Seq("x", "y"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true) // adjacency agg + both attach joins
+    // Count per ORIENTED EDGE, not per wedge: each triangle u→v, u→w,
+    // v→w is |N⁺(u) ∩ N⁺(v)| ∋ w, counted exactly once at edge (u, v).
+    // The wedge formulation shuffled Σ outdeg² wedge rows through the
+    // self-join AND the closing-edge semi join; here every exchange is
+    // edge-sized (adjacency arrays ride along, each array ≤ O(√m) under
+    // the orientation — the same bound that kept wedges from exploding).
+    // Guide §2.3: aggregate (to adjacency sets) before the join, and
+    // never materialize the wedge expansion at all. Edges whose head has
+    // no out-neighbors contribute 0 and drop in the inner join.
+    val adj = oriented.groupBy("u").agg(collect_list(col("v")).as("nu"))
+    oriented
+      .join(adj, Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nu").as("nv")), Seq("v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+      .agg(coalesce(sum(col("t")).cast("long"), lit(0L)).as("n_triangles"))
   }
 
   def pageRankFixed(edges: DataFrame, iters: Int,
@@ -200,14 +209,16 @@ object GraphOps {
       // Carry the changed flag THROUGH the checkpoint: the convergence
       // count is then a cheap scan of the already-materialized frame
       // instead of a second shuffled self-join per superstep (one fewer
-      // join + exchange per iteration at any scale).
+      // join + exchange per iteration at any scale). LAZY checkpoint:
+      // the filter-count below is the materializing action, so each
+      // superstep is ONE job (eager ckpt + count was two).
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
                 least(col("label"),
                       coalesce(col("nmin"), col("label"))).as("label"),
                 (coalesce(col("nmin"), col("label")) < col("label"))
                   .as("_chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("_chg")).count()
       labels = next.drop("_chg")
       it += 1
